@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+
+/** Registration bundle + typed Column API for the indicator window functions —
+  * the Spark analog of the reference's `register_financial_functions`
+  * (`/root/reference/src/lib.rs:13-19`).
+  *
+  * After `FinancialFunctions.registerAll(spark)`,
+  * `spark.sql("SELECT sma(close, 20) OVER (PARTITION BY t ORDER BY d) ...")`
+  * resolves natively through the Catalyst function registry; or use the
+  * Column API: `sma($"close", 20).over(w)`.
+  */
+object FinancialFunctions {
+
+  private def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+    if (exprs.length != n) {
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    }
+    exprs
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "sma" -> (e => { val a = arity("sma", 2)(e); Sma(a(0), a(1)) }),
+    "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
+    "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
+    "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) })
+  )
+
+  /** Register sma/ema/rsi/macd into an existing session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  // ---- Column API ----------------------------------------------------------
+  // call_function resolves through the function registry at analysis time and
+  // produces a node that `.over(windowSpec)` wraps correctly, exactly like a
+  // built-in aggregate. Requires registerAll(spark) (or GraftExtensions).
+  import org.apache.spark.sql.functions.{call_function, lit}
+  def sma(value: Column, n: Int): Column = call_function("sma", value, lit(n))
+  def ema(value: Column, n: Int): Column = call_function("ema", value, lit(n))
+  def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
+  def macd(value: Column): Column = call_function("macd", value)
+}
+
+/** Session-extension variant: lets users opt in via
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * so the functions exist in every session without an explicit
+  * `registerAll` call. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions", name, usage)
+    ext.injectFunction((FunctionIdentifier("sma"),
+      info("sma", "sma(value, n) - trailing simple moving average over a window"),
+      e => Sma(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("ema"),
+      info("ema", "ema(value, n) - exponential moving average over a window"),
+      e => Ema(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("rsi"),
+      info("rsi", "rsi(value, n) - Wilder relative strength index over a window"),
+      e => Rsi(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("macd"),
+      info("macd", "macd(value) - MACD line (EMA12 - EMA26) over a window"),
+      e => Macd(e(0))))
+  }
+}

@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Native Catalyst window expressions for the four financial indicators.
+  *
+  * Each is a declarative [[AggregateWindowFunction]] — the exact Spark analog
+  * of the reference's DataFusion `WindowUDFImpl` + `PartitionEvaluator`
+  * (`/root/reference/src/functions/sma.rs:28-129` etc.): Spark's `WindowExec`
+  * sorts each partition and feeds rows in order to the update expressions,
+  * giving the same O(1)-per-row sequential state machine without any UDF
+  * serialization overhead. The running frame (UNBOUNDED PRECEDING → CURRENT
+  * ROW) is fixed by `AggregateWindowFunction`, mirroring the reference's
+  * `uses_window_frame() = false` whole-partition evaluation.
+  *
+  * The floating-point expression trees intentionally match
+  * [[IndicatorMath]] op-for-op (see its scaladoc) for cross-engine
+  * bit-identical results.
+  *
+  * The `window_size` argument must be a foldable integer ≥ 1 — the reference
+  * reads the first non-null value of a constant column (`sma.rs:92-97`); we
+  * require a literal at plan time, which is what every reference query passes.
+  */
+trait IndicatorWindowFunction extends AggregateWindowFunction {
+  protected def value: Expression
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!value.dataType.isInstanceOf[NumericType] && value.dataType != NullType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric value argument, got ${value.dataType.catalogString}")
+    } else {
+      // surface bad window sizes at analysis time, not as executor task failures
+      try {
+        children.drop(1).foreach(requireWindowSize)
+        TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
+    }
+  }
+
+  /** value as Double; the SQL builder wraps a Cast already, but keep safe. */
+  protected lazy val x: Expression =
+    if (value.dataType == DoubleType) value else Cast(value, DoubleType)
+
+  /** Whether the current row's input is NULL → the row emits NULL while the
+    * state stays frozen (SURVEY.md §7.1 null contract). */
+  protected lazy val curNull: AttributeReference =
+    AttributeReference("curNull", BooleanType, nullable = false)()
+
+  protected def requireWindowSize(e: Expression): Int = {
+    if (!e.foldable) {
+      throw new IllegalArgumentException(
+        s"$prettyName window_size must be a literal integer, got ${e.sql}")
+    }
+    val n = e.eval(InternalRow.empty) match {
+      case i: Int    => i
+      case l: Long   => l.toInt
+      case s: Short  => s.toInt
+      case b: Byte   => b.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$prettyName window_size must be an integer literal, got $other")
+    }
+    if (n <= 0) throw new IllegalArgumentException(
+      s"$prettyName window_size must be >= 1, got $n")
+    n
+  }
+
+  protected val nullDouble: Expression = Literal.create(null, DoubleType)
+}
+
+/** `sma(value, n)` — trailing simple moving average of the last `n` non-null
+  * values (reference `src/functions/sma.rs:102-117`). Declarative buffer
+  * holds the last ≤n non-null values; evaluation folds the buffer
+  * left-to-right exactly like the reference's `iter().sum()`.
+  */
+case class Sma(value: Expression, windowSize: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val n: Int = requireWindowSize(windowSize)
+
+  override def children: Seq[Expression] = Seq(value, windowSize)
+  override def prettyName: String = "sma"
+
+  private lazy val buf = AttributeReference(
+    "smaBuf", ArrayType(DoubleType, containsNull = false), nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf, curNull)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(Array.empty[Double], ArrayType(DoubleType, containsNull = false)),
+    Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val appended = Concat(Seq(buf, CreateArray(Seq(x))))
+    val trimmed = If(GreaterThan(Size(appended), Literal(n)),
+      Slice(appended, Literal(2), Literal(n)), appended)
+    Seq(If(IsNull(x), buf, trimmed), IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    val acc = NamedLambdaVariable("acc", DoubleType, nullable = false)
+    val el = NamedLambdaVariable("x", DoubleType, nullable = false)
+    val accF = NamedLambdaVariable("acc", DoubleType, nullable = false)
+    val sum = ArrayAggregate(
+      buf, Literal(0.0),
+      LambdaFunction(Add(acc, el), Seq(acc, el)),
+      LambdaFunction(accF, Seq(accF)))
+    If(Or(curNull, LessThan(Size(buf), Literal(n))),
+      nullDouble, Divide(sum, Literal(n.toDouble)))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Sma =
+    copy(value = c(0), windowSize = c(1))
+}
+
+/** `ema(value, n)` — exponential moving average, α = 2/(n+1); the first
+  * non-null value seeds the state and is emitted as-is
+  * (reference `src/functions/ema.rs:101-124`). */
+case class Ema(value: Expression, windowSize: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val n: Int = requireWindowSize(windowSize)
+  private lazy val alpha = 2.0 / (n + 1.0)
+
+  override def children: Seq[Expression] = Seq(value, windowSize)
+  override def prettyName: String = "ema"
+
+  private lazy val ema = AttributeReference("ema", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(ema, curNull)
+  override lazy val initialValues: Seq[Expression] = Seq(nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x), ema,
+      If(IsNull(ema), x,
+        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), ema)))),
+    IsNull(x))
+
+  override lazy val evaluateExpression: Expression = If(curNull, nullDouble, ema)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Ema =
+    copy(value = c(0), windowSize = c(1))
+}
+
+/** `rsi(value, n)` — Wilder's Relative Strength Index
+  * (reference `src/functions/rsi.rs:115-160`): NULL until `n` consecutive
+  * diffs accumulated; seed averages are the simple mean of the first `n`
+  * gains/losses; thereafter `avg' = avg·(1−α) + g·α`, α = 1/n;
+  * `RSI = 100 − 100/(1+RS)`, 100 when avg_loss == 0 (`rsi.rs:72-78`). */
+case class Rsi(value: Expression, windowSize: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val n: Int = requireWindowSize(windowSize)
+  private lazy val alpha = 1.0 / n
+  private lazy val beta = 1.0 - alpha
+
+  override def children: Seq[Expression] = Seq(value, windowSize)
+  override def prettyName: String = "rsi"
+
+  private lazy val prev = AttributeReference("prev", DoubleType, nullable = true)()
+  // sum of gains/losses until n diffs seen, then Wilder-smoothed averages
+  private lazy val g = AttributeReference("avgGain", DoubleType, nullable = false)()
+  private lazy val l = AttributeReference("avgLoss", DoubleType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", IntegerType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(prev, g, l, cnt, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, Literal(0.0), Literal(0.0), Literal(0), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val diff = Subtract(x, prev)
+    val gain = If(GreaterThan(diff, Literal(0.0)), diff, Literal(0.0))
+    val loss = If(LessThan(diff, Literal(0.0)), UnaryMinus(diff), Literal(0.0))
+    val c1 = Add(cnt, Literal(1))
+    val frozen = Or(IsNull(x), IsNull(prev))
+    def step(avg: Expression, d: Expression): Expression =
+      If(frozen, avg,
+        If(LessThan(c1, Literal(n)), Add(avg, d),
+          If(EqualTo(c1, Literal(n)), Divide(Add(avg, d), Literal(n.toDouble)),
+            Add(Multiply(avg, Literal(beta)), Multiply(d, Literal(alpha))))))
+    Seq(
+      If(IsNull(x), prev, x),
+      step(g, gain),
+      step(l, loss),
+      If(frozen, cnt, c1),
+      IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, LessThan(cnt, Literal(n))), nullDouble,
+      If(EqualTo(l, Literal(0.0)), Literal(100.0),
+        Subtract(Literal(100.0),
+          Divide(Literal(100.0), Add(Literal(1.0), Divide(g, l))))))
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Rsi =
+    copy(value = c(0), windowSize = c(1))
+}
+
+/** `macd(value)` — MACD line = EMA12 − EMA26 with fixed α 2/13 and 2/27,
+  * both seeded by the first non-null value so the first row emits 0.0;
+  * no signal line / histogram (reference `src/functions/macd.rs:55-120`). */
+case class Macd(value: Expression) extends IndicatorWindowFunction {
+  private val a12 = 2.0 / 13.0
+  private val a26 = 2.0 / 27.0
+
+  override def children: Seq[Expression] = Seq(value)
+  override def prettyName: String = "macd"
+
+  private lazy val e12 = AttributeReference("ema12", DoubleType, nullable = true)()
+  private lazy val e26 = AttributeReference("ema26", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(e12, e26, curNull)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, Literal(false))
+
+  private def emaStep(prev: Expression, alpha: Double): Expression =
+    If(IsNull(x), prev,
+      If(IsNull(prev), x,
+        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), prev))))
+
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(emaStep(e12, a12), emaStep(e26, a26), IsNull(x))
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(e12)), nullDouble, Subtract(e12, e26))
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Macd =
+    copy(value = c(0))
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WindowIndicatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def runSql(values: Seq[Option[Double]], call: String): Seq[Option[Double]] = {
+    values.zipWithIndex.toDF("v", "i").createOrReplaceTempView("t")
+    spark.sql(s"SELECT $call OVER (ORDER BY i) AS r FROM t ORDER BY i")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+  }
+
+  private def assertSeq(got: Seq[Option[Double]], exp: Seq[Option[Double]]): Unit = {
+    assert(got.length === exp.length)
+    got.zip(exp).zipWithIndex.foreach {
+      case ((Some(g), Some(e)), i) => assert(math.abs(g - e) < 1e-12, s"at row $i: $g vs $e")
+      case ((g, e), i)             => assert(g === e, s"at row $i")
+    }
+  }
+
+  private val series: Seq[Option[Double]] =
+    Seq(10.0, 12.0, 13.0, 12.0, 15.0, 11.0, 16.0, 14.0, 18.0, 20.0).map(Some(_))
+
+  private val withNulls: Seq[Option[Double]] =
+    Seq(Some(10.0), None, Some(12.0), Some(13.0), None, Some(11.0), Some(16.0))
+
+  test("sma SQL matches IndicatorMath incl. nulls") {
+    assertSeq(runSql(series, "sma(v, 3)"), IndicatorMath.smaSeries(series, 3))
+    assertSeq(runSql(withNulls, "sma(v, 3)"), IndicatorMath.smaSeries(withNulls, 3))
+  }
+
+  test("ema SQL matches IndicatorMath incl. nulls; first value seeds") {
+    assertSeq(runSql(series, "ema(v, 3)"), IndicatorMath.emaSeries(series, 3))
+    assertSeq(runSql(withNulls, "ema(v, 3)"), IndicatorMath.emaSeries(withNulls, 3))
+    assert(runSql(series, "ema(v, 3)").head === Some(10.0))
+  }
+
+  test("rsi SQL matches IndicatorMath on Wilder's series incl. nulls") {
+    val wilder = Seq(44.34, 44.09, 44.15, 43.61, 44.33, 44.83, 45.85, 46.08,
+      45.89, 46.03, 46.83, 47.69, 46.49, 46.26, 47.09, 46.66, 46.80, 46.23,
+      46.38, 46.33, 46.51).map(Option(_))
+    val got = runSql(wilder, "rsi(v, 14)")
+    assertSeq(got, IndicatorMath.rsiSeries(wilder, 14))
+    assert(math.abs(got(14).get - 68.1638044914135) < 1e-9)
+    assertSeq(runSql(withNulls, "rsi(v, 2)"), IndicatorMath.rsiSeries(withNulls, 2))
+  }
+
+  test("macd SQL matches IndicatorMath; row0 emits 0.0") {
+    val xs = (0 until 30).map(i => Option(100.0 + math.sin(i) * 5 + i))
+    val got = runSql(xs, "macd(v)")
+    assertSeq(got, IndicatorMath.macdSeries(xs))
+    assert(got.head === Some(0.0))
+    assertSeq(runSql(withNulls, "macd(v)"), IndicatorMath.macdSeries(withNulls))
+  }
+
+  test("partitioned windows keep per-key state isolated (Column API)") {
+    val df = Seq(
+      ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("A", 4, 12.0),
+      ("B", 1, 100.0), ("B", 2, 104.0), ("B", 3, 96.0), ("B", 4, 100.0)
+    ).toDF("k", "i", "v")
+    val w = Window.partitionBy($"k").orderBy($"i")
+    val got = df
+      .withColumn("sma3", FinancialFunctions.sma($"v", 3).over(w))
+      .withColumn("ema3", FinancialFunctions.ema($"v", 3).over(w))
+      .orderBy($"k", $"i")
+      .collect()
+    val byKey = got.groupBy(_.getString(0))
+    Seq("A", "B").foreach { k =>
+      val vs = byKey(k).map(r => Option(r.getDouble(2))).toSeq
+      val smaExp = IndicatorMath.smaSeries(vs, 3)
+      val emaExp = IndicatorMath.emaSeries(vs, 3)
+      byKey(k).zipWithIndex.foreach { case (r, i) =>
+        val smaGot = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        val emaGot = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        assert(smaGot === smaExp(i), s"sma $k row $i")
+        assert(emaGot.map(v => math.abs(v - emaExp(i).get) < 1e-12) !== Some(false), s"ema $k row $i")
+      }
+    }
+  }
+
+  test("integer input columns are accepted (implicit cast)") {
+    val got = runSql(Seq(1.0, 2.0, 3.0, 4.0).map(Some(_)), "sma(CAST(v AS INT), 2)")
+    assertSeq(got, Seq(None, Some(1.5), Some(2.5), Some(3.5)))
+  }
+
+  test("non-literal window size is rejected") {
+    intercept[Exception] {
+      runSql(series, "sma(v, CAST(v AS INT))")
+    }
+  }
+
+  test("local_demo-style end-to-end query over the 5-row crypto sample") {
+    // mirrors reference examples/local_demo.rs:50-61 + sample CSV fixture
+    val rows = Seq(
+      ("BTC", "2023-01-15", 21350.00), ("ETH", "2023-01-15", 1575.75),
+      ("LTC", "2023-01-15", 86.50), ("ADA", "2023-01-15", 0.36),
+      ("DOT", "2023-01-15", 6.35))
+    rows.toDF("ticker", "date", "close").createOrReplaceTempView("crypto_data")
+    val out = spark.sql(
+      """SELECT ticker, close,
+        |  sma(close, 3) OVER (PARTITION BY ticker ORDER BY date) AS sma_3,
+        |  rsi(close, 5) OVER (PARTITION BY ticker ORDER BY date) AS rsi_5
+        |FROM crypto_data ORDER BY ticker, date""".stripMargin).collect()
+    assert(out.length === 5)
+    // single row per ticker -> both indicators still warming up => null
+    out.foreach { r => assert(r.isNullAt(2) && r.isNullAt(3)) }
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.FinancialFunctions
+
+/** Manual end-to-end drive of the library surface (used by /verify). */
+object ManualDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    FinancialFunctions.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    val df = spark.sql("""
+      SELECT l_suppkey, l_orderkey, l_quantity,
+        sma(l_quantity, 5)  OVER w AS sma_5,
+        ema(l_quantity, 12) OVER w AS ema_12,
+        rsi(l_quantity, 14) OVER w AS rsi_14,
+        macd(l_quantity)    OVER w AS macd
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, l_orderkey LIMIT 20""")
+    df.show(20, false)
+    println("NONNULL_RSI_ROWS=" + spark.sql(
+      "SELECT rsi(l_quantity,14) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) r FROM lineitem")
+      .filter("r IS NOT NULL").count())
+    def probe(tag: String, sql: String): Unit =
+      try { spark.sql(sql).collect(); println(s"$tag: NO ERROR") }
+      catch { case e: Exception => println(s"$tag: ${e.getMessage.linesIterator.next()}") }
+    probe("PROBE_ARITY", "SELECT sma(l_quantity) OVER (ORDER BY l_orderkey) FROM lineitem")
+    probe("PROBE_ZERO", "SELECT sma(l_quantity, 0) OVER (ORDER BY l_orderkey) FROM lineitem")
+    probe("PROBE_STRING", "SELECT sma(l_returnflag, 3) OVER (ORDER BY l_orderkey) FROM lineitem")
+    probe("PROBE_NO_OVER", "SELECT ema(l_quantity, 3) FROM lineitem")
+    probe("PROBE_NEG", "SELECT rsi(l_quantity, -1) OVER (ORDER BY l_orderkey) FROM lineitem")
+    spark.stop()
+    println("DONE")
+  }
+}
