@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables and compare against the Spark parquet
+dumps produced by `graft.Verify`. Exact-value compare (floats must be
+bit-identical unless rounded in both queries)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for p in sorted(glob.glob(f'{sf}/*.parquet')):
+    name = os.path.basename(p).replace('.parquet', '')
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+failures = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_dir = f'{out}/{name}'
+    parts = glob.glob(f'{spark_dir}/*.parquet')
+    if not parts:
+        print(f'{name}: MISSING spark output'); failures += 1; continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f'{name}: ORACLE ERROR {e}'); failures += 1; continue
+    got = duckdb.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+    # driver-style: columns sorted by name, rows sorted by all columns
+    exp = exp[sorted(exp.columns)]
+    got_cols = sorted(got.columns)
+    if sorted(exp.columns) != got_cols:
+        print(f'{name}: SCHEMA MISMATCH spark={got_cols} oracle={sorted(exp.columns)}')
+        failures += 1; continue
+    got = got[got_cols]
+    ek = exp.sort_values(by=list(exp.columns), na_position='first').reset_index(drop=True)
+    gk = got.sort_values(by=list(got.columns), na_position='first').reset_index(drop=True)
+    if len(ek) != len(gk):
+        print(f'{name}: ROWCOUNT got={len(gk)} exp={len(ek)}'); failures += 1; continue
+    bad = []
+    for c in ek.columns:
+        e, g = ek[c], gk[c]
+        if e.dtype.kind == 'f' or g.dtype.kind == 'f':
+            both_nan = e.isna() & g.isna()
+            eq = (e == g) | both_nan
+        else:
+            eq = (e == g) | (e.isna() & g.isna())
+        if not eq.all():
+            idx = (~eq).idxmax()
+            detail = f'row{idx}: got={gk[c][idx]!r} exp={ek[c][idx]!r}'
+            if e.dtype.kind == 'f':
+                diff = (pd.to_numeric(e, errors='coerce') - pd.to_numeric(g, errors='coerce')).abs().max()
+                detail += f' maxabsdiff={diff}'
+            bad.append(f'col {c} {detail} ({int((~eq).sum())} rows differ)')
+    if bad:
+        print(f'{name}: VALUE MISMATCH ' + '; '.join(bad)); failures += 1
+    else:
+        print(f'{name}: OK ({len(ek)} rows)')
+print('FAILURES:', failures)
+sys.exit(1 if failures else 0)
