@@ -96,7 +96,8 @@ object SparkEntry {
     queries("q_indicators_combined")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ---- A1-A4: the four indicator window functions -----------------------
     "q_sma" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, sma(l_quantity, 5) OVER w AS sma_5
@@ -237,7 +238,286 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS distinct_parts,
         |  count(DISTINCT l_suppkey) AS distinct_suppliers
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  ) ++ llmQueries
+
+  // ---- LLM-training-data pipeline operators ------------------------------
+  import org.apache.spark.sql.functions.{col, broadcast}
+
+  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) => {
+      load(s, d)
+      operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_doc_fingerprint" -> ((s, d) => {
+      load(s, d)
+      operators.TextOps.fingerprints(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_exact" -> ((s, d) => {
+      load(s, d)
+      operators.Dedup.exact(s.table("documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+    "q_dedup_minhash" -> ((s, d) => {
+      load(s, d)
+      operators.Dedup.minhashNearDups(s.table("documents"), "doc_id", "text",
+          k = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash" -> ((s, d) => {
+      load(s, d)
+      operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_simhash_pairs" -> ((s, d) => {
+      load(s, d)
+      val fps = operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
+      operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      load(s, d)
+      operators.Dedup.ngramJaccardPairs(s.table("documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_embed_knn" -> ((s, d) => {
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_embed_ivf_knn" -> ((s, d) => {
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_embed_neardup" -> ((s, d) => {
+      load(s, d)
+      operators.Similarity.embeddingNearDupPairs(s.table("embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_media_frames" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.array_join
+      val m = operators.Multimodal.withMedia(s.table("documents"), "doc_id", "text")
+      operators.Multimodal.frameSamples(m)
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.content_md5").as("content_md5"),
+          array_join(col("frames"), ",").as("frames_joined"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  // ---- DuckDB oracle fragments for the LLM ops ---------------------------
+
+  /** Tokenized (doc_id, w, pos) and distinct (doc_id, shingle) CTE bodies —
+    * mirror TextOps.tokens / TextOps.shingles. */
+  private val duckToks =
+    """toks0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w,
+      |         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+      |  FROM documents
+      |), toks AS (SELECT doc_id, w, pos FROM toks0 WHERE w <> '')""".stripMargin
+
+  private val duckShingles =
+    s"""$duckToks, sh0 AS (
+       |  SELECT doc_id,
+       |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w,2) OVER win IS NOT NULL
+       |), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+
+  private val duckJaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.id_a, c.id_b
+      |)
+      |SELECT i.id_a, i.id_b,
+      |  CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+      |FROM inter i
+      |JOIN sizes na ON na.doc_id = i.id_a
+      |JOIN sizes nb ON nb.doc_id = i.id_b
+      |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+      |ORDER BY i.id_a, i.id_b""".stripMargin
+
+  private val duckStopwordsEn = "['the','and','of','to','in','is','a']"
+
+  private def duckStopCount(words: String): String =
+    s"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> list_contains($words, w)))"
+
+  private val duckCos =
+    "list_reduce(list_transform(list_zip({A}, {B}), t -> CAST(t[1] AS DOUBLE)*CAST(t[2] AS DOUBLE)), (a,b) -> a + b)"
+
+  private def cosSql(a: String, b: String): String =
+    duckCos.replace("{A}", a).replace("{B}", b)
+
+  private def llmOracles: Map[String, String] = Map(
+    "q_text_stats" -> {
+      val nTok = "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT)"
+      val punct = "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS INT)"
+      val stopEn = s"CAST(${duckStopCount(duckStopwordsEn)} AS INT)"
+      val langScores = TextOps_LangProfilesSql
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  $nTok AS n_tokens,
+         |  $punct AS n_punct,
+         |  $stopEn AS n_stopwords,
+         |  least(1.0::DOUBLE, CAST($nTok AS DOUBLE) / 100.0::DOUBLE)
+         |    * (1.0::DOUBLE - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0 THEN CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0::DOUBLE END)
+         |    * (0.5::DOUBLE + 0.5::DOUBLE * CASE WHEN CAST($nTok AS DOUBLE) > 0.0 THEN CAST($stopEn AS DOUBLE) / CAST($nTok AS DOUBLE) ELSE 0.0::DOUBLE END) AS quality_score,
+         |  $langScores AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_doc_fingerprint" ->
+      s"""WITH $duckShingles,
+         |fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(fp.fingerprint, md5(lower(d.text))) AS fingerprint
+         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $duckShingles,
+         |mh AS (
+         |  SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS mh
+         |  FROM sh CROSS JOIN generate_series(0, 15) t(i)
+         |  GROUP BY doc_id, i
+         |),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |$duckJaccardTail""".stripMargin,
+    "q_dedup_simhash" -> (duckSimhashSql + "\nSELECT doc_id, simhash FROM fps ORDER BY doc_id"),
+    "q_simhash_pairs" ->
+      (duckSimhashSql +
+        s""",
+           |chunked AS (
+           |  SELECT doc_id, simhash, c, (simhash >> (c*8)) & 255 AS chunk_val
+           |  FROM fps CROSS JOIN generate_series(0, 3) t(c)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.simhash AS fp_a, b.simhash AS fp_b
+           |  FROM chunked a JOIN chunked b
+           |    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+           |)
+           |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin),
+    "q_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |),
+         |$duckJaccardTail""".stripMargin,
+    "q_embed_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_ivf_knn" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, label AS cl, unnest(embedding) AS v,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings
+         |),
+         |cd AS (SELECT cl, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv FROM dims GROUP BY cl, pos),
+         |centroids AS (SELECT cl, list(cv ORDER BY pos) AS centroid FROM cd GROUP BY cl),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT q.query_id, q.q_emb, c.cl,
+         |    ${cosSql("q.q_emb", "c.centroid")} AS ccos
+         |  FROM q CROSS JOIN centroids c
+         |),
+         |assigned AS (
+         |  SELECT query_id, q_emb, cl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cl) AS r FROM qc
+         |  ) WHERE r = 1
+         |),
+         |scored AS (
+         |  SELECT a.query_id, a.cl, e.vec_id AS neighbor_id,
+         |    ${cosSql("a.q_emb", "e.embedding")} AS cos
+         |  FROM embeddings e JOIN assigned a ON e.label = a.cl
+         |  WHERE e.vec_id <> a.query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(cl AS INT) AS probed_cluster, neighbor_id,
+         |  cos AS cosine, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  array_to_string(list_transform(generate_series(0, 3), f ->
+        |    lower(hex(encode(substr(text,
+        |      CAST(floor(f * greatest(octet_length(encode(text)) - 16, 1) / 4.0 + 1) AS INT),
+        |      16))))), ',') AS frames_joined
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** DuckDB CASE chain mirroring TextOps.langId (same profiles, same
+    * tie-break order). */
+  private def TextOps_LangProfilesSql: String = {
+    val scores = operators.TextOps.LangProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> duckStopCount(lst)
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  /** SimHash fingerprints CTE (doc_id, simhash) — mirrors Dedup.simhash. */
+  private def duckSimhashSql: String =
+    s"""WITH $duckToks,
+       |dtoks AS (SELECT DISTINCT doc_id, w FROM toks),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM dtoks),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN (h & (1::BIGINT << j)) > 0 THEN 1 ELSE -1 END AS contrib
+       |  FROM h CROSS JOIN generate_series(0, 31) t(j)
+       |),
+       |votes AS (SELECT doc_id, j, sum(contrib) AS vote FROM bits GROUP BY doc_id, j),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -385,5 +665,5 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS distinct_parts,
         |  count(DISTINCT l_suppkey) AS distinct_suppliers
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-  )
+  ) ++ llmOracles
 }

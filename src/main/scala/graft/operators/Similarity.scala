@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *  - [[cosine]] is a pure column expression (cast-to-double, zip-multiply,
+  *    sequential fold — deterministic, bit-reproducible, codegen-friendly);
+  *  - [[bruteForceKnn]] broadcasts the (small) query set and computes the
+  *    top-k with a per-query window — one pass over the corpus, no shuffle
+  *    of the big side except the final per-query k rows;
+  *  - [[ivfKnn]] is the scale path: corpus pre-clustered (here by the
+  *    `label` column standing in for IVF coarse centroids), queries probe
+  *    only their nearest cluster → touches 1/nlist of the corpus;
+  *  - [[embeddingNearDupPairs]] finds near-duplicate vectors above a cosine
+  *    threshold, candidate-limited by sign-bit LSH buckets.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine (vectors assumed unit-norm; otherwise this is
+    * the raw dot product). Element order: cast each float to double, then
+    * multiply — mirrors the DuckDB oracle exactly. */
+  def cosine(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Brute-force top-k cosine neighbours for each query vector.
+    * `queries` must be small (it is broadcast). Excludes self-matches. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-style clustered ANN: centroids are the per-cluster mean vectors
+    * (rounded to 6 decimals for cross-engine determinism of the group-sum);
+    * each query probes only its nearest centroid's cluster. Recall < 1 by
+    * construction — this is the 1000-executor path where brute force is no
+    * longer an option. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", embCol: String = "embedding",
+             clusterCol: String = "label"): DataFrame = {
+    val dims = corpus.select(col(idCol), col(clusterCol).as("cl"),
+        posexplode(col(embCol)).as(Seq("pos", "v")))
+    val centroids = dims.groupBy(col("cl"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val qc = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cl"))
+    val assigned = qc.withColumn("r", row_number().over(wq)).filter(col("r") === 1)
+      .select(col("query_id"), col("q_emb"), col("cl"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      col(clusterCol).as("cl"))
+    val scored = c.join(broadcast(assigned), Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cl").cast("int").as("probed_cluster"),
+        col("neighbor_id"), col("cos").as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates are
+    * blocked by the sign pattern of the first `signBits` dimensions
+    * (random-hyperplane LSH with axis-aligned planes): identical-direction
+    * vectors share the bucket; at threshold ≪ 1 this is a recall/cost knob.
+    * Set `signBits = 0` for the exact (all-pairs) variant. */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            signBits: Int = 0,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    val withBucket =
+      if (signBits <= 0) corpus.withColumn("bucket", lit(0L))
+      else {
+        val powers = typedlit((0 until signBits).map(j => 1L << j))
+        corpus.withColumn("bucket",
+          aggregate(
+            zip_with(slice(col(embCol), 1, signBits), powers,
+              (v, p) => when(v > lit(0.0f), p).otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc + x))
+      }
+    val a = withBucket.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), col("bucket"))
+    val b = withBucket.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), col("bucket"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

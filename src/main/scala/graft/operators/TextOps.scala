@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and document
+  * fingerprinting. All are pure column expressions (whole-stage-codegen
+  * friendly, no UDFs) and deterministic, so they parallelize trivially:
+  * each is a per-row map over the corpus with no shuffle.
+  */
+object TextOps {
+
+  /** Tokenizer shared by every text operator: lowercase, split on runs of
+    * non-alphanumerics, drop empties. Keep in sync with the DuckDB oracle
+    * (`string_split_regex(lower(text), '[^a-z0-9]+')`). */
+  val TokenSplitRe = "[^a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), TokenSplitRe), w => w =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters that are neither alphanumeric nor blank, after lowering —
+    * a cheap punctuation/noise measure. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(stopwords.map(lit): _*)))
+
+  /** Tiny per-language profiles of very frequent function words. Public
+    * knowledge (standard stopword lists), intentionally small. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "los", "de", "y", "que", "una", "es"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai", "you")
+  )
+
+  /** n-gram-heuristic language ID: score each profile by stopword hits and
+    * take the first maximal score (fixed tie-break order — deterministic). */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]:
+    * length saturation × (1 − punctuation ratio) × stopword presence boost.
+    * Deterministic double arithmetic — the DuckDB oracle mirrors the exact
+    * expression tree. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stop = stopwordCount(text, LangProfiles.head._2).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val punctRatio = when(nChar > 0, punct / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
+    lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)
+  }
+
+  /** (id, shingle) pairs — distinct word n-grams per document. The shared
+    * substrate for fingerprinting, MinHash and n-gram Jaccard dedup.
+    * One shuffle on id for the window, then distinct. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1)
+    val toks = df.select(
+        col(idCol),
+        posexplode(split(lower(col(textCol)), TokenSplitRe)).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"w$i", lead(col("w"), i).over(w))
+    }
+    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
+    withLeads
+      .filter(parts.last.isNotNull)
+      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Rolling-hash-style document fingerprint: minimum md5 over the word
+    * 3-gram shingles (md5 of the whole text for very short docs). Equal
+    * fingerprints ⇒ near-identical leading content. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = shingles(df, idCol, textCol, 3)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("shingle"))).as("fingerprint"))
+    df.select(col(idCol), md5(lower(col(textCol))).as("whole_doc_md5"))
+      .join(fp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("fingerprint"), col("whole_doc_md5")).as("fingerprint"))
+  }
+
+  /** Per-document stats frame used by the q_text_stats gate query. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      punctCount(t).as("n_punct"),
+      stopwordCount(t, LangProfiles.head._2).as("n_stopwords"),
+      qualityScore(t).as("quality_score"),
+      langId(t).as("lang_pred"))
+  }
+}

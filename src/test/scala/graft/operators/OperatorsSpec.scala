@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "The quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog and walks away fast"), // near dup of 1
+    (4L, "der hund und die katze sind nicht das problem ist der garten"),
+    (5L, "completely different words about spark catalyst optimizer plans")
+  ).toDF("doc_id", "text")
+
+  test("text stats: token count, punct, stopwords, quality in [0,1]") {
+    val st = TextOps.textStats(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(st(0).getAs[Int]("n_tokens") === 13)
+    assert(st.forall { r =>
+      val q = r.getAs[Double]("quality_score"); q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("langId: english for en text, german profile wins on de text") {
+    val preds = TextOps.textStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("lang_pred"))
+    assert(preds(0) === "en")
+    assert(preds(3) === "de")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.length === 4)
+    val dup = d.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always survives
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+    val j12 = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .filter($"id_a" === 1 && $"id_b" === 2).head().getAs[Double]("jaccard")
+    assert(j12 === 1.0)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near dup in (0,1)") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1).collect()
+    val m = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m((1L, 3L)) > 0.1 && m((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical texts share fingerprint; hamming pairs found") {
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.96f, 0.28f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.96f, 0.28f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn: nearest first, self excluded, k respected") {
+    val out = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("neighbor_id") === 1L)
+    assert(out(0).getAs[Double]("cosine") > 0.9)
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+  }
+
+  test("ivf knn probes the query's own cluster only") {
+    val out = Similarity.ivfKnn(vecs, vecs.filter($"vec_id" === 2), k = 3)
+      .collect()
+    assert(out.forall(_.getAs[Int]("probed_cluster") === 1))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet === Set(3L))
+  }
+
+  test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
+    val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact === Set((0L, 1L), (2L, 3L)))
+    val blocked = Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(blocked.subsetOf(exact))
+  }
+
+  test("multimodal: media meta + frame samples + decode stub features") {
+    val m = Multimodal.withMedia(docs, "doc_id", "text")
+    val frames = Multimodal.frameSamples(m).select("doc_id", "frames").collect()
+    assert(frames.forall(_.getSeq[String](1).length === 4))
+    val feats = Multimodal.decodeFeatures(spark, m, "doc_id").collect()
+    assert(feats.forall { r =>
+      val f = r.getSeq[Double](1)
+      f.length === 16 && math.abs(f.sum - 1.0) < 1e-9
+    })
+  }
+}
