@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.FinancialFunctions
+
+/** Batch signal detection (reference `src/polygon/signals.rs`) as single
+  * DataFrame pipelines — no collect-then-loop: the reference materializes
+  * Arrow batches and scans rows on the driver (`signals.rs:50-90`); here the
+  * thresholding is a column expression that runs inside the same job, so
+  * the operator distributes and the driver only sees the (small) signal
+  * rows. One shuffle on the window partition key.
+  */
+object Signals {
+
+  /** RSI thresholds scan (reference `signals.rs:32-93`):
+    * BUY below 30 with confidence (30−rsi)/30, SELL above 70 with
+    * confidence (rsi−70)/30. */
+  def detectRsiSignals(df: DataFrame, tickerCol: String, orderCols: Seq[String],
+                       closeCol: String, window: Int = 14): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("rsi", FinancialFunctions.rsi(col(closeCol), window).over(w))
+      .filter(col("rsi").isNotNull && (col("rsi") < 30.0 || col("rsi") > 70.0))
+      .select(
+        (col(tickerCol).as("symbol") +: orderCols.map(col)) ++ Seq(
+          col(closeCol).as("price"), col("rsi"),
+          rsiSignalType(col("rsi")).as("signal_type"),
+          rsiConfidence(col("rsi")).as("confidence")): _*)
+  }
+
+  /** Internal: threshold expressions shared by batch + streaming paths. */
+  private[operators] def rsiSignalType(rsi: Column): Column =
+    when(rsi < 30.0, lit("BUY")).when(rsi > 70.0, lit("SELL"))
+
+  private[operators] def rsiConfidence(rsi: Column): Column =
+    when(rsi < 30.0, (lit(30.0) - rsi) / lit(30.0))
+      .when(rsi > 70.0, (rsi - lit(70.0)) / lit(30.0))
+
+  /** MA-crossover scan (reference `signals.rs:96-169`): crossover rows are
+    * where the SMA-short/SMA-long relation flips vs the previous row; BUY
+    * if short is now above, confidence = min(|short−long|/price, 1). */
+  def detectMaCrossoverSignals(df: DataFrame, tickerCol: String,
+                               orderCols: Seq[String], closeCol: String,
+                               shortWindow: Int = 20, longWindow: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
+    // nested LAG(sma(...)) needs two passes (SURVEY §7.4 hard part 5)
+    val withMa = df
+      .withColumn("sma_short", FinancialFunctions.sma(col(closeCol), shortWindow).over(w))
+      .withColumn("sma_long", FinancialFunctions.sma(col(closeCol), longWindow).over(w))
+    val lagged = withMa
+      .withColumn("prev_short", lag(col("sma_short"), 1).over(w))
+      .withColumn("prev_long", lag(col("sma_long"), 1).over(w))
+    lagged
+      .filter(col("sma_short").isNotNull && col("sma_long").isNotNull &&
+        col("prev_short").isNotNull && col("prev_long").isNotNull &&
+        ((col("prev_short") <= col("prev_long") && col("sma_short") > col("sma_long")) ||
+          (col("prev_short") >= col("prev_long") && col("sma_short") < col("sma_long"))))
+      .select(
+        (col(tickerCol).as("symbol") +: orderCols.map(col)) ++ Seq(
+          col(closeCol).as("price"), col("sma_short"), col("sma_long"),
+          when(col("sma_short") > col("sma_long"), lit("BUY")).otherwise(lit("SELL")).as("signal_type"),
+          least(abs(col("sma_short") - col("sma_long")) / col(closeCol), lit(1.0)).as("confidence")): _*)
+  }
+}

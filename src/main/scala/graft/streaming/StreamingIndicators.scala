@@ -1,0 +1,200 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One market tick (reference `src/streaming.rs:14-22`). */
+final case class MarketTick(
+    symbol: String,
+    timestamp: Timestamp,
+    price: Double,
+    volume: Long,
+    bid: Option[Double],
+    ask: Option[Double])
+
+/** Indicator snapshot emitted per tick (reference `streaming.rs:164-175`). */
+final case class StreamingIndicatorValues(
+    symbol: String,
+    timestamp: Timestamp,
+    price: Double,
+    volume: Long,
+    sma: Option[Double],
+    ema: Option[Double],
+    rsi: Option[Double],
+    volumeSma: Option[Double],
+    volumeRatio: Option[Double])
+
+/** Streaming trading signal (reference `streaming.rs:259-278`). The unused
+  * `PriceBreakout` variant of the reference enum is intentionally omitted. */
+final case class StreamingSignal(
+    signalType: String, // Oversold | Overbought | VolumeSpike | BullishCrossover | BearishCrossover
+    symbol: String,
+    timestamp: Timestamp,
+    strength: Double,
+    price: Double,
+    description: String)
+
+/** Per-symbol indicator state: bounded buffers, O(window) memory per key —
+  * mirrors the reference's capped `VecDeque`s (`streaming.rs:56-65`).
+  *
+  * Divergence (SURVEY §7.1.7): the reference re-seeds Wilder's averages
+  * whenever `avg_gain == 0.0` (`streaming.rs:134`), which re-triggers the
+  * simple-average seed after any flat/falling window. We keep an explicit
+  * `rsiSeeded` flag — the batch (A3) semantics — and document the change. */
+final case class IndicatorState(
+    prices: Vector[Double],
+    volumes: Vector[Long],
+    ema: Option[Double],
+    gains: Vector[Double],
+    losses: Vector[Double],
+    avgGain: Double,
+    avgLoss: Double,
+    rsiSeeded: Boolean)
+
+object IndicatorState {
+  val empty: IndicatorState =
+    IndicatorState(Vector.empty, Vector.empty, None, Vector.empty, Vector.empty, 0.0, 0.0, rsiSeeded = false)
+}
+
+/** Tick-at-a-time indicator engine — pure Scala, shared by the Structured
+  * Streaming operator and unit tests (reference `streaming.rs:38-161`). */
+class StreamingIndicators(windowSize: Int) extends Serializable {
+  require(windowSize > 0)
+
+  def update(state: IndicatorState, tick: MarketTick): (IndicatorState, StreamingIndicatorValues) = {
+    val prices = (state.prices :+ tick.price).takeRight(windowSize)
+    val volumes = (state.volumes :+ tick.volume).takeRight(windowSize)
+
+    // SMA over the price buffer (streaming.rs:86-93)
+    val sma = if (prices.length < windowSize) None
+      else Some(prices.foldLeft(0.0)(_ + _) / prices.length)
+
+    // EMA, first tick seeds (streaming.rs:95-109)
+    val alpha = 2.0 / (windowSize + 1.0)
+    val ema = state.ema match {
+      case None       => Some(tick.price)
+      case Some(prev) => Some(alpha * tick.price + (1.0 - alpha) * prev)
+    }
+
+    // RSI over the last windowSize diffs (streaming.rs:111-151)
+    val (gains, losses, avgGain, avgLoss, seeded, rsi) =
+      if (state.prices.isEmpty) {
+        (state.gains, state.losses, state.avgGain, state.avgLoss, state.rsiSeeded, None)
+      } else {
+        val change = tick.price - state.prices.last
+        val g = if (change > 0.0) change else 0.0
+        val l = if (change < 0.0) -change else 0.0
+        val gs = (state.gains :+ g).takeRight(windowSize)
+        val ls = (state.losses :+ l).takeRight(windowSize)
+        if (gs.length < windowSize) (gs, ls, state.avgGain, state.avgLoss, state.rsiSeeded, None)
+        else {
+          val (ag, al) =
+            if (!state.rsiSeeded)
+              (gs.foldLeft(0.0)(_ + _) / windowSize, ls.foldLeft(0.0)(_ + _) / windowSize)
+            else {
+              val a = 1.0 / windowSize
+              (state.avgGain * (1.0 - a) + g * a, state.avgLoss * (1.0 - a) + l * a)
+            }
+          val r = if (al == 0.0) 100.0 else 100.0 - (100.0 / (1.0 + ag / al))
+          (gs, ls, ag, al, true, Some(r))
+        }
+      }
+
+    val volumeSma = if (volumes.length < windowSize) None
+      else Some(volumes.foldLeft(0L)(_ + _).toDouble / volumes.length)
+
+    val out = StreamingIndicatorValues(
+      tick.symbol, tick.timestamp, tick.price, tick.volume,
+      sma, ema, rsi, volumeSma, volumeSma.map(vs => tick.volume.toDouble / vs))
+
+    (IndicatorState(prices, volumes, ema, gains, losses, avgGain, avgLoss, seeded), out)
+  }
+}
+
+/** Structured Streaming pipeline (reference `StreamingProcessor`,
+  * `streaming.rs:280-321`): per-symbol keyed state via
+  * flatMapGroupsWithState; signal detection as column expressions; sinks
+  * via foreachBatch replace the reference's callback registry.
+  *
+  * Scale: state is per-symbol and bounded (O(window)); symbols hash across
+  * executors; no global coordination. Ticks within a micro-batch are
+  * processed in event-time order per symbol (the reference relies on
+  * arrival order — a single-process luxury). */
+object StreamingPipeline {
+
+  def indicators(ticks: Dataset[MarketTick], windowSize: Int): Dataset[StreamingIndicatorValues] = {
+    import ticks.sparkSession.implicits._
+    val engine = new StreamingIndicators(windowSize)
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[IndicatorState, StreamingIndicatorValues](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[IndicatorState]) =>
+          var st = state.getOption.getOrElse(IndicatorState.empty)
+          val out = rows.toSeq.sortBy(_.timestamp.getTime).map { tick =>
+            val (next, values) = engine.update(st, tick)
+            st = next
+            values
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Threshold detection (reference `streaming.rs:177-256`) as one column
+    * expression pass: each rule builds a struct-or-null, then explodes the
+    * non-null ones. Works identically on a static or streaming frame. */
+  def detectSignals(values: DataFrame): DataFrame = {
+    def signal(cond: org.apache.spark.sql.Column, sigType: String,
+               strength: org.apache.spark.sql.Column,
+               description: org.apache.spark.sql.Column) =
+      when(cond, struct(
+        lit(sigType).as("signalType"),
+        strength.as("strength"),
+        description.as("description")))
+
+    val rsi = col("rsi"); val vr = col("volumeRatio")
+    val sma = col("sma"); val ema = col("ema")
+    val rules = array(
+      signal(rsi.isNotNull && rsi < 30.0, "Oversold",
+        (lit(30.0) - rsi) / 30.0,
+        concat(lit("RSI oversold at "), round(rsi, 2).cast("string"))),
+      signal(rsi.isNotNull && rsi > 70.0, "Overbought",
+        (rsi - lit(70.0)) / 30.0,
+        concat(lit("RSI overbought at "), round(rsi, 2).cast("string"))),
+      signal(vr.isNotNull && vr > 2.0, "VolumeSpike",
+        (vr - lit(2.0)) / 3.0,
+        concat(lit("Volume spike: "), round(vr, 2).cast("string"), lit("x average"))),
+      signal(sma.isNotNull && ema.isNotNull && ema > sma * 1.002, "BullishCrossover",
+        least(abs(ema - sma) / sma, lit(1.0)),
+        concat(lit("EMA above SMA: "), round(ema, 2).cast("string"),
+          lit(" vs "), round(sma, 2).cast("string"))),
+      signal(sma.isNotNull && ema.isNotNull && ema < sma * 0.998, "BearishCrossover",
+        least(abs(ema - sma) / sma, lit(1.0)),
+        concat(lit("EMA below SMA: "), round(ema, 2).cast("string"),
+          lit(" vs "), round(sma, 2).cast("string")))
+    )
+    values
+      .withColumn("sig", explode(filter(rules, s => s.isNotNull)))
+      .select(
+        col("sig.signalType").as("signalType"),
+        col("symbol"), col("timestamp"),
+        col("sig.strength").as("strength"),
+        col("price"),
+        col("sig.description").as("description"))
+  }
+
+  /** End-to-end stream: ticks → indicators → signals, delivered to a
+    * callback per micro-batch (replaces the reference's handler registry,
+    * `streaming.rs:286-320`). Returns the started query. */
+  def process(spark: SparkSession, ticks: Dataset[MarketTick], windowSize: Int)(
+      onSignals: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sigs = detectSignals(indicators(ticks, windowSize).toDF())
+    sigs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => onSignals(batch) }
+      .start()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ValidationSignalsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("minute-aggs validation counts each planted violation (FIXTURES §2)") {
+    val rows = Seq(
+      // (ticker, window_start, open, high, low, close, volume, vwap, transactions)
+      ("BTC", ts("2023-01-15 10:00:00"), 10.0, 11.0, 9.0, 10.5, 100L, 10.2, 5L),
+      ("BTC", ts("2023-01-15 10:01:00"), 10.5, 11.5, 10.0, 11.0, 120L, 10.9, 6L),
+      ("BTC", ts("2023-01-15 10:05:00"), 11.0, 12.0, 10.5, 11.5, 90L, 11.2, 4L), // 4-min gap
+      ("BTC", ts("2023-01-15 10:06:00"), -1.0, 12.0, 10.5, 11.5, -5L, 11.2, 4L), // negative price+volume
+      ("BTC", ts("2023-01-15 10:07:00"), 11.0, 10.0, 10.5, 11.5, 90L, 11.2, 4L)  // high < low
+    ).toDF("ticker", "window_start", "open", "high", "low", "close", "volume", "vwap", "transactions")
+    val r = Validation.validateMinuteAggs(rows, maxGapSeconds = 60)
+    assert(r.totalRows === 5)
+    assert(r.checks("timestamp_gaps") === 1)
+    assert(r.checks("negative_volume") === 1)
+    assert(r.checks("nonpositive_prices") === 1)
+    assert(r.checks("ohlc_violations") >= 1)
+    assert(!r.passed)
+    assert(r.summary.contains("FAILED"))
+  }
+
+  test("day-aggs validation flags weekend rows with translated DOW constants") {
+    val rows = Seq(
+      ("BTC", java.sql.Date.valueOf("2023-01-16"), 1.0, 2.0, 0.5, 1.5, 10L, 1.2, 2L), // Monday
+      ("BTC", java.sql.Date.valueOf("2023-01-15"), 1.0, 2.0, 0.5, 1.5, 10L, 1.2, 2L), // Sunday
+      ("BTC", java.sql.Date.valueOf("2023-01-14"), 1.0, 2.0, 0.5, 1.5, 10L, 1.2, 2L)  // Saturday
+    ).toDF("ticker", "date", "open", "high", "low", "close", "volume", "vwap", "transactions")
+    val r = Validation.validateDayAggs(rows)
+    assert(r.totalRows === 3)
+    assert(r.checks("weekend_rows") === 2)
+    assert(!r.passed)
+  }
+
+  test("clean data passes validation") {
+    val rows = Seq(
+      ("BTC", ts("2023-01-16 10:00:00"), 10.0, 11.0, 9.0, 10.5, 100L, 10.2, 5L),
+      ("BTC", ts("2023-01-16 10:01:00"), 10.5, 11.5, 10.0, 11.0, 120L, 10.9, 6L)
+    ).toDF("ticker", "window_start", "open", "high", "low", "close", "volume", "vwap", "transactions")
+    assert(Validation.validateMinuteAggs(rows).passed)
+  }
+
+  private lazy val priceSeries: org.apache.spark.sql.DataFrame = {
+    // deterministic oscillating series with a sharp drop to trigger RSI < 30
+    val xs = (1 to 60).map { i =>
+      val base = if (i <= 40) 100.0 + i * 0.1 else 104.0 - (i - 40) * 2.0
+      ("TST", i, base)
+    }
+    xs.toDF("ticker", "seq", "close")
+  }
+
+  test("detectRsiSignals emits BUY on oversold with confidence in (0,1]") {
+    val sigs = Signals.detectRsiSignals(priceSeries, "ticker", Seq("seq"), "close", window = 5)
+      .collect()
+    assert(sigs.nonEmpty)
+    assert(sigs.forall(_.getAs[String]("signal_type") != null))
+    val buys = sigs.filter(_.getAs[String]("signal_type") == "BUY")
+    assert(buys.nonEmpty)
+    buys.foreach { r =>
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Double]("rsi") < 30.0)
+    }
+  }
+
+  test("detectMaCrossoverSignals fires on relation flips only") {
+    val sigs = Signals.detectMaCrossoverSignals(priceSeries, "ticker", Seq("seq"), "close",
+      shortWindow = 3, longWindow = 10).collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { r =>
+      val short = r.getAs[Double]("sma_short"); val long = r.getAs[Double]("sma_long")
+      val typ = r.getAs[String]("signal_type")
+      assert(if (short > long) typ == "BUY" else typ == "SELL")
+      val c = r.getAs[Double]("confidence")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+}

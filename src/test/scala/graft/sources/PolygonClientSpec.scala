@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PolygonClientSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // FIXTURES.md §1 — the reference's own 5-row crypto sample
+  private val sampleCsv =
+    """ticker,date,open,high,low,close,volume,vwap,transactions
+      |BTC,2023-01-15,21000.50,21500.75,20800.25,21350.00,1500000,21300.25,12500
+      |ETH,2023-01-15,1550.25,1580.50,1540.00,1575.75,800000,1565.50,8500
+      |LTC,2023-01-15,85.50,87.25,84.75,86.50,150000,86.00,2500
+      |ADA,2023-01-15,0.35,0.37,0.34,0.36,2000000,0.355,15000
+      |DOT,2023-01-15,6.25,6.45,6.15,6.35,300000,6.30,3500""".stripMargin
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("polygon_test").toString
+    val sub = Paths.get(dir, "global_crypto", "day_aggs_v1", "2023")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve("2023-01-15.csv"), sampleCsv)
+    dir
+  }
+
+  private lazy val client = new PolygonClient(spark, Polygon.Local(root))
+
+  test("filePath builds the dated layout for local and s3") {
+    val d = LocalDate.of(2023, 1, 15)
+    assert(Polygon.filePath(Polygon.Local("/data"), Polygon.AssetClass.Crypto,
+      Polygon.DataType.DayAggs, d) === "/data/global_crypto/day_aggs_v1/2023/2023-01-15.csv")
+    val s3 = Polygon.filePath(Polygon.S3(Polygon.PolygonConfig("ak", "sk")),
+      Polygon.AssetClass.Stocks, Polygon.DataType.MinuteAggs, d)
+    assert(s3 === "s3a://flatfiles/us_stocks_sip/minute_aggs_v1/2023/2023-01-15.csv.gz")
+  }
+
+  test("loadData reads the dated file with explicit schema") {
+    val df = client.loadData(Polygon.AssetClass.Crypto, Polygon.DataType.DayAggs,
+      LocalDate.of(2023, 1, 15))
+    assert(df.count() === 5)
+    assert(df.schema === Polygon.dayAggsSchema)
+  }
+
+  test("symbol filter restricts to one ticker and reaches the scan") {
+    val df = client.loadData(Polygon.AssetClass.Crypto, Polygon.DataType.DayAggs,
+      LocalDate.of(2023, 1, 15), Some("BTC"))
+    assert(df.count() === 1)
+    assert(df.head().getAs[String]("ticker") === "BTC")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+  }
+
+  test("registerTableWithIndicators enables the local_demo query") {
+    client.registerTableWithIndicators("crypto_sample",
+      client.loadData(Polygon.AssetClass.Crypto, Polygon.DataType.DayAggs,
+        LocalDate.of(2023, 1, 15)))
+    val out = spark.sql(
+      """SELECT ticker, close,
+        |  sma(close, 3) OVER (PARTITION BY ticker ORDER BY date) AS sma_3
+        |FROM crypto_sample ORDER BY ticker""".stripMargin).collect()
+    assert(out.length === 5)
+  }
+
+  test("listAvailableFiles honors the 20-file cap and discovery splits paths") {
+    val files = client.listAvailableFiles("global_crypto", limit = 20)
+    assert(files.length === 1 && files.head.endsWith("2023-01-15.csv"))
+    assert(client.discoverAssetClasses() === Seq("global_crypto"))
+    assert(client.discoverDataTypes("global_crypto") === Seq("day_aggs_v1"))
+  }
+
+  test("missing file / prefix behaves gracefully") {
+    assert(client.listAvailableFiles("nonexistent") === Seq.empty)
+    intercept[Exception] {
+      client.loadData(Polygon.AssetClass.Forex, Polygon.DataType.DayAggs,
+        LocalDate.of(2023, 1, 15)).count()
+    }
+  }
+}

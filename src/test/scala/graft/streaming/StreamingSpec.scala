@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tick(sym: String, sec: Int, price: Double, volume: Long = 1000L) =
+    MarketTick(sym, new Timestamp(1673776800000L + sec * 1000L), price, volume,
+      Some(price - 0.5), Some(price + 0.5))
+
+  test("pure engine: update echoes tick, warms up like the reference test (streaming.rs:328-344)") {
+    val engine = new StreamingIndicators(10)
+    val (st, v) = engine.update(IndicatorState.empty, tick("AAPL", 0, 150.0))
+    assert(v.symbol === "AAPL" && v.price === 150.0 && v.volume === 1000L)
+    assert(v.sma.isEmpty && v.rsi.isEmpty) // warm-up
+    assert(v.ema === Some(150.0))          // first tick seeds EMA
+    assert(st.prices === Vector(150.0))
+  }
+
+  test("pure engine: buffers stay bounded at window size") {
+    val engine = new StreamingIndicators(3)
+    var st = IndicatorState.empty
+    (1 to 10).foreach { i => st = engine.update(st, tick("X", i, 100.0 + i))._1 }
+    assert(st.prices.length === 3 && st.volumes.length === 3 &&
+      st.gains.length === 3 && st.losses.length === 3)
+  }
+
+  test("signal rules fire on the reference fixture (streaming.rs:346-366)") {
+    // sma=149, ema=150.5, rsi=25, volume_sma=500, volume_ratio=2.5
+    val values = Seq(
+      ("AAPL", new Timestamp(0L), 150.0, 1250L, Some(149.0), Some(150.5),
+        Some(25.0), Some(500.0), Some(2.5))
+    ).toDF("symbol", "timestamp", "price", "volume", "sma", "ema", "rsi",
+      "volumeSma", "volumeRatio")
+    val sigs = StreamingPipeline.detectSignals(values).collect()
+    val types = sigs.map(_.getAs[String]("signalType")).toSet
+    assert(types === Set("Oversold", "VolumeSpike", "BullishCrossover"))
+    val oversold = sigs.find(_.getAs[String]("signalType") == "Oversold").get
+    assert(math.abs(oversold.getAs[Double]("strength") - (30.0 - 25.0) / 30.0) < 1e-12)
+    sigs.foreach(s => assert(s.getAs[Double]("strength") >= 0.0 &&
+      s.getAs[Double]("strength") <= 1.0))
+  }
+
+  test("structured streaming end-to-end: per-symbol state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketTick]
+    val query = StreamingPipeline.indicators(input.toDS(), windowSize = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("indicators_out")
+      .start()
+    try {
+      // batch 1: warm-up for two symbols
+      input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0),
+        tick("MSFT", 0, 300.0))
+      query.processAllAvailable()
+      // batch 2: state must carry over (3rd AAPL tick completes the window)
+      input.addData(tick("AAPL", 2, 152.0), tick("MSFT", 1, 301.0))
+      query.processAllAvailable()
+
+      val out = spark.table("indicators_out").as[StreamingIndicatorValues]
+        .collect().sortBy(v => (v.symbol, v.timestamp.getTime))
+      val aapl = out.filter(_.symbol == "AAPL")
+      assert(aapl.length === 3)
+      assert(aapl(0).sma.isEmpty && aapl(1).sma.isEmpty)
+      assert(aapl(2).sma === Some((150.0 + 151.0 + 152.0) / 3))
+      // cross-check against the pure engine run tick-by-tick
+      val engine = new StreamingIndicators(3)
+      var st = IndicatorState.empty
+      val expected = Seq(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0),
+        tick("AAPL", 2, 152.0)).map { t =>
+        val (n, v) = engine.update(st, t); st = n; v
+      }
+      assert(aapl.toSeq.map(_.ema) === expected.map(_.ema))
+      val msft = out.filter(_.symbol == "MSFT")
+      assert(msft.length === 2 && msft(1).ema === Some(2.0 / 4.0 * 301.0 + 0.5 * 300.0))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS indicators_out")
+    }
+  }
+
+  test("process(): signals reach the foreachBatch callback") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketTick]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val query = StreamingPipeline.process(spark, input.toDS(), windowSize = 3) { batch =>
+      seen ++= batch.collect().map(_.getAs[String]("signalType"))
+    }
+    try {
+      // falling prices with a volume spike at the end
+      input.addData((0 until 8).map(i => tick("AAPL", i, 150.0 - i * 5.0,
+        if (i == 7) 10000L else 1000L)): _*)
+      query.processAllAvailable()
+      assert(seen.nonEmpty)
+      assert(seen.contains("Oversold") || seen.contains("BearishCrossover"))
+    } finally query.stop()
+  }
+}
