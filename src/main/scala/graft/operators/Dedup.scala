@@ -27,22 +27,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k independent hash functions simulated as
-    * md5(i || ":" || shingle); the per-(doc, i) minimum of the 15-hex-char
-    * prefix (string order == numeric order on fixed-width lowercase hex). */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    sh.select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
-      .withColumn("h", substring(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))), 1, 15))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("h")).as("mh"))
+  /** Prime modulus for the universal-hash family (2^31 − 1, Mersenne). */
+  val MinhashP: Long = 2147483647L
 
-  /** LSH band signatures: group the k minhashes into `bands` bands and
-    * concatenate each band's minhashes into one bucket key. */
-  def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    sigs.withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh")), "|").as("sig"))
+  /** Deterministic (a, b) coefficients for the k affine hashes
+    * h_i(x) = (a_i·x + b_i) mod P — fixed seed so Spark and the DuckDB
+    * oracle share the exact same family. */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    val r = new java.util.Random(42)
+    Seq.fill(k)((1L + r.nextInt((MinhashP - 1).toInt).toLong,
+      r.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** MinHash signatures, wide form (`mh0..mh{k-1}` per doc): ONE md5 per
+    * shingle reduced mod P, then k affine universal hashes derived
+    * arithmetically — k map-side-combinable `min` aggregates in a single
+    * shuffle, instead of exploding every shingle k× and hashing each copy
+    * (k× the md5 cost and a k×-wider shuffle at 100 TB). */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hm = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__hm") + lit(b)) % MinhashP).as(s"mh$i")
+    }
+    sh.withColumn("__hm", hm)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band signatures from the wide minhash frame: each band's
+    * `rowsPerBand` minhashes concatenate into one bucket key; the bands
+    * array explodes to (id, band, sig) rows. */
+  def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val k = sigs.columns.count(_.startsWith("mh"))
+    require(k > 0 && k % rowsPerBand == 0)
+    val bandStructs = (0 until k / rowsPerBand).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate pairs: docs sharing at least one (band, sig) bucket. */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
@@ -79,38 +103,49 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs with shingle blocking (pairs must share at
-    * least one shingle — exact, since jaccard > 0 implies a shared shingle). */
+    * least one shingle — exact, since jaccard > 0 implies a shared shingle).
+    *
+    * Intersection sizes are counted directly off the shingle self-join —
+    * one wide shuffle — instead of materializing a candidate set and
+    * re-joining the shingle table twice (3 extra shuffles of the exploded
+    * data at 100 TB). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = TextOps.shingles(df, idCol, textCol, n)
-    val cands = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    jaccard(sh, idCol, cands).filter(col("jaccard") >= threshold)
-  }
-
-  /** 32 (j, 2^j) pairs as a literal array — Spark's shiftleft only takes a
-    * literal shift, so the powers are precomputed. */
-  private val bitPowers = {
-    val pairs = (0 until 32).map(j => (j, 1L << j))
-    typedlit(pairs)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 32-bit fingerprint = majority vote per bit over the md5-derived
-    * 32-bit hashes of the document's distinct tokens. */
+    * 32-bit hashes of the document's distinct tokens.
+    *
+    * Token de-dup happens per-row (`array_distinct` — no global distinct
+    * shuffle), and the 32 bit-votes are 32 map-side-combinable `sum`
+    * aggregates over one token explode — a single shuffle of 32 ints per
+    * doc, instead of exploding every token 32× through two shuffles. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    val toks = df.select(col(idCol),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    hashed
-      .select(col(idCol), col("h"), explode(bitPowers).as("jp"))
-      .select(col(idCol), col("h"), col("jp._1").as("j"), col("jp._2").as("p"))
-      .withColumn("contrib", when(col("h").bitwiseAND(col("p")) > 0, 1).otherwise(-1))
-      .groupBy(col(idCol), col("j"), col("p"))
-      .agg(sum(col("contrib")).as("vote"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("vote") > 0, col("p")).otherwise(0L)).as("simhash"))
+    val votes = (0 until 32).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) > 0, 1).otherwise(-1)).as(s"v$j"))
+    hashed.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via

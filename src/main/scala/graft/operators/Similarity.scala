@@ -21,13 +21,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold cosine (vectors assumed unit-norm; otherwise this is
-    * the raw dot product). Element order: cast each float to double, then
-    * multiply — mirrors the DuckDB oracle exactly. */
+    * the raw dot product). Backed by the native codegen'd [[graft.functions.VecDot]]
+    * expression — same left-to-right fold order as the DuckDB oracle's
+    * `list_reduce`, but ~10× faster than the CodegenFallback HOF chain
+    * (`aggregate(zip_with(...))`) it replaces. */
   def cosine(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Brute-force top-k cosine neighbours for each query vector.
     * `queries` must be small (it is broadcast). Excludes self-matches. */

@@ -68,23 +68,24 @@ object TextOps {
 
   /** (id, shingle) pairs — distinct word n-grams per document. The shared
     * substrate for fingerprinting, MinHash and n-gram Jaccard dedup.
-    * One shuffle on id for the window, then distinct. */
+    *
+    * Built entirely with per-row array expressions (tokenize → slide →
+    * `array_distinct` → explode): zero shuffles, no window sort, no global
+    * distinct — the shingle set is assembled inside the row that owns the
+    * document, so the operator scales with corpus bytes, not with a
+    * (doc_id-skewed) token shuffle. Requires `idCol` to be unique per row
+    * (true for any keyed document table). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1)
-    val toks = df.select(
-        col(idCol),
-        posexplode(split(lower(col(textCol)), TokenSplitRe)).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val withLeads = (1 until n).foldLeft(toks) { (d, i) =>
-      d.withColumn(s"w$i", lead(col("w"), i).over(w))
-    }
-    val parts = col("w") +: (1 until n).map(i => col(s"w$i"))
-    withLeads
-      .filter(parts.last.isNotNull)
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
+    val toks = col("__toks")
+    val shingleArr = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(
+          when(size(toks) >= n, shingleArr)
+            .otherwise(array().cast("array<string>")))).as("shingle"))
   }
 
   /** Rolling-hash-style document fingerprint: minimum md5 over the word
