@@ -303,6 +303,31 @@ object SparkEntry {
       operators.Similarity.embeddingNearDupPairs(s.table("embeddings"), 0.4, signBits = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_stream_indicators" -> ((s, d) => {
+      // A6 streaming indicator engine, exercised through the SAME
+      // flatMapGroupsWithState operator in batch mode (Spark runs stateful
+      // ops over bounded inputs identically: one state pass per key).
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
+      // events.parquet carries TIMESTAMP(NANOS) — Spark reads it only as a
+      // nanosecond Long (legacy conf); the data is micro-aligned, so the
+      // integer DIV to micros is lossless (checked: nanos % 1000 == 0).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ticks = ev.select(
+        col("event_type").as("symbol"),
+        timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+        col("value").as("price"),
+        col("user_id").as("volume"),
+        lit(null).cast("double").as("bid"),
+        lit(null).cast("double").as("ask")).as[graft.streaming.MarketTick]
+      graft.streaming.StreamingPipeline.indicators(ticks, windowSize = 5).toDF()
+        .select(col("symbol"), unix_micros(col("timestamp")).as("ts_us"),
+          col("price"), col("volume"), col("sma"), col("ema"), col("rsi"),
+          col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
+        .orderBy(col("symbol"), col("ts_us"))
+    }),
     "q_media_frames" -> ((s, d) => {
       load(s, d)
       import org.apache.spark.sql.functions.array_join
@@ -498,6 +523,30 @@ object SparkEntry {
          |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_stream_indicators" ->
+      s"""WITH base AS (
+         |  SELECT event_type AS symbol, ts, value AS price, user_id AS volume,
+         |    list(struct_pack(p := value, g := 0.0::DOUBLE, l := 0.0::DOUBLE, c := 0.0::DOUBLE)) OVER w AS rsix,
+         |    list(value) OVER w AS emalist,
+         |    list(value) OVER w5 AS plist5,
+         |    list(user_id) OVER w5 AS vlist5,
+         |    count(*) OVER w5 AS c5
+         |  FROM events
+         |  WINDOW
+         |    w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    w5 AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |), red AS (
+         |  SELECT symbol, ts, price, volume, c5,
+         |    ${rsiFold("rsix", 5)} AS s,
+         |    ${duckEma("emalist", 5)} AS ema,
+         |    CASE WHEN c5 = 5 THEN list_reduce(plist5, (a,b) -> a + b) / 5.0::DOUBLE END AS sma,
+         |    CASE WHEN c5 = 5 THEN CAST(list_reduce(vlist5, (a,b) -> a + b) AS DOUBLE) / 5.0::DOUBLE END AS volume_sma
+         |  FROM base
+         |)
+         |SELECT symbol, epoch_us(ts) AS ts_us, price, volume, sma, ema,
+         |  ${rsiEval("s", 5)} AS rsi, volume_sma,
+         |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
+         |FROM red ORDER BY symbol, ts_us""".stripMargin,
     "q_media_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

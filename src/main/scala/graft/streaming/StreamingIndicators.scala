@@ -133,7 +133,10 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[IndicatorState]) =>
           var st = state.getOption.getOrElse(IndicatorState.empty)
-          val out = rows.toSeq.sortBy(_.timestamp.getTime).map { tick =>
+          // full-precision order: getTime alone truncates to millis, which
+          // would make sub-ms tick order (and thus all state) nondeterministic
+          val out = rows.toSeq
+            .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos)).map { tick =>
             val (next, values) = engine.update(st, tick)
             st = next
             values
