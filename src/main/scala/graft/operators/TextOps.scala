@@ -101,16 +101,42 @@ object TextOps {
         coalesce(col("fingerprint"), col("whole_doc_md5")).as("fingerprint"))
   }
 
-  /** Per-document stats frame used by the q_text_stats gate query. */
+  /** Occurrence count of a small word set inside an already-tokenized
+    * array — lets one regex tokenization feed every downstream count. */
+  private def stopCountArr(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
+
+  /** Per-document stats frame used by the q_text_stats gate query.
+    *
+    * Tokenizes ONCE per document and shares the array across the token
+    * count, the 6 stopword profiles, and the quality score — the naive
+    * composition re-ran the split regex over the full text 7× per row,
+    * which dominated the operator's cost. Expression trees (and therefore
+    * results) are unchanged. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(
+    val pre = df.select(col(idCol), col(textCol).as("__t"), tokens(col(textCol)).as("__toks"))
+    val t = col("__t")
+    val toks = col("__toks")
+    val nTokI = size(toks)
+    val nTok = nTokI.cast("double")
+    val nChar = length(t).cast("double")
+    val punct = punctCount(t)
+    val stopEn = stopCountArr(toks, LangProfiles.head._2)
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val punctRatio = when(nChar > 0, punct.cast("double") / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stopEn.cast("double") / nTok).otherwise(lit(0.0))
+    val scores = LangProfiles.map { case (lang, words) => lang -> stopCountArr(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pre.select(
       col(idCol),
       length(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      punctCount(t).as("n_punct"),
-      stopwordCount(t, LangProfiles.head._2).as("n_stopwords"),
-      qualityScore(t).as("quality_score"),
-      langId(t).as("lang_pred"))
+      nTokI.as("n_tokens"),
+      punct.as("n_punct"),
+      stopEn.as("n_stopwords"),
+      (lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)).as("quality_score"),
+      lang.as("lang_pred"))
   }
 }
