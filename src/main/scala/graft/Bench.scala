@@ -33,6 +33,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      // operators that persist intermediates (dedup set frames) would
+      // otherwise accumulate across the suite and skew later queries via GC
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -76,16 +76,18 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard for a set of candidate pairs over the shingle sets. */
-  def jaccard(sh: DataFrame, idCol: String, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sa = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val sb = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = candidates.join(sa, "id_a").join(sb, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+  /** Exact Jaccard for candidate pairs: each pair joins the two documents'
+    * whole shingle-set arrays (from [[TextOps.shingleSets]]) and computes
+    * `|A∩B|` with one `array_intersect` — one row per candidate, instead of
+    * fanning every candidate out by its posting lists through two joins and
+    * a re-aggregation. Shuffle volume is (candidates × 2 set arrays). */
+  def jaccard(sets: DataFrame, idCol: String, candidates: DataFrame): DataFrame = {
+    val a = sets.select(col(idCol).as("id_a"),
+      col("shingles").as("shs_a"), col("n_shingles").as("n_a"))
+    val b = sets.select(col(idCol).as("id_b"),
+      col("shingles").as("shs_b"), col("n_shingles").as("n_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
@@ -97,29 +99,40 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingles(df, idCol, textCol, 3)
+    // persisted: consumed by signature generation AND both verify branches —
+    // without it each consumer re-runs the tokenize+shingle chain
+    val sets = TextOps.shingleSets(df, idCol, textCol, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
     val cands = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
-    jaccard(sh, idCol, cands).filter(col("jaccard") >= threshold)
+    jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard pairs with shingle blocking (pairs must share at
-    * least one shingle — exact, since jaccard > 0 implies a shared shingle).
+  /** Exact n-gram Jaccard pairs above `threshold`: intersection sizes are
+    * counted directly off the shingle self-join (one wide shuffle with
+    * map-side combine), then set sizes join in from the per-doc set frame.
+    * Exact because jaccard > 0 requires a shared shingle.
     *
-    * Intersection sizes are counted directly off the shingle self-join —
-    * one wide shuffle — instead of materializing a candidate set and
-    * re-joining the shingle table twice (3 extra shuffles of the exploded
-    * data at 100 TB). */
+    * Scale note: a PPJoin-style prefix filter (join only each doc's
+    * |x|−⌈t·|x|⌉+1 rarest shingles) was measured here and LOST — with the
+    * near-uniform shingle frequencies of this corpus it kept ~40% of
+    * postings, so candidate-distinct + verify cost more than counting all
+    * intersections in one aggregation. On Zipfian corpora where
+    * stop-shingles make the self-join quadratic, the prefix variant is the
+    * right plan; the direct count is the better default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sets = TextOps.shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col(idCol), col("n_shingles"))
     inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))

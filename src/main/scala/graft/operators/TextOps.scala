@@ -75,31 +75,52 @@ object TextOps {
     * document, so the operator scales with corpus bytes, not with a
     * (doc_id-skewed) token shuffle. Requires `idCol` to be unique per row
     * (true for any keyed document table). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    require(n >= 1)
-    val toks = col("__toks")
-    val shingleArr = transform(
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+
+  /** The sliding word-n-gram array over a tokens column (empty when fewer
+    * than n tokens). */
+  private def shingleArray(toks: Column, n: Int): Column = {
+    val arr = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        explode(array_distinct(
-          when(size(toks) >= n, shingleArr)
-            .otherwise(array().cast("array<string>")))).as("shingle"))
+    when(size(toks) >= n, arr).otherwise(array().cast("array<string>"))
+  }
+
+  /** One row per document with its distinct shingle set and its size —
+    * the set form dedup verification joins on (one `array_intersect` per
+    * candidate pair instead of re-exploding posting lists).
+    *
+    * Hash-repartitions by `idCol` before the (interpreted-HOF-heavy)
+    * shingle assembly: it spreads per-document work across all cores even
+    * when the input is a single parquet file, and the resulting
+    * hashpartitioning(id) already satisfies every downstream per-doc
+    * distribution (minhash `groupBy(id)`, prefix windows, verification
+    * joins on id) — so the one shuffle here replaces several later ones. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1)
+    df.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(shingleArray(col("__toks"), n)).as("shingles"))
+      .select(col(idCol), col("shingles"), size(col("shingles")).as("n_shingles"))
   }
 
   /** Rolling-hash-style document fingerprint: minimum md5 over the word
     * 3-gram shingles (md5 of the whole text for very short docs). Equal
-    * fingerprints ⇒ near-identical leading content. */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = shingles(df, idCol, textCol, 3)
-      .groupBy(col(idCol))
-      .agg(min(md5(col("shingle"))).as("fingerprint"))
-    df.select(col(idCol), md5(lower(col(textCol))).as("whole_doc_md5"))
-      .join(fp, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("fingerprint"), col("whole_doc_md5")).as("fingerprint"))
-  }
+    * fingerprints ⇒ near-identical leading content.
+    *
+    * Entirely per-row (`array_min` over the hashed shingle array): no
+    * explode, no groupBy, no join — a pure map over the corpus. min is
+    * duplicate-insensitive, so the distinct pass is skipped too. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(lower(col(textCol))).as("__whole"),
+        tokens(col(textCol)).as("__toks")) // bound once; inlining it would re-tokenize per element
+      .select(
+        col(idCol),
+        coalesce(
+          array_min(transform(shingleArray(col("__toks"), 3), s => md5(s))),
+          col("__whole")).as("fingerprint"))
 
   /** Occurrence count of a small word set inside an already-tokenized
     * array — lets one regex tokenization feed every downstream count. */
