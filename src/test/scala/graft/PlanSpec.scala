@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract of the engine.
+  *
+  * These lock in the plans that make the operators viable at 100 TB:
+  * pruned scans, broadcast joins for small dimensions, a single window
+  * pass for co-spec'd indicators, and shuffle reuse in the dedup
+  * pipelines. A regression that, e.g., widens a scan or turns a broadcast
+  * into a sort-merge join fails here long before a benchmark would. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("combined indicator query runs ONE Window pass over one shuffle") {
+    val p = plan("q_indicators_combined")
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(p).size == 1 ||
+      p.split("\n").count(_.trim.startsWith("+- Window")) == 1,
+      s"expected exactly one Window operator:\n$p")
+    // one hash exchange for the window, one range exchange for the output sort
+    assert(p.split("hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("indicator scan prunes lineitem to the referenced columns only") {
+    val p = plan("q_sma")
+    val readSchema = "ReadSchema: ([^\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_extendedprice"),
+      s"scan should read only the referenced columns, got: $readSchema")
+  }
+
+  test("revenue query broadcasts the small dimension tables") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"small dims must not sort-merge join:\n$p")
+  }
+
+  test("filter on parquet scan is pushed down to the source") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter("l_quantity > 45.0").select("l_orderkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"expected pushed filters in scan:\n$p")
+  }
+
+  test("minhash signature aggregation reuses the shingleSets partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = operators.TextOps.shingleSets(docs, "doc_id", "text", 3)
+    val sh = sets.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shingles")).as("shingle"))
+    val sigs = operators.Dedup.minhashSignatures(sh, "doc_id", 8)
+    val p = sigs.queryExecution.executedPlan.toString
+    // the only exchange is the explicit repartition(doc_id); groupBy(doc_id)
+    // is satisfied by it, so no second shuffle appears
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected a single hash exchange (the repartition):\n$p")
+  }
+
+  test("window indicator expressions stay inside one WholeStageCodegen-adjacent pipeline") {
+    // the plan shape around Window: scan -> exchange -> sort -> window; no
+    // extra project-induced exchanges
+    val p = plan("q_ema")
+    assert(p.split("Exchange").length - 1 == 2, // window hash + output range
+      s"expected exactly two exchanges (window + output sort):\n$p")
+  }
+}
