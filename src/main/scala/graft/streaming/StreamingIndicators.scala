@@ -3,7 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders => SparkEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One market tick (reference `src/streaming.rs:14-22`). */
 final case class MarketTick(
@@ -146,6 +148,20 @@ object StreamingPipeline {
       }
   }
 
+  /** The same per-symbol engine on the Spark 4.x `transformWithState` API
+    * (state-v2): `ValueState` in the RocksDB state store instead of the
+    * GroupState blob. Identical semantics to [[indicators]] — both call
+    * [[StreamingIndicators.update]] in full-precision timestamp order.
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` when run as a stream. */
+  def indicatorsTws(ticks: Dataset[MarketTick], windowSize: Int): Dataset[StreamingIndicatorValues] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .transformWithState(new IndicatorProcessor(windowSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Threshold detection (reference `streaming.rs:177-256`) as one column
     * expression pass: each rule builds a struct-or-null, then explodes the
     * non-null ones. Works identically on a static or streaming frame. */
@@ -187,6 +203,33 @@ object StreamingPipeline {
         col("sig.strength").as("strength"),
         col("price"),
         col("sig.description").as("description"))
+  }
+
+  /** state-v2 processor backing [[indicatorsTws]]: one `ValueState` per
+    * symbol holding the bounded [[IndicatorState]]. */
+  private[streaming] class IndicatorProcessor(windowSize: Int)
+      extends StatefulProcessor[String, MarketTick, StreamingIndicatorValues] {
+    @transient private var state: ValueState[IndicatorState] = _
+    @transient private var engine: StreamingIndicators = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[IndicatorState](
+        "indicators", SparkEncoders.product[IndicatorState], TTLConfig.NONE)
+      engine = new StreamingIndicators(windowSize)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[MarketTick],
+                                 timerValues: TimerValues): Iterator[StreamingIndicatorValues] = {
+      var st = if (state.exists()) state.get() else IndicatorState.empty
+      val out = rows.toSeq
+        .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos)).map { tick =>
+          val (next, values) = engine.update(st, tick)
+          st = next
+          values
+        }
+      state.update(st)
+      out.iterator
+    }
   }
 
   /** End-to-end stream: ticks → indicators → signals, delivered to a

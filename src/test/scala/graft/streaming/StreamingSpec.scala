@@ -84,6 +84,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState variant matches flatMapGroupsWithState output") {
+    implicit val sqlCtx = spark.sqlContext
+    // state-v2 requires the RocksDB provider (multiple column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[MarketTick]
+    val query = StreamingPipeline.indicatorsTws(input.toDS(), windowSize = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ckpt").toString)
+      .format("memory").queryName("indicators_tws_out")
+      .start()
+    try {
+      input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0),
+        tick("MSFT", 0, 300.0))
+      query.processAllAvailable()
+      input.addData(tick("AAPL", 2, 152.0), tick("MSFT", 1, 301.0))
+      query.processAllAvailable()
+
+      val out = spark.table("indicators_tws_out").as[StreamingIndicatorValues]
+        .collect().sortBy(v => (v.symbol, v.timestamp.getTime))
+      // identical expectations to the flatMapGroupsWithState test: same
+      // engine, same state carry-over across micro-batches
+      val engine = new StreamingIndicators(3)
+      var st = IndicatorState.empty
+      val expected = Seq(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0),
+        tick("AAPL", 2, 152.0)).map { t =>
+        val (n, v) = engine.update(st, t); st = n; v
+      }
+      assert(out.filter(_.symbol == "AAPL").toSeq === expected)
+      assert(out.count(_.symbol == "MSFT") === 2)
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.sql("DROP TABLE IF EXISTS indicators_tws_out")
+    }
+  }
+
   test("process(): signals reach the foreachBatch callback") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketTick]

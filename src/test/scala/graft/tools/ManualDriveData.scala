@@ -94,6 +94,22 @@ object ManualDriveData {
     query.stop()
     val types = collected.map(_.getString(0)).distinct.sorted
     println("STREAM_SIGNALS=" + collected.size + " types=" + types.mkString(","))
+
+    // --- transformWithState variant: same ticks, RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem2 = MemoryStream[MarketTick]
+    val q2 = StreamingPipeline.indicatorsTws(mem2.toDS(), windowSize = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("tws_drive").toString)
+      .format("memory").queryName("tws_drive_out").start()
+    mem2.addData((1 to 8).map(i => tick("BTC", i, 100.0 - 3 * i, 100L)): _*)
+    q2.processAllAvailable()
+    mem2.addData(tick("BTC", 9, 76.0, 1000L))
+    q2.processAllAvailable()
+    q2.stop()
+    val twsRows = spark.table("tws_drive_out").count()
+    println("TWS_ROWS=" + twsRows)
     spark.stop()
     println("DONE")
   }
