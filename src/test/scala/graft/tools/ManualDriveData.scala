@@ -110,6 +110,18 @@ object ManualDriveData {
     q2.stop()
     val twsRows = spark.table("tws_drive_out").count()
     println("TWS_ROWS=" + twsRows)
+
+    // --- skew utilities over real lineitem data (l_suppkey ~ join key)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val direct = li.join(supp, li("l_suppkey") === supp("s_suppkey")).count()
+    val salted = graft.operators.Skew.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "k"),
+      supp.withColumnRenamed("s_suppkey", "k"), Seq("k"), "l_orderkey").count()
+    println(s"SKEW_JOIN direct=$direct salted=$salted equal=${direct == salted}")
+    val agg = graft.operators.Skew.twoStageAgg(
+      li, Seq("l_returnflag"), "l_orderkey", Seq("l_quantity" -> "sum"))
+    agg.show(3, false)
     spark.stop()
     println("DONE")
   }
