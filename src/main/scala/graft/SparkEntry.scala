@@ -249,6 +249,14 @@ object SparkEntry {
       operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_token_count" -> ((s, d) => {
+      load(s, d)
+      s.table("documents").select(
+        col("doc_id"),
+        operators.TextOps.tokenCount(col("text")).as("ws_tokens"),
+        operators.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_doc_fingerprint" -> ((s, d) => {
       load(s, d)
       operators.TextOps.fingerprints(s.table("documents"), "doc_id", "text")
@@ -404,6 +412,11 @@ object SparkEntry {
          |  $langScores AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${operators.TextOps.BpeSplitRe}')) AS INT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       s"""WITH $duckShingles,
          |fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)

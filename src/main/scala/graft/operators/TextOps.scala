@@ -21,6 +21,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, simplified to constructs whose
+    * match semantics agree between Java regex and RE2-family engines
+    * (letter runs, digit runs, punctuation runs, whitespace runs — each
+    * with an optional leading space). Kept in sync with the DuckDB oracle. */
+  val BpeSplitRe: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** Approximate BPE token count: number of pre-tokenizer segments. Real
+    * subword vocabularies split each segment further, so this lower-bounds
+    * the true BPE count while tracking it closely on natural text. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeSplitRe), lit(0)))
+
   /** Characters that are neither alphanumeric nor blank, after lowering —
     * a cheap punctuation/noise measure. */
   def punctCount(text: Column): Column =
