@@ -561,13 +561,16 @@ object SparkEntry {
          |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
          |FROM red ORDER BY symbol, ts_us""".stripMargin,
     "q_media_frames" ->
+      // byte-exact frame slicing: DuckDB 1.0 has no BLOB substr, so slice
+      // the hex encoding (2 chars per byte) — equivalent to Spark's
+      // substring on the binary payload even for multi-byte UTF-8 text
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS content_md5,
         |  array_to_string(list_transform(generate_series(0, 3), f ->
-        |    lower(hex(encode(substr(text,
-        |      CAST(floor(f * greatest(octet_length(encode(text)) - 16, 1) / 4.0 + 1) AS INT),
-        |      16))))), ',') AS frames_joined
+        |    substr(lower(hex(encode(text))),
+        |      CAST(floor(f * greatest(octet_length(encode(text)) - 16, 1) / 4.0 + 1) AS INT) * 2 - 1,
+        |      32)), ',') AS frames_joined
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -24,7 +24,7 @@ object FinancialFunctions {
     exprs
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "sma" -> (e => { val a = arity("sma", 2)(e); Sma(a(0), a(1)) }),
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
@@ -54,22 +54,22 @@ object FinancialFunctions {
 /** Session-extension variant: lets users opt in via
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * so the functions exist in every session without an explicit
-  * `registerAll` call. */
+  * `registerAll` call. Shares the arity-validated builders with
+  * [[FinancialFunctions.registerAll]], so both paths register the same
+  * function set with the same error behavior. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private val usages = Map(
+    "sma" -> "sma(value, n) - trailing simple moving average over a window",
+    "ema" -> "ema(value, n) - exponential moving average over a window",
+    "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
+    "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
+    "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions", name, usage)
-    ext.injectFunction((FunctionIdentifier("sma"),
-      info("sma", "sma(value, n) - trailing simple moving average over a window"),
-      e => Sma(e(0), e(1))))
-    ext.injectFunction((FunctionIdentifier("ema"),
-      info("ema", "ema(value, n) - exponential moving average over a window"),
-      e => Ema(e(0), e(1))))
-    ext.injectFunction((FunctionIdentifier("rsi"),
-      info("rsi", "rsi(value, n) - Wilder relative strength index over a window"),
-      e => Rsi(e(0), e(1))))
-    ext.injectFunction((FunctionIdentifier("macd"),
-      info("macd", "macd(value) - MACD line (EMA12 - EMA26) over a window"),
-      e => Macd(e(0))))
+    FinancialFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usages(name)),
+        builder))
+    }
   }
 }

@@ -58,7 +58,7 @@ object Dedup {
     * `rowsPerBand` minhashes concatenate into one bucket key; the bands
     * array explodes to (id, band, sig) rows. */
   def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
-    val k = sigs.columns.count(_.startsWith("mh"))
+    val k = sigs.columns.count(_.matches("mh\\d+")) // not startsWith: idCol may be named mh*
     require(k > 0 && k % rowsPerBand == 0)
     val bandStructs = (0 until k / rowsPerBand).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -100,7 +100,10 @@ object Dedup {
                       k: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     // persisted: consumed by signature generation AND both verify branches —
-    // without it each consumer re-runs the tokenize+shingle chain
+    // without it each consumer re-runs the tokenize+shingle chain. The cache
+    // lives until the caller drops it (spark.catalog.clearCache() or
+    // unpersist on a retained reference) — lazy results cannot unpersist
+    // before their own action runs.
     val sets = TextOps.shingleSets(df, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))

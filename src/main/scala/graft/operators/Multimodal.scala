@@ -37,7 +37,9 @@ object Multimodal {
     val frames = sequence(lit(0), lit(nFrames - 1))
     df.withColumn("frames",
       transform(frames, f => {
-        val start = (f * greatest(n - frameLen, lit(1)) / lit(nFrames)) + 1
+        // long arithmetic: f * (n_bytes - frameLen) overflows Int once the
+        // payload passes ~Int.MaxValue/nFrames bytes (video-sized blobs)
+        val start = (f.cast("long") * greatest(n.cast("long") - frameLen, lit(1L)) / lit(nFrames)) + 1
         lower(hex(substring(col("media"), start.cast("int"), lit(frameLen))))
       }))
   }

@@ -13,15 +13,22 @@ import graft.functions.FinancialFunctions
   */
 object Signals {
 
+  /** RSI thresholds shared by the batch scans and the streaming rules
+    * (reference `signals.rs:69-87`, `streaming.rs:191-212`). */
+  val RsiOversold = 30.0
+  val RsiOverbought = 70.0
+
   /** RSI thresholds scan (reference `signals.rs:32-93`):
     * BUY below 30 with confidence (30−rsi)/30, SELL above 70 with
     * confidence (rsi−70)/30. */
   def detectRsiSignals(df: DataFrame, tickerCol: String, orderCols: Seq[String],
                        closeCol: String, window: Int = 14): DataFrame = {
+    FinancialFunctions.registerAll(df.sparkSession) // idempotent; the rsi call resolves via the registry
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
     df.withColumn("rsi", FinancialFunctions.rsi(col(closeCol), window).over(w))
-      .filter(col("rsi").isNotNull && (col("rsi") < 30.0 || col("rsi") > 70.0))
+      .filter(col("rsi").isNotNull &&
+        (col("rsi") < RsiOversold || col("rsi") > RsiOverbought))
       .select(
         (col(tickerCol).as("symbol") +: orderCols.map(col)) ++ Seq(
           col(closeCol).as("price"), col("rsi"),
@@ -31,11 +38,11 @@ object Signals {
 
   /** Internal: threshold expressions shared by batch + streaming paths. */
   private[operators] def rsiSignalType(rsi: Column): Column =
-    when(rsi < 30.0, lit("BUY")).when(rsi > 70.0, lit("SELL"))
+    when(rsi < RsiOversold, lit("BUY")).when(rsi > RsiOverbought, lit("SELL"))
 
   private[operators] def rsiConfidence(rsi: Column): Column =
-    when(rsi < 30.0, (lit(30.0) - rsi) / lit(30.0))
-      .when(rsi > 70.0, (rsi - lit(70.0)) / lit(30.0))
+    when(rsi < RsiOversold, (lit(RsiOversold) - rsi) / lit(RsiOversold))
+      .when(rsi > RsiOverbought, (rsi - lit(RsiOverbought)) / lit(RsiOversold))
 
   /** MA-crossover scan (reference `signals.rs:96-169`): crossover rows are
     * where the SMA-short/SMA-long relation flips vs the previous row; BUY
@@ -43,6 +50,7 @@ object Signals {
   def detectMaCrossoverSignals(df: DataFrame, tickerCol: String,
                                orderCols: Seq[String], closeCol: String,
                                shortWindow: Int = 20, longWindow: Int = 50): DataFrame = {
+    FinancialFunctions.registerAll(df.sparkSession) // idempotent; the sma calls resolve via the registry
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
     // nested LAG(sma(...)) needs two passes (SURVEY §7.4 hard part 5)

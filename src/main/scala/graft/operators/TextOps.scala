@@ -53,9 +53,13 @@ object TextOps {
 
   /** n-gram-heuristic language ID: score each profile by stopword hits and
     * take the first maximal score (fixed tie-break order — deterministic). */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
+
+  /** langId over an already-bound token array (the single source of the
+    * tie-break fold — [[textStats]] shares one tokenization through it). */
+  def langIdFromToks(toks: Column): Column = {
     val scores = LangProfiles.map { case (lang, words) =>
-      lang -> stopwordCount(text, words)
+      lang -> stopCountArr(toks, words)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -67,11 +71,16 @@ object TextOps {
     * length saturation × (1 − punctuation ratio) × stopword presence boost.
     * Deterministic double arithmetic — the DuckDB oracle mirrors the exact
     * expression tree. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreFromToks(text, tokens(text))
+
+  /** qualityScore over an already-bound token array (single source of the
+    * formula; shared by [[textStats]]). */
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val punct = punctCount(text).cast("double")
-    val stop = stopwordCount(text, LangProfiles.head._2).cast("double")
+    val stop = stopCountArr(toks, LangProfiles.head._2).cast("double")
     val lenScore = least(lit(1.0), nTok / lit(100.0))
     val punctRatio = when(nChar > 0, punct / nChar).otherwise(lit(0.0))
     val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
@@ -150,26 +159,13 @@ object TextOps {
     val pre = df.select(col(idCol), col(textCol).as("__t"), tokens(col(textCol)).as("__toks"))
     val t = col("__t")
     val toks = col("__toks")
-    val nTokI = size(toks)
-    val nTok = nTokI.cast("double")
-    val nChar = length(t).cast("double")
-    val punct = punctCount(t)
-    val stopEn = stopCountArr(toks, LangProfiles.head._2)
-    val lenScore = least(lit(1.0), nTok / lit(100.0))
-    val punctRatio = when(nChar > 0, punct.cast("double") / nChar).otherwise(lit(0.0))
-    val stopRatio = when(nTok > 0, stopEn.cast("double") / nTok).otherwise(lit(0.0))
-    val scores = LangProfiles.map { case (lang, words) => lang -> stopCountArr(toks, words) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val lang = scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
-      when(sc === best && best > 0, lit(l)).otherwise(acc)
-    }
     pre.select(
       col(idCol),
       length(t).as("n_chars"),
-      nTokI.as("n_tokens"),
-      punct.as("n_punct"),
-      stopEn.as("n_stopwords"),
-      (lenScore * (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)).as("quality_score"),
-      lang.as("lang_pred"))
+      size(toks).as("n_tokens"),
+      punctCount(t).as("n_punct"),
+      stopCountArr(toks, LangProfiles.head._2).as("n_stopwords"),
+      qualityScoreFromToks(t, toks).as("quality_score"),
+      langIdFromToks(toks).as("lang_pred"))
   }
 }

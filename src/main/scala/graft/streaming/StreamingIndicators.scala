@@ -120,10 +120,14 @@ class StreamingIndicators(windowSize: Int) extends Serializable {
   * flatMapGroupsWithState; signal detection as column expressions; sinks
   * via foreachBatch replace the reference's callback registry.
   *
-  * Scale: state is per-symbol and bounded (O(window)); symbols hash across
-  * executors; no global coordination. Ticks within a micro-batch are
-  * processed in event-time order per symbol (the reference relies on
-  * arrival order — a single-process luxury). */
+  * Scale: persisted state is per-symbol and bounded (O(window)); symbols
+  * hash across executors; no global coordination. Ticks within a micro-batch
+  * are processed in event-time order per symbol (the reference relies on
+  * arrival order — a single-process luxury), which requires buffering one
+  * (symbol, micro-batch) group in memory for the sort — bounded by trigger
+  * interval in streaming mode; in batch mode a symbol's whole history is one
+  * group, so batch replays of unbounded histories should be windowed by the
+  * caller. */
 object StreamingPipeline {
 
   def indicators(ticks: Dataset[MarketTick], windowSize: Int): Dataset[StreamingIndicatorValues] = {
@@ -176,12 +180,14 @@ object StreamingPipeline {
 
     val rsi = col("rsi"); val vr = col("volumeRatio")
     val sma = col("sma"); val ema = col("ema")
+    val lo = graft.operators.Signals.RsiOversold
+    val hi = graft.operators.Signals.RsiOverbought
     val rules = array(
-      signal(rsi.isNotNull && rsi < 30.0, "Oversold",
-        (lit(30.0) - rsi) / 30.0,
+      signal(rsi.isNotNull && rsi < lo, "Oversold",
+        (lit(lo) - rsi) / lo,
         concat(lit("RSI oversold at "), round(rsi, 2).cast("string"))),
-      signal(rsi.isNotNull && rsi > 70.0, "Overbought",
-        (rsi - lit(70.0)) / 30.0,
+      signal(rsi.isNotNull && rsi > hi, "Overbought",
+        (rsi - lit(hi)) / lo,
         concat(lit("RSI overbought at "), round(rsi, 2).cast("string"))),
       signal(vr.isNotNull && vr > 2.0, "VolumeSpike",
         (vr - lit(2.0)) / 3.0,

@@ -108,4 +108,19 @@ class OperatorsSpec extends AnyFunSuite {
       f.length === 16 && math.abs(f.sum - 1.0) < 1e-9
     })
   }
+
+  test("multimodal: frame sampling slices BYTES, not characters (multi-byte UTF-8)") {
+    import spark.implicits._
+    val text = "café züriçh — " * 10 // multi-byte UTF-8 throughout
+    val doc = Seq((1L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSamples(Multimodal.withMedia(doc, "doc_id", "text"))
+      .select("frames").head().getSeq[String](0)
+    // expected: byte-offset slices of the UTF-8 encoding (frameLen=16, nFrames=4)
+    val bytes = text.getBytes("UTF-8")
+    val expected = (0 until 4).map { f =>
+      val start = (f.toLong * math.max(bytes.length - 16, 1) / 4.0 + 1).toInt
+      bytes.slice(start - 1, start - 1 + 16).map("%02x".format(_)).mkString
+    }
+    assert(frames === expected)
+  }
 }
