@@ -70,6 +70,19 @@ class PolygonClientSpec extends AnyFunSuite {
     assert(client.discoverDataTypes("global_crypto") === Seq("day_aggs_v1"))
   }
 
+  test("gzip-compressed CSV decompresses by extension (the S3 flat-file format)") {
+    val gzDir = java.nio.file.Files.createTempDirectory("polygon_gz")
+    val gzPath = gzDir.resolve("2023-01-15.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gzPath))
+    out.write(("ticker,date,open,high,low,close,volume,vwap,transactions\n" +
+      "X:BTCUSD,2023-01-15,16500.0,16600.0,16400.0,16550.0,1200,16520.0,300\n").getBytes)
+    out.close()
+    val df = client.loadCsv(gzPath.toString, Polygon.dayAggsSchema, Some("X:BTCUSD"))
+    val row = df.head()
+    assert(df.count() === 1 && row.getAs[Double]("close") === 16550.0)
+  }
+
   test("missing file / prefix behaves gracefully") {
     assert(client.listAvailableFiles("nonexistent") === Seq.empty)
     intercept[Exception] {
