@@ -249,6 +249,24 @@ object SparkEntry {
       operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_curation" -> ((s, d) => {
+      // end-to-end curation: quality/language filter -> exact dedup -> kept
+      // docs with their stats. The composite a training-data pipeline runs.
+      load(s, d)
+      import org.apache.spark.sql.functions.{md5 => md5f, min => minf}
+      val docs = s.table("documents")
+      val stats = operators.TextOps.textStats(docs, "doc_id", "text")
+      val filtered = docs.join(stats, "doc_id")
+        .filter(col("lang_pred") === "en" &&
+          col("quality_score") >= 0.2 && col("n_tokens") >= 10)
+      val kept = filtered.groupBy(md5f(col("text")).as("text_md5"))
+        .agg(minf(col("doc_id")).as("keep_id"))
+      kept.join(
+          stats.select(col("doc_id").as("keep_id"), col("n_tokens"), col("quality_score")),
+          "keep_id")
+        .select("keep_id", "text_md5", "n_tokens", "quality_score")
+        .orderBy("keep_id")
+    }),
     "q_token_count" -> ((s, d) => {
       load(s, d)
       s.table("documents").select(
@@ -395,23 +413,43 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     duckCos.replace("{A}", a).replace("{B}", b)
 
+  /** The text-stats SELECT body (no ORDER BY) — shared by q_text_stats and
+    * the curation-pipeline oracle. */
+  private def duckTextStatsSql: String = {
+    val nTok = "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT)"
+    val punct = "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS INT)"
+    val stopEn = s"CAST(${duckStopCount(duckStopwordsEn)} AS INT)"
+    val langScores = TextOps_LangProfilesSql
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS n_chars,
+       |  $nTok AS n_tokens,
+       |  $punct AS n_punct,
+       |  $stopEn AS n_stopwords,
+       |  least(1.0::DOUBLE, CAST($nTok AS DOUBLE) / 100.0::DOUBLE)
+       |    * (1.0::DOUBLE - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0 THEN CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0::DOUBLE END)
+       |    * (0.5::DOUBLE + 0.5::DOUBLE * CASE WHEN CAST($nTok AS DOUBLE) > 0.0 THEN CAST($stopEn AS DOUBLE) / CAST($nTok AS DOUBLE) ELSE 0.0::DOUBLE END) AS quality_score,
+       |  $langScores AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
   private def llmOracles: Map[String, String] = Map(
-    "q_text_stats" -> {
-      val nTok = "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT)"
-      val punct = "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS INT)"
-      val stopEn = s"CAST(${duckStopCount(duckStopwordsEn)} AS INT)"
-      val langScores = TextOps_LangProfilesSql
-      s"""SELECT doc_id,
-         |  CAST(length(text) AS INT) AS n_chars,
-         |  $nTok AS n_tokens,
-         |  $punct AS n_punct,
-         |  $stopEn AS n_stopwords,
-         |  least(1.0::DOUBLE, CAST($nTok AS DOUBLE) / 100.0::DOUBLE)
-         |    * (1.0::DOUBLE - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0 THEN CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0::DOUBLE END)
-         |    * (0.5::DOUBLE + 0.5::DOUBLE * CASE WHEN CAST($nTok AS DOUBLE) > 0.0 THEN CAST($stopEn AS DOUBLE) / CAST($nTok AS DOUBLE) ELSE 0.0::DOUBLE END) AS quality_score,
-         |  $langScores AS lang_pred
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
+    "q_curation" ->
+      s"""WITH stats AS (
+         |$duckTextStatsSql
+         |),
+         |filtered AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+         |  WHERE s.lang_pred = 'en' AND s.quality_score >= 0.2 AND s.n_tokens >= 10
+         |),
+         |kept AS (
+         |  SELECT md5(text) AS text_md5, min(doc_id) AS keep_id
+         |  FROM filtered GROUP BY md5(text)
+         |)
+         |SELECT k.keep_id, k.text_md5, s.n_tokens, s.quality_score
+         |FROM kept k JOIN stats s ON s.doc_id = k.keep_id
+         |ORDER BY k.keep_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT) AS ws_tokens,
