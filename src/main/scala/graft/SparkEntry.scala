@@ -125,6 +125,18 @@ object SparkEntry {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ---- A9: batch RSI signal scan (signals.rs:32-93) ---------------------
+    "q_indicators_nulls" -> ((s, d) => q(s, d,
+      // the null contract (SURVEY par-7.1): NULL input emits NULL and leaves
+      // state frozen; SMA averages the last n NON-NULL values; EMA/MACD seed
+      // on the first non-null. nullif plants deterministic nulls.
+      s"""SELECT l_orderkey, l_linenumber,
+         |  sma(xn, 4) OVER w AS sma_n,
+         |  ema(xn, 5) OVER w AS ema_n,
+         |  rsi(xn, 5) OVER w AS rsi_n,
+         |  macd(xn)   OVER w AS macd_n
+         |FROM (SELECT *, nullif(l_quantity, 17.0) AS xn FROM lineitem)
+         |WINDOW w AS ($W)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
     "q_rsi_signals" -> ((s, d) => q(s, d,
       s"""WITH r AS (
          |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice AS price,
@@ -690,6 +702,36 @@ object SparkEntry {
          |  ${rsiEval("s", 14)} AS rsi_14, macd
          |FROM red
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_indicators_nulls" -> {
+      // Frozen-on-NULL state == the same fold over the null-FILTERED
+      // subsequence, so the oracle filters first and reuses the exact fold
+      // shapes already proven at full scale by q_ema/q_rsi. (A null-aware
+      // lambda with extra CASE branches hit a DuckDB 1.0 list_reduce
+      // mis-evaluation that appeared only on full-size vectors.)
+      def emaF(alpha: String) =
+        s"CASE WHEN len(nn) > 0 THEN list_reduce(nn, (acc, x) -> ($alpha)*x + (1.0::DOUBLE - ($alpha))*acc) END"
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber, nullif(l_quantity, 17.0) AS xn,
+         |    list_filter(list(nullif(l_quantity, 17.0)) OVER w, v -> v IS NOT NULL) AS nn
+         |  FROM lineitem
+         |  WINDOW w AS $duckW
+         |), red AS (
+         |  SELECT l_orderkey, l_linenumber, xn, len(nn) AS n_nn,
+         |    ${emaF("2.0::DOUBLE/6.0::DOUBLE")} AS ema_s,
+         |    ${emaF("2.0::DOUBLE/13.0::DOUBLE")} AS m12,
+         |    ${emaF("2.0::DOUBLE/27.0::DOUBLE")} AS m26,
+         |    CASE WHEN len(nn) >= 4
+         |      THEN list_reduce(nn[len(nn)-3:], (a, b) -> a + b) / 4.0::DOUBLE END AS sma_s,
+         |    CASE WHEN len(nn) > 0 THEN ${rsiFold("list_transform(nn, v -> struct_pack(p := v, g := 0.0::DOUBLE, l := 0.0::DOUBLE, c := 0.0::DOUBLE))", 5)} END AS s
+         |  FROM src
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN xn IS NULL THEN NULL ELSE sma_s END AS sma_n,
+         |  CASE WHEN xn IS NULL THEN NULL ELSE ema_s END AS ema_n,
+         |  CASE WHEN xn IS NULL OR s IS NULL THEN NULL ELSE ${rsiEval("s", 5)} END AS rsi_n,
+         |  CASE WHEN xn IS NULL OR m12 IS NULL THEN NULL ELSE m12 - m26 END AS macd_n
+         |FROM red ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_rsi_signals" ->
       s"""WITH r AS (
          |${duckRsiSql("lineitem", "l_extendedprice", 5,
