@@ -303,6 +303,11 @@ object SparkEntry {
           k = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_components" -> ((s, d) => {
+      load(s, d)
+      val pairs = operators.Dedup.minhashNearDups(s.table("documents"), "doc_id", "text")
+      operators.Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => {
       load(s, d)
       operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
@@ -414,6 +419,35 @@ object SparkEntry {
       |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
       |ORDER BY i.id_a, i.id_b""".stripMargin
 
+  /** The minhash CTE chain through candidate pairs (shared by the near-dup
+    * and connected-components oracles). */
+  private def duckMinhashCtes: String = {
+    val coeffs = operators.Dedup.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""$duckShingles,
+       |hm AS (
+       |  SELECT doc_id,
+       |    (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % ${operators.Dedup.MinhashP}) AS hm
+       |  FROM sh
+       |),
+       |coeffs(i, a, b) AS (VALUES $coeffs),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * hm + b) % ${operators.Dedup.MinhashP}) AS mh
+       |  FROM hm CROSS JOIN coeffs
+       |  GROUP BY doc_id, i
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, i // 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
   private val duckStopwordsEn = "['the','and','of','to','in','is','a']"
 
   private def duckStopCount(words: String): String =
@@ -476,33 +510,37 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q_dedup_minhash" -> {
-      val coeffs = operators.Dedup.minhashCoeffs(16).zipWithIndex
-        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")
-      s"""WITH $duckShingles,
-         |hm AS (
-         |  SELECT doc_id,
-         |    (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % ${operators.Dedup.MinhashP}) AS hm
-         |  FROM sh
+    "q_dedup_minhash" -> s"WITH $duckMinhashCtes,\n$duckJaccardTail",
+    "q_dedup_components" ->
+      // components of the minhash near-dup graph: min reachable id via a
+      // recursive closure (exact; graph is small after LSH+verify)
+      s"""WITH RECURSIVE $duckMinhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b
          |),
-         |coeffs(i, a, b) AS (VALUES $coeffs),
-         |mh AS (
-         |  SELECT doc_id, i, min((a * hm + b) % ${operators.Dedup.MinhashP}) AS mh
-         |  FROM hm CROSS JOIN coeffs
-         |  GROUP BY doc_id, i
+         |pairs AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.id_a
+         |  JOIN sizes nb ON nb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
          |),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS sig
-         |  FROM mh GROUP BY doc_id, i // 4
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |),
-         |$duckJaccardTail""".stripMargin
-    },
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.src, r.r FROM reach r JOIN edges e ON e.dst = r.id
+         |)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_simhash" -> (duckSimhashSql + "\nSELECT doc_id, simhash FROM fps ORDER BY doc_id"),
     "q_simhash_pairs" ->
       (duckSimhashSql +

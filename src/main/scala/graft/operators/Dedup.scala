@@ -143,6 +143,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * cluster-resolution step that turns pairs into dedup groups (keep
+    * `min(id)` per component). Iterative min-label propagation: each round
+    * every vertex adopts the minimum label among itself and its neighbors,
+    * converging in O(diameter) rounds. Near-dup graphs have tiny diameters,
+    * so a handful of joins; `localCheckpoint` truncates the growing lineage
+    * each round (the classic iterative-DataFrame trap). The driver-side
+    * loop only checks a converged count per round — data never leaves the
+    * executors.
+    *
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next"),
+          col("component"))
+        .localCheckpoint()
+      converged = updated.filter(col("next") < col("component")).isEmpty
+      labels = updated.select(col("id"), col("next").as("component"))
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 32-bit fingerprint = majority vote per bit over the md5-derived
     * 32-bit hashes of the document's distinct tokens.
     *

@@ -98,6 +98,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("connected components: chains collapse to min id, components stay separate") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp.size === 9)
+  }
+
   test("multimodal: media meta + frame samples + decode stub features") {
     val m = Multimodal.withMedia(docs, "doc_id", "text")
     val frames = Multimodal.frameSamples(m).select("doc_id", "frames").collect()
