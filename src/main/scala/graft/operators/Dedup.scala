@@ -180,6 +180,17 @@ object Dedup {
     labels
   }
 
+  /** Keep one representative per near-dup cluster: drops every doc whose
+    * component label differs from its own id (the representative is the
+    * minimum id). Docs not in any pair are untouched. One broadcast-able
+    * anti-join against the (small) non-representative set. */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+                          components: DataFrame): DataFrame = {
+    val drop = components.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 32-bit fingerprint = majority vote per bit over the md5-derived
     * 32-bit hashes of the document's distinct tokens.
     *

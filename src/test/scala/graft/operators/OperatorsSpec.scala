@@ -109,6 +109,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(comp(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
     assert(comp.size === 9)
+
+    val corpus = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentatives(corpus, "doc_id",
+      Dedup.connectedComponents(pairs)).select("doc_id").collect().map(_.getLong(0)).toSet
+    // representatives 1, 10, 20 stay; 2,3,4,11,21,22 dropped; untouched docs stay
+    assert(!kept.exists(Set(2L, 3L, 4L, 11L, 21L, 22L)))
+    assert(Set(1L, 10L, 20L, 5L, 15L, 25L).subsetOf(kept))
+    assert(kept.size === 25 - 6)
   }
 
   test("multimodal: media meta + frame samples + decode stub features") {
