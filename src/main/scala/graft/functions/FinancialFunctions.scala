@@ -73,3 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 }
+// NB: the SURVEY par-7.1.6 ORDER BY requirement needs no custom rule — Spark's
+// analyzer already rejects an unordered window for AggregateWindowFunctions
+// with a running frame ("requires window to be ordered"), on every
+// registration path. Probed end-to-end in tools/ExtensionsDrive.

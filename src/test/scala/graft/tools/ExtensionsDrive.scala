@@ -19,6 +19,10 @@ object ExtensionsDrive {
       "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0))
     try spark.sql("SELECT sma(1.0) OVER (ORDER BY 1)").collect()
     catch { case e: Exception => println("EXT_ARITY_ERR=" + e.getMessage.linesIterator.next()) }
+    try spark.sql("SELECT ema(x, 3) OVER () FROM VALUES (1.0) t(x)").collect()
+    catch { case e: Exception => println("EXT_UNORDERED_ERR=" + e.getMessage.linesIterator.next()) }
+    println("EXT_ORDERED_OK=" + spark.sql(
+      "SELECT ema(x, 3) OVER (ORDER BY x) FROM VALUES (1.0), (2.0) t(x)").count())
     spark.stop()
     println("DONE")
   }
