@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every operator must degrade to an empty result — not crash — on an empty
+  * corpus (the first thing that happens in production when a filter
+  * upstream matches nothing). */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private lazy val emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", LongType))))
+
+  test("text operators on an empty corpus") {
+    assert(TextOps.textStats(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.fingerprints(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextOps.shingleSets(emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashNearDups(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() === 0)
+    val noPairs = Dedup.connectedComponents(
+      Dedup.minhashNearDups(emptyDocs, "doc_id", "text"))
+    assert(noPairs.count() === 0)
+  }
+
+  test("similarity operators on an empty corpus") {
+    assert(Similarity.bruteForceKnn(emptyEmb, emptyEmb, k = 5).count() === 0)
+    assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5, signBits = 8).count() === 0)
+  }
+
+  test("validators on an empty table report zero rows and pass") {
+    val emptyMinute = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.sources.Polygon.minuteAggsSchema)
+    val rep = Validation.validateMinuteAggs(emptyMinute)
+    assert(rep.totalRows === 0 && rep.passed)
+  }
+}
