@@ -45,12 +45,14 @@ object Similarity {
 
   /** IVF-style clustered ANN: centroids are the per-cluster mean vectors
     * (rounded to 6 decimals for cross-engine determinism of the group-sum);
-    * each query probes only its nearest centroid's cluster. Recall < 1 by
-    * construction — this is the 1000-executor path where brute force is no
-    * longer an option. */
+    * each query probes only its `nprobe` nearest centroids' clusters —
+    * the standard IVF recall/cost dial (corpus fraction touched ≈
+    * nprobe/nlist). Recall < 1 by construction — this is the 1000-executor
+    * path where brute force is no longer an option. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", embCol: String = "embedding",
-             clusterCol: String = "label"): DataFrame = {
+             clusterCol: String = "label", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1)
     val dims = corpus.select(col(idCol), col(clusterCol).as("cl"),
         posexplode(col(embCol)).as(Seq("pos", "v")))
     val centroids = dims.groupBy(col("cl"), col("pos"))
@@ -62,7 +64,7 @@ object Similarity {
     val qc = q.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cl"))
-    val assigned = qc.withColumn("r", row_number().over(wq)).filter(col("r") === 1)
+    val assigned = qc.withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cl"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
       col(clusterCol).as("cl"))

@@ -89,6 +89,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSet === Set(3L))
   }
 
+  test("ivf knn with nprobe = nlist recovers the brute-force neighbor set") {
+    val q = vecs.filter($"vec_id" === 2)
+    val ivfAll = Similarity.ivfKnn(vecs, q, k = 3, nprobe = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    val bf = Similarity.bruteForceKnn(vecs, q, k = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(ivfAll.toSeq === bf.toSeq)
+    // nprobe=2 widens coverage beyond nprobe=1
+    val two = Similarity.ivfKnn(vecs, q, k = 3, nprobe = 2).collect()
+    assert(two.map(_.getAs[Int]("probed_cluster")).toSet.size === 2)
+  }
+
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
     val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
