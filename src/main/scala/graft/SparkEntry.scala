@@ -371,6 +371,26 @@ object SparkEntry {
           col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
         .orderBy(col("symbol"), col("ts_us"))
     }),
+    "q_stream_bars" -> ((s, d) => {
+      // event-time OHLCV bars (same operator the stream runs) in batch mode
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, lit, round => roundf, timestamp_micros, unix_micros}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val ticks = ev.select(
+        col("event_type").as("symbol"),
+        timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+        col("value").as("price"),
+        col("user_id").as("volume"),
+        lit(null).cast("double").as("bid"),
+        lit(null).cast("double").as("ask")).as[graft.streaming.MarketTick]
+      graft.streaming.StreamingPipeline.ohlcBars(ticks, "1 minute")
+        .select(col("ticker"), unix_micros(col("window_start")).as("ws_us"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"),
+          roundf(col("vwap"), 6).as("vwap_r"), col("transactions"))
+        .orderBy(col("ticker"), col("ws_us"))
+    }),
     "q_media_frames" -> ((s, d) => {
       load(s, d)
       import org.apache.spark.sql.functions.array_join
@@ -648,6 +668,20 @@ object SparkEntry {
          |  ${rsiEval("s", 5)} AS rsi, volume_sma,
          |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
          |FROM red ORDER BY symbol, ts_us""".stripMargin,
+    "q_stream_bars" ->
+      """SELECT event_type AS ticker,
+        |  epoch_us(time_bucket(INTERVAL 1 minute, ts)) AS ws_us,
+        |  min_by(value, ts) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max_by(value, ts) AS close,
+        |  CAST(sum(user_id) AS BIGINT) AS volume,
+        |  CASE WHEN sum(user_id) <> 0
+        |    THEN round(sum(value * user_id) / sum(user_id), 6) END AS vwap_r,
+        |  count(*) AS transactions
+        |FROM events
+        |GROUP BY event_type, time_bucket(INTERVAL 1 minute, ts)
+        |ORDER BY ticker, ws_us""".stripMargin,
     "q_media_frames" ->
       // byte-exact frame slicing: DuckDB 1.0 has no BLOB substr, so slice
       // the hex encoding (2 chars per byte) — equivalent to Spark's

@@ -166,6 +166,35 @@ object StreamingPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Event-time OHLCV bars from a tick stream: per-symbol tumbling windows
+    * with a watermark bounding state (ticks later than `watermark` behind
+    * the max seen event time are dropped; windows finalize and their state
+    * is evicted — without it, windowed state grows forever). `min_by` /
+    * `max_by` pin open/close to event time, so results are independent of
+    * arrival order. Works identically on a batch Dataset (no watermark
+    * applied there). The output shape matches the Polygon minute-aggs
+    * schema (A13), so bars feed straight into the batch indicator layer. */
+  def ohlcBars(ticks: Dataset[MarketTick], barWidth: String = "1 minute",
+               watermark: String = "2 minutes"): DataFrame = {
+    val base = if (ticks.isStreaming) ticks.toDF().withWatermark("timestamp", watermark)
+               else ticks.toDF()
+    base
+      .groupBy(col("symbol"), window(col("timestamp"), barWidth).as("bar"))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"),
+        // NULL vwap for zero-volume bars (ANSI divide-by-zero otherwise)
+        when(sum(col("volume")) =!= 0,
+          sum(col("price") * col("volume")) / sum(col("volume"))).as("vwap"),
+        count(lit(1)).as("transactions"))
+      .select(col("symbol").as("ticker"), col("bar.start").as("window_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("vwap"), col("transactions"))
+  }
+
   /** Threshold detection (reference `streaming.rs:177-256`) as one column
     * expression pass: each rule builds a struct-or-null, then explodes the
     * non-null ones. Works identically on a static or streaming frame. */

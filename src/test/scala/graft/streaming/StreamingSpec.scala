@@ -122,6 +122,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlcBars: event-time bars with watermark, arrival-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketTick]
+    val query = StreamingPipeline.ohlcBars(input.toDS(), "1 minute", "1 minute")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bars_out").start()
+    try {
+      val t0 = 1700000040000L // minute-aligned so all three ticks share one bar
+      def at(ms: Long, price: Double, vol: Long) =
+        MarketTick("BTC", new Timestamp(ms), price, vol, None, None)
+      // one bar's ticks delivered OUT of order: close (59s) before open (1s)
+      input.addData(at(t0 + 59000, 105.0, 10L), at(t0 + 1000, 100.0, 30L),
+        at(t0 + 30000, 95.0, 60L))
+      query.processAllAvailable()
+      val bars = spark.table("bars_out").collect()
+      assert(bars.length === 1)
+      val b = bars.head
+      assert(b.getAs[Double]("open") === 100.0)   // earliest event time
+      assert(b.getAs[Double]("close") === 105.0)  // latest event time
+      assert(b.getAs[Double]("high") === 105.0 && b.getAs[Double]("low") === 95.0)
+      assert(b.getAs[Long]("volume") === 100L)
+      assert(b.getAs[Double]("vwap") === (105.0 * 10 + 100.0 * 30 + 95.0 * 60) / 100.0)
+      assert(b.getAs[Long]("transactions") === 3L)
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS bars_out")
+    }
+  }
+
+  test("ohlcBars on a batch Dataset matches the streaming result shape") {
+    val ticks = Seq(
+      tick("AAPL", 0, 10.0, 5L), tick("AAPL", 30, 12.0, 5L), tick("AAPL", 61, 11.0, 5L))
+      .toDS()
+    val bars = StreamingPipeline.ohlcBars(ticks).orderBy("window_start").collect()
+    assert(bars.length === 2)
+    assert(bars(0).getAs[Double]("open") === 10.0 && bars(0).getAs[Double]("close") === 12.0)
+    assert(bars(1).getAs[Double]("open") === 11.0 && bars(1).getAs[Long]("transactions") === 1L)
+  }
+
   test("process(): signals reach the foreachBatch callback") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketTick]
