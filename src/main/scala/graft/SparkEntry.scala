@@ -371,6 +371,26 @@ object SparkEntry {
           col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
         .orderBy(col("symbol"), col("ts_us"))
     }),
+    "q_asof_join" -> ((s, d) => {
+      // as-of join: each event matched to its user's most recent order at
+      // or before the event time (the kdb-style primitive Spark lacks)
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, max => maxf, max_by, timestamp_micros, unix_micros}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").select(
+        col("event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        col("user_id"))
+      // right side unique per (key, time): latest order per (custkey, date)
+      val ord = s.table("orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("odate"))
+        .agg(maxf(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      operators.AsofJoin.asofJoin(ev, ord, "user_id", "o_custkey", "ets", "odate")
+        .select(col("event_id"), unix_micros(col("ets")).as("ts_us"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
     "q_stream_bars" -> ((s, d) => {
       // event-time OHLCV bars (same operator the stream runs) in batch mode
       load(s, d)
@@ -668,6 +688,18 @@ object SparkEntry {
          |  ${rsiEval("s", 5)} AS rsi, volume_sma,
          |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
          |FROM red ORDER BY symbol, ts_us""".stripMargin,
+    "q_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q_stream_bars" ->
       """SELECT event_type AS ticker,
         |  epoch_us(time_bucket(INTERVAL 1 minute, ts)) AS ws_us,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for each left row, the single most recent right row with
+  * the same key and `rightTime <= leftTime` (the kdb/QuestDB/merge_asof
+  * time-series primitive; Spark has no built-in).
+  *
+  * Spark-first plan: tag and union both sides, then ONE window pass per key
+  * ordered by (time, side) carrying the last-seen right payload forward
+  * (`last(..., ignoreNulls)` over a running frame is O(1) per row), then
+  * keep the left rows. One shuffle on the key, sort within partitions —
+  * the same cost shape as any keyed window; no join fan-out at all. Ties
+  * (right.time == left.time) match inclusively, like DuckDB's ASOF JOIN.
+  *
+  * Requirements: left/right column names must be disjoint, and the right
+  * side must be unique per (key, time) — pre-aggregate it otherwise (ties
+  * among right rows would make "the" most recent row ill-defined).
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right column names must be disjoint, shared: $overlap")
+
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+
+    val l2 = left.select(
+      left(leftKey).as("__k"), left(leftTime).as("__t"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val r2 = right.select(
+      right(rightKey).as("__k"), right(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    // right (side 0) sorts before left (side 1) at equal time -> inclusive
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__m.$c").as(c))
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols ++ rightCols: _*)
+  }
+}
