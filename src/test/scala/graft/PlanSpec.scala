@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single hash exchange (the repartition):\n$p")
   }
 
+  test("as-of join is one keyed window pass, not a join") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("lk", "lt", "lv")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "rv")
+    val p = operators.AsofJoin.asofJoin(l, r, "lk", "rk", "lt", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected the carry-forward window:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one keyed exchange:\n$p")
+  }
+
   test("window indicator expressions stay inside one WholeStageCodegen-adjacent pipeline") {
     // the plan shape around Window: scan -> exchange -> sort -> window; no
     // extra project-induced exchanges
