@@ -371,6 +371,26 @@ object SparkEntry {
           col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
         .orderBy(col("symbol"), col("ts_us"))
     }),
+    "q_range_join" -> ((s, d) => {
+      // point-in-interval range join per supplier: how many same-supplier
+      // shipments were "in flight" ([ship_day, ship_day + quantity] days)
+      // when each item shipped
+      load(s, d)
+      import org.apache.spark.sql.functions.{count => countf, expr, lit => litf}
+      val li = s.table("lineitem").select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("unix_timestamp(l_shipdate) DIV 86400").as("ship_day"),
+        col("l_quantity").cast("long").as("qty"))
+      val points = li.select(col("l_suppkey").as("p_supp"), col("l_orderkey"),
+        col("l_linenumber"), col("ship_day").as("p_day"))
+      val intervals = li.select(col("l_suppkey").as("i_supp"),
+        col("ship_day").as("i_start"), (col("ship_day") + col("qty")).as("i_end"))
+      operators.RangeJoin.rangeJoin(points, intervals,
+          "p_supp", "i_supp", "p_day", "i_start", "i_end", bucketWidth = 64)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(countf(litf(1)).as("n_overlapping"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_asof_join" -> ((s, d) => {
       // as-of join: each event matched to its user's most recent order at
       // or before the event time (the kdb-style primitive Spark lacks)
@@ -688,6 +708,18 @@ object SparkEntry {
          |  ${rsiEval("s", 5)} AS rsi, volume_sma,
          |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
          |FROM red ORDER BY symbol, ts_us""".stripMargin,
+    "q_range_join" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS ship_day,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |)
+        |SELECT a.l_orderkey, a.l_linenumber, count(*) AS n_overlapping
+        |FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+        |  AND a.ship_day BETWEEN b.ship_day AND b.ship_day + b.qty
+        |GROUP BY a.l_orderkey, a.l_linenumber
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
     "q_asof_join" ->
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate,

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 10L, "p1"), (1L, 99L, "p2"), (2L, 10L, "p3"), (1L, 130L, "p4"))
+    .toDF("p_key", "p_t", "p_tag")
+
+  private lazy val intervals = Seq(
+    (1L, 5L, 15L, "i1"),     // contains p1
+    (1L, 10L, 10L, "i2"),    // degenerate, contains p1 (inclusive both ends)
+    (1L, 90L, 200L, "i3"),   // spans buckets; contains p2 and p4
+    (2L, 0L, 50L, "i4"))     // other key; contains p3 only
+    .toDF("i_key", "i_s", "i_e", "i_tag")
+
+  test("point-in-interval matches are exact, inclusive, keyed, duplicate-free") {
+    for (w <- Seq(1L, 7L, 64L, 1000L)) { // result must be bucket-width independent
+      val out = RangeJoin.rangeJoin(points, intervals, "p_key", "i_key", "p_t", "i_s", "i_e", w)
+        .select("p_tag", "i_tag").collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(out === Seq("p1" -> "i1", "p1" -> "i2", "p2" -> "i3", "p3" -> "i4", "p4" -> "i3").sorted,
+        s"bucketWidth=$w")
+    }
+  }
+
+  test("matches the naive non-equi join exactly") {
+    val naive = points.join(intervals,
+        $"p_key" === $"i_key" && $"p_t" >= $"i_s" && $"p_t" <= $"i_e")
+      .select("p_tag", "i_tag").collect().map(_.toSeq).toSet
+    val bucketed = RangeJoin.rangeJoin(points, intervals, "p_key", "i_key", "p_t", "i_s", "i_e", 16)
+      .select("p_tag", "i_tag").collect().map(_.toSeq).toSet
+    assert(bucketed === naive)
+  }
+}
