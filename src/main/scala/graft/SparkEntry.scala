@@ -385,8 +385,10 @@ object SparkEntry {
         col("l_linenumber"), col("ship_day").as("p_day"))
       val intervals = li.select(col("l_suppkey").as("i_supp"),
         col("ship_day").as("i_start"), (col("ship_day") + col("qty")).as("i_end"))
+      // bucketWidth ~ typical interval length (avg span 25 days): measured
+      // best at 16-32; wider buckets inflate candidate pairs per bucket
       operators.RangeJoin.rangeJoin(points, intervals,
-          "p_supp", "i_supp", "p_day", "i_start", "i_end", bucketWidth = 64)
+          "p_supp", "i_supp", "p_day", "i_start", "i_end", bucketWidth = 32)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(countf(litf(1)).as("n_overlapping"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
