@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Size-sweep bench mirroring the reference's criterion harness
+  * (`/root/reference/benches/financial_functions.rs:59-112`): each indicator
+  * over a SINGLE price series of 1k/10k/100k rows, window
+  * `OVER (ORDER BY rownum)` — a global order, exactly the reference's
+  * single-threaded query shape (deliberately NOT the partitioned plan the
+  * engine uses for real data; the point is a like-for-like rows/sec figure
+  * against `BASELINE.md`'s ~85–105K rows/s table).
+  *
+  * The series is the first n lineitem prices in (l_orderkey, l_linenumber)
+  * order, pre-materialized (cached + forced) before timing — the analog of
+  * criterion timing a query over an already-built in-memory `VALUES` table.
+  * Reported number = rows/sec of the SECOND run (steady state), with the
+  * standard sweep between runs.
+  */
+object SizeSweep {
+
+  val Sizes: Seq[Int] = Seq(1000, 10000, 100000)
+
+  private val Indicators: Seq[(String, String)] = Seq(
+    "sma" -> "sma(price, 20) OVER (ORDER BY rownum) AS sma_20",
+    "ema" -> "ema(price, 12) OVER (ORDER BY rownum) AS ema_12",
+    "rsi" -> "rsi(price, 14) OVER (ORDER BY rownum) AS rsi_14",
+    "macd" -> "macd(price) OVER (ORDER BY rownum) AS macd",
+    "combined" -> ("sma(price, 20) OVER (ORDER BY rownum) AS sma_20, " +
+      "ema(price, 12) OVER (ORDER BY rownum) AS ema_12, " +
+      "rsi(price, 14) OVER (ORDER BY rownum) AS rsi_14, " +
+      "macd(price) OVER (ORDER BY rownum) AS macd"))
+
+  /** Runs the sweep; returns a JSON object string
+    * `{"sma":{"1000":rows_per_sec,...},...}`. */
+  def run(spark: SparkSession, sfDir: String, sweep: () => Unit): String = {
+    graft.functions.FinancialFunctions.registerAll(spark)
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(col("l_extendedprice").as("price"))
+      .limit(Sizes.max)
+      .withColumn("rownum", monotonically_increasing_id())
+
+    val perIndicator = Indicators.map { case (name, exprSql) =>
+      val sizeJson = Sizes.map { n =>
+        val series = base.limit(n).cache()
+        force(series) // materialize outside the timed region
+        series.createOrReplaceTempView("series")
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          force(spark.sql(s"SELECT rownum, $exprSql FROM series"))
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        val t = once()
+        series.unpersist(blocking = true)
+        sweep()
+        s""""$n":${math.round(n / t)}"""
+      }.mkString("{", ",", "}")
+      s""""$name":$sizeJson"""
+    }.mkString("{", ",", "}")
+    perIndicator
+  }
+}

@@ -26,6 +26,10 @@ object SparkEntry {
 
   private def load(spark: SparkSession, dir: String): Unit = {
     FinancialFunctions.registerAll(spark)
+    // all gate queries use timezone-independent date arithmetic (unix_date,
+    // datediff, timestamp_micros); UTC is pinned anyway so a DST-observing
+    // host can never shift epoch-based values relative to the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
@@ -184,15 +188,34 @@ object SparkEntry {
         |  count(CASE WHEN l_tax < 0 THEN 1 END) AS negative_tax
         |FROM lineitem""".stripMargin)),
     "q_validate_gaps" -> ((s, d) => q(s, d,
-      """WITH g AS (
-        |  SELECT o_orderdate,
-        |    LAG(o_orderdate) OVER (ORDER BY o_orderdate, o_orderkey) AS prev_date
+      // A global LAG (no PARTITION BY) would be a 1-partition sort over the
+      // whole fact table — the scale-killer. Instead: the LAG is partitioned
+      // by calendar month (gaps between consecutive rows within a month),
+      // and month-boundary pairs are recovered from a tiny per-month
+      // (first, last) aggregate — the only global window runs over ~one row
+      // per month. datediff on DATEs is timezone-independent (a >86400s gap
+      // between DATEs ≡ >1 day).
+      """WITH o AS (
+        |  SELECT o_orderdate, o_orderkey, trunc(o_orderdate, 'month') AS mth
         |  FROM orders
+        |), within AS (
+        |  SELECT count(*) AS c FROM (
+        |    SELECT o_orderdate,
+        |      LAG(o_orderdate) OVER (PARTITION BY mth ORDER BY o_orderdate, o_orderkey) AS prev_date
+        |    FROM o
+        |  )
+        |  WHERE prev_date IS NOT NULL AND datediff(o_orderdate, prev_date) > 1
+        |), bounds AS (
+        |  SELECT mth, min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |  FROM o GROUP BY mth
+        |), boundary AS (
+        |  SELECT count(*) AS c FROM (
+        |    SELECT first_date, LAG(last_date) OVER (ORDER BY mth) AS prev_last
+        |    FROM bounds
+        |  )
+        |  WHERE prev_last IS NOT NULL AND datediff(first_date, prev_last) > 1
         |)
-        |SELECT count(*) AS gap_count
-        |FROM g
-        |WHERE prev_date IS NOT NULL
-        |  AND (unix_timestamp(o_orderdate) - unix_timestamp(prev_date)) > 86400""".stripMargin)),
+        |SELECT w.c + b.c AS gap_count FROM within w CROSS JOIN boundary b""".stripMargin)),
     // ---- A12: day-aggs weekend check (validator.rs:165-208) ---------------
     "q_validate_weekend" -> ((s, d) => q(s, d,
       // Spark: 1=Sunday..7=Saturday (constants translated per SURVEY A12)
@@ -316,8 +339,10 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => {
       load(s, d)
       // cache: the pair search self-joins the fingerprint frame — without
-      // the cache both join branches recompute every md5.
-      val fps = operators.Dedup.simhash(s.table("documents"), "doc_id", "text").cache()
+      // the cache both join branches recompute every md5. Registered so the
+      // harness releases it after the consuming action.
+      val fps = graft.CacheScope.register(
+        operators.Dedup.simhash(s.table("documents"), "doc_id", "text").cache())
       operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -377,9 +402,12 @@ object SparkEntry {
       // when each item shipped
       load(s, d)
       import org.apache.spark.sql.functions.{count => countf, expr, lit => litf}
+      // unix_date over a calendar cast: days since epoch, timezone-free.
+      // l_shipdate is TIMESTAMP_NTZ (no zone), so NTZ→DATE is pure calendar
+      // truncation; unix_timestamp would shift with the session timezone.
       val li = s.table("lineitem").select(col("l_suppkey"),
         col("l_orderkey"), col("l_linenumber"),
-        expr("unix_timestamp(l_shipdate) DIV 86400").as("ship_day"),
+        expr("unix_date(cast(l_shipdate AS date))").as("ship_day"),
         col("l_quantity").cast("long").as("qty"))
       val points = li.select(col("l_suppkey").as("p_supp"), col("l_orderkey"),
         col("l_linenumber"), col("ship_day").as("p_day"))

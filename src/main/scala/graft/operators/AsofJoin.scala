@@ -22,11 +22,18 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
+  /** Internal working columns — inputs must not use these names (a silent
+    * collision would corrupt the window ordering or the final select). */
+  private[operators] val Reserved = Set("__k", "__t", "__side", "__l", "__r", "__m")
+
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right column names must be disjoint, shared: $overlap")
+    val reservedHit = (left.columns.toSet ++ right.columns.toSet).intersect(Reserved)
+    require(reservedHit.isEmpty,
+      s"column names $reservedHit are reserved by asofJoin — rename them first")
 
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)

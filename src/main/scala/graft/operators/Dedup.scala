@@ -100,12 +100,12 @@ object Dedup {
                       k: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     // persisted: consumed by signature generation AND both verify branches —
-    // without it each consumer re-runs the tokenize+shingle chain. The cache
-    // lives until the caller drops it (spark.catalog.clearCache() or
-    // unpersist on a retained reference) — lazy results cannot unpersist
-    // before their own action runs.
-    val sets = TextOps.shingleSets(df, idCol, textCol, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // without it each consumer re-runs the tokenize+shingle chain. The result
+    // is lazy, so the cache must outlive this call; it is registered in
+    // CacheScope so the caller releases it after the consuming action.
+    val sets = graft.CacheScope.register(
+      TextOps.shingleSets(df, idCol, textCol, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
     val cands = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
     jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
@@ -125,8 +125,9 @@ object Dedup {
     * right plan; the direct count is the better default. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = TextOps.shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.CacheScope.register(
+      TextOps.shingleSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
@@ -153,6 +154,11 @@ object Dedup {
     * loop only checks a converged count per round — data never leaves the
     * executors.
     *
+    * Throws if `maxIter` rounds pass without convergence — partially-merged
+    * labels would silently produce wrong dedup groups. `maxIter` bounds the
+    * graph DIAMETER, not its size; near-dup graphs are star-/clique-shaped,
+    * so the default is generous (raise it only for pathological chains).
+    *
     * Returns (id, component) where component = min id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -177,6 +183,15 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("component"))
       i += 1
     }
+    // labels is localCheckpoint-ed (no lineage on edges), so the edge cache
+    // can drop now. Superseded per-round checkpoint blocks are unreferenced
+    // after this returns; Spark's ContextCleaner reclaims them on GC.
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the pair " +
+          "graph has a longer diameter; raise maxIter (partially-merged labels " +
+          "would corrupt dedup groups, so this fails instead of returning them)")
     labels
   }
 
@@ -219,10 +234,12 @@ object Dedup {
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 32 / nChunks
+    // shiftright is exact by construction (the double-pow/divide alternative
+    // is exact only while the fingerprint fits a double's mantissa)
     val chunked = fps.select(col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
       .withColumn("chunk_val",
-        (col("simhash") / pow(lit(2.0), col("c") * chunkBits)).cast("long") % (1L << chunkBits))
+        expr(s"shiftright(simhash, c * $chunkBits)") % (1L << chunkBits))
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("c"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("c"), col("chunk_val"))
     a.join(b, Seq("c", "chunk_val")).filter(col("id_a") < col("id_b"))

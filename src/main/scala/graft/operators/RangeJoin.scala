@@ -25,6 +25,10 @@ object RangeJoin {
     require(bucketWidth > 0)
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"point/interval column names must be disjoint, shared: $overlap")
+    // "__b" is the internal bucket column — a caller column with that name
+    // would silently join on the wrong key
+    require(!(points.columns ++ intervals.columns).contains("__b"),
+      "column name __b is reserved by rangeJoin — rename it first")
 
     val pb = points.withColumn("__b",
       floor(col(pTime) / bucketWidth).cast("long"))

@@ -140,9 +140,11 @@ object StreamingPipeline {
         case (_, rows, state: GroupState[IndicatorState]) =>
           var st = state.getOption.getOrElse(IndicatorState.empty)
           // full-precision order: getTime alone truncates to millis, which
-          // would make sub-ms tick order (and thus all state) nondeterministic
+          // would make sub-ms tick order (and thus all state) nondeterministic.
+          // (price, volume) break exact-timestamp ties: remaining ties are
+          // full-duplicate ticks, whose mutual order cannot affect the fold.
           val out = rows.toSeq
-            .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos)).map { tick =>
+            .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos, t.price, t.volume)).map { tick =>
             val (next, values) = engine.update(st, tick)
             st = next
             values
@@ -216,7 +218,9 @@ object StreamingPipeline {
         (lit(lo) - rsi) / lo,
         concat(lit("RSI oversold at "), round(rsi, 2).cast("string"))),
       signal(rsi.isNotNull && rsi > hi, "Overbought",
-        (rsi - lit(hi)) / lo,
+        // scale = width of the overbought band (100 − hi = 30); the reference
+        // divides by the numerically identical oversold constant
+        (rsi - lit(hi)) / (lit(100.0) - hi),
         concat(lit("RSI overbought at "), round(rsi, 2).cast("string"))),
       signal(vr.isNotNull && vr > 2.0, "VolumeSpike",
         (vr - lit(2.0)) / 3.0,
@@ -257,7 +261,7 @@ object StreamingPipeline {
                                  timerValues: TimerValues): Iterator[StreamingIndicatorValues] = {
       var st = if (state.exists()) state.get() else IndicatorState.empty
       val out = rows.toSeq
-        .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos)).map { tick =>
+        .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos, t.price, t.volume)).map { tick =>
           val (next, values) = engine.update(st, tick)
           st = next
           values

@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one keyed exchange:\n$p")
   }
 
+  test("gap validation LAG is hash-partitioned — no full-table global sort") {
+    val p = plan("q_validate_gaps")
+    // the big window (LAG over every order row) must shuffle BY MONTH; the
+    // only SinglePartition window allowed is the per-month boundary pass,
+    // which runs over ~one row per month after the bounds aggregate
+    assert(p.contains("hashpartitioning(mth"),
+      s"expected the order-level LAG partitioned by month:\n$p")
+    val windows = p.split("\n").filter(_.trim.startsWith("+- Window"))
+    assert(windows.exists(_.contains("mth")),
+      s"expected a month-partitioned Window operator:\n$p")
+  }
+
   test("window indicator expressions stay inside one WholeStageCodegen-adjacent pipeline") {
     // the plan shape around Window: scan -> exchange -> sort -> window; no
     // extra project-induced exchanges

@@ -33,4 +33,12 @@ class AsofJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("asof join rejects inputs that use its reserved internal columns") {
+    val bad = quotes.withColumnRenamed("q_price", "__m") // would corrupt the final select
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(trades, bad, "t_sym", "q_sym", "t_ts", "q_ts")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

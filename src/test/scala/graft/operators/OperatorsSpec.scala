@@ -131,6 +131,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.size === 25 - 6)
   }
 
+  test("connected components refuses to return partially-converged labels") {
+    import spark.implicits._
+    // a 6-chain has diameter 5 — 2 rounds of min-label propagation cannot
+    // converge, and silently returning the halfway labels would split a
+    // single dedup group in two
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("operator-internal persists register in CacheScope and release cleanly") {
+    graft.CacheScope.release(blocking = true)
+    val before = graft.CacheScope.size
+    Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3).collect()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1).collect()
+    assert(graft.CacheScope.size === before + 2,
+      "each dedup call must register exactly its one persisted frame")
+    graft.CacheScope.release(blocking = true)
+    assert(graft.CacheScope.size === 0)
+    // nothing operator-owned left in the block manager
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
+      spark.sparkContext.getPersistentRDDs.values.forall(_.getStorageLevel.useMemory == false))
+  }
+
   test("multimodal: media meta + frame samples + decode stub features") {
     val m = Multimodal.withMedia(docs, "doc_id", "text")
     val frames = Multimodal.frameSamples(m).select("doc_id", "frames").collect()

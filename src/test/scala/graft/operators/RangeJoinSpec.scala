@@ -27,6 +27,14 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("range join rejects inputs that use the reserved bucket column") {
+    val bad = points.withColumnRenamed("p_tag", "__b")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(bad, intervals, "p_key", "i_key", "p_t", "i_s", "i_e", 16)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("matches the naive non-equi join exactly") {
     val naive = points.join(intervals,
         $"p_key" === $"i_key" && $"p_t" >= $"i_s" && $"p_t" <= $"i_e")
