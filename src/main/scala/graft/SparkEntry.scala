@@ -310,6 +310,15 @@ object SparkEntry {
         operators.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "q_bpe_tokens" -> ((s, d) => {
+      // real merge-table BPE (vs q_token_count's fast pre-tokenizer count):
+      // a native codegen'd expression applying Bpe.DefaultMerges per row
+      load(s, d)
+      s.table("documents").select(
+        col("doc_id"),
+        functions.BpeFunctions.bpeCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_doc_fingerprint" -> ((s, d) => {
       load(s, d)
       operators.TextOps.fingerprints(s.table("documents"), "doc_id", "text")
@@ -568,6 +577,37 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** DuckDB replica of merge-table BPE, generated from the SAME
+    * [[functions.Bpe.DefaultMerges]] the Spark expression applies — single
+    * source of truth for the table. Each segment is rendered with every
+    * symbol framed by chr(31) (absent from the corpus, asserted in BpeSpec),
+    * so one plain `replace` per merge rewrites exactly the full-symbol
+    * adjacent pairs, left-to-right non-overlapping — the same semantics as
+    * `Bpe.mergePass`. Token count = framing-separator count / 2. */
+  private def duckBpeSql: String = {
+    val sep = "chr(31)"
+    def s(x: String) = "'" + x.replace("'", "''") + "'"
+    val merged = functions.Bpe.DefaultMerges.foldLeft("s") { case (acc, (a, b)) =>
+      s"replace($acc, $sep||${s(a)}||$sep||$sep||${s(b)}||$sep, $sep||${s(a + b)}||$sep)"
+    }
+    s"""WITH segs AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '${operators.TextOps.BpeSplitRe}')) AS seg
+       |  FROM documents
+       |), sym AS (
+       |  SELECT doc_id, regexp_replace(seg, '([\\s\\S])', $sep || '\\1' || $sep, 'g') AS s
+       |  FROM segs
+       |), merged AS (
+       |  SELECT doc_id, $merged AS m FROM sym
+       |), counted AS (
+       |  SELECT doc_id,
+       |    CAST(sum((length(m) - length(replace(m, $sep, ''))) // 2) AS INT) AS c
+       |  FROM merged GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(c.c, 0) AS bpe_tokens
+       |FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
     "q_curation" ->
@@ -591,6 +631,7 @@ object SparkEntry {
          |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${operators.TextOps.BpeSplitRe}')) AS INT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bpe_tokens" -> duckBpeSql,
     "q_doc_fingerprint" ->
       s"""WITH $duckShingles,
          |fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)

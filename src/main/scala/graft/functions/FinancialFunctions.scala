@@ -29,7 +29,8 @@ object FinancialFunctions {
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
-    "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) })
+    "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
+    "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) })
   )
 
   /** Register sma/ema/rsi/macd into an existing session's function registry. */
@@ -63,7 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ema" -> "ema(value, n) - exponential moving average over a window",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
-    "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays")
+    "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
+    "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     FinancialFunctions.builders.foreach { case (name, builder) =>

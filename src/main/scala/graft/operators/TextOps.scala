@@ -27,9 +27,10 @@ object TextOps {
     * with an optional leading space). Kept in sync with the DuckDB oracle. */
   val BpeSplitRe: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
 
-  /** Approximate BPE token count: number of pre-tokenizer segments. Real
-    * subword vocabularies split each segment further, so this lower-bounds
-    * the true BPE count while tracking it closely on natural text. */
+  /** Fast pre-tokenizer segment count — the cheap screening variant. For
+    * true merge-table BPE counting use [[graft.functions.BpeFunctions.bpeCount]]
+    * (`bpe_count(text)` in SQL), which applies a learned merge table per
+    * segment; this one stops at the segment split. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeSplitRe), lit(0)))
 
