@@ -310,6 +310,21 @@ object SparkEntry {
         operators.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "q_media_features" -> ((s, d) => {
+      // the mapPartitions decode plug-point end-to-end: binary payload →
+      // per-partition iterator → fixed-width feature vector. The decoder is
+      // the deterministic byte-histogram stand-in, so the oracle can verify
+      // the whole plumbing hash-exact.
+      load(s, d)
+      val m = operators.Multimodal.withMedia(s.table("documents"), "doc_id", "text")
+      val feats = operators.Multimodal.decodeFeatures(s, m, "doc_id")
+      // project the vector to scalar columns: float-array columns defeat the
+      // gate's row-sort + hash compare, scalars don't
+      import org.apache.spark.sql.functions.element_at
+      feats.select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_tokens" -> ((s, d) => {
       // real merge-table BPE (vs q_token_count's fast pre-tokenizer count):
       // a native codegen'd expression applying Bpe.DefaultMerges per row
@@ -608,6 +623,23 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB replica of [[operators.Multimodal.fakeDecode]]'s normalized
+    * 16-bucket byte histogram. The payload is the UTF-8 bytes of `text`; the
+    * corpus is ASCII (asserted in OperatorsSpec), so per-BYTE bucket counts
+    * equal per-CHARACTER counts and each bucket is one `[\\x..-\\x..]` regex
+    * deletion count. count/total division is exact-int-over-exact-int in
+    * IEEE doubles on both engines — hash-exact. */
+  private def duckMediaFeaturesSql: String = {
+    val buckets = (0 until 16).map { b =>
+      val lo = f"${b * 16}%02x"
+      val hi = f"${b * 16 + 15}%02x"
+      s"CAST(length(text) - length(regexp_replace(text, '[\\x$lo-\\x$hi]', '', 'g')) AS DOUBLE)" +
+        f" / greatest(CAST(1 AS DOUBLE), CAST(length(text) AS DOUBLE)) AS f$b%02d"
+    }
+    s"""SELECT doc_id, ${buckets.mkString(",\n  ")}
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
     "q_curation" ->
@@ -631,6 +663,7 @@ object SparkEntry {
          |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${operators.TextOps.BpeSplitRe}')) AS INT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_features" -> duckMediaFeaturesSql,
     "q_bpe_tokens" -> duckBpeSql,
     "q_doc_fingerprint" ->
       s"""WITH $duckShingles,

@@ -157,6 +157,14 @@ class OperatorsSpec extends AnyFunSuite {
       spark.sparkContext.getPersistentRDDs.values.forall(_.getStorageLevel.useMemory == false))
   }
 
+  test("corpus precondition for the media-features oracle: documents are ASCII") {
+    // the DuckDB replica of the byte-histogram decode counts CHARACTERS per
+    // bucket; that equals the Scala side's per-BYTE histogram only while the
+    // corpus is single-byte (ASCII)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.filter(length(col("text")) =!= octet_length(col("text").cast("binary"))).count() === 0)
+  }
+
   test("multimodal: media meta + frame samples + decode stub features") {
     val m = Multimodal.withMedia(docs, "doc_id", "text")
     val frames = Multimodal.frameSamples(m).select("doc_id", "frames").collect()
