@@ -122,6 +122,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state survives a stop/restart from the RocksDB checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_restart_ckpt").toString
+    val input = MemoryStream[MarketTick]
+    val sunk = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamingIndicatorValues]())
+    // foreachBatch sink: unlike the memory sink it supports restarting from a
+    // checkpoint (the recovery this test is about)
+    def start() = StreamingPipeline.indicatorsTws(input.toDS(), windowSize = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingIndicatorValues], _: Long) =>
+        sunk.addAll(java.util.Arrays.asList(batch.collect(): _*)); ()
+      }
+      .start()
+    try {
+      val q1 = start()
+      try {
+        input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      sunk.clear() // everything recorded after this line was computed post-restart
+
+      // second incarnation: same checkpoint, new query. The assertions below
+      // can only pass if the per-symbol state (price buffer, EMA seed, RSI
+      // ledger) was recovered from the RocksDB store.
+      val q2 = start()
+      try {
+        input.addData(tick("AAPL", 2, 152.0))
+        q2.processAllAvailable()
+        val out = sunk.toArray(Array.empty[StreamingIndicatorValues])
+        assert(out.length === 1, "restart must resume from committed offsets, not replay batch 1")
+        val engine = new StreamingIndicators(3)
+        var st = IndicatorState.empty
+        val expected = Seq(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0),
+          tick("AAPL", 2, 152.0)).map { t =>
+          val (n, v) = engine.update(st, t); st = n; v
+        }.last
+        // sma exists only because two pre-restart prices were recovered
+        assert(out.head === expected)
+        assert(out.head.sma === Some((150.0 + 151.0 + 152.0) / 3))
+      } finally q2.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("ohlcBars: event-time bars with watermark, arrival-order independent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketTick]
