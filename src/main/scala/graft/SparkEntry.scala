@@ -388,6 +388,15 @@ object SparkEntry {
       operators.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_embed_ivf_learned" -> ((s, d) => {
+      // IVF with LEARNED centroids: 2 deterministic k-means rounds replace
+      // the label column; the oracle replays the identical iterations.
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Similarity.ivfKnnLearned(emb, emb.filter(col("vec_id") < 10),
+          k = 5, nlist = 8, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_embed_neardup" -> ((s, d) => {
       load(s, d)
       // signBits=8: sign-pattern LSH blocking (~2^8 buckets) — the scale
@@ -640,6 +649,65 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of [[operators.Similarity.ivfKnnLearned]]: the same
+    * deterministic k-means (init = 8 lowest-id vectors, 2 assignment/update
+    * rounds, means rounded to 6 decimals) unrolled as generated CTEs, then
+    * the same nprobe=1 probe. Iteration count is a compile-time constant on
+    * both sides, so the SQL is finite by construction. */
+  private def duckIvfLearnedSql: String = {
+    val nlist = 8
+    val iters = 2
+    def assignCtes(i: String, centCte: String) =
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cl,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cl) AS r
+         |  FROM embeddings e CROSS JOIN $centCte c
+         |),
+         |m$i AS (SELECT vec_id, embedding, cl FROM a$i WHERE r = 1)""".stripMargin
+    def centCtes(i: Int) =
+      s"""d$i AS (
+         |  SELECT cl, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+         |  FROM m$i
+         |),
+         |cd$i AS (SELECT cl, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv FROM d$i GROUP BY cl, pos),
+         |c$i AS (SELECT cl, list(cv ORDER BY pos) AS centroid FROM cd$i GROUP BY cl)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assignCtes(i.toString, if (i == 1) "init" else s"c${i - 1}") + ",\n" + centCtes(i)
+    }.mkString(",\n")
+    s"""WITH init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $nlist
+       |),
+       |$rounds,
+       |${assignCtes("f", s"c$iters")},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT q.query_id, q.q_emb, c.cl,
+       |    ${cosSql("q.q_emb", "c.centroid")} AS ccos
+       |  FROM q CROSS JOIN c$iters c
+       |),
+       |assigned AS (
+       |  SELECT query_id, q_emb, cl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cl) AS r FROM qc
+       |  ) WHERE r = 1
+       |),
+       |scored AS (
+       |  SELECT a.query_id, a.cl, m.vec_id AS neighbor_id,
+       |    ${cosSql("a.q_emb", "m.embedding")} AS cos
+       |  FROM mf m JOIN assigned a ON m.cl = a.cl
+       |  WHERE m.vec_id <> a.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(cl AS INT) AS probed_cluster, neighbor_id,
+       |  cos AS cosine, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
     "q_curation" ->
@@ -775,6 +843,7 @@ object SparkEntry {
          |SELECT query_id, CAST(cl AS INT) AS probed_cluster, neighbor_id,
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_ivf_learned" -> duckIvfLearnedSql,
     "q_embed_neardup" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding,

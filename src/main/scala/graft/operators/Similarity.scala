@@ -60,14 +60,76 @@ object Similarity {
       .groupBy(col("cl"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
+    val members = corpus.select(col(idCol), col(embCol), col(clusterCol).as("cl"))
+    probe(members, centroids, queries, k, nprobe, idCol, embCol)
+  }
+
+  /** IVF with LEARNED coarse centroids: `iters` rounds of deterministic
+    * k-means (init = the `nlist` lowest-id vectors; assignment = max-cosine
+    * with ties to the lowest cluster; update = per-dimension mean rounded to
+    * 6 decimals so the group-sum is cross-engine reproducible), then the
+    * same nprobe probing as [[ivfKnn]].
+    *
+    * Scale: each round is one broadcast of nlist×dims doubles to a corpus
+    * scan plus one groupBy(nlist×dims) agg — no corpus shuffle; rounds are
+    * a fixed small constant (coarse quantizers converge in a few passes).
+    * Recall vs brute force is measured in SimilaritySpec. */
+  def ivfKnnLearned(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nlist: Int = 8, iters: Int = 2, nprobe: Int = 1,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (members, centroids) = kmeansClusters(corpus, nlist, iters, idCol, embCol)
+    probe(members, centroids, queries, k, nprobe, idCol, embCol)
+  }
+
+  /** Deterministic k-means for IVF coarse quantization. Returns
+    * (corpus + `cl` assignment, centroids (cl, centroid)). All arithmetic
+    * mirrors the DuckDB oracle bit-for-bit: double casts before multiply,
+    * per-dimension mean rounded to 6 decimals, ties to the lowest cluster. */
+  def kmeansClusters(corpus: DataFrame, nlist: Int, iters: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    require(nlist >= 1 && iters >= 0)
+    // init: the nlist lowest-id vectors; cl = their id-rank. The global
+    // row_number window runs over nlist rows, not the corpus.
+    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .withColumn("cl", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cl"),
+        transform(col(embCol), v => v.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(corpus, centroids, idCol, embCol)
+      centroids = assigned
+        .select(col("cl"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+    }
+    (assignClusters(corpus, centroids, idCol, embCol), centroids)
+  }
+
+  /** Nearest-centroid assignment: one broadcast of the (tiny) centroid set
+    * against a single corpus pass. */
+  private def assignClusters(corpus: DataFrame, centroids: DataFrame,
+                             idCol: String, embCol: String): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col(embCol), col("centroid")))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cl"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col(idCol), col(embCol), col("cl"))
+  }
+
+  /** Shared IVF probe: queries pick their `nprobe` best centroids, then rank
+    * only those clusters' members. */
+  private def probe(members: DataFrame, centroids: DataFrame, queries: DataFrame,
+                    k: Int, nprobe: Int, idCol: String, embCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val qc = q.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("q_emb"), col("centroid")))
     val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cl"))
     val assigned = qc.withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cl"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      col(clusterCol).as("cl"))
+    val c = members.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cl"))
     val scored = c.join(broadcast(assigned), Seq("cl"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))

@@ -101,6 +101,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(two.map(_.getAs[Int]("probed_cluster")).toSet.size === 2)
   }
 
+  test("learned-centroid ivf: deterministic kmeans, sane recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val learned = Similarity.ivfKnnLearned(emb, queries, k = 5, nlist = 8, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // deterministic: a second run produces the identical result
+    val again = Similarity.ivfKnnLearned(emb, queries, k = 5, nlist = 8, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(learned === again)
+    val bf = Similarity.bruteForceKnn(emb, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = learned.intersect(bf).size.toDouble / bf.size
+    info(f"learned-IVF recall@5 vs brute force (nprobe=1, nlist=8): $recall%.3f")
+    // nprobe=1 touches ~1/8 of the corpus; on clustered synthetic embeddings
+    // that must still find most true neighbors
+    assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
+  }
+
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
     val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
