@@ -111,23 +111,29 @@ object Dedup {
     jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard pairs above `threshold`: intersection sizes are
-    * counted directly off the shingle self-join (one wide shuffle with
-    * map-side combine), then set sizes join in from the per-doc set frame.
-    * Exact because jaccard > 0 requires a shared shingle.
+  /** Exact n-gram Jaccard pairs above `threshold`.
     *
-    * Scale note: a PPJoin-style prefix filter (join only each doc's
-    * |x|−⌈t·|x|⌉+1 rarest shingles) was measured here and LOST — with the
-    * near-uniform shingle frequencies of this corpus it kept ~40% of
-    * postings, so candidate-distinct + verify cost more than counting all
-    * intersections in one aggregation. On Zipfian corpora where
-    * stop-shingles make the self-join quadratic, the prefix variant is the
-    * right plan; the direct count is the better default. */
+    * Default plan: intersection sizes counted directly off the shingle
+    * self-join (one wide shuffle with map-side combine), then set sizes join
+    * in from the per-doc set frame. Exact because jaccard > 0 requires a
+    * shared shingle.
+    *
+    * `prefixFilter = true` switches to the PPJoin-style plan: each document
+    * joins only its |x|−⌈t·|x|⌉+1 globally-RAREST shingles (canonical order =
+    * ascending document frequency), candidates verify via one
+    * `array_intersect` per pair. Same exact result (pigeonhole: a pair with
+    * overlap ≥ ⌈t·|x|⌉ must share a prefix shingle on BOTH sides). Measured
+    * on this corpus's near-uniform shingle frequencies the direct count wins
+    * (prefixes keep ~40% of postings); on Zipfian corpora whose stop-shingles
+    * make the self-join quadratic, the prefix plan wins by orders of
+    * magnitude (crossover measured in `graft.tools.ZipfBench`). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        prefixFilter: Boolean = false): DataFrame = {
     val sets = graft.CacheScope.register(
       TextOps.shingleSets(df, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (prefixFilter) return prefixFiltered(sets, idCol, threshold)
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
@@ -142,6 +148,37 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .select("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** PPJoin-style candidate generation over the prefix posting lists.
+    *
+    * Why it scales on skewed corpora: a stop-shingle shared by m documents
+    * contributes m²/2 rows to the direct self-join; in canonical
+    * (rarest-first) order it sits at the END of every document's shingle
+    * list, so it enters a prefix only for documents short enough that
+    * t·|x| leaves no rarer choice — the posting lists that self-join are the
+    * rare tail, whose frequencies are bounded. Verification touches
+    * candidates only (one array_intersect each, off the persisted set
+    * frame). */
+  private def prefixFiltered(sets: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
+    val sh = sets.select(col(idCol), col("n_shingles"),
+      explode(col("shingles")).as("shingle"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // canonical rank of each shingle inside its document: ascending global
+    // document frequency, ties by shingle text (total order → deterministic)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <=
+        col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
+      .select(col(idCol), col("shingle"))
+    val cands = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
   /** Connected components over an undirected near-dup pair list — the

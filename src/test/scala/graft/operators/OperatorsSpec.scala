@@ -149,6 +149,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.size === 25 - 6)
   }
 
+  test("prefix-filtered ngram jaccard equals the direct variant exactly") {
+    graft.CacheScope.release(blocking = true)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))
+    // fixture corpus
+    val direct = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(key).toSet
+    val prefixed = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1,
+      prefixFilter = true).collect().map(key).toSet
+    assert(direct === prefixed)
+    assert(direct.nonEmpty) // the comparison must compare something
+    // real corpus sample
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d2 = Dedup.ngramJaccardPairs(real, "doc_id", "text", threshold = 0.5)
+      .collect().map(key).toSet
+    val p2 = Dedup.ngramJaccardPairs(real, "doc_id", "text", threshold = 0.5,
+      prefixFilter = true).collect().map(key).toSet
+    assert(d2 === p2)
+    graft.CacheScope.release(blocking = true)
+  }
+
   test("connected components refuses to return partially-converged labels") {
     import spark.implicits._
     // a 6-chain has diameter 5 — 2 rounds of min-label propagation cannot
