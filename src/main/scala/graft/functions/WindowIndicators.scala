@@ -79,7 +79,13 @@ trait IndicatorWindowFunction extends AggregateWindowFunction {
   * values (reference `src/functions/sma.rs:102-117`). Declarative buffer
   * holds the last ≤n non-null values; evaluation folds the buffer
   * left-to-right exactly like the reference's `iter().sum()`.
-  */
+  *
+  * Buffer push and fold are the native [[SlidePush]]/[[FoldSum]] primitives
+  * (one allocation + codegen'd loop) — identical contents and fold order to
+  * the `Concat`+`Slice`+`ArrayAggregate` composition they replaced (which
+  * cost two allocations and an interpreted HOF dispatch per element; ~2× at
+  * n=200, measured in `graft.tools.SmaProbe`). A rolling add/subtract sum
+  * was REJECTED: it changes the floating-point result. */
 case class Sma(value: Expression, windowSize: Expression)
     extends IndicatorWindowFunction {
   private lazy val n: Int = requireWindowSize(windowSize)
@@ -96,24 +102,12 @@ case class Sma(value: Expression, windowSize: Expression)
     Literal.create(Array.empty[Double], ArrayType(DoubleType, containsNull = false)),
     Literal(false))
 
-  override lazy val updateExpressions: Seq[Expression] = {
-    val appended = Concat(Seq(buf, CreateArray(Seq(x))))
-    val trimmed = If(GreaterThan(Size(appended), Literal(n)),
-      Slice(appended, Literal(2), Literal(n)), appended)
-    Seq(If(IsNull(x), buf, trimmed), IsNull(x))
-  }
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(If(IsNull(x), buf, SlidePush(buf, x, n)), IsNull(x))
 
-  override lazy val evaluateExpression: Expression = {
-    val acc = NamedLambdaVariable("acc", DoubleType, nullable = false)
-    val el = NamedLambdaVariable("x", DoubleType, nullable = false)
-    val accF = NamedLambdaVariable("acc", DoubleType, nullable = false)
-    val sum = ArrayAggregate(
-      buf, Literal(0.0),
-      LambdaFunction(Add(acc, el), Seq(acc, el)),
-      LambdaFunction(accF, Seq(accF)))
+  override lazy val evaluateExpression: Expression =
     If(Or(curNull, LessThan(Size(buf), Literal(n))),
-      nullDouble, Divide(sum, Literal(n.toDouble)))
-  }
+      nullDouble, Divide(FoldSum(buf), Literal(n.toDouble)))
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Sma =
     copy(value = c(0), windowSize = c(1))
