@@ -20,18 +20,31 @@ import scala.util.control.NonFatal
   */
 object CacheScope {
   private val frames = ArrayBuffer.empty[Dataset[_]]
+  private val rddIds = ArrayBuffer.empty[(org.apache.spark.SparkContext, Int)]
 
   /** Track a persisted frame; returns it unchanged. */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized { frames += ds; ds }
 
-  /** Unpersist every tracked frame and clear the registry. */
+  /** Track RDD-level cache blocks by id (`localCheckpoint` blocks live below
+    * the CacheManager, so `Dataset.unpersist` cannot release them — only
+    * `RDD.unpersist` can). Used by iterative operators whose returned frame
+    * is backed by checkpoint blocks that must outlive the call. */
+  def registerRddIds(sc: org.apache.spark.SparkContext, ids: Iterable[Int]): Unit =
+    synchronized { ids.foreach(id => rddIds += ((sc, id))) }
+
+  /** Unpersist every tracked frame / RDD block and clear the registry. */
   def release(blocking: Boolean = false): Unit = synchronized {
     frames.foreach { f =>
       try f.unpersist(blocking) catch { case NonFatal(_) => () }
     }
     frames.clear()
+    rddIds.foreach { case (sc, id) =>
+      try sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking))
+      catch { case NonFatal(_) => () }
+    }
+    rddIds.clear()
   }
 
-  /** Number of currently tracked frames (for specs). */
-  def size: Int = synchronized(frames.size)
+  /** Number of currently tracked entries (for specs). */
+  def size: Int = synchronized(frames.size + rddIds.size)
 }

@@ -503,6 +503,41 @@ object SparkEntry {
           col("media_meta.content_md5").as("content_md5"),
           array_join(col("frames"), ",").as("frames_joined"))
         .orderBy(col("doc_id"))
+    }),
+    // KMV distinct-count sketch (functions/Sketch.scala): bounded k-longs
+    // state per group, map-side combinable — COUNT(DISTINCT) accuracy check
+    // rides along in the same query. The md5-derived hash keeps the whole
+    // estimate engine-independent (bit-exact DuckDB twin).
+    "q_kmv_distinct" -> ((s, d) => q(s, d,
+      """SELECT l_returnflag,
+        |  kmv_distinct(cast(conv(substring(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint), 256) AS est_parts,
+        |  count(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+    // Skew mitigation (operators/Skew.scala), oracle-gated for result
+    // equality with the unsalted plans. Sums are over integer-valued
+    // doubles (exact under any fold order), so the salted re-association
+    // cannot drift from the oracle. l_returnflag has only 3 values — at
+    // 100 TB each would be one straggler reducer without the salt stage.
+    "q_skew_agg" -> ((s, d) => {
+      load(s, d)
+      operators.Skew.twoStageAgg(s.table("lineitem"), Seq("l_returnflag"),
+          saltSource = "l_orderkey",
+          aggs = Seq(("l_quantity", "sum"), ("l_quantity", "count"),
+            ("l_extendedprice", "min"), ("l_extendedprice", "max")))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_skew_join" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val probe = s.table("lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val build = s.table("orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      operators.Skew.saltedJoin(probe, build, Seq("okey"), saltSource = "okey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -844,6 +879,41 @@ object SparkEntry {
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(l_partkey::VARCHAR), 1, 15) AS BIGINT) AS hv
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |  FROM h
+        |), m AS (
+        |  SELECT l_returnflag, max(hv) AS kth, count(*) AS c
+        |  FROM r WHERE rn <= 256 GROUP BY 1
+        |), x AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT m.l_returnflag,
+        |  CASE WHEN m.c < 256 THEN m.c::DOUBLE
+        |       ELSE 255.0::DOUBLE / (m.kth::DOUBLE / 1152921504606846976.0::DOUBLE) END AS est_parts,
+        |  x.exact_parts
+        |FROM m JOIN x USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) AS sum_l_quantity,
+        |  count(l_quantity) AS count_l_quantity,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding,

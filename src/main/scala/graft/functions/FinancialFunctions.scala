@@ -30,7 +30,8 @@ object FinancialFunctions {
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
-    "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) })
+    "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
+    "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) })
   )
 
   /** Register sma/ema/rsi/macd into an existing session's function registry. */
@@ -65,7 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
-    "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)")
+    "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
+    "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     FinancialFunctions.builders.foreach { case (name, builder) =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -199,36 +200,57 @@ object Dedup {
     * Returns (id, component) where component = min id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint blocks live below the CacheManager: Dataset.unpersist
+    // can't release them, so each round's blocks are tracked by RDD id (the
+    // diff around the eager checkpoint) and dropped as soon as the next
+    // round's checkpoint supersedes them — waiting for the ContextCleaner
+    // instead leaks O(rounds) block sets into later queries' memory budget.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager — blocks exist when this returns
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def drop(ids: Set[Int]): Unit = ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var (labels, labelBlocks) = checkpointed(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next"),
-          col("component"))
-        .localCheckpoint()
+      val (updated, updatedBlocks) = checkpointed(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next"),
+            col("component")))
       converged = updated.filter(col("next") < col("component")).isEmpty
+      drop(labelBlocks) // previous round is superseded once `updated` exists
+      labelBlocks = updatedBlocks
       labels = updated.select(col("id"), col("next").as("component"))
       i += 1
     }
     // labels is localCheckpoint-ed (no lineage on edges), so the edge cache
-    // can drop now. Superseded per-round checkpoint blocks are unreferenced
-    // after this returns; Spark's ContextCleaner reclaims them on GC.
+    // can drop now.
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      drop(labelBlocks)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the pair " +
           "graph has a longer diameter; raise maxIter (partially-merged labels " +
           "would corrupt dedup groups, so this fails instead of returning them)")
+    }
+    // the returned frame is backed by the final round's checkpoint blocks —
+    // they must outlive this call; CacheScope gives harnesses/callers the
+    // scoped release point (Bench/Verify sweep after each query's action)
+    CacheScope.registerRddIds(sc, labelBlocks)
     labels
   }
 
