@@ -538,6 +538,28 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+    // Bucketed-table co-located join (sources/Bucketed.scala): both sides
+    // pay their shuffle at WRITE time; the readback join plans no Exchange
+    // (asserted in BucketedSpec) — the layout strategy for repeated
+    // fact-to-fact joins at 100 TB. The gate checks result equality.
+    "q_bucketed_join" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.{count, lit, min => minf, max => maxf}
+      val orders = s.table("orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val customer = s.table("customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      sources.Bucketed.writeBucketed(orders, "g_orders_bkt", "custkey", 8,
+        "/tmp/graft_bucketed_gate/orders")
+      sources.Bucketed.writeBucketed(customer, "g_customer_bkt", "custkey", 8,
+        "/tmp/graft_bucketed_gate/customer")
+      sources.Bucketed.cobucketedJoin(s, "g_orders_bkt", "g_customer_bkt", "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          minf(col("o_totalprice")).as("min_price"),
+          maxf(col("o_totalprice")).as("max_price"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -914,6 +936,11 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding,
