@@ -560,6 +560,68 @@ object SparkEntry {
           minf(col("o_totalprice")).as("min_price"),
           maxf(col("o_totalprice")).as("max_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+    // Sessionization (operators/Sessionize.scala): gap-based session ids —
+    // one hash exchange on user_id, then a single window pass (lag → flag →
+    // running sum). 12h gap ≈ the corpus' median inter-event gap × 1.6.
+    "q_sessionize" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions.expr
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000000000").as("ts_sec"))
+      operators.Sessionize.assignSessions(ev, "user_id", "ts_sec",
+          gapSeconds = 43200, tieCols = Seq("event_id"))
+        .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+    }),
+    "q_session_stats" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions.expr
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000000000").as("ts_sec"))
+      val sess = operators.Sessionize.assignSessions(ev, "user_id", "ts_sec",
+        gapSeconds = 43200, tieCols = Seq("event_id"))
+      operators.Sessionize.sessionStats(sess, "user_id", "ts_sec")
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    // Deterministic hash-threshold sampling (operators/Sampling.scala):
+    // partitioning-independent, engine-independent — the oracle replays the
+    // exact inclusion decisions.
+    "q_sample_strata" -> ((s, d) => {
+      load(s, d)
+      operators.Sampling.stratifiedSample(s.table("documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.2),
+          defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_corpus_mix" -> ((s, d) => {
+      load(s, d)
+      val docs = s.table("documents")
+      operators.Sampling.mixCorpora(Seq(
+          (docs.filter(col("source") === "src0"), 1.0),
+          (docs.filter(col("source") === "src1"), 0.5),
+          (docs.filter(col("source") === "src2"), 0.2)), "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // Vocabulary + count-min sketch (operators/Freq.scala)
+    "q_vocab_topk" -> ((s, d) => {
+      load(s, d)
+      operators.Freq.vocabulary(s.table("documents"), "text", 100)
+    }),
+    "q_cms_estimate" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.explode
+      val docs = s.table("documents")
+      val toks = docs.select(
+        explode(operators.TextOps.tokens(col("text"))).as("token"))
+      val sketch = operators.Freq.countMinSketch(toks, "token",
+        depth = 4, width = 512)
+      val items = operators.Freq.vocabulary(docs, "text", 20).select("token")
+      operators.Freq.cmsEstimate(sketch, items, "token", depth = 4, width = 512)
+        .orderBy(col("token"))
     })
   )
 
@@ -941,6 +1003,88 @@ object SparkEntry {
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_sec,
+         |    CASE WHEN lag(ts_sec) OVER w IS NULL
+         |              OR ts_sec - lag(ts_sec) OVER w > 43200
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |)
+         |SELECT user_id, event_id, ts_sec,
+         |  count(CASE WHEN ns = 1 THEN 1 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |FROM flagged ORDER BY user_id, ts_sec, event_id""".stripMargin,
+    "q_session_stats" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_sec,
+         |    CASE WHEN lag(ts_sec) OVER w IS NULL
+         |              OR ts_sec - lag(ts_sec) OVER w > 43200
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts_sec,
+         |    count(CASE WHEN ns = 1 THEN 1 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  max(ts_sec) - min(ts_sec) AS span_seconds,
+         |  min(ts_sec) AS session_start, max(ts_sec) AS session_end
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q_sample_strata" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) <
+         |  CASE lang
+         |    WHEN 'en' THEN ${operators.Sampling.threshold(0.5)}
+         |    WHEN 'de' THEN ${operators.Sampling.threshold(1.0)}
+         |    WHEN 'zh' THEN ${operators.Sampling.threshold(0.2)}
+         |    ELSE ${operators.Sampling.threshold(0.25)} END
+         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      s"""SELECT doc_id, source FROM documents WHERE source = 'src0'
+         |  AND CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) < ${operators.Sampling.threshold(1.0)}
+         |UNION ALL
+         |SELECT doc_id, source FROM documents WHERE source = 'src1'
+         |  AND CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) < ${operators.Sampling.threshold(0.5)}
+         |UNION ALL
+         |SELECT doc_id, source FROM documents WHERE source = 'src2'
+         |  AND CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) < ${operators.Sampling.threshold(0.2)}
+         |ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      s"""WITH $duckToks
+         |SELECT w AS token, count(*) AS cnt FROM toks
+         |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    "q_cms_estimate" ->
+      s"""WITH $duckToks,
+         |tk AS (SELECT w AS token FROM toks),
+         |grid AS (
+         |  SELECT i, CAST('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15) AS BIGINT) % 512 AS bucket,
+         |         count(*) AS cnt
+         |  FROM tk CROSS JOIN generate_series(0, 3) g(i)
+         |  GROUP BY 1, 2
+         |),
+         |items AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS c FROM tk GROUP BY 1
+         |    ORDER BY c DESC, token ASC LIMIT 20)
+         |),
+         |h AS (
+         |  SELECT token, i, CAST('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15) AS BIGINT) % 512 AS bucket
+         |  FROM items CROSS JOIN generate_series(0, 3) g(i)
+         |)
+         |SELECT token, min(coalesce(cnt, 0)) AS est_cnt
+         |FROM h LEFT JOIN grid USING (i, bucket)
+         |GROUP BY token ORDER BY token""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequency estimation over unbounded vocabularies.
+  *
+  * Two tools for the "how often does each token/URL/ngram occur in 100 TB"
+  * problem:
+  *
+  *  - [[vocabulary]]: the exact path — token → count → top-k. One shuffle
+  *    over (token, partial count) pairs with map-side combine, then a
+  *    TakeOrdered (per-partition top-k, driver merges p·k rows — the full
+  *    vocabulary never reaches one machine).
+  *  - [[countMinSketch]] / [[cmsEstimate]]: the sketch path — a fixed
+  *    depth×width counter grid regardless of vocabulary size. Per-row cost
+  *    is `depth` hashes; the grid aggregates with map-side combine and is
+  *    itself a tiny DataFrame, joinable against any candidate set for
+  *    point estimates (classic CMS overestimate-only guarantees:
+  *    err ≤ 2N/width with prob 1−(1/2)^depth).
+  *
+  * Hashes derive from md5 (row i salts the input), so both paths are
+  * engine-independent and DuckDB-oracle-checkable — no RNG, no
+  * partition-order dependence. No reference analog (beyond-reference op
+  * for the LLM-pipeline layer).
+  */
+object Freq {
+
+  /** Exact top-k vocabulary of whitespace/alnum tokens over `textCol`:
+    * (token, cnt), ordered by cnt desc then token asc (total order — ties
+    * are deterministic). */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Build a depth×width count-min grid over the values of `valueCol`:
+    * one row per non-empty cell `(i, bucket, cnt)` where
+    * `bucket = h_i(value) mod width` and `h_i` is the 60-bit md5 hash of
+    * the i-salted value. Missing cells are zero. */
+  def countMinSketch(df: DataFrame, valueCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth > 0 && width > 0)
+    df.select(col(valueCol).cast("string").as("__v"))
+      .select(col("__v"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("i"),
+        pmod(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("__v"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+          .as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each item in `items(itemCol)` from a
+    * sketch built by [[countMinSketch]] (same depth/width): the minimum
+    * over the item's `depth` cells. The sketch side is tiny (≤ depth·width
+    * rows) — Spark broadcasts it; the estimate never exceeds reality from
+    * below (CMS overestimates only). */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val hashed = items
+      .select(col(itemCol), col(itemCol).cast("string").as("__v"))
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("__v"))
+      .select(col(itemCol), col("i"),
+        pmod(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("__v"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+          .as("bucket"))
+    hashed.join(broadcast(sketch), Seq("i", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

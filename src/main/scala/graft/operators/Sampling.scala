@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.Kmv
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: results change with
+  * partitioning, retries, and engine version — useless for reproducible
+  * corpus construction. These samplers instead include a row iff a 60-bit
+  * md5-derived hash of its KEY falls under a threshold:
+  *
+  *  - reproducible: same corpus → same sample, on any cluster layout, in
+  *    any engine (the DuckDB oracle replays it bit-for-bit);
+  *  - consistent: the same key is either in or out EVERYWHERE — sampling
+  *    two tables by the same join key yields joinable samples;
+  *  - one-pass: a pushed-down filter, no shuffle, no state.
+  *
+  * At 100 TB the filter sits directly on the scan: the sample never
+  * materializes the unsampled data. No reference analog (beyond-reference
+  * op for the LLM-pipeline layer).
+  */
+object Sampling {
+
+  /** Threshold in the 2^60 hash space for an inclusion probability. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * Kmv.HashSpace).toLong
+  }
+
+  /** Keep rows whose key hashes under `rate`'s threshold. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(Kmv.kmvHash(col(keyCol)) < lit(threshold(rate)))
+
+  /** Per-stratum rates (e.g. language rebalancing: keep 100% of low-resource
+    * languages, 5% of English). Strata missing from `rates` default to
+    * `defaultRate`. The rate map is tiny and becomes a literal CASE chain —
+    * no join, still one scan-side filter. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val cases = rates.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(0L))) { case (acc, (stratum, rate)) =>
+      acc.when(col(strataCol) === lit(stratum), lit(threshold(rate)))
+    }
+    df.filter(Kmv.kmvHash(col(keyCol)) < cases.otherwise(lit(threshold(defaultRate))))
+  }
+
+  /** Mix corpora with per-source weights into one training set: each source
+    * is hash-sampled at its weight and union'd. Weights are inclusion
+    * rates, not relative proportions — the output size is
+    * Σ |sourceᵢ| · weightᵢ. All frames must share a schema. */
+  def mixCorpora(sources: Seq[(DataFrame, Double)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (df, w) => hashSample(df, keyCol, w) }
+      .reduce(_.unionByName(_))
+  }
+}

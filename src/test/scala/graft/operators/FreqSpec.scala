@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FreqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "a cat and a dog")
+  ).toDF("doc_id", "text")
+
+  test("vocabulary: exact counts, cnt-desc then token-asc order") {
+    val v = Freq.vocabulary(docs, "text", 4).as[(String, Long)].collect()
+    assert(v.take(2) === Array(("the", 3L), ("a", 2L)))
+    // cat/dog/sat all tie at 2 — token order decides
+    assert(v(2) === ("cat", 2L) && v(3) === ("dog", 2L))
+  }
+
+  test("cms estimates are >= exact counts (overestimate-only)") {
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val sketch = Freq.countMinSketch(toks, "token", depth = 4, width = 64)
+    val items = exact.keys.toSeq.toDF("token")
+    val est = Freq.cmsEstimate(sketch, items, "token", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"cms must never underestimate: $t est=${est(t)} exact=$c")
+    }
+  }
+
+  test("with a wide grid the estimates are exact (no collisions)") {
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val sketch = Freq.countMinSketch(toks, "token", depth = 4, width = 4096)
+    val items = Seq("the", "cat", "mat").toDF("token")
+    val est = Freq.cmsEstimate(sketch, items, "token", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est === Map("the" -> 3L, "cat" -> 2L, "mat" -> 1L))
+  }
+
+  test("unknown items estimate to zero (or collision noise), never null") {
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+    val sketch = Freq.countMinSketch(toks, "token", depth = 4, width = 4096)
+    val est = Freq.cmsEstimate(sketch, Seq("zzz_unseen").toDF("token"),
+      "token", depth = 4, width = 4096).as[(String, Long)].collect()
+    assert(est === Array(("zzz_unseen", 0L)))
+  }
+
+  test("sketch grid is bounded by depth*width regardless of input size") {
+    val big = (1 to 20000).map(i => s"tok$i").toDF("v")
+    val sketch = Freq.countMinSketch(big, "v", depth = 4, width = 128)
+    assert(sketch.count() <= 4 * 128)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("rate bounds: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.hashSample(ids, "id", 0.0).count() === 0)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() === 2000)
+  }
+
+  test("sample size tracks the rate and is partitioning-independent") {
+    val n = Sampling.hashSample(ids, "id", 0.3).count()
+    assert(math.abs(n - 600.0) / 600.0 < 0.15, s"got $n for rate 0.3")
+    val n2 = Sampling.hashSample(ids.repartition(17), "id", 0.3).count()
+    assert(n === n2)
+  }
+
+  test("nested: a lower-rate sample is a subset of a higher-rate sample") {
+    val lo = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val hi = Sampling.hashSample(ids, "id", 0.4).as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("consistent: the same key set survives in two different tables") {
+    val a = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
+    val other = ids.withColumn("payload", col("id") * 2)
+    val b = Sampling.hashSample(other, "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "samples keyed identically must be joinable")
+  }
+
+  test("stratified: per-stratum rates apply; default covers the rest") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, "id", "s",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+    val bySt = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(bySt("a") === 1000)
+    assert(!bySt.contains("b"))
+    assert(math.abs(bySt("c") - 500.0) / 500.0 < 0.2, s"got ${bySt.get("c")}")
+  }
+
+  test("mixCorpora: weights act per source; union preserves schema") {
+    val src1 = (1L to 1000L).map((_, "s1")).toDF("id", "src")
+    val src2 = (1001L to 2000L).map((_, "s2")).toDF("id", "src")
+    val mixed = Sampling.mixCorpora(Seq((src1, 1.0), (src2, 0.2)), "id")
+    val counts = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("s1") === 1000)
+    assert(math.abs(counts("s2") - 200.0) / 200.0 < 0.35, s"got ${counts.get("s2")}")
+  }
+
+  test("the sampling filter reaches the scan as a data filter, not a shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Sampling.hashSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must be exchange-free:\n$p")
+  }
+}
