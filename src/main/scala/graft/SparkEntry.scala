@@ -446,13 +446,36 @@ object SparkEntry {
         col("l_linenumber"), col("ship_day").as("p_day"))
       val intervals = li.select(col("l_suppkey").as("i_supp"),
         col("ship_day").as("i_start"), (col("ship_day") + col("qty")).as("i_end"))
+      // sweep form: one keyed window pass, no pair materialization —
+      // (l_orderkey, l_linenumber) is not unique, so per-point counts sum
+      import org.apache.spark.sql.functions.{sum => sumf}
+      operators.RangeJoin.overlapCounts(points, intervals,
+          "p_supp", "i_supp", "p_day", "i_start", "i_end")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sumf(col("n_overlapping")).as("n_overlapping"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_range_join_pairs" -> ((s, d) => {
+      // the pair-materializing bucketized variant, gate-covered on a
+      // supplier slice (the full pair set is the sweep query's job to count)
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val li = s.table("lineitem").filter(col("l_suppkey") < 50)
+        .select(col("l_suppkey"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("unix_date(cast(l_shipdate AS date))").as("ship_day"),
+          col("l_quantity").cast("long").as("qty"))
+      val points = li.select(col("l_suppkey").as("p_supp"), col("l_orderkey"),
+        col("l_linenumber"), col("ship_day").as("p_day"))
+      val intervals = li.select(col("l_suppkey").as("i_supp"),
+        col("ship_day").as("i_start"), (col("ship_day") + col("qty")).as("i_end"))
       // bucketWidth ~ typical interval length (avg span 25 days): measured
       // best at 16-32; wider buckets inflate candidate pairs per bucket
       operators.RangeJoin.rangeJoin(points, intervals,
           "p_supp", "i_supp", "p_day", "i_start", "i_end", bucketWidth = 32)
-        .groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(countf(litf(1)).as("n_overlapping"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_day"),
+          col("i_start"), col("i_end"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("i_start"), col("i_end"))
     }),
     "q_asof_join" -> ((s, d) => {
       // as-of join: each event matched to its user's most recent order at
@@ -508,11 +531,21 @@ object SparkEntry {
     // state per group, map-side combinable — COUNT(DISTINCT) accuracy check
     // rides along in the same query. The md5-derived hash keeps the whole
     // estimate engine-independent (bit-exact DuckDB twin).
+    // NB: the sketch and the exact count live in SEPARATE aggregations — a
+    // mixed distinct/imperative agg makes the planner key the sketch by
+    // (flag, partkey), allocating one buffer per distinct key and defeating
+    // the bounded-state design (measured 2.4s → 1.1s at sf0.1)
     "q_kmv_distinct" -> ((s, d) => q(s, d,
-      """SELECT l_returnflag,
-        |  kmv_distinct(cast(conv(substring(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint), 256) AS est_parts,
-        |  count(DISTINCT l_partkey) AS exact_parts
-        |FROM lineitem GROUP BY l_returnflag
+      """WITH est AS (
+        |  SELECT l_returnflag,
+        |    kmv_distinct(cast(conv(substring(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint), 256) AS est_parts
+        |  FROM lineitem GROUP BY l_returnflag
+        |), ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT est.l_returnflag, est.est_parts, ex.exact_parts
+        |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
     // Skew mitigation (operators/Skew.scala), oracle-gated for result
     // equality with the unsalted plans. Sums are over integer-valued
@@ -1134,6 +1167,18 @@ object SparkEntry {
         |  AND a.ship_day BETWEEN b.ship_day AND b.ship_day + b.qty
         |GROUP BY a.l_orderkey, a.l_linenumber
         |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
+    "q_range_join_pairs" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS ship_day,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_suppkey < 50
+        |)
+        |SELECT a.l_orderkey, a.l_linenumber, a.ship_day AS p_day,
+        |  b.ship_day AS i_start, b.ship_day + b.qty AS i_end
+        |FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+        |  AND a.ship_day BETWEEN b.ship_day AND b.ship_day + b.qty
+        |ORDER BY a.l_orderkey, a.l_linenumber, i_start, i_end""".stripMargin,
     "q_asof_join" ->
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate,

@@ -40,4 +40,52 @@ object RangeJoin {
           col(pTime) >= col(iStart) && col(pTime) <= col(iEnd))
       .drop("__b")
   }
+
+  /** How many intervals cover each point (same key) — WITHOUT materializing
+    * the pairs. `#covering(p) = #(starts ≤ p) − #(ends < p)`, so a union of
+    * start/point/end markers and ONE keyed window pass with two running
+    * sums answers every point: no join, no replication, output = |points|.
+    * Orders of magnitude cheaper than `rangeJoin(...).groupBy(point)` when
+    * intervals are long or dense (the sweep is O(n log n) vs O(matches)).
+    *
+    * Within a day, markers sort starts(0) < points(1) < ends(2): a point on
+    * an interval's start day IS covered (start already summed), a point on
+    * its end day IS covered (end not yet summed) — exactly the closed
+    * interval `[start, end]` the BETWEEN join expresses.
+    *
+    * Returns the point rows (all their columns) plus `n_overlapping`.
+    * Time columns must be numeric and non-null; names must be disjoint. */
+  def overlapCounts(points: DataFrame, intervals: DataFrame,
+                    pKey: String, iKey: String,
+                    pTime: String, iStart: String, iEnd: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"point/interval column names must be disjoint, shared: $overlap")
+    val reserved = Seq("__day", "__ord", "__s", "__e", "n_overlapping")
+    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"column names $clash are reserved by overlapCounts — rename them first")
+
+    val payload = points.columns.filter(_ != pKey).toSeq
+    def marker(day: org.apache.spark.sql.Column, ord: Int, s: Int, e: Int,
+               from: DataFrame, key: String): DataFrame =
+      from.select(
+        (col(key).as(pKey) +:
+          payload.map(c => lit(null).cast(points.schema(c).dataType).as(c))) ++
+          Seq(day.cast("long").as("__day"), lit(ord).as("__ord"),
+            lit(s.toLong).as("__s"), lit(e.toLong).as("__e")): _*)
+
+    val starts = marker(col(iStart), 0, 1, 0, intervals, iKey)
+    val ends = marker(col(iEnd), 2, 0, 1, intervals, iKey)
+    val pts = points.select(
+      (col(pKey) +: payload.map(col)) ++
+        Seq(col(pTime).cast("long").as("__day"), lit(1).as("__ord"),
+          lit(0L).as("__s"), lit(0L).as("__e")): _*)
+
+    val w = Window.partitionBy(col(pKey)).orderBy(col("__day"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(pts).unionByName(ends)
+      .withColumn("n_overlapping", (sum(col("__s")).over(w) - sum(col("__e")).over(w)))
+      .filter(col("__ord") === 1)
+      .drop("__day", "__ord", "__s", "__e")
+  }
 }

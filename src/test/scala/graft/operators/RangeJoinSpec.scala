@@ -43,4 +43,38 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("p_tag", "i_tag").collect().map(_.toSeq).toSet
     assert(bucketed === naive)
   }
+
+  test("overlapCounts equals rangeJoin's per-point group counts (incl. zero)") {
+    val counted = RangeJoin.overlapCounts(points, intervals,
+        "p_key", "i_key", "p_t", "i_s", "i_e")
+      .select("p_tag", "n_overlapping")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // p1 in i1+i2, p2 in i3, p3 in i4, p4 in i3
+    assert(counted === Map("p1" -> 2L, "p2" -> 1L, "p3" -> 1L, "p4" -> 1L))
+    // a point covered by nothing still comes back, with 0
+    val lonely = Seq((1L, 5000L, "p5")).toDF("p_key", "p_t", "p_tag")
+    val zero = RangeJoin.overlapCounts(lonely, intervals,
+        "p_key", "i_key", "p_t", "i_s", "i_e")
+      .select("n_overlapping").head().getLong(0)
+    assert(zero === 0L)
+  }
+
+  test("overlapCounts boundary semantics: closed interval on both ends") {
+    val pts = Seq((9L, 10L, "on_start"), (9L, 20L, "on_end"), (9L, 21L, "after"))
+      .map { case (k, t, tag) => (k, t, tag) }.toDF("p_key", "p_t", "p_tag")
+    val ivs = Seq((9L, 10L, 20L, "iv")).toDF("i_key", "i_s", "i_e", "i_tag")
+    val got = RangeJoin.overlapCounts(pts, ivs, "p_key", "i_key", "p_t", "i_s", "i_e")
+      .select("p_tag", "n_overlapping")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("on_start" -> 1L, "on_end" -> 1L, "after" -> 0L))
+  }
+
+  test("overlapCounts plans a single keyed window pass, no join") {
+    val p = RangeJoin.overlapCounts(points, intervals,
+        "p_key", "i_key", "p_t", "i_s", "i_e")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"sweep must not plan a join:\n$p")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected one keyed exchange:\n$p")
+  }
 }
