@@ -43,4 +43,18 @@ object Bucketed {
   def cobucketedJoin(spark: SparkSession, leftTable: String,
                      rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Hive-style partitioned layout (`path/col=value/...`): the other half
+    * of the write-time layout story. Bucketing solves JOIN co-location;
+    * directory partitioning solves SCAN pruning — a reader filtering on the
+    * partition column touches only matching directories (`PartitionFilters`
+    * in the plan, asserted in `BucketedSpec`), so a date- or
+    * language-restricted query over 100 TB reads only its slice. Choose a
+    * low-cardinality column; high-cardinality partitioning explodes file
+    * counts (the small-files problem). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -69,6 +69,30 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Map("on_start" -> 1L, "on_end" -> 1L, "after" -> 0L))
   }
 
+  test("property: overlapCounts equals the naive join on random instances") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val pts = (1 to 300).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong, s"p$i")
+      }.toDF("p_key", "p_t", "p_tag")
+      val ivs = (1 to 200).map { i =>
+        val s = rnd.nextInt(200)
+        (rnd.nextInt(5).toLong, s.toLong, (s + rnd.nextInt(30)).toLong, s"i$i")
+      }.toDF("i_key", "i_s", "i_e", "i_tag")
+      val naive = pts.join(ivs,
+          $"p_key" === $"i_key" && $"p_t" >= $"i_s" && $"p_t" <= $"i_e")
+        .groupBy("p_tag").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val swept = RangeJoin.overlapCounts(pts, ivs,
+          "p_key", "i_key", "p_t", "i_s", "i_e")
+        .select("p_tag", "n_overlapping")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // naive drops zero-coverage points; sweep keeps them with 0
+      assert(swept.filter(_._2 > 0L) === naive, s"trial $trial")
+      assert(swept.size === 300, s"trial $trial: all points must come back")
+    }
+  }
+
   test("overlapCounts plans a single keyed window pass, no join") {
     val p = RangeJoin.overlapCounts(points, intervals,
         "p_key", "i_key", "p_t", "i_s", "i_e")

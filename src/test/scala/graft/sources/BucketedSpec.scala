@@ -50,6 +50,20 @@ class BucketedSpec extends AnyFunSuite {
     assert(bucketed.sameElements(plain))
   }
 
+  test("partitioned layout: a partition-column filter prunes directories") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Bucketed.writePartitioned(docs, s"$base/docs_by_lang", Seq("lang"))
+    val read = spark.read.parquet(s"$base/docs_by_lang").filter(col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"expected the lang filter as a PartitionFilter on the scan:\n$p")
+    // pruned scan must still return exactly the en documents
+    assert(read.count() === docs.filter(col("lang") === "en").count())
+    // and the data filter list must NOT contain lang (it never reaches rows)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(!pushed.contains("lang"), s"lang must be partition-pruned, not row-filtered: $pushed")
+  }
+
   test("mismatched bucket counts still join correctly (with a shuffle)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
