@@ -646,13 +646,17 @@ object SparkEntry {
     }),
     "q_cms_estimate" -> ((s, d) => {
       load(s, d)
-      import org.apache.spark.sql.functions.explode
+      import org.apache.spark.sql.functions.{count => countf, desc, explode, lit => litf}
       val docs = s.table("documents")
-      val toks = docs.select(
-        explode(operators.TextOps.tokens(col("text"))).as("token"))
+      // one tokenization shared by the sketch build AND the top-20 item
+      // pick (vocabulary() would re-tokenize); registered for harness release
+      val toks = graft.CacheScope.register(docs.select(
+        explode(operators.TextOps.tokens(col("text"))).as("token")).cache())
       val sketch = operators.Freq.countMinSketch(toks, "token",
         depth = 4, width = 512)
-      val items = operators.Freq.vocabulary(docs, "text", 20).select("token")
+      val items = toks.groupBy(col("token"))
+        .agg(countf(litf(1)).as("c"))
+        .orderBy(desc("c"), col("token").asc).limit(20).select("token")
       operators.Freq.cmsEstimate(sketch, items, "token", depth = 4, width = 512)
         .orderBy(col("token"))
     })
@@ -1101,7 +1105,7 @@ object SparkEntry {
       s"""WITH $duckToks,
          |tk AS (SELECT w AS token FROM toks),
          |grid AS (
-         |  SELECT i, CAST('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15) AS BIGINT) % 512 AS bucket,
+         |  SELECT i, CAST('0x' || substr(md5(token), 1 + 8*i, 8) AS BIGINT) % 512 AS bucket,
          |         count(*) AS cnt
          |  FROM tk CROSS JOIN generate_series(0, 3) g(i)
          |  GROUP BY 1, 2
@@ -1112,7 +1116,7 @@ object SparkEntry {
          |    ORDER BY c DESC, token ASC LIMIT 20)
          |),
          |h AS (
-         |  SELECT token, i, CAST('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15) AS BIGINT) % 512 AS bucket
+         |  SELECT token, i, CAST('0x' || substr(md5(token), 1 + 8*i, 8) AS BIGINT) % 512 AS bucket
          |  FROM items CROSS JOIN generate_series(0, 3) g(i)
          |)
          |SELECT token, min(coalesce(cnt, 0)) AS est_cnt

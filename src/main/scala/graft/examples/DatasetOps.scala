@@ -1,0 +1,68 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Kmv
+import graft.operators.{Freq, Sampling, Sessionize}
+
+/** Beyond-reference example: dataset-engineering operators over the
+  * synthetic tables — deterministic sampling & corpus mixing, cardinality
+  * and frequency sketches, vocabulary building, and sessionization of an
+  * event log.
+  *
+  * Run: `sbt "runMain graft.examples.DatasetOps [sfDir]"` */
+object DatasetOps {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-dataset-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.FinancialFunctions.registerAll(spark)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    println("== Deterministic stratified sampling (rebalance languages) ==")
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.3, "de" -> 1.0), defaultRate = 0.5)
+    sampled.groupBy("lang").count().orderBy("lang").show()
+
+    println("== Weighted corpus mixing (same hash primitive) ==")
+    val mixed = Sampling.mixCorpora(Seq(
+      (docs.filter(col("source") === "src0"), 1.0),
+      (docs.filter(col("source") === "src1"), 0.4)), "doc_id")
+    mixed.groupBy("source").count().orderBy("source").show()
+
+    println("== KMV distinct-count sketch vs exact ==")
+    docs.agg(
+      Kmv.kmvDistinct(col("text"), 256).as("kmv_estimate"),
+      countDistinct(col("text")).as("exact")).show()
+
+    println("== Top-10 vocabulary (exact) ==")
+    Freq.vocabulary(docs, "text", 10).show()
+
+    println("== Count-min sketch point estimates for three tokens ==")
+    import spark.implicits._
+    val toks = docs.select(explode(
+      graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val sketch = Freq.countMinSketch(toks, "token", depth = 4, width = 1024)
+    Freq.cmsEstimate(sketch, Seq("the", "data", "zzz_unseen").toDF("token"),
+      "token", depth = 4, width = 1024).orderBy("token").show()
+
+    println("== Sessionized event log (12h inactivity gap) ==")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("ts_sec"))
+    val sess = Sessionize.assignSessions(ev, "user_id", "ts_sec",
+      gapSeconds = 43200, tieCols = Seq("event_id"))
+    Sessionize.sessionStats(sess, "user_id", "ts_sec")
+      .orderBy(desc("n_events")).show(5)
+
+    spark.stop()
+  }
+}

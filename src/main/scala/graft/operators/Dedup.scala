@@ -301,8 +301,17 @@ object Dedup {
         expr(s"shiftright(simhash, c * $chunkBits)") % (1L << chunkBits))
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("c"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("c"), col("chunk_val"))
+    // each pair is emitted once, at its FIRST matching chunk: a candidate at
+    // chunk c survives only if every earlier chunk differs. A pure filter on
+    // the two fingerprints — replaces a distinct() (a full shuffle of the
+    // candidate pairs) with codegen'd bit arithmetic.
+    def chunkAt(fp: String, k: Int) =
+      expr(s"shiftright($fp, ${k * chunkBits})") % (1L << chunkBits)
+    val firstMatchOnly = (0 until nChunks - 1)
+      .map(k => (col("c") <= k) || (chunkAt("fp_a", k) =!= chunkAt("fp_b", k)))
+      .reduce(_ && _)
     a.join(b, Seq("c", "chunk_val")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .filter(firstMatchOnly)
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -37,19 +37,32 @@ object Freq {
       .limit(k)
   }
 
+  /** The depth hash rows all slice ONE md5 (128 bits = four 32-bit hashes,
+    * Kirsch–Mitzenmacher-style): row i's bucket comes from hex digits
+    * [1+8i, 8+8i). One digest per occurrence instead of `depth` — the md5
+    * is the per-row hot cost at 100 TB. The digest is bound in its own
+    * projection so the multi-referenced slice expressions cannot inline and
+    * recompute it (CollapseProject keeps non-cheap multi-referenced
+    * expressions bound). */
+  private def hashEntries(v: org.apache.spark.sql.Column, depth: Int,
+                          width: Int): org.apache.spark.sql.Column = {
+    array((0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        pmod(conv(substring(v, 1 + 8 * i, 8), 16, 10).cast("long"),
+          lit(width.toLong)).as("bucket"))
+    }: _*)
+  }
+
   /** Build a depth×width count-min grid over the values of `valueCol`:
-    * one row per non-empty cell `(i, bucket, cnt)` where
-    * `bucket = h_i(value) mod width` and `h_i` is the 60-bit md5 hash of
-    * the i-salted value. Missing cells are zero. */
+    * one row per non-empty cell `(i, bucket, cnt)` where row i's bucket is
+    * a 32-bit slice of the value's md5 mod width. Missing cells are zero. */
   def countMinSketch(df: DataFrame, valueCol: String,
                      depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth > 0 && width > 0)
-    df.select(col(valueCol).cast("string").as("__v"))
-      .select(col("__v"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
-      .select(col("i"),
-        pmod(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
-          col("__v"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
-          .as("bucket"))
+    require(depth > 0 && depth <= 4, "depth must be 1..4 (md5 yields four 32-bit slices)")
+    require(width > 0)
+    df.select(md5(col(valueCol).cast("string")).as("__h"))
+      .select(explode(hashEntries(col("__h"), depth, width)).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.bucket").as("bucket"))
       .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -60,14 +73,11 @@ object Freq {
     * below (CMS overestimates only). */
   def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth > 0 && depth <= 4, "depth must be 1..4 (md5 yields four 32-bit slices)")
     val hashed = items
-      .select(col(itemCol), col(itemCol).cast("string").as("__v"))
-      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("i"),
-        col("__v"))
-      .select(col(itemCol), col("i"),
-        pmod(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
-          col("__v"))), 1, 15), 16, 10).cast("long"), lit(width.toLong))
-          .as("bucket"))
+      .select(col(itemCol), md5(col(itemCol).cast("string")).as("__h"))
+      .select(col(itemCol), explode(hashEntries(col("__h"), depth, width)).as("__e"))
+      .select(col(itemCol), col("__e.i").as("i"), col("__e.bucket").as("bucket"))
     hashed.join(broadcast(sketch), Seq("i", "bucket"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))

@@ -92,4 +92,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Exchange").length - 1 == 2, // window hash + output range
       s"expected exactly two exchanges (window + output sort):\n$p")
   }
+
+  test("kmv sketch aggregates map-side before its exchange") {
+    val p = plan("q_kmv_distinct")
+    // the partial (pre-shuffle) aggregate must carry the sketch function —
+    // the shuffle then moves k-long buffers, never raw rows
+    assert(p.contains("partial_kmv_distinct"),
+      s"expected a map-side partial kmv aggregate:\n$p")
+  }
+
+  test("deterministic sampling is a scan-side filter — zero exchanges before the sort") {
+    val p = plan("q_sample_strata")
+    // only the final presentation sort may exchange
+    assert(p.split("Exchange").length - 1 == 1,
+      s"expected the output range exchange only:\n$p")
+    assert(p.contains("Filter"), s"expected the hash-threshold filter:\n$p")
+  }
+
+  test("range-join sweep plans no join at any scale") {
+    val p = plan("q_range_join")
+    assert(!p.contains("Join"), s"the sweep must never plan a join:\n$p")
+  }
 }
