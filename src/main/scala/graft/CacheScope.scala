@@ -17,6 +17,16 @@ import scala.util.control.NonFatal
   *
   * Library callers that run many operator calls in one session should do the
   * same, or hold their own reference and `unpersist()` directly.
+  *
+  * ==Single-caller assumption==
+  * The registry is process-global and deliberately so: it models the
+  * harness protocol "one query builds, one action consumes, then release".
+  * It is NOT safe for concurrent operator calls — a `release()` from one
+  * thread unpersists every registered frame, including another in-flight
+  * query's operator-internal caches. Correctness survives (Spark silently
+  * recomputes an unpersisted frame), but the persist — and any measurement
+  * depending on it — is defeated. Concurrent pipelines must skip the
+  * registry and manage `unpersist()` on their own references instead.
   */
 object CacheScope {
   private val frames = ArrayBuffer.empty[Dataset[_]]

@@ -38,15 +38,21 @@ object SizeSweep {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // rownum is pinned to the (l_orderkey, l_linenumber) total order with
+    // row_number() BEFORE any limit — monotonically_increasing_id after
+    // orderBy+limit left both the id order and the surviving rows at the
+    // mercy of plan/partitioning changes, silently changing the timed series.
+    // The 1-partition window sort only runs in the untimed setup phase.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .orderBy("l_orderkey", "l_linenumber")
-      .select(col("l_extendedprice").as("price"))
-      .limit(Sizes.max)
-      .withColumn("rownum", monotonically_increasing_id())
+      .select(col("l_extendedprice").as("price"),
+        row_number().over(wAll).as("rownum"))
+      .filter(col("rownum") <= Sizes.max)
 
     val perIndicator = Indicators.map { case (name, exprSql) =>
       val sizeJson = Sizes.map { n =>
-        val series = base.limit(n).cache()
+        val series = base.filter(col("rownum") <= n).cache()
         force(series) // materialize outside the timed region
         series.createOrReplaceTempView("series")
         def once(): Double = {

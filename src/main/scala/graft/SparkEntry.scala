@@ -278,6 +278,20 @@ object SparkEntry {
   // ---- LLM-training-data pipeline operators ------------------------------
   import org.apache.spark.sql.functions.{col, broadcast}
 
+  /** Per-row oracle-precondition guard: passes `text` through unchanged, or
+    * raises at runtime if a document violates a contract the DuckDB replica
+    * depends on. The precondition is thereby checked against WHATEVER corpus
+    * Verify/Bench actually runs on (the specs only sample sf0.001), so a
+    * violating document at another scale factor fails loudly here instead of
+    * surfacing as an opaque gate hash mismatch. Codegen'd per-row predicate —
+    * no extra pass, no plan change. */
+  private def textChecked(text: org.apache.spark.sql.Column,
+                          violation: org.apache.spark.sql.Column,
+                          msg: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{when, raise_error, lit}
+    when(violation, raise_error(lit(msg))).otherwise(text)
+  }
+
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, d) => {
       load(s, d)
@@ -316,7 +330,15 @@ object SparkEntry {
       // the deterministic byte-histogram stand-in, so the oracle can verify
       // the whole plumbing hash-exact.
       load(s, d)
-      val m = operators.Multimodal.withMedia(s.table("documents"), "doc_id", "text")
+      // oracle precondition: the DuckDB replica of the byte-histogram counts
+      // CHARACTERS per bucket, equal to the Scala per-BYTE histogram only
+      // for single-byte (ASCII) text — asserted per row on the gated corpus
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_features oracle precondition violated: non-ASCII document"))
+      val m = operators.Multimodal.withMedia(docs, "doc_id", "text")
       val feats = operators.Multimodal.decodeFeatures(s, m, "doc_id")
       // project the vector to scalar columns: float-array columns defeat the
       // gate's row-sort + hash compare, scalars don't
@@ -329,9 +351,14 @@ object SparkEntry {
       // real merge-table BPE (vs q_token_count's fast pre-tokenizer count):
       // a native codegen'd expression applying Bpe.DefaultMerges per row
       load(s, d)
+      // oracle precondition: the DuckDB replica frames BPE symbols with
+      // chr(31), so the gate is hash-exact only while no document contains
+      // that byte — asserted per row against the verified corpus itself
+      val guarded = textChecked(col("text"), col("text").contains("\u001f"),
+        "q_bpe_tokens oracle precondition violated: document contains chr(31)")
       s.table("documents").select(
         col("doc_id"),
-        functions.BpeFunctions.bpeCount(col("text")).as("bpe_tokens"))
+        functions.BpeFunctions.bpeCount(guarded).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
     "q_doc_fingerprint" -> ((s, d) => {

@@ -32,7 +32,11 @@ object RangeJoin {
 
     val pb = points.withColumn("__b",
       floor(col(pTime) / bucketWidth).cast("long"))
-    val ib = intervals.withColumn("__b",
+    // inverted intervals (start > end) match nothing under BETWEEN; dropping
+    // them up front skips their bucket replication (sequence() would emit a
+    // DESCENDING bucket range for them, every row of which the post-filter
+    // rejects anyway)
+    val ib = intervals.filter(col(iStart) <= col(iEnd)).withColumn("__b",
       explode(sequence(floor(col(iStart) / bucketWidth).cast("long"),
         floor(col(iEnd) / bucketWidth).cast("long"))))
     pb.join(ib,
@@ -74,8 +78,13 @@ object RangeJoin {
           Seq(day.cast("long").as("__day"), lit(ord).as("__ord"),
             lit(s.toLong).as("__s"), lit(e.toLong).as("__e")): _*)
 
-    val starts = marker(col(iStart), 0, 1, 0, intervals, iKey)
-    val ends = marker(col(iEnd), 2, 0, 1, intervals, iKey)
+    // an inverted interval (start > end) puts its end marker BEFORE its start
+    // marker in the sweep, subtracting coverage the BETWEEN join never adds
+    // (it matches nothing for such intervals) — n_overlapping could even go
+    // negative. Dropping them reproduces BETWEEN's empty-match semantics.
+    val valid = intervals.filter(col(iStart) <= col(iEnd))
+    val starts = marker(col(iStart), 0, 1, 0, valid, iKey)
+    val ends = marker(col(iEnd), 2, 0, 1, valid, iKey)
     val pts = points.select(
       (col(pKey) +: payload.map(col)) ++
         Seq(col(pTime).cast("long").as("__day"), lit(1).as("__ord"),

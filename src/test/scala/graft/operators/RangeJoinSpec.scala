@@ -93,6 +93,22 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted intervals (start > end) match nothing, like BETWEEN") {
+    val ivs = Seq(
+      (1L, 15L, 5L, "inv"),   // inverted — BETWEEN matches nothing
+      (1L, 5L, 15L, "ok"))    // contains p1
+      .toDF("i_key", "i_s", "i_e", "i_tag")
+    val joined = RangeJoin.rangeJoin(points, ivs, "p_key", "i_key", "p_t", "i_s", "i_e", 8)
+      .select("p_tag", "i_tag").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(joined === Seq("p1" -> "ok"))
+    // the sweep must not let the inverted interval's end marker SUBTRACT
+    // coverage it never added (p1 sat between the two markers)
+    val counts = RangeJoin.overlapCounts(points, ivs, "p_key", "i_key", "p_t", "i_s", "i_e")
+      .select("p_tag", "n_overlapping")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts === Map("p1" -> 1L, "p2" -> 0L, "p3" -> 0L, "p4" -> 0L))
+  }
+
   test("overlapCounts plans a single keyed window pass, no join") {
     val p = RangeJoin.overlapCounts(points, intervals,
         "p_key", "i_key", "p_t", "i_s", "i_e")

@@ -77,4 +77,17 @@ class SessionizeSpec extends AnyFunSuite {
       assert(out.filter(_._1 == "u1").map(_._2).sorted.take(2) === Array(1L, 2L))
     } finally query.stop()
   }
+
+  test("assignSessions rejects inputs that use its reserved columns") {
+    val withSid = Seq(("u1", new Timestamp(0L), 9L)).toDF("user", "ts", "session_id")
+    val e = intercept[IllegalArgumentException] {
+      Sessionize.assignSessions(withSid, "user", "ts", 60L, Seq.empty)
+    }
+    assert(e.getMessage.contains("reserved"))
+    val withFlag = Seq(("u1", new Timestamp(0L), 1L)).toDF("user", "ts", "__new_session")
+    val e2 = intercept[IllegalArgumentException] {
+      Sessionize.assignSessions(withFlag, "user", "ts", 60L, Seq.empty)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }
