@@ -30,6 +30,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Task-memory page size is derived from execution-pool/cores and caps
+      // at 64 MB: on a large-heap driver every hash map / sorter then
+      // allocates-and-zeroes 64 MB pages for KB-sized sf0.1 partitions,
+      // which dominated multi-consumer queries (q_dedup_components measured
+      // 17.4s at -Xmx90g vs 3.9s with right-sized pages; identical plans).
+      // 4 MB matches what the formula yields for a modest heap. A real
+      // cluster run at 100 TB keeps the default — pages amortize over
+      // multi-MB partitions there.
+      .config("spark.buffer.pageSize", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

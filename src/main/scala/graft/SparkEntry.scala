@@ -382,6 +382,17 @@ object SparkEntry {
       val pairs = operators.Dedup.minhashNearDups(s.table("documents"), "doc_id", "text")
       operators.Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
+    "q_dedup_keep" -> ((s, d) => {
+      // the full dedup composite a pipeline actually runs: near-dup pairs →
+      // components → drop everything but each cluster's min-id representative
+      load(s, d)
+      val docs = s.table("documents")
+      val pairs = operators.Dedup.minhashNearDups(docs, "doc_id", "text")
+      val comp = operators.Dedup.connectedComponents(pairs)
+      operators.Dedup.keepRepresentatives(docs, "doc_id", comp)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => {
       load(s, d)
       operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
@@ -891,6 +902,37 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared CTE chain: minhash near-dup pairs → undirected edges → recursive
+    * reachability (`reach`), from which components are `min(r)` per id.
+    * Used by the q_dedup_components and q_dedup_keep oracles. */
+  private def duckComponentsCtes: String =
+    s"""$duckMinhashCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.id_a, c.id_b
+       |),
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.id_a
+       |  JOIN sizes nb ON nb.doc_id = i.id_b
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.src, r.r FROM reach r JOIN edges e ON e.dst = r.id
+       |)""".stripMargin
+
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
     "q_curation" ->
@@ -929,33 +971,18 @@ object SparkEntry {
     "q_dedup_components" ->
       // components of the minhash near-dup graph: min reachable id via a
       // recursive closure (exact; graph is small after LSH+verify)
-      s"""WITH RECURSIVE $duckMinhashCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.id_a
-         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.id_a, c.id_b
-         |),
-         |pairs AS (
-         |  SELECT i.id_a, i.id_b
-         |  FROM inter i
-         |  JOIN sizes na ON na.doc_id = i.id_a
-         |  JOIN sizes nb ON nb.doc_id = i.id_b
-         |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
-         |),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |),
-         |verts AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM verts
-         |  UNION
-         |  SELECT e.src, r.r FROM reach r JOIN edges e ON e.dst = r.id
-         |)
+      s"""WITH RECURSIVE $duckComponentsCtes
          |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_keep" ->
+      // end-to-end dedup: keep one representative (min id) per near-dup
+      // component; docs in no component survive untouched
+      s"""WITH RECURSIVE $duckComponentsCtes,
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |drop_ids AS (SELECT id FROM comp WHERE id <> component)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d LEFT JOIN drop_ids x ON x.id = d.doc_id
+         |WHERE x.id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" -> (duckSimhashSql + "\nSELECT doc_id, simhash FROM fps ORDER BY doc_id"),
     "q_simhash_pairs" ->
       (duckSimhashSql +

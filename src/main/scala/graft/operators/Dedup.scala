@@ -214,13 +214,19 @@ object Dedup {
     def drop(ids: Set[Int]): Unit = ids.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // the union reads `pairs` TWICE (one scan per direction): without this
+    // persist an expensive upstream pipeline (e.g. the whole minhash
+    // near-dup chain) recomputes per scan. Scoped: dropped as soon as the
+    // label init below has materialized the (persisted) edges frame.
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairsP.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairsP.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var (labels, labelBlocks) = checkpointed(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
+    pairsP.unpersist(blocking = false) // edges is materialized now
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -11,6 +11,7 @@ object PerfProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "4m") // match Bench (see Bench.scala)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
