@@ -366,6 +366,21 @@ object SparkEntry {
       operators.TextOps.fingerprints(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_repetition" -> ((s, d) => {
+      // Gopher-style repeated-n-gram quality signal; pure per-row
+      load(s, d)
+      operators.TextOps.repetitionStats(s.table("documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+    "q_contamination" -> ((s, d) => {
+      // decontamination pass: 8-gram overlap against a probe "benchmark"
+      // set (every 20th doc stands in for the eval corpus)
+      load(s, d)
+      val docs = s.table("documents")
+      val probes = docs.filter(col("doc_id") % 20 === 0)
+      operators.TextOps.contamination(docs, "doc_id", "text", probes, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_exact" -> ((s, d) => {
       load(s, d)
       operators.Dedup.exact(s.table("documents"), "doc_id", "text")
@@ -736,6 +751,17 @@ object SparkEntry {
       |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
       |ORDER BY i.id_a, i.id_b""".stripMargin
 
+  /** Distinct word-n-gram CTEs for arbitrary n (`shn0` with duplicates,
+    * `shn` distinct) — the n-parameterized twin of [[duckShingles]]. */
+  private def duckShinglesN(n: Int): String = {
+    val concat = ("w" +: (1 until n).map(k => s"lead(w,$k) OVER win")).mkString(" || ' ' || ")
+    s"""$duckToks, shn0 AS (
+       |  SELECT doc_id, $concat AS shingle
+       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY lead(w,${n - 1}) OVER win IS NOT NULL
+       |), shn AS (SELECT DISTINCT doc_id, shingle FROM shn0)""".stripMargin
+  }
+
   /** The minhash CTE chain through candidate pairs (shared by the near-dup
     * and connected-components oracles). */
   private def duckMinhashCtes: String = {
@@ -963,6 +989,31 @@ object SparkEntry {
          |fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(fp.fingerprint, md5(lower(d.text))) AS fingerprint
          |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""WITH $duckShingles,
+         |tot AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+         |dis AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.n, 0) AS INT) AS n_ngrams,
+         |  CAST(coalesce(di.n, 0) AS INT) AS n_distinct,
+         |  CASE WHEN coalesce(t.n, 0) > 0
+         |       THEN 1.0::DOUBLE - CAST(di.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+         |       ELSE 0.0::DOUBLE END AS rep_ratio
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN dis di ON di.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH ${duckShinglesN(8)},
+         |probe AS (SELECT DISTINCT shingle FROM shn WHERE doc_id % 20 = 0),
+         |hits AS (
+         |  SELECT s.doc_id, count(*) AS n_contaminated
+         |  FROM shn s JOIN probe p ON p.shingle = s.shingle
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies

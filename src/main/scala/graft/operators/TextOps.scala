@@ -149,6 +149,53 @@ object TextOps {
   private def stopCountArr(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
 
+  /** Per-document n-gram repetition stats — the Gopher-style repetitiousness
+    * quality signal (documents dominated by repeated n-grams are boilerplate
+    * or spam): total n-gram occurrences, distinct n-grams, and
+    * `rep_ratio = 1 − distinct/total` (0 for documents shorter than n).
+    *
+    * Pure per-row array arithmetic: no explode, no shuffle — scales with
+    * corpus bytes like the other text stats. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1)
+    df.select(col(idCol),
+        shingleArray(tokens(col(textCol)), n).as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).as("n_ngrams"),
+        size(array_distinct(col("__sh"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Train/test contamination check: for every document, how many distinct
+    * n-grams of the (small) probe corpus — a benchmark/eval set — it
+    * contains. The standard decontamination pass before training
+    * (GPT-3/Gopher-style 8–13-gram overlap).
+    *
+    * Scale design: the probe n-gram set is benchmark-sized, so it
+    * BROADCASTS; the corpus side is one shingle explode + one map-side
+    * combinable count per doc — no corpus self-join, no global distinct of
+    * corpus n-grams. Docs with zero hits come back with 0 via the final
+    * left join (broadcast-able whenever the hit list is small). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeTextCol: String,
+                    n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val docSh = shingles(docs, idCol, textCol, n) // distinct per doc
+    val probeSh = probes
+      .select(explode(array_distinct(
+        shingleArray(tokens(col(probeTextCol)), n))).as("shingle"))
+      .distinct()
+    val hits = docSh.join(broadcast(probeSh), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

@@ -31,6 +31,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(preds(3) === "de")
   }
 
+  test("repetitionStats: hand-computed totals, distincts, ratio") {
+    val reps = Seq(
+      (1L, "a b a b a b"),        // 3-grams: "a b a","b a b","a b a","b a b" → 4 total, 2 distinct
+      (2L, "one two three four"), // 2 total, 2 distinct
+      (3L, "too short")           // < 3 tokens → 0, ratio 0.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(reps, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_ngrams"), r.getAs[Int]("n_distinct"), r.getAs[Double]("rep_ratio")))
+    assert(got(0) === ((4, 2, 0.5)))
+    assert(got(1) === ((2, 2, 0.0)))
+    assert(got(2) === ((0, 0, 0.0)))
+  }
+
+  test("contamination: counts distinct probe n-grams per doc, zero-fills") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // contains probe 3-grams
+      (2L, "alpha beta gamma delta epsilon"), // same — same count
+      (3L, "totally unrelated text goes here")
+    ).toDF("doc_id", "text")
+    val probes = Seq((99L, "alpha beta gamma delta")).toDF("pid", "ptext")
+    // probe 3-grams: "alpha beta gamma", "beta gamma delta"
+    val got = TextOps.contamination(corpus, "doc_id", "text", probes, "ptext", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_contaminated")))
+    assert(got.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 0L)))
+  }
+
+  test("contamination broadcasts the probe side") {
+    val probes = docs.filter($"doc_id" === 5L)
+    val plan = TextOps.contamination(docs, "doc_id", "text", probes, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe n-grams must broadcast:\n$plan")
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.length === 4)
