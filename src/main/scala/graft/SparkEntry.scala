@@ -372,6 +372,17 @@ object SparkEntry {
       operators.TextOps.repetitionStats(s.table("documents"), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     }),
+    "q_pack" -> ((s, d) => {
+      // concat-and-chunk sequence packing: 8 shards, 512-token packs,
+      // whitespace token counts as the length measure
+      load(s, d)
+      val withLen = s.table("documents").select(
+        col("doc_id"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        operators.TextOps.tokenCount(col("text")).as("n_tokens"))
+      operators.Packing.packAssignments(withLen, "doc_id", "n_tokens", "shard", 512L)
+        .orderBy(col("doc_id"))
+    }),
     "q_contamination" -> ((s, d) => {
       // decontamination pass: 8-gram overlap against a probe "benchmark"
       // set (every 20th doc stands in for the eval corpus)
@@ -1004,6 +1015,24 @@ object SparkEntry {
          |LEFT JOIN tot t ON t.doc_id = d.doc_id
          |LEFT JOIN dis di ON di.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_pack" ->
+      // CAST around the window sum: DuckDB sum(INTEGER) returns HUGEINT
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 8 AS INT) AS shard,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INT) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(n_tokens AS BIGINT) AS token_start
+        |  FROM base
+        |)
+        |SELECT doc_id, shard, n_tokens, token_start,
+        |  token_start // 512 AS pack_id,
+        |  token_start % 512 AS offset_in_pack
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       s"""WITH ${duckShinglesN(8)},
          |probe AS (SELECT DISTINCT shingle FROM shn WHERE doc_id % 20 = 0),
