@@ -241,6 +241,17 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin)),
+    // exact grouped quantiles (linear interpolation — matches DuckDB
+    // quantile_cont). At 100 TB the same query shape runs with
+    // approx_percentile (t-digest, map-side combinable) — the exact variant
+    // is the small-group / validation path.
+    "q_quantiles" -> ((s, d) => q(s, d,
+      """SELECT l_returnflag,
+        |  percentile(l_quantity, 0.25) AS q25,
+        |  percentile(l_quantity, 0.5) AS q50,
+        |  percentile(l_quantity, 0.75) AS q75,
+        |  percentile(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_revenue_by_nation" -> ((s, d) => {
       load(s, d)
       // broadcast-join shape: orders (fact) joined to small dims
@@ -1541,6 +1552,13 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_count
         |FROM orders
