@@ -23,10 +23,19 @@ import scala.util.control.NonFatal
   * harness protocol "one query builds, one action consumes, then release".
   * It is NOT safe for concurrent operator calls — a `release()` from one
   * thread unpersists every registered frame, including another in-flight
-  * query's operator-internal caches. Correctness survives (Spark silently
-  * recomputes an unpersisted frame), but the persist — and any measurement
-  * depending on it — is defeated. Concurrent pipelines must skip the
-  * registry and manage `unpersist()` on their own references instead.
+  * query's operator-internal caches. For plain persists correctness
+  * survives (Spark silently recomputes), but the persist — and any
+  * measurement depending on it — is defeated. Concurrent pipelines must
+  * skip the registry and manage `unpersist()` on their own references.
+  *
+  * ==Checkpoint-backed frames are NOT recomputable==
+  * Frames tracked via [[registerRddIds]] (`localCheckpoint` blocks from
+  * iterative operators such as `Dedup.connectedComponents`) have their
+  * lineage TRUNCATED at the checkpoint: after `release()`, any Dataset
+  * derived from them fails hard (`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`)
+  * instead of recomputing. Call `release()` only once nothing downstream
+  * of the operator call will run again (see
+  * `examples/CurationPipeline.scala` for the end-of-pipeline placement).
   */
 object CacheScope {
   private val frames = ArrayBuffer.empty[Dataset[_]]

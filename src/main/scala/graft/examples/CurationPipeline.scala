@@ -2,12 +2,12 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Packing, TextOps}
 
-/** Beyond-reference example: the LLM training-data curation surface on the
-  * synthetic documents/embeddings tables — text stats → quality/language
-  * filter → exact + MinHash near-dup dedup → connected components → kept
-  * representatives, then BPE token budgeting and an ANN probe.
+/** Beyond-reference example: the full training-data curation path over the
+  * synthetic document corpus — quality/repetition screening, near-dup
+  * clustering with representative selection, benchmark decontamination,
+  * and concat-and-chunk sequence packing of the surviving documents.
   *
   * Run: `sbt "runMain graft.examples.CurationPipeline [sfDir]"` */
 object CurationPipeline {
@@ -21,37 +21,44 @@ object CurationPipeline {
       .appName("graft-curation-pipeline")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.FinancialFunctions.registerAll(spark)
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
-    println("== Per-document stats (language ID, quality, token counts) ==")
+    println("== 1. Quality screen: stats + repetition ratio ==")
     val stats = TextOps.textStats(docs, "doc_id", "text")
-    stats.show(5, truncate = false)
+    val reps = TextOps.repetitionStats(docs, "doc_id", "text", n = 3)
+    val screened = docs
+      .join(stats.select(col("doc_id"), col("quality_score"), col("n_tokens")), "doc_id")
+      .join(reps.select(col("doc_id"), col("rep_ratio")), "doc_id")
+      .filter(col("quality_score") >= 0.2 && col("rep_ratio") < 0.9)
+    println(s"kept ${screened.count()} of ${docs.count()} after quality screen")
 
-    println("== Quality + language filter ==")
-    val kept = docs.join(stats, "doc_id")
-      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.2 &&
-        col("n_tokens") >= 10)
-    println(s"kept ${kept.count()} of ${docs.count()} documents")
-
-    println("== Near-dup pairs (MinHash+LSH, verified Jaccard) ==")
-    val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", threshold = 0.5)
-    pairs.show(5, truncate = false)
-
-    println("== Dedup groups (connected components) and representatives ==")
+    println("== 2. Near-dup clustering -> keep one representative ==")
+    val pairs = Dedup.minhashNearDups(screened, "doc_id", "text", threshold = 0.5)
     val comps = Dedup.connectedComponents(pairs)
-    val reps = Dedup.keepRepresentatives(kept, "doc_id", comps)
-    println(s"${reps.count()} documents after near-dup removal")
+    val deduped = Dedup.keepRepresentatives(screened, "doc_id", comps)
+    println(s"kept ${deduped.count()} after near-dup removal")
+    // NOTE: CacheScope.release() must wait until NOTHING derived from the
+    // dedup call runs again — `deduped`'s lineage roots in the components'
+    // localCheckpoint blocks, which (unlike plain persists) cannot be
+    // recomputed once released. Released before spark.stop() below.
 
-    println("== Token budget (merge-table BPE) ==")
-    reps.select(sum(graft.functions.BpeFunctions.bpeCount(col("text")))
-      .as("total_bpe_tokens")).show()
+    println("== 3. Decontamination vs a probe 'benchmark' set ==")
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    val contam = TextOps.contamination(deduped, "doc_id", "text", probes, "text", n = 8)
+    val clean = deduped.join(
+      contam.filter(col("n_contaminated") === 0).select("doc_id"), "doc_id")
+    println(s"kept ${clean.count()} after 8-gram decontamination")
 
-    println("== ANN probe: 3 nearest neighbours of vector 0 (learned IVF) ==")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    Similarity.ivfKnnLearned(emb, emb.filter(col("vec_id") === 0), k = 3)
-      .show(truncate = false)
+    println("== 4. Sequence packing (4 shards, 512-token packs) ==")
+    val withLen = clean.select(col("doc_id"),
+      (col("doc_id") % 4).cast("int").as("shard"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Packing.packAssignments(withLen, "doc_id", "n_tokens", "shard", 512L)
+      .groupBy("shard").agg(
+        count(lit(1)).as("docs"),
+        (max(col("pack_id")) + 1).as("packs"))
+      .orderBy("shard").show()
 
     graft.CacheScope.release()
     spark.stop()
