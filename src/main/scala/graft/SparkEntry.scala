@@ -748,13 +748,9 @@ object SparkEntry {
       |  FROM documents
       |), toks AS (SELECT doc_id, w, pos FROM toks0 WHERE w <> '')""".stripMargin
 
-  private val duckShingles =
-    s"""$duckToks, sh0 AS (
-       |  SELECT doc_id,
-       |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle
-       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-       |  QUALIFY lead(w,2) OVER win IS NOT NULL
-       |), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+  /** Word-3-gram CTEs under the canonical `sh0`/`sh` names most oracles
+    * reference — the single source is [[duckShinglesN]]. */
+  private lazy val duckShingles = duckShinglesN(3, "sh")
 
   private val duckJaccardTail =
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -773,15 +769,15 @@ object SparkEntry {
       |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
       |ORDER BY i.id_a, i.id_b""".stripMargin
 
-  /** Distinct word-n-gram CTEs for arbitrary n (`shn0` with duplicates,
-    * `shn` distinct) — the n-parameterized twin of [[duckShingles]]. */
-  private def duckShinglesN(n: Int): String = {
+  /** Word-n-gram CTEs (`<cte>0` with duplicates, `<cte>` distinct) —
+    * mirrors TextOps.shingles for any n. */
+  private def duckShinglesN(n: Int, cte: String = "shn"): String = {
     val concat = ("w" +: (1 until n).map(k => s"lead(w,$k) OVER win")).mkString(" || ' ' || ")
-    s"""$duckToks, shn0 AS (
+    s"""$duckToks, ${cte}0 AS (
        |  SELECT doc_id, $concat AS shingle
        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
        |  QUALIFY lead(w,${n - 1}) OVER win IS NOT NULL
-       |), shn AS (SELECT DISTINCT doc_id, shingle FROM shn0)""".stripMargin
+       |), $cte AS (SELECT DISTINCT doc_id, shingle FROM ${cte}0)""".stripMargin
   }
 
   /** The minhash CTE chain through candidate pairs (shared by the near-dup

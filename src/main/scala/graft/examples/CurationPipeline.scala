@@ -36,7 +36,9 @@ object CurationPipeline {
     println("== 2. Near-dup clustering -> keep one representative ==")
     val pairs = Dedup.minhashNearDups(screened, "doc_id", "text", threshold = 0.5)
     val comps = Dedup.connectedComponents(pairs)
-    val deduped = Dedup.keepRepresentatives(screened, "doc_id", comps)
+    // persisted: consumed twice inside the decontamination count (as the
+    // contamination input AND the join's left side) and again by packing
+    val deduped = Dedup.keepRepresentatives(screened, "doc_id", comps).persist()
     println(s"kept ${deduped.count()} after near-dup removal")
     // NOTE: CacheScope.release() must wait until NOTHING derived from the
     // dedup call runs again — `deduped`'s lineage roots in the components'
@@ -48,6 +50,7 @@ object CurationPipeline {
     val contam = TextOps.contamination(deduped, "doc_id", "text", probes, "text", n = 8)
     val clean = deduped.join(
       contam.filter(col("n_contaminated") === 0).select("doc_id"), "doc_id")
+      .persist() // consumed by the count here and the packing below
     println(s"kept ${clean.count()} after 8-gram decontamination")
 
     println("== 4. Sequence packing (4 shards, 512-token packs) ==")
@@ -57,9 +60,14 @@ object CurationPipeline {
     Packing.packAssignments(withLen, "doc_id", "n_tokens", "shard", 512L)
       .groupBy("shard").agg(
         count(lit(1)).as("docs"),
-        (max(col("pack_id")) + 1).as("packs"))
+        // packs = total concatenated tokens / 512, rounded up — NOT
+        // max(pack_id)+1 (pack_id marks where a doc STARTS; its trailing
+        // tokens may spill into further packs)
+        ceil(max(col("token_start") + col("n_tokens")) / 512.0).as("packs"))
       .orderBy("shard").show()
 
+    clean.unpersist()
+    deduped.unpersist()
     graft.CacheScope.release()
     spark.stop()
   }

@@ -29,11 +29,8 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty, s"left/right column names must be disjoint, shared: $overlap")
-    val reservedHit = (left.columns.toSet ++ right.columns.toSet).intersect(Reserved)
-    require(reservedHit.isEmpty,
-      s"column names $reservedHit are reserved by asofJoin — rename them first")
+    Guards.requireDisjoint(left.columns, right.columns, "left/right")
+    Guards.requireNoReserved(left.columns ++ right.columns, Reserved, "asofJoin")
 
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)

@@ -39,10 +39,8 @@ object Packing {
                       shardCol: String, seqLen: Long,
                       tieCols: Seq[String] = Seq.empty): DataFrame = {
     require(seqLen > 0)
-    val reserved = Seq("token_start", "pack_id", "offset_in_pack")
-    val clash = docs.columns.toSet.intersect(reserved.toSet)
-    require(clash.isEmpty,
-      s"column names $clash are reserved by packAssignments — rename them first")
+    Guards.requireNoReserved(docs.columns,
+      Seq("token_start", "pack_id", "offset_in_pack"), "packAssignments")
     val w = Window.partitionBy(col(shardCol))
       .orderBy((col(idCol) +: tieCols.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

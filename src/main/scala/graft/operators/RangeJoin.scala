@@ -23,12 +23,10 @@ object RangeJoin {
                 pTime: String, iStart: String, iEnd: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(overlap.isEmpty, s"point/interval column names must be disjoint, shared: $overlap")
+    Guards.requireDisjoint(points.columns, intervals.columns, "point/interval")
     // "__b" is the internal bucket column — a caller column with that name
     // would silently join on the wrong key
-    require(!(points.columns ++ intervals.columns).contains("__b"),
-      "column name __b is reserved by rangeJoin — rename it first")
+    Guards.requireNoReserved(points.columns ++ intervals.columns, Seq("__b"), "rangeJoin")
 
     val pb = points.withColumn("__b",
       floor(col(pTime) / bucketWidth).cast("long"))
@@ -63,11 +61,9 @@ object RangeJoin {
                     pKey: String, iKey: String,
                     pTime: String, iStart: String, iEnd: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(overlap.isEmpty, s"point/interval column names must be disjoint, shared: $overlap")
-    val reserved = Seq("__day", "__ord", "__s", "__e", "n_overlapping")
-    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved.toSet)
-    require(clash.isEmpty, s"column names $clash are reserved by overlapCounts — rename them first")
+    Guards.requireDisjoint(points.columns, intervals.columns, "point/interval")
+    Guards.requireNoReserved(points.columns ++ intervals.columns,
+      Seq("__day", "__ord", "__s", "__e", "n_overlapping"), "overlapCounts")
 
     val payload = points.columns.filter(_ != pKey).toSeq
     def marker(day: org.apache.spark.sql.Column, ord: Int, s: Int, e: Int,

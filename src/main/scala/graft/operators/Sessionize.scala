@@ -33,11 +33,8 @@ object Sessionize {
   def assignSessions(events: DataFrame, userCol: String, tsCol: String,
                      gapSeconds: Long, tieCols: Seq[String]): DataFrame = {
     require(gapSeconds > 0)
-    // withColumn would silently overwrite a pre-existing column of the same
-    // name — same reserved-name contract as rangeJoin/asofJoin
-    val clash = events.columns.toSet.intersect(Set("session_id", "__new_session"))
-    require(clash.isEmpty,
-      s"column names $clash are reserved by assignSessions — rename them first")
+    Guards.requireNoReserved(events.columns,
+      Seq("session_id", "__new_session"), "assignSessions")
     val order = (col(tsCol) +: tieCols.map(col)): Seq[Column]
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
