@@ -377,6 +377,13 @@ object SparkEntry {
       operators.TextOps.fingerprints(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_tfidf" -> ((s, d) => {
+      // df/idf from the WHOLE corpus; output filtered to the first 20 docs
+      load(s, d)
+      operators.TextOps.tfidf(s.table("documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .orderBy(col("doc_id"), col("term"))
+    }),
     "q_repetition" -> ((s, d) => {
       // Gopher-style repeated-n-gram quality signal; pure per-row
       load(s, d)
@@ -1008,6 +1015,17 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(fp.fingerprint, md5(lower(d.text))) AS fingerprint
          |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks GROUP BY doc_id, w),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT t.doc_id, t.term, t.tf, d.df,
+         |  CAST(t.tf AS DOUBLE) *
+         |    ((CAST(n.n AS DOUBLE) + 1.0::DOUBLE) / (CAST(d.df AS DOUBLE) + 1.0::DOUBLE)) AS tfidf
+         |FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+         |WHERE t.doc_id < 20
+         |ORDER BY t.doc_id, t.term""".stripMargin,
     "q_repetition" ->
       s"""WITH $duckShingles,
          |tot AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),

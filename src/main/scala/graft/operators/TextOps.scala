@@ -196,6 +196,36 @@ object TextOps {
       .na.fill(0L, Seq("n_contaminated"))
   }
 
+  /** TF-IDF term scores per document — the standard keyword/relevance
+    * primitive for corpus analysis and quality filtering.
+    *
+    * Two idf variants:
+    *  - `logIdf = false` (default): rational idf `(N+1)/(df+1)` — pure IEEE
+    *    division, bit-reproducible across engines (the oracle-gated path).
+    *  - `logIdf = true`: the textbook `ln((N+1)/(df+1)) + 1` — same ranking
+    *    per term (ln is monotone), spec-tested (cross-engine libm `ln` may
+    *    differ in the last ulp, so it is not oracle-gated).
+    *
+    * Scale design: tf is one map-side-combinable count on (doc, term); df
+    * reuses the SAME aggregate output (no second corpus scan) via a
+    * per-term count over the tf frame; the (small) per-term df/idf frame
+    * broadcasts back onto the tf rows. The corpus is scanned once.
+    * Emits (id, term, tf, df, tfidf). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            logIdf: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = df.count() // corpus size: one tiny job, the only driver value
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rawIdf = (lit(n + 1.0)) / (col("df") + lit(1.0))
+    val idf = if (logIdf) log(rawIdf) + lit(1.0) else rawIdf
+    tf.join(broadcast(dfreq.withColumn("idf", idf)), "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf")).as("tfidf"))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

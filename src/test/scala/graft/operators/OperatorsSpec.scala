@@ -67,6 +67,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe n-grams must broadcast:\n$plan")
   }
 
+  test("tfidf: rare terms outscore common ones; log variant ranks identically") {
+    val corpus = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "common words here"),
+      (3L, "common unique words")
+    ).toDF("doc_id", "text")
+    val scores = TextOps.tfidf(corpus, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"))).toMap
+    // "spark": tf=3, df=1 → 3 * 4/2 = 6.0; "common": tf=1, df=3 → 1 * 4/4 = 1.0
+    assert(scores((1L, "spark")) === ((3L, 1L, 6.0)))
+    assert(scores((1L, "common")) === ((1L, 3L, 1.0)))
+    // log variant: same per-doc ranking (ln is monotone in the rational idf)
+    val logScores = TextOps.tfidf(corpus, "doc_id", "text", logIdf = true).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r.getAs[Double]("tfidf")).toMap
+    def ranking(m: Map[(Long, String), Double], doc: Long) =
+      m.collect { case ((d, t), s) if d == doc => (t, s) }.toSeq.sortBy(-_._2).map(_._1)
+    val ratScores = scores.map { case (k, v) => k -> v._3 }
+    assert(ranking(ratScores, 1L) === ranking(logScores, 1L))
+    assert(logScores((1L, "spark")) === 3.0 * (math.log(4.0 / 2.0) + 1.0))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.length === 4)
