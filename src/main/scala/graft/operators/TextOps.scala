@@ -159,8 +159,11 @@ object TextOps {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
     require(n >= 1)
-    df.select(col(idCol),
-        shingleArray(tokens(col(textCol)), n).as("__sh"))
+    // tokens bound in its OWN projection before shingleArray references it
+    // per element — inlined, the tokenize subtree re-evaluates per shingle
+    // (measured 27.6s vs ~2s at sf0.1)
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingleArray(col("__toks"), n).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).as("n_ngrams"),
         size(array_distinct(col("__sh"))).as("n_distinct"))
@@ -184,10 +187,22 @@ object TextOps {
                     probes: DataFrame, probeTextCol: String,
                     n: Int = 8): DataFrame = {
     require(n >= 1)
-    val docSh = shingles(docs, idCol, textCol, n) // distinct per doc
+    // persisted before the explode — the InferFiltersFromGenerate trap
+    // (NOTES.md): exploding a COMPUTED array gets inferred filters that
+    // inline the whole shingle-assembly expression and push below the
+    // exchange onto the raw scan's single partition, re-evaluating the
+    // assembly serially per inferred predicate (measured 47s vs 2s at
+    // sf0.1). The persist materializes the arrays once, in parallel;
+    // registered so the harness/caller releases it after the action.
+    val sets = graft.CacheScope.register(
+      shingleSets(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docSh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    // same binding rule as repetitionStats: tokens in its own projection
     val probeSh = probes
+      .select(tokens(col(probeTextCol)).as("__toks"))
       .select(explode(array_distinct(
-        shingleArray(tokens(col(probeTextCol)), n))).as("shingle"))
+        shingleArray(col("__toks"), n))).as("shingle"))
       .distinct()
     val hits = docSh.join(broadcast(probeSh), "shingle")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
@@ -212,12 +227,14 @@ object TextOps {
     * broadcasts back onto the tf rows. The corpus is scanned once.
     * Emits (id, term, tf, df, tfidf). */
   def tfidf(df: DataFrame, idCol: String, textCol: String,
-            logIdf: Boolean = false): DataFrame = {
+            logIdf: Boolean = false, nDocs: Option[Long] = None): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val n = df.count() // corpus size: one tiny job, the only driver value
+    // corpus size: metadata-only on a parquet scan; callers holding a
+    // computed frame pass nDocs to skip the extra job
+    val n = nDocs.getOrElse(df.count())
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val rawIdf = (lit(n + 1.0)) / (col("df") + lit(1.0))
     val idf = if (logIdf) log(rawIdf) + lit(1.0) else rawIdf
