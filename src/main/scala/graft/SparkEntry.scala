@@ -241,6 +241,32 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin)),
+    // ranking-window family over one keyed sort (all six share a single
+    // window spec -> one Window operator, one exchange)
+    "q_window_rank" -> ((s, d) => q(s, d,
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin)),
+    // ROLLUP lattice with grouping() marker — multi-level aggregation in
+    // one pass (Expand + single exchange, not one job per level).
+    // grouping() cast to INT (Spark: TINYINT, DuckDB: BIGINT); ORDER BY
+    // coalesces the rolled-up NULLs (Spark sorts NULLS FIRST, DuckDB LAST)
+    "q_rollup" -> ((s, d) => q(s, d,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin)),
     // exact grouped quantiles (linear interpolation — matches DuckDB
     // quantile_cont). At 100 TB the same query shape runs with
     // approx_percentile (t-digest, map-side combinable) — the exact variant
@@ -1566,6 +1592,26 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,
