@@ -31,7 +31,16 @@ object FinancialFunctions {
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
-    "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) })
+    "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
+    "word_shingles" -> (e => {
+      val a = arity("word_shingles", 2)(e)
+      val n = a(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an integer literal, got $other")
+      }
+      WordShingles(a(0), n, distinct = true)
+    })
   )
 
   /** Register sma/ema/rsi/macd into an existing session's function registry. */
@@ -67,7 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
     "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
-    "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash")
+    "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash",
+    "word_shingles" -> "word_shingles(text, n) - distinct word n-gram array, one codegen'd pass")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     FinancialFunctions.builders.foreach { case (name, builder) =>

@@ -102,8 +102,11 @@ object TextOps {
       .select(col(idCol), explode(col("shingles")).as("shingle"))
 
   /** The sliding word-n-gram array over a tokens column (empty when fewer
-    * than n tokens). */
-  private def shingleArray(toks: Column, n: Int): Column = {
+    * than n tokens). Retained as the declarative REFERENCE implementation —
+    * the hot paths use the codegen'd [[graft.functions.WordShingles]]
+    * kernel, whose bit-parity with this chain is property-tested in
+    * `ShingleSpec`. */
+  private[graft] def shingleArray(toks: Column, n: Int): Column = {
     val arr = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
@@ -123,8 +126,8 @@ object TextOps {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1)
     df.repartition(col(idCol))
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), array_distinct(shingleArray(col("__toks"), n)).as("shingles"))
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.wordShingles(col(textCol), n).as("shingles"))
       .select(col(idCol), col("shingles"), size(col("shingles")).as("n_shingles"))
   }
 
@@ -137,11 +140,13 @@ object TextOps {
     * duplicate-insensitive, so the distinct pass is skipped too. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(lower(col(textCol))).as("__whole"),
-        tokens(col(textCol)).as("__toks")) // bound once; inlining it would re-tokenize per element
+        // codegen'd one-pass assembly; bound so the md5 transform walks a
+        // materialized array (min is duplicate-insensitive → distinct ok)
+        graft.functions.ShingleFunctions.wordShingles(col(textCol), 3).as("__sh"))
       .select(
         col(idCol),
         coalesce(
-          array_min(transform(shingleArray(col("__toks"), 3), s => md5(s))),
+          array_min(transform(col("__sh"), s => md5(s))),
           col("__whole")).as("fingerprint"))
 
   /** Occurrence count of a small word set inside an already-tokenized
@@ -159,11 +164,11 @@ object TextOps {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
     require(n >= 1)
-    // tokens bound in its OWN projection before shingleArray references it
-    // per element — inlined, the tokenize subtree re-evaluates per shingle
-    // (measured 27.6s vs ~2s at sf0.1)
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), shingleArray(col("__toks"), n).as("__sh"))
+    // one codegen'd kernel pass builds the (non-distinct) shingle array;
+    // bound so both sizes read the same materialized array
+    df.select(col(idCol),
+        graft.functions.ShingleFunctions.wordShingles(col(textCol), n,
+          distinct = false).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).as("n_ngrams"),
         size(array_distinct(col("__sh"))).as("n_distinct"))
@@ -198,11 +203,9 @@ object TextOps {
       shingleSets(docs, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val docSh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
-    // same binding rule as repetitionStats: tokens in its own projection
     val probeSh = probes
-      .select(tokens(col(probeTextCol)).as("__toks"))
-      .select(explode(array_distinct(
-        shingleArray(col("__toks"), n))).as("shingle"))
+      .select(explode(graft.functions.ShingleFunctions
+        .wordShingles(col(probeTextCol), n)).as("shingle"))
       .distinct()
     val hits = docSh.join(broadcast(probeSh), "shingle")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
