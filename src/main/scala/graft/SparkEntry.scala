@@ -605,6 +605,26 @@ object SparkEntry {
           col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_tolerance" -> ((s, d) => {
+      // as-of with a 30-day match-age bound (merge_asof tolerance): stale
+      // matches null out instead of carrying arbitrarily far forward
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, max => maxf, max_by, timestamp_micros, unix_micros}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet").select(
+        col("event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        col("user_id"))
+      val ord = s.table("orders")
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("odate"))
+        .agg(maxf(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      operators.AsofJoin.asofJoin(ev, ord, "user_id", "o_custkey", "ets", "odate",
+          tolerance = Some(30L * 86400 * 1000000L))
+        .select(col("event_id"), unix_micros(col("ets")).as("ts_us"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
     "q_stream_bars" -> ((s, d) => {
       // event-time OHLCV bars (same operator the stream runs) in batch mode
       load(s, d)
@@ -1377,6 +1397,21 @@ object SparkEntry {
         |)
         |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
         |  o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= 2592000000000
+        |       THEN o.o_orderkey END AS o_orderkey,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= 2592000000000
+        |       THEN o.o_totalprice END AS o_totalprice
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,

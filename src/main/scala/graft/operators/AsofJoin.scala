@@ -26,11 +26,17 @@ object AsofJoin {
     * collision would corrupt the window ordering or the final select). */
   private[operators] val Reserved = Set("__k", "__t", "__side", "__l", "__r", "__m")
 
+  /** @param tolerance pandas-`merge_asof`-style match-age bound: a matched
+    *   right row older than `leftTime − tolerance` is dropped (right columns
+    *   come back NULL), in MICROSECONDS for timestamp time columns and raw
+    *   units for numeric ones. `None` = unbounded (classic as-of). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               tolerance: Option[Long] = None): DataFrame = {
     Guards.requireDisjoint(left.columns, right.columns, "left/right")
     Guards.requireNoReserved(left.columns ++ right.columns, Reserved, "asofJoin")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
 
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)
@@ -49,8 +55,24 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = right.columns.map(c => col(s"__m.$c").as(c))
-    l2.unionByName(r2)
+    val base = l2.unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
+      case None => base
+      case Some(tol) =>
+        // micro-precision for timestamps (a seconds cast would round the
+        // boundary differently than the oracle's epoch_us compare)
+        def ticks(c: org.apache.spark.sql.Column,
+                  dt: org.apache.spark.sql.types.DataType) = dt match {
+          case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+          case _ => c.cast("long")
+        }
+        val age = ticks(col("__t"), left.schema(leftTime).dataType) -
+          ticks(col(s"__m.$rightTime"), right.schema(rightTime).dataType)
+        base.withColumn("__m",
+          when(col("__m").isNotNull && age <= tol, col("__m")))
+    }
+    gated
       .filter(col("__side") === 1)
       .select(leftCols ++ rightCols: _*)
   }

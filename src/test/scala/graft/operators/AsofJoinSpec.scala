@@ -27,6 +27,23 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 5L, "c", None, None)))                  // key 2's quote is later
   }
 
+  test("tolerance nulls out matches older than the bound (numeric units)") {
+    val out = AsofJoin.asofJoin(trades, quotes, "t_sym", "q_sym", "t_ts", "q_ts",
+        tolerance = Some(4L))
+      .orderBy("t_sym", "t_ts")
+      .collect().map(r => (r.getAs[Long]("t_ts"), Option(r.getAs[Any]("q_price"))))
+    assert(out.toSeq === Seq(
+      (9L, None),              // no prior quote at all
+      (10L, Some(100.0)),      // age 0 <= 4
+      (20L, None),             // latest prior is age 5 > 4 -> dropped
+      (5L, None)))
+    // tolerance 5 keeps the age-5 match (inclusive bound)
+    val incl = AsofJoin.asofJoin(trades, quotes, "t_sym", "q_sym", "t_ts", "q_ts",
+        tolerance = Some(5L))
+      .filter($"t_ts" === 20L).head()
+    assert(incl.getAs[Double]("q_price") === 150.0)
+  }
+
   test("asof join rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, trades, "t_sym", "t_sym", "t_ts", "t_ts")
