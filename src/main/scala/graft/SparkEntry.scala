@@ -309,7 +309,32 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS distinct_parts,
         |  count(DISTINCT l_suppkey) AS distinct_suppliers
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    // Bloom-prefiltered EXACT semi/anti joins (operators/BloomJoin): the
+    // decontamination-at-scale shape — the filter built from the small key
+    // side is evaluated inside the fact scan, so only true matches (+ ~fpp
+    // false positives) ever reach the join; one-sided error + exact join
+    // keeps the result bit-identical to the plain semi/anti join.
+    "q_bloom_semijoin" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val cust = s.table("customer").filter(col("c_nationkey") === 5)
+        .select(col("c_custkey"))
+      operators.BloomJoin.semiJoin(s.table("orders"), "o_custkey",
+          cust, "c_custkey", expectedItems = 4096, fpp = 0.03)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q_bloom_anti" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val cust = s.table("customer").filter(col("c_nationkey") === 5)
+        .select(col("c_custkey"))
+      operators.BloomJoin.antiJoin(s.table("orders"), "o_custkey",
+          cust, "c_custkey", expectedItems = 4096, fpp = 0.03)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    })
   ) ++ llmQueries
 
   // ---- LLM-training-data pipeline operators ------------------------------
@@ -414,6 +439,22 @@ object SparkEntry {
       // Gopher-style repeated-n-gram quality signal; pure per-row
       load(s, d)
       operators.TextOps.repetitionStats(s.table("documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_rules" -> ((s, d) => {
+      // Gopher-style rule-based quality filter: per-document rule metrics
+      // plus the conjunctive keep flag; pure per-row, no shuffle
+      load(s, d)
+      operators.TextOps.qualityRules(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_clean_text" -> ((s, d) => {
+      // corpus cleaning pass: tag strip, URL/email redaction, control-char
+      // removal, whitespace collapse — the standard pre-dedup normalizer
+      load(s, d)
+      s.table("documents").select(
+        col("doc_id"),
+        operators.TextOps.cleanText(col("text")).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
     "q_pack" -> ((s, d) => {
@@ -1086,6 +1127,58 @@ object SparkEntry {
          |LEFT JOIN tot t ON t.doc_id = d.doc_id
          |LEFT JOIN dis di ON di.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Replays TextOps.qualityRules: same whitespace class (spelled out — no
+    // \s, whose membership differs between Java regex and RE2), same rule
+    // thresholds, same guarded IEEE divisions.
+    "q_quality_rules" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), w -> w <> '') AS words,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS INT) AS n_words,
+         |    CAST(len(lines) AS INT) AS n_lines,
+         |    CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f]', '', 'g')) AS INT) AS sum_lens,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INT) AS n_sym,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]'))) AS INT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.[ \\t]*$$'))) AS INT) AS n_ellipsis,
+         |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha,
+         |    CAST(len(list_filter(toks, w -> list_contains($duckStopwordsEn, w))) AS INT) AS stop_hits
+         |  FROM pre
+         |), v AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN CAST(sum_lens AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0::DOUBLE END AS mean_word_len,
+         |    CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0::DOUBLE END AS symbol_ratio,
+         |    CAST(n_bullet AS DOUBLE)/CAST(n_lines AS DOUBLE) AS bullet_frac,
+         |    CAST(n_ellipsis AS DOUBLE)/CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+         |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) ELSE 0.0::DOUBLE END AS alpha_frac,
+         |    stop_hits
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+         |    AND symbol_ratio < 0.1::DOUBLE
+         |    AND bullet_frac < 0.9::DOUBLE
+         |    AND ellipsis_frac < 0.3::DOUBLE
+         |    AND alpha_frac > 0.8::DOUBLE
+         |    AND stop_hits >= 2) AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
+    // Replays TextOps.cleanText verbatim — every pattern uses only
+    // constructs with identical Java-regex/RE2 semantics.
+    "q_clean_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '<[^>]*>', ' ', 'g'),
+        |    'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       // CAST around the window sum: DuckDB sum(INTEGER) returns HUGEINT
       """WITH base AS (
@@ -1676,6 +1769,21 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS distinct_parts,
         |  count(DISTINCT l_suppkey) AS distinct_suppliers
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Bloom prefilter is exact-composed (one-sided error + exact join), so
+    // the oracle is the PLAIN semi/anti join — any filter bug that drops or
+    // duplicates a row breaks the hash.
+    "q_bloom_semijoin" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_bloom_anti" ->
+      """SELECT o.o_orderkey, o.o_custkey
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_nationkey = 5 AND c.c_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin
   ) ++ llmOracles
 }

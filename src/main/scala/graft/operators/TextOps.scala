@@ -246,6 +246,83 @@ object TextOps {
         (col("tf") * col("idf")).as("tfidf"))
   }
 
+  /** Whitespace character class shared by the quality rules and the text
+    * cleaner. Spelled out (not `\s`) because Java regex includes `\x0B`
+    * (vertical tab) in `\s` while RE2-family engines (the DuckDB oracle) do
+    * not — an explicit class has identical semantics in both. */
+  val WsClass = "[ \\t\\n\\r\\f]"
+
+  /** Gopher-style per-document quality rules (Rae et al. 2021 §A1.1, public
+    * heuristics): word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, bullet-started / ellipsis-ended line fractions, alpha-word
+    * fraction, and an English-stopword floor, plus the conjunctive `keep`
+    * flag. Words are whitespace-delimited (unlike [[tokens]], which is
+    * alphanumeric-run based) to match the published rule definitions.
+    *
+    * Pure per-row expressions over one bound projection (words, lines,
+    * tokens are each materialized once — the HOF-binding rule from
+    * NOTES.md); no shuffle, scales with corpus bytes. */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                   maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame = {
+    val pre = df.select(col(idCol), col(textCol).as("__t"),
+      filter(split(col(textCol), WsClass + "+"), w => w =!= "").as("__words"),
+      split(col(textCol), "\n").as("__lines"),
+      tokens(col(textCol)).as("__toks"))
+    val t = col("__t"); val words = col("__words"); val lines = col("__lines")
+    val nWords = size(words)
+    val nLines = size(lines) // >= 1 always (split never returns empty)
+    // sum of word lengths == chars left after deleting all whitespace
+    val sumLens = length(regexp_replace(t, WsClass, ""))
+    val meanLen = when(nWords > 0,
+      sumLens.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nSym = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val symRatio = when(nWords > 0,
+      nSym.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val bulletFrac = size(filter(lines, l => l.rlike("^[ \\t]*[-*\u2022]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.[ \\t]*$")))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        nWords.cast("double")).otherwise(lit(0.0))
+    val stopHits = stopCountArr(col("__toks"), LangProfiles.head._2)
+    pre.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        symRatio < maxSymbolRatio &&
+        bulletFrac < maxBulletFrac &&
+        ellipsisFrac < maxEllipsisFrac &&
+        alphaFrac > minAlphaFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
+  /** Standard corpus-cleaning pass: strip HTML-ish tags, redact URLs and
+    * email addresses to placeholder tokens, drop control characters, and
+    * collapse whitespace runs. Every pattern restricts itself to regex
+    * constructs with identical semantics in Java regex and RE2-family
+    * engines (no `\s`, no lookaround, no backreferences) so the DuckDB
+    * oracle replays the chain verbatim. Pure per-row map. */
+  def cleanText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noUrl = regexp_replace(noTags, "https?://[^ \\t\\n\\r\\f]+", "<URL>")
+    val noMail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    trim(regexp_replace(noCtl, WsClass + "+", " "))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rules(rows: (Long, String)*) =
+    TextOps.qualityRules(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("qualityRules counts words, lines and rule metrics") {
+    val good = (("the quick brown fox jumps over the lazy dog and runs into the barn " * 5)
+      .trim) // 70 words, all alpha, stopword-rich, mean word len 3.79
+    val m = rules(1L -> good)(1L)
+    assert(m.getAs[Int]("n_words") === 70)
+    assert(m.getAs[Double]("alpha_frac") === 1.0)
+    assert(m.getAs[Int]("stop_hits") > 2)
+    assert(m.getAs[Double]("symbol_ratio") === 0.0)
+    assert(m.getAs[Boolean]("keep"))
+  }
+
+  test("short documents fail the word-count rule") {
+    val m = rules(1L -> "too short")(1L)
+    assert(m.getAs[Int]("n_words") === 2)
+    assert(!m.getAs[Boolean]("keep"))
+  }
+
+  test("bullet-dominated and ellipsis-ended lines are measured per line") {
+    val text = "- first bullet\n- second bullet\nplain line\nto be continued..."
+    val m = rules(1L -> text)(1L)
+    assert(m.getAs[Double]("bullet_frac") === 0.5)   // 2 of 4 lines
+    assert(m.getAs[Double]("ellipsis_frac") === 0.25) // 1 of 4 lines
+  }
+
+  test("symbol ratio counts # and ellipsis occurrences per word") {
+    val m = rules(1L -> "# # ... four words here")(1L)
+    // 6 whitespace words, 3 symbol matches
+    assert(m.getAs[Int]("n_words") === 6)
+    assert(m.getAs[Double]("symbol_ratio") === 0.5)
+  }
+
+  test("mean word length is whitespace-stripped chars over words") {
+    val m = rules(1L -> "ab cde f")(1L) // 6 chars / 3 words
+    assert(m.getAs[Double]("mean_word_len") === 2.0)
+  }
+
+  test("empty and whitespace-only documents yield zeroed guarded ratios") {
+    val m = rules(1L -> "", 2L -> "   \n\t ")
+    for (id <- Seq(1L, 2L)) {
+      assert(m(id).getAs[Int]("n_words") === 0)
+      assert(m(id).getAs[Double]("mean_word_len") === 0.0)
+      assert(m(id).getAs[Double]("alpha_frac") === 0.0)
+      assert(!m(id).getAs[Boolean]("keep"))
+    }
+  }
+
+  private def clean(s: String): String =
+    Seq(Tuple1(s)).toDF("text")
+      .select(TextOps.cleanText(col("text"))).head().getString(0)
+
+  test("cleanText strips tags, redacts URLs/emails, collapses whitespace") {
+    assert(clean("<p>Hello <b>world</b></p>") === "Hello world")
+    assert(clean("see https://example.com/a?b=1 now") === "see <URL> now")
+    assert(clean("mail bob.smith+x@example.co.uk please") ===
+      "mail <EMAIL> please")
+    assert(clean("a\u0000b\u0007c\u007fd") === "abcd")
+    assert(clean("  a \t\t b \n\n c  ") === "a b c")
+  }
+
+  test("cleanText handles combined noise in one pass") {
+    val in = "<div> Visit   https://x.io \u0001now</div>\nor mail a@b.io\t"
+    assert(clean(in) === "Visit <URL> now or mail <EMAIL>")
+  }
+
+  test("cleanText leaves clean text untouched") {
+    assert(clean("already clean text") === "already clean text")
+  }
+}
