@@ -477,6 +477,30 @@ object SparkEntry {
       operators.TextOps.contamination(docs, "doc_id", "text", probes, "text", n = 8)
         .orderBy(col("doc_id"))
     }),
+    "q_chunk" -> ((s, d) => {
+      // context-window prep: 32-token chunks with 8-token overlap
+      load(s, d)
+      operators.TextOps.chunks(s.table("documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+    "q_span_dedup" -> ((s, d) => {
+      // C4-style repeated-span removal at 8-token granularity
+      load(s, d)
+      operators.Dedup.spanDedup(s.table("documents"), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+    "q_incremental_dedup" -> ((s, d) => {
+      // incremental ingestion: odd doc_ids are the new batch, even the
+      // existing reference corpus; survivors duplicate nothing in the ref
+      load(s, d)
+      val docs = s.table("documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val fresh = docs.filter(col("doc_id") % 2 === 1)
+      operators.Dedup.incrementalDedup(fresh, ref, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_exact" -> ((s, d) => {
       load(s, d)
       operators.Dedup.exact(s.table("documents"), "doc_id", "text")
@@ -874,9 +898,11 @@ object SparkEntry {
        |), $cte AS (SELECT DISTINCT doc_id, shingle FROM ${cte}0)""".stripMargin
   }
 
-  /** The minhash CTE chain through candidate pairs (shared by the near-dup
-    * and connected-components oracles). */
-  private def duckMinhashCtes: String = {
+  /** The minhash CTE chain through candidate pairs (shared by the near-dup,
+    * connected-components, and incremental-dedup oracles). `candCond`
+    * restricts which band collisions become candidates (default: each
+    * unordered pair once). */
+  private def duckMinhashCtes(candCond: String = "a.doc_id < b.doc_id"): String = {
     val coeffs = operators.Dedup.minhashCoeffs(16).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
@@ -899,7 +925,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |    ON a.band = b.band AND a.sig = b.sig AND $candCond
        |)""".stripMargin
   }
 
@@ -1044,7 +1070,7 @@ object SparkEntry {
     * reachability (`reach`), from which components are `min(r)` per id.
     * Used by the q_dedup_components and q_dedup_keep oracles. */
   private def duckComponentsCtes: String =
-    s"""$duckMinhashCtes,
+    s"""${duckMinhashCtes()},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS inter
@@ -1208,10 +1234,84 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Replays TextOps.chunks at (32, 8): contiguous token rank via
+    // row_number (duckToks' pos has gaps where empties were filtered),
+    // chunk starts from an integer range, slices re-joined in rank order.
+    "q_chunk" ->
+      s"""WITH $duckToks,
+         |tr AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos FROM toks),
+         |nt AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+         |starts AS (
+         |  SELECT doc_id, n, unnest(range(0, greatest(n - 8 - 1, 0) + 1, 24)) AS s
+         |  FROM nt
+         |)
+         |SELECT t.doc_id, CAST(s.s // 24 AS INT) AS chunk_id,
+         |  CAST(least(32, s.n - s.s) AS INT) AS n_tokens,
+         |  string_agg(t.w, ' ' ORDER BY t.rpos) AS chunk_text
+         |FROM starts s JOIN tr t
+         |  ON t.doc_id = s.doc_id AND t.rpos BETWEEN s.s + 1 AND s.s + 32
+         |GROUP BY t.doc_id, s.s, s.n
+         |ORDER BY t.doc_id, chunk_id""".stripMargin,
+    // Replays Dedup.spanDedup at n=8. The winner aggregation is expressed as
+    // row_number here (first occurrence by (doc_id, chunk_id)) — identical
+    // result to Spark's min(struct) winner.
+    "q_span_dedup" ->
+      s"""WITH $duckToks,
+         |tr AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos FROM toks),
+         |spans AS (
+         |  SELECT doc_id, CAST((rpos - 1) // 8 AS INT) AS chunk_id,
+         |    string_agg(w, ' ' ORDER BY rpos) AS chunk_text
+         |  FROM tr GROUP BY doc_id, (rpos - 1) // 8
+         |),
+         |marked AS (
+         |  SELECT doc_id, chunk_id, chunk_text,
+         |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) = 1 AS keep
+         |  FROM spans
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    count(CASE WHEN keep THEN 1 END) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS text_dedup
+         |  FROM marked GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_dedup, '') AS text_dedup
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.incrementalDedup over the odd(new)/even(ref) split. The
+    // oracle computes near-dups over ALL odd docs while Spark restricts to
+    // exact-survivors — equivalent: new docs never pair with each other, so
+    // dropping a new doc cannot change any other new doc's outcome, and the
+    // difference (exact ∩ near) is removed by both predicates.
+    "q_incremental_dedup" ->
+      s"""WITH ${duckMinhashCtes("a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b
+         |),
+         |neardup AS (
+         |  SELECT DISTINCT i.id_a FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.id_a
+         |  JOIN sizes nb ON nb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+         |),
+         |exact_dup AS (
+         |  SELECT DISTINCT n.doc_id FROM documents n JOIN documents r
+         |  ON md5(n.text) = md5(r.text) AND n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id % 2 = 1
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+         |  AND d.doc_id NOT IN (SELECT id_a FROM neardup)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q_dedup_minhash" -> s"WITH $duckMinhashCtes,\n$duckJaccardTail",
+    "q_dedup_minhash" -> s"WITH ${duckMinhashCtes()},\n$duckJaccardTail",
     "q_dedup_components" ->
       // components of the minhash near-dup graph: min reachable id via a
       // recursive closure (exact; graph is small after LSH+verify)

@@ -271,6 +271,90 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** C4-style repeated-span removal: partition each document's token stream
+    * into `n`-token spans (trailing span may be short), drop every span whose
+    * exact text already occurred earlier in the corpus (first occurrence =
+    * minimum `(id, span_index)`), and reassemble the surviving spans. Every
+    * document comes back — `(id, n_spans, n_kept, text_dedup)` — with
+    * token-normalized text (the same normalization [[TextOps.tokens]]
+    * applies corpus-wide); a document with no tokens has 0 spans and `''`.
+    *
+    * Scale design: the first-occurrence winner per span is a map-side
+    * combinable `min(struct(id, span))` aggregation, NOT a row_number
+    * window — a boilerplate span repeated millions of times combines to one
+    * row per map task instead of sorting one giant window partition. The
+    * join back on span text is an equi-join AQE can skew-split. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame = {
+    val spans = TextOps.chunks(docs, idCol, textCol, chunkSize = n, overlap = 0)
+    val winners = spans.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__w"))
+    val marked = spans.join(winners, "chunk_text")
+      .withColumn("keep", struct(col(idCol), col("chunk_id")) === col("__w"))
+    val agged = marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      count(when(col("keep"), 1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("text_dedup"))
+    docs.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_spans", "n_kept"))
+      .na.fill("", Seq("text_dedup"))
+  }
+
+  /** Incremental-ingestion dedup: of a NEW batch, keep only documents that
+    * duplicate nothing in the existing REFERENCE corpus — neither exactly
+    * (md5 of the text) nor nearly (MinHash-LSH + exact-Jaccard verify at
+    * `threshold`, the same pipeline as [[minhashNearDups]] but with
+    * candidates restricted to new×reference bucket collisions). Returns the
+    * surviving new-batch rows with all their columns. New-batch documents
+    * never interact with each other, so running the cheap exact filter first
+    * cannot change any other document's outcome.
+    *
+    * Scale design: the reference corpus contributes only 16-byte text
+    * hashes, minhash band signatures, and candidate shingle sets — never its
+    * full rows; at a steady-state ingest (new ≪ reference) the exact-hash
+    * and band frames of the new side are the small, broadcast-able sides of
+    * every join. */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    // stage 1: exact text dup vs the reference (left_anti on the 16-byte md5)
+    val refHashes = refDocs.select(md5(col(textCol)).as("__md5")).distinct()
+    val fresh = newDocs.withColumn("__md5", md5(col(textCol)))
+      .join(refHashes, Seq("__md5"), "left_anti")
+      .drop("__md5")
+    // stage 2: near-dup vs the reference — candidates are new×ref band
+    // collisions only (no new×new, no ref×ref pairs are ever generated)
+    val newSets = graft.CacheScope.register(
+      TextOps.shingleSets(fresh, idCol, textCol, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val refSets = graft.CacheScope.register(
+      TextOps.shingleSets(refDocs, idCol, textCol, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def bands(sets: DataFrame) = lshBands(
+      minhashSignatures(
+        sets.select(col(idCol), explode(col("shingles")).as("shingle")), idCol, k),
+      idCol, rowsPerBand)
+    val cands = bands(newSets).select(col(idCol).as("id_a"), col("band"), col("sig"))
+      .join(bands(refSets).select(col(idCol).as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("id_a", "id_b").distinct()
+    val a = newSets.select(col(idCol).as("id_a"),
+      col("shingles").as("shs_a"), col("n_shingles").as("n_a"))
+    val b = refSets.select(col(idCol).as("id_b"),
+      col("shingles").as("shs_b"), col("n_shingles").as("n_b"))
+    val nearDupIds = cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .filter(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    fresh.join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 32-bit fingerprint = majority vote per bit over the md5-derived
     * 32-bit hashes of the document's distinct tokens.
     *

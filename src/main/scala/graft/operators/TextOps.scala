@@ -323,6 +323,44 @@ object TextOps {
     trim(regexp_replace(noCtl, WsClass + "+", " "))
   }
 
+  /** Token-window chunking with overlap — the standard context-window prep
+    * for training: document → fixed-size token chunks, consecutive chunks
+    * sharing `overlap` tokens. Emits `(id, chunk_id, n_tokens, chunk_text)`;
+    * `chunk_id` is the 0-based ordinal, the trailing chunk may be short, and
+    * a document with no tokens emits no chunks. Chunk starts are
+    * `0, stride, 2·stride, …` (`stride = chunkSize − overlap`) while the
+    * start lies inside the token stream.
+    *
+    * Scale design: per-row array assembly (tokenize once, slice per chunk),
+    * then one explode — no shuffle beyond the id repartition that also
+    * parallelizes single-file inputs. The bound chunk frame is persisted
+    * (CacheScope-registered) before the explode: InferFiltersFromGenerate
+    * otherwise inlines the whole assembly into a pushed filter below the
+    * exchange (the NOTES.md trap — serial re-evaluation on the raw scan). */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+             chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = col("__toks")
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), greatest(size(toks) - overlap - 1, lit(0)), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val chunkArr = transform(starts, (s, i) => struct(
+      i.as("chunk_id"),
+      least(lit(chunkSize), size(toks) - s).as("n_tokens"),
+      array_join(slice(toks, s + 1, lit(chunkSize)), " ").as("chunk_text")))
+    val bound = graft.CacheScope.register(
+      df.repartition(col(idCol))
+        .select(col(idCol), tokens(col(textCol)).as("__toks"))
+        .select(col(idCol), chunkArr.as("__chunks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bound.select(col(idCol), explode(col("__chunks")).as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token
