@@ -1202,7 +1202,7 @@ object SparkEntry {
         |    '<[^>]*>', ' ', 'g'),
         |    'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+        |    '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'),
         |    '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pack" ->

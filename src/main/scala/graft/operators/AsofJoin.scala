@@ -69,8 +69,15 @@ object AsofJoin {
         }
         val age = ticks(col("__t"), left.schema(leftTime).dataType) -
           ticks(col(s"__m.$rightTime"), right.schema(rightTime).dataType)
+        // A matched right row with a NULL time column makes `age` NULL; the
+        // coalesce keeps that match, so tolerance only BOUNDS match age and
+        // both modes agree on null-time right rows (classic as-of keeps
+        // them too — `last(..., ignoreNulls)` orders them by the union
+        // sort, where a null __t sorts first and is overtaken by any
+        // timed right row).
         base.withColumn("__m",
-          when(col("__m").isNotNull && age <= tol, col("__m")))
+          when(col("__m").isNotNull && coalesce(age <= tol, lit(true)),
+            col("__m")))
     }
     gated
       .filter(col("__side") === 1)

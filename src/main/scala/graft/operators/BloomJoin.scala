@@ -46,17 +46,18 @@ object BloomJoin {
   }
 
   /** Serialized Bloom filter over `small(keyCol)` (xxhash64 of the key, the
-    * same hashing Spark's runtime filters use). */
+    * same hashing Spark's runtime filters use). `None` when the small side
+    * has no rows — the aggregate returns NULL, and an empty key set is a
+    * legal input (e.g. decontamination where no probe keys survive an
+    * upstream filter), not an error. */
   private def buildFilter(small: DataFrame, keyCol: String,
-                          expectedItems: Long, fpp: Double): Array[Byte] = {
+                          expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col(keyCol))),
       Literal(expectedItems), Literal(optimalNumBits(expectedItems, fpp)))
-    val bytes = small
+    Option(small
       .select(Bridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    require(bytes != null, s"Bloom build saw no rows in the key side ($keyCol)")
-    bytes
+      .head().getAs[Array[Byte]](0))
   }
 
   /** `might_contain(filter, xxhash64(key))` as a big-side scan predicate. */
@@ -71,11 +72,14 @@ object BloomJoin {
     * ≳ the small side's distinct key count (undersizing only raises the
     * false-positive rate, never drops rows). */
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
-    val bytes = buildFilter(small, smallKey, expectedItems, fpp)
-    big.filter(mightContain(bytes, bigKey))
-      .join(small, big(bigKey) === small(smallKey), "leftsemi")
-  }
+               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame =
+    buildFilter(small, smallKey, expectedItems, fpp) match {
+      // empty key set: a plain leftsemi returns no rows
+      case None => big.filter(lit(false))
+      case Some(bytes) =>
+        big.filter(mightContain(bytes, bigKey))
+          .join(small, big(bigKey) === small(smallKey), "leftsemi")
+    }
 
   /** Exact anti join `big ▷ small` with a Bloom shortcut: filter-rejected
     * rows are emitted directly (no false negatives ⇒ definitely absent);
@@ -83,17 +87,20 @@ object BloomJoin {
     * `big.join(small, keys, "leftanti")` for non-null keys; null big-side
     * keys are kept (same as left-anti's null semantics, asserted in spec). */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
-    val bytes = buildFilter(small, smallKey, expectedItems, fpp)
-    // xxhash64 is null-safe (hashes a null to the running seed, never
-    // returns null), so `maybe` is total: a null big-side key lands in
-    // whichever branch its hash draws — the definite-no branch emits it,
-    // the join branch keeps it (null never equals a key) — matching
-    // left-anti's keep-nulls semantics either way.
-    val maybe = mightContain(bytes, bigKey)
-    val definiteNo = big.filter(!maybe)
-    val checked = big.filter(maybe)
-      .join(small, big(bigKey) === small(smallKey), "leftanti")
-    definiteNo.unionAll(checked)
-  }
+               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame =
+    buildFilter(small, smallKey, expectedItems, fpp) match {
+      // empty key set: a plain leftanti keeps every big-side row
+      case None => big
+      case Some(bytes) =>
+        // xxhash64 is null-safe (hashes a null to the running seed, never
+        // returns null), so `maybe` is total: a null big-side key lands in
+        // whichever branch its hash draws — the definite-no branch emits it,
+        // the join branch keeps it (null never equals a key) — matching
+        // left-anti's keep-nulls semantics either way.
+        val maybe = mightContain(bytes, bigKey)
+        val definiteNo = big.filter(!maybe)
+        val checked = big.filter(maybe)
+          .join(small, big(bigKey) === small(smallKey), "leftanti")
+        definiteNo.unionAll(checked)
+    }
 }

@@ -41,12 +41,20 @@ object Packing {
     require(seqLen > 0)
     Guards.requireNoReserved(docs.columns,
       Seq("token_start", "pack_id", "offset_in_pack"), "packAssignments")
+    // A negative token count would silently corrupt the pack map (negative
+    // token_start; `%` keeps the sign in Spark, so offset_in_pack goes
+    // negative too) — fail loudly per row instead.
+    val nTok = {
+      val n = col(nTokensCol).cast("long")
+      when(n < 0L, raise_error(concat(
+        lit(s"packAssignments: $nTokensCol must be >= 0, got "),
+        n.cast("string")))).otherwise(n)
+    }
     val w = Window.partitionBy(col(shardCol))
       .orderBy((col(idCol) +: tieCols.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("token_start",
-        sum(col(nTokensCol).cast("long")).over(w) - col(nTokensCol).cast("long"))
+      .withColumn("token_start", sum(nTok).over(w) - nTok)
       .withColumn("pack_id", expr(s"token_start DIV $seqLen"))
       .withColumn("offset_in_pack", col("token_start") % seqLen)
   }

@@ -313,13 +313,19 @@ object TextOps {
     * collapse whitespace runs. Every pattern restricts itself to regex
     * constructs with identical semantics in Java regex and RE2-family
     * engines (no `\s`, no lookaround, no backreferences) so the DuckDB
-    * oracle replays the chain verbatim. Pure per-row map. */
+    * oracle replays the chain verbatim. Pure per-row map.
+    *
+    * The control-char class excludes FF (\x0c) and CR (\x0d): both are
+    * declared whitespace in [[WsClass]], so they must survive the deletion
+    * pass and collapse to a single space — deleting them would merge words
+    * separated by a lone CR (classic-Mac line endings): "a\rb" -> "a b",
+    * not "ab". */
   def cleanText(text: Column): Column = {
     val noTags = regexp_replace(text, "<[^>]*>", " ")
     val noUrl = regexp_replace(noTags, "https?://[^ \\t\\n\\r\\f]+", "<URL>")
     val noMail = regexp_replace(noUrl,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val noCtl = regexp_replace(noMail, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", "")
     trim(regexp_replace(noCtl, WsClass + "+", " "))
   }
 

@@ -44,6 +44,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(incl.getAs[Double]("q_price") === 150.0)
   }
 
+  test("tolerance keeps null-right-time matches, agreeing with classic mode") {
+    // ADVICE r3: a matched right row with NULL time makes `age` NULL — the
+    // tolerance gate must keep it (coalesce), not silently null the match
+    val q = Seq((1L, Option.empty[java.lang.Long], 42.0))
+      .toDF("q_sym", "q_ts", "q_price")
+    val t = Seq((1L, 10L, "a")).toDF("t_sym", "t_ts", "t_tag")
+    val classic = AsofJoin.asofJoin(t, q, "t_sym", "q_sym", "t_ts", "q_ts")
+      .head().getAs[Any]("q_price")
+    val bounded = AsofJoin.asofJoin(t, q, "t_sym", "q_sym", "t_ts", "q_ts",
+      tolerance = Some(4L)).head().getAs[Any]("q_price")
+    assert(classic === bounded)
+    assert(bounded === 42.0)
+  }
+
   test("asof join rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, trades, "t_sym", "t_sym", "t_ts", "t_ts")

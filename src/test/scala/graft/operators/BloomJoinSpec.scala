@@ -68,11 +68,15 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(out.groupBy("fact_id").count().filter(col("count") > 1).count() === 0L)
   }
 
-  test("empty small side is rejected with a clear error") {
-    val e = intercept[IllegalArgumentException] {
-      BloomJoin.semiJoin(big, "key", small.filter(lit(false)), "k")
-    }
-    assert(e.getMessage.contains("no rows"))
+  test("empty small side matches the plain joins: semi empty, anti keeps all") {
+    val none = small.filter(lit(false))
+    assert(BloomJoin.semiJoin(big, "key", none, "k").count() === 0L)
+    val anti = BloomJoin.antiJoin(big, "key", none, "k")
+      .collect().map(_.toSeq).toSet
+    val plain = big.join(none, big("key") === none("k"), "leftanti")
+      .collect().map(_.toSeq).toSet
+    assert(anti === plain)
+    assert(anti.size === 5000)
   }
 
   test("optimalNumBits matches the standard Bloom sizing formula") {

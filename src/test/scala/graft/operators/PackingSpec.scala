@@ -36,6 +36,16 @@ class PackingSpec extends AnyFunSuite {
       s"a global sort must not appear:\n$plan")
   }
 
+  test("fails loudly on a negative token count") {
+    val bad = Seq((1L, 0, 10), (2L, 0, -3)).toDF("doc_id", "shard", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packAssignments(bad, "doc_id", "n_tokens", "shard", 512L)
+        .collect()
+    }
+    assert(e.getMessage.contains("must be >= 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be >= 0")))
+  }
+
   test("rejects inputs that use reserved output columns") {
     val bad = Seq((1L, 0, 10, 5L)).toDF("doc_id", "shard", "n_tokens", "pack_id")
     val e = intercept[IllegalArgumentException] {

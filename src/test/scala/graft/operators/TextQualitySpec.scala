@@ -71,6 +71,14 @@ class TextQualitySpec extends AnyFunSuite {
     assert(clean("  a \t\t b \n\n c  ") === "a b c")
   }
 
+  test("cleanText treats lone CR / FF as word separators, not deletions") {
+    // ADVICE r3: CR and FF are whitespace in WsClass — deleting them in the
+    // control pass would merge classic-Mac-line-ending words
+    assert(clean("a\rb") === "a b")
+    assert(clean("a\fb") === "a b")
+    assert(clean("a\u000bb") === "ab") // VT stays a deleted control char
+  }
+
   test("cleanText handles combined noise in one pass") {
     val in = "<div> Visit   https://x.io \u0001now</div>\nor mail a@b.io\t"
     assert(clean(in) === "Visit <URL> now or mail <EMAIL>")
