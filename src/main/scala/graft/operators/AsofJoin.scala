@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.StructType
   * Requirements: left/right column names must be disjoint, and the right
   * side must be unique per (key, time) — pre-aggregate it otherwise (ties
   * among right rows would make "the" most recent row ill-defined).
+  *
+  * NULL-time divergence: a right row whose time column is NULL sorts first
+  * in the union pass, so it can match a left row until a timed right row
+  * overtakes it (and the tolerance gate deliberately keeps such matches —
+  * both modes agree). pandas `merge_asof` and DuckDB `ASOF JOIN` instead
+  * NEVER match a NULL-time right row (`rightTime <= leftTime` is unknown).
+  * Pre-filter NULL-time right rows (`right.filter(col(t).isNotNull)`)
+  * before calling if oracle parity with those engines matters.
   */
 object AsofJoin {
 

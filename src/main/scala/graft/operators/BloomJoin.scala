@@ -72,7 +72,8 @@ object BloomJoin {
     * ≳ the small side's distinct key count (undersizing only raises the
     * false-positive rate, never drops rows). */
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame =
+               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
+    requireKeys(big, bigKey, small, smallKey)
     buildFilter(small, smallKey, expectedItems, fpp) match {
       // empty key set: a plain leftsemi returns no rows
       case None => big.filter(lit(false))
@@ -80,6 +81,7 @@ object BloomJoin {
         big.filter(mightContain(bytes, bigKey))
           .join(small, big(bigKey) === small(smallKey), "leftsemi")
     }
+  }
 
   /** Exact anti join `big ▷ small` with a Bloom shortcut: filter-rejected
     * rows are emitted directly (no false negatives ⇒ definitely absent);
@@ -87,7 +89,8 @@ object BloomJoin {
     * `big.join(small, keys, "leftanti")` for non-null keys; null big-side
     * keys are kept (same as left-anti's null semantics, asserted in spec). */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame =
+               expectedItems: Long = 1 << 20, fpp: Double = 0.03): DataFrame = {
+    requireKeys(big, bigKey, small, smallKey)
     buildFilter(small, smallKey, expectedItems, fpp) match {
       // empty key set: a plain leftanti keeps every big-side row
       case None => big
@@ -103,4 +106,13 @@ object BloomJoin {
           .join(small, big(bigKey) === small(smallKey), "leftanti")
         definiteNo.unionAll(checked)
     }
+  }
+
+  /** Resolve both key columns up front so a misspelled key fails analysis
+    * consistently — the empty-small-side short-circuits never reference the
+    * keys, and would otherwise succeed silently. */
+  private def requireKeys(big: DataFrame, bigKey: String,
+                          small: DataFrame, smallKey: String): Unit = {
+    val _ = (big(bigKey), small(smallKey))
+  }
 }

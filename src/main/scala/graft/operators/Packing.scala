@@ -43,12 +43,14 @@ object Packing {
       Seq("token_start", "pack_id", "offset_in_pack"), "packAssignments")
     // A negative token count would silently corrupt the pack map (negative
     // token_start; `%` keeps the sign in Spark, so offset_in_pack goes
-    // negative too) — fail loudly per row instead.
+    // negative too), and a NULL count (e.g. a failed cast from a
+    // non-numeric column) is skipped by sum() so token_start/pack_id come
+    // back NULL silently — fail loudly per row on both.
     val nTok = {
       val n = col(nTokensCol).cast("long")
-      when(n < 0L, raise_error(concat(
-        lit(s"packAssignments: $nTokensCol must be >= 0, got "),
-        n.cast("string")))).otherwise(n)
+      when(n.isNull || n < 0L, raise_error(concat(
+        lit(s"packAssignments: $nTokensCol must be a non-null count >= 0, got "),
+        coalesce(n.cast("string"), lit("NULL"))))).otherwise(n)
     }
     val w = Window.partitionBy(col(shardCol))
       .orderBy((col(idCol) +: tieCols.map(col)): _*)

@@ -79,6 +79,18 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(anti.size === 5000)
   }
 
+  test("a misspelled key column fails analysis even when the small side is empty") {
+    // the empty-small-side short-circuits never reference the keys; the
+    // up-front resolution must still surface the error
+    val none = small.filter(lit(false))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BloomJoin.semiJoin(big, "no_such_col", none, "k")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      BloomJoin.antiJoin(big, "key", none, "no_such_col")
+    }
+  }
+
   test("optimalNumBits matches the standard Bloom sizing formula") {
     // n=1000, p=0.03 -> ~ -1000 ln(0.03)/ln(2)^2 ~= 7298 bits
     val bits = BloomJoin.optimalNumBits(1000, 0.03)

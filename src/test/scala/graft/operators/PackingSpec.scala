@@ -42,8 +42,20 @@ class PackingSpec extends AnyFunSuite {
       Packing.packAssignments(bad, "doc_id", "n_tokens", "shard", 512L)
         .collect()
     }
-    assert(e.getMessage.contains("must be >= 0") ||
-      Option(e.getCause).exists(_.getMessage.contains("must be >= 0")))
+    assert(e.getMessage.contains("non-null count >= 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null count >= 0")))
+  }
+
+  test("fails loudly on a NULL token count") {
+    // sum() would silently skip the NULL, leaving token_start/pack_id NULL
+    val bad = Seq((1L, 0, Some(10)), (2L, 0, Option.empty[Int]))
+      .toDF("doc_id", "shard", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packAssignments(bad, "doc_id", "n_tokens", "shard", 512L)
+        .collect()
+    }
+    assert(e.getMessage.contains("got NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("got NULL")))
   }
 
   test("rejects inputs that use reserved output columns") {
