@@ -267,6 +267,48 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin)),
+    // GROUPING SETS lattice beyond ROLLUP's prefix chain: explicit set list
+    // incl. the cross-dimension (priority-only) cut — one Expand pass,
+    // single exchange, same plan family as q_rollup
+    "q_grouping_sets" -> ((s, d) => q(s, d,
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin)),
+    // pivot (conditional-aggregation rotation): one pass, map-side
+    // combinable — the values list is declared, so no extra distinct scan
+    "q_pivot" -> ((s, d) => {
+      load(s, d)
+      import org.apache.spark.sql.functions.{coalesce, count, lit}
+      val priorities =
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val pivoted = s.table("orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+      pivoted.select(
+        pivoted("o_orderstatus") +:
+          priorities.map(p => coalesce(pivoted(p), lit(0L)).as(p)): _*)
+        .orderBy("o_orderstatus")
+    }),
+    // set operations (INTERSECT / EXCEPT are distinct-semantics hash
+    // aggregations; both sides shuffle on the compared columns)
+    "q_setops" -> ((s, d) => q(s, d,
+      """SELECT 'both' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t2
+        |ORDER BY tag, custkey""".stripMargin)),
     // exact grouped quantiles (linear interpolation — matches DuckDB
     // quantile_cont). At 100 TB the same query shape runs with
     // approx_percentile (t-digest, map-side combinable) — the exact variant
@@ -354,6 +396,28 @@ object SparkEntry {
     when(violation, raise_error(lit(msg))).otherwise(text)
   }
 
+  /** Synthetic PII corpus for the q_pii_* gates: email/SSN/phone/IP derived
+    * deterministically from doc_id and appended to the real text (the word
+    * soup itself contains no digits or '@'); every 5th doc stays clean so
+    * the has_pii flag exercises both values. The oracle rebuilds the same
+    * strings with DuckDB's `||`/lpad/CASE — what the gates compare is the
+    * REGEX behavior of the two engines over identical inputs. */
+  private def piiTestText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, lpad, when}
+    val id = col("doc_id")
+    def part(m: Int, len: Int) = lpad((id % m).cast("string"), len, "0")
+    val phone = when(id % 2 === 0,
+      concat(lit("(555) "), part(1000, 3), lit("-"), part(10000, 4)))
+      .otherwise(concat(lit("555-"), part(1000, 3), lit("-"), part(10000, 4)))
+    val inj = concat(
+      lit(" mail user"), id.cast("string"), lit("@example.com"),
+      lit(" ssn "), part(1000, 3), lit("-"), part(100, 2), lit("-"), part(10000, 4),
+      lit(" call "), phone,
+      lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+      ((id * 7) % 256).cast("string"))
+    when(id % 5 === 0, col("text")).otherwise(concat(col("text"), inj))
+  }
+
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, d) => {
       load(s, d)
@@ -435,6 +499,21 @@ object SparkEntry {
         .filter(col("doc_id") < 20)
         .orderBy(col("doc_id"), col("term"))
     }),
+    "q_bm25" -> ((s, d) => {
+      // Okapi BM25 term scoring (rational-idf gated variant); corpus stats
+      // from the whole table, output filtered to the first 20 docs
+      load(s, d)
+      operators.TextOps.bm25(s.table("documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .orderBy(col("doc_id"), col("term"))
+    }),
+    "q_inverted_index" -> ((s, d) => {
+      // term → df + "doc:tf" postings, hapax tail pruned at df >= 5
+      load(s, d)
+      operators.Freq.invertedIndex(s.table("documents"), "doc_id", "text",
+          minDf = 5L)
+        .orderBy(col("term"))
+    }),
     "q_repetition" -> ((s, d) => {
       // Gopher-style repeated-n-gram quality signal; pure per-row
       load(s, d)
@@ -455,6 +534,26 @@ object SparkEntry {
       s.table("documents").select(
         col("doc_id"),
         operators.TextOps.cleanText(col("text")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_pii_stats" -> ((s, d) => {
+      // PII scrubbing pass, detection side: deterministic synthetic PII
+      // (email/SSN/phone/IP derived from doc_id) spliced into real text —
+      // the oracle replays the same construction, so the regex semantics
+      // themselves are what's compared. Every 5th doc stays clean.
+      load(s, d)
+      operators.Pii.piiStats(
+          s.table("documents").select(col("doc_id"), piiTestText.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_pii_redact" -> ((s, d) => {
+      // PII scrubbing pass, redaction side: same synthetic corpus, full
+      // placeholder-replacement chain
+      load(s, d)
+      s.table("documents").select(
+          col("doc_id"),
+          operators.Pii.redact(piiTestText).as("redacted"))
         .orderBy(col("doc_id"))
     }),
     "q_pack" -> ((s, d) => {
@@ -822,6 +921,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_sample_weighted" -> ((s, d) => {
+      // Efraimidis–Spirakis weighted top-64 by n_chars (longer docs more
+      // likely); hash-derived priorities, so the draw is reproducible
+      load(s, d)
+      operators.Sampling.weightedSample(s.table("documents"), "doc_id",
+          "n_chars", k = 64)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_corpus_mix" -> ((s, d) => {
       load(s, d)
       val docs = s.table("documents")
@@ -859,6 +967,28 @@ object SparkEntry {
 
   /** Tokenized (doc_id, w, pos) and distinct (doc_id, shingle) CTE bodies —
     * mirror TextOps.tokens / TextOps.shingles. */
+  /** DuckDB replica of [[piiTestText]] — a `pii(doc_id, text)` CTE body.
+    * Concatenation operators sit at line ENDS: this snippet is interpolated
+    * into oracles that re-run `.stripMargin`, which would eat one pipe off
+    * a line-leading `||`. */
+  private val duckPii =
+    """pii AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text ELSE
+      |      text || ' mail user' || doc_id::VARCHAR || '@example.com' ||
+      |      ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+      |      '-' || lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+      |      '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+      |      ' call ' || CASE WHEN doc_id % 2 = 0
+      |          THEN '(555) ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+      |               '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |          ELSE '555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+      |               '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END ||
+      |      ' from 10.' || (doc_id % 256)::VARCHAR ||
+      |      '.0.' || ((doc_id * 7) % 256)::VARCHAR
+      |    END AS text
+      |  FROM documents)""".stripMargin
+
   private val duckToks =
     """toks0 AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w,
@@ -1139,6 +1269,33 @@ object SparkEntry {
          |FROM tf t JOIN dfq d USING (term) CROSS JOIN n
          |WHERE t.doc_id < 20
          |ORDER BY t.doc_id, t.term""".stripMargin,
+    // Replays TextOps.bm25's rational-idf arithmetic with the exact same
+    // IEEE operation order (every literal ::DOUBLE, parens mirroring the
+    // Column expression tree); n counts all docs, sum_dl all token rows.
+    "q_bm25" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |             (SELECT count(*) FROM toks) AS sum_dl)
+         |SELECT t.doc_id, t.term, t.tf, l.dl, d.df,
+         |  ((CAST(c.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+         |     / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |  * (CAST(t.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+         |  / (CAST(t.tf AS DOUBLE) + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+         |       + 0.75::DOUBLE * (CAST(l.dl AS DOUBLE)
+         |           / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n AS DOUBLE))))) AS bm25
+         |FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (term) CROSS JOIN c
+         |WHERE t.doc_id < 20
+         |ORDER BY t.doc_id, t.term""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT w AS term, doc_id, count(*) AS tf FROM toks GROUP BY w, doc_id)
+         |SELECT term, count(*) AS df,
+         |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ' ' ORDER BY doc_id) AS postings
+         |FROM tf GROUP BY term HAVING count(*) >= 5
+         |ORDER BY term""".stripMargin,
     "q_repetition" ->
       s"""WITH $duckShingles,
          |tot AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
@@ -1205,6 +1362,30 @@ object SparkEntry {
         |    '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'),
         |    '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays Pii.piiStats over the synthetic-PII corpus: identical
+    // construction (duckPii ≡ piiTestText), identical patterns — all
+    // constructs with the same Java-regex/RE2 semantics.
+    "q_pii_stats" ->
+      s"""WITH $duckPii
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssns,
+         |  CAST(len(regexp_extract_all(text, '(\\([0-9]{3}\\) |\\b[0-9]{3}-)[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips,
+         |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |   + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+         |   + len(regexp_extract_all(text, '(\\([0-9]{3}\\) |\\b[0-9]{3}-)[0-9]{3}-[0-9]{4}\\b'))
+         |   + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) > 0) AS has_pii
+         |FROM pii ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH $duckPii
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         |    '(\\([0-9]{3}\\) |\\b[0-9]{3}-)[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
+         |FROM pii ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       // CAST around the window sum: DuckDB sum(INTEGER) returns HUGEINT
       """WITH base AS (
@@ -1484,6 +1665,18 @@ object SparkEntry {
          |    WHEN 'de' THEN ${operators.Sampling.threshold(1.0)}
          |    WHEN 'zh' THEN ${operators.Sampling.threshold(0.2)}
          |    ELSE ${operators.Sampling.threshold(0.25)} END
+         |ORDER BY doc_id""".stripMargin,
+    // Replays Sampling.weightedSample: rank = ln((hash+1)/2^60)/weight,
+    // top-64 by rank (ties on doc_id). ln's last-ulp rounding can differ
+    // between engines, but a selection flip needs two ranks within one ulp
+    // of each other AND straddling the k-th place — vanishingly unlikely.
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars FROM documents
+         |  ORDER BY ln((CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) AS DOUBLE)
+         |      + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)
+         |    / CAST(n_chars AS DOUBLE) DESC, doc_id
+         |  LIMIT 64) t
          |ORDER BY doc_id""".stripMargin,
     "q_corpus_mix" ->
       s"""SELECT doc_id, source FROM documents WHERE source = 'src0'
@@ -1840,6 +2033,35 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_setops" ->
+      """SELECT 'both' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t2
+        |ORDER BY tag, custkey""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

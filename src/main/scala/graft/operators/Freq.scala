@@ -82,4 +82,32 @@ object Freq {
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /** Inverted index build — term → document frequency + postings list
+    * `"doc:tf doc:tf …"` sorted by doc id (the text-search / contamination-
+    * lookup layout). One (doc,term) aggregation then one per-term
+    * aggregation; postings render as a single string so the index is
+    * engine-portable and trivially hashable.
+    *
+    * Scale notes: `minDf` prunes the hapax tail (typically most of the
+    * vocabulary); the skew risk is the opposite end — stopword terms whose
+    * postings lists approach corpus size. A web-scale index caps those with
+    * a stopword filter or shards postings by doc-id range (doc-partitioned
+    * index, the standard search-engine layout); the single-row-per-term
+    * variant here is the per-shard building block. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            e => concat(e("doc_id").cast("string"), lit(":"), e("tf").cast("string"))),
+          " ").as("postings"))
+      .filter(col("df") >= minDf)
+  }
 }

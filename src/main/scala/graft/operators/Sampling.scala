@@ -56,4 +56,33 @@ object Sampling {
     sources.map { case (df, w) => hashSample(df, keyCol, w) }
       .reduce(_.unionByName(_))
   }
+
+  /** Deterministic weighted sample of `k` rows without replacement
+    * (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), public
+    * algorithm): each row draws `u = (kmvHash(key)+1)/2^60 ∈ (0,1]` and
+    * ranks by `ln(u)/w` — monotone in the classic `u^(1/w)` priority, so
+    * the top-k ranks are an exact A-ES sample, with the RNG replaced by the
+    * same md5-derived hash the other samplers use (reproducible on any
+    * cluster layout; the DuckDB oracle replays it). Ties (identical ranks)
+    * break on the key, making the sample a pure function of the corpus.
+    *
+    * Plan shape: one scan + TakeOrdered — per-partition top-k, driver
+    * merges `partitions · k` rows; no shuffle of the corpus. Weights must
+    * be positive (A-ES is undefined otherwise) — enforced per row. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.operators.Guards.requireNoReserved(df.columns, Seq("__aes_rank"),
+      "weightedSample")
+    val w = col(weightCol).cast("double")
+    val wChecked = when(w.isNull || w <= 0.0, raise_error(concat(
+      lit(s"weightedSample: $weightCol must be a positive weight, got "),
+      coalesce(w.cast("string"), lit("NULL"))))).otherwise(w)
+    val u = (Kmv.kmvHash(col(keyCol)).cast("double") + lit(1.0)) /
+      lit(Kmv.HashSpace)
+    df.withColumn("__aes_rank", log(u) / wChecked)
+      .orderBy(col("__aes_rank").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("__aes_rank")
+  }
 }

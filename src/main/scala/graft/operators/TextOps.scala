@@ -246,6 +246,46 @@ object TextOps {
         (col("tf") * col("idf")).as("tfidf"))
   }
 
+  /** Okapi BM25 term scoring (Robertson et al., TREC-3 — the standard
+    * lexical relevance / data-selection score): per (doc, term),
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with document
+    * length normalization. Same plan shape as [[tfidf]] — tokenize + one
+    * (doc,term) aggregation, a broadcast of the tiny per-term df frame, and
+    * a broadcast 1-row corpus-stats frame (n docs, total tokens) — the
+    * corpus never reshuffles.
+    *
+    * `logIdf = false` (default, the oracle-gated path) uses the rational
+    * idf `(n − df + ½)/(df + ½) + 1` — the BM25+ style idf argument
+    * without the outer `ln`, keeping every operation an IEEE quotient the
+    * DuckDB oracle reproduces bit-for-bit (`ln` is correctly-rounded in
+    * neither engine). `logIdf = true` applies the classic `ln(...)` for
+    * production ranking use.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75,
+           logIdf: Boolean = false): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1>0, b in [0,1]; got k1=$k1 b=$b")
+    val withDl = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+    val tf = withDl
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = withDl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sum_dl"))
+    val joined = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(corpus))
+    val nD = col("__n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("__sum_dl").cast("double") / nD
+    val rawIdf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
+    val idf = if (logIdf) log(rawIdf) else rawIdf
+    val score = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    joined.select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
+      score.as("bm25"))
+  }
+
   /** Whitespace character class shared by the quality rules and the text
     * cleaner. Spelled out (not `\s`) because Java regex includes `\x0B`
     * (vertical tab) in `\s` while RE2-family engines (the DuckDB oracle) do

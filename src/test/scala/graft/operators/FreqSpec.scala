@@ -57,4 +57,21 @@ class FreqSpec extends AnyFunSuite {
     val sketch = Freq.countMinSketch(big, "v", depth = 4, width = 128)
     assert(sketch.count() <= 4 * 128)
   }
+
+  test("invertedIndex: df counts and doc-sorted doc:tf postings") {
+    val idx = Freq.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(idx("the") === (2L, "1:2 2:1"))
+    assert(idx("cat") === (2L, "1:1 3:1"))
+    assert(idx("a") === (1L, "3:2"))
+  }
+
+  test("invertedIndex: minDf prunes the hapax tail") {
+    val idx = Freq.invertedIndex(docs, "doc_id", "text", minDf = 2L)
+      .select("term").as[String].collect().toSet
+    assert(idx === Set("the", "cat", "dog", "sat"))
+    intercept[IllegalArgumentException] {
+      Freq.invertedIndex(docs, "doc_id", "text", minDf = 0L)
+    }
+  }
 }

@@ -62,4 +62,42 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"sampling must be exchange-free:\n$p")
   }
+
+  test("weightedSample: k rows, deterministic, partitioning-independent") {
+    val df = (1L to 2000L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 50).select("id")
+      .as[Long].collect().toSet
+    assert(a.size === 50)
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "the draw must not depend on partitioning")
+  }
+
+  test("weightedSample: heavier rows win more slots") {
+    // two strata, weight 100 vs 1: the sample should be dominated by heavy ids
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) 100.0 else 1.0))
+      .toDF("id", "w")
+    val heavy = Sampling.weightedSample(df, "id", "w", 100)
+      .filter(col("id") <= 500).count()
+    assert(heavy > 80, s"expected heavy stratum to dominate, got $heavy/100")
+  }
+
+  test("weightedSample: fails loudly on non-positive or NULL weights") {
+    val bad = Seq((1L, 2.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive weight")))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(bad, "id", "w", 0)
+    }
+  }
+
+  test("weightedSample plans a TakeOrdered, not a global sort") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val p = Sampling.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$p")
+  }
 }
