@@ -921,6 +921,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_zorder" -> ((s, d) => {
+      // write-layout clustering key: 12-bit Z-order interleave of
+      // (l_partkey, l_suppkey) — the key ORDER is the gate (rows sort by
+      // it), so min-max pruning behavior is pinned, not just the values
+      load(s, d)
+      import org.apache.spark.sql.functions.{lit, pmod}
+      s.table("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          operators.Layout.zOrderKey(Seq(
+            pmod(col("l_partkey"), lit(4096L)),
+            pmod(col("l_suppkey"), lit(4096L))), bits = 12).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_unpivot" -> ((s, d) => q(s, d,
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    stack(3, 'quantity', l_quantity,
+        |             'extendedprice', l_extendedprice,
+        |             'discount', l_discount) AS (metric, value)
+        |  FROM lineitem WHERE l_orderkey < 1000) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+    "q_exists" -> ((s, d) => q(s, d,
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     "q_sample_weighted" -> ((s, d) => {
       // Efraimidis–Spirakis weighted top-64 by n_chars (longer docs more
       // likely); hash-derived priorities, so the draw is reproducible
@@ -1666,6 +1693,31 @@ object SparkEntry {
          |    WHEN 'zh' THEN ${operators.Sampling.threshold(0.2)}
          |    ELSE ${operators.Sampling.threshold(0.25)} END
          |ORDER BY doc_id""".stripMargin,
+    // Replays Layout.zOrderKey bit-for-bit: the same shift/mask/or tree
+    // rendered by zOrderKeySql (exact integer arithmetic in both engines).
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${operators.Layout.zOrderKeySql(
+               Seq("l_partkey % 4096", "l_suppkey % 4096"), bits = 12)} AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Replays Sampling.weightedSample: rank = ln((hash+1)/2^60)/weight,
     // top-64 by rank (ties on doc_id). ln's last-ulp rounding can differ
     // between engines, but a selection flip needs two ranks within one ulp

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def z(x: Long, y: Long, bits: Int): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(Layout.zOrderKey(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().head.getLong(0)
+
+  test("zOrderKey interleaves bits round-robin (textbook Morton values)") {
+    // x=0b11, y=0b01: x bit0→pos0, y bit0→pos1, x bit1→pos2, y bit1→pos3
+    assert(z(3L, 1L, 2) === 7L)
+    assert(z(0L, 0L, 4) === 0L)
+    assert(z(1L, 0L, 4) === 1L)
+    assert(z(0L, 1L, 4) === 2L)
+    // full 4-bit lattice corner
+    assert(z(15L, 15L, 4) === 255L)
+  }
+
+  test("zOrderKeySql renders the identical key") {
+    val df = Seq((5L, 9L), (12L, 3L), (1023L, 511L)).toDF("x", "y")
+    val got = df.select(
+      Layout.zOrderKey(Seq(col("x"), col("y")), 10).as("a"),
+      expr(Layout.zOrderKeySql(Seq("x", "y"), 10)).as("b"))
+    assert(got.filter(col("a") =!= col("b")).count() === 0L)
+  }
+
+  test("guards: bits*dims must fit a signed long") {
+    intercept[IllegalArgumentException] {
+      Layout.zOrderKey(Seq(col("x"), col("y")), 32)
+    }
+    intercept[IllegalArgumentException] { Layout.zOrderKey(Seq.empty, 4) }
+    intercept[IllegalArgumentException] {
+      Layout.clusterByZOrder(Seq((1L, 2L)).toDF("x", "y"),
+        Seq(col("x")), 8, numFiles = 0)
+    }
+  }
+
+  test("clusterByZOrder range-partitions by key and sorts within partitions") {
+    val df = (1L to 4000L).map(i => (i, i * 37 % 1024, i * 91 % 1024))
+      .toDF("id", "a", "b")
+    val out = Layout.clusterByZOrder(df, Seq(col("a"), col("b")), 10, numFiles = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"), s"plan:\n$plan")
+    assert(plan.contains("Sort"), s"plan:\n$plan")
+    assert(out.count() === 4000L)
+    // every input row survives, schema unchanged (no residual __zkey)
+    assert(out.columns.toSeq === Seq("id", "a", "b"))
+  }
+
+  test("z-clustering concentrates key ranges per partition (pruning power)") {
+    val df = (1L to 8000L).map(i => (i * 37 % 1024, i * 91 % 1024))
+      .toDF("a", "b")
+    val out = Layout.clusterByZOrder(df, Seq(col("a"), col("b")), 10, numFiles = 16)
+      .withColumn("zkey", Layout.zOrderKey(Seq(col("a"), col("b")), 10))
+    // per-output-partition z-range must be narrow vs the global range —
+    // that's exactly what file-level min-max pruning exploits
+    val spans = out.rdd.mapPartitions { it =>
+      val zs = it.map(_.getAs[Long]("zkey")).toSeq
+      if (zs.isEmpty) Iterator.empty
+      else Iterator((zs.min, zs.max))
+    }.collect()
+    val globalSpan = (1L << 20).toDouble
+    val meanSpan = spans.map { case (lo, hi) => (hi - lo).toDouble }.sum / spans.length
+    assert(meanSpan < globalSpan / 4,
+      f"expected clustered partitions, mean span $meanSpan%.0f of $globalSpan%.0f")
+  }
+}
