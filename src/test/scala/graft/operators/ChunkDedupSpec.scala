@@ -90,8 +90,12 @@ class ChunkDedupSpec extends AnyFunSuite {
       (5L, "completely different fresh document here today", "en", 5),
       (7L, "completely different fresh document here today", "en", 6) // dup of 5 WITHIN the batch — kept
     ).toDF("doc_id", "text", "lang", "n")
+    // rowsPerBand = 2: at J ≈ 0.82 the default 4×4 banding has ~91% recall
+    // and the fixed hash constants happen to miss this pair (LSH recall is
+    // probabilistic BY DESIGN); 8 narrower bands make the collision certain
+    // at this similarity, so the spec tests the drop path, not banding luck
     val out = Dedup.incrementalDedup(fresh, ref, "doc_id", "text",
-      threshold = 0.5)
+      rowsPerBand = 2, threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted
     graft.CacheScope.release()
     // 1 exact-dropped, 3 near-dropped, 5 and 7 both survive (new×new pairs
