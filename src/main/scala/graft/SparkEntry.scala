@@ -921,6 +921,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "q_anomaly" -> ((s, d) => {
+      // grouped z-score outlier screen; l_quantity is integer-valued, so
+      // the (n, Σx, Σx²) sums are exact doubles in any aggregation order
+      // and the whole z computation is a fixed IEEE tree → bit-exact oracle
+      load(s, d)
+      operators.Anomaly.zscoreOutliers(
+          s.table("lineitem").select("l_orderkey", "l_linenumber",
+            "l_returnflag", "l_quantity"),
+          "l_quantity", Seq("l_returnflag"), threshold = 1.6)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_histogram" -> ((s, d) => {
+      // 24 × 25000-wide bins over order totals; clamped edge bins
+      load(s, d)
+      operators.Profile.histogram(s.table("orders"), "o_totalprice",
+          lo = 0.0, hi = 600000.0, nBins = 24)
+        .orderBy(col("bin"))
+    }),
+    "q_profile" -> ((s, d) => {
+      // per-column completeness/range report (string-rendered min/max)
+      load(s, d)
+      operators.Profile.columnProfile(s.table("orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
     "q_zorder" -> ((s, d) => {
       // write-layout clustering key: 12-bit Z-order interleave of
       // (l_partkey, l_suppkey) — the key ORDER is the gate (rows sort by
@@ -1693,6 +1718,47 @@ object SparkEntry {
          |    WHEN 'zh' THEN ${operators.Sampling.threshold(0.2)}
          |    ELSE ${operators.Sampling.threshold(0.25)} END
          |ORDER BY doc_id""".stripMargin,
+    // Replays Anomaly.zscoreOutliers: μ = Σx/n and σ = sqrt(Σx²/n − μ²)
+    // re-derived with the identical IEEE tree; the integer-valued quantity
+    // column makes both sums exact in any aggregation order.
+    "q_anomaly" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, count(l_quantity) AS n, sum(l_quantity) AS s,
+        |         sum(l_quantity * l_quantity) AS ss
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  CASE WHEN sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) > 0.0
+        |       THEN (l.l_quantity - st.s / st.n)
+        |            / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n))
+        |       ELSE 0.0::DOUBLE END AS z_score,
+        |  abs(CASE WHEN sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) > 0.0
+        |       THEN (l.l_quantity - st.s / st.n)
+        |            / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n))
+        |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
+        |FROM lineitem l JOIN stats st USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_histogram" ->
+      """SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 23) AS bin,
+        |  count(*) AS cnt
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value,
+        |  count(DISTINCT o_orderkey) AS n_distinct
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  min(o_orderstatus), max(o_orderstatus), count(DISTINCT o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  min(o_orderpriority), max(o_orderpriority), count(DISTINCT o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
     // Replays Layout.zOrderKey bit-for-bit: the same shift/mask/or tree
     // rendered by zOrderKeySql (exact integer arithmetic in both engines).
     "q_zorder" ->
