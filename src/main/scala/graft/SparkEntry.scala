@@ -241,6 +241,43 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin)),
+    // per-group top-k: the rank filter is pushed INTO the window sort by
+    // Spark's WindowGroupLimit rule — each partition keeps a k-row heap
+    // instead of fully sorting, the decisive optimization at 100 TB
+    // (asserted in PlanSpec)
+    "q_topk_per_group" -> ((s, d) => q(s, d,
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin)),
+    // RANGE frame over a derived day number — trailing 30-day running
+    // stats per customer. Day arithmetic is integer (UTC-pinned), and the
+    // windowed sum runs over exact BIGINT cents, so any evaluation order
+    // matches the oracle. One keyed exchange + one in-partition sort.
+    "q_window_range" -> ((s, d) => q(s, d,
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS cnt_30d,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS spend_30d_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY unix_date(CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    // full-outer join over two pre-aggregated key sets — the missing join
+    // type in the surface; both sides shrink to per-key counts before the
+    // join, so the exchange moves group rows, not base rows
+    "q_full_outer" -> ((s, d) => q(s, d,
+      """SELECT coalesce(b.custkey, u.custkey) AS custkey,
+        |       b.n_building, u.n_urgent
+        |FROM (SELECT c_custkey AS custkey, count(*) AS n_building
+        |      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_custkey) b
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS custkey, count(*) AS n_urgent
+        |      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+        |ON b.custkey = u.custkey
+        |ORDER BY custkey""".stripMargin)),
     // ranking-window family over one keyed sort (all six share a single
     // window spec -> one Window operator, one exchange)
     "q_window_rank" -> ((s, d) => q(s, d,
@@ -931,6 +968,47 @@ object SparkEntry {
             "l_returnflag", "l_quantity"),
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_corr_regress" -> ((s, d) => {
+      // exact grouped Pearson + OLS from (n,Σx,Σy,Σxy,Σx²,Σy²): discount
+      // scaled to integer cents and quantity are both integer-valued, so
+      // every sufficient statistic is exact in any aggregation order
+      load(s, d)
+      import org.apache.spark.sql.functions.{round => roundf}
+      val li = s.table("lineitem").select(
+        col("l_returnflag"),
+        roundf(col("l_discount") * 100).cast("long").as("disc_pct"),
+        col("l_quantity"))
+      operators.Stats.corrRegression(li, "disc_pct", "l_quantity",
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_chisq" -> ((s, d) => {
+      // lang × source independence screen: per-cell χ² contributions,
+      // margins from the tiny cells frame, no cross-cell FP reduction
+      load(s, d)
+      operators.Stats.chiSquareCells(s.table("documents"), "lang", "source")
+        .orderBy(col("lang"), col("source"))
+    }),
+    "q_iqr_outliers" -> ((s, d) => {
+      // robust Tukey-fence screen on per-language doc lengths; n_chars is
+      // integer-valued so the interpolated quartiles are exact binary
+      // fractions and the fence arithmetic is a fixed IEEE tree
+      load(s, d)
+      operators.Anomaly.iqrOutliers(
+          s.table("documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", Seq("lang"), k = 1.5)
+        .orderBy(col("doc_id"))
+    }),
+    "q_length_buckets" -> ((s, d) => {
+      // padding-efficiency ladder over whitespace token counts; the token
+      // count binds in its own projection so the bucket CASE/least/greatest
+      // reuse one computed value (HOF-binding rule, NOTES.md)
+      load(s, d)
+      val toks = s.table("documents").select(col("doc_id"),
+        operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Batching.bucketStats(toks, "n_tokens", Seq(16L, 32L, 64L, 128L))
+        .orderBy(col("seq_bucket"))
     }),
     "q_histogram" -> ((s, d) => {
       // 24 × 25000-wide bins over order totals; clamped edge bins
@@ -1737,6 +1815,84 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // Replays Stats.corrRegression: identical computational forms over
+    // exact sufficient statistics (integer-valued x=discount-pct and
+    // y=quantity make every Σ exact in any order; the closed forms are
+    // single exactly-rounded IEEE op chains)
+    "q_corr_regress" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS DOUBLE) AS x,
+        |    l_quantity AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        |    THEN (n * sxy - sx * sy)
+        |         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS corr_xy,
+        |  CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx > 0.0
+        |    THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |  END AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // Replays Stats.chiSquareCells: margins re-aggregate the cells frame,
+    // expected = rowTot·colTot/total as one BIGINT product + one division
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n_obs
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS rtv FROM cells GROUP BY lang),
+        |ct AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS ctv FROM cells GROUP BY source),
+        |tt AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tot FROM cells)
+        |SELECT c.lang, c.source, c.n_obs,
+        |  CAST(r.rtv * q.ctv AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS expected,
+        |  (CAST(c.n_obs AS DOUBLE) - CAST(r.rtv * q.ctv AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+        |  * (CAST(c.n_obs AS DOUBLE) - CAST(r.rtv * q.ctv AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+        |  / (CAST(r.rtv * q.ctv AS DOUBLE) / CAST(tt.tot AS DOUBLE)) AS chi2_term
+        |FROM cells c
+        |JOIN rt r USING (lang) JOIN ct q USING (source) CROSS JOIN tt
+        |ORDER BY c.lang, c.source""".stripMargin,
+    // Replays Anomaly.iqrOutliers: quantile_cont matches Spark's exact
+    // percentile interpolation on integer inputs (proven by q_quantiles);
+    // the fence arithmetic is the identical IEEE tree. ::DOUBLE keeps the
+    // 1.5 literal out of DuckDB's DECIMAL arithmetic.
+    "q_iqr_outliers" ->
+      """WITH bounds AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS q1,
+        |         quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  b.q1 - 1.5::DOUBLE * (b.q3 - b.q1) AS lo_bound,
+        |  b.q3 + 1.5::DOUBLE * (b.q3 - b.q1) AS hi_bound,
+        |  (d.n_chars < b.q1 - 1.5::DOUBLE * (b.q3 - b.q1))
+        |    OR (d.n_chars > b.q3 + 1.5::DOUBLE * (b.q3 - b.q1)) AS is_outlier
+        |FROM documents d JOIN bounds b USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Batching.bucketStats: same whitespace tokenization as
+    // q_token_count, same CASE ladder, pure integer arithmetic throughout
+    // (sums cast out of DuckDB's HUGEINT)
+    "q_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 ELSE 128 END AS seq_bucket
+        |  FROM toks)
+        |SELECT CAST(seq_bucket AS BIGINT) AS seq_bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(least(n_tokens, seq_bucket)) AS BIGINT) AS stored_tokens,
+        |  CAST(sum(greatest(seq_bucket - n_tokens, 0)) AS BIGINT) AS padding_tokens
+        |FROM b GROUP BY seq_bucket ORDER BY seq_bucket""".stripMargin,
     "q_histogram" ->
       """SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 23) AS bin,
         |  count(*) AS cnt
@@ -2131,6 +2287,34 @@ object SparkEntry {
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+    // day number = DATE − epoch (integer days, naive/UTC on both engines);
+    // the windowed sum runs over exact BIGINT cents (HUGEINT cast out)
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS cnt_30d,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS spend_30d_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(b.custkey, u.custkey) AS custkey,
+        |       b.n_building, u.n_urgent
+        |FROM (SELECT c_custkey AS custkey, count(*) AS n_building
+        |      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_custkey) b
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS custkey, count(*) AS n_urgent
+        |      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+        |ON b.custkey = u.custkey
+        |ORDER BY custkey""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INT) AS rn,

@@ -24,6 +24,37 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Robust (Tukey-fence) outlier screen: flag rows outside
+    * `[q1 − k·IQR, q3 + k·IQR]` within their group. Unlike the z-score
+    * screen, quartiles don't move when the outliers themselves are extreme
+    * — the usual choice for heavy-tailed metrics (doc lengths, scores).
+    *
+    * Plan: exact grouped quartiles (one aggregation; at 100 TB swap
+    * `percentile` for `approx_percentile`'s map-side-combinable t-digest —
+    * same query shape), then the tiny bounds frame broadcasts back onto
+    * the corpus. On integer-valued metrics the interpolated quartiles land
+    * on exact binary fractions and the fence arithmetic is a fixed IEEE
+    * tree — bit-identical in any engine (the oracle gate runs this way).
+    *
+    * Emits the input columns plus `lo_bound`, `hi_bound`, `is_outlier`. */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "iqrOutliers needs at least one group column")
+    require(k > 0, s"fence multiplier must be positive, got $k")
+    Guards.requireNoReserved(df.columns,
+      Seq("lo_bound", "hi_bound", "is_outlier", "__q1", "__q3"), "iqrOutliers")
+    val x = col(valueCol).cast("double")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(x, lit(0.25)).as("__q1"),
+           percentile(x, lit(0.75)).as("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("lo_bound", col("__q1") - lit(k) * iqr)
+      .withColumn("hi_bound", col("__q3") + lit(k) * iqr)
+      .withColumn("is_outlier", x < col("lo_bound") || x > col("hi_bound"))
+      .drop("__q1", "__q3")
+  }
+
   /** Flag rows whose `|z| > threshold` within their group. Emits the input
     * columns plus `z_score` and `is_outlier`; groups with σ = 0 (constant
     * value) emit z = 0 and never flag. */

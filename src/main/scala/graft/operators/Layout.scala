@@ -63,4 +63,41 @@ object Layout {
       (0 until bits).map(i => s"(((($e) >> $i) & 1) << ${i * d + di})")
     }.mkString(" | ")
   }
+
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * 100 TB dataset needs. Streaming sinks and fine-grained partitioned
+    * writes accumulate thousands of KB-sized files; each costs a scan task
+    * plus a name-node/object-store round trip, and at some point listing
+    * dominates reading. Compaction rewrites a directory into
+    * `ceil(rows / targetRowsPerFile)` evenly-sized files.
+    *
+    * Plan: one `count()` over the input (metadata-only for parquet), then
+    * either a round-robin repartition (no ordering requirement — no sort,
+    * one exchange) or, when `sortCols` are given, a range partition +
+    * in-partition sort so the rewrite also restores min-max clustering
+    * (compaction and Z-order/sort layout compose: pass the Z-key).
+    * `maxRecordsPerFile` caps stragglers without an extra pass. */
+  def compact(df: DataFrame, targetRowsPerFile: Long,
+              sortCols: Seq[Column] = Seq.empty): DataFrame = {
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive, got $targetRowsPerFile")
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    if (sortCols.isEmpty) df.repartition(nFiles)
+    else df.repartitionByRange(nFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+  }
+
+  /** Write `df` compacted to `path` (parquet, overwrite), returning the
+    * file count actually produced. */
+  def compactTo(df: DataFrame, path: String, targetRowsPerFile: Long,
+                sortCols: Seq[Column] = Seq.empty): Long = {
+    compact(df, targetRowsPerFile, sortCols)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).map(_.count(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))).getOrElse(0).toLong
+  }
 }

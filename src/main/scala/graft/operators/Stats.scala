@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact grouped statistics — correlation, least-squares trend, and
+  * categorical-independence screening for dataset analysis (feature
+  * drift, metric coupling, source×label dependence).
+  *
+  * Everything is built from sufficient statistics — per-group
+  * `(n, Σx, Σy, Σxy, Σx², Σy²)` or contingency counts — so each pass is
+  * one map-side-combinable aggregation; no window, no sort, no second
+  * corpus scan. The closed forms then evaluate as fixed IEEE expression
+  * trees on the tiny aggregated frame.
+  *
+  * Determinism contract (same as [[Anomaly]]): on integer-valued inputs
+  * whose sums stay under 2^53 the sufficient statistics are EXACT in any
+  * aggregation order, and every downstream op (multiply, divide, sqrt) is
+  * IEEE-correctly-rounded — bit-identical in any engine, which is how the
+  * oracle gates run. On general doubles the sums are order-dependent in
+  * the last ulp, as with any parallel sum.
+  */
+object Stats {
+
+  /** Per-group Pearson correlation and OLS fit `y = slope·x + intercept`.
+    * Emits `n`, `corr_xy`, `slope`, `intercept`; groups with zero variance
+    * in x (or y for corr) emit NULL for the undefined quantities. */
+  def corrRegression(df: DataFrame, xCol: String, yCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corrRegression needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "corr_xy", "slope", "intercept",
+        "__sx", "__sy", "__sxy", "__sxx", "__syy"), "corrRegression")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val sums = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(x.isNotNull && y.isNotNull, 1)).cast("double").as("n"),
+      sum(when(y.isNotNull, x)).as("__sx"),
+      sum(when(x.isNotNull, y)).as("__sy"),
+      sum(x * y).as("__sxy"),
+      sum(when(y.isNotNull, x * x)).as("__sxx"),
+      sum(when(x.isNotNull, y * y)).as("__syy"))
+    // nΣxy − ΣxΣy etc. — the standard computational forms; each is one
+    // exactly-rounded IEEE op chain over exact sums
+    val covN = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = col("n") * col("__syy") - col("__sy") * col("__sy")
+    sums
+      .withColumn("corr_xy",
+        when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)))
+      .withColumn("slope", when(varXN > 0.0, covN / varXN))
+      .withColumn("intercept",
+        when(varXN > 0.0, (col("__sy") - covN / varXN * col("__sx")) / col("n")))
+      .withColumn("n", col("n").cast("long"))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** Chi-squared contingency table over two categorical columns: one row
+    * per observed `(a, b)` cell with observed count, expected count under
+    * independence `rowTot·colTot/total`, and the cell's χ² contribution
+    * `(obs − exp)²/exp`. The caller sums contributions (and compares to
+    * the χ² distribution) when a single statistic is wanted — emitting
+    * per-cell terms keeps the output free of any cross-cell FP reduction
+    * (and is the useful view anyway: WHICH cells deviate).
+    *
+    * Plan: one contingency aggregation over the corpus; margins aggregate
+    * the tiny cells frame (never rescan the corpus) and broadcast back. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("n_obs", "expected", "chi2_term", "__rt", "__ct", "__tot"),
+      "chiSquareCells")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_obs"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum("n_obs").as("__rt"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum("n_obs").as("__ct"))
+    val total = cells.agg(sum("n_obs").as("__tot"))
+    // rowTot·colTot is an exact BIGINT product; the cast and division are
+    // single exactly-rounded ops
+    val expected = (col("__rt") * col("__ct")).cast("double") / col("__tot").cast("double")
+    cells
+      .join(broadcast(rowTot), aCol)
+      .join(broadcast(colTot), bCol)
+      .crossJoin(broadcast(total))
+      .withColumn("expected", expected)
+      .withColumn("chi2_term",
+        (col("n_obs").cast("double") - col("expected")) *
+        (col("n_obs").cast("double") - col("expected")) / col("expected"))
+      .drop("__rt", "__ct", "__tot")
+  }
+}

@@ -113,4 +113,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_range_join")
     assert(!p.contains("Join"), s"the sweep must never plan a join:\n$p")
   }
+
+  test("per-group top-k pushes the rank limit into the window sort") {
+    // WindowGroupLimit keeps a k-row heap per partition instead of fully
+    // sorting every group — the difference between O(n log k) per
+    // partition and a full per-group sort at 100 TB
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("full-outer join pre-aggregates both sides below the join") {
+    val p = plan("q_full_outer")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    // both inputs are aggregated before joining: HashAggregate appears
+    // on both sides (4 = 2 sides x partial+final)
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"expected pre-aggregated join inputs:\n$p")
+  }
 }

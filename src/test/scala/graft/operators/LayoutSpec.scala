@@ -71,4 +71,47 @@ class LayoutSpec extends AnyFunSuite {
     assert(meanSpan < globalSpan / 4,
       f"expected clustered partitions, mean span $meanSpan%.0f of $globalSpan%.0f")
   }
+
+  test("compact rewrites many small files into ceil(rows/target) files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    val smallPath = new java.io.File(dir, "small").getPath
+    val bigPath = new java.io.File(dir, "compacted").getPath
+    try {
+      // 100 files of 10 rows each — the small-files antipattern
+      (1L to 1000L).toDF("id").repartition(100)
+        .write.parquet(smallPath)
+      val written = Option(new java.io.File(smallPath).listFiles()).get
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(written === 100)
+      val nOut = Layout.compactTo(
+        spark.read.parquet(smallPath), bigPath, targetRowsPerFile = 400L)
+      assert(nOut === 3L, s"1000 rows / 400 per file -> 3 files, got $nOut") // ceil
+      val back = spark.read.parquet(bigPath)
+      assert(back.count() === 1000L)
+      assert(back.select(sum(col("id"))).head().getLong(0) === 500500L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("compact with sortCols restores min-max clustering") {
+    val df = (1L to 4000L).map(i => (i * 37 % 1024, i)).toDF("k", "id")
+    val out = Layout.compact(df, targetRowsPerFile = 1000L, sortCols = Seq(col("k")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"), s"plan:\n$plan")
+    assert(out.count() === 4000L)
+    // per-partition key ranges must not overlap (range partitioning)
+    val spans = out.select(col("k")).rdd.mapPartitions { it =>
+      val ks = it.map(_.getLong(0)).toSeq
+      if (ks.isEmpty) Iterator.empty else Iterator((ks.min, ks.max))
+    }.collect().sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping partition ranges: $hi1 > $lo2")
+      case _ =>
+    }
+  }
 }

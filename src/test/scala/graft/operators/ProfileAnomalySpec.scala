@@ -53,6 +53,29 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(out(("h", 7.0)) === ((0.0, false))) // sigma=0 never flags
   }
 
+  test("iqrOutliers: textbook Tukey fences, robust to the outlier itself") {
+    // group g: 1..11 plus a wild 1000 -> q1/q3 from the 12 sorted values
+    val vals = (1 to 11).map(_.toDouble) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val out = Anomaly.iqrOutliers(df, "v", Seq("grp"), k = 1.5)
+      .collect().map(r => r.getDouble(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // sorted: 1..11,1000; q1 = 3.75 (idx 2.75), q3 = 9.25 (idx 8.25)
+    val q1 = 3.75; val q3 = 9.25; val iqr = q3 - q1
+    assert(out(5.0)._1 === q1 - 1.5 * iqr)
+    assert(out(5.0)._2 === q3 + 1.5 * iqr)
+    assert(out(1000.0)._3 === true)   // the wild point flags
+    assert(out(1.0)._3 === false)     // 1.0 > 3.75 - 8.25 = -4.5
+    assert(out(11.0)._3 === false)    // 11 < 9.25 + 8.25 = 17.5
+  }
+
+  test("iqrOutliers broadcasts the bounds side") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val plan = Anomaly.iqrOutliers(df, "v", Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("zscoreOutliers broadcasts the stats side") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val plan = Anomaly.zscoreOutliers(df, "v", Seq("grp"), 3.0)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("corrRegression: exact fit on a perfect line, textbook corr") {
+    // group g: y = 2x + 1 exactly -> corr 1, slope 2, intercept 1
+    val line = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))
+    // group h: anti-correlated pair
+    val anti = Seq(("h", 1.0, 4.0), ("h", 2.0, 2.0), ("h", 3.0, 0.0))
+    val out = Stats.corrRegression((line ++ anti).toDF("grp", "x", "y"),
+        "x", "y", Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("g") === ((10L, 1.0, 2.0, 1.0)))
+    assert(out("h") === ((3L, -1.0, -2.0, 6.0))) // ȳ−slope·x̄ = 2+2·2
+  }
+
+  test("corrRegression: zero x-variance yields NULLs, not division blowups") {
+    val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("grp", "x", "y")
+    val r = Stats.corrRegression(df, "x", "y", Seq("grp")).collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("corrRegression: null rows drop from n and every sum") {
+    val df = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(2.0), Some(4.0)),
+      ("g", Some(3.0), Some(6.0)), ("g", None, Some(99.0)),
+      ("g", Some(99.0), None)).toDF("grp", "x", "y")
+    val r = Stats.corrRegression(df, "x", "y", Seq("grp")).collect().head
+    assert(r.getLong(1) === 3L)       // only complete pairs count
+    assert(r.getDouble(3) === 2.0)    // slope unpolluted by the null rows
+  }
+
+  test("chiSquareCells: textbook 2x2 contingency") {
+    // a1: 30 u / 10 v; a2: 10 u / 30 v — total 80
+    val rows =
+      Seq.fill(30)(("a1", "u")) ++ Seq.fill(10)(("a1", "v")) ++
+      Seq.fill(10)(("a2", "u")) ++ Seq.fill(30)(("a2", "v"))
+    val out = Stats.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map { r =>
+        (r.getAs[String]("a"), r.getAs[String]("b")) ->
+          (r.getAs[Long]("n_obs"), r.getAs[Double]("expected"),
+            r.getAs[Double]("chi2_term"))
+      }.toMap
+    // every margin is 40, total 80 -> expected 20 everywhere;
+    // each cell contributes (30-20)^2/20 = 5 or (10-20)^2/20 = 5
+    assert(out(("a1", "u")) === ((30L, 20.0, 5.0)))
+    assert(out(("a1", "v")) === ((10L, 20.0, 5.0)))
+    assert(out(("a2", "v")) === ((30L, 20.0, 5.0)))
+    assert(out.values.map(_._3).sum === 20.0) // the full chi² statistic
+  }
+
+  test("chiSquareCells: null categories are excluded, margins consistent") {
+    val df = Seq(Some("a") -> Some("u"), Some("a") -> None, None -> Some("u"),
+      Some("b") -> Some("u")).toDF("a", "b")
+    val out = Stats.chiSquareCells(df, "a", "b").collect()
+    assert(out.map(_.getAs[Long]("n_obs")).sum === 2L)
+  }
+
+  test("stats margins broadcast; corpus is scanned once per operator") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", s"s${i % 4}")).toDF("a", "b")
+    val p = Stats.chiSquareCells(df, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"margins must broadcast:\n$p")
+  }
+}
