@@ -969,6 +969,37 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_snapshot_diff" -> ((s, d) => {
+      // version diff: the new snapshot drops keys ≡7 (mod 1000), bumps the
+      // price on keys ≡3, and gains shifted copies of keys ≡5 — the diff
+      // must classify exactly those as removed/changed/added
+      load(s, d)
+      import org.apache.spark.sql.functions.{lit, when}
+      val ord = s.table("orders")
+      val newDf = ord.filter(col("o_orderkey") % 1000 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 1000 === 3, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(ord.filter(col("o_orderkey") % 1000 === 5)
+          .withColumn("o_orderkey", col("o_orderkey") + 2000000000L))
+      operators.ChangeCapture.snapshotDiff(ord, newDf, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+    "q_upsert" -> ((s, d) => {
+      // CDC merge: whole-row updates on keys ≡11 (mod 100), inserts with
+      // shifted keys for ≡22 — unmatched base rows pass through untouched
+      load(s, d)
+      import org.apache.spark.sql.functions.lit
+      val ord = s.table("orders")
+      val mods = ord.filter(col("o_orderkey") % 100 === 11)
+        .withColumn("o_orderpriority", lit("UPSERTED"))
+      val ins = ord.filter(col("o_orderkey") % 100 === 22)
+        .withColumn("o_orderkey", col("o_orderkey") + 3000000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      operators.ChangeCapture.applyUpserts(ord, mods.unionByName(ins),
+          Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q_corr_regress" -> ((s, d) => {
       // exact grouped Pearson + OLS from (n,Σx,Σy,Σxy,Σx²,Σy²): discount
       // scaled to integer cents and quantity are both integer-valued, so
@@ -1815,6 +1846,30 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // Expected diff outcome stated directly: the modular key classes the
+    // gate's synthetic refresh touches, with their change types
+    "q_snapshot_diff" ->
+      """SELECT o_orderkey, 'changed' AS change_type
+        |FROM orders WHERE o_orderkey % 1000 = 3
+        |UNION ALL
+        |SELECT o_orderkey, 'removed' AS change_type
+        |FROM orders WHERE o_orderkey % 1000 = 7
+        |UNION ALL
+        |SELECT o_orderkey + 2000000000 AS o_orderkey, 'added' AS change_type
+        |FROM orders WHERE o_orderkey % 1000 = 5
+        |ORDER BY o_orderkey, change_type""".stripMargin,
+    // Expected merge outcome: matched keys take the update's values,
+    // unmatched pass through, shifted keys insert
+    "q_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 100 = 11 THEN 'UPSERTED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 3000000000, o_custkey, 'N', o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 22
+        |ORDER BY o_orderkey""".stripMargin,
     // Replays Stats.corrRegression: identical computational forms over
     // exact sufficient statistics (integer-valued x=discount-pct and
     // y=quantity make every Σ exact in any order; the closed forms are
