@@ -969,6 +969,26 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_cohort" -> ((s, d) => {
+      // cohort retention triangle on the event log; day number is pure
+      // integer nanos arithmetic (events ts reads as nano longs)
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      operators.EventAnalytics.cohortRetention(ev, "user_id", "day")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+    "q_funnel" -> ((s, d) => {
+      // ordered view→click→purchase funnel over first-occurrence times
+      load(s, d)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$d/events.parquet")
+      operators.EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step_index"))
+    }),
     "q_snapshot_diff" -> ((s, d) => {
       // version diff: the new snapshot drops keys ≡7 (mod 1000), bumps the
       // price on keys ≡3, and gains shifted copies of keys ≡5 — the diff
@@ -1846,6 +1866,36 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // Replays EventAnalytics.cohortRetention: integer epoch-day numbers
+    // (DuckDB date subtraction ≡ Spark nano DIV — both floor positive ts)
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Replays EventAnalytics.funnel: per-user first-occurrence times, a
+    // user reaches step k iff t0 < t1 < … strictly (missing step breaks)
+    "q_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT 1 AS step_index, 'view' AS step,
+        |  count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_users FROM pu
+        |UNION ALL
+        |SELECT 2, 'click',
+        |  count(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 END) FROM pu
+        |UNION ALL
+        |SELECT 3, 'purchase',
+        |  count(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2 THEN 1 END) FROM pu
+        |ORDER BY step_index""".stripMargin,
     // Expected diff outcome stated directly: the modular key classes the
     // gate's synthetic refresh touches, with their change types
     "q_snapshot_diff" ->

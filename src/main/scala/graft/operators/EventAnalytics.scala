@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics — cohort retention and ordered funnels, the two
+  * standard product/behavior queries over an append-only event log.
+  *
+  * Both are single-aggregation plans over the event scan: no window over
+  * the raw events, no self-join of the log. Day/timestamp arithmetic is
+  * integer, so results are engine-exact.
+  */
+object EventAnalytics {
+
+  /** Cohort retention triangle: users cohorted by their first active day,
+    * distinct-user counts per (cohort_day, day_offset). `dayCol` is an
+    * integer day number (e.g. epoch days).
+    *
+    * Plan: the firsts frame is one map-side-combinable `min` per user and
+    * broadcasts back onto the log (users ≪ events); the retention count is
+    * one aggregation of the joined scan. At 100 TB the distinct-count is
+    * the memory pressure point — swap `countDistinct` for `kmv_distinct`
+    * (bounded sketch, same shape) when cohorts are huge. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      dayCol: String): DataFrame = {
+    Guards.requireNoReserved(events.columns,
+      Seq("cohort_day", "day_offset", "n_users"), "cohortRetention")
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    events.join(broadcast(firsts), userCol)
+      .groupBy(col("cohort_day"),
+        (col(dayCol) - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Ordered funnel over first-occurrence times: a user reaches step k iff
+    * their first `steps(0)` event precedes their first `steps(1)` event,
+    * which precedes their first `steps(2)` event, … (strict `<`; a missing
+    * step breaks the chain). One row per step with the reaching-user count.
+    *
+    * Plan: ONE aggregation computes every step's first-occurrence time per
+    * user (k conditional `min`s, all map-side combinable), one tiny
+    * aggregation folds the per-user frame to k counters — the event log is
+    * scanned exactly once regardless of funnel depth. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    Guards.requireNoReserved(events.columns,
+      Seq("step_index", "step", "n_users"), "funnel")
+    val aggs = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    val reached = steps.indices.map { i =>
+      (0 to i).map { j =>
+        if (j == 0) col("__t0").isNotNull
+        else col(s"__t${j - 1}") < col(s"__t$j") // null tⱼ breaks the chain
+      }.reduce(_ && _)
+    }
+    val counters = perUser.agg(
+      count(when(reached.head, 1)).as("__c0"),
+      steps.indices.tail.map(i => count(when(reached(i), 1)).as(s"__c$i")): _*)
+    counters.select(explode(array(steps.indices.map(i => struct(
+        lit(i + 1).as("step_index"),
+        lit(steps(i)).as("step"),
+        col(s"__c$i").as("n_users"))): _*)).as("r"))
+      .select(col("r.step_index"), col("r.step"), col("r.n_users"))
+  }
+}

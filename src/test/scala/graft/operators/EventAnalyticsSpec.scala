@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cohortRetention: hand-built retention triangle") {
+    // u1 first day 0, active 0,1,2; u2 first day 0, active 0,2; u3 first day 1
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (1L, 2L),
+      (2L, 0L), (2L, 2L), (3L, 1L)).toDF("user_id", "day")
+    val out = EventAnalytics.cohortRetention(ev, "user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("funnel: strict ordering of first occurrences") {
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2 clicks before viewing: stops at step 1
+      (2L, "click", 5L), (2L, "view", 6L), (2L, "purchase", 7L),
+      // u3 views then clicks, never purchases
+      (3L, "view", 1L), (3L, "click", 2L),
+      // u4 only purchases: reaches no step
+      (4L, "purchase", 9L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map(1 -> ("view", 3L), 2 -> ("click", 2L),
+      3 -> ("purchase", 1L)))
+  }
+
+  test("funnel: u2's later re-view does not resurrect the chain") {
+    // first click precedes first view — a second view after the click must
+    // NOT count (first-occurrence semantics, matching the oracle)
+    val ev = Seq((2L, "click", 5L), (2L, "view", 6L), (2L, "view", 99L))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 1L, "click" -> 0L))
+  }
+
+  test("funnel scans the log once regardless of depth; firsts broadcast in cohorts") {
+    val ev = (1 to 300).map(i =>
+      ((i % 20).toLong, Seq("view", "click", "purchase")(i % 3), i.toLong))
+      .toDF("user_id", "event_type", "ts")
+    val fp = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    assert(fp.split("LocalTableScan").length - 1 <= 1, s"one scan expected:\n$fp")
+    val days = ev.withColumn("day", col("ts") % 7)
+    val cp = EventAnalytics.cohortRetention(days, "user_id", "day")
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), s"firsts must broadcast:\n$cp")
+  }
+
+  test("funnel rejects duplicate steps") {
+    val ev = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "view"))
+    }
+  }
+}
