@@ -969,6 +969,16 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_embed_pq" -> ((s, d) => {
+      // product-quantized ANN: 4 subspaces × 4 centroids, 2 k-means
+      // iterations, ADC top-5 — codes are 4 small ids per vector (the
+      // 100 TB compression path); oracle replays training bit-for-bit
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Pq.adcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5,
+          dim = 64, m = 4, k = 4, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_cohort" -> ((s, d) => {
       // cohort retention triangle on the event log; day number is pure
       // integer nanos arithmetic (events ts reads as nano longs)
@@ -1250,6 +1260,66 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     duckCos.replace("{A}", a).replace("{B}", b)
+
+  /** Replays Pq.adcKnn: per-subspace L2 k-means (same init/rounding/tie
+    * protocol as the IVF oracle), encode, reconstruct by list concat, ADC
+    * = squared L2 to the reconstruction as the same a·a − 2·a·b + b·b
+    * tree over the sequential-fold dot product. */
+  private def duckPqSql: String = {
+    val (m, k, iters, width) = (4, 4, 2, 16)
+    def sqd(a: String, b: String) =
+      s"(${cosSql(a, a)} - 2.0::DOUBLE * ${cosSql(a, b)} + ${cosSql(b, b)})"
+    def assignCte(name: String, src: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sl, cid FROM (
+         |    SELECT s.vec_id, s.sl, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${sqd("s.sl", "c.centroid")}, c.cid) AS r
+         |    FROM $src s CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+    val subs = (0 until m).map { j =>
+      val (lo, hi) = (j * width + 1, (j + 1) * width)
+      val rounds = (1 to iters).map { i =>
+        assignCte(s"m${j}_$i", s"s$j", if (i == 1) s"i$j" else s"c${j}_${i - 1}") +
+        s""",
+           |d${j}_$i AS (
+           |  SELECT cid, unnest(sl) AS v, generate_subscripts(sl, 1) AS pos
+           |  FROM m${j}_$i),
+           |cd${j}_$i AS (
+           |  SELECT cid, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+           |  FROM d${j}_$i GROUP BY cid, pos),
+           |c${j}_$i AS (
+           |  SELECT cid, list(cv ORDER BY pos) AS centroid
+           |  FROM cd${j}_$i GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""s$j AS (SELECT vec_id, embedding[$lo:$hi] AS sl FROM embeddings),
+         |i$j AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    list_transform(sl, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM (SELECT vec_id, sl FROM s$j ORDER BY vec_id LIMIT $k)),
+         |$rounds,
+         |${assignCte(s"f$j", s"s$j", s"c${j}_$iters")},
+         |r$j AS (SELECT f.vec_id, c.centroid FROM f$j f JOIN c${j}_$iters c USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val concat = (0 until m).map(j => s"r$j.centroid").mkString(" || ")
+    val joins = (1 until m).map(j => s"JOIN r$j USING (vec_id)").mkString(" ")
+    s"""WITH $subs,
+       |recon AS (
+       |  SELECT r0.vec_id, $concat AS recon
+       |  FROM r0 $joins),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT q.query_id, r.vec_id AS neighbor_id,
+       |    ${sqd("q.q_emb", "r.recon")} AS adc_dist
+       |  FROM recon r CROSS JOIN q WHERE q.query_id <> r.vec_id),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The text-stats SELECT body (no ORDER BY) — shared by q_text_stats and
     * the curation-pipeline oracle. */
@@ -1760,6 +1830,7 @@ object SparkEntry {
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
+    "q_embed_pq" -> duckPqSql,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT l_returnflag,
