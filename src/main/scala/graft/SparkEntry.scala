@@ -969,6 +969,28 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_eqfreq_bins" -> ((s, d) => {
+      // quantile discretizer: per-language quartile bins over doc length,
+      // reported as per-bin counts and ranges (integer-exact end to end)
+      load(s, d)
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      operators.Profile.equalFrequencyBins(
+          s.table("documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", Seq("lang"), nBins = 4)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+    "q_cube" -> ((s, d) => q(s, d,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin)),
     "q_embed_pq" -> ((s, d) => {
       // product-quantized ANN: 4 subspaces × 4 centroids, 2 k-means
       // iterations, ADC top-5 — codes are 4 small ids per vector (the
@@ -1937,6 +1959,33 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // Replays Profile.equalFrequencyBins: quantile_cont edges (exact on
+    // integer n_chars), ties fall to the lower bin in both engines
+    "q_eqfreq_bins" ->
+      """WITH e AS (
+        |  SELECT lang,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.5) AS q2,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY lang),
+        |b AS (
+        |  SELECT d.lang, d.n_chars,
+        |    CASE WHEN d.n_chars > e.q3 THEN 3
+        |         WHEN d.n_chars > e.q2 THEN 2
+        |         WHEN d.n_chars > e.q1 THEN 1 ELSE 0 END AS bin
+        |  FROM documents d JOIN e USING (lang))
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
     // Replays EventAnalytics.cohortRetention: integer epoch-day numbers
     // (DuckDB date subtraction ≡ Spark nano DIV — both floor positive ts)
     "q_cohort" ->

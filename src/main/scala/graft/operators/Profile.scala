@@ -31,6 +31,39 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equal-frequency (quantile) binning — the complement of the
+    * fixed-width [[histogram]]: bin edges are the per-group `i/nBins`
+    * quantiles, so each bin holds ~the same share of rows regardless of
+    * the distribution's shape (the standard discretizer for skewed
+    * metrics). Adds `bin ∈ [0, nBins)` — row goes to bin i iff it exceeds
+    * the i-th edge and not the (i+1)-th.
+    *
+    * Plan: one exact-quantile aggregation per group (swap
+    * `approx_percentile` at 100 TB — same shape, t-digest state), the tiny
+    * edges frame broadcasts back, and the bin id is a codegen'd comparison
+    * chain. On integer-valued metrics the interpolated edges are exact
+    * binary fractions and every comparison is engine-exact. */
+  def equalFrequencyBins(df: DataFrame, valueCol: String,
+                         groupCols: Seq[String], nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(groupCols.nonEmpty, "equalFrequencyBins needs a group column")
+    Guards.requireNoReserved(df.columns, Seq("bin", "__qs"), "equalFrequencyBins")
+    val x = col(valueCol).cast("double")
+    val ps = (1 until nBins).map(i => lit(i.toDouble / nBins))
+    val edges = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(x, array(ps: _*)).as("__qs"))
+    // descending when-chain: highest exceeded edge wins; ties (x == edge)
+    // fall to the lower bin, matching quantile-inclusive convention
+    val bin = (nBins - 1 to 1 by -1).foldLeft(null: org.apache.spark.sql.Column) {
+      (acc, i) =>
+        val cond = x > element_at(col("__qs"), i)
+        if (acc == null) when(cond, lit(i)) else acc.when(cond, lit(i))
+    }.otherwise(lit(0))
+    df.join(broadcast(edges), groupCols)
+      .withColumn("bin", bin)
+      .drop("__qs")
+  }
+
   /** Per-column completeness/range profile: row count, null count, min,
     * max, exact distinct count — one row per requested column, values
     * rendered as strings (a profile is a report, not a join input).

@@ -53,6 +53,23 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(out(("h", 7.0)) === ((0.0, false))) // sigma=0 never flags
   }
 
+  test("equalFrequencyBins: quartiles balance counts; ties fall low") {
+    // 1..8 in one group: edges 2.75 / 4.5 / 6.25 -> two values per bin
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Profile.equalFrequencyBins(df, "v", Seq("grp"), nBins = 4)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(out === Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1,
+      5.0 -> 2, 6.0 -> 2, 7.0 -> 3, 8.0 -> 3))
+    // a value exactly on an edge goes to the LOWER bin
+    val tie = Seq(("h", 1.0), ("h", 2.0), ("h", 3.0)).toDF("grp", "v")
+    val t = Profile.equalFrequencyBins(tie, "v", Seq("grp"), nBins = 2)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(t(2.0) === 0) // median == 2.0, not exceeded
+    intercept[IllegalArgumentException] {
+      Profile.equalFrequencyBins(df, "v", Seq("grp"), nBins = 1)
+    }
+  }
+
   test("iqrOutliers: textbook Tukey fences, robust to the outlier itself") {
     // group g: 1..11 plus a wild 1000 -> q1/q3 from the 12 sorted values
     val vals = (1 to 11).map(_.toDouble) :+ 1000.0
