@@ -969,6 +969,20 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_token_budget" -> ((s, d) => {
+      // "best 2000 tokens per language": rank docs by length (proxy
+      // score), keep each language's prefix within the token budget; the
+      // crossing doc is kept (partial fill). Token count binds in its own
+      // projection (HOF rule)
+      load(s, d)
+      val toks = s.table("documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Batching.tokenBudgetSelect(toks, Seq("lang"),
+          "n_tokens", "n_chars", "doc_id", budget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_eqfreq_bins" -> ((s, d) => {
       // quantile discretizer: per-language quartile bins over doc length,
       // reported as per-bin counts and ranges (integer-exact end to end)
@@ -1959,6 +1973,22 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    // Replays Batching.tokenBudgetSelect: same score-desc/doc-id window
+    // order, keep while tokens_before (= cum − n) < budget
+    "q_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, lang, n_tokens, cum_tokens
+        |FROM r WHERE cum_tokens - n_tokens < 2000
+        |ORDER BY doc_id""".stripMargin,
     // Replays Profile.equalFrequencyBins: quantile_cont edges (exact on
     // integer n_chars), ties fall to the lower bin in both engines
     "q_eqfreq_bins" ->

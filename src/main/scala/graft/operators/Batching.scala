@@ -50,6 +50,40 @@ object Batching {
       .withColumn("padding_tokens", greatest(col("seq_bucket") - guarded, lit(0L)))
   }
 
+  /** Token-budget corpus selection — "keep the best N tokens per group":
+    * rank documents by a quality score (descending, doc id tie-break) and
+    * keep each group's prefix whose cumulative token count stays within
+    * `budget`. The first doc of a group is always kept even if it alone
+    * exceeds the budget (a budget must select SOMETHING to be useful —
+    * and a single over-budget doc is a data-quality signal, not a reason
+    * to emit an empty group).
+    *
+    * Plan: one keyed window (hash exchange on the group + in-partition
+    * sort) computing the running total; the filter fuses into the window's
+    * output projection. At 100 TB the group key IS the budget shard
+    * (domain, source, language) — budgets per shard avoid any global
+    * sort, and shard counts set writer parallelism. */
+  def tokenBudgetSelect(df: DataFrame, groupCols: Seq[String],
+                        nTokensCol: String, scoreCol: String, idCol: String,
+                        budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "tokenBudgetSelect needs a group column")
+    require(budget > 0, s"budget must be positive, got $budget")
+    Guards.requireNoReserved(df.columns,
+      Seq("tokens_before", "cum_tokens"), "tokenBudgetSelect")
+    val n = col(nTokensCol).cast("long")
+    val guarded = when(n.isNull || n < 0L, raise_error(concat(
+      lit(s"tokenBudgetSelect: $nTokensCol must be a non-null count >= 0, got "),
+      coalesce(n.cast("string"), lit("NULL"))))).otherwise(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(guarded).over(w))
+      .withColumn("tokens_before", col("cum_tokens") - guarded)
+      .filter(col("tokens_before") < budget)
+  }
+
   /** Ladder efficiency report: one row per occupied bucket with doc count,
     * raw/stored/padding token totals. `capacity_tokens = bucket · n_docs`
     * is what the batch actually occupies; `stored/capacity` is the ladder's

@@ -37,6 +37,23 @@ class BatchingSpec extends AnyFunSuite {
     assert(top.getLong(3) < top.getLong(2))
   }
 
+  test("tokenBudgetSelect: best-score prefix per group, crossing doc kept") {
+    // group g: scores 9,8,7 with 60/50/40 tokens; budget 100 keeps the
+    // first two (110 total — the crossing doc fills partially) but not the
+    // third (tokens_before 110 >= 100)
+    val df = Seq(("g", 1L, 60L, 9.0), ("g", 2L, 50L, 8.0), ("g", 3L, 40L, 7.0),
+      ("h", 4L, 500L, 1.0), ("h", 5L, 1L, 0.5)).toDF("grp", "id", "n", "score")
+    val kept = Batching.tokenBudgetSelect(df, Seq("grp"), "n", "score", "id",
+        budget = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum_tokens")).toMap
+    assert(kept.keySet === Set(1L, 2L, 4L))
+    assert(kept(2L) === 110L)   // crossing doc kept with its overshoot visible
+    assert(kept(4L) === 500L)   // first doc always kept even over budget
+    intercept[IllegalArgumentException] {
+      Batching.tokenBudgetSelect(df, Seq.empty, "n", "score", "id", 10L)
+    }
+  }
+
   test("invalid ladders and negative/null counts fail loudly") {
     val df = Seq(1L).toDF("n")
     intercept[IllegalArgumentException] {
