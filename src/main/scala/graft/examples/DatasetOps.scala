@@ -63,6 +63,27 @@ object DatasetOps {
     Sessionize.sessionStats(sess, "user_id", "ts_sec")
       .orderBy(desc("n_events")).show(5)
 
+    println("== Ordered funnel + first-day cohorts over the same log ==")
+    val evFull = spark.read.parquet(s"$dir/events.parquet")
+    graft.operators.EventAnalytics.funnel(evFull, "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase")).show()
+    val days = evFull.select(col("user_id"),
+      expr("ts DIV 86400000000000").as("day"))
+    graft.operators.EventAnalytics.cohortRetention(days, "user_id", "day")
+      .orderBy("cohort_day", "day_offset").show(5)
+
+    println("== Token-budget selection: best 500 tokens per language ==")
+    val withTok = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      graft.operators.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Batching.tokenBudgetSelect(withTok, Seq("lang"),
+        "n_tokens", "n_chars", "doc_id", budget = 500L)
+      .groupBy("lang").agg(count(lit(1)).as("docs_kept"),
+        max("cum_tokens").as("tokens_used")).orderBy("lang").show()
+
+    println("== Padding-efficiency ladder (length-bucketed batching) ==")
+    graft.operators.Batching.bucketStats(withTok, "n_tokens",
+      Seq(16L, 32L, 64L, 128L)).orderBy("seq_bucket").show()
+
     spark.stop()
   }
 }
