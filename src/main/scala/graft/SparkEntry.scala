@@ -969,6 +969,26 @@ object SparkEntry {
           "l_quantity", Seq("l_returnflag"), threshold = 1.6)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    // generator surface: posexplode with stable position semantics (the
+    // LATERAL-VIEW shape; DuckDB replays via generate_subscripts − 1)
+    "q_posexplode" -> ((s, d) => q(s, d,
+      """SELECT doc_id, pos, token FROM (
+        |  SELECT doc_id, posexplode(filter(split(lower(text), '[^a-z0-9]+'),
+        |    w -> w != '')) AS (pos, token)
+        |  FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id, pos""".stripMargin)),
+    // scalar string-function battery over one projection (concat_ws,
+    // pad/trim, translate, levenshtein, substring arithmetic)
+    "q_string_funcs" -> ((s, d) => q(s, d,
+      """SELECT c_custkey,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+        |  substring(c_name, 1, 8) AS prefix8,
+        |  length(c_name) AS name_len
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)),
     "q_token_budget" -> ((s, d) => {
       // "best 2000 tokens per language": rank docs by length (proxy
       // score), keep each language's prefix within the token budget; the
@@ -1973,6 +1993,24 @@ object SparkEntry {
         |       ELSE 0.0::DOUBLE END) > 1.6 AS is_outlier
         |FROM lineitem l JOIN stats st USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(pos - 1 AS INT) AS pos, token FROM (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS toks
+        |        FROM documents WHERE doc_id < 20))
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev,
+        |  substring(c_name, 1, 8) AS prefix8,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
     // Replays Batching.tokenBudgetSelect: same score-desc/doc-id window
     // order, keep while tokens_before (= cum − n) < budget
     "q_token_budget" ->
