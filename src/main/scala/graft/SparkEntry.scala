@@ -510,6 +510,28 @@ object SparkEntry {
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q_media_decode" -> ((s, d) => {
+      // REAL codec round-trip at the same plug-point: text → javax.imageio
+      // PNG ENCODE (per-partition) → binary media column → javax.imageio
+      // DECODE → grayscale pixel histogram. Grayscale PNG is lossless, so
+      // the oracle replays the pixel function (byte at i mod len, 256
+      // pixels) from the text alone — the gate proves a genuine image
+      // codec ran, not the byte-histogram stand-in.
+      load(s, d)
+      // same ASCII precondition as q_media_features: the oracle's ascii()
+      // indexes characters, the PNG pixels index bytes
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_decode oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaPng(s, docs, "doc_id", "text")
+      val feats = operators.Multimodal.decodeImageFeatures(s, media, "doc_id")
+      import org.apache.spark.sql.functions.element_at
+      feats.select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_tokens" -> ((s, d) => {
       // real merge-table BPE (vs q_token_count's fast pre-tokenizer count):
       // a native codegen'd expression applying Bpe.DefaultMerges per row
@@ -1444,6 +1466,30 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the REAL PNG round-trip ([[operators.Multimodal
+    * .withMediaPng]] → [[operators.Multimodal.decodeImageFeatures]]):
+    * grayscale PNG is lossless, so decoded pixel i equals the text byte at
+    * `i mod len` — the oracle regenerates the 256 pixels per document with
+    * `generate_series` and buckets them exactly like the decoder
+    * (`g*16/256`, count/256 — both divisions exact in IEEE doubles). The
+    * corpus is ASCII (asserted in the query), so `ascii()` on a character
+    * equals the UTF-8 byte. */
+  private def duckMediaDecodeSql: String = {
+    val buckets = (0 until 16).map { b =>
+      s"CAST(sum(CASE WHEN g // 16 = $b THEN 1 ELSE 0 END) AS DOUBLE) / 256.0" +
+        f" AS f$b%02d"
+    }
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN length(d.text) = 0 THEN 0
+       |         ELSE ascii(substr(d.text, CAST(t.i % length(d.text) AS INT) + 1, 1))
+       |    END AS g
+       |  FROM documents d CROSS JOIN generate_series(0, 255) AS t(i)
+       |)
+       |SELECT doc_id, ${buckets.mkString(",\n  ")}
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[operators.Similarity.ivfKnnLearned]]: the same
     * deterministic k-means (init = 8 lowest-id vectors, 2 assignment/update
     * rounds, means rounded to 6 decimals) unrolled as generated CTEs, then
@@ -1558,6 +1604,7 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '${operators.TextOps.BpeSplitRe}')) AS INT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_features" -> duckMediaFeaturesSql,
+    "q_media_decode" -> duckMediaDecodeSql,
     "q_bpe_tokens" -> duckBpeSql,
     "q_doc_fingerprint" ->
       s"""WITH $duckShingles,

@@ -32,6 +32,8 @@ object FinancialFunctions {
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
+    "topk_by" -> (e => { val a = arity("topk_by", 4)(e); TopKBy(a(0), a(1), a(2), a(3)) }),
+    "argmin_by" -> (e => { val a = arity("argmin_by", 3)(e); ArgMinBy(a(0), a(1), a(2)) }),
     "word_shingles" -> (e => {
       val a = arity("word_shingles", 2)(e)
       val n = a(1) match {
@@ -77,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
     "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
     "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash",
+    "topk_by" -> "topk_by(ord, id, tag, k) - bounded-heap smallest-k (ord,id,tag) entries, sorted ascending",
+    "argmin_by" -> "argmin_by(ord, id, payload) - smallest-(ord,id) entry with a float-array payload",
     "word_shingles" -> "word_shingles(text, n) - distinct word n-gram array, one codegen'd pass")
 
   override def apply(ext: SparkSessionExtensions): Unit = {

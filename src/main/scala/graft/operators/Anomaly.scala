@@ -29,24 +29,36 @@ object Anomaly {
     * screen, quartiles don't move when the outliers themselves are extreme
     * — the usual choice for heavy-tailed metrics (doc lengths, scores).
     *
-    * Plan: exact grouped quartiles (one aggregation; at 100 TB swap
-    * `percentile` for `approx_percentile`'s map-side-combinable t-digest —
-    * same query shape), then the tiny bounds frame broadcasts back onto
-    * the corpus. On integer-valued metrics the interpolated quartiles land
-    * on exact binary fractions and the fence arithmetic is a fixed IEEE
-    * tree — bit-identical in any engine (the oracle gate runs this way).
+    * Plan: exact grouped quartiles by default (one aggregation), then the
+    * tiny bounds frame broadcasts back onto the corpus. On integer-valued
+    * metrics the interpolated quartiles land on exact binary fractions and
+    * the fence arithmetic is a fixed IEEE tree — bit-identical in any
+    * engine (the oracle gate runs this way).
+    *
+    * `approx = true` is the 100 TB path: `percentile_approx`'s bounded
+    * KLL-style sketch replaces the exact percentile — same single-
+    * aggregation query shape, but per-group state is O(accuracy) instead
+    * of every value, so no group can blow executor memory. The sketch
+    * returns an actual data value at most 1/accuracy of the rank away from
+    * the true quantile (no interpolation) — the fence moves by at most
+    * that rank error, bounded in the tolerance spec.
     *
     * Emits the input columns plus `lo_bound`, `hi_bound`, `is_outlier`. */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                  k: Double = 1.5): DataFrame = {
+                  k: Double = 1.5, approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "iqrOutliers needs at least one group column")
     require(k > 0, s"fence multiplier must be positive, got $k")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     Guards.requireNoReserved(df.columns,
       Seq("lo_bound", "hi_bound", "is_outlier", "__q1", "__q3"), "iqrOutliers")
     val x = col(valueCol).cast("double")
+    def quantile(p: Double) =
+      if (approx) percentile_approx(x, lit(p), lit(accuracy))
+      else percentile(x, lit(p))
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(x, lit(0.25)).as("__q1"),
-           percentile(x, lit(0.75)).as("__q3"))
+      .agg(quantile(0.25).as("__q1"),
+           quantile(0.75).as("__q3"))
     val iqr = col("__q3") - col("__q1")
     df.join(broadcast(bounds), groupCols)
       .withColumn("lo_bound", col("__q1") - lit(k) * iqr)

@@ -322,30 +322,68 @@ object Dedup {
                        idCol: String, textCol: String,
                        k: Int = 16, rowsPerBand: Int = 4,
                        threshold: Double = 0.5): DataFrame = {
+    val refSets = graft.CacheScope.register(
+      TextOps.shingleSets(refDocs, idCol, textCol, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val index = RefIndex(
+      refDocs.select(md5(col(textCol)).as("__md5")).distinct(),
+      refBandsFrom(refSets, idCol, k, rowsPerBand),
+      refSets, k, rowsPerBand)
+    incrementalDedupWithIndex(newDocs, index, idCol, textCol, threshold)
+  }
+
+  /** Precomputed reference-corpus index for steady-state incremental
+    * ingest: the exact-dup hash set, the LSH band signatures, and the
+    * shingle sets of the reference — everything [[incrementalDedupWithIndex]]
+    * touches on the reference side. Build once with [[buildRefIndex]],
+    * persist the three frames (parquet), and every subsequent batch skips
+    * re-shingling/re-hashing the reference corpus entirely: at new ≪ ref
+    * scale the per-batch cost becomes proportional to the BATCH, not the
+    * corpus. `k`/`rowsPerBand` are carried so the new side's signatures are
+    * always banded compatibly with the index. */
+  final case class RefIndex(hashes: DataFrame, bands: DataFrame,
+                            sets: DataFrame, k: Int, rowsPerBand: Int)
+
+  /** Build a [[RefIndex]] from the reference corpus (one shingling pass). */
+  def buildRefIndex(refDocs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, rowsPerBand: Int = 4): RefIndex = {
+    val sets = TextOps.shingleSets(refDocs, idCol, textCol, 3)
+    RefIndex(
+      refDocs.select(md5(col(textCol)).as("__md5")).distinct(),
+      refBandsFrom(sets, idCol, k, rowsPerBand),
+      sets, k, rowsPerBand)
+  }
+
+  private def refBandsFrom(sets: DataFrame, idCol: String,
+                           k: Int, rowsPerBand: Int): DataFrame =
+    lshBands(
+      minhashSignatures(
+        sets.select(col(idCol), explode(col("shingles")).as("shingle")), idCol, k),
+      idCol, rowsPerBand)
+
+  /** [[incrementalDedup]] against a precomputed [[RefIndex]]: identical
+    * results, but the reference corpus' text column is never read — only
+    * the (much smaller, persistable) hash/band/shingle-set frames are. */
+  def incrementalDedupWithIndex(newDocs: DataFrame, ref: RefIndex,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.5): DataFrame = {
     // stage 1: exact text dup vs the reference (left_anti on the 16-byte md5)
-    val refHashes = refDocs.select(md5(col(textCol)).as("__md5")).distinct()
     val fresh = newDocs.withColumn("__md5", md5(col(textCol)))
-      .join(refHashes, Seq("__md5"), "left_anti")
+      .join(ref.hashes, Seq("__md5"), "left_anti")
       .drop("__md5")
     // stage 2: near-dup vs the reference — candidates are new×ref band
     // collisions only (no new×new, no ref×ref pairs are ever generated)
     val newSets = graft.CacheScope.register(
       TextOps.shingleSets(fresh, idCol, textCol, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val refSets = graft.CacheScope.register(
-      TextOps.shingleSets(refDocs, idCol, textCol, 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def bands(sets: DataFrame) = lshBands(
-      minhashSignatures(
-        sets.select(col(idCol), explode(col("shingles")).as("shingle")), idCol, k),
-      idCol, rowsPerBand)
-    val cands = bands(newSets).select(col(idCol).as("id_a"), col("band"), col("sig"))
-      .join(bands(refSets).select(col(idCol).as("id_b"), col("band"), col("sig")),
+    val newBands = refBandsFrom(newSets, idCol, ref.k, ref.rowsPerBand)
+    val cands = newBands.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      .join(ref.bands.select(col(idCol).as("id_b"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("id_a", "id_b").distinct()
     val a = newSets.select(col(idCol).as("id_a"),
       col("shingles").as("shs_a"), col("n_shingles").as("n_a"))
-    val b = refSets.select(col(idCol).as("id_b"),
+    val b = ref.sets.select(col(idCol).as("id_b"),
       col("shingles").as("shs_b"), col("n_shingles").as("n_b"))
     val nearDupIds = cands.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))

@@ -20,14 +20,17 @@ object EventAnalytics {
     * broadcasts back onto the log (users ≪ events); the retention count is
     * one aggregation of the joined scan. At 100 TB the distinct-count is
     * the memory pressure point — swap `countDistinct` for `kmv_distinct`
-    * (bounded sketch, same shape) when cohorts are huge. */
+    * (bounded sketch, same shape) when cohorts are huge. When the user
+    * dimension itself is too large to broadcast (one row per distinct
+    * user), pass `broadcastFirsts = false` to let AQE pick the join
+    * strategy instead of failing on the broadcast size limit. */
   def cohortRetention(events: DataFrame, userCol: String,
-                      dayCol: String): DataFrame = {
+                      dayCol: String, broadcastFirsts: Boolean = true): DataFrame = {
     Guards.requireNoReserved(events.columns,
       Seq("cohort_day", "day_offset", "n_users"), "cohortRetention")
     val firsts = events.groupBy(col(userCol))
       .agg(min(col(dayCol)).as("cohort_day"))
-    events.join(broadcast(firsts), userCol)
+    events.join(if (broadcastFirsts) broadcast(firsts) else firsts, userCol)
       .groupBy(col("cohort_day"),
         (col(dayCol) - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))

@@ -89,15 +89,21 @@ object Layout {
   }
 
   /** Write `df` compacted to `path` (parquet, overwrite), returning the
-    * file count actually produced. */
+    * file count actually produced. The count uses the Hadoop FileSystem
+    * API, so it is correct for any supported URI scheme (local, hdfs://,
+    * s3a://), not just local paths. */
   def compactTo(df: DataFrame, path: String, targetRowsPerFile: Long,
                 sortCols: Seq[Column] = Seq.empty): Long = {
     compact(df, targetRowsPerFile, sortCols)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).map(_.count(f =>
-      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))).getOrElse(0).toLong
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(hPath).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+    }.toLong
   }
 }

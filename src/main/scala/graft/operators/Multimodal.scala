@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,12 +11,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, exactly as a 100 TB
   * training-data pipeline would carry them next to text.
   *
-  * The real decode step (JPEG decode, audio resample, …) would run inside
-  * [[decodeFeatures]]'s per-partition iterator — the image/audio libraries
-  * are not available in this environment, so the decode is a clearly-marked
-  * deterministic fake (byte histogram). Everything around it — schema,
-  * partition-iterator batching, frame sampling, metadata struct — is the
-  * real Spark plumbing and is tested.
+  * Two decode paths exist at the same per-partition plug-point:
+  *  - [[decodeImageFeatures]] is a REAL codec round-trip — `javax.imageio`
+  *    PNG decode (JDK built-in, no external libs) into a grayscale pixel
+  *    histogram, fed by [[withMediaPng]]'s genuine PNG-encoded payloads;
+  *  - [[decodeFeatures]] keeps the clearly-marked deterministic fake
+  *    (byte histogram) standing in for codecs the JDK does not ship
+  *    (JPEG is also in `javax.imageio`, but video/audio are not).
+  * Everything around them — schema, partition-iterator batching, frame
+  * sampling, metadata struct — is identical real Spark plumbing.
   */
 object Multimodal {
 
@@ -62,6 +68,90 @@ object Multimodal {
         iter.map { case (id, bytes) => (id, fakeDecode(bytes, nBuckets)) }
       }
       .toDF(idCol, "features")
+  }
+
+  /** Deterministic synthetic PNG payloads: a 16×16 8-bit grayscale image
+    * whose pixel `i` (row-major) is the text's UTF-8 byte at `i mod len`
+    * (0 for empty text), encoded through the REAL `javax.imageio` PNG
+    * writer inside the per-partition iterator. Grayscale PNG is lossless,
+    * so a downstream decode recovers the exact pixel bytes — which is what
+    * lets a SQL oracle replay [[decodeImageFeatures]] bit-for-bit from the
+    * text alone, while the payload passing through the pipeline is a real
+    * codec artifact, not a fake. */
+  def withMediaPng(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        // one iterator per partition: ImageIO's writer SPI lookup and the
+        // reusable image buffer amortize across the partition
+        iter.map { case (id, text) => (id, encodePng(text)) }
+      }
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("image/png").as("mime"),
+        md5(col("media")).as("content_md5")))
+  }
+
+  private[operators] def encodePng(text: String): Array[Byte] = {
+    val bytes = if (text == null) Array.empty[Byte]
+                else text.getBytes(StandardCharsets.UTF_8)
+    val img = new java.awt.image.BufferedImage(
+      PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < PngSide * PngSide) {
+      val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      raster.setSample(i % PngSide, i / PngSide, 0, v)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Edge length of the synthetic PNGs ([[withMediaPng]]). */
+  val PngSide: Int = 16
+
+  /** REAL image decode at the plug-point: `javax.imageio` PNG (or any
+    * JDK-readable format) → normalized `nBuckets`-bucket grayscale pixel
+    * histogram. Same `mapPartitions` shape as [[decodeFeatures]] — swap
+    * the body for a CNN featurizer and nothing else changes. Fails loudly
+    * on an undecodable payload (a corrupt blob silently scored as
+    * all-zeros would poison downstream curation). */
+  def decodeImageFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                          nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, png) => (id, decodeImage(png, nBuckets)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  private[operators] def decodeImage(png: Array[Byte], nBuckets: Int): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "decodeImage: payload is not a decodable image")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Double](nBuckets)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = raster.getSample(x, y, 0) & 0xff
+        hist((g * nBuckets) / 256) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val total = math.max(1.0, (w.toLong * h).toDouble)
+    var j = 0
+    while (j < nBuckets) { hist(j) /= total; j += 1 }
+    hist
   }
 
   /** STUB — stands in for the real media decoder (`???` in a deployment

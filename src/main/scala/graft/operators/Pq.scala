@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
   * lowest centroid id.
   *
   * Scale notes: codebooks are m·k tiny vectors — they always broadcast;
-  * encoding is one corpus pass per training step (train on a SAMPLE at
-  * real scale — standard PQ practice); ADC search broadcasts the query
-  * set and scans codes once. No corpus self-join anywhere.
+  * ALL m subspaces train together in ONE corpus pass per iteration (the
+  * (sub, slice) explode below), so the scan count is iters+1 regardless
+  * of m; nearest-centroid assignment is a map-side-combinable
+  * `min(struct(dist, cid))` aggregation — the k candidate rows per vector
+  * collapse to one BEFORE the exchange and nothing is ever sorted (the
+  * row_number-window alternative shuffles corpus×k rows and sorts every
+  * vector's candidate list — the shape that does not survive k=256);
+  * encoding is one corpus pass; ADC search broadcasts the query set and
+  * scans codes once. Train on a SAMPLE at real scale — standard PQ
+  * practice. No corpus self-join anywhere.
   */
 object Pq {
 
@@ -39,59 +46,77 @@ object Pq {
       lit(2.0) * graft.functions.VectorFunctions.vecDot(a, b) +
       graft.functions.VectorFunctions.vecDot(b, b)
 
-  private def subSlice(embCol: String, sub: Int, width: Int): Column =
-    slice(col(embCol), sub * width + 1, width)
+  /** One row per (vec, sub): `sub ∈ [0, m)`, `sl` = that subspace's slice.
+    * A single scan materializes every subspace — the layout that lets all
+    * m codebooks train/encode together. */
+  private def explodeSubspaces(df: DataFrame, idCol: String, embCol: String,
+                               m: Int, width: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(embCol), j * lit(width) + lit(1), lit(width))))
+        .as(Seq("sub", "sl")))
 
   /** Per-subspace L2 k-means codebooks: one row per (sub, cid) with the
     * learned `centroid` (double array, 6-dp means). `dim` must divide into
-    * `m` equal slices. */
+    * `m` equal slices. Every training iteration is ONE pass over the
+    * exploded (sub, slice) corpus — all m subspaces assign and update
+    * together. */
   def trainCodebooks(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
                      idCol: String = "vec_id", embCol: String = "embedding")
       : DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m slices")
     require(k >= 1 && iters >= 0)
     val width = dim / m
-    val books = (0 until m).map { j =>
-      val sliced = corpus.select(col(idCol), subSlice(embCol, j, width).as("sl"))
-      var cents = sliced.orderBy(col(idCol)).limit(k)
-        .withColumn("cid", row_number().over(Window.orderBy(col(idCol))) - 1)
-        .select(col("cid"), transform(col("sl"), v => v.cast("double")).as("centroid"))
-      for (_ <- 1 to iters) {
-        cents = assign(sliced, cents)
-          .select(col("cid"), posexplode(col("sl")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(avg(col("v")), 6).as("cv"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-            s => s.getField("cv")).as("centroid"))
-      }
-      cents.select(lit(j).as("sub"), col("cid"), col("centroid"))
+    val subs = explodeSubspaces(corpus, idCol, embCol, m, width)
+    // init: the k lowest-id vectors' slices per subspace; cid = id-rank.
+    // The global row_number window runs over k rows, not the corpus.
+    var cents = explodeSubspaces(
+        corpus.orderBy(col(idCol)).limit(k)
+          .withColumn("cid", row_number().over(Window.orderBy(col(idCol))) - 1),
+        "cid", embCol, m, width)
+      .select(col("sub"), col("cid"),
+        transform(col("sl"), v => v.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      cents = assign(subs, cents, idCol)
+        .select(col("sub"), col("cid"), posexplode(col("sl")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
     }
-    books.reduce(_ unionByName _)
+    cents
   }
 
-  /** Nearest-centroid assignment within one subspace (argmin squared L2,
-    * ties to the lowest centroid id). */
-  private def assign(sliced: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = sliced.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment across all subspaces at once (argmin
+    * squared L2 within each (vec, sub), ties to the lowest centroid id).
+    *
+    * The argmin is the [[graft.functions.ArgMinBy]] aggregate — one entry
+    * of state per (vec, sub), ObjectHashAggregate (no sort anywhere), and
+    * map-side combinable: the k candidate rows per (vec, sub) collapse to
+    * one BEFORE the exchange. The slice rides through as the payload, so
+    * no join-back is needed to update centroids. */
+  private def assign(subs: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val scored = subs.join(broadcast(cents), Seq("sub"))
       .withColumn("d", sqDist(col("sl"), col("centroid")))
-    val w = Window.partitionBy(sliced.columns.head).orderBy(col("d"), col("cid"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .drop("d", "r", "centroid")
+    scored.groupBy(col(idCol), col("sub"))
+      .agg(graft.functions.ArgMinBy.argminBy(
+        col("d"), col("cid").cast("long"), col("sl")).as("__best"))
+      .select(col(idCol), col("sub"),
+        col("__best").getField("payload").as("sl"),
+        col("__best").getField("id").cast("int").as("cid"))
   }
 
   /** PQ codes in long format: one row per (vec, sub) with the centroid id
-    * — the layout an ADC table join consumes directly. */
+    * — the layout an ADC table join consumes directly. One corpus pass
+    * encodes every subspace. */
   def encode(corpus: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
              idCol: String = "vec_id", embCol: String = "embedding")
       : DataFrame = {
     require(m >= 1 && dim % m == 0)
     val width = dim / m
-    (0 until m).map { j =>
-      val sliced = corpus.select(col(idCol), subSlice(embCol, j, width).as("sl"))
-      assign(sliced, codebooks.filter(col("sub") === j).drop("sub"))
-        .select(col(idCol), lit(j).as("sub"), col("cid"))
-    }.reduce(_ unionByName _)
+    assign(explodeSubspaces(corpus, idCol, embCol, m, width), codebooks, idCol)
+      .select(col(idCol), col("sub"), col("cid"))
   }
 
   /** Reconstructed vectors: concatenation of each vector's m centroids —
@@ -106,7 +131,10 @@ object Pq {
 
   /** End-to-end PQ ANN: train → encode → reconstruct → ADC top-k per
     * query (ascending squared L2 to the reconstruction, ties to the lower
-    * neighbor id, self-matches excluded). */
+    * neighbor id, self-matches excluded). The per-query top-k is a
+    * bounded-heap aggregate ([[graft.functions.TopKBy]]) — state is k
+    * entries per query, combined map-side; no per-query sort of the
+    * scored corpus. */
   def adcKnn(corpus: DataFrame, queries: DataFrame, topK: Int, dim: Int,
              m: Int, k: Int, iters: Int,
              idCol: String = "vec_id", embCol: String = "embedding")
@@ -117,10 +145,8 @@ object Pq {
     val scored = recon.select(col(idCol).as("neighbor_id"), col("recon"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", sqDist(col("q_emb"), col("recon")))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
-        col("rank").cast("long").as("rank"))
+    graft.functions.TopKBy.rankAscending(scored, "query_id",
+        ordCol = "adc_dist", idCol = "neighbor_id", k = topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 }

@@ -38,20 +38,39 @@ object Profile {
     * metrics). Adds `bin ∈ [0, nBins)` — row goes to bin i iff it exceeds
     * the i-th edge and not the (i+1)-th.
     *
-    * Plan: one exact-quantile aggregation per group (swap
-    * `approx_percentile` at 100 TB — same shape, t-digest state), the tiny
+    * Plan: one exact-quantile aggregation per group by default, the tiny
     * edges frame broadcasts back, and the bin id is a codegen'd comparison
     * chain. On integer-valued metrics the interpolated edges are exact
-    * binary fractions and every comparison is engine-exact. */
+    * binary fractions and every comparison is engine-exact.
+    *
+    * `approx = true` is the 100 TB path: `percentile_approx`'s bounded
+    * sketch computes the edges with O(accuracy) per-group state instead of
+    * holding every value — same query shape; edges land on actual data
+    * values at most 1/accuracy of the rank off, so a row within that rank
+    * distance of an edge may land one bin over (tolerance spec bounds
+    * this). Null metric values fail loudly (same policy as
+    * [[Batching.bucketAssignments]]). */
   def equalFrequencyBins(df: DataFrame, valueCol: String,
-                         groupCols: Seq[String], nBins: Int): DataFrame = {
+                         groupCols: Seq[String], nBins: Int,
+                         approx: Boolean = false,
+                         accuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(groupCols.nonEmpty, "equalFrequencyBins needs a group column")
     Guards.requireNoReserved(df.columns, Seq("bin", "__qs"), "equalFrequencyBins")
-    val x = col(valueCol).cast("double")
+    // null metric values fail loudly (same policy as Batching's guards): a
+    // null would otherwise fall through every when-branch into bin 0,
+    // silently mislabeling missing data as the lowest bin
+    val x = when(col(valueCol).isNull, raise_error(lit(
+        s"equalFrequencyBins: $valueCol must be non-null (null rows would " +
+          "silently land in bin 0); filter or impute first")))
+      .otherwise(col(valueCol).cast("double"))
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val ps = (1 until nBins).map(i => lit(i.toDouble / nBins))
+    val qs =
+      if (approx) percentile_approx(x, array(ps: _*), lit(accuracy))
+      else percentile(x, array(ps: _*))
     val edges = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(x, array(ps: _*)).as("__qs"))
+      .agg(qs.as("__qs"))
     // descending when-chain: highest exceeded edge wins; ties (x == edge)
     // fall to the lower bin, matching quantile-inclusive convention
     val bin = (nBins - 1 to 1 by -1).foldLeft(null: org.apache.spark.sql.Column) {

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *  - [[cosine]] is a pure column expression (cast-to-double, zip-multiply,
   *    sequential fold — deterministic, bit-reproducible, codegen-friendly);
   *  - [[bruteForceKnn]] broadcasts the (small) query set and computes the
-  *    top-k with a per-query window — one pass over the corpus, no shuffle
-  *    of the big side except the final per-query k rows;
+  *    top-k with a bounded-heap aggregate — one pass over the corpus, no
+  *    sort, and only k entries per query cross the exchange;
   *  - [[ivfKnn]] is the scale path: corpus pre-clustered (here by the
   *    `label` column standing in for IVF coarse centroids), queries probe
   *    only their nearest cluster → touches 1/nlist of the corpus;
@@ -29,18 +29,22 @@ object Similarity {
     graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Brute-force top-k cosine neighbours for each query vector.
-    * `queries` must be small (it is broadcast). Excludes self-matches. */
+    * `queries` must be small (it is broadcast). Excludes self-matches.
+    * The per-query top-k is a bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]): state is k entries per query, combined
+    * map-side — the corpus is scanned once and never sorted (the ranking
+    * window it replaces put each query's entire scored corpus slice into
+    * one partition and sorted it). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.functions.TopKBy.rankDescending(scored, "query_id",
+        ordCol = "cos", idCol = "neighbor_id", k = k)
       .select(col("query_id"), col("neighbor_id"),
-        col("cos").as("cosine"), col("rank").cast("long").as("rank"))
+        col("cos").as("cosine"), col("rank"))
   }
 
   /** IVF-style clustered ANN: centroids are the per-cluster mean vectors
@@ -109,18 +113,34 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: one broadcast of the (tiny) centroid set
-    * against a single corpus pass. */
+    * against a single corpus pass. The argmax is the map-side-combinable
+    * [[graft.functions.ArgMinBy]] aggregate over the NEGATED cosine (IEEE
+    * negation is exact, so min(−ccos) IS max(ccos) with the identical
+    * −0.0/NaN sort semantics), ties to the lowest `cl` — exactly the
+    * `ORDER BY ccos DESC, cl` tie-break. One entry of state per vector,
+    * ObjectHashAggregate (no sort anywhere): the nlist candidate rows per
+    * vector collapse to one BEFORE the exchange (the row_number-window
+    * alternative shuffles corpus×nlist rows and sorts every vector's
+    * candidate list). The embedding rides through as the payload. */
   private def assignClusters(corpus: DataFrame, centroids: DataFrame,
                              idCol: String, embCol: String): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col(embCol), col("centroid")))
-    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cl"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col(idCol), col(embCol), col("cl"))
+      .withColumn("__negcos", negate(cosine(col(embCol), col("centroid"))))
+    scored.groupBy(col(idCol))
+      .agg(graft.functions.ArgMinBy.argminBy(
+        col("__negcos"), col("cl").cast("long"), col(embCol)).as("__best"))
+      .select(col(idCol),
+        col("__best").getField("payload").as(embCol),
+        col("__best").getField("id").cast("int").as("cl"))
   }
 
   /** Shared IVF probe: queries pick their `nprobe` best centroids, then rank
-    * only those clusters' members. */
+    * only those clusters' members. The query→centroid ranking keeps its
+    * window (queries × nlist rows — tiny by contract); the member ranking
+    * is the bounded-heap [[graft.functions.TopKBy]] aggregate (k entries of
+    * state per query, map-side combinable, no per-query sort of the probed
+    * clusters' members). The cluster id rides through the heap as the tag
+    * channel, so it must be an integral type. */
   private def probe(members: DataFrame, centroids: DataFrame, queries: DataFrame,
                     k: Int, nprobe: Int, idCol: String, embCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
@@ -133,11 +153,10 @@ object Similarity {
     val scored = c.join(broadcast(assigned), Seq("cl"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.functions.TopKBy.rankDescending(scored, "query_id",
+        ordCol = "cos", idCol = "neighbor_id", k = k, tagCol = Some("cl"))
       .select(col("query_id"), col("cl").cast("int").as("probed_cluster"),
-        col("neighbor_id"), col("cos").as("cosine"), col("rank").cast("long").as("rank"))
+        col("neighbor_id"), col("cos").as("cosine"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates are

@@ -122,6 +122,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("brute-force kNN ranks via the bounded-heap aggregate — zero windows") {
+    val p = plan("q_embed_knn")
+    assert(!p.contains("Window"), s"kNN must not plan a ranking window:\n$p")
+    assert(p.contains("partial_topk_by"),
+      s"expected a map-side partial topk aggregate:\n$p")
+  }
+
+  test("PQ k-means assignment is a map-side argmin aggregate — no sort, no ranking window") {
+    val p = plan("q_embed_pq")
+    assert(!p.contains("SortAggregate"),
+      s"assignment must not fall back to SortAggregate:\n$p")
+    assert(p.contains("partial_argmin_by"),
+      s"expected the map-side partial argmin:\n$p")
+    // the only windows left are the k-row codebook-init row_numbers — every
+    // corpus-sized ranking (assignment, ADC top-k) is aggregate-based
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("row_number")),
+      s"unexpected non-init window:\n${windowLines.mkString("\n")}")
+    assert(p.contains("partial_topk_by"),
+      s"expected the ADC top-k partial aggregate:\n$p")
+  }
+
+  test("learned-IVF k-means assignment aggregates map-side — no sort") {
+    val p = plan("q_embed_ivf_learned")
+    assert(!p.contains("SortAggregate"),
+      s"assignment must not fall back to SortAggregate:\n$p")
+    assert(p.contains("partial_argmin_by"),
+      s"expected the map-side partial argmin:\n$p")
+  }
+
   test("full-outer join pre-aggregates both sides below the join") {
     val p = plan("q_full_outer")
     val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")

@@ -110,4 +110,42 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(out.count() === 1L)
     graft.CacheScope.release()
   }
+
+  test("incrementalDedupWithIndex: persisted index gives identical results, ref text never scanned") {
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 11).map(i => s"tok$i").mkString(" ") + " changed"
+    val fresh = Seq(
+      (1L, "ref exact duplicate text body"),
+      (3L, near),
+      (5L, "completely different fresh document here today")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("refindex").toString
+    try {
+      Seq((100L, "ref exact duplicate text body"), (102L, base))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/refdocs")
+      val ref = spark.read.parquet(s"$tmp/refdocs")
+      // build once from the reference corpus, persist the three frames …
+      val built = Dedup.buildRefIndex(ref, "doc_id", "text", rowsPerBand = 2)
+      built.hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
+      built.bands.write.mode("overwrite").parquet(s"$tmp/bands")
+      built.sets.write.mode("overwrite").parquet(s"$tmp/sets")
+      // … and dedup a later batch purely from disk, without the ref corpus
+      val index = Dedup.RefIndex(
+        spark.read.parquet(s"$tmp/hashes"),
+        spark.read.parquet(s"$tmp/bands"),
+        spark.read.parquet(s"$tmp/sets"), k = 16, rowsPerBand = 2)
+      val viaIndex = Dedup.incrementalDedupWithIndex(fresh, index, "doc_id", "text")
+      val direct = Dedup.incrementalDedup(fresh, ref, "doc_id", "text",
+        rowsPerBand = 2)
+      assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+      assert(viaIndex.select("doc_id").as[Long].collect().sorted.toSeq === Seq(5L))
+      // the plan touches only the persisted index frames: the ref corpus
+      // parquet never appears in any scan
+      val p = viaIndex.queryExecution.executedPlan.toString
+      assert(!p.contains("refdocs"), s"ref corpus must not be re-scanned:\n$p")
+      assert(p.contains("bands"), s"expected the persisted band index scan:\n$p")
+    } finally {
+      graft.CacheScope.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

@@ -60,6 +60,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(cp.contains("BroadcastHashJoin"), s"firsts must broadcast:\n$cp")
   }
 
+  test("cohortRetention broadcastFirsts=false drops the forced hint and matches results") {
+    val ev = (1 to 300).map(i => ((i % 20).toLong, (i % 7).toLong))
+      .toDF("user_id", "day")
+    val forced = EventAnalytics.cohortRetention(ev, "user_id", "day")
+    val free = EventAnalytics.cohortRetention(ev, "user_id", "day",
+      broadcastFirsts = false)
+    assert(forced.exceptAll(free).isEmpty && free.exceptAll(forced).isEmpty)
+    // no ResolvedHint on the firsts side: the optimizer (or AQE at scale)
+    // is free to pick a shuffle join when the user dimension is huge
+    assert(!free.queryExecution.optimizedPlan.toString.contains("hints=[broadcast]"),
+      free.queryExecution.optimizedPlan.toString)
+  }
+
   test("funnel rejects duplicate steps") {
     val ev = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] {

@@ -273,6 +273,37 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("multimodal: real PNG encode→decode round-trip recovers the pixel histogram") {
+    import spark.implicits._
+    val doc = Seq((1L, "abcd"), (2L, ""), (3L, "ÿ" * 3)).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPng(spark, doc, "doc_id", "text")
+    // the payloads are genuine PNGs: magic bytes + image/png mime
+    media.select("media", "media_meta.mime").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert((b(0) & 0xff) === 0x89 && b(1) === 'P'.toByte && b(2) === 'N'.toByte)
+      assert(r.getString(1) === "image/png")
+    }
+    val feats = Multimodal.decodeImageFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // doc 1: bytes 97..100 cycle over 256 pixels — all land in bucket 6
+    // (97/16 == 100/16 == 6); histogram sums to 1 exactly
+    assert(feats(1L)(6) === 1.0 && feats(1L).sum === 1.0)
+    // doc 2 (empty): all pixels 0 → bucket 0
+    assert(feats(2L)(0) === 1.0)
+    // doc 3: 'ÿ' is 2 UTF-8 bytes (0xc3 0xbf) → buckets 12 and 11 half each
+    assert(feats(3L)(12) === 0.5 && feats(3L)(11) === 0.5)
+  }
+
+  test("multimodal: decodeImageFeatures fails loudly on an undecodable payload") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      Multimodal.decodeImageFeatures(spark, junk, "doc_id").collect()
+    }
+    assert(e.getMessage.contains("decodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("decodable")))
+  }
+
   test("multimodal: frame sampling slices BYTES, not characters (multi-byte UTF-8)") {
     import spark.implicits._
     val text = "café züriçh — " * 10 // multi-byte UTF-8 throughout

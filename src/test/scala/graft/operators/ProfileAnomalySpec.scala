@@ -86,6 +86,63 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(out(11.0)._3 === false)    // 11 < 9.25 + 8.25 = 17.5
   }
 
+  test("equalFrequencyBins fails loudly on a null metric value") {
+    val df = Seq((Some(1.0), "g"), (None, "g"), (Some(3.0), "g"), (Some(4.0), "g"))
+      .toDF("v", "grp")
+    val e = intercept[Exception] {
+      Profile.equalFrequencyBins(df, "v", Seq("grp"), nBins = 2).collect()
+    }
+    assert(e.getMessage.contains("equalFrequencyBins"), e.getMessage)
+  }
+
+  test("approx equalFrequencyBins: at high accuracy, bins within one slot of exact") {
+    val df = (0 until 400).map(i => (i.toDouble, s"g${i % 2}")).toDF("v", "grp")
+    val exact = Profile.equalFrequencyBins(df, "v", Seq("grp"), nBins = 4)
+      .select("v", "grp", "bin")
+    val approx = Profile.equalFrequencyBins(df, "v", Seq("grp"), nBins = 4,
+        approx = true, accuracy = 10000)
+      .select(col("v"), col("grp"), col("bin").as("bin_a"))
+    val joined = exact.join(approx, Seq("v", "grp")).collect()
+    assert(joined.length === 400)
+    // sketch error at accuracy 10000 over 200 rows/group: edges are exact
+    // data values ≤ 1 rank away — a row can move at most one bin
+    assert(joined.forall(r =>
+      math.abs(r.getAs[Int]("bin") - r.getAs[Int]("bin_a")) <= 1))
+    val agree = joined.count(r => r.getAs[Int]("bin") == r.getAs[Int]("bin_a"))
+    assert(agree >= 380, s"only $agree/400 rows agree with the exact bins")
+  }
+
+  test("approx iqrOutliers: fences within one data step of exact, flags near-identical") {
+    val df = ((0 until 200).map(_.toDouble) ++ Seq(1000.0, -1000.0))
+      .map(v => (v, "g")).toDF("v", "grp")
+    val exact = Anomaly.iqrOutliers(df, "v", Seq("grp"))
+      .select("v", "lo_bound", "hi_bound", "is_outlier")
+    val approx = Anomaly.iqrOutliers(df, "v", Seq("grp"), approx = true)
+      .select(col("v"), col("lo_bound").as("lo_a"), col("hi_bound").as("hi_a"),
+        col("is_outlier").as("out_a"))
+    val j = exact.join(approx, "v").collect()
+    assert(j.length === 202)
+    // exact quartiles interpolate; the sketch returns a neighbor value ≤ 1
+    // rank away — with unit-spaced data and k=1.5 the fence moves ≤ 2.5
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("lo_bound") - r.getAs[Double]("lo_a")) <= 2.5)
+      assert(math.abs(r.getAs[Double]("hi_bound") - r.getAs[Double]("hi_a")) <= 2.5)
+    }
+    val agree = j.count(r => r.getAs[Boolean]("is_outlier") == r.getAs[Boolean]("out_a"))
+    assert(agree >= 200, s"only $agree/202 flags agree")
+    // the planted extremes must flag under either path
+    val flagged = j.filter(_.getAs[Boolean]("out_a")).map(_.getAs[Double]("v")).toSet
+    assert(flagged.contains(1000.0) && flagged.contains(-1000.0))
+  }
+
+  test("approx iqrOutliers aggregates with bounded sketch state (partial before exchange)") {
+    val df = Seq((1.0, "g")).toDF("v", "grp")
+    val p = Anomaly.iqrOutliers(df, "v", Seq("grp"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_percentile_approx"),
+      s"expected a map-side partial approx-percentile:\n$p")
+  }
+
   test("iqrOutliers broadcasts the bounds side") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val plan = Anomaly.iqrOutliers(df, "v", Seq("grp"))
