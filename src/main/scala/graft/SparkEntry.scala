@@ -433,6 +433,21 @@ object SparkEntry {
     when(violation, raise_error(lit(msg))).otherwise(text)
   }
 
+  /** events.parquet carries a TIMESTAMP(NANOS) `ts`, which Catalyst has no
+    * timestamp type for. Reading through an explicit LongType schema maps
+    * the physical INT64 nanos straight to BIGINT — same values as the
+    * `spark.sql.legacy.parquet.nanosAsLong` conf, but scoped to THIS read:
+    * no session-wide conf mutation for a user copying these patterns to
+    * inherit by surprise. */
+  private def readEventsNanos(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(s"$d/events.parquet")
+  }
+
   /** Synthetic PII corpus for the q_pii_* gates: email/SSN/phone/IP derived
     * deterministically from doc_id and appended to the real text (the word
     * soup itself contains no digits or '@'); every 5th doc stays clean so
@@ -742,11 +757,10 @@ object SparkEntry {
       load(s, d)
       import s.implicits._
       import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
-      // events.parquet carries TIMESTAMP(NANOS) — Spark reads it only as a
-      // nanosecond Long (legacy conf); the data is micro-aligned, so the
-      // integer DIV to micros is lossless (checked: nanos % 1000 == 0).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      // events.parquet carries TIMESTAMP(NANOS) — read as nanosecond Longs
+      // (readEventsNanos); the data is micro-aligned, so the integer DIV
+      // to micros is lossless (checked: nanos % 1000 == 0).
+      val ev = readEventsNanos(s, d)
       val ticks = ev.select(
         col("event_type").as("symbol"),
         timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
@@ -813,8 +827,7 @@ object SparkEntry {
       // or before the event time (the kdb-style primitive Spark lacks)
       load(s, d)
       import org.apache.spark.sql.functions.{expr, max => maxf, max_by, timestamp_micros, unix_micros}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").select(
+      val ev = readEventsNanos(s, d).select(
         col("event_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"),
         col("user_id"))
@@ -833,8 +846,7 @@ object SparkEntry {
       // matches null out instead of carrying arbitrarily far forward
       load(s, d)
       import org.apache.spark.sql.functions.{expr, max => maxf, max_by, timestamp_micros, unix_micros}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet").select(
+      val ev = readEventsNanos(s, d).select(
         col("event_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"),
         col("user_id"))
@@ -853,8 +865,7 @@ object SparkEntry {
       load(s, d)
       import s.implicits._
       import org.apache.spark.sql.functions.{expr, lit, round => roundf, timestamp_micros, unix_micros}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = readEventsNanos(s, d)
       val ticks = ev.select(
         col("event_type").as("symbol"),
         timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
@@ -949,9 +960,8 @@ object SparkEntry {
     // one hash exchange on user_id, then a single window pass (lag → flag →
     // running sum). 12h gap ≈ the corpus' median inter-event gap × 1.6.
     "q_sessionize" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions.expr
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = readEventsNanos(s, d)
         .select(col("user_id"), col("event_id"),
           expr("ts DIV 1000000000").as("ts_sec"))
       operators.Sessionize.assignSessions(ev, "user_id", "ts_sec",
@@ -959,9 +969,8 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
     }),
     "q_session_stats" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions.expr
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = readEventsNanos(s, d)
         .select(col("user_id"), col("event_id"),
           expr("ts DIV 1000000000").as("ts_sec"))
       val sess = operators.Sessionize.assignSessions(ev, "user_id", "ts_sec",
@@ -1062,8 +1071,7 @@ object SparkEntry {
       // integer nanos arithmetic (events ts reads as nano longs)
       load(s, d)
       import org.apache.spark.sql.functions.expr
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = readEventsNanos(s, d)
         .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
       operators.EventAnalytics.cohortRetention(ev, "user_id", "day")
         .orderBy(col("cohort_day"), col("day_offset"))
@@ -1071,8 +1079,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => {
       // ordered view→click→purchase funnel over first-occurrence times
       load(s, d)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = readEventsNanos(s, d)
       operators.EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy(col("step_index"))
