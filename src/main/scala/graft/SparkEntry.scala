@@ -1206,6 +1206,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_sample_per_group" -> ((s, d) => {
+      // deterministic ≤20-docs-per-source cap via the bounded-heap topk_by
+      // aggregate (48-bit hash ranking, ties to the lower doc_id)
+      load(s, d)
+      operators.Sampling.samplePerGroup(s.table("documents"), "doc_id",
+          "source", n = 20)
+        .orderBy(col("source"), col("rank"))
+    }),
     "q_corpus_mix" -> ((s, d) => {
       load(s, d)
       val docs = s.table("documents")
@@ -2299,6 +2307,22 @@ object SparkEntry {
          |    / CAST(n_chars AS DOUBLE) DESC, doc_id
          |  LIMIT 64) t
          |ORDER BY doc_id""".stripMargin,
+    // Replays Sampling.samplePerGroup: 48-bit md5 key hash (exact in the
+    // heap's double ordering), per-source rank ascending, ties to the
+    // lower doc_id, keep rank <= 20.
+    "q_sample_per_group" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT) AS h48
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h48, doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM h
+         |)
+         |SELECT source, doc_id, rank FROM r
+         |WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
     "q_corpus_mix" ->
       s"""SELECT doc_id, source FROM documents WHERE source = 'src0'
          |  AND CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) < ${operators.Sampling.threshold(1.0)}

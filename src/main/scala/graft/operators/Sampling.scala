@@ -85,4 +85,28 @@ object Sampling {
       .limit(k)
       .drop("__aes_rank")
   }
+
+  /** Deterministic fixed-size uniform sample PER GROUP ("≤ n docs per
+    * source"): rows rank by an md5-derived key hash and each group keeps
+    * its `n` smallest (hash ties to the lower key — the sample is a pure
+    * function of the corpus). Unlike the rate samplers the output size is
+    * exactly `min(n, |group|)` per group — the balanced-subset primitive
+    * for per-source caps. Emits (groupCol, keyCol, rank).
+    *
+    * Plan: the bounded-heap `topk_by` aggregate — ≤ n entries of state per
+    * group, map-side combinable, no per-group sort (a ranking window would
+    * put each group's full scan slice into one partition — the shape that
+    * dies on a 100 TB mega-source). The hash is 48-bit (vs the rate
+    * samplers' 60) so the heap's double-typed ordering key stays exact
+    * (< 2^53) and any engine replays the ranking bit-for-bit. */
+  def samplePerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    graft.operators.Guards.requireNoReserved(df.columns, Seq("__h48", "rank"),
+      "samplePerGroup")
+    val hashed = df.withColumn("__h48",
+      conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10).cast("long"))
+    graft.functions.TopKBy.rankAscending(hashed, groupCol, "__h48", keyCol, n)
+      .select(col(groupCol), col(keyCol), col("rank"))
+  }
 }

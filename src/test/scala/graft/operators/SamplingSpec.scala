@@ -100,4 +100,27 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$p")
   }
+
+  test("samplePerGroup: exactly min(n, |group|) per group, partitioning-invariant") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ (101L to 105L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Sampling.samplePerGroup(df, "id", "grp", n = 10)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "small" -> 5L))
+    // ranks are 1..n contiguous within each group
+    assert(out.filter(col("grp") === "big").select("rank").as[Long]
+      .collect().sorted.toSeq === (1L to 10L))
+    // same sample regardless of layout — the determinism contract
+    val re = Sampling.samplePerGroup(df.repartition(7), "id", "grp", n = 10)
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
+  }
+
+  test("samplePerGroup aggregates with the bounded heap — no ranking window") {
+    val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val p = Sampling.samplePerGroup(df, "id", "grp", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_by"), s"expected map-side partial topk:\n$p")
+    assert(!p.contains("Window"), s"expected no ranking window:\n$p")
+  }
 }
