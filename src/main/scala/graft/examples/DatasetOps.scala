@@ -54,8 +54,15 @@ object DatasetOps {
       "token", depth = 4, width = 1024).orderBy("token").show()
 
     println("== Sessionized event log (12h inactivity gap) ==")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // events.parquet's ts is TIMESTAMP(NANOS): an explicit LongType schema
+    // reads the raw nanos without flipping any session-wide legacy conf
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType, DoubleType}
+    val evFull = spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(s"$dir/events.parquet")
+    val ev = evFull
       .select(col("user_id"), col("event_id"),
         expr("ts DIV 1000000000").as("ts_sec"))
     val sess = Sessionize.assignSessions(ev, "user_id", "ts_sec",
@@ -64,7 +71,6 @@ object DatasetOps {
       .orderBy(desc("n_events")).show(5)
 
     println("== Ordered funnel + first-day cohorts over the same log ==")
-    val evFull = spark.read.parquet(s"$dir/events.parquet")
     graft.operators.EventAnalytics.funnel(evFull, "user_id", "event_type",
       "ts", Seq("view", "click", "purchase")).show()
     val days = evFull.select(col("user_id"),
@@ -83,6 +89,24 @@ object DatasetOps {
     println("== Padding-efficiency ladder (length-bucketed batching) ==")
     graft.operators.Batching.bucketStats(withTok, "n_tokens",
       Seq(16L, 32L, 64L, 128L)).orderBy("seq_bucket").show()
+
+    println("== Deterministic per-source cap: at most 5 docs per source ==")
+    graft.operators.Sampling.samplePerGroup(docs, "doc_id", "source", n = 5)
+      .groupBy("source").count().orderBy("source").show(5)
+
+    println("== Approx IQR screen (bounded sketch state — the 100 TB path) ==")
+    graft.operators.Anomaly.iqrOutliers(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "n_chars", Seq("lang"), approx = true)
+      .filter(col("is_outlier")).groupBy("lang").count().orderBy("lang").show(5)
+
+    println("== Incremental ingest against a persisted dedup index ==")
+    val refIdx = graft.operators.Dedup.buildRefIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val survivors = graft.operators.Dedup.incrementalDedupWithIndex(
+      docs.filter(col("doc_id") % 2 === 1), refIdx, "doc_id", "text")
+    println(s"odd-batch survivors vs even-doc reference: ${survivors.count()}")
+    graft.CacheScope.release()
 
     spark.stop()
   }
