@@ -41,6 +41,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5, signBits = 8).count() === 0)
   }
 
+  test("sampling, dedup-index, and media operators on an empty corpus") {
+    assert(Sampling.samplePerGroup(emptyDocs, "doc_id", "text", n = 3).count() === 0)
+    val idx = Dedup.buildRefIndex(emptyDocs, "doc_id", "text")
+    assert(Dedup.incrementalDedupWithIndex(emptyDocs, idx, "doc_id", "text").count() === 0)
+    val media = Multimodal.withMediaPng(spark, emptyDocs, "doc_id", "text")
+    assert(Multimodal.decodeImageFeatures(spark, media, "doc_id").count() === 0)
+    graft.CacheScope.release()
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

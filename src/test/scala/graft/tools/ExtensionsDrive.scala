@@ -23,6 +23,14 @@ object ExtensionsDrive {
     catch { case e: Exception => println("EXT_UNORDERED_ERR=" + e.getMessage.linesIterator.next()) }
     println("EXT_ORDERED_OK=" + spark.sql(
       "SELECT ema(x, 3) OVER (ORDER BY x) FROM VALUES (1.0), (2.0) t(x)").count())
+    // the aggregate extensions resolve through the same injected registry
+    println("EXT_TOPK=" + spark.sql(
+      """SELECT topk_by(o, i, 0L, 2) FROM
+        |VALUES (3.0D, 1L), (1.0D, 2L), (2.0D, 3L) t(o, i)""".stripMargin)
+      .head().getSeq[Any](0).length)
+    println("EXT_ARGMIN=" + spark.sql(
+      """SELECT argmin_by(o, i, array(CAST(7.0 AS FLOAT))).id FROM
+        |VALUES (3.0D, 1L), (1.0D, 2L) t(o, i)""".stripMargin).head().getLong(0))
     spark.stop()
     println("DONE")
   }
