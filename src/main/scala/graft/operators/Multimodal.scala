@@ -84,9 +84,14 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { iter =>
-        // one iterator per partition: ImageIO's writer SPI lookup and the
-        // reusable image buffer amortize across the partition
-        iter.map { case (id, text) => (id, encodePng(text)) }
+        // one iterator per partition: the writer SPI lookup and the pixel
+        // buffer are per-partition state, amortized across every row —
+        // exactly the setup-amortization a real codec/model needs here
+        val img = new java.awt.image.BufferedImage(
+          PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        iter.map { case (id, text) => (id, encodePngWith(img, writer, text)) }
       }
       .toDF(idCol, "media")
       .withColumn("media_meta", struct(
@@ -95,11 +100,11 @@ object Multimodal {
         md5(col("media")).as("content_md5")))
   }
 
-  private[operators] def encodePng(text: String): Array[Byte] = {
+  private def encodePngWith(img: java.awt.image.BufferedImage,
+                            writer: javax.imageio.ImageWriter,
+                            text: String): Array[Byte] = {
     val bytes = if (text == null) Array.empty[Byte]
                 else text.getBytes(StandardCharsets.UTF_8)
-    val img = new java.awt.image.BufferedImage(
-      PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var i = 0
     while (i < PngSide * PngSide) {
@@ -108,8 +113,18 @@ object Multimodal {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    ios.close()
     out.toByteArray
+  }
+
+  private[operators] def encodePng(text: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try encodePngWith(img, writer, text) finally writer.dispose()
   }
 
   /** Edge length of the synthetic PNGs ([[withMediaPng]]). */
@@ -127,13 +142,27 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        iter.map { case (id, png) => (id, decodeImage(png, nBuckets)) }
+        // per-partition reader reuse: the PNG reader handles the fast path
+        // without a per-row SPI scan; non-PNG payloads fall back to the
+        // generic format-sniffing read (JPEG etc.)
+        val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        iter.map { case (id, png) => (id, decodeImageWith(pngReader, png, nBuckets)) }
       }
       .toDF(idCol, "features")
   }
 
-  private[operators] def decodeImage(png: Array[Byte], nBuckets: Int): Array[Double] = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+  private def decodeImageWith(pngReader: javax.imageio.ImageReader,
+                              bytes: Array[Byte], nBuckets: Int): Array[Double] = {
+    val img =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+        finally iis.close()
+      } catch { case _: Exception =>
+        javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      }
     require(img != null, "decodeImage: payload is not a decodable image")
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
