@@ -743,6 +743,17 @@ object SparkEntry {
           k = 5, nlist = 8, iters = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: deterministic k-means clusters (the same replayable
+      // iterations as q_embed_ivf_learned), same-cluster cosine >= 0.3
+      // pairs drop their higher id; array column projected off for the
+      // hash compare
+      load(s, d)
+      operators.Similarity.semanticDedup(s.table("embeddings"),
+          threshold = 0.3, nlist = 8, iters = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
     "q_embed_neardup" -> ((s, d) => {
       load(s, d)
       // signBits=8: sign-pattern LSH blocking (~2^8 buckets) — the scale
@@ -1510,9 +1521,10 @@ object SparkEntry {
     * rounds, means rounded to 6 decimals) unrolled as generated CTEs, then
     * the same nprobe=1 probe. Iteration count is a compile-time constant on
     * both sides, so the SQL is finite by construction. */
-  private def duckIvfLearnedSql: String = {
-    val nlist = 8
-    val iters = 2
+  /** Deterministic-k-means CTE chain shared by the learned-IVF and
+    * semantic-dedup oracles: init → `iters` assignment/update rounds →
+    * final member assignment `mf(vec_id, embedding, cl)`. */
+  private def duckKmeansCtes(nlist: Int, iters: Int): String = {
     def assignCtes(i: String, centCte: String) =
       s"""a$i AS (
          |  SELECT e.vec_id, e.embedding, c.cl,
@@ -1531,18 +1543,22 @@ object SparkEntry {
     val rounds = (1 to iters).map { i =>
       assignCtes(i.toString, if (i == 1) "init" else s"c${i - 1}") + ",\n" + centCtes(i)
     }.mkString(",\n")
-    s"""WITH init AS (
+    s"""init AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
        |  FROM embeddings ORDER BY vec_id LIMIT $nlist
        |),
        |$rounds,
-       |${assignCtes("f", s"c$iters")},
+       |${assignCtes("f", s"c$iters")}""".stripMargin
+  }
+
+  private def duckIvfLearnedSql: String = {
+    s"""WITH ${duckKmeansCtes(nlist = 8, iters = 2)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |qc AS (
        |  SELECT q.query_id, q.q_emb, c.cl,
        |    ${cosSql("q.q_emb", "c.centroid")} AS ccos
-       |  FROM q CROSS JOIN c$iters c
+       |  FROM q CROSS JOIN c2 c
        |),
        |assigned AS (
        |  SELECT query_id, q_emb, cl FROM (
@@ -1563,6 +1579,20 @@ object SparkEntry {
        |  cos AS cosine, rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replays [[operators.Similarity.semanticDedup]]: the shared k-means
+    * chain clusters the corpus, same-cluster pairs above the cosine
+    * threshold mark their higher id as a drop, survivors anti-join. */
+  private def duckSemanticDedupSql: String =
+    s"""WITH ${duckKmeansCtes(nlist = 8, iters = 2)},
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS drop_id
+       |  FROM mf a JOIN mf b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3::DOUBLE
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN drops d ON d.drop_id = e.vec_id
+       |WHERE d.drop_id IS NULL ORDER BY e.vec_id""".stripMargin
 
   /** Shared CTE chain: minhash near-dup pairs → undirected edges → recursive
     * reachability (`reach`), from which components are `min(r)` per id.
@@ -1948,6 +1978,7 @@ object SparkEntry {
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
+    "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_embed_pq" -> duckPqSql,
     "q_kmv_distinct" ->
       """WITH h AS (

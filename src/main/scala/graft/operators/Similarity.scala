@@ -159,6 +159,29 @@ object Similarity {
         col("neighbor_id"), col("cos").as("cosine"), col("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): cluster the corpus with the deterministic [[kmeansClusters]],
+    * compare only SAME-CLUSTER pairs, and drop the higher-id vector of
+    * every pair with cosine ≥ threshold (keep-lowest policy — a pure
+    * function of the corpus). Returns the surviving rows.
+    *
+    * Scale design: the pair space is Σ|cluster|² instead of corpus² — the
+    * published SemDeDup trick; nlist is the dial (more clusters → smaller
+    * pair blocks, slightly lower recall at cluster borders). Clustering
+    * cost is the [[kmeansClusters]] argmin-aggregate pass per iteration;
+    * the pair join is an equi-join on the cluster id, never a cross join. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    nlist: Int = 8, iters: Int = 2,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (members, _) = kmeansClusters(corpus, nlist, iters, idCol, embCol)
+    val a = members.select(col("cl"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = members.select(col("cl"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    val dropIds = a.join(b, "cl").filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Candidates are
     * blocked by the sign pattern of the first `signBits` dimensions
     * (random-hyperplane LSH with axis-aligned planes): identical-direction

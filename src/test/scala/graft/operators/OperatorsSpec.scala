@@ -177,6 +177,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall collapsed: $recall%.3f")
   }
 
+  test("semanticDedup: same-cluster near-identical vectors drop, keep-lowest, deterministic") {
+    // 1 and 0 are near-identical (cos ≈ 0.96) and cluster together; the
+    // higher id (1) drops. Orthogonal vectors all survive.
+    val out = Similarity.semanticDedup(vecs, threshold = 0.9, nlist = 3, iters = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(!out.contains(1L), s"higher id of the near-dup pair must drop: $out")
+    assert(out.contains(0L) && out.contains(4L))
+    val again = Similarity.semanticDedup(vecs, threshold = 0.9, nlist = 3, iters = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out === again)
+    // threshold above every cosine keeps everything
+    assert(Similarity.semanticDedup(vecs, threshold = 1.1, nlist = 3, iters = 1)
+      .count() === 5L)
+  }
+
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
     val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
