@@ -1087,6 +1087,20 @@ object SparkEntry {
       operators.EventAnalytics.cohortRetention(ev, "user_id", "day")
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
+    "q_cohort_kmv" -> ((s, d) => {
+      // the named huge-cohort swap, executable and gated: the KMV sketch's
+      // md5 hashing is deterministic, so even the ESTIMATE replays
+      // bit-for-bit in DuckDB; k=32 < the ~112-user median cell, so the
+      // estimator path (not the exact-below-k path) is what's being gated
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      operators.EventAnalytics.cohortRetention(ev, "user_id", "day",
+          approxDistinct = true, sketchK = 32)
+        .withColumnRenamed("n_users", "n_users_est")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
     "q_funnel" -> ((s, d) => {
       // ordered view→click→purchase funnel over first-occurrence times
       load(s, d)
@@ -2159,6 +2173,31 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Replays the KMV-sketch cohort variant: per-cell distinct 60-bit md5
+    // hashes, estimate = (k-1)/(k-th smallest / 2^60) past k distinct,
+    // exact count below — the same arithmetic tree as KmvBuffer.estimate.
+    "q_cohort_kmv" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |j AS (SELECT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+        |      FROM e JOIN f USING (user_id)),
+        |h AS (SELECT DISTINCT cohort_day, day_offset,
+        |        CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS h
+        |      FROM j),
+        |r AS (SELECT cohort_day, day_offset, h,
+        |        row_number() OVER (PARTITION BY cohort_day, day_offset ORDER BY h) AS rn,
+        |        count(*) OVER (PARTITION BY cohort_day, day_offset) AS n
+        |      FROM h)
+        |SELECT cohort_day, day_offset,
+        |  CASE WHEN max(n) < 32 THEN CAST(max(n) AS DOUBLE)
+        |       ELSE 31.0::DOUBLE / (CAST(max(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+        |         / 1152921504606846976.0::DOUBLE)
+        |  END AS n_users_est
+        |FROM r GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // Replays EventAnalytics.funnel: per-user first-occurrence times, a
     // user reaches step k iff t0 < t1 < … strictly (missing step breaks)
     "q_funnel" ->

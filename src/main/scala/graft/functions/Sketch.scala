@@ -162,7 +162,12 @@ object Kmv {
   def kmvHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Estimated distinct count of `c` with a size-k KMV sketch. */
-  def kmvDistinct(c: Column, k: Int): Column =
-    call_function("kmv_distinct", kmvHash(c), lit(k))
+  /** Estimated distinct count of `c` with a size-k KMV sketch. Builds the
+    * aggregate directly (usable without SQL registration, like
+    * [[VectorFunctions.vecDot]]); `kmv_distinct` stays registered for SQL. */
+  def kmvDistinct(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.{Bridge => B}
+    B.column(KmvDistinct(B.expression(kmvHash(c)),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+  }
 }

@@ -19,21 +19,30 @@ object EventAnalytics {
     * Plan: the firsts frame is one map-side-combinable `min` per user and
     * broadcasts back onto the log (users ≪ events); the retention count is
     * one aggregation of the joined scan. At 100 TB the distinct-count is
-    * the memory pressure point — swap `countDistinct` for `kmv_distinct`
-    * (bounded sketch, same shape) when cohorts are huge. When the user
-    * dimension itself is too large to broadcast (one row per distinct
-    * user), pass `broadcastFirsts = false` to let AQE pick the join
-    * strategy instead of failing on the broadcast size limit. */
+    * the memory pressure point — `approxDistinct = true` SWITCHES IN the
+    * [[graft.functions.KmvDistinct]] sketch (≤ sketchK longs of state per
+    * cell, map-side combinable, deterministic — no RNG, so the estimate is
+    * itself oracle-replayable): `countDistinct`'s Expand ships every
+    * (cell, user) pair through the exchange, the sketch ships k longs per
+    * cell per partition. When the user dimension itself is too large to
+    * broadcast (one row per distinct user), pass `broadcastFirsts = false`
+    * to let AQE pick the join strategy instead of failing on the broadcast
+    * size limit. */
   def cohortRetention(events: DataFrame, userCol: String,
-                      dayCol: String, broadcastFirsts: Boolean = true): DataFrame = {
+                      dayCol: String, broadcastFirsts: Boolean = true,
+                      approxDistinct: Boolean = false,
+                      sketchK: Int = 256): DataFrame = {
     Guards.requireNoReserved(events.columns,
       Seq("cohort_day", "day_offset", "n_users"), "cohortRetention")
     val firsts = events.groupBy(col(userCol))
       .agg(min(col(dayCol)).as("cohort_day"))
+    val nUsers =
+      if (approxDistinct) graft.functions.Kmv.kmvDistinct(col(userCol), sketchK)
+      else countDistinct(col(userCol))
     events.join(if (broadcastFirsts) broadcast(firsts) else firsts, userCol)
       .groupBy(col("cohort_day"),
         (col(dayCol) - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col(userCol)).as("n_users"))
+      .agg(nUsers.as("n_users"))
   }
 
   /** Ordered funnel over first-occurrence times: a user reaches step k iff

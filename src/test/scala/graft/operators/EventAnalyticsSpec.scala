@@ -60,6 +60,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(cp.contains("BroadcastHashJoin"), s"firsts must broadcast:\n$cp")
   }
 
+  test("cohortRetention approxDistinct: sketch estimate lands near the exact count") {
+    val ev = (1 to 3000).map(i => ((i % 300).toLong, (i % 5).toLong))
+      .toDF("user_id", "day")
+    val exact = EventAnalytics.cohortRetention(ev, "user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = EventAnalytics.cohortRetention(ev, "user_id", "day",
+        approxDistinct = true, sketchK = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (cell, est) =>
+      val truth = exact(cell).toDouble
+      // KMV with k=64: relative standard error ~1/sqrt(k-2) ≈ 13%; 3σ bound
+      assert(math.abs(est - truth) <= math.max(3.0, 0.4 * truth),
+        s"cell $cell: estimate $est vs exact $truth")
+    }
+  }
+
   test("cohortRetention broadcastFirsts=false drops the forced hint and matches results") {
     val ev = (1 to 300).map(i => ((i % 20).toLong, (i % 7).toLong))
       .toDF("user_id", "day")
