@@ -1077,6 +1077,16 @@ object SparkEntry {
           dim = 64, m = 4, k = 4, iters = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_embed_ivf_pq" -> ((s, d) => {
+      // FAISS-style IVF-ADC: coarse k-means routing (the q_embed_ivf_learned
+      // protocol) + PQ reconstructions (the q_embed_pq protocol), ADC over
+      // the probed cluster only — the full compressed-ANN composition
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Pq.ivfAdcKnn(emb, emb.filter(col("vec_id") < 10), topK = 5,
+          dim = 64, m = 4, k = 4, iters = 2, nlist = 8, nprobe = 1, coarseIters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_cohort" -> ((s, d) => {
       // cohort retention triangle on the event log; day number is pure
       // integer nanos arithmetic (events ts reads as nano longs)
@@ -1383,16 +1393,23 @@ object SparkEntry {
     * protocol as the IVF oracle), encode, reconstruct by list concat, ADC
     * = squared L2 to the reconstruction as the same a·a − 2·a·b + b·b
     * tree over the sequential-fold dot product. */
-  private def duckPqSql: String = {
-    val (m, k, iters, width) = (4, 4, 2, 16)
-    def sqd(a: String, b: String) =
-      s"(${cosSql(a, a)} - 2.0::DOUBLE * ${cosSql(a, b)} + ${cosSql(b, b)})"
+  /** Squared L2 as the same `a·a − 2·a·b + b·b` tree over the
+    * sequential-fold dot product that [[operators.Pq.sqDist]] evaluates. */
+  private def sqdSql(a: String, b: String): String =
+    s"(${cosSql(a, a)} - 2.0::DOUBLE * ${cosSql(a, b)} + ${cosSql(b, b)})"
+
+  /** PQ training/encode/reconstruct CTE chain (per-subspace k-means with
+    * the shared init/rounding/tie protocol, ending in
+    * `recon(vec_id, recon)`), shared by the plain-ADC and IVF-ADC
+    * oracles. CTE names (s0…, i0…, m0_1…, f0…, r0…) are disjoint from
+    * [[duckKmeansCtes]]'s, so the two chains compose in one WITH. */
+  private def duckPqReconCtes(m: Int, k: Int, iters: Int, width: Int): String = {
     def assignCte(name: String, src: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, sl, cid FROM (
          |    SELECT s.vec_id, s.sl, c.cid,
          |      row_number() OVER (PARTITION BY s.vec_id
-         |        ORDER BY ${sqd("s.sl", "c.centroid")}, c.cid) AS r
+         |        ORDER BY ${sqdSql("s.sl", "c.centroid")}, c.cid) AS r
          |    FROM $src s CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
     val subs = (0 until m).map { j =>
       val (lo, hi) = (j * width + 1, (j + 1) * width)
@@ -1420,15 +1437,19 @@ object SparkEntry {
     }.mkString(",\n")
     val concat = (0 until m).map(j => s"r$j.centroid").mkString(" || ")
     val joins = (1 until m).map(j => s"JOIN r$j USING (vec_id)").mkString(" ")
-    s"""WITH $subs,
+    s"""$subs,
        |recon AS (
        |  SELECT r0.vec_id, $concat AS recon
-       |  FROM r0 $joins),
+       |  FROM r0 $joins)""".stripMargin
+  }
+
+  private def duckPqSql: String =
+    s"""WITH ${duckPqReconCtes(m = 4, k = 4, iters = 2, width = 16)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb
        |      FROM embeddings WHERE vec_id < 10),
        |sc AS (
        |  SELECT q.query_id, r.vec_id AS neighbor_id,
-       |    ${sqd("q.q_emb", "r.recon")} AS adc_dist
+       |    ${sqdSql("q.q_emb", "r.recon")} AS adc_dist
        |  FROM recon r CROSS JOIN q WHERE q.query_id <> r.vec_id),
        |rk AS (
        |  SELECT query_id, neighbor_id, adc_dist,
@@ -1437,7 +1458,41 @@ object SparkEntry {
        |  FROM sc)
        |SELECT query_id, neighbor_id, adc_dist, rank FROM rk
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Replays [[operators.Pq.ivfAdcKnn]]: the shared coarse-k-means chain
+    * (`mf`) routes each query to its best cluster, the shared PQ chain
+    * (`recon`) supplies reconstructions, ADC ranks only the probed
+    * cluster's members. */
+  private def duckIvfPqSql: String =
+    s"""WITH ${duckKmeansCtes(nlist = 8, iters = 2)},
+       |${duckPqReconCtes(m = 4, k = 4, iters = 2, width = 16)},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT q.query_id, q.q_emb, c.cl,
+       |    ${cosSql("q.q_emb", "c.centroid")} AS ccos
+       |  FROM q CROSS JOIN c2 c
+       |),
+       |assigned AS (
+       |  SELECT query_id, q_emb, cl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cl) AS r FROM qc
+       |  ) WHERE r <= 1
+       |),
+       |sc AS (
+       |  SELECT a.query_id, a.cl, r.vec_id AS neighbor_id,
+       |    ${sqdSql("a.q_emb", "r.recon")} AS adc_dist
+       |  FROM recon r
+       |  JOIN mf m ON m.vec_id = r.vec_id
+       |  JOIN assigned a ON m.cl = a.cl
+       |  WHERE a.query_id <> r.vec_id),
+       |rk AS (
+       |  SELECT query_id, cl, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, CAST(cl AS INT) AS probed_cluster, neighbor_id,
+       |  adc_dist, rank
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** The text-stats SELECT body (no ORDER BY) — shared by q_text_stats and
     * the curation-pipeline oracle. */
@@ -1994,6 +2049,7 @@ object SparkEntry {
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_embed_pq" -> duckPqSql,
+    "q_embed_ivf_pq" -> duckIvfPqSql,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT l_returnflag,

@@ -149,4 +149,47 @@ object Pq {
         ordCol = "adc_dist", idCol = "neighbor_id", k = topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
+
+  /** IVF-ADC — the FAISS IVFPQ composition (coarse quantizer + product
+    * codes, no residual encoding), the canonical 100 TB ANN shape: a
+    * deterministic coarse k-means ([[Similarity.kmeansClusters]]) routes
+    * each query to its `nprobe` best clusters, and ADC scores the PQ
+    * reconstructions of ONLY those clusters' members.
+    *
+    * At scale the corpus-sized state is codes + a cluster id (4-8 bytes
+    * per vector); a query touches ~nprobe/nlist of it, and both the
+    * codebooks and the routed query set broadcast. Recall < 1 by
+    * construction (coarse routing AND quantization) — measured against
+    * brute force in PqSpec. Every training step reuses the argmin
+    * aggregate; both rankings are bounded-heap `topk_by`. */
+  def ivfAdcKnn(corpus: DataFrame, queries: DataFrame, topK: Int, dim: Int,
+                m: Int, k: Int, iters: Int,
+                nlist: Int = 8, nprobe: Int = 1, coarseIters: Int = 2,
+                idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    require(nprobe >= 1)
+    val (members, centroids) =
+      Similarity.kmeansClusters(corpus, nlist, coarseIters, idCol, embCol)
+    val books = trainCodebooks(corpus, dim, m, k, iters, idCol, embCol)
+    val recon = reconstruct(encode(corpus, books, dim, m, idCol, embCol), books, idCol)
+    // query routing: nprobe best coarse centroids by cosine (ties to the
+    // lower cluster id) — queries × nlist rows, window is fine here
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val qc = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.cosine(col("q_emb"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cl"))
+    val assigned = qc.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cl"))
+    // ADC over the probed clusters' reconstructions only
+    val scored = recon.join(members.select(col(idCol), col("cl")), idCol)
+      .select(col(idCol).as("neighbor_id"), col("recon"), col("cl"))
+      .join(broadcast(assigned), Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", sqDist(col("q_emb"), col("recon")))
+    graft.functions.TopKBy.rankAscending(scored, "query_id",
+        ordCol = "adc_dist", idCol = "neighbor_id", k = topK, tagCol = Some("cl"))
+      .select(col("query_id"), col("cl").cast("int").as("probed_cluster"),
+        col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
 }

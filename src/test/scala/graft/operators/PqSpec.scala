@@ -84,6 +84,31 @@ class PqSpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
   }
 
+  test("ivfAdcKnn: probed-cluster ADC finds the same-cluster neighbors, deterministic") {
+    val df = clustered()
+    val out = Pq.ivfAdcKnn(df, df.filter(col("vec_id") < 4), topK = 5,
+      dim = 8, m = 2, k = 4, iters = 2, nlist = 4, nprobe = 1, coarseIters = 2)
+    val rows = out.collect()
+    assert(rows.length === 20) // 4 queries × top-5
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(q % 4 === n % 4, s"IVF-ADC neighbor $n of query $q crosses clusters")
+    }
+    val again = Pq.ivfAdcKnn(df, df.filter(col("vec_id") < 4), topK = 5,
+      dim = 8, m = 2, k = 4, iters = 2, nlist = 4, nprobe = 1, coarseIters = 2).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("ivfAdcKnn plans: no SortAggregate, rankings via bounded-heap aggregates") {
+    val df = clustered()
+    val p = Pq.ivfAdcKnn(df, df.filter(col("vec_id") < 2), topK = 3,
+        dim = 8, m = 2, k = 4, iters = 1, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"), s"no sort-based aggregation:\n$p")
+    assert(p.contains("partial_topk_by") && p.contains("partial_argmin_by"),
+      s"expected heap/argmin partials:\n$p")
+  }
+
   test("dim must split into m equal slices") {
     intercept[IllegalArgumentException] {
       Pq.trainCodebooks(clustered(), dim = 8, m = 3, k = 2, iters = 1)
