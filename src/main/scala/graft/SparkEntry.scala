@@ -1205,6 +1205,16 @@ object SparkEntry {
           Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
         .orderBy(col("col_name"))
     }),
+    "q_profile_kmv" -> ((s, d) => {
+      // profile-everything at 100 TB: KMV sketch distincts (no Expand, k
+      // longs of state); o_orderkey exceeds k=256 so the ESTIMATOR path is
+      // gated, the low-cardinality columns take the exact-below-k path
+      load(s, d)
+      operators.Profile.columnProfile(s.table("orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority"),
+          approxDistinct = true, sketchK = 256)
+        .orderBy(col("col_name"))
+    }),
     "q_zorder" -> ((s, d) => {
       // write-layout clustering key: 12-bit Z-order interleave of
       // (l_partkey, l_suppkey) — the key ORDER is the gate (rows sort by
@@ -1662,6 +1672,33 @@ object SparkEntry {
        |SELECT e.vec_id, e.label FROM embeddings e
        |LEFT JOIN drops d ON d.drop_id = e.vec_id
        |WHERE d.drop_id IS NULL ORDER BY e.vec_id""".stripMargin
+
+  /** Replays the KMV-sketch column profile ([[operators.Profile
+    * .columnProfile]] with `approxDistinct = true`, k = 256): same
+    * per-column branches as q_profile, with the distinct replaced by the
+    * KmvBuffer.estimate arithmetic over the 60-bit md5 hashes. */
+  private def duckProfileKmvSql: String = {
+    val k = 256
+    def kmvEst(c: String) =
+      s"""(SELECT CASE WHEN max(n) IS NULL THEN 0.0::DOUBLE
+         |        WHEN max(n) < $k THEN CAST(max(n) AS DOUBLE)
+         |        ELSE ${k - 1}.0::DOUBLE /
+         |          (CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE)
+         |            / 1152921504606846976.0::DOUBLE) END
+         | FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |              count(*) OVER () AS n
+         |       FROM (SELECT DISTINCT
+         |               CAST('0x' || substr(md5($c::VARCHAR), 1, 15) AS BIGINT) AS h
+         |             FROM orders WHERE $c IS NOT NULL) hh))""".stripMargin
+    def branch(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value,
+         |  ${kmvEst(c)} AS n_distinct_est
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .map(branch).mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
 
   /** Shared CTE chain: minhash near-dup pairs → undirected edges → recursive
     * reachability (`reach`), from which components are `min(r)` per id.
@@ -2396,6 +2433,7 @@ object SparkEntry {
         |  min(o_orderpriority), max(o_orderpriority), count(DISTINCT o_orderpriority)
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_profile_kmv" -> duckProfileKmvSql,
     // Replays Layout.zOrderKey bit-for-bit: the same shift/mask/or tree
     // rendered by zOrderKeySql (exact integer arithmetic in both engines).
     "q_zorder" ->

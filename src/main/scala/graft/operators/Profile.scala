@@ -93,18 +93,29 @@ object Profile {
     * same bytes one multi-column pass would). Keeping the exact distincts
     * in separate branches also avoids the multi-distinct Expand rewrite —
     * one Expand per scan × N columns would multiply the scan, the classic
-    * mixed-distinct trap. Swap `count_distinct` for `kmv_distinct` at the
-    * 100 TB profile-everything scale — same shape, bounded state. */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * mixed-distinct trap.
+    *
+    * `approxDistinct = true` is the 100 TB profile-everything path: the
+    * deterministic [[graft.functions.KmvDistinct]] sketch (≤ sketchK longs
+    * of state, map-side combinable, no Expand) replaces the exact distinct
+    * — emitted as `n_distinct_est` (DOUBLE) so the two report shapes are
+    * not confused. The sketch has no RNG, so even the estimate is
+    * engine-replayable. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approxDistinct: Boolean = false,
+                    sketchK: Int = 256): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val profiles = cols.map { c =>
+      val nd =
+        if (approxDistinct) graft.functions.Kmv.kmvDistinct(col(c), sketchK).as("n_distinct_est")
+        else count_distinct(col(c)).as("n_distinct")
       df.select(
         lit(c).as("col_name"),
         count(lit(1)).as("n_rows"),
         count(when(col(c).isNull, lit(1))).as("n_nulls"),
         min(col(c)).cast("string").as("min_value"),
         max(col(c)).cast("string").as("max_value"),
-        count_distinct(col(c)).as("n_distinct"))
+        nd)
     }
     profiles.reduce(_ unionByName _)
   }

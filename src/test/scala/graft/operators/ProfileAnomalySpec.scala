@@ -86,6 +86,19 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(out(11.0)._3 === false)    // 11 < 9.25 + 8.25 = 17.5
   }
 
+  test("columnProfile approxDistinct: exact below k, estimate near truth above k") {
+    val df = (1L to 500L).map(i => (i, (i % 7).toString)).toDF("id", "cat")
+    val p = Profile.columnProfile(df, Seq("id", "cat"),
+        approxDistinct = true, sketchK = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_distinct_est")).toMap
+    assert(p("cat") === 7.0) // below k → sketch is exact
+    // 500 distinct ids through a k=64 sketch: RSE ≈ 1/sqrt(k−2) ≈ 13%
+    assert(math.abs(p("id") - 500.0) <= 200.0, s"estimate ${p("id")} too far from 500")
+    // the approx report renames the column so shapes are never confused
+    val cols = Profile.columnProfile(df, Seq("id"), approxDistinct = true).columns
+    assert(cols.contains("n_distinct_est") && !cols.contains("n_distinct"))
+  }
+
   test("equalFrequencyBins fails loudly on a null metric value") {
     val df = Seq((Some(1.0), "g"), (None, "g"), (Some(3.0), "g"), (Some(4.0), "g"))
       .toDF("v", "grp")
