@@ -107,6 +107,29 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, sma(l_quantity, 5) OVER w AS sma_5
          |FROM lineitem WINDOW w AS ($W)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_rolling_median" -> ((s, d) => {
+      // robust moving average: trailing-9 exact median (odd n — element-
+      // exact, no interpolation), same supplier partitioning as the
+      // indicator gates, NULL until the frame fills
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.median(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"), n = 9)
+        .select(col("l_orderkey"), col("l_linenumber"), col("roll_median"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_bollinger" -> ((s, d) => {
+      // mean ± 2σ envelope; σ as the explicit two-means IEEE tree so the
+      // oracle replays it bit-for-bit on the integer-valued quantity
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.bollinger(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          n = 20, k = 2.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("bb_mid"), col("bb_upper"), col("bb_lower"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -2682,6 +2705,29 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${duckEma("list(l_quantity) OVER w", 12)} AS ema_12
          |FROM lineitem WINDOW w AS $duckW
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.median: exact median over the trailing 9-row frame
+    // (odd count → the middle element, interpolation never fires).
+    "q_rolling_median" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN count(x) OVER wn = 9 THEN median(x) OVER wn END AS roll_median
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW wn AS ($W ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.bollinger: the same mean ± k·sqrt(avg(x²) − mean²)
+    // tree over two window means (sums exact on the integer quantity, so
+    // segment-tree vs fresh-sum association cannot differ).
+    "q_bollinger" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN count(x) OVER wn = 20 THEN avg(x) OVER wn END AS bb_mid,
+         |  CASE WHEN count(x) OVER wn = 20 THEN (avg(x) OVER wn)
+         |    + 2.0::DOUBLE * sqrt((avg(x*x) OVER wn) - (avg(x) OVER wn) * (avg(x) OVER wn)) END AS bb_upper,
+         |  CASE WHEN count(x) OVER wn = 20 THEN (avg(x) OVER wn)
+         |    - 2.0::DOUBLE * sqrt((avg(x*x) OVER wn) - (avg(x) OVER wn) * (avg(x) OVER wn)) END AS bb_lower
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rsi" ->
       (duckRsiSql("lineitem", "l_quantity", 14, "l_orderkey, l_linenumber") +

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling robust statistics over trailing row frames — the composition
+  * companions to the native SMA/EMA/RSI/MACD window indicators
+  * ([[graft.functions.WindowIndicators]]): a rolling median (the
+  * outlier-immune moving average) and Bollinger bands (mean ± k·σ
+  * envelope, Bollinger's public technique).
+  *
+  * Both follow the indicator null contract: NULL until the trailing frame
+  * is full. Both are single keyed Window passes — one hash exchange on the
+  * partition key, the frame never leaves its partition, same 100 TB cost
+  * shape as any indicator.
+  *
+  * Determinism note: the band arithmetic is an explicit IEEE tree over two
+  * window MEANS (`sqrt(avg(x²) − avg(x)²)`, population σ) rather than an
+  * engine's `var_pop`/`stddev` — variance implementations differ in update
+  * order (Welford vs sums, segment-tree reassociation in sliding frames),
+  * but on integer-valued metrics the two plain sums are exact under ANY
+  * association order, so any engine replays the bands bit-for-bit. On
+  * general doubles the usual parallel-sum last-ulp caveat applies, and
+  * `avg(x²) − avg(x)²` can go fractionally negative — the gate metric is
+  * integer-valued, where both risks vanish.
+  */
+object Rolling {
+
+  private def frame(partCols: Seq[String], orderCols: Seq[String], n: Int) =
+    Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+
+  /** Trailing-n rolling MEDIAN: exact `percentile(0.5)` over the frame.
+    * Use an odd `n` for an interpolation-free (element-exact) median.
+    * O(w log w) per row locally — fine at indicator window sizes. Adds
+    * `roll_median`. */
+  def median(df: DataFrame, valueCol: String, partCols: Seq[String],
+             orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns, Seq("roll_median"), "Rolling.median")
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    df.withColumn("roll_median",
+      when(count(x).over(w) === n, percentile(x, lit(0.5)).over(w)))
+  }
+
+  /** Bollinger bands: `bb_mid` = trailing-n mean, `bb_upper`/`bb_lower` =
+    * mid ± k·σ with σ = `sqrt(avg(x²) − mean²)` (population form; see the
+    * determinism note above). */
+  def bollinger(df: DataFrame, valueCol: String, partCols: Seq[String],
+                orderCols: Seq[String], n: Int, k: Double): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(k > 0, s"band width multiplier must be positive, got $k")
+    Guards.requireNoReserved(df.columns,
+      Seq("bb_mid", "bb_upper", "bb_lower"), "Rolling.bollinger")
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    val full = count(x).over(w) === n
+    val mean = avg(x).over(w)
+    val dev = sqrt(avg(x * x).over(w) - mean * mean)
+    // one projection → all window expressions share one Window pass
+    // (chained withColumns would stack Project/Window pairs instead)
+    df.select(col("*"),
+      when(full, mean).as("bb_mid"),
+      when(full, mean + lit(k) * dev).as("bb_upper"),
+      when(full, mean - lit(k) * dev).as("bb_lower"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RollingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def series(vs: Double*) =
+    vs.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("sym", "i", "v")
+
+  test("rolling median: null until full, element-exact, outlier-immune") {
+    val df = series(1, 2, 3, 100, 5) // the 100 is an outlier spike
+    val out = Rolling.median(df, "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").select("roll_median").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(out(0).isEmpty && out(1).isEmpty) // frame not full
+    assert(out(2) === Some(2.0))
+    assert(out(3) === Some(3.0))  // median shrugs at the spike...
+    assert(out(4) === Some(5.0))
+    val mean = Rolling.bollinger(df, "v", Seq("sym"), Seq("i"), n = 3, k = 2.0)
+      .orderBy("i").collect()(3).getAs[Double]("bb_mid")
+    assert(mean === 35.0) // ...while the mean is dragged to 35
+  }
+
+  test("bollinger: constant series collapses the bands onto the mid") {
+    val out = Rolling.bollinger(series(7, 7, 7, 7), "v", Seq("sym"), Seq("i"),
+        n = 3, k = 2.0)
+      .orderBy("i").collect().drop(2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("bb_mid") === 7.0)
+      assert(r.getAs[Double]("bb_upper") === 7.0)
+      assert(r.getAs[Double]("bb_lower") === 7.0)
+    }
+  }
+
+  test("bollinger: textbook mean ± k·σ on a known window") {
+    // window (2, 4, 6): mean 4, σ² = (4+16+36)/3 − 16 = 2.666…, σ = 1.632…
+    val out = Rolling.bollinger(series(2, 4, 6), "v", Seq("sym"), Seq("i"),
+        n = 3, k = 2.0)
+      .orderBy("i").collect().last
+    val sigma = math.sqrt(56.0 / 3.0 - 16.0)
+    assert(out.getAs[Double]("bb_mid") === 4.0)
+    assert(math.abs(out.getAs[Double]("bb_upper") - (4.0 + 2.0 * sigma)) < 1e-12)
+    assert(math.abs(out.getAs[Double]("bb_lower") - (4.0 - 2.0 * sigma)) < 1e-12)
+  }
+
+  test("all three band columns evaluate in ONE window pass") {
+    val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
+        n = 2, k = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.trim.startsWith("+- Window")) <= 1,
+      s"expected one Window operator for all bands:\n$p")
+  }
+}
