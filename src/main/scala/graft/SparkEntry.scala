@@ -130,6 +130,18 @@ object SparkEntry {
           col("bb_mid"), col("bb_upper"), col("bb_lower"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_vwap" -> ((s, d) => {
+      // trailing-20 VWAP; decimal-exact sums, one IEEE division — the
+      // composition that pairs price and volume the way the indicator
+      // family pairs price alone
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.vwap(s.table("lineitem"), "l_extendedprice",
+          "l_quantity", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), n = 20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("vwap"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -2705,6 +2717,19 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${duckEma("list(l_quantity) OVER w", 12)} AS ema_12
          |FROM lineitem WINDOW w AS $duckW
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.vwap: scaled-integer sums (exact under any
+    // accumulation order in both engines), one double division at the end.
+    "q_vwap" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN count(*) OVER wn = 20 THEN
+         |    CAST(sum(pi * vi) OVER wn AS DOUBLE)
+         |    / (100.0::DOUBLE * CAST(sum(vi) OVER wn AS DOUBLE)) END AS vwap
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS pi,
+         |        CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS vi
+         |      FROM lineitem) li
+         |WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).

@@ -67,4 +67,32 @@ object Rolling {
       when(full, mean + lit(k) * dev).as("bb_upper"),
       when(full, mean - lit(k) * dev).as("bb_lower"))
   }
+
+  /** Trailing-n VWAP (volume-weighted average price):
+    * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
+    *
+    * Determinism — the money-safe formulation: prices/volumes are
+    * quantized to `priceScale`/`volScale` decimals and summed as BIGINTs,
+    * which are exact in any engine under ANY accumulation order (double
+    * sums of 2-decimal prices differ in the last ulp between a fresh
+    * per-frame sum and a segment-tree sliding sum — measured, not
+    * hypothetical); only the single final division runs in IEEE doubles.
+    * Adds `vwap`. */
+  def vwap(df: DataFrame, priceCol: String, volCol: String,
+           partCols: Seq[String], orderCols: Seq[String], n: Int,
+           priceScale: Int = 2, volScale: Int = 0): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(priceScale >= 0 && volScale >= 0)
+    Guards.requireNoReserved(df.columns, Seq("vwap"), "Rolling.vwap")
+    val w = frame(partCols, orderCols, n)
+    val pInt = round(col(priceCol).cast("double") * lit(math.pow(10, priceScale)))
+      .cast("long")
+    val vInt = round(col(volCol).cast("double") * lit(math.pow(10, volScale)))
+      .cast("long")
+    val pv = pInt * vInt
+    df.withColumn("vwap",
+      when(count(pv).over(w) === n,
+        sum(pv).over(w).cast("double") /
+          (lit(math.pow(10, priceScale)) * sum(vInt).over(w).cast("double"))))
+  }
 }

@@ -47,6 +47,18 @@ class RollingSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("bb_lower") - (4.0 - 2.0 * sigma)) < 1e-12)
   }
 
+  test("vwap: textbook weighted average, null until full, exact on 2-dp prices") {
+    val df = Seq(("s", 0, 10.50, 2.0), ("s", 1, 11.00, 1.0), ("s", 2, 9.10, 3.0))
+      .toDF("sym", "i", "p", "v")
+    val out = Rolling.vwap(df, "p", "v", Seq("sym"), Seq("i"), n = 2)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("vwap")))
+    // (10.50·2 + 11.00·1) / 3 = 32/3
+    assert(math.abs(out(1).getAs[Double]("vwap") - 32.0 / 3.0) < 1e-12)
+    // (11.00·1 + 9.10·3) / 4 = 38.3/4 = 9.575 — exact in scaled integers
+    assert(out(2).getAs[Double]("vwap") === 3830.0 / (100.0 * 4.0))
+  }
+
   test("all three band columns evaluate in ONE window pass") {
     val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
         n = 2, k = 1.0)
