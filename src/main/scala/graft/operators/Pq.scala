@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Scale notes: codebooks are m·k tiny vectors — they always broadcast;
   * ALL m subspaces train together in ONE corpus pass per iteration (the
   * (sub, slice) explode below), so the scan count is iters+1 regardless
-  * of m; nearest-centroid assignment is a map-side-combinable
-  * `min(struct(dist, cid))` aggregation — the k candidate rows per vector
+  * of m; nearest-centroid assignment is the map-side-combinable
+  * `argmin_by` aggregate — the k candidate rows per vector
   * collapse to one BEFORE the exchange and nothing is ever sorted (the
   * row_number-window alternative shuffles corpus×k rows and sorts every
   * vector's candidate list — the shape that does not survive k=256);
