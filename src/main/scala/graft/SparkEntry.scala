@@ -130,6 +130,27 @@ object SparkEntry {
           col("bb_mid"), col("bb_upper"), col("bb_lower"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_json_extract" -> ((s, d) => {
+      // semi-structured relational surface: the event log's JSON props
+      // column parsed BOTH ways Spark offers — path extraction
+      // (get_json_object) and schema'd parsing (from_json) — with a
+      // cross-check that the two parsers agree on every row
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, from_json, get_json_object, lit, max => maxf, min => minf, sum, when}
+      val ev = readEventsNanos(s, d)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k1"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k1")).as("sum_k"),
+          minf(col("k1")).as("min_k"),
+          maxf(col("k1")).as("max_k"),
+          sum(when(col("k1") === col("k2"), 1L).otherwise(0L)).as("n_consistent"))
+        .orderBy(col("event_type"))
+    }),
     "q_vwap" -> ((s, d) => {
       // trailing-20 VWAP; decimal-exact sums, one IEEE division — the
       // composition that pairs price and volume the way the indicator
@@ -2718,6 +2739,16 @@ object SparkEntry {
          |  ${duckEma("list(l_quantity) OVER w", 12)} AS ema_12
          |FROM lineitem WINDOW w AS $duckW
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays the JSON extraction: DuckDB's json_extract_string is the
+    // single parse; n_consistent is n by construction (the Spark side
+    // cross-checks its two parsers row-by-row).
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(count(*) AS BIGINT) AS n_consistent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Replays Rolling.vwap: scaled-integer sums (exact under any
     // accumulation order in both engines), one double division at the end.
     "q_vwap" ->
