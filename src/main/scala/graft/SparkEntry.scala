@@ -130,6 +130,16 @@ object SparkEntry {
           col("bb_mid"), col("bb_upper"), col("bb_lower"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_stochastic" -> ((s, d) => {
+      // Lane momentum oscillator over the same supplier series as the
+      // indicator gates; %D's explicit lag-sum keeps it engine-exact
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.stochastic(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"), n = 14)
+        .select(col("l_orderkey"), col("l_linenumber"), col("pct_k"), col("pct_d"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_json_extract" -> ((s, d) => {
       // semi-structured relational surface: the event log's JSON props
       // column parsed BOTH ways Spark offers — path extraction
@@ -2738,6 +2748,23 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${duckEma("list(l_quantity) OVER w", 12)} AS ema_12
          |FROM lineitem WINDOW w AS $duckW
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.stochastic: %K from exact window min/max, %D as the
+    // same explicit (K + lag + lag)/3 tree.
+    "q_stochastic" ->
+      s"""SELECT l_orderkey, l_linenumber, pct_k,
+         |  (pct_k + lag(pct_k, 1) OVER ws + lag(pct_k, 2) OVER ws)
+         |    / 3.0::DOUBLE AS pct_d
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |    CASE WHEN count(x) OVER wn = 14 AND max(x) OVER wn <> min(x) OVER wn
+         |         THEN 100.0::DOUBLE * (x - min(x) OVER wn)
+         |              / (max(x) OVER wn - min(x) OVER wn) END AS pct_k
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |  WINDOW wn AS ($W ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |) k
+         |WINDOW ws AS ($W)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays the JSON extraction: DuckDB's json_extract_string is the
     // single parse; n_consistent is n by construction (the Spark side

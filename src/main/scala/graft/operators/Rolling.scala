@@ -68,6 +68,34 @@ object Rolling {
       when(full, mean - lit(k) * dev).as("bb_lower"))
   }
 
+  /** Stochastic oscillator (Lane's %K/%D, public formula): `%K = 100 ·
+    * (x − min_n) / (max_n − min_n)` over the trailing n-row frame, `%D` =
+    * 3-period simple average of %K. NULL until the %K frame fills (%D
+    * additionally needs two prior %K rows); a flat window (max = min)
+    * yields NULL %K — there is no momentum direction to report.
+    *
+    * Determinism: min/max are exact selections, so %K is one fixed IEEE
+    * tree; %D is written as `(K + lag(K,1) + lag(K,2)) / 3` — an explicit
+    * left-to-right sum, engine-identical where a windowed `avg` of
+    * arbitrary doubles is association-order-sensitive (see the VWAP
+    * note). Adds `pct_k`, `pct_d`. */
+  def stochastic(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns, Seq("pct_k", "pct_d"), "Rolling.stochastic")
+    val w = frame(partCols, orderCols, n)
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val (lo, hi) = (min(x).over(w), max(x).over(w))
+    val k = when(count(x).over(w) === n && hi =!= lo,
+      lit(100.0) * (x - lo) / (hi - lo))
+    val withK = df.select(col("*"), k.as("pct_k"))
+    withK.select(col("*"),
+      ((col("pct_k") + lag(col("pct_k"), 1).over(seqW)
+        + lag(col("pct_k"), 2).over(seqW)) / lit(3.0)).as("pct_d"))
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -59,6 +59,22 @@ class RollingSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("vwap") === 3830.0 / (100.0 * 4.0))
   }
 
+  test("stochastic: %K at the extremes, flat windows yield NULL, %D needs 3 Ks") {
+    val df = series(1, 2, 3, 3, 3, 9)
+    val out = Rolling.stochastic(df, "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    def k(i: Int) = Option(out(i).get(out(i).fieldIndex("pct_k")))
+      .map(_.asInstanceOf[Double])
+    assert(k(0).isEmpty && k(1).isEmpty) // frame not full
+    assert(k(2) === Some(100.0)) // 3 is the max of (1,2,3)
+    assert(k(3) === Some(100.0)) // still the max of (2,3,3)
+    assert(k(4).isEmpty)         // (3,3,3) is flat — no direction
+    assert(k(5) === Some(100.0)) // 9 tops (3,3,9)
+    // %D = mean of the last 3 %K values; any NULL K nulls it
+    val d = out.map(r => Option(r.get(r.fieldIndex("pct_d"))))
+    assert(d(3).isEmpty && d(4).isEmpty && d(5).isEmpty) // NULL K in range
+  }
+
   test("all three band columns evaluate in ONE window pass") {
     val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
         n = 2, k = 1.0)
