@@ -130,6 +130,17 @@ object SparkEntry {
           col("bb_mid"), col("bb_upper"), col("bb_lower"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_obv" -> ((s, d) => {
+      // Granville volume-flow signal: quantity as the price series,
+      // 2-dp extendedprice as the volume; scaled-BIGINT running sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.obv(s.table("lineitem"), "l_quantity",
+          "l_extendedprice", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), volScale = 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("obv"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_stochastic" -> ((s, d) => {
       // Lane momentum oscillator over the same supplier series as the
       // indicator gates; %D's explicit lag-sum keeps it engine-exact
@@ -2748,6 +2759,26 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${duckEma("list(l_quantity) OVER w", 12)} AS ema_12
          |FROM lineitem WINDOW w AS $duckW
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.obv: signed scaled-BIGINT running sum (exact in any
+    // engine), one final descale division.
+    "q_obv" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(sum(signed) OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) / 100.0::DOUBLE AS obv
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |    CASE WHEN lag(x, 1) OVER ws IS NULL THEN 0
+         |         WHEN x > lag(x, 1) OVER ws THEN vi
+         |         WHEN x < lag(x, 1) OVER ws THEN -vi
+         |         ELSE 0 END AS signed
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(l_quantity AS DOUBLE) AS x,
+         |          CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS vi
+         |        FROM lineitem) li
+         |  WINDOW ws AS ($W)
+         |) s
+         |WINDOW ws AS ($W)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Rolling.stochastic: %K from exact window min/max, %D as the
     // same explicit (K + lag + lag)/3 tree.

@@ -96,6 +96,36 @@ object Rolling {
         + lag(col("pct_k"), 2).over(seqW)) / lit(3.0)).as("pct_d"))
   }
 
+  /** On-balance volume (Granville, public formula): running total of
+    * volume signed by the price direction — `+vol` on an up-tick, `−vol`
+    * on a down-tick, 0 on a flat tick or the first row. The classic
+    * volume-flow confirmation signal for price moves.
+    *
+    * Determinism: volume is quantized to `volScale` decimals and the
+    * running total is a BIGINT sum (exact in any engine under any
+    * accumulation order); the single final descale division is IEEE.
+    * One keyed window pass (lag + running sum share the partition).
+    * Adds `obv` (DOUBLE, in volume units). */
+  def obv(df: DataFrame, priceCol: String, volCol: String,
+          partCols: Seq[String], orderCols: Seq[String],
+          volScale: Int = 0): DataFrame = {
+    require(volScale >= 0)
+    Guards.requireNoReserved(df.columns, Seq("obv"), "Rolling.obv")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val running = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col(priceCol).cast("double")
+    val vInt = round(col(volCol).cast("double") * lit(math.pow(10, volScale)))
+      .cast("long")
+    val prev = lag(p, 1).over(seqW)
+    val signed = when(prev.isNull, lit(0L))
+      .when(p > prev, vInt)
+      .when(p < prev, -vInt)
+      .otherwise(lit(0L))
+    df.withColumn("obv",
+      sum(signed).over(running).cast("double") / lit(math.pow(10, volScale)))
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -75,6 +75,15 @@ class RollingSpec extends AnyFunSuite {
     assert(d(3).isEmpty && d(4).isEmpty && d(5).isEmpty) // NULL K in range
   }
 
+  test("obv: signed running volume — up adds, down subtracts, flat and first ignore") {
+    val df = Seq(("s", 0, 10.0, 100.0), ("s", 1, 11.0, 50.0), ("s", 2, 11.0, 70.0),
+        ("s", 3, 9.0, 20.0), ("s", 4, 12.0, 5.5))
+      .toDF("sym", "i", "p", "v")
+    val out = Rolling.obv(df, "p", "v", Seq("sym"), Seq("i"), volScale = 1)
+      .orderBy("i").collect().map(_.getAs[Double]("obv"))
+    assert(out.toSeq === Seq(0.0, 50.0, 50.0, 30.0, 35.5))
+  }
+
   test("all three band columns evaluate in ONE window pass") {
     val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
         n = 2, k = 1.0)
