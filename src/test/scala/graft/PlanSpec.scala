@@ -152,6 +152,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected the map-side partial argmin:\n$p")
   }
 
+  test("rolling-family queries each plan ONE keyed hash exchange") {
+    for (name <- Seq("q_rolling_median", "q_bollinger", "q_vwap", "q_obv",
+        "q_stochastic")) {
+      val p = plan(name)
+      // all windows share the supplier partitioning — one hash exchange;
+      // the only other exchange is the output presentation sort
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$name should shuffle once on the partition key:\n$p")
+    }
+  }
+
   test("full-outer join pre-aggregates both sides below the join") {
     val p = plan("q_full_outer")
     val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
