@@ -1164,6 +1164,16 @@ object SparkEntry {
           dim = 64, m = 4, k = 4, iters = 2, nlist = 8, nprobe = 1, coarseIters = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_embed_pq_index" -> ((s, d) => {
+      // the "build once, search many" path: identical ADC results to
+      // q_embed_pq, but through the persistable PqIndex handle — search
+      // touches codes + codebooks only (same oracle as q_embed_pq)
+      load(s, d)
+      val emb = s.table("embeddings")
+      val index = operators.Pq.buildIndex(emb, dim = 64, m = 4, k = 4, iters = 2)
+      operators.Pq.adcSearch(index, emb.filter(col("vec_id") < 10), topK = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_cohort" -> ((s, d) => {
       // cohort retention triangle on the event log; day number is pure
       // integer nanos arithmetic (events ts reads as nano longs)
@@ -2164,6 +2174,7 @@ object SparkEntry {
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_embed_pq" -> duckPqSql,
     "q_embed_ivf_pq" -> duckIvfPqSql,
+    "q_embed_pq_index" -> duckPqSql,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT l_returnflag,

@@ -150,6 +150,39 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 
+  /** Persistable PQ index: the trained codebooks (m·k tiny rows) and the
+    * per-vector codes (m small ids each) — everything ADC search touches.
+    * Build once with [[buildIndex]], persist both frames (parquet), and
+    * every subsequent query batch runs [[adcSearch]] without re-training
+    * or re-reading raw embeddings: the production "build once, search
+    * many" shape, where the searchable state is 4-8 bytes per vector. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame)
+
+  /** Train + encode in one pass over the corpus (see [[trainCodebooks]] /
+    * [[encode]] for the plan shapes). */
+  def buildIndex(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
+    val books = trainCodebooks(corpus, dim, m, k, iters, idCol, embCol)
+    PqIndex(books, encode(corpus, books, dim, m, idCol, embCol))
+  }
+
+  /** ADC top-k against a prebuilt [[PqIndex]] — identical results to
+    * [[adcKnn]], but the corpus embeddings are never touched: the search
+    * reads codes + codebooks only (reconstruct → score → bounded-heap
+    * rank). */
+  def adcSearch(index: PqIndex, queries: DataFrame, topK: Int,
+                idCol: String = "vec_id", embCol: String = "embedding")
+      : DataFrame = {
+    val recon = reconstruct(index.codes, index.codebooks, idCol)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val scored = recon.select(col(idCol).as("neighbor_id"), col("recon"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", sqDist(col("q_emb"), col("recon")))
+    graft.functions.TopKBy.rankAscending(scored, "query_id",
+        ordCol = "adc_dist", idCol = "neighbor_id", k = topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
   /** IVF-ADC — the FAISS IVFPQ composition (coarse quantizer + product
     * codes, no residual encoding), the canonical 100 TB ANN shape: a
     * deterministic coarse k-means ([[Similarity.kmeansClusters]]) routes

@@ -109,6 +109,34 @@ class PqSpec extends AnyFunSuite {
       s"expected heap/argmin partials:\n$p")
   }
 
+  test("adcSearch from a persisted index: identical results, corpus never re-scanned") {
+    val df = clustered()
+    val direct = Pq.adcKnn(df, df.filter(col("vec_id") < 4), topK = 5,
+      dim = 8, m = 2, k = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("pqindex").toString
+    try {
+      val built = Pq.buildIndex(df, dim = 8, m = 2, k = 4, iters = 2)
+      built.codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      built.codes.write.mode("overwrite").parquet(s"$tmp/codes")
+      df.write.mode("overwrite").parquet(s"$tmp/corpusvecs")
+      val index = Pq.PqIndex(
+        spark.read.parquet(s"$tmp/codebooks"),
+        spark.read.parquet(s"$tmp/codes"))
+      // queries come from the corpus parquet; the INDEX side must not
+      val queries = spark.read.parquet(s"$tmp/corpusvecs").filter(col("vec_id") < 4)
+      val viaIndex = Pq.adcSearch(index, queries, topK = 5)
+      assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+      val p = viaIndex.queryExecution.executedPlan.toString
+      // exactly one corpusvecs scan — the broadcast query side; the scored
+      // side reads only the persisted codes/codebooks
+      assert(p.split("corpusvecs").length - 1 <= 1,
+        s"search must not re-scan corpus embeddings:\n$p")
+      assert(p.contains("codes"), s"expected the persisted codes scan:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("dim must split into m equal slices") {
     intercept[IllegalArgumentException] {
       Pq.trainCodebooks(clustered(), dim = 8, m = 3, k = 2, iters = 1)
