@@ -52,6 +52,27 @@ object SparkEntry {
   private def duckEma(list: String, n: Int): String =
     s"list_reduce($list, (acc,x) -> (2.0::DOUBLE/${n + 1}.0::DOUBLE)*x + (1.0::DOUBLE - 2.0::DOUBLE/${n + 1}.0::DOUBLE)*acc)"
 
+  /** Replays Bars.ohlc on lineitem: open/close picked by rank over the
+    * unique tick order (min_by/max_by equivalent — (l_orderkey,
+    * l_linenumber) is unique), scaled-BIGINT volume sum. Shared by the
+    * bars gate and the ATR gate that consumes the bars. */
+  private val duckBarsSql =
+    """SELECT l_suppkey, l_shipdate,
+      |  max(CASE WHEN ra = 1 THEN x END) AS open,
+      |  max(x) AS high, min(x) AS low,
+      |  max(CASE WHEN rd = 1 THEN x END) AS close,
+      |  CAST(sum(vi) AS DOUBLE) / 100.0::DOUBLE AS volume,
+      |  count(*) AS n_ticks
+      |FROM (
+      |  SELECT l_suppkey, l_shipdate, CAST(l_quantity AS DOUBLE) AS x,
+      |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS vi,
+      |    row_number() OVER (PARTITION BY l_suppkey, l_shipdate
+      |      ORDER BY l_orderkey, l_linenumber) AS ra,
+      |    row_number() OVER (PARTITION BY l_suppkey, l_shipdate
+      |      ORDER BY l_orderkey DESC, l_linenumber DESC) AS rd
+      |  FROM lineitem) t
+      |GROUP BY l_suppkey, l_shipdate""".stripMargin
+
   /** The struct accumulator for the prefix list `(p,g,l,c)` — p is the raw
     * value column wrapped per row. */
   private def rsiStructList(valueCol: String): String =
@@ -182,6 +203,73 @@ object SparkEntry {
           "l_quantity", Seq("l_suppkey"),
           Seq("l_shipdate", "l_orderkey", "l_linenumber"), n = 20)
         .select(col("l_orderkey"), col("l_linenumber"), col("vwap"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_ohlc_bars" -> ((s, d) => {
+      // batch OHLC resample: per-supplier daily bars from tick-level rows;
+      // open/close are exact min_by/max_by selections on the tick order,
+      // volume is the scaled-BIGINT money sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
+          "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
+          Seq("l_orderkey", "l_linenumber"), volScale = 2)
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_atr" -> ((s, d) => {
+      // Wilder's average true range (SMA form) over the daily bars the
+      // resampler produces — the bar-level volatility companion to the
+      // tick-level indicator family
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
+        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
+        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      operators.Rolling.atr(bars, "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_roc" -> ((s, d) => {
+      // 12-back rate of change (momentum) over the supplier series
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.roc(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          n = 12)
+        .select(col("l_orderkey"), col("l_linenumber"), col("roc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_donchian" -> ((s, d) => {
+      // trailing-20 Donchian breakout channel
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.donchian(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          n = 20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("dc_upper"), col("dc_lower"), col("dc_mid"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_williams_r" -> ((s, d) => {
+      // Williams %R over the same frame the stochastic gate uses — the
+      // mirrored oscillator, scaled to [-100, 0]
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.williamsR(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          n = 14)
+        .select(col("l_orderkey"), col("l_linenumber"), col("will_r"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_drawdown" -> ((s, d) => {
+      // running peak + peak-to-trough drawdown per supplier series
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.drawdown(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("peak"), col("drawdown"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "q_ema" -> ((s, d) => q(s, d,
@@ -2830,6 +2918,72 @@ object SparkEntry {
          |        CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS vi
          |      FROM lineitem) li
          |WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_ohlc_bars" ->
+      (duckBarsSql + "\nORDER BY l_suppkey, l_shipdate"),
+    // Replays Rolling.atr over the bars: TR = greatest(h−l, |h−prevC|,
+    // |l−prevC|) (h−l on each partition's first bar), trailing-14 mean.
+    // Integer-valued bars → the window sum is exact in any order.
+    "q_atr" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), tr AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close, 1) OVER ws IS NULL THEN high - low
+         |         ELSE greatest(high - low,
+         |                       abs(high - lag(close, 1) OVER ws),
+         |                       abs(low - lag(close, 1) OVER ws)) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(tr) OVER wn = 14 THEN avg(tr) OVER wn END AS atr
+         |FROM tr
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.roc: one fixed IEEE division against the 12-back value.
+    "q_roc" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN lag(x, 12) OVER ws IS NOT NULL AND lag(x, 12) OVER ws <> 0
+         |       THEN 100.0::DOUBLE * (x - lag(x, 12) OVER ws) / (lag(x, 12) OVER ws)
+         |  END AS roc
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW ws AS ($W)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.donchian: exact window min/max + one IEEE halving.
+    "q_donchian" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN count(x) OVER wn = 20 THEN max(x) OVER wn END AS dc_upper,
+         |  CASE WHEN count(x) OVER wn = 20 THEN min(x) OVER wn END AS dc_lower,
+         |  CASE WHEN count(x) OVER wn = 20
+         |       THEN (max(x) OVER wn + min(x) OVER wn) / 2.0::DOUBLE END AS dc_mid
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.williamsR: the stochastic mirror, −100·(hi−x)/(hi−lo).
+    "q_williams_r" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN count(x) OVER wn = 14 AND max(x) OVER wn <> min(x) OVER wn
+         |       THEN -100.0::DOUBLE * (max(x) OVER wn - x)
+         |            / (max(x) OVER wn - min(x) OVER wn) END AS will_r
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW wn AS ($W ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.drawdown: running max + one IEEE division.
+    "q_drawdown" ->
+      s"""SELECT l_orderkey, l_linenumber, peak,
+         |  CASE WHEN peak <> 0 THEN (x - peak) / peak END AS drawdown
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, x,
+         |    max(x) OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |  WINDOW ws AS ($W)
+         |) s
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).

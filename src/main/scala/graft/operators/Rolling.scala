@@ -126,6 +126,108 @@ object Rolling {
       sum(signed).over(running).cast("double") / lit(math.pow(10, volScale)))
   }
 
+  /** Average true range (Wilder's volatility gauge, SMA form — public
+    * formula) over OHLC bars such as [[Bars.ohlc]] produces: true range =
+    * `greatest(high − low, |high − prev close|, |low − prev close|)` (the
+    * plain `high − low` on each partition's first bar, where there is no
+    * prior close), averaged over the trailing n-bar frame. NULL until the
+    * frame fills.
+    *
+    * Determinism: TR is a fixed tree of exact selections and subtractions;
+    * on integer-valued bars the window sum is exact under any association
+    * order and only the final mean division runs in IEEE. One keyed Window
+    * pass (lag and the trailing mean share the partition). Adds `atr`. */
+  def atr(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns, Seq("atr", "graft_tr"), "Rolling.atr")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    val prevC = lag(c, 1).over(seqW)
+    val tr = when(prevC.isNull, h - l)
+      .otherwise(greatest(h - l, abs(h - prevC), abs(l - prevC)))
+    // TR must be bound in its own projection: the trailing avg's frame
+    // cannot see a lag() computed in the same Window pass
+    df.withColumn("graft_tr", tr)
+      .select(col("*"),
+        when(count(col("graft_tr")).over(w) === n,
+          avg(col("graft_tr")).over(w)).as("atr"))
+      .drop("graft_tr")
+  }
+
+  /** Rate of change (momentum oscillator, public formula):
+    * `100 · (x − x_{t−n}) / x_{t−n}` — NULL while no n-back value exists
+    * and on a zero base (no finite percentage to report). One fixed IEEE
+    * division per row; one keyed Window pass. Adds `roc`. */
+  def roc(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"lookback must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns, Seq("roc"), "Rolling.roc")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val base = lag(x, n).over(seqW)
+    df.withColumn("roc",
+      when(base.isNotNull && base =!= 0.0, lit(100.0) * (x - base) / base))
+  }
+
+  /** Donchian channel (Donchian's breakout envelope, public formula):
+    * `dc_upper`/`dc_lower` = trailing-n max/min, `dc_mid` = their midpoint.
+    * NULL until the frame fills. Exact selections + one IEEE halving;
+    * one keyed Window pass. */
+  def donchian(df: DataFrame, valueCol: String, partCols: Seq[String],
+               orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("dc_upper", "dc_lower", "dc_mid"), "Rolling.donchian")
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    val full = count(x).over(w) === n
+    val (hi, lo) = (max(x).over(w), min(x).over(w))
+    df.select(col("*"),
+      when(full, hi).as("dc_upper"),
+      when(full, lo).as("dc_lower"),
+      when(full, (hi + lo) / lit(2.0)).as("dc_mid"))
+  }
+
+  /** Williams %R (Larry Williams' oscillator, public formula):
+    * `−100 · (max_n − x) / (max_n − min_n)` over the trailing n-row frame —
+    * the stochastic %K's mirror, scaled to [−100, 0]. NULL until the frame
+    * fills and on a flat window (no range to locate x within). One keyed
+    * Window pass. Adds `will_r`. */
+  def williamsR(df: DataFrame, valueCol: String, partCols: Seq[String],
+                orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns, Seq("will_r"), "Rolling.williamsR")
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    val (lo, hi) = (min(x).over(w), max(x).over(w))
+    df.withColumn("will_r",
+      when(count(x).over(w) === n && hi =!= lo,
+        lit(-100.0) * (hi - x) / (hi - lo)))
+  }
+
+  /** Running drawdown: `peak` = running max of the series, `drawdown` =
+    * `(x − peak) / peak` (≤ 0; 0 at every new high) — the standard
+    * peak-to-trough decline measure. NULL drawdown on a zero peak. Exact
+    * running max + one IEEE division; one keyed Window pass. */
+  def drawdown(df: DataFrame, valueCol: String, partCols: Seq[String],
+               orderCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("peak", "drawdown"), "Rolling.drawdown")
+    val running = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val peak = max(x).over(running)
+    df.select(col("*"),
+      peak.as("peak"),
+      when(peak =!= 0.0, (x - peak) / peak).as("drawdown"))
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -84,6 +84,57 @@ class RollingSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(0.0, 50.0, 50.0, 30.0, 35.5))
   }
 
+  test("atr: first bar falls back to high−low, gaps widen TR via prev close") {
+    // bars: (h,l,c) rows; bar 2 gaps up — TR must use |high − prev close|
+    val bars = Seq(("s", 0, 12.0, 8.0, 10.0), ("s", 1, 11.0, 9.0, 11.0),
+        ("s", 2, 20.0, 18.0, 19.0))
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.atr(bars, "h", "l", "c", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("atr")))
+    assert(out(1).isNullAt(out(1).fieldIndex("atr")))
+    // TRs: 4 (h−l, no prev), 2 (h−l wins), 9 (|20−11| gap wins) → mean 5
+    assert(out(2).getAs[Double]("atr") === 5.0)
+  }
+
+  test("roc: momentum vs the n-back value, null base and zero base yield NULL") {
+    val df = series(0, 10, 12, 8)
+    val out = Rolling.roc(df, "v", Seq("sym"), Seq("i"), n = 2)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("roc"))) // no 2-back value
+    assert(out(1).isNullAt(out(1).fieldIndex("roc")))
+    assert(out(2).isNullAt(out(2).fieldIndex("roc"))) // base is 0
+    assert(out(3).getAs[Double]("roc") === -20.0)     // (8−10)/10
+  }
+
+  test("donchian: channel tracks window extremes, null until full") {
+    val out = Rolling.donchian(series(5, 1, 9, 3), "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("dc_upper")))
+    assert(out(2).getAs[Double]("dc_upper") === 9.0)
+    assert(out(2).getAs[Double]("dc_lower") === 1.0)
+    assert(out(2).getAs[Double]("dc_mid") === 5.0)
+    assert(out(3).getAs[Double]("dc_upper") === 9.0) // (1,9,3)
+    assert(out(3).getAs[Double]("dc_lower") === 1.0)
+  }
+
+  test("williams %R: mirrored stochastic — 0 at the high, −100 at the low") {
+    val out = Rolling.williamsR(series(1, 2, 3, 1), "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("will_r")))
+    assert(out(2).getAs[Double]("will_r") === 0.0)    // 3 is the window high
+    assert(out(3).getAs[Double]("will_r") === -100.0) // 1 is the window low
+  }
+
+  test("drawdown: zero at new highs, peak-relative decline after") {
+    val out = Rolling.drawdown(series(10, 20, 15, 20, 5), "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(out.map(_.getAs[Double]("peak")).toSeq === Seq(10.0, 20.0, 20.0, 20.0, 20.0))
+    assert(out(1).getAs[Double]("drawdown") === 0.0)
+    assert(out(2).getAs[Double]("drawdown") === -0.25)
+    assert(out(4).getAs[Double]("drawdown") === -0.75)
+  }
+
   test("all three band columns evaluate in ONE window pass") {
     val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
         n = 2, k = 1.0)
