@@ -272,6 +272,63 @@ object SparkEntry {
           col("peak"), col("drawdown"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_rolling_corr" -> ((s, d) => {
+      // trailing-20 Pearson corr + OLS beta between quantity and price —
+      // all five window sums are exact scaled BIGINTs, one IEEE tree
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.corrBeta(s.table("lineitem"), "l_quantity",
+          "l_extendedprice", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), n = 20,
+          xScale = 0, yScale = 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("roll_corr"), col("roll_beta"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_ffill" -> ((s, d) => {
+      // forward fill over the planted-null series the §7.1 null gate uses
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, expr}
+      val withNulls = s.table("lineitem")
+        .withColumn("xn", expr("nullif(CAST(l_quantity AS DOUBLE), 17.0D)"))
+      operators.Rolling.ffill(withNulls, "xn", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("xn"), col("xn_filled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_split" -> ((s, d) => {
+      // deterministic train/val/test membership by row key, fingerprinted
+      // per split (count + id-sum make membership drift visible)
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      operators.Split.assign(s.table("documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("split"))
+    }),
+    "q_split_group" -> ((s, d) => {
+      // leakage-safe variant: hash the GROUP key (language) so correlated
+      // rows move between splits together; n_langs exposes the cohesion
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+      operators.Split.assign(s.table("documents"), "lang",
+          Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("split"))
+    }),
+    "q_kfold" -> ((s, d) => {
+      // deterministic 5-fold assignment (hash mod k), fingerprinted per fold
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      operators.Split.kfold(s.table("documents"), "doc_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("fold"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -2985,6 +3042,81 @@ object SparkEntry {
          |  WINDOW ws AS ($W)
          |) s
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.corrBeta: five exact scaled-BIGINT window sums, the
+    // closed forms as the identical IEEE tree (separate square roots).
+    "q_rolling_corr" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN cnt = 20 AND dx > 0 AND dy > 0
+         |       THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |         num / (sqrt(dx) * sqrt(dy)))) END AS roll_corr,
+         |  CASE WHEN cnt = 20 AND dx > 0
+         |       THEN (num / dx) * 0.01::DOUBLE END AS roll_beta
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    count(*) OVER wn AS cnt,
+         |    CAST(20 * (sum(xi * yi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS num,
+         |    CAST(20 * (sum(xi * xi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(xi) OVER wn) AS DOUBLE) AS dx,
+         |    CAST(20 * (sum(yi * yi) OVER wn)
+         |      - (sum(yi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS dy
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS xi,
+         |          CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS yi
+         |        FROM lineitem) li
+         |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |) s
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.ffill: last non-NULL over the running frame.
+    "q_ffill" ->
+      s"""SELECT l_orderkey, l_linenumber, nullif(x, 17.0::DOUBLE) AS xn,
+         |  last_value(nullif(x, 17.0::DOUBLE) IGNORE NULLS)
+         |    OVER (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xn_filled
+         |FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |        CAST(l_quantity AS DOUBLE) AS x FROM lineitem) li
+         |WINDOW ws AS ($W)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Split.assign: the interpolated boundaries are the very longs
+    // Split.boundaries computes — no independent FP re-derivation.
+    "q_split" -> {
+      val b = operators.Split.boundaries(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN h < ${b(0)} THEN 'train'
+         |         WHEN h < ${b(1)} THEN 'val'
+         |         WHEN h < ${b(2)} THEN 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+         |        FROM documents) d
+         |) s
+         |GROUP BY split ORDER BY split""".stripMargin
+    },
+    "q_split_group" -> {
+      val b = operators.Split.boundaries(
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      s"""SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN h < ${b(0)} THEN 'train'
+         |         WHEN h < ${b(1)} THEN 'val'
+         |         WHEN h < ${b(2)} THEN 'test' END AS split
+         |  FROM (SELECT doc_id, lang,
+         |          CAST('0x' || substr(md5(lang), 1, 15) AS BIGINT) AS h
+         |        FROM documents) d
+         |) s
+         |GROUP BY split ORDER BY split""".stripMargin
+    },
+    // Replays Split.kfold: hash mod k on the nonnegative 60-bit hash.
+    "q_kfold" ->
+      """SELECT fold, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 5 AS INT) AS fold
+        |  FROM documents) s
+        |GROUP BY fold ORDER BY fold""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).
     "q_rolling_median" ->

@@ -228,6 +228,64 @@ object Rolling {
       when(peak =!= 0.0, (x - peak) / peak).as("drawdown"))
   }
 
+  /** Trailing-n Pearson correlation AND OLS slope (beta) between two
+    * series in one window pass — the pair-trading / hedging primitive.
+    * NULL until the frame fills or while either series is degenerate
+    * (zero variance: no direction to correlate against).
+    *
+    * Determinism — the same scaled-integer discipline as [[vwap]]: both
+    * series quantize to `xScale`/`yScale` decimals, ALL window sums
+    * (Σx, Σy, Σx², Σy², Σxy) are exact BIGINT sums, and the closed forms
+    * evaluate as one fixed IEEE tree on the exact sums. Correlation is
+    * scale-invariant, so no descaling; beta descales by the one extra
+    * exact power-of-ten ratio. The two variance terms go under SEPARATE
+    * square roots (their BIGINT product could overflow; the double
+    * product cannot), and the quotient clamps to [−1, 1] — the separate
+    * roots can round the denominator a last-ulp short on perfectly
+    * collinear frames. Adds `roll_corr`, `roll_beta` (slope of y on x). */
+  def corrBeta(df: DataFrame, xCol: String, yCol: String,
+               partCols: Seq[String], orderCols: Seq[String], n: Int,
+               xScale: Int = 0, yScale: Int = 0): DataFrame = {
+    require(n >= 2, s"need a window of >= 2, got $n")
+    require(xScale >= 0 && yScale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("roll_corr", "roll_beta"), "Rolling.corrBeta")
+    val w = frame(partCols, orderCols, n)
+    val xi = round(col(xCol).cast("double") * lit(math.pow(10, xScale))).cast("long")
+    val yi = round(col(yCol).cast("double") * lit(math.pow(10, yScale))).cast("long")
+    val cnt = count(when(xi.isNotNull && yi.isNotNull, 1)).over(w)
+    val (sx, sy) = (sum(xi).over(w), sum(yi).over(w))
+    val (sxx, syy, sxy) =
+      (sum(xi * xi).over(w), sum(yi * yi).over(w), sum(xi * yi).over(w))
+    val nL = lit(n.toLong)
+    val num = (nL * sxy - sx * sy).cast("double")
+    val dx = (nL * sxx - sx * sx).cast("double")
+    val dy = (nL * syy - sy * sy).cast("double")
+    val full = cnt === n
+    df.select(col("*"),
+      when(full && dx > 0.0 && dy > 0.0,
+        greatest(lit(-1.0), least(lit(1.0),
+          num / (sqrt(dx) * sqrt(dy))))).as("roll_corr"),
+      when(full && dx > 0.0,
+        (num / dx) * lit(math.pow(10, xScale) / math.pow(10, yScale)))
+        .as("roll_beta"))
+  }
+
+  /** Forward fill: replace NULLs with the most recent non-NULL value of
+    * the series (`last(x) IGNORE NULLS` over the running frame) — the gap
+    * repair step in front of recurrence indicators when frozen-state NULL
+    * passthrough (§7.1) is not wanted. Leading NULLs (no value yet to
+    * carry) stay NULL. One keyed Window pass. Adds `<valueCol>_filled`. */
+  def ffill(df: DataFrame, valueCol: String, partCols: Seq[String],
+            orderCols: Seq[String]): DataFrame = {
+    val out = s"${valueCol}_filled"
+    Guards.requireNoReserved(df.columns, Seq(out), "Rolling.ffill")
+    val running = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(valueCol), ignoreNulls = true).over(running))
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.Kmv
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: named
+  * train/val/test partitions and k-fold assignment as pure functions of a
+  * key — the membership primitive `randomSplit()` cannot provide
+  * (per-partition RNG: results change with layout, retries, engine).
+  *
+  * Same md5-derived 60-bit hash as [[Sampling]], so splits compose with
+  * the samplers: hashing the SAME key always lands in the same bucket, on
+  * any cluster, in any engine (the DuckDB oracle replays membership
+  * bit-for-bit). Leakage control falls out of key choice: hash the row key
+  * for an i.i.d. split, hash a GROUP key (source, author, near-dup
+  * cluster id) and every row of the group moves together — the standard
+  * defense against train/test contamination through correlated rows.
+  *
+  * Scale shape: one per-row codegen'd projection — no shuffle, no state,
+  * composes under the scan filter. No reference analog (beyond-reference
+  * op for the LLM-pipeline layer).
+  */
+object Split {
+
+  /** Add `split` naming each row's partition. `splits` are (name,
+    * fraction) in priority order; fractions must sum to 1 (±1e-9). The
+    * hash space divides at the cumulative boundaries, the last bucket
+    * absorbing the top of the range exactly — every key is assigned to
+    * exactly one split. */
+  /** The exact upper hash-space boundary of each split — public so an
+    * external replay (the DuckDB oracle) can interpolate the identical
+    * longs instead of re-deriving them through its own FP rounding. The
+    * last boundary is forced to the full hash space so no key can fall
+    * through a rounding gap. */
+  def boundaries(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0), s"fractions must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total")
+    splits.scanLeft(0.0) { case (c, (_, f)) => c + f }.tail
+      .map(c => (c * Kmv.HashSpace).toLong)
+      .dropRight(1) :+ Kmv.HashSpace.toLong
+  }
+
+  def assign(df: DataFrame, keyCol: String,
+             splits: Seq[(String, Double)]): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("split"), "Split.assign")
+    val bounds = boundaries(splits)
+    val h = Kmv.kmvHash(col(keyCol))
+    val first = when(h < lit(bounds.head), lit(splits.head._1))
+    val chain = splits.tail.zip(bounds.tail).foldLeft(first) {
+      case (acc, ((name, _), b)) => acc.when(h < lit(b), lit(name))
+    }
+    df.withColumn("split", chain)
+  }
+
+  /** Add `fold` ∈ [0, k) — deterministic k-fold assignment (`hash mod k`).
+    * Hash a group key for leakage-safe folds, as with [[assign]]. */
+  def kfold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    Guards.requireNoReserved(df.columns, Seq("fold"), "Split.kfold")
+    df.withColumn("fold", (Kmv.kmvHash(col(keyCol)) % lit(k.toLong)).cast("int"))
+  }
+}

@@ -135,6 +135,46 @@ class RollingSpec extends AnyFunSuite {
     assert(out(4).getAs[Double]("drawdown") === -0.75)
   }
 
+  test("corrBeta: perfectly linear series → corr ±1 and the exact slope") {
+    val df = Seq(("s", 0, 1.0, 10.0), ("s", 1, 2.0, 8.0), ("s", 2, 3.0, 6.0))
+      .toDF("sym", "i", "x", "y") // y = 12 − 2x
+    val out = Rolling.corrBeta(df, "x", "y", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(out(1).isNullAt(out(1).fieldIndex("roll_corr"))) // frame not full
+    assert(out(2).getAs[Double]("roll_corr") === -1.0)
+    assert(out(2).getAs[Double]("roll_beta") === -2.0)
+  }
+
+  test("corrBeta: a flat series has no direction — NULL corr and beta") {
+    val df = Seq(("s", 0, 5.0, 1.0), ("s", 1, 5.0, 2.0), ("s", 2, 5.0, 3.0))
+      .toDF("sym", "i", "x", "y")
+    val out = Rolling.corrBeta(df, "x", "y", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect().last
+    assert(out.isNullAt(out.fieldIndex("roll_corr")))
+    assert(out.isNullAt(out.fieldIndex("roll_beta")))
+  }
+
+  test("corrBeta: scaled decimals stay exact (2-dp y series)") {
+    // x = (1,2,3), y = (1.01, 1.02, 1.03): exactly linear in scaled ints
+    val df = Seq(("s", 0, 1.0, 1.01), ("s", 1, 2.0, 1.02), ("s", 2, 3.0, 1.03))
+      .toDF("sym", "i", "x", "y")
+    val out = Rolling.corrBeta(df, "x", "y", Seq("sym"), Seq("i"), n = 3,
+        xScale = 0, yScale = 2)
+      .orderBy("i").collect().last
+    assert(out.getAs[Double]("roll_corr") === 1.0)
+    assert(out.getAs[Double]("roll_beta") === 0.01)
+  }
+
+  test("ffill: carries the last value forward, leading nulls stay null") {
+    val df = Seq(("s", 0, None), ("s", 1, Some(4.0)), ("s", 2, None),
+        ("s", 3, None), ("s", 4, Some(7.0)))
+      .toDF("sym", "i", "v")
+    val out = Rolling.ffill(df, "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+      .map(r => Option(r.get(r.fieldIndex("v_filled"))).map(_.asInstanceOf[Double]))
+    assert(out.toSeq === Seq(None, Some(4.0), Some(4.0), Some(4.0), Some(7.0)))
+  }
+
   test("all three band columns evaluate in ONE window pass") {
     val p = Rolling.bollinger(series(1, 2, 3), "v", Seq("sym"), Seq("i"),
         n = 2, k = 1.0)
