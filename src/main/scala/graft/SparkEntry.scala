@@ -329,6 +329,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
         .orderBy(col("fold"))
     }),
+    "q_winsorize" -> ((s, d) => {
+      // per-group tail clipping at the exact [p05, p95] band — percentile
+      // interpolation parity with the oracle is proven by q_quantiles
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.winsorize(s.table("lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), pLow = 0.05, pHigh = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice_winsor"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_normalize" -> ((s, d) => {
+      // per-group min-max scaling to [0, 1]
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.minMaxScale(s.table("lineitem"), "l_quantity",
+          Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_scaled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_densify" -> ((s, d) => {
+      // calendar densification of the daily bars: every supplier gets a row
+      // per day between its first and last bar; the gate fingerprints the
+      // injected gap days per supplier
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
+        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
+        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      operators.Resample.densify(bars, Seq("l_suppkey"), "l_shipdate")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("n_ticks").isNull, 1L).otherwise(0L)).as("n_gap_days"))
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_ntile" -> ((s, d) => q(s, d,
+      s"""SELECT l_orderkey, l_linenumber, ntile(4) OVER ($W) AS quartile
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -3117,6 +3157,58 @@ object SparkEntry {
         |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 5 AS INT) AS fold
         |  FROM documents) s
         |GROUP BY fold ORDER BY fold""".stripMargin,
+    // Replays Feature.winsorize: quantile_cont ≡ Spark's exact percentile
+    // (parity proven by q_quantiles), then the same least/greatest clamp.
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber,
+        |  least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)
+        |    AS l_extendedprice_winsor
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Feature.minMaxScale: exact per-group extremes, one division.
+    "q_normalize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    min(CAST(l_quantity AS DOUBLE)) AS mn,
+        |    max(CAST(l_quantity AS DOUBLE)) AS mx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN mx <> mn
+        |       THEN (CAST(l_quantity AS DOUBLE) - mn) / (mx - mn) END
+        |    AS l_quantity_scaled
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Resample.densify over the bars: per-key daily spine
+    // (generate_series) left-joined to the bars, gap days counted.
+    "q_densify" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), spans AS (
+         |  SELECT l_suppkey, min(l_shipdate) AS lo, max(l_shipdate) AS hi
+         |  FROM bars GROUP BY l_suppkey
+         |), spine AS (
+         |  SELECT l_suppkey,
+         |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS l_shipdate
+         |  FROM spans
+         |)
+         |SELECT s.l_suppkey, count(*) AS n_days,
+         |  CAST(sum(CASE WHEN b.n_ticks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gap_days
+         |FROM spine s LEFT JOIN bars b
+         |  ON s.l_suppkey = b.l_suppkey AND s.l_shipdate = b.l_shipdate
+         |GROUP BY s.l_suppkey
+         |ORDER BY s.l_suppkey""".stripMargin,
+    "q_ntile" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(ntile(4) OVER ($W) AS INT) AS quartile
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).
     "q_rolling_median" ->

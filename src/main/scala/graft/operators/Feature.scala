@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group feature conditioning for training pipelines: tail clipping
+  * (winsorization) and min-max scaling. Both follow the [[Anomaly]] /
+  * [[Profile]] shape — ONE stats aggregation into a tiny per-group frame
+  * that broadcasts back onto the corpus — so the corpus is scanned twice
+  * and shuffled never (the stats agg shuffles only its map-side partials).
+  *
+  * Winsorization defaults to exact grouped `percentile` (the DuckDB
+  * oracle replays `quantile_cont` bit-for-bit on it — proven by the
+  * quantile gate); `approx = true` swaps in `percentile_approx` (bounded
+  * sketch state, map-side combinable) for the 100 TB profile-everything
+  * path, same query shape — the same flag contract as
+  * [[Anomaly.iqrOutliers]].
+  */
+object Feature {
+
+  /** Clip `valueCol` into its per-group [pLow, pHigh] percentile band —
+    * the standard heavy-tail defense before scaling. Adds
+    * `<valueCol>_winsor`. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLow: Double, pHigh: Double, approx: Boolean = false,
+                accuracy: Int = 10000): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val out = s"${valueCol}_winsor"
+    Guards.requireNoReserved(df.columns, Seq(out, "__lo", "__hi"),
+      "Feature.winsorize")
+    val x = col(valueCol).cast("double")
+    def pct(p: Double) =
+      if (approx) percentile_approx(x, lit(p), lit(accuracy))
+      else percentile(x, lit(p))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(pct(pLow).as("__lo"), pct(pHigh).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out, least(greatest(x, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Scale `valueCol` to [0, 1] within its group:
+    * `(x − min) / (max − min)`; NULL on a flat group (no range to scale
+    * into — the caller decides the fill). Exact selections + one IEEE
+    * division. Adds `<valueCol>_scaled`. */
+  def minMaxScale(df: DataFrame, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val out = s"${valueCol}_scaled"
+    Guards.requireNoReserved(df.columns, Seq(out, "__mn", "__mx"),
+      "Feature.minMaxScale")
+    val x = col(valueCol).cast("double")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(min(x).as("__mn"), max(x).as("__mx"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out,
+        when(col("__mx") =!= col("__mn"),
+          (x - col("__mn")) / (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FeatureResampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("winsorize: tails clamp to the band, the middle passes through") {
+    // group of 11 values 0..100: p10 = 10, p90 = 90 (exact interpolation)
+    val df = (0 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
+    val out = Feature.winsorize(df, "v", Seq("grp"), 0.1, 0.9)
+      .orderBy("v").collect().map(_.getAs[Double]("v_winsor"))
+    assert(out.head === 10.0)  // 0 clamped up
+    assert(out.last === 90.0)  // 100 clamped down
+    assert(out(5) === 50.0)    // middle untouched
+  }
+
+  test("winsorize: approx flag keeps the shape and stays within sketch error") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val exact = Feature.winsorize(df, "v", Seq("grp"), 0.05, 0.95)
+      .agg(min("v_winsor"), max("v_winsor")).collect()(0)
+    val approx = Feature.winsorize(df, "v", Seq("grp"), 0.05, 0.95,
+        approx = true, accuracy = 10000)
+      .agg(min("v_winsor"), max("v_winsor")).collect()(0)
+    assert(math.abs(exact.getDouble(0) - approx.getDouble(0)) <= 2.0)
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= 2.0)
+  }
+
+  test("minMaxScale: [0,1] within group, flat group scales to NULL") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0), ("b", 7.0))
+      .toDF("grp", "v")
+    val out = Feature.minMaxScale(df, "v", Seq("grp"))
+    val a = out.filter(col("grp") === "a").orderBy("v")
+      .collect().map(_.getAs[Double]("v_scaled"))
+    assert(a.toSeq === Seq(0.0, 0.5, 1.0))
+    assert(out.filter(col("grp") === "b" && col("v_scaled").isNotNull)
+      .count() === 0)
+  }
+
+  test("feature bounds broadcast — no shuffle of the corpus side") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val p = Feature.minMaxScale(df, "v", Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bounds frame must broadcast:\n$p")
+  }
+
+  test("densify: injects exactly the missing days, keys and dates non-null") {
+    val df = Seq(("s", "2024-01-01", 1.0), ("s", "2024-01-04", 4.0),
+        ("t", "2024-02-01", 9.0))
+      .toDF("sym", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val out = Resample.densify(df, Seq("sym"), "day").orderBy("sym", "day")
+    val s = out.filter(col("sym") === "s").collect()
+    assert(s.length === 4) // Jan 1,2,3,4
+    assert(s.count(_.isNullAt(2)) === 2) // Jan 2,3 injected with NULL v
+    assert(out.filter(col("sym") === "t").count() === 1) // single-day span
+    assert(out.filter(col("day").isNull).count() === 0)
+  }
+
+  test("densify then ffill carries bar values across the injected gap") {
+    val df = Seq(("s", "2024-01-01", 1.0), ("s", "2024-01-03", 3.0))
+      .toDF("sym", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val filled = Rolling.ffill(
+      Resample.densify(df, Seq("sym"), "day"), "v", Seq("sym"), Seq("day"))
+      .orderBy("day").collect().map(_.getAs[Double]("v_filled"))
+    assert(filled.toSeq === Seq(1.0, 1.0, 3.0))
+  }
+}
