@@ -369,6 +369,43 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, ntile(4) OVER ($W) AS quartile
          |FROM lineitem
          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_keltner" -> ((s, d) => {
+      // Keltner channel over the daily bars: native EMA mid, ATR bands —
+      // the composition pairing the recurrence indicator with the bar ops
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
+        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
+        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      operators.Rolling.keltner(bars, "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), emaN = 20, atrN = 14, k = 2.0)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("kc_mid"), col("kc_upper"), col("kc_lower"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_incremental_agg" -> ((s, d) => {
+      // incremental aggregate maintenance: the stored summary (history) +
+      // the new batch's partials merge into EXACTLY the full-corpus
+      // aggregate — the oracle aggregates the corpus directly, so the
+      // gate proves merge-equals-recompute bit-for-bit
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val li = s.table("lineitem")
+      val history = operators.IncrementalAgg.partials(
+        li.filter(col("l_shipdate") < "1997-01-01"), Seq("l_returnflag"), "l_quantity")
+      val batch = operators.IncrementalAgg.partials(
+        li.filter(col("l_shipdate") >= "1997-01-01"), Seq("l_returnflag"), "l_quantity")
+      operators.IncrementalAgg.withDerived(
+          operators.IncrementalAgg.merge(Seq(history, batch), Seq("l_returnflag")))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_class_weights" -> ((s, d) => {
+      // balanced class weights over the order-priority label
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.classWeights(s.table("orders"), "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -3209,6 +3246,56 @@ object SparkEntry {
          |  CAST(ntile(4) OVER ($W) AS INT) AS quartile
          |FROM lineitem
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.keltner: the q_ema fold over bar closes (same
+    // recurrence the native Ema runs), the q_atr TR chain, one band tree.
+    "q_keltner" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), tr AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close, 1) OVER ws IS NULL THEN high - low
+         |         ELSE greatest(high - low,
+         |                       abs(high - lag(close, 1) OVER ws),
+         |                       abs(low - lag(close, 1) OVER ws)) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), a AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(tr) OVER wn = 14 THEN avg(tr) OVER wn END AS atr
+         |  FROM tr
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, ${duckEma("cs", 20)} AS kc_mid
+         |  FROM (SELECT l_suppkey, l_shipdate,
+         |          list(close) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |        FROM bars) e
+         |)
+         |SELECT m.l_suppkey, m.l_shipdate, kc_mid,
+         |  kc_mid + 2.0::DOUBLE * atr AS kc_upper,
+         |  kc_mid - 2.0::DOUBLE * atr AS kc_lower
+         |FROM m JOIN a ON m.l_suppkey = a.l_suppkey
+         |  AND m.l_shipdate = a.l_shipdate
+         |ORDER BY m.l_suppkey, m.l_shipdate""".stripMargin,
+    // The incremental-maintenance oracle aggregates the corpus DIRECTLY:
+    // history+batch merge must equal recompute (monoid merge), bit-for-bit
+    // on the integer-valued metric.
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, count(x) AS n, sum(x) AS sum_v,
+        |  min(x) AS min_v, max(x) AS max_v,
+        |  CASE WHEN count(x) > 0 THEN sum(x) / count(x) END AS avg_v
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x
+        |      FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Replays Feature.classWeights: N / (K·n) on exact counts.
+    "q_class_weights" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS kk FROM c)
+        |SELECT o_orderpriority, n,
+        |  CAST(nn AS DOUBLE) / CAST(kk * n AS DOUBLE) AS weight
+        |FROM c, t ORDER BY o_orderpriority""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).
     "q_rolling_median" ->

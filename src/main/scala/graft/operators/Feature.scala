@@ -40,6 +40,23 @@ object Feature {
       .drop("__lo", "__hi")
   }
 
+  /** Balanced class weights (the sklearn `class_weight='balanced'`
+    * heuristic, public formula): `weight = N / (K · n_c)` for each label
+    * with count `n_c`, total rows `N`, `K` distinct labels — rare classes
+    * weigh up, the weighted corpus balances. One tiny counts aggregation;
+    * the totals frame is one row and cross-joins back onto it (broadcast
+    * by construction). Emits (labelCol, `n`, `weight`). */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("n", "weight", "__N", "__K"),
+      "Feature.classWeights")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__N"), count(lit(1)).as("__K"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("weight",
+        col("__N").cast("double") / (col("__K") * col("n")).cast("double"))
+      .drop("__N", "__K")
+  }
+
   /** Scale `valueCol` to [0, 1] within its group:
     * `(x − min) / (max − min)`; NULL on a flat group (no range to scale
     * into — the caller decides the fill). Exact selections + one IEEE

@@ -228,6 +228,34 @@ object Rolling {
       when(peak =!= 0.0, (x - peak) / peak).as("drawdown"))
   }
 
+  /** Keltner channel (Keltner/Chester's volatility envelope, public
+    * formula, EMA-ATR form): `kc_mid` = EMA(close, emaN), `kc_upper` /
+    * `kc_lower` = mid ± k·ATR(atrN) — the volatility-adaptive band that
+    * pairs the native EMA recurrence with [[atr]] over OHLC bars.
+    * `kc_mid` runs from each partition's first row (EMA seeds on it); the
+    * bands are NULL until the ATR frame fills.
+    *
+    * Requires [[graft.functions.FinancialFunctions.registerAll]] — the
+    * EMA resolves through the function registry. Plan: the ATR pass and
+    * the EMA share the one keyed exchange (same partition/order). */
+  def keltner(df: DataFrame, highCol: String, lowCol: String,
+              closeCol: String, partCols: Seq[String],
+              orderCols: Seq[String], emaN: Int, atrN: Int,
+              k: Double): DataFrame = {
+    require(k > 0, s"band width multiplier must be positive, got $k")
+    Guards.requireNoReserved(df.columns,
+      Seq("kc_mid", "kc_upper", "kc_lower"), "Rolling.keltner")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val mid = graft.functions.FinancialFunctions
+      .ema(col(closeCol).cast("double"), emaN).over(seqW)
+    atr(df, highCol, lowCol, closeCol, partCols, orderCols, atrN)
+      .select(col("*"), mid.as("kc_mid"))
+      .select(col("*"),
+        (col("kc_mid") + lit(k) * col("atr")).as("kc_upper"),
+        (col("kc_mid") - lit(k) * col("atr")).as("kc_lower"))
+  }
+
   /** Trailing-n Pearson correlation AND OLS slope (beta) between two
     * series in one window pass — the pair-trading / hedging primitive.
     * NULL until the frame fills or while either series is degenerate

@@ -48,6 +48,16 @@ class FeatureResampleSpec extends AnyFunSuite {
       s"bounds frame must broadcast:\n$p")
   }
 
+  test("classWeights: sklearn 'balanced' — N/(K·n), rare classes weigh up") {
+    val df = Seq.fill(6)("big").map(("r", _)) ++ Seq(("r", "rare"), ("r", "rare"))
+    val out = Feature.classWeights(df.toDF("x", "label"), "label")
+      .collect().map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("weight"))).toMap
+    // N = 8, K = 2: big → 8/(2·6), rare → 8/(2·2)
+    assert(out("big") === (6L, 8.0 / 12.0))
+    assert(out("rare") === (2L, 2.0))
+  }
+
   test("densify: injects exactly the missing days, keys and dates non-null") {
     val df = Seq(("s", "2024-01-01", 1.0), ("s", "2024-01-04", 4.0),
         ("t", "2024-02-01", 9.0))

@@ -135,6 +135,23 @@ class RollingSpec extends AnyFunSuite {
     assert(out(4).getAs[Double]("drawdown") === -0.75)
   }
 
+  test("keltner: mid is the EMA from row one, bands wait for the ATR frame") {
+    graft.functions.FinancialFunctions.registerAll(spark)
+    val bars = Seq(("s", 0, 12.0, 8.0, 10.0), ("s", 1, 11.0, 9.0, 11.0),
+        ("s", 2, 20.0, 18.0, 19.0))
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.keltner(bars, "h", "l", "c", Seq("sym"), Seq("i"),
+        emaN = 3, atrN = 3, k = 2.0)
+      .orderBy("i").collect()
+    assert(out(0).getAs[Double]("kc_mid") === 10.0) // EMA seeds on row 1
+    assert(out(0).isNullAt(out(0).fieldIndex("kc_upper"))) // ATR frame not full
+    // row 3: ATR = mean(4, 2, 9) = 5 (from the atr spec); EMA(3): α = 0.5
+    // → 10, 10.5, 14.75; upper = 14.75 + 2·5
+    assert(out(2).getAs[Double]("kc_mid") === 14.75)
+    assert(out(2).getAs[Double]("kc_upper") === 24.75)
+    assert(out(2).getAs[Double]("kc_lower") === 4.75)
+  }
+
   test("corrBeta: perfectly linear series → corr ±1 and the exact slope") {
     val df = Seq(("s", 0, 1.0, 10.0), ("s", 1, 2.0, 8.0), ("s", 2, 3.0, 6.0))
       .toDF("sym", "i", "x", "y") // y = 12 − 2x
