@@ -50,6 +50,29 @@ class EmptyInputSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("rolling, bars, split, feature, and resample operators on an empty frame") {
+    val emptyTicks = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("sym", StringType), StructField("i", LongType),
+        StructField("day", DateType), StructField("v", DoubleType),
+        StructField("p", DoubleType))))
+    assert(Rolling.median(emptyTicks, "v", Seq("sym"), Seq("i"), 3).count() === 0)
+    assert(Rolling.atr(emptyTicks, "v", "v", "v", Seq("sym"), Seq("i"), 3).count() === 0)
+    assert(Rolling.roc(emptyTicks, "v", Seq("sym"), Seq("i"), 2).count() === 0)
+    assert(Rolling.corrBeta(emptyTicks, "v", "p", Seq("sym"), Seq("i"), 3).count() === 0)
+    assert(Rolling.ffill(emptyTicks, "v", Seq("sym"), Seq("i")).count() === 0)
+    assert(Bars.ohlc(emptyTicks, "v", "p", Seq("sym"), "day", Seq("i")).count() === 0)
+    assert(Split.assign(emptyTicks, "sym", Seq("a" -> 0.5, "b" -> 0.5)).count() === 0)
+    assert(Split.kfold(emptyTicks, "sym", 3).count() === 0)
+    assert(Feature.winsorize(emptyTicks, "v", Seq("sym"), 0.05, 0.95).count() === 0)
+    assert(Feature.minMaxScale(emptyTicks, "v", Seq("sym")).count() === 0)
+    assert(Feature.classWeights(emptyTicks, "sym").count() === 0)
+    assert(Resample.densify(emptyTicks, Seq("sym"), "day").count() === 0)
+    assert(IncrementalAgg.withDerived(IncrementalAgg.merge(Seq(
+      IncrementalAgg.partials(emptyTicks, Seq("sym"), "v")), Seq("sym")))
+      .count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
