@@ -1396,6 +1396,16 @@ object SparkEntry {
       operators.Pq.adcSearch(index, emb.filter(col("vec_id") < 10), topK = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_embed_sq8" -> ((s, d) => {
+      // scalar-quantized (SQ8) ANN: per-dimension 8-bit codes against
+      // corpus bounds, asymmetric squared-L2 against the reconstruction —
+      // the training-free 4× compression sibling of PQ
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Sq.sq8Knn(emb, emb.filter(col("vec_id") < 10), topK = 5,
+          dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_cohort" -> ((s, d) => {
       // cohort retention triangle on the event log; day number is pure
       // integer nanos arithmetic (events ts reads as nano longs)
@@ -2397,6 +2407,43 @@ object SparkEntry {
     "q_embed_pq" -> duckPqSql,
     "q_embed_ivf_pq" -> duckIvfPqSql,
     "q_embed_pq_index" -> duckPqSql,
+    // Replays Sq.sq8Knn: exact per-dim bounds, the same quantize→
+    // reconstruct IEEE tree (round() is an exact integer ≤ 255, so the
+    // int-code round trip on the Spark side cannot differ), the shared
+    // squared-L2 fold, row_number ties to the lower neighbor id.
+    "q_embed_sq8" ->
+      s"""WITH b AS (
+         |  SELECT pos, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
+         |  FROM (SELECT unnest(embedding) AS v,
+         |          generate_subscripts(embedding, 1) AS pos
+         |        FROM embeddings) e
+         |  GROUP BY pos),
+         |bl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+         |       FROM b),
+         |recon AS (
+         |  SELECT vec_id,
+         |    list_transform(list_zip(embedding, los, his), t ->
+         |      CASE WHEN CAST(t[3] AS DOUBLE) = CAST(t[2] AS DOUBLE)
+         |           THEN CAST(t[2] AS DOUBLE)
+         |           ELSE CAST(t[2] AS DOUBLE)
+         |             + round((CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+         |                 / (CAST(t[3] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+         |                 * 255.0::DOUBLE)
+         |               * (CAST(t[3] AS DOUBLE) - CAST(t[2] AS DOUBLE))
+         |               / 255.0::DOUBLE END) AS recon
+         |  FROM embeddings, bl),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.query_id, r.vec_id AS neighbor_id,
+         |    ${sqdSql("q.q_emb", "r.recon")} AS sq_dist
+         |  FROM q CROSS JOIN recon r WHERE q.query_id <> r.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sq_dist, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, sq_dist, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT l_returnflag,
