@@ -199,4 +199,12 @@ class RollingSpec extends AnyFunSuite {
     assert(p.split("\n").count(_.trim.startsWith("+- Window")) <= 1,
       s"expected one Window operator for all bands:\n$p")
   }
+
+  test("corrBeta: all six window sums evaluate in ONE window pass") {
+    val df = Seq(("s", 0, 1.0, 2.0), ("s", 1, 2.0, 3.0)).toDF("sym", "i", "x", "y")
+    val p = Rolling.corrBeta(df, "x", "y", Seq("sym"), Seq("i"), n = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.trim.startsWith("+- Window")) <= 1,
+      s"expected one Window operator for all sums:\n$p")
+  }
 }
