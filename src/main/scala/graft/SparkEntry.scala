@@ -1060,6 +1060,15 @@ object SparkEntry {
       operators.Similarity.embeddingNearDupPairs(s.table("embeddings"), 0.4, signBits = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_embed_neardup_mp" -> ((s, d) => {
+      load(s, d)
+      // multi-probe: candidates are sign patterns differing in <= 1 bit —
+      // catches near-dups that straddle one hyperplane; oracle pairs by
+      // hamming(bucket_a, bucket_b) <= 1
+      operators.Similarity.embeddingNearDupPairsMultiProbe(
+          s.table("embeddings"), 0.4, signBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_stream_indicators" -> ((s, d) => {
       // A6 streaming indicator engine, exercised through the SAME
       // flatMapGroupsWithState operator in batch mode (Spark runs stateful
@@ -2890,6 +2899,23 @@ object SparkEntry {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Replays the multi-probe variant: candidate pairs are exactly those
+    // whose 8-bit sign patterns differ in <= 1 bit (the unique XOR flip
+    // Spark's probe explode generates), same cosine filter.
+    "q_embed_neardup_mp" ->
+      s"""WITH bkt AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      j -> CASE WHEN embedding[j] > 0 THEN 1 << (j - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM bkt a JOIN bkt b
+         |  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
     "q_stream_indicators" ->

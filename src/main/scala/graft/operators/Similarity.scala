@@ -208,4 +208,37 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Multi-probe variant of [[embeddingNearDupPairs]]: one side ALSO
+    * probes every bucket at hamming distance 1 from its own (flip each of
+    * the `signBits` sign bits once — the standard multi-probe LSH recall
+    * booster), so pairs that straddle a single hyperplane are found too.
+    * Exactly the pairs whose sign patterns differ in ≤ 1 bit are
+    * candidates, each generated once (the XOR flip to a partner's bucket
+    * is unique). Cost: the probing side replicates (signBits+1)× INTO THE
+    * JOIN — the classic multi-probe trade of candidate volume for recall
+    * without touching the stored corpus side. */
+  def embeddingNearDupPairsMultiProbe(corpus: DataFrame, threshold: Double,
+                                      signBits: Int,
+                                      idCol: String = "vec_id",
+                                      embCol: String = "embedding"): DataFrame = {
+    require(signBits > 0, s"multi-probe needs signBits > 0, got $signBits")
+    val powers = typedlit((0 until signBits).map(j => 1L << j))
+    val withBucket = corpus.withColumn("bucket",
+      aggregate(
+        zip_with(slice(col(embCol), 1, signBits), powers,
+          (v, p) => when(v > lit(0.0f), p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
+    val probes = array(
+      col("bucket") +: (0 until signBits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val a = withBucket.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      explode(probes).as("bucket"))
+    val b = withBucket.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      col("bucket"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -34,6 +34,41 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(out.getAs[Double]("avg_v") === 3.0)
   }
 
+  test("streaming micro-batches fold into the summary a full recompute would give") {
+    // the production wiring: each foreachBatch merges its batch's partials
+    // into the stored summary — the summary after the last batch must
+    // equal aggregating the whole stream at once
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val summarySchema = IncrementalAgg.partials(rows().select(
+      col("grp"), col("v")), Seq("grp"), "v").schema
+    var stored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], summarySchema)
+    val query = input.toDF().toDF("grp", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val p = IncrementalAgg.partials(batch, Seq("grp"), "v")
+        // materialize THIS batch's rows — the batch frame dies with the batch
+        stored = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            IncrementalAgg.merge(Seq(stored, p), Seq("grp")).collect().toSeq),
+          summarySchema)
+        ()
+      }.start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 2.0))
+      query.processAllAvailable()
+      input.addData(("a", 5.0), ("c", 7.0))
+      query.processAllAvailable()
+      input.addData(("b", 4.0))
+      query.processAllAvailable()
+      val full = IncrementalAgg.partials(
+        Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("a", 5.0), ("c", 7.0),
+          ("b", 4.0)).toDF("grp", "v"), Seq("grp"), "v")
+      assert(stored.exceptAll(full).isEmpty && full.exceptAll(stored).isEmpty)
+    } finally query.stop()
+  }
+
   test("partials aggregate map-side (partial functions below the exchange)") {
     val p = IncrementalAgg.partials(rows(), Seq("grp"), "v")
       .queryExecution.executedPlan.toString

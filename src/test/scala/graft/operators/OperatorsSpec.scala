@@ -201,6 +201,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("multi-probe LSH recovers the one-hyperplane-straddling pair single-probe misses") {
+    import spark.implicits._
+    // 0 and 1 point the same way but sit on opposite sides of the dim-0
+    // hyperplane (sign patterns 10 vs 11 — hamming 1); 2 is far away
+    val mp = Seq(
+      (0L, Array(-0.01f, 1.0f, 0.0f)),
+      (1L, Array(0.01f, 1.0f, 0.0f)),
+      (2L, Array(-1.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val single = pairs(Similarity.embeddingNearDupPairs(mp, 0.9, signBits = 2))
+    assert(single === Set.empty) // buckets differ → pair never a candidate
+    val multi = pairs(
+      Similarity.embeddingNearDupPairsMultiProbe(mp, 0.9, signBits = 2))
+    assert(multi === Set((0L, 1L))) // found once, not duplicated
+    // multi-probe is a superset of single-probe on the shared corpus
+    val s = pairs(Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 2))
+    val m = pairs(Similarity.embeddingNearDupPairsMultiProbe(vecs, 0.9, signBits = 2))
+    assert(s.subsetOf(m))
+  }
+
   test("connected components: chains collapse to min id, components stay separate") {
     import spark.implicits._
     // chain 1-2-3-4, pair 10-11, triangle 20-21-22
