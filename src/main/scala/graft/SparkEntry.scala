@@ -39,6 +39,20 @@ object SparkEntry {
     load(spark, dir); spark.sql(sql)
   }
 
+  /** Daily per-supplier OHLC bars from lineitem ticks, shared by the bar
+    * gates. The tick tie-break packs (l_orderkey, l_linenumber) into ONE
+    * BIGINT (linenumber ∈ [1,7], so ×8 is order-isomorphic) — a single
+    * atomic ordering column keeps the min_by/max_by buffers
+    * hash-aggregable (see `Bars.ohlc`'s SortAggregate note). */
+  private def dailyBars(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    operators.Bars.ohlc(
+      s.table("lineitem").withColumn("l_tick",
+        expr("l_orderkey * 8 + l_linenumber")),
+      "l_quantity", "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
+      Seq("l_tick"), volScale = 2)
+  }
+
   // Shared window spec: partition by supplier, total order within partition.
   private val W =
     "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
@@ -211,10 +225,7 @@ object SparkEntry {
       // volume is the scaled-BIGINT money sum
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
-          "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
-          Seq("l_orderkey", "l_linenumber"), volScale = 2)
-        .orderBy(col("l_suppkey"), col("l_shipdate"))
+      dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
     "q_atr" -> ((s, d) => {
       // Wilder's average true range (SMA form) over the daily bars the
@@ -222,9 +233,7 @@ object SparkEntry {
       // tick-level indicator family
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
-        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
-        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      val bars = dailyBars(s)
       operators.Rolling.atr(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
@@ -356,9 +365,7 @@ object SparkEntry {
       // injected gap days per supplier
       load(s, d)
       import org.apache.spark.sql.functions.{col, count, lit, sum, when}
-      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
-        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
-        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      val bars = dailyBars(s)
       operators.Resample.densify(bars, Seq("l_suppkey"), "l_shipdate")
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_days"),
@@ -369,14 +376,28 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, ntile(4) OVER ($W) AS quartile
          |FROM lineitem
          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_percent_rank" -> ((s, d) => q(s, d,
+      // distribution window functions over the supplier series — exact
+      // integer-ratio trees, identical across engines on a unique order
+      s"""SELECT l_orderkey, l_linenumber,
+         |  percent_rank() OVER ($W) AS pr,
+         |  cume_dist() OVER ($W) AS cd
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_filter_agg" -> ((s, d) => q(s, d,
+      // SQL:2003 FILTER clause — per-condition aggregation in one pass
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+        |  max(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS max_f
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
     "q_keltner" -> ((s, d) => {
       // Keltner channel over the daily bars: native EMA mid, ATR bands —
       // the composition pairing the recurrence indicator with the bar ops
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val bars = operators.Bars.ohlc(s.table("lineitem"), "l_quantity",
-        "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
-        Seq("l_orderkey", "l_linenumber"), volScale = 2)
+      val bars = dailyBars(s)
       operators.Rolling.keltner(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), emaN = 20, atrN = 14, k = 2.0)
         .select(col("l_suppkey"), col("l_shipdate"),
@@ -3319,6 +3340,19 @@ object SparkEntry {
          |  CAST(ntile(4) OVER ($W) AS INT) AS quartile
          |FROM lineitem
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_percent_rank" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  percent_rank() OVER ($W) AS pr,
+         |  cume_dist() OVER ($W) AS cd
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+        |  max(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS max_f
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // Replays Rolling.keltner: the q_ema fold over bar closes (same
     // recurrence the native Ema runs), the q_atr TR chain, one band tree.
     "q_keltner" ->
