@@ -427,6 +427,34 @@ object SparkEntry {
       operators.Feature.classWeights(s.table("orders"), "o_orderpriority")
         .orderBy(col("o_orderpriority"))
     }),
+    "q_robust_scale" -> ((s, d) => {
+      // RobustScaler: (x − median) / IQR per group — order statistics
+      // resist the tails that drag a mean/σ standardization
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.robustScale(s.table("lineitem"), "l_quantity",
+          Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_robust"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_label_index" -> ((s, d) => {
+      // StringIndexer contract: dense 0-based ids, most frequent first,
+      // alphabetical tie-break — a pure function of the corpus
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.labelIndex(s.table("orders"), "o_orderpriority")
+        .orderBy(col("label_index"))
+    }),
+    "q_target_encode" -> ((s, d) => {
+      // m-estimate target encoding: category mean shrunk toward the
+      // global prior by m pseudo-observations
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Feature.targetEncode(s.table("lineitem"), "l_returnflag",
+          "l_quantity", m = 10.0)
+        .orderBy(col("l_returnflag"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -3403,6 +3431,41 @@ object SparkEntry {
         |SELECT o_orderpriority, n,
         |  CAST(nn AS DOUBLE) / CAST(kk * n AS DOUBLE) AS weight
         |FROM c, t ORDER BY o_orderpriority""".stripMargin,
+    // Replays Feature.robustScale: quantile_cont ≡ exact percentile, the
+    // same (x − med) / (q3 − q1) tree.
+    "q_robust_scale" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN q3 <> q1
+        |       THEN (CAST(l_quantity AS DOUBLE) - med) / (q3 - q1) END
+        |    AS l_quantity_robust
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Feature.labelIndex: rank by (count DESC, label ASC) − 1.
+    "q_label_index" ->
+      """SELECT o_orderpriority, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, o_orderpriority ASC) - 1
+        |    AS INT) AS label_index
+        |FROM (SELECT o_orderpriority, count(*) AS n
+        |      FROM orders GROUP BY 1) c
+        |ORDER BY label_index""".stripMargin,
+    // Replays Feature.targetEncode: (Σy_c + m·(S/N)) / (n_c + m), exact
+    // integer sums, one fixed division tree.
+    "q_target_encode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, count(l_quantity) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS sy
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT count(l_quantity) AS nn,
+        |        sum(CAST(l_quantity AS DOUBLE)) AS ss FROM lineitem)
+        |SELECT l_returnflag, n,
+        |  (sy + 10.0::DOUBLE * (ss / nn)) / (n + 10.0::DOUBLE) AS target_enc
+        |FROM c, g ORDER BY l_returnflag""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).
     "q_rolling_median" ->

@@ -40,6 +40,70 @@ object Feature {
       .drop("__lo", "__hi")
   }
 
+  /** Robust scaling (the sklearn `RobustScaler` formula):
+    * `(x − median) / (p75 − p25)` within the group — centering and spread
+    * from order statistics, so heavy tails cannot drag the scale the way
+    * they drag a mean/σ standardization. NULL on a zero IQR (no spread to
+    * scale by). Exact grouped percentiles by default (oracle parity via
+    * `quantile_cont`), `approx = true` for the sketch path. Adds
+    * `<valueCol>_robust`. */
+  def robustScale(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val out = s"${valueCol}_robust"
+    Guards.requireNoReserved(df.columns, Seq(out, "__med", "__q1", "__q3"),
+      "Feature.robustScale")
+    val x = col(valueCol).cast("double")
+    def pct(p: Double) =
+      if (approx) percentile_approx(x, lit(p), lit(accuracy))
+      else percentile(x, lit(p))
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(pct(0.5).as("__med"), pct(0.25).as("__q1"), pct(0.75).as("__q3"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(out,
+        when(col("__q3") =!= col("__q1"),
+          (x - col("__med")) / (col("__q3") - col("__q1"))))
+      .drop("__med", "__q1", "__q3")
+  }
+
+  /** Frequency-ordered label indexing (the `StringIndexer` contract):
+    * every distinct label maps to a dense 0-based index, most frequent
+    * first, alphabetical tie-break — a pure function of the corpus, so
+    * train and inference sides derive identical vocabularies. Emits
+    * (labelCol, `n`, `label_index`). The ranking window runs on the
+    * COUNTS frame (|labels| rows), never the corpus. */
+  def labelIndex(df: DataFrame, labelCol: String): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("n", "label_index"),
+      "Feature.labelIndex")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col(labelCol).asc)
+    counts.withColumn("label_index",
+      (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Smoothed target encoding (the classic m-estimate, public formula):
+    * each category encodes as `(Σy_c + m·prior) / (n_c + m)` with
+    * `prior` = the global target mean — categories with little evidence
+    * shrink toward the prior instead of memorizing noise. One tiny
+    * per-category aggregation plus a one-row global frame; exact on
+    * integer-valued (or scaled) targets, the two divisions are one fixed
+    * IEEE tree. Emits (categoryCol, `n`, `target_enc`). */
+  def targetEncode(df: DataFrame, categoryCol: String, targetCol: String,
+                   m: Double = 10.0): DataFrame = {
+    require(m >= 0, s"smoothing must be non-negative, got $m")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "target_enc", "__sy", "__N", "__S"), "Feature.targetEncode")
+    val y = col(targetCol).cast("double")
+    val cats = df.groupBy(col(categoryCol))
+      .agg(count(y).as("n"), sum(y).as("__sy"))
+    val global = df.agg(count(y).as("__N"), sum(y).as("__S"))
+    cats.crossJoin(broadcast(global))
+      .withColumn("target_enc",
+        (col("__sy") + lit(m) * (col("__S") / col("__N")))
+          / (col("n") + lit(m)))
+      .drop("__sy", "__N", "__S")
+  }
+
   /** Balanced class weights (the sklearn `class_weight='balanced'`
     * heuristic, public formula): `weight = N / (K · n_c)` for each label
     * with count `n_c`, total rows `N`, `K` distinct labels — rare classes

@@ -48,6 +48,40 @@ class FeatureResampleSpec extends AnyFunSuite {
       s"bounds frame must broadcast:\n$p")
   }
 
+  test("robustScale: centered on the median, IQR-scaled, outlier-immune") {
+    // 0..10 scaled by 10: median 50, q1 25, q3 75 (exact interpolation)
+    val df = (0 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
+    val out = Feature.robustScale(df, "v", Seq("grp"))
+      .orderBy("v").collect().map(_.getAs[Double]("v_robust"))
+    assert(out(5) === 0.0)          // the median itself
+    assert(out.last === 1.0)        // (100 − 50) / 50
+    assert(out.head === -1.0)
+    // flat group → NULL
+    val flat = Feature.robustScale(Seq(("g", 5.0), ("g", 5.0)).toDF("grp", "v"),
+      "v", Seq("grp"))
+    assert(flat.filter(col("v_robust").isNotNull).count() === 0)
+  }
+
+  test("labelIndex: dense ids, most frequent first, alphabetical ties") {
+    val df = (Seq.fill(5)("mid") ++ Seq.fill(5)("aaa") ++ Seq.fill(9)("big") ++
+      Seq("rare")).toDF("label")
+    val out = Feature.labelIndex(df, "label").collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Int]("label_index")).toMap
+    assert(out === Map("big" -> 0, "aaa" -> 1, "mid" -> 2, "rare" -> 3))
+  }
+
+  test("targetEncode: small categories shrink toward the global prior") {
+    // global mean 2.0; category 'tiny' has one y=10 observation
+    val df = (Seq.fill(18)(("big", 1.5)) ++ Seq(("big", 3.0), ("tiny", 10.0)))
+      .toDF("cat", "y")
+    val out = Feature.targetEncode(df, "cat", "y", m = 10.0).collect()
+      .map(r => r.getAs[String]("cat") -> r.getAs[Double]("target_enc")).toMap
+    val prior = (18 * 1.5 + 3.0 + 10.0) / 20.0
+    assert(math.abs(out("tiny") - (10.0 + 10.0 * prior) / 11.0) < 1e-12)
+    assert(out("tiny") < 10.0) // shrunk well below its raw mean...
+    assert(out("tiny") > prior) // ...but still above the prior
+  }
+
   test("classWeights: sklearn 'balanced' — N/(K·n), rare classes weigh up") {
     val df = Seq.fill(6)("big").map(("r", _)) ++ Seq(("r", "rare"), ("r", "rare"))
     val out = Feature.classWeights(df.toDF("x", "label"), "label")
