@@ -455,6 +455,16 @@ object SparkEntry {
           "l_quantity", m = 10.0)
         .orderBy(col("l_returnflag"))
     }),
+    "q_source_entropy" -> ((s, d) => {
+      // corpus-mixture drift monitor: per-source token entropy and
+      // KL(source || corpus) over the global top-30 vocabulary — the
+      // double sums fold in token order, replayable in any engine
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Divergence.tokenEntropy(s.table("documents"), "source",
+          "text", topK = 30)
+        .orderBy(col("source"))
+    }),
     "q_ema" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, ema(l_quantity, 12) OVER w AS ema_12
          |FROM lineitem WINDOW w AS ($W)
@@ -3466,6 +3476,38 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  (sy + 10.0::DOUBLE * (ss / nn)) / (n + 10.0::DOUBLE) AS target_enc
         |FROM c, g ORDER BY l_returnflag""".stripMargin,
+    // Replays Divergence.tokenEntropy: same tokenizer, global top-30
+    // vocab (count DESC, token ASC), token-ordered left folds of the
+    // identical entropy/KL term trees.
+    "q_source_entropy" ->
+      """WITH tok0 AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT source, w AS token FROM tok0 WHERE w <> ''),
+        |counts AS (SELECT source, token, count(*) AS n FROM tk GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token, CAST(sum(n) AS BIGINT) AS gn FROM counts
+        |  GROUP BY token ORDER BY gn DESC, token ASC LIMIT 30),
+        |g AS (SELECT CAST(sum(gn) AS BIGINT) AS gt FROM vocab),
+        |sup AS (
+        |  SELECT c.source, c.token, c.n, v.gn
+        |  FROM counts c JOIN vocab v USING (token)),
+        |agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    list(struct_pack(t := token, n := n, gn := gn) ORDER BY token) AS ts
+        |  FROM sup GROUP BY source)
+        |SELECT source, n_tokens,
+        |  round(ln(CAST(n_tokens AS DOUBLE))
+        |    - list_reduce(list_transform(ts,
+        |        e -> CAST(e.n AS DOUBLE) * ln(CAST(e.n AS DOUBLE))),
+        |        (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 10)
+        |    + 0.0::DOUBLE AS entropy,
+        |  round(list_reduce(list_transform(ts,
+        |      e -> (CAST(e.n AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * ln((CAST(e.n AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |             / (CAST(e.gn AS DOUBLE) / CAST(gt AS DOUBLE)))),
+        |      (a, b) -> a + b), 10) + 0.0::DOUBLE AS kl
+        |FROM agg, g ORDER BY source""".stripMargin,
     // Replays Rolling.median: exact median over the trailing 9-row frame
     // (odd count → the middle element, interpolation never fires).
     "q_rolling_median" ->

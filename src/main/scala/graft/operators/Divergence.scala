@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixture drift monitoring: per-group Shannon entropy and KL
+  * divergence of the token distribution against the whole corpus — the
+  * smell test that catches a source drifting (template spam collapses
+  * entropy; a topical source shows high KL) before it skews a training
+  * mix.
+  *
+  * Distributions are over the GLOBAL top-K vocabulary so every group is
+  * measured on the same support (tokens a group lacks contribute 0 to
+  * its KL by the usual 0·ln 0 = 0 convention, and the global side is
+  * never zero on its own top-K).
+  *
+  * Determinism: counts are exact; the per-group entropy/KL sums fold
+  * over the group's support tokens in ASCENDING TOKEN ORDER (tokens are
+  * `[a-z0-9]+`, so lexicographic order is engine-independent), making
+  * the double accumulation one fixed left fold any engine replays — and
+  * the outputs round to 10 decimals because `ln` itself is not
+  * correctly rounded in every engine (JVM `Math.log` vs libm differ in
+  * the last ulp; same rationale as the k-means centroids' 6-decimal
+  * rounding). `+0.0` folds the IEEE −0.0 a tiny-negative round can
+  * produce into +0.0.
+  *
+  * Scale shape: one tokenize+count pass (map-side combinable), a
+  * `topK`-row vocabulary frame that broadcasts, and a per-group fold
+  * whose list is ≤ topK elements — the collected state per group is
+  * bounded by the vocabulary, never the corpus.
+  */
+object Divergence {
+
+  /** Emits (groupCol, `n_tokens`, `entropy`, `kl`): entropy in nats of
+    * the group's top-K-restricted token distribution, and
+    * KL(group ‖ corpus) over the same support. */
+  def tokenEntropy(df: DataFrame, groupCol: String, textCol: String,
+                   topK: Int): DataFrame = {
+    require(topK >= 2, s"need a vocabulary of >= 2 tokens, got $topK")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_tokens", "entropy", "kl", "__ts", "__G"), "Divergence.tokenEntropy")
+    val counts = df
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = counts.groupBy(col("token")).agg(sum(col("n")).as("gn"))
+      .orderBy(col("gn").desc, col("token").asc).limit(topK)
+    val gTotal = vocab.agg(sum(col("gn")).as("__G"))
+    val sup = counts.join(broadcast(vocab), "token")
+    val grouped = sup.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sort_array(collect_list(struct(col("token"), col("n"), col("gn"))))
+          .as("__ts"))
+      .crossJoin(broadcast(gTotal))
+    val nG = col("n_tokens").cast("double")
+    val gT = col("__G").cast("double")
+    def fold(term: Column => Column): Column =
+      aggregate(transform(col("__ts"), term), lit(0.0), (acc, x) => acc + x)
+    val entropy =
+      log(nG) - fold(t => {
+        val n = t.getField("n").cast("double")
+        n * log(n)
+      }) / nG
+    val kl = fold(t => {
+      val p = t.getField("n").cast("double") / nG
+      val q = t.getField("gn").cast("double") / gT
+      p * log(p / q)
+    })
+    grouped.select(col(groupCol), col("n_tokens"),
+      (round(entropy, 10) + lit(0.0)).as("entropy"),
+      (round(kl, 10) + lit(0.0)).as("kl"))
+  }
+}
