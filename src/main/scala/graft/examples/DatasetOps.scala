@@ -108,6 +108,23 @@ object DatasetOps {
     println(s"odd-batch survivors vs even-doc reference: ${survivors.count()}")
     graft.CacheScope.release()
 
+    println("== Deterministic 80/10/10 split (leakage-safe by source) ==")
+    graft.operators.Split.assign(docs, "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").agg(count(lit(1)).as("docs"),
+        countDistinct(col("source")).as("sources")).orderBy("split").show()
+
+    println("== Feature conditioning: robust-scaled doc lengths per language ==")
+    graft.operators.Feature.robustScale(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "n_chars", Seq("lang"))
+      .groupBy("lang").agg(min("n_chars_robust"), max("n_chars_robust"))
+      .orderBy("lang").show(5)
+
+    println("== Mixture drift: per-source token entropy + KL vs the corpus ==")
+    graft.operators.Divergence.tokenEntropy(docs, "source", "text", topK = 30)
+      .orderBy(col("kl").desc).show(5)
+
     spark.stop()
   }
 }
