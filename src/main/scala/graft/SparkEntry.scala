@@ -455,6 +455,14 @@ object SparkEntry {
           "l_quantity", m = 10.0)
         .orderBy(col("l_returnflag"))
     }),
+    "q_shuffle_shards" -> ((s, d) => {
+      // reproducible training-order shuffle: 8 shards, hash-ordered within
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Split.shuffleShards(s.table("documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_rank"))
+        .orderBy(col("shard"), col("shuffle_rank"))
+    }),
     "q_source_entropy" -> ((s, d) => {
       // corpus-mixture drift monitor: per-source token entropy and
       // KL(source || corpus) over the global top-30 vocabulary — the
@@ -3476,6 +3484,18 @@ object SparkEntry {
         |SELECT l_returnflag, n,
         |  (sy + 10.0::DOUBLE * (ss / nn)) / (n + 10.0::DOUBLE) AS target_enc
         |FROM c, g ORDER BY l_returnflag""".stripMargin,
+    // Replays Split.shuffleShards: shard = hash mod 8, rank by (hash, key).
+    "q_shuffle_shards" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS shuffle_rank
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(h % 8 AS INT) AS shard, h
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) AS h
+        |        FROM documents) i) s
+        |ORDER BY shard, shuffle_rank""".stripMargin,
     // Replays Divergence.tokenEntropy: same tokenizer, global top-30
     // vocab (count DESC, token ASC), token-ordered left folds of the
     // identical entropy/KL term trees.

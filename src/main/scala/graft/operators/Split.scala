@@ -63,4 +63,28 @@ object Split {
     Guards.requireNoReserved(df.columns, Seq("fold"), "Split.kfold")
     df.withColumn("fold", (Kmv.kmvHash(col(keyCol)) % lit(k.toLong)).cast("int"))
   }
+
+  /** Deterministic training-order shuffle: `shard` = hash mod S (S
+    * co-sized output files, NO global sort), `shuffle_rank` = the row's
+    * position within its shard by (hash, key) — together a reproducible
+    * random permutation of the corpus that is identical on any cluster
+    * layout, any retry, any engine (`df.orderBy(rand())` is none of
+    * those). Epochs: vary the permutation by salting the key upstream.
+    *
+    * Scale shape: one exchange on `shard` and a per-shard sort —
+    * corpus/S rows each, the inherent cost of materializing an order
+    * (the production writer is `repartition(shard)` +
+    * `sortWithinPartitions(hash)`, which is exactly this plan minus the
+    * rank projection). */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"need at least 1 shard, got $numShards")
+    Guards.requireNoReserved(df.columns,
+      Seq("shard", "shuffle_rank", "__h"), "Split.shuffleShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", Kmv.kmvHash(col(keyCol)))
+      .withColumn("shard", (col("__h") % lit(numShards.toLong)).cast("int"))
+      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

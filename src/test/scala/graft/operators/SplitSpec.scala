@@ -58,6 +58,28 @@ class SplitSpec extends AnyFunSuite {
     assert(sizes.min > 100) // roughly uniform
   }
 
+  test("shuffleShards: a reproducible permutation — dense ranks, layout-independent") {
+    val out = Split.shuffleShards(docs(200), "id", numShards = 4)
+    // every row assigned; ranks are dense 1..n within each shard
+    assert(out.filter(col("shard").isNull || col("shard") < 0 || col("shard") >= 4)
+      .count() === 0)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shuffle_rank").as("mx"))
+      .collect()
+    perShard.foreach(r => assert(r.getAs[Long]("n") === r.getAs[Long]("mx")))
+    // identical permutation under a different input layout
+    val again = Split.shuffleShards(docs(200).repartition(17), "id", 4)
+      .select("id", "shard", "shuffle_rank").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val once = out.select("id", "shard", "shuffle_rank").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(once === again)
+    // and it is not the identity order (it actually shuffles)
+    val shard0 = out.filter(col("shard") === 0).orderBy("shuffle_rank")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(shard0 !== shard0.sorted)
+  }
+
   test("assign plans no shuffle — a scan-side projection") {
     val p = Split.assign(docs(100), "id", Seq("a" -> 1.0))
       .queryExecution.executedPlan.toString
