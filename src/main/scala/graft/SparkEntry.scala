@@ -913,6 +913,26 @@ object SparkEntry {
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q_media_audio" -> ((s, d) => {
+      // REAL audio-container round-trip: text → javax.sound.sampled WAV
+      // ENCODE (PCM16 mono, sample i = (byte_{i mod len} − 128)·256) →
+      // binary media column → RIFF/WAVE PARSE → amplitude histogram. PCM
+      // is lossless and the amplitude buckets collapse to byte // 16, so
+      // the IMAGE decode oracle replays this gate too — one oracle, two
+      // genuine codecs.
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_audio oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaWav(s, docs, "doc_id", "text")
+      val feats = operators.Multimodal.decodeAudioFeatures(s, media, "doc_id")
+      import org.apache.spark.sql.functions.element_at
+      feats.select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_tokens" -> ((s, d) => {
       // real merge-table BPE (vs q_token_count's fast pre-tokenizer count):
       // a native codegen'd expression applying Bpe.DefaultMerges per row
@@ -2151,6 +2171,10 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_features" -> duckMediaFeaturesSql,
     "q_media_decode" -> duckMediaDecodeSql,
+    // The WAV gate's amplitude buckets reduce to the same byte // 16
+    // histogram (sample = (b−128)·256 → (s+32768)·16/65536 = b·16/256),
+    // so the image-decode oracle replays the audio round-trip verbatim.
+    "q_media_audio" -> duckMediaDecodeSql,
     "q_bpe_tokens" -> duckBpeSql,
     "q_doc_fingerprint" ->
       s"""WITH $duckShingles,

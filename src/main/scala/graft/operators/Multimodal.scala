@@ -11,13 +11,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, exactly as a 100 TB
   * training-data pipeline would carry them next to text.
   *
-  * Two decode paths exist at the same per-partition plug-point:
-  *  - [[decodeImageFeatures]] is a REAL codec round-trip — `javax.imageio`
-  *    PNG decode (JDK built-in, no external libs) into a grayscale pixel
-  *    histogram, fed by [[withMediaPng]]'s genuine PNG-encoded payloads;
+  * Three decode paths exist at the same per-partition plug-point:
+  *  - [[decodeImageFeatures]] is a REAL image-codec round-trip —
+  *    `javax.imageio` PNG decode (JDK built-in, no external libs) into a
+  *    grayscale pixel histogram, fed by [[withMediaPng]]'s genuine
+  *    PNG-encoded payloads;
+  *  - [[decodeAudioFeatures]] is a REAL audio-container round-trip —
+  *    `javax.sound.sampled` RIFF/WAVE parse (JDK built-in, headless)
+  *    into a PCM16 amplitude histogram, fed by [[withMediaWav]];
   *  - [[decodeFeatures]] keeps the clearly-marked deterministic fake
   *    (byte histogram) standing in for codecs the JDK does not ship
-  *    (JPEG is also in `javax.imageio`, but video/audio are not).
+  *    (video; JPEG is also in `javax.imageio`).
   * Everything around them — schema, partition-iterator batching, frame
   * sampling, metadata struct — is identical real Spark plumbing.
   */
@@ -178,6 +182,96 @@ object Multimodal {
       y += 1
     }
     val total = math.max(1.0, (w.toLong * h).toDouble)
+    var j = 0
+    while (j < nBuckets) { hist(j) /= total; j += 1 }
+    hist
+  }
+
+  /** Deterministic synthetic WAV payloads: [[WavSamples]] PCM16 mono
+    * samples at 8 kHz, sample `i` = `(byte_{i mod len} − 128) · 256`
+    * (text's UTF-8 bytes, 0 for empty), written through the REAL
+    * `javax.sound.sampled` RIFF/WAVE writer (JDK built-in, headless) in
+    * the per-partition iterator. PCM is lossless, so a downstream decode
+    * recovers the exact samples — the audio twin of [[withMediaPng]],
+    * replayable by a SQL oracle from the text alone. */
+  def withMediaWav(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        // per-partition PCM buffer reuse — the codec-setup amortization
+        val pcm = new Array[Byte](WavSamples * 2)
+        iter.map { case (id, text) => (id, encodeWavWith(pcm, text)) }
+      }
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("audio/wav").as("mime"),
+        md5(col("media")).as("content_md5")))
+  }
+
+  private def encodeWavWith(pcm: Array[Byte], text: String): Array[Byte] = {
+    val bytes = if (text == null) Array.empty[Byte]
+                else text.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < WavSamples) {
+      val b = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      val s = (b - 128) * 256 // signed 16-bit amplitude
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private[operators] def encodeWav(text: String): Array[Byte] =
+    encodeWavWith(new Array[Byte](WavSamples * 2), text)
+
+  /** Sample count of the synthetic WAVs ([[withMediaWav]]). */
+  val WavSamples: Int = 256
+
+  /** REAL audio decode at the plug-point: `javax.sound.sampled` parses
+    * the RIFF/WAVE container and format, and the PCM16 samples histogram
+    * into `nBuckets` amplitude buckets (normalized). Same `mapPartitions`
+    * shape as the image path — swap the body for a real featurizer
+    * (spectrogram, wav2vec) and nothing else changes. Fails loudly on an
+    * unparseable payload or a non-PCM16-mono format. */
+  def decodeAudioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                          nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, wav) => (id, decodeWav(wav, nBuckets)) }
+      }
+      .toDF(idCol, "features")
+  }
+
+  private def decodeWav(bytes: Array[Byte], nBuckets: Int): Array[Double] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"decodeWav: expected PCM16 mono little-endian, got $fmt")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val hist = new Array[Double](nBuckets)
+    var i = 0
+    while (i < n) {
+      val s = ((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)) // sign-extends
+      hist(((s + 32768) * nBuckets) / 65536) += 1.0
+      i += 1
+    }
+    val total = math.max(1.0, n.toDouble)
     var j = 0
     while (j < nBuckets) { hist(j) /= total; j += 1 }
     hist

@@ -331,6 +331,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L)(12) === 0.5 && feats(3L)(11) === 0.5)
   }
 
+  test("multimodal: real WAV encode→decode round-trip recovers the amplitude histogram") {
+    import spark.implicits._
+    val doc = Seq((1L, "abcd"), (2L, ""), (3L, "ÿ" * 3)).toDF("doc_id", "text")
+    val media = Multimodal.withMediaWav(spark, doc, "doc_id", "text")
+    // the payloads are genuine RIFF/WAVE containers
+    media.select("media", "media_meta.mime").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(b(0) === 'R'.toByte && b(1) === 'I'.toByte && b(2) === 'F'.toByte)
+      assert(new String(b, 8, 4, "US-ASCII") === "WAVE")
+      assert(r.getString(1) === "audio/wav")
+    }
+    val feats = Multimodal.decodeAudioFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // identical bucketing to the PNG path: (b−128)·256 amplitudes collapse
+    // back to byte // 16
+    assert(feats(1L)(6) === 1.0 && feats(1L).sum === 1.0)
+    assert(feats(2L)(0) === 1.0)
+    assert(feats(3L)(12) === 0.5 && feats(3L)(11) === 0.5)
+  }
+
+  test("multimodal: decodeAudioFeatures fails loudly on a non-WAV payload") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    intercept[Exception] {
+      Multimodal.decodeAudioFeatures(spark, junk, "doc_id").collect()
+    }
+  }
+
   test("multimodal: decodeImageFeatures fails loudly on an undecodable payload") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
