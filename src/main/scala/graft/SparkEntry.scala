@@ -913,6 +913,16 @@ object SparkEntry {
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q_compress_ratio" -> ((s, d) => {
+      // compression-ratio quality screen (DEFLATE, JDK zlib) — not
+      // SQL-replayable by design, so this gate is the rows-only check
+      // (no oracleSql entry); specs pin the signal's semantics
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.TextOps.compressionRatio(s, s.table("documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_media_audio" -> ((s, d) => {
       // REAL audio-container round-trip: text → javax.sound.sampled WAV
       // ENCODE (PCM16 mono, sample i = (byte_{i mod len} − 128)·256) →

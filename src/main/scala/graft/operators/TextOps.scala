@@ -407,6 +407,42 @@ object TextOps {
         col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
   }
 
+  /** Compression-ratio quality signal: `deflate(text).length /
+    * text.length` (DEFLATE level 6 via the JDK's `java.util.zip`) — the
+    * classic repetitiveness detector (CCNet/RefinedWeb lineage): template
+    * spam and boilerplate compress far below prose, and the score needs
+    * no language model. Empty text scores 1.0 (nothing to compress).
+    *
+    * Per-partition `Deflater` reuse (native zlib contexts are the setup
+    * cost); deterministic for a fixed JDK zlib, but NOT replayable in a
+    * SQL engine — this operator's gate is the rows-only check by design.
+    * Emits (idCol, `n_bytes`, `compress_ratio`). */
+  def compressionRatio(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        iter.map { case (id, text) =>
+          val raw = if (text == null) Array.empty[Byte]
+                    else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val ratio = if (raw.isEmpty) 1.0 else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            n.toDouble / raw.length.toDouble
+          }
+          (id, raw.length.toLong, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "compress_ratio")
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

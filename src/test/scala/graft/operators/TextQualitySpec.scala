@@ -87,4 +87,24 @@ class TextQualitySpec extends AnyFunSuite {
   test("cleanText leaves clean text untouched") {
     assert(clean("already clean text") === "already clean text")
   }
+
+  test("compressionRatio: template spam compresses far below prose; empty scores 1") {
+    val docs = Seq(
+      (1L, "click here buy now " * 50),                       // template spam
+      (2L, "The quick brown fox jumps over the lazy dog and then " +
+        "wanders toward a meadow where seventeen unrelated ideas bloom."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Double]("compress_ratio"))).toMap
+    assert(out(1L)._2 < 0.2, s"spam should compress hard: ${out(1L)}")
+    assert(out(2L)._2 > out(1L)._2 * 2, "prose must compress far less than spam")
+    assert(out(3L) === (0L, 1.0))
+    // deterministic under a different layout
+    val again = TextOps.compressionRatio(spark, docs.repartition(7),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("compress_ratio")).toMap
+    assert(again === out.map { case (k, v) => k -> v._2 })
+  }
 }
