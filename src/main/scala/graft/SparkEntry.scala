@@ -923,6 +923,33 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_auc" -> ((s, d) => {
+      // grouped ROC AUC (Mann–Whitney midranks) of the event value score
+      // predicting the purchase label, one group per epoch day — the
+      // quality-classifier eval metric, run as aggregations + one window
+      // over the distinct-score frame
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
+    "q_calibration" -> ((s, d) => {
+      // fixed-width reliability bins over the same score/label pair:
+      // empirical positive rate per score decile band
+      load(s, d)
+      import org.apache.spark.sql.functions.{lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.calibrationBins(ev, "value", "label",
+          nBins = 10, lo = 0.0, hi = 500.0)
+        .orderBy(col("bin"))
+    }),
     "q_media_audio" -> ((s, d) => {
       // REAL audio-container round-trip: text → javax.sound.sampled WAV
       // ENCODE (PCM16 mono, sample i = (byte_{i mod len} − 128)·256) →
@@ -2758,6 +2785,47 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Eval.binaryAuc: aggregate to distinct (day, score), midrank
+    // via a running count window, Mann–Whitney identity. Counts and
+    // half-integer midranks are exact doubles, so the single final
+    // division is bit-identical across engines.
+    "q_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (
+        |  SELECT day, s, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(y) AS BIGINT) AS pos_s
+        |  FROM e GROUP BY day, s),
+        |rk AS (
+        |  SELECT day, n_s, pos_s,
+        |    sum(n_s) OVER (PARTITION BY day ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |a AS (
+        |  SELECT day, CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(pos_s) AS BIGINT) AS n_pos,
+        |    sum(CAST(pos_s AS DOUBLE) *
+        |        (CAST(cum AS DOUBLE) - CAST(n_s - 1 AS DOUBLE) / 2.0)) AS rsum
+        |  FROM rk GROUP BY day)
+        |SELECT day, n, n_pos,
+        |  CASE WHEN n_pos > 0 AND n_pos < n THEN
+        |    (rsum - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+        |  END AS auc
+        |FROM a ORDER BY day""".stripMargin,
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT LEAST(9, GREATEST(0, CAST(floor((value - 0.0) / 50.0) AS INT))) AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  0.0 + bin * 50.0 AS bin_lo,
+        |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // Replays EventAnalytics.funnel: per-user first-occurrence times, a
     // user reaches step k iff t0 < t1 < … strictly (missing step breaks)
     "q_funnel" ->

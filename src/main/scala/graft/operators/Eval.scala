@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model-evaluation metrics — grouped binary AUC and
+  * calibration (reliability) bins — for scoring the quality classifiers a
+  * training-data pipeline runs over the corpus (fastText-style quality
+  * filters, heuristic spam scores, dedup confidence). At 100 TB the eval
+  * set itself is big; these run as aggregations, never a collect.
+  *
+  * Scale shape: AUC first aggregates to one row per DISTINCT (group,
+  * score) — map-side combinable, so only the distinct-score frame
+  * shuffles — then ranks with one window over that reduced frame (the
+  * same reduced-frame-window shape as the exact quantile operator). The
+  * rank sums are integer/half-integer doubles (exact under 2^52 in any
+  * order), so results are bit-identical across engines and layouts.
+  *
+  * Determinism contract: counts and tie-averaged ranks are exact; the
+  * single final division is one correctly-rounded IEEE op. No rounding
+  * needed anywhere.
+  */
+object Eval {
+
+  /** Fail loudly on null/non-binary labels (the [[Profile]] /
+    * [[Batching]] null policy): a null or stray label would silently
+    * bias the metric rather than error. */
+  private def checkedLabel(labelCol: String, op: String): Column = {
+    val y = col(labelCol).cast("long")
+    when(col(labelCol).isNull || (y =!= 0L && y =!= 1L), raise_error(lit(
+        s"$op: $labelCol must be a non-null 0/1 label; filter or recode " +
+          "first")))
+      .otherwise(y)
+  }
+
+  private def checkedScore(scoreCol: String, op: String): Column =
+    when(col(scoreCol).isNull, raise_error(lit(
+        s"$op: $scoreCol must be non-null (a null score cannot be " +
+          "ranked); filter or impute first")))
+      .otherwise(col(scoreCol).cast("double"))
+
+  /** Per-group ROC AUC of `scoreCol` predicting binary `labelCol`, by the
+    * Mann–Whitney rank identity `AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N)`
+    * with midrank tie handling (a tied pos/neg pair counts ½ — the
+    * trapezoidal-ROC convention).
+    *
+    * Emits one row per group: `n`, `n_pos`, `auc` (NULL when a group has
+    * no positives or no negatives — AUC is undefined there, and NULL
+    * beats a misleading 0.5). Groups may be empty (`groupCols = Nil` →
+    * one global row, but then the distinct-score window runs in a single
+    * partition — prefer a grouping at scale). */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "n_pos", "auc", "__n_s", "__pos_s", "__avg_rank"),
+      "binaryAuc")
+    val perScore = df
+      .groupBy((groupCols :+ scoreCol).map(col): _*)
+      .agg(count(lit(1)).as("__n_s"),
+        sum(checkedLabel(labelCol, "binaryAuc")).as("__pos_s"))
+    // midrank of the n_s rows tied at this score = cum − (n_s−1)/2 where
+    // cum counts rows at-or-below the score; (n_s−1)/2 is a half-integer,
+    // exact in a double
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore.withColumn("__avg_rank",
+      sum(col("__n_s")).over(w).cast("double") -
+        (col("__n_s") - lit(1L)).cast("double") / 2.0)
+    val p = col("n_pos").cast("double")
+    ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__n_s")).as("n"),
+        sum(col("__pos_s")).as("n_pos"),
+        sum(col("__pos_s").cast("double") * col("__avg_rank")).as("__r"))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_pos") < col("n"),
+          (col("__r") - p * (p + 1.0) / 2.0) /
+            (p * (col("n") - col("n_pos")).cast("double"))))
+      .drop("__r")
+  }
+
+  /** Fixed-width calibration (reliability) bins: bucket `scoreCol` into
+    * `nBins` equal-width bins over `[lo, hi)` (scores outside clamp to
+    * the edge bins) and emit per bin the row count, positive count, and
+    * empirical positive rate. A well-calibrated scorer has `pos_rate`
+    * tracking the bin midpoint. Empty bins are absent from the output
+    * (this is a groupBy, not a spine — densify with [[Resample]] if a
+    * plot needs the gaps).
+    *
+    * One map-side-combinable aggregation; `bin_lo` and `pos_rate` are
+    * single IEEE ops on exact integers, so output is bit-replayable. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    Guards.requireNoReserved(df.columns,
+      Seq("bin", "bin_lo", "n", "n_pos", "pos_rate"), "calibrationBins")
+    val width = (hi - lo) / nBins
+    val s = checkedScore(scoreCol, "calibrationBins")
+    val bin = least(lit(nBins - 1),
+      greatest(lit(0), floor((s - lit(lo)) / lit(width)).cast("int")))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(checkedLabel(labelCol, "calibrationBins")).as("n_pos"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+}

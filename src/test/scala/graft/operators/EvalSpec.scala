@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+    val df = rows.zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, "g", s, y) }
+      .toDF("id", "grp", "score", "label")
+    val out = Eval.binaryAuc(df, "score", "label", Seq("grp")).collect()
+    assert(out.length === 1)
+    Option(out.head.getAs[java.lang.Double]("auc")).map(_.doubleValue())
+  }
+
+  test("binaryAuc: perfect, inverted, and all-tied scorers") {
+    assert(auc(Seq(0.1 -> 0, 0.2 -> 0, 0.3 -> 1, 0.4 -> 1)) === Some(1.0))
+    assert(auc(Seq(0.1 -> 1, 0.2 -> 1, 0.3 -> 0, 0.4 -> 0)) === Some(0.0))
+    // every score tied: every pos/neg pair counts 1/2
+    assert(auc(Seq(5.0 -> 0, 5.0 -> 1, 5.0 -> 0, 5.0 -> 1)) === Some(0.5))
+  }
+
+  test("binaryAuc: midrank tie handling matches the hand-computed value") {
+    // scores 1,2,2,3 / labels 0,1,0,1 → positive midranks 2.5 and 4,
+    // AUC = (6.5 − 2·3/2) / (2·2) = 0.875
+    assert(auc(Seq(1.0 -> 0, 2.0 -> 1, 2.0 -> 0, 3.0 -> 1)) === Some(0.875))
+  }
+
+  test("binaryAuc: degenerate groups (no positives / no negatives) emit NULL") {
+    assert(auc(Seq(1.0 -> 0, 2.0 -> 0)) === None)
+    assert(auc(Seq(1.0 -> 1, 2.0 -> 1)) === None)
+  }
+
+  test("binaryAuc: layout-independent (exact integer/half-integer sums)") {
+    val rows = (0 until 500).map { i =>
+      (i.toLong, s"g${i % 3}", (i * 37 % 101).toDouble, i % 5 min 1)
+    }
+    val df = rows.toDF("id", "grp", "score", "label")
+    val once = Eval.binaryAuc(df, "score", "label", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val again = Eval.binaryAuc(df.repartition(17), "score", "label", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(once === again)
+  }
+
+  test("binaryAuc: non-binary label fails loudly") {
+    val df = Seq((1L, "g", 0.5, 2)).toDF("id", "grp", "score", "label")
+    val e = intercept[Exception] {
+      Eval.binaryAuc(df, "score", "label", Seq("grp")).collect()
+    }
+    assert(e.getMessage.contains("0/1 label") ||
+      Option(e.getCause).exists(_.getMessage.contains("0/1 label")))
+  }
+
+  test("calibrationBins: clamping, counts, and rates") {
+    val df = Seq(
+      (-5.0, 0),  // below lo → bin 0
+      (5.0, 1), (15.0, 0), (15.0, 1),
+      (95.0, 1), (120.0, 1) // above hi → top bin
+    ).toDF("score", "label")
+    val out = Eval.calibrationBins(df, "score", "label",
+        nBins = 10, lo = 0.0, hi = 100.0)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("bin_lo"), r.getAs[Double]("pos_rate"))).toMap
+    assert(out(0) === ((2L, 1L, 0.0, 0.5)))
+    assert(out(1) === ((2L, 1L, 10.0, 0.5)))
+    assert(out(9) === ((2L, 2L, 90.0, 1.0)))
+    assert(out.keySet === Set(0, 1, 9)) // empty bins absent
+  }
+
+  test("calibrationBins: null score fails loudly") {
+    val df = Seq((Some(1.0), 0), (None, 1))
+      .toDF("score", "label")
+    val e = intercept[Exception] {
+      Eval.calibrationBins(df, "score", "label", 4, 0.0, 1.0).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+}
