@@ -338,6 +338,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
         .orderBy(col("fold"))
     }),
+    "q_purged_folds" -> ((s, d) => {
+      // purged time-series 5-fold CV with a 1-day embargo over the event
+      // log (exact integer boundary arithmetic on nano epochs); the
+      // per-(fold, role) count + id-sum fingerprints the full n×k
+      // assignment without dumping it
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val ev = readEventsNanos(s, d).select(col("event_id"), col("ts"))
+      operators.Split.purgedTimeFolds(ev, "ts", k = 5,
+          embargo = 86400000000000L)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy(col("fold"), col("role"))
+    }),
     "q_winsorize" -> ((s, d) => {
       // per-group tail clipping at the exact [p05, p95] band — percentile
       // interpolation parity with the oracle is proven by q_quantiles
@@ -3436,6 +3450,26 @@ object SparkEntry {
         |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 5 AS INT) AS fold
         |  FROM documents) s
         |GROUP BY fold ORDER BY fold""".stripMargin,
+    // Replays Split.purgedTimeFolds: equal-width time windows over
+    // [min, max] nanos, row fold = k·(t−min) DIV span, window-end
+    // boundary min + ceil((f+1)·span/k), 1-day embargo after each
+    // window — all exact integer arithmetic.
+    "q_purged_folds" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events),
+        |st AS (SELECT min(t) AS mn, max(t) - min(t) + 1 AS span FROM e),
+        |fo AS (SELECT CAST(unnest(range(5)) AS INT) AS fold),
+        |b AS (SELECT fo.fold, st.mn, st.span,
+        |        st.mn + ((fo.fold + 1) * st.span + 4) // 5 AS e_end
+        |      FROM fo, st),
+        |r AS (SELECT e.event_id, b.fold,
+        |        CASE WHEN (5 * (e.t - b.mn)) // b.span = b.fold THEN 'test'
+        |             WHEN e.t >= b.e_end AND e.t < b.e_end + 86400000000000
+        |               THEN 'embargo'
+        |             ELSE 'train' END AS role
+        |      FROM e, b)
+        |SELECT fold, role, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM r GROUP BY fold, role ORDER BY fold, role""".stripMargin,
     // Replays Feature.winsorize: quantile_cont ≡ Spark's exact percentile
     // (parity proven by q_quantiles), then the same least/greatest clamp.
     "q_winsorize" ->

@@ -76,6 +76,54 @@ object Split {
     * (the production writer is `repartition(shard)` +
     * `sortWithinPartitions(hash)`, which is exactly this plan minus the
     * rank projection). */
+  /** Purged time-series k-fold with embargo (the financial-ML CV scheme:
+    * López de Prado, *Advances in Financial Machine Learning* ch. 7):
+    * the time range `[min, max]` of `tsCol` divides into k equal-width
+    * test windows; for each fold, rows inside the window are `test`,
+    * rows within `embargo` time units AFTER the window are `embargo`
+    * (dropped — they leak test-period information into training through
+    * label horizons and serial correlation), and everything else is
+    * `train`.
+    *
+    * `tsCol` must be an integral epoch column (cast timestamps first —
+    * the event gates read nanos longs); all boundary arithmetic is then
+    * exact integer division, bit-replayable in any engine. A row's own
+    * fold is `k·(ts−min) DIV span`; fold f's window ends just before
+    * `min + ceil((f+1)·span/k)`.
+    *
+    * Output: one row per input row PER FOLD (`fold`, `role`) — the k×
+    * expansion is inherent to materializing every fold's assignment at
+    * once; training on fold f filters `fold = f`, and the expansion is a
+    * broadcast-joined projection (no shuffle), so nothing but the
+    * consumer's own scan grows. Bounds come from one tiny min/max agg
+    * broadcast back (the [[Feature]] stats-frame shape). */
+  def purgedTimeFolds(df: DataFrame, tsCol: String, k: Int,
+                      embargo: Long): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    require(embargo >= 0L, s"embargo must be >= 0, got $embargo")
+    Guards.requireNoReserved(df.columns,
+      Seq("fold", "role", "__min_ts", "__span", "__end"), "purgedTimeFolds")
+    val ts = col(tsCol).cast("long")
+    val stats = df.agg(min(ts).as("__min_ts"),
+      (max(ts) - min(ts) + lit(1L)).as("__span"))
+    // k rows: each fold's exclusive window-end boundary
+    // min + ceil((f+1)·span/k). Integer DIV throughout — double division
+    // would lose exactness past 2^53 at nano-epoch magnitudes.
+    val bounds = stats.select(
+        explode(sequence(lit(0), lit(k - 1))).as("fold"),
+        col("__min_ts"), col("__span"))
+      .withColumn("__end", col("__min_ts") + expr(
+        s"((CAST(fold AS BIGINT) + 1) * __span + ${k - 1}) DIV $k"))
+    df.join(broadcast(bounds))
+      .withColumn("role",
+        when(expr(s"($k * (CAST($tsCol AS BIGINT) - __min_ts)) DIV __span")
+            === col("fold").cast("long"), lit("test"))
+          .when(ts >= col("__end") && ts < col("__end") + lit(embargo),
+            lit("embargo"))
+          .otherwise(lit("train")))
+      .drop("__min_ts", "__span", "__end")
+  }
+
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards >= 1, s"need at least 1 shard, got $numShards")
     Guards.requireNoReserved(df.columns,

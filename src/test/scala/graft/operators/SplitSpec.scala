@@ -80,6 +80,37 @@ class SplitSpec extends AnyFunSuite {
     assert(shard0 !== shard0.sorted)
   }
 
+  test("purgedTimeFolds: hand-checked windows, embargo, and exhaustiveness") {
+    // ts 0..9, k=2, embargo=2: span=10, fold-0 window [0,5) (end=5),
+    // fold-1 window [5,10) (end=10)
+    val df = (0L until 10L).map(t => (t, t)).toDF("id", "ts")
+    val out = Split.purgedTimeFolds(df, "ts", k = 2, embargo = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(3)).toMap
+    assert(out.size === 20) // every row appears once per fold
+    (0L to 4L).foreach(t => assert(out((t, 0)) === "test"))
+    assert(out((5L, 0)) === "embargo")
+    assert(out((6L, 0)) === "embargo")
+    (7L to 9L).foreach(t => assert(out((t, 0)) === "train"))
+    (5L to 9L).foreach(t => assert(out((t, 1)) === "test"))
+    (0L to 4L).foreach(t => assert(out((t, 1)) === "train")) // no pre-window embargo
+  }
+
+  test("purgedTimeFolds: embargo=0 emits no embargo rows; layout-independent") {
+    val df = (0L until 100L).map(t => (t, t * 3 % 97)).toDF("id", "ts")
+    val none = Split.purgedTimeFolds(df, "ts", k = 4, embargo = 0L)
+    assert(none.filter(col("role") === "embargo").count() === 0)
+    val once = Split.purgedTimeFolds(df, "ts", k = 4, embargo = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(3)).toMap
+    val again = Split.purgedTimeFolds(df.repartition(13), "ts", k = 4, embargo = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(3)).toMap
+    assert(once === again)
+    // each fold has exactly one contiguous test window covering all rows once
+    val testCounts = Split.purgedTimeFolds(df, "ts", k = 4, embargo = 5L)
+      .filter(col("role") === "test").groupBy("id").count()
+      .filter(col("count") =!= 1).count()
+    assert(testCounts === 0, "every row must be test in exactly one fold")
+  }
+
   test("assign plans no shuffle — a scan-side projection") {
     val p = Split.assign(docs(100), "id", Seq("a" -> 1.0))
       .queryExecution.executedPlan.toString
