@@ -964,6 +964,29 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_fuzzy_pairs" -> ((s, d) => {
+      // edit-distance pair finding over the distinct part-name vocabulary
+      // (length-band blocking + levenshtein verify); the oracle is the
+      // brute-force cross join, so blocking completeness is what's gated
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, min}
+      val names = s.table("part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      operators.FuzzyJoin.editDistancePairs(names, "name_id", "p_name",
+          maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_fuzzy_match" -> ((s, d) => {
+      // best non-self match per name: smallest distance, ties to the
+      // smallest id, via the packed-long hash-aggregate argmin
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, min}
+      val names = s.table("part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      operators.FuzzyJoin.bestMatch(names, names, "name_id", "p_name",
+          maxDist = 3, excludeSelf = true)
+        .orderBy(col("id"))
+    }),
     "q_media_audio" -> ((s, d) => {
       // REAL audio-container round-trip: text → javax.sound.sampled WAV
       // ENCODE (PCM16 mono, sample i = (byte_{i mod len} − 128)·256) →
@@ -2799,6 +2822,30 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // The fuzzy-join oracles are BRUTE FORCE on purpose: the Spark side
+    // must find exactly the pairs the unblocked cross join finds, which
+    // gates the length-band blocking's completeness, not just the
+    // distance arithmetic.
+    "q_fuzzy_pairs" ->
+      """WITH n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+        |           FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+        |           FROM part GROUP BY p_name),
+        |c AS (SELECT a.id AS lid, b.id AS rid,
+        |        levenshtein(a.name, b.name) AS d
+        |      FROM n a, n b
+        |      WHERE a.id <> b.id AND levenshtein(a.name, b.name) <= 3),
+        |p AS (SELECT lid, min(d * 1099511627776 + rid) AS pk
+        |      FROM c GROUP BY lid)
+        |SELECT lid AS id, CAST(pk % 1099511627776 AS BIGINT) AS match_id,
+        |  CAST(pk // 1099511627776 AS INT) AS match_dist
+        |FROM p ORDER BY id""".stripMargin,
     // Replays Eval.binaryAuc: aggregate to distinct (day, score), midrank
     // via a running count window, Mann–Whitney identity. Counts and
     // half-integer midranks are exact doubles, so the single final
