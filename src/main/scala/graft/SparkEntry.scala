@@ -964,6 +964,24 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_pagerank" -> ((s, d) => {
+      // 3-iteration PageRank over the bidirectional customer↔supplier
+      // trade graph (suppliers offset by 1e6 into a disjoint id space);
+      // per-iteration 10-dp rounding makes the parallel contribution sums
+      // layout-independent and oracle-replayable
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, lit}
+      val cs = s.table("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(s.table("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(cs.select(col("supp").as("src"), col("cust").as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
     "q_fuzzy_pairs" -> ((s, d) => {
       // edit-distance pair finding over the distinct part-name vocabulary
       // (length-band blocking + levenshtein verify); the oracle is the
@@ -2822,6 +2840,41 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Graph.pageRank with the 3 iterations unrolled: same init,
+    // same contribution join, same (1-0.85) literal, same per-iteration
+    // round(_, 10) — the rounding is what absorbs cross-engine summation
+    // order, as with the k-means centroids.
+    "q_pagerank" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM cs
+        |      UNION ALL SELECT supp AS src, cust AS dst FROM cs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT node, round(1.0/n, 10) AS pr FROM nodes, nn),
+        |r1 AS (SELECT x.node,
+        |         round((1-0.85)/nn.n + 0.85*coalesce(sum(p.pr/deg.d), 0.0), 10) AS pr
+        |       FROM nodes x CROSS JOIN nn
+        |       LEFT JOIN e ON e.dst = x.node
+        |       LEFT JOIN r0 p ON p.node = e.src
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       GROUP BY x.node, nn.n),
+        |r2 AS (SELECT x.node,
+        |         round((1-0.85)/nn.n + 0.85*coalesce(sum(p.pr/deg.d), 0.0), 10) AS pr
+        |       FROM nodes x CROSS JOIN nn
+        |       LEFT JOIN e ON e.dst = x.node
+        |       LEFT JOIN r1 p ON p.node = e.src
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       GROUP BY x.node, nn.n),
+        |r3 AS (SELECT x.node,
+        |         round((1-0.85)/nn.n + 0.85*coalesce(sum(p.pr/deg.d), 0.0), 10) AS pr
+        |       FROM nodes x CROSS JOIN nn
+        |       LEFT JOIN e ON e.dst = x.node
+        |       LEFT JOIN r2 p ON p.node = e.src
+        |       LEFT JOIN deg ON deg.src = e.src
+        |       GROUP BY x.node, nn.n)
+        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
     // The fuzzy-join oracles are BRUTE FORCE on purpose: the Spark side
     // must find exactly the pairs the unblocked cross join finds, which
     // gates the length-band blocking's completeness, not just the

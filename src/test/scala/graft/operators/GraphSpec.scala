@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pageRank: a symmetric 2-cycle is the exact fixpoint 0.5/0.5") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("pageRank: hub of a bidirectional star outranks the leaves; mass conserved") {
+    val leaves = (1L to 4L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(leaves.forall(l => out(0L) > out(l)))
+    assert(leaves.map(out).toSet.size === 1, "leaves are symmetric")
+    // bidirectional graph has no sinks → total rank mass stays ~1
+    assert(math.abs(out.values.sum - 1.0) < 1e-8)
+  }
+
+  test("pageRank: a sink keeps only its teleport inflow share (documented leak)") {
+    // 1 → 2, nothing out of 2: node 1 gets only teleport (1−d)/N
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 8, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 0.15 / 2) < 1e-9)
+    assert(out(2L) > out(1L))
+    assert(out.values.sum < 1.0) // sink mass leaks — the simplified variant
+  }
+
+  test("pageRank: layout-independent (per-iteration rounding)") {
+    val edges = (0 until 300)
+      .map(i => (i.toLong % 40, (i.toLong * 7 + 3) % 40)).toDF("src", "dst")
+    val once = Graph.pageRank(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val again = Graph.pageRank(edges.repartition(13), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once === again)
+  }
+
+  test("pageRank: no persisted blocks leak past CacheScope.release") {
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    Graph.pageRank(edges, "src", "dst", iters = 3).collect()
+    graft.CacheScope.release()
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${sc.getPersistentRDDs.keys}")
+  }
+}
