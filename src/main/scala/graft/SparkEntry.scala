@@ -964,6 +964,25 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_session_window" -> ((s, d) => {
+      // Spark's NATIVE session_window operator, gated through the batch
+      // execution of the STREAMING operator (watermark is a no-op in
+      // batch — the q_stream_indicators precedent) over second-truncated
+      // event times, 12h gap; the oracle pins the merge-iff-gap<=window
+      // boundary contract
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, unix_timestamp}
+      val ev = readEventsNanos(s, d)
+        .select(col("user_id"),
+          expr("timestamp_seconds(ts DIV 1000000000)").as("ts"))
+      operators.Sessionize.streamingSessionStats(ev, "user_id", "ts",
+          gap = "12 hours", watermarkDelay = "1 minute")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_sec"),
+          unix_timestamp(col("session_end")).as("end_sec"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_sec"))
+    }),
     "q_pagerank" -> ((s, d) => {
       // 3-iteration PageRank over the bidirectional customer↔supplier
       // trade graph (suppliers offset by 1e6 into a disjoint id space);
@@ -2840,6 +2859,27 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays session_window semantics via gap islands: NEW session only
+    // when the gap EXCEEDS 43200 (Spark still merges a gap exactly equal
+    // to the window — boundary-inclusive); window end = last event + gap.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        |f AS (
+        |  SELECT user_id, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |              OR ts_sec - lag(ts_sec) OVER w > 43200
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+        |g AS (
+        |  SELECT user_id, ts_sec,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts_sec) AS start_sec,
+        |  max(ts_sec) + 43200 AS end_sec, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
     // Replays Graph.pageRank with the 3 iterations unrolled: same init,
     // same contribution join, same (1-0.85) literal, same per-iteration
     // round(_, 10) — the rounding is what absorbs cross-engine summation

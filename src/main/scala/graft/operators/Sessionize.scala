@@ -66,7 +66,14 @@ object Sessionize {
   /** Streaming sessionization via Spark's native session window: gap-based
     * event-time sessions with watermark-bounded state — the streaming twin
     * of [[assignSessions]] (ids become (user, session_start) pairs instead
-    * of running counts, the streaming-safe identifier). */
+    * of running counts, the streaming-safe identifier).
+    *
+    * Boundary contract (Spark's, pinned by the q_session_window oracle
+    * and the gap-equal spec): events MERGE when the gap is less than OR
+    * EQUAL to `gap` (next start on the closing boundary still merges) —
+    * the same convention as [[assignSessions]]'s `> gapSeconds` split;
+    * the window end is `last event + gap`. Batch execution ignores the
+    * watermark, which is how the oracle gate replays it. */
   def streamingSessionStats(events: DataFrame, userCol: String, tsCol: String,
                             gap: String, watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)

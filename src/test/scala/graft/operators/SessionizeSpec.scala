@@ -78,6 +78,26 @@ class SessionizeSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("session_window boundary: a gap EXACTLY equal to the window still merges") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(0)), (2L, ts(11)))
+      .toDF("user_id", "ts")
+    // batch execution of the streaming operator — watermark is a no-op
+    val out = Sessionize.streamingSessionStats(ev, "user_id", "ts",
+        gap = "10 seconds", watermarkDelay = "0 seconds")
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // user 1: gap 10 == window 10 → MERGES (boundary-inclusive), end = 10+10
+    assert(out((1L, 0L)) === ((20L, 2L)))
+    // user 2: gap 11 > 10 → splits
+    assert(out.keySet === Set((1L, 0L), (2L, 0L), (2L, 11L)))
+    assert(out((2L, 0L)) === ((10L, 1L)))
+    assert(out((2L, 11L)) === ((21L, 1L)))
+  }
+
   test("assignSessions rejects inputs that use its reserved columns") {
     val withSid = Seq(("u1", new Timestamp(0L), 9L)).toDF("user", "ts", "session_id")
     val e = intercept[IllegalArgumentException] {
