@@ -73,6 +73,29 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("eval, fuzzy-join, graph, and purged-fold operators on an empty frame") {
+    val emptyScored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("grp", StringType),
+        StructField("score", DoubleType), StructField("label", IntegerType),
+        StructField("ts", LongType))))
+    assert(Eval.binaryAuc(emptyScored, "score", "label", Seq("grp")).count() === 0)
+    assert(Eval.calibrationBins(emptyScored, "score", "label", 4, 0.0, 1.0)
+      .count() === 0)
+    val emptyNamed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    assert(FuzzyJoin.editDistancePairs(emptyNamed, "id", "text", 2).count() === 0)
+    assert(FuzzyJoin.bestMatch(emptyNamed, emptyNamed, "id", "text", 2).count() === 0)
+    val emptyEdges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(Graph.pageRank(emptyEdges, "src", "dst", iters = 2).count() === 0)
+    graft.CacheScope.release()
+    assert(Split.purgedTimeFolds(emptyScored, "ts", k = 3, embargo = 10L)
+      .count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
