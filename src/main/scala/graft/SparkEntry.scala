@@ -964,6 +964,35 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_psi" -> ((s, d) => {
+      // population-stability-index drift screen: pre- vs post-1995
+      // shipment quantity distributions, 10 fixed bins over [0, 50),
+      // add-one smoothing, one row per bin (drift dashboards plot bins;
+      // callers sum psi_term for the scalar)
+      load(s, d)
+      val li = s.table("lineitem")
+      operators.Divergence.psi(
+          li.filter(col("l_shipdate") < "1995-01-01"),
+          li.filter(col("l_shipdate") >= "1995-01-01"),
+          "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
+        .orderBy(col("bin"))
+    }),
+    "q_bigram_pmi" -> ((s, d) => {
+      // top-50 adjacent-bigram PMI collocations over the document corpus
+      // — linear zip, never a quadratic token window; single rounded ln
+      load(s, d)
+      operators.TextOps.bigramPmi(s.table("documents"), "text", topK = 50)
+        .orderBy(col("w1"), col("w2"))
+    }),
+    "q_surprisal" -> ((s, d) => {
+      // unigram-LM surprisal (self-trained top-1000 vocab) — the
+      // perplexity-style quality screen; token-ordered fold + 10-dp
+      // rounding per the Divergence determinism discipline
+      load(s, d)
+      operators.TextOps.unigramSurprisal(s.table("documents"),
+          "doc_id", "text", vocabK = 1000)
+        .orderBy(col("doc_id"))
+    }),
     "q_session_window" -> ((s, d) => {
       // Spark's NATIVE session_window operator, gated through the batch
       // execution of the STREAMING operator (watermark is a no-op in
@@ -2859,6 +2888,92 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Divergence.psi: same clamped fixed-width bins, same
+    // add-one smoothed (n+1)/(N+nBins) probabilities, same
+    // (p-q)*round(ln(p/q),10) term per bin.
+    "q_psi" ->
+      """WITH b AS (
+        |  SELECT LEAST(9, GREATEST(0, CAST(floor((l_quantity - 0.0) / 5.0) AS INT))) AS bin,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS isref
+        |  FROM lineitem),
+        |spine AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+        |c AS (SELECT spine.bin,
+        |        CAST(coalesce(sum(CASE WHEN isref = 1 THEN 1 END), 0) AS BIGINT) AS n_ref,
+        |        CAST(coalesce(sum(CASE WHEN isref = 0 THEN 1 END), 0) AS BIGINT) AS n_cur
+        |      FROM spine LEFT JOIN b USING (bin) GROUP BY spine.bin),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |        CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+        |SELECT bin, 0.0 + bin * 5.0 AS bin_lo, n_ref, n_cur,
+        |  (CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0) AS p_ref,
+        |  (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0) AS p_cur,
+        |  ((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0)
+        |    - (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0))
+        |  * (round(ln(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 10.0))
+        |      / ((CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0))), 10)
+        |     + 0.0) AS psi_term
+        |FROM c, t ORDER BY bin""".stripMargin,
+    // Replays TextOps.bigramPmi: same adjacent zip, same top-50 cut
+    // (count desc, w1, w2), same ln((nab/tb)/((na/tu)*(nb/tu))) tree
+    // rounded to 10.
+    "q_bigram_pmi" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> w <> '') AS ts
+        |  FROM documents),
+        |uni AS (SELECT unnest(ts) AS w FROM tk),
+        |uc AS (SELECT w, count(*) AS nu FROM uni GROUP BY w),
+        |ut AS (SELECT CAST(sum(nu) AS BIGINT) AS tu FROM uc),
+        |bi AS (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z
+        |       FROM tk WHERE len(ts) >= 2),
+        |bc AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS n_bigram
+        |       FROM bi GROUP BY 1, 2),
+        |bt AS (SELECT CAST(sum(n_bigram) AS BIGINT) AS tb FROM bc),
+        |top AS (SELECT w1, w2, n_bigram FROM bc
+        |        ORDER BY n_bigram DESC, w1 ASC, w2 ASC LIMIT 50)
+        |SELECT top.w1, top.w2, top.n_bigram,
+        |  round(ln((CAST(top.n_bigram AS DOUBLE) / CAST(bt.tb AS DOUBLE))
+        |    / ((CAST(a.nu AS DOUBLE) / CAST(ut.tu AS DOUBLE))
+        |       * (CAST(b.nu AS DOUBLE) / CAST(ut.tu AS DOUBLE)))), 10)
+        |    + 0.0 AS pmi
+        |FROM top
+        |JOIN uc a ON a.w = top.w1
+        |JOIN uc b ON b.w = top.w2
+        |CROSS JOIN bt CROSS JOIN ut
+        |ORDER BY w1, w2""".stripMargin,
+    // Replays TextOps.unigramSurprisal: same top-1000 vocabulary (count
+    // desc, token asc), same renormalized gn/G model, same token-ordered
+    // left fold (list_reduce seedless == Spark's 0.0-seeded aggregate:
+    // 0+x1 is exact), same round(_, 10)+0.0.
+    "q_surprisal" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, w AS token FROM tok0 WHERE w <> ''),
+        |counts AS (SELECT doc_id, token, count(*) AS n FROM tk GROUP BY 1, 2),
+        |vocab AS (SELECT token, CAST(sum(n) AS BIGINT) AS gn FROM counts
+        |          GROUP BY token ORDER BY gn DESC, token ASC LIMIT 1000),
+        |g AS (SELECT CAST(sum(gn) AS BIGINT) AS gt FROM vocab),
+        |base AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sup AS (SELECT c.doc_id, c.token, c.n, v.gn
+        |        FROM counts c JOIN vocab v USING (token)),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_iv,
+        |          list(struct_pack(t := token, n := n, gn := gn)
+        |            ORDER BY token) AS ts
+        |        FROM sup GROUP BY doc_id),
+        |sc AS (SELECT agg.doc_id, n_iv,
+        |         round(-(list_reduce(list_transform(ts,
+        |             e -> CAST(e.n AS DOUBLE)
+        |               * ln(CAST(e.gn AS DOUBLE) / CAST(g.gt AS DOUBLE))),
+        |             (a, b) -> a + b)) / CAST(n_iv AS DOUBLE), 10)
+        |           + 0.0 AS surprisal
+        |       FROM agg, g)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - coalesce(sc.n_iv, 0) AS n_oov, sc.surprisal
+        |FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // Replays session_window semantics via gap islands: NEW session only
     // when the gap EXCEEDS 43200 (Spark still merges a gap exactly equal
     // to the window — boundary-inclusive); window end = last event + gap.

@@ -69,4 +69,58 @@ object Divergence {
       (round(entropy, 10) + lit(0.0)).as("entropy"),
       (round(kl, 10) + lit(0.0)).as("kl"))
   }
+
+  /** Population stability index between a reference and a current
+    * snapshot of a numeric feature — the standard drift gate before a
+    * retrain: `PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i)` over fixed-width
+    * bins of `[lo, hi)` (edge-clamped like the calibration bins;
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted, by the usual rule
+    * of thumb).
+    *
+    * Emits ONE ROW PER BIN (`bin`, `bin_lo`, `n_ref`, `n_cur`, `p_ref`,
+    * `p_cur`, `psi_term`) — callers sum `psi_term` for the scalar; the
+    * per-bin frame is what a drift dashboard actually plots, and
+    * emitting terms sidesteps any cross-engine summation-order concern.
+    * Bin probabilities use add-one smoothing `(n_i + 1)/(N + nBins)` so
+    * empty bins stay defined (and every bin emits, even n=0 on both
+    * sides). Two map-side-combinable counting aggs over an exploded
+    * nBins-row spine joined broadcast; the single `ln` rounds to 10
+    * decimals ([[tokenEntropy]] rationale); counts and ratios exact. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame, outCol: String): DataFrame = {
+      val x = when(col(valueCol).isNull, raise_error(lit(
+          s"psi: $valueCol must be non-null (a null would silently land " +
+            "in bin 0); filter or impute first")))
+        .otherwise(col(valueCol).cast("double"))
+      df.groupBy(least(lit(nBins - 1),
+          greatest(lit(0), floor((x - lit(lo)) / lit(width)).cast("int")))
+          .as("bin"))
+        .agg(count(lit(1)).as(outCol))
+    }
+    // nBins-row spine so EVERY bin emits, including empty ones
+    val spine = ref.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val counts = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = (col("n_ref").cast("double") + lit(1.0)) /
+      (col("__tr").cast("double") + lit(nBins.toDouble))
+    val q = (col("n_cur").cast("double") + lit(1.0)) /
+      (col("__tc").cast("double") + lit(nBins.toDouble))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        ((p - q) * (round(log(p / q), 10) + lit(0.0))).as("psi_term"))
+  }
 }

@@ -443,6 +443,108 @@ object TextOps {
       .toDF(idCol, "n_bytes", "compress_ratio")
   }
 
+  /** Unigram-LM surprisal quality score — the CCNet/Gopher-lineage
+    * perplexity filter without an external language model: train
+    * `p(token) = gn/G` over the corpus's own global top-`vocabK`
+    * vocabulary, then score each document by the mean negative
+    * log-likelihood of its IN-VOCAB tokens (nats/token; `exp` of it is
+    * the unigram perplexity). Gibberish scores high; boilerplate scores
+    * low. Out-of-vocab tokens are excluded from the mean and surfaced as
+    * `n_oov` — a high OOV share is its own quality flag. Documents with
+    * no in-vocab tokens get NULL surprisal.
+    *
+    * Determinism (the [[Divergence]] discipline): counts exact; the
+    * per-doc log-likelihood folds over the doc's support tokens in
+    * ascending token order — one fixed left fold any engine replays —
+    * and rounds to 10 decimals to absorb the cross-engine `ln` ulp.
+    *
+    * Scale shape: one tokenize+count pass (map-side combinable), a
+    * `vocabK`-row vocabulary frame that broadcasts, and per-doc folds
+    * bounded by the doc's distinct in-vocab tokens — never a corpus-wide
+    * collect. Emits (idCol, `n_tokens`, `n_oov`, `surprisal`). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       vocabK: Int): DataFrame = {
+    require(vocabK >= 2, s"need a vocabulary of >= 2 tokens, got $vocabK")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_tokens", "n_oov", "surprisal", "__ts", "__G", "__n_iv"),
+      "unigramSurprisal")
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = counts.groupBy(col("token")).agg(sum(col("n")).as("gn"))
+      .orderBy(col("gn").desc, col("token").asc).limit(vocabK)
+    val gTotal = vocab.agg(sum(col("gn")).as("__G"))
+    val grouped = counts.join(broadcast(vocab), "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("__n_iv"),
+        sort_array(collect_list(struct(col("token"), col("n"), col("gn"))))
+          .as("__ts"))
+      .crossJoin(broadcast(gTotal))
+    val ll = aggregate(
+      transform(col("__ts"), t => t.getField("n").cast("double") *
+        log(t.getField("gn").cast("double") / col("__G").cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = grouped.select(col(idCol), col("__n_iv"),
+      (round(-ll / col("__n_iv").cast("double"), 10) + lit(0.0))
+        .as("surprisal"))
+    df.select(col(idCol),
+        coalesce(tokenCount(col(textCol)), lit(0)).cast("long").as("n_tokens"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_iv"), lit(0L))).as("n_oov"),
+        col("surprisal"))
+  }
+
+  /** Bigram PMI phrase mining: pointwise mutual information
+    * `ln(p(a,b) / (p(a)·p(b)))` of the corpus's top-`topK`
+    * adjacent-token bigrams — the classic collocation detector
+    * (multi-word entities score high PMI; chance co-occurrences of two
+    * frequent words score ~0/negative), the signal behind phrase-aware
+    * tokenization and boilerplate template discovery.
+    *
+    * One tokenize pass feeds BOTH count frames: bigrams are the
+    * linear-size adjacent zip (never a quadratic window), unigram and
+    * bigram counts are map-side-combinable aggs, and only the
+    * `topK`-row bigram frame joins (broadcast) the unigram counts. The
+    * top-K cut orders (count desc, w1 asc, w2 asc) — deterministic at
+    * the boundary. The single `ln` rounds to 10 decimals (cross-engine
+    * ulp, the [[Divergence]] rationale); everything else is exact
+    * integer-ratio arithmetic. Emits (`w1`, `w2`, `n_bigram`, `pmi`). */
+  def bigramPmi(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(col(textCol))
+    val bigrams = df.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val bc = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val bTotal = bc.agg(sum(col("n_bigram")).as("__tb"))
+    val uc = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nu"))
+    val uTotal = uc.agg(sum(col("nu")).as("__tu"))
+    val top = bc.orderBy(col("n_bigram").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val nab = col("n_bigram").cast("double")
+    val tu = col("__tu").cast("double")
+    val tb = col("__tb").cast("double")
+    // the topK frame is the broadcast side of BOTH unigram joins — the
+    // full vocab frame never shuffles on its own key
+    val j1 = uc.select(col("w").as("w1"), col("nu").as("__na"))
+      .join(broadcast(top), "w1")
+    val j2 = uc.select(col("w").as("w2"), col("nu").as("__nb"))
+      .join(broadcast(j1), "w2")
+    j2.crossJoin(broadcast(bTotal)).crossJoin(broadcast(uTotal))
+      .select(col("w1"), col("w2"), col("n_bigram"),
+        (round(log((nab / tb) / ((na / tu) * (nb / tu))), 10) + lit(0.0))
+          .as("pmi"))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

@@ -42,4 +42,44 @@ class DivergenceSpec extends AnyFunSuite {
     // support for 'a' = {x:2, z:1} with topK=2 → n_tokens 3
     assert(out.getAs[Long]("n_tokens") === 3L)
   }
+
+  test("psi: identical snapshots score zero in every bin; all bins emit") {
+    val a = (0 until 100).map(i => Tuple1((i % 10).toDouble)).toDF("v")
+    val out = Divergence.psi(a, a, "v", nBins = 5, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("psi_term")).toMap
+    assert(out.keySet === (0 until 5).toSet)
+    assert(out.values.forall(_ == 0.0))
+  }
+
+  test("psi: a shifted distribution crosses the 0.25 drift threshold") {
+    val ref = (0 until 500).map(i => Tuple1((i % 10).toDouble)).toDF("v")
+    val cur = (0 until 500).map(i => Tuple1(5.0 + (i % 5).toDouble)).toDF("v")
+    val terms = Divergence.psi(ref, cur, "v", nBins = 10, lo = 0.0, hi = 10.0)
+      .collect().map(_.getAs[Double]("psi_term"))
+    assert(terms.length === 10)
+    assert(terms.sum > 0.25, s"shift must read as drift, got ${terms.sum}")
+    assert(terms.forall(_ >= 0.0), "each PSI term is nonnegative")
+  }
+
+  test("psi: empty bins emit with zero counts and smoothed probabilities") {
+    val ref = Seq(Tuple1(0.5)).toDF("v")
+    val cur = Seq(Tuple1(3.5)).toDF("v")
+    val out = Divergence.psi(ref, cur, "v", nBins = 4, lo = 0.0, hi = 4.0)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("p_ref"))).toMap
+    assert(out.keySet === Set(0, 1, 2, 3))
+    assert(out(1) === ((0L, 0L, 1.0 / 5.0))) // (0+1)/(1+4)
+    assert(out(0)._1 === 1L && out(3)._2 === 1L)
+  }
+
+  test("psi: null values fail loudly") {
+    val bad = Seq(Some(1.0), None).map(Tuple1(_)).toDF("v")
+    val good = Seq(Tuple1(1.0)).toDF("v")
+    val e = intercept[Exception] {
+      Divergence.psi(bad, good, "v", 4, 0.0, 4.0).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
 }

@@ -88,6 +88,74 @@ class TextQualitySpec extends AnyFunSuite {
     assert(clean("already clean text") === "already clean text")
   }
 
+  test("unigramSurprisal: hand-computed scores, OOV accounting, NULL on no-vocab docs") {
+    val docs = Seq(
+      (1L, "the the the"),
+      (2L, "the cat"),
+      (3L, "zyx qqq")
+    ).toDF("doc_id", "text")
+    // vocabK=2 → vocab {the:4, cat:1}, G=5; zyx/qqq are OOV
+    val out = TextOps.unigramSurprisal(docs, "doc_id", "text", vocabK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("surprisal"))))
+      .toMap
+    assert(out(1L)._1 === 3L && out(1L)._2 === 0L)
+    assert(math.abs(out(1L)._3.get - (-math.log(4.0 / 5.0))) < 1e-9)
+    assert(math.abs(out(2L)._3.get -
+      (-(math.log(4.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0)) < 1e-9)
+    assert(out(3L) === ((2L, 2L, None))) // all OOV → NULL surprisal
+    // rare-token docs score strictly higher than common-token docs
+    assert(out(2L)._3.get > out(1L)._3.get)
+  }
+
+  test("unigramSurprisal is layout-independent (ordered fold + rounding)") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"w${i % 11} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val once = TextOps.unigramSurprisal(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("surprisal"))).toMap
+    val again = TextOps.unigramSurprisal(docs.repartition(17), "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("surprisal"))).toMap
+    assert(once === again)
+  }
+
+  test("bigramPmi: hand-computed PMI, short docs skipped, top-K tie order") {
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "new car"),
+      (3L, "solo") // <2 tokens → contributes no bigram (but 1 unigram)
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramPmi(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // bigrams: (new,york):2 (york,new):1 (new,car):1; TB=4
+    // unigrams: new:3 york:2 car:1 solo:1; TU=7
+    assert(out.keySet === Set(("new", "york"), ("york", "new"), ("new", "car")))
+    assert(out(("new", "york"))._1 === 2L)
+    val pmiNy = math.log((2.0 / 4.0) / ((3.0 / 7.0) * (2.0 / 7.0)))
+    assert(math.abs(out(("new", "york"))._2 - pmiNy) < 1e-9)
+    // top-K boundary: count desc then lexicographic keeps (new,car) over
+    // (york,new)? no — (new,car) < (york,new) lexicographically
+    val top2 = TextOps.bigramPmi(docs, "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top2 === Set(("new", "york"), ("new", "car")))
+  }
+
+  test("bigramPmi: true collocations outscore chance pairs of frequent words") {
+    val docs = (
+      (0 until 30).map(i => (i.toLong, "zanzibar quokka")) ++         // always together
+      (0 until 30).map(i => (100L + i, s"the w$i")) ++                // 'the' pairs with everything
+      (0 until 30).map(i => (200L + i, s"v$i the"))
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramPmi(docs, "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val colloc = out(("zanzibar", "quokka"))
+    out.filter { case (k, _) => k._1 == "the" || k._2 == "the" }
+      .foreach { case (_, pmi) => assert(colloc > pmi) }
+  }
+
   test("compressionRatio: template spam compresses far below prose; empty scores 1") {
     val docs = Seq(
       (1L, "click here buy now " * 50),                       // template spam
