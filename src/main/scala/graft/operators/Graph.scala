@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * [[Sampling.weighted]] consumes them.
   *
   * Scale shape: the Pregel shape as DataFrames — per iteration one join
-  * of ranks to edges on `src` (co-partitioned with the degree frame) and
-  * one map-side-combinable contribution sum on `dst`; the rank frame is
-  * |nodes| rows, lineage cut per round with `localCheckpoint` and the
-  * superseded round's blocks dropped eagerly (the
-  * [[Dedup.connectedComponents]] block-scoping discipline).
+  * of ranks to the degree-annotated edge frame on `src` and one
+  * map-side-combinable contribution sum on `dst`; the rank frame is
+  * |nodes| rows. Small fixed iteration counts stay ONE lazy DAG (no
+  * per-round action or barrier — at local scale the per-round jobs were
+  * the dominant cost); every 4th round cuts lineage with
+  * `localCheckpoint`, superseded blocks dropped eagerly (the
+  * [[Dedup.connectedComponents]] block-scoping discipline), so long runs
+  * cannot build an unbounded plan.
   *
   * Determinism: the per-node contribution sum is a parallel double sum
   * (order-dependent in the last ulp), so every iteration rounds ranks to
@@ -46,37 +49,48 @@ object Graph {
     }
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // fold out-degrees INTO the edge frame once — one (src, dst, deg)
+    // persist replaces a per-round degree join
+    val ew = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg")),
+        "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // nodes feeds the init, N, and every round's spine — persist for the
+    // nodes feeds the init and every round's spine — persist for the
     // loop's lifetime (|nodes| rows) so the distinct doesn't rerun per round
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nFrame = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (ranks, rankBlocks) = checkpointed(
-      nodes.crossJoin(broadcast(nFrame))
-        .select(col("node"), round(lit(1.0) / col("__n"), 10).as("pr")))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+    // one scalar driver action (the connectedComponents convergence-probe
+    // precedent) — N as a literal kills a per-round broadcast crossJoin
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n // same IEEE division the oracle runs
+    var ranks = nodes.select(col("node"), round(lit(1.0 / n), 10).as("pr"))
+    var rankBlocks = Set.empty[Int]
+    for (i <- 1 to iters) {
+      val contribs = ew
+        .join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"), (col("pr") / col("__deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
-      val (updated, updatedBlocks) = checkpointed(
-        nodes.join(contribs, Seq("node"), "left")
-          .crossJoin(broadcast(nFrame))
-          .select(col("node"),
-            round(lit(1.0 - damping) / col("__n") +
-              lit(damping) * coalesce(col("__s"), lit(0.0)), 10).as("pr")))
-      drop(rankBlocks)
-      rankBlocks = updatedBlocks
-      ranks = updated
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("__s"), lit(0.0)), 10).as("pr"))
+      // lineage stays bounded for small fixed iters — everything below
+      // evaluates lazily in the caller's one action; only cut (and pay an
+      // eager materialization) every 4th round so long runs can't build
+      // an unbounded plan
+      if (i % 4 == 0 && i < iters) {
+        val (cut, cutBlocks) = checkpointed(ranks)
+        drop(rankBlocks)
+        rankBlocks = cutBlocks
+        ranks = cut
+      }
     }
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // ew/nodes back the returned lazy plan — CacheScope owns their release
+    // (the harness sweeps after each query's action), like the final CC
+    // checkpoint blocks
+    CacheScope.register(ew)
+    CacheScope.register(nodes)
     CacheScope.registerRddIds(sc, rankBlocks)
     ranks
   }
