@@ -172,4 +172,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length - 1 >= 4,
       s"expected pre-aggregated join inputs:\n$p")
   }
+
+  test("AUC aggregates to the distinct-score frame BEFORE its ranking window") {
+    val p = plan("q_auc")
+    // the (group, score) pre-aggregation must sit below the window: a
+    // partial HashAggregate shrinks the corpus map-side, so the window's
+    // sort runs over distinct scores, never rows
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected the midrank window:\n$p")
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      s"expected the distinct-score aggregation below the window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.split("HashAggregate").length - 1 >= 4,
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("bigram PMI broadcasts the top-K frame into both unigram joins") {
+    val p = plan("q_bigram_pmi")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both unigram joins must broadcast the top-K side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab frame must never sort-merge join:\n$p")
+  }
+
+  test("fuzzy-join candidates come from a bucket equi-join, not a cross join") {
+    val p = plan("q_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must plan an equi-join:\n$p")
+  }
 }
