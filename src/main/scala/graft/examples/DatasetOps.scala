@@ -125,6 +125,57 @@ object DatasetOps {
     graft.operators.Divergence.tokenEntropy(docs, "source", "text", topK = 30)
       .orderBy(col("kl").desc).show(5)
 
+    println("== Unigram surprisal: flag the most surprising docs per source ==")
+    graft.operators.TextOps.unigramSurprisal(docs, "doc_id", "text", vocabK = 500)
+      .orderBy(col("surprisal").desc_nulls_last).show(5)
+
+    println("== Bigram PMI: strongest collocations in the corpus ==")
+    graft.operators.TextOps.bigramPmi(docs, "text", topK = 20)
+      .orderBy(col("pmi").desc).show(5)
+
+    println("== PSI feature drift: doc lengths, first half vs second half ==")
+    val psi = graft.operators.Divergence.psi(
+      docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+      docs.filter(col("doc_id") % 2 === 1).select(col("n_chars")),
+      "n_chars", nBins = 8, lo = 0.0, hi = 4000.0)
+    psi.show(8)
+    println(f"PSI total: ${psi.agg(sum(col("psi_term"))).first().getDouble(0)}%.6f (<0.1 = stable)")
+
+    println("== Eval: AUC + calibration of n_chars as a 'quality' scorer ==")
+    val scored = docs.select(col("n_chars").cast("double").as("score"),
+      (col("doc_id") % 3 === 0).cast("int").as("label"),
+      col("lang"))
+    graft.operators.Eval.binaryAuc(scored, "score", "label", Seq("lang"))
+      .orderBy(col("lang")).show(5)
+    graft.operators.Eval.calibrationBins(scored, "score", "label",
+      nBins = 5, lo = 0.0, hi = 4000.0).orderBy(col("bin")).show()
+
+    println("== Purged 4-fold time-series CV over the event log ==")
+    val evTs = evFull
+      .select(col("event_id"), expr("ts DIV 1000000000").as("ts_sec"))
+    graft.operators.Split.purgedTimeFolds(evTs, "ts_sec", k = 4, embargo = 43200L)
+      .groupBy("fold", "role").count().orderBy("fold", "role").show(12)
+
+    println("== Fuzzy best-match linkage over distinct part names ==")
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
+    graft.operators.FuzzyJoin.bestMatch(names, names, "name_id", "p_name",
+      maxDist = 3, excludeSelf = true).orderBy(col("match_dist"), col("id")).show(5)
+
+    println("== PageRank source centrality over the customer-supplier graph ==")
+    val ordersE = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val liE = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cs = ordersE.join(liE, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + lit(1000000L)).as("supp")).distinct()
+    val trade = cs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(cs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.operators.Graph.pageRank(trade, "src", "dst", iters = 3)
+      .orderBy(col("pr").desc).show(5)
+    graft.CacheScope.release()
+
     spark.stop()
   }
 }
