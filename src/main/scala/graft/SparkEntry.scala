@@ -964,6 +964,25 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_temperature_rates" -> ((s, d) => {
+      // temperature-scaled mixture rates (τ=0.5, 300-row target) over the
+      // document sources — ordered pow-fold + 10-dp rounding
+      load(s, d)
+      operators.Sampling.temperatureRates(s.table("documents"), "source",
+          tau = 0.5, targetRows = 300L)
+        .orderBy(col("source"))
+    }),
+    "q_temperature_sample" -> ((s, d) => {
+      // the realized mixture: per-source membership fingerprints; the
+      // oracle recomputes the rates AND the hash thresholds in SQL
+      load(s, d)
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      operators.Sampling.temperatureSample(s.table("documents"), "doc_id",
+          "source", tau = 0.5, targetRows = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("source"))
+    }),
     "q_psi" -> ((s, d) => {
       // population-stability-index drift screen: pre- vs post-1995
       // shipment quantity distributions, 10 fixed bins over [0, 50),
@@ -2888,6 +2907,38 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Sampling.temperatureRates: same source-ordered pow fold for
+    // the denominator, same round(_,10)+0.0 on mix_p/rate; the sample
+    // oracle also rebuilds the hash thresholds with floor(rate·2^60)
+    // (floor == Scala toLong truncation for nonnegative rates).
+    "q_temperature_rates" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM documents GROUP BY source),
+        |p AS (SELECT source, n_rows, pow(CAST(n_rows AS DOUBLE), 0.5) AS pw FROM c),
+        |dl AS (SELECT list(struct_pack(s := source, w := pw) ORDER BY source) AS l FROM p),
+        |dd AS (SELECT list_reduce(list_transform(l, e -> CAST(e.w AS DOUBLE)),
+        |         (a, b) -> a + b) AS denom FROM dl)
+        |SELECT source, n_rows,
+        |  round(pw / dd.denom, 10) + 0.0 AS mix_p,
+        |  round(LEAST(1.0, 300.0 * (pw / dd.denom) / CAST(n_rows AS DOUBLE)), 10)
+        |    + 0.0 AS rate
+        |FROM p, dd ORDER BY source""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM documents GROUP BY source),
+        |p AS (SELECT source, n_rows, pow(CAST(n_rows AS DOUBLE), 0.5) AS pw FROM c),
+        |dl AS (SELECT list(struct_pack(s := source, w := pw) ORDER BY source) AS l FROM p),
+        |dd AS (SELECT list_reduce(list_transform(l, e -> CAST(e.w AS DOUBLE)),
+        |         (a, b) -> a + b) AS denom FROM dl),
+        |r AS (SELECT source,
+        |        round(LEAST(1.0, 300.0 * (pw / dd.denom) / CAST(n_rows AS DOUBLE)), 10)
+        |          + 0.0 AS rate
+        |      FROM p, dd)
+        |SELECT d.source, count(*) AS n, CAST(sum(d.doc_id) AS BIGINT) AS sum_id
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15) AS BIGINT)
+        |  < CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Replays Divergence.psi: same clamped fixed-width bins, same
     // add-one smoothed (n+1)/(N+nBins) probabilities, same
     // (p-q)*round(ln(p/q),10) term per bin.

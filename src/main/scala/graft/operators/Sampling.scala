@@ -47,6 +47,59 @@ object Sampling {
     df.filter(Kmv.kmvHash(col(keyCol)) < cases.otherwise(lit(threshold(defaultRate))))
   }
 
+  /** Temperature-scaled mixture rates: `p_s = n_s^τ / Σ_t n_t^τ` over the
+    * strata of `strataCol`, and the per-stratum inclusion rate
+    * `r_s = min(1, targetRows·p_s / n_s)` that realizes the mixture —
+    * the standard multilingual/multi-source mixing knob (τ = 1 keeps the
+    * natural proportions, τ = 0 mixes sources uniformly, τ ∈ (0,1)
+    * upweights small sources, as in T5/multilingual-LM training mixes).
+    *
+    * Determinism: the denominator folds the per-stratum `pow` terms in
+    * ascending stratum order (one fixed left fold, the [[Divergence]]
+    * discipline — `pow` is not correctly rounded in every engine), and
+    * `mix_p`/`rate` round to 10 decimals, so the rates — and therefore
+    * sample MEMBERSHIP via [[stratifiedSample]]'s thresholds — replay
+    * bit-for-bit in the DuckDB oracle.
+    *
+    * Scale shape: one map-side-combinable count per stratum; the fold and
+    * every downstream op run on the |strata|-row frame. Emits
+    * (strataCol, `n_rows`, `mix_p`, `rate`). */
+  def temperatureRates(df: DataFrame, strataCol: String, tau: Double,
+                       targetRows: Long): DataFrame = {
+    require(tau >= 0.0, s"tau must be >= 0, got $tau")
+    require(targetRows > 0L, s"targetRows must be positive, got $targetRows")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_rows", "mix_p", "rate", "__pw", "__denom"), "temperatureRates")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("__pw", pow(col("n_rows").cast("double"), lit(tau)))
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col(strataCol), col("__pw"))))
+        .as("__l"))
+      .select(aggregate(
+        transform(col("__l"), e => e.getField("__pw")),
+        lit(0.0), (acc, x) => acc + x).as("__denom"))
+    val p = col("__pw") / col("__denom")
+    counts.crossJoin(broadcast(denom))
+      .select(col(strataCol), col("n_rows"),
+        (round(p, 10) + lit(0.0)).as("mix_p"),
+        (round(least(lit(1.0),
+          lit(targetRows.toDouble) * p / col("n_rows").cast("double")), 10)
+          + lit(0.0)).as("rate"))
+  }
+
+  /** [[temperatureRates]] applied: computes the rates, collects the
+    * |strata|-row frame (the tiny-driver-collect contract, as with the
+    * SQ8 bounds), and hash-samples each stratum at its rate — one
+    * scan-side filter, reproducible on any layout. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        tau: Double, targetRows: Long): DataFrame = {
+    val rates = temperatureRates(df, strataCol, tau, targetRows)
+      .select(col(strataCol).cast("string"), col("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    stratifiedSample(df, keyCol, strataCol, rates)
+  }
+
   /** Mix corpora with per-source weights into one training set: each source
     * is hash-sampled at its weight and union'd. Weights are inclusion
     * rates, not relative proportions — the output size is

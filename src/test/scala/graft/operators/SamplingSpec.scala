@@ -116,6 +116,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty)
   }
 
+  test("temperatureRates: τ=1 keeps natural proportions, τ=0 mixes uniformly") {
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1200).map(i => (i.toLong, "small"))).toDF("id", "src")
+    // τ=1 → every stratum samples at the same rate T/N
+    val t1 = Sampling.temperatureRates(df, "src", tau = 1.0, targetRows = 500L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    assert(t1("big") === t1("small"))
+    assert(math.abs(t1("big") - 0.5) < 1e-9)
+    // τ=0 → uniform mixture: the small stratum gets the higher rate
+    val t0 = Sampling.temperatureRates(df, "src", tau = 0.0, targetRows = 500L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    assert(t0("small") > t0("big"))
+    assert(math.abs(t0("small") - 1.0) < 1e-9) // min(1, 250/200) clips
+    // expected sample size tracks the target when nothing clips
+    val t5 = Sampling.temperatureRates(df, "src", tau = 0.5, targetRows = 500L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("rate")))
+    val expected = t5.map { case (_, n, rate) => n * rate }.sum
+    assert(math.abs(expected - 500.0) < 1.0)
+  }
+
+  test("temperatureSample: deterministic membership on any layout") {
+    val df = ((1 to 300).map(i => (i.toLong, "a")) ++
+      (2001 to 2100).map(i => (i.toLong, "b"))).toDF("id", "src")
+    val once = Sampling.temperatureSample(df, "id", "src", 0.5, 150L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val again = Sampling.temperatureSample(df.repartition(13), "id", "src", 0.5, 150L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(once === again)
+    assert(once.nonEmpty && once.size < 400)
+  }
+
   test("samplePerGroup aggregates with the bounded heap — no ranking window") {
     val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
     val p = Sampling.samplePerGroup(df, "id", "grp", n = 4)
