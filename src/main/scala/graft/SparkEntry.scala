@@ -964,6 +964,16 @@ object SparkEntry {
           nBins = 10, lo = 0.0, hi = 500.0)
         .orderBy(col("bin"))
     }),
+    "q_jsd" -> ((s, d) => {
+      // symmetric corpus divergence: JSD between English and non-English
+      // documents over the combined top-100 vocabulary
+      load(s, d)
+      val docs = s.table("documents")
+      operators.Divergence.jsDivergence(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "text", topK = 100)
+    }),
     "q_temperature_rates" -> ((s, d) => {
       // temperature-scaled mixture rates (τ=0.5, 300-row target) over the
       // document sources — ordered pow-fold + 10-dp rounding
@@ -2907,6 +2917,43 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Divergence.jsDivergence: combined top-100 vocab (total desc,
+    // token asc), token-ordered fold of 0.5·p·ln(p/m) + 0.5·q·ln(q/m)
+    // with the 0·ln0=0 convention, round(_,10)+0.0.
+    "q_jsd" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |            FROM documents WHERE lang = 'en'),
+        |ca AS (SELECT w AS token, count(*) AS na FROM ta WHERE w <> '' GROUP BY 1),
+        |tb AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |cb AS (SELECT w AS token, count(*) AS nb FROM tb WHERE w <> '' GROUP BY 1),
+        |comb AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |           CAST(coalesce(na, 0) AS BIGINT) AS na,
+        |           CAST(coalesce(nb, 0) AS BIGINT) AS nb
+        |         FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |vocab AS (SELECT token, na, nb FROM comb
+        |          ORDER BY (na + nb) DESC, token ASC LIMIT 100),
+        |f AS (SELECT CAST(sum(na) AS BIGINT) AS n_tokens_a,
+        |        CAST(sum(nb) AS BIGINT) AS n_tokens_b,
+        |        list(struct_pack(t := token, a := na, b := nb)
+        |          ORDER BY token) AS ts
+        |      FROM vocab)
+        |SELECT n_tokens_a, n_tokens_b,
+        |  round(list_reduce(list_transform(ts, e ->
+        |    (CASE WHEN e.a > 0 THEN
+        |       0.5 * (CAST(e.a AS DOUBLE) / CAST(n_tokens_a AS DOUBLE))
+        |       * ln((CAST(e.a AS DOUBLE) / CAST(n_tokens_a AS DOUBLE))
+        |         / ((CAST(e.a AS DOUBLE) / CAST(n_tokens_a AS DOUBLE)
+        |             + CAST(e.b AS DOUBLE) / CAST(n_tokens_b AS DOUBLE)) / 2.0))
+        |     ELSE 0.0 END)
+        |    + (CASE WHEN e.b > 0 THEN
+        |         0.5 * (CAST(e.b AS DOUBLE) / CAST(n_tokens_b AS DOUBLE))
+        |         * ln((CAST(e.b AS DOUBLE) / CAST(n_tokens_b AS DOUBLE))
+        |           / ((CAST(e.a AS DOUBLE) / CAST(n_tokens_a AS DOUBLE)
+        |               + CAST(e.b AS DOUBLE) / CAST(n_tokens_b AS DOUBLE)) / 2.0))
+        |       ELSE 0.0 END)),
+        |    (x, y) -> x + y), 10) + 0.0 AS jsd
+        |FROM f""".stripMargin,
     // Replays Sampling.temperatureRates: same source-ordered pow fold for
     // the denominator, same round(_,10)+0.0 on mix_p/rate; the sample
     // oracle also rebuilds the hash thresholds with floor(rate·2^60)

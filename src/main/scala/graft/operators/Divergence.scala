@@ -70,6 +70,53 @@ object Divergence {
       (round(kl, 10) + lit(0.0)).as("kl"))
   }
 
+  /** Jensen–Shannon divergence between two corpora's token
+    * distributions over their COMBINED top-`topK` vocabulary:
+    * `JSD = ½·KL(p ‖ m) + ½·KL(q ‖ m)` with `m = (p+q)/2` — the
+    * symmetric, bounded (`[0, ln 2]` nats) sibling of [[tokenEntropy]]'s
+    * KL, the right metric when neither corpus is the reference (two
+    * snapshots, two candidate sources). Tokens absent from one side
+    * contribute `0·ln 0 = 0` for that side; `m` is never zero on the
+    * combined vocabulary.
+    *
+    * Same determinism contract as [[tokenEntropy]]: one token-ordered
+    * left fold over the K-row support, single `round(_, 10)`. Scale
+    * shape: one tokenize+count pass per corpus (map-side combinable),
+    * then everything runs on the K-row vocabulary frame. Emits one row:
+    * (`n_tokens_a`, `n_tokens_b`, `jsd`). */
+  def jsDivergence(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                   topK: Int): DataFrame = {
+    require(topK >= 2, s"need a vocabulary of >= 2 tokens, got $topK")
+    def sideCounts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val combined = sideCounts(dfA, "na")
+      .join(sideCounts(dfB, "nb"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val vocab = combined
+      .orderBy((col("na") + col("nb")).desc, col("token").asc).limit(topK)
+    val folded = vocab.agg(
+      sum(col("na")).as("n_tokens_a"),
+      sum(col("nb")).as("n_tokens_b"),
+      sort_array(collect_list(struct(col("token"), col("na"), col("nb"))))
+        .as("__ts"))
+    val nA = col("n_tokens_a").cast("double")
+    val nB = col("n_tokens_b").cast("double")
+    val jsd = aggregate(
+      transform(col("__ts"), t => {
+        val p = t.getField("na").cast("double") / nA
+        val q = t.getField("nb").cast("double") / nB
+        val m = (p + q) / lit(2.0)
+        when(t.getField("na") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+          when(t.getField("nb") > 0L, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    folded.select(col("n_tokens_a"), col("n_tokens_b"),
+      (round(jsd, 10) + lit(0.0)).as("jsd"))
+  }
+
   /** Population stability index between a reference and a current
     * snapshot of a numeric feature — the standard drift gate before a
     * retrain: `PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i)` over fixed-width

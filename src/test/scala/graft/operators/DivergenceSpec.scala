@@ -82,4 +82,44 @@ class DivergenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null") ||
       Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
+
+  test("jsd: identical corpora score exactly zero") {
+    val a = Seq("alpha beta beta", "gamma alpha").map(Tuple1(_)).toDF("text")
+    val out = Divergence.jsDivergence(a, a, "text", topK = 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jsd") === 0.0)
+    assert(out.head.getAs[Long]("n_tokens_a") === 5L)
+    assert(out.head.getAs[Long]("n_tokens_b") === 5L)
+  }
+
+  test("jsd: disjoint vocabularies hit the ln(2) ceiling") {
+    val a = Seq("aa aa bb").map(Tuple1(_)).toDF("text")
+    val b = Seq("cc dd dd").map(Tuple1(_)).toDF("text")
+    val jsd = Divergence.jsDivergence(a, b, "text", topK = 10)
+      .collect().head.getAs[Double]("jsd")
+    assert(math.abs(jsd - math.log(2.0)) < 1e-9, s"got $jsd")
+  }
+
+  test("jsd: symmetric in its arguments and bounded in (0, ln 2) when mixed") {
+    val a = Seq("x x y z").map(Tuple1(_)).toDF("text")
+    val b = Seq("x y y w").map(Tuple1(_)).toDF("text")
+    val ab = Divergence.jsDivergence(a, b, "text", topK = 10)
+      .collect().head.getAs[Double]("jsd")
+    val ba = Divergence.jsDivergence(b, a, "text", topK = 10)
+      .collect().head.getAs[Double]("jsd")
+    assert(ab === ba)
+    assert(ab > 0.0 && ab < math.log(2.0))
+  }
+
+  test("jsd: top-K restriction measures only the shared head vocabulary") {
+    // head tokens 'h1 h1 h1' on both sides identical; tails differ but
+    // fall outside topK=1 → JSD sees only the head and scores 0
+    val a = Seq("h1 h1 h1 taila").map(Tuple1(_)).toDF("text")
+    val b = Seq("h1 h1 h1 tailb").map(Tuple1(_)).toDF("text")
+    val out = Divergence.jsDivergence(a, b, "text", topK = 2).collect().head
+    // topK=2 picks h1 plus one tail token (tie broken by token asc: taila)
+    assert(out.getAs[Long]("n_tokens_a") === 4L) // h1×3 + taila
+    assert(out.getAs[Long]("n_tokens_b") === 3L) // h1×3 only
+    assert(out.getAs[Double]("jsd") > 0.0)
+  }
 }
