@@ -1006,6 +1006,17 @@ object SparkEntry {
           "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
         .orderBy(col("bin"))
     }),
+    "q_ks" -> ((s, d) => {
+      // two-sample Kolmogorov–Smirnov drift statistic between purchase
+      // and view event-value distributions — integer ECDF steps, exact
+      // divisions, order-independent max: bit-exact with no rounding
+      load(s, d)
+      val ev = readEventsNanos(s, d)
+      operators.Divergence.ksTest(
+          ev.filter(col("event_type") === "purchase").select("value"),
+          ev.filter(col("event_type") === "view").select("value"),
+          "value")
+    }),
     "q_bigram_pmi" -> ((s, d) => {
       // top-50 adjacent-bigram PMI collocations over the document corpus
       // — linear zip, never a quadratic token window; single rounded ln
@@ -2917,6 +2928,26 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Divergence.ksTest with a single global cumulative window —
+    // the Spark side's bucketed two-level prefix sum decomposes the same
+    // integer cumsums, so D matches bit-for-bit with no rounding.
+    "q_ks" ->
+      """WITH ca AS (SELECT value AS v, count(*) AS na FROM events
+        |            WHERE event_type = 'purchase' GROUP BY 1),
+        |cb AS (SELECT value AS v, count(*) AS nb FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |comb AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |           CAST(coalesce(na, 0) AS BIGINT) AS na,
+        |           CAST(coalesce(nb, 0) AS BIGINT) AS nb
+        |         FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |cum AS (SELECT v, sum(na) OVER (ORDER BY v) AS cna,
+        |          sum(nb) OVER (ORDER BY v) AS cnb FROM comb),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |          CAST(sum(nb) AS BIGINT) AS n_b FROM comb)
+        |SELECT n_a, n_b,
+        |  max(abs(CAST(cna AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(cnb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
+        |FROM cum, tot GROUP BY n_a, n_b""".stripMargin,
     // Replays Divergence.jsDivergence: combined top-100 vocab (total desc,
     // token asc), token-ordered fold of 0.5·p·ln(p/m) + 0.5·q·ln(q/m)
     // with the 0·ln0=0 convention, round(_,10)+0.0.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-mixture drift monitoring: per-group Shannon entropy and KL
@@ -169,5 +170,81 @@ object Divergence {
         col("n_ref"), col("n_cur"),
         p.as("p_ref"), q.as("p_cur"),
         ((p - q) * (round(log(p / q), 10) + lit(0.0))).as("psi_term"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the distributions
+    * of a numeric column in two frames: `D = max_x |F_a(x) − F_b(x)|`
+    * over the empirical CDFs — the nonparametric drift test that, unlike
+    * [[psi]], needs no binning choice and detects ANY distributional
+    * difference (location, scale, shape). Emits one row
+    * (`n_a`, `n_b`, `ks_d`); the classic significance cut at α=0.05 is
+    * `D > 1.36·sqrt(1/n_a + 1/n_b)` — left to the caller, since the
+    * threshold is a policy.
+    *
+    * Exactness: the ECDF steps are integer cumulative counts divided by
+    * integer totals — each per-value `|F_a − F_b|` is ONE fixed IEEE
+    * expression (two exact-rounded divisions, a subtract, an abs), and
+    * `max` is order-independent, so the result is bit-exact on any
+    * engine/layout with NO rounding step.
+    *
+    * Scale shape: everything past the per-side value-count aggs (both
+    * map-side combinable) runs on the DISTINCT-value frame. The
+    * cumulative count is a TWO-LEVEL prefix sum (the [[Packing]]
+    * no-global-sort discipline): `nBuckets` monotone value ranges
+    * partition the sort, per-bucket totals (an `nBuckets`-row frame)
+    * carry the cross-bucket offsets through a tiny broadcast — a global
+    * `ORDER BY value` window would be a 1-partition sort of the whole
+    * support. Nulls fail loudly ([[psi]] contract); an empty side fails
+    * loudly (its ECDF does not exist). */
+  def ksTest(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+             nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    def sideCounts(df: DataFrame, out: String): DataFrame = {
+      val x = when(col(valueCol).isNull, raise_error(lit(
+          s"ksTest: $valueCol must be non-null (a null has no place in an " +
+            "ECDF); filter or impute first")))
+        .otherwise(col(valueCol).cast("double"))
+      df.groupBy(x.as("__v")).agg(count(lit(1)).as(out))
+    }
+    val counts = sideCounts(dfA, "__na")
+      .join(sideCounts(dfB, "__nb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    // monotone clamped range bucket: ordering by (__bk, __v) IS ordering
+    // by __v, so per-bucket sorts + bucket-offset carries reproduce the
+    // global cumsum exactly (integer decomposition)
+    val mm = counts.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+    val guarded = mm.select(
+      when(col("n_a").isNull || col("n_a") === 0L || col("n_b") === 0L,
+        raise_error(lit("ksTest: both sides must be non-empty — an empty " +
+          "side has no ECDF"))).otherwise(col("n_a")).as("n_a"),
+      col("n_b"), col("__lo"), col("__hi"))
+    val span = col("__hi") - col("__lo")
+    val bucketed = counts.crossJoin(broadcast(guarded))
+      .withColumn("__bk",
+        when(span === 0.0, lit(0)).otherwise(
+          least(lit(nBuckets - 1), greatest(lit(0),
+            floor((col("__v") - col("__lo")) * lit(nBuckets.toDouble) / span)
+              .cast("int")))))
+    val offsets = bucketed.groupBy(col("__bk"))
+      .agg(sum(col("__na")).as("__ba"), sum(col("__nb")).as("__bb"))
+      .select(col("__bk"),
+        coalesce(sum(col("__ba")).over(Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offa"),
+        coalesce(sum(col("__bb")).over(Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offb"))
+    val w = Window.partitionBy(col("__bk")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = abs(
+      (col("__offa") + sum(col("__na")).over(w)).cast("double") /
+        col("n_a").cast("double") -
+      (col("__offb") + sum(col("__nb")).over(w)).cast("double") /
+        col("n_b").cast("double"))
+    bucketed.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__d", d)
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("ks_d"))
   }
 }

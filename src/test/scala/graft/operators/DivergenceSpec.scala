@@ -122,4 +122,56 @@ class DivergenceSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_tokens_b") === 3L) // h1×3 only
     assert(out.getAs[Double]("jsd") > 0.0)
   }
+
+  test("ks: identical samples score exactly zero") {
+    val a = Seq(1.0, 2.0, 3.0, 3.0).map(Tuple1(_)).toDF("v")
+    val out = Divergence.ksTest(a, a, "v").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("ks_d") === 0.0)
+    assert(out.head.getAs[Long]("n_a") === 4L)
+  }
+
+  test("ks: fully separated samples hit D = 1") {
+    val a = Seq(1.0, 2.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(10.0, 11.0).map(Tuple1(_)).toDF("v")
+    assert(Divergence.ksTest(a, b, "v").collect().head
+      .getAs[Double]("ks_d") === 1.0)
+  }
+
+  test("ks: hand-computed D on a small mixed sample") {
+    // F_a steps at 1,2,3 (1/3 each); F_b steps at 2,4 (1/2 each)
+    // at x=1: |1/3-0|=1/3; x=2: |2/3-1/2|=1/6; x=3: |1-1/2|=1/2 ← max
+    val a = Seq(1.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val b = Seq(2.0, 4.0).map(Tuple1(_)).toDF("v")
+    val d = Divergence.ksTest(a, b, "v").collect().head.getAs[Double]("ks_d")
+    assert(d === (1.0 - 1.0 / 2.0))
+  }
+
+  test("ks: invariant to input layout and bucket count") {
+    val a = (1 to 200).map(i => Tuple1((i % 37).toDouble)).toDF("v")
+    val b = (1 to 150).map(i => Tuple1((i % 23 + 5).toDouble)).toDF("v")
+    val base = Divergence.ksTest(a, b, "v").collect().head
+    for (nb <- Seq(1, 3, 64);
+         (ra, rb) <- Seq((a.repartition(7), b.repartition(3)),
+                         (a.coalesce(1), b))) {
+      val r = Divergence.ksTest(ra, rb, "v", nBuckets = nb).collect().head
+      assert(r === base, s"nBuckets=$nb must reproduce the global cumsum")
+    }
+  }
+
+  test("ks: nulls and empty sides fail loudly") {
+    val good = Seq(Tuple1(1.0)).toDF("v")
+    val withNull = Seq(Some(1.0), None).map(Tuple1(_)).toDF("v")
+    val e1 = intercept[Exception] {
+      Divergence.ksTest(withNull, good, "v").collect()
+    }
+    assert(e1.getMessage.contains("non-null") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-null")))
+    val empty = good.filter(col("v") < 0.0)
+    val e2 = intercept[Exception] {
+      Divergence.ksTest(good, empty, "v").collect()
+    }
+    assert(e2.getMessage.contains("non-empty") ||
+      Option(e2.getCause).exists(_.getMessage.contains("non-empty")))
+  }
 }
