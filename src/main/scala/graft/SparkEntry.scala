@@ -1006,6 +1006,27 @@ object SparkEntry {
           "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
         .orderBy(col("bin"))
     }),
+    "q_scd2" -> ((s, d) => {
+      // SCD Type-2 history: bootstrap a customer dimension at version 100
+      // (every 13th key missing), then fold in a version-200 snapshot that
+      // re-adds them, bumps every 7th key's balance, and deletes every
+      // 11th key — exercising unchanged/changed/deleted/inserted in one
+      // chained application
+      load(s, d)
+      import org.apache.spark.sql.functions.{lit, when}
+      val cust = s.table("customer").select("c_custkey", "c_name", "c_acctbal")
+      val snap1 = cust.filter(col("c_custkey") % 13 =!= 0)
+      val snap2 = cust.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")))
+      val h0 = snap1.limit(0)
+        .withColumn("valid_from", lit(0L)).withColumn("valid_to", lit(0L))
+      val h1 = operators.ChangeCapture.scd2Apply(h0, snap1,
+        Seq("c_custkey"), lit(100L))
+      operators.ChangeCapture.scd2Apply(h1, snap2, Seq("c_custkey"), lit(200L))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
     "q_ks" -> ((s, d) => {
       // two-sample Kolmogorov–Smirnov drift statistic between purchase
       // and view event-value distributions — integer ECDF steps, exact
@@ -2928,6 +2949,33 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays the chained scd2Apply as three explicit branches over the
+    // two snapshots: surviving-open rows (payload equal), closes (key
+    // vanished or payload changed), inserts (key new or payload changed).
+    "q_scd2" ->
+      """WITH s1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+        |            WHERE c_custkey % 13 <> 0),
+        |s2 AS (SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 7 = 0
+        |           THEN c_acctbal + 100.0::DOUBLE ELSE c_acctbal END AS c_acctbal
+        |       FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT a.c_custkey, a.c_name, a.c_acctbal,
+        |  CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |FROM s1 a JOIN s2 b ON a.c_custkey = b.c_custkey
+        |WHERE a.c_name = b.c_name AND a.c_acctbal = b.c_acctbal
+        |UNION ALL
+        |SELECT a.c_custkey, a.c_name, a.c_acctbal,
+        |  CAST(100 AS BIGINT), CAST(200 AS BIGINT)
+        |FROM s1 a LEFT JOIN s2 b ON a.c_custkey = b.c_custkey
+        |WHERE b.c_custkey IS NULL
+        |   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+        |UNION ALL
+        |SELECT b.c_custkey, b.c_name, b.c_acctbal,
+        |  CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM s2 b LEFT JOIN s1 a ON a.c_custkey = b.c_custkey
+        |WHERE a.c_custkey IS NULL
+        |   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // Replays Divergence.ksTest with a single global cumulative window —
     // the Spark side's bucketed two-level prefix sum decomposes the same
     // integer cumsums, so D matches bit-for-bit with no rounding.

@@ -73,4 +73,80 @@ object ChangeCapture {
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__row.$c").as(c)): _*)
   }
+
+  /** Slowly-changing-dimension Type 2 maintenance: fold a new full
+    * snapshot into a versioned history table. `history` carries the
+    * snapshot's columns plus `valid_from` / `valid_to` (NULL = current
+    * version); `asOf` is the snapshot's effective version stamp (any
+    * orderable type — epoch long, date, timestamp — matching
+    * `valid_from`). Per key:
+    *
+    *  - payload unchanged → the open row passes through untouched;
+    *  - payload changed   → the open row closes at `asOf` and the new
+    *    version opens at `asOf`;
+    *  - key absent from the snapshot → the open row closes (deletion);
+    *  - key new (or previously deleted) → a fresh version opens.
+    *
+    * Closed rows never enter the join — they stream through a metadata
+    * union branch, so a 10-year history costs the same as a 1-day one.
+    * The live work is ONE full-outer equi-join of the open slice against
+    * the snapshot; the 0–2 output rows per key come from exploding a
+    * 2-slot filtered array, not a second join. Duplicate open-row or
+    * snapshot keys fail loudly ([[applyUpserts]] contract), as does a
+    * close that would produce a degenerate `valid_to <= valid_from`
+    * interval (an `asOf` older than the open row). Bootstrap with a
+    * zero-row history frame of the right schema. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame,
+                keyCols: Seq[String],
+                asOf: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Apply needs at least one key column")
+    require(history.columns.toSeq ==
+        snapshot.columns.toSeq ++ Seq("valid_from", "valid_to"),
+      s"history schema must be snapshot schema + (valid_from, valid_to): " +
+        s"${history.columns.toSeq} vs ${snapshot.columns.toSeq}")
+    Guards.requireNoReserved(snapshot.columns,
+      Seq("__oldp", "__oldfrom", "__newp", "__n", "__r"), "scd2Apply")
+    val payload = snapshot.columns.filterNot(keyCols.contains)
+    val keyCs = keyCols.map(col)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val open = history.filter(col("valid_to").isNull)
+    def dupGuard(df: DataFrame, packed: String, what: String,
+                 extra: Seq[String]): DataFrame = df
+      .select(keyCs :+
+        when(col("__n") > 1, raise_error(concat(
+            lit(s"scd2Apply: duplicate $what key on (${keyCols.mkString(",")}): "),
+            concat_ws(",", keyCs.map(_.cast("string")): _*))))
+          .otherwise(col(packed)).as(packed) :++ extra.map(col): _*)
+    val cur = dupGuard(open.groupBy(keyCs: _*)
+        .agg(count(lit(1)).as("__n"),
+          first(struct(payload.map(col): _*)).as("__oldp"),
+          first(col("valid_from")).as("__oldfrom")),
+      "__oldp", "open-history", Seq("__oldfrom"))
+    val snap = dupGuard(snapshot.groupBy(keyCs: _*)
+        .agg(count(lit(1)).as("__n"),
+          first(struct(payload.map(col): _*)).as("__newp")),
+      "__newp", "snapshot", Seq.empty)
+    val joined = cur.join(snap, keyCols, "full_outer")
+    val differs = !(col("__oldp") <=> col("__newp"))
+    // close stamp: NULL (row stays open) unless the payload changed or the
+    // key vanished; a close at-or-before the open stamp is corrupt input
+    val closeAt = when(col("__newp").isNull || differs,
+      when(asOf <= col("__oldfrom"), raise_error(concat(
+          lit("scd2Apply: asOf must be after the open row's valid_from, got "),
+          asOf.cast("string"), lit(" <= "), col("__oldfrom").cast("string"))))
+        .otherwise(asOf))
+    val oldRow = when(col("__oldp").isNotNull,
+      struct(col("__oldp").as("p"), col("__oldfrom").as("vf"),
+        closeAt.as("vt")))
+    val newRow = when(col("__newp").isNotNull && (col("__oldp").isNull || differs),
+      struct(col("__newp").as("p"), asOf.as("vf"),
+        when(lit(false), asOf).as("vt")))
+    val updated = joined
+      .select(keyCs :+
+        explode(filter(array(oldRow, newRow), r => r.isNotNull)).as("__r"): _*)
+      .select(keyCs ++
+        payload.map(c => col(s"__r.p.$c").as(c)) :+
+        col("__r.vf").as("valid_from") :+ col("__r.vt").as("valid_to"): _*)
+    closed.unionByName(updated)
+  }
 }
