@@ -1006,6 +1006,20 @@ object SparkEntry {
           "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
         .orderBy(col("bin"))
     }),
+    "q_triangles" -> ((s, d) => {
+      // exact triangle count of the co-supplier graph (suppliers sharing
+      // a high-quantity order) — degree-ordered compact-forward plan;
+      // the oracle counts u<v<w closed triples naively, same total
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 40.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.triangleCount(edges, "s1", "s2")
+    }),
     "q_scd2" -> ((s, d) => {
       // SCD Type-2 history: bootstrap a customer dimension at version 100
       // (every 13th key missing), then fold in a version-200 snapshot that
@@ -2949,6 +2963,19 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Oracle for Graph.triangleCount: the naive u<v<w closed-triple count
+    // over the same normalized edge set — orientation changes the plan,
+    // never the total.
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_suppkey < b.l_suppkey
+        |           WHERE a.l_quantity >= 40 AND b.l_quantity >= 40)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e2.u = e1.v
+        |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
     // Replays the chained scd2Apply as three explicit branches over the
     // two snapshots: surviving-open rows (payload equal), closes (key
     // vanished or payload changed), inserts (key new or payload changed).

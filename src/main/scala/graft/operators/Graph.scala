@@ -94,4 +94,51 @@ object Graph {
     CacheScope.registerRddIds(sc, rankBlocks)
     ranks
   }
+
+  /** Exact triangle count of the UNDIRECTED simple graph underlying
+    * `edges` (direction, duplicates, and self-loops are normalized away).
+    * Emits one row (`n_edges`, `n_triangles`) — the global clustering /
+    * community-density signal that, with [[pageRank]], grades a link
+    * graph's quality (spam farms are triangle-dense cliques; organic link
+    * graphs are sparse).
+    *
+    * Scale shape — the compact-forward / degree-ordered node-iterator
+    * (Latapy 2008, the MapReduce triangle-counting standard): every
+    * normalized edge is ORIENTED from its lower-(degree, id) endpoint to
+    * the higher, which caps every node's out-degree at O(√m); the wedge
+    * self-join `(a→b)⋈(b→c)` — the only quadratic-risk step — is
+    * therefore Σ outdeg² = O(m^1.5) worst-case instead of Σ deg²
+    * (catastrophic under power-law hubs: one degree-10⁶ hub is 10¹²
+    * unordered wedges). The closing check is an equi-join of wedges
+    * against the oriented edge set on BOTH endpoints; each triangle is
+    * counted exactly once (its vertices' ranks form one orientation).
+    * Everything is equi-joins + one global count: no window, no sort, no
+    * driver state. The oriented frame feeds three plan branches, so it
+    * persists for the job ([[graft.CacheScope]] owns the release).
+    *
+    * Determinism: an exact integer count — layout- and engine-independent
+    * by construction. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ranked = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = CacheScope.register(ranked.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val triangles = wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -55,4 +55,42 @@ class GraphSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.isEmpty,
       s"leaked blocks: ${sc.getPersistentRDDs.keys}")
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    graft.CacheScope.release()
+    (r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"))
+  }
+
+  test("triangleCount: K4 has 4 triangles, a star has none") {
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      === ((6L, 4L)))
+    assert(tri(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) === ((4L, 0L)))
+  }
+
+  test("triangleCount: direction, duplicates, and self-loops normalize away") {
+    // one triangle written messily: reversed edges, dups, a self-loop,
+    // plus a pendant edge that closes nothing
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 2L), (3L, 4L))
+    assert(tri(edges) === ((4L, 1L)))
+  }
+
+  test("triangleCount: two triangles sharing an edge count separately") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+      === ((5L, 2L)))
+  }
+
+  test("triangleCount: hub-heavy graph matches and the plan has no window/sort") {
+    // wheel: hub 0 to 10 rim nodes + rim cycle → 10 triangles
+    val rim = (1L to 10L)
+    val edges = rim.map(i => (0L, i)) ++ rim.map(i => (i, i % 10 + 1))
+    assert(tri(edges) === ((20L, 10L)))
+    val plan = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
+  }
 }
