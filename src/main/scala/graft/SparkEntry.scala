@@ -951,6 +951,20 @@ object SparkEntry {
       operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
         .orderBy(col("day"))
     }),
+    "q_avg_precision" -> ((s, d) => {
+      // grouped average precision (step-wise PR-AUC) of the event value
+      // score predicting the purchase label, one group per epoch day —
+      // the class-imbalance-robust companion to q_auc; descending
+      // threshold fold makes the summation order engine-replayable
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.averagePrecision(ev, "value", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_calibration" -> ((s, d) => {
       // fixed-width reliability bins over the same score/label pair:
       // empirical positive rate per score decile band
@@ -3289,6 +3303,37 @@ object SparkEntry {
         |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
         |  END AS auc
         |FROM a ORDER BY day""".stripMargin,
+    // Replays Eval.averagePrecision: distinct-(day, score) frame, DESC
+    // cumulative TP/total, per-threshold summand pos_s·TP/cum, and the
+    // identical descending-score left fold (0.0 seed ≡ no-init reduce).
+    "q_avg_precision" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (
+        |  SELECT day, s, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(y) AS BIGINT) AS pos_s
+        |  FROM e GROUP BY day, s),
+        |rk AS (
+        |  SELECT day, s, n_s, pos_s,
+        |    sum(pos_s) OVER (PARTITION BY day ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(n_s) OVER (PARTITION BY day ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |g AS (
+        |  SELECT day, CAST(sum(n_s) AS BIGINT) AS n,
+        |    CAST(sum(pos_s) AS BIGINT) AS n_pos,
+        |    list(CAST(pos_s AS DOUBLE) * CAST(tp AS DOUBLE)
+        |         / CAST(cum AS DOUBLE) ORDER BY s DESC) AS es
+        |  FROM rk GROUP BY day)
+        |SELECT day, n, n_pos,
+        |  CASE WHEN n_pos > 0 THEN
+        |    list_reduce(es, (a, b) -> a + b) / CAST(n_pos AS DOUBLE)
+        |  END AS ap
+        |FROM g ORDER BY day""".stripMargin,
     "q_calibration" ->
       """WITH b AS (
         |  SELECT LEAST(9, GREATEST(0, CAST(floor((value - 0.0) / 50.0) AS INT))) AS bin,

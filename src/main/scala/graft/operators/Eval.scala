@@ -81,6 +81,57 @@ object Eval {
       .drop("__r")
   }
 
+  /** Per-group average precision (the PR-AUC summary `AP = Σ_i ΔR_i·P_i`
+    * over descending distinct score thresholds — the step-wise
+    * `average_precision_score` convention, ties merged at one
+    * threshold). The right metric when positives are rare (a quality
+    * classifier hunting the 1% best documents): ROC AUC saturates under
+    * class imbalance, AP does not.
+    *
+    * Emits one row per group: `n`, `n_pos`, `ap` (NULL when the group
+    * has no positives — AP is undefined there). Factoring `1/P` out,
+    * `AP = (1/P)·Σ pos_s·(TP/cum)`: every summand is a fixed IEEE tree
+    * on exact integer cumulatives, and the sum folds over thresholds in
+    * DESCENDING SCORE ORDER (one `sort_array` fold — the [[Divergence]]
+    * determinism discipline), so the result is bit-replayable with no
+    * rounding.
+    *
+    * Scale shape: aggregates to the distinct-(group, score) frame first
+    * (map-side combinable) like [[binaryAuc]]; the fold list is that
+    * group's distinct scores — for continuous scores over huge groups,
+    * quantize the score first (the [[calibrationBins]] grid) to bound
+    * per-group state. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "n_pos", "ap", "__n_s", "__pos_s", "__tp", "__cum", "__e"),
+      "averagePrecision")
+    val perScore = df
+      .groupBy((groupCols :+ scoreCol).map(col): _*)
+      .agg(count(lit(1)).as("__n_s"),
+        sum(checkedLabel(labelCol, "averagePrecision")).as("__pos_s"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("__tp", sum(col("__pos_s")).over(w))
+      .withColumn("__cum", sum(col("__n_s")).over(w))
+    // per-threshold summand pos_s·TP/cum — two IEEE ops on exact ints
+    val elem = col("__pos_s").cast("double") * col("__tp").cast("double") /
+      col("__cum").cast("double")
+    val folded = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__n_s")).as("n"),
+        sum(col("__pos_s")).as("n_pos"),
+        reverse(sort_array(collect_list(struct(col(scoreCol).as("s"),
+          elem.as("__e"))))).as("__ts"))
+    val apSum = aggregate(transform(col("__ts"), t => t.getField("__e")),
+      lit(0.0), (acc, x) => acc + x)
+    folded.select((groupCols.map(col) :+ col("n") :+ col("n_pos") :+
+      when(col("n_pos") > 0L, apSum / col("n_pos").cast("double"))
+        .as("ap")): _*)
+  }
+
   /** Fixed-width calibration (reliability) bins: bucket `scoreCol` into
     * `nBins` equal-width bins over `[lo, hi)` (scores outside clamp to
     * the edge bins) and emit per bin the row count, positive count, and

@@ -82,4 +82,47 @@ class EvalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null") ||
       Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
+
+  private def ap(rows: Seq[(Double, Int)]): Option[Double] = {
+    val df = rows.zipWithIndex
+      .map { case ((s, y), i) => (i.toLong, "g", s, y) }
+      .toDF("id", "grp", "score", "label")
+    val out = Eval.averagePrecision(df, "score", "label", Seq("grp")).collect()
+    assert(out.length === 1)
+    Option(out.head.getAs[java.lang.Double]("ap")).map(_.doubleValue())
+  }
+
+  test("averagePrecision: perfect ranking scores 1; no positives is NULL") {
+    assert(ap(Seq(0.9 -> 1, 0.8 -> 1, 0.2 -> 0, 0.1 -> 0)) === Some(1.0))
+    assert(ap(Seq(0.9 -> 0, 0.1 -> 0)) === None)
+    assert(ap(Seq(0.9 -> 1, 0.1 -> 1)) === Some(1.0)) // all-positive
+  }
+
+  test("averagePrecision: hand-computed step-wise value (sklearn convention)") {
+    // desc thresholds: tp/cum = 1/1, 1/2, 2/3, 3/4; pos at 1st,3rd,4th
+    // AP = (1·1/1 + 1·2/3 + 1·3/4)/3 = 29/36
+    assert(ap(Seq(0.9 -> 1, 0.8 -> 0, 0.7 -> 1, 0.6 -> 1))
+      === Some((1.0 + 2.0 / 3.0 + 3.0 / 4.0) / 3.0))
+    // worst ranking: positives last → AP = (1/3 + 2·(2/4)/?)...
+    // 2 pos of 4, both ranked last: terms 1·2/3? no — pos at cum 3,4:
+    // (1·1/3 + 1·2/4)/2 = 5/12
+    assert(ap(Seq(0.9 -> 0, 0.8 -> 0, 0.7 -> 1, 0.6 -> 1))
+      === Some((1.0 / 3.0 + 2.0 / 4.0) / 2.0))
+  }
+
+  test("averagePrecision: tied scores merge at one threshold") {
+    // scores all tied: single threshold, P=2, n=4 → AP = precision = 1/2
+    assert(ap(Seq(5.0 -> 1, 5.0 -> 0, 5.0 -> 1, 5.0 -> 0)) === Some(0.5))
+  }
+
+  test("averagePrecision: layout-independent (ordered threshold fold)") {
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"g${i % 3}", (i % 17).toDouble, i % 5 min 1))
+    val df = rows.toDF("id", "grp", "score", "label")
+    val a = Eval.averagePrecision(df, "score", "label", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ap")).toMap
+    val b = Eval.averagePrecision(df.repartition(13), "score", "label", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ap")).toMap
+    assert(a === b)
+  }
 }
