@@ -951,6 +951,21 @@ object SparkEntry {
       operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
         .orderBy(col("day"))
     }),
+    "q_welch_t" -> ((s, d) => {
+      // per-day Welch's t between purchase and view event values — the
+      // A/B metric readout; scale=2 makes the sufficient statistics
+      // exact scaled-BIGINT sums (events carry 2-dp values), so t and
+      // the Welch–Satterthwaite df replay bit-for-bit
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.welchT(ev, "value", "event_type",
+          "purchase", "view", Seq("day"), scale = 2)
+        .orderBy(col("day"))
+    }),
     "q_avg_precision" -> ((s, d) => {
       // grouped average precision (step-wise PR-AUC) of the event value
       // score predicting the purchase label, one group per epoch day —
@@ -3303,6 +3318,45 @@ object SparkEntry {
         |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
         |  END AS auc
         |FROM a ORDER BY day""".stripMargin,
+    // Replays Stats.welchT at scale=2: identical scaled-BIGINT sufficient
+    // statistics, identically-parenthesized closed forms (every IEEE op
+    // in the same order), NULL when an arm has < 2 rows or the standard
+    // error is zero.
+    "q_welch_t" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |s AS (
+        |  SELECT day,
+        |    CAST(count(*) FILTER (WHERE v = 'purchase') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE v = 'view') AS BIGINT) AS n_b,
+        |    CAST(sum(x) FILTER (WHERE v = 'purchase') AS BIGINT) AS sa,
+        |    CAST(sum(x) FILTER (WHERE v = 'view') AS BIGINT) AS sb,
+        |    CAST(sum(x * x) FILTER (WHERE v = 'purchase') AS BIGINT) AS qa,
+        |    CAST(sum(x * x) FILTER (WHERE v = 'view') AS BIGINT) AS qb
+        |  FROM e GROUP BY day),
+        |f AS (
+        |  SELECT day, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+        |  FROM s),
+        |g AS (
+        |  SELECT day, n_a, n_b, na, nb, sad, sbd,
+        |    ((qad - sad * sad / na) / (na - 1.0)) / na AS sea,
+        |    ((qbd - sbd * sbd / nb) / (nb - 1.0)) / nb AS seb
+        |  FROM f)
+        |SELECT day, n_a, n_b,
+        |  sad / na / 100.0::DOUBLE AS mean_a,
+        |  sbd / nb / 100.0::DOUBLE AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (sea + seb) > 0.0 THEN
+        |    (sad / na - sbd / nb) / sqrt(sea + seb) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (sea + seb) > 0.0 THEN
+        |    (sea + seb) * (sea + seb) /
+        |      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) END AS df_welch
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Eval.averagePrecision: distinct-(day, score) frame, DESC
     // cumulative TP/total, per-threshold summand pos_s·TP/cum, and the
     // identical descending-score left fold (0.0 seed ≡ no-init reduce).

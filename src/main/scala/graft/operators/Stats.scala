@@ -88,4 +88,68 @@ object Stats {
         (col("n_obs").cast("double") - col("expected")) / col("expected"))
       .drop("__rt", "__ct", "__tot")
   }
+
+  /** Per-group Welch's t-test between two variants of an experiment —
+    * the unequal-variance two-sample test behind every A/B metric
+    * readout. Emits one row per group: `n_a`, `n_b`, `mean_a`, `mean_b`,
+    * `t`, `df_welch` (the Welch–Satterthwaite degrees of freedom).
+    * `t`/`df_welch` are NULL when either side has < 2 rows or both
+    * variances are zero (the statistic is undefined); the p-value cut is
+    * left to the caller (a threshold on |t| at the df — policy, and
+    * erf is not portable across engines).
+    *
+    * ONE map-side-combinable aggregation pass over the event log: six
+    * conditional sums per group. The [[Rolling.vwap]] scaled-BIGINT
+    * discipline makes it bit-replayable: `valueCol` is scaled by
+    * `10^scale` and rounded to a long (the metric must be
+    * decimal-valued at that scale), so the sufficient statistics are
+    * exact integers in any aggregation order, and `t`/`df_welch` are
+    * scale-invariant closed forms — fixed IEEE trees, no rounding.
+    * Sum-of-squares bound: `n·(max|x|·10^scale)² < 2^63`. Rows with a
+    * variant outside {a, b} fail loudly (a silently dropped arm is a
+    * corrupted experiment readout — filter first if intended). */
+  def welchT(df: DataFrame, valueCol: String, variantCol: String,
+             variantA: String, variantB: String, groupCols: Seq[String],
+             scale: Int = 0): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "mean_a", "mean_b", "t", "df_welch",
+        "__sa", "__sb", "__qa", "__qb"), "welchT")
+    val v = col(variantCol)
+    val xInt = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"welchT: $variantCol must be '$variantA' or '$variantB', got "),
+          coalesce(v, lit("NULL")))))
+      .otherwise(round(col(valueCol).cast("double") *
+        lit(math.pow(10, scale))).cast("long"))
+    val isA = v === variantA
+    val sums = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(isA, xInt)).as("__sa"),
+      sum(when(!isA, xInt)).as("__sb"),
+      sum(when(isA, xInt * xInt)).as("__qa"),
+      sum(when(!isA, xInt * xInt)).as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double")
+    val sb = col("__sb").cast("double")
+    // sample variances in SCALED units — t and df are scale-invariant,
+    // so only the reported means descale
+    val va = (col("__qa").cast("double") - sa * sa / na) / (na - 1.0)
+    val vb = (col("__qb").cast("double") - sb * sb / nb) / (nb - 1.0)
+    val sea = va / na
+    val seb = vb / nb
+    val defined = col("n_a") >= 2L && col("n_b") >= 2L
+    val denomPos = defined && (sea + seb) > 0.0
+    val descale = lit(math.pow(10, scale))
+    sums.select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+      (sa / na / descale).as("mean_a") :+
+      (sb / nb / descale).as("mean_b") :+
+      when(denomPos, (sa / na - sb / nb) / sqrt(sea + seb)).as("t") :+
+      when(denomPos,
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))).as("df_welch")): _*)
+  }
 }

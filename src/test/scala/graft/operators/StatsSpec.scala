@@ -70,4 +70,58 @@ class StatsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"margins must broadcast:\n$p")
   }
+
+  private def welch(a: Seq[Double], b: Seq[Double], scale: Int = 0) = {
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).zipWithIndex
+      .map { case ((v, x), i) => (i.toLong, "g", v, x) }
+      .toDF("id", "grp", "variant", "x")
+    val out = Stats.welchT(df, "x", "variant", "a", "b", Seq("grp"), scale)
+      .collect()
+    assert(out.length === 1)
+    out.head
+  }
+
+  test("welchT: matches the textbook unequal-variance value") {
+    // scipy.stats.ttest_ind([1,2,3,4],[2,4,6,8], equal_var=False):
+    // t = -1.7320508, Welch-Satterthwaite df = 4.4117647
+    val r = welch(Seq(1, 2, 3, 4).map(_.toDouble),
+      Seq(2, 4, 6, 8).map(_.toDouble))
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("mean_a") === 2.5)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    assert(math.abs(r.getAs[Double]("t") - (-math.sqrt(3.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df_welch") - 4.411764705882353) < 1e-9)
+  }
+
+  test("welchT: identical arms score t = 0; degenerate arms emit NULL") {
+    assert(welch(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))
+      .getAs[Double]("t") === 0.0)
+    // single-row arm: variance undefined
+    assert(welch(Seq(1.0), Seq(1.0, 2.0)).get(5) === null)
+    // both arms constant: zero denominator
+    assert(welch(Seq(2.0, 2.0), Seq(3.0, 3.0)).get(5) === null)
+  }
+
+  test("welchT: scaled decimals are layout-exact") {
+    val a = (1 to 300).map(i => (i % 50) + 0.25)
+    val b = (1 to 300).map(i => (i % 60) + 0.75)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).zipWithIndex
+      .map { case ((v, x), i) => (i.toLong, s"g${i % 2}", v, x) }
+      .toDF("id", "grp", "variant", "x")
+    val one = Stats.welchT(df.coalesce(1), "x", "variant", "a", "b",
+      Seq("grp"), scale = 2).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val many = Stats.welchT(df.repartition(17), "x", "variant", "a", "b",
+      Seq("grp"), scale = 2).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(one === many)
+  }
+
+  test("welchT: a stray variant fails loudly") {
+    val df = Seq((1L, "g", "a", 1.0), (2L, "g", "c", 2.0))
+      .toDF("id", "grp", "variant", "x")
+    val e = intercept[Exception] {
+      Stats.welchT(df, "x", "variant", "a", "b", Seq("grp")).collect()
+    }
+    assert(e.getMessage.contains("must be 'a' or 'b'") ||
+      Option(e.getCause).exists(_.getMessage.contains("must be 'a' or 'b'")))
+  }
 }
