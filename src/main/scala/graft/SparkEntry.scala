@@ -951,6 +951,17 @@ object SparkEntry {
       operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
         .orderBy(col("day"))
     }),
+    "q_mutual_info" -> ((s, d) => {
+      // binned mutual information between shipment quantity and extended
+      // price (10×10 grid) — numeric-pair dependence screen; one row per
+      // occupied cell, callers sum mi_term for the scalar
+      load(s, d)
+      operators.Stats.mutualInfoBins(s.table("lineitem"),
+          "l_quantity", "l_extendedprice",
+          nBinsX = 10, loX = 0.0, hiX = 50.0,
+          nBinsY = 10, loY = 0.0, hiY = 110000.0)
+        .orderBy(col("bin_x"), col("bin_y"))
+    }),
     "q_welch_t" -> ((s, d) => {
       // per-day Welch's t between purchase and view event values — the
       // A/B metric readout; scale=2 makes the sufficient statistics
@@ -3318,6 +3329,24 @@ object SparkEntry {
         |      / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
         |  END AS auc
         |FROM a ORDER BY day""".stripMargin,
+    // Replays Stats.mutualInfoBins: same clamped 10×10 grid, margins from
+    // the cells frame, one rounded ln of the n_xy·N/(n_x·n_y) rational.
+    "q_mutual_info" ->
+      """WITH b AS (
+        |  SELECT LEAST(9, GREATEST(0, CAST(floor((l_quantity - 0.0) / 5.0) AS INT))) AS bin_x,
+        |    LEAST(9, GREATEST(0, CAST(floor((l_extendedprice - 0.0) / 11000.0) AS INT))) AS bin_y
+        |  FROM lineitem),
+        |cells AS (SELECT bin_x, bin_y, CAST(count(*) AS BIGINT) AS n_xy
+        |          FROM b GROUP BY 1, 2),
+        |mx AS (SELECT bin_x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |my AS (SELECT bin_y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS t FROM cells)
+        |SELECT bin_x, bin_y, n_xy, n_x, n_y,
+        |  (CAST(n_xy AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |    (round(ln(CAST(n_xy * t AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 10) + 0.0)
+        |    AS mi_term
+        |FROM cells JOIN mx USING (bin_x) JOIN my USING (bin_y), tot
+        |ORDER BY bin_x, bin_y""".stripMargin,
     // Replays Stats.welchT at scale=2: identical scaled-BIGINT sufficient
     // statistics, identically-parenthesized closed forms (every IEEE op
     // in the same order), NULL when an arm has < 2 rows or the standard

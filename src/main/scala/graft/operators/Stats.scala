@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact grouped statistics — correlation, least-squares trend, and
@@ -87,6 +87,60 @@ object Stats {
         (col("n_obs").cast("double") - col("expected")) *
         (col("n_obs").cast("double") - col("expected")) / col("expected"))
       .drop("__rt", "__ct", "__tot")
+  }
+
+  /** Binned mutual information between two numeric columns — the
+    * information-theoretic dependence screen for NUMERIC pairs, where
+    * [[chiSquareCells]] handles categorical ones (feature redundancy
+    * detection, leakage screening before a split). Both columns bucket
+    * into fixed-width clamped bins ([[Divergence.psi]] edges), and each
+    * occupied 2-D cell emits its MI contribution
+    * `p_xy·ln(p_xy/(p_x·p_y))` — ONE ROW PER CELL (the [[psi]]
+    * discipline: callers sum `mi_term` for the scalar, and per-cell
+    * output sidesteps cross-engine summation order). Empty cells
+    * contribute 0 and are absent.
+    *
+    * Scale shape: the corpus aggregates ONCE into ≤ nBinsX·nBinsY
+    * cells (map-side combinable); margins re-aggregate the CELLS frame
+    * and broadcast back (the [[chiSquareCells]] plan). The single `ln`
+    * of a rational rounds to 10 decimals ([[Divergence.tokenEntropy]]
+    * rationale); counts and ratios are exact. Nulls fail loudly. */
+  def mutualInfoBins(df: DataFrame, xCol: String, yCol: String,
+                     nBinsX: Int, loX: Double, hiX: Double,
+                     nBinsY: Int, loY: Double, hiY: Double): DataFrame = {
+    require(nBinsX >= 2 && nBinsY >= 2,
+      s"need >= 2 bins per axis, got ($nBinsX, $nBinsY)")
+    require(loX < hiX && loY < hiY,
+      s"need lo < hi per axis, got [$loX,$hiX) [$loY,$hiY)")
+    Guards.requireNoReserved(df.columns,
+      Seq("bin_x", "bin_y", "n_xy", "n_x", "n_y", "mi_term",
+        "__nx", "__ny", "__tot"), "mutualInfoBins")
+    def binned(c: String, nBins: Int, lo: Double, hi: Double): Column = {
+      val width = (hi - lo) / nBins
+      val x = when(col(c).isNull, raise_error(lit(
+          s"mutualInfoBins: $c must be non-null (a null would silently " +
+            "land in bin 0); filter or impute first")))
+        .otherwise(col(c).cast("double"))
+      least(lit(nBins - 1),
+        greatest(lit(0), floor((x - lit(lo)) / lit(width)).cast("int")))
+    }
+    val cells = df.groupBy(
+        binned(xCol, nBinsX, loX, hiX).as("bin_x"),
+        binned(yCol, nBinsY, loY, hiY).as("bin_y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("bin_x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("bin_y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("__tot"))
+    val pxy = col("n_xy").cast("double") / col("__tot").cast("double")
+    // ln(p_xy/(p_x·p_y)) = ln(n_xy·N/(n_x·n_y)) — one ln of a rational
+    val ratio = (col("n_xy") * col("__tot")).cast("double") /
+      (col("n_x") * col("n_y")).cast("double")
+    cells
+      .join(broadcast(mx), "bin_x")
+      .join(broadcast(my), "bin_y")
+      .crossJoin(broadcast(tot))
+      .select(col("bin_x"), col("bin_y"), col("n_xy"), col("n_x"), col("n_y"),
+        (pxy * (round(log(ratio), 10) + lit(0.0))).as("mi_term"))
   }
 
   /** Per-group Welch's t-test between two variants of an experiment —

@@ -71,6 +71,49 @@ class StatsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"margins must broadcast:\n$p")
   }
 
+  test("mutualInfoBins: independent uniforms score exactly zero per cell") {
+    val rows = (0 until 160).map(i => ((i % 4).toDouble, ((i / 4) % 4).toDouble))
+    val df = rows.toDF("x", "y")
+    val out = Stats.mutualInfoBins(df, "x", "y", 4, 0.0, 4.0, 4, 0.0, 4.0)
+      .collect()
+    assert(out.length === 16)
+    assert(out.forall(_.getAs[Double]("mi_term") === 0.0))
+  }
+
+  test("mutualInfoBins: perfect dependence sums to ln(k)") {
+    val rows = (0 until 100).map(i => ((i % 4).toDouble, (i % 4).toDouble))
+    val df = rows.toDF("x", "y")
+    val out = Stats.mutualInfoBins(df, "x", "y", 4, 0.0, 4.0, 4, 0.0, 4.0)
+      .collect()
+    assert(out.length === 4) // only the diagonal is occupied
+    val mi = out.map(_.getAs[Double]("mi_term")).sum
+    assert(math.abs(mi - math.log(4.0)) < 1e-9, s"got $mi")
+  }
+
+  test("mutualInfoBins: out-of-range values clamp to edge bins; nulls fail") {
+    val df = Seq((-5.0, 99.0), (1.5, 1.5)).toDF("x", "y")
+    val out = Stats.mutualInfoBins(df, "x", "y", 4, 0.0, 4.0, 4, 0.0, 4.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out === Set((0, 3), (1, 1)))
+    val bad = Seq((Some(1.0), Some(2.0)), (None, Some(1.0)))
+      .map { case (a, b) => (a.map(Double.box).orNull, b.map(Double.box).orNull) }
+      .toDF("x", "y")
+    val e = intercept[Exception] {
+      Stats.mutualInfoBins(bad, "x", "y", 4, 0.0, 4.0, 4, 0.0, 4.0).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
+  test("mutualInfoBins: margins re-aggregate cells and broadcast (plan)") {
+    val df = (1 to 500).map(i => ((i % 7).toDouble, (i % 5).toDouble))
+      .toDF("x", "y")
+    val p = Stats.mutualInfoBins(df, "x", "y", 7, 0.0, 7.0, 5, 0.0, 5.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"margins must broadcast:\n$p")
+  }
+
   private def welch(a: Seq[Double], b: Seq[Double], scale: Int = 0) = {
     val df = (a.map(("a", _)) ++ b.map(("b", _))).zipWithIndex
       .map { case ((v, x), i) => (i.toLong, "g", v, x) }
