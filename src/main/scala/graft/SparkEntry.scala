@@ -1851,6 +1851,16 @@ object SparkEntry {
           "n_chars", Seq("lang"), k = 1.5)
         .orderBy(col("doc_id"))
     }),
+    "q_mad_outliers" -> ((s, d) => {
+      // median/MAD modified-z screen on per-language doc lengths — the
+      // 50%-breakdown robust sibling of q_anomaly/q_iqr_outliers;
+      // integer-valued n_chars keeps both interpolated medians exact
+      load(s, d)
+      operators.Anomaly.madOutliers(
+          s.table("documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", Seq("lang"), threshold = 3.5)
+        .orderBy(col("doc_id"))
+    }),
     "q_length_buckets" -> ((s, d) => {
       // padding-efficiency ladder over whitespace token counts; the token
       // count binds in its own projection so the bucket CASE/least/greatest
@@ -3529,6 +3539,27 @@ object SparkEntry {
         |    OR (d.n_chars > b.q3 + 1.5::DOUBLE * (b.q3 - b.q1)) AS is_outlier
         |FROM documents d JOIN bounds b USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Anomaly.madOutliers: two quantile_cont passes (median, then
+    // median of absolute deviations), identical division/multiply order,
+    // MAD=0 → z=0/never flags.
+    "q_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS dv
+        |  FROM documents d JOIN m USING (lang)),
+        |md AS (SELECT lang, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY lang)
+        |SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, md.mad,
+        |  CASE WHEN md.mad > 0.0 THEN
+        |    (dev.n_chars - dev.med) / (1.4826::DOUBLE * md.mad)
+        |  ELSE 0.0 END AS robust_z,
+        |  CASE WHEN md.mad > 0.0 THEN
+        |    abs((dev.n_chars - dev.med) / (1.4826::DOUBLE * md.mad)) > 3.5::DOUBLE
+        |  ELSE FALSE END AS is_outlier
+        |FROM dev JOIN md USING (lang)
+        |ORDER BY dev.doc_id""".stripMargin,
     // Replays Batching.bucketStats: same whitespace tokenization as
     // q_token_count, same CASE ladder, pure integer arithmetic throughout
     // (sums cast out of DuckDB's HUGEINT)

@@ -89,4 +89,51 @@ object Anomaly {
       .withColumn("is_outlier", abs(col("z_score")) > threshold)
       .drop("__n", "__sum", "__sumsq")
   }
+
+  /** Median/MAD robust outlier screen: flag rows whose modified z-score
+    * `|x − median| / (1.4826·MAD)` exceeds `threshold` within their group
+    * — the most outlier-resistant of the three screens (the mean AND the
+    * spread estimate both have 50% breakdown, where [[zscoreOutliers]]
+    * has 0% and the IQR fence 25%). The 1.4826 constant (`1/Φ⁻¹(3/4)`)
+    * scales MAD to σ under normality, so `threshold` is in familiar
+    * σ units (3.5 is the Iglewicz–Hoaglin convention).
+    *
+    * Plan: TWO grouped percentile passes by construction (the MAD is a
+    * median OF deviations from the median — the second pass cannot start
+    * before the first finishes): medians aggregate and broadcast back,
+    * then deviations aggregate and broadcast back. Same `approx` /
+    * `accuracy` contract as [[iqrOutliers]] for the 100 TB path. On
+    * integer-valued metrics the interpolated medians are exact binary
+    * fractions and the score is a fixed IEEE tree — bit-replayable.
+    *
+    * Groups with MAD = 0 (over half the group at the median) emit
+    * `robust_z` = 0 and never flag — σ=0 [[zscoreOutliers]] precedent;
+    * rank-based screens are the wrong tool there anyway.
+    *
+    * Emits the input columns plus `med`, `mad`, `robust_z`,
+    * `is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  threshold: Double = 3.5, approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    Guards.requireNoReserved(df.columns,
+      Seq("med", "mad", "robust_z", "is_outlier", "__dev"), "madOutliers")
+    val x = col(valueCol).cast("double")
+    def med(c: org.apache.spark.sql.Column) =
+      if (approx) percentile_approx(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
+    val medians = df.groupBy(groupCols.map(col): _*).agg(med(x).as("med"))
+    val withDev = df.join(broadcast(medians), groupCols)
+      .withColumn("__dev", abs(x - col("med")))
+    val mads = withDev.groupBy(groupCols.map(col): _*)
+      .agg(med(col("__dev")).as("mad"))
+    val scale = lit(1.4826) * col("mad")
+    withDev.join(broadcast(mads), groupCols)
+      .withColumn("robust_z",
+        when(col("mad") > 0.0, (x - col("med")) / scale).otherwise(lit(0.0)))
+      .withColumn("is_outlier", abs(col("robust_z")) > threshold)
+      .drop("__dev")
+  }
 }

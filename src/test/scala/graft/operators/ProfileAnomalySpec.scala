@@ -169,4 +169,47 @@ class ProfileAnomalySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
+
+  test("madOutliers: textbook modified z, immune to the outlier itself") {
+    // median of (1..9, 1000) = 5.5; deviations 0.5..4.5 and 994.5 →
+    // MAD = median(0.5,1.5,...,4.5,994.5) = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val out = Anomaly.madOutliers(df, "v", Seq("grp"), threshold = 3.5)
+      .collect().map(r => r.getDouble(1) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Double]("robust_z"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(1000.0)._1 === 5.5 && out(1000.0)._2 === 2.5)
+    assert(out(1000.0)._3 === (1000.0 - 5.5) / (1.4826 * 2.5))
+    assert(out(1000.0)._4, "the planted outlier must flag")
+    assert((1 to 9).forall(i => !out(i.toDouble)._4),
+      "inliers must survive a 1000x outlier in the group")
+    // symmetric signs
+    assert(out(1.0)._3 < 0.0 && out(9.0)._3 > 0.0)
+  }
+
+  test("madOutliers: MAD = 0 emits robust_z 0 and never flags") {
+    val df = (Seq.fill(6)(7.0) :+ 9.0).map(("g", _)).toDF("grp", "v")
+    val out = Anomaly.madOutliers(df, "v", Seq("grp")).collect()
+    assert(out.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(out.forall(_.getAs[Double]("robust_z") === 0.0))
+  }
+
+  test("approx madOutliers: medians within one data step of exact") {
+    val df = (1 to 2000).map(i => ("g", (i % 97).toDouble)).toDF("grp", "v")
+    val exact = Anomaly.madOutliers(df, "v", Seq("grp"))
+      .select("med", "mad").distinct().collect().head
+    val approx = Anomaly.madOutliers(df, "v", Seq("grp"), approx = true,
+        accuracy = 10000)
+      .select("med", "mad").distinct().collect().head
+    assert(math.abs(exact.getDouble(0) - approx.getDouble(0)) <= 1.0)
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= 1.0)
+  }
+
+  test("madOutliers broadcasts both stats sides") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val plan = Anomaly.madOutliers(df, "v", Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stats must broadcast:\n$plan")
+  }
 }
