@@ -1108,6 +1108,16 @@ object SparkEntry {
           "doc_id", "text", vocabK = 1000)
         .orderBy(col("doc_id"))
     }),
+    "q_bigram_surprisal" -> ((s, d) => {
+      // bigram-LM surprisal (add-0.1-smoothed conditionals over the
+      // self-trained top-500 vocab) — the word-order-aware quality
+      // screen; pair-ordered fold + 10-dp rounding per the Divergence
+      // determinism discipline
+      load(s, d)
+      operators.TextOps.bigramSurprisal(s.table("documents"),
+          "doc_id", "text", vocabK = 500, alpha = 0.1)
+        .orderBy(col("doc_id"))
+    }),
     "q_session_window" -> ((s, d) => {
       // Spark's NATIVE session_window operator, gated through the batch
       // execution of the STREAMING operator (watermark is a no-op in
@@ -3194,6 +3204,48 @@ object SparkEntry {
         |JOIN uc b ON b.w = top.w2
         |CROSS JOIN bt CROSS JOIN ut
         |ORDER BY w1, w2""".stripMargin,
+    // Replays TextOps.bigramSurprisal: same top-500 vocab, same in-vocab
+    // pair restriction, identical smoothed conditional expression, and
+    // the identical (w1, w2)-ordered left fold + round(_, 10)+0.0.
+    "q_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> w <> '') AS ts
+        |  FROM documents),
+        |uni AS (SELECT unnest(ts) AS token FROM tk),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, count(*) AS gn FROM uni GROUP BY token
+        |  ORDER BY gn DESC, token ASC LIMIT 500) v0),
+        |pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z
+        |  FROM tk WHERE len(ts) >= 2) p0),
+        |iv AS (SELECT p.doc_id, p.w1, p.w2 FROM pairs p
+        |       JOIN vocab v1 ON v1.token = p.w1
+        |       JOIN vocab v2 ON v2.token = p.w2),
+        |cc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM iv GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cc GROUP BY 1),
+        |dp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+        |       FROM iv GROUP BY 1, 2, 3),
+        |j AS (SELECT dp.doc_id, dp.w1, dp.w2, dp.m, cc.c12, lt.c1
+        |      FROM dp JOIN cc USING (w1, w2) JOIN lt USING (w1)),
+        |g AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_iv,
+        |        list(CAST(m AS DOUBLE) *
+        |             ln((CAST(c12 AS DOUBLE) + 0.1::DOUBLE)
+        |                / (CAST(c1 AS DOUBLE) + 0.1::DOUBLE * 500.0::DOUBLE))
+        |          ORDER BY w1, w2) AS es
+        |      FROM j GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |           CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_bigrams
+        |         FROM tk)
+        |SELECT b.doc_id, b.n_bigrams,
+        |  b.n_bigrams - coalesce(g.n_iv, 0) AS n_oov_bigrams,
+        |  CASE WHEN g.n_iv > 0 THEN
+        |    round(-(list_reduce(es, (a, e) -> a + e))
+        |          / CAST(g.n_iv AS DOUBLE), 10) + 0.0
+        |  END AS bigram_surprisal
+        |FROM base b LEFT JOIN g USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // Replays TextOps.unigramSurprisal: same top-1000 vocabulary (count
     // desc, token asc), same renormalized gn/G model, same token-ordered
     // left fold (list_reduce seedless == Spark's 0.0-seeded aggregate:

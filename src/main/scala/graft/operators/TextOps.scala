@@ -495,6 +495,83 @@ object TextOps {
         col("surprisal"))
   }
 
+  /** Bigram-LM surprisal — the sequence-aware upgrade of
+    * [[unigramSurprisal]]: train add-α-smoothed conditionals
+    * `P(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)` over the corpus's own
+    * top-`vocabK` unigram vocabulary, then score each document by the
+    * mean negative log-likelihood of its IN-VOCAB adjacent pairs
+    * (nats/bigram). A unigram model cannot see scrambled word order —
+    * shuffled text keeps its unigram score but spikes here; that gap is
+    * the classic gibberish/boilerplate separator. Pairs with either
+    * token out-of-vocab are excluded and surfaced as `n_oov_bigrams`;
+    * documents with no in-vocab pair get NULL.
+    *
+    * Determinism ([[Divergence]] discipline): counts exact; the per-doc
+    * fold runs over the doc's distinct pairs in ascending (w1, w2)
+    * order; one final `round(_, 10)` absorbs the accumulated `ln` ulp.
+    *
+    * Scale shape: one tokenize pass feeds doc pairs AND the vocabulary;
+    * the vocab frame (`vocabK` rows) broadcasts into both membership
+    * joins; LHS context totals (≤ `vocabK` rows) broadcast; the one real
+    * shuffle joins doc-pair counts to corpus-pair counts on the pair key
+    * (both map-side-combinable aggs, co-partitioned equi-join — the
+    * corpus bigram frame is too big to broadcast and never needs to).
+    * Per-doc fold state is bounded by the doc's distinct pairs. Emits
+    * (idCol, `n_bigrams`, `n_oov_bigrams`, `bigram_surprisal`). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      vocabK: Int, alpha: Double = 0.1): DataFrame = {
+    require(vocabK >= 2, s"need a vocabulary of >= 2 tokens, got $vocabK")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_bigrams", "n_oov_bigrams", "bigram_surprisal",
+        "__t", "__ts", "__m", "__c12", "__c1", "__n_iv"), "bigramSurprisal")
+    val toks = tokens(col(textCol))
+    val pairs = df.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val vocab = df.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("gn"))
+      .orderBy(col("gn").desc, col("token").asc).limit(vocabK)
+      .select(col("token"))
+    val inVocab = pairs
+      .join(broadcast(vocab.select(col("token").as("w1"))), "w1")
+      .join(broadcast(vocab.select(col("token").as("w2"))), "w2")
+    val corpusCounts = inVocab.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val lhsTotals = corpusCounts.groupBy(col("w1"))
+      .agg(sum(col("__c12")).as("__c1"))
+    val docPairs = inVocab.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__m"))
+    val alphaV = lit(alpha) * lit(vocabK.toDouble)
+    val joined = docPairs
+      .join(corpusCounts, Seq("w1", "w2"))
+      .join(broadcast(lhsTotals), "w1")
+    val grouped = joined.groupBy(col(idCol))
+      .agg(sum(col("__m")).as("__n_iv"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("__m"),
+          col("__c12"), col("__c1")))).as("__ts"))
+    val ll = aggregate(
+      transform(col("__ts"), t => t.getField("__m").cast("double") *
+        log((t.getField("__c12").cast("double") + lit(alpha)) /
+          (t.getField("__c1").cast("double") + alphaV))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = grouped.select(col(idCol), col("__n_iv"),
+      (round(-ll / col("__n_iv").cast("double"), 10) + lit(0.0))
+        .as("bigram_surprisal"))
+    df.select(col(idCol),
+        greatest(coalesce(size(toks), lit(0)) - 1, lit(0)).cast("long")
+          .as("n_bigrams"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        (col("n_bigrams") - coalesce(col("__n_iv"), lit(0L)))
+          .as("n_oov_bigrams"),
+        col("bigram_surprisal"))
+  }
+
   /** Bigram PMI phrase mining: pointwise mutual information
     * `ln(p(a,b) / (p(a)·p(b)))` of the corpus's top-`topK`
     * adjacent-token bigrams — the classic collocation detector

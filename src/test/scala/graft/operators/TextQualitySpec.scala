@@ -175,4 +175,59 @@ class TextQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("compress_ratio")).toMap
     assert(again === out.map { case (k, v) => k -> v._2 })
   }
+
+  private def bgs(rows: (Long, String)*)(vocabK: Int = 10) =
+    TextOps.bigramSurprisal(rows.toDF("doc_id", "text"), "doc_id", "text",
+        vocabK = vocabK)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov_bigrams"),
+          Option(r.getAs[java.lang.Double]("bigram_surprisal"))
+            .map(_.doubleValue())))).toMap
+
+  test("bigramSurprisal: hand-computed smoothed conditional") {
+    // corpus pairs: (a,b)x2, (b,a)x2; c1(a)=c1(b)=2; alpha=.1, V=10 ->
+    // P = (2+.1)/(2+1) = 0.7 for every pair; surprisal = -ln(0.7)
+    val out = bgs(1L -> "a b a b", 2L -> "b a")()
+    val expected = BigDecimal(-math.log(0.7))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, 0L, Some(expected))))
+    assert(out(2L) === ((1L, 0L, Some(expected))))
+  }
+
+  test("bigramSurprisal: scrambled word order scores higher than natural") {
+    // corpus dominated by 'x y'; the reversed doc's pair is rare
+    val docs = (1L to 20L).map(i => i -> "x y") :+ (99L -> "y x")
+    val out = bgs(docs: _*)()
+    val natural = out(1L)._3.get
+    val scrambled = out(99L)._3.get
+    assert(scrambled > natural,
+      s"order-aware model must flag reversal: $scrambled vs $natural")
+  }
+
+  test("bigramSurprisal: OOV pairs excluded and counted; degenerate docs NULL") {
+    // vocabK=2 keeps only the two most frequent tokens (a, b); 'zzz'
+    // is out-of-vocab so both its pairs drop
+    val out = bgs(
+      1L -> "a b zzz a",   // pairs: (a,b) in-vocab, (b,zzz)+(zzz,a) OOV
+      2L -> "a a b b a",
+      3L -> "zzz qqq",     // all pairs OOV -> NULL score
+      4L -> "solo",        // no pairs at all
+      5L -> "")(vocabK = 2)
+    assert(out(1L)._1 === 3L && out(1L)._2 === 2L && out(1L)._3.isDefined)
+    assert(out(3L) === ((1L, 1L, None)))
+    assert(out(4L) === ((0L, 0L, None)))
+    assert(out(5L) === ((0L, 0L, None)))
+  }
+
+  test("bigramSurprisal: layout-independent (ordered pair fold)") {
+    val docs = (1L to 60L).map(i =>
+      i -> s"w${i % 5} w${(i + 1) % 7} w${i % 3} w${(i + 2) % 5} w${i % 2}")
+    val df = docs.toDF("doc_id", "text")
+    val a = TextOps.bigramSurprisal(df, "doc_id", "text", vocabK = 6)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = TextOps.bigramSurprisal(df.repartition(11), "doc_id", "text",
+        vocabK = 6)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(a === b)
+  }
 }
