@@ -510,7 +510,9 @@ object TextOps {
     * fold runs over the doc's distinct pairs in ascending (w1, w2)
     * order; one final `round(_, 10)` absorbs the accumulated `ln` ulp.
     *
-    * Scale shape: one tokenize pass feeds doc pairs AND the vocabulary;
+    * Scale shape: the corpus tokenizes ONCE into a persisted (id,
+    * tokens) frame ([[graft.CacheScope]] owns the release) that feeds
+    * the pair explode, the vocabulary count, and the per-doc totals;
     * the vocab frame (`vocabK` rows) broadcasts into both membership
     * joins; LHS context totals (≤ `vocabK` rows) broadcast; the one real
     * shuffle joins doc-pair counts to corpus-pair counts on the pair key
@@ -525,15 +527,20 @@ object TextOps {
     Guards.requireNoReserved(df.columns,
       Seq("n_bigrams", "n_oov_bigrams", "bigram_surprisal",
         "__t", "__ts", "__m", "__c12", "__c1", "__n_iv"), "bigramSurprisal")
-    val toks = tokens(col(textCol))
-    val pairs = df.select(col(idCol), toks.as("__t"))
+    // tokenize ONCE: the persisted (id, tokens) frame feeds the pair
+    // explode, the vocabulary count, and the per-doc bigram total — the
+    // split regex is the dominant per-row cost (textStats precedent)
+    val tokFrame = graft.CacheScope.register(
+      df.select(col(idCol), tokens(col(textCol)).as("__t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = tokFrame
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val vocab = df.select(explode(toks).as("token"))
+    val vocab = tokFrame.select(explode(col("__t")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("gn"))
       .orderBy(col("gn").desc, col("token").asc).limit(vocabK)
       .select(col("token"))
@@ -562,8 +569,8 @@ object TextOps {
     val scored = grouped.select(col(idCol), col("__n_iv"),
       (round(-ll / col("__n_iv").cast("double"), 10) + lit(0.0))
         .as("bigram_surprisal"))
-    df.select(col(idCol),
-        greatest(coalesce(size(toks), lit(0)) - 1, lit(0)).cast("long")
+    tokFrame.select(col(idCol),
+        greatest(coalesce(size(col("__t")), lit(0)) - 1, lit(0)).cast("long")
           .as("n_bigrams"))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), col("n_bigrams"),
