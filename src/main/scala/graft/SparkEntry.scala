@@ -977,6 +977,20 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
+    "q_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix of per-user event streams
+      // (counts, row-conditional p, mean inter-event gap in MICROS —
+      // DuckDB truncates nano timestamps to µs, so the gate compares at
+      // the shared precision); event_id breaks ties layout-exactly
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      operators.EventAnalytics.transitions(ev,
+          "user_id", "ts_us", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
     "q_avg_precision" -> ((s, d) => {
       // grouped average precision (step-wise PR-AUC) of the event value
       // score predicting the purchase label, one group per epoch day —
@@ -3448,6 +3462,27 @@ object SparkEntry {
         |    (sea + seb) * (sea + seb) /
         |      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) END AS df_welch
         |FROM g ORDER BY day""".stripMargin,
+    // Replays EventAnalytics.transitions: same (ts_us, event_id) ordering
+    // (µs — Spark's nanos DIV 1000 == DuckDB's truncated TIMESTAMP),
+    // integer micro-gap sums, single IEEE divisions for p and mean_gap.
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type
+        |           FROM events),
+        |p AS (SELECT event_type AS t,
+        |        lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY tsn, event_id) AS pt,
+        |        tsn - lag(tsn) OVER
+        |          (PARTITION BY user_id ORDER BY tsn, event_id) AS gap
+        |      FROM e),
+        |m AS (SELECT pt AS from_type, t AS to_type,
+        |        CAST(count(*) AS BIGINT) AS n, CAST(sum(gap) AS BIGINT) AS g
+        |      FROM p WHERE pt IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.n,
+        |  CAST(m.n AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS p,
+        |  CAST(m.g AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_gap
+        |FROM m JOIN rt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // Replays Eval.averagePrecision: distinct-(day, score) frame, DESC
     // cumulative TP/total, per-threshold summand pos_s·TP/cum, and the
     // identical descending-score left fold (0.0 seed ≡ no-init reduce).

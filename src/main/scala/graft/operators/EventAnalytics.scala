@@ -79,4 +79,46 @@ object EventAnalytics {
         col(s"__c$i").as("n_users"))): _*)).as("r"))
       .select(col("r.step_index"), col("r.step"), col("r.n_users"))
   }
+
+  /** First-order Markov transition matrix of the per-user event stream:
+    * for every adjacent (within-user, time-ordered) pair of events, the
+    * transition count, the row-conditional probability
+    * `p = n / Σ n(from_type, ·)`, and the mean inter-event gap — the
+    * behavioral fingerprint behind session-flow dashboards, bot
+    * detection (near-deterministic rows), and synthetic-log generation.
+    *
+    * Plan: ONE keyed window (lag over the user's time-ordered stream —
+    * the [[Sessionize]] exchange shape) into a map-side-combinable
+    * (from, to) aggregation; row totals re-aggregate the tiny matrix
+    * frame (≤ |types|²) and broadcast back. `tieCol` breaks equal-time
+    * orderings deterministically (pass the event id — a layout-dependent
+    * tie would make the matrix nondeterministic).
+    *
+    * Determinism: counts and the integer gap sums are exact; `p` and
+    * `mean_gap` are single IEEE divisions. `tsCol` must be numeric
+    * (epoch micros/nanos — the gap inherits its unit); timestamps cast
+    * first. Emits (`from_type`, `to_type`, `n`, `p`, `mean_gap`). */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    Guards.requireNoReserved(events.columns,
+      Seq("from_type", "to_type", "n", "p", "mean_gap",
+        "__pt", "__pts", "__rt"), "transitions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val ts = col(tsCol).cast("long")
+    val paired = events
+      .withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .withColumn("__pts", lag(ts, 1).over(w))
+      .filter(col("__pt").isNotNull)
+    val matrix = paired
+      .groupBy(col("__pt").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"), sum(ts - col("__pts")).as("__gap"))
+    val rowTotals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__rt"))
+    matrix.join(broadcast(rowTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__rt").cast("double")).as("p"),
+        (col("__gap").cast("double") / col("n").cast("double")).as("mean_gap"))
+  }
 }

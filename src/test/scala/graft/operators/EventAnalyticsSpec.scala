@@ -97,4 +97,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
         Seq("view", "view"))
     }
   }
+
+  test("transitions: counts, conditional p, and mean gap on a hand trace") {
+    // user 1: a@0 -> b@10 -> a@30 ; user 2: a@5 -> a@6
+    val ev = Seq((1L, 0L, "a", 1L), (1L, 10L, "b", 2L), (1L, 30L, "a", 3L),
+      (2L, 5L, "a", 4L), (2L, 6L, "a", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.transitions(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p"),
+          r.getAs[Double]("mean_gap")))).toMap
+    // from 'a': a->b (gap 10) and a->a (gap 1) → p = 1/2 each
+    assert(out(("a", "b")) === ((1L, 0.5, 10.0)))
+    assert(out(("a", "a")) === ((1L, 0.5, 1.0)))
+    // from 'b': only b->a (gap 20)
+    assert(out(("b", "a")) === ((1L, 1.0, 20.0)))
+    // per-row probabilities sum to 1
+    assert(out.keys.toSeq.groupBy(_._1).forall { case (_, ks) =>
+      math.abs(ks.map(out(_)._2).sum - 1.0) < 1e-12 })
+  }
+
+  test("transitions: no cross-user pair; ties break on the tie column") {
+    val ev = Seq((1L, 100L, "end", 1L), (2L, 100L, "start", 2L),
+      // same ts for user 3: event_id orders them x(5) then y(6)
+      (3L, 50L, "x", 5L), (3L, 50L, "y", 6L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.transitions(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("x", "y")), "users 1/2 have no pair; tie is x->y")
+  }
+
+  test("transitions: layout-independent and row totals broadcast") {
+    val ev = (1 to 600).map(i =>
+      ((i % 7).toLong, i.toLong, s"t${i % 4}", i.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val a = EventAnalytics.transitions(ev, "user_id", "ts", "event_type",
+      "event_id").collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    val b = EventAnalytics.transitions(ev.repartition(13), "user_id", "ts",
+      "event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(a === b)
+    val plan = EventAnalytics.transitions(ev, "user_id", "ts", "event_type",
+      "event_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"totals must broadcast:\n$plan")
+  }
 }
