@@ -1060,6 +1060,15 @@ object SparkEntry {
           "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
         .orderBy(col("bin"))
     }),
+    "q_assoc_rules" -> ((s, d) => {
+      // pairwise association rules over order baskets × part items
+      // (minSupport=3): Apriori item pruning before the pair join;
+      // confidence/lift are single-division IEEE trees, no rounding
+      load(s, d)
+      operators.Freq.associationRules(s.table("lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy(col("antecedent"), col("consequent"))
+    }),
     "q_triangles" -> ((s, d) => {
       // exact triangle count of the co-supplier graph (suppliers sharing
       // a high-quantity order) — degree-ordered compact-forward plan;
@@ -3037,6 +3046,28 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Freq.associationRules: same distinct itemization, frequent
+    // pruning, u<v pair counting, two-direction expansion, and
+    // single-division confidence/lift.
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY i),
+        |freq AS (SELECT i FROM sup WHERE n >= 3),
+        |fi AS (SELECT b, i FROM items JOIN freq USING (i)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nbask FROM items),
+        |pc AS (SELECT a.i AS i1, c.i AS i2, CAST(count(*) AS BIGINT) AS sp
+        |       FROM fi a JOIN fi c ON a.b = c.b AND a.i < c.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT i1 AS a, i2 AS c, sp FROM pc
+        |      UNION ALL SELECT i2, i1, sp FROM pc)
+        |SELECT d.a AS antecedent, d.c AS consequent, d.sp AS sup_pair,
+        |  sa.n AS sup_ante, sc.n AS sup_cons,
+        |  CAST(d.sp AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+        |  CAST(d.sp * nb.nbask AS DOUBLE) / CAST(sa.n * sc.n AS DOUBLE) AS lift
+        |FROM d JOIN sup sa ON sa.i = d.a JOIN sup sc ON sc.i = d.c
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
     // Oracle for Graph.triangleCount: the naive u<v<w closed-triple count
     // over the same normalized edge set — orientation changes the plan,
     // never the total.

@@ -110,4 +110,61 @@ object Freq {
           " ").as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** Pairwise association rules over (basket, item) data — the classic
+    * market-basket readout (and, in a corpus pipeline, the
+    * co-occurrence miner for tag/entity/source affinities): for every
+    * ordered rule `a → c` whose PAIR appears in at least `minSupport`
+    * baskets, the support counts, `confidence = sup(a,c)/sup(a)`, and
+    * `lift = N·sup(a,c)/(sup(a)·sup(c))` (> 1 = positively associated).
+    *
+    * Scale shape — the Apriori pruning made declarative: items below
+    * `minSupport` broadcast-semi-join OUT before pairing (an infrequent
+    * item can never form a frequent pair), so the basket self-join runs
+    * on frequent items only; pair space is Σ|frequent-per-basket|² — the
+    * [[Graph.triangleCount]] bound discipline, dialed by `minSupport`.
+    * Item supports (≤ |items| rows) broadcast into the rule expansion;
+    * each unordered pair explodes into its two directed rules, never a
+    * second join. Counts are exact; confidence/lift are single-division
+    * IEEE trees — bit-replayable, no rounding.
+    *
+    * Emits (`antecedent`, `consequent`, `sup_pair`, `sup_ante`,
+    * `sup_cons`, `confidence`, `lift`). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    Guards.requireNoReserved(df.columns,
+      Seq("antecedent", "consequent", "sup_pair", "sup_ante", "sup_cons",
+        "confidence", "lift", "__b", "__i", "__n"), "associationRules")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val frequent = supports.filter(col("__n") >= minSupport)
+    val fi = items.join(broadcast(frequent.select(col("__i"))), "__i")
+    val nBaskets = items.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val pairs = fi.select(col("__b"), col("__i").as("i1"))
+      .join(fi.select(col("__b"), col("__i").as("i2")), "__b")
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("sup_pair"))
+      .filter(col("sup_pair") >= minSupport)
+    val directed = pairs.select(explode(array(
+        struct(col("i1").as("a"), col("i2").as("c"), col("sup_pair")),
+        struct(col("i2").as("a"), col("i1").as("c"), col("sup_pair"))))
+        .as("r"))
+      .select(col("r.a").as("antecedent"), col("r.c").as("consequent"),
+        col("r.sup_pair").as("sup_pair"))
+    directed
+      .join(broadcast(supports.select(col("__i").as("antecedent"),
+        col("__n").as("sup_ante"))), "antecedent")
+      .join(broadcast(supports.select(col("__i").as("consequent"),
+        col("__n").as("sup_cons"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("sup_pair"),
+        col("sup_ante"), col("sup_cons"),
+        (col("sup_pair").cast("double") / col("sup_ante").cast("double"))
+          .as("confidence"),
+        ((col("sup_pair") * col("__nb")).cast("double") /
+          (col("sup_ante") * col("sup_cons")).cast("double")).as("lift"))
+  }
 }

@@ -74,4 +74,40 @@ class FreqSpec extends AnyFunSuite {
       Freq.invertedIndex(docs, "doc_id", "text", minDf = 0L)
     }
   }
+
+  test("associationRules: textbook support/confidence/lift") {
+    // baskets: {m,b}, {m,b,e}, {b,e}, {m} → N=4
+    // sup(m)=3, sup(b)=3, sup(e)=2, sup(m,b)=2, sup(b,e)=2, sup(m,e)=1
+    val rows = Seq((1L, "m"), (1L, "b"), (2L, "m"), (2L, "b"), (2L, "e"),
+      (3L, "b"), (3L, "e"), (4L, "m"))
+    val df = rows.toDF("basket", "item")
+    val out = Freq.associationRules(df, "basket", "item", minSupport = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("sup_pair"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift")))).toMap
+    // (m,e) has support 1 < 2 → no rule in either direction
+    assert(out.keySet === Set(("m", "b"), ("b", "m"), ("b", "e"), ("e", "b")))
+    assert(out(("m", "b")) === ((2L, 2.0 / 3.0, 2.0 * 4.0 / (3.0 * 3.0))))
+    assert(out(("b", "m")) === ((2L, 2.0 / 3.0, 8.0 / 9.0)))
+    assert(out(("e", "b")) === ((2L, 1.0, 2.0 * 4.0 / (2.0 * 3.0))))
+  }
+
+  test("associationRules: duplicate (basket,item) rows count once") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("basket", "item")
+    val out = Freq.associationRules(df, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("sup_ante"))).toMap
+    assert(out("x") === 2L, "dup rows must not inflate supports")
+  }
+
+  test("associationRules: infrequent items prune before the pair join") {
+    val df = Seq((1L, "hot"), (1L, "cold"), (2L, "hot"), (2L, "cold"),
+      (3L, "hot"), (3L, "rare")).toDF("basket", "item")
+    val out = Freq.associationRules(df, "basket", "item", minSupport = 2L)
+    assert(out.collect().map(_.getString(0)).toSet === Set("hot", "cold"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
+  }
 }
