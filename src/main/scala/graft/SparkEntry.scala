@@ -1131,6 +1131,15 @@ object SparkEntry {
           "doc_id", "text", vocabK = 1000)
         .orderBy(col("doc_id"))
     }),
+    "q_cooc_pmi" -> ((s, d) => {
+      // top-50 windowed (±3) co-occurrence PMI pairs — the GloVe-style
+      // topical-association statistic; pair volume is window·tokens,
+      // flattened shifted zips, single rounded ln
+      load(s, d)
+      operators.TextOps.cooccurrencePmi(s.table("documents"), "text",
+          window = 3, topK = 50)
+        .orderBy(col("w1"), col("w2"))
+    }),
     "q_bigram_surprisal" -> ((s, d) => {
       // bigram-LM surprisal (add-0.1-smoothed conditionals over the
       // self-trained top-500 vocab) — the word-order-aware quality
@@ -3248,6 +3257,36 @@ object SparkEntry {
         |JOIN uc a ON a.w = top.w1
         |JOIN uc b ON b.w = top.w2
         |CROSS JOIN bt CROSS JOIN ut
+        |ORDER BY w1, w2""".stripMargin,
+    // Replays TextOps.cooccurrencePmi: position join within distance 3,
+    // (least, greatest) canonicalization, identical top-K boundary and
+    // rounded ln.
+    "q_cooc_pmi" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> w <> '') AS ts
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(ts) AS w,
+        |          generate_subscripts(ts, 1) AS p FROM tk),
+        |pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |          FROM pos a JOIN pos b
+        |            ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 3),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pairs GROUP BY 1, 2),
+        |tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t FROM pc),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS nu FROM pos GROUP BY w),
+        |tu AS (SELECT CAST(sum(nu) AS BIGINT) AS t FROM uc),
+        |top AS (SELECT w1, w2, n_pair FROM pc
+        |        ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 50)
+        |SELECT top.w1, top.w2, top.n_pair,
+        |  round(ln((CAST(top.n_pair AS DOUBLE) / CAST(tp.t AS DOUBLE))
+        |    / ((CAST(a.nu AS DOUBLE) / CAST(tu.t AS DOUBLE))
+        |       * (CAST(b.nu AS DOUBLE) / CAST(tu.t AS DOUBLE)))), 10)
+        |    + 0.0 AS pmi
+        |FROM top
+        |JOIN uc a ON a.w = top.w1
+        |JOIN uc b ON b.w = top.w2
+        |CROSS JOIN tp CROSS JOIN tu
         |ORDER BY w1, w2""".stripMargin,
     // Replays TextOps.bigramSurprisal: same top-500 vocab, same in-vocab
     // pair restriction, identical smoothed conditional expression, and

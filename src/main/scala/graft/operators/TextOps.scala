@@ -629,6 +629,58 @@ object TextOps {
           .as("pmi"))
   }
 
+  /** Windowed co-occurrence PMI — the [[bigramPmi]] generalization from
+    * adjacency to a ±`window` token neighborhood (unordered pairs): the
+    * GloVe/word2vec-style co-occurrence statistic that surfaces topical
+    * association ("neural"~"network" across a clause) where strict
+    * bigrams only see collocations. Every position pair within distance
+    * ≤ `window` counts once, canonicalized (least, greatest).
+    *
+    * Scale shape: pair volume is `window`·tokens — linear for fixed
+    * window, never a quadratic doc explosion; the token array binds in
+    * its own projection (HOF rule) and the shifted zips flatten into ONE
+    * explode. Unigram/pair counts are map-side-combinable aggs; the
+    * top-`topK` pair frame is the broadcast side of both unigram joins
+    * ([[bigramPmi]] plan). The single `ln` rounds to 10 decimals. Emits
+    * (`w1`, `w2`, `n_pair`, `pmi`) for the top-K pairs (count desc, then
+    * (w1, w2) asc — deterministic at the boundary). */
+  def cooccurrencePmi(df: DataFrame, textCol: String, window: Int,
+                      topK: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bound = df.select(tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val pairArr = flatten(transform(sequence(lit(1), lit(window)), j =>
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - j, lit(0))),
+        slice(t, j + lit(1), greatest(size(t) - j, lit(0))),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))))
+    val pairs = bound.filter(size(t) >= 2)
+      .select(explode(pairArr).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val pTotal = pc.agg(sum(col("n_pair")).as("__tp"))
+    val uc = bound.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nu"))
+    val uTotal = uc.agg(sum(col("nu")).as("__tu"))
+    val top = pc.orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val np = col("n_pair").cast("double")
+    val tu = col("__tu").cast("double")
+    val tp = col("__tp").cast("double")
+    val j1 = uc.select(col("w").as("w1"), col("nu").as("__na"))
+      .join(broadcast(top), "w1")
+    val j2 = uc.select(col("w").as("w2"), col("nu").as("__nb"))
+      .join(broadcast(j1), "w2")
+    j2.crossJoin(broadcast(pTotal)).crossJoin(broadcast(uTotal))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (round(log((np / tp) / ((na / tu) * (nb / tu))), 10) + lit(0.0))
+          .as("pmi"))
+  }
+
   /** Per-document stats frame used by the q_text_stats gate query.
     *
     * Tokenizes ONCE per document and shares the array across the token

@@ -219,6 +219,39 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L, None)))
   }
 
+  test("cooccurrencePmi: window pairs counted once, canonicalized, " +
+      "hand-checked PMI") {
+    // doc "a b c", window 2 → pairs (a,b), (b,c), (a,c): each count 1;
+    // unigrams a,b,c = 1 each, TU=3, TP=3
+    val df = Seq(Tuple1("a b c")).toDF("text")
+    val out = TextOps.cooccurrencePmi(df, "text", window = 2, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Double]("pmi")))).toMap
+    assert(out.keySet === Set(("a", "b"), ("b", "c"), ("a", "c")))
+    // pmi = ln((1/3) / ((1/3)·(1/3))) = ln 3
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "b")) === ((1L, ln3)))
+  }
+
+  test("cooccurrencePmi: reversed order canonicalizes; window 1 is adjacency") {
+    val df = Seq(Tuple1("b a"), Tuple1("a b")).toDF("text")
+    val out = TextOps.cooccurrencePmi(df, "text", window = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_pair")).toMap
+    assert(out === Map(("a", "b") -> 2L))
+  }
+
+  test("cooccurrencePmi: topK boundary is deterministic (count desc, pair asc)") {
+    val df = Seq(Tuple1("x y x y"), Tuple1("p q")).toDF("text")
+    // window 1 pairs: (x,y)x3, (p,q)x1 → topK=1 keeps (x,y)
+    val out = TextOps.cooccurrencePmi(df, "text", window = 1, topK = 1)
+      .collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getString(1)) === (("x", "y")))
+  }
+
   test("bigramSurprisal: layout-independent (ordered pair fold)") {
     val docs = (1L to 60L).map(i =>
       i -> s"w${i % 5} w${(i + 1) % 7} w${i % 3} w${(i + 2) % 5} w${i % 2}")
