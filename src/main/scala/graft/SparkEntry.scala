@@ -1893,6 +1893,20 @@ object SparkEntry {
           "n_chars", Seq("lang"), k = 1.5)
         .orderBy(col("doc_id"))
     }),
+    "q_cusum" -> ((s, d) => {
+      // two-sided CUSUM drift screen per supplier over time-ordered
+      // shipment quantities (target 25.5, slack 2, h 40, scale 1) — the
+      // max-0 recurrence run declaratively as cumsum − running-min
+      load(s, d)
+      operators.Anomaly.cusum(
+          s.table("lineitem").select("l_suppkey", "l_shipdate",
+            "l_orderkey", "l_linenumber", "l_quantity"),
+          "l_quantity", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          target = 25.5, slack = 2.0, threshold = 40.0, scale = 1)
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
     "q_mad_outliers" -> ((s, d) => {
       // median/MAD modified-z screen on per-language doc lengths — the
       // 50%-breakdown robust sibling of q_anomaly/q_iqr_outliers;
@@ -3696,6 +3710,33 @@ object SparkEntry {
         |    OR (d.n_chars > b.q3 + 1.5::DOUBLE * (b.q3 - b.q1)) AS is_outlier
         |FROM documents d JOIN bounds b USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Anomaly.cusum at scale=1: integer deviation cumsums,
+    // running min floored at 0, descale division — the same two-level
+    // window over the identical total order.
+    "q_cusum" ->
+      """WITH s AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |    CAST(round(l_quantity * 10.0::DOUBLE) AS BIGINT) AS xi
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT *, sum(xi - 275) OVER wsp AS chi, sum(235 - xi) OVER wsp AS clo
+        |  FROM s
+        |  WINDOW wsp AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT *, chi - least(0, min(chi) OVER wsp) AS shi,
+        |    clo - least(0, min(clo) OVER wsp) AS slo
+        |  FROM c
+        |  WINDOW wsp AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(shi AS DOUBLE) / 10.0::DOUBLE AS cusum_hi,
+        |  CAST(slo AS DOUBLE) / 10.0::DOUBLE AS cusum_lo,
+        |  (shi >= 400 OR slo >= 400) AS is_shift
+        |FROM f
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     // Replays Anomaly.madOutliers: two quantile_cont passes (median, then
     // median of absolute deviations), identical division/multiply order,
     // MAD=0 → z=0/never flags.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped z-score outlier detection — the distribution-shift / bad-shard
@@ -88,6 +89,58 @@ object Anomaly {
       .withColumn("z_score", z)
       .withColumn("is_outlier", abs(col("z_score")) > threshold)
       .drop("__n", "__sum", "__sumsq")
+  }
+
+  /** Two-sided CUSUM change-point screen over keyed, ordered series —
+    * the sequential drift detector that catches a persistent small mean
+    * shift long before any per-point outlier screen fires: the classic
+    * recurrences `S⁺_i = max(0, S⁺_{i−1} + (x_i − target − slack))` /
+    * `S⁻_i = max(0, S⁻_{i−1} + (target − x_i − slack))`, flagged when
+    * either side reaches `threshold`.
+    *
+    * THE PLAN TRICK: the max-0 reset looks like an irreducible
+    * sequential recurrence, but `S_i = C_i − min(0, min_{j≤i} C_j)` with
+    * `C` the plain cumulative sum of deviations — so both sides are ONE
+    * keyed window pass (cumsum + running min share the frame), fully
+    * declarative, no fold, no UDF state. The [[Rolling.vwap]]
+    * scaled-BIGINT discipline makes every C/min/S an exact integer in
+    * any layout; only the descaled outputs divide.
+    *
+    * `orderCols` must totally order each partition (append a tie id) —
+    * a tied order would make the path layout-dependent. Emits the input
+    * plus `cusum_hi`, `cusum_lo`, `is_shift`. */
+  def cusum(df: DataFrame, valueCol: String, partCols: Seq[String],
+            orderCols: Seq[String], target: Double, slack: Double,
+            threshold: Double, scale: Int = 0): DataFrame = {
+    require(partCols.nonEmpty, "cusum needs at least one partition column")
+    require(orderCols.nonEmpty, "cusum needs an ordering")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("cusum_hi", "cusum_lo", "is_shift", "__chi", "__clo"), "cusum")
+    val pow = math.pow(10, scale)
+    val xInt = round(col(valueCol).cast("double") * lit(pow)).cast("long")
+    val tInt = math.round(target * pow)
+    val kInt = math.round(slack * pow)
+    val hInt = math.round(threshold * pow)
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // two window projections over the SAME spec (cumsum, then running min
+    // of the cumsum) — one exchange, one sort, two Window ops: the
+    // q_ma_crossover nested-window shape
+    val cummed = df
+      .withColumn("__chi", sum(xInt - lit(tInt + kInt)).over(w))
+      .withColumn("__clo", sum(lit(tInt - kInt) - xInt).over(w))
+    val sHi = col("__chi") - least(lit(0L), min(col("__chi")).over(w))
+    val sLo = col("__clo") - least(lit(0L), min(col("__clo")).over(w))
+    cummed
+      .withColumn("cusum_hi", sHi.cast("double") / lit(pow))
+      .withColumn("cusum_lo", sLo.cast("double") / lit(pow))
+      .withColumn("is_shift", sHi >= lit(hInt) || sLo >= lit(hInt))
+      .drop("__chi", "__clo")
   }
 
   /** Median/MAD robust outlier screen: flag rows whose modified z-score

@@ -205,6 +205,50 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) <= 1.0)
   }
 
+  test("cusum: hand trace — small persistent shift accumulates and flags") {
+    val xs = Seq(5.0, 5.0, 5.0, 9.0, 9.0, 9.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "seq", "v")
+    val out = Anomaly.cusum(df, "v", Seq("grp"), Seq("seq"),
+        target = 5.0, slack = 1.0, threshold = 5.0)
+      .collect().map(r => r.getAs[Long]("seq") ->
+        ((r.getAs[Double]("cusum_hi"), r.getAs[Boolean]("is_shift")))).toMap
+    assert(out(0L) === ((0.0, false)) && out(2L) === ((0.0, false)))
+    assert(out(3L) === ((3.0, false)))
+    assert(out(4L) === ((6.0, true)))
+    assert(out(5L) === ((9.0, true)))
+  }
+
+  test("cusum: matches the direct max(0, .) recurrence on a mixed series") {
+    val xs = Seq(3.0, 8.0, 2.0, 9.0, 9.0, 1.0, 5.0, 9.0, 0.0, 9.0, 9.0, 9.0)
+    val (target, slack) = (5.0, 0.5)
+    val expHi = xs.scanLeft(0.0)((s, x) =>
+      math.max(0.0, s + (x - target - slack))).tail
+    val expLo = xs.scanLeft(0.0)((s, x) =>
+      math.max(0.0, s + (target - x - slack))).tail
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "seq", "v")
+    val out = Anomaly.cusum(df, "v", Seq("grp"), Seq("seq"),
+        target, slack, threshold = 4.0, scale = 1)
+      .collect().sortBy(_.getAs[Long]("seq"))
+    assert(out.map(_.getAs[Double]("cusum_hi")).toSeq === expHi)
+    assert(out.map(_.getAs[Double]("cusum_lo")).toSeq === expLo)
+  }
+
+  test("cusum: downward drift flags the low side; layout-independent") {
+    val xs = (1 to 50).map(i => if (i > 30) 2.0 else 5.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (s"g${i % 2}", i.toLong, x) }
+      .toDF("grp", "seq", "v")
+    val a = Anomaly.cusum(df, "v", Seq("grp"), Seq("seq"), 5.0, 0.5, 6.0)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("seq")) -> r.toSeq).toMap
+    assert(a.exists { case (_, s) => s.last == true },
+      "sustained low shift must flag")
+    val b = Anomaly.cusum(df.repartition(7), "v", Seq("grp"), Seq("seq"),
+        5.0, 0.5, 6.0)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("seq")) -> r.toSeq).toMap
+    assert(a === b)
+  }
+
   test("madOutliers broadcasts both stats sides") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val plan = Anomaly.madOutliers(df, "v", Seq("grp"))
