@@ -2,12 +2,14 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, TextOps}
+import graft.operators.{Dedup, Divergence, Packing, TextOps}
 
 /** Beyond-reference example: the full training-data curation path over the
   * synthetic document corpus — quality/repetition screening, near-dup
   * clustering with representative selection, benchmark decontamination,
-  * and concat-and-chunk sequence packing of the surviving documents.
+  * concat-and-chunk sequence packing of the surviving documents, and the
+  * post-curation drift dashboard (KS against the raw corpus, JSD between
+  * sources, word-order surprisal screening).
   *
   * Run: `sbt "runMain graft.examples.CurationPipeline [sfDir]"` */
 object CurationPipeline {
@@ -65,6 +67,27 @@ object CurationPipeline {
         // tokens may spill into further packs)
         ceil(max(col("token_start") + col("n_tokens")) / 512.0).as("packs"))
       .orderBy("shard").show()
+
+    println("== 5. Post-curation drift dashboard ==")
+    // did curation skew the length distribution? (binning-free KS)
+    val ks = Divergence.ksTest(
+      docs.select(col("n_chars")), clean.select(col("n_chars")), "n_chars")
+    ks.show(false)
+    // how far apart are the two largest sources' vocabularies? (bounded JSD)
+    val topSources = clean.groupBy("source").count()
+      .orderBy(col("count").desc, col("source")).limit(2)
+      .collect().map(_.getString(0))
+    if (topSources.length == 2) {
+      val jsd = Divergence.jsDivergence(
+        clean.filter(col("source") === topSources(0)),
+        clean.filter(col("source") === topSources(1)), "text", topK = 200)
+      println(s"JSD(${topSources(0)} ‖ ${topSources(1)}):")
+      jsd.show(false)
+    }
+    // worst word-order surprisal survivors — gibberish that slipped through
+    println("highest bigram-LM surprisal among survivors:")
+    TextOps.bigramSurprisal(clean, "doc_id", "text", vocabK = 300)
+      .orderBy(col("bigram_surprisal").desc_nulls_last).limit(5).show(false)
 
     clean.unpersist()
     deduped.unpersist()
