@@ -1131,6 +1131,13 @@ object SparkEntry {
           "doc_id", "text", vocabK = 1000)
         .orderBy(col("doc_id"))
     }),
+    "q_zipf" -> ((s, d) => {
+      // Zipf rank-frequency OLS over the top-1000 vocabulary — the
+      // one-row corpus-health fingerprint (natural text ≈ slope −1);
+      // pre-rounded ln values make the rank-ordered folds bit-identical
+      load(s, d)
+      operators.TextOps.zipfFit(s.table("documents"), "text", topK = 1000)
+    }),
     "q_cooc_pmi" -> ((s, d) => {
       // top-50 windowed (±3) co-occurrence PMI pairs — the GloVe-style
       // topical-association statistic; pair volume is window·tokens,
@@ -3272,6 +3279,40 @@ object SparkEntry {
         |JOIN uc b ON b.w = top.w2
         |CROSS JOIN bt CROSS JOIN ut
         |ORDER BY w1, w2""".stripMargin,
+    // Replays TextOps.zipfFit: same vocab/rank order, pre-rounded ln per
+    // element, the same five rank-ordered folds, and identically
+    // parenthesized closed forms.
+    "q_zipf" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    w -> w <> '')) AS token
+        |  FROM documents),
+        |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS gn FROM tk
+        |       GROUP BY token ORDER BY gn DESC, token ASC LIMIT 1000),
+        |rk AS (SELECT gn,
+        |         row_number() OVER (ORDER BY gn DESC, token ASC) AS r
+        |       FROM vc),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |        list(struct_pack(
+        |          x := round(ln(CAST(r AS DOUBLE)), 10) + 0.0,
+        |          y := round(ln(CAST(gn AS DOUBLE)), 10) + 0.0)
+        |          ORDER BY r) AS ts
+        |      FROM rk),
+        |s AS (SELECT n_types, CAST(n_types AS DOUBLE) AS n,
+        |        list_reduce(list_transform(ts, e -> e.x), (a, b) -> a + b) AS sx,
+        |        list_reduce(list_transform(ts, e -> e.y), (a, b) -> a + b) AS sy,
+        |        list_reduce(list_transform(ts, e -> e.x * e.y), (a, b) -> a + b) AS sxy,
+        |        list_reduce(list_transform(ts, e -> e.x * e.x), (a, b) -> a + b) AS sxx,
+        |        list_reduce(list_transform(ts, e -> e.y * e.y), (a, b) -> a + b) AS syy
+        |      FROM f)
+        |SELECT n_types,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+        |  CASE WHEN (n * syy - sy * sy) > 0.0 THEN
+        |    (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |  END AS r2
+        |FROM s""".stripMargin,
     // Replays TextOps.cooccurrencePmi: position join within distance 3,
     // (least, greatest) canonicalization, identical top-K boundary and
     // rounded ln.

@@ -629,6 +629,53 @@ object TextOps {
           .as("pmi"))
   }
 
+  /** Zipf rank-frequency fit over the corpus's top-`topK` vocabulary:
+    * OLS of `ln(freq)` on `ln(rank)` — natural language runs a slope
+    * near −1 (Zipf's law); template spam, boilerplate floods, and
+    * synthetic word soup bend it, so (slope, r²) is a one-row corpus
+    * health fingerprint worth tracking per source/snapshot.
+    *
+    * Determinism: ranks are exact (count desc, token asc over the K-row
+    * vocab — a reduced-frame window, [[graft.operators.Eval.binaryAuc]]
+    * shape); each `ln` rounds to 10 decimals BEFORE the fold, so both
+    * engines fold bit-identical element lists in the same rank order,
+    * and every downstream closed form is the same fixed IEEE tree — no
+    * final rounding needed. Emits one row
+    * (`n_types`, `slope`, `intercept`, `r2`).
+    *
+    * Scale shape: one tokenize+count pass (map-side combinable); all
+    * later work runs on the K-row vocabulary frame. */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 3, s"need >= 3 ranks for a meaningful fit, got $topK")
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("gn"))
+      .orderBy(col("gn").desc, col("token").asc).limit(topK)
+    val ranked = vocab.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("gn").desc, col("token").asc)))
+    val folded = ranked.agg(
+      count(lit(1)).as("n_types"),
+      sort_array(collect_list(struct(col("r"),
+        (round(log(col("r").cast("double")), 10) + lit(0.0)).as("x"),
+        (round(log(col("gn").cast("double")), 10) + lit(0.0)).as("y"))))
+        .as("__ts"))
+    def fold(term: Column => Column): Column =
+      aggregate(transform(col("__ts"), term), lit(0.0), (acc, e) => acc + e)
+    val n = col("n_types").cast("double")
+    val sx = fold(t => t.getField("x"))
+    val sy = fold(t => t.getField("y"))
+    val sxy = fold(t => t.getField("x") * t.getField("y"))
+    val sxx = fold(t => t.getField("x") * t.getField("x"))
+    val syy = fold(t => t.getField("y") * t.getField("y"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    folded.select(col("n_types"),
+      (cov / varx).as("slope"),
+      ((sy - (cov / varx) * sx) / n).as("intercept"),
+      when(vary > 0.0, cov * cov / (varx * vary)).as("r2"))
+  }
+
   /** Windowed co-occurrence PMI — the [[bigramPmi]] generalization from
     * adjacency to a ±`window` token neighborhood (unordered pairs): the
     * GloVe/word2vec-style co-occurrence statistic that surfaces topical

@@ -252,6 +252,38 @@ class TextQualitySpec extends AnyFunSuite {
     assert((out.head.getString(0), out.head.getString(1)) === (("x", "y")))
   }
 
+  test("zipfFit: an exact power law recovers its slope with r2 = 1") {
+    // freq(rank) = 1000·rank^(-1) exactly for ranks 1..8: tokens t1..t8
+    // with counts 1000/r (integers: 1000,500,333? no — use 840/r exact
+    // for r in 1,2,3,4: 840,420,280,210 and distinct tokens)
+    val counts = Seq(840, 420, 280, 210, 168, 140, 120, 105) // 840/r
+    val docs = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(s"t$i") }.grouped(50).map(g => Tuple1(g.mkString(" ")))
+      .toSeq.toDF("text")
+    val out = TextOps.zipfFit(docs, "text", topK = 8).collect().head
+    assert(out.getAs[Long]("n_types") === 8L)
+    assert(math.abs(out.getAs[Double]("slope") - (-1.0)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("zipfFit: a flat (uniform) vocabulary has slope ~0 and NULL/low r2") {
+    val docs = Seq(Tuple1((1 to 6).map(i => s"u$i").mkString(" ")))
+      .toDF("text")
+    val out = TextOps.zipfFit(docs, "text", topK = 6).collect().head
+    assert(out.getAs[Double]("slope") === 0.0)
+    // vary = 0 → r2 undefined → NULL
+    assert(out.get(3) === null)
+  }
+
+  test("zipfFit: layout-independent (rank-ordered pre-rounded fold)") {
+    val docs = (1 to 200).map(i =>
+      Tuple1(s"a${i % 13} b${i % 7} c${i % 3} d d e")).toDF("text")
+    val a = TextOps.zipfFit(docs, "text", 20).collect().head.toSeq
+    val b = TextOps.zipfFit(docs.repartition(9), "text", 20)
+      .collect().head.toSeq
+    assert(a === b)
+  }
+
   test("bigramSurprisal: layout-independent (ordered pair fold)") {
     val docs = (1L to 60L).map(i =>
       i -> s"w${i % 5} w${(i + 1) % 7} w${i % 3} w${(i + 2) % 5} w${i % 2}")
