@@ -1900,6 +1900,15 @@ object SparkEntry {
           "n_chars", Seq("lang"), k = 1.5)
         .orderBy(col("doc_id"))
     }),
+    "q_benford" -> ((s, d) => {
+      // Benford first-digit screen over order totals (scale 2) — digit
+      // from the scaled BIGINT's string form (integer rendering is
+      // engine-identical; float log10 extraction is ulp-fragile)
+      load(s, d)
+      operators.Anomaly.benford(
+          s.table("orders").select("o_totalprice"), "o_totalprice", scale = 2)
+        .orderBy(col("digit"))
+    }),
     "q_cusum" -> ((s, d) => {
       // two-sided CUSUM drift screen per supplier over time-ordered
       // shipment quantities (target 25.5, slack 2, h 40, scale 1) — the
@@ -3751,6 +3760,29 @@ object SparkEntry {
         |    OR (d.n_chars > b.q3 + 1.5::DOUBLE * (b.q3 - b.q1)) AS is_outlier
         |FROM documents d JOIN bounds b USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Anomaly.benford at scale=2: first digit from the scaled
+    // BIGINT's VARCHAR form, in-engine rounded log10 probabilities,
+    // identically-parenthesized chi² terms.
+    "q_benford" ->
+      """WITH x AS (
+        |  SELECT CAST(round(o_totalprice * 100.0::DOUBLE) AS BIGINT) AS xi
+        |  FROM orders),
+        |c AS (SELECT CAST(substr(CAST(xi AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM x GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c),
+        |b AS (SELECT s.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |        round(log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(s.digit AS DOUBLE)), 10)
+        |          + 0.0 AS p_benford
+        |      FROM spine s LEFT JOIN c USING (digit))
+        |SELECT b.digit, b.n,
+        |  CAST(b.n AS DOUBLE) / CAST(t.N AS DOUBLE) AS p_obs, b.p_benford,
+        |  (CAST(b.n AS DOUBLE) - CAST(t.N AS DOUBLE) * b.p_benford)
+        |    * (CAST(b.n AS DOUBLE) - CAST(t.N AS DOUBLE) * b.p_benford)
+        |    / (CAST(t.N AS DOUBLE) * b.p_benford) AS chi2_term
+        |FROM b CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
     // Replays Anomaly.cusum at scale=1: integer deviation cumsums,
     // running min floored at 0, descale division — the same two-level
     // window over the identical total order.

@@ -91,6 +91,57 @@ object Anomaly {
       .drop("__n", "__sum", "__sumsq")
   }
 
+  /** Benford first-significant-digit screen over a positive decimal
+    * column — the classic fabricated-numbers detector (organic
+    * multi-scale amounts follow `P(d) = log10(1 + 1/d)`; invented,
+    * capped, or synthetic values don't). Emits ONE ROW PER DIGIT 1–9
+    * (`digit`, `n`, `p_obs`, `p_benford`, `chi2_term`) — callers sum
+    * `chi2_term` for the test statistic ([[Divergence.psi]] per-row
+    * discipline; zero-count digits emit via the spine).
+    *
+    * Cross-engine exactness: the value scales to a BIGINT at the
+    * caller's decimal `scale` ([[Rolling.vwap]] discipline) and the
+    * first digit comes from the LONG's string rendering — integer
+    * formatting is identical everywhere, where float `log10`-based
+    * digit extraction is ulp-fragile near powers of ten. The Benford
+    * probabilities round to 10 decimals in-engine (`log10` ulp); the
+    * chi² term is then a fixed IEEE tree. Nulls and non-positive values
+    * fail loudly (they have no first significant digit — filter first).
+    *
+    * One counting aggregation (≤ 9 groups, map-side combinable) + the
+    * 9-row spine join: scan-bound at any scale. */
+  def benford(df: DataFrame, valueCol: String, scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("digit", "n", "p_obs", "p_benford", "chi2_term", "__N"), "benford")
+    val xInt = {
+      val v = round(col(valueCol).cast("double") *
+        lit(math.pow(10, scale))).cast("long")
+      when(col(valueCol).isNull || v <= 0L, raise_error(concat(
+          lit(s"benford: $valueCol must be positive and non-null at " +
+            s"scale=$scale, got "),
+          coalesce(col(valueCol).cast("string"), lit("NULL")))))
+        .otherwise(v)
+    }
+    val digit = substring(xInt.cast("string"), 1, 1).cast("int")
+    val counts = df.groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val total = counts.agg(sum(col("n")).as("__N"))
+    val pBen = round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+      10) + lit(0.0)
+    val nD = coalesce(col("n"), lit(0L))
+    val nT = col("__N").cast("double")
+    val expected = nT * col("p_benford")
+    spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), nD.as("n"), col("__N"),
+        (nD.cast("double") / nT).as("p_obs"), pBen.as("p_benford"))
+      .select(col("digit"), col("n"), col("p_obs"), col("p_benford"),
+        ((col("n").cast("double") - expected) *
+          (col("n").cast("double") - expected) / expected).as("chi2_term"))
+  }
+
   /** Two-sided CUSUM change-point screen over keyed, ordered series —
     * the sequential drift detector that catches a persistent small mean
     * shift long before any per-point outlier screen fires: the classic

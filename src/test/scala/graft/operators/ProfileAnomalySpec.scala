@@ -249,6 +249,50 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("benford: digit extraction, spine zeros, and probability law") {
+    // values 1..9 once each plus an extra 1 → digit 1 has n=2
+    val df = ((1 to 9).map(_.toDouble) :+ 1.0).map(("g", _)).toDF("grp", "v")
+    val out = Anomaly.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("p_obs"), r.getAs[Double]("p_benford")))).toMap
+    assert(out.keySet === (1 to 9).toSet)
+    assert(out(1)._1 === 2L && out(1)._2 === 0.2)
+    assert(out(9)._1 === 1L)
+    // law: p(1) ≈ .301, p(9) ≈ .0458, sums to 1
+    assert(math.abs(out(1)._3 - 0.3010299957) < 1e-9)
+    assert(math.abs((1 to 9).map(out(_)._3).sum - 1.0) < 1e-8)
+    // scaled decimals: 0.23 at scale 2 → 23 → digit 2
+    val df2 = Seq(("g", 0.23)).toDF("grp", "v")
+    val d2 = Anomaly.benford(df2, "v", scale = 2).collect()
+      .filter(_.getAs[Long]("n") > 0L)
+    assert(d2.length === 1 && d2.head.getInt(0) === 2)
+  }
+
+  test("benford: a Benford-conforming sample scores low chi2; a capped " +
+      "uniform one scores high") {
+    // powers-of-2 are the classic Benford-conforming sequence
+    val conforming = (0 until 200).map(i => ("g", math.pow(2.0, i % 60)))
+      .toDF("grp", "v")
+    val chiC = Anomaly.benford(conforming, "v").collect()
+      .map(_.getAs[Double]("chi2_term")).sum
+    // values uniform in [100, 200): first digit always 1
+    val capped = (0 until 200).map(i => ("g", 100.0 + i % 100))
+      .toDF("grp", "v")
+    val chiU = Anomaly.benford(capped, "v").collect()
+      .map(_.getAs[Double]("chi2_term")).sum
+    assert(chiC < 16.0, s"conforming sample should pass, chi2=$chiC")
+    assert(chiU > 100.0, s"capped sample must flag, chi2=$chiU")
+  }
+
+  test("benford: non-positive or null values fail loudly") {
+    val bad = Seq(("g", 0.0)).toDF("grp", "v")
+    val e = intercept[Exception] {
+      Anomaly.benford(bad, "v").collect()
+    }
+    assert(e.getMessage.contains("positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive")))
+  }
+
   test("madOutliers broadcasts both stats sides") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val plan = Anomaly.madOutliers(df, "v", Seq("grp"))
