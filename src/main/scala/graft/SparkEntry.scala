@@ -1900,6 +1900,17 @@ object SparkEntry {
           "n_chars", Seq("lang"), k = 1.5)
         .orderBy(col("doc_id"))
     }),
+    "q_quantile_norm" -> ((s, d) => {
+      // quantile-normalize per-language doc lengths onto the pooled
+      // distribution — cross-source calibration; ranks on the distinct
+      // frame, pooled positions via the bucketed prefix kernel, lookups
+      // as bucketized range joins
+      load(s, d)
+      operators.Feature.quantileNormalize(
+          s.table("documents").select("doc_id", "lang", "n_chars"),
+          "n_chars", Seq("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_benford" -> ((s, d) => {
       // Benford first-digit screen over order totals (scale 2) — digit
       // from the scaled BIGINT's string form (integer rendering is
@@ -3760,6 +3771,39 @@ object SparkEntry {
         |    OR (d.n_chars > b.q3 + 1.5::DOUBLE * (b.q3 - b.q1)) AS is_outlier
         |FROM documents d JOIN bounds b USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Feature.quantileNormalize: distinct-frame ranks, pooled
+    // position segments from a global cumsum (≡ the engine's bucketed
+    // decomposition), identical p/h/interpolation expression trees.
+    "q_quantile_norm" ->
+      """WITH base AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v,
+        |                n_chars
+        |              FROM documents),
+        |dvv AS (SELECT DISTINCT lang, v FROM base),
+        |dv AS (SELECT lang, v,
+        |         row_number() OVER (PARTITION BY lang ORDER BY v) AS r,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |       FROM dvv),
+        |pool AS (SELECT v AS pv, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM base GROUP BY 1),
+        |poolc AS (SELECT pv, cnt, sum(cnt) OVER (ORDER BY pv) AS cum FROM pool),
+        |seg AS (SELECT pv, CAST(cum - cnt AS BIGINT) AS lo,
+        |          CAST(cum - 1 AS BIGINT) AS hi FROM poolc),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntot FROM pool),
+        |pos AS (SELECT lang, v,
+        |          (CASE WHEN dv.n = 1 THEN 0.5::DOUBLE
+        |           ELSE CAST(dv.r - 1 AS DOUBLE) / CAST(dv.n - 1 AS DOUBLE) END)
+        |          * (CAST(ntot AS DOUBLE) - 1.0::DOUBLE) AS hh, ntot
+        |        FROM dv CROSS JOIN tot),
+        |ks AS (SELECT lang, v, hh, CAST(floor(hh) AS BIGINT) AS k,
+        |         least(CAST(floor(hh) AS BIGINT) + 1, ntot - 1) AS kk FROM pos),
+        |v1 AS (SELECT ks.lang, ks.v, ks.hh, ks.kk, s1.pv AS pv1
+        |       FROM ks JOIN seg s1 ON ks.k BETWEEN s1.lo AND s1.hi),
+        |v2 AS (SELECT v1.lang, v1.v, v1.hh, v1.pv1, s2.pv AS pv2
+        |       FROM v1 JOIN seg s2 ON v1.kk BETWEEN s2.lo AND s2.hi)
+        |SELECT b.doc_id, b.lang, b.n_chars,
+        |  pv1 + (hh - floor(hh)) * (pv2 - pv1) AS quantile_normalized
+        |FROM base b JOIN v2 ON v2.lang = b.lang AND v2.v = b.v
+        |ORDER BY b.doc_id""".stripMargin,
     // Replays Anomaly.benford at scale=2: first digit from the scaled
     // BIGINT's VARCHAR form, in-engine rounded log10 probabilities,
     // identically-parenthesized chi² terms.

@@ -211,38 +211,21 @@ object Divergence {
       .select(col("__v"),
         coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
-    // monotone clamped range bucket: ordering by (__bk, __v) IS ordering
-    // by __v, so per-bucket sorts + bucket-offset carries reproduce the
-    // global cumsum exactly (integer decomposition)
-    val mm = counts.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
-      sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
-    val guarded = mm.select(
+    val totals = counts.agg(sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"))
+    val guarded = totals.select(
       when(col("n_a").isNull || col("n_a") === 0L || col("n_b") === 0L,
         raise_error(lit("ksTest: both sides must be non-empty — an empty " +
           "side has no ECDF"))).otherwise(col("n_a")).as("n_a"),
-      col("n_b"), col("__lo"), col("__hi"))
-    val span = col("__hi") - col("__lo")
-    val bucketed = counts.crossJoin(broadcast(guarded))
-      .withColumn("__bk",
-        when(span === 0.0, lit(0)).otherwise(
-          least(lit(nBuckets - 1), greatest(lit(0),
-            floor((col("__v") - col("__lo")) * lit(nBuckets.toDouble) / span)
-              .cast("int")))))
-    val offsets = bucketed.groupBy(col("__bk"))
-      .agg(sum(col("__na")).as("__ba"), sum(col("__nb")).as("__bb"))
-      .select(col("__bk"),
-        coalesce(sum(col("__ba")).over(Window.orderBy(col("__bk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offa"),
-        coalesce(sum(col("__bb")).over(Window.orderBy(col("__bk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__offb"))
-    val w = Window.partitionBy(col("__bk")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      col("n_b"))
+    // the ECDF cumsums run as the shared bucketed two-level prefix sum —
+    // never a global 1-partition sort ([[Prefix]])
+    val cummed = Prefix.bucketedCumsum(counts, "__v", Seq("__na", "__nb"),
+      nBuckets)
     val d = abs(
-      (col("__offa") + sum(col("__na")).over(w)).cast("double") /
-        col("n_a").cast("double") -
-      (col("__offb") + sum(col("__nb")).over(w)).cast("double") /
-        col("n_b").cast("double"))
-    bucketed.join(broadcast(offsets), Seq("__bk"))
+      col("cum___na").cast("double") / col("n_a").cast("double") -
+      col("cum___nb").cast("double") / col("n_b").cast("double"))
+    cummed.crossJoin(broadcast(guarded))
       .withColumn("__d", d)
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("__d")).as("ks_d"))

@@ -139,4 +139,84 @@ object Feature {
           (x - col("__mn")) / (col("__mx") - col("__mn"))))
       .drop("__mn", "__mx")
   }
+
+  /** Quantile normalization across groups — map every group's value onto
+    * the POOLED distribution at the value's within-group quantile: the
+    * batch-effect corrector (bioinformatics lineage) that forces all
+    * groups onto one common distribution while preserving each group's
+    * internal order. After it, per-source score distributions are
+    * directly comparable — the cross-source calibration step before a
+    * single corpus-wide quality threshold.
+    *
+    * Contract: within a group, a DISTINCT value of rank `r` (of `n`
+    * distinct, ascending) sits at `p = (r−1)/(n−1)` (singleton groups
+    * pin `p = 0.5`); the output is the pooled multiset's linearly
+    * interpolated quantile at `p` (`percentile` semantics over ALL
+    * rows). Ties within a group map identically by construction.
+    *
+    * Scale shape: ranks come from a keyed window over the DISTINCT
+    * (group, value) frame; pooled positions come from the shared
+    * bucketed prefix-sum kernel ([[Prefix]], no global sort) giving each
+    * pooled value its position segment `[lo, hi]`; the two position
+    * lookups (floor/ceil of the interpolation index) are
+    * [[RangeJoin.rangeJoin]] bucketized point-in-interval equi-joins;
+    * the result joins back to the corpus on (group, value). Every rank
+    * and position is an exact integer; `p`, the index `h = p·(N−1)`,
+    * and the interpolation are single IEEE trees — bit-replayable.
+    * Nulls fail loudly. Emits the input plus `quantile_normalized`. */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+                        groupCols: Seq[String],
+                        posBucketWidth: Long = 1L << 20): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs a group column")
+    require(posBucketWidth >= 1, s"bad posBucketWidth $posBucketWidth")
+    Guards.requireNoReserved(df.columns,
+      Seq("quantile_normalized", "__v", "__r", "__n", "__cnt", "__ntot",
+        "__h", "__k", "__kk", "__pk", "__ntot", "__pv1", "__pv2", "__lo1", "__hi1",
+        "__lo2", "__hi2", "cum___cnt"), "quantileNormalize")
+    val x = when(col(valueCol).isNull, raise_error(lit(
+        s"quantileNormalize: $valueCol must be non-null; filter or impute " +
+          "first"))).otherwise(col(valueCol).cast("double"))
+    val keyed = df.select(groupCols.map(col) :+ x.as("__v"): _*)
+    // within-group DISTINCT-value ranks (reduced frame, keyed window)
+    val dv = keyed.distinct()
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ranked = dv
+      .withColumn("__r", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+    // pooled multiset position segments via the bucketed prefix kernel
+    val pooled = keyed.groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    val seg = Prefix.bucketedCumsum(pooled, "__v", Seq("__cnt"), 64)
+      .select(col("__v").as("__pv1"),
+        (col("cum___cnt") - col("__cnt")).as("__lo1"),
+        (col("cum___cnt") - 1L).as("__hi1"))
+    val total = pooled.agg(sum(col("__cnt")).as("__ntot"))
+    val p = when(col("__n") === 1, lit(0.5))
+      .otherwise((col("__r") - 1).cast("double") /
+        (col("__n") - 1).cast("double"))
+    val h = p * (col("__ntot").cast("double") - lit(1.0))
+    val positioned = ranked.crossJoin(broadcast(total))
+      .withColumn("__h", h)
+      .withColumn("__k", floor(col("__h")).cast("long"))
+      .withColumn("__kk", least(col("__k") + 1L, col("__ntot") - 1L))
+      .withColumn("__pk", lit(1))
+    val seg1 = seg.withColumn("__ik1", lit(1))
+    val j1 = RangeJoin.rangeJoin(positioned, seg1,
+      "__pk", "__ik1", "__k", "__lo1", "__hi1", posBucketWidth)
+      .drop("__ik1", "__lo1", "__hi1")
+    val seg2 = seg.select(col("__pv1").as("__pv2"), col("__lo1").as("__lo2"),
+      col("__hi1").as("__hi2")).withColumn("__ik2", lit(1))
+    val j2 = RangeJoin.rangeJoin(j1, seg2,
+      "__pk", "__ik2", "__kk", "__lo2", "__hi2", posBucketWidth)
+      .drop("__pk", "__ik2", "__lo2", "__hi2")
+    val frac = col("__h") - floor(col("__h"))
+    val mapped = j2.select(groupCols.map(col) :+ col("__v") :+
+      (col("__pv1") + frac * (col("__pv2") - col("__pv1")))
+        .as("quantile_normalized"): _*)
+    df.withColumn("__v", x)
+      .join(mapped, groupCols :+ "__v")
+      .drop("__v")
+  }
 }

@@ -114,4 +114,59 @@ class FeatureResampleSpec extends AnyFunSuite {
       .orderBy("day").collect().map(_.getAs[Double]("v_filled"))
     assert(filled.toSeq === Seq(1.0, 1.0, 3.0))
   }
+
+  test("quantileNormalize: groups with different scales land on one " +
+      "pooled distribution") {
+    // pooled multiset sorted: [1,2,3,10,20,30]; both groups have p =
+    // 0, .5, 1 → outputs 1, 6.5 (=3+.5·(10−3)), 30 for EACH group
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("grp", "v")
+    val out = Feature.quantileNormalize(df, "v", Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("quantile_normalized")).toMap
+    assert(out(("a", 1.0)) === 1.0 && out(("b", 10.0)) === 1.0)
+    assert(out(("a", 2.0)) === 6.5 && out(("b", 20.0)) === 6.5)
+    assert(out(("a", 3.0)) === 30.0 && out(("b", 30.0)) === 30.0)
+  }
+
+  test("quantileNormalize: ties map identically; singletons pin p = 0.5") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 9.0), ("s", 7.0))
+      .toDF("grp", "v")
+    val out = Feature.quantileNormalize(df, "v", Seq("grp")).collect()
+    val a5 = out.filter(r => r.getString(0) == "a" && r.getDouble(1) == 5.0)
+      .map(_.getAs[Double]("quantile_normalized")).distinct
+    assert(a5.length === 1, "tied values must map to one output")
+    // pooled sorted: [5,5,7,9], N=4; singleton 's': h = .5·3 = 1.5 →
+    // pooled[1] + .5·(pooled[2]−pooled[1]) = 5 + .5·2 = 6
+    val s = out.filter(_.getString(0) == "s").head
+    assert(s.getAs[Double]("quantile_normalized") === 6.0)
+  }
+
+  test("quantileNormalize: preserves within-group order; layout-exact") {
+    val df = (1 to 300).map(i =>
+      (s"g${i % 3}", ((i * 37) % 101).toDouble + (i % 3) * 50.0))
+      .toDF("grp", "v")
+    val one = Feature.quantileNormalize(df.coalesce(1), "v", Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("quantile_normalized")).toMap
+    val many = Feature.quantileNormalize(df.repartition(13), "v", Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("quantile_normalized")).toMap
+    assert(one === many)
+    // monotone within each group
+    for (g <- Seq("g0", "g1", "g2")) {
+      val pairs = one.toSeq.filter(_._1._1 == g).sortBy(_._1._2).map(_._2)
+      assert(pairs === pairs.sorted, s"order must be preserved in $g")
+    }
+  }
+
+  test("quantileNormalize: nulls fail loudly") {
+    val df = Seq(("a", Some(1.0)), ("a", None))
+      .map { case (g, v) => (g, v.map(Double.box).orNull) }.toDF("grp", "v")
+    val e = intercept[Exception] {
+      Feature.quantileNormalize(df, "v", Seq("grp")).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
 }
