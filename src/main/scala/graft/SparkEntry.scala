@@ -104,6 +104,27 @@ object SparkEntry {
        |    END)""".stripMargin
   }
 
+  /** DuckDB Wilder-smoothing fold over a prefix list (NULLs filtered —
+    * the frozen≡filtered equivalence): each element struct carries its
+    * own one-element state (`a := x, c := 1`) so the seedless reduce's
+    * first-element seed IS the correct fold start; transitions mirror
+    * the native `Wilder` update expressions op-for-op. Returns the
+    * folded struct (NULL on an empty list). */
+  private def wilderFold(listExpr: String, n: Int): String = {
+    val nd = s"$n.0::DOUBLE"
+    s"""(CASE WHEN len(list_filter($listExpr, v -> v IS NOT NULL)) > 0 THEN
+       |  list_reduce(list_transform(list_filter($listExpr, v -> v IS NOT NULL),
+       |    v -> struct_pack(x := v, a := v, c := 1.0::DOUBLE)),
+       |  (acc, e) -> CASE
+       |    WHEN acc.c + 1.0 < $nd THEN struct_pack(x := e.x, a := acc.a + e.x, c := acc.c + 1.0)
+       |    WHEN acc.c + 1.0 = $nd THEN struct_pack(x := e.x, a := (acc.a + e.x)/$nd, c := acc.c + 1.0)
+       |    ELSE struct_pack(x := e.x, a := acc.a*(1.0::DOUBLE - 1.0::DOUBLE/$nd) + e.x*(1.0::DOUBLE/$nd), c := acc.c + 1.0)
+       |  END) END)""".stripMargin
+  }
+
+  private def wilderEval(s: String, n: Int): String =
+    s"(CASE WHEN $s IS NOT NULL AND $s.c >= $n.0::DOUBLE THEN $s.a END)"
+
   private def rsiEval(s: String, n: Int): String =
     s"CASE WHEN $s.c >= $n.0::DOUBLE THEN CASE WHEN $s.l = 0.0 THEN 100.0::DOUBLE ELSE 100.0 - (100.0 / (1.0 + $s.g/$s.l)) END END"
 
@@ -237,6 +258,19 @@ object SparkEntry {
       operators.Rolling.atr(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_adx" -> ((s, d) => {
+      // Wilder's Average Directional Index over the daily bars — three
+      // native wilder() smoothings (TR, ±DM) + DX + a fourth smoothing,
+      // all sharing one (supplier, date) window spec
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val bars = dailyBars(s)
+      operators.Rolling.adx(bars, "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("di_plus"), col("di_minus"), col("adx"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
     "q_roc" -> ((s, d) => {
@@ -4264,6 +4298,62 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.adx: NULL-first-bar TR/±DM, three Wilder folds over
+    // prefix lists, DX from the same expression order, a fourth fold —
+    // the wilderFold helper mirrors the native update ops exactly.
+    "q_adx" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t1 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NULL THEN NULL
+         |         ELSE greatest(high - low, abs(high - lag(close) OVER ws),
+         |                       abs(low - lag(close) OVER ws)) END AS tr,
+         |    CASE WHEN lag(high) OVER ws IS NULL THEN NULL
+         |         ELSE (CASE WHEN (high - lag(high) OVER ws) > (lag(low) OVER ws - low)
+         |                     AND (high - lag(high) OVER ws) > 0.0::DOUBLE
+         |               THEN high - lag(high) OVER ws ELSE 0.0::DOUBLE END) END AS pdm,
+         |    CASE WHEN lag(low) OVER ws IS NULL THEN NULL
+         |         ELSE (CASE WHEN (lag(low) OVER ws - low) > (high - lag(high) OVER ws)
+         |                     AND (lag(low) OVER ws - low) > 0.0::DOUBLE
+         |               THEN lag(low) OVER ws - low ELSE 0.0::DOUBLE END) END AS mdm
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), t2 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    list(tr) OVER wp AS trl, list(pdm) OVER wp AS pdl,
+         |    list(mdm) OVER wp AS mdl
+         |  FROM t1
+         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), t3 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${wilderEval(wilderFold("trl", 14), 14)} AS str,
+         |    ${wilderEval(wilderFold("pdl", 14), 14)} AS spd,
+         |    ${wilderEval(wilderFold("mdl", 14), 14)} AS smd
+         |  FROM t2
+         |), t4 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    100.0::DOUBLE * spd / str AS di_plus,
+         |    100.0::DOUBLE * smd / str AS di_minus,
+         |    CASE WHEN str IS NOT NULL THEN
+         |      CASE WHEN (100.0::DOUBLE * spd / str) + (100.0::DOUBLE * smd / str) = 0.0::DOUBLE
+         |           THEN 0.0::DOUBLE
+         |           ELSE 100.0::DOUBLE * abs((100.0::DOUBLE * spd / str) - (100.0::DOUBLE * smd / str))
+         |                / ((100.0::DOUBLE * spd / str) + (100.0::DOUBLE * smd / str)) END
+         |    END AS dx
+         |  FROM t3
+         |), t5 AS (
+         |  SELECT l_suppkey, l_shipdate, di_plus, di_minus,
+         |    list(dx) OVER wp AS dxl
+         |  FROM t4
+         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate, di_plus, di_minus,
+         |  ${wilderEval(wilderFold("dxl", 14), 14)} AS adx
+         |FROM t5
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.roc: one fixed IEEE division against the 12-back value.
     "q_roc" ->

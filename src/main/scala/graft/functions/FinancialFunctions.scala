@@ -29,6 +29,7 @@ object FinancialFunctions {
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
+    "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
@@ -62,6 +63,8 @@ object FinancialFunctions {
   def ema(value: Column, n: Int): Column = call_function("ema", value, lit(n))
   def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
   def macd(value: Column): Column = call_function("macd", value)
+  def wilder(value: Column, n: Int): Column =
+    call_function("wilder", value, lit(n))
 }
 
 /** Session-extension variant: lets users opt in via

@@ -196,6 +196,50 @@ case class Rsi(value: Expression, windowSize: Expression)
     copy(value = c(0), windowSize = c(1))
 }
 
+/** `wilder(value, n)` — Wilder's smoothing, the recurrence underlying RSI,
+  * ATR, and ADX: NULL until `n` non-null values accumulate, seed = their
+  * simple mean, thereafter `avg' = avg·(1−1/n) + x·(1/n)`. The generic
+  * form of the smoothing [[Rsi]] applies to gains/losses internally —
+  * exposed so directional-index compositions ([[graft.operators.Rolling]]
+  * `adx`) can smooth TR/±DM/DX with the identical state machine. Same
+  * frozen-state NULL contract as every indicator. */
+case class Wilder(value: Expression, windowSize: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val n: Int = requireWindowSize(windowSize)
+  private lazy val alpha = 1.0 / n
+  private lazy val beta = 1.0 - alpha
+
+  override def children: Seq[Expression] = Seq(value, windowSize)
+  override def prettyName: String = "wilder"
+
+  private lazy val avg = AttributeReference("wAvg", DoubleType, nullable = false)()
+  private lazy val cnt = AttributeReference("wCnt", IntegerType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(avg, cnt, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0.0), Literal(0), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val c1 = Add(cnt, Literal(1))
+    val frozen = IsNull(x)
+    Seq(
+      If(frozen, avg,
+        If(LessThan(c1, Literal(n)), Add(avg, x),
+          If(EqualTo(c1, Literal(n)), Divide(Add(avg, x), Literal(n.toDouble)),
+            Add(Multiply(avg, Literal(beta)), Multiply(x, Literal(alpha)))))),
+      If(frozen, cnt, c1),
+      frozen)
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, LessThan(cnt, Literal(n))), nullDouble, avg)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Wilder =
+    copy(value = c(0), windowSize = c(1))
+}
+
 /** `macd(value)` — MACD line = EMA12 − EMA26 with fixed α 2/13 and 2/27,
   * both seeded by the first non-null value so the first row emits 0.0;
   * no signal line / histogram (reference `src/functions/macd.rs:55-120`). */

@@ -159,6 +159,70 @@ object Rolling {
       .drop("graft_tr")
   }
 
+  /** Average Directional Index (Wilder's trend-strength oscillator,
+    * public formula — the standard companion to RSI/ATR in the reference
+    * family): `+DM`/`−DM` from consecutive high/low moves, TR as in
+    * [[atr]], all three Wilder-smoothed by the NATIVE `wilder(x, n)`
+    * recurrence window function; `DI± = 100·sm(±DM)/sm(TR)`,
+    * `DX = 100·|DI⁺−DI⁻|/(DI⁺+DI⁻)` (0 where both DIs are 0), and
+    * `adx = wilder(DX, n)` — so the first ADX emits after 2n−1 bars, the
+    * textbook schedule.
+    *
+    * Plan shape: the lag exprs bind in one projection, the three Wilder
+    * smoothings share the second Window pass, DX binds, and the final
+    * smoothing is a third pass — ALL over the same (partition, order)
+    * spec: one hash exchange, one sort. The whole chain is the
+    * deterministic indicator state machine, NULL-frozen like every
+    * recurrence here. Adds `di_plus`, `di_minus`, `adx`. */
+  def adx(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("di_plus", "di_minus", "adx", "__tr", "__pdm", "__mdm",
+        "__str", "__spdm", "__smdm", "__dx"), "Rolling.adx")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    val prevC = lag(c, 1).over(seqW)
+    val prevH = lag(h, 1).over(seqW)
+    val prevL = lag(l, 1).over(seqW)
+    val tr = when(prevC.isNull, h - l)
+      .otherwise(greatest(h - l, abs(h - prevC), abs(l - prevC)))
+    val up = h - prevH
+    val down = prevL - l
+    // first bar has no move: ±DM are NULL there (frozen, not zero), so
+    // the Wilder seeds count exactly the n move-bearing bars
+    val pdm = when(prevH.isNotNull,
+      when(up > down && up > lit(0.0), up).otherwise(lit(0.0)))
+    val mdm = when(prevL.isNotNull,
+      when(down > up && down > lit(0.0), down).otherwise(lit(0.0)))
+    val trN = when(prevC.isNotNull, tr) // align TR count with the DM count
+    val smoothed = df
+      .withColumn("__tr", trN).withColumn("__pdm", pdm).withColumn("__mdm", mdm)
+      .select(col("*"),
+        graft.functions.FinancialFunctions.wilder(col("__tr"), n).over(seqW)
+          .as("__str"),
+        graft.functions.FinancialFunctions.wilder(col("__pdm"), n).over(seqW)
+          .as("__spdm"),
+        graft.functions.FinancialFunctions.wilder(col("__mdm"), n).over(seqW)
+          .as("__smdm"))
+    val diP = lit(100.0) * col("__spdm") / col("__str")
+    val diM = lit(100.0) * col("__smdm") / col("__str")
+    val dx = when(col("__str").isNotNull,
+      when(diP + diM === lit(0.0), lit(0.0))
+        .otherwise(lit(100.0) * abs(diP - diM) / (diP + diM)))
+    smoothed
+      .withColumn("di_plus", diP)
+      .withColumn("di_minus", diM)
+      .withColumn("__dx", dx)
+      .select(col("*"),
+        graft.functions.FinancialFunctions.wilder(col("__dx"), n).over(seqW)
+          .as("adx"))
+      .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
+  }
+
   /** Rate of change (momentum oscillator, public formula):
     * `100 · (x − x_{t−n}) / x_{t−n}` — NULL while no n-back value exists
     * and on a zero base (no finite percentage to report). One fixed IEEE

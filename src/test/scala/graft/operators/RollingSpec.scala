@@ -207,4 +207,114 @@ class RollingSpec extends AnyFunSuite {
     assert(p.split("\n").count(_.trim.startsWith("+- Window")) <= 1,
       s"expected one Window operator for all sums:\n$p")
   }
+
+  test("wilder: NULL until n values, mean seed, then the recurrence") {
+    import org.apache.spark.sql.expressions.Window
+    val df = series(1, 2, 3, 4)
+    val w = Window.partitionBy("sym").orderBy("i")
+    val out = df.select(col("i"),
+        graft.functions.FinancialFunctions.wilder(col("v"), 2).over(w)
+          .as("wd"))
+      .collect().map(r => r.getInt(0) ->
+        Option(r.getAs[java.lang.Double]("wd")).map(_.doubleValue())).toMap
+    assert(out(0) === None)
+    assert(out(1) === Some(1.5))            // (1+2)/2 seed
+    assert(out(2) === Some(1.5 * 0.5 + 3 * 0.5))
+    assert(out(3) === Some(2.25 * 0.5 + 4 * 0.5))
+  }
+
+  /** Textbook ADX recurrence, replayed directly in Scala — validates the
+    * window plumbing (projection binding, shared specs, native wilder)
+    * against an independent sequential implementation. */
+  private def adxReplay(bars: Seq[(Double, Double, Double)], n: Int)
+      : Seq[Option[Double]] = {
+    def wilderSeq(xs: Seq[Option[Double]]): Seq[Option[Double]] = {
+      var avg = 0.0; var cnt = 0
+      xs.map {
+        case None => None
+        case Some(x) =>
+          cnt += 1
+          avg = if (cnt < n) avg + x
+                else if (cnt == n) (avg + x) / n
+                else avg * (1.0 - 1.0 / n) + x * (1.0 / n)
+          if (cnt < n) None else Some(avg)
+      }
+    }
+    val trs = bars.zipWithIndex.map { case ((h, l, c), i) =>
+      if (i == 0) None
+      else {
+        val pc = bars(i - 1)._3
+        Some(math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc))))
+      }
+    }
+    val pdms = bars.zipWithIndex.map { case ((h, _, _), i) =>
+      if (i == 0) None
+      else {
+        val up = h - bars(i - 1)._1; val dn = bars(i - 1)._2 - bars(i)._2
+        Some(if (up > dn && up > 0) up else 0.0)
+      }
+    }
+    val mdms = bars.zipWithIndex.map { case ((_, l, _), i) =>
+      if (i == 0) None
+      else {
+        val up = bars(i)._1 - bars(i - 1)._1; val dn = bars(i - 1)._2 - l
+        Some(if (dn > up && dn > 0) dn else 0.0)
+      }
+    }
+    val (str, spd, smd) = (wilderSeq(trs), wilderSeq(pdms), wilderSeq(mdms))
+    val dx = str.indices.map { i =>
+      (str(i), spd(i), smd(i)) match {
+        case (Some(t), Some(p), Some(m)) =>
+          val dp = 100.0 * p / t; val dm = 100.0 * m / t
+          Some(if (dp + dm == 0.0) 0.0 else 100.0 * math.abs(dp - dm) / (dp + dm))
+        case _ => None
+      }
+    }
+    wilderSeq(dx)
+  }
+
+  test("adx: matches the independent sequential replay; 2n-1 bar schedule") {
+    val bars = Seq(
+      (10.0, 8.0, 9.0), (11.0, 9.0, 10.5), (12.0, 10.0, 11.5),
+      (11.5, 9.5, 10.0), (13.0, 11.0, 12.5), (14.0, 12.0, 13.5),
+      (13.0, 11.0, 12.0), (15.0, 13.0, 14.5), (16.0, 14.0, 15.5),
+      (15.0, 13.0, 14.0))
+    val df = bars.zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.adx(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 3)
+      .collect().map(r => r.getInt(1) ->
+        Option(r.getAs[java.lang.Double]("adx")).map(_.doubleValue())).toMap
+    val expected = adxReplay(bars, 3)
+    for (i <- bars.indices)
+      assert(out(i) === expected(i), s"bar $i")
+    // first ADX at bar index 2n-1 = 5 (n DX values need n smoothed bars,
+    // which need n moves, which start at bar 1)
+    assert((0 until 5).forall(out(_).isEmpty))
+    assert(out(5).isDefined)
+  }
+
+  test("adx: a strong one-way trend reads higher than choppy alternation") {
+    val trend = (0 until 20).map(i =>
+      (100.0 + 2 * i + 1, 100.0 + 2 * i - 1, 100.0 + 2 * i))
+    val chop = (0 until 20).map(i =>
+      if (i % 2 == 0) (101.0, 99.0, 100.0) else (102.0, 100.0, 101.0))
+    def lastAdx(bars: Seq[(Double, Double, Double)]): Double = {
+      val df = bars.zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+        .toDF("sym", "i", "h", "l", "c")
+      Rolling.adx(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 4)
+        .orderBy(col("i").desc).limit(1)
+        .collect().head.getAs[Double]("adx")
+    }
+    assert(lastAdx(trend) > 80.0, "sustained trend → high ADX")
+    assert(lastAdx(trend) > lastAdx(chop))
+  }
+
+  test("adx: one exchange — every window shares the (sym, i) spec") {
+    val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
+      .toDF("sym", "i", "h", "l", "c")
+    val p = Rolling.adx(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"one exchange expected:\n$p")
+  }
 }
