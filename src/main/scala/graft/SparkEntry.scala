@@ -260,6 +260,17 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_ichimoku" -> ((s, d) => {
+      // Ichimoku base lines over the daily bars (9/26/52) — exact window
+      // extremes + IEEE halvings + shifts; no recurrence anywhere
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.ichimoku(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("tenkan"),
+          col("kijun"), col("senkou_a"), col("senkou_b"), col("chikou"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_adx" -> ((s, d) => {
       // Wilder's Average Directional Index over the daily bars — three
       // native wilder() smoothings (TR, ±DM) + DX + a fourth smoothing,
@@ -4298,6 +4309,38 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.ichimoku: identical frames, count guards, halvings,
+    // and shift directions.
+    "q_ichimoku" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    CASE WHEN count(high) OVER w9 = 9 AND count(low) OVER w9 = 9
+         |         THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0::DOUBLE
+         |    END AS tenkan,
+         |    CASE WHEN count(high) OVER w26 = 26 AND count(low) OVER w26 = 26
+         |         THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0::DOUBLE
+         |    END AS kijun,
+         |    CASE WHEN count(high) OVER w52 = 52 AND count(low) OVER w52 = 52
+         |         THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0::DOUBLE
+         |    END AS sb0
+         |  FROM bars
+         |  WINDOW
+         |    w9 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         |    w26 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         |    w52 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate, tenkan, kijun,
+         |  lag((tenkan + kijun) / 2.0::DOUBLE, 26) OVER ws AS senkou_a,
+         |  lag(sb0, 26) OVER ws AS senkou_b,
+         |  lead(close, 26) OVER ws AS chikou
+         |FROM m
+         |WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.adx: NULL-first-bar TR/±DM, three Wilder folds over
     // prefix lists, DX from the same expression order, a fourth fold —

@@ -223,6 +223,51 @@ object Rolling {
       .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
   }
 
+  /** Ichimoku Kinko Hyo base lines (public formula): conversion
+    * (Tenkan, (max+min)/2 over `pConv` bars), base (Kijun, over
+    * `pBase`), leading span A ((Tenkan+Kijun)/2 shifted `pBase`
+    * FORWARD), leading span B (midpoint over `pSpanB`, shifted
+    * forward), lagging span (close shifted `pBase` BACK). Every line is
+    * an exact window extreme plus IEEE halvings — no recurrence, so
+    * results are bit-exact on any engine, NULL until each line's frame
+    * fills (and at the shift edges).
+    *
+    * ONE keyed Window pass computes all midpoints (shared spec, three
+    * frames); the two forward shifts are `lag` over the same spec, the
+    * lagging span a `lead`. Adds `tenkan`, `kijun`, `senkou_a`,
+    * `senkou_b`, `chikou`. */
+  def ichimoku(df: DataFrame, highCol: String, lowCol: String,
+               closeCol: String, partCols: Seq[String],
+               orderCols: Seq[String], pConv: Int = 9, pBase: Int = 26,
+               pSpanB: Int = 52): DataFrame = {
+    require(pConv >= 1 && pBase >= 1 && pSpanB >= 1,
+      s"periods must be >= 1, got ($pConv, $pBase, $pSpanB)")
+    Guards.requireNoReserved(df.columns,
+      Seq("tenkan", "kijun", "senkou_a", "senkou_b", "chikou", "__sb_lead"),
+      "Rolling.ichimoku")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    def mid(n: Int): org.apache.spark.sql.Column = {
+      val w = frame(partCols, orderCols, n)
+      when(count(h).over(w) === n && count(l).over(w) === n,
+        (max(h).over(w) + min(l).over(w)) / lit(2.0))
+    }
+    df.withColumn("tenkan", mid(pConv))
+      .withColumn("kijun", mid(pBase))
+      .withColumn("senkou_b", mid(pSpanB))
+      // bind the midpoints, then shift in a second pass over the SAME spec
+      .select(col("*"),
+        lag((col("tenkan") + col("kijun")) / lit(2.0), pBase).over(seqW)
+          .as("senkou_a"),
+        lag(col("senkou_b"), pBase).over(seqW).as("__sb_lead"),
+        lead(c, pBase).over(seqW).as("chikou"))
+      .withColumn("senkou_b", col("__sb_lead"))
+      .drop("__sb_lead")
+  }
+
   /** Rate of change (momentum oscillator, public formula):
     * `100 · (x − x_{t−n}) / x_{t−n}` — NULL while no n-back value exists
     * and on a zero base (no finite percentage to report). One fixed IEEE

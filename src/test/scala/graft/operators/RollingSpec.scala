@@ -208,6 +208,43 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("ichimoku: hand-computed midpoints, shifts, and fill schedule") {
+    // bars i=0..9: high = 10+i, low = 8+i, close = 9+i
+    val df = (0 until 10).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.ichimoku(df, "h", "l", "c", Seq("sym"), Seq("i"),
+        pConv = 3, pBase = 5, pSpanB = 7)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    def d(i: Int, c: String) =
+      Option(out(i).getAs[java.lang.Double](c)).map(_.doubleValue())
+    // tenkan at i>=2: (max(h over 3) + min(l over 3))/2 = (10+i + 8+i-2)/2
+    assert(d(1, "tenkan") === None)
+    assert(d(2, "tenkan") === Some((12.0 + 8.0) / 2))
+    assert(d(9, "tenkan") === Some((19.0 + 15.0) / 2))
+    // kijun fills at i>=4
+    assert(d(3, "kijun") === None)
+    assert(d(4, "kijun") === Some((14.0 + 8.0) / 2))
+    // senkou_a = (tenkan+kijun)/2 shifted 5 forward: first at i=9
+    // (source row 4 is the first with both lines)
+    assert(d(8, "senkou_a") === None)
+    assert(d(9, "senkou_a") === Some((d(4, "tenkan").get + d(4, "kijun").get) / 2))
+    // senkou_b = 7-bar midpoint shifted 5: first at i=11 → none in 10 bars
+    assert((0 until 10).forall(i => d(i, "senkou_b").isEmpty))
+    // chikou at i = close(i+5); absent for the last 5 bars
+    assert(d(0, "chikou") === Some(14.0))
+    assert(d(4, "chikou") === Some(18.0))
+    assert(d(5, "chikou") === None)
+  }
+
+  test("ichimoku: one exchange, shared window spec") {
+    val df = (0 until 60).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
+      .toDF("sym", "i", "h", "l", "c")
+    val p = Rolling.ichimoku(df, "h", "l", "c", Seq("sym"), Seq("i"))
+      .queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"one exchange expected:\n$p")
+  }
+
   test("wilder: NULL until n values, mean seed, then the recurrence") {
     import org.apache.spark.sql.expressions.Window
     val df = series(1, 2, 3, 4)
