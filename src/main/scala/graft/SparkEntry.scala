@@ -260,6 +260,16 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_cci" -> ((s, d) => {
+      // Commodity Channel Index over the daily bars (n=20) — fold-exact
+      // frame mean and mean absolute deviation, NULL on flat frames
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.cci(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
+        .select(col("l_suppkey"), col("l_shipdate"), col("cci"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_ichimoku" -> ((s, d) => {
       // Ichimoku base lines over the daily bars (9/26/52) — exact window
       // extremes + IEEE halvings + shifts; no recurrence anywhere
@@ -4309,6 +4319,38 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.cci: same in-order frame list, same two left folds
+    // (0-seed ≡ seedless first element), same guards.
+    "q_cci" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    (high + low + close) / 3.0::DOUBLE AS tp
+         |  FROM bars
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate, tp,
+         |    CASE WHEN count(tp) OVER wn = 20 THEN list(tp) OVER wn END AS tps
+         |  FROM t
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |), g AS (
+         |  SELECT l_suppkey, l_shipdate, tp, tps,
+         |    CASE WHEN tps IS NOT NULL THEN
+         |      list_reduce(tps, (a, b) -> a + b) / 20.0::DOUBLE END AS smatp
+         |  FROM f
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate, tp, smatp,
+         |    CASE WHEN tps IS NOT NULL THEN
+         |      list_reduce(list_transform(tps, x -> abs(x - smatp)),
+         |        (a, b) -> a + b) / 20.0::DOUBLE END AS md
+         |  FROM g
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN md <> 0.0::DOUBLE THEN
+         |    (tp - smatp) / (0.015::DOUBLE * md) END AS cci
+         |FROM h
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.ichimoku: identical frames, count guards, halvings,
     // and shift directions.

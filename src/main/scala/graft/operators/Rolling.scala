@@ -223,6 +223,43 @@ object Rolling {
       .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
   }
 
+  /** Commodity Channel Index (public formula):
+    * `CCI = (tp − SMA(tp, n)) / (0.015 · MD)` with `tp = (h+l+c)/3` and
+    * `MD` the mean ABSOLUTE deviation of the frame's typical prices from
+    * the frame mean — the overbought/oversold oscillator whose
+    * denominator is a robust spread, not σ. NULL until the frame fills
+    * and on a zero deviation (flat frame).
+    *
+    * Determinism: the frame's typical prices collect IN WINDOW ORDER and
+    * both the mean and the deviation sum are LEFT FOLDS over that list
+    * (the [[graft.operators.Divergence]] discipline) — a windowed
+    * `avg()` would pit Spark's sequential sum against DuckDB's pairwise
+    * one. O(n) state per row, like the rolling median. Adds `cci`. */
+  def cci(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("cci", "__tp", "__tps", "__smatp", "__md"), "Rolling.cci")
+    val w = frame(partCols, orderCols, n)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    def fold(lst: org.apache.spark.sql.Column,
+             term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
+    df.withColumn("__tp", (h + l + c) / lit(3.0))
+      .withColumn("__tps",
+        when(count(col("__tp")).over(w) === n,
+          collect_list(col("__tp")).over(w)))
+      .withColumn("__smatp", fold(col("__tps"), x => x) / lit(n.toDouble))
+      .withColumn("__md",
+        fold(col("__tps"), x => abs(x - col("__smatp"))) / lit(n.toDouble))
+      .withColumn("cci",
+        when(col("__md") =!= lit(0.0),
+          (col("__tp") - col("__smatp")) / (lit(0.015) * col("__md"))))
+      .drop("__tp", "__tps", "__smatp", "__md")
+  }
+
   /** Ichimoku Kinko Hyo base lines (public formula): conversion
     * (Tenkan, (max+min)/2 over `pConv` bars), base (Kijun, over
     * `pBase`), leading span A ((Tenkan+Kijun)/2 shifted `pBase`

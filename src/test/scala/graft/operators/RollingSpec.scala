@@ -208,6 +208,21 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("cci: hand-computed value, flat-frame NULL, fill schedule") {
+    // tp = close here (h=l=c); frame n=3
+    val mk = Seq(10.0, 12.0, 14.0, 14.0, 14.0)
+    val df = mk.zipWithIndex.map { case (v, i) => ("s", i, v, v, v) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.cci(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 3)
+      .collect().map(r => r.getInt(1) ->
+        Option(r.getAs[java.lang.Double]("cci")).map(_.doubleValue())).toMap
+    assert(out(1) === None, "unfilled frame")
+    // i=2: frame (10,12,14): sma=12, md=(2+0+2)/3; cci=(14-12)/(.015*4/3)
+    assert(out(2) === Some(2.0 / (0.015 * (4.0 / 3.0))))
+    // i=4: frame (14,14,14): md=0 → NULL
+    assert(out(4) === None)
+  }
+
   test("ichimoku: hand-computed midpoints, shifts, and fill schedule") {
     // bars i=0..9: high = 10+i, low = 8+i, close = 9+i
     val df = (0 until 10).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
