@@ -1115,6 +1115,21 @@ object SparkEntry {
           "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)
         .orderBy(col("bin"))
     }),
+    "q_kcore" -> ((s, d) => {
+      // 5-core of the sparse (quantity ≥ 48) co-supplier graph — two
+      // peel rounds at sf0.01; the oracle unrolls four (extra rounds
+      // are no-ops past the fixpoint)
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.kCore(edges, "s1", "s2", k = 5)
+        .orderBy(col("node"))
+    }),
     "q_assoc_rules" -> ((s, d) => {
       // pairwise association rules over order baskets × part items
       // (minSupport=3): Apriori item pruning before the pair join;
@@ -3151,6 +3166,29 @@ object SparkEntry {
         |  END AS n_users_est
         |FROM r GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // Replays Graph.kCore with four UNROLLED peel rounds (fixpoint at
+    // round 2 on this data; later rounds are identity) — the unique
+    // k-core makes peel order irrelevant.
+    "q_kcore" -> {
+      def round(i: Int): String =
+        s"""d$i AS (SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM e${i - 1}
+           |  UNION ALL SELECT v AS node FROM e${i - 1}) t GROUP BY 1),
+           |w$i AS (SELECT node FROM d$i WHERE d < 5),
+           |e$i AS (SELECT u, v FROM e${i - 1}
+           |        WHERE u NOT IN (SELECT node FROM w$i)
+           |          AND v NOT IN (SELECT node FROM w$i))""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         |            FROM lineitem a JOIN lineitem b
+         |              ON a.l_orderkey = b.l_orderkey
+         |             AND a.l_suppkey < b.l_suppkey
+         |            WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4) t
+         |GROUP BY node
+         |ORDER BY node""".stripMargin
+    },
     // Replays Freq.associationRules: same distinct itemization, frequent
     // pruning, u<v pair counting, two-direction expansion, and
     // single-division confidence/lift.

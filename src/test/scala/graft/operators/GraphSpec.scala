@@ -82,6 +82,42 @@ class GraphSpec extends AnyFunSuite {
       === ((5L, 2L)))
   }
 
+  test("kCore: peels the pendant chain, keeps the clique; degrees are " +
+      "within-core") {
+    // K4 (1-4) + a tail 4-5-6: the 3-core is exactly the K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: cascading peel (removing one node drags the next below k)") {
+    // path 1-2-3-4: 2-core is empty — each peel exposes the next end
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val out = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2)
+    assert(out.count() === 0L)
+    graft.CacheScope.release()
+    // cycle 1-2-3-1: every node IS the 2-core
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val out2 = Graph.kCore(cyc.toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    graft.CacheScope.release()
+    assert(out2 === Set(1L, 2L, 3L))
+  }
+
+  test("kCore: non-convergence inside maxIters fails loudly; no block leak") {
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    intercept[IllegalStateException] {
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2, maxIters = 1)
+    }
+    graft.CacheScope.release()
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${sc.getPersistentRDDs.keys}")
+  }
+
   test("triangleCount: hub-heavy graph matches and the plan has no window/sort") {
     // wheel: hub 0 to 10 rim nodes + rim cycle → 10 triangles
     val rim = (1L to 10L)
