@@ -260,6 +260,27 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_aroon" -> ((s, d) => {
+      // Aroon trend-age lines over daily bars (n=25) — pure extreme
+      // POSITIONS, integer arithmetic, most-recent tie convention
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.aroon(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 25)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("aroon_up"), col("aroon_down"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_mfi" -> ((s, d) => {
+      // Money Flow Index (volume-weighted RSI, n=14 flow-bearing bars)
+      // — signed flows fold in window order, flat bars carry no flow
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.mfi(dailyBars(s), "high", "low", "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("mfi"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_cci" -> ((s, d) => {
       // Commodity Channel Index over the daily bars (n=20) — fold-exact
       // frame mean and mean absolute deviation, NULL on flat frames
@@ -4357,6 +4378,81 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.aroon: struct-max extreme positions (ties to the
+    // larger row number in both engines), integer since-arithmetic.
+    "q_aroon" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate, high, low,
+         |    CAST(row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) AS BIGINT) AS rn
+         |  FROM bars
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, rn,
+         |    count(high) OVER wf AS ch, count(low) OVER wf AS cl,
+         |    max(struct_pack(x := high, i := rn)) OVER wf AS mh,
+         |    max(struct_pack(x := -low, i := rn)) OVER wf AS ml
+         |  FROM r
+         |  WINDOW wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN ch = 26 AND cl = 26 THEN
+         |    100.0::DOUBLE * CAST(25 - (rn - mh.i) AS DOUBLE) / 25.0::DOUBLE
+         |  END AS aroon_up,
+         |  CASE WHEN ch = 26 AND cl = 26 THEN
+         |    100.0::DOUBLE * CAST(25 - (rn - ml.i) AS DOUBLE) / 25.0::DOUBLE
+         |  END AS aroon_down
+         |FROM m
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.mfi: same signed flows, null-filtered in-order
+    // list, last-14 slice, two left folds, saturation rule.
+    "q_mfi" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate, volume,
+         |    (high + low + close) / 3.0::DOUBLE AS tp
+         |  FROM bars
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(tp) OVER ws IS NOT NULL AND tp > lag(tp) OVER ws
+         |           THEN tp * volume
+         |         WHEN lag(tp) OVER ws IS NOT NULL AND tp < lag(tp) OVER ws
+         |           THEN -(tp * volume)
+         |    END AS flow
+         |  FROM t
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), g AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    list_filter(list(flow) OVER wp, x -> x IS NOT NULL) AS fl
+         |  FROM f
+         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN len(fl) >= 14 THEN fl[-14:] END AS flows
+         |  FROM g
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN flows IS NOT NULL THEN
+         |      list_reduce(list_transform(flows,
+         |        x -> CASE WHEN x > 0.0::DOUBLE THEN x ELSE 0.0::DOUBLE END),
+         |        (a, b) -> a + b) END AS pos,
+         |    CASE WHEN flows IS NOT NULL THEN
+         |      list_reduce(list_transform(flows,
+         |        x -> CASE WHEN x < 0.0::DOUBLE THEN -x ELSE 0.0::DOUBLE END),
+         |        (a, b) -> a + b) END AS neg
+         |  FROM h
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN neg = 0.0::DOUBLE THEN
+         |    CASE WHEN pos IS NOT NULL THEN 100.0::DOUBLE END
+         |  ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + pos / neg)
+         |  END AS mfi
+         |FROM s
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.cci: same in-order frame list, same two left folds
     // (0-seed ≡ seedless first element), same guards.

@@ -223,6 +223,88 @@ object Rolling {
       .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
   }
 
+  /** Aroon oscillator lines (public formula): over the last `n+1` bars,
+    * `aroon_up = 100·(n − bars_since_highest_high)/n` and `aroon_down`
+    * likewise for the lowest low — trend-age gauges built ONLY from the
+    * POSITIONS of window extremes. Ties break to the most recent bar
+    * (the conventional reading). All arithmetic is integer positions +
+    * one multiply/divide — bit-exact everywhere with no float-compare
+    * subtleties. NULL until the `n+1`-bar frame fills. Adds `aroon_up`,
+    * `aroon_down`. */
+  def aroon(df: DataFrame, highCol: String, lowCol: String,
+            partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"period must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("aroon_up", "aroon_down", "__rn"), "Rolling.aroon")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n + 1)
+    val (h, l) = (col(highCol).cast("double"), col(lowCol).cast("double"))
+    // struct-max picks the max value and, among ties, the LARGEST row
+    // number — the most recent extreme, same in any engine
+    val withRn = df.withColumn("__rn", row_number().over(seqW).cast("long"))
+    val sinceHigh = col("__rn") -
+      max(struct(h, col("__rn"))).over(w).getField("__rn")
+    val sinceLow = col("__rn") -
+      max(struct(negate(l), col("__rn"))).over(w).getField("__rn")
+    val full = count(h).over(w) === (n + 1) && count(l).over(w) === (n + 1)
+    withRn
+      .withColumn("aroon_up",
+        when(full, lit(100.0) * (lit(n) - sinceHigh).cast("double") / lit(n.toDouble)))
+      .withColumn("aroon_down",
+        when(full, lit(100.0) * (lit(n) - sinceLow).cast("double") / lit(n.toDouble)))
+      .drop("__rn")
+  }
+
+  /** Money Flow Index (public formula) — the volume-weighted RSI: per
+    * bar, raw money flow `tp·volume` (`tp = (h+l+c)/3`) is positive when
+    * tp rose and negative when it fell (flat bars carry no flow); over
+    * the last `n` FLOW-BEARING bars,
+    * `MFI = 100 − 100/(1 + Σpos/Σneg)` (100 on a zero negative sum).
+    * NULL until `n` flows accumulate in the frame.
+    *
+    * Determinism ([[cci]] discipline): the signed flows collect in
+    * window order and both sums are left folds over the frame list —
+    * never a windowed `avg`/`sum` of doubles. Adds `mfi`. */
+  def mfi(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          volCol: String, partCols: Seq[String], orderCols: Seq[String],
+          n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("mfi", "__tp", "__flow", "__flows", "__pos", "__neg"), "Rolling.mfi")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (h, l, c, v) = (col(highCol).cast("double"), col(lowCol).cast("double"),
+      col(closeCol).cast("double"), col(volCol).cast("double"))
+    def fold(lst: org.apache.spark.sql.Column,
+             term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
+    val bound = df.withColumn("__tp", (h + l + c) / lit(3.0))
+    val prevTp = lag(col("__tp"), 1).over(seqW)
+    // signed flow: positive magnitude on a rise, negative on a fall,
+    // NULL on the first bar and on flat bars (no flow to attribute)
+    val flow = when(prevTp.isNotNull && col("__tp") > prevTp, col("__tp") * v)
+      .when(prevTp.isNotNull && col("__tp") < prevTp, -(col("__tp") * v))
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filtered = filter(collect_list(col("__flow")).over(w),
+      x => x.isNotNull)
+    val flowed = bound.withColumn("__flow", flow)
+      .withColumn("__flows",
+        when(size(filtered) >= n, slice(filtered, -n, n)))
+    val pos = fold(col("__flows"), x => when(x > lit(0.0), x).otherwise(lit(0.0)))
+    val neg = fold(col("__flows"), x => when(x < lit(0.0), -x).otherwise(lit(0.0)))
+    flowed
+      .withColumn("__pos", when(size(col("__flows")) === n, pos))
+      .withColumn("__neg", when(size(col("__flows")) === n, neg))
+      .withColumn("mfi",
+        when(col("__neg") === lit(0.0), when(col("__pos").isNotNull, lit(100.0)))
+          .otherwise(lit(100.0) -
+            lit(100.0) / (lit(1.0) + col("__pos") / col("__neg"))))
+      .drop("__tp", "__flow", "__flows", "__pos", "__neg")
+  }
+
   /** Commodity Channel Index (public formula):
     * `CCI = (tp − SMA(tp, n)) / (0.015 · MD)` with `tp = (h+l+c)/3` and
     * `MD` the mean ABSOLUTE deviation of the frame's typical prices from

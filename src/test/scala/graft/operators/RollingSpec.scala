@@ -208,6 +208,50 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("aroon: extreme positions, recent-tie convention, fill schedule") {
+    // highs: 5, 9, 7, 9, 6 ; lows = highs - 2 ; n = 3 → frame of 4
+    val hs = Seq(5.0, 9.0, 7.0, 9.0, 6.0)
+    val df = hs.zipWithIndex.map { case (h, i) => ("s", i, h, h - 2.0) }
+      .toDF("sym", "i", "h", "l")
+    val out = Rolling.aroon(df, "h", "l", Seq("sym"), Seq("i"), n = 3)
+      .collect().map(r => r.getInt(1) ->
+        (Option(r.getAs[java.lang.Double]("aroon_up")).map(_.doubleValue()),
+         Option(r.getAs[java.lang.Double]("aroon_down")).map(_.doubleValue())))
+      .toMap
+    assert(out(2) === ((None, None)), "frame not yet full")
+    // i=3: frame (5,9,7,9): tied highs at i=1,3 → most recent (i=3) wins
+    assert(out(3)._1 === Some(100.0))
+    // lowest low in frame = 3.0 at i=0 → since=3 → 100·(3-3)/3 = 0
+    assert(out(3)._2 === Some(0.0))
+    // i=4: frame (9,7,9,6): high at i=3 → since=1 → 100·2/3
+    assert(out(4)._1 === Some(100.0 * 2.0 / 3.0))
+    // low 4.0 at i=4 (current) → 100
+    assert(out(4)._2 === Some(100.0))
+  }
+
+  test("mfi: hand-computed flows, zero-negative saturation, flat bars skip") {
+    // tp == close (h=l=c); volume 10; closes: 1,2,3,2,2,4
+    // flows: _, +20, +30, -20, (flat: none), +40
+    val cs = Seq(1.0, 2.0, 3.0, 2.0, 2.0, 4.0)
+    val df = cs.zipWithIndex.map { case (c, i) => ("s", i, c, c, c, 10.0) }
+      .toDF("sym", "i", "h", "l", "c", "vol")
+    val out = Rolling.mfi(df, "h", "l", "c", "vol", Seq("sym"), Seq("i"), n = 3)
+      .collect().map(r => r.getInt(1) ->
+        Option(r.getAs[java.lang.Double]("mfi")).map(_.doubleValue())).toMap
+    assert(out(2) === None, "only 2 flows so far")
+    // i=3: flows (+20,+30,-20): pos=50, neg=20 → 100-100/(1+2.5)
+    assert(out(3) === Some(100.0 - 100.0 / (1.0 + 50.0 / 20.0)))
+    assert(out(4) === out(3), "flat bar adds no flow; window unchanged")
+    // i=5: flows (+30,-20,+40): pos=70, neg=20
+    assert(out(5) === Some(100.0 - 100.0 / (1.0 + 70.0 / 20.0)))
+    // all-rising series saturates at 100
+    val up = (1 to 6).map(i => ("s", i, i.toDouble, i.toDouble, i.toDouble, 1.0))
+      .toDF("sym", "i", "h", "l", "c", "vol")
+    val sat = Rolling.mfi(up, "h", "l", "c", "vol", Seq("sym"), Seq("i"), n = 3)
+      .orderBy(col("i").desc).limit(1).collect().head.getAs[Double]("mfi")
+    assert(sat === 100.0)
+  }
+
   test("cci: hand-computed value, flat-frame NULL, fill schedule") {
     // tp = close here (h=l=c); frame n=3
     val mk = Seq(10.0, 12.0, 14.0, 14.0, 14.0)
