@@ -1104,6 +1104,15 @@ object SparkEntry {
           docs.filter(col("lang") =!= "en"),
           "text", topK = 100)
     }),
+    "q_negative_pairs" -> ((s, d) => {
+      // deterministic contrastive negatives: hash-ring neighbors, k=2,
+      // 16 buckets — same pairs on any layout/engine/retry
+      load(s, d)
+      operators.Sampling.negativePairs(
+          s.table("documents").select("doc_id"), "doc_id", k = 2,
+          nBuckets = 16)
+        .orderBy(col("anchor"), col("j"))
+    }),
     "q_temperature_rates" -> ((s, d) => {
       // temperature-scaled mixture rates (τ=0.5, 300-row target) over the
       // document sources — ordered pow-fold + 10-dp rounding
@@ -3272,6 +3281,30 @@ object SparkEntry {
         |WHERE a.c_custkey IS NULL
         |   OR a.c_name <> b.c_name OR a.c_acctbal <> b.c_acctbal
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // Replays Sampling.negativePairs: same md5 ring, hex-prefix bucket,
+    // modular neighbor walk, self-pair filter.
+    "q_negative_pairs" ->
+      """WITH ring0 AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |ring AS (
+        |  SELECT doc_id, h,
+        |    CAST('0x' || substr(h, 1, 4) AS BIGINT) % 16 AS bk
+        |  FROM ring0),
+        |rk AS (
+        |  SELECT doc_id, bk,
+        |    CAST(row_number() OVER (PARTITION BY bk ORDER BY h, doc_id)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY bk) AS BIGINT) AS m
+        |  FROM ring),
+        |a AS (
+        |  SELECT rk.doc_id AS anchor, rk.bk, rk.r, rk.m,
+        |    CAST(j AS INT) AS j,
+        |    ((rk.r - 1 + j) % rk.m) + 1 AS r2
+        |  FROM rk, unnest(range(1, 3)) AS t(j)),
+        |p AS (SELECT * FROM a WHERE r2 <> r)
+        |SELECT p.anchor, n.doc_id AS negative, p.j
+        |FROM p JOIN rk n ON n.bk = p.bk AND n.r = p.r2
+        |ORDER BY p.anchor, p.j""".stripMargin,
     // Replays Divergence.ksTest with a single global cumulative window —
     // the Spark side's bucketed two-level prefix sum decomposes the same
     // integer cumsums, so D matches bit-for-bit with no rounding.

@@ -162,4 +162,50 @@ object Sampling {
     graft.functions.TopKBy.rankAscending(hashed, groupCol, "__h48", keyCol, n)
       .select(col(groupCol), col(keyCol), col("rank"))
   }
+
+  /** Deterministic negative sampling for contrastive training: give every
+    * row `k` pseudo-random partners by walking a HASH RING — rows order by
+    * `md5(key)` inside 256 hash-prefix buckets, and row `r` pairs with
+    * rows `(r+j) mod bucketSize` for `j = 1..k`. The hash order is
+    * content-random but a pure function of the keys, so the SAME corpus
+    * yields the SAME negatives on any layout/engine/retry — the
+    * reproducibility `orderBy(rand())` sampling can never give — and
+    * ring neighbors are uniform over the corpus (unrelated keys land
+    * adjacent), exactly what "random negative" wants.
+    *
+    * Scale shape: the ring never materializes globally — ranks come from
+    * `nBuckets` hash-partitioned windows (size the bucket count so a
+    * bucket's rows sort comfortably in one task: ~rows/10⁶ at corpus
+    * scale; it must exceed nothing — buckets of ANY size pair
+    * correctly), and pairing is ONE equi-join on (bucket, rank) after a
+    * k-row explode of the anchor side. Self-pairs (a walk that wraps the
+    * whole bucket, only when bucketSize ≤ k) filter out. Emits
+    * (`anchor`, `negative`, `j`). */
+  def negativePairs(df: DataFrame, keyCol: String, k: Int,
+                    nBuckets: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    Guards.requireNoReserved(df.columns,
+      Seq("anchor", "negative", "j", "__h", "__bk", "__r", "__m"),
+      "negativePairs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("__h"), col(keyCol))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))
+    val ring = df
+      .select(col(keyCol), md5(col(keyCol).cast("string")).as("__h"))
+      .withColumn("__bk",
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % nBuckets)
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wb))
+    val anchors = ring
+      .select(col(keyCol).as("anchor"), col("__bk"), col("__r"), col("__m"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__r2", ((col("__r") - 1L + col("j")) % col("__m")) + 1L)
+      .filter(col("__r2") =!= col("__r"))
+    anchors.join(
+        ring.select(col(keyCol).as("negative"), col("__bk"),
+          col("__r").as("__r2")),
+        Seq("__bk", "__r2"))
+      .select(col("anchor"), col("negative"), col("j"))
+  }
 }

@@ -155,4 +155,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_by"), s"expected map-side partial topk:\n$p")
     assert(!p.contains("Window"), s"expected no ranking window:\n$p")
   }
+
+  test("negativePairs: k per anchor, no self-pairs, layout-reproducible") {
+    val df = (1L to 500L).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.negativePairs(df, "doc_id", k = 3, nBuckets = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every anchor with a big-enough bucket gets exactly k negatives
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 3))
+    assert(perAnchor.values.count(_ == 3) === 500,
+      "8 buckets over 500 rows are all > 3 deep")
+    assert(rows.forall { case (a, n, _) => a != n }, "no self-pairs")
+    // deterministic: identical output on a different layout
+    val again = Sampling.negativePairs(df.repartition(13), "doc_id", k = 3, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again === rows.toSet)
+  }
+
+  test("negativePairs: negatives look uniform, not id-adjacent") {
+    val df = (1L to 1000L).map(Tuple1(_)).toDF("doc_id")
+    val rows = Sampling.negativePairs(df, "doc_id", k = 2, nBuckets = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // hash adjacency ≠ id adjacency: mean |id gap| of pairs should be
+    // large (uniform expectation ~N/3); id-adjacent pairing would be ~1
+    val meanGap = rows.map { case (a, b) => math.abs(a - b) }.sum.toDouble / rows.length
+    assert(meanGap > 150.0, s"negatives must be id-uniform, meanGap=$meanGap")
+  }
+
+  test("negativePairs: tiny buckets never emit wrap-around self-pairs") {
+    val df = (1L to 3L).map(Tuple1(_)).toDF("doc_id")
+    val rows = Sampling.negativePairs(df, "doc_id", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, n) => a != n })
+  }
 }
