@@ -1518,6 +1518,15 @@ object SparkEntry {
       operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_hard_negatives" -> ((s, d) => {
+      // hard-negative mining: top-5 most similar DIFFERENT-label vectors
+      // per query — the boundary-hugging negatives metric training needs
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Similarity.hardNegatives(emb,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_embed_ivf_knn" -> ((s, d) => {
       load(s, d)
       val emb = s.table("embeddings")
@@ -2917,6 +2926,24 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Replays Similarity.hardNegatives: the kNN oracle with the label
+    // inequality in the candidate filter; tag channel surfaces the label.
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         |    ${cosSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, neg_label, cosine, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_knn" ->
       s"""WITH dims AS (

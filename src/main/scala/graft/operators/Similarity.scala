@@ -47,6 +47,36 @@ object Similarity {
         col("cos").as("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/metric training: for each
+    * query, the `k` MOST SIMILAR corpus vectors with a DIFFERENT label —
+    * the negatives that actually teach a margin (random negatives are
+    * trivially far; these sit right at the decision boundary). The
+    * complement of [[Sampling.negativePairs]]' uniform ring: use both —
+    * uniform negatives early, hard negatives as training sharpens.
+    *
+    * Same plan as [[bruteForceKnn]] (broadcast queries, one corpus
+    * pass, bounded-heap top-k, codegen'd `vec_dot`) with the label
+    * inequality fused into the join condition — mismatched rows never
+    * reach the scorer. Labels must be integral (they ride the heap's
+    * tag channel so the output can surface them). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      col(labelCol).cast("long").as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      col(labelCol).cast("long").as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    graft.functions.TopKBy.rankDescending(scored, "query_id",
+        ordCol = "cos", idCol = "neighbor_id", k = k, tagCol = Some("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("n_label").cast("int").as("neg_label"),
+        col("cos").as("cosine"), col("rank"))
+  }
+
   /** IVF-style clustered ANN: centroids are the per-cluster mean vectors
     * (rounded to 6 decimals for cross-engine determinism of the group-sum);
     * each query probes only its `nprobe` nearest centroids' clusters —

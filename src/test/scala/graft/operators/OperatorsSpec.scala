@@ -140,6 +140,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
 
+  test("hard negatives: same-label vectors excluded, nearest different " +
+      "label first") {
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect()
+    // label-0 vectors (ids 0, 1) must never appear
+    assert(out.forall(_.getAs[Int]("neg_label") != 0))
+    assert(out.forall(r => Set(2L, 3L, 4L)(r.getAs[Long]("neighbor_id"))))
+    // the closest different-label vector to (1,0,0) is id 3 (0.28 on axis x? no:
+    // id 3 = (0, .96, .28): cos = 0; id 2 cos = 0; id 4 cos = 0 — ties break low id
+    assert(out(0).getAs[Long]("neighbor_id") === 2L)
+    // a query whose own label dominates its neighborhood still gets k rows
+    assert(out.length === 3)
+  }
+
   test("ivf knn probes the query's own cluster only") {
     val out = Similarity.ivfKnn(vecs, vecs.filter($"vec_id" === 2), k = 3)
       .collect()
