@@ -1231,6 +1231,16 @@ object SparkEntry {
           "doc_id", "text", vocabK = 1000)
         .orderBy(col("doc_id"))
     }),
+    "q_tfidf_pairs" -> ((s, d) => {
+      // weighted lexical cosine near-dup pairs (doc_id < 300 slab,
+      // threshold .85) — posting-list join, term-ordered folds, no ln
+      load(s, d)
+      operators.TextOps.tfidfCosinePairs(
+          s.table("documents").filter(col("doc_id") < 300)
+            .select("doc_id", "text"),
+          "doc_id", "text", threshold = 0.85)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_zipf" -> ((s, d) => {
       // Zipf rank-frequency OLS over the top-1000 vocabulary — the
       // one-row corpus-health fingerprint (natural text ≈ slope −1);
@@ -3473,6 +3483,40 @@ object SparkEntry {
         |JOIN uc b ON b.w = top.w2
         |CROSS JOIN bt CROSS JOIN ut
         |ORDER BY w1, w2""".stripMargin,
+    // Replays TextOps.tfidfCosinePairs: same rational-idf weights (the
+    // q_tfidf expression), term-ordered norm/dot folds, sqrt norms, one
+    // division — no ln, no rounding.
+    "q_tfidf_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM base) t WHERE w <> ''),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM base),
+        |wt AS (
+        |  SELECT t.doc_id, t.term,
+        |    CAST(t.tf AS DOUBLE) *
+        |      ((CAST(n.n AS DOUBLE) + 1.0::DOUBLE) / (CAST(d.df AS DOUBLE) + 1.0::DOUBLE)) AS w
+        |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n),
+        |norms AS (
+        |  SELECT doc_id,
+        |    sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm
+        |  FROM wt GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared,
+        |    list_reduce(list(a.w * b.w ORDER BY a.term), (x, y) -> x + y) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b, d.n_shared,
+        |  d.dot / (na.nrm * nb.nrm) AS cosine
+        |FROM dots d
+        |JOIN norms na ON na.doc_id = d.id_a
+        |JOIN norms nb ON nb.doc_id = d.id_b
+        |WHERE d.dot / (na.nrm * nb.nrm) >= 0.85
+        |ORDER BY d.id_a, d.id_b""".stripMargin,
     // Replays TextOps.zipfFit: same vocab/rank order, pre-rounded ln per
     // element, the same five rank-ordered folds, and identically
     // parenthesized closed forms.

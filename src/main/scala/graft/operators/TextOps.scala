@@ -246,6 +246,57 @@ object TextOps {
         (col("tf") * col("idf")).as("tfidf"))
   }
 
+  /** Weighted lexical cosine pair mining — TF-IDF cosine over shared
+    * terms, the similarity modality between set-based MinHash/Jaccard
+    * (ignores weights) and embedding cosine (needs vectors): near-dup
+    * and template detection where REPEATED distinctive terms matter.
+    * Emits (`id_a`, `id_b`, `n_shared`, `cosine`) for pairs with
+    * cosine ≥ `threshold`.
+    *
+    * Scale shape: candidates come from the posting-list equi-join on the
+    * term — pair volume is Σ df² per term, so `maxDf` PRUNES stopword
+    * postings before the join (the classic lexical-pair bound; a term in
+    * half the corpus contributes pairs quadratically and ~zero idf
+    * signal). Norms and dots are per-doc/per-pair TERM-ORDERED folds
+    * over collected weight lists (state bounded by doc/shared terms) —
+    * never an unordered float sum; with the rational idf there is no
+    * `ln` anywhere, so results are bit-exact with NO rounding. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxDf: Long = Long.MaxValue,
+                       nDocs: Option[Long] = None): DataFrame = {
+    require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val weights = tfidf(df, idCol, textCol, logIdf = false, nDocs = nDocs)
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("term"), col("tfidf").as("__w"))
+    def foldSq(lst: Column): Column =
+      aggregate(transform(lst, t => t.getField("__w") * t.getField("__w")),
+        lit(0.0), (acc, x) => acc + x)
+    val norms = weights.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("term"), col("__w"))))
+        .as("__ts"))
+      .select(col(idCol), sqrt(foldSq(col("__ts"))).as("__norm"))
+    val a = weights.select(col(idCol).as("id_a"), col("term"),
+      col("__w").as("__wa"))
+    val b = weights.select(col(idCol).as("id_b"), col("term"),
+      col("__w").as("__wb"))
+    val dots = a.join(b, "term").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sort_array(collect_list(struct(col("term"), col("__wa"),
+          col("__wb")))).as("__ts"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        aggregate(transform(col("__ts"),
+            t => t.getField("__wa") * t.getField("__wb")),
+          lit(0.0), (acc, x) => acc + x).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("__norm").as("__na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("__norm").as("__nb")), "id_b")
+      .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("cosine"))
+  }
+
   /** Okapi BM25 term scoring (Robertson et al., TREC-3 — the standard
     * lexical relevance / data-selection score): per (doc, term),
     * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with document

@@ -252,6 +252,44 @@ class TextQualitySpec extends AnyFunSuite {
     assert((out.head.getString(0), out.head.getString(1)) === (("x", "y")))
   }
 
+  test("tfidfCosinePairs: identical docs hit cosine 1; disjoint emit " +
+      "nothing; weights matter") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "alpha alpha alpha beta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfCosinePairs(df, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("cosine")))).toMap
+    assert(math.abs(out((1L, 2L))._2 - 1.0) < 1e-12,
+      "identical docs → cosine ~1 (sqrt rounding allows one ulp)")
+    assert(!out.contains((1L, 3L)), "no shared term → no candidate pair")
+    // doc 4 shares alpha+beta with 1/2 but with different tf weights
+    assert(out((1L, 4L))._1 === 2L)
+    assert(out((1L, 4L))._2 > 0.0 && out((1L, 4L))._2 < 1.0)
+  }
+
+  test("tfidfCosinePairs: maxDf prunes stopword postings before pairing") {
+    // 'the' appears in all 4 docs; with maxDf=3 it cannot create pairs
+    val df = Seq((1L, "the unique1"), (2L, "the unique2"),
+      (3L, "the unique3"), (4L, "the unique4")).toDF("doc_id", "text")
+    val all = TextOps.tfidfCosinePairs(df, "doc_id", "text", 0.0)
+    assert(all.count() === 6L, "stopword links every pair")
+    val pruned = TextOps.tfidfCosinePairs(df, "doc_id", "text", 0.0,
+      maxDf = 3L)
+    assert(pruned.count() === 0L, "pruned stopword → no candidates at all")
+  }
+
+  test("tfidfCosinePairs: layout-exact (ordered folds)") {
+    val df = (1L to 80L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} filler${i % 11}"))
+      .toDF("doc_id", "text")
+    val a = TextOps.tfidfCosinePairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    val b = TextOps.tfidfCosinePairs(df.repartition(11), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(a === b && a.nonEmpty)
+  }
+
   test("zipfFit: an exact power law recovers its slope with r2 = 1") {
     // freq(rank) = 1000·rank^(-1) exactly for ranks 1..8: tokens t1..t8
     // with counts 1000/r (integers: 1000,500,333? no — use 840/r exact
