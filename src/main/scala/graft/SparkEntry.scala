@@ -1067,6 +1067,18 @@ object SparkEntry {
           "user_id", "ts_us", "event_type", "event_id")
         .orderBy(col("from_type"), col("to_type"))
     }),
+    "q_transition_entropy" -> ((s, d) => {
+      // per-user transition entropy (behavioral regularity / bot score)
+      // at µs precision with event_id tie-break
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      operators.EventAnalytics.transitionEntropy(ev,
+          "user_id", "ts_us", "event_type", "event_id")
+        .orderBy(col("user_id"))
+    }),
     "q_avg_precision" -> ((s, d) => {
       // grouped average precision (step-wise PR-AUC) of the event value
       // score predicting the purchase label, one group per epoch day —
@@ -3825,6 +3837,26 @@ object SparkEntry {
         |    (sea + seb) * (sea + seb) /
         |      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) END AS df_welch
         |FROM g ORDER BY day""".stripMargin,
+    // Replays EventAnalytics.transitionEntropy: same pairing, per-user
+    // (from, to)-ordered fold of −p·ln p, round(_, 10)+0.0.
+    "q_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+        |           FROM events),
+        |p AS (SELECT user_id, event_type AS t,
+        |        lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY tsu, event_id) AS pt
+        |      FROM e),
+        |c AS (SELECT user_id, pt, t, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE pt IS NOT NULL GROUP BY 1, 2, 3),
+        |g AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_transitions,
+        |        list(n ORDER BY pt, t) AS ns
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n_transitions,
+        |  round(list_reduce(list_transform(ns, x ->
+        |    -((CAST(x AS DOUBLE) / CAST(n_transitions AS DOUBLE))
+        |      * ln(CAST(x AS DOUBLE) / CAST(n_transitions AS DOUBLE)))),
+        |    (a, b) -> a + b), 10) + 0.0 AS transition_entropy
+        |FROM g ORDER BY user_id""".stripMargin,
     // Replays EventAnalytics.transitions: same (ts_us, event_id) ordering
     // (µs — Spark's nanos DIV 1000 == DuckDB's truncated TIMESTAMP),
     // integer micro-gap sums, single IEEE divisions for p and mean_gap.

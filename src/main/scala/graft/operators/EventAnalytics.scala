@@ -121,4 +121,47 @@ object EventAnalytics {
         (col("n").cast("double") / col("__rt").cast("double")).as("p"),
         (col("__gap").cast("double") / col("n").cast("double")).as("mean_gap"))
   }
+
+  /** Per-user transition entropy — Shannon entropy (nats) of each user's
+    * OWN transition distribution: the behavioral-regularity score that
+    * separates scripted traffic (a bot cycling one loop → entropy ≈ 0)
+    * from organic use (varied paths → entropy near ln of the observed
+    * transition types). The per-user scalar [[transitions]] is the
+    * population matrix of.
+    *
+    * Same plan prefix as [[transitions]] (one keyed lag window), then a
+    * per-(user, from, to) count and a per-user fold over the ≤ |types|²
+    * support in ascending (from, to) order — the [[Divergence]]
+    * determinism discipline, one rounded `ln` per term absorbed by the
+    * final `round(_, 10)`. Emits (`userCol`, `n_transitions`,
+    * `transition_entropy`); users with a single event (no transition)
+    * are absent. */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    Guards.requireNoReserved(events.columns,
+      Seq("n_transitions", "transition_entropy", "__pt", "__n", "__ts"),
+      "transitionEntropy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val paired = events
+      .withColumn("__pt", lag(col(typeCol), 1).over(w))
+      .filter(col("__pt").isNotNull)
+    val counts = paired
+      .groupBy(col(userCol), col("__pt"), col(typeCol))
+      .agg(count(lit(1)).as("__n"))
+    val grouped = counts.groupBy(col(userCol))
+      .agg(sum(col("__n")).as("n_transitions"),
+        sort_array(collect_list(struct(col("__pt"), col(typeCol),
+          col("__n")))).as("__ts"))
+    val t = col("n_transitions").cast("double")
+    val ent = aggregate(
+      transform(col("__ts"), e => {
+        val p = e.getField("__n").cast("double") / t
+        -(p * log(p))
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    grouped.select(col(userCol), col("n_transitions"),
+      (round(ent, 10) + lit(0.0)).as("transition_entropy"))
+  }
 }

@@ -130,6 +130,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("x", "y")), "users 1/2 have no pair; tie is x->y")
   }
 
+  test("transitionEntropy: a looping bot scores 0, varied paths score ln(k)") {
+    // bot: a->a->a->a (one transition type); organic: 4 distinct pairs
+    val ev = (Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "a")) ++
+      Seq((2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"), (2L, "a")))
+      .zipWithIndex.map { case ((u, t), i) => (u, i.toLong, t, i.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.transitionEntropy(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_transitions"),
+          r.getAs[Double]("transition_entropy")))).toMap
+    assert(out(1L) === ((3L, 0.0)), "single-loop bot → zero entropy")
+    assert(out(2L)._1 === 4L)
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._2 === ln4, "4 equiprobable transitions → ln 4")
+    // single-event users are absent
+    val solo = Seq((9L, 0L, "x", 0L)).toDF("user_id", "ts", "event_type",
+      "event_id")
+    assert(EventAnalytics.transitionEntropy(solo, "user_id", "ts",
+      "event_type", "event_id").count() === 0L)
+  }
+
   test("transitions: layout-independent and row totals broadcast") {
     val ev = (1 to 600).map(i =>
       ((i % 7).toLong, i.toLong, s"t${i % 4}", i.toLong))
