@@ -1513,6 +1513,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_dedup_keep_best" -> ((s, d) => {
+      // quality-aware variant: each near-dup cluster keeps its LONGEST
+      // member (n_chars as the quality stand-in), ties to the lower id
+      load(s, d)
+      val docs = s.table("documents")
+      val pairs = operators.Dedup.minhashNearDups(docs, "doc_id", "text")
+      val comp = operators.Dedup.connectedComponents(pairs)
+      operators.Dedup.keepBestRepresentatives(docs, "doc_id", "n_chars", comp)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, d) => {
       load(s, d)
       operators.Dedup.simhash(s.table("documents"), "doc_id", "text")
@@ -2910,6 +2921,22 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars
          |FROM documents d LEFT JOIN drop_ids x ON x.id = d.doc_id
          |WHERE x.id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
+    // Replays keepBestRepresentatives over the same recursive components:
+    // per-cluster winner = max (n_chars, −id) ≡ argmin(−score, ties low id).
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckComponentsCtes,
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |scored AS (SELECT c.id, c.component, d.n_chars
+         |           FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |win AS (SELECT component,
+         |          max(struct_pack(s := CAST(n_chars AS DOUBLE), i := -id)) AS w
+         |        FROM scored GROUP BY component),
+         |keep AS (SELECT -(w.i) AS id FROM win)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp)
+         |   OR d.doc_id IN (SELECT id FROM keep)
          |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" -> (duckSimhashSql + "\nSELECT doc_id, simhash FROM fps ORDER BY doc_id"),
     "q_simhash_pairs" ->

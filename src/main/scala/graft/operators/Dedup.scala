@@ -271,6 +271,43 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware representative selection: where
+    * [[keepRepresentatives]] keeps each duplicate cluster's MIN-ID
+    * member (arbitrary), this keeps its BEST member by `scoreCol`
+    * (quality score, length, recency — higher wins, ties to the lower
+    * id so the choice stays a pure function of the corpus). The
+    * difference is real data quality: a near-dup cluster usually holds
+    * one clean copy and N mangled ones, and min-id picks blindly.
+    *
+    * One [[graft.functions.ArgMinBy]] aggregation per component over
+    * the (id, component, score) join — map-side combinable, one entry
+    * of state per cluster, no window — then a broadcast semi-join of
+    * the winner set. Docs outside any component pass through (they are
+    * their own cluster). NULL scores fail loudly (a NULL would silently
+    * lose to every real score). */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String,
+                              scoreCol: String,
+                              components: DataFrame): DataFrame = {
+    Guards.requireNoReserved(docs.columns, Seq("__best", "__neg"),
+      "keepBestRepresentatives")
+    val score = when(col(scoreCol).isNull, raise_error(lit(
+        s"keepBestRepresentatives: $scoreCol must be non-null — a NULL " +
+          "score would silently lose every cluster; impute first")))
+      .otherwise(col(scoreCol).cast("double"))
+    val scored = components
+      .join(docs.select(col(idCol).as("id"), score.as("__s")), "id")
+    // argmin of (−score) with ties to the LOWER id = argmax of score,
+    // deterministic — one entry of state per component
+    val winners = scored.groupBy(col("component"))
+      .agg(graft.functions.ArgMinBy.argminBy(
+        negate(col("__s")), col("id").cast("long"),
+        array().cast("array<float>")).as("__best"))
+      .select(col("__best").getField("id").as(idCol))
+    val inComponents = components.select(col("id").as(idCol))
+    docs.join(inComponents, Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** C4-style repeated-span removal: partition each document's token stream
     * into `n`-token spans (trailing span may be short), drop every span whose
     * exact text already occurred earlier in the corpus (first occurrence =

@@ -258,6 +258,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.size === 25 - 6)
   }
 
+  test("keepBestRepresentatives: highest score wins each cluster, " +
+      "lower id on ties, outsiders pass through") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    // cluster {1,2,3}: scores 5, 9, 7 → id 2 wins
+    // cluster {10,11}: tied scores → lower id 10 wins
+    // 99 is in no cluster → passes through
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0), (99L, 0.1)).toDF("doc_id", "q")
+    val kept = Dedup.keepBestRepresentatives(docs, "doc_id", "q", comps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.release()
+    assert(kept === Set(2L, 10L, 99L))
+  }
+
+  test("keepBestRepresentatives: NULL scores fail loudly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val docs = Seq((1L, Some(1.0)), (2L, None))
+      .map { case (i, s) => (i, s.map(Double.box).orNull) }.toDF("doc_id", "q")
+    val e = intercept[Exception] {
+      Dedup.keepBestRepresentatives(docs, "doc_id", "q", comps).collect()
+    }
+    graft.CacheScope.release()
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   test("prefix-filtered ngram jaccard equals the direct variant exactly") {
     graft.CacheScope.release(blocking = true)
     def key(r: org.apache.spark.sql.Row) =
