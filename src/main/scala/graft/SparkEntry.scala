@@ -260,6 +260,20 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_realized_vol" -> ((s, d) => {
+      // log returns (source-rounded ln) → 20-bar realized volatility,
+      // annualized by sqrt(252) — the risk-metric composition
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+        Seq("l_suppkey"), Seq("l_shipdate"))
+      operators.Rolling.realizedVol(rets, "ret_log",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20,
+          annualize = math.sqrt(252.0))
+        .select(col("l_suppkey"), col("l_shipdate"), col("ret_log"),
+          col("rvol"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_aroon" -> ((s, d) => {
       // Aroon trend-age lines over daily bars (n=25) — pure extreme
       // POSITIONS, integer arithmetic, most-recent tie convention
@@ -4541,6 +4555,44 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays logReturns + realizedVol: source-rounded ln returns, the
+    // null-filtered in-order list, last-20 slice, mean + squared-dev
+    // folds, sqrt×sqrt(252) — all the same IEEE trees.
+    "q_realized_vol" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), g AS (
+         |  SELECT l_suppkey, l_shipdate, ret_log,
+         |    list_filter(list(ret_log) OVER wp, x -> x IS NOT NULL) AS rl
+         |  FROM r
+         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate, ret_log,
+         |    CASE WHEN len(rl) >= 20 THEN rl[-20:] END AS rets
+         |  FROM g
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, ret_log, rets,
+         |    CASE WHEN rets IS NOT NULL THEN
+         |      list_reduce(rets, (a, b) -> a + b) / 20.0::DOUBLE END AS mu
+         |  FROM h
+         |)
+         |SELECT l_suppkey, l_shipdate, ret_log,
+         |  CASE WHEN rets IS NOT NULL THEN
+         |    sqrt(list_reduce(list_transform(rets, x -> (x - mu) * (x - mu)),
+         |           (a, b) -> a + b) / 19.0::DOUBLE) * sqrt(252.0::DOUBLE)
+         |  END AS rvol
+         |FROM m
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.aroon: struct-max extreme positions (ties to the
     // larger row number in both engines), integer since-arithmetic.

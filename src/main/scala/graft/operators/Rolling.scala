@@ -223,6 +223,60 @@ object Rolling {
       .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
   }
 
+  /** Per-bar returns: simple `(x − prev)/prev` and log `ln(x/prev)` —
+    * the inputs every risk metric consumes. NULL on the first bar and on
+    * a non-positive base (no return to report). The log return rounds to
+    * 10 decimals at the SOURCE ([[graft.operators.Divergence]] `ln`
+    * discipline), so every downstream fold — [[realizedVol]], Sharpe
+    * compositions — accumulates bit-identical elements on any engine.
+    * Adds `ret_simple`, `ret_log`. */
+  def logReturns(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("ret_simple", "ret_log"),
+      "Rolling.logReturns")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val prev = lag(x, 1).over(seqW)
+    df.withColumn("ret_simple",
+        when(prev.isNotNull && prev > 0.0, (x - prev) / prev))
+      .withColumn("ret_log",
+        when(prev.isNotNull && prev > 0.0 && x > 0.0,
+          round(log(x / prev), 10) + lit(0.0)))
+  }
+
+  /** Realized (historical) volatility: the sample standard deviation of
+    * the trailing `n` returns, scaled by `annualize` (pass
+    * `sqrt(252)` for daily→annual; 1.0 for raw). NULL until `n` returns
+    * fill the frame. The [[cci]] fold discipline: the frame's returns
+    * collect in window order, mean and squared-deviation sums are left
+    * folds — never a windowed `stddev` (whose update order no other
+    * engine replays). Adds `rvol`. */
+  def realizedVol(df: DataFrame, retCol: String, partCols: Seq[String],
+                  orderCols: Seq[String], n: Int,
+                  annualize: Double = 1.0): DataFrame = {
+    require(n >= 2, s"need >= 2 returns for a sample stddev, got $n")
+    require(annualize > 0.0, s"annualize must be positive, got $annualize")
+    Guards.requireNoReserved(df.columns,
+      Seq("rvol", "__rets", "__mu"), "Rolling.realizedVol")
+    def fold(lst: org.apache.spark.sql.Column,
+             term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filtered = filter(collect_list(col(retCol).cast("double")).over(w),
+      x => x.isNotNull)
+    df.withColumn("__rets",
+        when(size(filtered) >= n, slice(filtered, -n, n)))
+      .withColumn("__mu", fold(col("__rets"), x => x) / lit(n.toDouble))
+      .withColumn("rvol",
+        sqrt(fold(col("__rets"),
+            x => (x - col("__mu")) * (x - col("__mu"))) /
+          lit(n - 1.0)) * lit(annualize))
+      .drop("__rets", "__mu")
+  }
+
   /** Aroon oscillator lines (public formula): over the last `n+1` bars,
     * `aroon_up = 100·(n − bars_since_highest_high)/n` and `aroon_down`
     * likewise for the lowest low — trend-age gauges built ONLY from the

@@ -208,6 +208,48 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("logReturns: hand values, first-row and non-positive-base NULLs") {
+    val df = Seq(100.0, 110.0, 99.0, 0.0, 50.0).zipWithIndex
+      .map { case (v, i) => ("s", i, v) }.toDF("sym", "i", "v")
+    val out = Rolling.logReturns(df, "v", Seq("sym"), Seq("i"))
+      .collect().map(r => r.getInt(1) ->
+        ((Option(r.getAs[java.lang.Double]("ret_simple")),
+          Option(r.getAs[java.lang.Double]("ret_log"))))).toMap
+    assert(out(0) === ((None, None)))
+    assert(out(1)._1.map(_.doubleValue()) === Some(0.10000000000000001) ||
+      out(1)._1.map(_.doubleValue()) === Some(0.1))
+    val ln11 = BigDecimal(math.log(1.1))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._2.map(_.doubleValue()) === Some(ln11))
+    // base 0 at i=4: no simple/log return
+    assert(out(4) === ((None, None)))
+    // x = 0 at i=3: simple return defined (-1), log return NULL
+    assert(out(3)._1.map(_.doubleValue()) === Some(-1.0))
+    assert(out(3)._2 === None)
+  }
+
+  test("realizedVol: matches a direct sample-stddev computation") {
+    val rets = Seq(0.01, -0.02, 0.03, 0.01, -0.01)
+    val df = rets.zipWithIndex.map { case (r, i) => ("s", i, r) }
+      .toDF("sym", "i", "r")
+    val out = Rolling.realizedVol(df, "r", Seq("sym"), Seq("i"), n = 3)
+      .collect().map(r => r.getInt(1) ->
+        Option(r.getAs[java.lang.Double]("rvol")).map(_.doubleValue())).toMap
+    assert(out(1) === None)
+    def sd(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1.0))
+    }
+    assert(math.abs(out(2).get - sd(rets.slice(0, 3))) < 1e-15)
+    assert(math.abs(out(4).get - sd(rets.slice(2, 5))) < 1e-15)
+    // annualization is a plain multiplier
+    val ann = Rolling.realizedVol(df, "r", Seq("sym"), Seq("i"), n = 3,
+        annualize = math.sqrt(252.0))
+      .collect().map(r => r.getInt(1) ->
+        Option(r.getAs[java.lang.Double]("rvol")).map(_.doubleValue())).toMap
+    assert(ann(2).get === out(2).get * math.sqrt(252.0))
+  }
+
   test("aroon: extreme positions, recent-tie convention, fill schedule") {
     // highs: 5, 9, 7, 9, 6 ; lows = highs - 2 ; n = 3 → frame of 4
     val hs = Seq(5.0, 9.0, 7.0, 9.0, 6.0)
