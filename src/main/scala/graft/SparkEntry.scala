@@ -260,6 +260,19 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_hist_var" -> ((s, d) => {
+      // rolling historical VaR (exact 10% quantile) + discrete-tail ES
+      // (mean of the 2 worst of 20 log returns)
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+        Seq("l_suppkey"), Seq("l_shipdate"))
+      operators.Rolling.historicalVar(rets, "ret_log",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20, alpha = 0.1)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("var_alpha"), col("es_alpha"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_realized_vol" -> ((s, d) => {
       // log returns (source-rounded ln) → 20-bar realized volatility,
       // annualized by sqrt(252) — the risk-metric composition
@@ -4555,6 +4568,38 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.historicalVar over the log-return series: exact
+    // quantile_cont VaR, sorted-tail slice + fold ES (k=2), NULL until
+    // the 20-return frame fills.
+    "q_hist_var" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), v AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(ret_log) OVER wn = 20 THEN
+         |      -quantile_cont(ret_log, 0.1) OVER wn END AS var_alpha,
+         |    CASE WHEN count(ret_log) OVER wn = 20 THEN
+         |      list_filter(list(ret_log) OVER wn, x -> x IS NOT NULL)
+         |    END AS fr
+         |  FROM r
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate, var_alpha,
+         |  CASE WHEN fr IS NOT NULL THEN
+         |    -(list_reduce(list_sort(fr)[1:2], (a, b) -> a + b) / 2.0::DOUBLE)
+         |  END AS es_alpha
+         |FROM v
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays logReturns + realizedVol: source-rounded ln returns, the
     // null-filtered in-order list, last-20 slice, mean + squared-dev

@@ -277,6 +277,36 @@ object Rolling {
       .drop("__rets", "__mu")
   }
 
+  /** Rolling historical Value-at-Risk and Expected Shortfall over the
+    * trailing `n` returns: `var_alpha = −quantile(returns, alpha)` (the
+    * exact interpolated percentile — `quantile_cont` parity proven by
+    * the quantile gates) and `es_alpha` = −mean of the
+    * `k = max(1, floor(alpha·n))` WORST returns (the discrete-tail ES
+    * convention: an integer cut, no interpolation ambiguity across
+    * engines). NULL until the frame fills.
+    *
+    * The ES tail folds over the ascending-sorted frame list ([[cci]]
+    * discipline); the VaR percentile runs over the same frame. Adds
+    * `var_alpha`, `es_alpha`. */
+  def historicalVar(df: DataFrame, retCol: String, partCols: Seq[String],
+                    orderCols: Seq[String], n: Int,
+                    alpha: Double = 0.05): DataFrame = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    Guards.requireNoReserved(df.columns,
+      Seq("var_alpha", "es_alpha", "__tail"), "Rolling.historicalVar")
+    val k = math.max(1, math.floor(alpha * n).toInt)
+    val w = frame(partCols, orderCols, n)
+    val r = col(retCol).cast("double")
+    val tail = slice(sort_array(collect_list(r).over(w)), 1, k)
+    val esSum = aggregate(col("__tail"), lit(0.0), (acc, x) => acc + x)
+    df.withColumn("var_alpha",
+        when(count(r).over(w) === n, -percentile(r, lit(alpha)).over(w)))
+      .withColumn("__tail", when(count(r).over(w) === n, tail))
+      .withColumn("es_alpha", -(esSum / lit(k.toDouble)))
+      .drop("__tail")
+  }
+
   /** Aroon oscillator lines (public formula): over the last `n+1` bars,
     * `aroon_up = 100·(n − bars_since_highest_high)/n` and `aroon_down`
     * likewise for the lowest low — trend-age gauges built ONLY from the

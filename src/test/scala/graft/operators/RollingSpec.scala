@@ -208,6 +208,26 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("historicalVar: quantile VaR and discrete-tail ES on a hand frame") {
+    // returns: -.05, .01, .02, -.03, .04 ; n=5, alpha=0.2 → k=1
+    val rets = Seq(-0.05, 0.01, 0.02, -0.03, 0.04)
+    val df = rets.zipWithIndex.map { case (r, i) => ("s", i, r) }
+      .toDF("sym", "i", "r")
+    val out = Rolling.historicalVar(df, "r", Seq("sym"), Seq("i"),
+        n = 5, alpha = 0.2)
+      .orderBy(col("i").desc).limit(1).collect().head
+    // percentile(0.2) over sorted (-.05,-.03,.01,.02,.04): h=.2*4=.8 →
+    // -.05 + .8*(.02) = -.034 → var = .034
+    assert(math.abs(out.getAs[Double]("var_alpha") - 0.034) < 1e-12)
+    // k=1 worst return = -.05 → es = .05
+    assert(out.getAs[Double]("es_alpha") === 0.05)
+    // unfilled frames are NULL
+    val early = Rolling.historicalVar(df, "r", Seq("sym"), Seq("i"), 5, 0.2)
+      .orderBy(col("i")).limit(1).collect().head
+    assert(early.get(early.fieldIndex("var_alpha")) === null)
+    assert(early.get(early.fieldIndex("es_alpha")) === null)
+  }
+
   test("logReturns: hand values, first-row and non-positive-base NULLs") {
     val df = Seq(100.0, 110.0, 99.0, 0.0, 50.0).zipWithIndex
       .map { case (v, i) => ("s", i, v) }.toDF("sym", "i", "v")
