@@ -4602,8 +4602,8 @@ object SparkEntry {
          |FROM v
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays logReturns + realizedVol: source-rounded ln returns, the
-    // null-filtered in-order list, last-20 slice, mean + squared-dev
-    // folds, sqrt×sqrt(252) — all the same IEEE trees.
+    // bounded 20-row frame list with a non-null count guard, mean +
+    // squared-dev folds, sqrt×sqrt(252) — all the same IEEE trees.
     "q_realized_vol" ->
       s"""WITH bars AS (
          |$duckBarsSql
@@ -4616,16 +4616,14 @@ object SparkEntry {
          |    END AS ret_log
          |  FROM bars
          |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-         |), g AS (
-         |  SELECT l_suppkey, l_shipdate, ret_log,
-         |    list_filter(list(ret_log) OVER wp, x -> x IS NOT NULL) AS rl
-         |  FROM r
-         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |), h AS (
          |  SELECT l_suppkey, l_shipdate, ret_log,
-         |    CASE WHEN len(rl) >= 20 THEN rl[-20:] END AS rets
-         |  FROM g
+         |    CASE WHEN count(ret_log) OVER wn = 20 THEN
+         |      list_filter(list(ret_log) OVER wn, x -> x IS NOT NULL)
+         |    END AS rets
+         |  FROM r
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |), m AS (
          |  SELECT l_suppkey, l_shipdate, ret_log, rets,
          |    CASE WHEN rets IS NOT NULL THEN
@@ -4667,8 +4665,9 @@ object SparkEntry {
          |  END AS aroon_down
          |FROM m
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
-    // Replays Rolling.mfi: same signed flows, null-filtered in-order
-    // list, last-14 slice, two left folds, saturation rule.
+    // Replays Rolling.mfi: textbook flows (flat bar = 0, first bar NULL),
+    // bounded 14-row frame with a non-null count guard, two left folds,
+    // saturation rule.
     "q_mfi" ->
       s"""WITH bars AS (
          |$duckBarsSql
@@ -4678,23 +4677,21 @@ object SparkEntry {
          |  FROM bars
          |), f AS (
          |  SELECT l_suppkey, l_shipdate,
-         |    CASE WHEN lag(tp) OVER ws IS NOT NULL AND tp > lag(tp) OVER ws
-         |           THEN tp * volume
-         |         WHEN lag(tp) OVER ws IS NOT NULL AND tp < lag(tp) OVER ws
-         |           THEN -(tp * volume)
+         |    CASE WHEN lag(tp) OVER ws IS NOT NULL THEN
+         |      CASE WHEN tp > lag(tp) OVER ws THEN tp * volume
+         |           WHEN tp < lag(tp) OVER ws THEN -(tp * volume)
+         |           ELSE 0.0::DOUBLE END
          |    END AS flow
          |  FROM t
          |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-         |), g AS (
-         |  SELECT l_suppkey, l_shipdate,
-         |    list_filter(list(flow) OVER wp, x -> x IS NOT NULL) AS fl
-         |  FROM f
-         |  WINDOW wp AS (PARTITION BY l_suppkey ORDER BY l_shipdate
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |), h AS (
          |  SELECT l_suppkey, l_shipdate,
-         |    CASE WHEN len(fl) >= 14 THEN fl[-14:] END AS flows
-         |  FROM g
+         |    CASE WHEN count(flow) OVER wn = 14 THEN
+         |      list_filter(list(flow) OVER wn, x -> x IS NOT NULL)
+         |    END AS flows
+         |  FROM f
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |), s AS (
          |  SELECT l_suppkey, l_shipdate,
          |    CASE WHEN flows IS NOT NULL THEN

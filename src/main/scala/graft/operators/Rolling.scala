@@ -248,10 +248,12 @@ object Rolling {
   /** Realized (historical) volatility: the sample standard deviation of
     * the trailing `n` returns, scaled by `annualize` (pass
     * `sqrt(252)` for daily→annual; 1.0 for raw). NULL until `n` returns
-    * fill the frame. The [[cci]] fold discipline: the frame's returns
-    * collect in window order, mean and squared-deviation sums are left
-    * folds — never a windowed `stddev` (whose update order no other
-    * engine replays). Adds `rvol`. */
+    * fill the n-row frame (a leading return-less bar just delays the
+    * first emission). The [[cci]] fold discipline: the BOUNDED frame's
+    * returns collect in window order, mean and squared-deviation sums
+    * are left folds — never a windowed `stddev` (whose update order no
+    * other engine replays), never an unbounded cumulative list. Adds
+    * `rvol`. */
   def realizedVol(df: DataFrame, retCol: String, partCols: Seq[String],
                   orderCols: Seq[String], n: Int,
                   annualize: Double = 1.0): DataFrame = {
@@ -262,13 +264,10 @@ object Rolling {
     def fold(lst: org.apache.spark.sql.Column,
              term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filtered = filter(collect_list(col(retCol).cast("double")).over(w),
-      x => x.isNotNull)
+    val w = frame(partCols, orderCols, n)
+    val r = col(retCol).cast("double")
     df.withColumn("__rets",
-        when(size(filtered) >= n, slice(filtered, -n, n)))
+        when(count(r).over(w) === n, collect_list(r).over(w)))
       .withColumn("__mu", fold(col("__rets"), x => x) / lit(n.toDouble))
       .withColumn("rvol",
         sqrt(fold(col("__rets"),
@@ -341,15 +340,17 @@ object Rolling {
   }
 
   /** Money Flow Index (public formula) — the volume-weighted RSI: per
-    * bar, raw money flow `tp·volume` (`tp = (h+l+c)/3`) is positive when
-    * tp rose and negative when it fell (flat bars carry no flow); over
-    * the last `n` FLOW-BEARING bars,
-    * `MFI = 100 − 100/(1 + Σpos/Σneg)` (100 on a zero negative sum).
-    * NULL until `n` flows accumulate in the frame.
+    * bar, raw money flow `tp·volume` (`tp = (h+l+c)/3`) counts positive
+    * when tp rose and negative when it fell (a flat bar contributes ZERO
+    * to both sides — the textbook convention); over the trailing `n`
+    * bars, `MFI = 100 − 100/(1 + Σpos/Σneg)` (100 on a zero negative
+    * sum). NULL until `n` flow-defined bars fill the frame (the first
+    * bar of a series has no flow).
     *
-    * Determinism ([[cci]] discipline): the signed flows collect in
-    * window order and both sums are left folds over the frame list —
-    * never a windowed `avg`/`sum` of doubles. Adds `mfi`. */
+    * Determinism ([[cci]] discipline): the signed flows collect over the
+    * BOUNDED n-row frame in window order and both sums are left folds —
+    * never a windowed `sum` of doubles, never an unbounded cumulative
+    * list. Adds `mfi`. */
   def mfi(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
           volCol: String, partCols: Seq[String], orderCols: Seq[String],
           n: Int): DataFrame = {
@@ -365,23 +366,22 @@ object Rolling {
       aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
     val bound = df.withColumn("__tp", (h + l + c) / lit(3.0))
     val prevTp = lag(col("__tp"), 1).over(seqW)
-    // signed flow: positive magnitude on a rise, negative on a fall,
-    // NULL on the first bar and on flat bars (no flow to attribute)
-    val flow = when(prevTp.isNotNull && col("__tp") > prevTp, col("__tp") * v)
-      .when(prevTp.isNotNull && col("__tp") < prevTp, -(col("__tp") * v))
-    val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filtered = filter(collect_list(col("__flow")).over(w),
-      x => x.isNotNull)
+    // signed flow: rise → +tp·v, fall → −tp·v, flat → 0 (still a flow-
+    // defined bar); NULL only where no previous bar exists
+    val flow = when(prevTp.isNotNull,
+      when(col("__tp") > prevTp, col("__tp") * v)
+        .when(col("__tp") < prevTp, -(col("__tp") * v))
+        .otherwise(lit(0.0)))
+    val w = frame(partCols, orderCols, n)
     val flowed = bound.withColumn("__flow", flow)
       .withColumn("__flows",
-        when(size(filtered) >= n, slice(filtered, -n, n)))
+        when(count(col("__flow")).over(w) === n,
+          collect_list(col("__flow")).over(w)))
     val pos = fold(col("__flows"), x => when(x > lit(0.0), x).otherwise(lit(0.0)))
     val neg = fold(col("__flows"), x => when(x < lit(0.0), -x).otherwise(lit(0.0)))
     flowed
-      .withColumn("__pos", when(size(col("__flows")) === n, pos))
-      .withColumn("__neg", when(size(col("__flows")) === n, neg))
+      .withColumn("__pos", when(col("__flows").isNotNull, pos))
+      .withColumn("__neg", when(col("__flows").isNotNull, neg))
       .withColumn("mfi",
         when(col("__neg") === lit(0.0), when(col("__pos").isNotNull, lit(100.0)))
           .otherwise(lit(100.0) -

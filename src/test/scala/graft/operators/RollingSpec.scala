@@ -291,21 +291,22 @@ class RollingSpec extends AnyFunSuite {
     assert(out(4)._2 === Some(100.0))
   }
 
-  test("mfi: hand-computed flows, zero-negative saturation, flat bars skip") {
+  test("mfi: hand-computed flows, flat bars count as zero flow, saturation") {
     // tp == close (h=l=c); volume 10; closes: 1,2,3,2,2,4
-    // flows: _, +20, +30, -20, (flat: none), +40
+    // flows: NULL, +20, +30, -20, 0 (flat), +40
     val cs = Seq(1.0, 2.0, 3.0, 2.0, 2.0, 4.0)
     val df = cs.zipWithIndex.map { case (c, i) => ("s", i, c, c, c, 10.0) }
       .toDF("sym", "i", "h", "l", "c", "vol")
     val out = Rolling.mfi(df, "h", "l", "c", "vol", Seq("sym"), Seq("i"), n = 3)
       .collect().map(r => r.getInt(1) ->
         Option(r.getAs[java.lang.Double]("mfi")).map(_.doubleValue())).toMap
-    assert(out(2) === None, "only 2 flows so far")
+    assert(out(2) === None, "frame still spans the flowless first bar")
     // i=3: flows (+20,+30,-20): pos=50, neg=20 → 100-100/(1+2.5)
     assert(out(3) === Some(100.0 - 100.0 / (1.0 + 50.0 / 20.0)))
-    assert(out(4) === out(3), "flat bar adds no flow; window unchanged")
-    // i=5: flows (+30,-20,+40): pos=70, neg=20
-    assert(out(5) === Some(100.0 - 100.0 / (1.0 + 70.0 / 20.0)))
+    // i=4: flows (+30,-20,0): the flat bar contributes zero to both sides
+    assert(out(4) === Some(100.0 - 100.0 / (1.0 + 30.0 / 20.0)))
+    // i=5: flows (-20,0,+40)
+    assert(out(5) === Some(100.0 - 100.0 / (1.0 + 40.0 / 20.0)))
     // all-rising series saturates at 100
     val up = (1 to 6).map(i => ("s", i, i.toDouble, i.toDouble, i.toDouble, 1.0))
       .toDF("sym", "i", "h", "l", "c", "vol")
