@@ -260,6 +260,18 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_perf_summary" -> ((s, d) => {
+      // per-supplier performance summary over the full log-return
+      // series (annualized by sqrt(252)): the portfolio screen
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+        Seq("l_suppkey"), Seq("l_shipdate"))
+      operators.Rolling.perfSummary(rets, "ret_log",
+          Seq("l_suppkey"), Seq("l_shipdate"),
+          annualize = math.sqrt(252.0))
+        .orderBy(col("l_suppkey"))
+    }),
     "q_hist_var" -> ((s, d) => {
       // rolling historical VaR (exact 10% quantile) + discrete-tail ES
       // (mean of the 2 worst of 20 log returns)
@@ -4569,6 +4581,47 @@ object SparkEntry {
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.perfSummary: date-ordered series fold, identical
+    // mean/stddev/sharpe trees, NULL rails on degenerate series.
+    "q_perf_summary" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_returns,
+         |    list(ret_log ORDER BY l_shipdate) AS ts
+         |  FROM r WHERE ret_log IS NOT NULL GROUP BY l_suppkey
+         |), t AS (
+         |  SELECT l_suppkey, n_returns,
+         |    list_reduce(ts, (a, b) -> a + b) AS total_ret, ts
+         |  FROM g
+         |), m AS (
+         |  SELECT l_suppkey, n_returns, total_ret, ts,
+         |    total_ret / CAST(n_returns AS DOUBLE) AS mu
+         |  FROM t
+         |), sdv AS (
+         |  SELECT l_suppkey, n_returns, total_ret, mu,
+         |    CASE WHEN n_returns >= 2 THEN
+         |      sqrt(list_reduce(list_transform(ts, x -> (x - mu) * (x - mu)),
+         |             (a, b) -> a + b)
+         |           / (CAST(n_returns AS DOUBLE) - 1.0::DOUBLE))
+         |    END AS sd
+         |  FROM m
+         |)
+         |SELECT l_suppkey, n_returns, total_ret, mu AS mean_ret,
+         |  sd * sqrt(252.0::DOUBLE) AS vol,
+         |  CASE WHEN n_returns >= 2 AND sd > 0.0::DOUBLE THEN
+         |    mu / sd * sqrt(252.0::DOUBLE) END AS sharpe
+         |FROM sdv
+         |ORDER BY l_suppkey""".stripMargin,
     // Replays Rolling.historicalVar over the log-return series: exact
     // quantile_cont VaR, sorted-tail slice + fold ES (k=2), NULL until
     // the 20-return frame fills.

@@ -276,6 +276,51 @@ object Rolling {
       .drop("__rets", "__mu")
   }
 
+  /** Per-key performance summary — ONE ROW PER KEY from its full return
+    * series: `n_returns`, `total_ret` (sum of log returns = log of the
+    * period growth factor), `mean_ret`, `vol` (sample stddev ·
+    * `annualize`), and `sharpe` (mean/stddev · `annualize`, NULL on zero
+    * vol). The portfolio-screen companion to the rolling metrics.
+    *
+    * Determinism: the series folds in `orderCols` order (collected per
+    * key — state is the series length, the per-key scale unit like every
+    * keyed recurrence here); mean/stddev/sharpe are fixed IEEE trees on
+    * the folded sums. Feed [[logReturns]]' source-rounded `ret_log` so
+    * the folded elements are engine-identical. */
+  def perfSummary(df: DataFrame, retCol: String, partCols: Seq[String],
+                  orderCols: Seq[String],
+                  annualize: Double = 1.0): DataFrame = {
+    require(annualize > 0.0, s"annualize must be positive, got $annualize")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_returns", "total_ret", "mean_ret", "vol", "sharpe", "__ts",
+        "__mu"), "Rolling.perfSummary")
+    def fold(lst: org.apache.spark.sql.Column,
+             term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
+    val r = col(retCol).cast("double")
+    val grouped = df.filter(r.isNotNull)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_returns"),
+        transform(
+          sort_array(collect_list(struct(orderCols.map(col) :+
+            r.as("__r"): _*))),
+          t => t.getField("__r")).as("__ts"))
+    val n = col("n_returns").cast("double")
+    val total = fold(col("__ts"), x => x)
+    val mu = col("__mu")
+    val sd = sqrt(fold(col("__ts"), x => (x - mu) * (x - mu)) / (n - 1.0))
+    grouped
+      .withColumn("total_ret", total)
+      .withColumn("__mu", col("total_ret") / n)
+      .withColumn("mean_ret", col("__mu"))
+      .withColumn("vol",
+        when(col("n_returns") >= 2L, sd * lit(annualize)))
+      .withColumn("sharpe",
+        when(col("n_returns") >= 2L && sd > 0.0,
+          col("__mu") / sd * lit(annualize)))
+      .drop("__ts", "__mu")
+  }
+
   /** Rolling historical Value-at-Risk and Expected Shortfall over the
     * trailing `n` returns: `var_alpha = −quantile(returns, alpha)` (the
     * exact interpolated percentile — `quantile_cont` parity proven by

@@ -208,6 +208,29 @@ class RollingSpec extends AnyFunSuite {
       s"expected one Window operator for all sums:\n$p")
   }
 
+  test("perfSummary: one row per key, textbook sums, zero-vol NULL sharpe") {
+    val df = Seq(("a", 0, 0.01), ("a", 1, -0.02), ("a", 2, 0.03),
+      ("b", 0, 0.05), ("b", 1, 0.05), ("c", 0, 0.01))
+      .toDF("sym", "i", "r")
+    val out = Rolling.perfSummary(df, "r", Seq("sym"), Seq("i"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_returns") === 3L)
+    assert(math.abs(a.getAs[Double]("total_ret") - 0.02) < 1e-15)
+    val rets = Seq(0.01, -0.02, 0.03)
+    val mu = rets.sum / 3.0
+    val sd = math.sqrt(rets.map(x => (x - mu) * (x - mu)).sum / 2.0)
+    assert(math.abs(a.getAs[Double]("vol") - sd) < 1e-15)
+    assert(math.abs(a.getAs[Double]("sharpe") - mu / sd) < 1e-12)
+    // constant returns: vol 0 → sharpe NULL, vol 0.0
+    val b = out("b")
+    assert(b.getAs[Double]("vol") === 0.0)
+    assert(b.get(b.fieldIndex("sharpe")) === null)
+    // a single return: vol and sharpe undefined
+    val c = out("c")
+    assert(c.get(c.fieldIndex("vol")) === null)
+  }
+
   test("historicalVar: quantile VaR and discrete-tail ES on a hand frame") {
     // returns: -.05, .01, .02, -.03, .04 ; n=5, alpha=0.2 → k=1
     val rets = Seq(-0.05, 0.01, 0.02, -0.03, 0.04)
