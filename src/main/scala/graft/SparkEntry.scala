@@ -260,6 +260,17 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_candles" -> ((s, d) => {
+      // candlestick pattern flags over daily bars — pure per-row/one-lag
+      // comparisons, exact anywhere
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Signals.candlePatterns(dailyBars(s), "open", "high",
+          "low", "close", Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("doji"),
+          col("hammer"), col("bullish_engulfing"), col("bearish_engulfing"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_perf_summary" -> ((s, d) => {
       // per-supplier performance summary over the full log-return
       // series (annualized by sqrt(252)): the portfolio screen
@@ -4580,6 +4591,29 @@ object SparkEntry {
          |FROM tr
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Signals.candlePatterns: identical comparison trees, first
+    // bars cannot engulf, zero-range bars flag nothing.
+    "q_candles" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  (high - low > 0.0::DOUBLE AND
+         |   abs(close - open) <= 0.1::DOUBLE * (high - low)) AS doji,
+         |  (high - low > 0.0::DOUBLE AND abs(close - open) > 0.0::DOUBLE AND
+         |   least(open, close) - low >= 2.0::DOUBLE * abs(close - open) AND
+         |   high - greatest(open, close) <= abs(close - open)) AS hammer,
+         |  (lag(open) OVER ws IS NOT NULL AND
+         |   lag(close) OVER ws < lag(open) OVER ws AND close > open AND
+         |   open < lag(close) OVER ws AND close > lag(open) OVER ws)
+         |    AS bullish_engulfing,
+         |  (lag(open) OVER ws IS NOT NULL AND
+         |   lag(close) OVER ws > lag(open) OVER ws AND close < open AND
+         |   open > lag(close) OVER ws AND close < lag(open) OVER ws)
+         |    AS bearish_engulfing
+         |FROM bars
+         |WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.perfSummary: date-ordered series fold, identical
     // mean/stddev/sharpe trees, NULL rails on degenerate series.

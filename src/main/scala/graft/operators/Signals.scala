@@ -71,4 +71,48 @@ object Signals {
           when(col("sma_short") > col("sma_long"), lit("BUY")).otherwise(lit("SELL")).as("signal_type"),
           least(abs(col("sma_short") - col("sma_long")) / col(closeCol), lit(1.0)).as("confidence")): _*)
   }
+
+  /** Candlestick pattern detection over OHLC bars — the classic bar-shape
+    * rules (public formulas), each a pure per-row/one-lag column
+    * expression, so the scan stays a single keyed Window pass with no
+    * state at all:
+    *
+    *  - `doji`: body ≤ `dojiBodyMax` of the bar's range (indecision);
+    *  - `hammer`: lower shadow ≥ 2·body, upper shadow ≤ body (rejection
+    *    of the low);
+    *  - `bullish_engulfing` / `bearish_engulfing`: this body strictly
+    *    contains the previous bar's body, with opposing directions.
+    *
+    * Degenerate bars (zero range) are no pattern; the first bar of a
+    * series cannot engulf. Emits the input plus the four boolean flags —
+    * exact comparisons on exact prices, bit-identical anywhere. */
+  def candlePatterns(df: DataFrame, openCol: String, highCol: String,
+                     lowCol: String, closeCol: String,
+                     partCols: Seq[String], orderCols: Seq[String],
+                     dojiBodyMax: Double = 0.1): DataFrame = {
+    require(dojiBodyMax > 0.0 && dojiBodyMax < 1.0,
+      s"dojiBodyMax must be in (0,1), got $dojiBodyMax")
+    Guards.requireNoReserved(df.columns,
+      Seq("doji", "hammer", "bullish_engulfing", "bearish_engulfing"),
+      "Signals.candlePatterns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (o, h, l, c) = (col(openCol).cast("double"), col(highCol).cast("double"),
+      col(lowCol).cast("double"), col(closeCol).cast("double"))
+    val body = abs(c - o)
+    val range = h - l
+    val upper = h - greatest(o, c)
+    val lower = least(o, c) - l
+    val po = lag(o, 1).over(w)
+    val pc = lag(c, 1).over(w)
+    df
+      .withColumn("doji", range > 0.0 && body <= lit(dojiBodyMax) * range)
+      .withColumn("hammer",
+        range > 0.0 && body > 0.0 && lower >= lit(2.0) * body && upper <= body)
+      .withColumn("bullish_engulfing",
+        po.isNotNull && pc < po && c > o && o < pc && c > po)
+      .withColumn("bearish_engulfing",
+        po.isNotNull && pc > po && c < o && o > pc && c < po)
+  }
 }

@@ -84,4 +84,32 @@ class ValidationSignalsSpec extends AnyFunSuite {
       assert(c >= 0.0 && c <= 1.0)
     }
   }
+
+  test("candlePatterns: textbook shapes flag; degenerate and first bars " +
+      "do not") {
+    import spark.implicits._
+    // (o, h, l, c): doji, hammer, engulfings, flat bar
+    val bars = Seq(
+      (0, 10.0, 11.0, 9.0, 10.05),   // doji: body .05 ≤ .1·range 2
+      (1, 10.0, 10.1, 8.0, 9.95),    // hammer: body .05, lower 1.95, upper .1? no: upper=.1 > body .05 → NOT hammer
+      (2, 10.0, 10.04, 8.0, 9.96),   // hammer: body .04, lower 1.96, upper .04
+      (3, 10.0, 10.5, 9.4, 9.5),     // red bar (pc 9.5 < po 10)
+      (4, 9.4, 10.8, 9.3, 10.2),     // bullish engulfing of bar 3
+      (5, 10.3, 10.9, 9.2, 9.3),     // bearish engulfing of bar 4
+      (6, 7.0, 7.0, 7.0, 7.0))       // flat: no range → nothing
+    val df = bars.map { case (i, o, h, l, c) => ("s", i, o, h, l, c) }
+      .toDF("sym", "i", "o", "h", "l", "c")
+    val out = Signals.candlePatterns(df, "o", "h", "l", "c",
+        Seq("sym"), Seq("i"))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getAs[Boolean]("doji"), r.getAs[Boolean]("hammer"),
+          r.getAs[Boolean]("bullish_engulfing"),
+          r.getAs[Boolean]("bearish_engulfing")))).toMap
+    assert(out(0)._1 === true)
+    assert(out(1)._2 === false, "upper shadow exceeds the body")
+    assert(out(2)._2 === true)
+    assert(out(4)._3 === true && out(4)._4 === false)
+    assert(out(5)._4 === true && out(5)._3 === false)
+    assert(out(6) === ((false, false, false, false)))
+  }
 }
