@@ -260,6 +260,18 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_event_study" -> ((s, d) => {
+      // event study: mean forward return 1-3 bars after down days vs the
+      // all-bars baseline — exact scaled-BIGINT sums on 10-dp returns
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .withColumn("sig", col("ret_log") < 0.0)
+      operators.Signals.eventStudy(rets, "ret_log", "sig",
+          Seq("l_suppkey"), Seq("l_shipdate"), maxHorizon = 3)
+        .orderBy(col("horizon"))
+    }),
     "q_candles" -> ((s, d) => {
       // candlestick pattern flags over daily bars — pure per-row/one-lag
       // comparisons, exact anywhere
@@ -4592,6 +4604,52 @@ object SparkEntry {
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Signals.eventStudy: same leads, 10^10 scaled-BIGINT sums
+    // (exact on the 10-dp returns), identical mean/lift trees.
+    "q_event_study" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), b AS (
+         |  SELECT (ret_log < 0.0::DOUBLE) AS sig,
+         |    CAST(round(lead(ret_log, 1) OVER ws * 1e10) AS BIGINT) AS f1,
+         |    CAST(round(lead(ret_log, 2) OVER ws * 1e10) AS BIGINT) AS f2,
+         |    CAST(round(lead(ret_log, 3) OVER ws * 1e10) AS BIGINT) AS f3
+         |  FROM r
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), e AS (
+         |  SELECT sig, h.horizon,
+         |    CASE h.horizon WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS fwd
+         |  FROM b CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INT)
+         |                     AS horizon) h
+         |), f AS (SELECT * FROM e WHERE fwd IS NOT NULL),
+         |g AS (
+         |  SELECT horizon,
+         |    CAST(count(*) FILTER (WHERE sig) AS BIGINT) AS n_signal,
+         |    CAST(sum(fwd) FILTER (WHERE sig) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS n_base,
+         |    CAST(sum(fwd) AS BIGINT) AS sb
+         |  FROM f GROUP BY horizon
+         |)
+         |SELECT horizon, n_signal,
+         |  CASE WHEN n_signal > 0 THEN
+         |    CAST(ss AS DOUBLE) / CAST(n_signal AS DOUBLE) / 1e10
+         |  END AS mean_signal,
+         |  n_base,
+         |  CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE) / 1e10 AS mean_base,
+         |  (CASE WHEN n_signal > 0 THEN
+         |     CAST(ss AS DOUBLE) / CAST(n_signal AS DOUBLE) / 1e10 END)
+         |    - CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE) / 1e10 AS lift
+         |FROM g
+         |ORDER BY horizon""".stripMargin,
     // Replays Signals.candlePatterns: identical comparison trees, first
     // bars cannot engulf, zero-range bars flag nothing.
     "q_candles" ->

@@ -72,6 +72,60 @@ object Signals {
           least(abs(col("sma_short") - col("sma_long")) / col(closeCol), lit(1.0)).as("confidence")): _*)
   }
 
+  /** Event study — "does the signal work?": mean FORWARD return at
+    * horizons `1..maxHorizon` after signal bars versus the all-bars
+    * baseline, per horizon: (`horizon`, `n_signal`, `mean_signal`,
+    * `n_base`, `mean_base`, `lift`). A real edge shows positive `lift`
+    * decaying with horizon; a mirage shows noise around 0.
+    *
+    * Determinism: feed [[graft.operators.Rolling.logReturns]]'
+    * source-rounded `ret_log` — 10-dp returns scale EXACTLY to BIGINT at
+    * 10^10 ([[graft.operators.Stats.welchT]] discipline), so the
+    * per-horizon sums are exact integers in any aggregation order and
+    * the means/lift are fixed IEEE trees. Forward returns are `lead`s
+    * over ONE keyed window spec; horizons explode from a struct array —
+    * one scan, one exchange, one ≤maxHorizon-group aggregation. */
+  def eventStudy(df: DataFrame, retCol: String, signalCol: String,
+                 partCols: Seq[String], orderCols: Seq[String],
+                 maxHorizon: Int): DataFrame = {
+    require(maxHorizon >= 1, s"maxHorizon must be >= 1, got $maxHorizon")
+    Guards.requireNoReserved(df.columns,
+      Seq("horizon", "n_signal", "mean_signal", "n_base", "mean_base",
+        "lift", "__fwd", "__sig"), "Signals.eventStudy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val pow = 1e10
+    // bind every lead in its own projection FIRST — window expressions
+    // inside an exploded array get inferred into a generator filter
+    // (the NOTES.md InferFiltersFromGenerate trap, here fatally so)
+    val bound = df.select(col(signalCol).as("__sig") +:
+      (1 to maxHorizon).map(h =>
+        round(lead(col(retCol).cast("double"), h).over(w) * lit(pow))
+          .cast("long").as(s"__f$h")): _*)
+    val horizons = array((1 to maxHorizon).map(h =>
+      struct(lit(h).as("horizon"), col(s"__f$h").as("__fwd"))): _*)
+    val exploded = bound
+      .select(col("__sig"), explode(horizons).as("e"))
+      .select(col("__sig"), col("e.horizon").as("horizon"),
+        col("e.__fwd").as("__fwd"))
+      .filter(col("__fwd").isNotNull)
+    val agg = exploded.groupBy(col("horizon")).agg(
+      count(when(col("__sig"), 1)).as("n_signal"),
+      sum(when(col("__sig"), col("__fwd"))).as("__ss"),
+      count(lit(1)).as("n_base"),
+      sum(col("__fwd")).as("__sb"))
+    val meanSig = when(col("n_signal") > 0L,
+      col("__ss").cast("double") / col("n_signal").cast("double") / lit(pow))
+    val meanBase = col("__sb").cast("double") / col("n_base").cast("double") /
+      lit(pow)
+    agg
+      .withColumn("mean_signal", meanSig)
+      .withColumn("mean_base", meanBase)
+      .withColumn("lift", col("mean_signal") - col("mean_base"))
+      .drop("__ss", "__sb")
+  }
+
   /** Candlestick pattern detection over OHLC bars — the classic bar-shape
     * rules (public formulas), each a pure per-row/one-lag column
     * expression, so the scan stays a single keyed Window pass with no

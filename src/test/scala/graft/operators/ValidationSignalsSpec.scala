@@ -85,6 +85,36 @@ class ValidationSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("eventStudy: hand-computed forward means, lift, and edge handling") {
+    import spark.implicits._
+    // rets: .1, -.2, .3, .4; signal at i=0 and i=2
+    val df = Seq((0, 0.1, true), (1, -0.2, false), (2, 0.3, true),
+      (3, 0.4, false)).map { case (i, r, s) => ("s", i, r, s) }
+      .toDF("sym", "i", "r", "sig")
+    val out = Signals.eventStudy(df, "r", "sig", Seq("sym"), Seq("i"),
+        maxHorizon = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // h=1: fwd exists for i=0..2 → base mean = (-.2+.3+.4)/3; signal rows
+    // i=0 (fwd -.2) and i=2 (fwd .4) → mean .1
+    val h1 = out(1)
+    assert(h1.getAs[Long]("n_signal") === 2L && h1.getAs[Long]("n_base") === 3L)
+    assert(math.abs(h1.getAs[Double]("mean_signal") - 0.1) < 1e-12)
+    assert(math.abs(h1.getAs[Double]("mean_base") - 0.5 / 3.0) < 1e-12)
+    assert(math.abs(h1.getAs[Double]("lift") -
+      (0.1 - 0.5 / 3.0)) < 1e-12)
+    // h=2: fwd exists for i=0,1 → signal row only i=0 (fwd .3)
+    val h2 = out(2)
+    assert(h2.getAs[Long]("n_signal") === 1L && h2.getAs[Long]("n_base") === 2L)
+    assert(math.abs(h2.getAs[Double]("mean_signal") - 0.3) < 1e-12)
+    // no signal rows with a fwd → NULL mean_signal and lift
+    val none = Signals.eventStudy(
+      Seq(("s", 0, 0.1, false), ("s", 1, 0.2, false))
+        .toDF("sym", "i", "r", "sig"), "r", "sig", Seq("sym"), Seq("i"), 1)
+      .collect().head
+    assert(none.get(none.fieldIndex("mean_signal")) === null)
+    assert(none.get(none.fieldIndex("lift")) === null)
+  }
+
   test("candlePatterns: textbook shapes flag; degenerate and first bars " +
       "do not") {
     import spark.implicits._
