@@ -511,6 +511,19 @@ object SparkEntry {
           col("l_quantity_scaled"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_dow_profile" -> ((s, d) => {
+      // day-of-week seasonal profile of shipment quantities per supplier
+      // — exact integer sums, additive residuals
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Resample.dowProfile(
+          s.table("lineitem").select("l_orderkey", "l_linenumber",
+            "l_suppkey", "l_shipdate", "l_quantity"),
+          "l_quantity", "l_shipdate", Seq("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("dow"), col("dow_mean"), col("l_quantity_deseason"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_densify" -> ((s, d) => {
       // calendar densification of the daily bars: every supplier gets a row
       // per day between its first and last bar; the gate fingerprints the
@@ -4604,6 +4617,23 @@ object SparkEntry {
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Resample.dowProfile: DuckDB dayofweek (0=Sunday) + 1 maps
+    // onto Spark's 1=Sunday convention; exact integer (n, Σx) sums.
+    "q_dow_profile" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+        |    CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow
+        |  FROM lineitem),
+        |s AS (SELECT l_suppkey, dow,
+        |        CAST(count(l_quantity) AS BIGINT) AS n,
+        |        sum(CAST(l_quantity AS DOUBLE)) AS sm
+        |      FROM w GROUP BY 1, 2),
+        |m AS (SELECT l_suppkey, dow, sm / CAST(n AS DOUBLE) AS dow_mean
+        |      FROM s)
+        |SELECT w.l_orderkey, w.l_linenumber, w.l_suppkey, w.dow, m.dow_mean,
+        |  CAST(w.l_quantity AS DOUBLE) - m.dow_mean AS l_quantity_deseason
+        |FROM w JOIN m ON m.l_suppkey = w.l_suppkey AND m.dow = w.dow
+        |ORDER BY w.l_orderkey, w.l_linenumber""".stripMargin,
     // Replays Signals.eventStudy: same leads, 10^10 scaled-BIGINT sums
     // (exact on the 10-dp returns), identical mean/lift trees.
     "q_event_study" ->

@@ -32,4 +32,32 @@ object Resample {
         explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
     spine.join(df, keyCols :+ dateCol, "left")
   }
+
+  /** Day-of-week seasonal profile + deseasonalization — the STL-lite
+    * weekday-effect correction every daily operational series needs
+    * before drift/anomaly screens (a Sunday dip is seasonality, not an
+    * incident): per (key, dow) the mean of `valueCol`, and per row the
+    * additive residual `x − dow_mean` as `<valueCol>_deseason`.
+    *
+    * One map-side-combinable (key, dow) aggregation (≤ 7 rows per key)
+    * broadcast back onto the scan — the [[graft.operators.Anomaly]]
+    * stats shape, no window anywhere. On integer-valued metrics the
+    * (n, Σx) sums are exact in any order and the mean/residual are
+    * fixed IEEE trees — bit-replayable. `dow` uses Spark `dayofweek`
+    * (1=Sunday…7=Saturday; the NOTES.md cross-engine mapping). */
+  def dowProfile(df: DataFrame, valueCol: String, dateCol: String,
+                 keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "dowProfile needs at least one key column")
+    val out = s"${valueCol}_deseason"
+    Guards.requireNoReserved(df.columns,
+      Seq("dow", "dow_mean", out, "__n", "__s"), "Resample.dowProfile")
+    val x = col(valueCol).cast("double")
+    val withDow = df.withColumn("dow", dayofweek(col(dateCol)))
+    val stats = withDow.groupBy((keyCols :+ "dow").map(col): _*)
+      .agg(count(x).as("__n"), sum(x).as("__s"))
+      .select((keyCols :+ "dow").map(col) :+
+        (col("__s") / col("__n").cast("double")).as("dow_mean"): _*)
+    withDow.join(broadcast(stats), keyCols :+ "dow")
+      .withColumn(out, x - col("dow_mean"))
+  }
 }

@@ -169,4 +169,19 @@ class FeatureResampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null") ||
       Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
+
+  test("dowProfile: per-dow means and additive residuals") {
+    import java.sql.Date
+    // 2024-01-01 is a Monday (dow 2); two Mondays (10, 20) and a Tuesday
+    val df = Seq(("k", Date.valueOf("2024-01-01"), 10.0),
+      ("k", Date.valueOf("2024-01-08"), 20.0),
+      ("k", Date.valueOf("2024-01-02"), 7.0)).toDF("key", "d", "v")
+    val out = Resample.dowProfile(df, "v", "d", Seq("key"))
+      .collect().map(r => r.getAs[Date]("d").toString ->
+        ((r.getAs[Int]("dow"), r.getAs[Double]("dow_mean"),
+          r.getAs[Double]("v_deseason")))).toMap
+    assert(out("2024-01-01") === ((2, 15.0, -5.0)))
+    assert(out("2024-01-08") === ((2, 15.0, 5.0)))
+    assert(out("2024-01-02") === ((3, 7.0, 0.0)))
+  }
 }
