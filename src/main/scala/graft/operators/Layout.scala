@@ -106,4 +106,26 @@ object Layout {
       st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
     }.toLong
   }
+
+  /** Per-file min/max/count statistics for a parquet table — the
+    * data-skipping manifest a Delta/Iceberg-style layout audit reads:
+    * for each file and each requested column, (`file`, `n_rows`,
+    * `<col>_min`, `<col>_max`). Feed it the Z-order columns to SEE the
+    * pruning power a layout buys (tight per-file ranges = selective
+    * scans; full-range files = that column cannot prune).
+    *
+    * One scan grouped by `input_file_name()` — map-side-combinable
+    * min/max/count, output rows = file count. Works on any Hadoop
+    * filesystem (the grouping key is the split's path, no directory
+    * listing involved). */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.drop(1): _*)
+  }
 }

@@ -119,4 +119,34 @@ object Profile {
     }
     profiles.reduce(_ unionByName _)
   }
+
+  /** Schema-drift report between two frames (old vs new version of a
+    * feed): one row per column that was ADDED, REMOVED, or changed TYPE
+    * or NULLABILITY — the contract check that catches a vendor silently
+    * widening an int or dropping a field before the pipeline does.
+    * Pure metadata (no data scan, no job); unchanged columns are
+    * absent. Emits (`column`, `change`, `old_type`, `new_type`). */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name ->
+      (f.dataType.catalogString, f.nullable)).toMap
+    val n = newDf.schema.map(f => f.name ->
+      (f.dataType.catalogString, f.nullable)).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map { c =>
+        (c, "added", null: String, n(c)._1)
+      } ++
+      (o.keySet -- n.keySet).toSeq.sorted.map { c =>
+        (c, "removed", o(c)._1, null: String)
+      } ++
+      (o.keySet & n.keySet).toSeq.sorted.flatMap { c =>
+        if (o(c)._1 != n(c)._1)
+          Some((c, "type_changed", o(c)._1, n(c)._1))
+        else if (o(c)._2 != n(c)._2)
+          Some((c, "nullability_changed", o(c)._1, n(c)._1))
+        else None
+      }
+    rows.toDF("column", "change", "old_type", "new_type")
+  }
 }

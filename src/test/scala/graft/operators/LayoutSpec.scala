@@ -114,4 +114,39 @@ class LayoutSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("fileStats: per-file min/max/count manifest shows clustering power") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fstats").toString
+    // range-partitioned by id → tight, non-overlapping per-file id ranges
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "grp")
+    Layout.compactTo(df, dir, targetRowsPerFile = 250L,
+      sortCols = Seq(col("id")))
+    val stats = Layout.fileStats(spark, dir, Seq("id")).collect()
+    assert(stats.length >= 4)
+    assert(stats.map(_.getAs[Long]("n_rows")).sum === 1000L)
+    // ranges must not overlap (the clustering payoff fileStats exposes)
+    val ranges = stats.map(r =>
+      (r.getAs[Long]("id_min"), r.getAs[Long]("id_max"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
+  test("schemaDrift: added/removed/type/nullability changes; quiet when same") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val newDf = Seq((1L, 2, true)).toDF("id", "score", "fresh")
+      .selectExpr("id", "CAST(score AS INT) AS score", "fresh")
+    val out = Profile.schemaDrift(oldDf, newDf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3)))).toMap
+    assert(out("name") === (("removed", "string", null)))
+    assert(out("fresh") === (("added", null, "boolean")))
+    assert(out("score") === (("type_changed", "double", "int")))
+    assert(!out.contains("id"))
+    assert(Profile.schemaDrift(oldDf, oldDf).count() === 0L)
+  }
 }
