@@ -511,6 +511,28 @@ object SparkEntry {
           col("l_quantity_scaled"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_fk_orphans" -> ((s, d) => {
+      // referential-integrity gate: planted bad supplier keys (every
+      // 97th order shifted by +1000) surface as orphan keys with their
+      // fact-row blast radius
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val fact = s.table("lineitem").select(
+        when(col("l_orderkey") % 97 === 0, col("l_suppkey") + lit(1000L))
+          .otherwise(col("l_suppkey")).as("fk_supp"))
+      operators.Validation.fkOrphans(fact, s.table("supplier"),
+          "fk_supp", "s_suppkey")
+        .orderBy(col("fk_supp"))
+    }),
+    "q_pareto" -> ((s, d) => {
+      // Pareto concentration of shipment quantity by supplier (80/20
+      // head flag) — exact integer sums, reduced-frame ranking window
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Validation.paretoContribution(s.table("lineitem"),
+          "l_suppkey", "l_quantity", headShare = 0.8)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_dow_profile" -> ((s, d) => {
       // day-of-week seasonal profile of shipment quantities per supplier
       // — exact integer sums, additive residuals
@@ -4617,6 +4639,34 @@ object SparkEntry {
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Validation.fkOrphans: distinct-key counts then an anti
+    // membership check against the dimension keys.
+    "q_fk_orphans" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_suppkey + 1000
+        |              ELSE l_suppkey END AS fk_supp
+        |  FROM lineitem),
+        |keyed AS (SELECT fk_supp, CAST(count(*) AS BIGINT) AS n_rows
+        |          FROM fact GROUP BY fk_supp)
+        |SELECT fk_supp, n_rows FROM keyed
+        |WHERE fk_supp NOT IN (SELECT DISTINCT s_suppkey FROM supplier)
+        |ORDER BY fk_supp""".stripMargin,
+    // Replays Validation.paretoContribution: exact integer-valued sums,
+    // (total desc, key asc) cumulative, strict-< head boundary.
+    "q_pareto" ->
+      """WITH s AS (SELECT l_suppkey,
+        |             sum(CAST(l_quantity AS DOUBLE)) AS total
+        |           FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(total) AS gt FROM s),
+        |w AS (SELECT l_suppkey, total,
+        |        sum(total) OVER (ORDER BY total DESC, l_suppkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM s)
+        |SELECT w.l_suppkey, w.total, w.total / g.gt AS share,
+        |  w.cum / g.gt AS cum_share,
+        |  ((w.cum - w.total) / g.gt < 0.8::DOUBLE) AS in_head
+        |FROM w CROSS JOIN g
+        |ORDER BY l_suppkey""".stripMargin,
     // Replays Resample.dowProfile: DuckDB dayofweek (0=Sunday) + 1 maps
     // onto Spark's 1=Sunday convention; exact integer (n, Σx) sums.
     "q_dow_profile" ->

@@ -72,4 +72,60 @@ object Validation {
       row.getAs[Long]("total"),
       Map("weekend_rows" -> row.getAs[Long]("weekend_rows")))
   }
+
+  /** Referential-integrity check: fact rows whose key has NO match in the
+    * dimension — the orphan count every star-schema load gate needs.
+    * Emits one row per orphaned KEY VALUE with its fact-row count
+    * (`n_rows`), so a single bad vendor key surfaces once with its blast
+    * radius, not as a million sample rows.
+    *
+    * Plan: the fact side aggregates to distinct keys FIRST (map-side
+    * combinable — only distinct keys shuffle), then one left-anti join
+    * against the dimension's key projection (broadcast when the dim is
+    * small, AQE otherwise). Null fact keys count as orphans under their
+    * NULL key (they match nothing by SQL semantics — surfacing them is
+    * the point of a load gate). */
+  def fkOrphans(fact: DataFrame, dim: DataFrame,
+                factKey: String, dimKey: String): DataFrame = {
+    Guards.requireNoReserved(fact.columns, Seq("n_rows"), "fkOrphans")
+    val keyed = fact.groupBy(col(factKey))
+      .agg(count(lit(1)).as("n_rows"))
+    keyed.join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_anti")
+  }
+
+  /** Pareto contribution analysis — "which keys make X% of the total":
+    * per-key measure totals ranked descending (ties to the lower key),
+    * each key's `share` and running `cum_share`, and the `in_head` flag
+    * for keys inside the `headShare` prefix (the 80 in 80/20, including
+    * the key that crosses the line). The concentration readout behind
+    * skew planning, vendor triage, and corpus-source audits.
+    *
+    * The ranking window runs over the REDUCED per-key frame (key
+    * cardinality, never rows — the [[Eval.binaryAuc]] shape); exact
+    * integer sums on integer-valued measures make every share a fixed
+    * IEEE division. Emits (keyCol, `total`, `share`, `cum_share`,
+    * `in_head`). */
+  def paretoContribution(df: DataFrame, keyCol: String, measureCol: String,
+                         headShare: Double = 0.8): DataFrame = {
+    require(headShare > 0.0 && headShare < 1.0,
+      s"headShare must be in (0,1), got $headShare")
+    Guards.requireNoReserved(df.columns,
+      Seq("total", "share", "cum_share", "in_head", "__g", "__cum"),
+      "paretoContribution")
+    val sums = df.groupBy(col(keyCol))
+      .agg(sum(col(measureCol).cast("double")).as("total"))
+    val grand = sums.agg(sum(col("total")).as("__g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sums.crossJoin(broadcast(grand))
+      .withColumn("share", col("total") / col("__g"))
+      .withColumn("__cum", sum(col("total")).over(w))
+      .withColumn("cum_share", col("__cum") / col("__g"))
+      .withColumn("in_head",
+        (col("__cum") - col("total")) / col("__g") < lit(headShare))
+      .drop("__g", "__cum")
+  }
 }

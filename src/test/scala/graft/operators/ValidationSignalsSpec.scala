@@ -85,6 +85,34 @@ class ValidationSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("fkOrphans: orphan keys with blast radius; clean join is empty") {
+    import spark.implicits._
+    val fact = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "a"), (9L, "b"),
+      (9L, "c")).toDF("k", "payload")
+    val dim = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("id")
+    val out = Validation.fkOrphans(fact, dim, "k", "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(out === Map(9L -> 3L))
+    assert(Validation.fkOrphans(fact.filter($"k" < 3), dim, "k", "id")
+      .count() === 0L)
+  }
+
+  test("paretoContribution: shares, cumulative order, head flag") {
+    import spark.implicits._
+    // totals: a=50, b=30, c=15, d=5 → shares .5/.3/.15/.05
+    val df = Seq(("a", 50), ("b", 20), ("b", 10), ("c", 15), ("d", 5))
+      .toDF("k", "v")
+    val out = Validation.paretoContribution(df, "k", "v", headShare = 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("share"), r.getAs[Double]("cum_share"),
+          r.getAs[Boolean]("in_head")))).toMap
+    assert(out("a") === ((0.5, 0.5, true)))
+    assert(out("b") === ((0.3, 0.8, true)))
+    // c starts exactly at 0.8 → outside the head (strict <)
+    assert(out("c")._3 === false && math.abs(out("c")._2 - 0.95) < 1e-12)
+    assert(out("d")._3 === false)
+  }
+
   test("eventStudy: hand-computed forward means, lift, and edge handling") {
     import spark.implicits._
     // rets: .1, -.2, .3, .4; signal at i=0 and i=2
