@@ -272,6 +272,23 @@ object SparkEntry {
           Seq("l_suppkey"), Seq("l_shipdate"), maxHorizon = 3)
         .orderBy(col("horizon"))
     }),
+    "q_holt" -> ((s, d) => {
+      // Holt level+trend one-step-ahead forecast of daily closes
+      // (α=0.3, β=0.2 as permille literals) — the native recurrence.
+      // ROWS-ONLY gate by design: DuckDB 1.0's list_reduce mis-evaluates
+      // this nested-arithmetic struct lambda from ~30 elements on
+      // (verified against an independent sequential replay — NOTES.md);
+      // the spec asserts recurrence equality instead
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      dailyBars(s)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          FinancialFunctions.holt(col("close"), 300, 200).over(w)
+            .as("forecast"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_candles" -> ((s, d) => {
       // candlestick pattern flags over daily bars — pure per-row/one-lag
       // comparisons, exact anywhere

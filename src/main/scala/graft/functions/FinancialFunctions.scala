@@ -30,6 +30,7 @@ object FinancialFunctions {
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
+    "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
@@ -65,6 +66,9 @@ object FinancialFunctions {
   def macd(value: Column): Column = call_function("macd", value)
   def wilder(value: Column, n: Int): Column =
     call_function("wilder", value, lit(n))
+  /** Holt forecast; α/β as permille ints (0.3 → 300). */
+  def holt(value: Column, alphaPm: Int, betaPm: Int): Column =
+    call_function("holt", value, lit(alphaPm), lit(betaPm))
 }
 
 /** Session-extension variant: lets users opt in via

@@ -240,6 +240,66 @@ case class Wilder(value: Expression, windowSize: Expression)
     copy(value = c(0), windowSize = c(1))
 }
 
+/** `holt(value, alpha_permille, beta_permille)` — Holt double
+  * exponential smoothing, the level+trend one-step-ahead forecast:
+  * after seeding (`level = x₁`; `trend = x₂ − x₁` on the second
+  * non-null value), each step runs
+  * `level' = α·x + (1−α)·(level + trend)`;
+  * `trend' = β·(level' − level) + (1−β)·trend`, and the row emits the
+  * NEXT-step forecast `level' + trend'`. NULL until two non-null values
+  * seed the state; frozen-state NULL contract like every indicator.
+  *
+  * Smoothing factors arrive as integer PERMILLE literals (α=0.3 →
+  * `300`) so the window-argument convention stays "literal int,
+  * analysis-time validated" and both engines derive the identical
+  * double via the same `permille/1000.0` division. */
+case class Holt(value: Expression, alphaPm: Expression, betaPm: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val alpha = requirePermille(alphaPm) / 1000.0
+  private lazy val beta = requirePermille(betaPm) / 1000.0
+
+  private def requirePermille(e: Expression): Int = {
+    val v = requireWindowSize(e)
+    if (v > 1000) throw new IllegalArgumentException(
+      s"$prettyName smoothing permille must be in [1, 1000], got $v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(value, alphaPm, betaPm)
+  override def prettyName: String = "holt"
+
+  private lazy val lvl = AttributeReference("hLvl", DoubleType, nullable = true)()
+  private lazy val trd = AttributeReference("hTrd", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lvl, trd, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val a = Literal(alpha); val b = Literal(beta)
+    val newLvl = Add(Multiply(a, x),
+      Multiply(Literal(1.0 - alpha), Add(lvl, trd)))
+    Seq(
+      If(IsNull(x), lvl,
+        If(IsNull(lvl), x,
+          If(IsNull(trd), x, newLvl))),
+      If(IsNull(x), trd,
+        If(IsNull(lvl), trd, // still unseeded after this row's level
+          If(IsNull(trd), Subtract(x, lvl),
+            Add(Multiply(b, Subtract(newLvl, lvl)),
+              Multiply(Literal(1.0 - beta), trd))))),
+      IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(trd)), nullDouble, Add(lvl, trd))
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Holt =
+    copy(value = c(0), alphaPm = c(1), betaPm = c(2))
+}
+
 /** `macd(value)` — MACD line = EMA12 − EMA26 with fixed α 2/13 and 2/27,
   * both seeded by the first non-null value so the first row emits 0.0;
   * no signal line / histogram (reference `src/functions/macd.rs:55-120`). */

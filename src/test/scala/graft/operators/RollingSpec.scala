@@ -390,6 +390,44 @@ class RollingSpec extends AnyFunSuite {
       s"one exchange expected:\n$p")
   }
 
+  test("holt: matches the direct level+trend recurrence; linear series " +
+      "forecast exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0)
+    val df = series(xs: _*)
+    val w = Window.partitionBy("sym").orderBy("i")
+    val out = df.select(col("i"),
+        graft.functions.FinancialFunctions.holt(col("v"), 300, 200).over(w)
+          .as("f"))
+      .collect().map(r => r.getInt(0) ->
+        Option(r.getAs[java.lang.Double]("f")).map(_.doubleValue())).toMap
+    assert(out(0) === None, "one value cannot seed a trend")
+    // direct replay
+    val (a, b) = (0.3, 0.2)
+    var lvl = xs(0); var trd = Double.NaN
+    val exp = xs.zipWithIndex.map { case (x, i) =>
+      if (i == 0) None
+      else if (i == 1) { trd = x - lvl; lvl = x; Some(lvl + trd) }
+      else {
+        val nl = a * x + (1 - a) * (lvl + trd)
+        trd = b * (nl - lvl) + (1 - b) * trd
+        lvl = nl
+        Some(lvl + trd)
+      }
+    }
+    for (i <- xs.indices) assert(out(i) === exp(i), s"row $i")
+    // a perfectly linear series forecasts the next point exactly
+    val lin = series((1 to 8).map(i => 5.0 + 2.0 * i): _*)
+    val lf = lin.select(col("i"),
+        graft.functions.FinancialFunctions.holt(col("v"), 500, 500).over(w)
+          .as("f"))
+      .collect().map(r => r.getInt(0) ->
+        Option(r.getAs[java.lang.Double]("f")).map(_.doubleValue())).toMap
+    for (i <- 1 until 7)
+      assert(math.abs(lf(i).get - (5.0 + 2.0 * (i + 2))) < 1e-9,
+        s"linear forecast at $i")
+  }
+
   test("wilder: NULL until n values, mean seed, then the recurrence") {
     import org.apache.spark.sql.expressions.Window
     val df = series(1, 2, 3, 4)
