@@ -151,6 +151,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — `|A∩B| / |A|` with A the
+    * SMALLER-shingle-set side: the excerpt/quotation detector symmetric
+    * Jaccard is blind to (a paragraph quoted inside a long article has
+    * tiny Jaccard but containment ≈ 1). Emits one row per unordered pair
+    * with `inner_id` (the contained side), `outer_id`, both set sizes,
+    * and `containment ≥ threshold`; ties in size resolve the lower id
+    * as inner (deterministic).
+    *
+    * Same plan as [[ngramJaccardPairs]]: persisted shingle-set frame,
+    * shared-shingle equi-join candidates, one exact intersection count
+    * per pair, a single IEEE division — no rounding. The same stop-
+    * shingle caveat applies (compose with prefix filtering upstream on
+    * Zipfian corpora). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sets = graft.CacheScope.register(
+      TextOps.shingleSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col(idCol), col("n_shingles"))
+    val sized = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_shingles").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_shingles").as("n_b")), "id_b")
+    val aInner = col("n_a") < col("n_b") ||
+      (col("n_a") === col("n_b") && col("id_a") < col("id_b"))
+    sized
+      .withColumn("inner_id", when(aInner, col("id_a")).otherwise(col("id_b")))
+      .withColumn("outer_id", when(aInner, col("id_b")).otherwise(col("id_a")))
+      .withColumn("n_inner", least(col("n_a"), col("n_b")))
+      .withColumn("n_outer", greatest(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_inner").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("inner_id", "outer_id", "n_inner", "n_outer", "containment")
+  }
+
   /** PPJoin-style candidate generation over the prefix posting lists.
     *
     * Why it scales on skewed corpora: a stop-shingle shared by m documents
