@@ -275,10 +275,9 @@ object SparkEntry {
     "q_holt" -> ((s, d) => {
       // Holt level+trend one-step-ahead forecast of daily closes
       // (α=0.3, β=0.2 as permille literals) — the native recurrence.
-      // ROWS-ONLY gate by design: DuckDB 1.0's list_reduce mis-evaluates
-      // this nested-arithmetic struct lambda from ~30 elements on
-      // (verified against an independent sequential replay — NOTES.md);
-      // the spec asserts recurrence equality instead
+      // Oracle-hard since r7: a WITH RECURSIVE level/trend replay
+      // (DuckDB 1.0's list_reduce mis-evaluates the equivalent nested
+      // struct lambda from ~30 elements on — NOTES.md)
       load(s, d)
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.expressions.Window
@@ -4656,6 +4655,39 @@ object SparkEntry {
          |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Holt (WindowIndicators.Holt) as a WITH RECURSIVE step-by-step
+    // level/trend replay — NOT a list_reduce fold, which DuckDB 1.0
+    // mis-evaluates for this nested struct lambda (NOTES.md). Each
+    // recursion step advances every supplier's series one row (rn → rn+1);
+    // newLvl is inlined twice because DuckDB resolves an unqualified
+    // lateral alias against same-named table columns first (h.lvl), which
+    // silently freezes the trend update. α=300‰, β=200‰ derived by the
+    // same /1000.0 division as the native expression; daily closes are
+    // never NULL so the frozen-state branch has no oracle surface.
+    "q_holt" -> {
+      val newLvl = "((300.0::DOUBLE/1000.0::DOUBLE)*s.close" +
+        " + (1.0::DOUBLE - 300.0::DOUBLE/1000.0::DOUBLE)*(h.lvl + h.trd))"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), holt AS (
+         |  SELECT l_suppkey, l_shipdate, rn,
+         |    close AS lvl, CAST(NULL AS DOUBLE) AS trd
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    CASE WHEN h.trd IS NULL THEN s.close ELSE $newLvl END AS lvl,
+         |    CASE WHEN h.trd IS NULL THEN s.close - h.lvl
+         |         ELSE (200.0::DOUBLE/1000.0::DOUBLE)*($newLvl - h.lvl)
+         |              + (1.0::DOUBLE - 200.0::DOUBLE/1000.0::DOUBLE)*h.trd END AS trd
+         |  FROM holt h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, lvl + trd AS forecast
+         |FROM holt ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Replays Validation.fkOrphans: distinct-key counts then an anti
     // membership check against the dimension keys.
     "q_fk_orphans" ->
