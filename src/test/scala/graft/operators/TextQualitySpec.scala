@@ -176,6 +176,43 @@ class TextQualitySpec extends AnyFunSuite {
     assert(again === out.map { case (k, v) => k -> v._2 })
   }
 
+  test("compressionRatio: golden fixture pins exact per-doc DEFLATE sizes") {
+    // The q_compress_ratio gate is rows-only (DEFLATE is not
+    // SQL-replayable), so this frozen corpus backs it with asserted
+    // values: exact compressed byte counts produced by the JDK's bundled
+    // zlib at level 6 (recorded 2026-08, JDK 17). ASSUMPTION: java.util
+    // .zip.Deflater output is deterministic for a fixed JDK major — a JDK
+    // swap that bumps the bundled zlib will shift these counts, and this
+    // test failing after a toolchain change means re-record, not a bug
+    // (NOTES.md "compression-ratio golden fixture").
+    val corpus = Seq(
+      (1L, "click here buy now click here buy now click here buy now " +
+        "click here buy now "),                                // 76 raw
+      (2L, "The quick brown fox jumps over the lazy dog while seventeen " +
+        "unrelated ideas bloom in a distant meadow."),         // 102 raw
+      (3L, "a" * 60),                                          // 60 raw
+      (4L, "abcdefghijklmnopqrstuvwxyz0123456789"),            // 36 raw: EXPANDS
+      (5L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed " +
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua.")
+    ).toDF("doc_id", "text")
+    val golden = Map( // doc_id -> (raw bytes, deflated bytes)
+      1L -> (76L, 30L), 2L -> (102L, 90L), 3L -> (60L, 12L),
+      4L -> (36L, 44L), 5L -> (123L, 98L))
+    val out = TextOps.compressionRatio(spark, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Double]("compress_ratio"))).toMap
+    golden.foreach { case (id, (raw, deflated)) =>
+      assert(out(id)._1 === raw, s"doc $id raw size")
+      // the operator divides deflated/raw as doubles — assert the exact
+      // IEEE quotient, not an approximation
+      assert(out(id)._2 === deflated.toDouble / raw.toDouble,
+        s"doc $id ratio: got ${out(id)._2}, want $deflated/$raw")
+    }
+    // incompressible short text must expand (zlib header + stored cost):
+    // the screen's "ratio >= 1" band is real, not theoretical
+    assert(out(4L)._2 > 1.0)
+  }
+
   private def bgs(rows: (Long, String)*)(vocabK: Int = 10) =
     TextOps.bigramSurprisal(rows.toDF("doc_id", "text"), "doc_id", "text",
         vocabK = vocabK)
