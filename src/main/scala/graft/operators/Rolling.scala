@@ -329,26 +329,42 @@ object Rolling {
     * convention: an integer cut, no interpolation ambiguity across
     * engines). NULL until the frame fills.
     *
-    * The ES tail folds over the ascending-sorted frame list ([[cci]]
-    * discipline); the VaR percentile runs over the same frame. Adds
-    * `var_alpha`, `es_alpha`. */
+    * ONE frame materialization serves both: the ascending-sorted frame
+    * list is built once (`collect_list` + `sort_array`), the ES tail
+    * folds over its first `k` elements ([[cci]] discipline), and VaR
+    * interpolates INTO it — replicating Spark `percentile`'s linear
+    * interpolation at indices that are compile-time constants, because
+    * the value only emits on exactly-full frames (`count == n`). That
+    * halves the per-row window buffering vs the naive
+    * `percentile().over(w)` + `collect_list().over(w)` pair (which
+    * buffers the same n-row frame twice per row). Adds `var_alpha`,
+    * `es_alpha`. */
   def historicalVar(df: DataFrame, retCol: String, partCols: Seq[String],
                     orderCols: Seq[String], n: Int,
                     alpha: Double = 0.05): DataFrame = {
     require(n >= 2, s"window must be >= 2, got $n")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     Guards.requireNoReserved(df.columns,
-      Seq("var_alpha", "es_alpha", "__tail"), "Rolling.historicalVar")
+      Seq("var_alpha", "es_alpha", "__sorted"), "Rolling.historicalVar")
     val k = math.max(1, math.floor(alpha * n).toInt)
     val w = frame(partCols, orderCols, n)
     val r = col(retCol).cast("double")
-    val tail = slice(sort_array(collect_list(r).over(w)), 1, k)
-    val esSum = aggregate(col("__tail"), lit(0.0), (acc, x) => acc + x)
-    df.withColumn("var_alpha",
-        when(count(r).over(w) === n, -percentile(r, lit(alpha)).over(w)))
-      .withColumn("__tail", when(count(r).over(w) === n, tail))
+    // Spark Percentile semantics on a full frame: position = α·(n−1) with
+    // constant floor/ceil indices and weights — same IEEE ops, same order
+    val pos = alpha * (n - 1).toDouble
+    val lo = math.floor(pos).toInt // 0-based; element_at is 1-based
+    val hi = math.ceil(pos).toInt
+    val sorted = col("__sorted")
+    val varQ =
+      if (lo == hi) element_at(sorted, lo + 1)
+      else element_at(sorted, lo + 1) * lit(hi.toDouble - pos) +
+        element_at(sorted, hi + 1) * lit(pos - lo.toDouble)
+    val esSum = aggregate(slice(sorted, 1, k), lit(0.0), (acc, x) => acc + x)
+    df.withColumn("__sorted",
+        when(count(r).over(w) === n, sort_array(collect_list(r).over(w))))
+      .withColumn("var_alpha", -varQ)
       .withColumn("es_alpha", -(esSum / lit(k.toDouble)))
-      .drop("__tail")
+      .drop("__sorted")
   }
 
   /** Aroon oscillator lines (public formula): over the last `n+1` bars,
