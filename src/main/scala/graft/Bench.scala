@@ -84,19 +84,35 @@ object Bench {
 
     val sizeSweep = SizeSweep.run(spark, sfDir, sweep _)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
-    // the driver captures stdout's tail, which has truncated the front of
-    // this (long) line two rounds running — persist the full artifact to a
-    // file as well so the totals and early per-query times survive
+
+    // FULL artifact → bench_full.json (all queries, 3-dp seconds). The
+    // driver's stdout-tail capture is ~2.6 KB: a 187-query map (~5.5 KB)
+    // can NEVER fit, which is why BENCH_r04..r06 recorded "parsed": null.
+    val qsFull = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+
+    // PRINTED artifact: same shape as the full one (contract:
+    // queries -> seconds) but with the map subset to the headline
+    // indicators + the 12 slowest, so the whole line plus sbt's epilogue
+    // sits inside the tail window and actually parses.
+    val headline = Seq("q_sma", "q_ema", "q_rsi", "q_macd",
+      "q_indicators_combined")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12).map(_._1)
+    val picked = (headline ++ slowest).distinct
+    val byName = results.toMap
+    val qsCompact = picked.flatMap(n => byName.get(n).map(v =>
+        "\"" + n + f"\":$v%.3f"))
+      .mkString("{", ",", "}")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$outPath","rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }
