@@ -1072,10 +1072,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_media_features" -> ((s, d) => {
-      // the mapPartitions decode plug-point end-to-end: binary payload →
-      // per-partition iterator → fixed-width feature vector. The decoder is
-      // the deterministic byte-histogram stand-in, so the oracle can verify
-      // the whole plumbing hash-exact.
+      // PLUMBING-ONLY gate — the decoder here is the clearly-marked
+      // byte-histogram stand-in (fakeDecode), NOT a codec; what this gate
+      // proves is the mapPartitions plug-point end-to-end (binary payload
+      // → per-partition iterator → fixed-width feature vector), hash-exact.
+      // The REAL codec gates are q_media_decode (PNG), q_media_audio
+      // (WAV), and q_media_video (AVI demux + per-frame decode).
       load(s, d)
       // oracle precondition: the DuckDB replica of the byte-histogram counts
       // CHARACTERS per bucket, equal to the Scala per-BYTE histogram only
@@ -1113,6 +1115,27 @@ object SparkEntry {
       val feats = operators.Multimodal.decodeImageFeatures(s, media, "doc_id")
       import org.apache.spark.sql.functions.element_at
       feats.select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
+    "q_media_video" -> ((s, d) => {
+      // REAL video round-trip: text → per-frame PNG encode → our RIFF/AVI
+      // muxer (fourcc MPNG, the lossless motion-PNG MJPEG variant) →
+      // container walk + per-frame javax.imageio decode → pooled pixel
+      // histogram + container metadata. Lossless frames let the oracle
+      // replay frame f's pixel i = byte (i+f) mod len from the text alone
+      // — the gate proves a genuine demux-and-decode ran end-to-end.
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_video oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaAvi(s, docs, "doc_id", "text")
+      val feats = operators.Multimodal.decodeVideoFeatures(s, media, "doc_id")
+      import org.apache.spark.sql.functions.element_at
+      feats.select(Seq(col("doc_id"), col("n_frames"), col("width"),
+          col("height")) ++
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
@@ -2613,6 +2636,39 @@ object SparkEntry {
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the REAL AVI round-trip ([[operators.Multimodal
+    * .withMediaAvi]] → [[operators.Multimodal.decodeVideoFeatures]]):
+    * losslessly-compressed frames mean decoded frame `f` pixel `i` equals
+    * the text byte at `(i+f) mod len` — regenerated with a frames ×
+    * pixels double `generate_series` and bucketed exactly like the
+    * decoder (`g*16/256`, count/1024; both divisions exact in IEEE
+    * doubles). Container metadata (frame count, geometry) replays as the
+    * muxer's constants. ASCII corpus asserted in the Spark query. */
+  private def duckMediaVideoSql: String = {
+    val nf = operators.Multimodal.AviFrames
+    val side = operators.Multimodal.PngSide
+    val px = side * side
+    val totalPx = nf * px
+    val buckets = (0 until 16).map { b =>
+      s"CAST(sum(CASE WHEN g // 16 = $b THEN 1 ELSE 0 END) AS DOUBLE) / $totalPx.0" +
+        f" AS f$b%02d"
+    }
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN length(d.text) = 0 THEN 0
+       |         ELSE ascii(substr(d.text,
+       |           CAST((t.i + fr.f) % length(d.text) AS INT) + 1, 1))
+       |    END AS g
+       |  FROM documents d
+       |    CROSS JOIN generate_series(0, ${nf - 1}) AS fr(f)
+       |    CROSS JOIN generate_series(0, ${px - 1}) AS t(i)
+       |)
+       |SELECT doc_id, CAST($nf AS INT) AS n_frames,
+       |  CAST($side AS INT) AS width, CAST($side AS INT) AS height,
+       |  ${buckets.mkString(",\n  ")}
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[operators.Similarity.ivfKnnLearned]]: the same
     * deterministic k-means (init = 8 lowest-id vectors, 2 assignment/update
     * rounds, means rounded to 6 decimals) unrolled as generated CTEs, then
@@ -2774,6 +2830,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_features" -> duckMediaFeaturesSql,
     "q_media_decode" -> duckMediaDecodeSql,
+    "q_media_video" -> duckMediaVideoSql,
     // The WAV gate's amplitude buckets reduce to the same byte // 16
     // histogram (sample = (b−128)·256 → (s+32768)·16/65536 = b·16/256),
     // so the image-decode oracle replays the audio round-trip verbatim.

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, exactly as a 100 TB
   * training-data pipeline would carry them next to text.
   *
-  * Three decode paths exist at the same per-partition plug-point:
+  * Four decode paths exist at the same per-partition plug-point:
   *  - [[decodeImageFeatures]] is a REAL image-codec round-trip —
   *    `javax.imageio` PNG decode (JDK built-in, no external libs) into a
   *    grayscale pixel histogram, fed by [[withMediaPng]]'s genuine
@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   *  - [[decodeAudioFeatures]] is a REAL audio-container round-trip —
   *    `javax.sound.sampled` RIFF/WAVE parse (JDK built-in, headless)
   *    into a PCM16 amplitude histogram, fed by [[withMediaWav]];
+  *  - [[decodeVideoFeatures]] is a REAL video-container round-trip — our
+  *    own RIFF/AVI demux (chunk walk, avih parse, `movi` iteration) with
+  *    per-frame `javax.imageio` decode, fed by [[withMediaAvi]]'s
+  *    motion-PNG AVIs (the lossless MJPEG variant);
   *  - [[decodeFeatures]] keeps the clearly-marked deterministic fake
-  *    (byte histogram) standing in for codecs the JDK does not ship
-  *    (video; JPEG is also in `javax.imageio`).
+  *    (byte histogram) as the plumbing-shape fixture — its gate
+  *    (`q_media_features`) proves the plug-point, not a codec.
   * Everything around them — schema, partition-iterator batching, frame
   * sampling, metadata struct — is identical real Spark plumbing.
   */
@@ -106,13 +110,15 @@ object Multimodal {
 
   private def encodePngWith(img: java.awt.image.BufferedImage,
                             writer: javax.imageio.ImageWriter,
-                            text: String): Array[Byte] = {
+                            text: String,
+                            pixelOffset: Int = 0): Array[Byte] = {
     val bytes = if (text == null) Array.empty[Byte]
                 else text.getBytes(StandardCharsets.UTF_8)
     val raster = img.getRaster
     var i = 0
     while (i < PngSide * PngSide) {
-      val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      val v = if (bytes.isEmpty) 0
+              else bytes((i + pixelOffset) % bytes.length) & 0xff
       raster.setSample(i % PngSide, i / PngSide, 0, v)
       i += 1
     }
@@ -275,6 +281,201 @@ object Multimodal {
     var j = 0
     while (j < nBuckets) { hist(j) /= total; j += 1 }
     hist
+  }
+
+  /** Deterministic synthetic AVI payloads: a REAL RIFF/AVI container
+    * ([[AviFrames]] frames of [[PngSide]]×[[PngSide]] grayscale video)
+    * written by our own muxer — `RIFF('AVI ' LIST(hdrl avih
+    * LIST(strl strh strf)) LIST(movi 00dc…) idx1)`, the standard
+    * single-stream layout. Frames are compressed with the REAL
+    * `javax.imageio` PNG codec (fourcc `MPNG`, motion-PNG — the lossless
+    * MJPEG variant): frame `f`'s pixel `i` is the text byte at
+    * `(i + f) mod len`, so a downstream demux+decode recovers the exact
+    * pixels and a SQL oracle can replay the whole round-trip from the
+    * text alone — the video twin of [[withMediaPng]]. MJPEG-proper (JPEG
+    * frames) would be the same container walk with a lossy codec, which
+    * is exactly why the gate uses the lossless variant. */
+  def withMediaAvi(spark: SparkSession, df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        // per-partition codec state, amortized across rows (the
+        // withMediaPng discipline)
+        val img = new java.awt.image.BufferedImage(
+          PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        iter.map { case (id, text) => (id, encodeAviWith(img, writer, text)) }
+      }
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("video/avi").as("mime"),
+        md5(col("media")).as("content_md5")))
+  }
+
+  /** Frame count of the synthetic AVIs ([[withMediaAvi]]). */
+  val AviFrames: Int = 4
+
+  private def encodeAviWith(img: java.awt.image.BufferedImage,
+                            writer: javax.imageio.ImageWriter,
+                            text: String): Array[Byte] = {
+    val frames = (0 until AviFrames).map { f =>
+      encodePngWith(img, writer, text, pixelOffset = f)
+    }
+    muxAvi(frames, PngSide, PngSide)
+  }
+
+  /** Minimal standards-shaped AVI muxer: one `vids` stream, fourcc
+    * `MPNG`, one `00dc` chunk per frame (even-padded) + `idx1` index.
+    * Little-endian sizes throughout, as RIFF requires. */
+  private def muxAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      fcc(id) ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(subtype: String, payload: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(payload.length + 4) ++ fcc(subtype) ++ payload
+
+    val maxFrame = frames.map(_.length).max
+    // avih: MAIN AVI HEADER (56 bytes of fields)
+    val avih = chunk("avih",
+      le32(100000) ++ le32(maxFrame * 10) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // strh: stream header, fccType vids / fccHandler MPNG, 10 fps
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MPNG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(10) ++ le32(0) ++ le32(frames.length) ++
+      le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      // rcFrame: four 16-bit shorts (0,0,w,h)
+      Array((0 & 0xff).toByte, 0.toByte, (0 & 0xff).toByte, 0.toByte) ++
+      Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte))
+    // strf: BITMAPINFOHEADER with biCompression = fourcc MPNG
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) /*biPlanes=1, biBitCount=24*/ ++
+      fcc("MPNG") ++ le32(w * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+
+    val moviChunks = frames.map(f => (chunk("00dc", f), f.length))
+    val movi = list("movi", moviChunks.flatMap(_._1).toArray)
+    // idx1: offsets are relative to the start of movi's payload data
+    // (the 'movi' fourcc position + 4), per the AVI 1.0 convention
+    var off = 4
+    val idxEntries = moviChunks.map { case (c, payloadLen) =>
+      val e = fcc("00dc") ++ le32(0x10 /*AVIIF_KEYFRAME*/) ++
+        le32(off) ++ le32(payloadLen)
+      off += c.length
+      e
+    }
+    val idx1 = chunk("idx1", idxEntries.flatMap(e => e).toArray)
+
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    out.write(fcc("RIFF")); out.write(le32(body.length)); out.write(body)
+    out.toByteArray
+  }
+
+  /** REAL video decode at the plug-point: walk the RIFF/AVI container
+    * (validate signatures, parse `avih` for the declared geometry and
+    * frame count, iterate the `movi` list's `00dc` chunks), decode every
+    * frame with `javax.imageio`, and emit the container metadata plus the
+    * normalized grayscale histogram pooled across frames — the
+    * demux-then-per-frame-decode shape a real MJPEG pipeline has, with
+    * zero external deps. Same `mapPartitions` plug-point as the image and
+    * audio paths; fails loudly on a malformed container, a frame-count
+    * mismatch, or an undecodable frame. Emits (idCol, `n_frames`,
+    * `width`, `height`, `features`). */
+  def decodeVideoFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                          nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        iter.map { case (id, avi) =>
+          val (nf, w, h, hist) = demuxAvi(pngReader, avi, nBuckets)
+          (id, nf, w, h, hist)
+        }
+      }
+      .toDF(idCol, "n_frames", "width", "height", "features")
+  }
+
+  private def demuxAvi(pngReader: javax.imageio.ImageReader,
+                       bytes: Array[Byte],
+                       nBuckets: Int): (Int, Int, Int, Array[Double]) = {
+    def rd32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def fccAt(o: Int): String =
+      new String(bytes, o, 4, StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && fccAt(0) == "RIFF" && fccAt(8) == "AVI ",
+      "decodeVideo: payload is not a RIFF/AVI container")
+
+    var declaredFrames = -1; var width = -1; var height = -1
+    val hist = new Array[Double](nBuckets)
+    var decoded = 0
+    var totalPx = 0L
+
+    def decodeFrame(off: Int, len: Int): Unit = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes, off, len))
+      val img =
+        try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+        finally iis.close()
+      require(img != null, "decodeVideo: undecodable frame")
+      val raster = img.getRaster
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          hist((raster.getSample(x, y, 0) & 0xff) * nBuckets / 256) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      totalPx += img.getWidth.toLong * img.getHeight
+      decoded += 1
+    }
+
+    // top-level chunk walk; LIST payloads walked one level down
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fccAt(o); val sz = rd32(o + 4)
+        require(sz >= 0 && o + 8 + sz <= to,
+          s"decodeVideo: chunk $id overruns the container")
+        if (id == "LIST") {
+          val sub = fccAt(o + 8)
+          walk(o + 12, o + 8 + sz, inMovi = sub == "movi")
+        } else if (id == "avih") {
+          declaredFrames = rd32(o + 8 + 16)
+          width = rd32(o + 8 + 32); height = rd32(o + 8 + 36)
+        } else if (inMovi && id == "00dc") {
+          decodeFrame(o + 8, sz)
+        }
+        o += 8 + sz + (sz % 2) // chunks are even-aligned
+      }
+    }
+    walk(12, 12 + rd32(4) - 4, inMovi = false)
+
+    require(declaredFrames >= 0, "decodeVideo: missing avih header")
+    require(decoded == declaredFrames,
+      s"decodeVideo: avih declares $declaredFrames frames, movi has $decoded")
+    val total = math.max(1.0, totalPx.toDouble)
+    var j = 0
+    while (j < nBuckets) { hist(j) /= total; j += 1 }
+    (decoded, width, height, hist)
   }
 
   /** STUB — stands in for the real media decoder (`???` in a deployment

@@ -395,6 +395,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L)(12) === 0.5 && feats(3L)(11) === 0.5)
   }
 
+  test("multimodal: real AVI mux→demux round-trip recovers pooled frame histograms") {
+    import spark.implicits._
+    val doc = Seq((1L, "abcd"), (2L, ""), (3L, "ÿ" * 3)).toDF("doc_id", "text")
+    val media = Multimodal.withMediaAvi(spark, doc, "doc_id", "text")
+    // the payloads are genuine RIFF/AVI containers
+    media.select("media", "media_meta.mime").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(new String(b, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(b, 8, 4, "US-ASCII") === "AVI ")
+      assert(r.getString(1) === "video/avi")
+    }
+    val out = Multimodal.decodeVideoFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Double](4)))).toMap
+    out.values.foreach { case (nf, w, h, _) =>
+      assert(nf === Multimodal.AviFrames)
+      assert(w === Multimodal.PngSide && h === Multimodal.PngSide)
+    }
+    // doc 1: every frame cycles bytes 97..100 (offset shifts the phase,
+    // not the multiset) → all pooled pixels in bucket 6, sum exactly 1
+    assert(out(1L)._4(6) === 1.0 && out(1L)._4.sum === 1.0)
+    // doc 2 (empty): all-zero frames → bucket 0
+    assert(out(2L)._4(0) === 1.0)
+    // doc 3: 0xc3/0xbf bytes → buckets 12 and 11 half each, in every frame
+    assert(out(3L)._4(12) === 0.5 && out(3L)._4(11) === 0.5)
+  }
+
+  test("multimodal: decodeVideoFeatures fails loudly on malformed containers") {
+    import spark.implicits._
+    // not RIFF at all
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    intercept[Exception] {
+      Multimodal.decodeVideoFeatures(spark, junk, "doc_id").collect()
+    }
+    // valid RIFF prefix but truncated body: the chunk walk must overrun-check
+    val avi = Multimodal.withMediaAvi(spark,
+        Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("media").head.getAs[Array[Byte]](0)
+    val cut = Seq((1L, avi.take(avi.length / 2))).toDF("doc_id", "media")
+    intercept[Exception] {
+      Multimodal.decodeVideoFeatures(spark, cut, "doc_id").collect()
+    }
+  }
+
   test("multimodal: decodeAudioFeatures fails loudly on a non-WAV payload") {
     import spark.implicits._
     val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
