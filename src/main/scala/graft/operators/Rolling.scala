@@ -104,8 +104,11 @@ object Rolling {
     * Determinism: volume is quantized to `volScale` decimals and the
     * running total is a BIGINT sum (exact in any engine under any
     * accumulation order); the single final descale division is IEEE.
-    * One keyed window pass (lag + running sum share the partition).
-    * Adds `obv` (DOUBLE, in volume units). */
+    * A volume that rounds to zero at `volScale` contributes 0 to the
+    * running total regardless of price direction — a deliberate no-op
+    * tick, matching the signed-volume definition (raise `volScale` if
+    * sub-unit volumes must count). One keyed window pass (lag + running
+    * sum share the partition). Adds `obv` (DOUBLE, in volume units). */
   def obv(df: DataFrame, priceCol: String, volCol: String,
           partCols: Seq[String], orderCols: Seq[String],
           volScale: Int = 0): DataFrame = {
@@ -709,8 +712,11 @@ object Rolling {
     val vInt = round(col(volCol).cast("double") * lit(math.pow(10, volScale)))
       .cast("long")
     val pv = pInt * vInt
+    // A full frame whose TOTAL scaled volume is zero has no defined VWAP;
+    // guard it explicitly so the NULL is an intentional contract (frame
+    // not full, or zero volume) rather than Spark's silent ÷0→NULL.
     df.withColumn("vwap",
-      when(count(pv).over(w) === n,
+      when(count(pv).over(w) === n && sum(vInt).over(w) =!= 0L,
         sum(pv).over(w).cast("double") /
           (lit(math.pow(10, priceScale)) * sum(vInt).over(w).cast("double"))))
   }

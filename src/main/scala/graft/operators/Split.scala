@@ -85,6 +85,13 @@ object Split {
     * label horizons and serial correlation), and everything else is
     * `train`.
     *
+    * Scope note: this is EMBARGO-AFTER-ONLY. Prado's full scheme also
+    * *purges* training rows BEFORE the window whose label horizon
+    * overlaps the test window; this operator does not know the label
+    * horizon, so callers with forward-looking labels must either widen
+    * `embargo` or pre-shift `tsCol` by the horizon so the after-window
+    * embargo covers the pre-window overlap.
+    *
     * `tsCol` must be an integral epoch column (cast timestamps first —
     * the event gates read nanos longs); all boundary arithmetic is then
     * exact integer division, bit-replayable in any engine. A row's own
@@ -102,7 +109,8 @@ object Split {
     require(k >= 2, s"need at least 2 folds, got $k")
     require(embargo >= 0L, s"embargo must be >= 0, got $embargo")
     Guards.requireNoReserved(df.columns,
-      Seq("fold", "role", "__min_ts", "__span", "__end"), "purgedTimeFolds")
+      Seq("fold", "role", "__ts", "__min_ts", "__span", "__end"),
+      "purgedTimeFolds")
     val ts = col(tsCol).cast("long")
     val stats = df.agg(min(ts).as("__min_ts"),
       (max(ts) - min(ts) + lit(1L)).as("__span"))
@@ -114,14 +122,18 @@ object Split {
         col("__min_ts"), col("__span"))
       .withColumn("__end", col("__min_ts") + expr(
         s"((CAST(fold AS BIGINT) + 1) * __span + ${k - 1}) DIV $k"))
-    df.join(broadcast(bounds))
+    // The caller's column is bound ONCE via the Column API (`__ts`); the
+    // integer-DIV expr below then references only internal names — no raw
+    // identifier splicing (backtick-needing names, injection shapes).
+    df.withColumn("__ts", ts).join(broadcast(bounds))
       .withColumn("role",
-        when(expr(s"($k * (CAST($tsCol AS BIGINT) - __min_ts)) DIV __span")
+        when(expr(s"($k * (__ts - __min_ts)) DIV __span")
             === col("fold").cast("long"), lit("test"))
-          .when(ts >= col("__end") && ts < col("__end") + lit(embargo),
+          .when(col("__ts") >= col("__end") &&
+              col("__ts") < col("__end") + lit(embargo),
             lit("embargo"))
           .otherwise(lit("train")))
-      .drop("__min_ts", "__span", "__end")
+      .drop("__ts", "__min_ts", "__span", "__end")
   }
 
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {

@@ -4,8 +4,13 @@ import org.apache.spark.sql.{Dataset, Encoders => SparkEncoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   TimerValues, TTLConfig, ValueState}
 
-/** Per-key event with a monitored metric value. */
-final case class CusumEvent(key: String, ts: java.sql.Timestamp, value: Double)
+/** Per-key event with a monitored metric value. `seq` is the caller's
+  * unique per-key tie-break (ingest offset, event id…): events inside one
+  * micro-batch order by `(ts, seq)`, so two events with identical
+  * timestamp AND value still replay in a caller-defined total order —
+  * the streaming mirror of the batch operator's `orderCols` contract. */
+final case class CusumEvent(key: String, ts: java.sql.Timestamp,
+                            value: Double, seq: Long = 0L)
 
 /** Bounded CUSUM path state — two scaled-BIGINT accumulators per key. */
 final case class CusumState(hi: Long, lo: Long)
@@ -26,9 +31,11 @@ final case class CusumPoint(key: String, ts: java.sql.Timestamp, value: Double,
   * Arithmetic matches the batch operator exactly (same scaled-BIGINT
   * deviations), so replaying a key's events through both yields identical
   * paths — asserted in the spec. Rows inside one micro-batch sort by
-  * (event time, value) for a deterministic within-batch order; CROSS-batch
-  * arrival order is the stream's order, as with every keyed streaming
-  * recurrence ([[StreamingIndicators]] contract).
+  * `(ts, seq)` — a caller-supplied total order, the streaming mirror of
+  * the batch `orderCols` contract (value remains a last-resort fallback
+  * for legacy `seq = 0` callers); CROSS-batch arrival order is the
+  * stream's order, as with every keyed streaming recurrence
+  * ([[StreamingIndicators]] contract).
   *
   * No reference analog (the reference's streaming layer is indicator-only;
   * beyond-reference op for the LLM-pipeline layer).
@@ -68,7 +75,7 @@ object StreamingCusum {
                                  timerValues: TimerValues): Iterator[CusumPoint] = {
       var st = if (state.exists()) state.get() else CusumState(0L, 0L)
       val out = rows.toSeq
-        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.value)).map { e =>
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.seq, e.value)).map { e =>
           val xInt = math.round(e.value * pow)
           val hi = math.max(0L, st.hi + (xInt - tPlusK))
           val lo = math.max(0L, st.lo + (tMinusK - xInt))

@@ -37,6 +37,51 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.sum < 1.0) // sink mass leaks — the simplified variant
   }
 
+  test("pageRank: tol mode stops at a fixpoint (one more round moves < tol)") {
+    val leaves = (1L to 4L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val tol = 1e-7
+    val out = Graph.pageRank(edges, "src", "dst", iters = 100, tol = tol)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the returned ranks ARE a fixpoint under tol: re-applying one exact
+    // update step moves every rank by less than tol
+    val d = 0.85; val n = 5.0
+    def step(pr: Map[Long, Double]): Map[Long, Double] = {
+      val outDeg = Map(0L -> 4.0) ++ leaves.map(_ -> 1.0).toMap
+      val inbound = Map(0L -> leaves.map(l => pr(l) / outDeg(l)).sum) ++
+        leaves.map(l => l -> pr(0L) / outDeg(0L)).toMap
+      pr.keys.map(v => v ->
+        BigDecimal((1 - d) / n + d * inbound(v))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val next = step(out)
+    assert(out.keys.forall(v => math.abs(next(v) - out(v)) < tol),
+      "tol-mode result must be a fixpoint under tol")
+    // and it agrees with a long fixed-iteration run — to within the
+    // geometric tail a per-round stop of tol leaves: Σ tol·d^i ≈
+    // tol·d/(1−d) ≈ 5.7·tol, doubled for the star's oscillatory approach
+    val fixed = Graph.pageRank(edges, "src", "dst", iters = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keys.forall(v => math.abs(fixed(v) - out(v)) < 12 * tol))
+  }
+
+  test("pageRank: tol mode converges on the 2-cycle in far fewer than cap " +
+      "rounds (no over-iteration) and leaks no blocks") {
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet.toSet
+    // the symmetric 2-cycle is the exact fixpoint after round 1 → the
+    // probe must stop the loop immediately; a 1000-round cap that ran to
+    // the cap would take minutes, so plain completion asserts early-stop
+    val out = Graph.pageRank(edges, "src", "dst", iters = 1000, tol = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 0.5, 2L -> 0.5))
+    graft.CacheScope.release()
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "convergence mode must drop every checkpoint block it pinned")
+  }
+
   test("pageRank: layout-independent (per-iteration rounding)") {
     val edges = (0 until 300)
       .map(i => (i.toLong % 40, (i.toLong * 7 + 3) % 40)).toDF("src", "dst")

@@ -9,8 +9,10 @@ class StreamingCusumSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def ev(key: String, sec: Int, v: Double) =
-    CusumEvent(key, new Timestamp(1700000000000L + sec * 1000L), v)
+  // seq mirrors the batch twin's order column — the per-key total order
+  private def ev(key: String, sec: Int, v: Double, seq: Long = -1L) =
+    CusumEvent(key, new Timestamp(1700000000000L + sec * 1000L), v,
+      if (seq >= 0) seq else sec.toLong)
 
   private def withRocks[A](body: => A): A = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -54,6 +56,44 @@ class StreamingCusumSpec extends AnyFunSuite {
         }
         assert(out.count(_.isShift) === batch.values.count(_._3))
         assert(out.exists(_.isShift), "the sustained 9s must alarm")
+      } finally query.stop()
+    }
+  }
+
+  test("same-timestamp events replay in seq order, matching the batch path") {
+    withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[CusumEvent]
+      val query = StreamingCusum.cusum(input.toDS(),
+          target = 5.0, slack = 0.0, threshold = 100.0, scale = 1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cusum_ckpt3").toString)
+        .format("memory").queryName("cusum_out3").start()
+      try {
+        // Two events share ts AND the seq order (0: v=9, 1: v=3) disagrees
+        // with the value order — only the seq tie-break reproduces the
+        // batch operator's orderCols path.
+        input.addData(ev("t", 0, 9.0, seq = 0), ev("t", 0, 3.0, seq = 1),
+          ev("t", 1, 7.0, seq = 2))
+        query.processAllAvailable()
+        val out = spark.table("cusum_out3").as[CusumPoint].collect()
+          .sortBy(p => (p.ts.getTime, -p.cusumHi))
+
+        val batch = graft.operators.Anomaly.cusum(
+            Seq(("t", 0L, 9.0), ("t", 1L, 3.0), ("t", 2L, 7.0))
+              .toDF("key", "seq", "v"),
+            "v", Seq("key"), Seq("seq"), 5.0, 0.0, 100.0, scale = 1)
+          .orderBy("seq").collect()
+          .map(r => (r.getAs[Double]("cusum_hi"), r.getAs[Double]("cusum_lo")))
+        // v=9 first (hi=4), then v=3 (hi=2), then v=7 (hi=4) — value-order
+        // replay would instead emit hi=0 for the v=3 event.
+        val streamed = Seq(
+          out.find(p => p.value == 9.0).get,
+          out.find(p => p.value == 3.0).get,
+          out.find(p => p.value == 7.0).get
+        ).map(p => (p.cusumHi, p.cusumLo))
+        assert(streamed === batch.toSeq)
       } finally query.stop()
     }
   }
