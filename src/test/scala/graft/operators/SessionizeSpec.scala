@@ -46,9 +46,11 @@ class SessionizeSpec extends AnyFunSuite {
   }
 
   test("sessionize plan: one exchange on the user key, single window chain") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts is TIMESTAMP_NTZ in the parquet; epoch seconds via a UTC-session
+    // cast keeps the column numeric without any legacy reader conf.
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000000").as("ts_sec"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"))
     val p = Sessionize.assignSessions(ev, "user_id", "ts_sec", 43200, Seq("event_id"))
       .queryExecution.executedPlan.toString
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
