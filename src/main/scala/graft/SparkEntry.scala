@@ -288,6 +288,38 @@ object SparkEntry {
             .as("forecast"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_kalman" -> ((s, d) => {
+      // local-level Kalman filtered level of daily closes (q/r = 0.01:
+      // q_pm=10, r_pm=1000) — native recursive window expression
+      // (WindowIndicators.Kalman); oracle is a WITH RECURSIVE (m, p)
+      // state replay, the q_holt precedent.
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      dailyBars(s)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          FinancialFunctions.kalman(col("close"), 10, 1000).over(w)
+            .as("level"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_garch" -> ((s, d) => {
+      // GARCH(1,1) conditional volatility of daily simple returns
+      // (ω=2e-6, α=0.1, β=0.85 as ppm/permille literals). The first
+      // bar's NULL return exercises the frozen-state NULL contract;
+      // oracle is a WITH RECURSIVE (ret, σ²) replay.
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, lag, lit}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      dailyBars(s)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          ((col("close") / lag(col("close"), 1).over(w)) - lit(1.0)).as("ret"))
+        .select(col("l_suppkey"), col("l_shipdate"),
+          FinancialFunctions.garch(col("ret"), 2, 100, 850).over(w)
+            .as("cond_vol"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_candles" -> ((s, d) => {
       // candlestick pattern flags over daily bars — pure per-row/one-lag
       // comparisons, exact anywhere
@@ -4744,6 +4776,66 @@ object SparkEntry {
          |)
          |SELECT l_suppkey, l_shipdate, lvl + trd AS forecast
          |FROM holt ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Replays Kalman (WindowIndicators.Kalman) as a WITH RECURSIVE (m, p)
+    // state replay — predict/update with q=10‰, r=1000‰ derived by the
+    // same /1000.0 division as the native expression. The gain k and the
+    // predicted variance p⁻ are inlined everywhere (the q_holt lateral-
+    // alias lesson); op order matches the Catalyst tree node-for-node so
+    // the doubles are bit-identical. Daily closes are never NULL, so the
+    // frozen-state branch has no oracle surface (spec-covered instead).
+    "q_kalman" -> {
+      val Q = "(10.0::DOUBLE/1000.0::DOUBLE)"
+      val R = "(1000.0::DOUBLE/1000.0::DOUBLE)"
+      val pp = s"(h.p + $Q)"
+      val k = s"($pp / ($pp + $R))"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), kal AS (
+         |  SELECT l_suppkey, l_shipdate, rn, close AS m, $R AS p
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    (h.m + ($k * (s.close - h.m))) AS m,
+         |    ((1.0::DOUBLE - $k) * $pp) AS p
+         |  FROM kal h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, m AS level
+         |FROM kal ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Replays Garch (WindowIndicators.Garch) as a WITH RECURSIVE (ret, σ²)
+    // replay over per-supplier daily simple returns. ω/α/β derive by the
+    // identical ppm/permille divisions; the σ² step is parenthesized to
+    // match the Catalyst tree ω + ((α·r²) + (β·σ²)) exactly. The rn=1 row
+    // carries a NULL return → NULL σ² (the frozen-state contract's only
+    // oracle-visible face); rn=2 seeds the stationary variance.
+    "q_garch" -> {
+      val W0 = "(2.0::DOUBLE/1000000.0::DOUBLE)"
+      val A = "(100.0::DOUBLE/1000.0::DOUBLE)"
+      val B = "(850.0::DOUBLE/1000.0::DOUBLE)"
+      val uncond = s"($W0 / (1.0::DOUBLE - $A - $B))"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ((close / lag(close, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate)) - 1.0::DOUBLE) AS ret,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, l_shipdate, rn, ret, CAST(NULL AS DOUBLE) AS sig2
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, s.ret,
+         |    CASE WHEN h.sig2 IS NULL THEN $uncond
+         |         ELSE ($W0 + (($A * (h.ret * h.ret)) + ($B * h.sig2))) END AS sig2
+         |  FROM g h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, sqrt(sig2) AS cond_vol
+         |FROM g ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
     // Replays Validation.fkOrphans: distinct-key counts then an anti
     // membership check against the dimension keys.

@@ -31,6 +31,8 @@ object FinancialFunctions {
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
     "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
+    "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
+    "garch" -> (e => { val a = arity("garch", 4)(e); Garch(a(0), a(1), a(2), a(3)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
@@ -69,6 +71,12 @@ object FinancialFunctions {
   /** Holt forecast; α/β as permille ints (0.3 → 300). */
   def holt(value: Column, alphaPm: Int, betaPm: Int): Column =
     call_function("holt", value, lit(alphaPm), lit(betaPm))
+  /** Local-level Kalman filtered level; q/r as permille ints. */
+  def kalman(value: Column, qPm: Int, rPm: Int): Column =
+    call_function("kalman", value, lit(qPm), lit(rPm))
+  /** GARCH(1,1) conditional volatility; ω in ppm, α/β permille. */
+  def garch(ret: Column, omegaPpm: Int, alphaPm: Int, betaPm: Int): Column =
+    call_function("garch", ret, lit(omegaPpm), lit(alphaPm), lit(betaPm))
 }
 
 /** Session-extension variant: lets users opt in via
@@ -83,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ema" -> "ema(value, n) - exponential moving average over a window",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
+    "holt" -> "holt(value, alpha_pm, beta_pm) - Holt double-exponential one-step forecast",
+    "wilder" -> "wilder(value, n) - Wilder smoothing (RSI-style seeded running average)",
+    "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",
+    "garch" -> "garch(return, omega_ppm, alpha_pm, beta_pm) - GARCH(1,1) conditional volatility",
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
     "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
     "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash",

@@ -300,6 +300,118 @@ case class Holt(value: Expression, alphaPm: Expression, betaPm: Expression)
     copy(value = c(0), alphaPm = c(1), betaPm = c(2))
 }
 
+/** `kalman(value, q_permille, r_permille)` — local-level (random-walk +
+  * noise) Kalman filter emitting the filtered level estimate `m` per row.
+  * State is the pair (mean `m`, error variance `p`); each non-null step runs
+  * the textbook predict/update cycle
+  * `p⁻ = p + q`; `k = p⁻ / (p⁻ + r)`; `m' = m + k·(x − m)`;
+  * `p' = (1 − k)·p⁻`.
+  * Seed on the first non-null value: `m = x`, `p = r` (prior uncertainty
+  * equal to one measurement's noise — documented, deterministic). Only the
+  * RATIO q/r shapes the gain sequence, so the permille encoding
+  * (`q = q_pm/1000`, `r = r_pm/1000`) loses no generality: `kalman(x, 10,
+  * 1000)` is the q/r = 0.01 filter. NULL until seeded; frozen-state NULL
+  * contract like every indicator. Beyond-reference operator (reference has
+  * no state-space filters); window-argument convention per SURVEY §2.A5. */
+case class Kalman(value: Expression, qPm: Expression, rPm: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val q = requirePermilleArg(qPm) / 1000.0
+  private lazy val r = requirePermilleArg(rPm) / 1000.0
+
+  private def requirePermilleArg(e: Expression): Int = requireWindowSize(e)
+
+  override def children: Seq[Expression] = Seq(value, qPm, rPm)
+  override def prettyName: String = "kalman"
+
+  private lazy val m = AttributeReference("kM", DoubleType, nullable = true)()
+  private lazy val p = AttributeReference("kP", DoubleType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(m, p, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, Literal(0.0), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val pPred = Add(p, Literal(q))                       // p⁻ = p + q
+    val k = Divide(pPred, Add(pPred, Literal(r)))        // gain
+    Seq(
+      If(IsNull(x), m,
+        If(IsNull(m), x,
+          Add(m, Multiply(k, Subtract(x, m))))),
+      If(IsNull(x), p,
+        If(IsNull(m), Literal(r),
+          Multiply(Subtract(Literal(1.0), k), pPred))),
+      IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(m)), nullDouble, m)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Kalman =
+    copy(value = c(0), qPm = c(1), rPm = c(2))
+}
+
+/** `garch(return, omega_ppm, alpha_permille, beta_permille)` — GARCH(1,1)
+  * conditional volatility over a RETURN series (caller supplies returns,
+  * e.g. `close/lag(close) − 1`):
+  * `σ²ₜ = ω + α·r²ₜ₋₁ + β·σ²ₜ₋₁`, emitting `σₜ = √σ²ₜ` — the volatility
+  * conditional on information through t−1, so the emitted value never
+  * depends on the current row's return. The first non-null row emits the
+  * unconditional volatility `√(ω/(1−α−β))` (the standard stationary seed).
+  * ω arrives in PPM (`ω = omega_ppm/10⁶` — daily-return ω values live at
+  * 1e-6..1e-4) and α/β in permille; `α + β < 1` (stationarity) is
+  * validated at ANALYSIS time, not as a task failure. NULL until the first
+  * non-null return; frozen-state NULL contract. Beyond-reference operator;
+  * Bollerslev (1986) recurrence, public knowledge. */
+case class Garch(value: Expression, omegaPpm: Expression,
+                 alphaPm: Expression, betaPm: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val omega = requireWindowSize(omegaPpm) / 1e6
+  private lazy val alpha = requireWindowSize(alphaPm) / 1000.0
+  private lazy val beta = requireWindowSize(betaPm) / 1000.0
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (requireWindowSize(alphaPm) + requireWindowSize(betaPm) >= 1000) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires alpha_pm + beta_pm < 1000 (stationarity), got " +
+          s"${requireWindowSize(alphaPm)} + ${requireWindowSize(betaPm)}")
+    } else base
+  }
+
+  override def children: Seq[Expression] = Seq(value, omegaPpm, alphaPm, betaPm)
+  override def prettyName: String = "garch"
+
+  private lazy val prevR = AttributeReference("gPrevR", DoubleType, nullable = true)()
+  private lazy val sig2 = AttributeReference("gSig2", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(prevR, sig2, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val uncond = Literal(omega / (1.0 - alpha - beta))
+    val step = Add(Literal(omega),
+      Add(Multiply(Literal(alpha), Multiply(prevR, prevR)),
+        Multiply(Literal(beta), sig2)))
+    Seq(
+      If(IsNull(x), prevR, x),
+      If(IsNull(x), sig2,
+        If(IsNull(sig2), uncond, step)),
+      IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(sig2)), nullDouble, Sqrt(sig2))
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Garch =
+    copy(value = c(0), omegaPpm = c(1), alphaPm = c(2), betaPm = c(3))
+}
+
 /** `macd(value)` — MACD line = EMA12 − EMA26 with fixed α 2/13 and 2/27,
   * both seeded by the first non-null value so the first row emits 0.0;
   * no signal line / histogram (reference `src/functions/macd.rs:55-120`). */
