@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: measures how the most expensive gate queries
+  * actually scale when the fact tables grow 10× — turning SCALE.md's
+  * "survives 100×" design claims into measured exponents.
+  *
+  * A 10× corpus ("sf1-equivalent") is SYNTHESIZED from sf0.1 under
+  * `target/scaledata/x10` (never touching the read-only testdata): each
+  * fact table is unioned S times with replica-shifted keys, and every
+  * foreign-key domain is shifted by the SAME per-domain offset on both
+  * sides, so joins stay referentially intact:
+  *
+  *  - `orderkey` (orders ⋈ lineitem) shifts together — 10× orders;
+  *  - `custkey` (customer ⋈ orders) and `suppkey` (supplier ⋈ lineitem)
+  *    shift together — 10× KEY CARDINALITY, the honest growth model for
+  *    per-key windows (a 10× corpus has more symbols, not 10×-longer
+  *    history per symbol) and for the trade graph (10× nodes AND edges,
+  *    not a 10×-denser clique);
+  *  - `doc_id` / `vec_id` / `event_id` / `user_id` shift per replica;
+  *    replica i>0 documents get a 2-token replica tag appended so a
+  *    duplicate CLUSTER is repeated S times (linear growth) instead of
+  *    each cluster growing S× (quadratic candidate pairs by construction,
+  *    which would charge the data's shape to the plan);
+  *  - `part`, `region`, `nation` copy unchanged (partkey/nationkey stay
+  *    in-domain — dimension tables don't grow 10× in a 10× corpus).
+  *
+  * Timing mirrors [[Bench]] exactly (noop-forced, min-of-two with a full
+  * cache sweep between runs) at BOTH scales; the per-query exponent is
+  * log10(t_10x / t_1x), so 1.0 = linear, ≤0.3 ≈ flat (fixed overhead
+  * dominates), >1.2 = superlinear (named and investigated in SCALE.md).
+  */
+object ScaleProbe {
+
+  val Scale = 10
+
+  /** The slowest gate queries per BENCH_r06 (bench_full.json), the ones
+    * whose scaling behavior is worth a measured curve. */
+  val Probes: Seq[String] = Seq(
+    "q_pagerank", "q_media_decode", "q_hist_var", "q_densify",
+    "q_winsorize", "q_realized_vol", "q_assoc_rules", "q_cci",
+    "q_rolling_corr", "q_embed_ivf_pq", "q_tfidf_pairs",
+    "q_dedup_components", "q_dedup_minhash", "q_text_stats")
+
+  private case class Shift(col: String, offset: Long)
+
+  /** Per-table key columns that shift per replica; offsets are the same
+    * wherever a domain appears so FK pairs move in lockstep. */
+  private def plans(offsets: Map[String, Long]): Map[String, Seq[Shift]] = {
+    def s(dom: String, c: String) = Shift(c, offsets(dom))
+    Map(
+      "lineitem" -> Seq(s("orderkey", "l_orderkey"), s("suppkey", "l_suppkey")),
+      "orders" -> Seq(s("orderkey", "o_orderkey"), s("custkey", "o_custkey")),
+      "customer" -> Seq(s("custkey", "c_custkey")),
+      "supplier" -> Seq(s("suppkey", "s_suppkey")),
+      "events" -> Seq(s("event_id", "event_id"), s("user_id", "user_id")),
+      "documents" -> Seq(s("doc_id", "doc_id")),
+      "embeddings" -> Seq(s("vec_id", "vec_id")),
+      "part" -> Nil, "region" -> Nil, "nation" -> Nil)
+  }
+
+  /** Domain → offset = max(key)+1 over every table carrying the domain,
+    * read once from the base corpus. */
+  private def domainOffsets(spark: SparkSession, dir: String): Map[String, Long] = {
+    def mx(table: String, c: String): Long =
+      spark.read.parquet(s"$dir/$table.parquet")
+        .agg(max(col(c).cast("long"))).head.getLong(0)
+    Map(
+      "orderkey" -> (math.max(mx("orders", "o_orderkey"), mx("lineitem", "l_orderkey")) + 1),
+      "custkey" -> (math.max(mx("customer", "c_custkey"), mx("orders", "o_custkey")) + 1),
+      "suppkey" -> (math.max(mx("supplier", "s_suppkey"), mx("lineitem", "l_suppkey")) + 1),
+      "event_id" -> (mx("events", "event_id") + 1),
+      "user_id" -> (mx("events", "user_id") + 1),
+      "doc_id" -> (mx("documents", "doc_id") + 1),
+      "vec_id" -> (mx("embeddings", "vec_id") + 1))
+  }
+
+  /** Builds the scaled corpus once; skips tables whose parquet already
+    * exists (the probe is re-runnable without a rebuild). */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val offs = domainOffsets(spark, baseDir)
+    plans(offs).foreach { case (table, shifts) =>
+      val target = new java.io.File(s"$outDir/$table.parquet")
+      if (!target.exists()) {
+        val base = spark.read.parquet(s"$baseDir/$table.parquet")
+        val scaled =
+          if (shifts.isEmpty) base
+          else (0 until Scale).map { i =>
+            val shifted = shifts.foldLeft(base) { (df, sh) =>
+              df.withColumn(sh.col, col(sh.col) + lit(sh.offset * i))
+            }
+            if (table == "documents" && i > 0)
+              shifted.withColumn("text",
+                concat(col("text"), lit(s" replica r$i")))
+            else shifted
+          }.reduce(_.unionAll(_))
+        scaled.write.mode("overwrite").parquet(target.getPath)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaledata/x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "4m") // see Bench — small-data page fix
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildScaled(spark, baseDir, outDir)
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def sweep(): Unit = {
+      CacheScope.release(blocking = true)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def time(name: String, dir: String): Option[Double] = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r = try { val t1 = once(); sweep(); val t2 = once(); Some(math.min(t1, t2)) }
+      catch { case e: Throwable =>
+        System.err.println(s"$name failed: ${e.getMessage}"); None }
+      sweep(); r
+    }
+
+    force(SparkEntry.queries("q_indicators_combined")(spark, baseDir)) // warm-up
+    sweep()
+
+    val only = sys.env.get("GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val rows = Probes.filter(n => only.isEmpty || only(n)).flatMap { name =>
+      for (t1 <- time(name, baseDir); t10 <- time(name, outDir)) yield {
+        val exp = math.log10(t10 / t1)
+        println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$exp%.2f}""")
+        (name, t1, t10, exp)
+      }
+    }
+    val json = rows.map { case (n, t1, t10, e) =>
+      f""""$n":{"t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$e%.2f}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scaleprobe.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

