@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.CacheScope
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for
