@@ -2528,6 +2528,16 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     duckCos.replace("{A}", a).replace("{B}", b)
 
+  /** The q_embed_project sign matrix as DuckDB VALUES rows — the exact
+    * [[operators.Similarity.signMatrix]](64, 16) entries (±1.0), one
+    * `(dim_idx, DOUBLE[64])` row per output dimension, so both engines
+    * fold the IDENTICAL signs in the identical order. */
+  private lazy val duckSignRows: String =
+    operators.Similarity.signMatrix(64, 16).zipWithIndex.map { case (row, j) =>
+      row.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString(s"  ($j, [", ", ", s"])")
+    }.mkString(",\n")
+
   /** Replays Pq.adcKnn: per-subspace L2 k-means (same init/rounding/tie
     * protocol as the IVF oracle), encode, reconstruct by list concat, ADC
     * = squared L2 to the reconstruction as the same a·a − 2·a·b + b·b
@@ -3058,6 +3068,85 @@ object SparkEntry {
          |    '(\\([0-9]{3}\\) |\\b[0-9]{3}-)[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
          |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
          |FROM pii ORDER BY doc_id""".stripMargin,
+    // Replays Pii.kAnonymity on the (lang, source, 500-char bucket) QI:
+    // class sizes via GROUP BY, joined back null-safely (IS NOT DISTINCT
+    // FROM) so a NULL QI forms its own class — mirroring the <=> join.
+    "q_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / 500.0) AS BIGINT) AS len_bucket
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT lang, source, len_bucket, count(*) AS anon_set
+        |  FROM base GROUP BY lang, source, len_bucket
+        |)
+        |SELECT b.doc_id, b.lang, b.source, b.len_bucket, s.anon_set,
+        |  s.anon_set < 5 AS below_k
+        |FROM base b JOIN sizes s
+        |  ON b.lang IS NOT DISTINCT FROM s.lang
+        | AND b.source IS NOT DISTINCT FROM s.source
+        | AND b.len_bucket IS NOT DISTINCT FROM s.len_bucket
+        |ORDER BY doc_id""".stripMargin,
+    "q_l_diversity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / 500.0) AS BIGINT) AS len_bucket
+        |  FROM documents
+        |), div AS (
+        |  SELECT lang, len_bucket, count(DISTINCT source) AS distinct_sensitive
+        |  FROM base GROUP BY lang, len_bucket
+        |)
+        |SELECT b.doc_id, b.lang, b.len_bucket, d.distinct_sensitive,
+        |  d.distinct_sensitive < 2 AS below_l
+        |FROM base b JOIN div d
+        |  ON b.lang IS NOT DISTINCT FROM d.lang
+        | AND b.len_bucket IS NOT DISTINCT FROM d.len_bucket
+        |ORDER BY doc_id""".stripMargin,
+    // Replays Dedup.sortedNeighborhoodPairs: block on the first 8 chars,
+    // rank by (text, doc_id) within block, pair at rank distance <= 4,
+    // verify with exact word-3-gram Jaccard >= 0.3 off the shared shingle
+    // CTEs. id_a is the lower-RANK row (not lower id), as in the operator.
+    "q_sorted_neighborhood" ->
+      s"""WITH $duckShingles,
+         |ranked AS (
+         |  SELECT doc_id, substr(text, 1, 8) AS snm_block,
+         |    row_number() OVER (PARTITION BY substr(text, 1, 8)
+         |      ORDER BY text, doc_id) AS rn
+         |  FROM documents
+         |),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.snm_block = b.snm_block
+         |   AND b.rn > a.rn AND b.rn <= a.rn + 4
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.id_a
+         |JOIN sizes nb ON nb.doc_id = i.id_b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Replays Similarity.randomProjection 64→16: the IDENTICAL
+    // deterministic ±1 matrix (Similarity.signMatrix, baked in below as
+    // literals) dotted against each embedding with the same left-to-right
+    // fold, scaled by 1/√16 = 0.25 (exact in binary — order-insensitive).
+    "q_embed_project" ->
+      s"""WITH signs(dim_idx, s) AS (VALUES
+         |$duckSignRows
+         |)
+         |SELECT e.vec_id, g.dim_idx,
+         |  0.25 * ${cosSql("e.embedding", "g.s")} AS v
+         |FROM embeddings e CROSS JOIN signs g
+         |ORDER BY vec_id, dim_idx""".stripMargin,
     "q_pack" ->
       // CAST around the window sum: DuckDB sum(INTEGER) returns HUGEINT
       """WITH base AS (

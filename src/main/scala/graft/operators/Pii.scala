@@ -77,26 +77,43 @@ object Pii {
     * aggregation's hash partitioning, so the whole screen is ~one shuffle
     * of the distinct classes plus one of the fact rows. No window over the
     * full table (a `count(*) OVER (PARTITION BY qid…)` would sort every
-    * class; the aggregate+join shape never sorts). */
+    * class; the aggregate+join shape never sorts).
+    *
+    * NULL quasi-identifiers form their own equivalence class: the join
+    * back is null-safe (`<=>`), so a row with a NULL QI is counted and
+    * flagged rather than silently dropped — a privacy screen must fail
+    * CLOSED on exactly the unusual rows. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    val renamed = quasiCols.map(c => c -> s"__qi_$c")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("anon_set"))
-    df.join(sizes, quasiCols)
+      .select(renamed.map { case (c, r) => col(c).as(r) } :+ col("anon_set"): _*)
+    // <=> keys are still hash-join keys (Catalyst extracts EqualNullSafe
+    // into the equi-join key list), so the one-shuffle shape is unchanged
+    val cond = renamed.map { case (c, r) => col(c) <=> col(r) }.reduce(_ && _)
+    df.join(sizes, cond)
+      .drop(renamed.map(_._2): _*)
       .withColumn("below_k", col("anon_set") < k)
   }
 
   /** l-diversity companion (Machanavajjhala 2007): per quasi-identifier
     * class, the number of DISTINCT sensitive values. A class can be
     * k-anonymous yet still leak (all members share one diagnosis);
-    * `distinct_sensitive < l` flags those. Same aggregate+join shape as
-    * [[kAnonymity]] with a distinct-count in the class pass. */
+    * `distinct_sensitive < l` flags those. Same aggregate+join shape (and
+    * the same null-safe join back, so NULL-QI rows are retained and
+    * flagged) as [[kAnonymity]] with a distinct-count in the class pass. */
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    val renamed = quasiCols.map(c => c -> s"__qi_$c")
     val div = df.groupBy(quasiCols.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
-    df.join(div, quasiCols)
+      .select(renamed.map { case (c, r) => col(c).as(r) } :+
+        col("distinct_sensitive"): _*)
+    val cond = renamed.map { case (c, r) => col(c) <=> col(r) }.reduce(_ && _)
+    df.join(div, cond)
+      .drop(renamed.map(_._2): _*)
       .withColumn("below_l", col("distinct_sensitive") < l)
   }
 }
