@@ -77,13 +77,22 @@ object ScaleProbe {
       "vec_id" -> (mx("embeddings", "vec_id") + 1))
   }
 
-  /** Builds the scaled corpus once; skips tables whose parquet already
-    * exists (the probe is re-runnable without a rebuild). */
+  /** Builds the scaled corpus once. The skip is gated on Spark's own
+    * `_SUCCESS` marker plus a sibling manifest recording (Scale, baseDir)
+    * — a partially-written parquet from a crashed run, or a stale corpus
+    * built at a different scale or from a different base, is rebuilt
+    * instead of silently reused (which would corrupt the measured
+    * exponents). */
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val offs = domainOffsets(spark, baseDir)
+    val stamp = s"scale=$Scale base=$baseDir"
     plans(offs).foreach { case (table, shifts) =>
       val target = new java.io.File(s"$outDir/$table.parquet")
-      if (!target.exists()) {
+      val success = new java.io.File(target, "_SUCCESS")
+      val manifest = new java.io.File(s"$outDir/$table.manifest")
+      val fresh = success.exists() && manifest.exists() &&
+        java.nio.file.Files.readString(manifest.toPath) == stamp
+      if (!fresh) {
         val base = spark.read.parquet(s"$baseDir/$table.parquet")
         val scaled =
           if (shifts.isEmpty) base
@@ -92,11 +101,15 @@ object ScaleProbe {
               df.withColumn(sh.col, col(sh.col) + lit(sh.offset * i))
             }
             if (table == "documents" && i > 0)
+              // keep derived stats consistent with the mutated text:
+              // n_chars is recomputed, not copied from the replica source
               shifted.withColumn("text",
-                concat(col("text"), lit(s" replica r$i")))
+                  concat(col("text"), lit(s" replica r$i")))
+                .withColumn("n_chars", length(col("text")).cast("long"))
             else shifted
           }.reduce(_.unionAll(_))
         scaled.write.mode("overwrite").parquet(target.getPath)
+        java.nio.file.Files.writeString(manifest.toPath, stamp)
       }
     }
   }

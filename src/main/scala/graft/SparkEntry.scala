@@ -1172,9 +1172,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_compress_ratio" -> ((s, d) => {
-      // compression-ratio quality screen (DEFLATE, JDK zlib) — not
-      // SQL-replayable by design, so this gate is the rows-only check
-      // (no oracleSql entry); specs pin the signal's semantics
+      // compression-ratio quality screen (DEFLATE, JDK zlib). DEFLATE
+      // itself is not SQL-expressible, so the oracle joins a committed
+      // golden fixture of the sf0.01 deflate byte counts (generated by
+      // PYTHON zlib — an independent driver of the same codec, verified
+      // bit-equal to the JDK Deflater) and recomputes everything else
+      // (byte lengths, the ratio division) in DuckDB
       load(s, d)
       import org.apache.spark.sql.functions.col
       operators.TextOps.compressionRatio(s, s.table("documents"),
@@ -3147,6 +3150,20 @@ object SparkEntry {
          |  0.25 * ${cosSql("e.embedding", "g.s")} AS v
          |FROM embeddings e CROSS JOIN signs g
          |ORDER BY vec_id, dim_idx""".stripMargin,
+    // The DEFLATE byte count comes from a committed golden fixture
+    // (Python-zlib-generated, bit-equal to the JDK Deflater — see the
+    // query comment); DuckDB recomputes the UTF-8 byte length and the
+    // ratio division, so only the codec output itself is pinned.
+    "q_compress_ratio" ->
+      """SELECT d.doc_id,
+        |  CAST(coalesce(strlen(d.text), 0) AS BIGINT) AS n_bytes,
+        |  CASE WHEN coalesce(strlen(d.text), 0) = 0 THEN 1.0::DOUBLE
+        |       ELSE CAST(g.n_deflate AS DOUBLE) / CAST(strlen(d.text) AS DOUBLE)
+        |  END AS compress_ratio
+        |FROM documents d
+        |JOIN '/root/repo/src/test/resources/golden/deflate_sizes_sf0.01.parquet' g
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pack" ->
       // CAST around the window sum: DuckDB sum(INTEGER) returns HUGEINT
       """WITH base AS (
