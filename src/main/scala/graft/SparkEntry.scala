@@ -720,6 +720,16 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, macd(l_quantity) OVER w AS macd
          |FROM lineitem WINDOW w AS ($W)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_macd_full" -> ((s, d) => q(s, d,
+      // beyond-reference MACD completion: signal line (EMA9 of the line,
+      // seeded by the first line value) and histogram, same recurrence
+      // family and frozen-state NULL contract as macd itself
+      s"""SELECT l_orderkey, l_linenumber,
+         |  macd(l_quantity)        OVER w AS macd,
+         |  macd_signal(l_quantity) OVER w AS macd_sig,
+         |  macd_hist(l_quantity)   OVER w AS macd_hist
+         |FROM lineitem WINDOW w AS ($W)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
     "q_indicators_combined" -> ((s, d) => q(s, d,
       s"""SELECT l_orderkey, l_linenumber, l_quantity,
          |  sma(l_quantity, 5)  OVER w AS sma_5,
@@ -1034,20 +1044,12 @@ object SparkEntry {
     when(violation, raise_error(lit(msg))).otherwise(text)
   }
 
-  /** events.parquet carries a TIMESTAMP(NANOS) `ts`, which Catalyst has no
-    * timestamp type for. Reading through an explicit LongType schema maps
-    * the physical INT64 nanos straight to BIGINT — same values as the
-    * `spark.sql.legacy.parquet.nanosAsLong` conf, but scoped to THIS read:
-    * no session-wide conf mutation for a user copying these patterns to
-    * inherit by surprise. */
-  private def readEventsNanos(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    s.read.schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(s"$d/events.parquet")
-  }
+  /** events table with `ts` as NANOSECOND Longs — delegates to
+    * [[sources.Events.readNanos]], which reads the raw INT64 through an
+    * explicit LongType schema and normalizes whatever unit the parquet
+    * footer declares (the generator has shipped both ns and µs files). */
+  private def readEventsNanos(s: SparkSession, d: String): DataFrame =
+    sources.Events.readNanos(s, d)
 
   /** Synthetic PII corpus for the q_pii_* gates: email/SSN/phone/IP derived
     * deterministically from doc_id and appended to the real text (the word
@@ -5779,6 +5781,33 @@ object SparkEntry {
          |  ${duckEma("xs", 12)} - ${duckEma("xs", 26)} AS macd
          |FROM (
          |  SELECT l_orderkey, l_linenumber, list(l_quantity) OVER w AS xs
+         |  FROM lineitem WINDOW w AS $duckW
+         |)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Macd + MacdSignal/MacdHist as ONE struct fold carrying
+    // (sig, ema12, ema26): the signal term recomputes the post-update
+    // EMAs from the accumulator exactly as the Spark updateExpressions
+    // do, so every intermediate double matches bit-for-bit. FIELD ORDER
+    // IS LOAD-BEARING: DuckDB's list_reduce overwrites accumulator
+    // fields in struct order, so each field expression may only read acc
+    // fields at its own position or later — sig (which needs the OLD
+    // e12/e26) must come first. (Measured: with sig last, acc.e12 inside
+    // the sig expression already held the new value.)
+    "q_macd_full" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  st.e12 - st.e26 AS macd,
+         |  st.sig AS macd_sig,
+         |  (st.e12 - st.e26) - st.sig AS macd_hist
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    list_reduce(list_transform(list(l_quantity) OVER w,
+         |      v -> struct_pack(sig := 0.0::DOUBLE, e12 := CAST(v AS DOUBLE), e26 := CAST(v AS DOUBLE))),
+         |      (acc, cur) -> struct_pack(
+         |        sig := (2.0::DOUBLE/10.0::DOUBLE)*(((2.0::DOUBLE/13.0::DOUBLE)*cur.e12 + (1.0::DOUBLE - 2.0::DOUBLE/13.0::DOUBLE)*acc.e12)
+         |               - ((2.0::DOUBLE/27.0::DOUBLE)*cur.e26 + (1.0::DOUBLE - 2.0::DOUBLE/27.0::DOUBLE)*acc.e26))
+         |             + (1.0::DOUBLE - 2.0::DOUBLE/10.0::DOUBLE)*acc.sig,
+         |        e12 := (2.0::DOUBLE/13.0::DOUBLE)*cur.e12 + (1.0::DOUBLE - 2.0::DOUBLE/13.0::DOUBLE)*acc.e12,
+         |        e26 := (2.0::DOUBLE/27.0::DOUBLE)*cur.e26 + (1.0::DOUBLE - 2.0::DOUBLE/27.0::DOUBLE)*acc.e26)) AS st
          |  FROM lineitem WINDOW w AS $duckW
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -54,14 +54,8 @@ object DatasetOps {
       "token", depth = 4, width = 1024).orderBy("token").show()
 
     println("== Sessionized event log (12h inactivity gap) ==")
-    // events.parquet's ts is TIMESTAMP(NANOS): an explicit LongType schema
-    // reads the raw nanos without flipping any session-wide legacy conf
-    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType, DoubleType}
-    val evFull = spark.read.schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(s"$dir/events.parquet")
+    // raw INT64 ts normalized to nanos whatever unit the file declares
+    val evFull = graft.sources.Events.readNanos(spark, dir)
     val ev = evFull
       .select(col("user_id"), col("event_id"),
         expr("ts DIV 1000000000").as("ts_sec"))

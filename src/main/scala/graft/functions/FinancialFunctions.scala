@@ -29,6 +29,8 @@ object FinancialFunctions {
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
+    "macd_signal" -> (e => { val a = arity("macd_signal", 1)(e); MacdSignal(a(0)) }),
+    "macd_hist" -> (e => { val a = arity("macd_hist", 1)(e); MacdHist(a(0)) }),
     "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
     "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
     "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
@@ -66,6 +68,8 @@ object FinancialFunctions {
   def ema(value: Column, n: Int): Column = call_function("ema", value, lit(n))
   def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
   def macd(value: Column): Column = call_function("macd", value)
+  def macdSignal(value: Column): Column = call_function("macd_signal", value)
+  def macdHist(value: Column): Column = call_function("macd_hist", value)
   def wilder(value: Column, n: Int): Column =
     call_function("wilder", value, lit(n))
   /** Holt forecast; α/β as permille ints (0.3 → 300). */
@@ -91,6 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ema" -> "ema(value, n) - exponential moving average over a window",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
+    "macd_signal" -> "macd_signal(value) - EMA9 signal line of the MACD",
+    "macd_hist" -> "macd_hist(value) - MACD histogram (line - signal)",
     "holt" -> "holt(value, alpha_pm, beta_pm) - Holt double-exponential one-step forecast",
     "wilder" -> "wilder(value, n) - Wilder smoothing (RSI-style seeded running average)",
     "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",

@@ -100,4 +100,27 @@ object IndicatorMath {
         Some(e12.get - e26.get)
     }
   }
+
+  /** (signal, histogram) companion to [[macdSeries]]: signal = EMA9
+    * (α = 2/10) of the MACD line, seeded by the first line value (0.0 at
+    * the seed row); histogram = line − signal. Same frozen-state NULL
+    * contract. */
+  def macdSignalHistSeries(
+      xs: Seq[Option[Double]]): Seq[(Option[Double], Option[Double])] = {
+    val a12 = 2.0 / 13.0; val b12 = 1.0 - a12
+    val a26 = 2.0 / 27.0; val b26 = 1.0 - a26
+    val a9 = 2.0 / 10.0; val b9 = 1.0 - a9
+    var e12: Option[Double] = None
+    var e26: Option[Double] = None
+    var sig: Option[Double] = None
+    xs.map {
+      case None => (None, None)
+      case Some(x) =>
+        e12 = e12 match { case None => Some(x); case Some(p) => Some(a12 * x + b12 * p) }
+        e26 = e26 match { case None => Some(x); case Some(p) => Some(a26 * x + b26 * p) }
+        val m = e12.get - e26.get
+        sig = sig match { case None => Some(m); case Some(p) => Some(a9 * m + b9 * p) }
+        (sig, Some(m - sig.get))
+    }
+  }
 }

@@ -443,3 +443,64 @@ case class Macd(value: Expression) extends IndicatorWindowFunction {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Macd =
     copy(value = c(0))
 }
+
+/** Shared recurrence for the MACD signal line and histogram — a
+  * beyond-reference composition of the [[Macd]] EMA machinery (reference
+  * `src/functions/macd.rs:55-120` stops at the line): the signal is the
+  * EMA9 (α = 2/10) of the MACD line, seeded by the first MACD value
+  * (which is 0.0 — at the seed row EMA12 = EMA26 = x). Same frozen-state
+  * NULL contract as the rest of the family: a NULL input emits NULL and
+  * leaves all three EMAs untouched. */
+sealed abstract class MacdSignalBase extends IndicatorWindowFunction {
+  private val a12 = 2.0 / 13.0
+  private val a26 = 2.0 / 27.0
+  private val a9 = 2.0 / 10.0
+
+  override def children: Seq[Expression] = Seq(value)
+
+  protected lazy val e12 = AttributeReference("ema12", DoubleType, nullable = true)()
+  protected lazy val e26 = AttributeReference("ema26", DoubleType, nullable = true)()
+  protected lazy val sig = AttributeReference("sig9", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(e12, e26, sig, curNull)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, nullDouble, Literal(false))
+
+  private def emaStep(prev: Expression, alpha: Double): Expression =
+    If(IsNull(x), prev,
+      If(IsNull(prev), x,
+        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), prev))))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // the signal folds over the POST-update MACD value, so the new EMAs
+    // are recomputed from the previous buffer inside the sig branch (all
+    // update expressions see pre-update buffer attributes)
+    val n12 = emaStep(e12, a12)
+    val n26 = emaStep(e26, a26)
+    val m = Subtract(n12, n26)
+    val nSig = If(IsNull(x), sig,
+      If(IsNull(sig), m,
+        Add(Multiply(Literal(a9), m), Multiply(Literal(1.0 - a9), sig))))
+    Seq(n12, n26, nSig, IsNull(x))
+  }
+}
+
+/** `macd_signal(value)` — the EMA9 signal line of the MACD. */
+case class MacdSignal(value: Expression) extends MacdSignalBase {
+  override def prettyName: String = "macd_signal"
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(sig)), nullDouble, sig)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MacdSignal =
+    copy(value = c(0))
+}
+
+/** `macd_hist(value)` — MACD histogram = MACD line − signal line. */
+case class MacdHist(value: Expression) extends MacdSignalBase {
+  override def prettyName: String = "macd_hist"
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(sig)), nullDouble,
+      Subtract(Subtract(e12, e26), sig))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MacdHist =
+    copy(value = c(0))
+}

@@ -59,6 +59,24 @@ class WindowIndicatorsSpec extends AnyFunSuite {
     assertSeq(runSql(withNulls, "macd(v)"), IndicatorMath.macdSeries(withNulls))
   }
 
+  test("macd_signal / macd_hist SQL match IndicatorMath; seed row emits 0.0") {
+    val xs = (0 until 30).map(i => Option(100.0 + math.sin(i) * 5 + i))
+    val exp = IndicatorMath.macdSignalHistSeries(xs)
+    assertSeq(runSql(xs, "macd_signal(v)"), exp.map(_._1))
+    assertSeq(runSql(xs, "macd_hist(v)"), exp.map(_._2))
+    assert(runSql(xs, "macd_signal(v)").head === Some(0.0))
+    // hist == line − signal row-wise
+    val line = runSql(xs, "macd(v)")
+    val sig = runSql(xs, "macd_signal(v)")
+    val hist = runSql(xs, "macd_hist(v)")
+    line.zip(sig).zip(hist).foreach { case ((Some(l), Some(s)), Some(h)) =>
+      assert(math.abs(h - (l - s)) < 1e-12)
+    }
+    val expN = IndicatorMath.macdSignalHistSeries(withNulls)
+    assertSeq(runSql(withNulls, "macd_signal(v)"), expN.map(_._1))
+    assertSeq(runSql(withNulls, "macd_hist(v)"), expN.map(_._2))
+  }
+
   test("partitioned windows keep per-key state isolated (Column API)") {
     val df = Seq(
       ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("A", 4, 12.0),
