@@ -26,6 +26,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  test("macd line+signal+hist share ONE Window pass over one shuffle") {
+    val p = plan("q_macd_full")
+    assert(p.split("\n").count(_.trim.matches("^\\+?-? ?Window .*")) == 1,
+      s"expected exactly one Window operator:\n$p")
+    assert(p.split("hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
   test("indicator scan prunes lineitem to the referenced columns only") {
     val p = plan("q_sma")
     val readSchema = "ReadSchema: ([^\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
