@@ -480,6 +480,18 @@ object SparkEntry {
           col("roll_corr"), col("roll_beta"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_autocorr" -> ((s, d) => {
+      // trailing-20 lag-4 autocorrelation of quantity per supplier — the
+      // rolling mean-reversion diagnostic; the lagged twin shares the
+      // keyed sort, then the exact corrBeta sum machinery runs the frame
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.autocorr(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          n = 20, lagK = 4, scale = 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("roll_autocorr"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_ffill" -> ((s, d) => {
       // forward fill over the planted-null series the §7.1 null gate uses
       load(s, d)
@@ -5483,6 +5495,34 @@ object SparkEntry {
          |          CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS xi,
          |          CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS yi
          |        FROM lineitem) li
+         |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |) s
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Rolling.autocorr: lag the SCALED ints (lag-then-quantize ==
+    // quantize-then-lag), then the identical five-sum corrBeta tree; the
+    // pair count (yi defined) gates the frame, so the leading k rows of
+    // each key never emit.
+    "q_autocorr" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN cnt = 20 AND dx > 0 AND dy > 0
+         |       THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |         num / (sqrt(dx) * sqrt(dy)))) END AS roll_autocorr
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    count(CASE WHEN yi IS NOT NULL THEN 1 END) OVER wn AS cnt,
+         |    CAST(20 * (sum(xi * yi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS num,
+         |    CAST(20 * (sum(xi * xi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(xi) OVER wn) AS DOUBLE) AS dx,
+         |    CAST(20 * (sum(yi * yi) OVER wn)
+         |      - (sum(yi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS dy
+         |  FROM (
+         |    SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |      xi, lag(xi, 4) OVER ($W) AS yi
+         |    FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |            CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS xi
+         |          FROM lineitem) b
+         |  ) li
          |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |) s
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -675,6 +675,31 @@ object Rolling {
         .as("roll_beta"))
   }
 
+  /** Trailing-n lag-k autocorrelation of one series — the single-lag ACF
+    * run as a rolling diagnostic (mean reversion < 0 < momentum). The
+    * lagged twin is materialized once with `lag(value, k)` on the same
+    * keyed order, then the pair runs the exact [[corrBeta]] machinery
+    * (scaled-BIGINT window sums, one IEEE tree, [−1, 1] clamp), so all
+    * of its determinism guarantees carry over verbatim. NULL until the
+    * frame holds n complete (x, x₋ₖ) pairs — the first k rows of each
+    * key can never contribute a pair. The lag window and the frame sums
+    * share one partitioning and sort → one keyed exchange.
+    * Adds `roll_autocorr`. */
+  def autocorr(df: DataFrame, valueCol: String, partCols: Seq[String],
+               orderCols: Seq[String], n: Int, lagK: Int,
+               scale: Int = 0): DataFrame = {
+    require(lagK >= 1, s"lag must be >= 1, got $lagK")
+    Guards.requireNoReserved(df.columns,
+      Seq("roll_autocorr", "__lag"), "Rolling.autocorr")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__lag", lag(col(valueCol), lagK).over(seqW))
+      .transform(corrBeta(_, valueCol, "__lag", partCols, orderCols, n,
+        scale, scale))
+      .withColumnRenamed("roll_corr", "roll_autocorr")
+      .drop("roll_beta", "__lag")
+  }
+
   /** Forward fill: replace NULLs with the most recent non-NULL value of
     * the series (`last(x) IGNORE NULLS` over the running frame) — the gap
     * repair step in front of recurrence indicators when frozen-state NULL

@@ -182,6 +182,30 @@ class RollingSpec extends AnyFunSuite {
     assert(out.getAs[Double]("roll_beta") === 0.01)
   }
 
+  test("autocorr: linear series → +1, alternating series at lag 1 → −1") {
+    // x = i: x and lag-2 x are perfectly collinear once 3 pairs exist
+    val lin = (0 until 6).map(i => ("s", i, i.toDouble)).toDF("sym", "i", "x")
+    val outL = Rolling.autocorr(lin, "x", Seq("sym"), Seq("i"),
+        n = 3, lagK = 2).orderBy("i").collect()
+    // rows 0..3: fewer than 3 (x, x−2) pairs in the 3-row frame → NULL
+    assert(outL(3).isNullAt(outL(3).fieldIndex("roll_autocorr")))
+    assert(outL(4).getAs[Double]("roll_autocorr") === 1.0)
+    assert(outL(5).getAs[Double]("roll_autocorr") === 1.0)
+    // alternating ±1 against its own 1-lag is exactly anti-correlated
+    val alt = (0 until 6).map(i => ("s", i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("sym", "i", "x")
+    val outA = Rolling.autocorr(alt, "x", Seq("sym"), Seq("i"),
+        n = 4, lagK = 1).orderBy("i").collect()
+    assert(outA.last.getAs[Double]("roll_autocorr") === -1.0)
+  }
+
+  test("autocorr: constant series has no direction — NULL") {
+    val df = (0 until 8).map(i => ("s", i, 5.0)).toDF("sym", "i", "x")
+    val out = Rolling.autocorr(df, "x", Seq("sym"), Seq("i"),
+        n = 3, lagK = 1).orderBy("i").collect().last
+    assert(out.isNullAt(out.fieldIndex("roll_autocorr")))
+  }
+
   test("ffill: carries the last value forward, leading nulls stay null") {
     val df = Seq(("s", 0, None), ("s", 1, Some(4.0)), ("s", 2, None),
         ("s", 3, None), ("s", 4, Some(7.0)))
