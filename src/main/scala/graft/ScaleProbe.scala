@@ -42,7 +42,11 @@ object ScaleProbe {
     "q_pagerank", "q_media_decode", "q_hist_var", "q_densify",
     "q_winsorize", "q_realized_vol", "q_assoc_rules", "q_cci",
     "q_rolling_corr", "q_embed_ivf_pq", "q_tfidf_pairs",
-    "q_dedup_components", "q_dedup_minhash", "q_text_stats")
+    "q_dedup_components", "q_dedup_minhash", "q_text_stats",
+    // round-8 additions: the SNM candidate generator (blocked rank
+    // windows + pair verify), the privacy screen (agg + key-reusing
+    // join), and the 3-recurrence MACD window pass
+    "q_sorted_neighborhood", "q_k_anonymity", "q_macd_full")
 
   private case class Shift(col: String, offset: Long)
 
