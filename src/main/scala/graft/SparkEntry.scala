@@ -480,6 +480,25 @@ object SparkEntry {
           col("roll_corr"), col("roll_beta"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_ewma_corr" -> ((s, d) => q(s, d,
+      // RiskMetrics EWMA covariance/variance/correlation (λ = 0.94) —
+      // three independent ewmcov recurrences share ONE window spec (one
+      // Window pass); the correlation closed form runs on the outputs
+      s"""WITH e AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ewmcov(xq, yp, 940) OVER w AS cov_xy,
+         |    ewmcov(xq, xq, 940) OVER w AS var_x,
+         |    ewmcov(yp, yp, 940) OVER w AS var_y
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(l_quantity AS DOUBLE) AS xq,
+         |          CAST(l_extendedprice AS DOUBLE) AS yp
+         |        FROM lineitem)
+         |  WINDOW w AS ($W)
+         |)
+         |SELECT l_orderkey, l_linenumber, cov_xy, var_x, var_y,
+         |  CASE WHEN var_x > 0 AND var_y > 0
+         |       THEN cov_xy / (sqrt(var_x) * sqrt(var_y)) END AS ewm_corr
+         |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin)),
     "q_autocorr" -> ((s, d) => {
       // trailing-20 lag-4 autocorrelation of quantity per supplier — the
       // rolling mean-reversion diagnostic; the lagged twin shares the
@@ -5497,6 +5516,32 @@ object SparkEntry {
          |        FROM lineitem) li
          |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |) s
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays the three EwmCov recurrences as ONE struct fold whose
+    // fields are mutually independent (each reads only its own acc
+    // field + the current pair — safe under DuckDB's in-place field
+    // update, see NOTES), then the same correlation closed form.
+    "q_ewma_corr" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  st.cxy AS cov_xy, st.vx AS var_x, st.vy AS var_y,
+         |  CASE WHEN st.vx > 0 AND st.vy > 0
+         |       THEN st.cxy / (sqrt(st.vx) * sqrt(st.vy)) END AS ewm_corr
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    list_reduce(list_transform(list(struct_pack(x := xq, y := yp)) OVER w,
+         |      p -> struct_pack(cxy := p.x * p.y, vx := p.x * p.x, vy := p.y * p.y,
+         |                       x := p.x, y := p.y)),
+         |      (acc, cur) -> struct_pack(
+         |        cxy := (940.0::DOUBLE/1000.0::DOUBLE)*acc.cxy + (1.0::DOUBLE - 940.0::DOUBLE/1000.0::DOUBLE)*(cur.x * cur.y),
+         |        vx  := (940.0::DOUBLE/1000.0::DOUBLE)*acc.vx  + (1.0::DOUBLE - 940.0::DOUBLE/1000.0::DOUBLE)*(cur.x * cur.x),
+         |        vy  := (940.0::DOUBLE/1000.0::DOUBLE)*acc.vy  + (1.0::DOUBLE - 940.0::DOUBLE/1000.0::DOUBLE)*(cur.y * cur.y),
+         |        x := cur.x, y := cur.y)) AS st
+         |  FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |          CAST(l_quantity AS DOUBLE) AS xq,
+         |          CAST(l_extendedprice AS DOUBLE) AS yp
+         |        FROM lineitem)
+         |  WINDOW w AS $duckW
+         |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Rolling.autocorr: lag the SCALED ints (lag-then-quantize ==
     // quantize-then-lag), then the identical five-sum corrBeta tree; the

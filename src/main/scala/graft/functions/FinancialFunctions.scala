@@ -31,6 +31,7 @@ object FinancialFunctions {
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "macd_signal" -> (e => { val a = arity("macd_signal", 1)(e); MacdSignal(a(0)) }),
     "macd_hist" -> (e => { val a = arity("macd_hist", 1)(e); MacdHist(a(0)) }),
+    "ewmcov" -> (e => { val a = arity("ewmcov", 3)(e); EwmCov(a(0), a(1), a(2)) }),
     "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
     "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
     "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
@@ -70,6 +71,9 @@ object FinancialFunctions {
   def macd(value: Column): Column = call_function("macd", value)
   def macdSignal(value: Column): Column = call_function("macd_signal", value)
   def macdHist(value: Column): Column = call_function("macd_hist", value)
+  /** RiskMetrics EWMA covariance; λ as a permille int (940 → 0.94). */
+  def ewmcov(x: Column, y: Column, lambdaPm: Int): Column =
+    call_function("ewmcov", x, y, lit(lambdaPm))
   def wilder(value: Column, n: Int): Column =
     call_function("wilder", value, lit(n))
   /** Holt forecast; α/β as permille ints (0.3 → 300). */
@@ -97,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "macd_signal" -> "macd_signal(value) - EMA9 signal line of the MACD",
     "macd_hist" -> "macd_hist(value) - MACD histogram (line - signal)",
+    "ewmcov" -> "ewmcov(x, y, lambda_pm) - RiskMetrics EWMA covariance (zero-mean recurrence)",
     "holt" -> "holt(value, alpha_pm, beta_pm) - Holt double-exponential one-step forecast",
     "wilder" -> "wilder(value, n) - Wilder smoothing (RSI-style seeded running average)",
     "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",

@@ -101,6 +101,24 @@ object IndicatorMath {
     }
   }
 
+  /** RiskMetrics zero-mean EWMA covariance series: seeded by the first
+    * complete pair's product; a row with either side missing emits None
+    * and freezes the state. */
+  def ewmCovSeries(xs: Seq[Option[Double]], ys: Seq[Option[Double]],
+                   lambdaPm: Int): Seq[Option[Double]] = {
+    val lam = lambdaPm / 1000.0; val b = 1.0 - lam
+    var cov: Option[Double] = None
+    xs.zip(ys).map {
+      case (Some(x), Some(y)) =>
+        cov = cov match {
+          case None => Some(x * y)
+          case Some(p) => Some(lam * p + b * (x * y))
+        }
+        cov
+      case _ => None
+    }
+  }
+
   /** (signal, histogram) companion to [[macdSeries]]: signal = EMA9
     * (α = 2/10) of the MACD line, seeded by the first line value (0.0 at
     * the seed row); histogram = line − signal. Same frozen-state NULL

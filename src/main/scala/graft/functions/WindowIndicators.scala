@@ -495,6 +495,71 @@ case class MacdSignal(value: Expression) extends MacdSignalBase {
     copy(value = c(0))
 }
 
+/** `ewmcov(x, y, lambda_pm)` — RiskMetrics (J.P. Morgan 1996) zero-mean
+  * exponentially weighted covariance: `cov_t = λ·cov_{t−1} + (1−λ)·x_t·y_t`,
+  * seeded by the first pair's product (the EMA first-value convention
+  * applied to the product series). `ewmcov(x, x, λ)` is the EWMA
+  * variance; EWMA correlation composes three calls on ONE window spec
+  * (one Window pass). λ is a permille literal — 940 → the RiskMetrics
+  * daily λ = 0.94 — validated at analysis time, λ < 1 required.
+  *
+  * Frozen-state NULL contract (§7.1 family-wide): a row where EITHER
+  * side is NULL emits NULL and leaves the state untouched.
+  * Beyond-reference: the recency-weighted complement of the exact-window
+  * [[graft.operators.Rolling.corrBeta]]. */
+case class EwmCov(xv: Expression, yv: Expression, lambdaPm: Expression)
+    extends IndicatorWindowFunction {
+  override def value: Expression = xv
+  override def children: Seq[Expression] = Seq(xv, yv, lambdaPm)
+  override def prettyName: String = "ewmcov"
+
+  private lazy val lam = requireWindowSize(lambdaPm) / 1000.0
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def numeric(e: Expression) =
+      e.dataType.isInstanceOf[NumericType] || e.dataType == NullType
+    if (!numeric(xv) || !numeric(yv)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric x and y, got " +
+          s"${xv.dataType.catalogString} and ${yv.dataType.catalogString}")
+    } else {
+      try {
+        val pm = requireWindowSize(lambdaPm)
+        if (pm >= 1000) TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires lambda_pm < 1000 (λ < 1), got $pm")
+        else TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
+    }
+  }
+
+  private lazy val yd: Expression =
+    if (yv.dataType == DoubleType) yv else Cast(yv, DoubleType)
+
+  private lazy val cov = AttributeReference("ewmCov", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(cov, curNull)
+  override lazy val initialValues: Seq[Expression] = Seq(nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val anyNull = Or(IsNull(x), IsNull(yd))
+    val xy = Multiply(x, yd)
+    Seq(
+      If(anyNull, cov,
+        If(IsNull(cov), xy,
+          Add(Multiply(Literal(lam), cov),
+            Multiply(Literal(1.0 - lam), xy)))),
+      anyNull)
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(cov)), nullDouble, cov)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): EwmCov =
+    copy(xv = c(0), yv = c(1), lambdaPm = c(2))
+}
+
 /** `macd_hist(value)` — MACD histogram = MACD line − signal line. */
 case class MacdHist(value: Expression) extends MacdSignalBase {
   override def prettyName: String = "macd_hist"

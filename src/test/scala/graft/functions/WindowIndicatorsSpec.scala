@@ -77,6 +77,34 @@ class WindowIndicatorsSpec extends AnyFunSuite {
     assertSeq(runSql(withNulls, "macd_hist(v)"), expN.map(_._2))
   }
 
+  test("ewmcov SQL matches IndicatorMath; freezes on either-side NULL") {
+    def runSql2(xs: Seq[Option[Double]], ys: Seq[Option[Double]],
+                call: String): Seq[Option[Double]] = {
+      xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (x, y, i) }
+        .toDF("x", "y", "i").createOrReplaceTempView("t2")
+      spark.sql(s"SELECT $call OVER (ORDER BY i) AS r FROM t2 ORDER BY i")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    }
+    val xs = Seq(1.0, 2.0, -1.0, 3.0, 0.5).map(Option(_))
+    val ys = Seq(2.0, -1.0, 4.0, 1.0, 2.5).map(Option(_))
+    assertSeq(runSql2(xs, ys, "ewmcov(x, y, 940)"),
+      IndicatorMath.ewmCovSeries(xs, ys, 940))
+    // ewmcov(x, x, λ) is the EWMA variance — always ≥ 0 here
+    val vx = runSql2(xs, xs, "ewmcov(x, x, 940)")
+    assertSeq(vx, IndicatorMath.ewmCovSeries(xs, xs, 940))
+    assert(vx.flatten.forall(_ >= 0.0))
+    // NULL on either side → NULL out, state frozen
+    val xn = Seq(Some(1.0), None, Some(2.0), Some(3.0))
+    val yn = Seq(Some(2.0), Some(9.0), None, Some(1.0))
+    assertSeq(runSql2(xn, yn, "ewmcov(x, y, 940)"),
+      IndicatorMath.ewmCovSeries(xn, yn, 940))
+    // analysis-time rails: λ ≥ 1 and non-literal λ rejected
+    val e1 = intercept[Exception](runSql2(xs, ys, "ewmcov(x, y, 1000)"))
+    assert(e1.getMessage.contains("lambda_pm < 1000"))
+    val e2 = intercept[Exception](runSql2(xs, ys, "ewmcov(x, y, i)"))
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("partitioned windows keep per-key state isolated (Column API)") {
     val df = Seq(
       ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("A", 4, 12.0),
