@@ -480,6 +480,16 @@ object SparkEntry {
           col("roll_corr"), col("roll_beta"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_skew_report" -> ((s, d) => {
+      // key-skew diagnostic: top-20 suppliers by row count with corpus
+      // share and uniform-spread skew ratio — the report that decides
+      // whether the salting mitigations are warranted
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Skew.keyReport(s.table("lineitem"), Seq("l_suppkey"),
+          topK = 20, heavyFactor = 4.0)
+        .orderBy(col("rank"))
+    }),
     "q_ewma_corr" -> ((s, d) => q(s, d,
       // RiskMetrics EWMA covariance/variance/correlation (λ = 0.94) —
       // three independent ewmcov recurrences share ONE window spec (one
@@ -5517,6 +5527,23 @@ object SparkEntry {
          |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |) s
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Skew.keyReport: counts → one-row totals → rank window on
+    // the counts frame; integer arithmetic until the two divisions.
+    "q_skew_report" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts
+        |), ranked AS (
+        |  SELECT c.l_suppkey, c.cnt, t.total, t.n_keys,
+        |    row_number() OVER (ORDER BY c.cnt DESC, c.l_suppkey) AS rank
+        |  FROM counts c CROSS JOIN tot t
+        |)
+        |SELECT l_suppkey, cnt, rank,
+        |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew,
+        |  (CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE)) >= 4.0 AS heavy
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // Replays the three EwmCov recurrences as ONE struct fold whose
     // fields are mutually independent (each reads only its own acc
     // field + the current pair — safe under DuckDB's in-place field

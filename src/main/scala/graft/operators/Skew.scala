@@ -69,4 +69,41 @@ object Skew {
     val b = build.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     p.join(b, keys :+ "__salt").drop("__salt")
   }
+
+  /** The diagnostic that tells you whether [[twoStageAgg]]/[[saltedJoin]]
+    * are needed at all: top-`topK` keys by row count with each key's
+    * corpus share and its `skew` ratio vs a uniform spread
+    * (`cnt · n_keys / total`; 1.0 = perfectly uniform, `heavy` flags
+    * keys ≥ `heavyFactor`× the uniform mean — straggler candidates).
+    *
+    * Scale shape: ONE hash aggregate over the corpus (map-side partial);
+    * everything after runs on the counts frame (key cardinality, never
+    * rows) — the one-row totals broadcast back, and the ranking window's
+    * global sort is over that same counts frame with the rank≤topK
+    * filter pushed into it (WindowGroupLimit). Integer arithmetic until
+    * the two final divisions. */
+  def keyReport(df: DataFrame, keyCols: Seq[String], topK: Int = 20,
+                heavyFactor: Double = 4.0): DataFrame = {
+    require(keyCols.nonEmpty, "keyReport needs at least one key column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(heavyFactor > 0, s"heavyFactor must be positive, got $heavyFactor")
+    Guards.requireNoReserved(df.columns,
+      Seq("cnt", "rank", "share", "skew", "heavy", "__total", "__n_keys"),
+      "Skew.keyReport")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+    counts.join(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .withColumn("share",
+        col("cnt").cast("double") / col("__total").cast("double"))
+      .withColumn("skew",
+        (col("cnt") * col("__n_keys")).cast("double") /
+          col("__total").cast("double"))
+      .withColumn("heavy", col("skew") >= heavyFactor)
+      .drop("__total", "__n_keys")
+  }
 }

@@ -44,4 +44,23 @@ class SkewSpec extends AnyFunSuite {
       Skew.twoStageAgg(skewed, Seq("key"), "row_id", Seq("value" -> "avg"))
     }
   }
+
+  test("keyReport: hand-computed shares, skew ratios, heavy flag, topK cut") {
+    // a×6, b×2, c×1, d×1 → total 10, 4 keys, uniform mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.toDF("key", "i")
+    val out = Skew.keyReport(df, Seq("key"), topK = 3, heavyFactor = 2.0)
+      .orderBy("rank").collect()
+    assert(out.length === 3) // d cut by topK
+    val a = out(0)
+    assert(a.getAs[String]("key") === "a" && a.getAs[Long]("cnt") === 6L)
+    assert(a.getAs[Double]("share") === 0.6)
+    assert(a.getAs[Double]("skew") === 2.4) // 6·4/10
+    assert(a.getAs[Boolean]("heavy"))
+    val b = out(1)
+    assert(b.getAs[String]("key") === "b" && b.getAs[Double]("skew") === 0.8)
+    assert(!b.getAs[Boolean]("heavy"))
+    // count ties rank deterministically by key
+    assert(out(2).getAs[String]("key") === "c")
+  }
 }
