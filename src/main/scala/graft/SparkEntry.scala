@@ -480,6 +480,15 @@ object SparkEntry {
           col("roll_corr"), col("roll_beta"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_weighted_median" -> ((s, d) => {
+      // exact quantity-weighted median price per supplier — integer
+      // cumulative weights, one keyed window pass, crossing-row pick
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Stats.weightedMedian(s.table("lineitem"), Seq("l_suppkey"),
+          "l_extendedprice", "l_quantity")
+        .orderBy(col("l_suppkey"))
+    }),
     "q_skew_report" -> ((s, d) => {
       // key-skew diagnostic: top-20 suppliers by row count with corpus
       // share and uniform-spread skew ratio — the report that decides
@@ -5527,6 +5536,24 @@ object SparkEntry {
          |  WINDOW wn AS ($W ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          |) s
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Stats.weightedMedian: integer cumulative weights, crossing
+    // row 2·cum ≥ W > 2·(cum − w). The crossing VALUE is tie-order
+    // independent, so engine sort-order differences among equal values
+    // cannot change the output.
+    "q_weighted_median" ->
+      """WITH base AS (
+        |  SELECT l_suppkey, l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_suppkey, v, w,
+        |    sum(w) OVER (PARTITION BY l_suppkey ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_suppkey) AS tot
+        |  FROM base
+        |)
+        |SELECT l_suppkey, v AS weighted_median, CAST(tot AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot AND (cum - w) * 2 < tot
+        |ORDER BY l_suppkey""".stripMargin,
     // Replays Skew.keyReport: counts → one-row totals → rank window on
     // the counts frame; integer arithmetic until the two divisions.
     "q_skew_report" ->

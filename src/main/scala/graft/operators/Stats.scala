@@ -206,4 +206,41 @@ object Stats {
         (sea + seb) * (sea + seb) /
           (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))).as("df_welch")): _*)
   }
+
+  /** Exact grouped weighted median (lower-median convention): the
+    * smallest value whose cumulative weight reaches half the group's
+    * total — the importance-weighted center for corpus statistics where
+    * each row carries a weight (token counts, sampling rates). Weights
+    * must be non-negative integers (exact cumulative comparisons — a
+    * float cumsum would make the crossing row engine-dependent);
+    * zero-weight rows can never be the crossing row.
+    *
+    * One keyed window pass: the running and total weight sums share one
+    * (group, value)-sorted partition, the crossing row is
+    * `2·cum ≥ W > 2·(cum − w)` — exactly one row per non-empty-weight
+    * group, selected by exact integer comparisons.
+    * Emits (groupCols…, `weighted_median`, `total_weight`). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "weightedMedian needs at least one group column")
+    val w0 = col(weightCol).cast("long")
+    // loud rail: a negative weight silently corrupts the crossing test
+    val w = when(w0 < 0L, raise_error(
+      lit(s"weightedMedian: negative weight in $weightCol"))).otherwise(w0)
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    df.select((groupCols.map(col) :+ col(valueCol) :+ w.as("__w")): _*)
+      .withColumn("__cum", sum(col("__w")).over(ordered))
+      .withColumn("__tot", sum(col("__w")).over(whole))
+      .filter(col("__cum") * 2 >= col("__tot") &&
+        (col("__cum") - col("__w")) * 2 < col("__tot"))
+      .select((groupCols.map(col) :+
+        col(valueCol).as("weighted_median") :+
+        col("__tot").as("total_weight")): _*)
+  }
 }

@@ -167,4 +167,26 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be 'a' or 'b'") ||
       Option(e.getCause).exists(_.getMessage.contains("must be 'a' or 'b'")))
   }
+
+  test("weightedMedian: crossing row, lower-median tie, zero weights") {
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 3L), ("g1", 3.0, 1L), // W=5 → 2.0
+      ("g2", 1.0, 1L), ("g2", 2.0, 1L),                  // even split → lower 1.0
+      ("g3", 1.0, 0L), ("g3", 2.0, 1L),                  // zero-weight row skipped
+      ("g4", 9.0, 0L)                                    // all-zero group → no row
+    ).toDF("g", "v", "w")
+    val out = Stats.weightedMedian(df, Seq("g"), "v", "w")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      Seq(("g1", 2.0, 5L), ("g2", 1.0, 2L), ("g3", 2.0, 1L)))
+  }
+
+  test("weightedMedian: negative weight raises") {
+    val df = Seq(("g", 1.0, -1L), ("g", 2.0, 3L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Stats.weightedMedian(df, Seq("g"), "v", "w").collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
 }
