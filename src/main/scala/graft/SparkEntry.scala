@@ -1202,6 +1202,27 @@ object SparkEntry {
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q_media_resize" -> ((s, d) => {
+      // REAL resize in the codec chain: text → PNG encode (16×16) →
+      // javax.imageio decode → integer nearest-neighbor resample to 8×8
+      // → PNG re-encode → decode → histogram over the 64 kept pixels.
+      // NN keeps pixel VALUES intact, so the oracle replays the sampled
+      // grid (src index 2dy·16 + 2dx, byte mod len) from the text alone
+      // — proving decode, geometry arithmetic, and re-encode all ran.
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length, element_at}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_resize oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaPng(s, docs, "doc_id", "text")
+      val small = operators.Multimodal.resizeImages(s, media, "doc_id",
+        outW = 8, outH = 8)
+      val feats = operators.Multimodal.decodeImageFeatures(s, small, "doc_id")
+      feats.select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_media_video" -> ((s, d) => {
       // REAL video round-trip: text → per-frame PNG encode → our RIFF/AVI
       // muxer (fourcc MPNG, the lossless motion-PNG MJPEG variant) →
@@ -2789,6 +2810,30 @@ object SparkEntry {
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the resize chain ([[operators.Multimodal
+    * .resizeImages]] 16×16 → 8×8 nearest-neighbor): kept pixel (dx, dy)
+    * is source index `2·dy·16 + 2·dx`, whose value is the text byte at
+    * that index mod len — the 64-pixel histogram regenerates from the
+    * text with the same `g·16/256` bucketing, count / 64. */
+  private def duckMediaResizeSql: String = {
+    val buckets = (0 until 16).map { b =>
+      s"CAST(sum(CASE WHEN g // 16 = $b THEN 1 ELSE 0 END) AS DOUBLE) / 64.0" +
+        f" AS f$b%02d"
+    }
+    s"""WITH px AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN length(d.text) = 0 THEN 0
+       |         ELSE ascii(substr(d.text,
+       |           CAST((2 * ty.dy * 16 + 2 * tx.dx) % length(d.text) AS INT) + 1, 1))
+       |    END AS g
+       |  FROM documents d
+       |  CROSS JOIN generate_series(0, 7) AS tx(dx)
+       |  CROSS JOIN generate_series(0, 7) AS ty(dy)
+       |)
+       |SELECT doc_id, ${buckets.mkString(",\n  ")}
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of the REAL AVI round-trip ([[operators.Multimodal
     * .withMediaAvi]] → [[operators.Multimodal.decodeVideoFeatures]]):
     * losslessly-compressed frames mean decoded frame `f` pixel `i` equals
@@ -2983,6 +3028,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_features" -> duckMediaFeaturesSql,
     "q_media_decode" -> duckMediaDecodeSql,
+    "q_media_resize" -> duckMediaResizeSql,
     "q_media_video" -> duckMediaVideoSql,
     // The WAV gate's amplitude buckets reduce to the same byte // 16
     // histogram (sample = (b−128)·256 → (s+32768)·16/65536 = b·16/256),

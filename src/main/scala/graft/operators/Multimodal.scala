@@ -162,8 +162,65 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
-  private def decodeImageWith(pngReader: javax.imageio.ImageReader,
-                              bytes: Array[Byte], nBuckets: Int): Array[Double] = {
+  /** REAL nearest-neighbor image resize at the plug-point: javax.imageio
+    * decode → integer NN sample — source pixel `(dx·srcW DIV outW,
+    * dy·srcH DIV outH)`, exact integer arithmetic so no FP-rounding
+    * ambiguity between engines — → PNG re-encode. Grayscale band 0 is
+    * resampled (the synthetic corpus is TYPE_BYTE_GRAY; for multi-band
+    * sources this is the luminance-ish first band). Same per-partition
+    * reader/writer/buffer amortization as the codecs; `media` is
+    * replaced by the resized frame and `media_meta` rebuilt. Nearest
+    * neighbor is chosen over bilinear DELIBERATELY: pixel values pass
+    * through unchanged, which keeps the whole
+    * encode→resize→decode→histogram chain bit-replayable by the SQL
+    * oracle (bilinear would put an FP blend inside the codec chain). */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+                   outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad target geometry ${outW}x$outH")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val out = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        iter.map { case (id, bytes) =>
+          val src = readImageWith(pngReader, bytes)
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val sr = src.getRaster
+          val or = out.getRaster
+          var dy = 0
+          while (dy < outH) {
+            val sy = dy * sh / outH
+            var dx = 0
+            while (dx < outW) {
+              or.setSample(dx, dy, 0, sr.getSample(dx * sw / outW, sy, 0))
+              dx += 1
+            }
+            dy += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(out, null, null), null)
+          ios.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("image/png").as("mime"),
+        md5(col("media")).as("content_md5")))
+  }
+
+  /** PNG-fast-path image read with generic format-sniffing fallback;
+    * fails loudly on undecodable payloads. */
+  private def readImageWith(pngReader: javax.imageio.ImageReader,
+                            bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val img =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -173,7 +230,13 @@ object Multimodal {
       } catch { case _: Exception =>
         javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       }
-    require(img != null, "decodeImage: payload is not a decodable image")
+    require(img != null, "readImage: payload is not a decodable image")
+    img
+  }
+
+  private def decodeImageWith(pngReader: javax.imageio.ImageReader,
+                              bytes: Array[Byte], nBuckets: Int): Array[Double] = {
+    val img = readImageWith(pngReader, bytes)
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
     val hist = new Array[Double](nBuckets)

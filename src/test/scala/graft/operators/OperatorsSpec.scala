@@ -375,6 +375,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L)(12) === 0.5 && feats(3L)(11) === 0.5)
   }
 
+  test("multimodal: nearest-neighbor resize keeps exact sampled pixel values") {
+    import spark.implicits._
+    // 16×16 source pixels cycle over the 4 text bytes; the 8×8 NN grid
+    // samples source index 2·dy·16 + 2·dx — always EVEN, and (even mod 4)
+    // ∈ {0, 2}, so only bytes 'a' (97) and 'c' (99) survive, half each
+    val doc = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val media = Multimodal.withMediaPng(spark, doc, "doc_id", "text")
+    val small = Multimodal.resizeImages(spark, media, "doc_id", 8, 8)
+    // still a real PNG, with rebuilt metadata
+    val r = small.select("media", "media_meta.mime").head()
+    val b = r.getAs[Array[Byte]](0)
+    assert((b(0) & 0xff) === 0x89 && b(1) === 'P'.toByte)
+    assert(r.getString(1) === "image/png")
+    // decoded geometry is the target, values are untouched source pixels:
+    // 97/16 == 99/16 == 6 → the whole histogram lands in bucket 6
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+    assert(img.getRaster.getSample(0, 0, 0) === 97) // src (0,0) = 'a'
+    assert(img.getRaster.getSample(1, 0, 0) === 99) // src (2,0) = 'c'
+    val feats = Multimodal.decodeImageFeatures(spark, small, "doc_id")
+      .head().getSeq[Double](1)
+    assert(feats(6) === 1.0 && feats.sum === 1.0)
+    // upscale path: 8×8 → 16×16 duplicates pixels, histogram unchanged
+    val big = Multimodal.resizeImages(spark, small, "doc_id", 16, 16)
+    val bigFeats = Multimodal.decodeImageFeatures(spark, big, "doc_id")
+      .head().getSeq[Double](1)
+    assert(bigFeats(6) === 1.0)
+  }
+
   test("multimodal: real WAV encode→decode round-trip recovers the amplitude histogram") {
     import spark.implicits._
     val doc = Seq((1L, "abcd"), (2L, ""), (3L, "ÿ" * 3)).toDF("doc_id", "text")
