@@ -26,6 +26,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  test("ewma cov/var/corr trio shares ONE Window pass over one shuffle") {
+    val p = plan("q_ewma_corr")
+    assert(p.split("\n").count(_.trim.matches("^\\+?-? ?Window .*")) == 1,
+      s"expected exactly one Window operator:\n$p")
+    assert(p.split("hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("weighted median: running and total sums share one keyed exchange") {
+    val p = plan("q_weighted_median")
+    assert(p.split("hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
   test("macd line+signal+hist share ONE Window pass over one shuffle") {
     val p = plan("q_macd_full")
     assert(p.split("\n").count(_.trim.matches("^\\+?-? ?Window .*")) == 1,
