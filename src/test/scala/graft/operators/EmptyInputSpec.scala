@@ -96,6 +96,28 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("round-8 operators on an empty corpus") {
+    val emptySeries = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType), StructField("i", LongType),
+        StructField("v", DoubleType), StructField("w", LongType))))
+    assert(Rolling.autocorr(emptySeries, "v", Seq("k"), Seq("i"),
+      n = 3, lagK = 1).count() === 0)
+    assert(Stats.weightedMedian(emptySeries, Seq("k"), "v", "w").count() === 0)
+    assert(Skew.keyReport(emptySeries, Seq("k")).count() === 0)
+    assert(Dedup.sortedNeighborhoodPairs(emptyDocs, "doc_id", "text",
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("text"), 1, 8),
+      org.apache.spark.sql.functions.col("text")).count() === 0)
+    graft.CacheScope.release()
+    val emptyMedia = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    assert(Multimodal.resizeImages(spark, emptyMedia, "doc_id", 8, 8)
+      .count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
