@@ -1909,9 +1909,9 @@ object SparkEntry {
       load(s, d)
       import s.implicits._
       import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
-      // events.parquet carries TIMESTAMP(NANOS) — read as nanosecond Longs
-      // (readEventsNanos); the data is micro-aligned, so the integer DIV
-      // to micros is lossless (checked: nanos % 1000 == 0).
+      // ts normalized to nanosecond Longs whatever unit the parquet
+      // declares (readEventsNanos); the data is micro-aligned, so the
+      // integer DIV to micros is lossless (nanos % 1000 == 0).
       val ev = readEventsNanos(s, d)
       val ticks = ev.select(
         col("event_type").as("symbol"),
