@@ -489,6 +489,15 @@ object SparkEntry {
           "l_extendedprice", "l_quantity")
         .orderBy(col("l_suppkey"))
     }),
+    "q_gini" -> ((s, d) => {
+      // per-language Gini concentration of document length — the corpus
+      // diversity screen; exact BIGINT rank/value sums, one double tree
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Divergence.gini(s.table("documents"), Seq("lang"),
+          "n_chars", scale = 0)
+        .orderBy(col("lang"))
+    }),
     "q_skew_report" -> ((s, d) => {
       // key-skew diagnostic: top-20 suppliers by row count with corpus
       // share and uniform-spread skew ratio — the report that decides
@@ -5600,6 +5609,28 @@ object SparkEntry {
         |SELECT l_suppkey, v AS weighted_median, CAST(tot AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tot AND (cum - w) * 2 < tot
         |ORDER BY l_suppkey""".stripMargin,
+    // Replays Divergence.gini: ascending-rank BIGINT sums, the identical
+    // (2·siv − (n+1)·sv)/(n·sv) double tree (n+1 as a DOUBLE add,
+    // mirroring the Column expression).
+    "q_gini" ->
+      """WITH v AS (
+        |  SELECT lang, CAST(round(CAST(n_chars AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT lang, x, CAST(row_number() OVER (PARTITION BY lang ORDER BY x) AS BIGINT) AS i
+        |  FROM v
+        |), g AS (
+        |  SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sv,
+        |         CAST(sum(i * x) AS BIGINT) AS siv
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT lang, n,
+        |  CASE WHEN sv > 0 THEN
+        |    (2.0::DOUBLE * CAST(siv AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) + 1.0::DOUBLE) * CAST(sv AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+        |  END AS gini
+        |FROM g ORDER BY lang""".stripMargin,
     // Replays Skew.keyReport: counts → one-row totals → rank window on
     // the counts frame; integer arithmetic until the two divisions.
     "q_skew_report" ->

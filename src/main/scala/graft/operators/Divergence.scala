@@ -230,4 +230,42 @@ object Divergence {
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("__d")).as("ks_d"))
   }
+
+  /** Exact per-group Gini concentration of a non-negative measure — the
+    * corpus-diversity screen (is one source/shard/length band hogging the
+    * token mass?): 0 = perfectly even, →1 = one row holds everything.
+    *
+    * Closed form on the ascending-rank sum `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx)`: values quantize to `scale` decimals and BOTH sums are exact
+    * BIGINTs (the [[graft.operators.Rolling.vwap]] money discipline), so
+    * the single final double tree is engine-identical. Rank ties are
+    * harmless by construction — equal values make `Σ i·xᵢ` invariant
+    * under any tie order, so no tiebreak column is needed.
+    *
+    * One rank window per group + one hash aggregate; NULL measures are
+    * excluded, negative ones raise (a silent negative would corrupt the
+    * concentration silently). NULL gini for all-zero groups. Emits
+    * (groupCols…, `n`, `gini`). */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
+           scale: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs at least one group column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    val x0 = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val x = when(x0 < 0L, raise_error(
+      lit(s"gini: negative value in $valueCol"))).otherwise(x0)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__x"))
+    val ranked = df.select((groupCols.map(col) :+ x.as("__x")): _*)
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val sums = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sv"),
+        sum(col("__i") * col("__x")).as("__siv"))
+    val (n, sv, siv) = (col("n").cast("double"),
+      col("__sv").cast("double"), col("__siv").cast("double"))
+    sums.withColumn("gini",
+        when(col("__sv") > 0L,
+          (lit(2.0) * siv - (n + lit(1.0)) * sv) / (n * sv)))
+      .drop("__sv", "__siv")
+  }
 }

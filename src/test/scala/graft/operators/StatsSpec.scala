@@ -181,6 +181,38 @@ class StatsSpec extends AnyFunSuite {
       Seq(("g1", 2.0, 5L), ("g2", 1.0, 2L), ("g3", 2.0, 1L)))
   }
 
+  test("gini: textbook extremes and a hand-computed middle case") {
+    // even distribution → 0; total concentration → (n−1)/n
+    val even = Seq.fill(4)(10.0).zipWithIndex.map { case (v, i) => ("g", i, v) }
+      .toDF("g", "i", "v")
+    val g0 = Divergence.gini(even, Seq("g"), "v").head()
+    assert(g0.getAs[Double]("gini") === 0.0 && g0.getAs[Long]("n") === 4L)
+    val conc = Seq(("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 100.0))
+      .toDF("g", "i", "v")
+    assert(Divergence.gini(conc, Seq("g"), "v").head()
+      .getAs[Double]("gini") === 0.75) // (n−1)/n
+    // hand case: values 1,2,3,4 → G = (2·(1+4+9+16) − 5·10)/(4·10) = 0.25
+    val mid = Seq(("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0), ("g", 4, 4.0))
+      .toDF("g", "i", "v")
+    assert(Divergence.gini(mid, Seq("g"), "v").head()
+      .getAs[Double]("gini") === 0.25)
+    // all-zero group → NULL, single row → 0
+    val zero = Seq(("z", 1, 0.0)).toDF("g", "i", "v")
+    assert(Divergence.gini(zero, Seq("g"), "v").head().isNullAt(2))
+    val one = Seq(("o", 1, 7.0)).toDF("g", "i", "v")
+    assert(Divergence.gini(one, Seq("g"), "v").head()
+      .getAs[Double]("gini") === 0.0)
+  }
+
+  test("gini: negative value raises") {
+    val df = Seq(("g", 1, -1.0), ("g", 2, 3.0)).toDF("g", "i", "v")
+    val e = intercept[Exception] {
+      Divergence.gini(df, Seq("g"), "v").collect()
+    }
+    assert(e.getMessage.contains("negative value") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative value")))
+  }
+
   test("weightedMedian: negative weight raises") {
     val df = Seq(("g", 1.0, -1L), ("g", 2.0, 3L)).toDF("g", "v", "w")
     val e = intercept[Exception] {
