@@ -489,6 +489,17 @@ object SparkEntry {
           "l_extendedprice", "l_quantity")
         .orderBy(col("l_suppkey"))
     }),
+    "q_dd_duration" -> ((s, d) => {
+      // time under water per supplier price series — integer rows since
+      // the running high-water mark, the recovery companion to q_drawdown
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.drawdownDuration(s.table("lineitem"),
+          "l_extendedprice", Seq("l_suppkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_gini" -> ((s, d) => {
       // per-language Gini concentration of document length — the corpus
       // diversity screen; exact BIGINT rank/value sums, one double tree
@@ -5609,6 +5620,22 @@ object SparkEntry {
         |SELECT l_suppkey, v AS weighted_median, CAST(tot AS BIGINT) AS total_weight
         |FROM c WHERE cum * 2 >= tot AND (cum - w) * 2 < tot
         |ORDER BY l_suppkey""".stripMargin,
+    // Replays Rolling.drawdownDuration: the same staged integer windows
+    // (row number, running max, last peak-row) — no floats anywhere.
+    "q_dd_duration" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(rn - max(CASE WHEN is_peak THEN rn END)
+         |    OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS dd_duration
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+         |    CAST(row_number() OVER ($W) AS BIGINT) AS rn,
+         |    CAST(l_extendedprice AS DOUBLE)
+         |      >= max(CAST(l_extendedprice AS DOUBLE))
+         |         OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS is_peak
+         |  FROM lineitem
+         |)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays Divergence.gini: ascending-rank BIGINT sums, the identical
     // (2·siv − (n+1)·sv)/(n·sv) double tree (n+1 as a DOUBLE add,
     // mirroring the Column expression).

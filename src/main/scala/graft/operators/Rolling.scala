@@ -604,6 +604,33 @@ object Rolling {
       when(peak =!= 0.0, (x - peak) / peak).as("drawdown"))
   }
 
+  /** Drawdown duration ("time under water"): rows since the running peak
+    * was last set or re-touched — 0 at every new high-water mark, k after
+    * k consecutive below-peak rows. The recovery-time companion to
+    * [[drawdown]]'s depth: together they answer "how deep and for how
+    * long". Pure integer arithmetic (`row_number − last peak-row
+    * number`), engine-exact with no float compare subtleties (a re-touch
+    * EQUAL to the peak counts as recovery, matching the high-water-mark
+    * convention). One keyed exchange; adds `dd_duration`. */
+  def drawdownDuration(df: DataFrame, valueCol: String, partCols: Seq[String],
+                       orderCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("dd_duration", "__rn", "__is_peak", "__peak_rn"),
+      "Rolling.drawdownDuration")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val running = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("double")
+    // staged projections: window functions cannot nest, and all three
+    // share the one keyed sort anyway
+    df.withColumn("__rn", row_number().over(seqW).cast("long"))
+      .withColumn("__is_peak", x >= max(x).over(running))
+      .withColumn("__peak_rn",
+        max(when(col("__is_peak"), col("__rn"))).over(running))
+      .withColumn("dd_duration", col("__rn") - col("__peak_rn"))
+      .drop("__rn", "__is_peak", "__peak_rn")
+  }
+
   /** Keltner channel (Keltner/Chester's volatility envelope, public
     * formula, EMA-ATR form): `kc_mid` = EMA(close, emaN), `kc_upper` /
     * `kc_lower` = mid ± k·ATR(atrN) — the volatility-adaptive band that

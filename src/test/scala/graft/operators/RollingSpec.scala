@@ -206,6 +206,17 @@ class RollingSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("roll_autocorr")))
   }
 
+  test("drawdownDuration: hand trace with re-touch recovery") {
+    // series 10, 8, 9, 10, 7, 6, 11:
+    //   peaks at rows 0 (10), 3 (re-touch of 10), 6 (new high 11)
+    //   durations: 0, 1, 2, 0, 1, 2, 0
+    val df = Seq(10.0, 8.0, 9.0, 10.0, 7.0, 6.0, 11.0).zipWithIndex
+      .map { case (v, i) => ("s", i, v) }.toDF("sym", "i", "x")
+    val got = Rolling.drawdownDuration(df, "x", Seq("sym"), Seq("i"))
+      .orderBy("i").collect().map(_.getAs[Long]("dd_duration")).toSeq
+    assert(got === Seq(0L, 1L, 2L, 0L, 1L, 2L, 0L))
+  }
+
   test("ffill: carries the last value forward, leading nulls stay null") {
     val df = Seq(("s", 0, None), ("s", 1, Some(4.0)), ("s", 2, None),
         ("s", 3, None), ("s", 4, Some(7.0)))
