@@ -65,11 +65,20 @@ object ScaleProbe {
       "part" -> Nil, "region" -> Nil, "nation" -> Nil)
   }
 
+  /** events goes through the unit-aware reader (its INT64 ts unit has
+    * changed between rounds — see NOTES); the scaled copy is therefore
+    * written with ts as plain BIGINT NANOS, which readNanos treats as
+    * already-normalized (un-annotated int64 → multiplier 1). */
+  private def readTable(spark: SparkSession, dir: String,
+                        table: String): DataFrame =
+    if (table == "events") graft.sources.Events.readNanos(spark, dir)
+    else spark.read.parquet(s"$dir/$table.parquet")
+
   /** Domain → offset = max(key)+1 over every table carrying the domain,
     * read once from the base corpus. */
   private def domainOffsets(spark: SparkSession, dir: String): Map[String, Long] = {
     def mx(table: String, c: String): Long =
-      spark.read.parquet(s"$dir/$table.parquet")
+      readTable(spark, dir, table)
         .agg(max(col(c).cast("long"))).head.getLong(0)
     Map(
       "orderkey" -> (math.max(mx("orders", "o_orderkey"), mx("lineitem", "l_orderkey")) + 1),
@@ -97,7 +106,7 @@ object ScaleProbe {
       val fresh = success.exists() && manifest.exists() &&
         java.nio.file.Files.readString(manifest.toPath) == stamp
       if (!fresh) {
-        val base = spark.read.parquet(s"$baseDir/$table.parquet")
+        val base = readTable(spark, baseDir, table)
         val scaled =
           if (shifts.isEmpty) base
           else (0 until Scale).map { i =>

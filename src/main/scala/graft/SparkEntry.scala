@@ -2554,8 +2554,8 @@ object SparkEntry {
     * reference — the single source is [[duckShinglesN]]. */
   private lazy val duckShingles = duckShinglesN(3, "sh")
 
-  private val duckJaccardTail =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  private def duckJaccardTail(threshold: Double = 0.5): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.id_a, c.id_b, count(*) AS inter
       |  FROM cand c
@@ -2568,7 +2568,7 @@ object SparkEntry {
       |FROM inter i
       |JOIN sizes na ON na.doc_id = i.id_a
       |JOIN sizes nb ON nb.doc_id = i.id_b
-      |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+      |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= $threshold
       |ORDER BY i.id_a, i.id_b""".stripMargin
 
   /** Word-n-gram CTEs (`<cte>0` with duplicates, `<cte>` distinct) —
@@ -3241,21 +3241,7 @@ object SparkEntry {
          |    ON a.snm_block = b.snm_block
          |   AND b.rn > a.rn AND b.rn <= a.rn + 4
          |),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.id_a
-         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.id_a, c.id_b
-         |)
-         |SELECT i.id_a, i.id_b,
-         |  CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
-         |FROM inter i
-         |JOIN sizes na ON na.doc_id = i.id_a
-         |JOIN sizes nb ON nb.doc_id = i.id_b
-         |WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
+         |${duckJaccardTail(0.3)}""".stripMargin,
     // Replays Similarity.randomProjection 64→16: the IDENTICAL
     // deterministic ±1 matrix (Similarity.signMatrix, baked in below as
     // literals) dotted against each embedding with the same left-to-right
@@ -3388,7 +3374,7 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q_dedup_minhash" -> s"WITH ${duckMinhashCtes()},\n$duckJaccardTail",
+    "q_dedup_minhash" -> s"WITH ${duckMinhashCtes()},\n${duckJaccardTail()}",
     "q_dedup_components" ->
       // components of the minhash near-dup graph: min reachable id via a
       // recursive closure (exact; graph is small after LSH+verify)
@@ -3443,7 +3429,7 @@ object SparkEntry {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |),
-         |$duckJaccardTail""".stripMargin,
+         |${duckJaccardTail()}""".stripMargin,
     "q_embed_knn" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (
@@ -5610,6 +5596,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT l_suppkey, l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
         |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         |), c AS (
         |  SELECT l_suppkey, v, w,
         |    sum(w) OVER (PARTITION BY l_suppkey ORDER BY v

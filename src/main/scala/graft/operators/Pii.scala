@@ -85,6 +85,9 @@ object Pii {
     * CLOSED on exactly the unusual rows. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    Guards.requireNoReserved(df.columns,
+      quasiCols.map(c => s"__qi_$c") ++ Seq("anon_set", "below_k"),
+      "Pii.kAnonymity")
     val renamed = quasiCols.map(c => c -> s"__qi_$c")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("anon_set"))
@@ -106,6 +109,9 @@ object Pii {
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
                  sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    Guards.requireNoReserved(df.columns,
+      quasiCols.map(c => s"__qi_$c") ++ Seq("distinct_sensitive", "below_l"),
+      "Pii.lDiversity")
     val renamed = quasiCols.map(c => c -> s"__qi_$c")
     val div = df.groupBy(quasiCols.map(col): _*)
       .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))

@@ -218,7 +218,10 @@ object Stats {
     * One keyed window pass: the running and total weight sums share one
     * (group, value)-sorted partition, the crossing row is
     * `2·cum ≥ W > 2·(cum − w)` — exactly one row per non-empty-weight
-    * group, selected by exact integer comparisons.
+    * group, selected by exact integer comparisons. Rows with a NULL
+    * value OR weight are excluded up front (a NULL value would sort to
+    * a different end in different engines and could be SELECTED as the
+    * crossing row; a NULL weight would silently shrink the total).
     * Emits (groupCols…, `weighted_median`, `total_weight`). */
   def weightedMedian(df: DataFrame, groupCols: Seq[String],
                      valueCol: String, weightCol: String): DataFrame = {
@@ -235,6 +238,7 @@ object Stats {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
     df.select((groupCols.map(col) :+ col(valueCol) :+ w.as("__w")): _*)
+      .filter(col(valueCol).isNotNull && col("__w").isNotNull)
       .withColumn("__cum", sum(col("__w")).over(ordered))
       .withColumn("__tot", sum(col("__w")).over(whole))
       .filter(col("__cum") * 2 >= col("__tot") &&

@@ -32,18 +32,27 @@ object Events {
 
   /** Multiplier converting `path`'s raw int64 `ts` values to nanoseconds:
     * 1 for TIMESTAMP(NANOS) (or plain INT64, assumed nanos), 1000 for
-    * MICROS, 1e6 for MILLIS. Footer-only read, cached per path. */
-  def nanosMultiplier(spark: SparkSession, path: String): Long =
-    unitCache.computeIfAbsent(path, p => {
-      val conf = spark.sessionState.newHadoopConf()
-      val fp = new Path(p)
-      val fs = fp.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(fp).isDirectory) {
-          // one footer stands for all parts: a single writer produced them
-          fs.listStatus(fp).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
-        } else fp
+    * MICROS, 1e6 for MILLIS. Footer-only read; the cache key includes the
+    * footer file's (modtime, length) so a regenerated file at the same
+    * path — the exact silent-rescaling hazard this class kills — re-reads
+    * the footer instead of reusing a stale unit. */
+  def nanosMultiplier(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fp = new Path(path)
+    val fs = fp.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(fp).isDirectory) {
+        // one footer stands for all parts: a single writer produced them
+        val parts = fs.listStatus(fp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(parts.nonEmpty,
+          s"Events.nanosMultiplier: no .parquet parts under $path " +
+            "(partial write or wrong directory)")
+        parts.minBy(_.getName)
+      } else fp
+    val st = fs.getFileStatus(file)
+    val key = s"$file@${st.getModificationTime}:${st.getLen}"
+    unitCache.computeIfAbsent(key, _ => {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val msgType = reader.getFooter.getFileMetaData.getSchema
@@ -59,6 +68,7 @@ object Events {
         }
       } finally reader.close()
     })
+  }
 
   /** events frame with `ts` in nanos. When the file is already ns-unit the
     * plan is a bare scan (no multiply node). */
