@@ -45,8 +45,10 @@ object ScaleProbe {
     "q_dedup_components", "q_dedup_minhash", "q_text_stats",
     // round-8 additions: the SNM candidate generator (blocked rank
     // windows + pair verify), the privacy screen (agg + key-reusing
-    // join), and the 3-recurrence MACD window pass
-    "q_sorted_neighborhood", "q_k_anonymity", "q_macd_full")
+    // join), the 3-recurrence MACD window pass, and an events-family
+    // probe (keyed session windows over the unit-normalized stream)
+    "q_sorted_neighborhood", "q_k_anonymity", "q_macd_full",
+    "q_sessionize")
 
   private case class Shift(col: String, offset: Long)
 
