@@ -500,6 +500,19 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_lift_table" -> ((s, d) => {
+      // decile lift/gains of the event score predicting the purchase
+      // label — equal-frequency bins off exact percentile boundaries
+      // (tie-deterministic, no global sort), cumulative gains from the
+      // top bucket down
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val ev = readEventsNanos(s, d).select(col("value"),
+        when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+          .as("label"))
+      operators.Eval.liftTable(ev, "value", "label", nBuckets = 10)
+        .orderBy(col("bucket"))
+    }),
     "q_gini" -> ((s, d) => {
       // per-language Gini concentration of document length — the corpus
       // diversity screen; exact BIGINT rank/value sums, one double tree
@@ -5623,6 +5636,45 @@ object SparkEntry {
          |  FROM lineitem
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Eval.liftTable: quantile_cont boundaries (interpolation
+    // parity proven by q_quantiles), bucket = 10 − #bounds-below, the
+    // identical lift/cum-lift double trees.
+    "q_lift_table" -> {
+      val qlist = (1 until 10).map(k => s"quantile_cont(score, 0.$k)")
+        .mkString("[", ", ", "]")
+      s"""WITH src AS (
+         |  SELECT value AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events
+         |), b AS (
+         |  SELECT $qlist AS bounds,
+         |         count(*) AS tot_n, CAST(sum(y) AS BIGINT) AS tot_pos
+         |  FROM src
+         |), bk AS (
+         |  SELECT 10 - len(list_filter(b.bounds, bd -> s.score > bd)) AS bucket,
+         |         s.y, b.tot_n, b.tot_pos
+         |  FROM src s CROSS JOIN b
+         |), g AS (
+         |  SELECT bucket, tot_n, tot_pos, count(*) AS n,
+         |         CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM bk GROUP BY bucket, tot_n, tot_pos
+         |), c AS (
+         |  SELECT bucket, n, n_pos, tot_n, tot_pos,
+         |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+         |    CASE WHEN tot_pos > 0 THEN
+         |      (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS lift,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+         |  FROM g
+         |  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT bucket, n, n_pos, pos_rate, lift, cum_n, cum_pos,
+         |  CASE WHEN tot_pos > 0 THEN
+         |    (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+         |      / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) END AS cum_lift
+         |FROM c ORDER BY bucket""".stripMargin
+    },
     // Replays Divergence.gini: ascending-rank BIGINT sums, the identical
     // (2·siv − (n+1)·sv)/(n·sv) double tree (n+1 as a DOUBLE add,
     // mirroring the Column expression).

@@ -159,4 +159,54 @@ object Eval {
       .withColumn("pos_rate",
         col("n_pos").cast("double") / col("n").cast("double"))
   }
+
+  /** Lift / gains table over equal-frequency score bins: bucket 1 holds
+    * the HIGHEST scores; per bucket the positive rate, lift vs the
+    * overall rate, and the cumulative ("target the top k buckets")
+    * gains — the model-triage readout between ROC-AUC (threshold-free)
+    * and calibration bins (fixed-width).
+    *
+    * Equal-FREQUENCY bins are deliberate: boundaries are exact score
+    * percentiles (interpolation parity with the oracle proven by the
+    * quantile gate) and a tied score lands WHOLLY in one bucket by
+    * comparison, so the table is deterministic in any engine — an
+    * `ntile` over (score, id) would split ties by row order instead
+    * (and cost a single-partition global sort; this shape is one tiny
+    * percentile aggregate broadcast back, one hash agg, and a window
+    * over the ≤nBuckets frame). Heavy ties make buckets uneven — that
+    * is the standard equal-frequency caveat, surfaced in `n`. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    Guards.requireNoReserved(df.columns,
+      Seq("bucket", "n", "n_pos", "pos_rate", "lift",
+        "cum_n", "cum_pos", "cum_lift", "__bounds", "__tot_n", "__tot_pos"),
+      "liftTable")
+    val s = checkedScore(scoreCol, "liftTable")
+    val y = checkedLabel(labelCol, "liftTable")
+    val qs = (1 until nBuckets).map(k => lit(k.toDouble / nBuckets))
+    val bounds = df.agg(
+      percentile(s, array(qs: _*)).as("__bounds"),
+      count(lit(1)).as("__tot_n"), sum(y).as("__tot_pos"))
+    // bucket = nBuckets − (#boundaries strictly below the score): ties sit
+    // wholly in one bucket; the filter runs over an (nBuckets−1)-element
+    // broadcast array, not the corpus
+    val bucket = (lit(nBuckets) -
+      size(filter(col("__bounds"), b => s > b))).as("bucket")
+    val byBucket = df.crossJoin(broadcast(bounds))
+      .groupBy(bucket, col("__tot_n"), col("__tot_pos"))
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"))
+    val overall = col("__tot_pos").cast("double") / col("__tot_n").cast("double")
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byBucket
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("lift", when(col("__tot_pos") > 0L, col("pos_rate") / overall))
+      .withColumn("cum_n", sum(col("n")).over(cumW))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cumW))
+      .withColumn("cum_lift", when(col("__tot_pos") > 0L,
+        (col("cum_pos").cast("double") / col("cum_n").cast("double")) / overall))
+      .drop("__bounds", "__tot_n", "__tot_pos")
+  }
 }

@@ -125,4 +125,29 @@ class EvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("ap")).toMap
     assert(a === b)
   }
+
+  test("liftTable: hand-computed two-bucket gains, ties stay whole") {
+    // scores 1..10, positives exactly at the top 3 scores → top half has
+    // 3/5 positives, bottom half 0/5; overall rate 0.3
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 8) 1 else 0))
+      .toDF("score", "label")
+    val out = Eval.liftTable(df, "score", "label", nBuckets = 2)
+      .orderBy("bucket").collect()
+    assert(out.length === 2)
+    val top = out(0)
+    assert(top.getAs[Int]("bucket") === 1 && top.getAs[Long]("n") === 5L)
+    assert(top.getAs[Double]("pos_rate") === 0.6)
+    assert(top.getAs[Double]("lift") === 2.0) // 0.6 / 0.3
+    assert(top.getAs[Long]("cum_n") === 5L && top.getAs[Double]("cum_lift") === 2.0)
+    val bot = out(1)
+    assert(bot.getAs[Double]("pos_rate") === 0.0)
+    assert(bot.getAs[Long]("cum_n") === 10L)
+    assert(bot.getAs[Double]("cum_lift") === 1.0) // whole population
+    // heavy tie: one score value everywhere → a single bucket, lift 1
+    val tied = (1 to 8).map(i => (5.0, i % 2)).toDF("score", "label")
+    val t = Eval.liftTable(tied, "score", "label", nBuckets = 4)
+      .collect()
+    assert(t.length === 1 && t.head.getAs[Long]("n") === 8L)
+    assert(t.head.getAs[Double]("lift") === 1.0)
+  }
 }
