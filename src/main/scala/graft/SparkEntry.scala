@@ -500,6 +500,20 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_brier" -> ((s, d) => {
+      // per-day Brier score of the squashed event score (1/(1+value) —
+      // identical double op in both engines before the operator's own
+      // quantization) predicting the purchase label
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, expr, lit, when}
+      val ev = readEventsNanos(s, d).select(
+        expr("ts DIV 86400000000000").as("day"),
+        (lit(1.0) / (lit(1.0) + col("value"))).as("score"),
+        when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+          .as("label"))
+      operators.Eval.brierScore(ev, "score", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_lift_table" -> ((s, d) => {
       // decile lift/gains of the event score predicting the purchase
       // label — equal-frequency bins off exact percentile boundaries
@@ -5636,6 +5650,20 @@ object SparkEntry {
          |  FROM lineitem
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Eval.brierScore: identical 1/(1+v) squash, round-to-1e6
+    // quantization, exact integer squared errors (HUGEINT sum ≡ the
+    // Spark DECIMAL(38,0) sum), one double division.
+    "q_brier" ->
+      """WITH src AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round((1.0::DOUBLE / (1.0::DOUBLE + value)) * 1000000.0::DOUBLE) AS BIGINT) AS s_int,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |)
+        |SELECT day, count(*) AS n,
+        |  CAST(sum((s_int - y * 1000000) * (s_int - y * 1000000)) AS DOUBLE)
+        |    / (1000000000000.0::DOUBLE * CAST(count(*) AS DOUBLE)) AS brier
+        |FROM src GROUP BY day ORDER BY day""".stripMargin,
     // Replays Eval.liftTable: quantile_cont boundaries (interpolation
     // parity proven by q_quantiles), bucket = 10 − #bounds-below, the
     // identical lift/cum-lift double trees.

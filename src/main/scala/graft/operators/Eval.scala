@@ -160,6 +160,40 @@ object Eval {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** Per-group Brier score — mean squared error of a probabilistic
+    * forecast against the binary outcome, the strictly proper scoring
+    * rule that complements ROC-AUC (ranking) and calibration bins
+    * (visual): `brier = Σ(s − y)² / n`, 0 = perfect, 0.25 = the
+    * uninformed 0.5 forecast.
+    *
+    * Exactness: scores quantize to `scale` decimals (validated in
+    * [0, 1] — a stray logit would silently corrupt the mean) and every
+    * squared error `(s_int − y·10^scale)²` accumulates as an exact
+    * DECIMAL(38,0) — order-independent under any partitioning — with ONE
+    * final double division. Map-side combinable; one hash aggregate. */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCols: Seq[String], scale: Int = 6): DataFrame = {
+    require(scale >= 1 && scale <= 9, s"scale must be in [1, 9], got $scale")
+    Guards.requireNoReserved(df.columns, Seq("n", "brier", "__sq"),
+      "brierScore")
+    val pow = math.pow(10, scale).toLong
+    val s0 = round(checkedScore(scoreCol, "brierScore") * lit(pow.toDouble))
+      .cast("long")
+    val sInt = when(s0 < 0L || s0 > pow, raise_error(lit(
+        s"brierScore: $scoreCol must be a probability in [0, 1]")))
+      .otherwise(s0)
+    val d = sInt - checkedLabel(labelCol, "brierScore") * lit(pow)
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n"),
+        sum((d * d).cast("decimal(38,0)")).as("__sq"))
+      .withColumn("brier", col("__sq").cast("double") /
+        (lit(math.pow(10, 2.0 * scale)) * col("n").cast("double")))
+      .drop("__sq")
+  }
+
   /** Lift / gains table over equal-frequency score bins: bucket 1 holds
     * the HIGHEST scores; per bucket the positive rate, lift vs the
     * overall rate, and the cumulative ("target the top k buckets")

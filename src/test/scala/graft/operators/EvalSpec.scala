@@ -126,6 +126,31 @@ class EvalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("brierScore: hand-computed value, perfect and uninformed rails") {
+    val df = Seq((1.0, 1), (0.0, 0), (0.5, 1), (0.75, 0))
+      .toDF("score", "label")
+    val out = Eval.brierScore(df, "score", "label", Nil).head()
+    // errors²: 0, 0, 0.25, 0.5625 → 0.8125 / 4
+    assert(out.getAs[Double]("brier") === 0.203125)
+    assert(out.getAs[Long]("n") === 4L)
+    // perfect forecast → 0; constant 0.5 → 0.25
+    val perfect = Seq((1.0, 1), (0.0, 0)).toDF("score", "label")
+    assert(Eval.brierScore(perfect, "score", "label", Nil)
+      .head().getAs[Double]("brier") === 0.0)
+    val coin = Seq((0.5, 1), (0.5, 0)).toDF("score", "label")
+    assert(Eval.brierScore(coin, "score", "label", Nil)
+      .head().getAs[Double]("brier") === 0.25)
+  }
+
+  test("brierScore: out-of-range score raises") {
+    val df = Seq((1.5, 1)).toDF("score", "label")
+    val e = intercept[Exception] {
+      Eval.brierScore(df, "score", "label", Nil).collect()
+    }
+    assert(e.getMessage.contains("probability in [0, 1]") ||
+      Option(e.getCause).exists(_.getMessage.contains("probability in [0, 1]")))
+  }
+
   test("liftTable: hand-computed two-bucket gains, ties stay whole") {
     // scores 1..10, positives exactly at the top 3 scores → top half has
     // 3/5 positives, bottom half 0/5; overall rate 0.3
