@@ -500,6 +500,16 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_spearman" -> ((s, d) => {
+      // per-supplier Spearman rank correlation of quantity vs price —
+      // the monotone-dependence complement to q_corr_regress; doubled
+      // average ranks keep the whole rank layer exact integers
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Stats.spearman(s.table("lineitem"), Seq("l_suppkey"),
+          "l_quantity", "l_extendedprice", scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_brier" -> ((s, d) => {
       // per-day Brier score of the squashed event score (1/(1+value) —
       // identical double op in both engines before the operator's own
@@ -5650,6 +5660,40 @@ object SparkEntry {
          |  FROM lineitem
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Stats.spearman: doubled average ranks (2·rank + peers − 1,
+    // RANGE CURRENT ROW peers frame), HUGEINT sums ≡ the DECIMAL(38,0)
+    // sums, the identical Pearson closed form with the [−1,1] clamp.
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS xi,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS yi
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT l_suppkey,
+        |    2 * rank() OVER (PARTITION BY l_suppkey ORDER BY xi)
+        |      + count(*) OVER (PARTITION BY l_suppkey ORDER BY xi
+        |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS ra,
+        |    2 * rank() OVER (PARTITION BY l_suppkey ORDER BY yi)
+        |      + count(*) OVER (PARTITION BY l_suppkey ORDER BY yi
+        |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS rb
+        |  FROM base
+        |), g AS (
+        |  SELECT l_suppkey, count(*) AS n,
+        |    sum(ra) AS sa, sum(rb) AS sb, sum(ra*ra) AS saa,
+        |    sum(rb*rb) AS sbb, sum(ra*rb) AS sab
+        |  FROM r GROUP BY l_suppkey
+        |)
+        |SELECT l_suppkey, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+        |  THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+        |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
+        |  END AS spearman
+        |FROM g ORDER BY l_suppkey""".stripMargin,
     // Replays Eval.brierScore: identical 1/(1+v) squash, round-to-1e6
     // quantization, exact integer squared errors (HUGEINT sum ≡ the
     // Spark DECIMAL(38,0) sum), one double division.

@@ -207,6 +207,61 @@ object Stats {
           (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))).as("df_welch")): _*)
   }
 
+  /** Per-group Spearman rank correlation — Pearson over DOUBLED average
+    * ranks, which makes the whole rank layer exact integers: a tie
+    * group's average rank is `rank + (peers − 1)/2`, so
+    * `2·avg = 2·rank + peers − 1` needs no fractions. Robust (monotone-
+    * invariant) dependence, the complement to [[corrRegression]]'s
+    * linear Pearson.
+    *
+    * Exactness discipline: values quantize to `scale` decimals before
+    * ranking (ties are then engine-identical), rank sums accumulate as
+    * DECIMAL(38,0) (order-independent at any size), and the closed form
+    * runs once in doubles with the corrBeta clamp. NULL pairs are
+    * excluded up front. Plan: one hash exchange on the group key; the
+    * two rank layers are two sorts over that one exchange (rank and its
+    * peers count share each sort via a RANGE CURRENT ROW frame); the
+    * final aggregate is map-side combinable.
+    * Emits (groupCols…, `n`, `spearman`). */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String, scale: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "spearman needs at least one group column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "spearman", "__xi", "__yi", "__ra", "__rb"), "Stats.spearman")
+    import org.apache.spark.sql.expressions.Window
+    val xi = round(col(xCol).cast("double") * lit(math.pow(10, scale))).cast("long")
+    val yi = round(col(yCol).cast("double") * lit(math.pow(10, scale))).cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ xi.as("__xi") :+ yi.as("__yi")): _*)
+      .filter(col("__xi").isNotNull && col("__yi").isNotNull)
+    val wx = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__xi"))
+    val wy = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__yi"))
+    def rank2(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      lit(2L) * rank().over(w).cast("long") +
+        count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow))
+          .cast("long") - lit(1L)
+    val ranked = base
+      .withColumn("__ra", rank2(wx))
+      .withColumn("__rb", rank2(wy))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val sums = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        dec(col("__ra")).as("__sa"), dec(col("__rb")).as("__sb"),
+        dec(col("__ra") * col("__ra")).as("__saa"),
+        dec(col("__rb") * col("__rb")).as("__sbb"),
+        dec(col("__ra") * col("__rb")).as("__sab"))
+    val nD = col("n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val num = nD * d("__sab") - d("__sa") * d("__sb")
+    val dx = nD * d("__saa") - d("__sa") * d("__sa")
+    val dy = nD * d("__sbb") - d("__sb") * d("__sb")
+    sums.withColumn("spearman",
+        when(dx > 0.0 && dy > 0.0,
+          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))))
+      .drop("__sa", "__sb", "__saa", "__sbb", "__sab")
+  }
+
   /** Exact grouped weighted median (lower-median convention): the
     * smallest value whose cumulative weight reaches half the group's
     * total — the importance-weighted center for corpus statistics where

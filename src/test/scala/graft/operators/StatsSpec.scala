@@ -204,6 +204,28 @@ class StatsSpec extends AnyFunSuite {
       .getAs[Double]("gini") === 0.0)
   }
 
+  test("spearman: monotone ±1, textbook tie case, flat NULL") {
+    // any strictly monotone map → +1 / −1 regardless of nonlinearity
+    val mono = (1 to 8).map(i => ("g", i.toDouble, math.exp(i.toDouble)))
+      .toDF("g", "x", "y")
+    assert(Stats.spearman(mono, Seq("g"), "x", "y").head()
+      .getAs[Double]("spearman") === 1.0)
+    val anti = (1 to 8).map(i => ("g", i.toDouble, -math.pow(i.toDouble, 3)))
+      .toDF("g", "x", "y")
+    assert(Stats.spearman(anti, Seq("g"), "x", "y").head()
+      .getAs[Double]("spearman") === -1.0)
+    // tie case by hand: x=(1,2,2,3) → ranks (1, 2.5, 2.5, 4);
+    // y=(1,3,2,4) → ranks (1,3,2,4); Pearson = 4.5/√22.5 = √0.9
+    val tied = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 2.0, 2.0),
+      ("g", 3.0, 4.0)).toDF("g", "x", "y")
+    val r = Stats.spearman(tied, Seq("g"), "x", "y").head()
+      .getAs[Double]("spearman")
+    assert(math.abs(r - math.sqrt(0.9)) < 1e-12, s"got $r")
+    // constant series → undefined → NULL
+    val flat = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Stats.spearman(flat, Seq("g"), "x", "y").head().isNullAt(2))
+  }
+
   test("gini: negative value raises") {
     val df = Seq(("g", 1, -1.0), ("g", 2, 3.0)).toDF("g", "i", "v")
     val e = intercept[Exception] {
