@@ -500,6 +500,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_lexical_diversity" -> ((s, d) => {
+      // per-document type-token ratio + hapax share — the vocabulary-
+      // richness screen; exact integer counts, two divisions
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.TextOps.lexicalDiversity(s.table("documents"), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_spearman" -> ((s, d) => {
       // per-supplier Spearman rank correlation of quantity vs price —
       // the monotone-dependence complement to q_corr_regress; doubled
@@ -5660,6 +5669,27 @@ object SparkEntry {
          |  FROM lineitem
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays TextOps.lexicalDiversity off the shared tokenizer CTE:
+    // (doc, token) counts → per-doc rollup → left join keeps empty docs.
+    "q_lexical_diversity" ->
+      s"""WITH $duckToks,
+         |tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_types, 0) AS n_types,
+         |  coalesce(a.n_hapax, 0) AS n_hapax,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+         |    CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END AS ttr,
+         |  CASE WHEN coalesce(a.n_types, 0) > 0 THEN
+         |    CAST(a.n_hapax AS DOUBLE) / CAST(a.n_types AS DOUBLE) END AS hapax_share
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // Replays Stats.spearman: doubled average ranks (2·rank + peers − 1,
     // RANGE CURRENT ROW peers frame), HUGEINT sums ≡ the DECIMAL(38,0)
     // sums, the identical Pearson closed form with the [−1,1] clamp.

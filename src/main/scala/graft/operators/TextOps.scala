@@ -786,6 +786,36 @@ object TextOps {
     * composition re-ran the split regex over the full text 7× per row,
     * which dominated the operator's cost. Expression trees (and therefore
     * results) are unchanged. */
+  /** Per-document lexical diversity: token/type counts, type-token
+    * ratio, and hapax-legomena share — the vocabulary-richness quality
+    * screen ([[textStats]]'s companion): template spam scores LOW TTR
+    * (few types, many repeats), OCR noise and mojibake score HIGH hapax
+    * share (every garble is unique). Exact integer counts, two final
+    * divisions.
+    *
+    * Shape: one explode feeding two map-side-combinable hash aggregates
+    * ((doc, token) counts → per-doc rollup), then a left join back so
+    * empty documents keep a row (0 counts, NULL ratios) — per-doc state
+    * never exceeds the doc's distinct-token count. */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tokCounts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val agg = tokCounts.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("ttr", when(col("n_tokens") > 0L,
+        col("n_types").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("hapax_share", when(col("n_types") > 0L,
+        col("n_hapax").cast("double") / col("n_types").cast("double")))
+  }
+
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pre = df.select(col(idCol), col(textCol).as("__t"), tokens(col(textCol)).as("__toks"))
     val t = col("__t")

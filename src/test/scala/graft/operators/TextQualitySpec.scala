@@ -370,4 +370,24 @@ class TextQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(a === b)
   }
+
+  test("lexicalDiversity: hand counts, template-vs-prose signal, empty doc") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),        // 6 tokens, 5 types, hapax 4
+      (2L, "spam spam spam spam"),           // 4 tokens, 1 type, hapax 0
+      (3L, "")                               // empty → zeros, NULL ratios
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_tokens") === 6L && d1.getAs[Long]("n_types") === 5L)
+    assert(d1.getAs[Long]("n_hapax") === 4L) // cat sat on mat; 'the' repeats
+    assert(d1.getAs[Double]("ttr") === 5.0 / 6.0)
+    assert(d1.getAs[Double]("hapax_share") === 0.8)
+    val d2 = out(1)
+    assert(d2.getAs[Double]("ttr") === 0.25 && d2.getAs[Double]("hapax_share") === 0.0)
+    assert(d2.getAs[Double]("ttr") < d1.getAs[Double]("ttr")) // spam scores lower
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_tokens") === 0L && d3.isNullAt(d3.fieldIndex("ttr")))
+  }
 }
