@@ -500,6 +500,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("dd_duration"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_twap" -> ((s, d) => {
+      // per-(user, day) time-weighted average of the event score — each
+      // tick's value weighted by its exact nanosecond holding time until
+      // the next tick (last tick holds to the day boundary)
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Bars.twap(readEventsNanos(s, d), "value", "ts",
+          Seq("user_id"), Seq("ts", "event_id"),
+          bucketNanos = 86400000000000L, priceScale = 2)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
     "q_lexical_diversity" -> ((s, d) => {
       // per-document type-token ratio + hapax share — the vocabulary-
       // richness screen; exact integer counts, two divisions
@@ -5669,6 +5680,26 @@ object SparkEntry {
          |  FROM lineitem
          |)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Replays Bars.twap: identical lead/boundary Δt in exact nanos,
+    // HUGEINT p·Δt sums ≡ the DECIMAL(38,0) sums, one double division.
+    "q_twap" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS pi
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, tsn // 86400000000000 AS bucket, pi,
+        |    coalesce(lead(tsn, 1) OVER (PARTITION BY user_id, tsn // 86400000000000
+        |        ORDER BY tsn, event_id),
+        |      (tsn // 86400000000000 + 1) * 86400000000000) - tsn AS dt
+        |  FROM src
+        |)
+        |SELECT user_id, bucket, count(*) AS n_ticks,
+        |  CASE WHEN sum(dt) > 0 THEN
+        |    CAST(sum(pi * dt) AS DOUBLE) / (100.0::DOUBLE * CAST(sum(dt) AS DOUBLE))
+        |  END AS twap
+        |FROM d GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin,
     // Replays TextOps.lexicalDiversity off the shared tokenizer CTE:
     // (doc, token) counts → per-doc rollup → left join keeps empty docs.
     "q_lexical_diversity" ->

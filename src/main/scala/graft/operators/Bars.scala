@@ -56,4 +56,54 @@ object Bars {
         (sum(vInt).cast("double") / lit(math.pow(10, volScale))).as("volume"),
         count(lit(1)).as("n_ticks"))
   }
+
+  /** Per-(key, bucket) TWAP — time-weighted average price, the execution
+    * benchmark that weights each tick's price by how long it REMAINED the
+    * last price: `Σ pᵢ·Δtᵢ / ΣΔtᵢ` with `Δtᵢ = tsᵢ₊₁ − tsᵢ` (the final
+    * tick holds until the bucket's end boundary). The clock before a
+    * bucket's FIRST tick carries no price and is excluded — so a bucket's
+    * weights sum to `bucket_end − first_ts`, never a full bucket of
+    * phantom weight.
+    *
+    * Exactness: prices quantize to `priceScale` decimals, Δt is an exact
+    * nanosecond long, and every `p·Δt` accumulates as DECIMAL(38,0) —
+    * order-independent — with one final double division. Plan: one keyed
+    * sort for the `lead` (ts must be a total order per key under
+    * `orderCols` — include a unique id for tie-safety) and one hash
+    * aggregate on (key, bucket); the lead window and the aggregate share
+    * the key exchange. `tsCol` must be integral nanos
+    * ([[graft.sources.Events.readNanos]] longs).
+    * Emits (keyCols…, `bucket`, `n_ticks`, `twap`). */
+  def twap(df: DataFrame, valueCol: String, tsCol: String,
+           keyCols: Seq[String], orderCols: Seq[String],
+           bucketNanos: Long, priceScale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "twap needs at least one key column")
+    require(orderCols.nonEmpty, "orderCols must define the tick order")
+    require(bucketNanos >= 1L, s"bucketNanos must be >= 1, got $bucketNanos")
+    require(priceScale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("bucket", "n_ticks", "twap", "__ts", "__dt", "__pi"), "Bars.twap")
+    val ts = col(tsCol).cast("long")
+    val pInt = round(col(valueCol).cast("double") * lit(math.pow(10, priceScale)))
+      .cast("long")
+    val withDt = df
+      .withColumn("__ts", ts)
+      // integer DIV on the internal name only (no caller identifiers in expr)
+      .withColumn("bucket", expr(s"__ts DIV $bucketNanos"))
+      .withColumn("__dt",
+        coalesce(lead(col("__ts"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy((keyCols.map(col) :+ col("bucket")): _*)
+              .orderBy(orderCols.map(col): _*)),
+          (col("bucket") + lit(1L)) * lit(bucketNanos)) - col("__ts"))
+      .withColumn("__pi", pInt)
+    withDt.groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n_ticks"),
+        sum((col("__pi") * col("__dt")).cast("decimal(38,0)")).as("__num"),
+        sum(col("__dt").cast("decimal(38,0)")).as("__den"))
+      .withColumn("twap", when(col("__den") > lit(0),
+        col("__num").cast("double") /
+          (lit(math.pow(10, priceScale)) * col("__den").cast("double"))))
+      .drop("__num", "__den")
+  }
 }

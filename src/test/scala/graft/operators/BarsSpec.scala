@@ -68,4 +68,26 @@ class BarsSpec extends AnyFunSuite {
         Seq("sym"), "day", Seq("seq"))
     }
   }
+
+  test("twap: hand-computed holding times incl. the bucket boundary") {
+    import spark.implicits._
+    // bucket width 100: ticks at ts 10 (p=1) and 60 (p=3) → Δt 50 and 40
+    // (last tick holds to the boundary at 100); no phantom weight before
+    // the first tick → twap = (1·50 + 3·40)/90
+    val df = Seq(
+      ("u", 10L, 0L, 1.0), ("u", 60L, 1L, 3.0),  // bucket 0
+      ("u", 250L, 2L, 5.0),                      // bucket 2, single tick
+      ("w", 120L, 3L, 2.0)                       // other key
+    ).toDF("k", "t", "id", "p")
+    val out = Bars.twap(df, "p", "t", Seq("k"), Seq("t", "id"),
+        bucketNanos = 100L, priceScale = 0)
+      .orderBy("k", "bucket").collect()
+    assert(out.length === 3)
+    val b0 = out(0)
+    assert(b0.getAs[Long]("bucket") === 0L && b0.getAs[Long]("n_ticks") === 2L)
+    assert(b0.getAs[Double]("twap") === 170.0 / 90.0)
+    // single tick: holds from its own ts to the boundary → twap = its price
+    assert(out(1).getAs[Double]("twap") === 5.0)
+    assert(out(2).getAs[Double]("twap") === 2.0)
+  }
 }
