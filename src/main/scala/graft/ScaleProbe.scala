@@ -48,7 +48,9 @@ object ScaleProbe {
     // join), the 3-recurrence MACD window pass, and an events-family
     // probe (keyed session windows over the unit-normalized stream)
     "q_sorted_neighborhood", "q_k_anonymity", "q_macd_full",
-    "q_sessionize")
+    "q_sessionize",
+    // late-round-8: the double-rank-sort Spearman and the lead+agg TWAP
+    "q_spearman", "q_twap")
 
   private case class Shift(col: String, offset: Long)
 
