@@ -178,11 +178,22 @@ object ScaleProbe {
         (name, t1, t10, exp)
       }
     }
-    val json = rows.map { case (n, t1, t10, e) =>
-      f""""$n":{"t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$e%.2f}"""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("scaleprobe.json"),
-      json.getBytes("UTF-8"))
+    // MERGE into any existing results: a GRAFT_PROBE_ONLY run must not
+    // clobber the full sweep's entries (one flat k:v JSON level — a
+    // regex merge keeps this dependency-free)
+    val outPath = java.nio.file.Paths.get("scaleprobe.json")
+    val prior: Map[String, String] =
+      if (java.nio.file.Files.exists(outPath)) {
+        val txt = java.nio.file.Files.readString(outPath)
+        """"(q_[a-z0-9_]+)":(\{[^}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    val fresh = rows.map { case (n, t1, t10, e) =>
+      n -> f"""{"t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$e%.2f}"""
+    }.toMap
+    val json = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }
