@@ -260,6 +260,17 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_cmf" -> ((s, d) => {
+      // Chaikin Money Flow over the daily bars: signed money-flow volume
+      // vs total volume on a trailing 20-bar frame — both sums are
+      // in-order frame-list folds, never a windowed float sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.cmf(dailyBars(s), "high", "low", "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
+        .select(col("l_suppkey"), col("l_shipdate"), col("cmf"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_event_study" -> ((s, d) => {
       // event study: mean forward return 1-3 bars after down days vs the
       // all-bars baseline — exact scaled-BIGINT sums on 10-dp returns
@@ -5049,6 +5060,31 @@ object SparkEntry {
     // Replays Rolling.atr over the bars: TR = greatest(h−l, |h−prevC|,
     // |l−prevC|) (h−l on each partition's first bar), trailing-14 mean.
     // Integer-valued bars → the window sum is exact in any order.
+    // Replays Rolling.cmf: per-bar mfm tree, then BOTH frame sums as
+    // first-element-seeded list folds (≡ Spark's 0.0-seeded aggregate —
+    // 0.0 + x == x), zero-volume and unfilled frames → NULL.
+    "q_cmf" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, volume,
+         |    (CASE WHEN high <> low
+         |          THEN ((close - low) - (high - close)) / (high - low)
+         |          ELSE 0.0::DOUBLE END) * volume AS mfv
+         |  FROM bars
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(mfv) OVER wn = 20 THEN list(mfv) OVER wn END AS ml,
+         |    CASE WHEN count(mfv) OVER wn = 20 THEN list(volume) OVER wn END AS vl
+         |  FROM m
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN list_reduce(vl, (a, b) -> a + b) <> 0.0::DOUBLE
+         |       THEN list_reduce(ml, (a, b) -> a + b)
+         |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
     "q_atr" ->
       s"""WITH bars AS (
          |$duckBarsSql

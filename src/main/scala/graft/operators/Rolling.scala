@@ -490,6 +490,48 @@ object Rolling {
       .drop("__tp", "__tps", "__smatp", "__md")
   }
 
+  /** Chaikin Money Flow (public formula, Chaikin): `CMF_n =
+    * Σₙ mfv / Σₙ vol` where `mfv = mfm·vol` and the money-flow
+    * multiplier `mfm = ((close−low) − (high−close)) / (high−low)` — the
+    * buying-vs-selling-pressure oscillator in [−1, 1]. A flat bar
+    * (high = low) has no range to locate the close in: its `mfm` is 0
+    * by the standard convention (contributes volume, no signed flow).
+    *
+    * Determinism — the [[cci]] discipline: `mfv` is per-row IEEE (one
+    * fixed tree), and BOTH frame sums are in-order left folds over the
+    * collected frame list, never a windowed float sum (Spark's sliding
+    * sum associates differently than a fresh per-frame fold). Volumes
+    * fold as doubles in the same list order, so the oracle replays both
+    * folds verbatim. NULL until the frame fills or on zero total
+    * volume. One keyed Window pass. Adds `cmf`. */
+  def cmf(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          volCol: String, partCols: Seq[String], orderCols: Seq[String],
+          n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("cmf", "__mfv", "__vd", "__pairs"), "Rolling.cmf")
+    val w = frame(partCols, orderCols, n)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    val vd = col(volCol).cast("double")
+    def fold(lst: org.apache.spark.sql.Column,
+             term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
+    val mfm = when(h =!= l, ((c - l) - (h - c)) / (h - l)).otherwise(lit(0.0))
+    df.withColumn("__mfv", mfm * vd)
+      .withColumn("__vd", vd)
+      .withColumn("__pairs",
+        when(count(col("__mfv")).over(w) === n,
+          collect_list(struct(col("__mfv"), col("__vd"))).over(w)))
+      .withColumn("cmf", {
+        val num = fold(col("__pairs"), p => p.getField("__mfv"))
+        val den = fold(col("__pairs"), p => p.getField("__vd"))
+        when(den =!= lit(0.0), num / den)
+      })
+      .drop("__mfv", "__vd", "__pairs")
+  }
+
   /** Ichimoku Kinko Hyo base lines (public formula): conversion
     * (Tenkan, (max+min)/2 over `pConv` bars), base (Kijun, over
     * `pBase`), leading span A ((Tenkan+Kijun)/2 shifted `pBase`

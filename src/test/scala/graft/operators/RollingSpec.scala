@@ -206,6 +206,24 @@ class RollingSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("roll_autocorr")))
   }
 
+  test("cmf: hand value, flat-bar convention, bounds") {
+    // n=2 frame: bars (h,l,c,v): (10,0,10,2) mfm=1; (10,0,0,3) mfm=-1;
+    // (10,10,10,5) flat → mfm=0
+    val df = Seq(
+      ("s", 1, 10.0, 0.0, 10.0, 2.0), ("s", 2, 10.0, 0.0, 0.0, 3.0),
+      ("s", 3, 10.0, 10.0, 10.0, 5.0)
+    ).toDF("sym", "i", "h", "l", "c", "v")
+    val out = Rolling.cmf(df, "h", "l", "c", "v", Seq("sym"), Seq("i"), n = 2)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("cmf"))) // frame not full
+    // rows 1-2: (1·2 + (−1)·3)/(2+3) = −0.2
+    assert(out(1).getAs[Double]("cmf") === -0.2)
+    // rows 2-3: ((−1)·3 + 0·5)/(3+5) = −0.375; CMF stays in [−1, 1]
+    assert(out(2).getAs[Double]("cmf") === -0.375)
+    assert(out.flatMap(r => Option(r.getAs[java.lang.Double]("cmf")))
+      .forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("drawdownDuration: hand trace with re-touch recovery") {
     // series 10, 8, 9, 10, 7, 6, 11:
     //   peaks at rows 0 (10), 3 (re-touch of 10), 6 (new high 11)
