@@ -260,6 +260,27 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_elder_ray" -> ((s, d) => {
+      // Elder Ray bull/bear power over the daily bars — the native EMA
+      // recurrence bound once, extremes measured against it
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.elderRay(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 13)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("bull_power"), col("bear_power"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_force_index" -> ((s, d) => {
+      // Force Index: volume-weighted close change through the native
+      // EMA; the frozen-NULL contract absorbs each key's first row
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.forceIndex(dailyBars(s), "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 13)
+        .select(col("l_suppkey"), col("l_shipdate"), col("force_index"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_cmf" -> ((s, d) => {
       // Chaikin Money Flow over the daily bars: signed money-flow volume
       // vs total volume on a trailing 20-bar frame — both sums are
@@ -5060,6 +5081,44 @@ object SparkEntry {
     // Replays Rolling.atr over the bars: TR = greatest(h−l, |h−prevC|,
     // |l−prevC|) (h−l on each partition's first bar), trailing-14 mean.
     // Integer-valued bars → the window sum is exact in any order.
+    // Replays Rolling.elderRay: the q_ema prefix-list fold over bar
+    // closes, extremes differenced against it.
+    "q_elder_ray" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, high, low, ${duckEma("cs", 13)} AS em
+         |  FROM (SELECT l_suppkey, l_shipdate, high, low,
+         |          list(close) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |        FROM bars) e
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  high - em AS bull_power, low - em AS bear_power
+         |FROM m ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Replays Rolling.forceIndex: frozen-NULL EMA ≡ fold over the
+    // null-filtered prefix (the q_indicators_nulls identity); only each
+    // key's first row is NULL here.
+    "q_force_index" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    (close - lag(close, 1) OVER ws) * volume AS raw
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate, raw,
+         |    list_filter(list(raw) OVER wn, v -> v IS NOT NULL) AS nn
+         |  FROM r WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN raw IS NOT NULL AND len(nn) > 0
+         |       THEN list_reduce(nn, (acc, x) ->
+         |         (2.0::DOUBLE/14.0::DOUBLE)*x
+         |           + (1.0::DOUBLE - 2.0::DOUBLE/14.0::DOUBLE)*acc)
+         |  END AS force_index
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.cmf: per-bar mfm tree, then BOTH frame sums as
     // first-element-seeded list folds (≡ Spark's 0.0-seeded aggregate —
     // 0.0 + x == x), zero-volume and unfilled frames → NULL.

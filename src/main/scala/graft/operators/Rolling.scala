@@ -701,6 +701,52 @@ object Rolling {
         (col("kc_mid") - lit(k) * col("atr")).as("kc_lower"))
   }
 
+  /** Elder Ray bull/bear power (public formula, Elder 1993): `bull =
+    * high − EMA(close, n)`, `bear = low − EMA(close, n)` — how far the
+    * bar's extremes push above/below the trend consensus. Composes the
+    * NATIVE EMA recurrence (registry required, the [[keltner]]
+    * precedent); the EMA binds ONCE in its own projection so the
+    * recurrence isn't evaluated twice. One keyed pass; EMA runs from
+    * each key's first row (first-value seed). Adds `bull_power`,
+    * `bear_power`. */
+  def elderRay(df: DataFrame, highCol: String, lowCol: String,
+               closeCol: String, partCols: Seq[String],
+               orderCols: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("bull_power", "bear_power", "__er_ema"), "Rolling.elderRay")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__er_ema", graft.functions.FinancialFunctions
+        .ema(col(closeCol).cast("double"), n).over(seqW))
+      .withColumn("bull_power", col(highCol).cast("double") - col("__er_ema"))
+      .withColumn("bear_power", col(lowCol).cast("double") - col("__er_ema"))
+      .drop("__er_ema")
+  }
+
+  /** Force Index (public formula, Elder 1993): `EMA((close − prev
+    * close)·volume, n)` — price change weighted by the volume behind it.
+    * Each key's FIRST row has no previous close, so the raw force is
+    * NULL there and the native EMA's frozen-NULL contract handles it
+    * exactly: the first row emits NULL and the recurrence seeds on the
+    * first REAL force value. One keyed pass (the lag and the EMA share
+    * the sort). Adds `force_index`. */
+  def forceIndex(df: DataFrame, closeCol: String, volCol: String,
+                 partCols: Seq[String], orderCols: Seq[String],
+                 n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("force_index", "__fi_raw"), "Rolling.forceIndex")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val c = col(closeCol).cast("double")
+    df.withColumn("__fi_raw",
+        (c - lag(c, 1).over(seqW)) * col(volCol).cast("double"))
+      .withColumn("force_index", graft.functions.FinancialFunctions
+        .ema(col("__fi_raw"), n).over(seqW))
+      .drop("__fi_raw")
+  }
+
   /** Trailing-n Pearson correlation AND OLS slope (beta) between two
     * series in one window pass — the pair-trading / hedging primitive.
     * NULL until the frame fills or while either series is degenerate

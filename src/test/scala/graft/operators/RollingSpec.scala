@@ -206,6 +206,23 @@ class RollingSpec extends AnyFunSuite {
     assert(out.isNullAt(out.fieldIndex("roll_autocorr")))
   }
 
+  test("elderRay: powers measure extremes against the EMA; forceIndex seeds on row 2") {
+    graft.functions.FinancialFunctions.registerAll(spark)
+    // closes 10, 12; EMA(1) == close itself → bull = h − c, bear = l − c
+    val df = Seq(("s", 1, 11.0, 9.0, 10.0, 5.0), ("s", 2, 13.0, 11.5, 12.0, 4.0))
+      .toDF("sym", "i", "h", "l", "c", "v")
+    val er = Rolling.elderRay(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 1)
+      .orderBy("i").collect()
+    assert(er(0).getAs[Double]("bull_power") === 1.0)
+    assert(er(0).getAs[Double]("bear_power") === -1.0)
+    assert(er(1).getAs[Double]("bull_power") === 1.0)
+    // force index: row 1 NULL (no prev close), row 2 seeds on (12−10)·4
+    val fi = Rolling.forceIndex(df, "c", "v", Seq("sym"), Seq("i"), n = 13)
+      .orderBy("i").collect()
+    assert(fi(0).isNullAt(fi(0).fieldIndex("force_index")))
+    assert(fi(1).getAs[Double]("force_index") === 8.0)
+  }
+
   test("cmf: hand value, flat-bar convention, bounds") {
     // n=2 frame: bars (h,l,c,v): (10,0,10,2) mfm=1; (10,0,0,3) mfm=-1;
     // (10,10,10,5) flat → mfm=0
