@@ -260,6 +260,25 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_stream_vol" -> ((s, d) => {
+      // the StreamingVol transformWithState processor in BATCH mode
+      // (the q_stream_indicators pattern): per-user EWMA variance of the
+      // event score, oracle-replayed by the pure recurrence — a
+      // driver-graded batch/streaming parity proof
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.VolEvent]
+      graft.streaming.StreamingVol.ewmVolBatch(ev, lambdaPm = 940).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("ewmVar").as("ewm_var"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_elder_ray" -> ((s, d) => {
       // Elder Ray bull/bear power over the daily bars — the native EMA
       // recurrence bound once, extremes measured against it
@@ -5081,6 +5100,26 @@ object SparkEntry {
     // Replays Rolling.atr over the bars: TR = greatest(h−l, |h−prevC|,
     // |l−prevC|) (h−l on each partition's first bar), trailing-14 mean.
     // Integer-valued bars → the window sum is exact in any order.
+    // Replays StreamingVol's recurrence from scratch: x² transform, then
+    // the first-element-seeded λ-fold over the (ts_us, event_id) order —
+    // the exact batch twin the processor is asserted against in spec.
+    "q_stream_vol" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    epoch_ns(ts) // 1000 AS ts_us, value, event_id
+        |  FROM events
+        |), f AS (
+        |  SELECT key, ts_us, value,
+        |    list_reduce(
+        |      list_transform(list(value) OVER w, v -> v * v),
+        |      (acc, cur) -> (940.0::DOUBLE/1000.0::DOUBLE)*acc
+        |        + (1.0::DOUBLE - 940.0::DOUBLE/1000.0::DOUBLE)*cur) AS ewm_var
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY key ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT key, ts_us, value, ewm_var
+        |FROM f ORDER BY key, ts_us, value""".stripMargin,
     // Replays Rolling.elderRay: the q_ema prefix-list fold over bar
     // closes, extremes differenced against it.
     "q_elder_ray" ->

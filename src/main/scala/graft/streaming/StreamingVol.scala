@@ -48,6 +48,36 @@ object StreamingVol {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Batch replay through the IDENTICAL per-key fold ([[scorePath]] is
+    * shared with the streaming processor) via `flatMapGroups` — no state
+    * store needed, so it runs in any plain batch session (the oracle
+    * gate's entry point; `transformWithState`'s batch mode needs the
+    * streaming state-store coordinator a batch session doesn't have). */
+  def ewmVolBatch(events: Dataset[VolEvent], lambdaPm: Int): Dataset[VolPoint] = {
+    require(lambdaPm >= 1 && lambdaPm < 1000,
+      s"lambda_pm must be in [1, 999], got $lambdaPm")
+    val lam = lambdaPm / 1000.0
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key).flatMapGroups { (key, rows) =>
+      scorePath(key, rows, lam, VolState(0.0, seeded = false))._2.iterator
+    }
+  }
+
+  /** The one shared fold: score `rows` (sorted by the (ts, seq) contract)
+    * from `st0`, returning the final state and the scored points. */
+  private def scorePath(key: String, rows: Iterator[VolEvent], lam: Double,
+                        st0: VolState): (VolState, Seq[VolPoint]) = {
+    var st = st0
+    val out = rows.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.seq, e.value)).map { e =>
+        val xx = e.value * e.value
+        val cov = if (!st.seeded) xx else lam * st.cov + (1.0 - lam) * xx
+        st = VolState(cov, seeded = true)
+        VolPoint(key, e.ts, e.value, cov, math.sqrt(cov))
+      }
+    (st, out)
+  }
+
   private[streaming] class VolProcessor(lambdaPm: Int)
       extends StatefulProcessor[String, VolEvent, VolPoint] {
     @transient private var state: ValueState[VolState] = _
@@ -59,15 +89,9 @@ object StreamingVol {
 
     override def handleInputRows(key: String, rows: Iterator[VolEvent],
                                  timerValues: TimerValues): Iterator[VolPoint] = {
-      var st = if (state.exists()) state.get() else VolState(0.0, seeded = false)
-      val out = rows.toSeq
-        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.seq, e.value)).map { e =>
-          val xx = e.value * e.value
-          val cov = if (!st.seeded) xx else lam * st.cov + (1.0 - lam) * xx
-          st = VolState(cov, seeded = true)
-          VolPoint(key, e.ts, e.value, cov, math.sqrt(cov))
-        }
-      state.update(st)
+      val st = if (state.exists()) state.get() else VolState(0.0, seeded = false)
+      val (st1, out) = scorePath(key, rows, lam, st)
+      state.update(st1)
       out.iterator
     }
   }
