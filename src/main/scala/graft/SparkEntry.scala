@@ -248,6 +248,58 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_vortex" -> ((s, d) => {
+      // Vortex VI+/VI− over daily bars (n=14): directional movement over
+      // range, scaled-BIGINT sums, one IEEE division per line
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.vortex(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("vi_plus"), col("vi_minus"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_cmo" -> ((s, d) => {
+      // Chande momentum oscillator over daily closes (n=14): RSI's
+      // unsmoothed cousin, exact BIGINT up/down sums
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.cmo(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("cmo"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_ultimate" -> ((s, d) => {
+      // Ultimate oscillator (7/14/28 blend) over daily bars — three
+      // frames, one exchange, 4:2:1 fixed blend tree
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.ultimateOscillator(dailyBars(s), "high", "low",
+          "close", Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("ultimate"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_dpo" -> ((s, d) => {
+      // Detrended price oscillator (n=20, displacement 11) over daily
+      // closes — cycle isolation via the displaced trailing mean
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.dpo(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
+        .select(col("l_suppkey"), col("l_shipdate"), col("dpo"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_pivot_points" -> ((s, d) => {
+      // classic floor-trader pivot ladder from the prior daily bar —
+      // five fixed IEEE trees over three lags, no frames
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.pivotPoints(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("pp"), col("r1"), col("s1"), col("r2"), col("s2"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_atr" -> ((s, d) => {
       // Wilder's average true range (SMA form) over the daily bars the
       // resampler produces — the bar-level volatility companion to the
@@ -5183,6 +5235,132 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Vortex replay: same NULL-gated VM/TR terms (first bar of each key
+    // contributes nothing), BIGINT sums over the 14-bar frame, one
+    // division per line. Bars are integer-valued so round() is exact.
+    "q_vortex" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(low, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(abs(high - lag(low, 1) OVER ws)) AS BIGINT) END AS vmp,
+         |    CASE WHEN lag(high, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(abs(low - lag(high, 1) OVER ws)) AS BIGINT) END AS vmm,
+         |    CASE WHEN lag(close, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(greatest(high, lag(close, 1) OVER ws)
+         |                      - least(low, lag(close, 1) OVER ws)) AS BIGINT) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(tr) OVER wn = 14 AND sum(tr) OVER wn <> 0
+         |    THEN CAST(sum(vmp) OVER wn AS DOUBLE) / CAST(sum(tr) OVER wn AS DOUBLE) END AS vi_plus,
+         |  CASE WHEN count(tr) OVER wn = 14 AND sum(tr) OVER wn <> 0
+         |    THEN CAST(sum(vmm) OVER wn AS DOUBLE) / CAST(sum(tr) OVER wn AS DOUBLE) END AS vi_minus
+         |FROM t
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // CMO replay: NULL-gated one-bar moves (greatest(NULL, 0) must NOT
+    // become 0 — the Spark-side lesson baked into Rolling.cmo), BIGINT
+    // up/down sums, one fixed tree.
+    "q_cmo" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(greatest(close - lag(close, 1) OVER ws, 0.0::DOUBLE)) AS BIGINT) END AS up,
+         |    CASE WHEN lag(close, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(greatest(lag(close, 1) OVER ws - close, 0.0::DOUBLE)) AS BIGINT) END AS dn
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(up) OVER wn = 14
+         |        AND (sum(up) OVER wn + sum(dn) OVER wn) <> 0
+         |    THEN 100.0::DOUBLE * CAST(sum(up) OVER wn - sum(dn) OVER wn AS DOUBLE)
+         |         / CAST(sum(up) OVER wn + sum(dn) OVER wn AS DOUBLE) END AS cmo
+         |FROM t
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Ultimate-oscillator replay: BP/TR BIGINT sums over the 7/14/28
+    // frames, three divisions into the left-associated 4:2:1 blend —
+    // the same fixed IEEE tree as Rolling.ultimateOscillator.
+    "q_ultimate" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(close - least(low, lag(close, 1) OVER ws)) AS BIGINT) END AS bp,
+         |    CASE WHEN lag(close, 1) OVER ws IS NOT NULL
+         |      THEN CAST(round(greatest(high, lag(close, 1) OVER ws)
+         |                      - least(low, lag(close, 1) OVER ws)) AS BIGINT) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(tr) OVER w28 = 28 AND sum(tr) OVER w7 <> 0
+         |        AND sum(tr) OVER w14 <> 0 AND sum(tr) OVER w28 <> 0
+         |    THEN 100.0::DOUBLE * (
+         |        4.0::DOUBLE * (CAST(sum(bp) OVER w7 AS DOUBLE) / CAST(sum(tr) OVER w7 AS DOUBLE))
+         |      + 2.0::DOUBLE * (CAST(sum(bp) OVER w14 AS DOUBLE) / CAST(sum(tr) OVER w14 AS DOUBLE))
+         |      + (CAST(sum(bp) OVER w28 AS DOUBLE) / CAST(sum(tr) OVER w28 AS DOUBLE))
+         |      ) / 7.0::DOUBLE END AS ultimate
+         |FROM t
+         |WINDOW w7 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |  w14 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         |  w28 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // DPO replay: exact BIGINT-summed SMA20 (one division), displaced by
+    // n/2+1 = 11, subtracted from the raw close.
+    "q_dpo" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    CASE WHEN count(close) OVER wn = 20
+         |      THEN CAST(sum(CAST(round(close) AS BIGINT)) OVER wn AS DOUBLE)
+         |           / 20.0::DOUBLE END AS sma
+         |  FROM bars
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  close - lag(sma, 11) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS dpo
+         |FROM t
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Pivot-point replay: the pivot is computed once in a subquery and
+    // reused — the VALUE is identical to Spark's inlined tree, and each
+    // ladder line is the same single-op IEEE expression.
+    "q_pivot_points" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    lag(high, 1) OVER ws AS ph,
+         |    lag(low, 1) OVER ws AS pl,
+         |    lag(close, 1) OVER ws AS pc
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), p AS (
+         |  SELECT l_suppkey, l_shipdate, ph, pl,
+         |    (ph + pl + pc) / 3.0::DOUBLE AS pp
+         |  FROM t
+         |)
+         |SELECT l_suppkey, l_shipdate, pp,
+         |  2.0::DOUBLE * pp - pl AS r1,
+         |  2.0::DOUBLE * pp - ph AS s1,
+         |  pp + (ph - pl) AS r2,
+         |  pp - (ph - pl) AS s2
+         |FROM p
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     "q_atr" ->
       s"""WITH bars AS (
          |$duckBarsSql

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -828,6 +828,200 @@ object Rolling {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(out, last(col(valueCol), ignoreNulls = true).over(running))
+  }
+
+  /** Vortex indicator (Botes & Siepman 2010, public formula): trend
+    * direction from the ratio of directional movement to range —
+    * `vi_plus = Σ|high_t − low_{t−1}| / ΣTR` and
+    * `vi_minus = Σ|low_t − high_{t−1}| / ΣTR` over the trailing n bars.
+    * The first bar of each key has no prior bar, so its VM/TR terms are
+    * NULL (not zero) and the frame needs n complete terms — first
+    * emission at bar n+1, the textbook schedule.
+    *
+    * Determinism: VM and TR are quantized to `scale` decimals and summed
+    * as BIGINTs (exact under ANY accumulation order — the sliding-frame
+    * double-sum trap, see [[vwap]]); each VI is then ONE IEEE division.
+    * One keyed Window pass. Adds `vi_plus`, `vi_minus`. */
+  def vortex(df: DataFrame, highCol: String, lowCol: String,
+             closeCol: String, partCols: Seq[String], orderCols: Seq[String],
+             n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("vi_plus", "vi_minus", "__vmp", "__vmm", "__tr"), "Rolling.vortex")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val k = lit(math.pow(10, scale))
+    def q(c: Column) = round(c * k).cast("long")
+    val (h, l, c) = (col(highCol).cast("double"), col(lowCol).cast("double"),
+      col(closeCol).cast("double"))
+    val (prevH, prevL, prevC) =
+      (lag(h, 1).over(seqW), lag(l, 1).over(seqW), lag(c, 1).over(seqW))
+    // NULL on the first bar (no prior), so the frame-count gate needs n
+    // TRUE inter-bar terms — never a zero-padded warm-up
+    val vmp = when(prevL.isNotNull, q(abs(h - prevL)))
+    val vmm = when(prevH.isNotNull, q(abs(l - prevH)))
+    val tr = when(prevC.isNotNull,
+      q(greatest(h, prevC) - least(l, prevC)))
+    // lag exprs must bind before the frame sums can see them (same
+    // projection split as atr)
+    df.withColumn("__vmp", vmp).withColumn("__vmm", vmm).withColumn("__tr", tr)
+      .select(col("*"),
+        when(count(col("__tr")).over(w) === n && sum(col("__tr")).over(w) =!= 0L,
+          sum(col("__vmp")).over(w).cast("double") /
+            sum(col("__tr")).over(w).cast("double")).as("vi_plus"),
+        when(count(col("__tr")).over(w) === n && sum(col("__tr")).over(w) =!= 0L,
+          sum(col("__vmm")).over(w).cast("double") /
+            sum(col("__tr")).over(w).cast("double")).as("vi_minus"))
+      .drop("__vmp", "__vmm", "__tr")
+  }
+
+  /** Chande Momentum Oscillator (Chande 1994, public formula):
+    * `100 · (Σup − Σdown) / (Σup + Σdown)` over the trailing n one-bar
+    * moves — RSI's cousin with the raw (unsmoothed) sums, bounded
+    * [−100, 100]. NULL until n complete moves exist (first emission at
+    * row n+1) and on a flat window (Σup + Σdown = 0: no momentum to
+    * report, the [[williamsR]] flat-window convention).
+    *
+    * Determinism: moves are quantized to `scale` decimals and summed as
+    * BIGINTs; the oscillator is one fixed IEEE tree over the two exact
+    * sums. One keyed Window pass. Adds `cmo`. */
+  def cmo(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("cmo", "__up", "__dn"), "Rolling.cmo")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val k = lit(math.pow(10, scale))
+    val x = col(valueCol).cast("double")
+    val d = x - lag(x, 1).over(seqW)
+    // greatest() skips NULLs (greatest(NULL, 0) = 0), which would smuggle a
+    // zero move into each key's first row — gate on the diff explicitly so
+    // the frame-count warm-up counts only TRUE moves
+    val up = when(d.isNotNull, round(greatest(d, lit(0.0)) * k).cast("long"))
+    val dn = when(d.isNotNull, round(greatest(-d, lit(0.0)) * k).cast("long"))
+    df.withColumn("__up", up).withColumn("__dn", dn)
+      .select(col("*"),
+        when(count(col("__up")).over(w) === n &&
+            (sum(col("__up")).over(w) + sum(col("__dn")).over(w)) =!= 0L,
+          lit(100.0) *
+            (sum(col("__up")).over(w) - sum(col("__dn")).over(w)).cast("double") /
+            (sum(col("__up")).over(w) + sum(col("__dn")).over(w)).cast("double"))
+          .as("cmo"))
+      .drop("__up", "__dn")
+  }
+
+  /** Ultimate Oscillator (Williams 1976, public formula): buying pressure
+    * `BP = close − min(low, prevClose)` over true range
+    * `TR = max(high, prevClose) − min(low, prevClose)`, averaged over
+    * three trailing horizons and blended 4:2:1 —
+    * `100 · (4·ΣBP₇/ΣTR₇ + 2·ΣBP₁₄/ΣTR₁₄ + ΣBP₂₈/ΣTR₂₈) / 7`.
+    * NULL until the LONGEST frame holds n₃ complete terms and whenever
+    * any ΣTR is zero. First bar per key contributes nothing (no
+    * prevClose — NULL term, the [[vortex]] convention).
+    *
+    * Determinism: BP/TR quantized to `scale` decimals, summed as
+    * BIGINTs; three IEEE divisions feed one fixed blend tree. The three
+    * frames share one (partition, order) spec — one exchange, one sort.
+    * Adds `ultimate`. */
+  def ultimateOscillator(df: DataFrame, highCol: String, lowCol: String,
+                         closeCol: String, partCols: Seq[String],
+                         orderCols: Seq[String], n1: Int = 7, n2: Int = 14,
+                         n3: Int = 28, scale: Int = 0): DataFrame = {
+    require(n1 >= 1 && n2 > n1 && n3 > n2,
+      s"horizons must ascend: got ($n1, $n2, $n3)")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("ultimate", "__bp", "__tr"), "Rolling.ultimateOscillator")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val k = lit(math.pow(10, scale))
+    val (h, l, c) = (col(highCol).cast("double"), col(lowCol).cast("double"),
+      col(closeCol).cast("double"))
+    val prevC = lag(c, 1).over(seqW)
+    val bp = when(prevC.isNotNull, round((c - least(l, prevC)) * k).cast("long"))
+    val tr = when(prevC.isNotNull,
+      round((greatest(h, prevC) - least(l, prevC)) * k).cast("long"))
+    val bound = df.withColumn("__bp", bp).withColumn("__tr", tr)
+    def ratio(n: Int): Column = {
+      val w = frame(partCols, orderCols, n)
+      sum(col("__bp")).over(w).cast("double") /
+        sum(col("__tr")).over(w).cast("double")
+    }
+    def trOk(n: Int): Column = {
+      val w = frame(partCols, orderCols, n)
+      sum(col("__tr")).over(w) =!= 0L
+    }
+    val fullW = frame(partCols, orderCols, n3)
+    bound.select(col("*"),
+        when(count(col("__tr")).over(fullW) === n3 &&
+            trOk(n1) && trOk(n2) && trOk(n3),
+          lit(100.0) * (lit(4.0) * ratio(n1) + lit(2.0) * ratio(n2) +
+            ratio(n3)) / lit(7.0)).as("ultimate"))
+      .drop("__bp", "__tr")
+  }
+
+  /** Detrended Price Oscillator (public formula): the price's distance
+    * from a DISPLACED trailing mean — `x_t − SMA_n(t − (n/2 + 1))` —
+    * which strips the n-bar trend and leaves the shorter cycle. NULL
+    * until the displaced SMA exists (row n + n/2 + 1 per key).
+    *
+    * Determinism: the SMA is `avg` over an exact frame — sum of
+    * `scale`-quantized BIGINTs, ONE division — then lagged; the subtract
+    * is one more IEEE op. One keyed Window pass (the lag and the frame
+    * share the spec). Adds `dpo`. */
+  def dpo(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns, Seq("dpo", "__sma"), "Rolling.dpo")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val k = math.pow(10, scale)
+    val x = col(valueCol).cast("double")
+    val xi = round(x * lit(k)).cast("long")
+    val sma = when(count(xi).over(w) === n,
+      sum(xi).over(w).cast("double") / lit(n.toDouble * k))
+    val shift = n / 2 + 1
+    df.withColumn("__sma", sma)
+      .withColumn("dpo",
+        x - lag(col("__sma"), shift, null, ignoreNulls = false).over(seqW))
+      .drop("__sma")
+  }
+
+  /** Classic floor-trader pivot points (public formula): today's support/
+    * resistance ladder from YESTERDAY's bar — `pp = (H+L+C)/3`,
+    * `r1 = 2·pp − L`, `s1 = 2·pp − H`, `r2 = pp + (H−L)`,
+    * `s2 = pp − (H−L)` (H/L/C all prior-bar). NULL on each key's first
+    * bar (no prior bar to pivot from).
+    *
+    * Determinism: five fixed IEEE trees over three lagged values — no
+    * sums, no frames, engine-exact by construction. One keyed Window
+    * pass. Adds `pp`, `r1`, `s1`, `r2`, `s2`. */
+  def pivotPoints(df: DataFrame, highCol: String, lowCol: String,
+                  closeCol: String, partCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("pp", "r1", "s1", "r2", "s2"), "Rolling.pivotPoints")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ph = lag(col(highCol).cast("double"), 1).over(seqW)
+    val pl = lag(col(lowCol).cast("double"), 1).over(seqW)
+    val pc = lag(col(closeCol).cast("double"), 1).over(seqW)
+    val pp = (ph + pl + pc) / lit(3.0)
+    // one projection → all five share one Window pass; pp's tree is
+    // inlined into each output (same fixed tree, so bit-identical)
+    df.select(col("*"),
+      pp.as("pp"),
+      (lit(2.0) * pp - pl).as("r1"),
+      (lit(2.0) * pp - ph).as("s1"),
+      (pp + (ph - pl)).as("r2"),
+      (pp - (ph - pl)).as("s2"))
   }
 
   /** Trailing-n VWAP (volume-weighted average price):

@@ -599,6 +599,72 @@ class RollingSpec extends AnyFunSuite {
     assert(lastAdx(trend) > lastAdx(chop))
   }
 
+  test("vortex: hand-traced VI± over n=2, first two rows null") {
+    val df = Seq((10.0, 8.0, 9.0), (11.0, 9.0, 10.0), (12.0, 10.0, 11.0),
+        (9.0, 7.0, 8.0))
+      .zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.vortex(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 2)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("vi_plus")))
+    assert(out(1).isNullAt(out(1).fieldIndex("vi_plus"))) // one term, need 2
+    // bars 2+3: VM+ = 3+3, VM− = 1+1, TR = 2+2
+    assert(out(2).getAs[Double]("vi_plus") === 1.5)
+    assert(out(2).getAs[Double]("vi_minus") === 0.5)
+    // bars 3+4: VM+ = 3+1, VM− = 1+5, TR = 2+4
+    assert(out(3).getAs[Double]("vi_plus") === 4.0 / 6.0)
+    assert(out(3).getAs[Double]("vi_minus") === 1.0)
+  }
+
+  test("cmo: raw momentum sums, flat window yields null") {
+    val out = Rolling.cmo(series(1, 2, 4, 3, 5), "v", Seq("sym"), Seq("i"),
+        n = 3)
+      .orderBy("i").collect()
+    (0 to 2).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("cmo"))))
+    assert(out(3).getAs[Double]("cmo") === 50.0) // up 3, down 1
+    assert(out(4).getAs[Double]("cmo") === 60.0) // up 4, down 1
+    val flat = Rolling.cmo(series(5, 5, 5, 5), "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(flat(3).isNullAt(flat(3).fieldIndex("cmo")))
+  }
+
+  test("ultimate oscillator: steady BP/TR ratio lands exactly on 50") {
+    val df = Seq((10.0, 8.0, 9.0), (11.0, 9.0, 10.0), (12.0, 10.0, 11.0),
+        (13.0, 11.0, 12.0))
+      .zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.ultimateOscillator(df, "h", "l", "c", Seq("sym"),
+        Seq("i"), n1 = 1, n2 = 2, n3 = 3)
+      .orderBy("i").collect()
+    (0 to 2).foreach(i =>
+      assert(out(i).isNullAt(out(i).fieldIndex("ultimate"))))
+    // every bar: BP = 1, TR = 2 → all three ratios 0.5 → 100·3.5/7 = 50
+    assert(out(3).getAs[Double]("ultimate") === 50.0)
+  }
+
+  test("dpo: price minus the displaced trailing mean") {
+    val out = Rolling.dpo(series(1, 2, 3, 4, 5), "v", Seq("sym"), Seq("i"),
+        n = 2) // shift = n/2 + 1 = 2
+      .orderBy("i").collect()
+    (0 to 2).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("dpo"))))
+    assert(out(3).getAs[Double]("dpo") === 4.0 - 1.5)
+    assert(out(4).getAs[Double]("dpo") === 5.0 - 2.5)
+  }
+
+  test("pivot points: textbook ladder from yesterday's bar") {
+    val df = Seq((10.0, 8.0, 9.0), (11.0, 9.0, 10.0))
+      .zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.pivotPoints(df, "h", "l", "c", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("pp")))
+    assert(out(1).getAs[Double]("pp") === 9.0)
+    assert(out(1).getAs[Double]("r1") === 10.0)
+    assert(out(1).getAs[Double]("s1") === 8.0)
+    assert(out(1).getAs[Double]("r2") === 11.0)
+    assert(out(1).getAs[Double]("s2") === 7.0)
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
