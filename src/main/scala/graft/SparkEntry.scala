@@ -248,6 +248,37 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_heikin_ashi" -> ((s, d) => {
+      // Heikin-Ashi smoothed bars — the ha_open recurrence run as the
+      // native EMA (α=½) over the seeded lagged-ha_close series
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.heikinAshi(dailyBars(s), "open", "high", "low",
+          "close", Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("ha_open"),
+          col("ha_high"), col("ha_low"), col("ha_close"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_ppo" -> ((s, d) => {
+      // percentage price oscillator (12/26) over daily closes — MACD
+      // normalized by the slow EMA, both native recurrences in one pass
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.ppo(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("ppo"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_trix" -> ((s, d) => {
+      // TRIX (n=15): rate of change of the triple-smoothed EMA — three
+      // native-recurrence layers sharing one sort
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.trix(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 15)
+        .select(col("l_suppkey"), col("l_shipdate"), col("trix"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_vortex" -> ((s, d) => {
       // Vortex VI+/VI− over daily bars (n=14): directional movement over
       // range, scaled-BIGINT sums, one IEEE division per line
@@ -5235,6 +5266,76 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Heikin-Ashi replay: ha_close per row, the seeded z series, then the
+    // SAME duckEma(·, 3) fold the native EMA runs (α = ½ exactly);
+    // extremes via variadic greatest/least. Every op tree matches
+    // Rolling.heikinAshi node-for-node.
+    "q_heikin_ashi" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), ha AS (
+         |  SELECT l_suppkey, l_shipdate, open, high, low, close,
+         |    (open + high + low + close) / 4.0::DOUBLE AS ha_close
+         |  FROM bars
+         |), z AS (
+         |  SELECT l_suppkey, l_shipdate, high, low, ha_close,
+         |    CASE WHEN row_number() OVER ws = 1 THEN (open + close) / 2.0::DOUBLE
+         |         ELSE lag(ha_close, 1) OVER ws END AS z
+         |  FROM ha WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), zz AS (
+         |  SELECT l_suppkey, l_shipdate, high, low, ha_close,
+         |    ${duckEma("list(z) OVER wn", 3)} AS ha_open
+         |  FROM z WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate, ha_open,
+         |  greatest(high, ha_open, ha_close) AS ha_high,
+         |  least(low, ha_open, ha_close) AS ha_low,
+         |  ha_close
+         |FROM zz ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // PPO replay: two duckEma folds over the close prefix, one fixed
+    // normalize tree (the elder_ray list pattern).
+    "q_ppo" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), e AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${duckEma("list(close) OVER wn", 12)} AS ef,
+         |    ${duckEma("list(close) OVER wn", 26)} AS es
+         |  FROM bars WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN es <> 0.0 THEN 100.0::DOUBLE * (ef - es) / es END AS ppo
+         |FROM e ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // TRIX replay: three LAYERED duckEma folds — each layer's prefix
+    // list is built from the previous layer's bound column, exactly the
+    // Spark binding order, then the 1-bar ROC off the lag.
+    "q_trix" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), e1 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${duckEma("list(close) OVER wn", 15)} AS e1
+         |  FROM bars WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), e2 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${duckEma("list(e1) OVER wn", 15)} AS e2
+         |  FROM e1 WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), e3 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${duckEma("list(e2) OVER wn", 15)} AS e3
+         |  FROM e2 WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN lag(e3, 1) OVER ws IS NOT NULL AND lag(e3, 1) OVER ws <> 0.0
+         |    THEN 100.0::DOUBLE * (e3 - lag(e3, 1) OVER ws) / (lag(e3, 1) OVER ws)
+         |  END AS trix
+         |FROM e3 WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Vortex replay: same NULL-gated VM/TR terms (first bar of each key
     // contributes nothing), BIGINT sums over the 14-bar frame, one
     // division per line. Bars are integer-valued so round() is exact.

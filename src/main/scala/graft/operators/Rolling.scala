@@ -1024,6 +1024,98 @@ object Rolling {
       (pp - (ph - pl)).as("s2"))
   }
 
+  /** Heikin-Ashi bar smoothing (public Japanese candlestick technique):
+    * `ha_close = (o+h+l+c)/4`, `ha_open = (ha_open′ + ha_close′)/2` (prior
+    * bar's values, seeded from the first bar's `(o+c)/2`), and
+    * `ha_high`/`ha_low` = the bar extreme vs both HA prices.
+    *
+    * The ha_open recurrence IS an EMA: with `z₁ = (o₁+c₁)/2` and
+    * `z_t = ha_close_{t−1}`, `ha_open = ema(z, 3)` — α = 2/(3+1) = ½
+    * exactly, and the native EMA's first-value seed is exactly z₁. So the
+    * whole operator is one native-recurrence window pass over a derived
+    * column, no new expression needed.
+    *
+    * Determinism: every HA value is built from halvings and quarterings
+    * of integer-valued bars — dyadic rationals, bit-exact in IEEE
+    * doubles until mantissas genuinely fill; the oracle replays the
+    * identical op tree so both engines round identically even then. A
+    * NULL input bar freezes the recurrence (the §7.1 contract) — the
+    * seed branch keys on row_number, never on "previous value was NULL".
+    * One keyed exchange. Adds `ha_open`, `ha_high`, `ha_low`,
+    * `ha_close`. */
+  def heikinAshi(df: DataFrame, openCol: String, highCol: String,
+                 lowCol: String, closeCol: String, partCols: Seq[String],
+                 orderCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("ha_open", "ha_high", "ha_low", "ha_close", "__ha_z", "__ha_rn"),
+      "Rolling.heikinAshi")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (o, h, l, c) = (col(openCol).cast("double"), col(highCol).cast("double"),
+      col(lowCol).cast("double"), col(closeCol).cast("double"))
+    df.withColumn("ha_close", (o + h + l + c) / lit(4.0))
+      .withColumn("__ha_rn", row_number().over(seqW))
+      // z binds in its own projection so the EMA's window can see it
+      .withColumn("__ha_z",
+        when(col("__ha_rn") === 1, (o + c) / lit(2.0))
+          .otherwise(lag(col("ha_close"), 1).over(seqW)))
+      .withColumn("ha_open", graft.functions.FinancialFunctions
+        .ema(col("__ha_z"), 3).over(seqW))
+      .withColumn("ha_high", greatest(h, col("ha_open"), col("ha_close")))
+      .withColumn("ha_low", least(l, col("ha_open"), col("ha_close")))
+      .drop("__ha_z", "__ha_rn")
+  }
+
+  /** Percentage Price Oscillator (public formula): MACD normalized by the
+    * slow EMA — `100 · (ema_fast − ema_slow) / ema_slow` — so momentum is
+    * comparable across price levels. Both EMAs are the native recurrence
+    * bound in ONE window pass; the oscillator is one fixed IEEE tree.
+    * NULL while the EMAs are NULL (each key's leading frozen rows) and on
+    * a zero slow EMA. Adds `ppo`. */
+  def ppo(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], fast: Int = 12, slow: Int = 26): DataFrame = {
+    require(fast >= 1 && slow > fast,
+      s"need slow > fast >= 1, got ($fast, $slow)")
+    Guards.requireNoReserved(df.columns,
+      Seq("ppo", "__ppo_f", "__ppo_s"), "Rolling.ppo")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    df.select(col("*"),
+        graft.functions.FinancialFunctions.ema(x, fast).over(seqW).as("__ppo_f"),
+        graft.functions.FinancialFunctions.ema(x, slow).over(seqW).as("__ppo_s"))
+      .withColumn("ppo",
+        when(col("__ppo_s") =!= 0.0,
+          lit(100.0) * (col("__ppo_f") - col("__ppo_s")) / col("__ppo_s")))
+      .drop("__ppo_f", "__ppo_s")
+  }
+
+  /** TRIX (Hutson 1983, public formula): the 1-bar percentage rate of
+    * change of a TRIPLE-smoothed EMA — `100 · (e3 − e3′) / e3′` with
+    * `e3 = ema(ema(ema(x, n), n), n)` — a momentum line with the noise
+    * of three smoothing passes removed. Each EMA layer is the native
+    * recurrence over the previous layer's bound column: three Window
+    * passes plus the final lag, ALL on one (partition, order) spec — one
+    * exchange, one sort. NULL on each key's first row (no prior e3) and
+    * on a zero prior e3. Adds `trix`. */
+  def trix(df: DataFrame, valueCol: String, partCols: Seq[String],
+           orderCols: Seq[String], n: Int = 15): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("trix", "__e1", "__e2", "__e3"), "Rolling.trix")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ema = graft.functions.FinancialFunctions.ema(_: Column, n)
+    val prev = lag(col("__e3"), 1).over(seqW)
+    df.withColumn("__e1", ema(col(valueCol).cast("double")).over(seqW))
+      .withColumn("__e2", ema(col("__e1")).over(seqW))
+      .withColumn("__e3", ema(col("__e2")).over(seqW))
+      .withColumn("trix",
+        when(prev.isNotNull && prev =!= 0.0,
+          lit(100.0) * (col("__e3") - prev) / prev))
+      .drop("__e1", "__e2", "__e3")
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -665,6 +665,43 @@ class RollingSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("s2") === 7.0)
   }
 
+  test("heikin-ashi: textbook seed and recurrence, extremes span both HA prices") {
+    val df = Seq((10.0, 12.0, 8.0, 11.0), (11.0, 13.0, 9.0, 12.0))
+      .zipWithIndex.map { case ((o, h, l, c), i) => ("s", i, o, h, l, c) }
+      .toDF("sym", "i", "o", "h", "l", "c")
+    val out = Rolling.heikinAshi(df, "o", "h", "l", "c", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(out(0).getAs[Double]("ha_close") === 10.25)
+    assert(out(0).getAs[Double]("ha_open") === 10.5) // (o+c)/2 seed
+    assert(out(0).getAs[Double]("ha_high") === 12.0)
+    assert(out(0).getAs[Double]("ha_low") === 8.0)
+    // ha_open₂ = (ha_open₁ + ha_close₁)/2 = (10.5 + 10.25)/2
+    assert(out(1).getAs[Double]("ha_open") === 10.375)
+    assert(out(1).getAs[Double]("ha_close") === 11.25)
+    assert(out(1).getAs[Double]("ha_high") === 13.0)
+    assert(out(1).getAs[Double]("ha_low") === 9.0)
+  }
+
+  test("ppo: zero on a flat series, hand-traced on a step") {
+    val flat = Rolling.ppo(series(5, 5, 5), "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    flat.foreach(r => assert(r.getAs[Double]("ppo") === 0.0))
+    // fast=1 → ema = x; slow=3 (α=½): e = 1, then 1.5 → 100·(2−1.5)/1.5
+    val out = Rolling.ppo(series(1, 2), "v", Seq("sym"), Seq("i"),
+        fast = 1, slow = 3)
+      .orderBy("i").collect()
+    assert(out(0).getAs[Double]("ppo") === 0.0)
+    assert(math.abs(out(1).getAs[Double]("ppo") - 100.0 / 3.0) < 1e-12)
+  }
+
+  test("trix: n=1 collapses the triple EMA to the raw 1-bar ROC") {
+    val out = Rolling.trix(series(1, 2, 4), "v", Seq("sym"), Seq("i"), n = 1)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("trix"))) // no prior e3
+    assert(out(1).getAs[Double]("trix") === 100.0)
+    assert(out(2).getAs[Double]("trix") === 100.0)
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
