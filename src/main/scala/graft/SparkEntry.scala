@@ -248,6 +248,26 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_wma" -> ((s, d) => {
+      // linear weighted MA (n=10) over daily closes — the two-running-sum
+      // O(1)/row formulation, BIGINT-exact
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.wma(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 10)
+        .select(col("l_suppkey"), col("l_shipdate"), col("wma"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_hull_ma" -> ((s, d) => {
+      // Hull MA (n=16): lag-corrected smooth — exact inner WMAs, ordered
+      // frame-list fold for the tiny outer pass
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.hullMa(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 16)
+        .select(col("l_suppkey"), col("l_shipdate"), col("hma"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_heikin_ashi" -> ((s, d) => {
       // Heikin-Ashi smoothed bars — the ha_open recurrence run as the
       // native EMA (α=½) over the seeded lagged-ha_close series
@@ -5265,6 +5285,66 @@ object SparkEntry {
          |  CASE WHEN list_reduce(vl, (a, b) -> a + b) <> 0.0::DOUBLE
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // WMA replay: the same two BIGINT running sums and weight-ladder
+    // identity (sum(rn·x) − (rn−n)·sum(x)), one division by the exact
+    // triangular-number constant.
+    "q_wma" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate, CAST(round(close) AS BIGINT) AS xi,
+         |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS BIGINT) AS rn
+         |  FROM bars
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate, rn, xi, rn * xi AS rnx FROM t
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(xi) OVER wn = 10
+         |    THEN CAST(sum(rnx) OVER wn - (rn - 10) * sum(xi) OVER wn AS DOUBLE)
+         |         / 55.0::DOUBLE END AS wma
+         |FROM s
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Hull replay: exact inner WMAs (8/16) via the same running-sum
+    // identity, then the 4-element outer weighted fold — list_zip with
+    // generate_series for the position weights, seedless list_reduce sum
+    // (0.0 + x ≡ x, the q_cmf precedent).
+    "q_hull_ma" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate, CAST(round(close) AS BIGINT) AS xi,
+         |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS BIGINT) AS rn
+         |  FROM bars
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate, rn, xi, rn * xi AS rnx FROM t
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    2.0::DOUBLE * (CASE WHEN count(xi) OVER w8 = 8
+         |      THEN CAST(sum(rnx) OVER w8 - (rn - 8) * sum(xi) OVER w8 AS DOUBLE)
+         |           / 36.0::DOUBLE END)
+         |    - (CASE WHEN count(xi) OVER w16 = 16
+         |      THEN CAST(sum(rnx) OVER w16 - (rn - 16) * sum(xi) OVER w16 AS DOUBLE)
+         |           / 136.0::DOUBLE END) AS h1
+         |  FROM s
+         |  WINDOW w8 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         |    w16 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(h1) OVER w4 = 4 THEN list(h1) OVER w4 END AS hl
+         |  FROM h
+         |  WINDOW w4 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN hl IS NOT NULL THEN
+         |    list_reduce(list_transform(list_zip(hl, generate_series(1, 4)),
+         |      x -> x[1] * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+         |    / 10.0::DOUBLE END AS hma
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Heikin-Ashi replay: ha_close per row, the seeded z series, then the
     // SAME duckEma(·, 3) fold the native EMA runs (α = ½ exactly);

@@ -1116,6 +1116,80 @@ object Rolling {
       .drop("__e1", "__e2", "__e3")
   }
 
+  /** Linear weighted moving average (public formula): weights 1..n with
+    * the most recent bar heaviest — `Σ i·x_i / (n(n+1)/2)`.
+    *
+    * Computed in O(1) per row from TWO running frame sums instead of an
+    * O(n) per-row weighted fold: with `rn` the key-local row number,
+    * `Σ_frame (rn_j − (rn_t − n))·x_j = Σ rn_j·x_j − (rn_t − n)·Σ x_j` —
+    * the weight ladder falls out of the global row numbers. Values are
+    * quantized to `scale` decimals so both sums are BIGINT-exact under
+    * any accumulation order; ONE final IEEE division. NULL until the
+    * frame holds n values. One keyed Window pass. Adds `wma`. */
+  def wma(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("wma", "__xi", "__rn", "__rnx"), "Rolling.wma")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val k = math.pow(10, scale)
+    val xi = round(col(valueCol).cast("double") * lit(k)).cast("long")
+    df.withColumn("__xi", xi)
+      .withColumn("__rn", row_number().over(seqW).cast("long"))
+      .withColumn("__rnx", col("__rn") * col("__xi"))
+      .select(col("*"),
+        when(count(col("__xi")).over(w) === n,
+          (sum(col("__rnx")).over(w) -
+            (col("__rn") - lit(n.toLong)) * sum(col("__xi")).over(w))
+            .cast("double") / lit(k * n * (n + 1) / 2.0)).as("wma"))
+      .drop("__xi", "__rn", "__rnx")
+  }
+
+  /** Hull moving average (Hull 2005, public formula): the lag-corrected
+    * smooth — `hma = wma(2·wma(n/2) − wma(n), ⌊√n⌋)`. Both inner WMAs
+    * ride the [[wma]] two-running-sum trick (BIGINT-exact); the tiny
+    * outer WMA runs over DOUBLES, so it folds the collected ⌊√n⌋-element
+    * frame list in order with position weights (the [[cci]] discipline —
+    * never a windowed float sum). All passes share one (partition,
+    * order) spec: one exchange, one sort. NULL until the outer frame
+    * holds ⌊√n⌋ complete inner values. Adds `hma`. */
+  def hullMa(df: DataFrame, valueCol: String, partCols: Seq[String],
+             orderCols: Seq[String], n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(scale >= 0)
+    val half = n / 2
+    val m = math.sqrt(n.toDouble).toInt
+    Guards.requireNoReserved(df.columns,
+      Seq("hma", "__xi", "__rn", "__rnx", "__h1", "__hl"), "Rolling.hullMa")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val k = math.pow(10, scale)
+    val xi = round(col(valueCol).cast("double") * lit(k)).cast("long")
+    def wmaExpr(nn: Int): Column = {
+      val w = frame(partCols, orderCols, nn)
+      when(count(col("__xi")).over(w) === nn,
+        (sum(col("__rnx")).over(w) -
+          (col("__rn") - lit(nn.toLong)) * sum(col("__xi")).over(w))
+          .cast("double") / lit(k * nn * (nn + 1) / 2.0))
+    }
+    val wm = frame(partCols, orderCols, m)
+    df.withColumn("__xi", xi)
+      .withColumn("__rn", row_number().over(seqW).cast("long"))
+      .withColumn("__rnx", col("__rn") * col("__xi"))
+      .withColumn("__h1", lit(2.0) * wmaExpr(half) - wmaExpr(n))
+      .withColumn("__hl",
+        when(count(col("__h1")).over(wm) === m,
+          collect_list(col("__h1")).over(wm)))
+      .withColumn("hma",
+        aggregate(
+          transform(col("__hl"), (x, i) => x * (i + lit(1)).cast("double")),
+          lit(0.0), (a, b) => a + b) / lit(m * (m + 1) / 2.0))
+      .drop("__xi", "__rn", "__rnx", "__h1", "__hl")
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

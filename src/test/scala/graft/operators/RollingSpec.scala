@@ -702,6 +702,25 @@ class RollingSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("trix") === 100.0)
   }
 
+  test("wma: triangular weights favour the recent bar, null until full") {
+    val out = Rolling.wma(series(1, 2, 3, 4), "v", Seq("sym"), Seq("i"), n = 3)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("wma")))
+    assert(out(1).isNullAt(out(1).fieldIndex("wma")))
+    assert(out(2).getAs[Double]("wma") === 14.0 / 6.0) // (1·1+2·2+3·3)/6
+    assert(out(3).getAs[Double]("wma") === 20.0 / 6.0) // (2·1+3·2+4·3)/6
+  }
+
+  test("hull ma: zero lag on a linear ramp — hma(t) = x(t) exactly") {
+    val out = Rolling.hullMa(series(1, 2, 3, 4, 5, 6), "v", Seq("sym"),
+        Seq("i"), n = 4) // half = 2, outer m = 2
+      .orderBy("i").collect()
+    (0 to 3).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("hma"))))
+    // the lag-corrected smooth tracks a ramp with NO delay
+    assert(math.abs(out(4).getAs[Double]("hma") - 5.0) < 1e-12)
+    assert(math.abs(out(5).getAs[Double]("hma") - 6.0) < 1e-12)
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
