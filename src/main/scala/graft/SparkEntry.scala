@@ -248,6 +248,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_supertrend" -> ((s, d) => {
+      // SuperTrend (ATR₁₀ bands, ×3): the native ratchet/flip recurrence
+      // over caller-built basic bands — close >= line reads as up-trend
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.superTrend(dailyBars(s), "high", "low", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 10, mult = 3)
+        .select(col("l_suppkey"), col("l_shipdate"), col("supertrend"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_wma" -> ((s, d) => {
       // linear weighted MA (n=10) over daily closes — the two-running-sum
       // O(1)/row formulation, BIGINT-exact
@@ -5286,6 +5296,58 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // SuperTrend replay: ATR₁₀ and the basic bands as plain window SQL
+    // (integer-valued TR → exact), then the ratchet/flip state machine as
+    // a WITH RECURSIVE step-per-rn replay over the banded rows (the
+    // q_holt/q_kalman precedent). Band CASEs are inlined everywhere —
+    // never aliased — per the q_holt lateral-alias lesson; the warm-up
+    // rows come back via a left join with NULL lines.
+    "q_supertrend" -> {
+      val nfub = "CASE WHEN s.ub < h.fub OR h.pc > h.fub THEN s.ub ELSE h.fub END"
+      val nflb = "CASE WHEN s.lb > h.flb OR h.pc < h.flb THEN s.lb ELSE h.flb END"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), tr AS (
+         |  SELECT l_suppkey, l_shipdate, high, low, close,
+         |    CASE WHEN lag(close, 1) OVER ws IS NULL THEN high - low
+         |         ELSE greatest(high - low,
+         |                       abs(high - lag(close, 1) OVER ws),
+         |                       abs(low - lag(close, 1) OVER ws)) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), banded0 AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    (high + low) / 2.0::DOUBLE + 3.0::DOUBLE * (CASE WHEN count(tr) OVER wn = 10
+         |      THEN avg(tr) OVER wn END) AS ub,
+         |    (high + low) / 2.0::DOUBLE - 3.0::DOUBLE * (CASE WHEN count(tr) OVER wn = 10
+         |      THEN avg(tr) OVER wn END) AS lb
+         |  FROM tr
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |), banded AS (
+         |  SELECT l_suppkey, l_shipdate, close, ub, lb,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM banded0 WHERE ub IS NOT NULL
+         |), st AS (
+         |  SELECT l_suppkey, l_shipdate, rn, ub AS fub, lb AS flb,
+         |    TRUE AS up, close AS pc
+         |  FROM banded WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    $nfub AS fub,
+         |    $nflb AS flb,
+         |    CASE WHEN h.up THEN NOT (s.close < ($nflb))
+         |         ELSE s.close > ($nfub) END AS up,
+         |    s.close AS pc
+         |  FROM st h JOIN banded s
+         |    ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT b.l_suppkey, b.l_shipdate,
+         |  CASE WHEN st.up THEN st.flb ELSE st.fub END AS supertrend
+         |FROM bars b LEFT JOIN st
+         |  ON st.l_suppkey = b.l_suppkey AND st.l_shipdate = b.l_shipdate
+         |ORDER BY b.l_suppkey, b.l_shipdate""".stripMargin
+    },
     // WMA replay: the same two BIGINT running sums and weight-ladder
     // identity (sum(rn·x) − (rn−n)·sum(x)), one division by the exact
     // triangular-number constant.

@@ -36,6 +36,7 @@ object FinancialFunctions {
     "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
     "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
     "garch" -> (e => { val a = arity("garch", 4)(e); Garch(a(0), a(1), a(2), a(3)) }),
+    "supertrend" -> (e => { val a = arity("supertrend", 3)(e); SuperTrend(a(0), a(1), a(2)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
@@ -85,6 +86,9 @@ object FinancialFunctions {
   /** GARCH(1,1) conditional volatility; ω in ppm, α/β permille. */
   def garch(ret: Column, omegaPpm: Int, alphaPm: Int, betaPm: Int): Column =
     call_function("garch", ret, lit(omegaPpm), lit(alphaPm), lit(betaPm))
+  /** SuperTrend line over caller-computed basic bands (mid ± mult·atr). */
+  def supertrend(upper: Column, lower: Column, close: Column): Column =
+    call_function("supertrend", upper, lower, close)
 }
 
 /** Session-extension variant: lets users opt in via
@@ -106,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "wilder" -> "wilder(value, n) - Wilder smoothing (RSI-style seeded running average)",
     "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",
     "garch" -> "garch(return, omega_ppm, alpha_pm, beta_pm) - GARCH(1,1) conditional volatility",
+    "supertrend" -> "supertrend(upper, lower, close) - SuperTrend ratcheted-band trend line",
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
     "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
     "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash",

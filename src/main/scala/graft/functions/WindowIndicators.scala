@@ -560,6 +560,84 @@ case class EwmCov(xv: Expression, yv: Expression, lambdaPm: Expression)
     copy(xv = c(0), yv = c(1), lambdaPm = c(2))
 }
 
+/** `supertrend(upper, lower, close)` — the SuperTrend line (public
+  * formula): ratcheted ATR bands with a trend flip on a close crossing.
+  * The caller supplies the BASIC bands (`mid ± mult·atr`, see
+  * [[graft.operators.Rolling.superTrend]]); this expression runs the
+  * sequential state machine Spark's windows cannot express declaratively:
+  *
+  *  - `fub' = (ub < fub OR prevClose > fub) ? ub : fub` — the upper band
+  *    only ratchets DOWN unless price closed above it;
+  *  - `flb' = (lb > flb OR prevClose < flb) ? lb : flb` — mirror;
+  *  - trend stays UP unless `close < flb'`, stays DOWN unless
+  *    `close > fub'`; the emitted line is `flb'` in an up-trend, `fub'`
+  *    in a down-trend (so `close >= line ⟺ up-trend` — direction is
+  *    derivable, no second output needed).
+  *
+  * Seeds on the first row where ALL THREE inputs are non-null (the bands
+  * are NULL through the ATR warm-up): `fub = ub, flb = lb`, trend up —
+  * documented convention, matched by the oracle replay. Any NULL input
+  * row afterwards emits NULL and freezes the state (§7.1). State is four
+  * scalars — O(1) memory per key like every recurrence here. */
+case class SuperTrend(ub: Expression, lb: Expression, close: Expression)
+    extends IndicatorWindowFunction {
+  override def value: Expression = close
+  override def children: Seq[Expression] = Seq(ub, lb, close)
+  override def prettyName: String = "supertrend"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def numeric(e: Expression) =
+      e.dataType.isInstanceOf[NumericType] || e.dataType == NullType
+    if (!numeric(ub) || !numeric(lb) || !numeric(close)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric (upper, lower, close), got " +
+          s"(${ub.dataType.catalogString}, ${lb.dataType.catalogString}, " +
+          s"${close.dataType.catalogString})")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def dbl(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private lazy val ubx = dbl(ub)
+  private lazy val lbx = dbl(lb)
+  private lazy val cx = dbl(close)
+
+  private lazy val fub = AttributeReference("stFub", DoubleType, nullable = true)()
+  private lazy val flb = AttributeReference("stFlb", DoubleType, nullable = true)()
+  private lazy val upT = AttributeReference("stUp", BooleanType, nullable = false)()
+  private lazy val pc = AttributeReference("stPc", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(fub, flb, upT, pc, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, Literal(true), nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val anyNull = Or(Or(IsNull(ubx), IsNull(lbx)), IsNull(cx))
+    val unseeded = IsNull(fub)
+    // ratchet rules read the OLD state; the trend flip reads the NEW
+    // bands, so their trees are inlined (deterministic — duplication is
+    // free of evaluation-order hazards in Catalyst)
+    val newFub = If(Or(LessThan(ubx, fub), GreaterThan(pc, fub)), ubx, fub)
+    val newFlb = If(Or(GreaterThan(lbx, flb), LessThan(pc, flb)), lbx, flb)
+    Seq(
+      If(anyNull, fub, If(unseeded, ubx, newFub)),
+      If(anyNull, flb, If(unseeded, lbx, newFlb)),
+      If(anyNull, upT,
+        If(unseeded, Literal(true),
+          If(upT, Not(LessThan(cx, newFlb)), GreaterThan(cx, newFub)))),
+      If(anyNull, pc, cx),
+      anyNull)
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(fub)), nullDouble, If(upT, flb, fub))
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SuperTrend =
+    copy(ub = c(0), lb = c(1), close = c(2))
+}
+
 /** `macd_hist(value)` — MACD histogram = MACD line − signal line. */
 case class MacdHist(value: Expression) extends MacdSignalBase {
   override def prettyName: String = "macd_hist"

@@ -1190,6 +1190,37 @@ object Rolling {
       .drop("__xi", "__rn", "__rnx", "__h1", "__hl")
   }
 
+  /** SuperTrend (public formula): ATR envelope with ratcheting bands and
+    * a close-crossing trend flip. This wrapper builds the BASIC bands —
+    * `mid ± mult·atr` over the [[atr]] SMA-form true-range average — and
+    * hands them to the native `supertrend(ub, lb, close)` recurrence
+    * ([[graft.functions.WindowIndicators.SuperTrend]]), which runs the
+    * sequential ratchet/flip state machine in O(1) state per key. NULL
+    * through the ATR warm-up (bands undefined), then seeds on the first
+    * banded bar. The ATR pass and the recurrence share one (partition,
+    * order) spec — one exchange, one sort. `close >= supertrend` reads
+    * as "in an up-trend". Adds `supertrend`. */
+  def superTrend(df: DataFrame, highCol: String, lowCol: String,
+                 closeCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], n: Int, mult: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(mult >= 1, s"band multiplier must be >= 1, got $mult")
+    Guards.requireNoReserved(df.columns,
+      Seq("supertrend", "atr", "graft_tr", "__st_ub", "__st_lb"),
+      "Rolling.superTrend")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (h, l, c) = (col(highCol).cast("double"), col(lowCol).cast("double"),
+      col(closeCol).cast("double"))
+    val mid = (h + l) / lit(2.0)
+    atr(df, highCol, lowCol, closeCol, partCols, orderCols, n)
+      .withColumn("__st_ub", mid + lit(mult.toDouble) * col("atr"))
+      .withColumn("__st_lb", mid - lit(mult.toDouble) * col("atr"))
+      .withColumn("supertrend", graft.functions.FinancialFunctions
+        .supertrend(col("__st_ub"), col("__st_lb"), c).over(seqW))
+      .drop("__st_ub", "__st_lb", "atr")
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

@@ -721,6 +721,32 @@ class RollingSpec extends AnyFunSuite {
     assert(math.abs(out(5).getAs[Double]("hma") - 6.0) < 1e-12)
   }
 
+  test("supertrend: hand-traced ratchet, down-flip, and re-flip up") {
+    // n=1 → atr = current TR, so bands are defined from bar 1; mult=1
+    val df = Seq((10.0, 8.0, 9.0), (11.0, 9.0, 10.0), (6.0, 4.0, 5.0),
+        (13.0, 11.0, 12.0))
+      .zipWithIndex.map { case ((h, l, c), i) => ("s", i, h, l, c) }
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.superTrend(df, "h", "l", "c", Seq("sym"), Seq("i"),
+        n = 1, mult = 1)
+      .orderBy("i").collect().map(_.getAs[Double]("supertrend"))
+    assert(out(0) === 7.0)  // seed: up-trend, line = lower band
+    assert(out(1) === 8.0)  // lower band ratchets up 7 → 8
+    assert(out(2) === 11.0) // close 5 < flb 8 → flip down, line = fub
+    assert(out(3) === 4.0)  // close 12 > fub 11 → flip back up
+  }
+
+  test("supertrend: null through the atr warm-up, then seeds") {
+    val df = (0 until 5).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
+      .toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.superTrend(df, "h", "l", "c", Seq("sym"), Seq("i"),
+        n = 3, mult = 2)
+      .orderBy("i").collect()
+    (0 to 1).foreach(i =>
+      assert(out(i).isNullAt(out(i).fieldIndex("supertrend"))))
+    assert(!out(2).isNullAt(out(2).fieldIndex("supertrend")))
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
