@@ -248,6 +248,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_psar" -> ((s, d) => {
+      // Parabolic SAR (0.02/0.02/0.2) over daily bars — the native
+      // stop-and-reverse recurrence, NULL on each key's first bar
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.parabolicSar(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("psar"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_supertrend" -> ((s, d) => {
       // SuperTrend (ATR₁₀ bands, ×3): the native ratchet/flip recurrence
       // over caller-built basic bands — close >= line reads as up-trend
@@ -5296,6 +5306,69 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // PSAR replay: the full eight-scalar state machine as a WITH
+    // RECURSIVE step-per-rn walk. Every compound tree (candidate SAR,
+    // clamps, reversal tests, acceleration) is inlined at each use site —
+    // the q_holt lateral-alias lesson — and the op order matches the
+    // Catalyst update expressions node-for-node, so branches and doubles
+    // are bit-identical. Base row = each key's first bar (NULL SAR, the
+    // recorded extremes); the seed runs inside the first step.
+    "q_psar" -> {
+      val af0 = "(20.0::DOUBLE / 1000.0::DOUBLE)"
+      val step = "(20.0::DOUBLE / 1000.0::DOUBLE)"
+      val mx = "(200.0::DOUBLE / 1000.0::DOUBLE)"
+      val cand = "(h.sar + h.af * (h.ep - h.sar))"
+      val candUp = s"least($cand, h.pl, h.p2l)"
+      val candDn = s"greatest($cand, h.ph, h.p2h)"
+      val revUp = s"(s.low < $candUp)"
+      val revDn = s"(s.high > $candDn)"
+      val accel = s"least($mx, h.af + $step)"
+      val upSeed = "(s.high >= h.ph)"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, high, low,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), ps AS (
+         |  SELECT l_suppkey, l_shipdate, rn,
+         |    CAST(NULL AS DOUBLE) AS sar, CAST(NULL AS DOUBLE) AS ep,
+         |    $af0 AS af, TRUE AS up,
+         |    high AS ph, low AS pl, high AS p2h, low AS p2l
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    CASE WHEN h.sar IS NULL
+         |      THEN (CASE WHEN $upSeed THEN h.pl ELSE h.ph END)
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN h.ep ELSE $candUp END)
+         |        ELSE (CASE WHEN $revDn THEN h.ep ELSE $candDn END) END)
+         |    END AS sar,
+         |    CASE WHEN h.sar IS NULL
+         |      THEN (CASE WHEN $upSeed THEN s.high ELSE s.low END)
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN s.low
+         |              WHEN s.high > h.ep THEN s.high ELSE h.ep END)
+         |        ELSE (CASE WHEN $revDn THEN s.high
+         |              WHEN s.low < h.ep THEN s.low ELSE h.ep END) END)
+         |    END AS ep,
+         |    CASE WHEN h.sar IS NULL THEN $af0
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN $af0
+         |              WHEN s.high > h.ep THEN $accel ELSE h.af END)
+         |        ELSE (CASE WHEN $revDn THEN $af0
+         |              WHEN s.low < h.ep THEN $accel ELSE h.af END) END)
+         |    END AS af,
+         |    CASE WHEN h.sar IS NULL THEN $upSeed
+         |      ELSE (CASE WHEN h.up THEN NOT $revUp ELSE $revDn END)
+         |    END AS up,
+         |    s.high AS ph, s.low AS pl, h.ph AS p2h, h.pl AS p2l
+         |  FROM ps h JOIN seq s
+         |    ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, sar AS psar
+         |FROM ps ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // SuperTrend replay: ATR₁₀ and the basic bands as plain window SQL
     // (integer-valued TR → exact), then the ratchet/flip state machine as
     // a WITH RECURSIVE step-per-rn replay over the banded rows (the

@@ -37,6 +37,7 @@ object FinancialFunctions {
     "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
     "garch" -> (e => { val a = arity("garch", 4)(e); Garch(a(0), a(1), a(2), a(3)) }),
     "supertrend" -> (e => { val a = arity("supertrend", 3)(e); SuperTrend(a(0), a(1), a(2)) }),
+    "psar" -> (e => { val a = arity("psar", 5)(e); Psar(a(0), a(1), a(2), a(3), a(4)) }),
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
@@ -89,6 +90,10 @@ object FinancialFunctions {
   /** SuperTrend line over caller-computed basic bands (mid ± mult·atr). */
   def supertrend(upper: Column, lower: Column, close: Column): Column =
     call_function("supertrend", upper, lower, close)
+  /** Parabolic SAR; acceleration factors as permille ints (20/20/200). */
+  def psar(high: Column, low: Column, af0Pm: Int, stepPm: Int,
+           maxPm: Int): Column =
+    call_function("psar", high, low, lit(af0Pm), lit(stepPm), lit(maxPm))
 }
 
 /** Session-extension variant: lets users opt in via
@@ -111,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",
     "garch" -> "garch(return, omega_ppm, alpha_pm, beta_pm) - GARCH(1,1) conditional volatility",
     "supertrend" -> "supertrend(upper, lower, close) - SuperTrend ratcheted-band trend line",
+    "psar" -> "psar(high, low, af0_pm, step_pm, max_pm) - Wilder's Parabolic SAR",
     "vec_dot" -> "vec_dot(a, b) - sequential-fold dot product of two numeric arrays",
     "bpe_count" -> "bpe_count(text) - merge-table BPE token count (default merge table)",
     "kmv_distinct" -> "kmv_distinct(hash60, k) - KMV distinct-count estimate from a 60-bit uniform hash",

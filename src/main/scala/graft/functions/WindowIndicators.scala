@@ -638,6 +638,125 @@ case class SuperTrend(ub: Expression, lb: Expression, close: Expression)
     copy(ub = c(0), lb = c(1), close = c(2))
 }
 
+/** `psar(high, low, af0_pm, step_pm, max_pm)` — Wilder's Parabolic SAR
+  * (public formula, Wilder 1978): the trailing stop-and-reverse parabola.
+  * Acceleration factors arrive as permille ints (20, 20, 200 ≡ the
+  * textbook 0.02/0.02/0.2). Per non-null bar, seeded state runs:
+  *
+  *  1. `cand = sar + af·(ep − sar)`;
+  *  2. clamp into the prior two bars' range: up-trend
+  *     `cand = min(cand, low₋₁, low₋₂)`, down-trend mirror with highs;
+  *  3. reversal if the bar pierces the clamped SAR (up: `low < cand`):
+  *     SAR jumps to the old EP, EP restarts at the piercing extreme,
+  *     af resets; otherwise a new extreme (up: `high > ep`) advances EP
+  *     and accelerates `af = min(af + step, af_max)`.
+  *
+  * Seeding: the first bar only records its extremes (emits NULL); the
+  * second bar picks the trend by `high ≥ prev high`, SAR = the prior
+  * bar's opposite extreme, EP = this bar's extreme — a documented
+  * public convention (seeds differ across vendors; the oracle replays
+  * this one). Frozen-NULL contract on either input. State is eight
+  * scalars — O(1) per key. */
+case class Psar(high: Expression, low: Expression, af0Pm: Expression,
+                stepPm: Expression, maxPm: Expression)
+    extends IndicatorWindowFunction {
+  override def value: Expression = high
+  override def children: Seq[Expression] =
+    Seq(high, low, af0Pm, stepPm, maxPm)
+  override def prettyName: String = "psar"
+
+  private lazy val af0 = requireWindowSize(af0Pm) / 1000.0
+  private lazy val step = requireWindowSize(stepPm) / 1000.0
+  private lazy val afMax = requireWindowSize(maxPm) / 1000.0
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def numeric(e: Expression) =
+      e.dataType.isInstanceOf[NumericType] || e.dataType == NullType
+    if (!numeric(high) || !numeric(low)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric (high, low), got " +
+          s"(${high.dataType.catalogString}, ${low.dataType.catalogString})")
+    } else {
+      try {
+        Seq(af0Pm, stepPm, maxPm).foreach(requireWindowSize)
+        TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: IllegalArgumentException =>
+          TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
+    }
+  }
+
+  private def dbl(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private lazy val hx = dbl(high)
+  private lazy val lx = dbl(low)
+
+  private lazy val sar = AttributeReference("psSar", DoubleType, nullable = true)()
+  private lazy val ep = AttributeReference("psEp", DoubleType, nullable = true)()
+  private lazy val af = AttributeReference("psAf", DoubleType, nullable = false)()
+  private lazy val upT = AttributeReference("psUp", BooleanType, nullable = false)()
+  private lazy val ph = AttributeReference("psPh", DoubleType, nullable = true)()
+  private lazy val pl = AttributeReference("psPl", DoubleType, nullable = true)()
+  private lazy val p2h = AttributeReference("psP2h", DoubleType, nullable = true)()
+  private lazy val p2l = AttributeReference("psP2l", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(sar, ep, af, upT, ph, pl, p2h, p2l, curNull)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(nullDouble, nullDouble, Literal(af0), Literal(true),
+      nullDouble, nullDouble, nullDouble, nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val anyNull = Or(IsNull(hx), IsNull(lx))
+    val noPrev = IsNull(ph) // before the first recorded bar
+    val seedRow = And(IsNull(sar), IsNotNull(ph)) // the second bar
+    val af0L = Literal(af0); val stepL = Literal(step); val maxL = Literal(afMax)
+
+    val upSeed = GreaterThanOrEqual(hx, ph)
+    val sarSeed = If(upSeed, pl, ph)
+    val epSeed = If(upSeed, hx, lx)
+
+    // regular step — every compound tree is inlined where needed;
+    // duplication is evaluation-order-safe in Catalyst
+    val cand = Add(sar, Multiply(af, Subtract(ep, sar)))
+    val candUp = Least(Seq(cand, pl, p2l))
+    val candDn = Greatest(Seq(cand, ph, p2h))
+    val revUp = LessThan(lx, candUp)
+    val revDn = GreaterThan(hx, candDn)
+    val newExtUp = GreaterThan(hx, ep)
+    val newExtDn = LessThan(lx, ep)
+    val accel = Least(Seq(maxL, Add(af, stepL)))
+
+    val newSar = If(upT, If(revUp, ep, candUp), If(revDn, ep, candDn))
+    val newUp = If(upT, Not(revUp), revDn)
+    val newEp = If(upT,
+      If(revUp, lx, If(newExtUp, hx, ep)),
+      If(revDn, hx, If(newExtDn, lx, ep)))
+    val newAf = If(upT,
+      If(revUp, af0L, If(newExtUp, accel, af)),
+      If(revDn, af0L, If(newExtDn, accel, af)))
+
+    Seq(
+      If(anyNull, sar, If(noPrev, sar, If(seedRow, sarSeed, newSar))),
+      If(anyNull, ep, If(noPrev, ep, If(seedRow, epSeed, newEp))),
+      If(anyNull, af, If(noPrev, af, If(seedRow, af0L, newAf))),
+      If(anyNull, upT, If(noPrev, upT, If(seedRow, upSeed, newUp))),
+      If(anyNull, ph, hx),
+      If(anyNull, pl, lx),
+      If(anyNull, p2h, If(IsNull(ph), hx, ph)),
+      If(anyNull, p2l, If(IsNull(pl), lx, pl)),
+      anyNull)
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(Or(curNull, IsNull(sar)), nullDouble, sar)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Psar =
+    copy(high = c(0), low = c(1), af0Pm = c(2), stepPm = c(3), maxPm = c(4))
+}
+
 /** `macd_hist(value)` — MACD histogram = MACD line − signal line. */
 case class MacdHist(value: Expression) extends MacdSignalBase {
   override def prettyName: String = "macd_hist"

@@ -1221,6 +1221,26 @@ object Rolling {
       .drop("__st_ub", "__st_lb", "atr")
   }
 
+  /** Parabolic SAR (Wilder 1978, public formula): the trailing
+    * stop-and-reverse parabola, run by the native
+    * `psar(high, low, af0, step, max)` recurrence
+    * ([[graft.functions.WindowIndicators.Psar]]) — acceleration factors
+    * as permille ints (20/20/200 ≡ 0.02/0.02/0.2). First bar per key is
+    * NULL (nothing to trail yet); trend seeds on the second bar. One
+    * keyed Window pass, O(1) state. `low > psar` reads as "in an
+    * up-trend". Adds `psar`. */
+  def parabolicSar(df: DataFrame, highCol: String, lowCol: String,
+                   partCols: Seq[String], orderCols: Seq[String],
+                   af0Pm: Int = 20, stepPm: Int = 20,
+                   maxPm: Int = 200): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("psar"), "Rolling.parabolicSar")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("psar", graft.functions.FinancialFunctions
+      .psar(col(highCol).cast("double"), col(lowCol).cast("double"),
+        af0Pm, stepPm, maxPm).over(seqW))
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

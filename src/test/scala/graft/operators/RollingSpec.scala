@@ -747,6 +747,24 @@ class RollingSpec extends AnyFunSuite {
     assert(!out(2).isNullAt(out(2).fieldIndex("supertrend")))
   }
 
+  test("psar: hand-traced seed, two-bar-low clamp, acceleration, reversal") {
+    // af = 0.5, step = 0.5, max = 1.0 keeps the parabola arithmetic exact
+    val df = Seq((10.0, 8.0), (12.0, 10.0), (14.0, 12.0), (9.0, 7.0))
+      .zipWithIndex.map { case ((h, l), i) => ("s", i, h, l) }
+      .toDF("sym", "i", "h", "l")
+    val out = Rolling.parabolicSar(df, "h", "l", Seq("sym"), Seq("i"),
+        af0Pm = 500, stepPm = 500, maxPm = 1000)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("psar"))) // nothing to trail
+    assert(out(1).getAs[Double]("psar") === 8.0)  // seed: up, sar = prior low
+    // cand = 8 + 0.5·(12−8) = 10, clamped to min(10, 10, 8) = 8; high 14
+    // is a new extreme → ep = 14, af accelerates to the 1.0 cap
+    assert(out(2).getAs[Double]("psar") === 8.0)
+    // cand = 8 + 1.0·(14−8) = 14 clamps to 10; low 7 pierces → reversal:
+    // SAR jumps to the old EP
+    assert(out(3).getAs[Double]("psar") === 14.0)
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
