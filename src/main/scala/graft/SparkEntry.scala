@@ -248,6 +248,18 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_market_beta" -> ((s, d) => {
+      // each supplier's 20-bar rolling beta/correlation vs the equal-
+      // weight market index (per-date BIGINT sum of all closes, broadcast
+      // back) — the cross-sectional risk decomposition
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.marketBeta(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("mkt_corr"), col("mkt_beta"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_psar" -> ((s, d) => {
       // Parabolic SAR (0.02/0.02/0.2) over daily bars — the native
       // stop-and-reverse recurrence, NULL on each key's first bar
@@ -5306,6 +5318,40 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Market-beta replay: the per-date BIGINT index sum, an inner join
+    // back, then the exact q_rolling_corr regression kernel (x = index,
+    // y = close, both scale 0 so the slope rescale is the 1.0 identity
+    // and drops out).
+    "q_market_beta" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), mkt AS (
+         |  SELECT l_shipdate, sum(CAST(round(close) AS BIGINT)) AS mi
+         |  FROM bars GROUP BY l_shipdate
+         |), j AS (
+         |  SELECT b.l_suppkey, b.l_shipdate, m.mi AS xi,
+         |    CAST(round(b.close) AS BIGINT) AS yi
+         |  FROM bars b JOIN mkt m ON m.l_shipdate = b.l_shipdate
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    count(*) OVER wn AS cnt,
+         |    CAST(20 * (sum(xi * yi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS num,
+         |    CAST(20 * (sum(xi * xi) OVER wn)
+         |      - (sum(xi) OVER wn) * (sum(xi) OVER wn) AS DOUBLE) AS dx,
+         |    CAST(20 * (sum(yi * yi) OVER wn)
+         |      - (sum(yi) OVER wn) * (sum(yi) OVER wn) AS DOUBLE) AS dy
+         |  FROM j
+         |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN cnt = 20 AND dx > 0 AND dy > 0
+         |       THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |         num / (sqrt(dx) * sqrt(dy)))) END AS mkt_corr,
+         |  CASE WHEN cnt = 20 AND dx > 0
+         |       THEN (num / dx) * 1.0::DOUBLE END AS mkt_beta
+         |FROM s ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // PSAR replay: the full eight-scalar state machine as a WITH
     // RECURSIVE step-per-rn walk. Every compound tree (candidate SAR,
     // clamps, reversal tests, acceleration) is inlined at each use site —

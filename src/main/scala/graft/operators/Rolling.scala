@@ -790,6 +790,37 @@ object Rolling {
         .as("roll_beta"))
   }
 
+  /** Rolling beta and correlation of each series AGAINST THE MARKET —
+    * the cross-sectional companion to [[corrBeta]]. The market index is
+    * the per-timestamp SUM of the scaled metric across ALL series (an
+    * equal-weight aggregate kept in BIGINTs — a sum, not a mean, so the
+    * index is integer-exact); each series then runs the exact
+    * scaled-BIGINT rolling-regression kernel against it.
+    *
+    * Scale shape: the index table has one row per timestamp — tiny next
+    * to the fact table — so it BROADCASTS back (asserted in the spec);
+    * the fact table is shuffled once, on the series key, for the window
+    * pass. The series' own value is part of the index (standard
+    * equal-weight-index caveat; at hundreds of series the self-term is
+    * ~1/N). NULL until the frame holds n complete pairs. Adds
+    * `mkt_corr`, `mkt_beta` (slope of the series on the index). */
+  def marketBeta(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], n: Int, scale: Int = 0): DataFrame = {
+    require(n >= 2, s"need a window of >= 2, got $n")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("mkt_corr", "mkt_beta", "__mkt"), "Rolling.marketBeta")
+    val k = math.pow(10, scale)
+    val xi = round(col(valueCol).cast("double") * lit(k)).cast("long")
+    val mkt = df.groupBy(orderCols.map(col): _*).agg(sum(xi).as("__mkt"))
+    df.join(broadcast(mkt), orderCols)
+      .transform(corrBeta(_, "__mkt", valueCol, partCols, orderCols, n,
+        0, scale))
+      .withColumnRenamed("roll_corr", "mkt_corr")
+      .withColumnRenamed("roll_beta", "mkt_beta")
+      .drop("__mkt")
+  }
+
   /** Trailing-n lag-k autocorrelation of one series — the single-lag ACF
     * run as a rolling diagnostic (mean reversion < 0 < momentum). The
     * lagged twin is materialized once with `lag(value, k)` on the same

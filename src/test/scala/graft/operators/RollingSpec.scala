@@ -765,6 +765,23 @@ class RollingSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("psar") === 14.0)
   }
 
+  test("market beta: exact slope on the equal-weight index, index broadcasts") {
+    val df = Seq(("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+        ("b", 0, 2.0), ("b", 1, 4.0), ("b", 2, 6.0))
+      .toDF("sym", "i", "v")
+    val out = Rolling.marketBeta(df, "v", Seq("sym"), Seq("i"), n = 3)
+    val rows = out.orderBy("sym", "i").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mkt_beta"))) // frame short
+    // market = (3, 6, 9); a moves 1 per 3 index points, b moves 2
+    assert(rows(2).getAs[Double]("mkt_beta") === 1.0 / 3.0)
+    assert(rows(2).getAs[Double]("mkt_corr") === 1.0)
+    assert(rows(5).getAs[Double]("mkt_beta") === 2.0 / 3.0)
+    assert(rows(5).getAs[Double]("mkt_corr") === 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"index join should broadcast:\n$plan")
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
