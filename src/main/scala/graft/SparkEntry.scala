@@ -248,6 +248,25 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_stream_psar" -> ((s, d) => {
+      // the StreamingPsar processor in BATCH mode (the q_stream_vol
+      // pattern): per-user trailing stop-and-reverse on the event score
+      // (degenerate high = low = value bars) — a driver-graded
+      // batch/streaming parity proof for the SAR machine
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value").as("high"), col("value").as("low"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.PsarEvent]
+      graft.streaming.StreamingPsar.psarBatch(ev).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("high").as("value"), col("psar"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_market_beta" -> ((s, d) => {
       // each supplier's 20-bar rolling beta/correlation vs the equal-
       // weight market index (per-date BIGINT sum of all closes, broadcast
@@ -5318,6 +5337,62 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Streaming-PSAR replay: the q_psar recursive machine verbatim, over
+    // the events table with degenerate high = low = value bars and the
+    // (ts_us, event_id) streaming order contract.
+    "q_stream_psar" -> {
+      val af0 = "(20.0::DOUBLE / 1000.0::DOUBLE)"
+      val step = "(20.0::DOUBLE / 1000.0::DOUBLE)"
+      val mx = "(200.0::DOUBLE / 1000.0::DOUBLE)"
+      val cand = "(h.sar + h.af * (h.ep - h.sar))"
+      val candUp = s"least($cand, h.pl, h.p2l)"
+      val candDn = s"greatest($cand, h.ph, h.p2h)"
+      val revUp = s"(s.value < $candUp)"
+      val revDn = s"(s.value > $candDn)"
+      val accel = s"least($mx, h.af + $step)"
+      val upSeed = "(s.value >= h.ph)"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    epoch_ns(ts) // 1000 AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+         |  FROM events
+         |), ps AS (
+         |  SELECT key, ts_us, value, rn,
+         |    CAST(NULL AS DOUBLE) AS sar, CAST(NULL AS DOUBLE) AS ep,
+         |    $af0 AS af, TRUE AS up,
+         |    value AS ph, value AS pl, value AS p2h, value AS p2l
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    CASE WHEN h.sar IS NULL
+         |      THEN (CASE WHEN $upSeed THEN h.pl ELSE h.ph END)
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN h.ep ELSE $candUp END)
+         |        ELSE (CASE WHEN $revDn THEN h.ep ELSE $candDn END) END)
+         |    END AS sar,
+         |    CASE WHEN h.sar IS NULL THEN s.value
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN s.value
+         |              WHEN s.value > h.ep THEN s.value ELSE h.ep END)
+         |        ELSE (CASE WHEN $revDn THEN s.value
+         |              WHEN s.value < h.ep THEN s.value ELSE h.ep END) END)
+         |    END AS ep,
+         |    CASE WHEN h.sar IS NULL THEN $af0
+         |      ELSE (CASE WHEN h.up
+         |        THEN (CASE WHEN $revUp THEN $af0
+         |              WHEN s.value > h.ep THEN $accel ELSE h.af END)
+         |        ELSE (CASE WHEN $revDn THEN $af0
+         |              WHEN s.value < h.ep THEN $accel ELSE h.af END) END)
+         |    END AS af,
+         |    CASE WHEN h.sar IS NULL THEN $upSeed
+         |      ELSE (CASE WHEN h.up THEN NOT $revUp ELSE $revDn END)
+         |    END AS up,
+         |    s.value AS ph, s.value AS pl, h.ph AS p2h, h.pl AS p2l
+         |  FROM ps h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, value, sar AS psar
+         |FROM ps ORDER BY key, ts_us, value""".stripMargin
+    },
     // Market-beta replay: the per-date BIGINT index sum, an inner join
     // back, then the exact q_rolling_corr regression kernel (x = index,
     // y = close, both scale 0 so the slope rescale is the 1.0 identity

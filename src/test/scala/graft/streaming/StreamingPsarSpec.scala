@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingPsarSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ev(key: String, sec: Int, h: Double, l: Double) =
+    PsarEvent(key, new Timestamp(t0 + sec * 1000L), h, l, sec.toLong)
+
+  /** Deterministic jagged walk with plenty of reversals (LCG — no
+    * Math.random, reproducible). */
+  private def walk(n: Int, seed: Long): Seq[(Double, Double)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    (0 until n).map { _ =>
+      val mid = 100.0 + (next() >>> 40).toDouble / 1e4
+      val range = 1.0 + (next() >>> 56).toDouble / 64.0
+      (mid + range, mid - range)
+    }
+  }
+
+  test("batch fold is bit-identical to the native psar window expression") {
+    val bars = walk(400, seed = 42L)
+    val df = bars.zipWithIndex.map { case ((h, l), i) => ("s", i, h, l) }
+      .toDF("sym", "i", "h", "l")
+    val native = graft.operators.Rolling
+      .parabolicSar(df, "h", "l", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("psar"))) None
+                else Some(r.getAs[Double]("psar")))
+    val events = bars.zipWithIndex.map { case ((h, l), i) => ev("s", i, h, l) }
+    val fold = StreamingPsar.psarBatch(events.toDS())
+      .collect().sortBy(_.ts.getTime).map(_.psar)
+    assert(native.length === fold.length)
+    native.zip(fold).zipWithIndex.foreach { case ((n, f), i) =>
+      assert(n === f, s"divergence at bar $i")
+    }
+    // sanity: the walk actually exercised both trends
+    assert(fold.flatten.distinct.length > 100)
+  }
+
+  test("streaming psar equals the batch fold across micro-batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[PsarEvent]
+      val query = StreamingPsar.psar(input.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("psar_ckpt").toString)
+        .format("memory").queryName("psar_out").start()
+      try {
+        val bars = Seq(ev("a", 0, 10.0, 8.0), ev("a", 1, 12.0, 10.0),
+          ev("a", 2, 14.0, 12.0), ev("a", 3, 9.0, 7.0), ev("b", 0, 5.0, 4.0))
+        // split over two micro-batches: state must carry over
+        input.addData(bars.take(2): _*)
+        query.processAllAvailable()
+        input.addData(bars.drop(2): _*)
+        query.processAllAvailable()
+        val out = spark.table("psar_out").as[PsarPoint].collect()
+          .sortBy(p => (p.key, p.ts.getTime))
+        val batch = StreamingPsar.psarBatch(bars.toDS()).collect()
+          .sortBy(p => (p.key, p.ts.getTime))
+        assert(out.toSeq === batch.toSeq)
+        // textbook trace (the RollingSpec psar fixture at default factors)
+        assert(out.head.psar === None)
+        assert(out(1).psar === Some(8.0))
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("factor rails") {
+    intercept[IllegalArgumentException] {
+      StreamingPsar.psarBatch(Seq.empty[PsarEvent].toDS(), af0Pm = 0)
+    }
+  }
+}
