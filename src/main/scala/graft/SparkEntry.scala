@@ -248,6 +248,57 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       dailyBars(s).orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_awesome" -> ((s, d) => {
+      // Awesome Oscillator (5/34 midpoint SMAs) — two BIGINT sums of
+      // h+l, two divisions, one subtract
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.awesomeOscillator(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("ao"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_chandelier" -> ((s, d) => {
+      // Chandelier volatility stops (22-bar extremes ∓ 3·ATR₂₂) —
+      // exact selections over the proven ATR tree
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.chandelierExit(dailyBars(s), "high", "low",
+          "close", Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("chandelier_long"), col("chandelier_short"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_mass_index" -> ((s, d) => {
+      // Mass Index (EMA9 range bulge, 25-bar sum) — layered native EMAs,
+      // ordered frame-list fold for the double-valued sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.massIndex(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("mass_index"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_kst" -> ((s, d) => {
+      // Know Sure Thing (10/15/20/30 ROCs, 10/10/10/15 SMAs, 1:2:3:4) —
+      // four ROC branches folded in order, one blend tree
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.kst(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("kst"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_coppock" -> ((s, d) => {
+      // Coppock curve (wma10 of roc14 + roc11) — position-weighted
+      // frame-list fold over the ROC sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.coppock(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("coppock"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_stream_psar" -> ((s, d) => {
       // the StreamingPsar processor in BATCH mode (the q_stream_vol
       // pattern): per-user trailing stop-and-reverse on the event score
@@ -5337,6 +5388,139 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Awesome-Oscillator replay: BIGINT sums of h+l over both frames,
+    // the exact 2f/2s divisors, gate on the slow frame.
+    "q_awesome" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(high + low) AS BIGINT) AS m2
+         |  FROM bars
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(m2) OVER w34 = 34
+         |    THEN CAST(sum(m2) OVER w5 AS DOUBLE) / 10.0::DOUBLE
+         |       - CAST(sum(m2) OVER w34 AS DOUBLE) / 68.0::DOUBLE END AS ao
+         |FROM t
+         |WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  w34 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Chandelier replay: the q_atr tree at n=22 under 22-bar extremes.
+    "q_chandelier" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), tr AS (
+         |  SELECT l_suppkey, l_shipdate, high, low,
+         |    CASE WHEN lag(close, 1) OVER ws IS NULL THEN high - low
+         |         ELSE greatest(high - low,
+         |                       abs(high - lag(close, 1) OVER ws),
+         |                       abs(low - lag(close, 1) OVER ws)) END AS tr
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  max(high) OVER wn - 3.0::DOUBLE * (CASE WHEN count(tr) OVER wn = 22
+         |    THEN avg(tr) OVER wn END) AS chandelier_long,
+         |  min(low) OVER wn + 3.0::DOUBLE * (CASE WHEN count(tr) OVER wn = 22
+         |    THEN avg(tr) OVER wn END) AS chandelier_short
+         |FROM tr
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Mass-Index replay: two layered duckEma folds over the bar range,
+    // the guarded ratio, then the first-element-seeded 25-term list fold
+    // (0.0 + x ≡ x, the q_cmf precedent).
+    "q_mass_index" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), e1 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${duckEma("list(high - low) OVER wn", 9)} AS e1
+         |  FROM bars WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), e2 AS (
+         |  SELECT l_suppkey, l_shipdate, e1,
+         |    ${duckEma("list(e1) OVER wn", 9)} AS e2
+         |  FROM e1 WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), q AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN e2 <> 0.0 THEN e1 / e2 END AS ratio
+         |  FROM e2
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(ratio) OVER w25 = 25 THEN list(ratio) OVER w25 END AS rl
+         |  FROM q WINDOW w25 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN rl IS NOT NULL
+         |    THEN list_reduce(rl, (a, b) -> a + b) END AS mass_index
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // KST replay: four guarded ROC trees, four in-order frame-list fold
+    // SMAs, the 1:2:3:4 left-associated blend.
+    "q_kst" -> {
+      def roc(p: Int) =
+        s"""CASE WHEN lag(close, $p) OVER ws IS NOT NULL
+           |      AND lag(close, $p) OVER ws <> 0.0
+           |  THEN 100.0::DOUBLE * (close - lag(close, $p) OVER ws)
+           |       / lag(close, $p) OVER ws END""".stripMargin
+      def sma(rc: String, m: Int) =
+        s"""CASE WHEN count($rc) OVER w$m = $m
+           |  THEN list_reduce(list($rc) OVER w$m, (a, b) -> a + b)
+           |       / $m.0::DOUBLE END""".stripMargin
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${roc(10)} AS roc1, ${roc(15)} AS roc2,
+         |    ${roc(20)} AS roc3, ${roc(30)} AS roc4
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    ${sma("roc1", 10)} AS s1, ${sma("roc2", 10)} AS s2,
+         |    ${sma("roc3", 10)} AS s3, ${sma("roc4", 15)} AS s4
+         |  FROM r
+         |  WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         |    w15 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  s1 + 2.0::DOUBLE * s2 + 3.0::DOUBLE * s3 + 4.0::DOUBLE * s4 AS kst
+         |FROM s ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Coppock replay: the guarded ROC-sum tree, then the hull-style
+    // position-weighted 10-element fold over the frame list.
+    "q_coppock" -> {
+      def roc(p: Int) =
+        s"""(CASE WHEN lag(close, $p) OVER ws IS NOT NULL
+           |      AND lag(close, $p) OVER ws <> 0.0
+           |  THEN 100.0::DOUBLE * (close - lag(close, $p) OVER ws)
+           |       / lag(close, $p) OVER ws END)""".stripMargin
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate, ${roc(14)} + ${roc(11)} AS rsum
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(rsum) OVER w10 = 10 THEN list(rsum) OVER w10 END AS rl
+         |  FROM r WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN rl IS NOT NULL THEN
+         |    list_reduce(list_transform(list_zip(rl, generate_series(1, 10)),
+         |      x -> x[1] * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+         |    / 55.0::DOUBLE END AS coppock
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Streaming-PSAR replay: the q_psar recursive machine verbatim, over
     // the events table with degenerate high = low = value bars and the
     // (ts_us, event_id) streaming order contract.

@@ -1272,6 +1272,171 @@ object Rolling {
         af0Pm, stepPm, maxPm).over(seqW))
   }
 
+  /** Awesome Oscillator (Bill Williams, public formula): momentum as the
+    * gap between a fast and a slow simple average of the bar MIDPOINT —
+    * `ao = sma_f((h+l)/2) − sma_s((h+l)/2)`. Computed from BIGINT sums
+    * of `h+l` (twice the midpoint, integer on integer-valued bars):
+    * `S_f/(2f) − S_s/(2s)` — two exact sums, two divisions, one
+    * subtract. NULL until the SLOW frame fills. One keyed Window pass.
+    * Adds `ao`. */
+  def awesomeOscillator(df: DataFrame, highCol: String, lowCol: String,
+                        partCols: Seq[String], orderCols: Seq[String],
+                        fast: Int = 5, slow: Int = 34,
+                        scale: Int = 0): DataFrame = {
+    require(fast >= 1 && slow > fast,
+      s"need slow > fast >= 1, got ($fast, $slow)")
+    require(scale >= 0)
+    Guards.requireNoReserved(df.columns, Seq("ao", "__m2"),
+      "Rolling.awesomeOscillator")
+    val k = math.pow(10, scale)
+    val m2 = round((col(highCol).cast("double") + col(lowCol).cast("double"))
+      * lit(k)).cast("long")
+    val wf = frame(partCols, orderCols, fast)
+    val ws = frame(partCols, orderCols, slow)
+    df.withColumn("__m2", m2)
+      .select(col("*"),
+        when(count(col("__m2")).over(ws) === slow,
+          sum(col("__m2")).over(wf).cast("double") / lit(2.0 * fast * k) -
+            sum(col("__m2")).over(ws).cast("double") / lit(2.0 * slow * k))
+          .as("ao"))
+      .drop("__m2")
+  }
+
+  /** Chandelier Exit (LeBeau, public formula): the volatility trailing
+    * stop — long stop `max_n(high) − mult·atr_n`, short stop
+    * `min_n(low) + mult·atr_n` over the same trailing frame as the
+    * [[atr]]. Exact extremes plus the proven ATR tree; NULL until the
+    * frame fills. The extremes and the TR average share one
+    * (partition, order) spec — one exchange, one sort. Adds
+    * `chandelier_long`, `chandelier_short`. */
+  def chandelierExit(df: DataFrame, highCol: String, lowCol: String,
+                     closeCol: String, partCols: Seq[String],
+                     orderCols: Seq[String], n: Int = 22,
+                     mult: Int = 3): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(mult >= 1, s"multiplier must be >= 1, got $mult")
+    Guards.requireNoReserved(df.columns,
+      Seq("chandelier_long", "chandelier_short", "atr", "graft_tr"),
+      "Rolling.chandelierExit")
+    val w = frame(partCols, orderCols, n)
+    val (h, l) = (col(highCol).cast("double"), col(lowCol).cast("double"))
+    atr(df, highCol, lowCol, closeCol, partCols, orderCols, n)
+      .select(col("*"),
+        (max(h).over(w) - lit(mult.toDouble) * col("atr"))
+          .as("chandelier_long"),
+        (min(l).over(w) + lit(mult.toDouble) * col("atr"))
+          .as("chandelier_short"))
+      .drop("atr")
+  }
+
+  /** Mass Index (Dorsey 1992, public formula): reversal-bulge detector —
+    * `Σ₂₅ ema₉(range) / ema₉(ema₉(range))` with `range = high − low`.
+    * The two EMA layers are native recurrences on one sort (the [[trix]]
+    * layering); the ratio is one IEEE division (NULL on a zero double-
+    * smoothed range — degenerate flat market); the 25-bar sum folds the
+    * collected frame list in order (the [[cci]] discipline — the terms
+    * are genuine doubles). NULL until 25 complete ratios exist. Adds
+    * `mass_index`. */
+  def massIndex(df: DataFrame, highCol: String, lowCol: String,
+                partCols: Seq[String], orderCols: Seq[String],
+                emaN: Int = 9, sumN: Int = 25): DataFrame = {
+    require(emaN >= 1 && sumN >= 1)
+    Guards.requireNoReserved(df.columns,
+      Seq("mass_index", "__r", "__e1", "__e2", "__ratio", "__rl"),
+      "Rolling.massIndex")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, sumN)
+    val ema = graft.functions.FinancialFunctions.ema(_: Column, emaN)
+    df.withColumn("__r",
+        col(highCol).cast("double") - col(lowCol).cast("double"))
+      .withColumn("__e1", ema(col("__r")).over(seqW))
+      .withColumn("__e2", ema(col("__e1")).over(seqW))
+      .withColumn("__ratio",
+        when(col("__e2") =!= 0.0, col("__e1") / col("__e2")))
+      .withColumn("__rl",
+        when(count(col("__ratio")).over(w) === sumN,
+          collect_list(col("__ratio")).over(w)))
+      .withColumn("mass_index",
+        aggregate(col("__rl"), lit(0.0), (a, b) => a + b))
+      .drop("__r", "__e1", "__e2", "__ratio", "__rl")
+  }
+
+  /** Know Sure Thing (Pring, public formula): four rate-of-change
+    * horizons, each SMA-smoothed, blended 1:2:3:4 —
+    * `kst = Σᵢ i · sma_{mᵢ}(roc_{pᵢ})` with the standard daily params
+    * (10/15/20/30 ROC, 10/10/10/15 SMA). Each ROC is one IEEE tree off a
+    * lag; each smoothing folds its collected frame list in order (ROCs
+    * are genuine doubles — the [[cci]] discipline); the blend is one
+    * fixed left-associated tree. NULL until every branch's frame holds
+    * its full complement of ROCs. All lags, frames, and folds share one
+    * (partition, order) spec — one exchange, one sort. Adds `kst`. */
+  def kst(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String],
+          rocPeriods: Seq[Int] = Seq(10, 15, 20, 30),
+          smaPeriods: Seq[Int] = Seq(10, 10, 10, 15)): DataFrame = {
+    require(rocPeriods.length == 4 && smaPeriods.length == 4,
+      "kst takes exactly four (roc, sma) branch periods")
+    require((rocPeriods ++ smaPeriods).forall(_ >= 1))
+    val internals = (1 to 4).flatMap(i => Seq(s"__roc$i", s"__s$i"))
+    Guards.requireNoReserved(df.columns, "kst" +: internals,
+      "Rolling.kst")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    def fold(lst: Column): Column = aggregate(lst, lit(0.0), (a, b) => a + b)
+    val withRocs = df.select(col("*") +: rocPeriods.zipWithIndex.map {
+      case (p, i) =>
+        val base = lag(x, p).over(seqW)
+        when(base.isNotNull && base =!= 0.0,
+          lit(100.0) * (x - base) / base).as(s"__roc${i + 1}")
+    }: _*)
+    val withSmas = withRocs.select(col("*") +: smaPeriods.zipWithIndex.map {
+      case (m, i) =>
+        val w = frame(partCols, orderCols, m)
+        val r = col(s"__roc${i + 1}")
+        (fold(when(count(r).over(w) === m, collect_list(r).over(w))) /
+          lit(m.toDouble)).as(s"__s${i + 1}")
+    }: _*)
+    withSmas
+      .withColumn("kst",
+        col("__s1") + lit(2.0) * col("__s2") + lit(3.0) * col("__s3") +
+          lit(4.0) * col("__s4"))
+      .drop(internals: _*)
+  }
+
+  /** Coppock Curve (Coppock 1962, public formula): the long-horizon
+    * momentum bottom-finder — `wma₁₀(roc₁₄ + roc₁₁)` (periods in BARS
+    * here; Coppock's original ran on months). The ROC sum is one IEEE
+    * tree; the weighted smooth folds the collected 10-element frame list
+    * with position weights (doubles — the [[hullMa]] outer-pass
+    * discipline). NULL until ten complete ROC sums exist. One keyed
+    * exchange. Adds `coppock`. */
+  def coppock(df: DataFrame, valueCol: String, partCols: Seq[String],
+              orderCols: Seq[String], wmaN: Int = 10, roc1: Int = 14,
+              roc2: Int = 11): DataFrame = {
+    require(wmaN >= 1 && roc1 >= 1 && roc2 >= 1)
+    Guards.requireNoReserved(df.columns,
+      Seq("coppock", "__rsum", "__rl"), "Rolling.coppock")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, wmaN)
+    val x = col(valueCol).cast("double")
+    def roc(p: Int): Column = {
+      val base = lag(x, p).over(seqW)
+      when(base.isNotNull && base =!= 0.0, lit(100.0) * (x - base) / base)
+    }
+    df.withColumn("__rsum", roc(roc1) + roc(roc2))
+      .withColumn("__rl",
+        when(count(col("__rsum")).over(w) === wmaN,
+          collect_list(col("__rsum")).over(w)))
+      .withColumn("coppock",
+        aggregate(
+          transform(col("__rl"), (v, i) => v * (i + lit(1)).cast("double")),
+          lit(0.0), (a, b) => a + b) / lit(wmaN * (wmaN + 1) / 2.0))
+      .drop("__rsum", "__rl")
+  }
+
   /** Trailing-n VWAP (volume-weighted average price):
     * `Σ(price·volume) / Σ(volume)` over the frame, NULL until it fills.
     *

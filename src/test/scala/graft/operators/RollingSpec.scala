@@ -782,6 +782,52 @@ class RollingSpec extends AnyFunSuite {
       s"index join should broadcast:\n$plan")
   }
 
+  test("awesome oscillator: hand-traced fast/slow midpoint gap") {
+    val df = Seq((10.0, 8.0), (12.0, 10.0))
+      .zipWithIndex.map { case ((h, l), i) => ("s", i, h, l) }
+      .toDF("sym", "i", "h", "l")
+    val out = Rolling.awesomeOscillator(df, "h", "l", Seq("sym"), Seq("i"),
+        fast = 1, slow = 2)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ao")))
+    // midpoints 9, 11: fast avg 11, slow avg 10
+    assert(out(1).getAs[Double]("ao") === 1.0)
+  }
+
+  test("chandelier exit: textbook stops at n=1") {
+    val df = Seq(("s", 0, 10.0, 8.0, 9.0)).toDF("sym", "i", "h", "l", "c")
+    val out = Rolling.chandelierExit(df, "h", "l", "c", Seq("sym"), Seq("i"),
+        n = 1, mult = 1)
+      .collect().head
+    assert(out.getAs[Double]("chandelier_long") === 8.0)  // 10 − 2
+    assert(out.getAs[Double]("chandelier_short") === 10.0) // 8 + 2
+  }
+
+  test("mass index: unit ratios sum to the window length") {
+    // emaN = 1 → e1 = range, e2 = e1 → every ratio is exactly 1
+    val df = (0 until 5).map(i => ("s", i, 10.0 + i, 8.0 + i))
+      .toDF("sym", "i", "h", "l")
+    val out = Rolling.massIndex(df, "h", "l", Seq("sym"), Seq("i"),
+        emaN = 1, sumN = 3)
+      .orderBy("i").collect()
+    assert(out(1).isNullAt(out(1).fieldIndex("mass_index")))
+    (2 to 4).foreach(i => assert(out(i).getAs[Double]("mass_index") === 3.0))
+  }
+
+  test("kst and coppock: flat series scores exactly zero after warm-up") {
+    val df = (0 until 50).map(i => ("s", i, 5.0)).toDF("sym", "i", "v")
+    val k = Rolling.kst(df, "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(k(43).isNullAt(k(43).fieldIndex("kst"))) // s4 frame one short
+    assert(k(44).getAs[Double]("kst") === 0.0)
+    assert(k(49).getAs[Double]("kst") === 0.0)
+    val c = Rolling.coppock(df, "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(c(21).isNullAt(c(21).fieldIndex("coppock")))
+    assert(c(23).getAs[Double]("coppock") === 0.0)
+    assert(c(49).getAs[Double]("coppock") === 0.0)
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
