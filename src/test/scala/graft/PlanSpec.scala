@@ -185,6 +185,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bar-recurrence chains shuffle once for the bars, once for the windows") {
+    // dailyBars aggregates on (suppkey, day) — exchange 1; every window
+    // pass in the chain (ATR + SuperTrend, the 3 TRIX EMA layers, the
+    // hull WMA ladder, PSAR) shares the supplier partitioning — exchange
+    // 2 and NO MORE, however many recurrence layers stack
+    for (name <- Seq("q_supertrend", "q_psar", "q_trix", "q_hull_ma")) {
+      val p = plan(name)
+      assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+        s"$name should shuffle exactly twice (bars agg + shared window key):\n$p")
+    }
+  }
+
   test("full-outer join pre-aggregates both sides below the join") {
     val p = plan("q_full_outer")
     val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")

@@ -118,6 +118,37 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("round-8 session-2 indicators on an empty frame") {
+    val emptyBars = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("sym", StringType), StructField("i", LongType),
+        StructField("o", DoubleType), StructField("h", DoubleType),
+        StructField("l", DoubleType), StructField("c", DoubleType))))
+    val (p, ord) = (Seq("sym"), Seq("i"))
+    assert(Rolling.vortex(emptyBars, "h", "l", "c", p, ord, 14).count() === 0)
+    assert(Rolling.cmo(emptyBars, "c", p, ord, 14).count() === 0)
+    assert(Rolling.ultimateOscillator(emptyBars, "h", "l", "c", p, ord)
+      .count() === 0)
+    assert(Rolling.dpo(emptyBars, "c", p, ord, 20).count() === 0)
+    assert(Rolling.pivotPoints(emptyBars, "h", "l", "c", p, ord).count() === 0)
+    assert(Rolling.heikinAshi(emptyBars, "o", "h", "l", "c", p, ord)
+      .count() === 0)
+    assert(Rolling.ppo(emptyBars, "c", p, ord).count() === 0)
+    assert(Rolling.trix(emptyBars, "c", p, ord).count() === 0)
+    assert(Rolling.wma(emptyBars, "c", p, ord, 10).count() === 0)
+    assert(Rolling.hullMa(emptyBars, "c", p, ord, 16).count() === 0)
+    assert(Rolling.superTrend(emptyBars, "h", "l", "c", p, ord, 10, 3)
+      .count() === 0)
+    assert(Rolling.parabolicSar(emptyBars, "h", "l", p, ord).count() === 0)
+    assert(Rolling.marketBeta(emptyBars, "c", p, ord, 20).count() === 0)
+    assert(Rolling.awesomeOscillator(emptyBars, "h", "l", p, ord).count() === 0)
+    assert(Rolling.chandelierExit(emptyBars, "h", "l", "c", p, ord)
+      .count() === 0)
+    assert(Rolling.massIndex(emptyBars, "h", "l", p, ord).count() === 0)
+    assert(Rolling.kst(emptyBars, "c", p, ord).count() === 0)
+    assert(Rolling.coppock(emptyBars, "c", p, ord).count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
