@@ -209,6 +209,25 @@ object StreamingPipeline {
         col("volume"), col("vwap"), col("transactions"))
   }
 
+  /** Replay suppression for at-least-once feeds: drop ticks whose dedup
+    * key was already seen, keeping bounded state via the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — state for a key is
+    * evictable once the watermark passes it, so the dedup map cannot grow
+    * without bound the way a plain streaming `dropDuplicates` would).
+    * The key must DETERMINE the row (true replays) — which duplicate
+    * survives is then immaterial. On a static frame it degrades to plain
+    * `dropDuplicates` over the same key. */
+  def dedupTicks(ticks: Dataset[MarketTick],
+                 keyCols: Seq[String] = Seq("symbol", "timestamp"),
+                 watermark: String = "10 minutes"): Dataset[MarketTick] = {
+    import ticks.sparkSession.implicits._
+    if (ticks.isStreaming)
+      ticks.toDF().withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .as[MarketTick]
+    else ticks.toDF().dropDuplicates(keyCols).as[MarketTick]
+  }
+
   /** Threshold detection (reference `streaming.rs:177-256`) as one column
     * expression pass: each rule builds a struct-or-null, then explodes the
     * non-null ones. Works identically on a static or streaming frame. */

@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite {
       s.getAs[Double]("strength") <= 1.0))
   }
 
+  test("dedupTicks suppresses replays across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketTick]
+    val query = StreamingPipeline.dedupTicks(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0))
+      query.processAllAvailable()
+      // the same (symbol, timestamp) replayed in a LATER micro-batch, plus
+      // one genuinely new tick
+      input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 2, 152.0))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").as[MarketTick].collect()
+      assert(out.length === 3, "replay must be dropped, new ticks kept")
+      assert(out.map(_.timestamp.getTime).distinct.length === 3)
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS dedup_out")
+    }
+    // static frame degrades to plain dropDuplicates on the same key
+    val st = StreamingPipeline.dedupTicks(
+      Seq(tick("A", 0, 1.0), tick("A", 0, 1.0), tick("A", 1, 2.0)).toDS())
+    assert(st.count() === 2)
+  }
+
   test("structured streaming end-to-end: per-symbol state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[MarketTick]
