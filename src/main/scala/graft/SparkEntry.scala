@@ -1630,6 +1630,28 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
+    "q_mann_whitney" -> ((s, d) => {
+      // per-day Mann–Whitney U between purchase and view values — the
+      // nonparametric A/B readout beside q_welch_t; doubled average
+      // ranks keep the whole rank layer exact integers
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.mannWhitney(ev, "value", "event_type",
+          "purchase", "view", Seq("day"), scale = 2)
+        .orderBy(col("day"))
+    }),
+    "q_moments" -> ((s, d) => {
+      // per-supplier skewness / excess kurtosis / Jarque–Bera from four
+      // exact DECIMAL power sums — one map-side-combinable pass
+      load(s, d)
+      operators.Stats.moments(s.table("lineitem"), "l_quantity",
+          Seq("l_suppkey"))
+        .orderBy(col("l_suppkey"))
+    }),
     "q_transitions" -> ((s, d) => {
       // first-order Markov transition matrix of per-user event streams
       // (counts, row-conditional p, mean inter-event gap in MICROS —
@@ -4610,6 +4632,79 @@ object SparkEntry {
     // statistics, identically-parenthesized closed forms (every IEEE op
     // in the same order), NULL when an arm has < 2 rows or the standard
     // error is zero.
+    // Mann–Whitney replay: doubled average ranks (2·rank + tie − 1) over
+    // the pooled per-day sample, per-row t²−1 tie accumulation, then the
+    // exact z tree — every op in Stats.mannWhitney order.
+    "q_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |r AS (
+        |  SELECT day, v,
+        |    CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) AS t,
+        |    2 * CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1 AS r2
+        |  FROM e),
+        |s AS (
+        |  SELECT day,
+        |    CAST(count(*) FILTER (WHERE v = 'purchase') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE v = 'view') AS BIGINT) AS n_b,
+        |    CAST(sum(r2) FILTER (WHERE v = 'purchase') AS BIGINT) AS s2a,
+        |    CAST(sum(t * t - 1) AS BIGINT) AS tc
+        |  FROM r GROUP BY day),
+        |f AS (
+        |  SELECT day, n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(s2a AS DOUBLE) AS s2ad,
+        |    CAST(tc AS DOUBLE) AS tcd
+        |  FROM s),
+        |g AS (
+        |  SELECT day, n_a, n_b, na, nb,
+        |    (s2ad - na * (na + 1.0::DOUBLE)) / 2.0::DOUBLE AS u,
+        |    (na * nb / 12.0::DOUBLE) * ((na + nb + 1.0::DOUBLE)
+        |      - tcd / ((na + nb) * (na + nb - 1.0::DOUBLE))) AS sig2
+        |  FROM f)
+        |SELECT day, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN u END AS u,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND sig2 > 0.0 THEN
+        |    (u - na * nb / 2.0::DOUBLE) / sqrt(sig2) END AS z
+        |FROM g ORDER BY day""".stripMargin,
+    // Moments replay: four HUGEINT-exact power sums (≡ Spark's
+    // DECIMAL(38,0) — both cast the identical integer to double), then
+    // the raw-moment closed forms as the same fixed trees.
+    "q_moments" ->
+      """WITH b AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1.0::DOUBLE) AS BIGINT) AS xi
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |s AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xi) AS DOUBLE) AS s1,
+        |    CAST(sum(xi * xi) AS DOUBLE) AS s2,
+        |    CAST(sum(xi * xi * xi) AS DOUBLE) AS s3,
+        |    CAST(sum(xi * xi * xi * xi) AS DOUBLE) AS s4
+        |  FROM b GROUP BY l_suppkey),
+        |g AS (SELECT *, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS m
+        |      FROM s),
+        |h AS (SELECT *,
+        |    s2 / nd - m * m AS m2,
+        |    s3 / nd - 3.0::DOUBLE * m * (s2 / nd)
+        |      + 2.0::DOUBLE * m * m * m AS m3,
+        |    s4 / nd - 4.0::DOUBLE * m * (s3 / nd)
+        |      + 6.0::DOUBLE * m * m * (s2 / nd)
+        |      - 3.0::DOUBLE * m * m * m * m AS m4
+        |  FROM g),
+        |k AS (SELECT *, m3 / sqrt(m2 * m2 * m2) AS skew,
+        |        m4 / (m2 * m2) - 3.0::DOUBLE AS kurt
+        |      FROM h)
+        |SELECT l_suppkey, n, m / 1.0::DOUBLE AS mean,
+        |  CASE WHEN n >= 2 AND m2 > 0.0 THEN skew END AS skewness,
+        |  CASE WHEN n >= 2 AND m2 > 0.0 THEN kurt END AS kurtosis_excess,
+        |  CASE WHEN n >= 2 AND m2 > 0.0 THEN
+        |    (nd / 6.0::DOUBLE) * (skew * skew + kurt * kurt / 4.0::DOUBLE)
+        |  END AS jarque_bera
+        |FROM k ORDER BY l_suppkey""".stripMargin,
     "q_welch_t" ->
       """WITH e AS (
         |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,

@@ -302,4 +302,119 @@ object Stats {
         col(valueCol).as("weighted_median") :+
         col("__tot").as("total_weight")): _*)
   }
+
+  /** Per-group Mann–Whitney U (Wilcoxon rank-sum, public formula): the
+    * NONPARAMETRIC A/B readout — does arm A stochastically dominate arm
+    * B — robust where [[welchT]]'s mean comparison is outlier-fragile.
+    *
+    * Exactness discipline: values quantize to `scale` decimals, the
+    * pooled rank layer uses the [[spearman]] DOUBLED-average-rank trick
+    * (a tie group's 2·avgrank = 2·rank + peers − 1 — exact integers), so
+    * `2·U_A = Σ_A 2r − n_A(n_A+1)` is an exact BIGINT. The tie
+    * correction `T = Σ(t³ − t)` accumulates per ROW as `t² − 1` (each
+    * tie-group member contributes once — no second shuffle on the value).
+    * `u`/`z` are then single fixed IEEE trees over five exact integers:
+    * `z = (U − n_An_B/2) / √((n_An_B/12)·(n+1 − T/(n(n−1))))` (no
+    * continuity correction — documented). NULL `z` on a degenerate group
+    * (an empty arm, or all values tied). Rows with a variant outside
+    * {a, b} fail loudly, the [[welchT]] contract. Plan: one hash
+    * exchange on the group key; rank and tie-size share ONE sort; the
+    * final aggregate is map-side combinable.
+    * Emits (groupCols…, `n_a`, `n_b`, `u`, `z`). */
+  def mannWhitney(df: DataFrame, valueCol: String, variantCol: String,
+                  variantA: String, variantB: String, groupCols: Seq[String],
+                  scale: Int = 0): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "mannWhitney needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "u", "z", "__xi", "__r2", "__t"), "Stats.mannWhitney")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(variantCol)
+    val xi = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"mannWhitney: $variantCol must be '$variantA' or '$variantB', got "),
+          coalesce(v, lit("NULL")))))
+      .otherwise(round(col(valueCol).cast("double") *
+        lit(math.pow(10, scale))).cast("long"))
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__arm") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__xi"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow)).cast("long")
+    val ranked = base
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w).cast("long") + col("__t") - lit(1L))
+    val isA = col("__arm") === variantA
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(isA, col("__r2"))).as("__s2a"),
+      sum(col("__t") * col("__t") - lit(1L)).as("__tcorr"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val u = (col("__s2a").cast("double") - na * (na + lit(1.0))) / lit(2.0)
+    val sig2 = (na * nb / lit(12.0)) *
+      ((n + lit(1.0)) - col("__tcorr").cast("double") / (n * (n - lit(1.0))))
+    sums.select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") >= 1L && col("n_b") >= 1L, u).as("u") :+
+      when(col("n_a") >= 1L && col("n_b") >= 1L && sig2 > 0.0,
+        (u - na * nb / lit(2.0)) / sqrt(sig2)).as("z")): _*)
+  }
+
+  /** Per-group higher moments (public formulas): population skewness,
+    * excess kurtosis, and the Jarque–Bera normality statistic — the
+    * distribution-shape screen (fat tails, asymmetry, fabricated
+    * too-normal data) next to [[corrRegression]]'s first two moments.
+    *
+    * Exactness: values quantize to `scale` decimals; the four power sums
+    * accumulate as DECIMAL(38,0) (exact in any aggregation order — x⁴
+    * fits a BIGINT per term, the SUM would not). Central moments come
+    * from the raw-moment closed forms, each ONE fixed IEEE tree:
+    * `M2 = S2/n − m²`, `M3 = S3/n − 3m·S2/n + 2m³`,
+    * `M4 = S4/n − 4m·S3/n + 6m²·S2/n − 3m⁴`, then
+    * `skew = M3/M2^{3/2}`, `kurt = M4/M2² − 3`,
+    * `JB = n/6·(skew² + kurt²/4)`. Skew/kurt/JB are scale-invariant, so
+    * only `mean` descales. NULL shape stats on a zero-variance group.
+    * ONE map-side-combinable aggregation — no window, no second pass.
+    * Emits (groupCols…, `n`, `mean`, `skewness`, `kurtosis_excess`,
+    * `jarque_bera`). */
+  def moments(df: DataFrame, valueCol: String, groupCols: Seq[String],
+              scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "moments needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "mean", "skewness", "kurtosis_excess", "jarque_bera",
+        "__s1", "__s2", "__s3", "__s4"), "Stats.moments")
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val sums = df.filter(xi.isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        dec(xi).as("__s1"),
+        dec(xi * xi).as("__s2"),
+        dec(xi * xi * xi).as("__s3"),
+        dec(xi * xi * xi * xi).as("__s4"))
+    val nD = col("n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val m = d("__s1") / nD
+    val m2 = d("__s2") / nD - m * m
+    val m3 = d("__s3") / nD - lit(3.0) * m * (d("__s2") / nD) +
+      lit(2.0) * m * m * m
+    val m4 = d("__s4") / nD - lit(4.0) * m * (d("__s3") / nD) +
+      lit(6.0) * m * m * (d("__s2") / nD) - lit(3.0) * m * m * m * m
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    val ok = col("n") >= 2L && m2 > 0.0
+    sums.select((groupCols.map(col) :+ col("n") :+
+      (m / lit(math.pow(10, scale))).as("mean") :+
+      when(ok, skew).as("skewness") :+
+      when(ok, kurt).as("kurtosis_excess") :+
+      when(ok, (nD / lit(6.0)) * (skew * skew + kurt * kurt / lit(4.0)))
+        .as("jarque_bera")): _*)
+  }
 }

@@ -243,4 +243,54 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative weight") ||
       Option(e.getCause).exists(_.getMessage.contains("negative weight")))
   }
+
+  test("mannWhitney: textbook U and z on a clean separation") {
+    // A = {1, 2}, B = {3, 4}: A fully below B → U_A = 0
+    val df = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 3.0),
+        ("g", "b", 4.0))
+      .toDF("g", "arm", "v")
+    val r = Stats.mannWhitney(df, "v", "arm", "a", "b", Seq("g"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u") === 0.0)
+    // z = (0 − 2) / √((4/12)·5) = −2/√(5/3)
+    assert(math.abs(r.getAs[Double]("z") - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+  }
+
+  test("mannWhitney: full tie gives the midpoint U and a null z") {
+    val df = Seq(("g", "a", 7.0), ("g", "b", 7.0)).toDF("g", "arm", "v")
+    val r = Stats.mannWhitney(df, "v", "arm", "a", "b", Seq("g"))
+      .collect().head
+    assert(r.getAs[Double]("u") === 0.5) // average rank 1.5 → U = 0.5
+    assert(r.isNullAt(r.fieldIndex("z"))) // zero variance: everything tied
+  }
+
+  test("mannWhitney: stray arm fails loudly") {
+    val df = Seq(("g", "a", 1.0), ("g", "c", 2.0)).toDF("g", "arm", "v")
+    val e = intercept[Exception] {
+      Stats.mannWhitney(df, "v", "arm", "a", "b", Seq("g")).collect()
+    }
+    assert(e.getMessage.contains("mannWhitney") ||
+      Option(e.getCause).exists(_.getMessage.contains("mannWhitney")))
+  }
+
+  test("moments: textbook skew/kurtosis on the 3-point uniform, null on constant") {
+    val df = Seq(("u", 1.0), ("u", 2.0), ("u", 3.0),
+        ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val out = Stats.moments(df, "v", Seq("g")).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val u = out("u")
+    assert(u.getAs[Double]("mean") === 2.0)
+    // the closed forms run in doubles (m2 = 2/3 is not dyadic) — the
+    // textbook values hold to rounding; cross-engine bit-exactness is
+    // the oracle gate's job
+    assert(math.abs(u.getAs[Double]("skewness")) < 1e-12)
+    assert(math.abs(u.getAs[Double]("kurtosis_excess") - (-1.5)) < 1e-12)
+    // JB = (3/6)·(0 + 1.5²/4)
+    assert(math.abs(u.getAs[Double]("jarque_bera") - 0.5 * (2.25 / 4.0)) < 1e-10)
+    val c = out("c")
+    assert(c.getAs[Double]("mean") === 5.0)
+    assert(c.isNullAt(c.fieldIndex("skewness"))) // zero variance
+    assert(c.isNullAt(c.fieldIndex("jarque_bera")))
+  }
 }
