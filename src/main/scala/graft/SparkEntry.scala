@@ -1630,6 +1630,16 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
+    "q_corr_matrix" -> ((s, d) => {
+      // pairwise close-correlation matrix across suppliers — ONE
+      // date-co-located self-join, five BIGINT sums per pair, the
+      // corrBeta clamp tree; K²/2 output rows
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Stats.pairwiseCorr(dailyBars(s), "l_suppkey",
+          "l_shipdate", "close", minOverlap = 30)
+        .orderBy(col("key_a"), col("key_b"))
+    }),
     "q_mann_whitney" -> ((s, d) => {
       // per-day Mann–Whitney U between purchase and view values — the
       // nonparametric A/B readout beside q_welch_t; doubled average
@@ -4632,6 +4642,36 @@ object SparkEntry {
     // statistics, identically-parenthesized closed forms (every IEEE op
     // in the same order), NULL when an arm has < 2 rows or the standard
     // error is zero.
+    // Correlation-matrix replay: the same date-equi self-join (keyA <
+    // keyB), BIGINT five-sums, and the corrBeta clamp tree per pair.
+    "q_corr_matrix" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), b AS (
+         |  SELECT l_suppkey AS k, l_shipdate AS d,
+         |    CAST(round(close) AS BIGINT) AS x
+         |  FROM bars
+         |), s AS (
+         |  SELECT a.k AS key_a, c.k AS key_b,
+         |    CAST(count(*) AS BIGINT) AS n_overlap,
+         |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(c.x) AS BIGINT) AS sy,
+         |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         |    CAST(sum(c.x * c.x) AS BIGINT) AS syy,
+         |    CAST(sum(a.x * c.x) AS BIGINT) AS sxy
+         |  FROM b a JOIN b c ON c.d = a.d AND a.k < c.k
+         |  GROUP BY 1, 2
+         |), f AS (
+         |  SELECT key_a, key_b, n_overlap,
+         |    CAST(n_overlap * sxy - sx * sy AS DOUBLE) AS num,
+         |    CAST(n_overlap * sxx - sx * sx AS DOUBLE) AS dx,
+         |    CAST(n_overlap * syy - sy * sy AS DOUBLE) AS dy
+         |  FROM s WHERE n_overlap >= 30
+         |)
+         |SELECT key_a, key_b, n_overlap,
+         |  CASE WHEN dx > 0.0 AND dy > 0.0 THEN
+         |    greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |      num / (sqrt(dx) * sqrt(dy)))) END AS corr
+         |FROM f ORDER BY key_a, key_b""".stripMargin,
     // Mann–Whitney replay: doubled average ranks (2·rank + tie − 1) over
     // the pooled per-day sample, per-row t²−1 tie accumulation, then the
     // exact z tree — every op in Stats.mannWhitney order.

@@ -365,6 +365,57 @@ object Stats {
         (u - na * nb / lit(2.0)) / sqrt(sig2)).as("z")): _*)
   }
 
+  /** Pairwise correlation matrix across series — the portfolio
+    * dependence structure (which series co-move): for every unordered
+    * key pair, the full-overlap Pearson correlation of the
+    * time-aligned values. The classic risk-matrix build.
+    *
+    * Plan shape: ONE self-join equi-keyed on the timestamp (both sides
+    * co-partition on time — no cross join; the `keyA < keyB` predicate
+    * halves the matrix), then a map-side-combinable five-sum aggregate
+    * on the pair key. Output is pair-cardinality-sized (K²/2 rows for K
+    * series), never row-count-sized. At 100 TB the join is the cost:
+    * rows-per-timestamp × K fan-out — bound K (select your universe)
+    * before calling, exactly like any all-pairs matrix.
+    *
+    * Exactness: the [[graft.operators.Rolling.corrBeta]] discipline —
+    * values quantize to `scale` decimals, all five sums are BIGINT, the
+    * correlation is one fixed IEEE tree with separate square roots and
+    * the [−1, 1] clamp. Pairs with overlap < `minOverlap` are dropped.
+    * Emits (`key_a`, `key_b`, `n_overlap`, `corr`). */
+  def pairwiseCorr(df: DataFrame, keyCol: String, timeCol: String,
+                   valueCol: String, minOverlap: Int = 2,
+                   scale: Int = 0): DataFrame = {
+    require(minOverlap >= 2, s"need minOverlap >= 2, got $minOverlap")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("key_a", "key_b", "n_overlap", "corr"), "Stats.pairwiseCorr")
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val left = df.select(col(keyCol).as("__ka"), col(timeCol).as("__t"),
+        xi.as("__x"))
+      .filter(col("__x").isNotNull)
+    val right = left.select(col("__ka").as("__kb"), col("__t").as("__t2"),
+      col("__x").as("__y"))
+    val sums = left
+      .join(right, col("__t") === col("__t2") && col("__ka") < col("__kb"))
+      .groupBy(col("__ka").as("key_a"), col("__kb").as("key_b"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .filter(col("n_overlap") >= minOverlap.toLong)
+    val n = col("n_overlap")
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    sums.select(col("key_a"), col("key_b"), n,
+      when(dx > 0.0 && dy > 0.0,
+        greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy)))))
+        .as("corr"))
+  }
+
   /** Per-group higher moments (public formulas): population skewness,
     * excess kurtosis, and the Jarque–Bera normality statistic — the
     * distribution-shape screen (fat tails, asymmetry, fabricated

@@ -244,6 +244,21 @@ class StatsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("negative weight")))
   }
 
+  test("pairwiseCorr: exact ±1 on (anti)co-moving series, overlap filter") {
+    val df = Seq(("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+        ("b", 0, 2.0), ("b", 1, 4.0), ("b", 2, 6.0),
+        ("c", 0, 3.0), ("c", 1, 2.0), ("c", 2, 1.0),
+        ("d", 0, 9.0)) // single point: below minOverlap, must drop
+      .toDF("k", "t", "v")
+    val out = Stats.pairwiseCorr(df, "k", "t", "v", minOverlap = 2)
+      .collect().map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b"))
+        -> r.getAs[Double]("corr")).toMap
+    assert(out(("a", "b")) === 1.0)
+    assert(out(("a", "c")) === -1.0)
+    assert(out(("b", "c")) === -1.0)
+    assert(out.size === 3) // no pair involving 'd'
+  }
+
   test("mannWhitney: textbook U and z on a clean separation") {
     // A = {1, 2}, B = {3, 4}: A fully below B → U_A = 0
     val df = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 3.0),
