@@ -50,7 +50,14 @@ object ScaleProbe {
     "q_sorted_neighborhood", "q_k_anonymity", "q_macd_full",
     "q_sessionize",
     // late-round-8: the double-rank-sort Spearman and the lead+agg TWAP
-    "q_spearman", "q_twap")
+    "q_spearman", "q_twap",
+    // round-8 session 2: the two new native recurrences over 10× MORE
+    // keys (per-key state ⇒ should track the keyed-window family), the
+    // broadcast-index market beta, the pooled-rank Mann–Whitney, and the
+    // K²-by-construction pair matrix (the one honest superlinear case —
+    // 10× keys ⇒ 100× pairs; SCALE.md documents bounding K)
+    "q_supertrend", "q_psar", "q_market_beta", "q_mann_whitney",
+    "q_corr_matrix")
 
   private case class Shift(col: String, offset: Long)
 

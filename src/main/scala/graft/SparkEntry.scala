@@ -1630,14 +1630,35 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
-    "q_corr_matrix" -> ((s, d) => {
-      // pairwise close-correlation matrix across suppliers — ONE
-      // date-co-located self-join, five BIGINT sums per pair, the
-      // corrBeta clamp tree; K²/2 output rows
+    "q_risk_ratios" -> ((s, d) => {
+      // per-supplier Sortino/Omega/Calmar over the log-return series —
+      // the downside companions to q_perf_summary's Sharpe; annualized
+      // by sqrt(252) like the vol gates
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Stats.pairwiseCorr(dailyBars(s), "l_suppkey",
-          "l_shipdate", "close", minOverlap = 30)
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+        Seq("l_suppkey"), Seq("l_shipdate"))
+      operators.Rolling.riskRatios(rets, "ret_log",
+          Seq("l_suppkey"), Seq("l_shipdate"),
+          annualize = math.sqrt(252.0))
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_corr_matrix" -> ((s, d) => {
+      // pairwise close-correlation matrix over a BOUNDED universe — the
+      // top-100 suppliers by total traded volume (deterministic suppkey
+      // tie-break), the documented mitigation for the K²-by-construction
+      // pair growth (an unbounded K would quadruple pairs per corpus
+      // doubling; the 10× scale probe OOM-proved it). ONE date-co-located
+      // self-join, five BIGINT sums per pair, the corrBeta clamp tree.
+      load(s, d)
+      import org.apache.spark.sql.functions.{broadcast, col, round, sum}
+      val bars = dailyBars(s)
+      val universe = bars.groupBy(col("l_suppkey"))
+        .agg(sum(round(col("volume") * 100).cast("long")).as("__vol"))
+        .orderBy(col("__vol").desc, col("l_suppkey"))
+        .limit(100).select("l_suppkey")
+      operators.Stats.pairwiseCorr(bars.join(broadcast(universe), "l_suppkey"),
+          "l_suppkey", "l_shipdate", "close", minOverlap = 30)
         .orderBy(col("key_a"), col("key_b"))
     }),
     "q_mann_whitney" -> ((s, d) => {
@@ -4647,10 +4668,16 @@ object SparkEntry {
     "q_corr_matrix" ->
       s"""WITH bars AS (
          |$duckBarsSql
+         |), uni AS (
+         |  SELECT l_suppkey FROM (
+         |    SELECT l_suppkey,
+         |      sum(CAST(round(volume * 100.0::DOUBLE) AS BIGINT)) AS vol
+         |    FROM bars GROUP BY l_suppkey)
+         |  ORDER BY vol DESC, l_suppkey LIMIT 100
          |), b AS (
          |  SELECT l_suppkey AS k, l_shipdate AS d,
          |    CAST(round(close) AS BIGINT) AS x
-         |  FROM bars
+         |  FROM bars WHERE l_suppkey IN (SELECT l_suppkey FROM uni)
          |), s AS (
          |  SELECT a.k AS key_a, c.k AS key_b,
          |    CAST(count(*) AS BIGINT) AS n_overlap,
@@ -6344,6 +6371,60 @@ object SparkEntry {
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.perfSummary: date-ordered series fold, identical
     // mean/stddev/sharpe trees, NULL rails on degenerate series.
+    // Risk-ratio replay: the same ln-return tree, then EVERYTHING in
+    // exact scaled BIGINTs (1e10 matches the 10-dp return rounding) —
+    // integer cumsum + running peak for the drawdown path, conditional
+    // integer sums for gains/losses, HUGEINT downside squares — and one
+    // fixed-tree finish per ratio. No list folds anywhere.
+    "q_risk_ratios" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), b AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(ret_log * 10000000000.0::DOUBLE) AS BIGINT) AS ri
+         |  FROM r WHERE ret_log IS NOT NULL
+         |), c AS (
+         |  SELECT l_suppkey, l_shipdate, ri,
+         |    sum(ri) OVER wr AS cum
+         |  FROM b
+         |  WINDOW wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), p AS (
+         |  SELECT l_suppkey, ri, cum,
+         |    max(cum) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM c
+         |), a AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_returns,
+         |    CAST(sum(ri) AS BIGINT) AS s,
+         |    CAST(sum(greatest(ri, 0)) AS BIGINT) AS g,
+         |    CAST(sum(greatest(-ri, 0)) AS BIGINT) AS l,
+         |    sum(CASE WHEN ri < 0 THEN CAST(ri AS HUGEINT) * ri ELSE 0 END) AS d,
+         |    CAST(max(peak - cum) AS BIGINT) AS mdd
+         |  FROM p GROUP BY l_suppkey
+         |), f AS (
+         |  SELECT l_suppkey, n_returns,
+         |    CAST(s AS DOUBLE) / CAST(n_returns AS DOUBLE) AS mu_s,
+         |    sqrt(CAST(d AS DOUBLE) / CAST(n_returns AS DOUBLE)) AS dd_s,
+         |    s, g, l, mdd
+         |  FROM a
+         |)
+         |SELECT l_suppkey, n_returns,
+         |  CAST(s AS DOUBLE) / 10000000000.0::DOUBLE AS total_ret,
+         |  CASE WHEN n_returns >= 2 AND dd_s > 0.0 THEN
+         |    mu_s / dd_s * sqrt(252.0::DOUBLE) END AS sortino,
+         |  CASE WHEN l > 0 THEN CAST(g AS DOUBLE) / CAST(l AS DOUBLE) END AS omega,
+         |  CASE WHEN mdd > 0 THEN CAST(s AS DOUBLE) / CAST(mdd AS DOUBLE) END AS calmar
+         |FROM f ORDER BY l_suppkey""".stripMargin,
     "q_perf_summary" ->
       s"""WITH bars AS (
          |$duckBarsSql

@@ -324,6 +324,65 @@ object Rolling {
       .drop("__ts", "__mu")
   }
 
+  /** Per-key downside risk-ratio battery (public formulas): Sortino
+    * (mean over DOWNSIDE deviation — the Sharpe that doesn't punish
+    * upside), Omega at threshold 0 (gross gains over gross losses), and
+    * Calmar (total return over maximum drawdown, both in log-return
+    * space).
+    *
+    * Exactness — no folds needed anywhere: returns are 10-dp quantized
+    * ([[logReturns]]' rounding), so they scale to exact BIGINTs; the
+    * drawdown path is two integer window passes (running cumsum, running
+    * peak — the [[drawdown]]/cusum shape); gains/losses are conditional
+    * BIGINT sums; the squared-downside sum rides DECIMAL(38,0). Each
+    * ratio is scale-invariant, so the quantization factor cancels and
+    * the final trees run once in doubles. Conventions documented: Omega
+    * threshold = 0; downside deviation divides by ALL n returns; Calmar
+    * is total-over-maxdd (annualize externally if needed). NULL rails:
+    * Sortino on zero downside, Omega on zero losses, Calmar on a
+    * drawdown-free series. One keyed exchange (windows + agg share the
+    * key). Emits (partCols…, `n_returns`, `total_ret`, `sortino`,
+    * `omega`, `calmar`). */
+  def riskRatios(df: DataFrame, retCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], annualize: Double = 1.0): DataFrame = {
+    require(annualize > 0.0, s"annualize must be positive, got $annualize")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_returns", "total_ret", "sortino", "omega", "calmar",
+        "__ri", "__cum", "__dd"), "Rolling.riskRatios")
+    val k = 1e10 // matches logReturns' 10-dp rounding
+    val running = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ri = round(col(retCol).cast("double") * lit(k)).cast("long")
+    val sums = df.filter(col(retCol).isNotNull)
+      .withColumn("__ri", ri)
+      .withColumn("__cum", sum(col("__ri")).over(running))
+      .withColumn("__dd", max(col("__cum")).over(running) - col("__cum"))
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("__ri")).as("__s"),
+        sum(greatest(col("__ri"), lit(0L))).as("__g"),
+        sum(greatest(-col("__ri"), lit(0L))).as("__l"),
+        // the square must go decimal BEFORE multiplying — ri ~ 4e10 on
+        // extreme ratios, so ri² overflows a long
+        sum(when(col("__ri") < 0L,
+            col("__ri").cast("decimal(38,0)") * col("__ri"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__d"),
+        max(col("__dd")).as("__mdd"))
+    val nD = col("n_returns").cast("double")
+    val muS = col("__s").cast("double") / nD
+    val ddS = sqrt(col("__d").cast("double") / nD)
+    sums.select((partCols.map(col) :+ col("n_returns") :+
+      (col("__s").cast("double") / lit(k)).as("total_ret") :+
+      when(col("n_returns") >= 2L && ddS > 0.0,
+        muS / ddS * lit(annualize)).as("sortino") :+
+      when(col("__l") > 0L,
+        col("__g").cast("double") / col("__l").cast("double")).as("omega") :+
+      when(col("__mdd") > 0L,
+        col("__s").cast("double") / col("__mdd").cast("double"))
+        .as("calmar")): _*)
+  }
+
   /** Rolling historical Value-at-Risk and Expected Shortfall over the
     * trailing `n` returns: `var_alpha = −quantile(returns, alpha)` (the
     * exact interpolated percentile — `quantile_cont` parity proven by

@@ -828,6 +828,25 @@ class RollingSpec extends AnyFunSuite {
     assert(c(49).getAs[Double]("coppock") === 0.0)
   }
 
+  test("risk ratios: hand-traced sortino/omega/calmar, null rails on an up-only series") {
+    val df = Seq(("g", 0, 0.1), ("g", 1, -0.2), ("g", 2, 0.3),
+        ("u", 0, 0.1), ("u", 1, 0.2))
+      .toDF("sym", "i", "r")
+    val out = Rolling.riskRatios(df, "r", Seq("sym"), Seq("i"))
+      .collect().map(r => r.getAs[String]("sym") -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_returns") === 3L)
+    assert(g.getAs[Double]("total_ret") === 0.2)
+    assert(g.getAs[Double]("omega") === 2.0) // gains 0.4 over losses 0.2
+    assert(math.abs(g.getAs[Double]("sortino") - math.sqrt(1.0 / 3.0)) < 1e-12)
+    assert(g.getAs[Double]("calmar") === 1.0) // total 0.2 over maxdd 0.2
+    val u = out("u")
+    assert(u.getAs[Double]("total_ret") === 0.3)
+    assert(u.isNullAt(u.fieldIndex("sortino"))) // zero downside
+    assert(u.isNullAt(u.fieldIndex("omega")))   // zero losses
+    assert(u.isNullAt(u.fieldIndex("calmar")))  // never under water
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
