@@ -1630,6 +1630,26 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
+    "q_stoch_rsi" -> ((s, d) => {
+      // stochastic RSI (14/14) over daily closes — the stochastic layer
+      // as exact selections over the native RSI recurrence
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.stochRsi(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("stoch_rsi"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_tsi" -> ((s, d) => {
+      // True Strength Index (25/13) over daily closes — four native EMA
+      // layers on one sort, frozen-NULL first row
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.tsi(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("tsi"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_risk_ratios" -> ((s, d) => {
       // per-supplier Sortino/Omega/Calmar over the log-return series —
       // the downside companions to q_perf_summary's Sharpe; annualized
@@ -6371,6 +6391,72 @@ object SparkEntry {
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.perfSummary: date-ordered series fold, identical
     // mean/stddev/sharpe trees, NULL rails on degenerate series.
+    // Stoch-RSI replay: the proven rsiFold prefix machinery over bar
+    // closes, then exact min/max selections with the flat-window guard.
+    "q_stoch_rsi" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), base AS (
+         |  SELECT l_suppkey, l_shipdate, ${rsiStructList("close")} AS xs
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), red AS (
+         |  SELECT l_suppkey, l_shipdate, ${rsiFold("xs", 14)} AS s
+         |  FROM base
+         |), rr AS (
+         |  SELECT l_suppkey, l_shipdate, ${rsiEval("s", 14)} AS r
+         |  FROM red
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN count(r) OVER wn = 14
+         |        AND max(r) OVER wn <> min(r) OVER wn
+         |    THEN (r - min(r) OVER wn) / (max(r) OVER wn - min(r) OVER wn)
+         |  END AS stoch_rsi
+         |FROM rr
+         |WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // TSI replay: four layered null-filtered duckEma folds (the
+    // force-index frozen≡filtered identity at each layer), one guarded
+    // normalize tree.
+    "q_tsi" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    close - lag(close, 1) OVER ws AS mm
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate, mm,
+         |    list_filter(list(mm) OVER wn, v -> v IS NOT NULL) AS ml,
+         |    list_filter(list(abs(mm)) OVER wn, v -> v IS NOT NULL) AS mal
+         |  FROM m WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), e1 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN mm IS NOT NULL AND len(ml) > 0
+         |      THEN ${duckEma("ml", 25)} END AS e1,
+         |    CASE WHEN mm IS NOT NULL AND len(mal) > 0
+         |      THEN ${duckEma("mal", 25)} END AS e1a
+         |  FROM f
+         |), g AS (
+         |  SELECT l_suppkey, l_shipdate, e1, e1a,
+         |    list_filter(list(e1) OVER wn, v -> v IS NOT NULL) AS l2,
+         |    list_filter(list(e1a) OVER wn, v -> v IS NOT NULL) AS l2a
+         |  FROM e1 WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), e2 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN e1 IS NOT NULL AND len(l2) > 0
+         |      THEN ${duckEma("l2", 13)} END AS e2,
+         |    CASE WHEN e1a IS NOT NULL AND len(l2a) > 0
+         |      THEN ${duckEma("l2a", 13)} END AS e2a
+         |  FROM g
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN e2a <> 0.0 THEN 100.0::DOUBLE * e2 / e2a END AS tsi
+         |FROM e2 ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Risk-ratio replay: the same ln-return tree, then EVERYTHING in
     // exact scaled BIGINTs (1e10 matches the 10-dp return rounding) —
     // integer cumsum + running peak for the drawdown path, conditional

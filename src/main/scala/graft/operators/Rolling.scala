@@ -383,6 +383,67 @@ object Rolling {
         .as("calmar")): _*)
   }
 
+  /** Stochastic RSI (Chande & Kroll 1994, public formula): the
+    * stochastic oscillator APPLIED TO the RSI series —
+    * `(rsi − min_n(rsi)) / (max_n(rsi) − max−min)` in [0, 1] — momentum
+    * of momentum, faster than either parent. The RSI layer is the
+    * native recurrence; the stochastic layer is exact selections over
+    * its bound column (identical doubles in both engines, so the
+    * min/max pick identical values). NULL through the RSI warm-up,
+    * until the stochastic frame holds n RSI values, and on a flat RSI
+    * window. Both layers share one (partition, order) spec. Adds
+    * `stoch_rsi`. */
+  def stochRsi(df: DataFrame, valueCol: String, partCols: Seq[String],
+               orderCols: Seq[String], rsiN: Int = 14,
+               stochN: Int = 14): DataFrame = {
+    require(rsiN >= 1 && stochN >= 1)
+    Guards.requireNoReserved(df.columns,
+      Seq("stoch_rsi", "__srsi"), "Rolling.stochRsi")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, stochN)
+    df.withColumn("__srsi", graft.functions.FinancialFunctions
+        .rsi(col(valueCol).cast("double"), rsiN).over(seqW))
+      .select(col("*"), {
+        val (lo, hi) = (min(col("__srsi")).over(w), max(col("__srsi")).over(w))
+        when(count(col("__srsi")).over(w) === stochN && hi =!= lo,
+          (col("__srsi") - lo) / (hi - lo)).as("stoch_rsi")
+      })
+      .drop("__srsi")
+  }
+
+  /** True Strength Index (Blau 1991, public formula): double-smoothed
+    * momentum — `100 · ema₁₃(ema₂₅(Δx)) / ema₁₃(ema₂₅(|Δx|))` — a
+    * momentum oscillator with two EMA layers of noise removed, bounded
+    * by ±100. All four EMA layers are the native recurrence over bound
+    * columns on ONE sort; each key's first row has no Δ, and the
+    * frozen-NULL contract absorbs it exactly as in
+    * [[forceIndex]]. NULL on a zero double-smoothed absolute momentum
+    * (a constant series has no strength to report). Adds `tsi`. */
+  def tsi(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], slow: Int = 25, fast: Int = 13): DataFrame = {
+    require(slow >= 1 && fast >= 1)
+    Guards.requireNoReserved(df.columns,
+      Seq("tsi", "__m", "__ma", "__e1", "__e1a", "__e2", "__e2a"),
+      "Rolling.tsi")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ema25 = graft.functions.FinancialFunctions.ema(_: Column, slow)
+    val ema13 = graft.functions.FinancialFunctions.ema(_: Column, fast)
+    val x = col(valueCol).cast("double")
+    df.withColumn("__m", x - lag(x, 1).over(seqW))
+      .withColumn("__ma", abs(col("__m")))
+      .select(col("*"),
+        ema25(col("__m")).over(seqW).as("__e1"),
+        ema25(col("__ma")).over(seqW).as("__e1a"))
+      .select(col("*"),
+        ema13(col("__e1")).over(seqW).as("__e2"),
+        ema13(col("__e1a")).over(seqW).as("__e2a"))
+      .withColumn("tsi",
+        when(col("__e2a") =!= 0.0, lit(100.0) * col("__e2") / col("__e2a")))
+      .drop("__m", "__ma", "__e1", "__e1a", "__e2", "__e2a")
+  }
+
   /** Rolling historical Value-at-Risk and Expected Shortfall over the
     * trailing `n` returns: `var_alpha = −quantile(returns, alpha)` (the
     * exact interpolated percentile — `quantile_cont` parity proven by

@@ -847,6 +847,30 @@ class RollingSpec extends AnyFunSuite {
     assert(u.isNullAt(u.fieldIndex("calmar")))  // never under water
   }
 
+  test("stoch rsi: oscillates 0↔1 on an alternating series at n=1") {
+    // rsi(1) snaps to 100 after a gain, 0 after a loss; stoch(2) then
+    // locates each value inside the two-element window
+    val out = Rolling.stochRsi(series(1, 2, 1, 2), "v", Seq("sym"), Seq("i"),
+        rsiN = 1, stochN = 2)
+      .orderBy("i").collect()
+    assert(out(1).isNullAt(out(1).fieldIndex("stoch_rsi"))) // one rsi only
+    assert(out(2).getAs[Double]("stoch_rsi") === 0.0)
+    assert(out(3).getAs[Double]("stoch_rsi") === 1.0)
+  }
+
+  test("tsi: collapses to the momentum sign at 1/1, null on flat") {
+    val out = Rolling.tsi(series(1, 3, 2), "v", Seq("sym"), Seq("i"),
+        slow = 1, fast = 1)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("tsi"))) // no momentum yet
+    assert(out(1).getAs[Double]("tsi") === 100.0)
+    assert(out(2).getAs[Double]("tsi") === -100.0)
+    val flat = Rolling.tsi(series(5, 5, 5), "v", Seq("sym"), Seq("i"),
+        slow = 1, fast = 1)
+      .orderBy("i").collect()
+    assert(flat(2).isNullAt(flat(2).fieldIndex("tsi"))) // zero |momentum|
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
