@@ -1630,6 +1630,18 @@ object SparkEntry {
           "purchase", "view", Seq("day"), scale = 2)
         .orderBy(col("day"))
     }),
+    "q_connors_rsi" -> ((s, d) => {
+      // Connors RSI (3/2/100) over daily closes — native RSIs over the
+      // close and the gaps-and-islands streak, plus the exact prior-100
+      // return percent rank
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.connorsRsi(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("streak"), col("pct_rank"), col("crsi"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_stoch_rsi" -> ((s, d) => {
       // stochastic RSI (14/14) over daily closes — the stochastic layer
       // as exact selections over the native RSI recurrence
@@ -6391,6 +6403,63 @@ object SparkEntry {
          |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays Rolling.perfSummary: date-ordered series fold, identical
     // mean/stddev/sharpe trees, NULL rails on degenerate series.
+    // Connors-RSI replay: the same integer gaps-and-islands streak, two
+    // rsiFold layers (close + streak), and the null-filtered prior-100
+    // rank-count — compare doubles are the shared 10-dp returns.
+    "q_connors_rsi" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), d0 AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    lag(close, 1) OVER ws AS prev,
+         |    row_number() OVER ws AS rn
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), d1 AS (
+         |  SELECT *, CASE WHEN prev IS NULL THEN 0
+         |      ELSE CAST(sign(close - prev) AS INTEGER) END AS d,
+         |    CASE WHEN prev IS NOT NULL AND prev > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |      THEN round(ln(close / prev), 10) + 0.0 END AS ret
+         |  FROM d0
+         |), d2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey, d
+         |    ORDER BY l_shipdate) AS rnd FROM d1
+         |), d4 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey, d, rn - rnd
+         |    ORDER BY l_shipdate) AS pos FROM d2
+         |), d5 AS (
+         |  SELECT l_suppkey, l_shipdate, close, ret,
+         |    CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(d AS BIGINT) * pos END AS streak
+         |  FROM d4
+         |), base AS (
+         |  SELECT l_suppkey, l_shipdate, ret, streak,
+         |    ${rsiStructList("close")} AS xs,
+         |    list(struct_pack(p := CAST(streak AS DOUBLE), g := 0.0::DOUBLE,
+         |      l := 0.0::DOUBLE, c := 0.0::DOUBLE)) OVER w AS ss,
+         |    list_filter(list(ret) OVER wr, v -> v IS NOT NULL) AS rl
+         |  FROM d5
+         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+         |), red AS (
+         |  SELECT l_suppkey, l_shipdate, ret, streak, rl,
+         |    ${rsiFold("xs", 3)} AS s3,
+         |    ${rsiFold("ss", 2)} AS s2
+         |  FROM base
+         |), fin AS (
+         |  SELECT l_suppkey, l_shipdate, streak,
+         |    ${rsiEval("s3", 3)} AS r3,
+         |    ${rsiEval("s2", 2)} AS rs,
+         |    CASE WHEN len(rl) = 100 AND ret IS NOT NULL
+         |      THEN CAST(len(list_filter(rl, v -> v < ret)) AS DOUBLE)
+         |           * 100.0::DOUBLE / 100.0::DOUBLE END AS pct_rank
+         |  FROM red
+         |)
+         |SELECT l_suppkey, l_shipdate, streak, pct_rank,
+         |  (r3 + rs + pct_rank) / 3.0::DOUBLE AS crsi
+         |FROM fin ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Stoch-RSI replay: the proven rsiFold prefix machinery over bar
     // closes, then exact min/max selections with the flat-window guard.
     "q_stoch_rsi" ->

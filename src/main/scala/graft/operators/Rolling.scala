@@ -444,6 +444,67 @@ object Rolling {
       .drop("__m", "__ma", "__e1", "__e1a", "__e2", "__e2a")
   }
 
+  /** Connors RSI (Connors & Alvarez 2012, public formula): the
+    * three-component mean-reversion composite
+    * `crsi = (rsi₃(close) + rsi₂(streak) + pctRank₁₀₀(ret)) / 3` where
+    *
+    *  - `streak` is the SIGNED consecutive up/down run length (an equal
+    *    close — and each key's first bar — resets it to 0), computed
+    *    DECLARATIVELY via the gaps-and-islands identity (`rn` minus the
+    *    per-direction `rn` is constant along a run) — pure integer
+    *    windows, no new recurrence;
+    *  - both RSIs are the native recurrence (the streak one over the
+    *    derived integer series);
+    *  - `pctRank` is the count of the PRIOR `rankN` returns strictly
+    *    below today's (10-dp log returns — exact doubles), an integer
+    *    count that IS the percentage when rankN = 100.
+    *
+    * NULL until every component is live (rsi warm-ups + a full prior
+    * rank window). All windows share one (partition, order) sort
+    * prefix; the direction/island partitions only refine it. Adds
+    * `streak`, `pct_rank`, `crsi`. */
+  def connorsRsi(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], rsiN: Int = 3, streakN: Int = 2,
+                 rankN: Int = 100): DataFrame = {
+    require(rsiN >= 1 && streakN >= 1 && rankN >= 1)
+    Guards.requireNoReserved(df.columns,
+      Seq("streak", "pct_rank", "crsi", "__d", "__rn", "__rnd", "__isl",
+        "__pos", "__ret", "__rl", "__r3", "__rs"), "Rolling.connorsRsi")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    def keyedW(extra: String*) =
+      Window.partitionBy((partCols ++ extra).map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast("double")
+    val prev = lag(x, 1).over(seqW)
+    val rankW = seqW.rowsBetween(-rankN, -1)
+    df.withColumn("__d",
+        when(prev.isNull, lit(0)).otherwise(signum(x - prev).cast("int")))
+      .withColumn("__ret",
+        when(prev.isNotNull && prev > 0.0 && x > 0.0,
+          round(log(x / prev), 10) + lit(0.0)))
+      .withColumn("__rn", row_number().over(seqW))
+      .withColumn("__rnd", row_number().over(keyedW("__d")))
+      .withColumn("__isl", col("__rn") - col("__rnd"))
+      .withColumn("__pos", row_number().over(keyedW("__d", "__isl")))
+      .withColumn("streak",
+        when(col("__d") === 0, lit(0L))
+          .otherwise(col("__d").cast("long") * col("__pos")))
+      .select(col("*"),
+        graft.functions.FinancialFunctions.rsi(x, rsiN).over(seqW).as("__r3"),
+        graft.functions.FinancialFunctions
+          .rsi(col("streak").cast("double"), streakN).over(seqW).as("__rs"),
+        collect_list(col("__ret")).over(rankW).as("__rl"))
+      .withColumn("pct_rank",
+        when(size(col("__rl")) === rankN && col("__ret").isNotNull,
+          size(filter(col("__rl"), e => e < col("__ret"))).cast("double")
+            * lit(100.0) / lit(rankN.toDouble)))
+      .withColumn("crsi",
+        (col("__r3") + col("__rs") + col("pct_rank")) / lit(3.0))
+      .drop("__d", "__rn", "__rnd", "__isl", "__pos", "__ret", "__rl",
+        "__r3", "__rs")
+  }
+
   /** Rolling historical Value-at-Risk and Expected Shortfall over the
     * trailing `n` returns: `var_alpha = −quantile(returns, alpha)` (the
     * exact interpolated percentile — `quantile_cont` parity proven by

@@ -871,6 +871,21 @@ class RollingSpec extends AnyFunSuite {
     assert(flat(2).isNullAt(flat(2).fieldIndex("tsi"))) // zero |momentum|
   }
 
+  test("connors rsi: signed streaks, prior-window percent rank, null schedule") {
+    val out = Rolling.connorsRsi(series(1, 2, 3, 2, 2, 3), "v", Seq("sym"),
+        Seq("i"), rsiN = 1, streakN = 1, rankN = 2)
+      .orderBy("i").collect()
+    assert(out.map(_.getAs[Long]("streak")).toSeq ===
+      Seq(0L, 1L, 2L, -1L, 0L, 1L))
+    (0 to 2).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("pct_rank"))))
+    assert(out(3).getAs[Double]("pct_rank") === 0.0)   // ln(2/3) below both
+    assert(out(4).getAs[Double]("pct_rank") === 50.0)  // 0 above one of two
+    assert(out(5).getAs[Double]("pct_rank") === 100.0) // ln(1.5) above both
+    assert(out(3).getAs[Double]("crsi") >= 0.0 &&
+      out(3).getAs[Double]("crsi") <= 100.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("crsi"))) // rank window short
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")
