@@ -1834,6 +1834,21 @@ object SparkEntry {
       operators.Graph.kCore(edges, "s1", "s2", k = 5)
         .orderBy(col("node"))
     }),
+    "q_label_prop" -> ((s, d) => {
+      // deterministic 3-round label propagation over the sparse
+      // co-supplier graph — synchronous rounds, (count desc, label asc)
+      // tie order, unrollable oracle
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.labelPropagation(edges, "s1", "s2", iters = 3)
+        .orderBy(col("node"))
+    }),
     "q_assoc_rules" -> ((s, d) => {
       // pairwise association rules over order baskets × part items
       // (minSupport=3): Apriori item pruning before the pair join;
@@ -4141,6 +4156,30 @@ object SparkEntry {
     // Replays Graph.kCore with four UNROLLED peel rounds (fixpoint at
     // round 2 on this data; later rounds are identity) — the unique
     // k-core makes peel order irrelevant.
+    // Label-propagation replay: the same co-supplier edge build, then
+    // three UNROLLED synchronous rounds — per round, neighbor-label
+    // votes and the (count DESC, label ASC) winner via row_number, the
+    // exact total order of the struct-max argmax.
+    "q_label_prop" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT u.a, l.label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM und u JOIN l${i - 1} l ON l.node = u.b
+           |  GROUP BY u.a, l.label),
+           |l$i AS (SELECT a AS node, label FROM (
+           |  SELECT a, label, row_number() OVER (PARTITION BY a
+           |    ORDER BY cnt DESC, label ASC) AS r FROM c$i) t
+           |  WHERE r = 1)""".stripMargin
+      s"""WITH half AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         |              FROM lineitem a JOIN lineitem b
+         |                ON a.l_orderkey = b.l_orderkey
+         |               AND a.l_suppkey < b.l_suppkey
+         |              WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+         |und AS (SELECT u AS a, v AS b FROM half
+         |        UNION SELECT v, u FROM half),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+    },
     "q_kcore" -> {
       def round(i: Int): String =
         s"""d$i AS (SELECT node, count(*) AS d FROM (

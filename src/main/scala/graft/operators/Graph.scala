@@ -182,6 +182,59 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * public algorithm): community detection by iterated majority vote —
+    * every node starts as its own label and, each round, adopts the most
+    * frequent label among its neighbors. Classic LPA is
+    * nondeterministic (random update order, random tie-break); this
+    * variant is REPRODUCIBLE by construction: synchronous rounds (all
+    * nodes update from the same snapshot) and a total tie order (highest
+    * count, then LOWEST label — via `max(struct(cnt, −label))`, the
+    * portable argmax). A fixed `iters` keeps the plan finite and the
+    * oracle unrollable; LPA quality plateaus in a handful of rounds on
+    * social-style graphs (the published behavior).
+    *
+    * Scale shape: per round, one equi-join of the edge list against the
+    * label table and two key aggregates — all map-side combinable; the
+    * label table is node-cardinality-sized. Lineage is cut per round
+    * with `localCheckpoint` (the [[pageRank]]/[[kCore]] discipline).
+    * Emits (`node`, `community`). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sc = edges.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def drop(ids: Set[Int]): Unit = ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val (und, undBlocks) = checkpointed(
+      half.union(half.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var (labels, labelBlocks) = checkpointed(
+      und.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val (next, nextBlocks) = checkpointed(votes
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), negate(col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), negate(col("m.nl")).as("label")))
+      drop(labelBlocks)
+      labelBlocks = nextBlocks
+      labels = next
+    }
+    CacheScope.registerRddIds(sc, undBlocks ++ labelBlocks)
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Exact triangle count of the UNDIRECTED simple graph underlying
     * `edges` (direction, duplicates, and self-loops are normalized away).
     * Emits one row (`n_edges`, `n_triangles`) — the global clustering /

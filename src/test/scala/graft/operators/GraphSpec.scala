@@ -176,4 +176,18 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
   }
+
+  test("label propagation: two bridged cliques settle into two communities") {
+    // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; hand-traced
+    // through the synchronous (count desc, label asc) rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+        (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community"))
+      .toMap
+    graft.CacheScope.release()
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
 }
