@@ -1834,6 +1834,21 @@ object SparkEntry {
       operators.Graph.kCore(edges, "s1", "s2", k = 5)
         .orderBy(col("node"))
     }),
+    "q_link_predict" -> ((s, d) => {
+      // link-prediction candidates over the sparse co-supplier graph:
+      // common neighbors, Jaccard, and order-pinned Adamic–Adar for
+      // every non-adjacent pair with ≥ 2 shared neighbors
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.linkPrediction(edges, "s1", "s2", minCommon = 2)
+        .orderBy(col("node_a"), col("node_b"))
+    }),
     "q_label_prop" -> ((s, d) => {
       // deterministic 3-round label propagation over the sparse
       // co-supplier graph — synchronous rounds, (count desc, label asc)
@@ -4156,6 +4171,39 @@ object SparkEntry {
     // Replays Graph.kCore with four UNROLLED peel rounds (fixpoint at
     // round 2 on this data; later rounds are identity) — the unique
     // k-core makes peel order irrelevant.
+    // Link-prediction replay: same wedge build through the middle node,
+    // integer counts/degrees, one Jaccard division, and the Adamic–Adar
+    // fold over the middle-ordered degree list with per-term rounded ln.
+    "q_link_predict" ->
+      """WITH half AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |              FROM lineitem a JOIN lineitem b
+        |                ON a.l_orderkey = b.l_orderkey
+        |               AND a.l_suppkey < b.l_suppkey
+        |              WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |adj AS (SELECT u AS m, v AS x FROM half
+        |        UNION ALL SELECT v, u FROM half),
+        |deg AS (SELECT m AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY m),
+        |wed AS (SELECT p.m, p.x AS na, q.x AS nb
+        |        FROM adj p JOIN adj q ON q.m = p.m AND p.x < q.x),
+        |sc AS (SELECT w.na, w.nb, CAST(count(*) AS BIGINT) AS common_n,
+        |         list(dm.d ORDER BY w.m) AS ds
+        |       FROM wed w JOIN deg dm ON dm.node = w.m
+        |       GROUP BY w.na, w.nb
+        |       HAVING count(*) >= 2),
+        |cand AS (SELECT s.* FROM sc s
+        |         WHERE NOT EXISTS (SELECT 1 FROM half h
+        |                           WHERE h.u = s.na AND h.v = s.nb))
+        |SELECT c.na AS node_a, c.nb AS node_b, c.common_n,
+        |  CAST(c.common_n AS DOUBLE)
+        |    / CAST(da.d + db.d - c.common_n AS DOUBLE) AS jaccard,
+        |  list_reduce(list_transform(c.ds,
+        |    v -> 1.0::DOUBLE / (round(ln(CAST(v AS DOUBLE)), 10) + 0.0)),
+        |    (x, y) -> x + y) AS adamic_adar
+        |FROM cand c
+        |JOIN deg da ON da.node = c.na
+        |JOIN deg db ON db.node = c.nb
+        |ORDER BY node_a, node_b""".stripMargin,
     // Label-propagation replay: the same co-supplier edge build, then
     // three UNROLLED synchronous rounds — per round, neighbor-label
     // votes and the (count DESC, label ASC) winner via row_number, the

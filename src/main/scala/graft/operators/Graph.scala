@@ -235,6 +235,64 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Link prediction scores (public formulas — Liben-Nowell & Kleinberg
+    * 2003): for every NON-ADJACENT node pair with at least `minCommon`
+    * common neighbors, the three classic topology scores —
+    * common-neighbor count, Jaccard `|Γa∩Γb| / |Γa∪Γb|`, and
+    * Adamic–Adar `Σ_{m∈Γa∩Γb} 1/ln(deg m)` (rarer shared neighbors
+    * weigh more). Existing edges are anti-joined away: the output is the
+    * CANDIDATE list, ranked.
+    *
+    * Scale shape: the wedge self-join through the middle node is the
+    * quadratic-risk step (Σ deg(m)² — the same hub hazard as triangle
+    * counting; bound your universe or degree-cap upstream for power-law
+    * graphs); everything else is key aggregates and equi-joins. Output
+    * is candidate-pair-sized.
+    *
+    * Determinism: counts and degree sums are integers; Jaccard is one
+    * division; Adamic–Adar folds the middle-degree list in MIDDLE-NODE
+    * ORDER with the per-term rounded-ln convention (`round(ln d, 10)`),
+    * so the double sum is order-pinned and engine-replayable. A common
+    * neighbor has degree ≥ 2 by construction, so `ln` never sees 1.
+    * Emits (`node_a`, `node_b`, `common_n`, `jaccard`, `adamic_adar`). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     minCommon: Int = 1): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val half = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = half.select(col("u").as("m"), col("v").as("x"))
+      .union(half.select(col("v").as("m"), col("u").as("x")))
+    val deg = adj.groupBy(col("m").as("node")).agg(count(lit(1)).as("d"))
+    val wed = adj.select(col("m"), col("x").as("na"))
+      .join(adj.select(col("m"), col("x").as("nb")), Seq("m"))
+      .filter(col("na") < col("nb"))
+    val scored = wed
+      .join(deg.select(col("node").as("m"), col("d")), Seq("m"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("common_n"),
+        sort_array(collect_list(struct(col("m"), col("d")))).as("__md"))
+      .filter(col("common_n") >= minCommon.toLong)
+      // existing edges are not candidates — the (na < nb) wedge order
+      // matches half's (u < v) normalization, so one anti-join suffices
+      .join(half.select(col("u").as("na"), col("v").as("nb")),
+        Seq("na", "nb"), "left_anti")
+    val aa = aggregate(
+      transform(col("__md"), t => lit(1.0) /
+        (round(log(t.getField("d").cast("double")), 10) + lit(0.0))),
+      lit(0.0), (a, b) => a + b)
+    scored
+      .join(deg.select(col("node").as("na"), col("d").as("__da")), Seq("na"))
+      .join(deg.select(col("node").as("nb"), col("d").as("__db")), Seq("nb"))
+      .select(col("na").as("node_a"), col("nb").as("node_b"),
+        col("common_n"),
+        (col("common_n").cast("double") /
+          (col("__da") + col("__db") - col("common_n")).cast("double"))
+          .as("jaccard"),
+        aa.as("adamic_adar"))
+  }
+
   /** Exact triangle count of the UNDIRECTED simple graph underlying
     * `edges` (direction, duplicates, and self-loops are normalized away).
     * Emits one row (`n_edges`, `n_triangles`) — the global clustering /

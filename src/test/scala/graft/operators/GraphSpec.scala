@@ -177,6 +177,22 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
   }
 
+  test("link prediction: square graph scores both diagonals, drops edges") {
+    // cycle 1-2-3-4-1: the two diagonals are the only candidates, each
+    // with both off-path nodes as common neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, "src", "dst")
+      .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")) -> r)
+      .toMap
+    assert(out.keySet === Set((1L, 3L), (2L, 4L)))
+    val d = out((1L, 3L))
+    assert(d.getAs[Long]("common_n") === 2L)
+    assert(d.getAs[Double]("jaccard") === 1.0) // identical neighborhoods
+    val lnTwo = BigDecimal(math.log(2.0))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d.getAs[Double]("adamic_adar") - 2.0 / lnTwo) < 1e-12)
+  }
+
   test("label propagation: two bridged cliques settle into two communities") {
     // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; hand-traced
     // through the synchronous (count desc, label asc) rounds
