@@ -1834,6 +1834,19 @@ object SparkEntry {
       operators.Graph.kCore(edges, "s1", "s2", k = 5)
         .orderBy(col("node"))
     }),
+    "q_assortativity" -> ((s, d) => {
+      // degree assortativity of the co-supplier graph — one-row
+      // structure fingerprint, DECIMAL five-sums + the clamp tree
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.assortativity(edges, "s1", "s2")
+    }),
     "q_link_predict" -> ((s, d) => {
       // link-prediction candidates over the sparse co-supplier graph:
       // common neighbors, Jaccard, and order-pinned Adamic–Adar for
@@ -4171,6 +4184,35 @@ object SparkEntry {
     // Replays Graph.kCore with four UNROLLED peel rounds (fixpoint at
     // round 2 on this data; later rounds are identity) — the unique
     // k-core makes peel order irrelevant.
+    // Assortativity replay: directed edge instances, HUGEINT-exact
+    // five-sums over endpoint degrees, the clamp tree.
+    "q_assortativity" ->
+      """WITH half AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |              FROM lineitem a JOIN lineitem b
+        |                ON a.l_orderkey = b.l_orderkey
+        |               AND a.l_suppkey < b.l_suppkey
+        |              WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+        |adj AS (SELECT u AS a, v AS b FROM half
+        |        UNION ALL SELECT v, u FROM half),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY a),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(da.d) AS DOUBLE) AS sx, CAST(sum(db.d) AS DOUBLE) AS sy,
+        |        CAST(sum(da.d * da.d) AS DOUBLE) AS sxx,
+        |        CAST(sum(db.d * db.d) AS DOUBLE) AS syy,
+        |        CAST(sum(da.d * db.d) AS DOUBLE) AS sxy
+        |      FROM adj e JOIN deg da ON da.node = e.a
+        |                 JOIN deg db ON db.node = e.b),
+        |f AS (SELECT m, CAST(m AS DOUBLE) AS md,
+        |        CAST(m AS DOUBLE) * sxy - sx * sy AS num,
+        |        CAST(m AS DOUBLE) * sxx - sx * sx AS dx,
+        |        CAST(m AS DOUBLE) * syy - sy * sy AS dy
+        |      FROM s)
+        |SELECT m // 2 AS n_edges,
+        |  CASE WHEN dx > 0.0 AND dy > 0.0 THEN
+        |    greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+        |      num / (sqrt(dx) * sqrt(dy)))) END AS assortativity
+        |FROM f""".stripMargin,
     // Link-prediction replay: same wedge build through the middle node,
     // integer counts/degrees, one Jaccard division, and the Adamic–Adar
     // fold over the middle-ordered degree list with per-term rounded ln.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.CacheScope
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation: fixed-iteration PageRank,
@@ -233,6 +233,48 @@ object Graph {
     }
     CacheScope.registerRddIds(sc, undBlocks ++ labelBlocks)
     labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Degree assortativity coefficient (Newman 2002, public formula):
+    * the Pearson correlation of endpoint degrees over all directed edge
+    * instances (each undirected edge in both orientations — the
+    * standard symmetric convention). Positive = hubs link to hubs
+    * (social-style); negative = hubs link to leaves (internet-style) —
+    * the one-number structure fingerprint next to [[triangleCount]].
+    *
+    * Exactness: degrees are integers; the five sums ride DECIMAL(38,0)
+    * (deg² × edge-count overflows a BIGINT on large graphs); the
+    * coefficient is the [[graft.operators.Rolling.corrBeta]] clamp tree.
+    * Two key aggregates + two degree joins — no window. Emits ONE row
+    * (`n_edges`, `assortativity`; NULL on a degree-regular graph, where
+    * the variance is zero). */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val half = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = half.select(col("u").as("a"), col("v").as("b"))
+      .union(half.select(col("v").as("a"), col("u").as("b")))
+    val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val sums = adj
+      .join(deg.select(col("node").as("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("__m"),
+        dec(col("dx")).as("__sx"), dec(col("dy")).as("__sy"),
+        dec(col("dx") * col("dx")).as("__sxx"),
+        dec(col("dy") * col("dy")).as("__syy"),
+        dec(col("dx") * col("dy")).as("__sxy"))
+    val m = col("__m").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val num = m * d("__sxy") - d("__sx") * d("__sy")
+    val dx = m * d("__sxx") - d("__sx") * d("__sx")
+    val dy = m * d("__syy") - d("__sy") * d("__sy")
+    sums.select((col("__m") / lit(2L)).cast("long").as("n_edges"),
+      when(dx > 0.0 && dy > 0.0,
+        greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy)))))
+        .as("assortativity"))
   }
 
   /** Link prediction scores (public formulas — Liben-Nowell & Kleinberg

@@ -222,8 +222,7 @@ object StreamingPipeline {
                  watermark: String = "10 minutes"): Dataset[MarketTick] = {
     import ticks.sparkSession.implicits._
     if (ticks.isStreaming)
-      ticks.toDF().withWatermark("timestamp", watermark)
-        .dropDuplicatesWithinWatermark(keyCols)
+      StreamingDedup.dedupByKey(ticks.toDF(), keyCols, "timestamp", watermark)
         .as[MarketTick]
     else ticks.toDF().dropDuplicates(keyCols).as[MarketTick]
   }

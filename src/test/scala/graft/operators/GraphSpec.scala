@@ -193,6 +193,16 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(d.getAs[Double]("adamic_adar") - 2.0 / lnTwo) < 1e-12)
   }
 
+  test("assortativity: a star is perfectly disassortative, a cycle is degree-regular") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.assortativity(star, "src", "dst").collect().head
+    assert(s.getAs[Long]("n_edges") === 3L)
+    assert(s.getAs[Double]("assortativity") === -1.0)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c = Graph.assortativity(cycle, "src", "dst").collect().head
+    assert(c.isNullAt(c.fieldIndex("assortativity"))) // zero degree variance
+  }
+
   test("label propagation: two bridged cliques settle into two communities") {
     // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; hand-traced
     // through the synchronous (count desc, label asc) rounds
