@@ -45,6 +45,49 @@ class StreamingPsarSpec extends AnyFunSuite {
     assert(fold.flatten.distinct.length > 100)
   }
 
+  test("fold ≡ native across five independent walks") {
+    for (seed <- Seq(7L, 19L, 101L, 555L, 9001L)) {
+      val bars = walk(150, seed)
+      val df = bars.zipWithIndex.map { case ((h, l), i) => ("s", i, h, l) }
+        .toDF("sym", "i", "h", "l")
+      val native = graft.operators.Rolling
+        .parabolicSar(df, "h", "l", Seq("sym"), Seq("i"))
+        .orderBy("i").collect()
+        .map(r => if (r.isNullAt(r.fieldIndex("psar"))) None
+                  else Some(r.getAs[Double]("psar")))
+      val fold = StreamingPsar
+        .psarBatch(bars.zipWithIndex.map { case ((h, l), i) => ev("s", i, h, l) }
+          .toDS())
+        .collect().sortBy(_.ts.getTime).map(_.psar)
+      assert(native.toSeq === fold.toSeq, s"walk seed $seed diverged")
+    }
+  }
+
+  test("supertrend line ratchets monotonically within each trend") {
+    val bars = walk(300, seed = 77L)
+    val df = bars.zipWithIndex.map { case ((h, l), i) =>
+        ("s", i, h, l, (h + l) / 2.0) }
+      .toDF("sym", "i", "h", "l", "c")
+    val rows = graft.operators.Rolling
+      .superTrend(df, "h", "l", "c", Seq("sym"), Seq("i"), n = 5, mult = 2)
+      .orderBy("i").collect()
+      .flatMap { r =>
+        if (r.isNullAt(r.fieldIndex("supertrend"))) None
+        else Some((r.getAs[Double]("c"), r.getAs[Double]("supertrend")))
+      }
+    var flips = 0
+    rows.sliding(2).foreach { case Array((c1, l1), (c2, l2)) =>
+      val (up1, up2) = (c1 >= l1, c2 >= l2)
+      if (up1 == up2) {
+        // inside a trend the stop only tightens: up-lines never fall,
+        // down-lines never rise
+        if (up2) assert(l2 >= l1, s"up-trend line loosened: $l1 -> $l2")
+        else assert(l2 <= l1, s"down-trend line loosened: $l1 -> $l2")
+      } else flips += 1
+    }
+    assert(flips > 0, "the walk should flip trend at least once")
+  }
+
   test("streaming psar equals the batch fold across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
