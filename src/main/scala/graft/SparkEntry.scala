@@ -516,6 +516,67 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("cmf"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_adl" -> ((s, d) => {
+      // Accumulation/Distribution line: BIGINT cumsum of 2-dp-quantized
+      // money-flow volume (the obv discipline) — exact in any engine
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.adl(dailyBars(s), "high", "low", "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("adl"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_chaikin_osc" -> ((s, d) => {
+      // Chaikin oscillator: native ema(adl,3) − ema(adl,10) over the
+      // exact ADL cumsum — one exchange, shared window spec
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.chaikinOsc(dailyBars(s), "high", "low", "close",
+          "volume", Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("adl"),
+          col("chaikin_osc"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_ulcer" -> ((s, d) => {
+      // Ulcer index: RMS of 14-bar trailing-high drawdowns — window-over-
+      // window with the ordered frame-list fold for the square sum
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.ulcerIndex(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("ulcer"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_eom" -> ((s, d) => {
+      // Ease of Movement: midpoint move × range / volume, 14-bar SMA via
+      // the ordered frame-list fold; zero-volume bars NULL by contract
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.easeOfMovement(dailyBars(s), "high", "low",
+          "volume", Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("eom"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_bop" -> ((s, d) => {
+      // Balance of Power: (close−open)/(high−low) smoothed 14 bars —
+      // per-bar IEEE tree + ordered frame-list fold
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.balanceOfPower(dailyBars(s), "open", "high",
+          "low", "close", Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
+        .select(col("l_suppkey"), col("l_shipdate"), col("bop"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_kama" -> ((s, d) => {
+      // Kaufman adaptive MA: efficiency-ratio α fed to the NATIVE
+      // var_ema recurrence; oracle is a WITH RECURSIVE state replay
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.kama(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 10, fast = 2, slow = 30)
+        .select(col("l_suppkey"), col("l_shipdate"), col("kama"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_event_study" -> ((s, d) => {
       // event study: mean forward return 1-3 bars after down days vs the
       // all-bars baseline — exact scaled-BIGINT sums on 10-dp returns
@@ -5711,6 +5772,151 @@ object SparkEntry {
          |       THEN list_reduce(ml, (a, b) -> a + b)
          |            / list_reduce(vl, (a, b) -> a + b) END AS cmf
          |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // ADL replay: the q_cmf money-flow tree quantized to a 2-dp BIGINT
+    // per bar (the obv discipline), BIGINT running sum, one descale.
+    "q_adl" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(((CASE WHEN high <> low
+         |          THEN ((close - low) - (high - close)) / (high - low)
+         |          ELSE 0.0::DOUBLE END) * volume) * 100.0::DOUBLE) AS BIGINT) AS mfvi
+         |  FROM bars
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CAST(sum(mfvi) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / 100.0::DOUBLE AS adl
+         |FROM m ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Chaikin-oscillator replay: the q_adl cumsum, then two sequential-
+    // fold EMAs over the adl prefix list (duckEma = the native update
+    // order), fast − slow.
+    "q_chaikin_osc" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(((CASE WHEN high <> low
+         |          THEN ((close - low) - (high - close)) / (high - low)
+         |          ELSE 0.0::DOUBLE END) * volume) * 100.0::DOUBLE) AS BIGINT) AS mfvi
+         |  FROM bars
+         |), a AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(sum(mfvi) OVER wu AS DOUBLE) / 100.0::DOUBLE AS adl
+         |  FROM m WINDOW wu AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate, adl,
+         |  ${duckEma("list(adl) OVER wu", 3)}
+         |    - ${duckEma("list(adl) OVER wu", 10)} AS chaikin_osc
+         |FROM a WINDOW wu AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // Ulcer replay: per-bar drawdown vs the trailing-14 max (exact
+    // extreme + fixed IEEE tree), then the ordered square-sum fold.
+    "q_ulcer" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), d AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(close) OVER wn = 14 AND max(close) OVER wn > 0.0::DOUBLE
+         |      THEN 100.0::DOUBLE * (close - max(close) OVER wn)
+         |           / (max(close) OVER wn) END AS dd
+         |  FROM bars WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(dd) OVER wn = 14 THEN list(dd * dd) OVER wn END AS dl
+         |  FROM d WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  sqrt(list_reduce(dl, (a, b) -> a + b) / 14.0::DOUBLE) AS ulcer
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // EOM replay: the midpoint-move × range / volume tree with the
+    // first-bar and zero-volume guards, then the ordered 14-fold SMA.
+    "q_eom" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), e AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(high, 1) OVER ws IS NOT NULL AND volume <> 0.0::DOUBLE
+         |      THEN (((high + low) - (lag(high, 1) OVER ws + lag(low, 1) OVER ws))
+         |            / 2.0::DOUBLE) * (high - low) / volume END AS emv
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(emv) OVER wn = 14 THEN list(emv) OVER wn END AS el
+         |  FROM e WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  list_reduce(el, (a, b) -> a + b) / 14.0::DOUBLE AS eom
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // BOP replay: the flat-bar-guarded per-bar ratio, ordered 14-fold SMA.
+    "q_bop" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN high <> low THEN (close - open) / (high - low)
+         |         ELSE 0.0::DOUBLE END AS bp
+         |  FROM bars
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN count(bp) OVER wn = 14 THEN list(bp) OVER wn END AS bl
+         |  FROM r WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  list_reduce(bl, (a, b) -> a + b) / 14.0::DOUBLE AS bop
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // KAMA replay: the efficiency-ratio/sc layer declaratively (ordered
+    // path-length fold, α constants as the same IEEE divisions), then a
+    // WITH RECURSIVE replay of the var_ema state machine — each compound
+    // stays a REAL projected column through CTE layers (never a lateral
+    // alias — the q_holt lesson), and the update tree copies VarEma
+    // op-for-op: sc·x + (1 − sc)·state.
+    "q_kama" ->
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), s0 AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    row_number() OVER ws AS rn,
+         |    abs(close - lag(close, 1) OVER ws) AS d,
+         |    abs(close - lag(close, 10) OVER ws) AS dir
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), erl AS (
+         |  SELECT l_suppkey, l_shipdate, close, rn,
+         |    CASE WHEN count(d) OVER wn = 10 THEN
+         |      CASE WHEN list_reduce(list(d) OVER wn, (a, b) -> a + b) <> 0.0::DOUBLE
+         |           THEN dir / list_reduce(list(d) OVER wn, (a, b) -> a + b)
+         |           ELSE 0.0::DOUBLE END
+         |    END AS er
+         |  FROM s0 WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |), scl AS (
+         |  SELECT l_suppkey, l_shipdate, close, rn,
+         |    (er * ((2.0::DOUBLE / 3.0::DOUBLE) - (2.0::DOUBLE / 31.0::DOUBLE))
+         |     + (2.0::DOUBLE / 31.0::DOUBLE)) AS base
+         |  FROM erl
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, close, rn, base * base AS sc FROM scl
+         |), kam AS (
+         |  SELECT l_suppkey, l_shipdate, rn, sc,
+         |    CASE WHEN sc IS NOT NULL THEN close END AS st
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, s.sc,
+         |    CASE WHEN s.sc IS NULL THEN h.st
+         |         WHEN h.st IS NULL THEN s.close
+         |         ELSE (s.sc * s.close + (1.0::DOUBLE - s.sc) * h.st) END AS st
+         |  FROM kam h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN sc IS NOT NULL THEN st END AS kama
+         |FROM kam ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Awesome-Oscillator replay: BIGINT sums of h+l over both frames,
     // the exact 2f/2s divisors, gate on the slow frame.
     "q_awesome" ->

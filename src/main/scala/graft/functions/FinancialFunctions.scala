@@ -27,6 +27,7 @@ object FinancialFunctions {
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "sma" -> (e => { val a = arity("sma", 2)(e); Sma(a(0), a(1)) }),
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
+    "var_ema" -> (e => { val a = arity("var_ema", 2)(e); VarEma(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "macd_signal" -> (e => { val a = arity("macd_signal", 1)(e); MacdSignal(a(0)) }),
@@ -69,6 +70,9 @@ object FinancialFunctions {
   import org.apache.spark.sql.functions.{call_function, lit}
   def sma(value: Column, n: Int): Column = call_function("sma", value, lit(n))
   def ema(value: Column, n: Int): Column = call_function("ema", value, lit(n))
+  /** Exponential smoothing with a per-row α column (adaptive MAs). */
+  def varEma(value: Column, alpha: Column): Column =
+    call_function("var_ema", value, alpha)
   def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
   def macd(value: Column): Column = call_function("macd", value)
   def macdSignal(value: Column): Column = call_function("macd_signal", value)
@@ -106,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val usages = Map(
     "sma" -> "sma(value, n) - trailing simple moving average over a window",
     "ema" -> "ema(value, n) - exponential moving average over a window",
+    "var_ema" -> "var_ema(value, alpha) - exponential smoothing with a per-row alpha column",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "macd_signal" -> "macd_signal(value) - EMA9 signal line of the MACD",

@@ -141,6 +141,57 @@ case class Ema(value: Expression, windowSize: Expression)
     copy(value = c(0), windowSize = c(1))
 }
 
+/** `var_ema(value, alpha)` — exponential smoothing with a PER-ROW
+  * smoothing coefficient: `s' = α_t·x_t + (1 − α_t)·s` (the exact [[Ema]]
+  * update tree, with the literal α replaced by the row's own column), the
+  * first usable row seeding `s = x` and emitting it as-is.
+  *
+  * This is the general recurrence under every adaptive moving average —
+  * KAMA ([[graft.operators.Rolling.kama]]), VIDYA, and any caller-derived
+  * responsiveness schedule — kept separate from [[Ema]] because a
+  * column-valued α can't be folded into the plan-time literal the fixed
+  * indicators require.
+  *
+  * NULL contract (SURVEY §7.1 frozen-state): a row where `value` OR
+  * `alpha` is NULL emits NULL and leaves the state untouched — an
+  * unknowable blend freezes the machine rather than corrupting it. α is
+  * NOT range-checked (a caller-computed α outside [0, 1] extrapolates,
+  * which VIDYA-style variants legitimately exploit). */
+case class VarEma(value: Expression, alpha: Expression)
+    extends IndicatorWindowFunction {
+  override def children: Seq[Expression] = Seq(value, alpha)
+  override def prettyName: String = "var_ema"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.zip(Seq("value", "alpha")).collectFirst {
+      case (e, name)
+          if !e.dataType.isInstanceOf[NumericType] && e.dataType != NullType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a numeric $name argument, got ${e.dataType.catalogString}")
+    }
+    bad.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  private lazy val a: Expression =
+    if (alpha.dataType == DoubleType) alpha else Cast(alpha, DoubleType)
+
+  private lazy val s = AttributeReference("varEma", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(s, curNull)
+  override lazy val initialValues: Seq[Expression] = Seq(nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(Or(IsNull(x), IsNull(a)), s,
+      If(IsNull(s), x,
+        Add(Multiply(a, x), Multiply(Subtract(Literal(1.0), a), s)))),
+    Or(IsNull(x), IsNull(a)))
+
+  override lazy val evaluateExpression: Expression = If(curNull, nullDouble, s)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VarEma =
+    copy(value = c(0), alpha = c(1))
+}
+
 /** `rsi(value, n)` — Wilder's Relative Strength Index
   * (reference `src/functions/rsi.rs:115-160`): NULL until `n` consecutive
   * diffs accumulated; seed averages are the simple mean of the first `n`

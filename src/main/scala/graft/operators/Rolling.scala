@@ -1648,4 +1648,209 @@ object Rolling {
         sum(pv).over(w).cast("double") /
           (lit(math.pow(10, priceScale)) * sum(vInt).over(w).cast("double"))))
   }
+
+  /** Accumulation/Distribution Line (Chaikin, public formula): the
+    * running sum of money-flow volume `mfm · vol` with
+    * `mfm = ((c − l) − (h − c)) / (h − l)` (0 on a flat bar) — the
+    * close-location-weighted volume flow that [[cmf]] ratios over a
+    * frame, here accumulated over the key's whole history.
+    *
+    * Determinism — the [[obv]] discipline: each bar's money-flow volume
+    * is quantized to `scale` decimals and the running total is a BIGINT
+    * sum (exact in any engine under any accumulation order); the single
+    * final descale division is IEEE. A bar whose MFV rounds to zero at
+    * `scale` is a deliberate no-op tick. One keyed Window pass. Adds
+    * `adl` (DOUBLE, volume units). */
+  def adl(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+          volCol: String, partCols: Seq[String], orderCols: Seq[String],
+          scale: Int = 2): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns, Seq("adl"), "Rolling.adl")
+    val running = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (h, l, c) =
+      (col(highCol).cast("double"), col(lowCol).cast("double"),
+        col(closeCol).cast("double"))
+    val vd = col(volCol).cast("double")
+    val mfm = when(h =!= l, ((c - l) - (h - c)) / (h - l)).otherwise(lit(0.0))
+    val mfvInt = round(mfm * vd * lit(math.pow(10, scale))).cast("long")
+    df.withColumn("adl",
+      sum(mfvInt).over(running).cast("double") / lit(math.pow(10, scale)))
+  }
+
+  /** Chaikin Oscillator (public formula): `ema(adl, fast) − ema(adl,
+    * slow)` — the momentum of the [[adl]] accumulation line, the classic
+    * 3/10 volume-flow divergence signal. The ADL layer is the exact
+    * BIGINT cumsum above; both EMAs are the NATIVE `ema` recurrence over
+    * the bound `adl` column, so the whole chain shares ONE (partition,
+    * order) spec: one hash exchange, one sort, three Window passes.
+    * Emits from each key's first row (both EMAs seed on it). Adds
+    * `chaikin_osc` (and the intermediate `adl`). */
+  def chaikinOsc(df: DataFrame, highCol: String, lowCol: String,
+                 closeCol: String, volCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], fast: Int = 3, slow: Int = 10,
+                 scale: Int = 2): DataFrame = {
+    require(fast >= 1 && slow > fast,
+      s"need slow > fast >= 1, got ($fast, $slow)")
+    Guards.requireNoReserved(df.columns,
+      Seq("adl", "chaikin_osc", "__co_f", "__co_s"), "Rolling.chaikinOsc")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ema = graft.functions.FinancialFunctions.ema(_: Column, _: Int)
+    adl(df, highCol, lowCol, closeCol, volCol, partCols, orderCols, scale)
+      .select(col("*"),
+        ema(col("adl"), fast).over(seqW).as("__co_f"),
+        ema(col("adl"), slow).over(seqW).as("__co_s"))
+      .withColumn("chaikin_osc", col("__co_f") - col("__co_s"))
+      .drop("__co_f", "__co_s")
+  }
+
+  /** Ulcer Index (Martin 1987, public formula): the RMS of percentage
+    * drawdowns from the trailing n-bar high —
+    * `sqrt(Σ d²/n)` with `d = 100·(c − max_n) / max_n` per bar — the
+    * downside-only volatility gauge (a calm rally scores 0 where σ
+    * penalizes it).
+    *
+    * Window-over-window: pass one binds each bar's drawdown vs its OWN
+    * trailing-n max (exact extremes + one fixed IEEE tree; NULL until
+    * the frame fills and on a zero/negative max); pass two folds the
+    * collected n drawdown squares IN FRAME ORDER (doubles — the [[cci]]
+    * discipline; a windowed `sum` would differ cross-engine in the last
+    * ulp), one IEEE divide + correctly-rounded sqrt. Both passes share
+    * one (partition, order) spec. NULL until n complete drawdowns
+    * exist (first emit at bar 2n−1). Adds `ulcer`. */
+  def ulcerIndex(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], n: Int = 14): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("ulcer", "__ui_dd", "__ui_l"), "Rolling.ulcerIndex")
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    val mx = max(x).over(w)
+    val dd = when(count(x).over(w) === n && mx > 0.0,
+      lit(100.0) * (x - mx) / mx)
+    df.withColumn("__ui_dd", dd)
+      .withColumn("__ui_l",
+        when(count(col("__ui_dd")).over(w) === n,
+          collect_list(col("__ui_dd") * col("__ui_dd")).over(w)))
+      .withColumn("ulcer",
+        sqrt(aggregate(col("__ui_l"), lit(0.0), (a, b) => a + b) /
+          lit(n.toDouble)))
+      .drop("__ui_dd", "__ui_l")
+  }
+
+  /** Ease of Movement (Arms, public formula): how far price moves per
+    * unit of volume — `emv = dm · (h − l) / vol` with the midpoint move
+    * `dm = ((h + l) − (ph + pl)) / 2`, smoothed by an n-bar SMA. High
+    * EOM = large moves on thin volume (low resistance); near 0 = churn.
+    *
+    * `emv` is NULL on each key's first bar (no prior midpoint) and on a
+    * zero-volume bar (no defined ratio — explicit guard, not a silent
+    * ÷0). The smooth folds the collected n-element frame list in order
+    * (doubles — the [[cci]] discipline). Lag and fold share one
+    * (partition, order) spec. Adds `eom`. */
+  def easeOfMovement(df: DataFrame, highCol: String, lowCol: String,
+                     volCol: String, partCols: Seq[String],
+                     orderCols: Seq[String], n: Int = 14): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("eom", "__emv", "__emv_l"), "Rolling.easeOfMovement")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val (h, l) = (col(highCol).cast("double"), col(lowCol).cast("double"))
+    val vd = col(volCol).cast("double")
+    val ph = lag(h, 1).over(seqW)
+    val pl = lag(l, 1).over(seqW)
+    val dm = ((h + l) - (ph + pl)) / lit(2.0)
+    val emv = when(ph.isNotNull && vd =!= 0.0, dm * (h - l) / vd)
+    df.withColumn("__emv", emv)
+      .withColumn("__emv_l",
+        when(count(col("__emv")).over(w) === n,
+          collect_list(col("__emv")).over(w)))
+      .withColumn("eom",
+        aggregate(col("__emv_l"), lit(0.0), (a, b) => a + b) /
+          lit(n.toDouble))
+      .drop("__emv", "__emv_l")
+  }
+
+  /** Kaufman Adaptive Moving Average (Kaufman 1995, public formula): an
+    * EMA whose smoothing constant tracks trend efficiency —
+    * `ER = |x_t − x_{t−n}| / Σ_{i=t−n+1..t} |x_i − x_{i−1}|` (net move
+    * over path length; 0 when the path length is 0, i.e. a flat window),
+    * `sc = (ER·(α_f − α_s) + α_s)²` with `α = 2/(p+1)` for the fast/slow
+    * periods, then `kama' = sc·x + (1 − sc)·kama` — trending markets get
+    * the fast EMA, choppy ones the slow.
+    *
+    * The recurrence is the NATIVE `var_ema` window expression
+    * ([[graft.functions.VarEma]] — the [[graft.functions.Ema]] update
+    * tree with the row's own `sc`); the path-length denominator folds the
+    * collected n-diff frame list IN ORDER (doubles — the [[cci]]
+    * discipline), the rest is one fixed IEEE tree. `sc` is NULL until n
+    * consecutive diffs exist, so the machine seeds `kama = x` on each
+    * key's bar n+1 (the textbook schedule) and is frozen before that.
+    * Two Window passes (diff layer, then fold + recurrence) over ONE
+    * (partition, order) spec — one exchange, one sort. Adds `kama`. */
+  def kama(df: DataFrame, valueCol: String, partCols: Seq[String],
+           orderCols: Seq[String], n: Int = 10, fast: Int = 2,
+           slow: Int = 30): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    require(fast >= 1 && slow > fast,
+      s"need slow > fast >= 1, got ($fast, $slow)")
+    Guards.requireNoReserved(df.columns,
+      Seq("kama", "__ka_d", "__ka_sc"), "Rolling.kama")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = frame(partCols, orderCols, n)
+    val x = col(valueCol).cast("double")
+    val aF = lit(2.0) / lit(fast + 1.0)
+    val aS = lit(2.0) / lit(slow + 1.0)
+    val d = abs(x - lag(x, 1).over(seqW))
+    val dir = abs(x - lag(x, n).over(seqW))
+    df.withColumn("__ka_d", d)
+      .withColumn("__ka_sc", {
+        val vol = aggregate(collect_list(col("__ka_d")).over(w),
+          lit(0.0), (a, b) => a + b)
+        val er = when(vol =!= 0.0, dir / vol).otherwise(lit(0.0))
+        val base = er * (aF - aS) + aS
+        // the count guard must wrap the WHOLE sc tree: an unfilled frame
+        // must yield NULL (frozen state), not the er=0 slow-alpha branch
+        when(count(col("__ka_d")).over(w) === n, base * base)
+      })
+      .withColumn("kama",
+        graft.functions.FinancialFunctions.varEma(x, col("__ka_sc"))
+          .over(seqW))
+      .drop("__ka_d", "__ka_sc")
+  }
+
+  /** Balance of Power (Livermore via Worden, public formula): per-bar
+    * buyer/seller dominance `(c − o) / (h − l)` in [−1, 1] (0 on a flat
+    * bar — no range, no winner), smoothed by an n-bar SMA. A persistent
+    * positive BOP = closes pinned near highs (buyers absorbing supply).
+    *
+    * One fixed IEEE tree per bar; the smooth folds the collected frame
+    * list in order (doubles — the [[cci]] discipline). One keyed Window
+    * pass. NULL until the frame fills. Adds `bop`. */
+  def balanceOfPower(df: DataFrame, openCol: String, highCol: String,
+                     lowCol: String, closeCol: String,
+                     partCols: Seq[String], orderCols: Seq[String],
+                     n: Int = 14): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    Guards.requireNoReserved(df.columns,
+      Seq("bop", "__bop_r", "__bop_l"), "Rolling.balanceOfPower")
+    val w = frame(partCols, orderCols, n)
+    val (o, h, l, c) =
+      (col(openCol).cast("double"), col(highCol).cast("double"),
+        col(lowCol).cast("double"), col(closeCol).cast("double"))
+    val raw = when(h =!= l, (c - o) / (h - l)).otherwise(lit(0.0))
+    df.withColumn("__bop_r", raw)
+      .withColumn("__bop_l",
+        when(count(col("__bop_r")).over(w) === n,
+          collect_list(col("__bop_r")).over(w)))
+      .withColumn("bop",
+        aggregate(col("__bop_l"), lit(0.0), (a, b) => a + b) /
+          lit(n.toDouble))
+      .drop("__bop_r", "__bop_l")
+  }
 }

@@ -147,6 +147,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Rolling.massIndex(emptyBars, "h", "l", p, ord).count() === 0)
     assert(Rolling.kst(emptyBars, "c", p, ord).count() === 0)
     assert(Rolling.coppock(emptyBars, "c", p, ord).count() === 0)
+    val emptyVol = emptyBars.withColumn("v", org.apache.spark.sql.functions.lit(1.0))
+    assert(Rolling.adl(emptyVol, "h", "l", "c", "v", p, ord).count() === 0)
+    assert(Rolling.chaikinOsc(emptyVol, "h", "l", "c", "v", p, ord).count() === 0)
+    assert(Rolling.ulcerIndex(emptyBars, "c", p, ord).count() === 0)
+    assert(Rolling.easeOfMovement(emptyVol, "h", "l", "v", p, ord).count() === 0)
+    assert(Rolling.balanceOfPower(emptyBars, "o", "h", "l", "c", p, ord).count() === 0)
+    assert(Rolling.kama(emptyBars, "c", p, ord).count() === 0)
   }
 
   test("validators on an empty table report zero rows and pass") {

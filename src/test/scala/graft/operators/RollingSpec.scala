@@ -886,6 +886,97 @@ class RollingSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("crsi"))) // rank window short
   }
 
+  test("adl: hand-traced money-flow cumsum; flat bar and balanced close are no-ops") {
+    val df = Seq(
+      ("s", 0, 10.0, 8.0, 10.0, 5.0), // mfm = 1 → +5
+      ("s", 1, 10.0, 8.0, 8.0, 3.0),  // mfm = −1 → −3
+      ("s", 2, 7.0, 7.0, 7.0, 9.0),   // flat bar → 0
+      ("s", 3, 10.0, 8.0, 9.0, 4.0))  // close dead-center → mfm 0
+      .toDF("sym", "i", "h", "l", "c", "v")
+    val out = Rolling.adl(df, "h", "l", "c", "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect().map(_.getAs[Double]("adl")).toSeq
+    assert(out === Seq(5.0, 2.0, 2.0, 2.0))
+  }
+
+  test("chaikin oscillator: fast=1 EMA is the adl itself; hand-fold the slow leg") {
+    val df = Seq(
+      ("s", 0, 10.0, 8.0, 10.0, 5.0), // adl 5
+      ("s", 1, 10.0, 8.0, 8.0, 3.0))  // adl 2
+      .toDF("sym", "i", "h", "l", "c", "v")
+    val out = Rolling.chaikinOsc(df, "h", "l", "c", "v", Seq("sym"), Seq("i"),
+        fast = 1, slow = 2)
+      .orderBy("i").collect()
+    assert(out(0).getAs[Double]("chaikin_osc") === 0.0) // both seed on adl
+    // slow ema(2): α = 2/3 → (2/3)·2 + (1/3)·5 = 3; osc = 2 − 3 = −1
+    assert(out(1).getAs[Double]("chaikin_osc") ===
+      2.0 - ((2.0 / 3.0) * 2.0 + (1.0 - 2.0 / 3.0) * 5.0))
+  }
+
+  test("ulcer index: RMS of trailing-high drawdowns, textbook schedule") {
+    val out = Rolling.ulcerIndex(series(10, 8, 8), "v", Seq("sym"), Seq("i"),
+        n = 2)
+      .orderBy("i").collect()
+    // dd: NULL (frame short), −20 (8 vs max 10), 0 (8 vs max 8)
+    assert(out(0).isNullAt(out(0).fieldIndex("ulcer")))
+    assert(out(1).isNullAt(out(1).fieldIndex("ulcer"))) // one dd, need two
+    assert(out(2).getAs[Double]("ulcer") ===
+      math.sqrt((-20.0 * -20.0 + 0.0) / 2.0))
+  }
+
+  test("ease of movement: hand-traced midpoint move; zero volume stays null") {
+    val df = Seq(("s", 0, 10.0, 6.0, 4.0), ("s", 1, 12.0, 8.0, 8.0),
+        ("s", 2, 12.0, 8.0, 0.0))
+      .toDF("sym", "i", "h", "l", "v")
+    val out = Rolling.easeOfMovement(df, "h", "l", "v", Seq("sym"), Seq("i"),
+        n = 1)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("eom"))) // no prior midpoint
+    // dm = ((12+8) − (10+6))/2 = 2; emv = 2·(12−8)/8 = 1
+    assert(out(1).getAs[Double]("eom") === 1.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("eom"))) // zero volume
+  }
+
+  test("balance of power: full-range close scores 1, flat bar scores 0") {
+    val df = Seq(("s", 0, 8.0, 10.0, 8.0, 10.0), ("s", 1, 9.0, 9.0, 9.0, 9.0))
+      .toDF("sym", "i", "o", "h", "l", "c")
+    val out = Rolling.balanceOfPower(df, "o", "h", "l", "c", Seq("sym"),
+        Seq("i"), n = 1)
+      .orderBy("i").collect().map(_.getAs[Double]("bop")).toSeq
+    assert(out === Seq(1.0, 0.0))
+  }
+
+  test("kama: seeds on bar n+1, trending sc, exact var_ema update") {
+    val df = series(10, 11, 13, 12)
+    val out = Rolling.kama(df, "v", Seq("sym"), Seq("i"), n = 2, fast = 2,
+        slow = 4)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("kama")))
+    assert(out(1).isNullAt(out(1).fieldIndex("kama"))) // one diff, need two
+    assert(out(2).getAs[Double]("kama") === 13.0)      // seed row emits x
+    // vol = |13−11| + |12−13| = 3, dir = |12−11| = 1 → er = 1/3;
+    // sc = (er·(αf−αs) + αs)², update = sc·x + (1−sc)·prev — same doubles
+    val sc = { val b = (1.0 / 3.0) * (2.0 / 3.0 - 2.0 / 5.0) + 2.0 / 5.0; b * b }
+    assert(out(3).getAs[Double]("kama") === sc * 12.0 + (1.0 - sc) * 13.0)
+  }
+
+  test("kama: a null value freezes the state and re-warms over n diffs") {
+    val df = Seq(("s", 0, Some(10.0)), ("s", 1, Some(11.0)),
+        ("s", 2, Some(13.0)), ("s", 3, None: Option[Double]),
+        ("s", 4, Some(12.0)), ("s", 5, Some(12.5)), ("s", 6, Some(12.25)))
+      .toDF("sym", "i", "v")
+    val out = Rolling.kama(df, "v", Seq("sym"), Seq("i"), n = 2, fast = 2,
+        slow = 4)
+      .orderBy("i").collect()
+    assert(out(2).getAs[Double]("kama") === 13.0)
+    (3 to 5).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("kama")),
+      s"row $i should still be warming"))
+    // rows 5,6 give two consecutive diffs again → row 6 resumes FROM the
+    // frozen 13.0 state, not from a fresh seed
+    val r6 = out(6).getAs[Double]("kama")
+    assert(!out(6).isNullAt(out(6).fieldIndex("kama")))
+    assert(r6 > 12.25 && r6 < 13.0, s"expected blend below frozen 13.0, got $r6")
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")

@@ -35,6 +35,15 @@ object ManualDrive {
     probe("PROBE_STRING", "SELECT sma(l_returnflag, 3) OVER (ORDER BY l_orderkey) FROM lineitem")
     probe("PROBE_NO_OVER", "SELECT ema(l_quantity, 3) FROM lineitem")
     probe("PROBE_NEG", "SELECT rsi(l_quantity, -1) OVER (ORDER BY l_orderkey) FROM lineitem")
+    // var_ema through the SQL-string surface: α = 1 must reproduce the
+    // input series exactly; a string alpha must fail at analysis
+    println("VAR_EMA_ALPHA1_MISMATCHES=" + spark.sql(
+      """SELECT l_quantity, var_ema(l_quantity, 1.0)
+        |  OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) v
+        |FROM lineitem""".stripMargin)
+      .filter("v <> CAST(l_quantity AS DOUBLE)").count())
+    probe("PROBE_VAR_EMA_STRING",
+      "SELECT var_ema(l_quantity, l_returnflag) OVER (ORDER BY l_orderkey) FROM lineitem")
     spark.stop()
     println("DONE")
   }
