@@ -1665,6 +1665,25 @@ object SparkEntry {
       operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
         .orderBy(col("day"))
     }),
+    "q_retrieval_eval" -> ((s, d) => {
+      // per-user retrieval grade of the value-ranked event list against
+      // the purchase set — recall/MRR/NDCG@10 with the log₂ discount
+      // ladder baked as driver-side literal doubles (no engine libm in
+      // the data path); the ranker here is a deterministic
+      // (value DESC, event_id) row_number
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val ev = readEventsNanos(s, d)
+      val ranked = ev.select(col("user_id"), col("event_id"),
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))).as("rnk"))
+      val rel = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"))
+      operators.Eval.rankingMetrics(ranked, rel, "user_id", "event_id",
+          "rnk", k = 10)
+        .orderBy(col("user_id"))
+    }),
     "q_mutual_info" -> ((s, d) => {
       // binned mutual information between shipment quantity and extended
       // price (10×10 grid) — numeric-pair dependence screen; one row per
@@ -4836,6 +4855,50 @@ object SparkEntry {
     // via a running count window, Mann–Whitney identity. Counts and
     // half-integer midranks are exact doubles, so the single final
     // division is bit-identical across engines.
+    // Replays Eval.rankingMetrics: the identical discount/ideal-DCG
+    // literal ladders (Double.toString is shortest-round-trip, so the
+    // parsed doubles are bit-identical), the DCG folded in ascending-rank
+    // order, exact count divisions elsewhere.
+    "q_retrieval_eval" -> {
+      val discCase = operators.Eval.ndcgDiscountSql("r", 10)
+      val idcgCase = operators.Eval.ndcgIdcg(10).zipWithIndex.map {
+        case (v, i) => s"WHEN ${i + 1} THEN CAST('$v' AS DOUBLE)"
+      }.mkString("(CASE least(n.n_rel, 10) ", " ", " END)")
+      s"""WITH rel AS (
+         |  SELECT DISTINCT user_id, event_id FROM events
+         |  WHERE event_type = 'purchase'),
+         |nrel AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY user_id),
+         |rk AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY value DESC, event_id) AS r
+         |  FROM events),
+         |m AS (
+         |  SELECT t.user_id, t.r,
+         |    CASE WHEN rl.event_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+         |  FROM rk t LEFT JOIN rel rl
+         |    ON rl.user_id = t.user_id AND rl.event_id = t.event_id
+         |  WHERE t.r <= 10),
+         |agg AS (
+         |  SELECT user_id,
+         |    CAST(sum(is_rel) AS BIGINT) AS hits,
+         |    min(CASE WHEN is_rel = 1 THEN r END) AS first_rel,
+         |    list($discCase ORDER BY r) FILTER (WHERE is_rel = 1) AS dl
+         |  FROM m GROUP BY user_id)
+         |SELECT a.user_id,
+         |  COALESCE(n.n_rel, 0) AS n_rel,
+         |  a.hits,
+         |  CASE WHEN n.n_rel > 0
+         |    THEN CAST(a.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+         |  END AS recall_at_k,
+         |  COALESCE(1.0::DOUBLE / a.first_rel, 0.0::DOUBLE) AS mrr_at_k,
+         |  CASE WHEN n.n_rel > 0
+         |    THEN COALESCE(list_reduce(a.dl, (x, y) -> x + y), 0.0::DOUBLE)
+         |         / $idcgCase
+         |  END AS ndcg_at_k
+         |FROM agg a LEFT JOIN nrel n ON n.user_id = a.user_id
+         |ORDER BY a.user_id""".stripMargin
+    },
     "q_auc" ->
       """WITH e AS (
         |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,

@@ -243,4 +243,106 @@ object Eval {
         (col("cum_pos").cast("double") / col("cum_n").cast("double")) / overall))
       .drop("__bounds", "__tot_n", "__tot_pos")
   }
+
+  /** The 1/log₂(r+1) NDCG discount ladder for ranks 1..k, computed ONCE
+    * driver-side and baked into the plan as literal doubles — neither
+    * engine's libm log is trusted in the data path (the `embed_project`
+    * sign-matrix discipline: the oracle bakes the IDENTICAL literals into
+    * its SQL via [[ndcgDiscountSql]]). */
+  private[graft] def ndcgDiscounts(k: Int): Array[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).toArray
+
+  /** Ideal-DCG prefix sums of the discount ladder (sequential order —
+    * the same order both engines fold the hit list in). */
+  private[graft] def ndcgIdcg(k: Int): Array[Double] = {
+    val d = ndcgDiscounts(k)
+    val out = new Array[Double](k)
+    var acc = 0.0
+    var i = 0
+    while (i < k) { acc += d(i); out(i) = acc; i += 1 }
+    out
+  }
+
+  /** The discount ladder as a DuckDB CASE expression over a rank column.
+    * `java.lang.Double.toString` is shortest-round-trip, and the literal
+    * rides as `CAST('<repr>' AS DOUBLE)` — a bare `0.386…163::DOUBLE`
+    * literal goes through DuckDB's DECIMAL parser, whose double
+    * conversion is NOT correctly rounded (measured: 1-ulp off on the
+    * rank-5 discount); the string cast is strtod, which is. */
+  private[graft] def ndcgDiscountSql(rankExpr: String, k: Int): String =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) =>
+      s"WHEN ${i + 1} THEN CAST('$d' AS DOUBLE)"
+    }.mkString(s"(CASE $rankExpr ", " ", " END)")
+
+  /** Per-query retrieval metrics at cutoff k — recall@k, MRR@k, NDCG@k —
+    * for grading a retrieval/ANN system (e.g. the IVF/PQ indexes here)
+    * against a relevance set: `ranked` is the system output (one row per
+    * (query, doc) with a 1-based `rankCol`, rank 1 = best), `relevant`
+    * the ground-truth (query, doc) pairs (any further columns ignored;
+    * duplicates collapsed). Emits one row per query appearing in
+    * `ranked`: `n_rel` (total relevant, 0 if none), `hits` (relevant in
+    * the top-k), `recall_at_k` = hits/n_rel, `mrr_at_k` = 1/first
+    * relevant rank (0.0 when the top-k has no hit), `ndcg_at_k` =
+    * Σ 1/log₂(rᵢ+1) over hit ranks ÷ ideal-DCG at min(n_rel, k).
+    * recall/NDCG are NULL when a query has no relevant docs (undefined,
+    * and NULL beats a misleading 0).
+    *
+    * Determinism: discounts and ideal-DCGs are driver-side literal
+    * doubles (see [[ndcgDiscounts]]); the DCG folds the ≤k hit discounts
+    * in ascending-rank order (array_sort on the collected (rank,
+    * discount) structs); MRR/recall are exact counts with one IEEE
+    * division each. Duplicate ranks inside a query's top-k fail loudly —
+    * they would silently corrupt every metric.
+    *
+    * Scale shape: one equi-join of the top-k slice against the distinct
+    * relevance set, one map-side-combinable count per query on each
+    * frame, per-query state bounded by k. No window over either corpus —
+    * ranks are the CALLER's (typically a `topk_by` / WindowGroupLimit
+    * output that never materializes beyond k per query). */
+  def rankingMetrics(ranked: DataFrame, relevant: DataFrame,
+                     queryCol: String, docCol: String, rankCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    Guards.requireNoReserved(ranked.columns,
+      Seq("n_rel", "hits", "recall_at_k", "mrr_at_k", "ndcg_at_k",
+        "__q", "__d", "__r", "__rel", "__disc"),
+      "rankingMetrics")
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    val idcgArr = array(ndcgIdcg(k).map(lit): _*)
+    val rel = relevant
+      .select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val top = ranked.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") >= 1L && col("__r") <= k)
+    val marked = top.join(rel.withColumn("__rel", lit(1)),
+      Seq("__q", "__d"), "left")
+    // the guard rides INSIDE the hits expression (adding a checked 0L) so
+    // column pruning can never optimize the raise_error away
+    val dupGuard = when(count(lit(1)) =!= count_distinct(col("__r")),
+      raise_error(lit("rankingMetrics: duplicate ranks within a query's " +
+        "top-k; fix the ranker before grading it")).cast("long"))
+      .otherwise(lit(0L))
+    val hitDisc = when(col("__rel") === 1,
+      struct(col("__r"), element_at(discArr, col("__r").cast("int"))
+        .as("__disc")))
+    val perQ = marked.groupBy(col("__q")).agg(
+      (coalesce(sum(col("__rel")), lit(0L)) + dupGuard).as("hits"),
+      min(when(col("__rel") === 1, col("__r"))).as("__first"),
+      array_sort(collect_list(hitDisc)).as("__hl"))
+    perQ.join(nRel, Seq("__q"), "left")
+      .select(
+        col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        when(col("n_rel") > 0L,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .as("recall_at_k"),
+        coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr_at_k"),
+        when(col("n_rel") > 0L,
+          aggregate(col("__hl"), lit(0.0),
+            (a, x) => a + x.getField("__disc")) /
+            element_at(idcgArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .as("ndcg_at_k"))
+  }
 }

@@ -175,4 +175,63 @@ class EvalSpec extends AnyFunSuite {
     assert(t.length === 1 && t.head.getAs[Long]("n") === 8L)
     assert(t.head.getAs[Double]("lift") === 1.0)
   }
+
+  private def rankRows(q: String, docs: Seq[String]) =
+    docs.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+
+  test("rankingMetrics: hand-computed recall, MRR, and NDCG at k") {
+    // q1: relevant {a, c, z}; ranked a,b,c → hits 2, first 1,
+    // dcg = 1 + 1/log2(4), idcg(min(3,3)) = 1 + 1/log2(3) + 1/log2(4)
+    // q2: relevant {x}; ranked d,e,f → no hit
+    // q3: no relevant docs → recall/ndcg NULL, mrr 0
+    val ranked = (rankRows("q1", Seq("a", "b", "c")) ++
+        rankRows("q2", Seq("d", "e", "f")) ++
+        rankRows("q3", Seq("g", "h", "i")))
+      .toDF("q", "doc", "rnk")
+    val rel = Seq(("q1", "a"), ("q1", "c"), ("q1", "z"), ("q2", "x"))
+      .toDF("q", "doc")
+    val out = Eval.rankingMetrics(ranked, rel, "q", "doc", "rnk", k = 3)
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    val d = Eval.ndcgDiscounts(3)
+    val q1 = out("q1")
+    assert(q1.getAs[Long]("n_rel") === 3L && q1.getAs[Long]("hits") === 2L)
+    assert(q1.getAs[Double]("recall_at_k") === 2.0 / 3.0)
+    assert(q1.getAs[Double]("mrr_at_k") === 1.0)
+    assert(q1.getAs[Double]("ndcg_at_k") ===
+      (d(0) + d(2)) / (d(0) + d(1) + d(2)))
+    val q2 = out("q2")
+    assert(q2.getAs[Long]("hits") === 0L)
+    assert(q2.getAs[Double]("recall_at_k") === 0.0)
+    assert(q2.getAs[Double]("mrr_at_k") === 0.0)
+    assert(q2.getAs[Double]("ndcg_at_k") === 0.0)
+    val q3 = out("q3")
+    assert(q3.getAs[Long]("n_rel") === 0L)
+    assert(q3.isNullAt(q3.fieldIndex("recall_at_k")))
+    assert(q3.getAs[Double]("mrr_at_k") === 0.0)
+    assert(q3.isNullAt(q3.fieldIndex("ndcg_at_k")))
+  }
+
+  test("rankingMetrics: n_rel beyond k caps the ideal DCG at k") {
+    // 5 relevant, k=2, both top slots hit → ndcg exactly 1
+    val ranked = rankRows("q", Seq("a", "b")).toDF("q", "doc", "rnk")
+    val rel = Seq("a", "b", "c", "d", "e").map(("q", _)).toDF("q", "doc")
+    val out = Eval.rankingMetrics(ranked, rel, "q", "doc", "rnk", k = 2)
+      .collect().head
+    assert(out.getAs[Double]("ndcg_at_k") === 1.0)
+    assert(out.getAs[Double]("recall_at_k") === 2.0 / 5.0)
+  }
+
+  test("rankingMetrics: ranks beyond k are ignored; duplicate ranks fail loudly") {
+    val ranked = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 7))
+      .toDF("q", "doc", "rnk")
+    val rel = Seq(("q", "c")).toDF("q", "doc")
+    val out = Eval.rankingMetrics(ranked, rel, "q", "doc", "rnk", k = 2)
+      .collect().head
+    assert(out.getAs[Long]("hits") === 0L) // the rank-7 hit is outside k
+    val dup = Seq(("q", "a", 1), ("q", "b", 1)).toDF("q", "doc", "rnk")
+    val e = intercept[Exception] {
+      Eval.rankingMetrics(dup, rel, "q", "doc", "rnk", k = 2).collect()
+    }
+    assert(e.getMessage.contains("duplicate ranks"))
+  }
 }
