@@ -1980,6 +1980,37 @@ object SparkEntry {
         .select("s1", "s2").distinct()
       operators.Graph.triangleCount(edges, "s1", "s2")
     }),
+    "q_local_clustering" -> ((s, d) => {
+      // per-supplier local clustering coefficient over the q_triangles
+      // co-supplier graph — compact-forward kernel, one triangle-corner
+      // explode, exact integers until the final division
+      load(s, d)
+      val li = s.table("lineitem")
+        .filter(col("l_quantity") >= 40.0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val edges = li.select(col("ok"), col("l_suppkey").as("s1"))
+        .join(li.select(col("ok"), col("l_suppkey").as("s2")), "ok")
+        .filter(col("s1") < col("s2"))
+        .select("s1", "s2").distinct()
+      operators.Graph.localClustering(edges, "s1", "s2")
+        .orderBy(col("node"))
+    }),
+    "q_hits" -> ((s, d) => {
+      // 3-round HITS over the directed customer→supplier trade graph
+      // (hubs = customers, authorities = suppliers): per-half-step 10-dp
+      // rounding + MAX normalization (exact in any order) make each
+      // round oracle-replayable
+      load(s, d)
+      import org.apache.spark.sql.functions.lit
+      val cs = s.table("orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(s.table("lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      operators.Graph.hits(cs, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
     "q_scd2" -> ((s, d) => {
       // SCD Type-2 history: bootstrap a customer dimension at version 100
       // (every 13th key missing), then fold in a version-200 snapshot that
@@ -4405,6 +4436,63 @@ object SparkEntry {
         |  (SELECT count(*) FROM e e1
         |     JOIN e e2 ON e2.u = e1.v
         |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+    // Local-clustering replay: naive per-corner wedge-closing count over
+    // the normalized adjacency (the q_triangles brute-force discipline),
+    // exact integers, one final division.
+    "q_local_clustering" ->
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_suppkey < b.l_suppkey
+        |           WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+        |adj AS (SELECT u AS m, v AS x FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT m AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY m),
+        |tri AS (SELECT a.m AS node, CAST(count(*) AS BIGINT) AS t
+        |        FROM adj a JOIN adj b ON a.m = b.m AND a.x < b.x
+        |        JOIN e ON e.u = a.x AND e.v = b.x
+        |        GROUP BY a.m)
+        |SELECT d.node, d.degree,
+        |  COALESCE(t.t, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN (2.0::DOUBLE * CAST(COALESCE(t.t, 0) AS DOUBLE))
+        |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |    ELSE 0.0::DOUBLE END AS lcc
+        |FROM deg d LEFT JOIN tri t ON t.node = d.node
+        |ORDER BY d.node""".stripMargin,
+    // HITS replay: three unrolled mutual-reinforcement rounds — each
+    // half-step is the rounded contribution sum then the rounded
+    // max-normalization, exactly the operator's update order.
+    "q_hits" -> {
+      val rounds = (1 to 3).map { i =>
+        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (
+           |  SELECT e.dst AS node, round(sum(h.hub), 10) AS s
+           |  FROM e JOIN $hPrev h ON h.node = e.src GROUP BY e.dst),
+           |a$i AS (
+           |  SELECT node, round(s / (SELECT max(s) FROM a${i}r), 10) AS auth
+           |  FROM a${i}r),
+           |h${i}r AS (
+           |  SELECT e.src AS node, round(sum(a.auth), 10) AS s
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |h$i AS (
+           |  SELECT node, round(s / (SELECT max(s) FROM h${i}r), 10) AS hub
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM cs WHERE src <> dst),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),
+         |$rounds
+         |SELECT n.node,
+         |  COALESCE(h3.hub, 0.0::DOUBLE) AS hub,
+         |  COALESCE(a3.auth, 0.0::DOUBLE) AS auth
+         |FROM nodes n
+         |LEFT JOIN h3 ON h3.node = n.node
+         |LEFT JOIN a3 ON a3.node = n.node
+         |ORDER BY n.node""".stripMargin
+    },
     // Replays the chained scd2Apply as three explicit branches over the
     // two snapshots: surviving-open rows (payload equal), closes (key
     // vanished or payload changed), inserts (key new or payload changed).

@@ -359,6 +359,17 @@ object Graph {
     * Determinism: an exact integer count — layout- and engine-independent
     * by construction. */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val (oriented, _, triangles) = orientedTriangles(edges, srcCol, dstCol)
+    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Shared compact-forward kernel (see [[triangleCount]]'s scaladoc for
+    * the degree-orientation argument): returns the persisted oriented
+    * edge frame, the full-degree frame, and the (a, b, c) triangle
+    * frame. */
+  private def orientedTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -378,7 +389,110 @@ object Graph {
       .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
     val triangles = wedges
       .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
-    nEdges.crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+    (oriented, deg, triangles)
+  }
+
+  /** Per-vertex local clustering coefficient — `2·T(v) / (d(v)·(d(v)−1))`
+    * with `T(v)` the triangles through `v` — the node-level cohesion
+    * score whose corpus-curation reading is the same as
+    * [[triangleCount]]'s global one: spam/SEO link farms cluster near 1,
+    * organic hubs near 0. Emits (`node`, `degree`, `triangles`, `lcc`);
+    * `lcc` is 0 for degree-<2 nodes (no possible wedge, the standard
+    * convention).
+    *
+    * Scale shape: the [[triangleCount]] compact-forward kernel (wedge
+    * volume O(m^1.5), not Σ deg²), then ONE explode of the (a, b, c)
+    * triangle frame — each triangle feeds all three of its corners — and
+    * a map-side-combinable count per node. Everything exact-integer until
+    * the single final IEEE division, so results are layout- and
+    * engine-independent with no rounding. */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val (_, deg, triangles) = orientedTriangles(edges, srcCol, dstCol)
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.select(col("n").as("node"), col("d").as("degree"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          (lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")) /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** HITS hubs-and-authorities after exactly `iters` mutual-reinforcement
+    * rounds (Kleinberg 1999, public formula) over the DIRECTED edge list:
+    * `auth'(v) = Σ_{u→v} hub(u)`, then `hub'(u) = Σ_{u→v} auth'(v)`,
+    * each half-step normalized by its MAX score — the max of doubles is
+    * exact in any order (unlike the L2 norm's sum of squares), so the
+    * only order-sensitive step is the per-node contribution sum, which is
+    * rounded to 10 decimals like [[pageRank]]'s — making every iteration
+    * layout-independent and oracle-replayable. Hubs start at 1.0; a node
+    * with no in-edges scores auth 0, no out-edges hub 0. Emits (`node`,
+    * `hub`, `auth`).
+    *
+    * Scale shape: per round two keyed aggregations over the edge frame
+    * (map-side combinable) and two scalar maxes that ride back as
+    * broadcast one-row frames (the winsorize stats-frame shape — no
+    * driver action inside the loop); the edge and node frames persist
+    * once; lineage is cut every 4th round ([[pageRank]] cadence). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val sc = edges.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def drop(ids: Set[Int]): Unit = ids.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+    val e = CacheScope.register(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheScope.register(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def maxNormalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val m = raw.agg(max(col(scoreCol)).as("__mx"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          round(col(scoreCol) / col("__mx"), 10).as(scoreCol))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    var blocks = Set.empty[Int]
+    var i = 1
+    while (i <= iters) {
+      val authRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(sum(col("hub")), 10).as("auth"))
+      auth = maxNormalized(authRaw, "auth")
+      val hubRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("node"))
+        .agg(round(sum(col("auth")), 10).as("hub"))
+      hub = maxNormalized(hubRaw, "hub")
+      if (i % 4 == 0 && i < iters) {
+        val (hc, hb) = checkpointed(hub)
+        val (ac, ab) = checkpointed(auth)
+        drop(blocks)
+        blocks = hb ++ ab
+        hub = hc
+        auth = ac
+      }
+      i += 1
+    }
+    CacheScope.registerRddIds(sc, blocks)
+    nodes
+      .join(hub.select(col("node"), col("hub")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("auth")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 }

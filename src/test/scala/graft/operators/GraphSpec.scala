@@ -203,6 +203,49 @@ class GraphSpec extends AnyFunSuite {
     assert(c.isNullAt(c.fieldIndex("assortativity"))) // zero degree variance
   }
 
+  test("localClustering: clique corners score 1, pendant and path nodes 0") {
+    // triangle {1,2,3} with a pendant 4 on node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.localClustering(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    graft.CacheScope.release()
+    assert(out(1L).getAs[Double]("lcc") === 1.0)
+    assert(out(2L).getAs[Double]("lcc") === 1.0)
+    // node 3: degree 3, one triangle → 2·1/(3·2) = 1/3
+    assert(out(3L).getAs[Long]("degree") === 3L)
+    assert(out(3L).getAs[Long]("triangles") === 1L)
+    assert(out(3L).getAs[Double]("lcc") === 2.0 * 1.0 / 6.0)
+    // pendant: degree 1 → convention 0, not NULL
+    assert(out(4L).getAs[Long]("triangles") === 0L)
+    assert(out(4L).getAs[Double]("lcc") === 0.0)
+  }
+
+  test("hits: one-round hand trace on a two-hub funnel; zero rails") {
+    // 1→3, 2→3, 2→4: auth max-normalizes on 3, hubs on 2
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    graft.CacheScope.release()
+    assert(out(3L).getAs[Double]("auth") === 1.0) // in-sum 2, the max
+    assert(out(4L).getAs[Double]("auth") === 0.5)
+    assert(out(2L).getAs[Double]("hub") === 1.0)  // 1 + 0.5, the max
+    // hub(1) = auth(3)/1.5 rounded to 10 dp
+    assert(math.abs(out(1L).getAs[Double]("hub") - 0.6666666667) < 1e-12)
+    // no out-edges → hub 0; no in-edges → auth 0
+    assert(out(3L).getAs[Double]("hub") === 0.0)
+    assert(out(1L).getAs[Double]("auth") === 0.0)
+  }
+
+  test("hits: symmetric 2-cycle is the all-ones fixpoint at any depth") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 5)
+      .collect()
+    graft.CacheScope.release()
+    out.foreach { r =>
+      assert(r.getAs[Double]("hub") === 1.0 && r.getAs[Double]("auth") === 1.0)
+    }
+  }
+
   test("label propagation: two bridged cliques settle into two communities") {
     // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; hand-traced
     // through the synchronous (count desc, label asc) rounds
