@@ -2438,6 +2438,16 @@ object SparkEntry {
       operators.Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_knn_label_consistency" -> ((s, d) => {
+      // embedding-quality probe: per-label fraction of each query's 5
+      // nearest neighbors sharing the query's label, over a 200-query
+      // panel — exact integer sums, one final division
+      load(s, d)
+      val emb = s.table("embeddings")
+      operators.Similarity.knnLabelConsistency(emb,
+          emb.filter(col("vec_id") < 200), k = 5)
+        .orderBy(col("label"))
+    }),
     "q_embed_ivf_learned" -> ((s, d) => {
       // IVF with LEARNED centroids: 2 deterministic k-means rounds replace
       // the label column; the oracle replays the identical iterations.
@@ -4014,6 +4024,36 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, neg_label, cosine, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Replays knnLabelConsistency: the kNN oracle's ranked frame joined
+    // back to both labels, exact integer hit/scored sums per label.
+    "q_knn_label_consistency" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |                  CAST(label AS BIGINT) AS ql
+         |           FROM embeddings WHERE vec_id < 200),
+         |scored AS (
+         |  SELECT q.query_id, q.ql, CAST(e.label AS BIGINT) AS nl,
+         |    ${cosSql("q.q_emb", "e.embedding")} AS cosine,
+         |    e.vec_id AS neighbor_id
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |),
+         |perq AS (
+         |  SELECT query_id, ql,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ranked WHERE rank <= 5 GROUP BY query_id, ql
+         |)
+         |SELECT ql AS label,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(h) AS BIGINT) AS hits,
+         |  CAST(sum(n) AS BIGINT) AS n_scored,
+         |  CAST(sum(h) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS consistency
+         |FROM perq GROUP BY ql ORDER BY ql""".stripMargin,
     "q_embed_ivf_knn" ->
       s"""WITH dims AS (
          |  SELECT vec_id, label AS cl, unnest(embedding) AS v,

@@ -77,6 +77,46 @@ object Similarity {
         col("cos").as("cosine"), col("rank"))
   }
 
+  /** kNN label-consistency — the standard no-training embedding-quality
+    * probe: for each query vector, what fraction of its k nearest corpus
+    * neighbors (cosine, self excluded) carry the query's own label, then
+    * one row per label: (`label`, `n_queries`, `hits`, `n_scored`,
+    * `consistency` = hits/n_scored). A healthy embedding scores far above
+    * the label-prior baseline; a label whose score sits AT the prior is
+    * not separated in embedding space at all.
+    *
+    * Plan: the [[bruteForceKnn]] shape (broadcast queries, one corpus
+    * pass, bounded-heap top-k with the neighbor label on the heap's tag
+    * channel) + a broadcast re-join of the tiny (query, label) frame and
+    * two exact-integer aggregations; the one IEEE division is the final
+    * ratio. `n_scored` (actual ranked rows, ≤ n_queries·k) is the
+    * denominator, so a corpus smaller than k stays honest. */
+  def knnLabelConsistency(corpus: DataFrame, queries: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), col(labelCol).cast("long").as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"), col(labelCol).cast("long").as("n_label"))
+    val scored = c.join(broadcast(q.select(col("query_id"), col("q_emb"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+    val ranked = graft.functions.TopKBy.rankDescending(scored, "query_id",
+      ordCol = "cos", idCol = "neighbor_id", k = k, tagCol = Some("n_label"))
+    ranked
+      .join(broadcast(q.select(col("query_id"), col("q_label"))), "query_id")
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("n_label") === col("q_label"), lit(1L))
+          .otherwise(lit(0L))).as("__h"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("__h")).as("hits"),
+        sum(col("__n")).as("n_scored"))
+      .withColumn("consistency",
+        col("hits").cast("double") / col("n_scored").cast("double"))
+  }
+
   /** IVF-style clustered ANN: centroids are the per-cluster mean vectors
     * (rounded to 6 decimals for cross-engine determinism of the group-sum);
     * each query probes only its `nprobe` nearest centroids' clusters —

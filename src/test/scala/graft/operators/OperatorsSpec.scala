@@ -154,6 +154,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length === 3)
   }
 
+  test("knn label consistency: hand-counted hits per label, honest denominator") {
+    // k=1 nearest of each vecs row: 0↔1 (label 0, both hit), 2↔3
+    // (label 1, both hit), 4→2-or-3 (label 2, miss; cosine 0 everywhere
+    // for id 4, tie breaks to the lowest id)
+    val out = Similarity.knnLabelConsistency(vecs, vecs, k = 1)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n_queries") === 2L)
+    assert(out(0L).getAs[Long]("hits") === 2L)
+    assert(out(0L).getAs[Double]("consistency") === 1.0)
+    assert(out(1L).getAs[Double]("consistency") === 1.0)
+    assert(out(2L).getAs[Long]("hits") === 0L)
+    assert(out(2L).getAs[Double]("consistency") === 0.0)
+    // k larger than the corpus: n_scored counts actual neighbors (4), so
+    // the ratio never divides by the fictitious n_queries·k
+    val wide = Similarity.knnLabelConsistency(vecs, vecs.filter($"vec_id" === 0L),
+        k = 10)
+      .collect().head
+    assert(wide.getAs[Long]("n_scored") === 4L)
+    assert(wide.getAs[Long]("hits") === 1L) // only id 1 shares label 0
+    assert(wide.getAs[Double]("consistency") === 0.25)
+  }
+
   test("ivf knn probes the query's own cluster only") {
     val out = Similarity.ivfKnn(vecs, vecs.filter($"vec_id" === 2), k = 3)
       .collect()
