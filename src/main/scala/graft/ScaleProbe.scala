@@ -57,7 +57,13 @@ object ScaleProbe {
     // K²-by-construction pair matrix (the one honest superlinear case —
     // 10× keys ⇒ 100× pairs; SCALE.md documents bounding K)
     "q_supertrend", "q_psar", "q_market_beta", "q_mann_whitney",
-    "q_corr_matrix")
+    "q_corr_matrix",
+    // round-8 session 3: the two new native recurrences (var_ema under
+    // KAMA, runprod under NVI/PVI) over 10× keys, the triangle-kernel
+    // explode (LCC), the per-round double-agg HITS, and the broadcast-
+    // panel kNN label probe (panel fixed ⇒ scales with the corpus scan)
+    "q_kama", "q_volume_index", "q_local_clustering", "q_hits",
+    "q_knn_label_consistency")
 
   private case class Shift(col: String, offset: Long)
 

@@ -577,6 +577,28 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("kama"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_volume_index" -> ((s, d) => {
+      // NVI/PVI compound-growth lines via the NATIVE runprod recurrence
+      // over conditional return factors; oracle is a WITH RECURSIVE
+      // dual-state product replay
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.volumeIndexes(dailyBars(s), "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
+    "q_fractals" -> ((s, d) => {
+      // Williams fractal swing points: strict ±2-bar extremes — pure
+      // comparisons, one window pass, NULL on plateaus and edges
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.fractals(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"), wings = 2)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("fractal_high"), col("fractal_low"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_event_study" -> ((s, d) => {
       // event study: mean forward return 1-3 bars after down days vs the
       // all-bars baseline — exact scaled-BIGINT sums on 10-dp returns
@@ -6108,6 +6130,52 @@ object SparkEntry {
          |SELECT l_suppkey, l_shipdate,
          |  CASE WHEN sc IS NOT NULL THEN st END AS kama
          |FROM kam ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    // NVI/PVI replay: the conditional growth factors declaratively, then
+    // a WITH RECURSIVE dual-state product walk — op order copies RunProd
+    // (prev · factor) and the final base scaling (base · state).
+    "q_volume_index" -> {
+      def f(cmp: String) =
+        s"""CASE WHEN lag(volume, 1) OVER ws IS NOT NULL
+           |      AND volume $cmp lag(volume, 1) OVER ws
+           |      AND lag(close, 1) OVER ws IS NOT NULL
+           |      AND lag(close, 1) OVER ws <> 0.0::DOUBLE
+           |  THEN 1.0::DOUBLE + ((close - lag(close, 1) OVER ws)
+           |                      / lag(close, 1) OVER ws)
+           |  ELSE 1.0::DOUBLE END""".stripMargin
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn,
+         |    ${f("<")} AS fn,
+         |    ${f(">")} AS fp
+         |  FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), vi AS (
+         |  SELECT l_suppkey, l_shipdate, rn, fn AS sn, fp AS sp
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    (h.sn * s.fn) AS sn, (h.sp * s.fp) AS sp
+         |  FROM vi h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  1000.0::DOUBLE * sn AS nvi, 1000.0::DOUBLE * sp AS pvi
+         |FROM vi ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Fractal replay: the strict ±2 comparison ladder verbatim.
+    "q_fractals" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN high > lag(high, 1) OVER ws AND high > lead(high, 1) OVER ws
+         |        AND high > lag(high, 2) OVER ws AND high > lead(high, 2) OVER ws
+         |    THEN high END AS fractal_high,
+         |  CASE WHEN low < lag(low, 1) OVER ws AND low < lead(low, 1) OVER ws
+         |        AND low < lag(low, 2) OVER ws AND low < lead(low, 2) OVER ws
+         |    THEN low END AS fractal_low
+         |FROM bars WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Awesome-Oscillator replay: BIGINT sums of h+l over both frames,
     // the exact 2f/2s divisors, gate on the slow frame.
     "q_awesome" ->

@@ -28,6 +28,7 @@ object FinancialFunctions {
     "sma" -> (e => { val a = arity("sma", 2)(e); Sma(a(0), a(1)) }),
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "var_ema" -> (e => { val a = arity("var_ema", 2)(e); VarEma(a(0), a(1)) }),
+    "runprod" -> (e => { val a = arity("runprod", 1)(e); RunProd(a(0)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "macd_signal" -> (e => { val a = arity("macd_signal", 1)(e); MacdSignal(a(0)) }),
@@ -73,6 +74,8 @@ object FinancialFunctions {
   /** Exponential smoothing with a per-row α column (adaptive MAs). */
   def varEma(value: Column, alpha: Column): Column =
     call_function("var_ema", value, alpha)
+  /** Running product of growth factors (compound returns, NVI/PVI). */
+  def runprod(factor: Column): Column = call_function("runprod", factor)
   def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
   def macd(value: Column): Column = call_function("macd", value)
   def macdSignal(value: Column): Column = call_function("macd_signal", value)
@@ -111,6 +114,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "sma" -> "sma(value, n) - trailing simple moving average over a window",
     "ema" -> "ema(value, n) - exponential moving average over a window",
     "var_ema" -> "var_ema(value, alpha) - exponential smoothing with a per-row alpha column",
+    "runprod" -> "runprod(factor) - running product of per-row growth factors",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "macd_signal" -> "macd_signal(value) - EMA9 signal line of the MACD",

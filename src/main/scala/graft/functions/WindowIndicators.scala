@@ -192,6 +192,37 @@ case class VarEma(value: Expression, alpha: Expression)
     copy(value = c(0), alpha = c(1))
 }
 
+/** `runprod(factor)` — running product of per-row growth factors:
+  * `p' = p · f_t`, seeded by the first non-null factor (emitted as-is).
+  * The multiplicative sibling of the running sum Spark lacks natively —
+  * compound returns, cumulative growth, and the conditional-factor
+  * volume indexes ([[graft.operators.Rolling.volumeIndexes]]) all reduce
+  * to it with a caller-built factor column. Multiplication is a single
+  * deterministic IEEE op per row, so the chain replays bit-exactly in
+  * any engine that applies the same factors in the same order — no
+  * log/exp round-trip (whose libm calls are NOT cross-engine exact).
+  *
+  * NULL contract (SURVEY §7.1 frozen-state): a NULL factor emits NULL
+  * and leaves the product untouched. */
+case class RunProd(value: Expression) extends IndicatorWindowFunction {
+  override def children: Seq[Expression] = Seq(value)
+  override def prettyName: String = "runprod"
+
+  private lazy val p = AttributeReference("runProd", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(p, curNull)
+  override lazy val initialValues: Seq[Expression] = Seq(nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x), p, If(IsNull(p), x, Multiply(p, x))),
+    IsNull(x))
+
+  override lazy val evaluateExpression: Expression = If(curNull, nullDouble, p)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): RunProd =
+    copy(value = c(0))
+}
+
 /** `rsi(value, n)` — Wilder's Relative Strength Index
   * (reference `src/functions/rsi.rs:115-160`): NULL until `n` consecutive
   * diffs accumulated; seed averages are the simple mean of the first `n`

@@ -1824,6 +1824,76 @@ object Rolling {
       .drop("__ka_d", "__ka_sc")
   }
 
+  /** Negative & Positive Volume Indexes (Fosback, public formula): two
+    * compound-growth lines that apply each bar's simple return only on
+    * falling-volume bars (NVI — "smart money" days) or rising-volume
+    * bars (PVI — crowd days): `idx' = idx · (1 + ret)` when the volume
+    * condition holds, else `idx' = idx`; both start at `base`.
+    *
+    * The multiplicative recurrence is the NATIVE `runprod` window
+    * expression ([[graft.functions.RunProd]]) over a caller-side factor
+    * column — each factor is a fixed IEEE tree (`1 + (c − pc)/pc`, 1.0
+    * on the condition's complement, the first bar, and a zero prior
+    * close), and the product chain replays bit-exactly in any engine
+    * with the same op order (a log/exp rewrite would put libm in the
+    * data path — see the expression's scaladoc). One keyed Window pass
+    * computes the lags; the recurrences share the spec. Adds `nvi`,
+    * `pvi` (both DOUBLE, in `base` units). */
+  def volumeIndexes(df: DataFrame, closeCol: String, volCol: String,
+                    partCols: Seq[String], orderCols: Seq[String],
+                    base: Double = 1000.0): DataFrame = {
+    require(base > 0.0, s"base must be > 0, got $base")
+    Guards.requireNoReserved(df.columns,
+      Seq("nvi", "pvi", "__vi_fn", "__vi_fp"), "Rolling.volumeIndexes")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val c = col(closeCol).cast("double")
+    val v = col(volCol).cast("double")
+    val pc = lag(c, 1).over(seqW)
+    val pv = lag(v, 1).over(seqW)
+    val ret = (c - pc) / pc
+    def factor(cond: Column): Column =
+      when(pv.isNotNull && cond && pc.isNotNull && pc =!= 0.0,
+        lit(1.0) + ret).otherwise(lit(1.0))
+    val rp = graft.functions.FinancialFunctions.runprod(_: Column)
+    df.withColumn("__vi_fn", factor(v < pv))
+      .withColumn("__vi_fp", factor(v > pv))
+      .select(col("*"),
+        (lit(base) * rp(col("__vi_fn")).over(seqW)).as("nvi"),
+        (lit(base) * rp(col("__vi_fp")).over(seqW)).as("pvi"))
+      .drop("__vi_fn", "__vi_fp")
+  }
+
+  /** Williams Fractals (public formula): strict local extremes over a
+    * ±`wings` neighborhood — a bar is a fractal high when its high
+    * strictly exceeds the `wings` bars on BOTH sides (lows mirrored).
+    * The standard swing-point / support-resistance primitive; strictness
+    * means tied plateaus produce NO fractal (deterministic, no
+    * arbitrary tie side). Emits the extreme's price in `fractal_high` /
+    * `fractal_low`, NULL elsewhere and within `wings` bars of each key's
+    * edges (neighbors missing — a fractal needs its full neighborhood).
+    * One keyed Window pass of 4·wings shifts, pure comparisons, no
+    * state. */
+  def fractals(df: DataFrame, highCol: String, lowCol: String,
+               partCols: Seq[String], orderCols: Seq[String],
+               wings: Int = 2): DataFrame = {
+    require(wings >= 1, s"wings must be >= 1, got $wings")
+    Guards.requireNoReserved(df.columns,
+      Seq("fractal_high", "fractal_low"), "Rolling.fractals")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val h = col(highCol).cast("double")
+    val l = col(lowCol).cast("double")
+    val isHigh = (1 to wings).map { i =>
+      h > lag(h, i).over(seqW) && h > lead(h, i).over(seqW)
+    }.reduce(_ && _)
+    val isLow = (1 to wings).map { i =>
+      l < lag(l, i).over(seqW) && l < lead(l, i).over(seqW)
+    }.reduce(_ && _)
+    df.withColumn("fractal_high", when(isHigh, h))
+      .withColumn("fractal_low", when(isLow, l))
+  }
+
   /** Balance of Power (Livermore via Worden, public formula): per-bar
     * buyer/seller dominance `(c − o) / (h − l)` in [−1, 1] (0 on a flat
     * bar — no range, no winner), smoothed by an n-bar SMA. A persistent

@@ -154,6 +154,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Rolling.easeOfMovement(emptyVol, "h", "l", "v", p, ord).count() === 0)
     assert(Rolling.balanceOfPower(emptyBars, "o", "h", "l", "c", p, ord).count() === 0)
     assert(Rolling.kama(emptyBars, "c", p, ord).count() === 0)
+    assert(Rolling.volumeIndexes(emptyVol, "c", "v", p, ord).count() === 0)
+    assert(Rolling.fractals(emptyBars, "h", "l", p, ord).count() === 0)
   }
 
   test("validators on an empty table report zero rows and pass") {

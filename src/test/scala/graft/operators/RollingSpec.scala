@@ -977,6 +977,35 @@ class RollingSpec extends AnyFunSuite {
     assert(r6 > 12.25 && r6 < 13.0, s"expected blend below frozen 13.0, got $r6")
   }
 
+  test("volume indexes: NVI moves on falling volume only, PVI on rising") {
+    val df = Seq(("s", 0, 10.0, 5.0), ("s", 1, 11.0, 3.0), ("s", 2, 12.1, 6.0))
+      .toDF("sym", "i", "c", "v")
+    val out = Rolling.volumeIndexes(df, "c", "v", Seq("sym"), Seq("i"))
+      .orderBy("i").collect()
+    assert(out(0).getAs[Double]("nvi") === 1000.0)
+    assert(out(0).getAs[Double]("pvi") === 1000.0)
+    val f2 = 1.0 + (11.0 - 10.0) / 10.0   // vol fell → NVI factor
+    val f3 = 1.0 + (12.1 - 11.0) / 11.0   // vol rose → PVI factor
+    assert(out(1).getAs[Double]("nvi") === 1000.0 * f2)
+    assert(out(1).getAs[Double]("pvi") === 1000.0)
+    assert(out(2).getAs[Double]("nvi") === 1000.0 * f2) // frozen on rise
+    assert(out(2).getAs[Double]("pvi") === 1000.0 * f3)
+  }
+
+  test("fractals: strict extremes only — plateaus and edges stay null") {
+    val df = Seq(("s", 0, 1.0, 5.0), ("s", 1, 3.0, 4.0), ("s", 2, 2.0, 2.0),
+        ("s", 3, 3.0, 4.0), ("s", 4, 3.0, 5.0))
+      .toDF("sym", "i", "h", "l")
+    val out = Rolling.fractals(df, "h", "l", Seq("sym"), Seq("i"), wings = 1)
+      .orderBy("i").collect()
+    assert(out(1).getAs[Double]("fractal_high") === 3.0)
+    assert(out(2).getAs[Double]("fractal_low") === 2.0)
+    // bar 3 ties bar 4's high → strictness rejects it; edges null
+    assert(out(3).isNullAt(out(3).fieldIndex("fractal_high")))
+    assert(out(0).isNullAt(out(0).fieldIndex("fractal_high")))
+    assert(out(4).isNullAt(out(4).fieldIndex("fractal_high")))
+  }
+
   test("adx: one exchange — every window shares the (sym, i) spec") {
     val df = (0 until 30).map(i => ("s", i, 10.0 + i, 8.0 + i, 9.0 + i))
       .toDF("sym", "i", "h", "l", "c")

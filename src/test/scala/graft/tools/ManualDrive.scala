@@ -44,6 +44,16 @@ object ManualDrive {
       .filter("v <> CAST(l_quantity AS DOUBLE)").count())
     probe("PROBE_VAR_EMA_STRING",
       "SELECT var_ema(l_quantity, l_returnflag) OVER (ORDER BY l_orderkey) FROM lineitem")
+    // runprod: unit factors must stay exactly 1.0; a NULL factor row
+    // emits NULL (frozen state) and later rows resume from the product
+    println("RUNPROD_BAD_ROWS=" + spark.sql(
+      """SELECT runprod(CASE WHEN l_linenumber = 3 THEN CAST(NULL AS DOUBLE)
+        |                    ELSE 1.0 END)
+        |  OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) p,
+        |  l_linenumber
+        |FROM lineitem""".stripMargin)
+      .filter("(l_linenumber = 3 AND p IS NOT NULL) OR (l_linenumber <> 3 AND p <> 1.0)")
+      .count())
     spark.stop()
     println("DONE")
   }
