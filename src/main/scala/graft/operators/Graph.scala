@@ -437,7 +437,13 @@ object Graph {
     * (map-side combinable) and two scalar maxes that ride back as
     * broadcast one-row frames (the winsorize stats-frame shape — no
     * driver action inside the loop); the edge and node frames persist
-    * once; lineage is cut every 4th round ([[pageRank]] cadence). */
+    * once. Each half-step's raw score frame (|nodes| rows) is EAGERLY
+    * localCheckpoint-ed before normalization: the max-agg and the join
+    * both reference it, and left lazy that double reference doubles the
+    * whole un-materialized subtree per half-step — 2^(2·iters) recompute
+    * (measured: 100 s for 3 rounds on the sf0.1 trade graph; ~7 s cut).
+    * Only the two most recent cuts stay alive — each cut's lineage stops
+    * at the previous one. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
@@ -459,36 +465,37 @@ object Graph {
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def maxNormalized(raw: DataFrame, scoreCol: String): DataFrame = {
-      val m = raw.agg(max(col(scoreCol)).as("__mx"))
-      raw.crossJoin(broadcast(m))
+    var live: List[Set[Int]] = Nil
+    def cut(df: DataFrame): DataFrame = {
+      val (c, bs) = checkpointed(df) // eager — see scaladoc
+      live = bs :: live
+      live.drop(2).foreach(drop) // older cuts are lineage-unreachable now
+      live = live.take(2)
+      c
+    }
+    def maxNormalized(rawCut: DataFrame, scoreCol: String): DataFrame = {
+      // both references read the checkpointed blocks — no recompute
+      val m = rawCut.agg(max(col(scoreCol)).as("__mx"))
+      rawCut.crossJoin(broadcast(m))
         .select(col("node"),
           round(col(scoreCol) / col("__mx"), 10).as(scoreCol))
     }
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
-    var blocks = Set.empty[Int]
     var i = 1
     while (i <= iters) {
-      val authRaw = e.join(hub, e("src") === hub("node"))
+      val authRaw = cut(e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst").as("node"))
-        .agg(round(sum(col("hub")), 10).as("auth"))
+        .agg(round(sum(col("hub")), 10).as("auth")))
       auth = maxNormalized(authRaw, "auth")
-      val hubRaw = e.join(auth, e("dst") === auth("node"))
+      val hubRaw = cut(e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src").as("node"))
-        .agg(round(sum(col("auth")), 10).as("hub"))
+        .agg(round(sum(col("auth")), 10).as("hub")))
       hub = maxNormalized(hubRaw, "hub")
-      if (i % 4 == 0 && i < iters) {
-        val (hc, hb) = checkpointed(hub)
-        val (ac, ab) = checkpointed(auth)
-        drop(blocks)
-        blocks = hb ++ ab
-        hub = hc
-        auth = ac
-      }
       i += 1
     }
-    CacheScope.registerRddIds(sc, blocks)
+    // the returned frame reads the LAST two cuts (auth's and hub's raws)
+    live.foreach(bs => CacheScope.registerRddIds(sc, bs))
     nodes
       .join(hub.select(col("node"), col("hub")), Seq("node"), "left")
       .join(auth.select(col("node"), col("auth")), Seq("node"), "left")

@@ -235,4 +235,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"blocking must plan an equi-join:\n$p")
   }
+
+  test("session-3 recurrence chains keep the two-exchange bar-chain shape") {
+    // KAMA stacks the diff layer, the ordered fold, and the var_ema
+    // recurrence; NVI/PVI stack lags + two runprod chains; ADL/Chaikin
+    // stack the BIGINT cumsum + two native EMAs — all on the supplier
+    // spec, so the bars agg and the shared window key stay the ONLY
+    // hash exchanges however many layers stack
+    for (name <- Seq("q_kama", "q_volume_index", "q_chaikin_osc",
+        "q_ulcer")) {
+      val p = plan(name)
+      assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+        s"$name should shuffle exactly twice (bars agg + window key):\n$p")
+    }
+  }
+
+  test("ranking metrics never plan a window — ranks are the caller's") {
+    val p = plan("q_retrieval_eval")
+    // exactly the ONE ranker window the gate itself builds; the operator
+    // adds joins + aggregations only
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"only the gate's ranker window may appear:\n$p")
+  }
+
+  test("knn label consistency broadcasts the query panel, never the corpus") {
+    val p = plan("q_knn_label_consistency")
+    // the embedding pairing is inequality-only → broadcast NESTED-LOOP of
+    // the tiny panel against the corpus scan (the bruteForceKnn shape);
+    // the label re-join is a broadcast hash join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"panel embeddings must broadcast against the corpus scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the panel label frame must broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle or cross join for the panel:\n$p")
+    assert(!p.contains("Window ["),
+      s"ranking rides the bounded-heap aggregate, not a window:\n$p")
+  }
 }
