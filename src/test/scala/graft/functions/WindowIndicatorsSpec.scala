@@ -105,6 +105,45 @@ class WindowIndicatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("var_ema with a constant alpha is bit-equal to the fixed ema") {
+    // Subtract(1.0, a) at runtime and Literal(1 − α) at plan time are the
+    // same IEEE subtract of the same double — the whole chain must agree
+    // to the last bit, not within tolerance
+    val fixed = runSql(series ++ withNulls, "ema(v, 12)")
+    // 2.0D/13.0D: plain 2.0/13.0 would be Spark-SQL DECIMAL division —
+    // the same truncation trap the DuckDB oracles dodge with ::DOUBLE
+    val varying = runSql(series ++ withNulls, "var_ema(v, 2.0D / 13.0D)")
+    assert(varying === fixed)
+  }
+
+  test("var_ema freezes when ALPHA is null, not just value") {
+    val out = spark.sql(
+      """SELECT var_ema(v, CASE WHEN i = 2 THEN CAST(NULL AS DOUBLE)
+        |                       ELSE 0.5 END) OVER (ORDER BY i) AS r
+        |FROM (VALUES (0, 10.0), (1, 20.0), (2, 99.0), (3, 20.0)) t(i, v)
+        |ORDER BY i""".stripMargin)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out(0) === Some(10.0))           // seed
+    assert(out(1) === Some(0.5 * 20.0 + 0.5 * 10.0))
+    assert(out(2) === None)                 // null alpha: emit NULL, freeze
+    // row 3 resumes from the FROZEN state (15.0), untouched by row 2's 99
+    assert(out(3) === Some(0.5 * 20.0 + 0.5 * 15.0))
+  }
+
+  test("runprod matches a strictfp sequential fold bit-for-bit; null freezes") {
+    val factors = Seq(Some(1.01), Some(0.97), None, Some(1.10), Some(1.0),
+      Some(0.5), None, Some(2.0))
+    val got = runSql(factors, "runprod(v)")
+    var state: Option[Double] = None
+    val exp = factors.map {
+      case None => None
+      case Some(f) =>
+        state = Some(state.fold(f)(_ * f))
+        state
+    }
+    assert(got === exp) // exact equality — multiplication is one IEEE op
+  }
+
   test("partitioned windows keep per-key state isolated (Column API)") {
     val df = Seq(
       ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("A", 4, 12.0),
