@@ -588,6 +588,16 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_renko" -> ((s, d) => {
+      // Renko brick level (brick 5.0) via the native renko recurrence;
+      // oracle is a WITH RECURSIVE grid-walk replay
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.renkoLevel(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), brickCenti = 500)
+        .select(col("l_suppkey"), col("l_shipdate"), col("renko"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_fractals" -> ((s, d) => {
       // Williams fractal swing points: strict ±2-bar extremes — pure
       // comparisons, one window pass, NULL on plateaus and edges
@@ -6161,6 +6171,28 @@ object SparkEntry {
          |SELECT l_suppkey, l_shipdate,
          |  1000.0::DOUBLE * sn AS nvi, 1000.0::DOUBLE * sp AS pvi
          |FROM vi ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Renko replay: the grid-walk recurrence op-for-op — sign·⌊|Δ|/B⌋·B
+    // with B derived by the same IEEE /100 division as the expression.
+    "q_renko" -> {
+      val B = "(500.0::DOUBLE / 100.0::DOUBLE)"
+      val step = s"(h.lvl + ((CAST(sign(s.close - h.lvl) AS DOUBLE)" +
+        s" * CAST(floor(abs(s.close - h.lvl) / $B) AS DOUBLE)) * $B))"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), rk AS (
+         |  SELECT l_suppkey, l_shipdate, rn, close AS lvl
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, $step AS lvl
+         |  FROM rk h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, lvl AS renko
+         |FROM rk ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
     // Fractal replay: the strict ±2 comparison ladder verbatim.
     "q_fractals" ->

@@ -29,6 +29,7 @@ object FinancialFunctions {
     "ema" -> (e => { val a = arity("ema", 2)(e); Ema(a(0), a(1)) }),
     "var_ema" -> (e => { val a = arity("var_ema", 2)(e); VarEma(a(0), a(1)) }),
     "runprod" -> (e => { val a = arity("runprod", 1)(e); RunProd(a(0)) }),
+    "renko" -> (e => { val a = arity("renko", 2)(e); Renko(a(0), a(1)) }),
     "rsi" -> (e => { val a = arity("rsi", 2)(e); Rsi(a(0), a(1)) }),
     "macd" -> (e => { val a = arity("macd", 1)(e); Macd(a(0)) }),
     "macd_signal" -> (e => { val a = arity("macd_signal", 1)(e); MacdSignal(a(0)) }),
@@ -76,6 +77,9 @@ object FinancialFunctions {
     call_function("var_ema", value, alpha)
   /** Running product of growth factors (compound returns, NVI/PVI). */
   def runprod(factor: Column): Column = call_function("runprod", factor)
+  /** Renko brick level; brick size in hundredths (500 → 5.0). */
+  def renko(value: Column, brickCenti: Int): Column =
+    call_function("renko", value, lit(brickCenti))
   def rsi(value: Column, n: Int): Column = call_function("rsi", value, lit(n))
   def macd(value: Column): Column = call_function("macd", value)
   def macdSignal(value: Column): Column = call_function("macd_signal", value)
@@ -115,6 +119,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ema" -> "ema(value, n) - exponential moving average over a window",
     "var_ema" -> "var_ema(value, alpha) - exponential smoothing with a per-row alpha column",
     "runprod" -> "runprod(factor) - running product of per-row growth factors",
+    "renko" -> "renko(value, brick_centi) - Renko brick level (brick in hundredths)",
     "rsi" -> "rsi(value, n) - Wilder relative strength index over a window",
     "macd" -> "macd(value) - MACD line (EMA12 - EMA26) over a window",
     "macd_signal" -> "macd_signal(value) - EMA9 signal line of the MACD",

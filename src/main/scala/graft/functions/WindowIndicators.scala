@@ -223,6 +223,49 @@ case class RunProd(value: Expression) extends IndicatorWindowFunction {
     copy(value = c(0))
 }
 
+/** `renko(value, brick_centi)` — the Renko brick level (public charting
+  * technique): the price snapped to a fixed-size brick grid anchored at
+  * each key's first value. The level moves only when price travels a
+  * full brick from it: `lvl' = lvl + sign(x − lvl) · ⌊|x − lvl| / brick⌋
+  * · brick` — sideways noise inside a brick leaves the level frozen, so
+  * `value ≠ renko` duration measures chop and each level CHANGE is a
+  * confirmed directional move of ≥ brick.
+  *
+  * `brick_centi` is the brick size in hundredths as a literal int (500 →
+  * 5.0), derived by the same IEEE `/100` division the oracle replays
+  * (the Holt permille convention). Every op in the update is exact
+  * (sign, floor, one multiply ladder), so the recurrence replays
+  * bit-identically in any engine. First non-null value seeds the level;
+  * NULL freezes ([[IndicatorWindowFunction]] contract). */
+case class Renko(value: Expression, brickCenti: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val centi: Int = requireWindowSize(brickCenti)
+
+  override def children: Seq[Expression] = Seq(value, brickCenti)
+  override def prettyName: String = "renko"
+
+  private lazy val brick = Literal(centi / 100.0)
+
+  private lazy val lvl = AttributeReference("renkoLvl", DoubleType, nullable = true)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(lvl, curNull)
+  override lazy val initialValues: Seq[Expression] = Seq(nullDouble, Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x), lvl,
+      If(IsNull(lvl), x, {
+        val diff = Subtract(x, lvl)
+        val bricks = Cast(Floor(Divide(Abs(diff), brick)), DoubleType)
+        Add(lvl, Multiply(Multiply(Signum(diff), bricks), brick))
+      })),
+    IsNull(x))
+
+  override lazy val evaluateExpression: Expression = If(curNull, nullDouble, lvl)
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Renko =
+    copy(value = c(0), brickCenti = c(1))
+}
+
 /** `rsi(value, n)` — Wilder's Relative Strength Index
   * (reference `src/functions/rsi.rs:115-160`): NULL until `n` consecutive
   * diffs accumulated; seed averages are the simple mean of the first `n`

@@ -1864,6 +1864,23 @@ object Rolling {
       .drop("__vi_fn", "__vi_fp")
   }
 
+  /** Renko brick level (public charting technique): price snapped to a
+    * fixed-brick grid via the NATIVE `renko` recurrence
+    * ([[graft.functions.Renko]]) — the level only moves when price
+    * travels ≥ one full brick from it, so chop inside a brick freezes
+    * the line and every change is a confirmed ≥ brick move. One keyed
+    * Window pass, O(1) state. Adds `renko` (DOUBLE, price units). */
+  def renkoLevel(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], brickCenti: Int): DataFrame = {
+    require(brickCenti >= 1, s"brick_centi must be >= 1, got $brickCenti")
+    Guards.requireNoReserved(df.columns, Seq("renko"), "Rolling.renkoLevel")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("renko",
+      graft.functions.FinancialFunctions
+        .renko(col(valueCol).cast("double"), brickCenti).over(seqW))
+  }
+
   /** Williams Fractals (public formula): strict local extremes over a
     * ±`wings` neighborhood — a bar is a fractal high when its high
     * strictly exceeds the `wings` bars on BOTH sides (lows mirrored).

@@ -144,6 +144,13 @@ class WindowIndicatorsSpec extends AnyFunSuite {
     assert(got === exp) // exact equality — multiplication is one IEEE op
   }
 
+  test("renko freezes on null and resumes from the frozen level") {
+    val got = runSql(Seq(Some(10.0), None, Some(17.0), Some(10.0)),
+      "renko(v, 500)")
+    // null emits NULL, state stays 10; 17 is one brick up → 15; back → 10
+    assert(got === Seq(Some(10.0), None, Some(15.0), Some(10.0)))
+  }
+
   test("partitioned windows keep per-key state isolated (Column API)") {
     val df = Seq(
       ("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("A", 4, 12.0),

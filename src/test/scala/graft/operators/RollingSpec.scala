@@ -992,6 +992,15 @@ class RollingSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("pvi") === 1000.0 * f3)
   }
 
+  test("renko level: hand-traced grid walk — chop freezes, jumps snap whole bricks") {
+    val out = Rolling.renkoLevel(series(10, 12, 17, 16, 4), "v",
+        Seq("sym"), Seq("i"), brickCenti = 500)
+      .orderBy("i").collect().map(_.getAs[Double]("renko")).toSeq
+    // seed 10; +2 inside brick → 10; +7 → one brick up 15; −1 → 15;
+    // −11 → two bricks down 5
+    assert(out === Seq(10.0, 10.0, 15.0, 15.0, 5.0))
+  }
+
   test("fractals: strict extremes only — plateaus and edges stay null") {
     val df = Seq(("s", 0, 1.0, 5.0), ("s", 1, 3.0, 4.0), ("s", 2, 2.0, 2.0),
         ("s", 3, 3.0, 4.0), ("s", 4, 3.0, 5.0))
