@@ -1555,6 +1555,15 @@ object SparkEntry {
       operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_ngram_diversity" -> ((s, d) => {
+      // corpus distinct-n-gram ratios per source (n = 1..3) — the
+      // generation-diversity / phrase-level-repetition readout; exact
+      // integer counts, one (source, n, gram) shuffle
+      load(s, d)
+      operators.TextOps.ngramDiversity(s.table("documents"), "text",
+          Seq("source"), maxN = 3)
+        .orderBy(col("source"), col("n"))
+    }),
     "q_curation" -> ((s, d) => {
       // end-to-end curation: quality/language filter -> exact dedup -> kept
       // docs with their stats. The composite a training-data pipeline runs.
@@ -3619,6 +3628,27 @@ object SparkEntry {
 
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
+    // Replays ngramDiversity: same tokenizer regex, 1-based inclusive
+    // list slices joined with ' ' (= concat_ws), exact count rollup.
+    "q_ngram_diversity" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      w -> w <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, nn.n,
+        |    unnest(list_transform(generate_series(1, len(ts) - nn.n + 1),
+        |      i -> array_to_string(ts[i:i+nn.n-1], ' '))) AS gram
+        |  FROM tk CROSS JOIN (VALUES (1), (2), (3)) nn(n)
+        |  WHERE len(ts) >= nn.n),
+        |pc AS (SELECT source, n, gram, count(*) AS c
+        |       FROM g GROUP BY source, n, gram)
+        |SELECT source, n,
+        |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS diversity
+        |FROM pc GROUP BY source, n ORDER BY source, n""".stripMargin,
     "q_curation" ->
       s"""WITH stats AS (
          |$duckTextStatsSql

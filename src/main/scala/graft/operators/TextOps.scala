@@ -829,4 +829,55 @@ object TextOps {
       qualityScoreFromToks(t, toks).as("quality_score"),
       langIdFromToks(toks).as("lang_pred"))
   }
+
+  /** Corpus n-gram diversity (distinct-n ratio, the corpus-level twin of
+    * [[repetitionStats]]' per-document screen and the standard
+    * generation-diversity readout): per group and per n ∈ [1, maxN], the
+    * number of DISTINCT word n-grams over the total emitted — 1.0 = every
+    * n-gram unique, → 0 = template spam / mode collapse. A generated or
+    * deduplicated corpus whose distinct-2/3 ratios sit far below a human
+    * reference's is repeating itself at the phrase level even when exact
+    * dedup passes.
+    *
+    * Emits (`group…`, `n`, `total_ngrams`, `distinct_ngrams`,
+    * `diversity`). Docs shorter than n contribute nothing at that n.
+    *
+    * Scale shape: one explode to (group, n, gram) rows — output volume
+    * maxN·tokens — then two map-side-combinable aggregations (per-gram
+    * counts, then per-group rollup); the one real shuffle keys on
+    * (group, n, gram). Exact integer counts; the single IEEE division is
+    * the final ratio. At 100 TB the distinct-gram frame is the working
+    * set — scope groups (per source/shard) rather than running one
+    * global group, or sample upstream. */
+  def ngramDiversity(df: DataFrame, textCol: String,
+                     groupCols: Seq[String], maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "total_ngrams", "distinct_ngrams", "diversity",
+        "__toks", "__gram"),
+      "TextOps.ngramDiversity")
+    val toked = df.select(groupCols.map(col) :+
+      tokens(col(textCol)).as("__toks"): _*)
+    val gkeys = groupCols.map(col)
+    val perN = (1 to maxN).map { n =>
+      // sequence(1, size-n+1) must be guarded: Spark generates DESCENDING
+      // sequences when stop < start, which would fabricate grams
+      val grams = when(size(col("__toks")) >= n,
+        transform(sequence(lit(1), size(col("__toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+        .otherwise(array())
+      toked.select(gkeys :+ lit(n).as("n") :+
+        explode(grams).as("__gram"): _*)
+    }
+    val exploded = perN.reduce(_.unionByName(_))
+    exploded
+      .groupBy(gkeys :+ col("n") :+ col("__gram"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(gkeys :+ col("n"): _*)
+      .agg(sum(col("__c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("diversity",
+        col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"))
+  }
 }

@@ -390,4 +390,26 @@ class TextQualitySpec extends AnyFunSuite {
     val d3 = out(2)
     assert(d3.getAs[Long]("n_tokens") === 0L && d3.isNullAt(d3.fieldIndex("ttr")))
   }
+
+  test("ngram diversity: hand-counted ratios; short docs skip higher n") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(("s", "a b a b"), ("s", "a a a"), ("s", ""),
+        ("t", "x"))
+      .toDF("source", "text")
+    val out = TextOps.ngramDiversity(docs, "text", Seq("source"), maxN = 3)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) -> r).toMap
+    // source s unigrams: a,b,a,b,a,a,a → 7 total, 2 distinct
+    assert(out(("s", 1)).getAs[Long]("total_ngrams") === 7L)
+    assert(out(("s", 1)).getAs[Long]("distinct_ngrams") === 2L)
+    assert(out(("s", 1)).getAs[Double]("diversity") === 2.0 / 7.0)
+    // bigrams: "a b","b a","a b" + "a a","a a" → 5 total, 3 distinct
+    assert(out(("s", 2)).getAs[Long]("total_ngrams") === 5L)
+    assert(out(("s", 2)).getAs[Long]("distinct_ngrams") === 3L)
+    // trigrams: "a b a","b a b","a a a" → all unique
+    assert(out(("s", 3)).getAs[Double]("diversity") === 1.0)
+    // one-token source: unigram row only — no fabricated descending grams
+    assert(out.contains(("t", 1)) && !out.contains(("t", 2)))
+  }
 }
