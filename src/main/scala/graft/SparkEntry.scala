@@ -588,6 +588,15 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_drawdown_episodes" -> ((s, d) => {
+      // per-supplier drawdown-episode table (gaps-and-islands on the
+      // exact integer underwater flag): worst-episodes risk report rows
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Rolling.drawdownEpisodes(dailyBars(s), "close",
+          Seq("l_suppkey"), "l_shipdate")
+        .orderBy(col("l_suppkey"), col("start"))
+    }),
     "q_renko" -> ((s, d) => {
       // Renko brick level (brick 5.0) via the native renko recurrence;
       // oracle is a WITH RECURSIVE grid-walk replay
@@ -6202,6 +6211,40 @@ object SparkEntry {
          |  1000.0::DOUBLE * sn AS nvi, 1000.0::DOUBLE * sp AS pvi
          |FROM vi ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
+    // Drawdown-episode replay: the same integer quantize / running max /
+    // islands construction; trough via arg-min struct (min over (ci,
+    // date) — struct compare is lexicographic in both engines).
+    "q_drawdown_episodes" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS ci,
+         |    max(CAST(round(close * 100.0::DOUBLE) AS BIGINT)) OVER wr AS pk
+         |  FROM bars WINDOW wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), i AS (
+         |  SELECT l_suppkey, l_shipdate, ci, pk,
+         |    CASE WHEN ci < pk THEN 1 ELSE 0 END AS uw,
+         |    sum(CASE WHEN ci < pk THEN 0 ELSE 1 END) OVER wr AS isl
+         |  FROM f WINDOW wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), ep AS (
+         |  SELECT l_suppkey, isl,
+         |    min(l_shipdate) AS start, max(l_shipdate) AS "end",
+         |    min(struct_pack(ci := ci, d := l_shipdate)) AS tr,
+         |    min(pk) AS peak, CAST(count(*) AS BIGINT) AS duration
+         |  FROM i WHERE uw = 1 GROUP BY l_suppkey, isl
+         |)
+         |SELECT l_suppkey, start, "end",
+         |  tr.d AS trough_at,
+         |  CAST(peak AS DOUBLE) / 100.0::DOUBLE AS peak,
+         |  CAST(tr.ci AS DOUBLE) / 100.0::DOUBLE AS trough,
+         |  CASE WHEN peak <> 0
+         |    THEN 100.0::DOUBLE * CAST(peak - tr.ci AS DOUBLE)
+         |         / CAST(peak AS DOUBLE) END AS depth_pct,
+         |  duration
+         |FROM ep ORDER BY l_suppkey, start""".stripMargin,
     // Renko replay: the grid-walk recurrence op-for-op — sign·⌊|Δ|/B⌋·B
     // with B derived by the same IEEE /100 division as the expression.
     "q_renko" -> {

@@ -1824,6 +1824,64 @@ object Rolling {
       .drop("__ka_d", "__ka_sc")
   }
 
+  /** Drawdown-episode table: one row per maximal run of below-peak bars
+    * — the episode view behind [[drawdown]]'s per-bar depth and
+    * [[drawdownDuration]]'s per-bar clock: `start`/`end` order keys,
+    * `trough` (the episode's lowest value and the bar that set it),
+    * `peak` (the high-water mark the episode fell from), `depth_pct`
+    * (`100·(peak − trough)/peak`), and `duration` in bars. The risk
+    * report ("the five worst drawdowns, how deep, how long") reads
+    * straight off this frame.
+    *
+    * Determinism: values quantize to `scale` decimals (BIGINT), the
+    * running peak is an exact integer extreme, the underwater flag an
+    * integer compare (a re-touch EQUAL to the peak ends the episode —
+    * the high-water-mark convention), and episodes are gaps-and-islands
+    * (`count(at-peak rows) so-far` as the island id — pure integers).
+    * Trough tie-break: the EARLIEST bar at the minimum (struct-min on
+    * (value, order)). The single IEEE op is the final depth division.
+    * Two same-spec window passes + one groupBy on (key, island): two
+    * exchanges. Emits (`partCols…`, `start`, `end`, `trough_at`,
+    * `peak`, `trough`, `depth_pct`, `duration`). */
+  def drawdownEpisodes(df: DataFrame, valueCol: String,
+                       partCols: Seq[String], orderCol: String,
+                       scale: Int = 2): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("start", "end", "trough_at", "peak", "trough", "depth_pct",
+        "duration", "__ci", "__pk", "__uw", "__isl"),
+      "Rolling.drawdownEpisodes")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val running = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = lit(math.pow(10, scale))
+    val ci = round(col(valueCol).cast("double") * k).cast("long")
+    val pk = max(ci).over(running)
+    val flagged = df
+      .withColumn("__ci", ci)
+      .withColumn("__pk", pk)
+      .withColumn("__uw", (col("__ci") < col("__pk")).cast("long"))
+    val islands = flagged.withColumn("__isl",
+      sum(lit(1L) - col("__uw")).over(running))
+    islands.filter(col("__uw") === 1L)
+      .groupBy(partCols.map(col) :+ col("__isl"): _*)
+      .agg(
+        min(col(orderCol)).as("start"),
+        max(col(orderCol)).as("end"),
+        min(struct(col("__ci"), col(orderCol))).as("__tr"),
+        min(col("__pk")).as("__peak"), // constant within the island
+        count(lit(1)).as("duration"))
+      .select(partCols.map(col) :+
+        col("start") :+ col("end") :+
+        col("__tr").getField(orderCol).as("trough_at") :+
+        (col("__peak").cast("double") / k).as("peak") :+
+        (col("__tr").getField("__ci").cast("double") / k).as("trough") :+
+        when(col("__peak") =!= 0L,
+          lit(100.0) * (col("__peak") - col("__tr").getField("__ci")).cast("double") /
+            col("__peak").cast("double")).as("depth_pct") :+
+        col("duration"): _*)
+  }
+
   /** Negative & Positive Volume Indexes (Fosback, public formula): two
     * compound-growth lines that apply each bar's simple return only on
     * falling-volume bars (NVI — "smart money" days) or rising-volume

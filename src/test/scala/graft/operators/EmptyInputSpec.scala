@@ -157,6 +157,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Rolling.volumeIndexes(emptyVol, "c", "v", p, ord).count() === 0)
     assert(Rolling.fractals(emptyBars, "h", "l", p, ord).count() === 0)
     assert(Rolling.renkoLevel(emptyBars, "c", p, ord, 500).count() === 0)
+    assert(Rolling.drawdownEpisodes(emptyBars, "c", p, "i").count() === 0)
   }
 
   test("validators on an empty table report zero rows and pass") {

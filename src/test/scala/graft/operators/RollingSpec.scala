@@ -992,6 +992,22 @@ class RollingSpec extends AnyFunSuite {
     assert(out(2).getAs[Double]("pvi") === 1000.0 * f3)
   }
 
+  test("drawdown episodes: islands split on peak re-touch, exact depth") {
+    val out = Rolling.drawdownEpisodes(series(10, 8, 9, 10, 12, 11), "v",
+        Seq("sym"), "i")
+      .orderBy("start").collect()
+    assert(out.length === 2)
+    val e1 = out(0)
+    assert(e1.getAs[Int]("start") === 1 && e1.getAs[Int]("end") === 2)
+    assert(e1.getAs[Int]("trough_at") === 1)
+    assert(e1.getAs[Double]("peak") === 10.0 && e1.getAs[Double]("trough") === 8.0)
+    assert(e1.getAs[Double]("depth_pct") === 100.0 * 200.0 / 1000.0)
+    assert(e1.getAs[Long]("duration") === 2L) // re-touch at 10 ENDS it
+    val e2 = out(1)
+    assert(e2.getAs[Int]("start") === 5 && e2.getAs[Long]("duration") === 1L)
+    assert(e2.getAs[Double]("depth_pct") === 100.0 * 100.0 / 1200.0)
+  }
+
   test("renko level: hand-traced grid walk — chop freezes, jumps snap whole bricks") {
     val out = Rolling.renkoLevel(series(10, 12, 17, 16, 4), "v",
         Seq("sym"), Seq("i"), brickCenti = 500)
