@@ -1715,6 +1715,24 @@ object SparkEntry {
       operators.Eval.binaryAuc(ev, "value", "label", Seq("day"))
         .orderBy(col("day"))
     }),
+    "q_rrf_fusion" -> ((s, d) => {
+      // reciprocal-rank fusion of two deterministic per-user rankers
+      // (value-top-10 and recency-top-10): the training-free multi-
+      // retriever merge; system-ordered term folds, total tie-break
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lit, row_number}
+      val ev = readEventsNanos(s, d)
+      def ranker(ord: Seq[org.apache.spark.sql.Column], name: String) =
+        ev.select(col("user_id"), col("event_id"),
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(ord: _*)).as("rnk"))
+          .filter(col("rnk") <= 10).withColumn("sys", lit(name))
+      val both = ranker(Seq(col("value").desc, col("event_id")), "value")
+        .unionByName(ranker(Seq(col("ts").desc, col("event_id")), "recency"))
+      operators.Eval.rrfFusion(both, "user_id", "event_id", "rnk", "sys")
+        .orderBy(col("user_id"), col("fused_rank"))
+    }),
     "q_retrieval_eval" -> ((s, d) => {
       // per-user retrieval grade of the value-ranked event list against
       // the purchase set — recall/MRR/NDCG@10 with the log₂ discount
@@ -5054,6 +5072,34 @@ object SparkEntry {
     // via a running count window, Mann–Whitney identity. Counts and
     // half-integer midranks are exact doubles, so the single final
     // division is bit-identical across engines.
+    // Replays rrfFusion: both rankers, the 1/(60+r) terms folded in
+    // system order, score-desc/doc-asc fused ranking.
+    "q_rrf_fusion" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS r
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id) AS r
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, event_id, 'value' AS sys, r FROM a WHERE r <= 10
+        |  UNION ALL
+        |  SELECT user_id, event_id, 'recency' AS sys, r FROM b WHERE r <= 10),
+        |pd AS (
+        |  SELECT user_id, event_id,
+        |    list(1.0::DOUBLE / CAST(60 + r AS DOUBLE) ORDER BY sys) AS ts2,
+        |    CAST(count(*) AS BIGINT) AS n_systems
+        |  FROM u GROUP BY user_id, event_id),
+        |sc AS (
+        |  SELECT user_id, event_id, n_systems,
+        |    list_reduce(ts2, (x, y) -> x + y) AS rrf_score
+        |  FROM pd)
+        |SELECT user_id, event_id, rrf_score, n_systems,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY rrf_score DESC, event_id) AS BIGINT) AS fused_rank
+        |FROM sc ORDER BY user_id, fused_rank""".stripMargin,
     // Replays Eval.rankingMetrics: the identical discount/ideal-DCG
     // literal ladders (Double.toString is shortest-round-trip, so the
     // parsed doubles are bit-identical), the DCG folded in ascending-rank

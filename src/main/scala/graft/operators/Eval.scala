@@ -274,6 +274,53 @@ object Eval {
       s"WHEN ${i + 1} THEN CAST('$d' AS DOUBLE)"
     }.mkString(s"(CASE $rankExpr ", " ", " END)")
 
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009, public formula):
+    * merge several systems' ranked lists for the same queries into one —
+    * `rrf(q, d) = Σ_systems 1 / (k + rank_s(q, d))` — the standard
+    * training-free way to combine BM25 + dense + rerank candidates
+    * before labeling. Emits one row per (query, doc) seen by ANY system:
+    * `rrf_score`, `n_systems` (how many ranked it — agreement signal),
+    * and `fused_rank` (1-based by score desc, doc-id tie-break).
+    *
+    * Determinism: each term `1/(k + rank)` is one IEEE division of exact
+    * integers; the per-doc sum folds terms in SYSTEM-NAME order (sorted
+    * struct list — never an unordered float sum); the fused ranking
+    * orders by the identically-computed score with a total doc
+    * tie-break. Duplicate (query, doc, system) rows fail loudly through
+    * the `n_systems` count (a duplicate would double-count its term).
+    *
+    * Scale shape: one groupBy on (query, doc) over the union of top-k
+    * lists (≤ systems·k rows per query), then one per-query window over
+    * that bounded candidate frame. */
+  def rrfFusion(ranked: DataFrame, queryCol: String, docCol: String,
+                rankCol: String, systemCol: String,
+                kSmooth: Int = 60): DataFrame = {
+    require(kSmooth >= 1, s"kSmooth must be >= 1, got $kSmooth")
+    Guards.requireNoReserved(ranked.columns,
+      Seq("rrf_score", "n_systems", "fused_rank", "__q", "__d", "__s",
+        "__t", "__ts"),
+      "rrfFusion")
+    val term = lit(1.0) /
+      (lit(kSmooth.toLong) + col(rankCol).cast("long")).cast("double")
+    val rows = ranked.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+      col(systemCol).cast("string").as("__s"), term.as("__t"))
+    val dupGuard = when(count(lit(1)) =!= count_distinct(col("__s")),
+      raise_error(lit("rrfFusion: a system ranked the same (query, doc) " +
+        "twice; de-duplicate per system first")).cast("long"))
+      .otherwise(lit(0L))
+    val perDoc = rows.groupBy(col("__q"), col("__d"))
+      .agg(array_sort(collect_list(struct(col("__s"), col("__t"))))
+          .as("__ts"),
+        (count(lit(1)) + dupGuard).as("n_systems"))
+      .withColumn("rrf_score",
+        aggregate(col("__ts"), lit(0.0), (a, x) => a + x.getField("__t")))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf_score").desc, col("__d"))
+    perDoc.select(col("__q").as(queryCol), col("__d").as(docCol),
+      col("rrf_score"), col("n_systems"),
+      row_number().over(w).cast("long").as("fused_rank"))
+  }
+
   /** Per-query retrieval metrics at cutoff k — recall@k, MRR@k, NDCG@k —
     * for grading a retrieval/ANN system (e.g. the IVF/PQ indexes here)
     * against a relevance set: `ranked` is the system output (one row per

@@ -179,6 +179,25 @@ class EvalSpec extends AnyFunSuite {
   private def rankRows(q: String, docs: Seq[String]) =
     docs.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
 
+  test("rrfFusion: hand-computed scores, agreement count, duplicate guard") {
+    val ranked = Seq(("q", "a", 1, "A"), ("q", "b", 2, "A"),
+        ("q", "b", 1, "B"), ("q", "c", 2, "B"))
+      .toDF("q", "doc", "rnk", "sys")
+    val out = Eval.rrfFusion(ranked, "q", "doc", "rnk", "sys", kSmooth = 1)
+      .orderBy("fused_rank").collect()
+    // terms 1/(1+r): a → 1/2; b → 1/2 + 1/3; c → 1/3
+    assert(out.map(_.getAs[String]("doc")).toSeq === Seq("b", "a", "c"))
+    assert(out(0).getAs[Double]("rrf_score") === 1.0 / 2.0 + 1.0 / 3.0)
+    assert(out(0).getAs[Long]("n_systems") === 2L)
+    assert(out(1).getAs[Long]("n_systems") === 1L)
+    assert(out.map(_.getAs[Long]("fused_rank")).toSeq === Seq(1L, 2L, 3L))
+    val dup = Seq(("q", "a", 1, "A"), ("q", "a", 2, "A")).toDF("q", "doc", "rnk", "sys")
+    val e = intercept[Exception] {
+      Eval.rrfFusion(dup, "q", "doc", "rnk", "sys").collect()
+    }
+    assert(e.getMessage.contains("ranked the same"))
+  }
+
   test("rankingMetrics: hand-computed recall, MRR, and NDCG at k") {
     // q1: relevant {a, c, z}; ranked a,b,c → hits 2, first 1,
     // dcg = 1 + 1/log2(4), idcg(min(3,3)) = 1 + 1/log2(3) + 1/log2(4)
