@@ -588,6 +588,18 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_backtest" -> ((s, d) => {
+      // vectorized 5/10 MA-crossover backtest: lookahead-free position
+      // from the PRIOR bar's SMAs, equity via the native runprod chain —
+      // a million-ticker backtest as one declarative job
+      load(s, d)
+      import org.apache.spark.sql.functions.col
+      operators.Signals.backtestMaCrossover(dailyBars(s), "l_suppkey",
+          Seq("l_shipdate"), "close", shortWindow = 5, longWindow = 10)
+        .select(col("l_suppkey"), col("l_shipdate"), col("position"),
+          col("equity"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_drawdown_episodes" -> ((s, d) => {
       // per-supplier drawdown-episode table (gaps-and-islands on the
       // exact integer underwater flag): worst-episodes risk report rows
@@ -6257,6 +6269,49 @@ object SparkEntry {
          |  1000.0::DOUBLE * sn AS nvi, 1000.0::DOUBLE * sp AS pvi
          |FROM vi ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
+    // Backtest replay: SMAs as guarded windowed avgs (closes are
+    // integer-valued — exact), the prior-bar position compare, growth
+    // factors as one fixed tree, then the WITH RECURSIVE product walk.
+    "q_backtest" ->
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    CASE WHEN count(close) OVER w5 = 5 THEN avg(close) OVER w5 END AS f,
+         |    CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END AS sl,
+         |    lag(close, 1) OVER ws AS pc
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+         |    w5 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w10 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |), p AS (
+         |  SELECT l_suppkey, l_shipdate, close, pc,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn,
+         |    CASE WHEN lag(f, 1) OVER ws2 IS NOT NULL
+         |          AND lag(sl, 1) OVER ws2 IS NOT NULL
+         |          AND lag(f, 1) OVER ws2 > lag(sl, 1) OVER ws2
+         |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS position
+         |  FROM m WINDOW ws2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, rn, position,
+         |    CASE WHEN position = 1.0::DOUBLE AND pc IS NOT NULL
+         |          AND pc <> 0.0::DOUBLE
+         |      THEN 1.0::DOUBLE + ((close - pc) / pc)
+         |      ELSE 1.0::DOUBLE END AS fac
+         |  FROM p
+         |), bt AS (
+         |  SELECT l_suppkey, l_shipdate, rn, position, fac AS st
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, s.position,
+         |    (h.st * s.fac) AS st
+         |  FROM bt h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, position,
+         |  1.0::DOUBLE * st AS equity
+         |FROM bt ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Drawdown-episode replay: the same integer quantize / running max /
     // islands construction; trough via arg-min struct (min over (ci,
     // date) — struct compare is lexicographic in both engines).

@@ -169,4 +169,53 @@ object Signals {
       .withColumn("bearish_engulfing",
         po.isNotNull && pc > po && c < o && o > pc && c < po)
   }
+
+  /** Vectorized long/flat MA-crossover backtest: the equity curve of
+    * "hold while the fast SMA was above the slow at the PRIOR bar" —
+    * `position_t = [sma_f(t−1) > sma_s(t−1)]` (decided strictly on
+    * information available before the bar — no lookahead),
+    * `equity_t = Π (1 + position·ret)` from `base`. The whole backtest
+    * is one declarative plan: two native SMA recurrences, one lag, and
+    * the NATIVE `runprod` compound chain — no driver loop, a million
+    * tickers backtest as one job.
+    *
+    * Determinism: SMAs fold their buffers in order (native expression),
+    * the position compare reads identically-computed doubles, each
+    * growth factor is a fixed IEEE tree (1.0 on flat position, warm-up,
+    * and zero prior close), and the product chain is exact per-op
+    * ([[graft.functions.RunProd]]). One keyed exchange — every window
+    * shares the (ticker, order) spec. Adds `position` (0.0/1.0) and
+    * `equity` (in `base` units). */
+  def backtestMaCrossover(df: DataFrame, tickerCol: String,
+                          orderCols: Seq[String], closeCol: String,
+                          shortWindow: Int = 20, longWindow: Int = 50,
+                          base: Double = 1.0): DataFrame = {
+    require(shortWindow >= 1 && longWindow > shortWindow,
+      s"need long > short >= 1, got ($shortWindow, $longWindow)")
+    require(base > 0.0, s"base must be > 0, got $base")
+    Guards.requireNoReserved(df.columns,
+      Seq("position", "equity", "__bt_f", "__bt_s", "__bt_fac"),
+      "Signals.backtestMaCrossover")
+    FinancialFunctions.registerAll(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
+    val c = col(closeCol).cast("double")
+    val pc = lag(c, 1).over(w)
+    val ret = (c - pc) / pc
+    val withMas = df.select(col("*"),
+      FinancialFunctions.sma(c, shortWindow).over(w).as("__bt_f"),
+      FinancialFunctions.sma(c, longWindow).over(w).as("__bt_s"))
+    val pf = lag(col("__bt_f"), 1).over(w)
+    val ps = lag(col("__bt_s"), 1).over(w)
+    val pos = when(pf.isNotNull && ps.isNotNull && pf > ps, lit(1.0))
+      .otherwise(lit(0.0))
+    val factor = when(pos === 1.0 && pc.isNotNull && pc =!= 0.0,
+      lit(1.0) + ret).otherwise(lit(1.0))
+    withMas
+      .withColumn("position", pos)
+      .withColumn("__bt_fac", factor)
+      .withColumn("equity",
+        lit(base) * FinancialFunctions.runprod(col("__bt_fac")).over(w))
+      .drop("__bt_f", "__bt_s", "__bt_fac")
+  }
 }

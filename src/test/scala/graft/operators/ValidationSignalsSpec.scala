@@ -170,4 +170,22 @@ class ValidationSignalsSpec extends AnyFunSuite {
     assert(out(5)._4 === true && out(5)._3 === false)
     assert(out(6) === ((false, false, false, false)))
   }
+
+  test("backtest: lookahead-free position, exact compound equity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("s", 0, 10.0), ("s", 1, 12.0), ("s", 2, 8.0),
+        ("s", 3, 12.0))
+      .toDF("sym", "i", "c")
+    val out = Signals.backtestMaCrossover(df, "sym", Seq("i"), "c",
+        shortWindow = 1, longWindow = 2)
+      .orderBy("i").collect()
+    // position only at bar 2 (prior sma1=12 > prior sma2=11) — decided
+    // BEFORE the bar's −33% move hits the equity
+    assert(out.map(_.getAs[Double]("position")).toSeq ===
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val f3 = 1.0 + (8.0 - 12.0) / 12.0
+    assert(out.map(_.getAs[Double]("equity")).toSeq ===
+      Seq(1.0, 1.0, f3, f3))
+  }
 }
