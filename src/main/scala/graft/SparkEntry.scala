@@ -318,6 +318,24 @@ object SparkEntry {
           col("high").as("value"), col("psar"))
         .orderBy(col("key"), col("ts_us"), col("value"))
     }),
+    "q_stream_renko" -> ((s, d) => {
+      // the StreamingRenko processor in BATCH mode (the q_stream_vol /
+      // q_stream_psar pattern): per-user live brick level over the event
+      // score — batch/streaming parity proof for the grid machine
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.RenkoEvent]
+      graft.streaming.StreamingRenko.renkoBatch(ev, brickCenti = 2000).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("renko"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_market_beta" -> ((s, d) => {
       // each supplier's 20-bar rolling beta/correlation vs the equal-
       // weight market index (per-date BIGINT sum of all closes, broadcast
@@ -6518,6 +6536,27 @@ object SparkEntry {
     // Streaming-PSAR replay: the q_psar recursive machine verbatim, over
     // the events table with degenerate high = low = value bars and the
     // (ts_us, event_id) streaming order contract.
+    // Streaming-Renko replay: the q_renko grid walk over the events table
+    // under the (ts_us, event_id) streaming order contract.
+    "q_stream_renko" -> {
+      val B = "(2000.0::DOUBLE / 100.0::DOUBLE)"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    epoch_ns(ts) // 1000 AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+         |  FROM events
+         |), rk AS (
+         |  SELECT key, ts_us, value, rn, value AS lvl FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    (h.lvl + ((CAST(sign(s.value - h.lvl) AS DOUBLE)
+         |      * floor(abs(s.value - h.lvl) / $B)) * $B)) AS lvl
+         |  FROM rk h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, value, lvl AS renko
+         |FROM rk ORDER BY key, ts_us, value""".stripMargin
+    },
     "q_stream_psar" -> {
       val af0 = "(20.0::DOUBLE / 1000.0::DOUBLE)"
       val step = "(20.0::DOUBLE / 1000.0::DOUBLE)"
