@@ -63,7 +63,12 @@ object ScaleProbe {
     // explode (LCC), the per-round double-agg HITS, and the broadcast-
     // panel kNN label probe (panel fixed ⇒ scales with the corpus scan)
     "q_kama", "q_volume_index", "q_local_clustering", "q_hits",
-    "q_knn_label_consistency")
+    "q_knn_label_consistency",
+    // session-3 continued: the grid recurrence, the episode
+    // gaps-and-islands, the two-SMA + runprod backtest chain, the
+    // bounded-candidate RRF merge, and the (group, n, gram) diversity agg
+    "q_renko", "q_drawdown_episodes", "q_backtest", "q_rrf_fusion",
+    "q_ngram_diversity")
 
   private case class Shift(col: String, offset: Long)
 
