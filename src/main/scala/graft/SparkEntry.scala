@@ -606,6 +606,28 @@ object SparkEntry {
         .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_equity_curve" -> ((s, d) => {
+      // generalized equity curve under a LONG/SHORT mean-reversion
+      // position (prior close vs prior 10-bar SMA, ±1/0) — the
+      // strategy-agnostic runprod compounding core
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, lag, lit, when}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withSma = dailyBars(s).select(col("*"),
+        functions.FinancialFunctions.sma(col("close"), 10).over(w).as("__s10"))
+      val pc = lag(col("close"), 1).over(w)
+      val ps = lag(col("__s10"), 1).over(w)
+      val pos = when(pc.isNotNull && ps.isNotNull && pc < ps, lit(1.0))
+        .when(pc.isNotNull && ps.isNotNull && pc > ps, lit(-1.0))
+        .otherwise(lit(0.0))
+      val posed = withSma.withColumn("position", pos).drop("__s10")
+      operators.Signals.equityCurve(posed, "l_suppkey", Seq("l_shipdate"),
+          "close", "position")
+        .select(col("l_suppkey"), col("l_shipdate"), col("position"),
+          col("equity"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_backtest" -> ((s, d) => {
       // vectorized 5/10 MA-crossover backtest: lookahead-free position
       // from the PRIOR bar's SMAs, equity via the native runprod chain —
@@ -6287,6 +6309,46 @@ object SparkEntry {
          |  1000.0::DOUBLE * sn AS nvi, 1000.0::DOUBLE * sp AS pvi
          |FROM vi ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
+    // Equity-curve replay: guarded windowed-avg SMA, the ±1/0 prior-bar
+    // position CASE, 1 + pos·ret factors, WITH RECURSIVE product walk.
+    "q_equity_curve" ->
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), m AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END AS s10,
+         |    lag(close, 1) OVER ws AS pc
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+         |    w10 AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |), p AS (
+         |  SELECT l_suppkey, l_shipdate, close, pc,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn,
+         |    CASE WHEN pc IS NOT NULL AND lag(s10, 1) OVER ws2 IS NOT NULL
+         |          AND pc < lag(s10, 1) OVER ws2 THEN 1.0::DOUBLE
+         |         WHEN pc IS NOT NULL AND lag(s10, 1) OVER ws2 IS NOT NULL
+         |          AND pc > lag(s10, 1) OVER ws2 THEN -1.0::DOUBLE
+         |         ELSE 0.0::DOUBLE END AS position
+         |  FROM m WINDOW ws2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, rn, position,
+         |    CASE WHEN position IS NOT NULL AND position <> 0.0::DOUBLE
+         |          AND pc IS NOT NULL AND pc <> 0.0::DOUBLE
+         |      THEN 1.0::DOUBLE + (position * ((close - pc) / pc))
+         |      ELSE 1.0::DOUBLE END AS fac
+         |  FROM p
+         |), bt AS (
+         |  SELECT l_suppkey, l_shipdate, rn, position, fac AS st
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, s.position,
+         |    (h.st * s.fac) AS st
+         |  FROM bt h JOIN seq s ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, position,
+         |  1.0::DOUBLE * st AS equity
+         |FROM bt ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Backtest replay: SMAs as guarded windowed avgs (closes are
     // integer-valued — exact), the prior-bar position compare, growth
     // factors as one fixed tree, then the WITH RECURSIVE product walk.

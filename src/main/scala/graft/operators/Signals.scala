@@ -186,6 +186,38 @@ object Signals {
     * ([[graft.functions.RunProd]]). One keyed exchange — every window
     * shares the (ticker, order) spec. Adds `position` (0.0/1.0) and
     * `equity` (in `base` units). */
+  /** Generalized equity curve: compound `base` through
+    * `1 + position·ret` growth factors for ANY caller-supplied position
+    * column (signal output, allocation weight, −1/0/1 long-flat-short…)
+    * — the strategy-agnostic core [[backtestMaCrossover]] specializes.
+    * The caller owns lookahead hygiene: `positionCol` must be decided
+    * from information available BEFORE each bar (lag your signal).
+    *
+    * A NULL position is treated as flat (factor 1) — an unknown signal
+    * holds cash rather than poisoning the whole remaining curve. Same
+    * determinism story as the MA backtest: fixed IEEE factor trees into
+    * the native `runprod` chain, one keyed exchange. Adds `equity`. */
+  def equityCurve(df: DataFrame, tickerCol: String, orderCols: Seq[String],
+                  closeCol: String, positionCol: String,
+                  base: Double = 1.0): DataFrame = {
+    require(base > 0.0, s"base must be > 0, got $base")
+    Guards.requireNoReserved(df.columns, Seq("equity", "__eq_fac"),
+      "Signals.equityCurve")
+    FinancialFunctions.registerAll(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
+    val c = col(closeCol).cast("double")
+    val pc = lag(c, 1).over(w)
+    val pos = col(positionCol).cast("double")
+    val factor = when(pos.isNotNull && pos =!= 0.0 &&
+        pc.isNotNull && pc =!= 0.0,
+      lit(1.0) + pos * ((c - pc) / pc)).otherwise(lit(1.0))
+    df.withColumn("__eq_fac", factor)
+      .withColumn("equity",
+        lit(base) * FinancialFunctions.runprod(col("__eq_fac")).over(w))
+      .drop("__eq_fac")
+  }
+
   def backtestMaCrossover(df: DataFrame, tickerCol: String,
                           orderCols: Seq[String], closeCol: String,
                           shortWindow: Int = 20, longWindow: Int = 50,

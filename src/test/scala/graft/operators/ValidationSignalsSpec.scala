@@ -171,6 +171,19 @@ class ValidationSignalsSpec extends AnyFunSuite {
     assert(out(6) === ((false, false, false, false)))
   }
 
+  test("equity curve: long/short compounding, NULL position holds cash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("s", 0, 10.0, None: Option[Double]),
+        ("s", 1, 12.0, Some(-1.0)), ("s", 2, 9.0, Some(1.0)))
+      .toDF("sym", "i", "c", "pos")
+    val out = Signals.equityCurve(df, "sym", Seq("i"), "c", "pos")
+      .orderBy("i").collect().map(_.getAs[Double]("equity")).toSeq
+    val f2 = 1.0 + (-1.0) * ((12.0 - 10.0) / 10.0) // short the +20% move
+    val f3 = 1.0 + 1.0 * ((9.0 - 12.0) / 12.0)     // long the −25% move
+    assert(out === Seq(1.0, f2, f2 * f3))
+  }
+
   test("backtest: lookahead-free position, exact compound equity") {
     val spark2 = spark
     import spark2.implicits._
