@@ -1616,6 +1616,14 @@ object SparkEntry {
       operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_oov_rate" -> ((s, d) => {
+      // per-doc out-of-vocabulary rate vs the corpus's own top-1000
+      // vocabulary — the no-external-wordlist gibberish screen
+      load(s, d)
+      operators.TextOps.oovRate(s.table("documents"), "doc_id", "text",
+          vocabSize = 1000)
+        .orderBy(col("doc_id"))
+    }),
     "q_ngram_diversity" -> ((s, d) => {
       // corpus distinct-n-gram ratios per source (n = 1..3) — the
       // generation-diversity / phrase-level-repetition readout; exact
@@ -3707,6 +3715,31 @@ object SparkEntry {
 
   private def llmOracles: Map[String, String] = Map(
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
+    // Replays oovRate: same tokenizer, (count desc, token asc) top-K
+    // vocabulary, integer in/out counts, one final division.
+    "q_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      w -> w <> '')) AS tok
+        |  FROM documents),
+        |vc AS (SELECT tok FROM tk GROUP BY tok
+        |       ORDER BY count(*) DESC, tok ASC LIMIT 1000),
+        |per AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tk t LEFT JOIN vc v ON v.tok = t.tok
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.n_oov, 0) AS n_oov,
+        |  CASE WHEN p.n_tokens > 0
+        |    THEN CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+        |  END AS oov_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Replays ngramDiversity: same tokenizer regex, 1-based inclusive
     // list slices joined with ' ' (= concat_ws), exact count rollup.
     "q_ngram_diversity" ->

@@ -830,6 +830,49 @@ object TextOps {
       langIdFromToks(toks).as("lang_pred"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * vocabulary — the "does this doc speak the corpus's language"
+    * screen: gibberish, code dumps, and wrong-language strays score high
+    * OOV against a vocabulary the mainstream corpus defines, without any
+    * external word list. Emits (`idCol`, `n_tokens`, `n_oov`,
+    * `oov_rate`); empty docs keep a row with `n_tokens = 0` and a NULL
+    * rate (undefined, not 0 — an empty doc is not "all in-vocab").
+    *
+    * Determinism: the vocabulary is the exact global token counts ranked
+    * (count desc, token asc) — a total order — and every output number
+    * is an integer count until the one final division.
+    *
+    * Scale shape: one token-count aggregation (map-side combinable), a
+    * K-row vocabulary that BROADCASTS into the token stream's left
+    * anti-ish join, one per-doc aggregation. The top-K cut is a
+    * TakeOrdered over the reduced count frame, never the corpus. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_tokens", "n_oov", "oov_rate", "__tok", "__iv"),
+      "TextOps.oovRate")
+    val exploded = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val vocab = exploded.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok").asc)
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__iv"))
+    val perDoc = exploded
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0L,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Corpus n-gram diversity (distinct-n ratio, the corpus-level twin of
     * [[repetitionStats]]' per-document screen and the standard
     * generation-diversity readout): per group and per n ∈ [1, maxN], the

@@ -391,6 +391,22 @@ class TextQualitySpec extends AnyFunSuite {
     assert(d3.getAs[Long]("n_tokens") === 0L && d3.isNullAt(d3.fieldIndex("ttr")))
   }
 
+  test("oov rate: corpus-defined vocab, hand-counted misses, empty-doc NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "z z z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // vocab (count desc, token asc): z(3), a(2) — b/c are OOV
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_oov") === 2L)
+    assert(out(1L).getAs[Double]("oov_rate") === 0.5)
+    assert(out(2L).getAs[Double]("oov_rate") === 0.0)
+    assert(out(3L).getAs[Long]("n_tokens") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("oov_rate")))
+  }
+
   test("ngram diversity: hand-counted ratios; short docs skip higher n") {
     val spark2 = spark
     import spark2.implicits._
