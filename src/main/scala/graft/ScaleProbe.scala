@@ -68,7 +68,7 @@ object ScaleProbe {
     // gaps-and-islands, the two-SMA + runprod backtest chain, the
     // bounded-candidate RRF merge, and the (group, n, gram) diversity agg
     "q_renko", "q_drawdown_episodes", "q_backtest", "q_rrf_fusion",
-    "q_ngram_diversity")
+    "q_ngram_diversity", "q_equity_curve", "q_oov_rate")
 
   private case class Shift(col: String, offset: Long)
 
