@@ -231,6 +231,71 @@ object Divergence {
       .agg(max(col("__d")).as("ks_d"))
   }
 
+  /** Two-sample 1-Wasserstein (earth-mover) distance — the drift metric
+    * that weighs HOW FAR mass moved, where [[ksTest]] only sees the
+    * largest ECDF gap and [[psi]] needs a binning policy: W₁ = ∫ |F_a −
+    * F_b| dx over the merged support. A distribution that shifts by δ
+    * scores ≈ δ here regardless of shape — the natural "how much did
+    * values drift" readout for monitoring feed medians/prices.
+    *
+    * Exactness: values quantize to `scale` decimals (integer support),
+    * so each step term is `|cumA·n_b − cumB·n_a| · Δv` — a product of
+    * exact integers — and the total accumulates as DECIMAL(38,0),
+    * order-independent at any size. ONE division chain at the end
+    * (`Σ / (n_a·n_b) / 10^scale`) makes the result a fixed IEEE tree.
+    * Bit-exactness bound: `n_a·n_b·range·10^scale < 2^53` (the cast of
+    * the exact decimal total to double is then exact); beyond that the
+    * value is still correct to double precision.
+    *
+    * Scale shape: the [[ksTest]] plan — per-side value-count aggregates
+    * (map-side combinable), a distinct-value merged frame, the shared
+    * bucketed two-level prefix sum for the cumulatives (never a global
+    * 1-partition sort), and the step gap `Δv` from a per-bucket `lead`
+    * over the SAME bucketed sort. Nulls and empty sides fail loudly
+    * ([[psi]]/[[ksTest]] contract). Emits one row (`n_a`, `n_b`, `w1`). */
+  def wasserstein1(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                   scale: Int = 0, nBuckets: Int = 64): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    def sideCounts(df: DataFrame, out: String): DataFrame = {
+      val x = when(col(valueCol).isNull, raise_error(lit(
+          s"wasserstein1: $valueCol must be non-null (a null has no place " +
+            "in an ECDF); filter or impute first")))
+        .otherwise(round(col(valueCol).cast("double") *
+          lit(math.pow(10, scale))).cast("long"))
+      df.groupBy(x.as("__v")).agg(count(lit(1)).as(out))
+    }
+    val counts = sideCounts(dfA, "__na")
+      .join(sideCounts(dfB, "__nb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val totals = counts.agg(sum(col("__na")).as("n_a"),
+      sum(col("__nb")).as("n_b"))
+    val guarded = totals.select(
+      when(col("n_a").isNull || col("n_a") === 0L || col("n_b") === 0L,
+        raise_error(lit("wasserstein1: both sides must be non-empty — an " +
+          "empty side has no ECDF"))).otherwise(col("n_a")).as("n_a"),
+      col("n_b"))
+    // cumulative counts AND the next distinct value ride the SAME
+    // bucketed sort: Δv to the bucket's last row comes from the tiny
+    // bucket-bounds frame (the next bucket's min value), so no global
+    // ordering window exists anywhere in the plan
+    val cummed = Prefix.bucketedCumsumWithLead(counts, "__v",
+      Seq("__na", "__nb"), nBuckets)
+    val term = abs(col("cum___na") * col("n_b") - col("cum___nb") * col("n_a"))
+      .cast("decimal(38,0)") *
+      (col("lead___v") - col("__v")).cast("decimal(38,0)")
+    cummed.crossJoin(broadcast(guarded))
+      .filter(col("lead___v").isNotNull) // last value: F_a = F_b = 1 anyway
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(term).as("__t"))
+      .select(col("n_a"), col("n_b"),
+        (col("__t").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")) /
+          lit(math.pow(10, scale))).as("w1"))
+  }
+
   /** Exact per-group Gini concentration of a non-negative measure — the
     * corpus-diversity screen (is one source/shard/length band hogging the
     * token mass?): 0 = perfectly even, →1 = one row holds everything.

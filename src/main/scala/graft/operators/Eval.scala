@@ -392,4 +392,48 @@ object Eval {
             element_at(idcgArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
           .as("ndcg_at_k"))
   }
+
+  /** Per-group thresholded classification report — the confusion-matrix
+    * readout (tp/fp/fn/tn, precision/recall/F1/accuracy) at a fixed
+    * decision threshold, the deployment-facing companion to the
+    * threshold-free [[binaryAuc]]/[[averagePrecision]]: once a cut is
+    * chosen, THESE are the numbers the pipeline lives with.
+    *
+    * Convention: predicted positive ⟺ `score >= threshold` (boundary
+    * inclusive, documented). Counts are exact integers in ONE
+    * map-side-combinable pass; each rate is a single correctly-rounded
+    * IEEE division — F1 as the one-division form `2·tp/(2·tp+fp+fn)`
+    * (the compound `2PR/(P+R)` tree would round three times and is
+    * undefined in more cases). NULL precision when nothing is predicted
+    * positive, NULL recall when the group has no positives, NULL f1 when
+    * both (the sklearn zero_division=NaN contract, made explicit).
+    * Null/stray labels and null scores raise ([[binaryAuc]] contract).
+    * Emits (groupCols…, `n`, `tp`, `fp`, `fn`, `tn`, `precision`,
+    * `recall`, `f1`, `accuracy`). */
+  def classificationReport(df: DataFrame, scoreCol: String,
+                           labelCol: String, threshold: Double,
+                           groupCols: Seq[String]): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "tp", "fp", "fn", "tn", "precision", "recall", "f1",
+        "accuracy"), "classificationReport")
+    val y = checkedLabel(labelCol, "classificationReport")
+    val pred = checkedScore(scoreCol, "classificationReport") >= lit(threshold)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      count(when(pred && y === 1L, 1)).as("tp"),
+      count(when(pred && y === 0L, 1)).as("fp"),
+      count(when(!pred && y === 1L, 1)).as("fn"),
+      count(when(!pred && y === 0L, 1)).as("tn"))
+    def d(name: String): Column = col(name).cast("double")
+    counts.select((groupCols.map(col) :+ col("n") :+ col("tp") :+
+      col("fp") :+ col("fn") :+ col("tn") :+
+      when(col("tp") + col("fp") > 0L, d("tp") / (d("tp") + d("fp")))
+        .as("precision") :+
+      when(col("tp") + col("fn") > 0L, d("tp") / (d("tp") + d("fn")))
+        .as("recall") :+
+      when(col("tp") + col("fp") + col("fn") > 0L,
+        lit(2.0) * d("tp") / (lit(2.0) * d("tp") + d("fp") + d("fn")))
+        .as("f1") :+
+      (((col("tp") + col("tn")).cast("double")) / d("n")).as("accuracy")): _*)
+  }
 }

@@ -24,7 +24,22 @@ private[operators] object Prefix {
     * both call sites run on distinct-value frames); sum columns must be
     * integral (exact decomposition). */
   def bucketedCumsum(df: DataFrame, ordCol: String, sumCols: Seq[String],
-                     nBuckets: Int): DataFrame = {
+                     nBuckets: Int): DataFrame =
+    bucketedCumsumImpl(df, ordCol, sumCols, nBuckets, withLead = false)
+
+  /** [[bucketedCumsum]] plus `lead_<ordCol>` — the NEXT distinct ord value
+    * in global order (null on the overall last row), still without any
+    * global sort: within a bucket it is the local `lead`; on a bucket's
+    * last row it is the next non-empty bucket's min ord, carried on the
+    * same tiny broadcast offsets frame. [[Divergence.wasserstein1]] uses
+    * it for the ECDF step widths. */
+  def bucketedCumsumWithLead(df: DataFrame, ordCol: String,
+                             sumCols: Seq[String], nBuckets: Int): DataFrame =
+    bucketedCumsumImpl(df, ordCol, sumCols, nBuckets, withLead = true)
+
+  private def bucketedCumsumImpl(df: DataFrame, ordCol: String,
+                                 sumCols: Seq[String], nBuckets: Int,
+                                 withLead: Boolean): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(sumCols.nonEmpty, "need at least one sum column")
     val mm = df.agg(min(col(ordCol)).as("__plo"), max(col(ordCol)).as("__phi"))
@@ -36,19 +51,33 @@ private[operators] object Prefix {
             floor((col(ordCol) - col("__plo")) * lit(nBuckets.toDouble) / span)
               .cast("int")))))
       .drop("__plo", "__phi")
+    val aggs = sumCols.map(c => sum(col(c)).as(s"__bt_$c")) ++
+      (if (withLead) Seq(min(col(ordCol)).as("__bmin")) else Nil)
+    val offCols = sumCols.map { c =>
+      coalesce(sum(col(s"__bt_$c")).over(Window.orderBy(col("__pbk"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as(s"__off_$c")
+    } ++ (if (withLead)
+      Seq(lead(col("__bmin"), 1).over(Window.orderBy(col("__pbk")))
+        .as("__nxtmin"))
+    else Nil)
     val offsets = bucketed.groupBy(col("__pbk"))
-      .agg(sumCols.map(c => sum(col(c)).as(s"__bt_$c")).head,
-        sumCols.drop(1).map(c => sum(col(c)).as(s"__bt_$c")): _*)
-      .select(col("__pbk") +: sumCols.map { c =>
-        coalesce(sum(col(s"__bt_$c")).over(Window.orderBy(col("__pbk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as(s"__off_$c")
-      }: _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+      .select(col("__pbk") +: offCols: _*)
     val w = Window.partitionBy(col("__pbk")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sumCols.foldLeft(bucketed.join(broadcast(offsets), Seq("__pbk"))) {
-        (acc, c) =>
-      acc.withColumn(s"cum_$c", col(s"__off_$c") + sum(col(c)).over(w))
-    }.drop("__pbk" +: sumCols.map(c => s"__off_$c"): _*)
+    val cummed = sumCols
+      .foldLeft(bucketed.join(broadcast(offsets), Seq("__pbk"))) { (acc, c) =>
+        acc.withColumn(s"cum_$c", col(s"__off_$c") + sum(col(c)).over(w))
+      }
+    val led = if (withLead)
+      cummed.withColumn(s"lead_$ordCol",
+        coalesce(
+          lead(col(ordCol), 1)
+            .over(Window.partitionBy(col("__pbk")).orderBy(col(ordCol))),
+          col("__nxtmin")))
+        .drop("__nxtmin")
+    else cummed
+    led.drop("__pbk" +: sumCols.map(c => s"__off_$c"): _*)
   }
 }

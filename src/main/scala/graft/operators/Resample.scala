@@ -60,4 +60,58 @@ object Resample {
     withDow.join(broadcast(stats), keyCols :+ "dow")
       .withColumn(out, x - col("dow_mean"))
   }
+
+  /** Per-key linear time interpolation of NULL gaps — the proportional
+    * repair between [[Rolling.ffill]] (step-carry, biased on trends) and
+    * dropping the row: a NULL at time t between surrounding non-null
+    * observations (t₀, v₀) and (t₁, v₁) becomes
+    * `v₀ + (v₁ − v₀) · (t − t₀)/(t₁ − t₀)`, time-weighted so an
+    * off-center gap row lands proportionally, not halfway. Leading and
+    * trailing NULLs (no surrounding pair) stay NULL — interior repair
+    * only, by design; compose with [[Rolling.ffill]] for edge carry.
+    *
+    * Exactness: `ordCol` must be integral (epoch micros/nanos, or the
+    * [[densify]] date cast to days) so the time deltas are exact longs;
+    * the interpolation is then ONE fixed IEEE tree per row (one exact-
+    * rounded division, multiply, add) — engine-replayable with no
+    * rounding step. Requires a TOTAL order: `ordCol` must be distinct
+    * per key (densified grids are), or a tied frame boundary is
+    * layout-dependent.
+    *
+    * Plan: one keyed exchange, two frame passes on the same sort
+    * (backward last-non-null, forward first-non-null) carrying (t, v)
+    * structs so the timestamp and value always come from the SAME
+    * anchor row. Appends `<valueCol>_interp`. */
+  def interpolate(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                  valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "interpolate needs at least one key column")
+    val out = s"${valueCol}_interp"
+    Guards.requireNoReserved(df.columns,
+      Seq(out, "__prev", "__next"), "Resample.interpolate")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val anchor = when(v.isNotNull,
+      struct(col(ordCol).cast("long").as("t"), v.cast("double").as("v")))
+    val back = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withAnchors = df
+      .withColumn("__prev", last(anchor, ignoreNulls = true).over(back))
+      .withColumn("__next", first(anchor, ignoreNulls = true).over(fwd))
+    val t = col(ordCol).cast("long")
+    val p = col("__prev")
+    val nx = col("__next")
+    val interp = p.getField("v") +
+      (nx.getField("v") - p.getField("v")) *
+        ((t - p.getField("t")).cast("double") /
+          (nx.getField("t") - p.getField("t")).cast("double"))
+    withAnchors
+      .withColumn(out,
+        when(v.isNotNull, v.cast("double"))
+          .otherwise(when(p.isNotNull && nx.isNotNull, interp)))
+      .drop("__prev", "__next")
+  }
 }

@@ -468,4 +468,128 @@ object Stats {
       when(ok, (nD / lit(6.0)) * (skew * skew + kurt * kurt / lit(4.0)))
         .as("jarque_bera")): _*)
   }
+
+  /** One-way ANOVA F per group — the k-arm generalization of [[welchT]]
+    * (classic equal-variance ANOVA; for two arms prefer Welch): does the
+    * metric's mean differ across the variants of `variantCol`? The
+    * multi-arm experiment / per-source-mean-shift readout.
+    *
+    * Exactness: values quantize to `scale` decimals; per-variant
+    * (n, Σx, Σx²) are exact integers in ONE map-side-combinable pass.
+    * The one order-sensitive double reduction — the between-groups term
+    * `B = Σ_g s_g²/n_g` — folds over the ≤k-row per-variant frame in
+    * ASCENDING VARIANT ORDER (the [[Divergence]] token-fold discipline),
+    * so any engine replays the same left fold. Then `SSB = B − S²/N`,
+    * `SSW = Q − B`, `F = (SSB/(k−1)) / (SSW/(N−k))` — fixed IEEE trees,
+    * scale-invariant, no rounding. NULL `f` when k < 2, N ≤ k, or
+    * SSW = 0. NULL variants raise (the [[welchT]] loud-arm contract);
+    * NULL values are excluded. State per group is k structs — bounded by
+    * the variant cardinality, never the row count.
+    * Emits (groupCols…, `k`, `n`, `f`, `ss_between`, `ss_within`) with
+    * the sums of squares in SCALED units² (descale by 10^(2·scale) if
+    * needed; F needs no descaling). */
+  def anovaF(df: DataFrame, valueCol: String, variantCol: String,
+             groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "anovaF needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("k", "n", "f", "ss_between", "ss_within",
+        "__v", "__xi", "__gs"), "Stats.anovaF")
+    val v = when(col(variantCol).isNull,
+        raise_error(lit(s"anovaF: NULL $variantCol — a silently dropped " +
+          "arm is a corrupted experiment readout; filter first if intended")))
+      .otherwise(col(variantCol).cast("string"))
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val perVariant = df
+      .select((groupCols.map(col) :+ v.as("__v") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__xi")).as("__sg"),
+        sum(col("__xi") * col("__xi")).as("__qg"))
+    val folded = perVariant.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("k"),
+      sum(col("__ng")).as("n"),
+      sum(col("__sg")).as("__s"),
+      sum(col("__qg").cast("decimal(38,0)")).as("__q"),
+      sort_array(collect_list(struct(col("__v"), col("__ng"), col("__sg"))))
+        .as("__gs"))
+    // variant-ordered left fold of s_g²/n_g — the one double accumulation
+    val b = aggregate(col("__gs"), lit(0.0),
+      (acc, e) => acc +
+        (e.getField("__sg").cast("double") * e.getField("__sg").cast("double")) /
+          e.getField("__ng").cast("double"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val s = col("__s").cast("double")
+    val ssb = b - s * s / nD
+    val ssw = col("__q").cast("double") - b
+    val ok = col("k") >= 2L && nD > kD && ssw > 0.0
+    folded.select((groupCols.map(col) :+ col("k") :+ col("n") :+
+      when(ok, (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("f") :+
+      ssb.as("ss_between") :+ ssw.as("ss_within")): _*)
+  }
+
+  /** Kruskal–Wallis H per group — the k-arm generalization of
+    * [[mannWhitney]]: the NONPARAMETRIC multi-variant readout, robust
+    * where [[anovaF]]'s mean comparison is outlier-fragile.
+    *
+    * Exactness: the pooled rank layer is the [[spearman]] DOUBLED-
+    * average-rank trick (exact integers under ties); per-variant doubled
+    * rank sums `R2_g` and the per-row tie term `t² − 1` (summing to
+    * `Σ(t³ − t)`) are exact BIGINTs. The one double reduction —
+    * `Σ_g R2_g²/n_g` — folds over the ≤k-row variant frame in ascending
+    * variant order (the [[anovaF]] discipline). With `R_g = R2_g/2`,
+    * `H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) = 3·fold/(N(N+1)) − 3(N+1)`
+    * (the /4 fused into the constant — exact), tie-corrected by
+    * `1 − Σ(t³−t)/(N³−N)`. Bit-exactness bound: `N³ < 2^53` per group
+    * (N < ~2·10⁵). NULL `h` when k < 2 or every value is tied. NULL
+    * variants raise; NULL values are excluded.
+    * Emits (groupCols…, `k`, `n`, `h`). */
+  def kruskalWallis(df: DataFrame, valueCol: String, variantCol: String,
+                    groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "kruskalWallis needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("k", "n", "h", "__v", "__xi", "__r2", "__t", "__gs"),
+      "Stats.kruskalWallis")
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col(variantCol).isNull,
+        raise_error(lit(s"kruskalWallis: NULL $variantCol — a silently " +
+          "dropped arm is a corrupted experiment readout; filter first")))
+      .otherwise(col(variantCol).cast("string"))
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__v") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__xi"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow)).cast("long")
+    val ranked = base
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w).cast("long") + col("__t") - lit(1L))
+    val perVariant = ranked
+      .groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rg"),
+        sum(col("__t") * col("__t") - lit(1L)).as("__tc"))
+    val folded = perVariant.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("k"),
+      sum(col("__ng")).as("n"),
+      sum(col("__tc")).as("__tcorr"),
+      sort_array(collect_list(struct(col("__v"), col("__ng"), col("__rg"))))
+        .as("__gs"))
+    val fold = aggregate(col("__gs"), lit(0.0),
+      (acc, e) => acc +
+        (e.getField("__rg").cast("double") * e.getField("__rg").cast("double")) /
+          e.getField("__ng").cast("double"))
+    val nD = col("n").cast("double")
+    val hRaw = lit(3.0) * fold / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("__tcorr").cast("double") / (nD * nD * nD - nD)
+    val ok = col("k") >= 2L && corr > 0.0
+    folded.select((groupCols.map(col) :+ col("k") :+ col("n") :+
+      when(ok, hRaw / corr).as("h")): _*)
+  }
 }

@@ -174,4 +174,54 @@ class DivergenceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-empty") ||
       Option(e2.getCause).exists(_.getMessage.contains("non-empty")))
   }
+
+test("wasserstein1: identical samples score exactly zero") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Divergence.wasserstein1(a, a, "v").collect().head
+    assert(r.getAs[Double]("w1") === 0.0)
+  }
+
+  test("wasserstein1: hand-computed distance and pure-shift identity") {
+    // A={0,1}, B={1,2}: |F_a-F_b| is 1/2 on [0,1) and [1,2) -> W1 = 1
+    val a = Seq(0.0, 1.0).toDF("v")
+    val b = Seq(1.0, 2.0).toDF("v")
+    assert(Divergence.wasserstein1(a, b, "v").collect().head
+      .getAs[Double]("w1") === 1.0)
+    // shifting a distribution by delta moves W1 by exactly delta
+    val base = Seq(3.0, 7.0, 9.0, 20.0).toDF("v")
+    val shifted = base.select((col("v") + 5.0).as("v"))
+    assert(Divergence.wasserstein1(base, shifted, "v").collect().head
+      .getAs[Double]("w1") === 5.0)
+  }
+
+  test("wasserstein1: scale quantization and unequal sizes") {
+    // A={0.25}, B={0.75}: at scale=2 -> 0.5 exactly, any n_a/n_b
+    val a = Seq(0.25).toDF("v")
+    val b = Seq(0.75, 0.75, 0.75).toDF("v")
+    val r = Divergence.wasserstein1(a, b, "v", scale = 2).collect().head
+    assert(r.getAs[Long]("n_a") === 1L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("w1") === 0.5)
+  }
+
+  test("wasserstein1: invariant to layout and bucket count") {
+    val a = (1 to 40).map(i => (i * 37 % 19).toDouble).toDF("v")
+    val b = (1 to 50).map(i => (i * 13 % 23).toDouble).toDF("v")
+    val w64 = Divergence.wasserstein1(a, b, "v").collect().head.getAs[Double]("w1")
+    val w1b = Divergence.wasserstein1(a.repartition(7), b.coalesce(1), "v",
+      nBuckets = 1).collect().head.getAs[Double]("w1")
+    val w3b = Divergence.wasserstein1(a, b, "v", nBuckets = 3)
+      .collect().head.getAs[Double]("w1")
+    assert(w64 === w1b && w64 === w3b)
+  }
+
+  test("wasserstein1: nulls and empty sides fail loudly") {
+    val ok = Seq(1.0).toDF("v")
+    val withNull = Seq(Some(1.0), None).toDF("v")
+    assert(intercept[Exception] {
+      Divergence.wasserstein1(ok, withNull, "v").collect()
+    }.getMessage.contains("wasserstein1"))
+    assert(intercept[Exception] {
+      Divergence.wasserstein1(ok, ok.filter(col("v") < 0), "v").collect()
+    }.getMessage.contains("non-empty"))
+  }
 }

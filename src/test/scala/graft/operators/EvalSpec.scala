@@ -253,4 +253,35 @@ class EvalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate ranks"))
   }
+
+test("classificationReport: hand-computed confusion and rates") {
+    // threshold 0.5, boundary INCLUSIVE: 0.5 predicts positive
+    val rows = Seq(
+      ("g", 0.9, 1), ("g", 0.5, 1), ("g", 0.6, 0),   // tp tp fp
+      ("g", 0.4, 1), ("g", 0.1, 0), ("g", 0.2, 0))   // fn tn tn
+    val r = Eval.classificationReport(rows.toDF("grp", "s", "y"), "s", "y",
+      0.5, Seq("grp")).collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((2L, 1L, 1L, 2L)))
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 2.0 / 3.0)
+    assert(r.getAs[Double]("f1") === 4.0 / 6.0)  // 2tp/(2tp+fp+fn)
+    assert(r.getAs[Double]("accuracy") === 4.0 / 6.0)
+  }
+
+  test("classificationReport: NULL precision with no predicted positives") {
+    val rows = Seq(("g", 0.1, 1), ("g", 0.2, 0))
+    val r = Eval.classificationReport(rows.toDF("grp", "s", "y"), "s", "y",
+      0.9, Seq("grp")).collect().head
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    assert(r.getAs[Double]("recall") === 0.0)
+    assert(r.getAs[Double]("f1") === 0.0) // fn > 0 keeps f1 defined at 0
+  }
+
+  test("classificationReport: stray labels fail loudly") {
+    val bad = Seq(("g", 0.5, 2)).toDF("grp", "s", "y")
+    assert(intercept[Exception] {
+      Eval.classificationReport(bad, "s", "y", 0.5, Seq("grp")).collect()
+    }.getMessage.contains("classificationReport"))
+  }
 }

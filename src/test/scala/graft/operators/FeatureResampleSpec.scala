@@ -184,4 +184,31 @@ class FeatureResampleSpec extends AnyFunSuite {
     assert(out("2024-01-08") === ((2, 15.0, 5.0)))
     assert(out("2024-01-02") === ((3, 7.0, 0.0)))
   }
+
+test("interpolate: time-weighted interior fill, edges stay NULL") {
+    val rows = Seq(
+      ("k", 0L, Some(1.0)), ("k", 4L, None), ("k", 10L, Some(2.0)),
+      ("k", 12L, None),                       // trailing: no next anchor
+      ("j", 0L, None), ("j", 5L, Some(7.0)))  // leading: no prev anchor
+      .toDF("key", "t", "x")
+    val out = Resample.interpolate(rows, Seq("key"), "t", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("x_interp"))) None
+         else Some(r.getDouble(r.fieldIndex("x_interp"))))).toMap
+    assert(out(("k", 0L)) === Some(1.0))           // non-null passes through
+    assert(out(("k", 4L)) === Some(1.0 + 1.0 * (4.0 / 10.0))) // 1.4
+    assert(out(("k", 12L)) === None)               // trailing NULL
+    assert(out(("j", 0L)) === None)                // leading NULL
+    assert(out(("j", 5L)) === Some(7.0))
+  }
+
+  test("interpolate: consecutive gap rows land proportionally") {
+    val rows = Seq(("k", 0L, Some(10.0)), ("k", 2L, None), ("k", 7L, None),
+      ("k", 10L, Some(20.0))).toDF("key", "t", "x")
+    val out = Resample.interpolate(rows, Seq("key"), "t", "x")
+      .collect().map(r => r.getLong(1) ->
+        r.getDouble(r.fieldIndex("x_interp"))).toMap
+    assert(out(2L) === 10.0 + 10.0 * (2.0 / 10.0))  // 12
+    assert(out(7L) === 10.0 + 10.0 * (7.0 / 10.0))  // 17
+  }
 }

@@ -308,4 +308,63 @@ class StatsSpec extends AnyFunSuite {
     assert(c.isNullAt(c.fieldIndex("skewness"))) // zero variance
     assert(c.isNullAt(c.fieldIndex("jarque_bera")))
   }
+
+test("anovaF: hand-computed 3-arm F") {
+    // A=(1,2,3) B=(2,3,4) C=(5,6,7): SSB=26, SSW=6, F=(26/2)/(6/6)=13
+    val rows = Seq(("g","A",1.0),("g","A",2.0),("g","A",3.0),
+      ("g","B",2.0),("g","B",3.0),("g","B",4.0),
+      ("g","C",5.0),("g","C",6.0),("g","C",7.0))
+    val r = Stats.anovaF(rows.toDF("grp","arm","x"), "x", "arm", Seq("grp"))
+      .collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Double]("f") === 13.0)
+    assert(r.getAs[Double]("ss_between") === 26.0)
+    assert(r.getAs[Double]("ss_within") === 6.0)
+  }
+
+  test("anovaF: identical arms give F = 0; single arm gives NULL") {
+    val same = Seq(("g","A",1.0),("g","A",2.0),("g","B",1.0),("g","B",2.0),
+      ("h","A",1.0),("h","A",2.0))
+    val out = Stats.anovaF(same.toDF("grp","arm","x"), "x", "arm", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Double]("f") === 0.0)
+    assert(out("h").isNullAt(out("h").fieldIndex("f"))) // k = 1
+  }
+
+  test("anovaF: NULL variant fails loudly; NULL values drop") {
+    val bad = Seq(("g", Option("A"), Some(1.0)), ("g", None, Some(2.0)))
+      .toDF("grp","arm","x")
+    val e = intercept[Exception] {
+      Stats.anovaF(bad, "x", "arm", Seq("grp")).collect()
+    }
+    assert(e.getMessage.contains("anovaF"))
+    val nulls = Seq(("g", "A", Some(1.0)), ("g", "A", Some(3.0)),
+      ("g", "A", None), ("g", "B", Some(2.0)), ("g", "B", Some(4.0)))
+      .toDF("grp","arm","x")
+    val r = Stats.anovaF(nulls, "x", "arm", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n") === 4L) // the null row is out of every sum
+  }
+
+  test("kruskalWallis: hand-computed tie-free H") {
+    // A=(1,2,3) B=(4,5,6): R2A=12, R2B=30, fold=348, H=3*348/42-21
+    val rows = Seq(("g","A",1.0),("g","A",2.0),("g","A",3.0),
+      ("g","B",4.0),("g","B",5.0),("g","B",6.0))
+    val r = Stats.kruskalWallis(rows.toDF("grp","arm","x"), "x", "arm",
+      Seq("grp")).collect().head
+    val expected = 3.0 * (144.0 / 3.0 + 900.0 / 3.0) / (6.0 * 7.0) -
+      3.0 * 7.0
+    assert(r.getAs[Double]("h") === expected)
+  }
+
+  test("kruskalWallis: all-tied group yields NULL, ties correct H upward") {
+    val flat = Seq(("g","A",5.0),("g","A",5.0),("g","B",5.0),("g","B",5.0))
+    val r = Stats.kruskalWallis(flat.toDF("grp","arm","x"), "x", "arm",
+      Seq("grp")).collect().head
+    assert(r.isNullAt(r.fieldIndex("h"))) // tie correction divisor = 0
+    // one tie pair straddling the arms: H must stay defined
+    val some = Seq(("g","A",1.0),("g","A",2.0),("g","B",2.0),("g","B",3.0))
+    val r2 = Stats.kruskalWallis(some.toDF("grp","arm","x"), "x", "arm",
+      Seq("grp")).collect().head
+    assert(!r2.isNullAt(r2.fieldIndex("h")))
+  }
 }
