@@ -1611,6 +1611,74 @@ object SparkEntry {
   }
 
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> ((s, d) => {
+      // per-day one-way ANOVA F across all five event types — the k-arm
+      // mean-shift readout beside q_welch_t; exact per-variant integer
+      // sums in one pass, variant-ordered fold for the one double
+      // reduction (B = sum s_g^2/n_g)
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.anovaF(ev, "value", "event_type", Seq("day"), scale = 2)
+        .orderBy(col("day"))
+    }),
+    "q_kruskal" -> ((s, d) => {
+      // per-day Kruskal–Wallis H across the five event types — the
+      // nonparametric k-arm companion (doubled average ranks, per-row
+      // tie correction, variant-ordered fold)
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.kruskalWallis(ev, "value", "event_type", Seq("day"),
+          scale = 2)
+        .orderBy(col("day"))
+    }),
+    "q_wasserstein" -> ((s, d) => {
+      // 1-Wasserstein (earth-mover) distance between purchase and view
+      // event-value distributions — the how-far-did-mass-move drift
+      // metric beside q_ks's largest-gap; integer step terms summed as
+      // DECIMAL, one final division chain
+      load(s, d)
+      val ev = readEventsNanos(s, d)
+      operators.Divergence.wasserstein1(
+        ev.filter(col("event_type") === "purchase").select("value"),
+        ev.filter(col("event_type") === "view").select("value"),
+        "value", scale = 2)
+    }),
+    "q_classification" -> ((s, d) => {
+      // per-day thresholded classification report (value >= 35 predicts
+      // purchase) — the deployment-facing confusion-matrix readout
+      // beside the threshold-free q_auc; exact counts, one division per
+      // rate, F1 in the one-division form
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.classificationReport(ev, "value", "label", 35.0,
+          Seq("day"))
+        .orderBy(col("day"))
+    }),
+    "q_interpolate" -> ((s, d) => {
+      // per-supplier linear time interpolation of planted close-price
+      // gaps (every day % 5 == 2 nulled) over the daily-bar date axis —
+      // interior repair only, edges stay NULL; one keyed exchange, two
+      // frame passes carrying (t, v) anchor structs
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val bars = dailyBars(s)
+        .withColumn("day", expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)"))
+        .withColumn("c",
+          when(col("day") % 5 === 2, lit(null)).otherwise(col("close")))
+      operators.Resample.interpolate(bars, Seq("l_suppkey"), "day", "c")
+        .select(col("l_suppkey"), col("day"), col("c"), col("c_interp"))
+        .orderBy(col("l_suppkey"), col("day"))
+    }),
     "q_text_stats" -> ((s, d) => {
       load(s, d)
       operators.TextOps.textStats(s.table("documents"), "doc_id", "text")
@@ -3714,6 +3782,171 @@ object SparkEntry {
        |)""".stripMargin
 
   private def llmOracles: Map[String, String] = Map(
+    // Replays Stats.anovaF: per-(day, variant) exact scaled-BIGINT sums,
+    // variant-ordered term fold for B, the same fixed SSB/SSW/F trees.
+    "q_anova" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events),
+        |pv AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS sg,
+        |    CAST(sum(x * x) AS BIGINT) AS qg
+        |  FROM e GROUP BY day, v),
+        |f AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(CAST(sum(sg) AS BIGINT) AS DOUBLE) AS sd,
+        |    CAST(sum(qg) AS DOUBLE) AS q,
+        |    list_reduce(list_transform(
+        |        list(struct_pack(v := v, ng := ng, sg := sg) ORDER BY v),
+        |        s -> CAST(s.sg AS DOUBLE) * CAST(s.sg AS DOUBLE)
+        |          / CAST(s.ng AS DOUBLE)),
+        |      (a, b) -> a + b) AS b
+        |  FROM pv GROUP BY day),
+        |g AS (
+        |  SELECT day, k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+        |    b - sd * sd / CAST(n AS DOUBLE) AS ssb, q - b AS ssw
+        |  FROM f)
+        |SELECT day, k, n,
+        |  CASE WHEN k >= 2 AND nd > kd AND ssw > 0.0::DOUBLE THEN
+        |    (ssb / (kd - 1.0::DOUBLE)) / (ssw / (nd - kd)) END AS f,
+        |  ssb AS ss_between, ssw AS ss_within
+        |FROM g ORDER BY day""".stripMargin,
+    // Replays Stats.kruskalWallis: pooled doubled average ranks (exact
+    // integers under ties), per-row t^2-1 tie term, variant-ordered
+    // fold of rg^2/ng, H = 3*fold/(N(N+1)) - 3(N+1), tie-corrected.
+    "q_kruskal" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events),
+        |r AS (
+        |  SELECT day, v,
+        |    CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) AS t,
+        |    2 * CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1 AS r2
+        |  FROM e),
+        |pv AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(r2) AS BIGINT) AS rg,
+        |    CAST(sum(t * t - 1) AS BIGINT) AS tc
+        |  FROM r GROUP BY day, v),
+        |f AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(CAST(sum(tc) AS BIGINT) AS DOUBLE) AS tcd,
+        |    list_reduce(list_transform(
+        |        list(struct_pack(v := v, ng := ng, rg := rg) ORDER BY v),
+        |        s -> CAST(s.rg AS DOUBLE) * CAST(s.rg AS DOUBLE)
+        |          / CAST(s.ng AS DOUBLE)),
+        |      (a, b) -> a + b) AS fold
+        |  FROM pv GROUP BY day),
+        |g AS (
+        |  SELECT day, k, n, CAST(n AS DOUBLE) AS nd, fold, tcd FROM f),
+        |h AS (
+        |  SELECT day, k, n,
+        |    3.0::DOUBLE * fold / (nd * (nd + 1.0::DOUBLE))
+        |      - 3.0::DOUBLE * (nd + 1.0::DOUBLE) AS hraw,
+        |    1.0::DOUBLE - tcd / (nd * nd * nd - nd) AS corr
+        |  FROM g)
+        |SELECT day, k, n,
+        |  CASE WHEN k >= 2 AND corr > 0.0::DOUBLE THEN hraw / corr END AS h
+        |FROM h ORDER BY day""".stripMargin,
+    // Replays Divergence.wasserstein1: per-side scaled-value counts,
+    // merged ECDF cumulatives, |cumA*n_b - cumB*n_a| * (next v - v)
+    // summed exactly, ONE division chain / (n_a*n_b) / 10^scale.
+    "q_wasserstein" ->
+      """WITH ca AS (
+        |  SELECT CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS v,
+        |    count(*) AS na
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS v,
+        |    count(*) AS nb
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |comb AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |           CAST(coalesce(na, 0) AS BIGINT) AS na,
+        |           CAST(coalesce(nb, 0) AS BIGINT) AS nb
+        |         FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |cum AS (SELECT v,
+        |          CAST(sum(na) OVER wc AS HUGEINT) AS cna,
+        |          CAST(sum(nb) OVER wc AS HUGEINT) AS cnb,
+        |          lead(v) OVER (ORDER BY v) AS nxt
+        |        FROM comb
+        |        WINDOW wc AS (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |          CAST(sum(nb) AS BIGINT) AS n_b FROM comb)
+        |SELECT n_a, n_b,
+        |  CAST(sum(abs(cna * n_b - cnb * n_a) * (nxt - v)) AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 100.0::DOUBLE AS w1
+        |FROM cum, tot WHERE nxt IS NOT NULL GROUP BY n_a, n_b""".stripMargin,
+    // Replays Eval.classificationReport at threshold 35 (boundary
+    // inclusive): exact confusion counts, one division per rate, F1 as
+    // 2tp/(2tp+fp+fn).
+    "q_classification" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |    count(CASE WHEN s >= 35.0::DOUBLE AND y = 1 THEN 1 END) AS tp,
+        |    count(CASE WHEN s >= 35.0::DOUBLE AND y = 0 THEN 1 END) AS fp,
+        |    count(CASE WHEN s < 35.0::DOUBLE AND y = 1 THEN 1 END) AS fn,
+        |    count(CASE WHEN s < 35.0::DOUBLE AND y = 0 THEN 1 END) AS tn
+        |  FROM e GROUP BY day)
+        |SELECT day, n, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |  END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |  END AS recall,
+        |  CASE WHEN tp + fp + fn > 0 THEN
+        |    2.0::DOUBLE * CAST(tp AS DOUBLE) /
+        |      (2.0::DOUBLE * CAST(tp AS DOUBLE)
+        |        + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |  END AS f1,
+        |  CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+        |FROM c ORDER BY day""".stripMargin,
+    // Replays Resample.interpolate over the daily bars: same planted
+    // nulls, backward/forward IGNORE NULLS anchors from the SAME rows,
+    // one fixed interpolation tree per gap row.
+    "q_interpolate" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), src AS (
+         |  SELECT l_suppkey,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |    CASE WHEN CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) % 5 = 2
+         |      THEN NULL ELSE close END AS c
+         |  FROM bars),
+         |anch AS (
+         |  SELECT l_suppkey, day, c,
+         |    last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER wb AS pt,
+         |    last_value(c IGNORE NULLS) OVER wb AS pv,
+         |    first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER wf AS nt,
+         |    first_value(c IGNORE NULLS) OVER wf AS nv
+         |  FROM src
+         |  WINDOW wb AS (PARTITION BY l_suppkey ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    wf AS (PARTITION BY l_suppkey ORDER BY day
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT l_suppkey, day, c,
+         |  CASE WHEN c IS NOT NULL THEN c
+         |       WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+         |         pv + (nv - pv) *
+         |           (CAST(day - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |  END AS c_interp
+         |FROM anch ORDER BY l_suppkey, day""".stripMargin,
     "q_text_stats" -> (duckTextStatsSql + "\nORDER BY doc_id"),
     // Replays oovRate: same tokenizer, (count desc, token asc) top-K
     // vocabulary, integer in/out counts, one final division.

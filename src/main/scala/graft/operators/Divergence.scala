@@ -283,8 +283,8 @@ object Divergence {
     // ordering window exists anywhere in the plan
     val cummed = Prefix.bucketedCumsumWithLead(counts, "__v",
       Seq("__na", "__nb"), nBuckets)
-    val term = abs(col("cum___na") * col("n_b") - col("cum___nb") * col("n_a"))
-      .cast("decimal(38,0)") *
+    val term = abs(col("cum___na").cast("decimal(38,0)") * col("n_b") -
+        col("cum___nb").cast("decimal(38,0)") * col("n_a")) *
       (col("lead___v") - col("__v")).cast("decimal(38,0)")
     cummed.crossJoin(broadcast(guarded))
       .filter(col("lead___v").isNotNull) // last value: F_a = F_b = 1 anyway
