@@ -68,7 +68,12 @@ object ScaleProbe {
     // gaps-and-islands, the two-SMA + runprod backtest chain, the
     // bounded-candidate RRF merge, and the (group, n, gram) diversity agg
     "q_renko", "q_drawdown_episodes", "q_backtest", "q_rrf_fusion",
-    "q_ngram_diversity", "q_equity_curve", "q_oov_rate")
+    "q_ngram_diversity", "q_equity_curve", "q_oov_rate",
+    // round-8 session 4: the variant-ordered fold battery (k-arm ANOVA /
+    // Kruskal–Wallis share the welch/mann-whitney shuffle shape), the
+    // bucketed-prefix Wasserstein (distinct-support-sized, like KS), and
+    // the two-frame-pass interpolation over 10× keys
+    "q_anova", "q_kruskal", "q_wasserstein", "q_interpolate")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1611,6 +1611,47 @@ object SparkEntry {
   }
 
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_corr" -> ((s, d) => {
+      // per-supplier volume→close cross-correlation at lags −2..2 — the
+      // lead–lag screen; all shifts on one keyed sort, one explode, one
+      // map-side-combinable (key, lag) aggregate with the corrBeta trees
+      load(s, d)
+      operators.Rolling.crossCorr(dailyBars(s), "volume", "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), Seq(-2, -1, 0, 1, 2),
+          xScale = 2, yScale = 2)
+        .orderBy(col("l_suppkey"), col("lag"))
+    }),
+    "q_forecast_errors" -> ((s, d) => {
+      // per-supplier MAE/RMSE/MASE of the 1-step naive close forecast
+      // against the weekly (m=7) seasonal-naive benchmark — exact scaled
+      // error sums, fixed metric trees
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.lag
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withF = dailyBars(s)
+        .withColumn("fcst", lag(col("close"), 1).over(w))
+      operators.Eval.forecastErrors(withF, "close", "fcst",
+          Seq("l_suppkey"), Seq("l_shipdate"), m = 7, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_ic" -> ((s, d) => {
+      // daily cross-sectional information coefficient: Spearman rank
+      // correlation of 5-day close momentum vs next-day forward move
+      // across suppliers, per date — the factor-evaluation readout;
+      // both signals are exact 2-dp close differences, so the rank
+      // layer is engine-identical
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lead}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val sig = dailyBars(s).select(col("l_suppkey"), col("l_shipdate"),
+        (col("close") - lag(col("close"), 5).over(w)).as("mom"),
+        (lead(col("close"), 1).over(w) - col("close")).as("fwd"))
+      operators.Stats.spearman(sig, Seq("l_shipdate"), "mom", "fwd",
+          scale = 2)
+        .orderBy(col("l_shipdate"))
+    }),
     "q_anova" -> ((s, d) => {
       // per-day one-way ANOVA F across all five event types — the k-arm
       // mean-shift readout beside q_welch_t; exact per-variant integer
@@ -3782,6 +3823,135 @@ object SparkEntry {
        |)""".stripMargin
 
   private def llmOracles: Map[String, String] = Map(
+    // Replays Rolling.crossCorr: each lag's shift on the same keyed sort
+    // (one branch per lag, unioned), complete-pair five sums, the
+    // corrBeta clamp tree.
+    "q_cross_corr" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(volume * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS y
+         |  FROM bars),
+         |p AS (
+         |  SELECT l_suppkey, -2 AS lag,
+         |    lead(x, 2) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS xs,
+         |    y FROM s
+         |  UNION ALL
+         |  SELECT l_suppkey, -1,
+         |    lead(x, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate), y FROM s
+         |  UNION ALL
+         |  SELECT l_suppkey, 0, x, y FROM s
+         |  UNION ALL
+         |  SELECT l_suppkey, 1,
+         |    lag(x, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate), y FROM s
+         |  UNION ALL
+         |  SELECT l_suppkey, 2,
+         |    lag(x, 2) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate), y FROM s),
+         |g AS (
+         |  SELECT l_suppkey, lag,
+         |    CAST(count(CASE WHEN xs IS NOT NULL AND y IS NOT NULL THEN 1 END)
+         |      AS BIGINT) AS n_pairs,
+         |    CAST(sum(xs) FILTER (WHERE xs IS NOT NULL AND y IS NOT NULL)
+         |      AS BIGINT) AS sx,
+         |    CAST(sum(y) FILTER (WHERE xs IS NOT NULL AND y IS NOT NULL)
+         |      AS BIGINT) AS sy,
+         |    CAST(sum(xs * xs) FILTER (WHERE xs IS NOT NULL AND y IS NOT NULL)
+         |      AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) FILTER (WHERE xs IS NOT NULL AND y IS NOT NULL)
+         |      AS BIGINT) AS syy,
+         |    CAST(sum(xs * y) FILTER (WHERE xs IS NOT NULL AND y IS NOT NULL)
+         |      AS BIGINT) AS sxy
+         |  FROM p GROUP BY l_suppkey, lag),
+         |h AS (
+         |  SELECT l_suppkey, lag, n_pairs,
+         |    CAST(CAST(n_pairs AS HUGEINT) * sxy
+         |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         |    CAST(CAST(n_pairs AS HUGEINT) * sxx
+         |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS dx,
+         |    CAST(CAST(n_pairs AS HUGEINT) * syy
+         |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS dy
+         |  FROM g)
+         |SELECT l_suppkey, lag, n_pairs,
+         |  CASE WHEN n_pairs >= 2 AND dx > 0.0::DOUBLE AND dy > 0.0::DOUBLE
+         |  THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |    num / (sqrt(dx) * sqrt(dy))))
+         |  END AS xcorr
+         |FROM h ORDER BY l_suppkey, lag""".stripMargin,
+    // Replays Eval.forecastErrors with the 1-step naive forecast and the
+    // m=7 seasonal-naive benchmark: exact scaled |e| / e² sums, the
+    // fixed mae/rmse/mase trees (scale cancels in mase).
+    "q_forecast_errors" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS a,
+         |    CAST(round(lag(close, 1) OVER ws * 100.0::DOUBLE) AS BIGINT) AS f,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      - lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 7) OVER ws AS d
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey,
+         |    CAST(count(CASE WHEN a IS NOT NULL AND f IS NOT NULL THEN 1 END)
+         |      AS BIGINT) AS n,
+         |    CAST(sum(abs(a - f)) AS BIGINT) AS sae,
+         |    CAST(sum((a - f) * (a - f)) AS BIGINT) AS see,
+         |    CAST(count(d) AS BIGINT) AS nm,
+         |    CAST(sum(abs(d)) AS BIGINT) AS snd
+         |  FROM s GROUP BY l_suppkey)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 1 THEN
+         |    CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0::DOUBLE END AS mae,
+         |  CASE WHEN n >= 1 THEN
+         |    sqrt(CAST(see AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0::DOUBLE
+         |  END AS rmse,
+         |  CASE WHEN n >= 1 AND snd > 0 THEN
+         |    (CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(snd AS DOUBLE) / CAST(nm AS DOUBLE)) END AS mase
+         |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays the q_ic composition: exact 2-dp momentum/forward diffs on
+    // the bars, then the q_spearman doubled-average-rank replay
+    // partitioned by DATE (cross-sectional).
+    "q_ic" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), sig AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    close - lag(close, 5) OVER ws AS mom,
+         |    lead(close, 1) OVER ws - close AS fwd
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |base AS (
+         |  SELECT l_shipdate,
+         |    CAST(round(mom * 100.0::DOUBLE) AS BIGINT) AS xi,
+         |    CAST(round(fwd * 100.0::DOUBLE) AS BIGINT) AS yi
+         |  FROM sig WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |r AS (
+         |  SELECT l_shipdate,
+         |    2 * rank() OVER (PARTITION BY l_shipdate ORDER BY xi)
+         |      + count(*) OVER (PARTITION BY l_shipdate ORDER BY xi
+         |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS ra,
+         |    2 * rank() OVER (PARTITION BY l_shipdate ORDER BY yi)
+         |      + count(*) OVER (PARTITION BY l_shipdate ORDER BY yi
+         |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS rb
+         |  FROM base),
+         |g AS (
+         |  SELECT l_shipdate, count(*) AS n,
+         |    sum(ra) AS sa, sum(rb) AS sb, sum(ra*ra) AS saa,
+         |    sum(rb*rb) AS sbb, sum(ra*rb) AS sab
+         |  FROM r GROUP BY l_shipdate)
+         |SELECT l_shipdate, n,
+         |  CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+         |        AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+         |  THEN greatest(-1.0::DOUBLE, least(1.0::DOUBLE,
+         |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+         |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
+         |  END AS spearman
+         |FROM g ORDER BY l_shipdate""".stripMargin,
     // Replays Stats.anovaF: per-(day, variant) exact scaled-BIGINT sums,
     // variant-ordered term fold for B, the same fixed SSB/SSW/F trees.
     "q_anova" ->

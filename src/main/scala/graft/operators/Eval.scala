@@ -436,4 +436,60 @@ object Eval {
         .as("f1") :+
       (((col("tp") + col("tn")).cast("double")) / d("n")).as("accuracy")): _*)
   }
+
+  /** Per-key forecast-error metrics — MAE, RMSE, and MASE (mean absolute
+    * error scaled by the in-sample m-step seasonal-naive error, the
+    * scale-free Hyndman–Koehler benchmark metric: MASE < 1 beats the
+    * naive forecaster). The backtest readout for any per-key prediction
+    * column (a lagged close, an SMA, a model score).
+    *
+    * Exactness: both columns quantize to `scale` decimals; |e| and e²
+    * accumulate as exact BIGINTs (e² per term ≤ (range·10^scale)² must
+    * fit — the [[graft.operators.Stats.welchT]] bound), and each metric
+    * is a fixed IEEE tree: `mae = (Σ|e|/n)/10^s`,
+    * `rmse = sqrt(Σe²/n)/10^s`, `mase = (Σ|e|/n)/(Σ|d_m|/n_m)` with
+    * `d_m = a_t − a_{t−m}` over the SAME keyed sort — scale cancels in
+    * MASE, so it needs no descaling. Rows with a NULL actual or forecast
+    * are excluded from the error sums; the naive denominator uses all
+    * complete (a_t, a_{t−m}) pairs. NULL `mase` when the naive error sum
+    * is zero (a constant series — the benchmark does not exist). NULL
+    * `mae`/`rmse` on an empty key. One keyed sort (for the seasonal
+    * lag), one map-side-combinable aggregate.
+    * Emits (keyCols…, `n`, `mae`, `rmse`, `mase`). */
+  def forecastErrors(df: DataFrame, actualCol: String, forecastCol: String,
+                     keyCols: Seq[String], orderCols: Seq[String],
+                     m: Int = 1, scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "forecastErrors needs at least one key column")
+    require(m >= 1, s"seasonality must be >= 1, got $m")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "mae", "rmse", "mase", "__a", "__f", "__d"),
+      "forecastErrors")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ai = round(col(actualCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val fi = round(col(forecastCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.select((keyCols.map(col) :+ ai.as("__a") :+ fi.as("__f")) :+
+      (ai - lag(ai, m).over(w)).as("__d"): _*)
+    val e = col("__a") - col("__f")
+    val ok = col("__a").isNotNull && col("__f").isNotNull
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(when(ok, 1)).as("n"),
+      sum(when(ok, abs(e))).as("__sae"),
+      sum(when(ok, e * e)).as("__see"),
+      count(col("__d")).as("__nm"),
+      sum(abs(col("__d"))).as("__snd"))
+    val nD = col("n").cast("double")
+    val descale = lit(math.pow(10, scale))
+    val mae = col("__sae").cast("double") / nD
+    sums.select((keyCols.map(col) :+ col("n") :+
+      when(col("n") >= 1L, mae / descale).as("mae") :+
+      when(col("n") >= 1L,
+        sqrt(col("__see").cast("double") / nD) / descale).as("rmse") :+
+      when(col("n") >= 1L && col("__snd") > 0L,
+        mae / (col("__snd").cast("double") / col("__nm").cast("double")))
+        .as("mase")): _*)
+  }
 }

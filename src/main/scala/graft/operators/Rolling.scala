@@ -971,6 +971,76 @@ object Rolling {
         .as("roll_beta"))
   }
 
+  /** Whole-series cross-correlation function (CCF) of two columns per
+    * key at a SET of lags — the lead–lag diagnostic (which series moves
+    * first): for lag ℓ ≥ 0 the correlation of x shifted ℓ steps back
+    * against current y (x LEADS y by ℓ); negative ℓ shifts x forward
+    * (x LAGS y). The classic pre-hedge/pairs screen before committing to
+    * a single-lag model.
+    *
+    * Exactness: the [[corrBeta]] discipline — both columns quantize to
+    * scaled BIGINTs, five exact integer sums per (key, lag) over the
+    * COMPLETE pairs only, one fixed IEEE tree with separate square roots
+    * and the [−1, 1] clamp. NULL corr when fewer than 2 complete pairs
+    * or a zero-variance side.
+    *
+    * Plan shape: ALL lag shifts ride ONE keyed sort (lag/lead windows
+    * share the partition+order), then one explode of a |lags|-element
+    * struct array fans each row out to its (lag, x_shifted, y) pairs,
+    * and one map-side-combinable aggregate on (key, lag) reduces to the
+    * tiny (keys × lags) output frame. One corpus-sized exchange (the
+    * keyed sort); the (key, lag) aggregate reuses nothing corpus-sized.
+    * Emits (partCols…, `lag`, `n_pairs`, `xcorr`). */
+  def crossCorr(df: DataFrame, xCol: String, yCol: String,
+                partCols: Seq[String], orderCols: Seq[String],
+                lags: Seq[Int], xScale: Int = 0, yScale: Int = 0): DataFrame = {
+    require(lags.nonEmpty, "crossCorr needs at least one lag")
+    require(lags.distinct.size == lags.size, "duplicate lags")
+    require(partCols.nonEmpty, "crossCorr needs at least one key column")
+    require(xScale >= 0 && yScale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("lag", "n_pairs", "xcorr", "__p", "__y"), "Rolling.crossCorr")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(xCol).cast("double") * lit(math.pow(10, xScale)))
+      .cast("long")
+    val yi = round(col(yCol).cast("double") * lit(math.pow(10, yScale)))
+      .cast("long")
+    val shifted = df.select(
+      (partCols.map(col) :+ yi.as("__y")) ++
+        lags.map { l =>
+          (if (l >= 0) lag(xi, l) else lead(xi, -l)).over(w).as(s"__x_$l")
+        }: _*)
+    val pairs = shifted.select(
+      (partCols.map(col) :+
+        explode(array(lags.map { l =>
+          struct(lit(l).as("lag"), col(s"__x_$l").as("__x"),
+            col("__y").as("__yv"))
+        }: _*)).as("__p")): _*)
+    val x = col("__p.__x")
+    val y = col("__p.__yv")
+    val both = x.isNotNull && y.isNotNull
+    // per-term products fit a BIGINT; the SUMS (and n·Σxx − Σx²) do not
+    // at volume-sized scales — accumulate as DECIMAL(38,0), exact in any
+    // order (the moments discipline; DuckDB's HUGEINT sums mirror it)
+    def dec(c: Column): Column = sum(when(both, c).cast("decimal(38,0)"))
+    val sums = pairs
+      .groupBy((partCols.map(col) :+ col("__p.lag").as("lag")): _*)
+      .agg(count(when(both, 1)).as("n_pairs"),
+        dec(x).as("__sx"), dec(y).as("__sy"),
+        dec(x * x).as("__sxx"), dec(y * y).as("__syy"),
+        dec(x * y).as("__sxy"))
+    val nL = col("n_pairs")
+    val nDec = nL.cast("decimal(38,0)")
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (nDec * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    sums.withColumn("xcorr",
+        when(nL >= 2L && dx > 0.0 && dy > 0.0,
+          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** Rolling beta and correlation of each series AGAINST THE MARKET —
     * the cross-sectional companion to [[corrBeta]]. The market index is
     * the per-timestamp SUM of the scaled metric across ALL series (an

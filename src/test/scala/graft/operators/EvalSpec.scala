@@ -284,4 +284,34 @@ test("classificationReport: hand-computed confusion and rates") {
       Eval.classificationReport(bad, "s", "y", 0.5, Seq("grp")).collect()
     }.getMessage.contains("classificationReport"))
   }
+
+test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
+    // forecast IS the 1-step naive and m = 1: MASE must be exactly 1
+    val a = Seq(10.0, 12.0, 11.0, 13.0)
+    val rows = a.indices.map { i =>
+      ("k", i.toLong, a(i), if (i >= 1) Some(a(i - 1)) else None)
+    }
+    val r = Eval.forecastErrors(rows.toDF("key", "t", "act", "fc"),
+      "act", "fc", Seq("key"), Seq("t"), m = 1).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("mae") === 5.0 / 3.0)
+    assert(r.getAs[Double]("rmse") === math.sqrt(9.0 / 3.0))
+    assert(r.getAs[Double]("mase") === 1.0)
+  }
+
+  test("forecastErrors: constant series has no naive benchmark -> NULL mase") {
+    val rows = Seq(("k", 1L, 5.0, 4.0), ("k", 2L, 5.0, 6.0), ("k", 3L, 5.0, 5.0))
+    val r = Eval.forecastErrors(rows.toDF("key", "t", "act", "fc"),
+      "act", "fc", Seq("key"), Seq("t"), m = 1).collect().head
+    assert(r.isNullAt(r.fieldIndex("mase")))
+    assert(r.getAs[Double]("mae") === 2.0 / 3.0) // mae itself is defined
+  }
+
+  test("forecastErrors: scale quantizes before the error sums") {
+    // at scale 2 the 0.004 gap rounds away: error counts as 0.00
+    val rows = Seq(("k", 1L, 1.004, 1.0), ("k", 2L, 2.0, 1.5))
+    val r = Eval.forecastErrors(rows.toDF("key", "t", "act", "fc"),
+      "act", "fc", Seq("key"), Seq("t"), m = 1, scale = 2).collect().head
+    assert(r.getAs[Double]("mae") === (0.0 + 50.0) / 2.0 / 100.0)
+  }
 }

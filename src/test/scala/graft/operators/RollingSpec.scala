@@ -1039,4 +1039,33 @@ class RollingSpec extends AnyFunSuite {
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
       s"one exchange expected:\n$p")
   }
+
+test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
+    // y_t = x_{t-1} for a curved (non-affine-shift) path: lag 1 pairs
+    // are identical values; no other alignment is collinear
+    val x = Seq(1.0, 2.0, 4.0, 7.0, 11.0)
+    val rows = x.indices.map { i =>
+      ("k", i.toLong, x(i), if (i >= 1) Some(x(i - 1)) else None)
+    }
+    val df = rows.toDF("key", "t", "x", "y")
+    val out = Rolling.crossCorr(df, "x", "y", Seq("key"), Seq("t"),
+        Seq(-1, 0, 1))
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"),
+          Option(r.getAs[Any]("xcorr")).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1)._1 === 4L)          // t = 1..4 have both x_{t-1} and y
+    assert(out(1)._2 === Some(1.0))   // identical pairs -> exactly 1
+    assert(out(0)._2.get < 1.0)       // convexity breaks the lag-0 match
+    assert(out(-1)._2.get < out(1)._2.get)
+  }
+
+  test("crossCorr: anti-correlated at lag 0, NULL on zero variance") {
+    val rows = Seq(("k", 1L, 1.0, -1.0), ("k", 2L, 2.0, -2.0),
+      ("k", 3L, 3.0, -3.0), ("z", 1L, 5.0, 1.0), ("z", 2L, 5.0, 2.0))
+    val out = Rolling.crossCorr(rows.toDF("key", "t", "x", "y"),
+        "x", "y", Seq("key"), Seq("t"), Seq(0))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("xcorr") === -1.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("xcorr"))) // flat x side
+  }
 }
