@@ -73,7 +73,13 @@ object ScaleProbe {
     // Kruskal–Wallis share the welch/mann-whitney shuffle shape), the
     // bucketed-prefix Wasserstein (distinct-support-sized, like KS), and
     // the two-frame-pass interpolation over 10× keys
-    "q_anova", "q_kruskal", "q_wasserstein", "q_interpolate")
+    "q_anova", "q_kruskal", "q_wasserstein", "q_interpolate",
+    // round-8 session 5: the one-sort-one-agg whole-series tests
+    // (Ljung-Box shares the crossCorr shuffle shape; harmonic adds the
+    // twiddle explode), the bounded-panel O(n²) kendall self-join, the
+    // three-join seasonal decomposition, and the BH two-window pass
+    "q_ljung_box", "q_harmonic", "q_kendall", "q_seasonal", "q_bh_adjust",
+    "q_amihud", "q_cross_corr", "q_forecast_errors", "q_ic")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1652,6 +1652,79 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_ljung_box" -> ((s, d) => {
+      // per-supplier Ljung-Box Q at m=5 on the close series — the
+      // residual-whiteness screen; all five lag shifts on one keyed
+      // sort, exact integer rho numerators, fixed k-fold for Q
+      load(s, d)
+      operators.Stats.ljungBox(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), m = 5, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_kendall" -> ((s, d) => {
+      // daily cross-sectional Kendall tau-b of 5-day momentum vs
+      // next-day move over a BOUNDED 100-supplier panel (the operator's
+      // within-group O(n^2) contract) — the concordance twin of q_ic
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lead}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val sig = dailyBars(s).filter(col("l_suppkey") < 100)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          (col("close") - lag(col("close"), 5).over(w)).as("mom"),
+          (lead(col("close"), 1).over(w) - col("close")).as("fwd"))
+      operators.Stats.kendallTau(sig, Seq("l_shipdate"), "mom", "fwd",
+          scale = 2)
+        .orderBy(col("l_shipdate"))
+    }),
+    "q_bh_adjust" -> ((s, d) => {
+      // Benjamini-Hochberg over a per-type battery: each event's p is
+      // its exact fractional rank of value within the type (a
+      // deterministic rational), then the step-up suffix-min adjustment
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{count, lit, row_number}
+      val fw = Window.partitionBy(col("event_type"))
+      val ow = fw.orderBy(col("value"), col("event_id"))
+      val p = (row_number().over(ow) - lit(1)).cast("double") /
+        (count(lit(1)).over(fw) - lit(1)).cast("double")
+      val base = readEventsNanos(s, d)
+        .select(col("event_type"), col("event_id"), p.as("p"))
+      operators.Stats.bhAdjust(base, Seq("event_type"), "p", "event_id",
+          alpha = 0.05)
+        .select(col("event_type"), col("event_id"), col("p"),
+          col("p_rank").cast("long").as("p_rank"), col("p_adj"),
+          col("significant"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+    "q_harmonic" -> ((s, d) => {
+      // per-supplier periodogram power at periods 5/7/21 with baked
+      // 12-dp integer twiddle factors — exact decimal quadrature sums,
+      // mean removal multiplied through by n
+      load(s, d)
+      operators.Rolling.harmonicPower(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), Seq(5, 7, 21), scale = 2)
+        .orderBy(col("l_suppkey"), col("period"))
+    }),
+    "q_amihud" -> ((s, d) => {
+      // per-supplier Amihud illiquidity over the daily bars — exact
+      // quantized terms, pinned-order whole-series fold
+      load(s, d)
+      operators.Rolling.amihud(dailyBars(s), "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_seasonal" -> ((s, d) => {
+      // classical additive decomposition of the close at period 7 —
+      // integer 2x-MA trend numerators, decimal phase means, pinned
+      // phase-fold centering
+      load(s, d)
+      operators.Resample.seasonalDecompose(dailyBars(s)
+          .select(col("l_suppkey"), col("l_shipdate"), col("close")),
+          "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
+          scale = 2)
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_anova" -> ((s, d) => {
       // per-day one-way ANOVA F across all five event types — the k-arm
       // mean-shift readout beside q_welch_t; exact per-variant integer
@@ -3952,6 +4025,226 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.ljungBox: five lag shifts on the keyed sort, exact
+    // HUGEINT rho numerators A_k = n²C_k − nSP_k + (n−k)S², B = n(nΣx²−S²),
+    // the same left-to-right k-fold for Q.
+    "q_ljung_box" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |${(1 to 5).map(k =>
+           s"    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), $k) " +
+             s"OVER ws AS l$k").mkString(",\n")}
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x*x) AS HUGEINT) AS s2,
+         |${(1 to 5).map(k =>
+           s"    CAST(sum(CASE WHEN l$k IS NOT NULL THEN x*l$k ELSE 0 END) AS HUGEINT) AS c$k,\n" +
+           s"    CAST(sum(CASE WHEN l$k IS NOT NULL THEN x+l$k ELSE 0 END) AS HUGEINT) AS p$k")
+           .mkString(",\n")}
+         |  FROM s GROUP BY l_suppkey),
+         |h AS (
+         |  SELECT l_suppkey, n,
+         |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - s * s) AS DOUBLE) AS bden,
+         |${(1 to 5).map(k =>
+           s"    CAST(CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*c$k - CAST(n AS HUGEINT)*s*p$k + (CAST(n AS HUGEINT) - $k)*s*s AS DOUBLE) AS a$k")
+           .mkString(",\n")}
+         |  FROM g)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n > 5 AND bden > 0.0::DOUBLE THEN
+         |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0::DOUBLE) *
+         |    (${(1 to 5).map(k =>
+              s"(a$k/bden)*(a$k/bden)/CAST(n - $k AS DOUBLE)")
+              .mkString(" + ")})
+         |  END AS q_stat
+         |FROM h ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.kendallTau on the bounded panel: quantized signals,
+    // rank-ordered self-join (rn_i < rn_j), exact pair-class counts, the
+    // tau-b tree.
+    "q_kendall" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), sig AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    close - lag(close, 5) OVER ws AS mom,
+         |    lead(close, 1) OVER ws - close AS fwd
+         |  FROM bars WHERE l_suppkey < 100
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |base AS (
+         |  SELECT l_shipdate,
+         |    CAST(round(mom * 100.0::DOUBLE) AS BIGINT) AS xi,
+         |    CAST(round(fwd * 100.0::DOUBLE) AS BIGINT) AS yi,
+         |    row_number() OVER (PARTITION BY l_shipdate ORDER BY
+         |      CAST(round(mom * 100.0::DOUBLE) AS BIGINT),
+         |      CAST(round(fwd * 100.0::DOUBLE) AS BIGINT)) AS rn
+         |  FROM sig WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |pairs AS (
+         |  SELECT a.l_shipdate, a.xi - b.xi AS dx, a.yi - b.yi AS dy
+         |  FROM base a JOIN base b
+         |    ON a.l_shipdate = b.l_shipdate AND a.rn < b.rn),
+         |counts AS (
+         |  SELECT l_shipdate, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(CASE WHEN dx <> 0 AND dy <> 0
+         |      AND (dx > 0) = (dy > 0) THEN 1 END) AS BIGINT) AS c,
+         |    CAST(count(CASE WHEN dx <> 0 AND dy <> 0
+         |      AND (dx > 0) <> (dy > 0) THEN 1 END) AS BIGINT) AS d,
+         |    CAST(count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END) AS BIGINT) AS tx,
+         |    CAST(count(CASE WHEN dx <> 0 AND dy = 0 THEN 1 END) AS BIGINT) AS ty
+         |  FROM pairs GROUP BY l_shipdate),
+         |ns AS (
+         |  SELECT l_shipdate, CAST(count(*) AS BIGINT) AS n
+         |  FROM base GROUP BY l_shipdate)
+         |SELECT ns.l_shipdate, ns.n,
+         |  coalesce(counts.n_pairs, 0) AS n_pairs,
+         |  CASE WHEN CAST(c + d + tx AS DOUBLE) > 0.0::DOUBLE
+         |        AND CAST(c + d + ty AS DOUBLE) > 0.0::DOUBLE
+         |  THEN CAST(c - d AS DOUBLE) /
+         |    sqrt(CAST(c + d + tx AS DOUBLE) * CAST(c + d + ty AS DOUBLE))
+         |  END AS tau
+         |FROM ns LEFT JOIN counts ON ns.l_shipdate = counts.l_shipdate
+         |ORDER BY ns.l_shipdate""".stripMargin,
+    // Replays the q_bh_adjust composition: the exact fractional-rank p,
+    // then BH's (p·m)/rank candidates and the suffix-min window.
+    "q_bh_adjust" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value, event_id) - 1 AS DOUBLE) /
+        |      CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE)
+        |      AS p
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, p,
+        |    CAST(count(p) OVER (PARTITION BY event_type) AS DOUBLE) AS m,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY p, event_id) AS BIGINT) AS p_rank
+        |  FROM base),
+        |c AS (
+        |  SELECT event_type, event_id, p, p_rank,
+        |    least(1.0::DOUBLE, min((p * m) / CAST(p_rank AS DOUBLE)) OVER
+        |      (PARTITION BY event_type ORDER BY p, event_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj
+        |  FROM r)
+        |SELECT event_type, event_id, p, p_rank, p_adj,
+        |  p_adj <= 0.05::DOUBLE AS significant
+        |FROM c ORDER BY event_type, event_id""".stripMargin,
+    // Replays Rolling.harmonicPower: the IDENTICAL baked 12-dp integer
+    // twiddle factors as a VALUES table joined on (period, t mod p),
+    // HUGEINT quadrature sums, the same centered power tree.
+    "q_harmonic" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), tw(period, phase, ci, si) AS (VALUES
+         |${operators.Rolling.harmonicTwiddles(Seq(5, 7, 21))
+           .map(t => s"  (${t._1}, ${t._2}, ${t._3}::HUGEINT, ${t._4}::HUGEINT)")
+           .mkString(",\n")}),
+         |s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) - 1 AS t
+         |  FROM bars),
+         |terms AS (
+         |  SELECT s.l_suppkey, tw.period, s.x, tw.ci, tw.si
+         |  FROM s JOIN tw ON (s.t % tw.period) = tw.phase),
+         |g AS (
+         |  SELECT l_suppkey, period, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx,
+         |    sum(CAST(x AS HUGEINT) * ci) AS sc,
+         |    sum(CAST(x AS HUGEINT) * si) AS ss,
+         |    sum(ci) AS tc, sum(si) AS ts
+         |  FROM terms GROUP BY l_suppkey, period),
+         |h AS (
+         |  -- VARCHAR bridge: DuckDB's HUGEINT→DOUBLE is a two-step
+         |  -- upper·2^64 + lower (rounds twice, off by ulps at ~2e19);
+         |  -- strtod is correctly rounded and matches Spark's
+         |  -- BigDecimal.doubleValue exactly (the NOTES.md literal rule)
+         |  SELECT l_suppkey, period, n,
+         |    CAST(CAST(CAST(n AS HUGEINT) * sc - sx * tc AS VARCHAR) AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 100000000000000.0::DOUBLE) AS ca,
+         |    CAST(CAST(CAST(n AS HUGEINT) * ss - sx * ts AS VARCHAR) AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * 100000000000000.0::DOUBLE) AS cb
+         |  FROM g)
+         |SELECT l_suppkey, period, n,
+         |  CASE WHEN n >= 1 THEN (ca * ca + cb * cb) / CAST(n AS DOUBLE)
+         |  END AS power
+         |FROM h ORDER BY l_suppkey, period""".stripMargin,
+    // Replays Rolling.amihud: quantized close/volume, the per-bar
+    // two-division term tree, list_reduce over the date-ordered term
+    // list (the pinned-order fold).
+    "q_amihud" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS c,
+         |    CAST(round(volume * 100.0::DOUBLE) AS BIGINT) AS v,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS pc
+         |  FROM bars),
+         |t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN pc IS NOT NULL AND pc > 0 AND c > 0 AND v > 0 THEN
+         |      CAST(abs(c - pc) AS DOUBLE) / CAST(pc AS DOUBLE) /
+         |        (CAST(CAST(c AS HUGEINT) * v AS DOUBLE) / 10000.0::DOUBLE)
+         |    END AS term
+         |  FROM s),
+         |g AS (
+         |  SELECT l_suppkey,
+         |    CAST(count(term) AS BIGINT) AS n_terms,
+         |    list(term ORDER BY l_shipdate) FILTER (WHERE term IS NOT NULL)
+         |      AS terms
+         |  FROM t GROUP BY l_suppkey)
+         |SELECT l_suppkey, n_terms,
+         |  CASE WHEN n_terms >= 1 THEN
+         |    list_reduce(list_prepend(0.0::DOUBLE, terms),
+         |      (acc, e) -> acc + e) / CAST(n_terms AS DOUBLE)
+         |  END AS illiq
+         |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays Resample.seasonalDecompose at period 7 (odd: plain 7-row
+    // centered MA, D = 7): integer trend numerators, HUGEINT phase-mean
+    // sums, the ascending-phase list_reduce centering, the same final
+    // trees.
+    "q_seasonal" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), base AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    CAST((row_number() OVER ws - 1) % 7 AS INTEGER) AS phase,
+         |    CASE WHEN count(*) OVER (ws ROWS BETWEEN 3 PRECEDING AND
+         |        3 FOLLOWING) = 7
+         |      THEN sum(CAST(round(close * 100.0::DOUBLE) AS BIGINT))
+         |        OVER (ws ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |    END AS num
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |pm AS (
+         |  SELECT l_suppkey, phase,
+         |    CAST(sum(CAST(7 * x - num AS HUGEINT)) AS DOUBLE) /
+         |      (CAST(count(7 * x - num) AS DOUBLE) * 7.0::DOUBLE) AS sm
+         |  FROM base GROUP BY l_suppkey, phase),
+         |aj AS (
+         |  SELECT l_suppkey,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(sm ORDER BY phase)), (acc, e) -> acc + e) /
+         |      CAST(count(*) AS DOUBLE) AS adj
+         |  FROM pm WHERE sm IS NOT NULL GROUP BY l_suppkey)
+         |SELECT base.l_suppkey, base.l_shipdate, base.phase,
+         |  CAST(base.x AS DOUBLE) / 100.0::DOUBLE AS value,
+         |  CAST(base.num AS DOUBLE) / 7.0::DOUBLE / 100.0::DOUBLE AS trend,
+         |  (pm.sm - aj.adj) / 100.0::DOUBLE AS seasonal,
+         |  ((CAST(base.x AS DOUBLE) * 7.0::DOUBLE -
+         |    CAST(base.num AS DOUBLE)) / 7.0::DOUBLE -
+         |    (pm.sm - aj.adj)) / 100.0::DOUBLE AS resid
+         |FROM base
+         |JOIN pm ON base.l_suppkey = pm.l_suppkey AND base.phase = pm.phase
+         |LEFT JOIN aj ON base.l_suppkey = aj.l_suppkey
+         |ORDER BY base.l_suppkey, base.l_shipdate""".stripMargin,
     // Replays Stats.anovaF: per-(day, variant) exact scaled-BIGINT sums,
     // variant-ordered term fold for B, the same fixed SSB/SSW/F trees.
     "q_anova" ->

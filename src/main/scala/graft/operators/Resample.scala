@@ -114,4 +114,88 @@ object Resample {
           .otherwise(when(p.isNotNull && nx.isNotNull, interp)))
       .drop("__prev", "__next")
   }
+
+  /** Classical additive seasonal decomposition per key (the
+    * moving-average method behind every `decompose()` call — public
+    * textbook algorithm): `x_t = trend_t + seasonal_(t mod p) + resid_t`
+    * over the key's row sequence with period `p`. Trend is the centered
+    * p-MA (the 2×p weighted MA when p is even); the seasonal component
+    * is the phase mean of the detrended series, centered to sum to zero
+    * across phases. Choose `p` from [[Rolling.harmonicPower]]'s argmax.
+    *
+    * Exactness: x quantizes to scaled BIGINTs and the trend numerator is
+    * an INTEGER window sum (odd p: Σ of p values, D = p; even p: 1-2-…-
+    * 2-1 weights, D = 2p), so `detrend_num = D·x − N` is exact; phase
+    * means accumulate the integer numerators as DECIMAL (exact in any
+    * order) with ONE double division each; the phase-mean centering
+    * folds the ≤ p phase means in ascending-phase order (doubles — the
+    * pinned-order fold, p is tiny); trend/seasonal/resid are then fixed
+    * IEEE trees per row. NULL values are dropped before sequencing
+    * (frozen≡filtered); trend and resid are NULL on the p/2-row edges
+    * where the centered frame is incomplete (those rows still carry
+    * their phase's seasonal).
+    *
+    * Plan: one keyed sort (row_number + the centered frame sum ride it),
+    * one (key, phase) aggregate (keys×p rows), one key-level fold of
+    * that tiny frame, two small joins back (key, phase) and (key) — the
+    * corpus is exchanged once. Emits the input keys/order plus
+    * (`phase`, `value`, `trend`, `seasonal`, `resid`). */
+  def seasonalDecompose(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                        orderCols: Seq[String], period: Int,
+                        scale: Int = 0): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("phase", "value", "trend", "seasonal", "resid",
+        "__x", "__n", "__dn", "__sm", "__adj"), "Resample.seasonalDecompose")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val half = period / 2
+    val frameW = w.rowsBetween(-half, half)
+    val dBig = if (period % 2 == 0) 2L * period else period.toLong
+    val base0 = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) ++ orderCols.map(col)) :+ xi.as("__x") :+
+        ((row_number().over(w) - lit(1)).cast("long") % lit(period.toLong))
+          .cast("int").as("phase"): _*)
+    // integer trend numerator over the centered frame; NULL unless the
+    // frame holds its full 2·half+1 rows
+    val full = count(col("__x")).over(frameW) === (2 * half + 1)
+    val num =
+      if (period % 2 == 0)
+        // 1,2,2,…,2,1 over ±half: 2·Σframe − first − last
+        lit(2L) * sum(col("__x")).over(frameW) -
+          first(col("__x")).over(frameW) - last(col("__x")).over(frameW)
+      else sum(col("__x")).over(frameW)
+    val base = base0.withColumn("__n", when(full, num))
+      .withColumn("__dn", lit(dBig) * col("__x") - col("__n"))
+    val phaseMeans = base.groupBy((keyCols.map(col) :+ col("phase")): _*)
+      .agg((sum(col("__dn").cast("decimal(38,0)")).cast("double") /
+        (count(col("__dn")).cast("double") * lit(dBig.toDouble)))
+        .as("__sm"))
+    // center: subtract the mean of the phase means (ascending-phase fold);
+    // phases with no full-frame row (series shorter than p+1) have a NULL
+    // mean and are excluded from the centering rather than poisoning it
+    val adj = phaseMeans.filter(col("__sm").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg((aggregate(
+        transform(sort_array(collect_list(struct(col("phase"), col("__sm")))),
+          e => e("__sm")),
+        lit(0.0), (a, b) => a + b) /
+        count(lit(1)).cast("double")).as("__adj"))
+    val descale = lit(math.pow(10, scale))
+    base
+      .join(phaseMeans, keyCols :+ "phase")
+      .join(adj, keyCols, "left")
+      .select((keyCols.map(col) ++ orderCols.map(col)) :+ col("phase") :+
+        (col("__x").cast("double") / descale).as("value") :+
+        (col("__n").cast("double") / lit(dBig.toDouble) / descale)
+          .as("trend") :+
+        ((col("__sm") - col("__adj")) / descale).as("seasonal") :+
+        (((col("__x").cast("double") * lit(dBig.toDouble) -
+          col("__n").cast("double")) / lit(dBig.toDouble) -
+          (col("__sm") - col("__adj"))) / descale).as("resid"): _*)
+  }
 }

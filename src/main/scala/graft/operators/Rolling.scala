@@ -2068,4 +2068,147 @@ object Rolling {
           lit(n.toDouble))
       .drop("__bop_r", "__bop_l")
   }
+
+  /** How many decimal digits the twiddle factors keep — every cos/sin is
+    * baked driver-side as `round(cos(2π·phase/p)·10^12)`, an integer
+    * LITERAL in both the Spark plan and the DuckDB oracle, so engine
+    * libm differences can never surface (the ndcg-discount discipline,
+    * promoted from baked doubles to baked integers). */
+  val HarmonicCosScale = 12
+
+  /** The baked twiddle table for [[harmonicPower]]: (period, phase,
+    * ci, si) rows with ci = round(cos(2π·phase/period)·10^12). Public so
+    * the oracle builder can emit the IDENTICAL integers as SQL VALUES. */
+  def harmonicTwiddles(periods: Seq[Int]): Seq[(Int, Int, Long, Long)] = {
+    val k = math.pow(10, HarmonicCosScale)
+    for (p <- periods; ph <- 0 until p) yield {
+      val a = 2.0 * math.Pi * ph.toDouble / p.toDouble
+      (p, ph, math.round(math.cos(a) * k), math.round(math.sin(a) * k))
+    }
+  }
+
+  /** Mean-removed periodogram power at a literal set of INTEGER periods
+    * per key — the seasonality detector (is there a weekly/monthly cycle
+    * in this series, and how strong): for period p,
+    * `I(p) = ((Σ(x−μ)cos_t)² + (Σ(x−μ)sin_t)²) / n` with
+    * cos_t = cos(2π·t/p) over the row index t. Run it before committing
+    * to a seasonal model ([[Resample.seasonalDecompose]]'s period
+    * argument comes from this table's argmax).
+    *
+    * Exactness: x quantizes to scaled BIGINTs; the twiddle factors are
+    * baked 12-dp INTEGERS ([[harmonicTwiddles]]), so every product is
+    * exact decimal arithmetic; mean removal multiplies through by n
+    * (`n·Σx·c − S·Σc` — all integers, Σc itself an exact integer sum of
+    * baked values), and only the two final centered sums cast to double
+    * before the fixed square/add/divide tree. NULL values are dropped
+    * before indexing (frozen≡filtered). NULL power on an empty key.
+    *
+    * Plan shape: ONE keyed sort (row_number), one explode to
+    * (key, period) terms, one map-side-combinable aggregate → tiny
+    * (keys × periods) frame. Emits (partCols…, `period`, `n`, `power`),
+    * power in descaled value² units. */
+  def harmonicPower(df: DataFrame, valueCol: String, partCols: Seq[String],
+                    orderCols: Seq[String], periods: Seq[Int],
+                    scale: Int = 0): DataFrame = {
+    require(periods.nonEmpty, "harmonicPower needs at least one period")
+    require(periods.forall(_ >= 2), s"periods must be >= 2, got $periods")
+    require(periods.distinct.size == periods.size, "duplicate periods")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("period", "n", "power", "__x", "__t", "__h"),
+      "Rolling.harmonicPower")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val twiddles = harmonicTwiddles(periods)
+    val base = df.filter(xi.isNotNull)
+      .select((partCols.map(col) :+ xi.as("__x")) :+
+        (row_number().over(w) - lit(1)).cast("long").as("__t"): _*)
+    // per period: the phase lookup is element_at over a p-element literal
+    // array — O(1) per row, no join
+    val terms = base.select(
+      (partCols.map(col) :+ col("__x") :+
+        explode(array(periods.map { p =>
+          val cs = twiddles.filter(_._1 == p).sortBy(_._2)
+          val ph = (col("__t") % lit(p.toLong)).cast("int")
+          struct(lit(p).as("period"),
+            element_at(array(cs.map(t => lit(t._3)): _*), ph + lit(1))
+              .as("ci"),
+            element_at(array(cs.map(t => lit(t._4)): _*), ph + lit(1))
+              .as("si"))
+        }: _*)).as("__h")): _*)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val x = col("__x")
+    val sums = terms.groupBy(
+        (partCols.map(col) :+ col("__h.period").as("period")): _*)
+      .agg(count(lit(1)).as("n"),
+        dec(x).as("__s"),
+        sum(x.cast("decimal(38,0)") * col("__h.ci")).as("__sc"),
+        sum(x.cast("decimal(38,0)") * col("__h.si")).as("__ss"),
+        dec(col("__h.ci")).as("__tc"),
+        dec(col("__h.si")).as("__ts"))
+    val nDec = col("n").cast("decimal(38,0)")
+    val a = (nDec * col("__sc") - col("__s") * col("__tc")).cast("double")
+    val b = (nDec * col("__ss") - col("__s") * col("__ts")).cast("double")
+    val d = col("n").cast("double") *
+      lit(math.pow(10, HarmonicCosScale + scale))
+    val ca = a / d
+    val cb = b / d
+    sums.select((partCols.map(col) :+ col("period") :+ col("n") :+
+      when(col("n") >= 1L,
+        (ca * ca + cb * cb) / col("n").cast("double")).as("power")): _*)
+  }
+
+  /** Amihud illiquidity per key (Amihud 2002, public formula): the mean
+    * over bars of `|return_t| / dollar_volume_t` — price impact per unit
+    * traded; the standard cross-sectional liquidity screen (×10⁶ in most
+    * papers; this emits the raw ratio).
+    *
+    * Returns are simple close-over-close ratios; dollar volume is
+    * `close·volume`. Both quantize to `scale`-dp BIGINTs first, each
+    * bar's term is then a fixed two-division tree
+    * `|c_t − c_{t−1}| / c_{t−1} / (c_t·v_t / 10^s)` on exact integers,
+    * and the term MEAN folds the per-key term list in ascending
+    * (orderCols-struct) order — term sums of doubles are order-dependent,
+    * so the fold order is pinned by `sort_array` (the [[cci]] discipline
+    * lifted to whole-series: per-key series must be driver-bounded in
+    * the millions, the cross-section fans out freely). Bars with a zero
+    * close, zero volume, or no previous close contribute nothing.
+    * Emits (partCols…, `n_terms`, `illiq`). */
+  def amihud(df: DataFrame, closeCol: String, volCol: String,
+             partCols: Seq[String], orderCols: Seq[String],
+             scale: Int = 0): DataFrame = {
+    require(orderCols.size == 1,
+      "amihud orders by ONE atomic column (pack composite orders first)")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_terms", "illiq", "__c", "__v", "__pc", "__term", "__o", "__l"),
+      "Rolling.amihud")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val k = math.pow(10, scale)
+    val ci = round(col(closeCol).cast("double") * lit(k)).cast("long")
+    val vi = round(col(volCol).cast("double") * lit(k)).cast("long")
+    val base = df
+      .select((partCols.map(col) :+ col(orderCols.head).as("__o")) :+
+        ci.as("__c") :+ vi.as("__v") :+ lag(ci, 1).over(w).as("__pc"): _*)
+    val ok = col("__pc").isNotNull && col("__pc") > 0L &&
+      col("__c") > 0L && col("__v") > 0L
+    // dollar volume in descaled units: (c/10^s)·(v/10^s) = c·v/10^2s
+    val term = abs(col("__c") - col("__pc")).cast("double") /
+      col("__pc").cast("double") /
+      ((col("__c").cast("decimal(38,0)") * col("__v")).cast("double") /
+        lit(k * k))
+    val folded = base
+      .select((partCols.map(col) :+
+        when(ok, struct(col("__o"), term.as("t"))).as("__term")): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(col("__term")).as("n_terms"),
+        sort_array(collect_list(col("__term"))).as("__l"))
+    folded.select((partCols.map(col) :+ col("n_terms") :+
+      when(col("n_terms") >= 1L,
+        aggregate(transform(col("__l"), e => e("t")), lit(0.0),
+          (a, b) => a + b) / col("n_terms").cast("double")).as("illiq")): _*)
+  }
 }

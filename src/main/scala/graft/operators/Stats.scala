@@ -592,4 +592,172 @@ object Stats {
     folded.select((groupCols.map(col) :+ col("k") :+ col("n") :+
       when(ok, hRaw / corr).as("h")): _*)
   }
+
+  /** Ljung–Box portmanteau test per key: Q(m) = n(n+2)·Σ_{k=1..m}
+    * ρ_k²/(n−k) over the key's whole series — the "is anything left in
+    * the residuals" white-noise screen run after fitting any forecaster
+    * (large Q ⇒ autocorrelation remains; compare against χ²_m).
+    *
+    * Exactness: values quantize to scaled BIGINTs and each lag's
+    * autocorrelation is one exact integer ratio — multiplying the
+    * centered forms through by n² gives `A_k = n²·C_k − n·S·P_k +
+    * (n−k)·S²` over pair sums `C_k = Σx_t·x_{t−k}`, `P_k = Σ(x_t+x_{t−k})`
+    * and `B = n·(n·Σx² − S²)` … with both accumulated as DECIMAL(38,0)
+    * (exact in any order), ρ_k = A_k/B is ONE IEEE division; Q is the
+    * fixed left-to-right k-fold of ρ_k²/(n−k). NULL values are dropped
+    * BEFORE sequencing (the lag alignment is over observed rows — the
+    * frozen≡filtered convention). NULL q_stat when n ≤ m (some lag has
+    * no pairs) or zero variance.
+    *
+    * Plan shape: all m lag shifts ride ONE keyed sort, then one
+    * map-side-combinable groupBy(key) aggregate of the 3 + 2m sums — no
+    * explode, no second scan. Emits (keyCols…, `n`, `q_stat`). */
+  def ljungBox(df: DataFrame, valueCol: String, keyCols: Seq[String],
+               orderCols: Seq[String], m: Int, scale: Int = 0): DataFrame = {
+    require(m >= 1, s"need at least 1 lag, got $m")
+    require(keyCols.nonEmpty, "ljungBox needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "q_stat", "__x") ++ (1 to m).map(k => s"__l$k"),
+      "Stats.ljungBox")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) :+ xi.as("__x")) ++
+        (1 to m).map(k => lag(xi, k).over(w).as(s"__l$k")): _*)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val x = col("__x")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), dec(x).as("__s"), dec(x * x).as("__s2")) ++
+        (1 to m).flatMap { k =>
+          val lk = col(s"__l$k")
+          // product goes decimal BEFORE multiplying — per-term x·lag can
+          // overflow a long at 10-dp return scales (the crossCorr rule)
+          Seq(sum(when(lk.isNotNull, x.cast("decimal(38,0)") * lk)
+              .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__c$k"),
+            dec(when(lk.isNotNull, x + lk).otherwise(lit(0L))).as(s"__p$k"))
+        }
+    val sums = base.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val nDec = col("n").cast("decimal(38,0)")
+    val bDen = (nDec * (nDec * col("__s2") - col("__s") * col("__s")))
+      .cast("double")
+    // fixed left-to-right fold over the literal lag list — one IEEE tree
+    val qSum = (1 to m).map { k =>
+      val ak = (nDec * nDec * col(s"__c$k") -
+        nDec * col("__s") * col(s"__p$k") +
+        (nDec - lit(k).cast("decimal(38,0)")) * col("__s") * col("__s"))
+        .cast("double")
+      val rho = ak / bDen
+      rho * rho / (col("n") - lit(k)).cast("double")
+    }.reduceLeft(_ + _)
+    val nD = col("n").cast("double")
+    sums.select((keyCols.map(col) :+ col("n") :+
+      when(col("n") > lit(m.toLong) && bDen > 0.0,
+        nD * (nD + lit(2.0)) * qSum).as("q_stat")): _*)
+  }
+
+  /** Kendall's τ-b rank correlation per group — the concordance view of
+    * monotone association (beside [[spearman]]'s rank-linear view):
+    * τ_b = (C−D)/√((C+D+Tx)(C+D+Ty)) over all unordered pairs, with the
+    * tie corrections that keep |τ|≤1 under heavy ties.
+    *
+    * Exactness: pair classification compares quantized BIGINTs (sign of
+    * (x_i−x_j)·(y_i−y_j)), the four counts are exact integers, and τ is
+    * one fixed tree (two casts, one product, one sqrt, one division).
+    * Rows with a NULL x or y are dropped. NULL tau when every pair is
+    * tied on x or on y.
+    *
+    * SCALE CONTRACT: pairs are generated by a WITHIN-GROUP self-join —
+    * O(n_g²) per group. This is the cross-sectional shape (groups of
+    * 10²–10⁴ rows: a date, a cohort), NOT a whole-corpus op; Σn_g² is the
+    * real cost and the join never crosses groups, so it partitions
+    * cleanly by group at any corpus size. Use [[spearman]] when groups
+    * are large. Emits (groupCols…, `n`, `n_pairs`, `tau`). */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String, scale: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "kendallTau needs at least one group column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "n_pairs", "tau", "__xi", "__yi", "__rn"), "Stats.kendallTau")
+    val k = lit(math.pow(10, scale))
+    val xi = round(col(xCol).cast("double") * k).cast("long")
+    val yi = round(col(yCol).cast("double") * k).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(xi, yi)
+    val base = df.filter(xi.isNotNull && yi.isNotNull)
+      .select((groupCols.map(col) :+ xi.as("__xi") :+ yi.as("__yi")) :+
+        row_number().over(w).as("__rn"): _*)
+    val l = base
+    val r = base.select(col(groupCols.head).as("__gk0") +:
+      (groupCols.tail.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__gk${i + 1}") } :+
+        col("__xi").as("__xj") :+ col("__yi").as("__yj") :+
+        col("__rn").as("__rj")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) === col(s"__gk$i") }
+      .reduce(_ && _) && col("__rn") < col("__rj")
+    val dx = col("__xi") - col("__xj")
+    val dy = col("__yi") - col("__yj")
+    val pairs = l.join(r, cond)
+    val counts = pairs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(dx =!= 0L && dy =!= 0L &&
+        ((dx > 0L) === (dy > 0L)), 1)).as("__c"),
+      count(when(dx =!= 0L && dy =!= 0L &&
+        ((dx > 0L) =!= (dy > 0L)), 1)).as("__d"),
+      count(when(dx === 0L && dy =!= 0L, 1)).as("__tx"),
+      count(when(dx =!= 0L && dy === 0L, 1)).as("__ty"))
+    val ns = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val denomX = (col("__c") + col("__d") + col("__tx")).cast("double")
+    val denomY = (col("__c") + col("__d") + col("__ty")).cast("double")
+    ns.join(counts, groupCols, "left")
+      .select((groupCols.map(col) :+ col("n") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        when(denomX > 0.0 && denomY > 0.0,
+          (col("__c") - col("__d")).cast("double") /
+            sqrt(denomX * denomY)).as("tau")): _*)
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment per family: each row's
+    * adjusted p is `p_adj(i) = min(1, min_{j ≥ i} m·p_(j)/j)` over the
+    * family's ascending-p order — the multiple-testing control run over
+    * any battery of per-key test outputs (a [[welchT]] sweep, a drift
+    * screen per feature) before acting on "significant" rows.
+    *
+    * Determinism: the order statistic ranks by `(p, tieCol)` — the
+    * caller's tie column makes the permutation total, so rank `j` is
+    * engine-identical even with duplicate p's (and BH's adjusted values
+    * are invariant to tie order anyway: equal p's get the suffix-min of
+    * the same set). Each candidate is the fixed tree `(p·m)/j`; the
+    * suffix-min is a rows-between window min (min of doubles is exact).
+    * NULL p rows are excluded from m and ranking and emit NULL p_adj.
+    *
+    * One keyed sort, two window passes on it (rank + suffix-min), no
+    * join. Emits the input plus (`p_rank`, `p_adj`, `significant`). */
+  def bhAdjust(df: DataFrame, familyCols: Seq[String], pCol: String,
+               tieCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    Guards.requireNoReserved(df.columns,
+      Seq("p_rank", "p_adj", "significant", "__m"), "Stats.bhAdjust")
+    val p = col(pCol).cast("double")
+    val famW = org.apache.spark.sql.expressions.Window
+      .partitionBy(familyCols.map(col): _*)
+    val ordW = famW.orderBy(p.asc_nulls_last, col(tieCol))
+    val suffW = ordW.rowsBetween(0, Long.MaxValue)
+    df.withColumn("__m", count(p).over(famW))
+      .withColumn("p_rank", when(p.isNotNull, row_number().over(ordW)))
+      .withColumn("p_adj",
+        when(p.isNotNull, least(lit(1.0),
+          min(when(p.isNotNull,
+            (p * col("__m").cast("double")) / col("p_rank").cast("double")))
+            .over(suffW))))
+      .withColumn("significant",
+        when(p.isNotNull, col("p_adj") <= lit(alpha)))
+      .drop("__m")
+  }
 }

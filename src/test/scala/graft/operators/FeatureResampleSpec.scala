@@ -211,4 +211,47 @@ test("interpolate: time-weighted interior fill, edges stay NULL") {
     assert(out(2L) === 10.0 + 10.0 * (2.0 / 10.0))  // 12
     assert(out(7L) === 10.0 + 10.0 * (7.0 / 10.0))  // 17
   }
+
+  test("seasonalDecompose: recovers a planted period-3 pattern exactly") {
+    // x_t = t + s[t % 3] with s = (1, -2, 1): seasonal sums to zero over
+    // any window, so the centered 3-MA trend is exactly t on the interior
+    val s = Seq(1.0, -2.0, 1.0)
+    val rows = (0 to 8).map(t => ("k", t.toLong, t.toDouble + s(t % 3)))
+    val out = Resample.seasonalDecompose(rows.toDF("key", "t", "x"),
+        "x", Seq("key"), Seq("t"), period = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(0L).isNullAt(out(0L).fieldIndex("trend")))  // edge
+    assert(out(8L).isNullAt(out(8L).fieldIndex("trend")))
+    (1 to 7).foreach { t =>
+      assert(out(t.toLong).getAs[Double]("trend") === t.toDouble)
+      assert(out(t.toLong).getAs[Double]("resid") === 0.0)
+    }
+    assert(out(3L).getAs[Double]("seasonal") === 1.0)   // phase 0
+    assert(out(1L).getAs[Double]("seasonal") === -2.0)  // phase 1
+    assert(out(2L).getAs[Double]("seasonal") === 1.0)   // phase 2
+  }
+
+  test("seasonalDecompose: even period uses the 2xp centered MA") {
+    // pure linear series, p = 4: the 1-2-2-2-1 weighted MA reproduces t
+    // exactly, seasonal and residual vanish on the interior
+    val rows = (0 to 11).map(t => ("k", t.toLong, t.toDouble))
+    val out = Resample.seasonalDecompose(rows.toDF("key", "t", "x"),
+        "x", Seq("key"), Seq("t"), period = 4)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    (2 to 9).foreach { t =>
+      assert(out(t.toLong).getAs[Double]("trend") === t.toDouble)
+      assert(out(t.toLong).getAs[Double]("resid") === 0.0)
+    }
+    (0 to 3).foreach { ph =>
+      assert(out(ph.toLong + 4L).getAs[Double]("seasonal") === 0.0)
+    }
+    assert(out(1L).isNullAt(out(1L).fieldIndex("trend"))) // half = 2 edge
+  }
+
+  test("seasonalDecompose: guards reserved names") {
+    val bad = Seq(("k", 1L, 2.0)).toDF("key", "t", "trend")
+    assert(intercept[IllegalArgumentException] {
+      Resample.seasonalDecompose(bad, "trend", Seq("key"), Seq("t"), 3)
+    }.getMessage.contains("seasonalDecompose"))
+  }
 }

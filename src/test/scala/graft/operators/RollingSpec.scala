@@ -1068,4 +1068,54 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(out("k").getAs[Double]("xcorr") === -1.0)
     assert(out("z").isNullAt(out("z").fieldIndex("xcorr"))) // flat x side
   }
+
+  test("harmonicPower: pure period-4 cosine concentrates at period 4") {
+    // x = cos(2*pi*t/4) over two full cycles: I(4) = |sum|^2/n = 16/8 = 2,
+    // I(8) = 0 (the quadrature sums cancel exactly on the baked integers)
+    val x = Seq(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0)
+    val rows = x.indices.map(t => ("k", t.toLong, x(t)))
+    val out = Rolling.harmonicPower(rows.toDF("key", "t", "x"), "x",
+        Seq("key"), Seq("t"), Seq(4, 8))
+      .collect().map(r => r.getAs[Int]("period") -> r).toMap
+    assert(out(4).getAs[Long]("n") === 8L)
+    assert(out(4).getAs[Double]("power") === 2.0)
+    assert(out(8).getAs[Double]("power") === 0.0)
+  }
+
+  test("harmonicPower: mean removal kills the DC leak; twiddles are baked") {
+    // constant series: zero power at every period after centering
+    val rows = (0 to 9).map(t => ("k", t.toLong, 7.5))
+    val out = Rolling.harmonicPower(rows.toDF("key", "t", "x"), "x",
+        Seq("key"), Seq("t"), Seq(5), scale = 1)
+      .collect().head
+    assert(out.getAs[Double]("power") === 0.0)
+    // the baked table is phase-indexed integers at 12 dp
+    val tw = Rolling.harmonicTwiddles(Seq(4))
+    assert(tw.map(t => (t._3, t._4)) ===
+      Seq((1000000000000L, 0L), (0L, 1000000000000L),
+        (-1000000000000L, 0L), (0L, -1000000000000L)))
+  }
+
+  test("amihud: hand-computed illiquidity, degenerate bars skipped") {
+    // terms: |11-10|/10/(11*4) and |10-11|/11/(10*5); the zero-volume and
+    // zero-close bars contribute nothing
+    val rows = Seq(("k", 1L, 10.0, 2.0), ("k", 2L, 11.0, 4.0),
+      ("k", 3L, 10.0, 5.0), ("k", 4L, 10.0, 0.0), ("k", 5L, 0.0, 3.0))
+    val r = Rolling.amihud(rows.toDF("key", "t", "close", "vol"),
+      "close", "vol", Seq("key"), Seq("t")).collect().head
+    assert(r.getAs[Long]("n_terms") === 2L)
+    val expected = (1.0 / 10.0 / 44.0 + 1.0 / 11.0 / 50.0) / 2.0
+    assert(r.getAs[Double]("illiq") === expected)
+  }
+
+  test("amihud: constant price has zero illiquidity, empty key NULL") {
+    val rows = Seq(("k", 1L, 5.0, 2.0), ("k", 2L, 5.0, 3.0),
+      ("e", 1L, 4.0, 1.0))
+    val out = Rolling.amihud(rows.toDF("key", "t", "close", "vol"),
+        "close", "vol", Seq("key"), Seq("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("illiq") === 0.0)
+    assert(out("e").getAs[Long]("n_terms") === 0L)   // no previous close
+    assert(out("e").isNullAt(out("e").fieldIndex("illiq")))
+  }
 }

@@ -367,4 +367,88 @@ test("anovaF: hand-computed 3-arm F") {
       Seq("grp")).collect().head
     assert(!r2.isNullAt(r2.fieldIndex("h")))
   }
+
+  test("ljungBox: hand-computed Q on a 4-point series") {
+    // x = 1,2,3,4: rho_1 = 0.25 (centered pair sum 1.25 over variance 5),
+    // Q = n(n+2)·rho²/(n−1) evaluated with the operator's own tree
+    val rows = (1 to 4).map(t => ("k", t.toLong, t.toDouble))
+    val r = Stats.ljungBox(rows.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), m = 1).collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("q_stat") === 4.0 * 6.0 * (0.25 * 0.25 / 3.0))
+  }
+
+  test("ljungBox: NULL on constant series and on n <= m; NULLs drop") {
+    val const = Seq(("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 5.0))
+    val r1 = Stats.ljungBox(const.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), m = 1).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("q_stat")))   // zero variance
+    val short = Seq(("k", 1L, 1.0), ("k", 2L, 7.0))
+    val r2 = Stats.ljungBox(short.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), m = 2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("q_stat")))   // n = m: lag-2 empty
+    // a NULL mid-series drops and the remaining rows re-align
+    val withNull = Seq(("k", 1L, Some(1.0)), ("k", 2L, None),
+      ("k", 3L, Some(2.0)), ("k", 4L, Some(3.0)), ("k", 5L, Some(4.0)))
+    val r3 = Stats.ljungBox(withNull.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), m = 1).collect().head
+    assert(r3.getAs[Long]("n") === 4L)
+    assert(r3.getAs[Double]("q_stat") === 4.0 * 6.0 * (0.25 * 0.25 / 3.0))
+  }
+
+  test("kendallTau: hand-computed tau with and without ties") {
+    // no ties: x=(1,2,3), y=(1,3,2) -> C=2, D=1, tau = 1/3
+    val a = Seq(("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 3.0, 2.0))
+    // x-tie: x=(1,1,2), y=(1,2,3) -> C=2, D=0, Tx=1 -> 2/sqrt(6)
+    val b = Seq(("b", 1.0, 1.0), ("b", 1.0, 2.0), ("b", 2.0, 3.0))
+    // monotone: tau = 1
+    val c = Seq(("c", 1.0, 10.0), ("c", 2.0, 20.0), ("c", 3.0, 30.0))
+    val out = Stats.kendallTau((a ++ b ++ c).toDF("grp", "x", "y"),
+        Seq("grp"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_pairs") === 3L)
+    assert(out("a").getAs[Double]("tau") === 1.0 / math.sqrt(9.0))
+    assert(out("b").getAs[Double]("tau") === 2.0 / math.sqrt(2.0 * 3.0))
+    assert(out("c").getAs[Double]("tau") === 1.0)
+  }
+
+  test("kendallTau: all-tied side and singleton group yield NULL tau") {
+    val rows = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0), ("g", 5.0, 3.0),
+      ("s", 1.0, 1.0))
+    val out = Stats.kendallTau(rows.toDF("grp", "x", "y"), Seq("grp"),
+        "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").isNullAt(out("g").fieldIndex("tau"))) // C+D+Ty = 0
+    assert(out("s").getAs[Long]("n_pairs") === 0L)
+    assert(out("s").isNullAt(out("s").fieldIndex("tau")))
+  }
+
+  test("bhAdjust: textbook step-up adjustment") {
+    // suffix-min of m·p/j: (0.02, 0.022, 0.0266.., 0.04) -> adj =
+    // (0.02, 0.022, 0.0266.., 0.04); all significant at alpha = 0.05
+    val rows = Seq(("f", 1L, 0.005), ("f", 2L, 0.011), ("f", 3L, 0.02),
+      ("f", 4L, 0.04))
+    val out = Stats.bhAdjust(rows.toDF("fam", "id", "p"), Seq("fam"), "p",
+        "id", alpha = 0.05)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getAs[Int]("p_rank") === 1)
+    assert(out(1L).getAs[Double]("p_adj") === 0.005 * 4.0 / 1.0)
+    assert(out(2L).getAs[Double]("p_adj") === 0.011 * 4.0 / 2.0)
+    assert(out(4L).getAs[Double]("p_adj") === 0.04 * 4.0 / 4.0)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_).getAs[Boolean]("significant")))
+  }
+
+  test("bhAdjust: equal adjusted values on a flat spectrum; NULL p excluded") {
+    // p = (0.01..0.04): every candidate m·p/j = 0.04 -> all adj 0.04
+    val rows = Seq(("f", 1L, Some(0.01)), ("f", 2L, Some(0.02)),
+      ("f", 3L, Some(0.03)), ("f", 4L, Some(0.04)), ("f", 5L, None))
+    val out = Stats.bhAdjust(rows.toDF("fam", "id", "p"), Seq("fam"), "p",
+        "id")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Double]("p_adj") === 0.04)  // m = 4, not 5
+    }
+    assert(out(5L).isNullAt(out(5L).fieldIndex("p_adj")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("p_rank")))
+  }
 }
