@@ -79,7 +79,10 @@ object ScaleProbe {
     // twiddle explode), the bounded-panel O(n²) kendall self-join, the
     // three-join seasonal decomposition, and the BH two-window pass
     "q_ljung_box", "q_harmonic", "q_kendall", "q_seasonal", "q_bh_adjust",
-    "q_amihud", "q_cross_corr", "q_forecast_errors", "q_ic")
+    "q_amihud", "q_cross_corr", "q_forecast_errors", "q_ic",
+    // round-8 session 5b: the block-ladder explode (hurst), the
+    // score-cardinality sweep (roc), and two count-only aggs
+    "q_hurst", "q_roc_curve", "q_agreement", "q_log_loss")
 
   private case class Shift(col: String, offset: Long)
 

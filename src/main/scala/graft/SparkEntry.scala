@@ -1652,6 +1652,53 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_agreement" -> ((s, d) => {
+      // per-day Cohen's kappa + MCC at the q_classification operating
+      // point — chance-corrected agreement beside the raw rates; exact
+      // integer numerators, one division each
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.agreement(ev, "value", "label", 35.0, Seq("day"))
+        .orderBy(col("day"))
+    }),
+    "q_log_loss" -> ((s, d) => {
+      // per-day cross-entropy of the value-derived probability against
+      // the purchase label — 10-dp quantized terms, order-free exact
+      // mean (no pinned fold needed)
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          (col("value") / lit(100.0)).as("p"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.logLoss(ev, "p", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
+    "q_roc_curve" -> ((s, d) => {
+      // per-event-type ROC sweep of value against the user-parity label
+      // — one row per distinct score, cumulative exact rates
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(col("event_type"), col("value"),
+          expr("user_id % 2").as("label"))
+      operators.Eval.rocCurve(ev, "value", "label", Seq("event_type"))
+        .orderBy(col("event_type"), col("threshold"))
+    }),
+    "q_hurst" -> ((s, d) => {
+      // per-supplier Hurst exponent of the close series over the
+      // 8/16/32/64 block ladder — integer R/S blocks, quantized block
+      // terms, baked-abscissa regression
+      load(s, d)
+      operators.Rolling.hurst(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), blockSizes = Seq(8, 16, 32, 64), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_ljung_box" -> ((s, d) => {
       // per-supplier Ljung-Box Q at m=5 on the close series — the
       // residual-whiteness screen; all five lag shifts on one keyed
@@ -4025,6 +4072,158 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Eval.agreement: the q_classification confusion counts, the
+    // n²-multiplied integer kappa form, the DECIMAL marginal product for
+    // MCC.
+    "q_agreement" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN s >= 35.0::DOUBLE AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN s >= 35.0::DOUBLE AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+        |    CAST(count(CASE WHEN s < 35.0::DOUBLE AND y = 1 THEN 1 END) AS BIGINT) AS fn,
+        |    CAST(count(CASE WHEN s < 35.0::DOUBLE AND y = 0 THEN 1 END) AS BIGINT) AS tn
+        |  FROM e GROUP BY day),
+        |k AS (
+        |  SELECT day, n, tp, fp, fn, tn,
+        |    CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT)
+        |      + CAST(fn + tn AS HUGEINT) * CAST(fp + tn AS HUGEINT) AS e
+        |  FROM c)
+        |SELECT day, n,
+        |  CASE WHEN CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - e AS DOUBLE) > 0.0::DOUBLE
+        |  THEN CAST(CAST(n AS HUGEINT) * CAST(tp + tn AS HUGEINT) - e AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - e AS DOUBLE)
+        |  END AS kappa,
+        |  CASE WHEN CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT)
+        |      * CAST(tn + fp AS HUGEINT) * CAST(tn + fn AS HUGEINT) AS DOUBLE) > 0.0::DOUBLE
+        |  THEN CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+        |      - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+        |    / sqrt(CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT)
+        |      * CAST(tn + fp AS HUGEINT) * CAST(tn + fn AS HUGEINT) AS DOUBLE))
+        |  END AS mcc
+        |FROM k ORDER BY day""".stripMargin,
+    // Replays Eval.logLoss: clamp literals baked via the strtod string
+    // path, ln-term trees quantized to 10 dp, exact BIGINT term sums.
+    "q_log_loss" ->
+      s"""WITH e AS (
+         |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |    greatest(CAST('${1e-15.toString}' AS DOUBLE),
+         |      least(CAST('${(1.0 - 1e-15).toString}' AS DOUBLE),
+         |        value / 100.0::DOUBLE)) AS p,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |t AS (
+         |  SELECT day,
+         |    CAST(round(-(CAST(y AS DOUBLE) * ln(p)
+         |      + (1.0::DOUBLE - CAST(y AS DOUBLE)) * ln(1.0::DOUBLE - p))
+         |      * 10000000000.0::DOUBLE) AS BIGINT) AS q
+         |  FROM e)
+         |SELECT day, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 10000000000.0::DOUBLE AS log_loss
+         |FROM t GROUP BY day ORDER BY day""".stripMargin,
+    // Replays Eval.rocCurve: per-score exact counts, descending
+    // cumulative sweep, single divisions.
+    "q_roc_curve" ->
+      """WITH e AS (
+        |  SELECT event_type, value AS threshold, user_id % 2 AS y
+        |  FROM events),
+        |ps AS (
+        |  SELECT event_type, threshold, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg
+        |  FROM e GROUP BY event_type, threshold),
+        |c AS (
+        |  SELECT event_type, threshold, n_at,
+        |    sum(pos) OVER (PARTITION BY event_type ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+        |    sum(neg) OVER (PARTITION BY event_type ORDER BY threshold DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg,
+        |    sum(pos) OVER (PARTITION BY event_type) AS tpos,
+        |    sum(neg) OVER (PARTITION BY event_type) AS tneg
+        |  FROM ps)
+        |SELECT event_type, threshold, n_at,
+        |  CASE WHEN tpos > 0 THEN CAST(cpos AS DOUBLE) / CAST(tpos AS DOUBLE)
+        |  END AS tpr,
+        |  CASE WHEN tneg > 0 THEN CAST(cneg AS DOUBLE) / CAST(tneg AS DOUBLE)
+        |  END AS fpr
+        |FROM c ORDER BY event_type, threshold""".stripMargin,
+    // Replays Rolling.hurst: integer R/S blocks on the 8/16/32/64
+    // ladder, 10-dp quantized block terms, the 4-point regression with
+    // the IDENTICAL baked ln(b) abscissas (strtod literals).
+    "q_hurst" -> {
+      val sizes = Seq(8, 16, 32, 64)
+      val us = sizes.map(b => math.log(b.toDouble))
+      val su = us.reduceLeft(_ + _)
+      val suu = us.map(u => u * u).reduceLeft(_ + _)
+      val denomLit = 4.0 * suu - su * su
+      def dl(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+      val suv = sizes.zip(us)
+        .map { case (b, u) => s"${dl(u)} * round(ln(rs_$b), 10)" }
+        .mkString(" + ")
+      val sv = sizes.map(b => s"round(ln(rs_$b), 10)").mkString(" + ")
+      val okCond = sizes
+        .map(b => s"rs_$b IS NOT NULL AND rs_$b > 0.0::DOUBLE")
+        .mkString(" AND ")
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) - 1 AS t
+         |  FROM bars),
+         |terms AS (
+         |  SELECT s.l_suppkey, bs.b, s.t // bs.b AS blk,
+         |    s.t % bs.b + 1 AS i, s.x
+         |  FROM s CROSS JOIN (VALUES (8), (16), (32), (64)) bs(b)),
+         |cum AS (
+         |  SELECT l_suppkey, b, blk, x,
+         |    CAST(b AS HUGEINT) * sum(x) OVER (PARTITION BY l_suppkey, b, blk
+         |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - CAST(i AS HUGEINT) * sum(x) OVER (PARTITION BY l_suppkey, b, blk)
+         |      AS d
+         |  FROM terms),
+         |blocks AS (
+         |  SELECT l_suppkey, b, blk, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(x) AS HUGEINT) AS sb,
+         |    CAST(sum(x * x) AS HUGEINT) AS s2,
+         |    max(d) AS maxd, min(d) AS mind
+         |  FROM cum GROUP BY l_suppkey, b, blk),
+         |rs AS (
+         |  SELECT l_suppkey, b,
+         |    CAST(round(CAST(maxd - mind AS DOUBLE) /
+         |      sqrt(CAST(CAST(b AS HUGEINT) * s2 - sb * sb AS DOUBLE))
+         |      * 10000000000.0::DOUBLE) AS BIGINT) AS q
+         |  FROM blocks
+         |  WHERE cnt = b
+         |    AND CAST(CAST(b AS HUGEINT) * s2 - sb * sb AS DOUBLE) > 0.0::DOUBLE),
+         |persize AS (
+         |  SELECT l_suppkey, b,
+         |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      / 10000000000.0::DOUBLE AS rsv
+         |  FROM rs GROUP BY l_suppkey, b),
+         |wide AS (
+         |  SELECT l_suppkey,
+         |${sizes.map(b =>
+             s"    max(CASE WHEN b = $b THEN rsv END) AS rs_$b")
+             .mkString(",\n")}
+         |  FROM persize GROUP BY l_suppkey),
+         |ns AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+         |  FROM s GROUP BY l_suppkey)
+         |SELECT ns.l_suppkey, ns.n,
+         |${sizes.map(b => s"  wide.rs_$b,").mkString("\n")}
+         |  CASE WHEN $okCond THEN
+         |    (4.0::DOUBLE * ($suv) - ${dl(su)} * ($sv)) / ${dl(denomLit)}
+         |  END AS hurst
+         |FROM ns LEFT JOIN wide ON ns.l_suppkey = wide.l_suppkey
+         |ORDER BY ns.l_suppkey""".stripMargin
+    },
     // Replays Stats.ljungBox: five lag shifts on the keyed sort, exact
     // HUGEINT rho numerators A_k = n²C_k − nSP_k + (n−k)S², B = n(nΣx²−S²),
     // the same left-to-right k-fold for Q.

@@ -437,6 +437,125 @@ object Eval {
       (((col("tp") + col("tn")).cast("double")) / d("n")).as("accuracy")): _*)
   }
 
+  /** Chance-corrected agreement metrics per group at a decision
+    * threshold — Cohen's κ (agreement beyond the class-prior chance
+    * level) and the Matthews correlation coefficient (the binary-
+    * confusion φ; the single-number summary that stays honest under
+    * class imbalance where accuracy and even F1 inflate). Run beside
+    * [[classificationReport]] when the positive rate is far from ½.
+    *
+    * Exactness: the four confusion counts are exact integers; κ's
+    * `(p_o − p_e)/(1 − p_e)` is evaluated in the n²-multiplied integer
+    * form (numerator `n(tp+tn) − E`, denominator `n² − E`, with
+    * `E = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)` as DECIMAL — exact), one
+    * division each; MCC's four marginal products go DECIMAL before the
+    * one sqrt/division tree. NULL κ when p_e = 1 (one cell holds
+    * everything); NULL MCC when any marginal is zero.
+    * One map-side-combinable pass. Emits (groupCols…, `n`, `kappa`,
+    * `mcc`). */
+  def agreement(df: DataFrame, scoreCol: String, labelCol: String,
+                threshold: Double, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "agreement needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "kappa", "mcc", "__tp", "__fp", "__fn", "__tn"),
+      "Eval.agreement")
+    val y = checkedLabel(labelCol, "agreement")
+    val pred = checkedScore(scoreCol, "agreement") >= lit(threshold)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      count(when(pred && y === 1L, 1)).as("__tp"),
+      count(when(pred && y === 0L, 1)).as("__fp"),
+      count(when(!pred && y === 1L, 1)).as("__fn"),
+      count(when(!pred && y === 0L, 1)).as("__tn"))
+    def dd(c: Column): Column = c.cast("decimal(38,0)")
+    val (tp, fp, fn_, tn) =
+      (col("__tp"), col("__fp"), col("__fn"), col("__tn"))
+    val nDec = dd(col("n"))
+    val e = dd(tp + fp) * dd(tp + fn_) + dd(fn_ + tn) * dd(fp + tn)
+    val kNum = (nDec * dd(tp + tn) - e).cast("double")
+    val kDen = (nDec * nDec - e).cast("double")
+    val mNum = (dd(tp) * dd(tn) - dd(fp) * dd(fn_)).cast("double")
+    val mDen = (dd(tp + fp) * dd(tp + fn_) * dd(tn + fp) * dd(tn + fn_))
+      .cast("double")
+    counts.select((groupCols.map(col) :+ col("n") :+
+      when(kDen > 0.0, kNum / kDen).as("kappa") :+
+      when(mDen > 0.0, mNum / sqrt(mDen)).as("mcc")): _*)
+  }
+
+  /** Per-group cross-entropy (log-loss) of probability scores against
+    * 0/1 labels — the proper scoring rule beside [[brierScore]]:
+    * `−mean(y·ln(p) + (1−y)·ln(1−p))`, with scores clamped into
+    * [eps, 1−eps] so a confidently-wrong 0/1 score costs `−ln(eps)`
+    * instead of ∞ (the standard library convention).
+    *
+    * Determinism: each row's term is one fixed IEEE tree (clamp, ln,
+    * multiply-add) QUANTIZED to 10 dp, and the quantized terms
+    * accumulate as exact BIGINTs — the mean is order-independent with
+    * one final division chain, so the result is engine-identical
+    * without any pinned-order fold (error ≤ 5·10⁻¹¹, documented). One
+    * map-side-combinable pass. Emits (groupCols…, `n`, `log_loss`). */
+  def logLoss(df: DataFrame, scoreCol: String, labelCol: String,
+              groupCols: Seq[String], eps: Double = 1e-15): DataFrame = {
+    require(eps > 0.0 && eps < 0.5, s"eps in (0, 0.5), got $eps")
+    require(groupCols.nonEmpty, "logLoss needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "log_loss", "__t"), "Eval.logLoss")
+    val y = checkedLabel(labelCol, "logLoss")
+    val p = greatest(lit(eps),
+      least(lit(1.0 - eps), checkedScore(scoreCol, "logLoss")))
+    val term = -(y.cast("double") * log(p) +
+      (lit(1.0) - y.cast("double")) * log(lit(1.0) - p))
+    val q = round(term * lit(1e10)).cast("long")
+    df.withColumn("__t", q)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("__s"))
+      .select((groupCols.map(col) :+ col("n") :+
+        (col("__s").cast("double") / col("n").cast("double") / lit(1e10))
+          .as("log_loss")): _*)
+      .drop("__s")
+  }
+
+  /** Per-group ROC curve points — one row per DISTINCT score with the
+    * cumulative (fpr, tpr) when thresholding at that score (score-
+    * descending sweep; thresholds are inclusive, matching
+    * [[classificationReport]]'s `>=`). Feed a plotting layer or locate
+    * the operating point; [[binaryAuc]] integrates this curve without
+    * materializing it.
+    *
+    * Exactness: per-score positive/negative counts are exact; the
+    * cumulative sums ride one keyed sort; fpr/tpr are single divisions
+    * of exact integers. Groups with no positives (or no negatives) emit
+    * NULL tpr (fpr). Output size = distinct scores per group — bounded
+    * by quantized score cardinality, not corpus rows.
+    * Emits (groupCols…, `threshold`, `n_at`, `tpr`, `fpr`). */
+  def rocCurve(df: DataFrame, scoreCol: String, labelCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "rocCurve needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("threshold", "n_at", "tpr", "fpr", "__pos", "__neg"),
+      "Eval.rocCurve")
+    val y = checkedLabel(labelCol, "rocCurve")
+    val perScore = df
+      .groupBy((groupCols.map(col) :+
+        checkedScore(scoreCol, "rocCurve").as("threshold")): _*)
+      .agg(count(lit(1)).as("n_at"), sum(y).as("__pos"),
+        sum(lit(1L) - y).as("__neg"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    val cumPos = sum(col("__pos")).over(w)
+    val cumNeg = sum(col("__neg")).over(w)
+    val totPos = sum(col("__pos")).over(tot)
+    val totNeg = sum(col("__neg")).over(tot)
+    perScore.select((groupCols.map(col) :+ col("threshold") :+
+      col("n_at") :+
+      when(totPos > 0L, cumPos.cast("double") / totPos.cast("double"))
+        .as("tpr") :+
+      when(totNeg > 0L, cumNeg.cast("double") / totNeg.cast("double"))
+        .as("fpr")): _*)
+  }
+
   /** Per-key forecast-error metrics — MAE, RMSE, and MASE (mean absolute
     * error scaled by the in-sample m-step seasonal-naive error, the
     * scale-free Hyndman–Koehler benchmark metric: MASE < 1 beats the

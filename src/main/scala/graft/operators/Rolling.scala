@@ -2160,6 +2160,116 @@ object Rolling {
         (ca * ca + cb * cb) / col("n").cast("double")).as("power")): _*)
   }
 
+  /** Hurst exponent per key via rescaled-range (R/S) analysis (Hurst
+    * 1951 / Mandelbrot, public formula): slope of ln(avg R/S) against
+    * ln(block size) over a literal ladder of block sizes — the
+    * long-memory diagnostic (H ≈ 0.5 random walk, > 0.5 trending,
+    * < 0.5 mean-reverting) run on a return series before trusting any
+    * momentum or mean-reversion signal.
+    *
+    * Exactness: per complete block of size b, `R/S =
+    * (maxd − mind)/√(b·Σx² − S²)` where `d_i = b·C_i − i·S` over the
+    * within-block cumsum C_i — ALL integers (the n-multiplied centering
+    * trick), so R/S is one sqrt + one division; each block's R/S
+    * quantizes to 10 dp and the per-(key, size) average accumulates as
+    * exact BIGINTs (order-free); ln of the tiny averaged frame and the
+    * 4-point regression are fixed trees with the ln(b) abscissas and
+    * their sums BAKED as driver-side literals. NULL `hurst` unless
+    * EVERY block size has ≥ 1 valid (complete, non-constant) block —
+    * pick sizes ≤ series length. NULLs drop before sequencing.
+    *
+    * Plan: one keyed sort (row_number + cumsum ride it), one explode to
+    * (key, size) block terms, one (key, size, block) aggregate, one
+    * (key, size) aggregate, one key-level pivot to the fixed tree — the
+    * corpus is exchanged once, everything after the first aggregate is
+    * blocks-sized. Emits (keyCols…, `n`, `rs_<b>`…, `hurst`). */
+  def hurst(df: DataFrame, valueCol: String, keyCols: Seq[String],
+            orderCols: Seq[String], blockSizes: Seq[Int] = Seq(8, 16, 32, 64),
+            scale: Int = 0): DataFrame = {
+    require(blockSizes.size >= 2, "hurst needs at least 2 block sizes")
+    require(blockSizes.forall(_ >= 2), s"block sizes >= 2, got $blockSizes")
+    require(blockSizes.distinct.size == blockSizes.size, "duplicate sizes")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    val sizes = blockSizes.sorted
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "hurst", "__x", "__t", "__b", "__blk", "__i", "__c", "__e",
+        "__d", "__cnt", "__s", "__s2", "__maxd", "__mind", "__rsq", "__nb",
+        "__srs", "__rs") ++ sizes.map(b => s"rs_$b"), "Rolling.hurst")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) :+ xi.as("__x")) :+
+        (row_number().over(w) - lit(1)).cast("long").as("__t"): _*)
+    val terms = base.select(
+      (keyCols.map(col) :+ col("__x") :+
+        explode(array(sizes.map { b =>
+          struct(lit(b).as("b"),
+            (col("__t") / lit(b.toLong)).cast("long").as("blk"),
+            (col("__t") % lit(b.toLong) + lit(1L)).as("i"))
+        }: _*)).as("__e")): _*)
+      .select((keyCols.map(col) :+ col("__x") :+ col("__e.b").as("__b") :+
+        col("__e.blk").as("__blk") :+ col("__e.i").as("__i")): _*)
+    // within-block cumsum rides one (key, size, block) sort; blocks are
+    // tiny so the per-block aggregate collapses immediately
+    val bw = Window
+      .partitionBy((keyCols.map(col) :+ col("__b") :+ col("__blk")): _*)
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = terms.withColumn("__c", sum(col("__x")).over(bw))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val dev = col("__b").cast("long").cast("decimal(38,0)") *
+      col("__c").cast("decimal(38,0)") -
+      col("__i").cast("decimal(38,0)") * sum(col("__x")).over(
+        Window.partitionBy(
+          (keyCols.map(col) :+ col("__b") :+ col("__blk")): _*))
+    val blocks = withCum
+      .withColumn("__d", dev)
+      .groupBy((keyCols.map(col) :+ col("__b") :+ col("__blk")): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        dec(col("__x")).as("__s"), dec(col("__x") * col("__x")).as("__s2"),
+        max(col("__d")).as("__maxd"), min(col("__d")).as("__mind"))
+    val den = (col("__b").cast("long").cast("decimal(38,0)") * col("__s2") -
+      col("__s") * col("__s")).cast("double")
+    val rs = (col("__maxd") - col("__mind")).cast("double") / sqrt(den)
+    val rsq = round(rs * lit(1e10)).cast("long")
+    val perSize = blocks
+      .filter(col("__cnt") === col("__b").cast("long") && den > 0.0)
+      .withColumn("__rsq", rsq)
+      .groupBy((keyCols.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__nb"), sum(col("__rsq")).as("__srs"))
+      .withColumn("__rs", col("__srs").cast("double") /
+        col("__nb").cast("double") / lit(1e10))
+    // one row per key: rs_<b> wide, then the fixed 4-point regression
+    // with baked ln(b) abscissas
+    val wide = perSize.groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("__b") === sizes.head, col("__rs")))
+          .as(s"rs_${sizes.head}"),
+        sizes.tail.map(b =>
+          max(when(col("__b") === b, col("__rs"))).as(s"rs_$b")): _*)
+    val k = sizes.size.toDouble
+    val us = sizes.map(b => math.log(b.toDouble))
+    val su = us.reduceLeft(_ + _)
+    val suu = us.map(u => u * u).reduceLeft(_ + _)
+    // ln differs by 1 ulp between libm implementations — round the
+    // ordinates to 10 dp so the regression tree is engine-identical
+    // (the cooccurrencePmi discipline)
+    def v(b: Int): Column = round(log(col(s"rs_$b")), 10)
+    val sv = sizes.map(v).reduceLeft(_ + _)
+    val suv = sizes.zip(us).map { case (b, u) => lit(u) * v(b) }
+      .reduceLeft(_ + _)
+    val slope = (lit(k) * suv - lit(su) * sv) /
+      lit(k * suu - su * su)
+    val ok = sizes.map(b => col(s"rs_$b").isNotNull && col(s"rs_$b") > 0.0)
+      .reduce(_ && _)
+    val ns = base.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    ns.join(wide, keyCols, "left")
+      .select((keyCols.map(col) :+ col("n")) ++
+        sizes.map(b => col(s"rs_$b")) :+
+        when(ok, slope).as("hurst"): _*)
+  }
+
   /** Amihud illiquidity per key (Amihud 2002, public formula): the mean
     * over bars of `|return_t| / dollar_volume_t` — price impact per unit
     * traded; the standard cross-sectional liquidity screen (×10⁶ in most

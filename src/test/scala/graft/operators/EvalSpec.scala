@@ -307,6 +307,65 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
     assert(r.getAs[Double]("mae") === 2.0 / 3.0) // mae itself is defined
   }
 
+  test("agreement: hand-computed kappa and MCC") {
+    // confusion (tp,fp,fn,tn) = (4,1,2,3): kappa = 20/50, mcc = 10/sqrt(600)
+    val rows =
+      Seq.fill(4)(("g", 0.9, 1L)) ++ Seq.fill(1)(("g", 0.9, 0L)) ++
+      Seq.fill(2)(("g", 0.1, 1L)) ++ Seq.fill(3)(("g", 0.1, 0L))
+    val r = Eval.agreement(rows.toDF("grp", "s", "y"), "s", "y", 0.5,
+      Seq("grp")).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("kappa") === 20.0 / 50.0)
+    assert(r.getAs[Double]("mcc") === 10.0 / math.sqrt(600.0))
+  }
+
+  test("agreement: degenerate single-cell confusion yields NULLs") {
+    val rows = Seq(("g", 0.9, 1L), ("g", 0.8, 1L))  // everything is tp
+    val r = Eval.agreement(rows.toDF("grp", "s", "y"), "s", "y", 0.5,
+      Seq("grp")).collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa")))  // p_e = 1
+    assert(r.isNullAt(r.fieldIndex("mcc")))    // zero marginals
+  }
+
+  test("logLoss: quantized-term mean matches the per-row trees") {
+    val rows = Seq(("g", 0.5, 1L), ("g", 0.25, 0L))
+    val r = Eval.logLoss(rows.toDF("grp", "p", "y"), "p", "y", Seq("grp"))
+      .collect().head
+    val t1 = math.round(-math.log(0.5) * 1e10)
+    val t2 = math.round(-math.log(1.0 - 0.25) * 1e10)
+    assert(r.getAs[Double]("log_loss") === (t1 + t2).toDouble / 2.0 / 1e10)
+  }
+
+  test("logLoss: confidently-wrong scores clamp at eps, not infinity") {
+    val rows = Seq(("g", 0.0, 1L))
+    val r = Eval.logLoss(rows.toDF("grp", "p", "y"), "p", "y", Seq("grp"))
+      .collect().head
+    val expected = math.round(-math.log(1e-15) * 1e10).toDouble / 1.0 / 1e10
+    assert(r.getAs[Double]("log_loss") === expected)
+  }
+
+  test("rocCurve: cumulative sweep over distinct thresholds") {
+    val rows = Seq(("g", 0.9, 1L), ("g", 0.8, 0L), ("g", 0.8, 1L),
+      ("g", 0.4, 0L))
+    val out = Eval.rocCurve(rows.toDF("grp", "s", "y"), "s", "y", Seq("grp"))
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(out.size === 3)
+    assert(out(0.9).getAs[Double]("tpr") === 0.5)
+    assert(out(0.9).getAs[Double]("fpr") === 0.0)
+    assert(out(0.8).getAs[Long]("n_at") === 2L)
+    assert(out(0.8).getAs[Double]("tpr") === 1.0)
+    assert(out(0.8).getAs[Double]("fpr") === 0.5)
+    assert(out(0.4).getAs[Double]("fpr") === 1.0)
+  }
+
+  test("rocCurve: single-class group leaves the undefined rate NULL") {
+    val rows = Seq(("g", 0.9, 1L), ("g", 0.4, 1L))  // no negatives
+    val out = Eval.rocCurve(rows.toDF("grp", "s", "y"), "s", "y", Seq("grp"))
+      .collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("fpr"))))
+    assert(out.forall(!_.isNullAt(out.head.fieldIndex("tpr"))))
+  }
+
   test("forecastErrors: scale quantizes before the error sums") {
     // at scale 2 the 0.004 gap rounds away: error counts as 0.00
     val rows = Seq(("k", 1L, 1.004, 1.0), ("k", 2L, 2.0, 1.5))

@@ -1108,6 +1108,50 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(r.getAs[Double]("illiq") === expected)
   }
 
+  test("hurst: linear trend scores near 1, alternating series below ½") {
+    // x = t: every b-block has R = b³/8·… exactly (R = 8 at b=4, 64 at
+    // b=8) over den = b·Σx²−S² (20, 336) — H lands near 1 (trending)
+    val trend = (0 until 32).map(t => ("k", t.toLong, t.toDouble))
+    val r = Rolling.hurst(trend.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), blockSizes = Seq(4, 8)).collect().head
+    assert(r.getAs[Long]("n") === 32L)
+    val q4 = math.round(8.0 / math.sqrt(20.0) * 1e10)
+    val q8 = math.round(64.0 / math.sqrt(336.0) * 1e10)
+    val rs4 = (8L * q4).toDouble / 8.0 / 1e10
+    val rs8 = (4L * q8).toDouble / 4.0 / 1e10
+    assert(r.getAs[Double]("rs_4") === rs4)
+    assert(r.getAs[Double]("rs_8") === rs8)
+    val (u4, u8) = (math.log(4.0), math.log(8.0))
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (v4, v8) = (r10(math.log(rs4)), r10(math.log(rs8)))
+    val su = u4 + u8
+    val suu = u4 * u4 + u8 * u8
+    val expected = (2.0 * (u4 * v4 + u8 * v8) - su * (v4 + v8)) /
+      (2.0 * suu - su * su)
+    assert(r.getAs[Double]("hurst") === expected)
+    assert(expected > 0.9)  // strong trend -> H near 1
+    // alternating series: R/S = 1 at both sizes -> slope exactly 0
+    val alt = (0 until 32).map(t => ("k", t.toLong, (t % 2).toDouble))
+    val r2 = Rolling.hurst(alt.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), blockSizes = Seq(4, 8)).collect().head
+    assert(r2.getAs[Double]("rs_4") === 1.0)
+    assert(r2.getAs[Double]("rs_8") === 1.0)
+    assert(r2.getAs[Double]("hurst") === 0.0)  // ln 1 everywhere
+  }
+
+  test("hurst: NULL when a block size never completes or variance dies") {
+    val short = (0 until 10).map(t => ("k", t.toLong, (t % 3).toDouble))
+    val r1 = Rolling.hurst(short.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), blockSizes = Seq(4, 16)).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("rs_16")))
+    assert(r1.isNullAt(r1.fieldIndex("hurst")))
+    val const = (0 until 32).map(t => ("k", t.toLong, 5.0))
+    val r2 = Rolling.hurst(const.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t"), blockSizes = Seq(4, 8)).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("hurst")))  // zero-variance blocks
+  }
+
   test("amihud: constant price has zero illiquidity, empty key NULL") {
     val rows = Seq(("k", 1L, 5.0, 2.0), ("k", 2L, 5.0, 3.0),
       ("e", 1L, 4.0, 1.0))
