@@ -82,7 +82,10 @@ object ScaleProbe {
     "q_amihud", "q_cross_corr", "q_forecast_errors", "q_ic",
     // round-8 session 5b: the block-ladder explode (hurst), the
     // score-cardinality sweep (roc), and two count-only aggs
-    "q_hurst", "q_roc_curve", "q_agreement", "q_log_loss")
+    "q_hurst", "q_roc_curve", "q_agreement", "q_log_loss",
+    // round-8 session 5c: the runprod survival chain, the rho-sums agg,
+    // and the heaviest bounded-panel pair generator (Σn² slopes)
+    "q_kaplan_meier", "q_pacf", "q_theil_sen")
 
   private case class Shift(col: String, offset: Long)
 

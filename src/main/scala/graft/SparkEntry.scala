@@ -1652,6 +1652,47 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_kaplan_meier" -> ((s, d) => {
+      // time-to-first-purchase survival per user-cohort: purchasers are
+      // events, never-purchasers censor at their last observed event —
+      // exact at-risk counts, native runprod survival chain
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, min, max, when, lit}
+      val perUser = readEventsNanos(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max(col("ts")).as("tl"))
+        .select(expr("user_id % 4").as("cohort"),
+          expr("(coalesce(tp, tl) - t0) DIV 86400000000000").as("dur"),
+          when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
+        .orderBy(col("cohort"), col("t"))
+    }),
+    "q_pacf" -> ((s, d) => {
+      // per-supplier partial autocorrelation at lags 1-3 — the exact
+      // integer rho ratios through the unrolled Durbin-Levinson trees
+      load(s, d)
+      operators.Stats.pacf(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_theil_sen" -> ((s, d) => {
+      // daily cross-sectional Theil-Sen fit of next-day move on 5-day
+      // momentum over the bounded 100-supplier panel — the robust twin
+      // of q_corr_regress on the q_kendall signal frame
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lead}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val sig = dailyBars(s).filter(col("l_suppkey") < 100)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          (col("close") - lag(col("close"), 5).over(w)).as("mom"),
+          (lead(col("close"), 1).over(w) - col("close")).as("fwd"))
+      operators.Stats.theilSen(sig, Seq("l_shipdate"), "mom", "fwd",
+          scale = 2)
+        .orderBy(col("l_shipdate"))
+    }),
     "q_agreement" -> ((s, d) => {
       // per-day Cohen's kappa + MCC at the q_classification operating
       // point — chance-corrected agreement beside the raw rates; exact
@@ -4072,6 +4113,161 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
+    // duration counts, exact at-risk windows, WITH RECURSIVE runprod
+    // (st' = st · fac — the acc-first multiply order).
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) * 1000) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) * 1000 END) AS tp,
+        |    max(epoch_us(ts) * 1000) AS tl
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    (coalesce(tp, tl) - t0) // 86400000000000 AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |pt AS (
+        |  SELECT cohort, dur AS t, CAST(sum(ev) AS BIGINT) AS de,
+        |    CAST(sum(1 - ev) AS BIGINT) AS ce
+        |  FROM d GROUP BY cohort, dur),
+        |r AS (
+        |  SELECT cohort, t, de, ce,
+        |    sum(de + ce) OVER (PARTITION BY cohort)
+        |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM pt),
+        |f AS (
+        |  SELECT cohort, t, de, ce, n_risk, rn,
+        |    CAST(n_risk - de AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
+        |  FROM r),
+        |km AS (
+        |  SELECT cohort, t, de, ce, n_risk, rn, fac AS st
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.cohort, s.t, s.de, s.ce, s.n_risk, s.rn,
+        |    (h.st * s.fac) AS st
+        |  FROM km h JOIN f s ON s.cohort = h.cohort AND s.rn = h.rn + 1)
+        |SELECT cohort, t, n_risk, de AS events, ce AS censored,
+        |  st AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
+    // Replays Stats.pacf: the ljungBox integer rho machinery for k=1..3,
+    // then the unrolled Durbin-Levinson trees with the same NULL-guarded
+    // denominators.
+    "q_pacf" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |${(1 to 3).map(k =>
+           s"    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), $k) " +
+             s"OVER ws AS l$k").mkString(",\n")}
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(x*x) AS HUGEINT) AS s2,
+         |${(1 to 3).map(k =>
+           s"    CAST(sum(CASE WHEN l$k IS NOT NULL THEN x*l$k ELSE 0 END) AS HUGEINT) AS c$k,\n" +
+           s"    CAST(sum(CASE WHEN l$k IS NOT NULL THEN x+l$k ELSE 0 END) AS HUGEINT) AS p$k")
+           .mkString(",\n")}
+         |  FROM s GROUP BY l_suppkey),
+         |h AS (
+         |  SELECT l_suppkey, n,
+         |    CASE WHEN CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - sx * sx) AS DOUBLE) > 0.0::DOUBLE
+         |      THEN CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - sx * sx) AS DOUBLE) END AS bden,
+         |${(1 to 3).map(k =>
+           s"    CAST(CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*c$k - CAST(n AS HUGEINT)*sx*p$k + (CAST(n AS HUGEINT) - $k)*sx*sx AS DOUBLE) AS a$k")
+           .mkString(",\n")}
+         |  FROM g),
+         |rho AS (
+         |  SELECT l_suppkey, n,
+         |    a1 / bden AS r1, a2 / bden AS r2, a3 / bden AS r3
+         |  FROM h),
+         |dl AS (
+         |  SELECT l_suppkey, n, r1, r3,
+         |    (r2 - r1 * r1) /
+         |      (CASE WHEN (1.0::DOUBLE - r1 * r1) <> 0.0::DOUBLE
+         |        THEN 1.0::DOUBLE - r1 * r1 END) AS phi22,
+         |    r2
+         |  FROM rho),
+         |dl2 AS (
+         |  SELECT l_suppkey, n, r1, r2, r3, phi22,
+         |    r1 - phi22 * r1 AS phi21
+         |  FROM dl)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n > 1 THEN r1 END AS pacf_1,
+         |  CASE WHEN n > 2 THEN phi22 END AS pacf_2,
+         |  CASE WHEN n > 3 THEN
+         |    (r3 - phi21 * r2 - phi22 * r1) /
+         |      (CASE WHEN (1.0::DOUBLE - phi21 * r1 - phi22 * r2) <> 0.0::DOUBLE
+         |        THEN 1.0::DOUBLE - phi21 * r1 - phi22 * r2 END)
+         |  END AS pacf_3
+         |FROM dl2 ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.theilSen on the bounded panel: rank-ordered pair
+    // slopes, the ⌊(m+1)/2⌋ / ⌊m/2⌋+1 middle selection, the residual
+    // median for the intercept.
+    "q_theil_sen" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), sig AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    close - lag(close, 5) OVER ws AS mom,
+         |    lead(close, 1) OVER ws - close AS fwd
+         |  FROM bars WHERE l_suppkey < 100
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |base AS (
+         |  SELECT l_shipdate,
+         |    CAST(round(mom * 100.0::DOUBLE) AS BIGINT) AS xi,
+         |    CAST(round(fwd * 100.0::DOUBLE) AS BIGINT) AS yi,
+         |    row_number() OVER (PARTITION BY l_shipdate ORDER BY
+         |      CAST(round(mom * 100.0::DOUBLE) AS BIGINT),
+         |      CAST(round(fwd * 100.0::DOUBLE) AS BIGINT)) AS rn
+         |  FROM sig WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |slopes AS (
+         |  SELECT a.l_shipdate,
+         |    CAST(b.yi - a.yi AS DOUBLE) / CAST(b.xi - a.xi AS DOUBLE) AS sl,
+         |    a.rn AS ri, b.rn AS rj
+         |  FROM base a JOIN base b
+         |    ON a.l_shipdate = b.l_shipdate AND a.rn < b.rn
+         |  WHERE b.xi <> a.xi),
+         |ranked AS (
+         |  SELECT l_shipdate, sl,
+         |    row_number() OVER (PARTITION BY l_shipdate
+         |      ORDER BY sl, ri, rj) AS r,
+         |    count(*) OVER (PARTITION BY l_shipdate) AS m
+         |  FROM slopes),
+         |med AS (
+         |  SELECT l_shipdate, CAST(max(m) AS BIGINT) AS n_slopes,
+         |    sum(sl) / CAST(count(*) AS DOUBLE) AS ts_slope
+         |  FROM ranked
+         |  WHERE r = (m + 1 - (m + 1) % 2) // 2 OR r = (m - m % 2) // 2 + 1
+         |  GROUP BY l_shipdate),
+         |withs AS (
+         |  SELECT base.l_shipdate, base.rn,
+         |    CAST(base.yi AS DOUBLE) / 100.0::DOUBLE
+         |      - med.ts_slope * (CAST(base.xi AS DOUBLE) / 100.0::DOUBLE)
+         |      AS res,
+         |    med.n_slopes, med.ts_slope
+         |  FROM base LEFT JOIN med ON base.l_shipdate = med.l_shipdate),
+         |rres AS (
+         |  SELECT l_shipdate, res, n_slopes, ts_slope,
+         |    row_number() OVER (PARTITION BY l_shipdate ORDER BY res, rn)
+         |      AS r,
+         |    count(*) OVER (PARTITION BY l_shipdate) AS m
+         |  FROM withs)
+         |SELECT l_shipdate, CAST(max(m) AS BIGINT) AS n,
+         |  coalesce(max(n_slopes), 0) AS n_slopes,
+         |  max(ts_slope) AS ts_slope,
+         |  sum(res) / CAST(count(*) AS DOUBLE) AS ts_intercept
+         |FROM rres
+         |WHERE r = (m + 1 - (m + 1) % 2) // 2 OR r = (m - m % 2) // 2 + 1
+         |GROUP BY l_shipdate ORDER BY l_shipdate""".stripMargin,
     // Replays Eval.agreement: the q_classification confusion counts, the
     // n²-multiplied integer kappa form, the DECIMAL marginal product for
     // MCC.

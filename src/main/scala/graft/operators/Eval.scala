@@ -556,6 +556,53 @@ object Eval {
         .as("fpr")): _*)
   }
 
+  /** Kaplan–Meier survival curve per group (public estimator): at each
+    * distinct duration t, `S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i` over
+    * event counts d and at-risk counts n — the time-to-event readout
+    * (time-to-conversion, churn, time-to-failure) that censored
+    * observations (`event = 0`: still alive at their last observation)
+    * enter WITHOUT biasing, which a naive duration mean cannot do.
+    *
+    * Exactness: per-(group, t) event/censor counts are exact; n_risk is
+    * the group total minus the strictly-before cumulative (exact
+    * integers on one keyed sort); each step factor is ONE division
+    * `(n−d)/n`, and the running product is the NATIVE `runprod` window
+    * chain — one IEEE multiply per step, no log/exp round-trip, so the
+    * curve replays bit-exactly in any engine applying the same factors
+    * in the same order. `timeCol` must be integral (durations, not
+    * timestamps — difference them first).
+    *
+    * One (group, t) aggregate + two window passes on one keyed sort;
+    * output is distinct-duration-sized, never row-sized. Emits
+    * (groupCols…, `t`, `n_risk`, `events`, `censored`, `survival`). */
+  def kaplanMeier(df: DataFrame, timeCol: String, eventCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "kaplanMeier needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("t", "n_risk", "events", "censored", "survival", "__d", "__c"),
+      "Eval.kaplanMeier")
+    val y = checkedLabel(eventCol, "kaplanMeier")
+    val perTime = df
+      .groupBy((groupCols.map(col) :+ col(timeCol).cast("long").as("t")): _*)
+      .agg(sum(y).as("__d"), sum(lit(1L) - y).as("__c"))
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    val before = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ordered = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t"))
+    val nRisk = sum(col("__d") + col("__c")).over(tot) -
+      coalesce(sum(col("__d") + col("__c")).over(before), lit(0L))
+    val factor = (nRisk - col("__d")).cast("double") / nRisk.cast("double")
+    perTime
+      .withColumn("n_risk", nRisk)
+      .withColumn("survival", graft.functions.FinancialFunctions
+        .runprod(factor).over(ordered))
+      .select((groupCols.map(col) :+ col("t") :+ col("n_risk") :+
+        col("__d").as("events") :+ col("__c").as("censored") :+
+        col("survival")): _*)
+  }
+
   /** Per-key forecast-error metrics — MAE, RMSE, and MASE (mean absolute
     * error scaled by the in-sample m-step seasonal-naive error, the
     * scale-free Hyndman–Koehler benchmark metric: MASE < 1 beats the

@@ -723,6 +723,159 @@ object Stats {
             sqrt(denomX * denomY)).as("tau")): _*)
   }
 
+  /** Partial autocorrelation at lags 1–3 per key via the Durbin–Levinson
+    * recursion unrolled to fixed trees (public textbook): φ_kk is the
+    * lag-k correlation with the shorter lags regressed out — the AR
+    * order-selection diagnostic beside [[ljungBox]] (an AR(p) series
+    * cuts off after φ_pp where the plain ACF tails forever).
+    *
+    * Exactness: the ρ_k are the same exact integer ratios as
+    * [[ljungBox]] (A_k/B, one division each); the three unrolled DL
+    * trees are fixed IEEE expressions on them:
+    * `φ11 = ρ1`, `φ22 = (ρ2 − ρ1²)/(1 − ρ1²)`,
+    * `φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2)` with
+    * `φ21 = ρ1 − φ22·ρ1`. NULL φ_kk when n ≤ k, zero variance, or a DL
+    * denominator is 0 (a perfectly-predicted series). NULLs drop before
+    * sequencing. Same plan shape as [[ljungBox]]: ONE keyed sort, one
+    * map-side-combinable aggregate. Emits (keyCols…, `n`, `pacf_1`,
+    * `pacf_2`, `pacf_3`). */
+  def pacf(df: DataFrame, valueCol: String, keyCols: Seq[String],
+           orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "pacf needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "pacf_1", "pacf_2", "pacf_3", "__x") ++
+        (1 to 3).map(k => s"__l$k"), "Stats.pacf")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) :+ xi.as("__x")) ++
+        (1 to 3).map(k => lag(xi, k).over(w).as(s"__l$k")): _*)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val x = col("__x")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), dec(x).as("__s"), dec(x * x).as("__s2")) ++
+        (1 to 3).flatMap { k =>
+          val lk = col(s"__l$k")
+          Seq(sum(when(lk.isNotNull, x.cast("decimal(38,0)") * lk)
+              .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"__c$k"),
+            dec(when(lk.isNotNull, x + lk).otherwise(lit(0L))).as(s"__p$k"))
+        }
+    val sums = base.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val nDec = sums("n").cast("decimal(38,0)")
+    val bDen = (nDec * (nDec * col("__s2") - col("__s") * col("__s")))
+      .cast("double")
+    // every division goes through a NULL-guarded denominator: a zero
+    // denominator yields NULL (never an ANSI divide error or a NaN that
+    // poisons the when-conditions), and NULL then propagates through
+    // the DL trees to the output
+    val safeB = when(bDen > 0.0, bDen)
+    def rho(k: Int): Column =
+      (nDec * nDec * col(s"__c$k") - nDec * col("__s") * col(s"__p$k") +
+        (nDec - lit(k).cast("decimal(38,0)")) * col("__s") * col("__s"))
+        .cast("double") / safeB
+    val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+    val d2 = lit(1.0) - r1 * r1
+    val phi22 = (r2 - r1 * r1) / when(d2 =!= 0.0, d2)
+    val phi21 = r1 - phi22 * r1
+    val d3 = lit(1.0) - phi21 * r1 - phi22 * r2
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / when(d3 =!= 0.0, d3)
+    sums.select((keyCols.map(col) :+ col("n") :+
+      when(col("n") > 1L, r1).as("pacf_1") :+
+      when(col("n") > 2L, phi22).as("pacf_2") :+
+      when(col("n") > 3L, phi33).as("pacf_3")): _*)
+  }
+
+  /** Theil–Sen robust regression per group (public estimator): slope =
+    * the MEDIAN of all pairwise slopes `(y_j−y_i)/(x_j−x_i)`, intercept
+    * = the median of `y − slope·x` — the outlier-proof trend line (up
+    * to ~29% contamination) beside [[corrRegression]]'s least squares.
+    *
+    * Determinism: x/y quantize to scaled BIGINTs; each pair slope is ONE
+    * division of exact integers; the median picks by rank over
+    * `(slope, i, j)` — a total order, so the selected middle VALUES are
+    * engine-identical even with duplicate slopes, and the even-count
+    * average is one fixed tree. Same SCALE CONTRACT as [[kendallTau]]:
+    * within-group O(n²) pair generation — cross-sectional groups only.
+    * Emits (groupCols…, `n`, `n_slopes`, `ts_slope`, `ts_intercept`). */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String, scale: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs at least one group column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "n_slopes", "ts_slope", "ts_intercept", "__xi", "__yi",
+        "__rn", "__sl", "__res", "__r", "__m"), "Stats.theilSen")
+    val k = lit(math.pow(10, scale))
+    val xi = round(col(xCol).cast("double") * k).cast("long")
+    val yi = round(col(yCol).cast("double") * k).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(xi, yi)
+    val base = df.filter(xi.isNotNull && yi.isNotNull)
+      .select((groupCols.map(col) :+ xi.as("__xi") :+ yi.as("__yi")) :+
+        row_number().over(w).as("__rn"): _*)
+    val r = base.select(col(groupCols.head).as("__gk0") +:
+      (groupCols.tail.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__gk${i + 1}") } :+
+        col("__xi").as("__xj") :+ col("__yi").as("__yj") :+
+        col("__rn").as("__rj")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) === col(s"__gk$i") }
+      .reduce(_ && _) && col("__rn") < col("__rj")
+    val slopes = base.join(r, cond)
+      .filter(col("__xj") =!= col("__xi"))
+      .select((groupCols.map(col) :+
+        ((col("__yj") - col("__yi")).cast("double") /
+          (col("__xj") - col("__xi")).cast("double")).as("__sl") :+
+        col("__rn") :+ col("__rj")): _*)
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__sl"), col("__rn"), col("__rj"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ranked = slopes.withColumn("__r", row_number().over(sw))
+      .withColumn("__m", count(lit(1)).over(cw))
+    // middle ranks: ⌊(m+1)/2⌋ and ⌊m/2⌋+1 (equal when m is odd) —
+    // integer halving via pmod-free long arithmetic, not the double `/`
+    def half(c: Column): Column = ((c - pmod(c, lit(2L))) / lit(2L))
+      .cast("long")
+    val lower = half(col("__m") + lit(1L))
+    val upper = half(col("__m")) + lit(1L)
+    val med = ranked
+      .filter(col("__r") === lower || col("__r") === upper)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__m")).as("n_slopes"),
+        (sum(col("__sl")) / count(lit(1)).cast("double")).as("ts_slope"))
+    // intercept: median of y − slope·x over the group's points, the same
+    // total-order selection
+    val withSlope = base.join(med.select(
+      (groupCols.map(col) :+ col("n_slopes") :+ col("ts_slope")): _*),
+      groupCols, "left")
+    val resid = col("__yi").cast("double") / k -
+      col("ts_slope") * (col("__xi").cast("double") / k)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__res"), col("__rn"))
+    val rankedRes = withSlope.withColumn("__res", resid)
+      .withColumn("__r", row_number().over(rw))
+      .withColumn("__m", count(lit(1)).over(cw))
+    val medRes = rankedRes
+      .filter(col("__r") === half(col("__m") + lit(1L)) ||
+        col("__r") === half(col("__m")) + lit(1L))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__m")).as("n"),
+        max(col("n_slopes")).as("n_slopes"),
+        max(col("ts_slope")).as("ts_slope"),
+        (sum(col("__res")) / count(lit(1)).cast("double"))
+          .as("ts_intercept"))
+    medRes.select((groupCols.map(col) :+ col("n") :+
+      coalesce(col("n_slopes"), lit(0L)).as("n_slopes") :+
+      col("ts_slope") :+ col("ts_intercept")): _*)
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment per family: each row's
     * adjusted p is `p_adj(i) = min(1, min_{j ≥ i} m·p_(j)/j)` over the
     * family's ascending-p order — the multiple-testing control run over

@@ -366,6 +366,36 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
     assert(out.forall(!_.isNullAt(out.head.fieldIndex("tpr"))))
   }
 
+  test("kaplanMeier: hand-computed curve with censoring") {
+    // N=5: d=2@t1, censor@t2, d=1@t3, censor@t5 ->
+    // S = 3/5, 3/5, 3/5 * 1/2, carried
+    val rows = Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 2L, 0L),
+      ("g", 3L, 1L), ("g", 5L, 0L))
+    val out = Eval.kaplanMeier(rows.toDF("grp", "dur", "ev"), "dur", "ev",
+        Seq("grp"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out(1L).getAs[Long]("n_risk") === 5L)
+    assert(out(1L).getAs[Long]("events") === 2L)
+    assert(out(1L).getAs[Double]("survival") === 3.0 / 5.0)
+    assert(out(2L).getAs[Long]("n_risk") === 3L)
+    assert(out(2L).getAs[Double]("survival") === (3.0 / 5.0) * 1.0)
+    assert(out(3L).getAs[Double]("survival") === ((3.0 / 5.0) * 1.0) * 0.5)
+    assert(out(5L).getAs[Long]("n_risk") === 1L)
+    assert(out(5L).getAs[Long]("censored") === 1L)
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survivor") {
+    // 4 events at distinct times: S(t_k) = (4-k)/4 exactly
+    val rows = (1 to 4).map(t => ("g", t.toLong, 1L))
+    val out = Eval.kaplanMeier(rows.toDF("grp", "dur", "ev"), "dur", "ev",
+        Seq("grp"))
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Double]("survival")).toMap
+    assert(out(1L) === 3.0 / 4.0)
+    assert(out(2L) === (3.0 / 4.0) * (2.0 / 3.0))
+    assert(out(4L) === (((3.0 / 4.0) * (2.0 / 3.0)) * 0.5) * 0.0)
+  }
+
   test("forecastErrors: scale quantizes before the error sums") {
     // at scale 2 the 0.004 gap rounds away: error counts as 0.00
     val rows = Seq(("k", 1L, 1.004, 1.0), ("k", 2L, 2.0, 1.5))

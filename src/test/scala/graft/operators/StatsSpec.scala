@@ -423,6 +423,62 @@ test("anovaF: hand-computed 3-arm F") {
     assert(out("s").isNullAt(out("s").fieldIndex("tau")))
   }
 
+  test("pacf: unrolled Durbin-Levinson matches the hand recursion") {
+    // x = 1,2,3,4: rho = (0.25, -0.3, -0.45) by the exact integer forms
+    val rows = (1 to 4).map(t => ("k", t.toLong, t.toDouble))
+    val r = Stats.pacf(rows.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    val r1 = 20.0 / 80.0
+    val r2 = -24.0 / 80.0
+    val r3 = -36.0 / 80.0
+    assert(r.getAs[Double]("pacf_1") === r1)
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(r.getAs[Double]("pacf_2") === phi22)
+    val phi21 = r1 - phi22 * r1
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    assert(r.getAs[Double]("pacf_3") === phi33)
+  }
+
+  test("pacf: NULL on constant series and short series") {
+    val const = Seq(("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 5.0),
+      ("k", 4L, 5.0), ("k", 5L, 5.0))
+    val r1 = Stats.pacf(const.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("pacf_1")))
+    val short = Seq(("k", 1L, 1.0), ("k", 2L, 3.0), ("k", 3L, 2.0))
+    val r2 = Stats.pacf(short.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(!r2.isNullAt(r2.fieldIndex("pacf_2")))  // n = 3 > 2
+    assert(r2.isNullAt(r2.fieldIndex("pacf_3")))   // n = 3: lag-3 empty
+  }
+
+  test("theilSen: outlier-proof slope where least squares bends") {
+    // y = x on 4 points plus one wild outlier: TS slope stays exactly 1
+    val rows = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),
+      ("g", 4.0, 4.0), ("g", 5.0, 100.0))
+    val r = Stats.theilSen(rows.toDF("grp", "x", "y"), Seq("grp"), "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_slopes") === 10L)
+    assert(r.getAs[Double]("ts_slope") === 1.0)
+    assert(r.getAs[Double]("ts_intercept") === 0.0)  // median residual
+  }
+
+  test("theilSen: even-count median averages the two middles; vertical NULL") {
+    // slopes sorted (1,1,1,33,49,97): middles 1 and 33 -> 17
+    val rows = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0),
+      ("g", 4.0, 100.0))
+    val r = Stats.theilSen(rows.toDF("grp", "x", "y"), Seq("grp"), "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_slopes") === 6L)
+    assert(r.getAs[Double]("ts_slope") === (1.0 + 33.0) / 2.0)
+    val vert = Seq(("v", 2.0, 1.0), ("v", 2.0, 5.0))
+    val rv = Stats.theilSen(vert.toDF("grp", "x", "y"), Seq("grp"), "x", "y")
+      .collect().head
+    assert(rv.getAs[Long]("n_slopes") === 0L)
+    assert(rv.isNullAt(rv.fieldIndex("ts_slope")))
+  }
+
   test("bhAdjust: textbook step-up adjustment") {
     // suffix-min of m·p/j: (0.02, 0.022, 0.0266.., 0.04) -> adj =
     // (0.02, 0.022, 0.0266.., 0.04); all significant at alpha = 0.05
