@@ -85,7 +85,8 @@ object ScaleProbe {
     "q_hurst", "q_roc_curve", "q_agreement", "q_log_loss",
     // round-8 session 5c: the runprod survival chain, the rho-sums agg,
     // and the heaviest bounded-panel pair generator (Σn² slopes)
-    "q_kaplan_meier", "q_pacf", "q_theil_sen")
+    "q_kaplan_meier", "q_pacf", "q_theil_sen", "q_effect_sizes",
+    "q_cramers_v")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1652,6 +1652,32 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_effect_sizes" -> ((s, d) => {
+      // per-day Cohen's d / Hedges' g / Cliff's delta between purchase
+      // and view values — the how-big companion to q_welch_t on the
+      // same frame; exact decimal moment sums, doubled-midrank delta
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.effectSizes(ev, "value", "event_type",
+          "purchase", "view", Seq("day"), scale = 2)
+        .orderBy(col("day"))
+    }),
+    "q_cramers_v" -> ((s, d) => {
+      // order-status × order-priority association per order year — the
+      // cross-table-comparable effect size over exact contingency
+      // marginals; zero cells charged via the o²/e identity
+      load(s, d)
+      import org.apache.spark.sql.functions.year
+      operators.Stats.cramersV(
+          s.table("orders").withColumn("o_year",
+            year(col("o_orderdate")).cast("long")),
+          "o_orderstatus", "o_orderpriority", Seq("o_year"))
+        .orderBy(col("o_year"))
+    }),
     "q_kaplan_meier" -> ((s, d) => {
       // time-to-first-purchase survival per user-cohort: purchasers are
       // events, never-purchasers censor at their last observed event —
@@ -4113,6 +4139,88 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.effectSizes on the welch frame: HUGEINT moment sums,
+    // doubled-midrank U, the same fixed d/g/delta trees.
+    "q_effect_sizes" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS arm,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS xi
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |r AS (
+        |  SELECT day, arm, xi,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY xi)
+        |      + count(*) OVER (PARTITION BY day, xi) - 1 AS r2
+        |  FROM e),
+        |g AS (
+        |  SELECT day,
+        |    CAST(count(CASE WHEN arm = 'purchase' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN arm <> 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN r2 END) AS BIGINT) AS s2a,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN xi ELSE 0 END) AS HUGEINT) AS sa,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN xi * xi ELSE 0 END) AS HUGEINT) AS qa,
+        |    CAST(sum(CASE WHEN arm <> 'purchase' THEN xi ELSE 0 END) AS HUGEINT) AS sb,
+        |    CAST(sum(CASE WHEN arm <> 'purchase' THEN xi * xi ELSE 0 END) AS HUGEINT) AS qb
+        |  FROM r GROUP BY day),
+        |h AS (
+        |  SELECT day, n_a, n_b, s2a,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(CAST(n_a AS HUGEINT) * qa - sa * sa AS DOUBLE) AS va,
+        |    CAST(CAST(n_b AS HUGEINT) * qb - sb * sb AS DOUBLE) AS vb,
+        |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+        |  FROM g),
+        |t AS (
+        |  SELECT day, n_a, n_b, na, nb,
+        |    (sad / na - sbd / nb) /
+        |      sqrt(CASE WHEN (va / na + vb / nb) / (na + nb - 2.0::DOUBLE)
+        |            > 0.0::DOUBLE
+        |        THEN (va / na + vb / nb) / (na + nb - 2.0::DOUBLE) END) AS d,
+        |    (CAST(s2a AS DOUBLE) - na * (na + 1.0::DOUBLE)) / 2.0::DOUBLE AS u
+        |  FROM h)
+        |SELECT day, n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN d END AS cohen_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    d * (1.0::DOUBLE - 3.0::DOUBLE /
+        |      (4.0::DOUBLE * (na + nb - 2.0::DOUBLE) - 1.0::DOUBLE))
+        |  END AS hedges_g,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    (2.0::DOUBLE * u - na * nb) / (na * nb)
+        |  END AS cliffs_delta
+        |FROM t ORDER BY day""".stripMargin,
+    // Replays Stats.cramersV on lineitem: one (status, flag, mode) cell
+    // aggregate, window marginals, the o²/e − n zero-cell identity, the
+    // ascending-(a,b) pinned fold.
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    o_orderstatus AS a, o_orderpriority AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |wt AS (
+        |  SELECT o_year, a, b, o,
+        |    (CAST(o AS DOUBLE) * CAST(o AS DOUBLE)) /
+        |      (CAST(sum(o) OVER (PARTITION BY o_year, a)
+        |          * sum(o) OVER (PARTITION BY o_year, b) AS DOUBLE)
+        |        / CAST(sum(o) OVER (PARTITION BY o_year) AS DOUBLE))
+        |      AS t,
+        |    sum(o) OVER (PARTITION BY o_year) AS tot
+        |  FROM cells),
+        |agg AS (
+        |  SELECT o_year, CAST(max(tot) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(t ORDER BY a, b)), (acc, x) -> acc + x)
+        |      - CAST(max(tot) AS DOUBLE) AS chi2
+        |  FROM wt GROUP BY o_year)
+        |SELECT o_year, n, (r - 1) * (c - 1) AS dof, chi2,
+        |  CASE WHEN least(r, c) >= 2 THEN
+        |    sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |      (CAST(least(r, c) AS DOUBLE) - 1.0::DOUBLE)))
+        |  END AS cramers_v
+        |FROM agg ORDER BY o_year""".stripMargin,
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).

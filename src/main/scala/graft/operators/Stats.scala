@@ -723,6 +723,138 @@ object Stats {
             sqrt(denomX * denomY)).as("tau")): _*)
   }
 
+  /** Standardized effect sizes for a two-variant comparison per group —
+    * the "how big, not just how significant" companion to [[welchT]] /
+    * [[mannWhitney]]: Cohen's d (pooled-SD mean gap), Hedges' g (the
+    * small-sample bias correction `d·(1 − 3/(4·df − 1))`), and Cliff's
+    * δ (the ordinal `P(a>b) − P(a<b)`, from the same midrank U statistic
+    * as mannWhitney — robust to any monotone transform).
+    *
+    * Exactness: per-variant (n, Σx, Σx²) accumulate as exact DECIMALs;
+    * the variance numerators are the n-multiplied integer forms
+    * (`n·Σx² − S²`), d/g are fixed trees (the quantization scale cancels
+    * between numerator and pooled SD, like MASE); δ uses the DOUBLED
+    * midrank sum — half-integer arithmetic, exact in doubles. NULL d/g
+    * when either arm has < 2 rows or the pooled variance is 0; NULL δ
+    * when either arm is empty. One keyed rank sort + one
+    * map-side-combinable aggregate. Emits (groupCols…, `n_a`, `n_b`,
+    * `cohen_d`, `hedges_g`, `cliffs_delta`). */
+  def effectSizes(df: DataFrame, valueCol: String, variantCol: String,
+                  variantA: String, variantB: String, groupCols: Seq[String],
+                  scale: Int = 0): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "effectSizes needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "cohen_d", "hedges_g", "cliffs_delta", "__xi",
+        "__r2", "__t", "__arm"), "Stats.effectSizes")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(variantCol)
+    val xi = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"effectSizes: $variantCol must be '$variantA' or '$variantB', got "),
+          coalesce(v, lit("NULL")))))
+      .otherwise(round(col(valueCol).cast("double") *
+        lit(math.pow(10, scale))).cast("long"))
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__arm") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__xi"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow)).cast("long")
+    val ranked = base
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w).cast("long") + col("__t") - lit(1L))
+    val isA = col("__arm") === variantA
+    def dd(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val x = col("__xi")
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(isA, col("__r2"))).as("__s2a"),
+      dd(when(isA, x).otherwise(lit(0L))).as("__sa"),
+      sum(when(isA, x.cast("decimal(38,0)") * x)
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__qa"),
+      dd(when(!isA, x).otherwise(lit(0L))).as("__sb"),
+      sum(when(!isA, x.cast("decimal(38,0)") * x)
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val naDec = col("n_a").cast("decimal(38,0)")
+    val nbDec = col("n_b").cast("decimal(38,0)")
+    val varA = (naDec * col("__qa") - col("__sa") * col("__sa")).cast("double")
+    val varB = (nbDec * col("__qb") - col("__sb") * col("__sb")).cast("double")
+    val sp2 = (varA / na + varB / nb) / (na + nb - lit(2.0))
+    val meanGap = col("__sa").cast("double") / na -
+      col("__sb").cast("double") / nb
+    val dTree = meanGap / sqrt(when(sp2 > 0.0, sp2))
+    val gTree = dTree *
+      (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb - lit(2.0)) - lit(1.0)))
+    val u = (col("__s2a").cast("double") - na * (na + lit(1.0))) / lit(2.0)
+    val delta = (lit(2.0) * u - na * nb) / (na * nb)
+    sums.select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") >= 2L && col("n_b") >= 2L, dTree).as("cohen_d") :+
+      when(col("n_a") >= 2L && col("n_b") >= 2L, gTree).as("hedges_g") :+
+      when(col("n_a") >= 1L && col("n_b") >= 1L, delta)
+        .as("cliffs_delta")): _*)
+  }
+
+  /** Grouped χ² independence + Cramér's V per family — the
+    * effect-size-normalized version of [[chiSquareCells]] rolled up to
+    * one row per group: `V = √(χ²/(n·(min(r,c)−1)))` ∈ [0,1], the
+    * association strength that is comparable ACROSS tables of different
+    * sizes (raw χ² is not).
+    *
+    * Exactness: cell/marginal counts are exact integers on ONE
+    * (group, a, b) aggregate with window marginals; zero cells are never
+    * materialized — the identity `Σ_all (o−e)²/e = Σ_obs o²/e − n`
+    * charges them through the observed rows; the fold runs in ascending
+    * (a, b) order (doubles — the pinned-order fold; cells per group =
+    * category-product-bounded, tiny). NULL V when min(r, c) < 2.
+    * Emits (groupCols…, `n`, `dof`, `chi2`, `cramers_v`). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "cramersV needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "dof", "chi2", "cramers_v", "__o", "__rt", "__ct", "__tot",
+        "__term", "__r", "__c", "__l"), "Stats.cramersV")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(aCol) :+ col(bCol)): _*)
+      .agg(count(lit(1)).as("__o"))
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val rw = Window.partitionBy((groupCols.map(col) :+ col(aCol)): _*)
+    val cw = Window.partitionBy((groupCols.map(col) :+ col(bCol)): _*)
+    val e = (sum(col("__o")).over(rw) * sum(col("__o")).over(cw))
+      .cast("double") / sum(col("__o")).over(gw).cast("double")
+    // χ² over ALL r×c cells (zero cells contribute e) via the observed-
+    // cells-only identity Σ_all (o−e)²/e = Σ_obs o²/e − n — no dense
+    // cell grid needs materializing
+    val term = (col("__o").cast("double") * col("__o").cast("double")) / e
+    val withTerm = cells
+      .withColumn("__term", term)
+      .withColumn("__tot", sum(col("__o")).over(gw))
+    val agg = withTerm.groupBy(groupCols.map(col): _*).agg(
+      max(col("__tot")).as("n"),
+      countDistinct(col(aCol)).as("__r"),
+      countDistinct(col(bCol)).as("__c"),
+      sort_array(collect_list(
+        struct(col(aCol).cast("string").as("a"),
+          col(bCol).cast("string").as("b"), col("__term").as("t"))))
+        .as("__l"))
+    val chi2 = aggregate(transform(col("__l"), x => x.getField("t")),
+      lit(0.0), (acc, x) => acc + x) - col("n").cast("double")
+    val minRc = least(col("__r"), col("__c")).cast("double")
+    agg.select((groupCols.map(col) :+ col("n") :+
+      ((col("__r") - lit(1L)) * (col("__c") - lit(1L))).as("dof") :+
+      chi2.as("chi2") :+
+      when(least(col("__r"), col("__c")) >= 2L,
+        sqrt(chi2 / (col("n").cast("double") * (minRc - lit(1.0)))))
+        .as("cramers_v")): _*)
+  }
+
   /** Partial autocorrelation at lags 1–3 per key via the Durbin–Levinson
     * recursion unrolled to fixed trees (public textbook): φ_kk is the
     * lag-k correlation with the shorter lags regressed out — the AR

@@ -479,6 +479,57 @@ test("anovaF: hand-computed 3-arm F") {
     assert(rv.isNullAt(rv.fieldIndex("ts_slope")))
   }
 
+  test("effectSizes: hand-computed d, g, and Cliff's delta") {
+    // A = (1,2,3), B = (4,5,6,7): pooled sp2 = 7/5, gap = -3.5,
+    // disjoint arms -> delta = -1
+    val rows = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 4.0), ("g", "b", 5.0), ("g", "b", 6.0), ("g", "b", 7.0))
+    val r = Stats.effectSizes(rows.toDF("grp", "arm", "x"), "x", "arm",
+      "a", "b", Seq("grp")).collect().head
+    val gap = 6.0 / 3.0 - 22.0 / 4.0
+    val sp2 = (6.0 / 3.0 + 20.0 / 4.0) / 5.0
+    val d = gap / math.sqrt(sp2)
+    assert(r.getAs[Double]("cohen_d") === d)
+    assert(r.getAs[Double]("hedges_g") === d * (1.0 - 3.0 / (4.0 * 5.0 - 1.0)))
+    assert(r.getAs[Double]("cliffs_delta") === -1.0)
+  }
+
+  test("effectSizes: fully tied arms -> delta 0, NULL d on zero variance") {
+    val rows = Seq(("g", "a", 1.0), ("g", "a", 1.0), ("g", "b", 1.0),
+      ("g", "b", 1.0))
+    val r = Stats.effectSizes(rows.toDF("grp", "arm", "x"), "x", "arm",
+      "a", "b", Seq("grp")).collect().head
+    assert(r.getAs[Double]("cliffs_delta") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("cohen_d")))
+    assert(r.isNullAt(r.fieldIndex("hedges_g")))
+  }
+
+  test("cramersV: perfect association is 1, independence is 0") {
+    val perfect = Seq.fill(5)(("g", "a1", "b1")) ++
+      Seq.fill(5)(("g", "a2", "b2"))
+    val r1 = Stats.cramersV(perfect.toDF("grp", "a", "b"), "a", "b",
+      Seq("grp")).collect().head
+    assert(r1.getAs[Long]("n") === 10L)
+    assert(r1.getAs[Long]("dof") === 1L)
+    assert(r1.getAs[Double]("chi2") === 10.0)
+    assert(r1.getAs[Double]("cramers_v") === 1.0)
+    // uniform 2x2: chi2 = 0 (zero cells charged through the identity)
+    val indep = Seq(("g", "a1", "b1"), ("g", "a1", "b2"),
+      ("g", "a2", "b1"), ("g", "a2", "b2"))
+    val r2 = Stats.cramersV(indep.toDF("grp", "a", "b"), "a", "b",
+      Seq("grp")).collect().head
+    assert(r2.getAs[Double]("chi2") === 0.0)
+    assert(r2.getAs[Double]("cramers_v") === 0.0)
+  }
+
+  test("cramersV: single-category side yields NULL V") {
+    val rows = Seq(("g", "a1", "b1"), ("g", "a1", "b2"))
+    val r = Stats.cramersV(rows.toDF("grp", "a", "b"), "a", "b",
+      Seq("grp")).collect().head
+    assert(r.getAs[Long]("dof") === 0L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+
   test("bhAdjust: textbook step-up adjustment") {
     // suffix-min of m·p/j: (0.02, 0.022, 0.0266.., 0.04) -> adj =
     // (0.02, 0.022, 0.0266.., 0.04); all significant at alpha = 0.05
