@@ -1652,6 +1652,36 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_media_dhash" -> ((s, d) => {
+      // perceptual dHash through the REAL codec chain: text → PNG encode
+      // → decode → 9×8 nearest-neighbor sample → 63-bit gradient hash;
+      // the oracle regenerates the hash from the pixel function alone
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_dhash oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaPng(s, docs, "doc_id", "text")
+      operators.Multimodal.imageDHash(s, media, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_media_dhash_pairs" -> ((s, d) => {
+      // image near-dup pairs on the dHash via the 16-bit chunk-banding
+      // pigeonhole — candidates scale with true near-dups (the planted
+      // duplicate documents), never n²; the oracle brute-forces the
+      // small corpus
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_dhash_pairs oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaPng(s, docs, "doc_id", "text")
+      val hashes = operators.Multimodal.imageDHash(s, media, "doc_id")
+      operators.Multimodal.dhashPairs(hashes, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_effect_sizes" -> ((s, d) => {
       // per-day Cohen's d / Hedges' g / Cliff's delta between purchase
       // and view values — the how-big companion to q_welch_t on the
@@ -4139,6 +4169,57 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Multimodal.imageDHash from the pixel function: 16×16 PNG
+    // pixel i = text byte at i mod len (lossless grayscale), sample
+    // (dx,dy) → source index 2·dy·16 + ⌊dx·16/9⌋, one gradient bit per
+    // horizontal neighbor pair, the 63-bit shift-sum.
+    "q_media_dhash" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, tx.dx, ty.dy,
+        |    CASE WHEN length(d.text) = 0 THEN 0
+        |      ELSE ascii(substr(d.text,
+        |        CAST((2 * ty.dy * 16 + (tx.dx * 16) // 9) % length(d.text)
+        |          AS INT) + 1, 1))
+        |    END AS g
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 8) AS tx(dx)
+        |  CROSS JOIN generate_series(0, 7) AS ty(dy))
+        |SELECT a.doc_id,
+        |  CAST(sum(CASE WHEN b.g > a.g
+        |    THEN (1::BIGINT << CAST(a.dy * 8 + a.dx AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS dhash
+        |FROM g a JOIN g b
+        |  ON a.doc_id = b.doc_id AND a.dy = b.dy AND b.dx = a.dx + 1
+        |WHERE a.dx <= 7 AND NOT (a.dx = 7 AND a.dy = 7)
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    // Replays Multimodal.dhashPairs by brute force on the regenerated
+    // hashes — the banding is a candidate OPTIMIZATION, the pair set is
+    // defined by the hamming budget alone.
+    "q_media_dhash_pairs" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, tx.dx, ty.dy,
+        |    CASE WHEN length(d.text) = 0 THEN 0
+        |      ELSE ascii(substr(d.text,
+        |        CAST((2 * ty.dy * 16 + (tx.dx * 16) // 9) % length(d.text)
+        |          AS INT) + 1, 1))
+        |    END AS g
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 8) AS tx(dx)
+        |  CROSS JOIN generate_series(0, 7) AS ty(dy)),
+        |h AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.g > a.g
+        |      THEN (1::BIGINT << CAST(a.dy * 8 + a.dx AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS dhash
+        |  FROM g a JOIN g b
+        |    ON a.doc_id = b.doc_id AND a.dy = b.dy AND b.dx = a.dx + 1
+        |  WHERE a.dx <= 7 AND NOT (a.dx = 7 AND a.dy = 7)
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // Replays Stats.effectSizes on the welch frame: HUGEINT moment sums,
     // doubled-midrank U, the same fixed d/g/delta trees.
     "q_effect_sizes" ->

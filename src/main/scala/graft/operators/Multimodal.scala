@@ -219,6 +219,87 @@ object Multimodal {
 
   /** PNG-fast-path image read with generic format-sniffing fallback;
     * fails loudly on undecodable payloads. */
+  /** Perceptual difference hash (dHash, public technique) per image: the
+    * REAL decode path → 9×8 nearest-neighbor grayscale sample (the
+    * [[resizeImages]] integer geometry `sx = dx·sw/9, sy = dy·sh/8`) →
+    * one bit per horizontal gradient `px(dx+1,dy) > px(dx,dy)`. The
+    * scale/compression-robust image fingerprint that feeds
+    * [[dhashPairs]]' banded near-dup join — the image-side mirror of the
+    * text pipeline's simhash.
+    *
+    * 63 BITS by design: the (7,7) comparison is dropped so the hash
+    * lives in a signed BIGINT without sign games (bit 63 would overflow
+    * engines that check shifts). Bit layout: `dy·8 + dx`, dx < 8.
+    * Integer-only sampling and comparisons — bit-replayable wherever
+    * the pixel function is known. Emits (idCol, `dhash`). */
+  def imageDHash(spark: SparkSession, df: DataFrame,
+                 idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        iter.map { case (id, bytes) =>
+          val src = readImageWith(pngReader, bytes)
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val r = src.getRaster
+          def px(dx: Int, dy: Int): Int =
+            r.getSample(dx * sw / 9, dy * sh / 8, 0)
+          var h = 0L
+          var dy = 0
+          while (dy < 8) {
+            var dx = 0
+            while (dx < 8) {
+              if (!(dx == 7 && dy == 7) && px(dx + 1, dy) > px(dx, dy))
+                h |= 1L << (dy * 8 + dx)
+              dx += 1
+            }
+            dy += 1
+          }
+          (id, h)
+        }
+      }
+      .toDF(idCol, "dhash")
+  }
+
+  /** All image pairs within `maxHamming` bits on their [[imageDHash]] —
+    * the chunk-banding pigeonhole ([[Dedup.simhashPairs]] lifted to the
+    * 63-bit hash): split into `maxHamming+1` disjoint ⌈63/(m+1)⌉-bit
+    * chunks; a
+    * pair within the budget must agree on SOME chunk, so candidates come
+    * from per-chunk equi-joins (shuffle on (chunk, value) — scales with
+    * true near-dups, never n²), each pair emitted once at its FIRST
+    * matching chunk (a pure bit-arithmetic filter, no distinct
+    * shuffle). Emits (`id_a`, `id_b`, `hamming`). */
+  def dhashPairs(hashes: DataFrame, idCol: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming in [1,7], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // ceil(63/chunks): the chunks tile ALL 63 bits (the pigeonhole needs
+    // full coverage — a short last chunk would leak pairs)
+    val chunkBits = (63 + nChunks - 1) / nChunks
+    val chunked = hashes.select(col(idCol), col("dhash"),
+      explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+      .withColumn("chunk_val",
+        expr(s"shiftright(dhash, c * $chunkBits)") % (1L << chunkBits))
+    val a = chunked.select(col(idCol).as("id_a"), col("dhash").as("fp_a"),
+      col("c"), col("chunk_val"))
+    val b = chunked.select(col(idCol).as("id_b"), col("dhash").as("fp_b"),
+      col("c"), col("chunk_val"))
+    def chunkAt(fp: String, k: Int) =
+      expr(s"shiftright($fp, ${k * chunkBits})") % (1L << chunkBits)
+    val firstMatchOnly = (0 until nChunks - 1)
+      .map(k => (col("c") <= k) || (chunkAt("fp_a", k) =!= chunkAt("fp_b", k)))
+      .reduce(_ && _)
+    a.join(b, Seq("c", "chunk_val")).filter(col("id_a") < col("id_b"))
+      .filter(firstMatchOnly)
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   private def readImageWith(pngReader: javax.imageio.ImageReader,
                             bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val img =

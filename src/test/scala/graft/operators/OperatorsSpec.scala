@@ -523,4 +523,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(frames === expected)
   }
+
+  test("imageDHash: 63-bit gradient hash through the real PNG round-trip") {
+    import spark.implicits._
+    // pixel i = text byte at i mod len: hand-compute the expected hash
+    // from the SAME sampling/gradient function the operator applies
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    val doc = Seq((1L, text), (2L, text), (3L, text.reverse))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withMediaPng(spark, doc, "doc_id", "text")
+    val hashes = Multimodal.imageDHash(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expectedHash(t: String): Long = {
+      val bytes = t.getBytes("US-ASCII")
+      def px(dx: Int, dy: Int): Int = {
+        val i = (dy * 16 / 8) * 16 + dx * 16 / 9
+        if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      }
+      var h = 0L
+      for (dy <- 0 until 8; dx <- 0 until 8
+           if !(dx == 7 && dy == 7) && px(dx + 1, dy) > px(dx, dy))
+        h |= 1L << (dy * 8 + dx)
+      h
+    }
+    assert(hashes(1L) === expectedHash(text))
+    assert(hashes(1L) === hashes(2L))            // identical image
+    assert(hashes(3L) === expectedHash(text.reverse))
+    assert(hashes(1L) !== hashes(3L))
+    assert((hashes(1L) >>> 63) === 0L)           // bit 63 never set
+    // banding finds exactly the duplicate pair at hamming 0
+    val pairs = Multimodal.dhashPairs(
+      Seq((1L, hashes(1L)), (2L, hashes(2L)), (3L, hashes(3L)))
+        .toDF("doc_id", "dhash"), "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("dhashPairs: pigeonhole finds pairs in every chunk region") {
+    import spark.implicits._
+    // flip 3 bits of a base hash in the TOP chunk (bits 48..62): the
+    // pair must still surface via an intact lower chunk
+    val base = 0x1234ABCD5678EFL
+    val variant = base ^ (1L << 50) ^ (1L << 55) ^ (1L << 60)
+    val far = base ^ 0x0F0F0F0F0FL // many bits apart
+    val pairs = Multimodal.dhashPairs(
+      Seq((1L, base), (2L, variant), (3L, far)).toDF("doc_id", "dhash"),
+      "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3)))
+  }
 }
