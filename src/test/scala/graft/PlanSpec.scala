@@ -272,4 +272,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       s"ranking rides the bounded-heap aggregate, not a window:\n$p")
   }
+
+  test("whole-series ACF batteries ride ONE keyed sort + one partial agg") {
+    // ljungBox/pacf: all lag shifts share the window sort; the sums
+    // aggregate is map-side combinable (partial_ before the group
+    // exchange), and nothing shuffles the corpus twice
+    for (q <- Seq("q_ljung_box", "q_pacf", "q_cross_corr")) {
+      val p = plan(q)
+      assert(p.split("\n").count(_.trim.matches("^\\+?-? ?Window .*")) <= 2,
+        s"$q: lag shifts must share the bar-chain windows:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: the sums must combine map-side:\n$p")
+    }
+  }
+
+  test("harmonic power explodes AFTER the row_number sort, aggs partial") {
+    val p = plan("q_harmonic")
+    assert(p.contains("Generate explode"),
+      s"per-period fan-out is one explode, not a join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"quadrature sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the twiddle lookup is an array literal, never a join:\n$p")
+  }
+
+  test("kaplan-meier output is distinct-duration-sized before its windows") {
+    val p = plan("q_kaplan_meier")
+    // the (group, t) aggregate must sit BELOW the at-risk/runprod windows
+    // so window state is curve-sized, not corpus-sized
+    val lines = p.split("\n")
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(_.trim.matches("^\\+?-? ?Window .*"))
+    assert(aggIdx > winIdx && winIdx >= 0,
+      s"expected the duration aggregate below the windows:\n$p")
+  }
+
+  test("image dhash pairs join on (chunk, value) — never a cross product") {
+    val p = plan("q_media_dhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must equi-join the chunk buckets:\n$p")
+  }
 }
