@@ -1019,11 +1019,15 @@ object Stats {
     * engine-identical even with duplicate p's (and BH's adjusted values
     * are invariant to tie order anyway: equal p's get the suffix-min of
     * the same set). Each candidate is the fixed tree `(p·m)/j`; the
-    * suffix-min is a rows-between window min (min of doubles is exact).
+    * suffix-min runs as a RUNNING min over the REVERSED order — Spark
+    * executes unbounded-FOLLOWING frames by rescanning the tail per row
+    * (O(n²) per family; measured: a 1M-row family never finishes), while
+    * the reversed running frame is the O(n) sliding accumulator. min of
+    * doubles is exact either way.
     * NULL p rows are excluded from m and ranking and emit NULL p_adj.
     *
-    * One keyed sort, two window passes on it (rank + suffix-min), no
-    * join. Emits the input plus (`p_rank`, `p_adj`, `significant`). */
+    * One keyed sort each way (rank + reversed running min), no join.
+    * Emits the input plus (`p_rank`, `p_adj`, `significant`). */
   def bhAdjust(df: DataFrame, familyCols: Seq[String], pCol: String,
                tieCol: String, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
@@ -1033,14 +1037,18 @@ object Stats {
     val famW = org.apache.spark.sql.expressions.Window
       .partitionBy(familyCols.map(col): _*)
     val ordW = famW.orderBy(p.asc_nulls_last, col(tieCol))
-    val suffW = ordW.rowsBetween(0, Long.MaxValue)
+    // suffix-min in ascending order ≡ running min in descending order
+    val revW = famW.orderBy(p.desc_nulls_first, col(tieCol).desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__m", count(p).over(famW))
       .withColumn("p_rank", when(p.isNotNull, row_number().over(ordW)))
       .withColumn("p_adj",
         when(p.isNotNull, least(lit(1.0),
           min(when(p.isNotNull,
             (p * col("__m").cast("double")) / col("p_rank").cast("double")))
-            .over(suffW))))
+            .over(revW))))
       .withColumn("significant",
         when(p.isNotNull, col("p_adj") <= lit(alpha)))
       .drop("__m")
