@@ -86,7 +86,8 @@ object ScaleProbe {
     // round-8 session 5c: the runprod survival chain, the rho-sums agg,
     // and the heaviest bounded-panel pair generator (Σn² slopes)
     "q_kaplan_meier", "q_pacf", "q_theil_sen", "q_effect_sizes",
-    "q_cramers_v", "q_media_dhash", "q_media_dhash_pairs")
+    "q_cramers_v", "q_media_dhash", "q_media_dhash_pairs",
+    "q_dickey_fuller")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1652,6 +1652,14 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_dickey_fuller" -> ((s, d) => {
+      // per-supplier unit-root test on the close — exact (lag, diff)
+      // sufficient statistics, the fixed beta/t trees
+      load(s, d)
+      operators.Stats.dickeyFuller(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_media_dhash" -> ((s, d) => {
       // perceptual dHash through the REAL codec chain: text → PNG encode
       // → decode → 9×8 nearest-neighbor sample → 63-bit gradient hash;
@@ -4169,6 +4177,45 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.dickeyFuller: (lag, diff) pair sums as HUGEINT, the
+    // same NULL-guarded beta/t trees.
+    "q_dickey_fuller" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER ws AS x,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      - lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |        OVER ws AS y
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+         |    CAST(sum(y*y) AS HUGEINT) AS syy,
+         |    CAST(sum(x*y) AS HUGEINT) AS sxy
+         |  FROM s WHERE x IS NOT NULL GROUP BY l_suppkey),
+         |h AS (
+         |  SELECT l_suppkey, n_pairs, CAST(n_pairs AS DOUBLE) AS n,
+         |    CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS a,
+         |    CASE WHEN CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0.0::DOUBLE
+         |      THEN CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE) END AS b,
+         |    CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS DOUBLE) AS c
+         |  FROM g),
+         |t AS (
+         |  SELECT l_suppkey, n_pairs,
+         |    a / b AS beta,
+         |    (a / b) / sqrt(CASE WHEN (c - a * a / b) / ((n - 2.0::DOUBLE) * b)
+         |        > 0.0::DOUBLE
+         |      THEN (c - a * a / b) / ((n - 2.0::DOUBLE) * b) END) AS tt
+         |  FROM h)
+         |SELECT l_suppkey, n_pairs,
+         |  CASE WHEN n_pairs >= 3 THEN beta END AS df_beta,
+         |  CASE WHEN n_pairs >= 3 THEN tt END AS df_t
+         |FROM t ORDER BY l_suppkey""".stripMargin,
     // Replays Multimodal.imageDHash from the pixel function: 16×16 PNG
     // pixel i = text byte at i mod len (lossless grayscale), sample
     // (dx,dy) → source index 2·dy·16 + ⌊dx·16/9⌋, one gradient bit per

@@ -723,6 +723,60 @@ object Stats {
             sqrt(denomX * denomY)).as("tau")): _*)
   }
 
+  /** Dickey–Fuller unit-root test per key (the constant-only DF form,
+    * public): regress `Δx_t = α + β·x_{t−1}` and report β̂ and its
+    * t-statistic — the stationarity screen run before ANY mean-reversion
+    * strategy or differencing decision (t far below ≈ −2.86 rejects the
+    * unit root; β̂ near 0 means the series is a random walk and every
+    * "reversion signal" on it is noise).
+    *
+    * Exactness: x quantizes to scaled BIGINTs; with `A = nΣxy − ΣxΣy`,
+    * `B = nΣx² − (Σx)²`, `C = nΣy² − (Σy)²` over the (lag, diff) pairs
+    * — all exact DECIMAL integers — the estimates are fixed trees:
+    * `β = A/B`, `t = (A/B)/√((C − A²/B)/((n−2)·B))`. The one non-integer
+    * intermediate (`A²/B`) is a single division each — deterministic.
+    * NULL when n < 3, zero lag-variance, or zero residual variance.
+    * ONE keyed sort (the lag), one map-side-combinable aggregate.
+    * Emits (keyCols…, `n_pairs`, `df_beta`, `df_t`). */
+  def dickeyFuller(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                   orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "dickeyFuller needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pairs", "df_beta", "df_t", "__x", "__lx", "__dx"),
+      "Stats.dickeyFuller")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) :+ lag(xi, 1).over(w).as("__lx")) :+
+        (xi - lag(xi, 1).over(w)).as("__dx"): _*)
+      .filter(col("__lx").isNotNull)
+    def dd(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val (x, y) = (col("__lx"), col("__dx"))
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      dd(x).as("__sx"), dd(y).as("__sy"),
+      sum(x.cast("decimal(38,0)") * x).as("__sxx"),
+      sum(y.cast("decimal(38,0)") * y).as("__syy"),
+      sum(x.cast("decimal(38,0)") * y).as("__sxy"))
+    val nDec = col("n_pairs").cast("decimal(38,0)")
+    val a = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val b = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val c = (nDec * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val safeB = when(b > 0.0, b)
+    val beta = a / safeB
+    val n = col("n_pairs").cast("double")
+    val ssr = c - a * a / safeB
+    val se2 = ssr / ((n - lit(2.0)) * safeB)
+    val t = beta / sqrt(when(se2 > 0.0, se2))
+    sums.select((keyCols.map(col) :+ col("n_pairs") :+
+      when(col("n_pairs") >= 3L, beta).as("df_beta") :+
+      when(col("n_pairs") >= 3L, t).as("df_t")): _*)
+  }
+
   /** Standardized effect sizes for a two-variant comparison per group —
     * the "how big, not just how significant" companion to [[welchT]] /
     * [[mannWhitney]]: Cohen's d (pooled-SD mean gap), Hedges' g (the

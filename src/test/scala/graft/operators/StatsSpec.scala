@@ -479,6 +479,35 @@ test("anovaF: hand-computed 3-arm F") {
     assert(rv.isNullAt(rv.fieldIndex("ts_slope")))
   }
 
+  test("dickeyFuller: hand-computed beta and t on a mean-reverting series") {
+    // x = 1,2,1,3,1: (lag, diff) pairs give A=-20, B=11, C=40
+    val rows = Seq(1.0, 2.0, 1.0, 3.0, 1.0).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }
+    val r = Stats.dickeyFuller(rows.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    val (a, b, c) = (-20.0, 11.0, 40.0)
+    val beta = a / b
+    val se2 = (c - a * a / b) / ((4.0 - 2.0) * b)
+    assert(r.getAs[Double]("df_beta") === beta)
+    assert(r.getAs[Double]("df_t") === beta / math.sqrt(se2))
+    assert(beta < 0.0)  // mean-reverting: negative unit-root coefficient
+  }
+
+  test("dickeyFuller: perfect fit and short series yield NULL t") {
+    // x = 1,2,1,2,1: residuals are exactly 0 -> se undefined
+    val perfect = Seq(1.0, 2.0, 1.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }
+    val r1 = Stats.dickeyFuller(perfect.toDF("key", "t", "x"), "x",
+      Seq("key"), Seq("t")).collect().head
+    assert(r1.getAs[Double]("df_beta") === -2.0)
+    assert(r1.isNullAt(r1.fieldIndex("df_t")))
+    val short = Seq(("k", 1L, 1.0), ("k", 2L, 5.0))  // one pair
+    val r2 = Stats.dickeyFuller(short.toDF("key", "t", "x"), "x",
+      Seq("key"), Seq("t")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("df_beta")))
+  }
+
   test("effectSizes: hand-computed d, g, and Cliff's delta") {
     // A = (1,2,3), B = (4,5,6,7): pooled sp2 = 7/5, gap = -3.5,
     // disjoint arms -> delta = -1
