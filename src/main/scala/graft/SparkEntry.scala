@@ -1652,6 +1652,15 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_granger" -> ((s, d) => {
+      // does volume Granger-cause the close, per supplier — the
+      // hypothesis-test companion to q_cross_corr's lead-lag screen;
+      // exact n-multiplied normal equations, VARCHAR-bridged oracle
+      load(s, d)
+      operators.Stats.grangerLag1(dailyBars(s), "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), yScale = 2, xScale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_dickey_fuller" -> ((s, d) => {
       // per-supplier unit-root test on the close — exact (lag, diff)
       // sufficient statistics, the fixed beta/t trees
@@ -4177,6 +4186,70 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.grangerLag1: HUGEINT centered sums, every
+    // centered→double cast through the VARCHAR strtod bridge (products
+    // reach ~10³², far past exact-double range), the same fixed trees.
+    "q_granger" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS y,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER ws AS x,
+         |    lag(CAST(round(volume * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER ws AS z
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x) AS HUGEINT) AS sx,
+         |    CAST(sum(z) AS HUGEINT) AS sz,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(z AS HUGEINT) * z) AS szz,
+         |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(z AS HUGEINT) * y) AS szy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM s WHERE x IS NOT NULL AND z IS NOT NULL GROUP BY l_suppkey),
+         |c AS (
+         |  SELECT l_suppkey, np,
+         |    CAST(np AS HUGEINT) * sxx - sx * sx AS cxx,
+         |    CAST(np AS HUGEINT) * szz - sz * sz AS czz,
+         |    CAST(np AS HUGEINT) * sxz - sx * sz AS cxz,
+         |    CAST(np AS HUGEINT) * sxy - sx * sy AS cxy,
+         |    CAST(np AS HUGEINT) * szy - sz * sy AS czy,
+         |    CAST(np AS HUGEINT) * syy - sy * sy AS cyy
+         |  FROM g),
+         |h AS (
+         |  SELECT l_suppkey, np, CAST(np AS DOUBLE) AS n,
+         |    CASE WHEN CAST(CAST(cxx * czz - cxz * cxz AS VARCHAR) AS DOUBLE)
+         |        > 0.0::DOUBLE
+         |      THEN CAST(CAST(cxx * czz - cxz * cxz AS VARCHAR) AS DOUBLE)
+         |    END AS det,
+         |    CAST(CAST(cxx * czy - cxz * cxy AS VARCHAR) AS DOUBLE) AS gnum,
+         |    CAST(CAST(czz * cxy - cxz * czy AS VARCHAR) AS DOUBLE) AS bnum,
+         |    CAST(CAST(cxx AS VARCHAR) AS DOUBLE) AS cxxd,
+         |    CAST(CAST(cxy AS VARCHAR) AS DOUBLE) AS cxyd,
+         |    CAST(CAST(czy AS VARCHAR) AS DOUBLE) AS czyd,
+         |    CAST(CAST(cyy AS VARCHAR) AS DOUBLE) AS cyyd
+         |  FROM c),
+         |t AS (
+         |  SELECT l_suppkey, np,
+         |    bnum / det AS beta, gnum / det AS gamma,
+         |    cyyd - (bnum / det) * cxyd - (gnum / det) * czyd AS ssr
+         |  FROM h),
+         |u AS (
+         |  SELECT t.l_suppkey, t.np, t.beta, t.gamma,
+         |    t.gamma / sqrt(CASE WHEN
+         |        t.ssr * h.cxxd / ((h.n - 3.0::DOUBLE) * h.det) > 0.0::DOUBLE
+         |      THEN t.ssr * h.cxxd / ((h.n - 3.0::DOUBLE) * h.det) END) AS tt
+         |  FROM t JOIN h ON t.l_suppkey = h.l_suppkey)
+         |SELECT l_suppkey, np AS n_pairs,
+         |  CASE WHEN np >= 4 THEN beta END AS ar_beta,
+         |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
+         |  CASE WHEN np >= 4 THEN tt END AS granger_t
+         |FROM u ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.dickeyFuller: (lag, diff) pair sums as HUGEINT, the
     // same NULL-guarded beta/t trees.
     "q_dickey_fuller" ->

@@ -777,6 +777,78 @@ object Stats {
       when(col("n_pairs") >= 3L, t).as("df_t")): _*)
   }
 
+  /** Lag-1 Granger causality per key (public formulation): in the
+    * regression `y_t = α + β·y_{t−1} + γ·x_{t−1}`, does the OTHER
+    * series' history carry information beyond y's own — the t-statistic
+    * on γ̂. The hypothesis-test companion to [[Rolling.crossCorr]]'s
+    * descriptive lead–lag screen (|t| ≳ 2 says the lead is real, not
+    * sampling noise).
+    *
+    * Exactness: both series quantize to scaled BIGINTs; with the
+    * n-multiplied centered sums (`Sxx = nΣx² − (Σx)²`, …) — exact
+    * DECIMALs — the 2-regressor normal equations collapse to fixed
+    * trees: `γ̂ = (Sxx·Szy − Sxz·Sxy)/det`, `det = Sxx·Szz − Sxz²`
+    * (the n factors cancel), `t = γ̂/√(SSR·Sxx/((n−3)·det))` with
+    * `SSR = Syy − β̂·Sxy − γ̂·Szy`. Products reach ~10²⁵ — exact in
+    * DECIMAL(38,0), correctly-rounded on the single cast to double
+    * (the oracle uses the VARCHAR strtod bridge). NULL when n < 4,
+    * a collinear/constant regressor (det ≤ 0), or zero residual
+    * variance. ONE keyed sort, one map-side-combinable aggregate.
+    * Emits (keyCols…, `n_pairs`, `ar_beta`, `granger_gamma`,
+    * `granger_t`). */
+  def grangerLag1(df: DataFrame, yCol: String, xCol: String,
+                  keyCols: Seq[String], orderCols: Seq[String],
+                  yScale: Int = 0, xScale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "grangerLag1 needs at least one key column")
+    require(yScale >= 0 && xScale >= 0)
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pairs", "ar_beta", "granger_gamma", "granger_t",
+        "__y", "__ly", "__lx"), "Stats.grangerLag1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val yi = round(col(yCol).cast("double") * lit(math.pow(10, yScale)))
+      .cast("long")
+    val xiR = round(col(xCol).cast("double") * lit(math.pow(10, xScale)))
+      .cast("long")
+    val base = df
+      .select((keyCols.map(col) :+ yi.as("__y")) :+
+        lag(yi, 1).over(w).as("__ly") :+ lag(xiR, 1).over(w).as("__lx"): _*)
+      .filter(col("__ly").isNotNull && col("__lx").isNotNull &&
+        col("__y").isNotNull)
+    def dd(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    def dp(a: Column, b: Column): Column =
+      sum(a.cast("decimal(38,0)") * b)
+    val (y, x, z) = (col("__y"), col("__ly"), col("__lx"))
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      dd(y).as("__sy"), dd(x).as("__sx"), dd(z).as("__sz"),
+      dp(x, x).as("__sxx"), dp(z, z).as("__szz"), dp(x, z).as("__sxz"),
+      dp(x, y).as("__sxy"), dp(z, y).as("__szy"), dp(y, y).as("__syy"))
+    val nDec = col("n_pairs").cast("decimal(38,0)")
+    def cen(sab: Column, sa: Column, sb: Column): Column =
+      nDec * sab - sa * sb
+    val sxx = cen(col("__sxx"), col("__sx"), col("__sx"))
+    val szz = cen(col("__szz"), col("__sz"), col("__sz"))
+    val sxz = cen(col("__sxz"), col("__sx"), col("__sz"))
+    val sxy = cen(col("__sxy"), col("__sx"), col("__sy"))
+    val szy = cen(col("__szy"), col("__sz"), col("__sy"))
+    val syy = cen(col("__syy"), col("__sy"), col("__sy"))
+    val det = (sxx * szz - sxz * sxz).cast("double")
+    val safeDet = when(det > 0.0, det)
+    val gamma = (sxx * szy - sxz * sxy).cast("double") / safeDet
+    val beta = (szz * sxy - sxz * szy).cast("double") / safeDet
+    val ssr = syy.cast("double") - beta * sxy.cast("double") -
+      gamma * szy.cast("double")
+    val n = col("n_pairs").cast("double")
+    val varG = ssr * sxx.cast("double") / ((n - lit(3.0)) * safeDet)
+    val t = gamma / sqrt(when(varG > 0.0, varG))
+    sums.select((keyCols.map(col) :+ col("n_pairs") :+
+      when(col("n_pairs") >= 4L, beta).as("ar_beta") :+
+      when(col("n_pairs") >= 4L, gamma).as("granger_gamma") :+
+      when(col("n_pairs") >= 4L, t).as("granger_t")): _*)
+  }
+
   /** Standardized effect sizes for a two-variant comparison per group —
     * the "how big, not just how significant" companion to [[welchT]] /
     * [[mannWhitney]]: Cohen's d (pooled-SD mean gap), Hedges' g (the

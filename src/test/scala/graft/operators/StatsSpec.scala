@@ -508,6 +508,39 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("df_beta")))
   }
 
+  test("grangerLag1: hand-computed normal equations") {
+    // y = 1,2,3,5,4 with x = 10,20,10,20,30: centered x4 sums give
+    // det = 10400, gamma = -1080/10400, beta = 7200/10400
+    val y = Seq(1.0, 2.0, 3.0, 5.0, 4.0)
+    val x = Seq(10.0, 20.0, 10.0, 20.0, 30.0)
+    val rows = y.indices.map(t => ("k", t.toLong, y(t), x(t)))
+    val r = Stats.grangerLag1(rows.toDF("key", "t", "y", "x"), "y", "x",
+      Seq("key"), Seq("t")).collect().head
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    val det = 10400.0
+    val gamma = -1080.0 / det
+    val beta = 7200.0 / det
+    assert(r.getAs[Double]("granger_gamma") === gamma)
+    assert(r.getAs[Double]("ar_beta") === beta)
+    val ssr = 20.0 - beta * 18.0 - gamma * 0.0
+    val varG = ssr * 35.0 / ((4.0 - 3.0) * det)
+    assert(r.getAs[Double]("granger_t") === gamma / math.sqrt(varG))
+  }
+
+  test("grangerLag1: constant regressor and short series yield NULLs") {
+    // constant x: det = 0 -> everything NULL
+    val rows = (0 to 5).map(t => ("k", t.toLong, t.toDouble, 7.0))
+    val r1 = Stats.grangerLag1(rows.toDF("key", "t", "y", "x"), "y", "x",
+      Seq("key"), Seq("t")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("granger_gamma")))
+    // 3 pairs: saturated fit -> guarded by n >= 4
+    val short = (0 to 3).map(t => ("k", t.toLong, t * 1.5, t * 2.0))
+    val r2 = Stats.grangerLag1(short.toDF("key", "t", "y", "x"), "y", "x",
+      Seq("key"), Seq("t")).collect().head
+    assert(r2.getAs[Long]("n_pairs") === 3L)
+    assert(r2.isNullAt(r2.fieldIndex("granger_t")))
+  }
+
   test("effectSizes: hand-computed d, g, and Cliff's delta") {
     // A = (1,2,3), B = (4,5,6,7): pooled sp2 = 7/5, gap = -3.5,
     // disjoint arms -> delta = -1
