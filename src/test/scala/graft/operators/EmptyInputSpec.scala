@@ -160,6 +160,45 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Rolling.drawdownEpisodes(emptyBars, "c", p, "i").count() === 0)
   }
 
+  test("round-8 session-5 operators on an empty corpus") {
+    val emptyBars = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("sym", StringType), StructField("i", LongType),
+        StructField("c", DoubleType), StructField("v", DoubleType))))
+    val (p, ord) = (Seq("sym"), Seq("i"))
+    assert(Stats.ljungBox(emptyBars, "c", p, ord, m = 3).count() === 0)
+    assert(Stats.pacf(emptyBars, "c", p, ord).count() === 0)
+    assert(Stats.dickeyFuller(emptyBars, "c", p, ord).count() === 0)
+    assert(Stats.grangerLag1(emptyBars, "c", "v", p, ord).count() === 0)
+    assert(Stats.kendallTau(emptyBars, p, "c", "v").count() === 0)
+    assert(Stats.theilSen(emptyBars, p, "c", "v").count() === 0)
+    assert(Stats.bhAdjust(emptyBars, p, "c", "i").count() === 0)
+    assert(Stats.effectSizes(emptyBars, "c", "sym", "a", "b", Seq("i"))
+      .count() === 0)
+    assert(Stats.cramersV(emptyBars, "sym", "i", Seq("c")).count() === 0)
+    assert(Rolling.crossCorr(emptyBars, "c", "v", p, ord, Seq(-1, 0, 1))
+      .count() === 0)
+    assert(Rolling.harmonicPower(emptyBars, "c", p, ord, Seq(5, 7))
+      .count() === 0)
+    assert(Rolling.amihud(emptyBars, "c", "v", p, ord).count() === 0)
+    assert(Rolling.hurst(emptyBars, "c", p, ord, Seq(4, 8)).count() === 0)
+    assert(Resample.seasonalDecompose(emptyBars, "c", p, ord, period = 3)
+      .count() === 0)
+    assert(Eval.forecastErrors(emptyBars, "c", "v", p, ord).count() === 0)
+    assert(Eval.kaplanMeier(emptyBars, "i", "v", p).count() === 0)
+    assert(Eval.agreement(emptyBars, "c", "i", 0.5, p).count() === 0)
+    assert(Eval.logLoss(emptyBars, "c", "i", p).count() === 0)
+    assert(Eval.rocCurve(emptyBars, "c", "i", p).count() === 0)
+    val emptyHashes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("dhash", LongType))))
+    assert(Multimodal.dhashPairs(emptyHashes, "doc_id").count() === 0)
+    val dh = Multimodal.imageDHash(spark,
+      Multimodal.withMediaPng(spark, emptyDocs, "doc_id", "text"), "doc_id")
+    assert(dh.count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
