@@ -1652,6 +1652,24 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_stream_kalman" -> ((s, d) => {
+      // the StreamingKalman processor in BATCH mode (the q_stream_psar
+      // pattern): per-user filtered level of the event score — a
+      // driver-graded batch/streaming parity proof for the filter
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.KalmanEvent]
+      graft.streaming.StreamingKalman.kalmanBatch(ev).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("kalman"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_granger" -> ((s, d) => {
       // does volume Granger-cause the close, per supplier — the
       // hypothesis-test companion to q_cross_corr's lead-lag screen;
@@ -4186,6 +4204,32 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays StreamingKalman's batch fold (≡ the native kalman window,
+    // spec-asserted) as the q_kalman WITH RECURSIVE machine over the
+    // per-user event stream in (ts, event_id) order.
+    "q_stream_kalman" -> {
+      val Q = "(10.0::DOUBLE/1000.0::DOUBLE)"
+      val R = "(1000.0::DOUBLE/1000.0::DOUBLE)"
+      val pp = s"(h.p + $Q)"
+      val k = s"($pp / ($pp + $R))"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), kal AS (
+         |  SELECT key, ts_us, value, rn, value AS m, $R AS p
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    (h.m + ($k * (s.value - h.m))) AS m,
+         |    ((1.0::DOUBLE - $k) * $pp) AS p
+         |  FROM kal h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, value, m AS kalman
+         |FROM kal ORDER BY key, ts_us, value""".stripMargin
+    },
     // Replays Stats.grangerLag1: HUGEINT centered sums, every
     // centered→double cast through the VARCHAR strtod bridge (products
     // reach ~10³², far past exact-double range), the same fixed trees.
