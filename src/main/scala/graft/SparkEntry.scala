@@ -1652,6 +1652,24 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_stream_holt" -> ((s, d) => {
+      // the StreamingHolt processor in BATCH mode: per-user double-
+      // exponential forecast of the event score — batch/streaming
+      // parity proof for the level/trend machine
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.HoltEvent]
+      graft.streaming.StreamingHolt.holtBatch(ev).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("holt"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_stream_kalman" -> ((s, d) => {
       // the StreamingKalman processor in BATCH mode (the q_stream_psar
       // pattern): per-user filtered level of the event score — a
@@ -4204,6 +4222,33 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays StreamingHolt's batch fold (≡ the native holt window,
+    // spec-asserted) as the q_holt WITH RECURSIVE machine over the
+    // per-user event stream in (ts, event_id) order.
+    "q_stream_holt" -> {
+      val newLvl = "((300.0::DOUBLE/1000.0::DOUBLE)*s.value" +
+        " + (1.0::DOUBLE - 300.0::DOUBLE/1000.0::DOUBLE)*(h.lvl + h.trd))"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), holt AS (
+         |  SELECT key, ts_us, value, rn,
+         |    value AS lvl, CAST(NULL AS DOUBLE) AS trd
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    CASE WHEN h.trd IS NULL THEN s.value ELSE $newLvl END AS lvl,
+         |    CASE WHEN h.trd IS NULL THEN s.value - h.lvl
+         |         ELSE (200.0::DOUBLE/1000.0::DOUBLE)*($newLvl - h.lvl)
+         |              + (1.0::DOUBLE - 200.0::DOUBLE/1000.0::DOUBLE)*h.trd END AS trd
+         |  FROM holt h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, value, lvl + trd AS holt
+         |FROM holt ORDER BY key, ts_us, value""".stripMargin
+    },
     // Replays StreamingKalman's batch fold (≡ the native kalman window,
     // spec-asserted) as the q_kalman WITH RECURSIVE machine over the
     // per-user event stream in (ts, event_id) order.
