@@ -1652,6 +1652,29 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_stream_garch" -> ((s, d) => {
+      // the StreamingGarch processor in BATCH mode: per-user GARCH(1,1)
+      // conditional vol of the event-score CHANGES (first change NULL —
+      // the frozen-state face) — batch/streaming parity proof
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{expr, lag, timestamp_micros, unix_micros}
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = readEventsNanos(s, d)
+        .withColumn("ret", col("value") - lag(col("value"), 1).over(w))
+        .select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("ret"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.GarchEvent]
+      graft.streaming.StreamingGarch.garchBatch(ev).toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("ret"), col("vol"))
+        .orderBy(col("key"), col("ts_us"), col("ret"))
+    }),
     "q_stream_holt" -> ((s, d) => {
       // the StreamingHolt processor in BATCH mode: per-user double-
       // exponential forecast of the event score — batch/streaming
@@ -4222,6 +4245,40 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays StreamingGarch's batch fold (≡ the native garch window,
+    // spec-asserted) as the q_garch WITH RECURSIVE machine over per-user
+    // event-score changes; rn=1 carries the NULL change (frozen state).
+    "q_stream_garch" -> {
+      val W0 = "(2.0::DOUBLE/1000000.0::DOUBLE)"
+      val A = "(100.0::DOUBLE/1000.0::DOUBLE)"
+      val B = "(850.0::DOUBLE/1000.0::DOUBLE)"
+      val uncond = s"($W0 / (1.0::DOUBLE - $A - $B))"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         |    value - lag(value, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS ret,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), g AS (
+         |  SELECT key, ts_us, ret, rn, CAST(NULL AS DOUBLE) AS prev_r,
+         |    CAST(NULL AS DOUBLE) AS sig2
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.ret, s.rn,
+         |    CASE WHEN s.ret IS NULL THEN h.prev_r ELSE s.ret END AS prev_r,
+         |    CASE WHEN s.ret IS NULL THEN h.sig2
+         |         WHEN h.sig2 IS NULL THEN $uncond
+         |         ELSE ($W0 + (($A * (h.prev_r * h.prev_r)) + ($B * h.sig2)))
+         |    END AS sig2
+         |  FROM g h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, ret,
+         |  CASE WHEN ret IS NULL THEN CAST(NULL AS DOUBLE)
+         |       ELSE sqrt(sig2) END AS vol
+         |FROM g ORDER BY key, ts_us, ret""".stripMargin
+    },
     // Replays StreamingHolt's batch fold (≡ the native holt window,
     // spec-asserted) as the q_holt WITH RECURSIVE machine over the
     // per-user event stream in (ts, event_id) order.
