@@ -1652,6 +1652,20 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_holt_winters" -> ((s, d) => {
+      // NATIVE additive Holt-Winters (level + trend + 7-slot seasonal
+      // state as an array agg buffer) over the daily closes — the
+      // seasonal upgrade of q_holt; oracle is a WITH RECURSIVE machine
+      // with the seasonal array unrolled into seven columns
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      dailyBars(s)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          FinancialFunctions.holtWinters(col("close"), 7, 300, 200, 300)
+            .over(w).as("hw"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_stream_garch" -> ((s, d) => {
       // the StreamingGarch processor in BATCH mode: per-user GARCH(1,1)
       // conditional vol of the event-score CHANGES (first change NULL —
@@ -4245,6 +4259,60 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays HoltWinters (WindowIndicators.HoltWinters) as a WITH
+    // RECURSIVE machine with the 7-slot seasonal array unrolled into
+    // columns s0..s6. Every compound tree (seed level, new level, the
+    // seasonal step) is INLINED at every use site (the q_holt lateral-
+    // alias lesson) and the op order copies the Catalyst update
+    // expressions node-for-node.
+    "q_holt_winters" -> {
+      val A = "(300.0::DOUBLE/1000.0::DOUBLE)"
+      val B = "(200.0::DOUBLE/1000.0::DOUBLE)"
+      val G = "(300.0::DOUBLE/1000.0::DOUBLE)"
+      val p = 7
+      def sPrev(ref: String) = s"(CASE ((s.rn - 1) % $p)" +
+        (0 until p).map(k => s" WHEN $k THEN $ref.s$k").mkString +
+        " END)"
+      val seedLvl = s"(s.close - ${sPrev("h")})"
+      val newLvl = s"($A * (s.close - ${sPrev("h")})" +
+        s" + (1.0::DOUBLE - $A) * (h.lvl + h.trd))"
+      val sCols0 = (0 until p).map(k => s"0.0::DOUBLE AS s$k").mkString(", ")
+      val sColsStep = (0 until p).map { k =>
+        s"""CASE WHEN h.trd IS NULL THEN h.s$k
+           |         WHEN ((s.rn - 1) % $p) = $k
+           |           THEN ($G * (s.close - (h.lvl + h.trd))
+           |                 + (1.0::DOUBLE - $G) * h.s$k)
+           |         ELSE h.s$k END AS s$k""".stripMargin
+      }.mkString(",\n    ")
+      val sAtPhase = s"(CASE ((rn - 1) % $p)" +
+        (0 until p).map(k => s" WHEN $k THEN s$k").mkString +
+        " END)"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), hw AS (
+         |  SELECT l_suppkey, l_shipdate, rn,
+         |    (close - 0.0::DOUBLE) AS lvl, CAST(NULL AS DOUBLE) AS trd,
+         |    $sCols0
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    CASE WHEN h.trd IS NULL THEN $seedLvl ELSE $newLvl END AS lvl,
+         |    CASE WHEN h.trd IS NULL THEN ($seedLvl - h.lvl)
+         |         ELSE ($B * ($newLvl - h.lvl)
+         |               + (1.0::DOUBLE - $B) * h.trd) END AS trd,
+         |    $sColsStep
+         |  FROM hw h JOIN seq s
+         |    ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN trd IS NULL THEN CAST(NULL AS DOUBLE)
+         |       ELSE ((lvl + trd) + $sAtPhase) END AS hw
+         |FROM hw ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Replays StreamingGarch's batch fold (≡ the native garch window,
     // spec-asserted) as the q_garch WITH RECURSIVE machine over per-user
     // event-score changes; rn=1 carries the NULL change (frozen state).

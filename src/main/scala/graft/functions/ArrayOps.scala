@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -39,6 +39,13 @@ object SlidePushOps {
     while (i < len) { s += buf.getDouble(i); i += 1 }
     s
   }
+
+  /** Functional element write at a 0-based index. */
+  def setAt(buf: ArrayData, idx: Int, v: Double): ArrayData = {
+    val out = buf.toDoubleArray().clone()
+    out(idx) = v
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** `SlidePush(buf, x)` — the sliding-window buffer push: append `x` to `buf`
@@ -63,6 +70,35 @@ case class SlidePush(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SlidePush =
     copy(left = l, right = r)
+}
+
+/** `SetAt(buf, idx, v)` — functional single-element update of a
+  * non-nullable double array (0-based index): one allocation, one
+  * arraycopy. The seasonal-state write behind [[HoltWinters]]. */
+case class SetAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "set_at"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, false), IntegerType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, i, v) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, int, double), got " +
+          s"(${a.catalogString}, ${i.catalogString}, ${v.catalogString})")
+    }
+
+  override def nullSafeEval(b: Any, i: Any, v: Any): Any =
+    SlidePushOps.setAt(b.asInstanceOf[ArrayData], i.asInstanceOf[Int],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, i, v) => s"graft.functions.SlidePushOps.setAt($b, $i, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SetAt =
+    copy(first = f, second = s, third = t)
 }
 
 /** `FoldSum(buf)` — strict left-to-right sum of a non-nullable double array

@@ -38,6 +38,8 @@ object FinancialFunctions {
     "wilder" -> (e => { val a = arity("wilder", 2)(e); Wilder(a(0), a(1)) }),
     "holt" -> (e => { val a = arity("holt", 3)(e); Holt(a(0), a(1), a(2)) }),
     "kalman" -> (e => { val a = arity("kalman", 3)(e); Kalman(a(0), a(1), a(2)) }),
+    "holt_winters" -> (e => { val a = arity("holt_winters", 5)(e)
+      HoltWinters(a(0), a(1), a(2), a(3), a(4)) }),
     "garch" -> (e => { val a = arity("garch", 4)(e); Garch(a(0), a(1), a(2), a(3)) }),
     "supertrend" -> (e => { val a = arity("supertrend", 3)(e); SuperTrend(a(0), a(1), a(2)) }),
     "psar" -> (e => { val a = arity("psar", 5)(e); Psar(a(0), a(1), a(2), a(3), a(4)) }),
@@ -95,6 +97,12 @@ object FinancialFunctions {
   /** Local-level Kalman filtered level; q/r as permille ints. */
   def kalman(value: Column, qPm: Int, rPm: Int): Column =
     call_function("kalman", value, lit(qPm), lit(rPm))
+  /** Additive Holt–Winters fitted ℓ+b+s; α/β/γ permille, cold-start
+    * zero seasonal state. */
+  def holtWinters(value: Column, period: Int, alphaPm: Int, betaPm: Int,
+                  gammaPm: Int): Column =
+    call_function("holt_winters", value, lit(period), lit(alphaPm),
+      lit(betaPm), lit(gammaPm))
   /** GARCH(1,1) conditional volatility; ω in ppm, α/β permille. */
   def garch(ret: Column, omegaPpm: Int, alphaPm: Int, betaPm: Int): Column =
     call_function("garch", ret, lit(omegaPpm), lit(alphaPm), lit(betaPm))
@@ -128,6 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "holt" -> "holt(value, alpha_pm, beta_pm) - Holt double-exponential one-step forecast",
     "wilder" -> "wilder(value, n) - Wilder smoothing (RSI-style seeded running average)",
     "kalman" -> "kalman(value, q_pm, r_pm) - local-level Kalman filtered level",
+    "holt_winters" -> "holt_winters(value, period, alpha_pm, beta_pm, gamma_pm) - additive Holt-Winters fitted level+trend+seasonal",
     "garch" -> "garch(return, omega_ppm, alpha_pm, beta_pm) - GARCH(1,1) conditional volatility",
     "supertrend" -> "supertrend(upper, lower, close) - SuperTrend ratcheted-band trend line",
     "psar" -> "psar(high, low, af0_pm, step_pm, max_pm) - Wilder's Parabolic SAR",

@@ -438,6 +438,103 @@ case class Holt(value: Expression, alphaPm: Expression, betaPm: Expression)
   * 1000)` is the q/r = 0.01 filter. NULL until seeded; frozen-state NULL
   * contract like every indicator. Beyond-reference operator (reference has
   * no state-space filters); window-argument convention per SURVEY §2.A5. */
+/** `holt_winters(value, period, α_pm, β_pm, γ_pm)` — additive triple
+  * exponential smoothing (Holt–Winters, public textbook): level + trend
+  * + a `period`-slot seasonal state, emitting the fitted
+  * `ℓ_t + b_t + s_t` per row. The seasonal upgrade of [[Holt]] for
+  * series with a known cycle (pick `period` from
+  * [[graft.operators.Rolling.harmonicPower]]'s argmax).
+  *
+  * COLD-START variant (deterministic, online-friendly, the common
+  * streaming-library convention): the seasonal slots initialize to ZERO
+  * and only update once level AND trend are seeded, so rows 1–2 emit
+  * exactly what [[Holt]] would, and with γ = 0 the whole recurrence IS
+  * Holt bit-for-bit (spec-asserted). Updates (all on the previous
+  * state, Catalyst-simultaneous):
+  * `ℓ' = α(x − s_φ) + (1−α)(ℓ + b)`, `b' = β(ℓ' − ℓ) + (1−β)b`,
+  * `s_φ' = γ(x − (ℓ + b)) + (1−γ)s_φ`, φ = (#observed rows) mod period.
+  * Seeds: ℓ₁ = x₁ − s_φ (= x₁), b₂ = ℓ₂ − ℓ₁ with ℓ₂ = x₂ − s_φ.
+  * NULL input freezes the whole state (§7.1) and does NOT advance the
+  * phase. State is period + 3 slots — O(p) per key, p literal. */
+case class HoltWinters(value: Expression, periodE: Expression,
+                       alphaPm: Expression, betaPm: Expression,
+                       gammaPm: Expression)
+    extends IndicatorWindowFunction {
+  private lazy val p: Int = {
+    val v = requireWindowSize(periodE)
+    if (v < 2) throw new IllegalArgumentException(
+      s"$prettyName period must be >= 2, got $v")
+    v
+  }
+  private lazy val alpha = requirePermille(alphaPm) / 1000.0
+  private lazy val beta = requirePermille(betaPm) / 1000.0
+  private lazy val gamma = requirePermille(gammaPm) / 1000.0
+
+  private def requirePermille(e: Expression): Int = {
+    val v = requireWindowSize(e)
+    if (v > 1000) throw new IllegalArgumentException(
+      s"$prettyName smoothing permille must be in [1, 1000], got $v")
+    v
+  }
+
+  override def children: Seq[Expression] =
+    Seq(value, periodE, alphaPm, betaPm, gammaPm)
+  override def prettyName: String = "holt_winters"
+
+  private lazy val lvl = AttributeReference("hwLvl", DoubleType, nullable = true)()
+  private lazy val trd = AttributeReference("hwTrd", DoubleType, nullable = true)()
+  private lazy val sea = AttributeReference("hwSea",
+    ArrayType(DoubleType, containsNull = false), nullable = false)()
+  private lazy val cnt = AttributeReference("hwCnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lvl, trd, sea, cnt, curNull)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    nullDouble, nullDouble,
+    Literal.create(Array.fill(p)(0.0), ArrayType(DoubleType, containsNull = false)),
+    Literal(0L), Literal(false))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val a = Literal(alpha); val b = Literal(beta); val g = Literal(gamma)
+    val pL = Literal(p.toLong)
+    val idx0 = Cast(Pmod(cnt, pL), IntegerType)            // 0-based slot
+    val idx1 = Cast(Add(Pmod(cnt, pL), Literal(1L)), IntegerType)
+    val sPrev = ElementAt(sea, idx1)
+    val seedLvl = Subtract(x, sPrev)
+    val newLvl = Add(Multiply(a, Subtract(x, sPrev)),
+      Multiply(Literal(1.0 - alpha), Add(lvl, trd)))
+    val newSea = Add(Multiply(g, Subtract(x, Add(lvl, trd))),
+      Multiply(Literal(1.0 - gamma), sPrev))
+    Seq(
+      If(IsNull(x), lvl,
+        If(IsNull(lvl), seedLvl,
+          If(IsNull(trd), seedLvl, newLvl))),
+      If(IsNull(x), trd,
+        If(IsNull(lvl), trd,
+          If(IsNull(trd), Subtract(seedLvl, lvl),
+            Add(Multiply(b, Subtract(newLvl, lvl)),
+              Multiply(Literal(1.0 - beta), trd))))),
+      If(Or(IsNull(x), Or(IsNull(lvl), IsNull(trd))), sea,
+        SetAt(sea, idx0, newSea)),
+      If(IsNull(x), cnt, Add(cnt, Literal(1L))),
+      IsNull(x))
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    val pL = Literal(p.toLong)
+    // the just-consumed row's slot: cnt was incremented, so (cnt−1) mod p
+    val prevIdx1 = Cast(
+      Add(Pmod(Subtract(cnt, Literal(1L)), pL), Literal(1L)), IntegerType)
+    If(Or(curNull, IsNull(trd)), nullDouble,
+      Add(Add(lvl, trd), ElementAt(sea, prevIdx1)))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HoltWinters =
+    copy(value = c(0), periodE = c(1), alphaPm = c(2), betaPm = c(3),
+      gammaPm = c(4))
+}
+
 case class Kalman(value: Expression, qPm: Expression, rPm: Expression)
     extends IndicatorWindowFunction {
   private lazy val q = requirePermilleArg(qPm) / 1000.0

@@ -203,4 +203,83 @@ class WindowIndicatorsSpec extends AnyFunSuite {
     // single row per ticker -> both indicators still warming up => null
     out.foreach { r => assert(r.isNullAt(2) && r.isNullAt(3)) }
   }
+
+  /** Scala replica of the HoltWinters update trees, op-for-op (JEP 306
+    * always-strictfp makes it a bit-exact mirror of the Catalyst fold). */
+  private def hwSeries(values: Seq[Option[Double]], p: Int, a: Double,
+                       b: Double, g: Double): Seq[Option[Double]] = {
+    var lvl: Option[Double] = None
+    var trd: Option[Double] = None
+    val s = Array.fill(p)(0.0)
+    var cnt = 0L
+    values.map {
+      case None => None
+      case Some(x) =>
+        val phi = (cnt % p).toInt
+        val sPrev = s(phi)
+        (lvl, trd) match {
+          case (None, _) =>
+            lvl = Some(x - sPrev)
+          case (Some(l), None) =>
+            lvl = Some(x - sPrev); trd = Some((x - sPrev) - l)
+          case (Some(l), Some(t)) =>
+            val newLvl = a * (x - sPrev) + (1.0 - a) * (l + t)
+            trd = Some(b * (newLvl - l) + (1.0 - b) * t)
+            lvl = Some(newLvl)
+            s(phi) = g * (x - (l + t)) + (1.0 - g) * sPrev
+        }
+        cnt += 1
+        trd.map(t => (lvl.get + t) + s(phi))
+    }
+  }
+
+  test("holt_winters SQL matches the Scala replica fold bit-for-bit") {
+    var seed = 42L
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L; seed
+    }
+    val walk: Seq[Option[Double]] = (0 until 200).map { i =>
+      if (i == 77) None // frozen-state row
+      else Some(100.0 + 3.0 * math.sin(2.0 * math.Pi * (i % 7) / 7.0) +
+        (next() >>> 50).toDouble / 1e3)
+    }
+    val got = runSql(walk, "holt_winters(v, 7, 300, 200, 300)")
+    val exp = hwSeries(walk, 7, 0.3, 0.2, 0.3)
+    assert(got.length === exp.length)
+    got.zip(exp).zipWithIndex.foreach { case ((gv, ev), i) =>
+      assert(gv === ev, s"divergence at row $i")
+    }
+  }
+
+  test("holt_winters seeding: rows 1-2 emit exactly what holt would") {
+    val xs = Seq(Some(10.0), Some(12.0), None, Some(13.0))
+    val hw = runSql(xs, "holt_winters(v, 7, 300, 200, 300)")
+    assert(hw(0) === None)                     // trend unseeded
+    assert(hw(1) === Some(12.0 + (12.0 - 10.0))) // 2*x2 - x1, seasonal 0
+    assert(hw(2) === None)                     // frozen NULL row
+  }
+
+  test("holt_winters learns a planted additive seasonal pattern") {
+    val s = Seq(2.0, -1.0, -1.0)
+    val xs: Seq[Option[Double]] =
+      (0 until 120).map(t => Some(50.0 + s(t % 3)))
+    val out = runSql(xs, "holt_winters(v, 3, 200, 100, 500)")
+    // after convergence the fitted value tracks the planted curve closely
+    val tail = out.drop(100).map(_.get)
+    val target = (100 until 120).map(t => 50.0 + s(t % 3))
+    tail.zip(target).foreach { case (f, x) =>
+      assert(math.abs(f - x) < 0.15, s"fit $f vs $x")
+    }
+  }
+
+  test("holt_winters argument rails") {
+    val e1 = intercept[Exception] {
+      runSql(series, "holt_winters(v, 1, 300, 200, 300)")
+    }
+    assert(e1.getMessage.contains("period"))
+    val e2 = intercept[Exception] {
+      runSql(series, "holt_winters(v, 7, 1500, 200, 300)")
+    }
+    assert(e2.getMessage.contains("permille"))
+  }
 }
