@@ -1666,6 +1666,25 @@ object SparkEntry {
             .over(w).as("hw"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
+    "q_stream_hw" -> ((s, d) => {
+      // the StreamingHoltWinters processor in BATCH mode: per-user
+      // seasonal fitted level of the event score (p = 7) —
+      // batch/streaming parity proof for the seasonal machine
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.HwEvent]
+      graft.streaming.StreamingHoltWinters.holtWintersBatch(ev, period = 7)
+        .toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("hw"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_stream_garch" -> ((s, d) => {
       // the StreamingGarch processor in BATCH mode: per-user GARCH(1,1)
       // conditional vol of the event-score CHANGES (first change NULL —
@@ -4312,6 +4331,57 @@ object SparkEntry {
          |  CASE WHEN trd IS NULL THEN CAST(NULL AS DOUBLE)
          |       ELSE ((lvl + trd) + $sAtPhase) END AS hw
          |FROM hw ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Replays StreamingHoltWinters' batch fold (≡ the native
+    // holt_winters window, spec-asserted) as the q_holt_winters
+    // unrolled-seasonal WITH RECURSIVE machine over the per-user event
+    // stream in (ts, event_id) order.
+    "q_stream_hw" -> {
+      val A = "(300.0::DOUBLE/1000.0::DOUBLE)"
+      val B = "(200.0::DOUBLE/1000.0::DOUBLE)"
+      val G = "(300.0::DOUBLE/1000.0::DOUBLE)"
+      val p = 7
+      def sPrev(ref: String) = s"(CASE ((s.rn - 1) % $p)" +
+        (0 until p).map(k => s" WHEN $k THEN $ref.s$k").mkString +
+        " END)"
+      val seedLvl = s"(s.value - ${sPrev("h")})"
+      val newLvl = s"($A * (s.value - ${sPrev("h")})" +
+        s" + (1.0::DOUBLE - $A) * (h.lvl + h.trd))"
+      val sCols0 = (0 until p).map(k => s"0.0::DOUBLE AS s$k").mkString(", ")
+      val sColsStep = (0 until p).map { k =>
+        s"""CASE WHEN h.trd IS NULL THEN h.s$k
+           |         WHEN ((s.rn - 1) % $p) = $k
+           |           THEN ($G * (s.value - (h.lvl + h.trd))
+           |                 + (1.0::DOUBLE - $G) * h.s$k)
+           |         ELSE h.s$k END AS s$k""".stripMargin
+      }.mkString(",\n    ")
+      val sAtPhase = s"(CASE ((rn - 1) % $p)" +
+        (0 until p).map(k => s" WHEN $k THEN s$k").mkString +
+        " END)"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), hw AS (
+         |  SELECT key, ts_us, value, rn,
+         |    (value - 0.0::DOUBLE) AS lvl, CAST(NULL AS DOUBLE) AS trd,
+         |    $sCols0
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    CASE WHEN h.trd IS NULL THEN $seedLvl ELSE $newLvl END AS lvl,
+         |    CASE WHEN h.trd IS NULL THEN ($seedLvl - h.lvl)
+         |         ELSE ($B * ($newLvl - h.lvl)
+         |               + (1.0::DOUBLE - $B) * h.trd) END AS trd,
+         |    $sColsStep
+         |  FROM hw h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |)
+         |SELECT key, ts_us, value,
+         |  CASE WHEN trd IS NULL THEN CAST(NULL AS DOUBLE)
+         |       ELSE ((lvl + trd) + $sAtPhase) END AS hw
+         |FROM hw ORDER BY key, ts_us, value""".stripMargin
     },
     // Replays StreamingGarch's batch fold (≡ the native garch window,
     // spec-asserted) as the q_garch WITH RECURSIVE machine over per-user
