@@ -88,7 +88,8 @@ object ScaleProbe {
     "q_kaplan_meier", "q_pacf", "q_theil_sen", "q_effect_sizes",
     "q_cramers_v", "q_media_dhash", "q_media_dhash_pairs",
     "q_dickey_fuller", "q_granger", "q_stream_kalman", "q_stream_holt",
-    "q_stream_garch", "q_holt_winters", "q_stream_hw")
+    "q_stream_garch", "q_holt_winters", "q_stream_hw",
+    "q_seasonal_anomaly")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1652,6 +1652,28 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_seasonal_anomaly" -> ((s, d) => {
+      // the composition flagship: seasonal decomposition (p=7) feeds a
+      // per-supplier MAD outlier screen on the RESIDUALS — anomalies
+      // after the weekly cycle is explained away, not before; residuals
+      // quantize to 6 dp so both engines interpolate medians on
+      // integer-valued doubles (exact)
+      load(s, d)
+      import org.apache.spark.sql.functions.{lit, round}
+      val dec = operators.Resample.seasonalDecompose(dailyBars(s)
+          .select(col("l_suppkey"), col("l_shipdate"), col("close")),
+          "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
+          scale = 2)
+        .filter(col("resid").isNotNull)
+        .withColumn("resid_q", round(col("resid") * lit(1e6)))
+      operators.Anomaly.madOutliers(
+          dec.select(col("l_suppkey"), col("l_shipdate"), col("resid_q")),
+          "resid_q", Seq("l_suppkey"), threshold = 3.5)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          (col("resid_q") / lit(1e6)).as("resid"), col("robust_z"),
+          col("is_outlier"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_holt_winters" -> ((s, d) => {
       // NATIVE additive Holt-Winters (level + trend + 7-slot seasonal
       // state as an array agg buffer) over the daily closes — the
@@ -4278,6 +4300,65 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays the q_seasonal residual machine, then the q_mad_outliers
+    // screen on the 6-dp-quantized residuals (integer-valued doubles —
+    // both engines' median interpolation is exact there).
+    "q_seasonal_anomaly" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), base AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    CASE WHEN count(*) OVER (ws ROWS BETWEEN 3 PRECEDING AND
+         |        3 FOLLOWING) = 7
+         |      THEN sum(CAST(round(close * 100.0::DOUBLE) AS BIGINT))
+         |        OVER (ws ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |    END AS num,
+         |    CAST((row_number() OVER ws - 1) % 7 AS INTEGER) AS phase
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |pm AS (
+         |  SELECT l_suppkey, phase,
+         |    CAST(sum(CAST(7 * x - num AS HUGEINT)) AS DOUBLE) /
+         |      (CAST(count(7 * x - num) AS DOUBLE) * 7.0::DOUBLE) AS sm
+         |  FROM base GROUP BY l_suppkey, phase),
+         |aj AS (
+         |  SELECT l_suppkey,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(sm ORDER BY phase)), (acc, e) -> acc + e) /
+         |      CAST(count(*) AS DOUBLE) AS adj
+         |  FROM pm WHERE sm IS NOT NULL GROUP BY l_suppkey),
+         |res AS (
+         |  SELECT base.l_suppkey, base.l_shipdate,
+         |    round((((CAST(base.x AS DOUBLE) * 7.0::DOUBLE -
+         |      CAST(base.num AS DOUBLE)) / 7.0::DOUBLE -
+         |      (pm.sm - aj.adj)) / 100.0::DOUBLE) * 1000000.0::DOUBLE)
+         |      AS resid_q
+         |  FROM base
+         |  JOIN pm ON base.l_suppkey = pm.l_suppkey AND base.phase = pm.phase
+         |  LEFT JOIN aj ON base.l_suppkey = aj.l_suppkey
+         |  WHERE base.num IS NOT NULL),
+         |m AS (
+         |  SELECT l_suppkey, quantile_cont(resid_q, 0.5) AS med
+         |  FROM res GROUP BY l_suppkey),
+         |dev AS (
+         |  SELECT res.l_suppkey, res.l_shipdate, res.resid_q, m.med,
+         |    abs(res.resid_q - m.med) AS dv
+         |  FROM res JOIN m USING (l_suppkey)),
+         |md AS (
+         |  SELECT l_suppkey, quantile_cont(dv, 0.5) AS mad
+         |  FROM dev GROUP BY l_suppkey)
+         |SELECT dev.l_suppkey, dev.l_shipdate,
+         |  dev.resid_q / 1000000.0::DOUBLE AS resid,
+         |  CASE WHEN md.mad > 0.0 THEN
+         |    (dev.resid_q - dev.med) / (1.4826::DOUBLE * md.mad)
+         |  ELSE 0.0 END AS robust_z,
+         |  CASE WHEN md.mad > 0.0 THEN
+         |    abs((dev.resid_q - dev.med) / (1.4826::DOUBLE * md.mad))
+         |      > 3.5::DOUBLE
+         |  ELSE FALSE END AS is_outlier
+         |FROM dev JOIN md USING (l_suppkey)
+         |ORDER BY dev.l_suppkey, dev.l_shipdate""".stripMargin,
     // Replays HoltWinters (WindowIndicators.HoltWinters) as a WITH
     // RECURSIVE machine with the 7-slot seasonal array unrolled into
     // columns s0..s6. Every compound tree (seed level, new level, the
