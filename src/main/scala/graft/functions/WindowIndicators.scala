@@ -481,6 +481,16 @@ case class HoltWinters(value: Expression, periodE: Expression,
     Seq(value, periodE, alphaPm, betaPm, gammaPm)
   override def prettyName: String = "holt_winters"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else try { p; alpha; beta; gamma; TypeCheckResult.TypeCheckSuccess }
+    catch {
+      case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(e.getMessage)
+    }
+  }
+
   private lazy val lvl = AttributeReference("hwLvl", DoubleType, nullable = true)()
   private lazy val trd = AttributeReference("hwTrd", DoubleType, nullable = true)()
   private lazy val sea = AttributeReference("hwSea",

@@ -54,6 +54,20 @@ object ManualDrive {
         |FROM lineitem""".stripMargin)
       .filter("(l_linenumber = 3 AND p IS NOT NULL) OR (l_linenumber <> 3 AND p <> 1.0)")
       .count())
+    // holt_winters through the SQL surface: a constant series must fit
+    // itself exactly once level+trend are seeded (trend 0, seasonal 0)
+    println("HOLT_WINTERS_BAD_ROWS=" + spark.sql(
+      """SELECT l_quantity,
+        |  holt_winters(42.0, 7, 300, 200, 300)
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber) hw,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber) rn
+        |FROM lineitem""".stripMargin)
+      .filter("(rn >= 2 AND hw <> 42.0) OR (rn = 1 AND hw IS NOT NULL)")
+      .count())
+    probe("PROBE_HW_PERIOD",
+      "SELECT holt_winters(l_quantity, 1, 300, 200, 300) OVER (ORDER BY l_orderkey) FROM lineitem")
     spark.stop()
     println("DONE")
   }
