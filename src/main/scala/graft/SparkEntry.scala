@@ -1652,6 +1652,19 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_rolling_sharpe" -> ((s, d) => {
+      // 21-day rolling Sharpe of the per-supplier log returns,
+      // annualized by sqrt(252) — the regime monitor beside the
+      // whole-series q_perf_summary; exact integer frame sums
+      load(s, d)
+      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+        Seq("l_suppkey"), Seq("l_shipdate"))
+      operators.Rolling.rollingSharpe(rets, "ret_log",
+          Seq("l_suppkey"), Seq("l_shipdate"), n = 21,
+          annualize = math.sqrt(252.0))
+        .select(col("l_suppkey"), col("l_shipdate"), col("roll_sharpe"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_seasonal_anomaly" -> ((s, d) => {
       // the composition flagship: seasonal decomposition (p=7) feeds a
       // per-supplier MAD outlier screen on the RESIDUALS — anomalies
@@ -4300,6 +4313,44 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Rolling.rollingSharpe: the q_risk_ratios 10-dp log-return
+    // quantization, exact 21-row frame sums (squares via HUGEINT), the
+    // same mean/σ ratio tree with sqrt(252) baked as a strtod literal.
+    "q_rolling_sharpe" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN lag(close) OVER ws IS NOT NULL
+         |          AND lag(close) OVER ws > 0.0::DOUBLE
+         |          AND close > 0.0::DOUBLE
+         |         THEN round(ln(close / lag(close) OVER ws), 10) + 0.0
+         |    END AS ret_log
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), b AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(ret_log * 10000000000.0::DOUBLE) AS BIGINT) AS ri
+         |  FROM r
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    count(ri) OVER wf AS cnt,
+         |    CAST(sum(ri) OVER wf AS DOUBLE) AS s1,
+         |    -- squares sum passes 2^53: strtod bridge (NOTES round-8)
+         |    CAST(CAST(sum(CAST(ri AS HUGEINT) * ri) OVER wf AS VARCHAR)
+         |      AS DOUBLE) AS s2
+         |  FROM b
+         |  WINDOW wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+         |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT l_suppkey, l_shipdate,
+         |  CASE WHEN cnt = 21
+         |        AND (s2 / 21.0::DOUBLE - (s1 / 21.0::DOUBLE) * (s1 / 21.0::DOUBLE)) > 0.0::DOUBLE
+         |  THEN (s1 / 21.0::DOUBLE) /
+         |    sqrt(s2 / 21.0::DOUBLE - (s1 / 21.0::DOUBLE) * (s1 / 21.0::DOUBLE))
+         |    * CAST('${math.sqrt(252.0).toString}' AS DOUBLE)
+         |  END AS roll_sharpe
+         |FROM f ORDER BY l_suppkey, l_shipdate""".stripMargin,
     // Replays the q_seasonal residual machine, then the q_mad_outliers
     // screen on the 6-dp-quantized residuals (integer-valued doubles —
     // both engines' median interpolation is exact there).

@@ -2160,6 +2160,42 @@ object Rolling {
         (ca * ca + cb * cb) / col("n").cast("double")).as("power")): _*)
   }
 
+  /** Rolling Sharpe ratio over a trailing n-return frame — the windowed
+    * companion to [[riskRatios]]' whole-series readout: per row,
+    * `mean(r)/stddev(r)` over the last n returns (population σ, the
+    * RiskMetrics convention; multiply by `annualize` for yearly units).
+    * The regime monitor: a strategy whose rolling Sharpe decays is dying
+    * long before its whole-series number notices.
+    *
+    * Exactness: returns quantize to 10-dp BIGINTs ([[logReturns]]'
+    * convention); the frame's Σr and Σr² are exact integer window sums
+    * (r² per term goes decimal first — the [[riskRatios]] overflow
+    * rule), and the ratio is the fixed tree
+    * `(Σr/n) / √(Σr²/n − (Σr/n)²)` descaled only through the σ ratio
+    * (scale cancels). NULL until the frame holds n non-null returns and
+    * on zero variance. One keyed Window pass. Adds `roll_sharpe`. */
+  def rollingSharpe(df: DataFrame, retCol: String, partCols: Seq[String],
+                    orderCols: Seq[String], n: Int,
+                    annualize: Double = 1.0): DataFrame = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(annualize > 0.0, s"annualize must be positive, got $annualize")
+    Guards.requireNoReserved(df.columns,
+      Seq("roll_sharpe", "__ri"), "Rolling.rollingSharpe")
+    val w = frame(partCols, orderCols, n)
+    val ri = round(col(retCol).cast("double") * lit(1e10)).cast("long")
+    val nD = lit(n.toDouble)
+    val s1 = sum(col("__ri")).over(w).cast("double")
+    val s2 = sum(col("__ri").cast("decimal(38,0)") * col("__ri")).over(w)
+      .cast("double")
+    val mean = s1 / nD
+    val variance = s2 / nD - mean * mean
+    df.withColumn("__ri", ri)
+      .withColumn("roll_sharpe",
+        when(count(col("__ri")).over(w) === n && variance > 0.0,
+          mean / sqrt(variance) * lit(annualize)))
+      .drop("__ri")
+  }
+
   /** Hurst exponent per key via rescaled-range (R/S) analysis (Hurst
     * 1951 / Mandelbrot, public formula): slope of ln(avg R/S) against
     * ln(block size) over a literal ladder of block sizes — the

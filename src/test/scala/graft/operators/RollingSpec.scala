@@ -1152,6 +1152,21 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(r2.isNullAt(r2.fieldIndex("hurst")))  // zero-variance blocks
   }
 
+  test("rollingSharpe: hand-computed ratio, warm-up and zero-variance NULL") {
+    val rows = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
+      ("k", 4L, 2.0), ("z", 1L, 5.0), ("z", 2L, 5.0), ("z", 3L, 5.0))
+    val out = Rolling.rollingSharpe(rows.toDF("key", "t", "r"), "r",
+        Seq("key"), Seq("t"), n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("k", 2L)).isNullAt(out(("k", 2L)).fieldIndex("roll_sharpe")))
+    // frame (1,2,3) scaled 1e10: mean 2e10, var = 1.4e21/3 - 4e20
+    val m = 2e10
+    val v = 1.4e21 / 3.0 - m * m
+    assert(out(("k", 3L)).getAs[Double]("roll_sharpe") ===
+      m / math.sqrt(v) * 1.0)
+    assert(out(("z", 3L)).isNullAt(out(("z", 3L)).fieldIndex("roll_sharpe")))
+  }
+
   test("amihud: constant price has zero illiquidity, empty key NULL") {
     val rows = Seq(("k", 1L, 5.0, 2.0), ("k", 2L, 5.0, 3.0),
       ("e", 1L, 4.0, 1.0))
