@@ -1652,6 +1652,14 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_runs_test" -> ((s, d) => {
+      // per-supplier Wald-Wolfowitz runs test on the close — the
+      // distribution-free randomness screen beside q_ljung_box
+      load(s, d)
+      operators.Stats.runsTest(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_rolling_sharpe" -> ((s, d) => {
       // 21-day rolling Sharpe of the per-supplier log returns,
       // annualized by sqrt(252) — the regime monitor beside the
@@ -4313,6 +4321,54 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.runsTest: quantized diff signs (zeros dropped),
+    // run starts by lag over the filtered sign sequence, the exact
+    // mu/sigma trees.
+    "q_runs_test" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |            - lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |              OVER ws > 0 THEN 1
+         |         WHEN CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |            - lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |              OVER ws < 0 THEN -1
+         |    END AS sg
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |f AS (
+         |  SELECT l_suppkey, l_shipdate, sg,
+         |    CASE WHEN lag(sg, 1) OVER (PARTITION BY l_suppkey
+         |           ORDER BY l_shipdate) IS NULL
+         |          OR lag(sg, 1) OVER (PARTITION BY l_suppkey
+         |           ORDER BY l_shipdate) <> sg THEN 1 ELSE 0 END AS ps
+         |  FROM s WHERE sg IS NOT NULL),
+         |g AS (
+         |  SELECT l_suppkey,
+         |    CAST(count(CASE WHEN sg = 1 THEN 1 END) AS BIGINT) AS n_up,
+         |    CAST(count(CASE WHEN sg = -1 THEN 1 END) AS BIGINT) AS n_down,
+         |    CAST(sum(ps) AS BIGINT) AS runs
+         |  FROM f GROUP BY l_suppkey),
+         |h AS (
+         |  SELECT l_suppkey, n_up, n_down, runs,
+         |    CAST(2 * CAST(n_up AS HUGEINT) * n_down AS DOUBLE)
+         |      / CAST(CAST(n_up AS HUGEINT) + n_down AS DOUBLE)
+         |      + 1.0::DOUBLE AS mu,
+         |    CAST((2 * CAST(n_up AS HUGEINT) * n_down)
+         |        * (2 * CAST(n_up AS HUGEINT) * n_down
+         |           - (CAST(n_up AS HUGEINT) + n_down)) AS DOUBLE)
+         |    / CAST((CAST(n_up AS HUGEINT) + n_down)
+         |        * (CAST(n_up AS HUGEINT) + n_down)
+         |        * ((CAST(n_up AS HUGEINT) + n_down) - 1) AS DOUBLE) AS sig2
+         |  FROM g)
+         |SELECT l_suppkey, n_up, n_down, runs,
+         |  CASE WHEN n_up >= 1 AND n_down >= 1 AND n_up + n_down >= 2 THEN
+         |    (CAST(runs AS DOUBLE) - mu) /
+         |      sqrt(CASE WHEN sig2 > 0.0::DOUBLE THEN sig2 END)
+         |  END AS runs_z
+         |FROM h ORDER BY l_suppkey""".stripMargin,
     // Replays Rolling.rollingSharpe: the q_risk_ratios 10-dp log-return
     // quantization, exact 21-row frame sums (squares via HUGEINT), the
     // same mean/σ ratio tree with sqrt(252) baked as a strtod literal.

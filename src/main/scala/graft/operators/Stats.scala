@@ -723,6 +723,63 @@ object Stats {
             sqrt(denomX * denomY)).as("tau")): _*)
   }
 
+  /** Wald–Wolfowitz runs test per key (public formula): dichotomize the
+    * series by the SIGN of its first difference (zeros dropped), count
+    * maximal same-sign runs R, and score
+    * `z = (R − μ)/σ` with `μ = 2·n₊·n₋/n + 1` and
+    * `σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1))` — the distribution-free
+    * randomness screen beside [[ljungBox]] (too FEW runs ⇒ trending,
+    * too MANY ⇒ mean-reverting, |z| ≳ 2 either way).
+    *
+    * Exactness: signs come from quantized BIGINT differences; R and the
+    * counts are exact integers on one keyed sort (a run starts where
+    * the sign differs from the previous sign); μ and σ² are fixed
+    * IEEE trees on DECIMAL-exact products (2n₊n₋ and its n-product
+    * stay integral). NULL z when n₊ = 0 or n₋ = 0 or n < 2.
+    * One keyed sort + one map-side-combinable aggregate. Emits
+    * (keyCols…, `n_up`, `n_down`, `runs`, `runs_z`). */
+  def runsTest(df: DataFrame, valueCol: String, keyCols: Seq[String],
+               orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "runsTest needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_up", "n_down", "runs", "runs_z", "__x", "__s", "__ps"),
+      "Stats.runsTest")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val d = xi - lag(xi, 1).over(w)
+    val sign = when(d > 0L, lit(1)).when(d < 0L, lit(-1))
+    val base = df
+      .select((keyCols.map(col) ++ orderCols.map(col)) :+ sign.as("__s"): _*)
+      .filter(col("__s").isNotNull)
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val newRun = when(lag(col("__s"), 1).over(sw).isNull ||
+      lag(col("__s"), 1).over(sw) =!= col("__s"), 1).otherwise(0)
+    val sums = base.withColumn("__ps", newRun)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(when(col("__s") === 1, 1)).as("n_up"),
+        count(when(col("__s") === -1, 1)).as("n_down"),
+        sum(col("__ps")).as("runs"))
+    val nU = col("n_up").cast("decimal(38,0)")
+    val nD = col("n_down").cast("decimal(38,0)")
+    val nT = nU + nD
+    val twoUD = (lit(2L).cast("decimal(38,0)") * nU * nD)
+    val mu = twoUD.cast("double") / nT.cast("double") + lit(1.0)
+    val sig2 = (twoUD * (twoUD - nT)).cast("double") /
+      (nT * nT * (nT - lit(1L).cast("decimal(38,0)"))).cast("double")
+    val z = (col("runs").cast("double") - mu) /
+      sqrt(when(sig2 > 0.0, sig2))
+    sums.select((keyCols.map(col) :+ col("n_up") :+ col("n_down") :+
+      col("runs") :+
+      when(col("n_up") >= 1L && col("n_down") >= 1L &&
+        col("n_up") + col("n_down") >= 2L, z).as("runs_z")): _*)
+  }
+
   /** Dickey–Fuller unit-root test per key (the constant-only DF form,
     * public): regress `Δx_t = α + β·x_{t−1}` and report β̂ and its
     * t-statistic — the stationarity screen run before ANY mean-reversion

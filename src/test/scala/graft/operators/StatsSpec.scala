@@ -508,6 +508,33 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("df_beta")))
   }
 
+  test("runsTest: hand-computed z on an alternating series") {
+    // diffs +,-,+,-: 4 runs of 2 up / 2 down -> z = 1/sqrt(2/3)
+    val rows = Seq(1.0, 2.0, 1.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }
+    val r = Stats.runsTest(rows.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(r.getAs[Long]("n_up") === 2L)
+    assert(r.getAs[Long]("n_down") === 2L)
+    assert(r.getAs[Long]("runs") === 4L)
+    val mu = 8.0 / 4.0 + 1.0
+    val sig2 = 32.0 / 48.0
+    assert(r.getAs[Double]("runs_z") === (4.0 - mu) / math.sqrt(sig2))
+  }
+
+  test("runsTest: one-sided series yields NULL z; zero diffs drop") {
+    val trend = (1 to 6).map(t => ("k", t.toLong, t.toDouble))
+    val r1 = Stats.runsTest(trend.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(r1.getAs[Long]("runs") === 1L)
+    assert(r1.isNullAt(r1.fieldIndex("runs_z")))   // n_down = 0
+    val flat = Seq(("k", 1L, 1.0), ("k", 2L, 1.0), ("k", 3L, 2.0))
+    val r2 = Stats.runsTest(flat.toDF("key", "t", "x"), "x", Seq("key"),
+      Seq("t")).collect().head
+    assert(r2.getAs[Long]("n_up") === 1L)          // the 0-diff dropped
+    assert(r2.getAs[Long]("n_down") === 0L)
+  }
+
   test("grangerLag1: hand-computed normal equations") {
     // y = 1,2,3,5,4 with x = 10,20,10,20,30: centered x4 sums give
     // det = 10400, gamma = -1080/10400, beta = 7200/10400
