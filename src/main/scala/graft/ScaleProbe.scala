@@ -89,7 +89,8 @@ object ScaleProbe {
     "q_cramers_v", "q_media_dhash", "q_media_dhash_pairs",
     "q_dickey_fuller", "q_granger", "q_stream_kalman", "q_stream_holt",
     "q_stream_garch", "q_holt_winters", "q_stream_hw",
-    "q_seasonal_anomaly", "q_rolling_sharpe", "q_runs_test")
+    "q_seasonal_anomaly", "q_rolling_sharpe", "q_runs_test",
+    "q_mann_kendall")
 
   private case class Shift(col: String, offset: Long)
 

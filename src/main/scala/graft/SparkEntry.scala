@@ -1652,6 +1652,16 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_mann_kendall" -> ((s, d) => {
+      // per-supplier Mann-Kendall trend test on the close over a
+      // BOUNDED 100-supplier panel (the within-key O(n²) contract) —
+      // the distribution-free trend answer beside q_dickey_fuller
+      load(s, d)
+      operators.Stats.mannKendall(
+          dailyBars(s).filter(col("l_suppkey") < 100),
+          "close", Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_runs_test" -> ((s, d) => {
       // per-supplier Wald-Wolfowitz runs test on the close — the
       // distribution-free randomness screen beside q_ljung_box
@@ -4321,6 +4331,49 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Stats.mannKendall: time-ordered sign pairs, per-value tie
+    // groups, the tie-corrected variance and continuity-corrected z.
+    "q_mann_kendall" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), base AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS xi,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) AS rn
+         |  FROM bars WHERE l_suppkey < 100),
+         |sp AS (
+         |  SELECT a.l_suppkey,
+         |    CAST(count(CASE WHEN b.xi > a.xi THEN 1 END) AS BIGINT)
+         |      - CAST(count(CASE WHEN b.xi < a.xi THEN 1 END) AS BIGINT)
+         |      AS s_stat
+         |  FROM base a JOIN base b
+         |    ON a.l_suppkey = b.l_suppkey AND a.rn < b.rn
+         |  GROUP BY a.l_suppkey),
+         |tg AS (
+         |  SELECT l_suppkey, xi, CAST(count(*) AS BIGINT) AS t
+         |  FROM base GROUP BY l_suppkey, xi),
+         |ties AS (
+         |  SELECT l_suppkey, CAST(sum(t) AS BIGINT) AS n,
+         |    CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+         |      AS HUGEINT) AS tcorr
+         |  FROM tg GROUP BY l_suppkey),
+         |v AS (
+         |  SELECT ties.l_suppkey, ties.n,
+         |    coalesce(sp.s_stat, 0) AS s_stat,
+         |    CAST(CAST(ties.n AS HUGEINT) * (CAST(ties.n AS HUGEINT) - 1)
+         |        * (2 * CAST(ties.n AS HUGEINT) + 5) - ties.tcorr AS DOUBLE)
+         |      / 18.0::DOUBLE AS variance
+         |  FROM ties LEFT JOIN sp ON ties.l_suppkey = sp.l_suppkey)
+         |SELECT l_suppkey, n, s_stat,
+         |  CASE WHEN n >= 2 AND variance > 0.0::DOUBLE THEN
+         |    CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0::DOUBLE)
+         |           / sqrt(CASE WHEN variance > 0.0::DOUBLE THEN variance END)
+         |         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0::DOUBLE)
+         |           / sqrt(CASE WHEN variance > 0.0::DOUBLE THEN variance END)
+         |         ELSE 0.0::DOUBLE END
+         |  END AS mk_z
+         |FROM v ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.runsTest: quantized diff signs (zeros dropped),
     // run starts by lag over the filtered sign sequence, the exact
     // mu/sigma trees.

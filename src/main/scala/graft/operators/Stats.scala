@@ -723,6 +723,68 @@ object Stats {
             sqrt(denomX * denomY)).as("tau")): _*)
   }
 
+  /** Mann–Kendall trend test per key (public formula): over the
+    * time-ordered series, `S = Σ_{i<j} sign(x_j − x_i)` with the
+    * tie-corrected variance
+    * `Var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18` and the
+    * continuity-corrected `z = (S ∓ 1)/√Var` — the distribution-free
+    * IS-there-a-trend answer that [[dickeyFuller]]'s parametric form
+    * can miss on non-linear drifts. Sen's slope (the magnitude) is
+    * [[theilSen]] against the time ordinal.
+    *
+    * Exactness: sign pairs compare quantized BIGINTs, S and the tie
+    * sums are exact integers, z is one fixed tree. NULL z when n < 2
+    * or Var ≤ 0 (all values tied). SCALE CONTRACT as [[kendallTau]]:
+    * within-key O(n²) pairs — bounded series per key (10²–10⁴ rows),
+    * the cross-section fans out freely. Emits (keyCols…, `n`, `s_stat`,
+    * `mk_z`). */
+  def mannKendall(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                  orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "mannKendall needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "s_stat", "mk_z", "__xi", "__rn"), "Stats.mannKendall")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df.filter(xi.isNotNull)
+      .select((keyCols.map(col) :+ xi.as("__xi")) :+
+        row_number().over(w).as("__rn"): _*)
+    val r = base.select(col(keyCols.head).as("__gk0") +:
+      (keyCols.tail.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__gk${i + 1}") } :+
+        col("__xi").as("__xj") :+ col("__rn").as("__rj")): _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) === col(s"__gk$i") }
+      .reduce(_ && _) && col("__rn") < col("__rj")
+    val sPairs = base.join(r, cond)
+      .groupBy(keyCols.map(col): _*)
+      .agg((count(when(col("__xj") > col("__xi"), 1)) -
+        count(when(col("__xj") < col("__xi"), 1))).as("s_stat"))
+    val ties = base.groupBy((keyCols.map(col) :+ col("__xi")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__t")).as("n"),
+        sum(col("__t").cast("decimal(38,0)") *
+          (col("__t") - lit(1L)) * (lit(2L) * col("__t") + lit(5L)))
+          .as("__tcorr"))
+    val nDec = col("n").cast("decimal(38,0)")
+    val varNum = (nDec * (nDec - lit(1L).cast("decimal(38,0)")) *
+      (lit(2L).cast("decimal(38,0)") * nDec +
+        lit(5L).cast("decimal(38,0)")) - col("__tcorr")).cast("double")
+    val variance = varNum / lit(18.0)
+    val s = coalesce(col("s_stat"), lit(0L))
+    val safeVar = when(variance > 0.0, variance)
+    val z = when(s > 0L, (s.cast("double") - lit(1.0)) / sqrt(safeVar))
+      .when(s < 0L, (s.cast("double") + lit(1.0)) / sqrt(safeVar))
+      .otherwise(lit(0.0))
+    ties.join(sPairs, keyCols, "left")
+      .select((keyCols.map(col) :+ col("n") :+ s.as("s_stat") :+
+        when(col("n") >= 2L && variance > 0.0, z).as("mk_z")): _*)
+  }
+
   /** Wald–Wolfowitz runs test per key (public formula): dichotomize the
     * series by the SIGN of its first difference (zeros dropped), count
     * maximal same-sign runs R, and score

@@ -508,6 +508,34 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("df_beta")))
   }
 
+  test("mannKendall: hand-computed S and tie-corrected z") {
+    // monotone: S = 10 over C(5,2) pairs, no ties
+    val up = (1 to 5).map(t => ("u", t.toLong, t.toDouble))
+    // with a tie at 2: S = 5, tie term 2·1·9 = 18
+    val tied = Seq(("t", 1L, 1.0), ("t", 2L, 2.0), ("t", 3L, 2.0),
+      ("t", 4L, 3.0))
+    val out = Stats.mannKendall((up ++ tied).toDF("key", "tt", "x"), "x",
+        Seq("key"), Seq("tt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getAs[Long]("s_stat") === 10L)
+    assert(out("u").getAs[Double]("mk_z") ===
+      (10.0 - 1.0) / math.sqrt(300.0 / 18.0))
+    assert(out("t").getAs[Long]("s_stat") === 5L)
+    assert(out("t").getAs[Double]("mk_z") ===
+      (5.0 - 1.0) / math.sqrt(138.0 / 18.0))
+  }
+
+  test("mannKendall: all-tied NULL, balanced series z = 0") {
+    val rows = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+      ("b", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 1.0))
+    val out = Stats.mannKendall(rows.toDF("key", "tt", "x"), "x",
+        Seq("key"), Seq("tt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").isNullAt(out("c").fieldIndex("mk_z"))) // zero variance
+    assert(out("b").getAs[Long]("s_stat") === 0L)
+    assert(out("b").getAs[Double]("mk_z") === 0.0)
+  }
+
   test("runsTest: hand-computed z on an alternating series") {
     // diffs +,-,+,-: 4 runs of 2 up / 2 down -> z = 1/sqrt(2/3)
     val rows = Seq(1.0, 2.0, 1.0, 2.0, 1.0).zipWithIndex
