@@ -1652,6 +1652,17 @@ object SparkEntry {
           scale = 2)
         .orderBy(col("l_shipdate"))
     }),
+    "q_croston" -> ((s, d) => {
+      // per-supplier Croston forecast over the sparse demand days (bars
+      // exist only on traded days — genuinely intermittent): two native
+      // var_ema recurrences on one keyed sort
+      load(s, d)
+      operators.Rolling.croston(dailyBars(s), "volume", "l_shipdate",
+          Seq("l_suppkey"), Seq("l_shipdate"), alphaPm = 100)
+        .select(col("l_suppkey"), col("l_shipdate"), col("croston_z"),
+          col("croston_p"), col("croston"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_mann_kendall" -> ((s, d) => {
       // per-supplier Mann-Kendall trend test on the close over a
       // BOUNDED 100-supplier panel (the within-key O(n²) contract) —
@@ -4331,6 +4342,38 @@ object SparkEntry {
          |       * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))
          |  END AS spearman
          |FROM g ORDER BY l_shipdate""".stripMargin,
+    // Replays Rolling.croston as a WITH RECURSIVE (z, p) replay: the two
+    // var_ema recurrences with their seeds (z = first size, p = first
+    // day gap at rn 2), inlined trees matching the Catalyst update
+    // order, day gaps as exact integer date differences.
+    "q_croston" -> {
+      val A = "(100.0::DOUBLE/1000.0::DOUBLE)"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate, volume,
+         |    CAST(date_diff('day', lag(l_shipdate, 1) OVER
+         |      (PARTITION BY l_suppkey ORDER BY l_shipdate), l_shipdate)
+         |      AS DOUBLE) AS q,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) AS rn
+         |  FROM bars
+         |), cr AS (
+         |  SELECT l_suppkey, l_shipdate, rn,
+         |    volume AS z, CAST(NULL AS DOUBLE) AS p
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn,
+         |    ($A * s.volume + (1.0::DOUBLE - $A) * h.z) AS z,
+         |    CASE WHEN h.p IS NULL THEN s.q
+         |         ELSE ($A * s.q + (1.0::DOUBLE - $A) * h.p) END AS p
+         |  FROM cr h JOIN seq s
+         |    ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |)
+         |SELECT l_suppkey, l_shipdate, z AS croston_z, p AS croston_p,
+         |  z / (CASE WHEN p > 0.0::DOUBLE THEN p END) AS croston
+         |FROM cr ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Replays Stats.mannKendall: time-ordered sign pairs, per-value tie
     // groups, the tie-corrected variance and continuity-corrected z.
     "q_mann_kendall" ->

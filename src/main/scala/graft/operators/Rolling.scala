@@ -2160,6 +2160,42 @@ object Rolling {
         (ca * ca + cb * cb) / col("n").cast("double")).as("power")): _*)
   }
 
+  /** Croston's method for intermittent demand (public formula): over a
+    * key's SPARSE demand series (rows exist only on demand days), two
+    * exponential recurrences — demand size `z' = α·x + (1−α)z` and
+    * inter-demand interval `p' = α·q + (1−α)p` (q in days) — give the
+    * per-period forecast `z/p`. The standard slow-mover/spare-parts
+    * forecaster where plain EMA over a densified grid drowns in zeros.
+    *
+    * Both recurrences run as the NATIVE `var_ema` window (O(1) state
+    * per key, frozen-NULL seeding: p seeds at the SECOND demand row
+    * since the first has no interval), sharing ONE keyed sort with the
+    * interval lag. `dateCol` must be a date (intervals are exact
+    * integer day gaps). `croston` is NULL until both recurrences are
+    * live. Adds (`croston_z`, `croston_p`, `croston`). */
+  def croston(df: DataFrame, valueCol: String, dateCol: String,
+              partCols: Seq[String], orderCols: Seq[String],
+              alphaPm: Int = 100): DataFrame = {
+    require(alphaPm >= 1 && alphaPm <= 1000,
+      s"alpha permille must be in [1,1000], got $alphaPm")
+    Guards.requireNoReserved(df.columns,
+      Seq("croston_z", "croston_p", "croston", "__q"), "Rolling.croston")
+    val a = lit(alphaPm / 1000.0)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val q = datediff(col(dateCol),
+      lag(col(dateCol), 1).over(w)).cast("double")
+    df.withColumn("__q", q)
+      .withColumn("croston_z",
+        graft.functions.FinancialFunctions
+          .varEma(col(valueCol).cast("double"), a).over(w))
+      .withColumn("croston_p",
+        graft.functions.FinancialFunctions.varEma(col("__q"), a).over(w))
+      .withColumn("croston",
+        col("croston_z") / when(col("croston_p") > 0.0, col("croston_p")))
+      .drop("__q")
+  }
+
   /** Rolling Sharpe ratio over a trailing n-return frame — the windowed
     * companion to [[riskRatios]]' whole-series readout: per row,
     * `mean(r)/stddev(r)` over the last n returns (population σ, the

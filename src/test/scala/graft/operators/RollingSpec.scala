@@ -1152,6 +1152,26 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(r2.isNullAt(r2.fieldIndex("hurst")))  // zero-variance blocks
   }
 
+  test("croston: hand-traced forecast over an intermittent series") {
+    // demand days 1, 4, 6 (gaps 3, 2), sizes 10, 20, 30, alpha = 0.5
+    val rows = Seq(("k", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("k", java.sql.Date.valueOf("2024-01-04"), 20.0),
+      ("k", java.sql.Date.valueOf("2024-01-06"), 30.0))
+    val out = Rolling.croston(rows.toDF("key", "d", "v"), "v", "d",
+        Seq("key"), Seq("d"), alphaPm = 500)
+      .orderBy("d").collect()
+    assert(out(0).getAs[Double]("croston_z") === 10.0) // seed = first size
+    assert(out(0).isNullAt(out(0).fieldIndex("croston_p"))) // no gap yet
+    assert(out(0).isNullAt(out(0).fieldIndex("croston")))
+    val z1 = 0.5 * 20.0 + 0.5 * 10.0
+    assert(out(1).getAs[Double]("croston_z") === z1)
+    assert(out(1).getAs[Double]("croston_p") === 3.0)  // p seeds at gap 1
+    assert(out(1).getAs[Double]("croston") === z1 / 3.0)
+    val z2 = 0.5 * 30.0 + 0.5 * z1
+    val p2 = 0.5 * 2.0 + 0.5 * 3.0
+    assert(out(2).getAs[Double]("croston") === z2 / p2)
+  }
+
   test("rollingSharpe: hand-computed ratio, warm-up and zero-variance NULL") {
     val rows = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
       ("k", 4L, 2.0), ("z", 1L, 5.0), ("z", 2L, 5.0), ("z", 3L, 5.0))
