@@ -1825,6 +1825,26 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_arch_lm" -> ((s, d) => {
+      // per-supplier Engle ARCH-LM on the intraday pseudo-return
+      // (close−open)/open — is there volatility clustering worth a
+      // GARCH fit; exact squared-residual pair sums
+      load(s, d)
+      operators.Stats.archLm(
+          dailyBars(s).withColumn("ret",
+            (col("close") - col("open")) / col("open")),
+          "ret", Seq("l_suppkey"), Seq("l_shipdate"), scale = 6)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_chow" -> ((s, d) => {
+      // per-supplier Chow break test on the close trend at the corpus
+      // midpoint — do pre/post-1995H1 need different trend lines;
+      // segment sums fused into ONE conditional aggregate
+      load(s, d)
+      operators.Stats.chowTest(dailyBars(s), "close", "l_shipdate",
+          Seq("l_suppkey"), breakDate = "1995-06-17", scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_media_dhash" -> ((s, d) => {
       // perceptual dHash through the REAL codec chain: text → PNG encode
       // → decode → 9×8 nearest-neighbor sample → 63-bit gradient hash;
@@ -4818,6 +4838,116 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.archLm: the (close−open)/open pseudo-return double
+    // tree, scale-6 quantization, squared-residual pair sums as
+    // HUGEINT, centered sums VARCHAR-bridged, beta/LM fixed trees.
+    "q_arch_lm" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    u * u AS sq,
+         |    lag(u, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |      AS lu
+         |  FROM (SELECT l_suppkey, l_shipdate,
+         |    CAST(round(((close - open) / open) * 1000000.0::DOUBLE)
+         |      AS BIGINT) AS u FROM bars) q
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(sq) AS HUGEINT) AS sy,
+         |    CAST(sum(lu * lu) AS HUGEINT) AS sx,
+         |    sum(CAST(lu * lu AS HUGEINT) * (lu * lu)) AS sxx,
+         |    sum(CAST(lu * lu AS HUGEINT) * sq) AS sxy,
+         |    sum(CAST(sq AS HUGEINT) * sq) AS syy
+         |  FROM s WHERE lu IS NOT NULL GROUP BY l_suppkey
+         |), c AS (
+         |  SELECT l_suppkey, np,
+         |    CAST(CAST(CAST(np AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+         |      AS DOUBLE) AS cxx,
+         |    CAST(CAST(CAST(np AS HUGEINT) * syy - sy * sy AS VARCHAR)
+         |      AS DOUBLE) AS cyy,
+         |    CAST(CAST(CAST(np AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+         |      AS DOUBLE) AS cxy
+         |  FROM g)
+         |SELECT l_suppkey, np AS n_pairs,
+         |  CASE WHEN np >= 3 THEN
+         |    cxy / (CASE WHEN cxx > 0.0::DOUBLE THEN cxx END)
+         |  END AS arch_beta,
+         |  CASE WHEN np >= 3 THEN
+         |    CAST(np AS DOUBLE) * ((cxy * cxy) /
+         |      ((CASE WHEN cxx > 0.0::DOUBLE THEN cxx END)
+         |       * (CASE WHEN cyy > 0.0::DOUBLE THEN cyy END)))
+         |  END AS arch_lm
+         |FROM c ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.chowTest: epoch-day regressor, per-segment HUGEINT
+    // conditional sums in one pass, the (Cyy − Cty²/Ctt)/n SSR trees and
+    // the guarded F ratio.
+    "q_chow" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), b AS (
+         |  SELECT l_suppkey,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS y,
+         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+         |      < date_diff('day', DATE '1970-01-01', DATE '1995-06-17')
+         |      AS pre
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey,
+         |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    sum(CASE WHEN pre THEN CAST(t AS HUGEINT) ELSE 0 END) AS sta,
+         |    sum(CASE WHEN pre THEN CAST(y AS HUGEINT) ELSE 0 END) AS sya,
+         |    sum(CASE WHEN pre THEN CAST(t AS HUGEINT) * t ELSE 0 END) AS stta,
+         |    sum(CASE WHEN pre THEN CAST(t AS HUGEINT) * y ELSE 0 END) AS stya,
+         |    sum(CASE WHEN pre THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syya,
+         |    sum(CASE WHEN NOT pre THEN CAST(t AS HUGEINT) ELSE 0 END) AS stb,
+         |    sum(CASE WHEN NOT pre THEN CAST(y AS HUGEINT) ELSE 0 END) AS syb,
+         |    sum(CASE WHEN NOT pre THEN CAST(t AS HUGEINT) * t ELSE 0 END) AS sttb,
+         |    sum(CASE WHEN NOT pre THEN CAST(t AS HUGEINT) * y ELSE 0 END) AS styb,
+         |    sum(CASE WHEN NOT pre THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syyb
+         |  FROM b GROUP BY l_suppkey
+         |), r AS (
+         |  SELECT l_suppkey, na, nb,
+         |    CASE WHEN na >= 3 THEN
+         |      (CAST(CAST(CAST(na AS HUGEINT) * syya - sya * sya AS VARCHAR) AS DOUBLE)
+         |       - CAST(CAST(CAST(na AS HUGEINT) * stya - sta * sya AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(CAST(na AS HUGEINT) * stya - sta * sya AS VARCHAR) AS DOUBLE)
+         |         / (CASE WHEN CAST(CAST(CAST(na AS HUGEINT) * stta - sta * sta AS VARCHAR) AS DOUBLE)
+         |              > 0.0::DOUBLE
+         |            THEN CAST(CAST(CAST(na AS HUGEINT) * stta - sta * sta AS VARCHAR) AS DOUBLE) END))
+         |      / CAST(na AS DOUBLE)
+         |    END AS ssra,
+         |    CASE WHEN nb >= 3 THEN
+         |      (CAST(CAST(CAST(nb AS HUGEINT) * syyb - syb * syb AS VARCHAR) AS DOUBLE)
+         |       - CAST(CAST(CAST(nb AS HUGEINT) * styb - stb * syb AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(CAST(nb AS HUGEINT) * styb - stb * syb AS VARCHAR) AS DOUBLE)
+         |         / (CASE WHEN CAST(CAST(CAST(nb AS HUGEINT) * sttb - stb * stb AS VARCHAR) AS DOUBLE)
+         |              > 0.0::DOUBLE
+         |            THEN CAST(CAST(CAST(nb AS HUGEINT) * sttb - stb * stb AS VARCHAR) AS DOUBLE) END))
+         |      / CAST(nb AS DOUBLE)
+         |    END AS ssrb,
+         |    CASE WHEN na + nb >= 3 THEN
+         |      (CAST(CAST(CAST(na + nb AS HUGEINT) * (syya + syyb) - (sya + syb) * (sya + syb) AS VARCHAR) AS DOUBLE)
+         |       - CAST(CAST(CAST(na + nb AS HUGEINT) * (stya + styb) - (sta + stb) * (sya + syb) AS VARCHAR) AS DOUBLE)
+         |         * CAST(CAST(CAST(na + nb AS HUGEINT) * (stya + styb) - (sta + stb) * (sya + syb) AS VARCHAR) AS DOUBLE)
+         |         / (CASE WHEN CAST(CAST(CAST(na + nb AS HUGEINT) * (stta + sttb) - (sta + stb) * (sta + stb) AS VARCHAR) AS DOUBLE)
+         |              > 0.0::DOUBLE
+         |            THEN CAST(CAST(CAST(na + nb AS HUGEINT) * (stta + sttb) - (sta + stb) * (sta + stb) AS VARCHAR) AS DOUBLE) END))
+         |      / CAST(na + nb AS DOUBLE)
+         |    END AS ssrp
+         |  FROM g)
+         |SELECT l_suppkey, na AS n_pre, nb AS n_post,
+         |  ((ssrp - ssra - ssrb) / 2.0::DOUBLE) /
+         |  (CASE WHEN (ssra + ssrb) /
+         |      (CASE WHEN CAST(na + nb - 4 AS DOUBLE) > 0.0::DOUBLE
+         |       THEN CAST(na + nb - 4 AS DOUBLE) END) > 0.0::DOUBLE
+         |    THEN (ssra + ssrb) /
+         |      (CASE WHEN CAST(na + nb - 4 AS DOUBLE) > 0.0::DOUBLE
+         |       THEN CAST(na + nb - 4 AS DOUBLE) END) END) AS chow_f
+         |FROM r ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.dickeyFuller: (lag, diff) pair sums as HUGEINT, the
     // same NULL-guarded beta/t trees.
     "q_dickey_fuller" ->

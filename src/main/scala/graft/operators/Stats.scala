@@ -1273,6 +1273,147 @@ object Stats {
     *
     * One keyed sort each way (rank + reversed running min), no join.
     * Emits the input plus (`p_rank`, `p_adj`, `significant`). */
+  /** Engle's lag-1 ARCH-LM test per key (public formulation): volatility
+    * clustering shows up as autocorrelation in SQUARED (de-meaned-free)
+    * returns, so regress `u²_t` on `u²_{t−1}` and report `LM = n·R²`
+    * (asymptotically χ²(1) under no-ARCH) plus the slope. The
+    * hypothesis-test companion to [[graft.streaming.StreamingGarch]]:
+    * run this first to decide whether a GARCH fit is even warranted.
+    *
+    * Exactness — the [[grangerLag1]] discipline: `u` quantizes to a
+    * scaled BIGINT, `s = u²` is an exact DECIMAL, the pair sums
+    * `(n, Σs, Σs', Σss', Σs², Σs'²)` accumulate as DECIMAL(38,0), and
+    * `R² = Cxy²/(Cxx·Cyy)` evaluates on the n-multiplied centered sums
+    * as ONE fixed double tree (each exact centered sum cast once).
+    * NULL when n < 3 or either centered sum of squares is ≤ 0 (constant
+    * |u|). ONE keyed sort + one map-side-combinable aggregate. Emits
+    * (keyCols…, `n_pairs`, `arch_beta`, `arch_lm`). */
+  def archLm(df: DataFrame, valueCol: String, keyCols: Seq[String],
+             orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "archLm needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pairs", "arch_beta", "arch_lm", "__s", "__ls"),
+      "Stats.archLm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ui = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val s = (ui.cast("decimal(38,0)") * ui).as("__s")
+    val base = df
+      .select((keyCols.map(col) :+ s) :+
+        lag(ui, 1).over(w).as("__lu"): _*)
+      .withColumn("__ls", col("__lu").cast("decimal(38,0)") * col("__lu"))
+      .filter(col("__ls").isNotNull && col("__s").isNotNull)
+    val (y, x) = (col("__s"), col("__ls"))
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(y).as("__sy"), sum(x).as("__sx"),
+      sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+      sum(y * y).as("__syy"))
+    val nDec = col("n_pairs").cast("decimal(38,0)")
+    val cxx = (nDec * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val cyy = (nDec * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val cxy = (nDec * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val safeCxx = when(cxx > 0.0, cxx)
+    val safeCyy = when(cyy > 0.0, cyy)
+    val beta = cxy / safeCxx
+    val r2 = (cxy * cxy) / (safeCxx * safeCyy)
+    val n = col("n_pairs").cast("double")
+    sums.select((keyCols.map(col) :+ col("n_pairs") :+
+      when(col("n_pairs") >= 3L, beta).as("arch_beta") :+
+      when(col("n_pairs") >= 3L, n * r2).as("arch_lm")): _*)
+  }
+
+  /** Chow structural-break test per key (public formulation) for the
+    * linear trend `y = α + β·t` at a KNOWN breakpoint: fit the trend on
+    * the pre-segment, the post-segment, and pooled; the F-statistic
+    * `F = ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4))` asks whether
+    * the two segments need different (α, β). The known-date companion
+    * to [[mannKendall]]'s "is there a trend at all" and
+    * [[Rolling.drawdownEpisodes]]' descriptive regime cuts.
+    *
+    * `t` is the exact epoch-day of `tsCol` (integer regressor — day
+    * resolution keeps n-multiplied products ~10²⁰, far inside exact
+    * DECIMAL range); `y` quantizes by `scale`. Per-segment sufficient
+    * statistics accumulate as conditional DECIMAL sums in ONE map-side
+    * aggregate (no second scan, no join); pooled sums are their exact
+    * decimal totals. Each segment SSR evaluates as the fixed tree
+    * `(Cyy − Cxy²/Cxx)/n` on once-cast centered sums, so the oracle
+    * replays bit-identically. NULL when either segment has < 3 rows,
+    * any segment (or pooled) time-variance ≤ 0, or the residual
+    * denominator is ≤ 0. Emits (keyCols…, `n_pre`, `n_post`,
+    * `chow_f`). */
+  def chowTest(df: DataFrame, yCol: String, tsCol: String,
+               keyCols: Seq[String], breakDate: String,
+               scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "chowTest needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pre", "n_post", "chow_f", "__t", "__y", "__pre"),
+      "Stats.chowTest")
+    val t = datediff(col(tsCol).cast("date"), to_date(lit("1970-01-01")))
+      .cast("long")
+    val yi = round(col(yCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((keyCols.map(col) :+ t.as("__t") :+ yi.as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+      .withColumn("__pre",
+        col("__t") < datediff(to_date(lit(breakDate)),
+          to_date(lit("1970-01-01"))).cast("long"))
+    def dseg(pre: Boolean, c: Column): Column =
+      sum(when(col("__pre") === pre, c.cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    def seg(pre: Boolean): Seq[Column] = {
+      val tag = if (pre) "a" else "b"
+      Seq(
+        sum(when(col("__pre") === pre, 1L).otherwise(0L)).as(s"__n_$tag"),
+        dseg(pre, col("__t")).as(s"__st_$tag"),
+        dseg(pre, col("__y")).as(s"__sy_$tag"),
+        dseg(pre, col("__t").cast("decimal(38,0)") * col("__t"))
+          .as(s"__stt_$tag"),
+        dseg(pre, col("__t").cast("decimal(38,0)") * col("__y"))
+          .as(s"__sty_$tag"),
+        dseg(pre, col("__y").cast("decimal(38,0)") * col("__y"))
+          .as(s"__syy_$tag"))
+    }
+    val sums = base.groupBy(keyCols.map(col): _*)
+      .agg((seg(pre = true) ++ seg(pre = false)).head,
+        (seg(pre = true) ++ seg(pre = false)).tail: _*)
+    // per-segment SSR from n-multiplied centered sums, as a fixed tree
+    def ssr(n: Column, st: Column, sy: Column, stt: Column, sty: Column,
+            syy: Column): (Column, Column) = {
+      val nDec = n.cast("decimal(38,0)")
+      val ctt = (nDec * stt - st * st).cast("double")
+      val cty = (nDec * sty - st * sy).cast("double")
+      val cyy = (nDec * syy - sy * sy).cast("double")
+      val safeCtt = when(ctt > 0.0, ctt)
+      (when(n >= 3L, (cyy - cty * cty / safeCtt) / n.cast("double")),
+        safeCtt)
+    }
+    def sc(tag: String, p: String): Column = col(s"__$p" + "_" + tag)
+    val (ssrA, _) = ssr(sc("a", "n"), sc("a", "st"), sc("a", "sy"),
+      sc("a", "stt"), sc("a", "sty"), sc("a", "syy"))
+    val (ssrB, _) = ssr(sc("b", "n"), sc("b", "st"), sc("b", "sy"),
+      sc("b", "stt"), sc("b", "sty"), sc("b", "syy"))
+    val nP = sc("a", "n") + sc("b", "n")
+    val (ssrP, _) = ssr(nP, sc("a", "st") + sc("b", "st"),
+      sc("a", "sy") + sc("b", "sy"), sc("a", "stt") + sc("b", "stt"),
+      sc("a", "sty") + sc("b", "sty"), sc("a", "syy") + sc("b", "syy"))
+    val df2 = (nP - lit(4L)).cast("double")
+    val denom = (ssrA + ssrB) / when(df2 > 0.0, df2)
+    val f = ((ssrP - ssrA - ssrB) / lit(2.0)) /
+      when(denom > 0.0, denom)
+    sums.select((keyCols.map(col) :+
+      sc("a", "n").as("n_pre") :+ sc("b", "n").as("n_post") :+
+      f.as("chow_f")): _*)
+  }
+
   def bhAdjust(df: DataFrame, familyCols: Seq[String], pCol: String,
                tieCol: String, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")

@@ -675,4 +675,54 @@ test("anovaF: hand-computed 3-arm F") {
     assert(out(5L).isNullAt(out(5L).fieldIndex("p_adj")))
     assert(out(5L).isNullAt(out(5L).fieldIndex("p_rank")))
   }
+
+  test("archLm: hand-computed squared-residual regression") {
+    // u = 1,2,1,3,2 -> s = 1,4,1,9,4; pairs (x=lag s, y=s):
+    // Cxx = 171, Cyy = 132, Cxy = -58 on n = 4
+    val rows = Seq(1.0, 2.0, 1.0, 3.0, 2.0).zipWithIndex
+      .map { case (v, t) => ("k", t.toLong, v) }
+    val r = Stats.archLm(rows.toDF("key", "t", "v"), "v", Seq("key"),
+      Seq("t")).collect().head
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Double]("arch_beta") === -58.0 / 171.0)
+    assert(r.getAs[Double]("arch_lm") ===
+      4.0 * ((-58.0 * -58.0) / (171.0 * 132.0)))
+  }
+
+  test("archLm: constant |u| and short series yield NULLs") {
+    val flat = (0 to 4).map(t => ("k", t.toLong, 5.0))
+    val r1 = Stats.archLm(flat.toDF("key", "t", "v"), "v", Seq("key"),
+      Seq("t")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("arch_lm")))  // Cxx = 0
+    val short = Seq(("k", 0L, 1.0), ("k", 1L, 2.0), ("k", 2L, 3.0))
+    val r2 = Stats.archLm(short.toDF("key", "t", "v"), "v", Seq("key"),
+      Seq("t")).collect().head
+    assert(r2.getAs[Long]("n_pairs") === 2L)
+    assert(r2.isNullAt(r2.fieldIndex("arch_lm")))  // n < 3
+  }
+
+  test("chowTest: hand-computed F at a known break") {
+    // pre (t=0,1,2): y = 1,2,4; post (t=3,4,5): y = 10,11,13 — both
+    // segments SSR = (14 − 81/6)/3; pooled Ctt=105, Cty=279, Cyy=785
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-0${day}%d")
+    val ys = Seq(1.0, 2.0, 4.0, 10.0, 11.0, 13.0)
+    val rows = ys.zipWithIndex.map { case (y, i) => ("k", d(i + 1), y) }
+    val r = Stats.chowTest(rows.toDF("key", "ts", "y"), "y", "ts",
+      Seq("key"), breakDate = "2024-01-04").collect().head
+    assert(r.getAs[Long]("n_pre") === 3L && r.getAs[Long]("n_post") === 3L)
+    val ssrSeg = (14.0 - 9.0 * 9.0 / 6.0) / 3.0
+    val ssrP = (785.0 - 279.0 * 279.0 / 105.0) / 6.0
+    val f = ((ssrP - ssrSeg - ssrSeg) / 2.0) / ((ssrSeg + ssrSeg) / 2.0)
+    assert(r.getAs[Double]("chow_f") === f)
+  }
+
+  test("chowTest: a sub-3-row segment yields NULL F") {
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-0${day}%d")
+    val rows = Seq(1.0, 2.0, 4.0, 10.0, 11.0).zipWithIndex
+      .map { case (y, i) => ("k", d(i + 1), y) }
+    val r = Stats.chowTest(rows.toDF("key", "ts", "y"), "y", "ts",
+      Seq("key"), breakDate = "2024-01-04").collect().head
+    assert(r.getAs[Long]("n_post") === 2L)
+    assert(r.isNullAt(r.fieldIndex("chow_f")))
+  }
 }
