@@ -1825,6 +1825,28 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_wilcoxon" -> ((s, d) => {
+      // per-supplier Wilcoxon signed-rank on the (close, open) daily
+      // pairs — is the median intraday move zero; doubled-rank exact
+      // integers, one keyed sort
+      load(s, d)
+      operators.Stats.wilcoxonSignedRank(dailyBars(s), "close", "open",
+          Seq("l_suppkey"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_brown_forsythe" -> ((s, d) => {
+      // per-day Brown–Forsythe across the five event types — are the
+      // arms' spreads equal (the anovaF precondition screen); exact
+      // doubled medians, deviations through the anovaF fold
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.brownForsythe(ev, "value", "event_type", Seq("day"),
+          scale = 2)
+        .orderBy(col("day"))
+    }),
     "q_arch_lm" -> ((s, d) => {
       // per-supplier Engle ARCH-LM on the intraday pseudo-return
       // (close−open)/open — is there volatility clustering worth a
@@ -4838,6 +4860,96 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.wilcoxonSignedRank: quantized close−open diffs,
+    // zero drop, doubled average ranks of |d| (2·rank + peers − 1),
+    // per-row t²−1 tie term, the fixed W⁺/z trees.
+    "q_wilcoxon" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), dd AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      - CAST(round(open * 100.0::DOUBLE) AS BIGINT) AS d
+         |  FROM bars
+         |), nz AS (
+         |  SELECT l_suppkey, d, abs(d) AS a FROM dd WHERE d <> 0
+         |), r AS (
+         |  SELECT l_suppkey, d,
+         |    2 * rank() OVER (PARTITION BY l_suppkey ORDER BY a)
+         |      + cnt - 1 AS r2, cnt
+         |  FROM (SELECT l_suppkey, d, a,
+         |      CAST(count(*) OVER (PARTITION BY l_suppkey, a) AS BIGINT)
+         |        AS cnt
+         |    FROM nz) t
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS s2p,
+         |    CAST(sum(cnt * cnt - 1) AS BIGINT) AS tcorr
+         |  FROM r GROUP BY l_suppkey
+         |), h AS (
+         |  SELECT l_suppkey, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(s2p AS DOUBLE) / 2.0::DOUBLE AS wp,
+         |    CAST(tcorr AS DOUBLE) AS tc
+         |  FROM g)
+         |SELECT l_suppkey, n AS n_nonzero,
+         |  CASE WHEN n >= 1 THEN wp END AS w_plus,
+         |  CASE WHEN n >= 1 AND
+         |      ((nd * (nd + 1.0::DOUBLE)) * (2.0::DOUBLE * nd + 1.0::DOUBLE))
+         |        / 24.0::DOUBLE - tc / 48.0::DOUBLE > 0.0::DOUBLE
+         |    THEN (wp - (nd * (nd + 1.0::DOUBLE)) / 4.0::DOUBLE)
+         |      / sqrt(((nd * (nd + 1.0::DOUBLE))
+         |          * (2.0::DOUBLE * nd + 1.0::DOUBLE)) / 24.0::DOUBLE
+         |        - tc / 48.0::DOUBLE)
+         |  END AS wsr_z
+         |FROM h ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.brownForsythe: exact doubled per-variant medians
+    // (lo/hi mid-rank pick), |2x − m2| deviations, then the anovaF
+    // variant-ordered fold verbatim.
+    "q_brown_forsythe" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events),
+        |rk AS (
+        |  SELECT day, v, x,
+        |    row_number() OVER (PARTITION BY day, v ORDER BY x) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY day, v) AS BIGINT) AS ng
+        |  FROM e),
+        |md AS (
+        |  SELECT day, v,
+        |    CAST(sum(CASE WHEN rn = (ng + 1) // 2 THEN x ELSE 0 END)
+        |      + sum(CASE WHEN rn = ng // 2 + 1 THEN x ELSE 0 END)
+        |      AS BIGINT) AS m2
+        |  FROM rk GROUP BY day, v),
+        |z AS (
+        |  SELECT rk.day, rk.v, abs(2 * rk.x - md.m2) AS zx
+        |  FROM rk JOIN md ON rk.day = md.day AND rk.v = md.v),
+        |pv AS (
+        |  SELECT day, v, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(zx) AS BIGINT) AS sg,
+        |    CAST(sum(zx * zx) AS BIGINT) AS qg
+        |  FROM z GROUP BY day, v),
+        |f AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(CAST(sum(sg) AS BIGINT) AS DOUBLE) AS sd,
+        |    CAST(sum(qg) AS DOUBLE) AS q,
+        |    list_reduce(list_transform(
+        |        list(struct_pack(v := v, ng := ng, sg := sg) ORDER BY v),
+        |        s -> CAST(s.sg AS DOUBLE) * CAST(s.sg AS DOUBLE)
+        |          / CAST(s.ng AS DOUBLE)),
+        |      (a, b) -> a + b) AS b
+        |  FROM pv GROUP BY day),
+        |g AS (
+        |  SELECT day, k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+        |    b - sd * sd / CAST(n AS DOUBLE) AS ssb, q - b AS ssw
+        |  FROM f)
+        |SELECT day, k, n,
+        |  CASE WHEN k >= 2 AND nd > kd AND ssw > 0.0::DOUBLE THEN
+        |    (ssb / (kd - 1.0::DOUBLE)) / (ssw / (nd - kd)) END AS f,
+        |  ssb AS ss_between, ssw AS ss_within
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Stats.archLm: the (close−open)/open pseudo-return double
     // tree, scale-6 quantization, squared-residual pair sums as
     // HUGEINT, centered sums VARCHAR-bridged, beta/LM fixed trees.

@@ -1273,6 +1273,116 @@ object Stats {
     *
     * One keyed sort each way (rank + reversed running min), no join.
     * Emits the input plus (`p_rank`, `p_adj`, `significant`). */
+  /** Wilcoxon signed-rank test per group (public formula): the PAIRED
+    * nonparametric readout — is the median of `x − y` zero — where
+    * [[mannWhitney]] compares two independent arms. The classic
+    * before/after screen, robust to outliers that break a paired t.
+    *
+    * Exactness: both sides quantize to `scale` decimals so `d = x − y`
+    * is an exact BIGINT; zero differences drop (the standard Wilcoxon
+    * discard, n counts the survivors); |d| ranks with the [[spearman]]
+    * DOUBLED-average-rank trick, so `2W⁺ = Σ_{d>0} 2r` is an exact
+    * BIGINT and `W⁺` an exact half-integer. The tie term accumulates
+    * per row as `t² − 1` (summing to `Σ(t³ − t)`). The normal
+    * approximation is ONE fixed IEEE tree:
+    * `z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)`.
+    * NULL `z` when n = 0 or every |d| is tied at one value (variance
+    * ≤ 0). One hash exchange on the group key; rank and tie-size share
+    * ONE sort; the final aggregate is map-side combinable. Emits
+    * (groupCols…, `n_nonzero`, `w_plus`, `wsr_z`). */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
+                         groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty,
+      "wilcoxonSignedRank needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_nonzero", "w_plus", "wsr_z", "__d", "__a", "__r2", "__t"),
+      "Stats.wilcoxonSignedRank")
+    import org.apache.spark.sql.expressions.Window
+    def q(c: String): Column =
+      round(col(c).cast("double") * lit(math.pow(10, scale))).cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ (q(xCol) - q(yCol)).as("__d")): _*)
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+      .withColumn("__a", abs(col("__d")))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__a"))
+    val peers = count(lit(1))
+      .over(w.rangeBetween(Window.currentRow, Window.currentRow)).cast("long")
+    val ranked = base
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w).cast("long") + col("__t") - lit(1L))
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_nonzero"),
+      sum(when(col("__d") > 0L, col("__r2")).otherwise(0L)).as("__s2p"),
+      sum(col("__t") * col("__t") - lit(1L)).as("__tcorr"))
+    val n = col("n_nonzero").cast("double")
+    val wPlus = col("__s2p").cast("double") / lit(2.0)
+    val mu = n * (n + lit(1.0)) / lit(4.0)
+    val sig2 = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+      col("__tcorr").cast("double") / lit(48.0)
+    sums.select((groupCols.map(col) :+ col("n_nonzero") :+
+      when(col("n_nonzero") >= 1L, wPlus).as("w_plus") :+
+      when(col("n_nonzero") >= 1L && sig2 > 0.0,
+        (wPlus - mu) / sqrt(sig2)).as("wsr_z")): _*)
+  }
+
+  /** Brown–Forsythe variance-homogeneity test per group (public
+    * formulation — Levene's test with the MEDIAN center, the robust
+    * default): are the k variants' spreads equal — the precondition
+    * screen for [[anovaF]]'s pooled-variance assumption. Statistic:
+    * one-way ANOVA F on the absolute deviations from each variant's
+    * median.
+    *
+    * Exactness: values quantize to `scale` decimals; each variant's
+    * DOUBLED median `m2` is exact (the lo/hi mid-rank pick — odd n
+    * reads one row twice, even n sums the two middles, never a float
+    * interpolation), so the deviations `|2x − m2|` are exact BIGINTs
+    * and the F inherits [[anovaF]]'s variant-ordered-fold determinism
+    * verbatim (the doubling cancels in the ratio). NULL variants
+    * raise, NULL values drop — the anovaF contract. Plan: ONE hash
+    * exchange on (group, variant) shared by the median sort, the
+    * median aggregate, and the co-partitioned join back; then anovaF's
+    * two map-side-combinable aggregates. Emits (groupCols…, `k`, `n`,
+    * `f`, `ss_between`, `ss_within`) — sums of squares in the doubled
+    * quantized domain. */
+  def brownForsythe(df: DataFrame, valueCol: String, variantCol: String,
+                    groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty,
+      "brownForsythe needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("k", "n", "f", "ss_between", "ss_within",
+        "__v", "__xi", "__rn", "__ng", "__m2", "__z"),
+      "Stats.brownForsythe")
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col(variantCol).isNull,
+        raise_error(lit(s"brownForsythe: NULL $variantCol — a silently " +
+          "dropped arm is a corrupted experiment readout; filter first")))
+      .otherwise(col(variantCol).cast("string"))
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__v") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val keys = groupCols.map(col) :+ col("__v")
+    val wv = Window.partitionBy(keys: _*).orderBy(col("__xi"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val lo = expr("(__ng + 1) DIV 2")
+    val hi = expr("(__ng DIV 2) + 1")
+    val med = ranked.groupBy(keys: _*).agg(
+      (sum(when(col("__rn") === lo, col("__xi")).otherwise(0L)) +
+        sum(when(col("__rn") === hi, col("__xi")).otherwise(0L))).as("__m2"))
+    val z = ranked
+      .join(med, groupCols :+ "__v")
+      .select((groupCols.map(col) :+ col("__v").as("__bf_v") :+
+        abs(lit(2L) * col("__xi") - col("__m2")).as("__bf_z")): _*)
+    anovaF(z, "__bf_z", "__bf_v", groupCols, scale = 0)
+  }
+
   /** Engle's lag-1 ARCH-LM test per key (public formulation): volatility
     * clustering shows up as autocorrelation in SQUARED (de-meaned-free)
     * returns, so regress `u²_t` on `u²_{t−1}` and report `LM = n·R²`

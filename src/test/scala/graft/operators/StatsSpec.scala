@@ -676,6 +676,60 @@ test("anovaF: hand-computed 3-arm F") {
     assert(out(5L).isNullAt(out(5L).fieldIndex("p_rank")))
   }
 
+  test("wilcoxonSignedRank: hand-computed W+ and z with ties and a zero") {
+    // d = 2,-1,3,-1,5,0 -> n=5 (zero drops); |d| doubled ranks:
+    // ties at 1 -> 3,3; then 6, 8, 10; 2W+ = 6+8+10 = 24
+    val pairs = Seq((3.0, 1.0), (1.0, 2.0), (4.0, 1.0), (2.0, 3.0),
+      (6.0, 1.0), (9.0, 9.0))
+    val rows = pairs.map { case (x, y) => ("g", x, y) }
+    val r = Stats.wilcoxonSignedRank(rows.toDF("grp", "x", "y"), "x", "y",
+      Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_nonzero") === 5L)
+    assert(r.getAs[Double]("w_plus") === 12.0)
+    val sig2 = 5.0 * (5.0 + 1.0) * (2.0 * 5.0 + 1.0) / 24.0 - 6.0 / 48.0
+    assert(r.getAs[Double]("wsr_z") ===
+      (12.0 - 5.0 * (5.0 + 1.0) / 4.0) / math.sqrt(sig2))
+  }
+
+  test("wilcoxonSignedRank: single pair and all-zero group") {
+    // one positive d: W+ = 1, mu = 0.5, var = 0.25 -> z = 1
+    val rows = Seq(("g", 2.0, 1.0), ("h", 5.0, 5.0))
+    val out = Stats.wilcoxonSignedRank(rows.toDF("grp", "x", "y"), "x", "y",
+      Seq("grp")).collect()
+    assert(out.length === 1)  // all-zero group h vanishes (documented)
+    assert(out.head.getString(0) === "g")
+    assert(out.head.getAs[Double]("wsr_z") === 1.0)
+  }
+
+  test("brownForsythe: hand-computed F on median deviations") {
+    // a: 1,2,3,4 (m2=5, |2x-5| = 3,1,1,3); b: 10,20,30 (m2=40 ->
+    // 20,0,20); anovaF fold = 64/4 + 1600/3 on n=7, G=48, Q=820
+    val rows = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "a", 4.0), ("g", "b", 10.0), ("g", "b", 20.0), ("g", "b", 30.0))
+    val r = Stats.brownForsythe(rows.toDF("grp", "arm", "x"), "x", "arm",
+      Seq("grp")).collect().head
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 7L)
+    val fold = (8.0 * 8.0) / 4.0 + (40.0 * 40.0) / 3.0
+    val ssb = fold - 48.0 * 48.0 / 7.0
+    val ssw = 820.0 - fold
+    assert(r.getAs[Double]("ss_between") === ssb)
+    assert(r.getAs[Double]("ss_within") === ssw)
+    assert(r.getAs[Double]("f") === (ssb / 1.0) / (ssw / 5.0))
+  }
+
+  test("brownForsythe: equal spreads give F near 0; one arm yields NULL") {
+    // identical shapes -> per-arm deviations 2,0,2 -> ssb = 0 -> f = 0
+    val rows = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 11.0), ("g", "b", 12.0), ("g", "b", 13.0))
+    val r = Stats.brownForsythe(rows.toDF("grp", "arm", "x"), "x", "arm",
+      Seq("grp")).collect().head
+    assert(r.getAs[Double]("f") === 0.0)
+    val solo = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 5.0))
+    val r2 = Stats.brownForsythe(solo.toDF("grp", "arm", "x"), "x", "arm",
+      Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f")))  // k < 2
+  }
+
   test("archLm: hand-computed squared-residual regression") {
     // u = 1,2,1,3,2 -> s = 1,4,1,9,4; pairs (x=lag s, y=s):
     // Cxx = 171, Cyy = 132, Cxy = -58 on n = 4
