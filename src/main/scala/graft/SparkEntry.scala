@@ -1825,6 +1825,15 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_blocklist" -> ((s, d) => {
+      // banned-term screen over the corpus — token-boundary matches
+      // against a literal blocklist, zero-shuffle per-row map
+      load(s, d)
+      operators.TextOps.blocklistScreen(s.table("documents"), "doc_id",
+          "text", Seq("slow", "hash", "vector", "stream", "nosuchterm"),
+          maxHitTerms = 2)
+        .orderBy(col("doc_id"))
+    }),
     "q_wilcoxon" -> ((s, d) => {
       // per-supplier Wilcoxon signed-rank on the (close, open) daily
       // pairs — is the median intraday move zero; doubled-rank exact
@@ -4860,6 +4869,32 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays TextOps.blocklistScreen: the shared tokenizer, distinct
+    // tokens intersected with the sorted literal blocklist, occurrence
+    // count via the same higher-order filter.
+    "q_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      w -> w <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+        |  -- array_join; coalesce only when toks itself is non-NULL
+        |  coalesce(
+        |    array_to_string(list_sort(list_intersect(list_distinct(toks),
+        |      ['hash', 'nosuchterm', 'slow', 'stream', 'vector'])), ','),
+        |    CASE WHEN toks IS NOT NULL THEN '' END) AS hit_terms,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['hash', 'nosuchterm', 'slow', 'stream', 'vector'])) AS BIGINT)
+        |    AS n_hit_terms,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['hash', 'nosuchterm', 'slow', 'stream', 'vector'], x)))
+        |    AS BIGINT) AS n_hit_tokens,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['hash', 'nosuchterm', 'slow', 'stream', 'vector'])) AS BIGINT)
+        |    > 2 AS blocked
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Replays Stats.wilcoxonSignedRank: quantized close−open diffs,
     // zero drop, doubled average ranks of |d| (2·rank + peers − 1),
     // per-row t²−1 tie term, the fixed W⁺/z trees.

@@ -214,6 +214,49 @@ object TextOps {
       .na.fill(0L, Seq("n_contaminated"))
   }
 
+  /** Banned-term screen — the standard corpus-cleaning gate (unsafe
+    * words, PII keywords, spam markers): per document, which blocklist
+    * terms appear, how many distinct terms hit, how many token
+    * OCCURRENCES hit, and a `blocked` flag.
+    *
+    * Matching is on the shared [[tokens]] tokenizer (lowercased,
+    * alphanumeric runs), so "Slow!" matches the term "slow" — substring
+    * false-positives ("class" hitting "ass") are impossible by
+    * construction. Terms are lowercased and deduped; a term containing a
+    * non-alphanumeric character can never match a token and is dropped
+    * with a require (caller error, not silent).
+    *
+    * Scale design: the blocklist rides along as a LITERAL array (fine up
+    * to ~10⁴ terms — the broadcast-variable regime; for a million-entry
+    * list, explode tokens and semi-join a terms table instead), so the
+    * whole screen is a zero-shuffle per-row map: `array_intersect` of
+    * the doc's distinct tokens against the term array plus one
+    * higher-order occurrence count — no explode, no join, no shuffle at
+    * any corpus size. Emits (idCol, `hit_terms` — comma-joined sorted,
+    * `n_hit_terms`, `n_hit_tokens`, `blocked`). */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], maxHitTerms: Int = 0): DataFrame = {
+    require(terms.nonEmpty, "blocklistScreen needs at least one term")
+    require(maxHitTerms >= 0, s"maxHitTerms must be >= 0, got $maxHitTerms")
+    val cleaned = terms.map(_.toLowerCase).distinct
+    val bad = cleaned.filter(!_.matches("[a-z0-9]+"))
+    require(bad.isEmpty,
+      s"blocklist terms must be single alphanumeric tokens; got: ${bad.mkString(", ")}")
+    Guards.requireNoReserved(df.columns,
+      Seq("hit_terms", "n_hit_terms", "n_hit_tokens", "blocked", "__toks"),
+      "TextOps.blocklistScreen")
+    val termArr = array(cleaned.sorted.map(lit): _*)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol),
+        array_join(array_sort(array_intersect(
+          array_distinct(col("__toks")), termArr)), ",").as("hit_terms"),
+        size(array_intersect(array_distinct(col("__toks")), termArr))
+          .cast("long").as("n_hit_terms"),
+        size(filter(col("__toks"), t => array_contains(termArr, t)))
+          .cast("long").as("n_hit_tokens"))
+      .withColumn("blocked", col("n_hit_terms") > maxHitTerms.toLong)
+  }
+
   /** TF-IDF term scores per document — the standard keyword/relevance
     * primitive for corpus analysis and quality filtering.
     *

@@ -59,6 +59,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L), (2L, 2L), (3L, 0L)))
   }
 
+  test("blocklistScreen: token-boundary hits, counts, threshold") {
+    val corpus = Seq(
+      (1L, "the Slow! fox is slow and SLOW again"), // 3 slow occurrences
+      (2L, "classy glass has no bad words"),        // no substring hits
+      (3L, "hash hash vector"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistScreen(corpus, "doc_id", "text",
+        Seq("slow", "Hash", "vector", "ass"), maxHitTerms = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("hit_terms"), r.getAs[Long]("n_hit_terms"),
+        r.getAs[Long]("n_hit_tokens"), r.getAs[Boolean]("blocked")))
+    assert(got(0) === (("slow", 1L, 3L, false)))   // <= maxHitTerms
+    assert(got(1) === (("", 0L, 0L, false)))       // "classy" is not "ass"
+    assert(got(2) === (("hash,vector", 2L, 3L, true)))
+    assert(got(3) === (("", 0L, 0L, false)))
+  }
+
+  test("blocklistScreen: non-token terms fail loudly; plan has no shuffle") {
+    intercept[IllegalArgumentException] {
+      TextOps.blocklistScreen(docs, "doc_id", "text", Seq("two words"))
+    }
+    val plan = TextOps.blocklistScreen(docs, "doc_id", "text", Seq("slow"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist must be a pure map:\n$plan")
+  }
+
   test("contamination broadcasts the probe side") {
     val probes = docs.filter($"doc_id" === 5L)
     val plan = TextOps.contamination(docs, "doc_id", "text", probes, "text", n = 3)
