@@ -90,7 +90,13 @@ object ScaleProbe {
     "q_dickey_fuller", "q_granger", "q_stream_kalman", "q_stream_holt",
     "q_stream_garch", "q_holt_winters", "q_stream_hw",
     "q_seasonal_anomaly", "q_rolling_sharpe", "q_runs_test",
-    "q_mann_kendall")
+    "q_mann_kendall",
+    // round-9 session 1: the two-recurrence Croston share, the
+    // regression-sum tests (one keyed sort + one agg each), the
+    // doubled-rank signed-rank sort, the median+anova two-agg BF, and
+    // the zero-shuffle blocklist map (should be ~flat per row)
+    "q_croston", "q_arch_lm", "q_chow", "q_wilcoxon",
+    "q_brown_forsythe", "q_blocklist", "q_ewma_chart")
 
   private case class Shift(col: String, offset: Long)
 

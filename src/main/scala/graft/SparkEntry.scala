@@ -1825,6 +1825,17 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_ewma_chart" -> ((s, d) => {
+      // per-supplier EWMA control chart on the close — the mean-seeded
+      // SPC monitor with exact time-varying limits; two native
+      // recurrences (var_ema + runprod) on one keyed sort
+      load(s, d)
+      operators.Rolling.ewmaChart(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), lambdaPm = 200, l = 3.0, scale = 2)
+        .select(col("l_suppkey"), col("l_shipdate"), col("ewma"),
+          col("ewma_ucl"), col("ewma_lcl"), col("ewma_ooc"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_blocklist" -> ((s, d) => {
       // banned-term screen over the corpus — token-boundary matches
       // against a literal blocklist, zero-shuffle per-row map
@@ -4869,6 +4880,56 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Rolling.ewmaChart: exact per-key integer stats (mu0,
+    // population sigma), the var_ema and runprod recurrences as one
+    // WITH RECURSIVE walk, then the identical z / limit trees.
+    "q_ewma_chart" -> {
+      val A = "(200.0::DOUBLE / 1000.0::DOUBLE)"
+      val OM = s"(1.0::DOUBLE - $A)"
+      val R = s"($A / (2.0::DOUBLE - $A))"
+      s"""WITH RECURSIVE bars AS (
+         |$duckBarsSql
+         |), seq AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS DOUBLE)
+         |      AS x,
+         |    row_number() OVER ws AS rn,
+         |    first_value(CAST(CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      AS DOUBLE)) OVER ws AS x1
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), st AS (
+         |  SELECT l_suppkey,
+         |    CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         |    sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(xq AS HUGEINT) * xq)
+         |        - CAST(sum(xq) AS HUGEINT) * CAST(sum(xq) AS HUGEINT)
+         |        AS DOUBLE))
+         |      / CAST(count(*) AS DOUBLE) AS sig
+         |  FROM (SELECT l_suppkey,
+         |      CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS xq
+         |    FROM bars) q GROUP BY l_suppkey
+         |), rec AS (
+         |  SELECT l_suppkey, l_shipdate, rn, x1, x AS y, $OM AS p
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.l_suppkey, s.l_shipdate, s.rn, s.x1,
+         |    ($A * s.x + (1.0::DOUBLE - $A) * h.y) AS y,
+         |    (h.p * $OM) AS p
+         |  FROM rec h JOIN seq s
+         |    ON s.l_suppkey = h.l_suppkey AND s.rn = h.rn + 1
+         |), fin AS (
+         |  SELECT r.l_suppkey, r.l_shipdate,
+         |    r.y + r.p * (st.mu - r.x1) AS z, st.mu,
+         |    (3.0::DOUBLE * st.sig) * sqrt($R * (1.0::DOUBLE - r.p * r.p))
+         |      AS hw
+         |  FROM rec r JOIN st ON r.l_suppkey = st.l_suppkey)
+         |SELECT l_suppkey, l_shipdate,
+         |  z / 100.0::DOUBLE AS ewma,
+         |  (mu + hw) / 100.0::DOUBLE AS ewma_ucl,
+         |  (mu - hw) / 100.0::DOUBLE AS ewma_lcl,
+         |  abs(z - mu) > hw AS ewma_ooc
+         |FROM fin ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Replays TextOps.blocklistScreen: the shared tokenizer, distinct
     // tokens intersected with the sorted literal blocklist, occurrence
     // count via the same higher-order filter.

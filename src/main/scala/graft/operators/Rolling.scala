@@ -2196,6 +2196,74 @@ object Rolling {
       .drop("__q")
   }
 
+  /** EWMA control chart (public SPC formulation): the smoothed monitor
+    * `z_t = λx_t + (1−λ)z_{t−1}` seeded at the SERIES MEAN `μ0` (the
+    * textbook target seed, not [[graft.functions.FinancialFunctions.varEma]]'s
+    * first-value seed), with the exact time-varying limits
+    * `μ0 ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t}))` — tighter early, widening to
+    * the asymptote. The small-persistent-shift detector beside
+    * [[graft.streaming.StreamingCusum]]'s jump detector and
+    * [[Anomaly.zscoreOutliers]]' pointwise screen.
+    *
+    * Determinism: values quantize to `scale` decimals; μ0 and the
+    * population σ come from exact per-key integer sums (one map-side
+    * aggregate joined back — the winsorize stats-frame shape). The
+    * μ0-seed rides on TWO native recurrences sharing one keyed sort:
+    * `y = var_ema(x, λ)` (x₁-seeded) and the decay power
+    * `p_t = (1−λ)^t` as a `runprod` of the constant factor; then
+    * `z_t = y_t + p_t·(μ0 − x₁)` — algebraically the μ0-seeded
+    * recurrence, evaluated as one fixed tree the oracle replays. The
+    * variance factor reuses `p` as `1 − p²` (no pow, no libm
+    * divergence). NULL-value rows follow varEma's frozen-state
+    * contract; `orderCols` must totally order each key. Adds
+    * (`ewma`, `ewma_ucl`, `ewma_lcl`, `ewma_ooc`) in input units. */
+  def ewmaChart(df: DataFrame, valueCol: String, partCols: Seq[String],
+                orderCols: Seq[String], lambdaPm: Int = 200,
+                l: Double = 3.0, scale: Int = 0): DataFrame = {
+    require(lambdaPm >= 1 && lambdaPm <= 999,
+      s"lambda permille must be in [1,999], got $lambdaPm")
+    require(l > 0.0, s"control-limit width L must be > 0, got $l")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("ewma", "ewma_ucl", "ewma_lcl", "ewma_ooc",
+        "__xq", "__n", "__sx", "__sxx", "__mu", "__sig", "__y", "__p"),
+      "Rolling.ewmaChart")
+    val lam = lambdaPm / 1000.0
+    val om = 1.0 - lam
+    val ratio = lam / (2.0 - lam)
+    val pow10 = math.pow(10, scale)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(pow10)).cast("long")
+    val keyed = df.withColumn("__xq", xi)
+    val stats = keyed.groupBy(partCols.map(col): _*).agg(
+      count(col("__xq")).as("__n"),
+      sum(col("__xq")).as("__sx"),
+      sum(col("__xq").cast("decimal(38,0)") * col("__xq")).as("__sxx"))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val cxx = (nDec * col("__sxx") -
+      col("__sx").cast("decimal(38,0)") * col("__sx")).cast("double")
+    val statsCols = stats.select((partCols.map(col) :+
+      (col("__sx").cast("double") / col("__n").cast("double")).as("__mu") :+
+      (sqrt(cxx) / col("__n").cast("double")).as("__sig")): _*)
+    val x = col("__xq").cast("double")
+    val z = col("__y") +
+      col("__p") * (col("__mu") - first(x, ignoreNulls = true).over(w))
+    val hw = lit(l) * col("__sig") *
+      sqrt(lit(ratio) * (lit(1.0) - col("__p") * col("__p")))
+    keyed
+      .join(statsCols, partCols)
+      .withColumn("__y",
+        graft.functions.FinancialFunctions.varEma(x, lit(lam)).over(w))
+      .withColumn("__p", graft.functions.FinancialFunctions
+        .runprod(lit(om)).over(w))
+      .withColumn("ewma", z / lit(pow10))
+      .withColumn("ewma_ucl", (col("__mu") + hw) / lit(pow10))
+      .withColumn("ewma_lcl", (col("__mu") - hw) / lit(pow10))
+      .withColumn("ewma_ooc", abs(z - col("__mu")) > hw)
+      .drop("__xq", "__mu", "__sig", "__y", "__p")
+  }
+
   /** Rolling Sharpe ratio over a trailing n-return frame — the windowed
     * companion to [[riskRatios]]' whole-series readout: per row,
     * `mean(r)/stddev(r)` over the last n returns (population σ, the

@@ -1172,6 +1172,36 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(out(2).getAs[Double]("croston") === z2 / p2)
   }
 
+  test("ewmaChart: hand-traced mean-seeded recurrence and limits") {
+    // x = 10,20,30, lambda = 0.5: mu0 = 20, sigma = sqrt(600)/3;
+    // z = 15, 17.5, 23.75 (the mu0-seeded textbook walk)
+    val rows = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 30.0))
+    val out = Rolling.ewmaChart(rows.toDF("key", "t", "v"), "v",
+        Seq("key"), Seq("t"), lambdaPm = 500, l = 3.0)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Double]("ewma")).toSeq ===
+      Seq(15.0, 17.5, 23.75))
+    val sig = math.sqrt(600.0) / 3.0
+    def hw(p: Double) =
+      (3.0 * sig) * math.sqrt((0.5 / 1.5) * (1.0 - p * p))
+    assert(out(0).getAs[Double]("ewma_ucl") === 20.0 + hw(0.5))
+    assert(out(2).getAs[Double]("ewma_lcl") === 20.0 - hw(0.125))
+    assert(out.map(_.getAs[Boolean]("ewma_ooc")).toSeq ===
+      Seq(false, false, false))
+  }
+
+  test("ewmaChart: a persistent shift trips the chart") {
+    // long stable run then a sustained +4-sigma-ish shift: pointwise
+    // z-scores of the shifted tail are modest but the EWMA accumulates
+    val stable = (1 to 40).map(t => ("k", t.toLong, 100.0 + (t % 2)))
+    val shifted = (41 to 60).map(t => ("k", t.toLong, 104.0 + (t % 2)))
+    val out = Rolling.ewmaChart((stable ++ shifted).toDF("key", "t", "v"),
+        "v", Seq("key"), Seq("t"), lambdaPm = 200, l = 3.0)
+      .orderBy("t").collect()
+    assert(!out.take(48).exists(_.getAs[Boolean]("ewma_ooc")))
+    assert(out.drop(48).forall(_.getAs[Boolean]("ewma_ooc")))
+  }
+
   test("rollingSharpe: hand-computed ratio, warm-up and zero-variance NULL") {
     val rows = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
       ("k", 4L, 2.0), ("z", 1L, 5.0), ("z", 2L, 5.0), ("z", 3L, 5.0))
