@@ -1825,6 +1825,19 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_friedman" -> ((s, d) => {
+      // per-returnflag Friedman: across supplier blocks, do the seven
+      // weekdays rank consistently differently in shipped quantity —
+      // integer-exact doubled ranks, one final division
+      load(s, d)
+      import org.apache.spark.sql.functions.dayofweek
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        col("l_suppkey"), dayofweek(col("l_shipdate")).as("dow"),
+        col("l_quantity"))
+      operators.Stats.friedman(li, "l_quantity", "l_suppkey", "dow",
+          k = 7, Seq("l_returnflag"), scale = 2)
+        .orderBy(col("l_returnflag"))
+    }),
     "q_ewma_chart" -> ((s, d) => {
       // per-supplier EWMA control chart on the close — the mean-seeded
       // SPC monitor with exact time-varying limits; two native
@@ -4880,6 +4893,47 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.friedman: integer cell sums, within-block doubled
+    // midranks, the all-integer Conover form with ONE final division.
+    // DOW labels differ (DuckDB 0-6 vs Spark 1-7) but only partition
+    // identity matters — the bijection preserves cells and ranks.
+    "q_friedman" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_suppkey AS b,
+        |    dayofweek(CAST(l_shipdate AS DATE)) AS v,
+        |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE)
+        |      * 100.0::DOUBLE) AS BIGINT)) AS BIGINT) AS cell
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT l_returnflag, b, v, cell
+        |  FROM (SELECT *, CAST(count(*) OVER (PARTITION BY l_returnflag, b)
+        |      AS BIGINT) AS nc FROM cells) t
+        |  WHERE nc = 7),
+        |ranked AS (
+        |  SELECT l_returnflag, b, v,
+        |    2 * rank() OVER (PARTITION BY l_returnflag, b ORDER BY cell)
+        |      + CAST(count(*) OVER (PARTITION BY l_returnflag, b, cell)
+        |        AS BIGINT) - 1 AS r2
+        |  FROM cc),
+        |pt AS (
+        |  SELECT l_returnflag, v, CAST(sum(r2) AS BIGINT) AS rj2,
+        |    CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(r2 * r2) AS BIGINT) AS a2j
+        |  FROM ranked GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_returnflag, CAST(max(nj) AS BIGINT) AS n_blocks,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(rj2 * rj2) AS BIGINT) AS sr2,
+        |    CAST(sum(a2j) AS BIGINT) AS a2
+        |  FROM pt GROUP BY 1)
+        |SELECT l_returnflag, n_blocks, k,
+        |  CASE WHEN n_blocks >= 1 AND k = 7
+        |      AND CAST(a2 - n_blocks * 448 AS DOUBLE) > 0.0::DOUBLE
+        |    THEN (6.0::DOUBLE
+        |        * CAST(sr2 - n_blocks * n_blocks * 448 AS DOUBLE))
+        |      / CAST(a2 - n_blocks * 448 AS DOUBLE)
+        |  END AS friedman_q
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     // Replays Rolling.ewmaChart: exact per-key integer stats (mu0,
     // population sigma), the var_ema and runprod recurrences as one
     // WITH RECURSIVE walk, then the identical z / limit trees.

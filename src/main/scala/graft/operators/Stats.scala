@@ -1383,6 +1383,83 @@ object Stats {
     anovaF(z, "__bf_z", "__bf_v", groupCols, scale = 0)
   }
 
+  /** Friedman test per group (public formulation, Conover's tie-corrected
+    * form): the k-treatment PAIRED nonparametric readout — across n
+    * matched blocks, do the k treatments rank consistently differently —
+    * completing the family: [[wilcoxonSignedRank]] (paired, k=2),
+    * [[mannWhitney]] (independent, k=2), [[kruskalWallis]] (independent,
+    * k-ary). Each (block, treatment) CELL is the exact integer SUM of
+    * the quantized values (sums, not means — means would need exact
+    * rational rank comparisons), ranked WITHIN its block.
+    *
+    * Exactness: cells are exact BIGINTs; within-block ranks use the
+    * [[spearman]] DOUBLED-average-rank trick, so with `R2_j = Σ_blocks
+    * 2r` and `A2 = Σ_cells (2r)²` the tie-corrected statistic is
+    * integer until ONE final division:
+    * `Q = (k−1)·(Σ_j R2_j² − n²k(k+1)²) / (A2 − nk(k+1)²)`.
+    * Blocks missing a treatment (cell count ≠ k) are DROPPED — the
+    * standard complete-block requirement; n counts survivors. NULL Q
+    * when n = 0, k < 2, or every block is fully tied (denominator 0).
+    *
+    * Plan: one (group, block, treatment) aggregate; the block-rank
+    * window and both downstream aggregates reuse the (group, block)
+    * exchange; the per-treatment fold is k-row-bounded. Emits
+    * (groupCols…, `n_blocks`, `k`, `friedman_q`). */
+  def friedman(df: DataFrame, valueCol: String, blockCol: String,
+               treatCol: String, k: Int, groupCols: Seq[String],
+               scale: Int = 0): DataFrame = {
+    require(k >= 2, s"need at least 2 treatments, got $k")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "friedman needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_blocks", "k", "friedman_q", "__b", "__v", "__cell", "__nc",
+        "__t", "__r2"), "Stats.friedman")
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col(treatCol).isNull,
+        raise_error(lit(s"friedman: NULL $treatCol — a silently dropped " +
+          "treatment corrupts the block structure; filter first")))
+      .otherwise(col(treatCol).cast("string"))
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val cells = df
+      .select((groupCols.map(col) :+ col(blockCol).as("__b") :+
+        v.as("__v") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("__b") :+ col("__v")): _*)
+      .agg(sum(col("__xi")).as("__cell"))
+    val blockKeys = groupCols.map(col) :+ col("__b")
+    val wb = Window.partitionBy(blockKeys: _*)
+    val complete = cells
+      .withColumn("__nc", count(lit(1)).over(wb))
+      .filter(col("__nc") === k.toLong)
+    val wr = wb.orderBy(col("__cell"))
+    val peers = count(lit(1))
+      .over(wr.rangeBetween(Window.currentRow, Window.currentRow))
+      .cast("long")
+    val ranked = complete
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(wr).cast("long") + col("__t") - lit(1L))
+    // per-treatment doubled rank sums (k rows per group), then the
+    // group-level fold: both exact BIGINT sums
+    val perTreat = ranked.groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(sum(col("__r2")).as("__rj2"), count(lit(1)).as("__nj"),
+        sum(col("__r2") * col("__r2")).as("__a2j"))
+    val sums = perTreat.groupBy(groupCols.map(col): _*).agg(
+      max(col("__nj")).as("n_blocks"),
+      count(lit(1)).cast("long").as("k"),
+      sum(col("__rj2") * col("__rj2")).as("__sr2"),
+      sum(col("__a2j")).as("__a2"))
+    val n = col("n_blocks")
+    val kk = lit(k.toLong)
+    val kSq = kk * (kk + lit(1L)) * (kk + lit(1L))
+    val num = (col("__sr2") - n * n * kSq).cast("double")
+    val den = (col("__a2") - n * kSq).cast("double")
+    sums.select((groupCols.map(col) :+ col("n_blocks") :+ col("k") :+
+      when(n >= 1L && col("k") === k.toLong && den > 0.0,
+        lit((k - 1).toDouble) * num / den).as("friedman_q")): _*)
+  }
+
   /** Engle's lag-1 ARCH-LM test per key (public formulation): volatility
     * clustering shows up as autocorrelation in SQUARED (de-meaned-free)
     * returns, so regress `u²_t` on `u²_{t−1}` and report `LM = n·R²`

@@ -730,6 +730,36 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("f")))  // k < 2
   }
 
+  test("friedman: hand-computed Q with ties and an incomplete block") {
+    // b1, b2: A<B<C (ranks 1,2,3); b3: all tied (2r = 4 each);
+    // b4 incomplete -> dropped. Doubled: num = 32, den = 16, Q = 4
+    val rows = Seq(
+      ("g", "b1", "A", 1.0), ("g", "b1", "B", 2.0), ("g", "b1", "C", 3.0),
+      ("g", "b2", "A", 10.0), ("g", "b2", "B", 20.0), ("g", "b2", "C", 30.0),
+      ("g", "b3", "A", 5.0), ("g", "b3", "B", 5.0), ("g", "b3", "C", 5.0),
+      ("g", "b4", "A", 1.0), ("g", "b4", "B", 2.0))
+    val r = Stats.friedman(rows.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Double]("friedman_q") === 4.0)
+  }
+
+  test("friedman: perfect consistency hits n(k-1); all-tied yields NULL") {
+    val perfect = for {
+      b <- Seq("b1", "b2", "b3"); (t, x) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0))
+    } yield ("g", b, t, x)
+    val r = Stats.friedman(perfect.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r.getAs[Double]("friedman_q") === 6.0)  // n(k-1) = 3*2
+    val tied = for {
+      b <- Seq("b1", "b2"); t <- Seq("A", "B", "C")
+    } yield ("g", b, t, 7.0)
+    val r2 = Stats.friedman(tied.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("friedman_q")))
+  }
+
   test("archLm: hand-computed squared-residual regression") {
     // u = 1,2,1,3,2 -> s = 1,4,1,9,4; pairs (x=lag s, y=s):
     // Cxx = 171, Cyy = 132, Cxy = -58 on n = 4
