@@ -96,7 +96,8 @@ object ScaleProbe {
     // doubled-rank signed-rank sort, the median+anova two-agg BF, and
     // the zero-shuffle blocklist map (should be ~flat per row)
     "q_croston", "q_arch_lm", "q_chow", "q_wilcoxon",
-    "q_brown_forsythe", "q_blocklist", "q_ewma_chart", "q_friedman")
+    "q_brown_forsythe", "q_blocklist", "q_ewma_chart", "q_friedman",
+    "q_grubbs", "q_trimmed_mean", "q_hill")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1825,6 +1825,30 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_grubbs" -> ((s, d) => {
+      // per-supplier Grubbs max-outlier statistic on the close — one
+      // map-side aggregate, integer-exact deviation via n·max − Σx
+      load(s, d)
+      operators.Anomaly.grubbs(dailyBars(s), "close", Seq("l_suppkey"),
+          scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_trimmed_mean" -> ((s, d) => {
+      // per-supplier 5%-per-side trimmed mean of the close — positional
+      // trim on one keyed sort, exact kept sum
+      load(s, d)
+      operators.Stats.trimmedMean(dailyBars(s), "close", Seq("l_suppkey"),
+          trimPm = 50, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_hill" -> ((s, d) => {
+      // per-supplier Hill tail index over the top-50 volumes — how heavy
+      // is the upper volume tail; k-bounded rank list, rounded-ln fold
+      load(s, d)
+      operators.Stats.hillTail(dailyBars(s), "volume", Seq("l_suppkey"),
+          k = 50, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_friedman" -> ((s, d) => {
       // per-returnflag Friedman: across supplier blocks, do the seven
       // weekdays rank consistently differently in shipped quantity —
@@ -4893,6 +4917,97 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Anomaly.grubbs: exact integer (n, Σx, Σx², min, max), the
+    // n-multiplied deviation, the one fixed G tree (sums < 2^53 — no
+    // VARCHAR bridge needed).
+    "q_grubbs" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), q AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         |    CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+         |  FROM q GROUP BY l_suppkey)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 3 THEN
+         |    (CAST(greatest(n * mx - sx, sx - n * mn) AS DOUBLE)
+         |        / CAST(n AS DOUBLE))
+         |      / sqrt((CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+         |            > 0.0::DOUBLE
+         |          THEN CAST(n * sxx - sx * sx AS DOUBLE) END)
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+         |  END AS grubbs_g,
+         |  CAST(CASE WHEN n * mx - sx >= sx - n * mn THEN mx ELSE mn END
+         |    AS DOUBLE) / 100.0::DOUBLE AS suspect,
+         |  CASE WHEN n * mx - sx >= sx - n * mn THEN 'high' ELSE 'low' END
+         |    AS suspect_side
+         |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.trimmedMean: positional rank trim with the exact
+    // integer per-side count, kept sum as BIGINT, one division tree.
+    "q_trimmed_mean" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), q AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x
+         |  FROM bars
+         |), r AS (
+         |  SELECT l_suppkey, x,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY x) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS ng
+         |  FROM q
+         |), s AS (
+         |  SELECT l_suppkey, CAST(max(ng) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN rn > (ng * 50) // 1000
+         |        AND rn <= ng - (ng * 50) // 1000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN rn > (ng * 50) // 1000
+         |        AND rn <= ng - (ng * 50) // 1000 THEN x ELSE 0 END)
+         |      AS BIGINT) AS sk
+         |  FROM r GROUP BY l_suppkey)
+         |SELECT l_suppkey, n, n_kept,
+         |  CASE WHEN n_kept >= 1 THEN
+         |    (CAST(sk AS DOUBLE) / CAST(n_kept AS DOUBLE)) / 100.0::DOUBLE
+         |  END AS trimmed_mean
+         |FROM s ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.hillTail: descending rank, the k+1-bounded ordered
+    // list, threshold at position k+1, per-term round(ln, 10) fold in
+    // rank order, H and 1/H.
+    "q_hill" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), q AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(volume * 100.0::DOUBLE) AS BIGINT) AS x
+         |  FROM bars
+         |  WHERE CAST(round(volume * 100.0::DOUBLE) AS BIGINT) > 0
+         |), r AS (
+         |  SELECT l_suppkey, x,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY x DESC)
+         |      AS rn
+         |  FROM q
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_pos,
+         |    list(struct_pack(rn := rn, x := x) ORDER BY rn)
+         |      FILTER (rn <= 51) AS top
+         |  FROM r GROUP BY l_suppkey
+         |), h AS (
+         |  SELECT l_suppkey, n_pos,
+         |    CASE WHEN n_pos >= 51 THEN
+         |      list_reduce(list_transform(top[1:50],
+         |          e -> round(ln(CAST(e.x AS DOUBLE)
+         |            / CAST(top[51].x AS DOUBLE)), 10) + 0.0::DOUBLE),
+         |        (a, b) -> a + b) / 50.0::DOUBLE
+         |    END AS hh
+         |  FROM g)
+         |SELECT l_suppkey, n_pos, hh AS hill_h,
+         |  CASE WHEN hh > 0.0::DOUBLE THEN 1.0::DOUBLE / hh END AS hill_alpha
+         |FROM h ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.friedman: integer cell sums, within-block doubled
     // midranks, the all-integer Conover form with ONE final division.
     // DOW labels differ (DuckDB 0-6 vs Spark 1-7) but only partition

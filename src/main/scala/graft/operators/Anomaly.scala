@@ -91,6 +91,59 @@ object Anomaly {
       .drop("__n", "__sum", "__sumsq")
   }
 
+  /** Grubbs' outlier statistic per group (public formula): the
+    * single-most-extreme-point readout `G = max|x − x̄|/s` (sample s)
+    * plus the suspect value and its side — the hypothesis-flavored
+    * companion to [[zscoreOutliers]]' pointwise flags (G is the max
+    * z-score against the SAMPLE sd, the quantity textbook critical
+    * tables are stated for).
+    *
+    * Exactness: values quantize to `scale` decimals; (n, Σx, Σx², min,
+    * max) are exact integers from ONE map-side-combinable aggregate —
+    * no window, no second scan; `max|x − x̄|` evaluates integer-exactly
+    * as `max(n·max − Σx, Σx − n·min)` (both BIGINTs, the n-multiplied
+    * trick), and G is one fixed tree `(dev/n) / √(Cxx/(n·(n−1)))` — the
+    * 10^scale factors cancel between deviation and sd. NULL G when
+    * n < 3 (Grubbs is
+    * undefined) or zero variance. Emits (groupCols…, `n`, `grubbs_g`,
+    * `suspect`, `suspect_side` — 'high'/'low', ties to high). */
+  def grubbs(df: DataFrame, valueCol: String, groupCols: Seq[String],
+             scale: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "grubbs needs at least one group column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "grubbs_g", "suspect", "suspect_side",
+        "__xi", "__sx", "__sxx", "__mn", "__mx"), "Anomaly.grubbs")
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val sums = df
+      .select((groupCols.map(col) :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("__xi")).as("__sx"),
+        sum(col("__xi").cast("decimal(38,0)") * col("__xi")).as("__sxx"),
+        min(col("__xi")).as("__mn"),
+        max(col("__xi")).as("__mx"))
+    val nL = col("n")
+    val devHi = nL * col("__mx") - col("__sx")     // n·(max − x̄), exact
+    val devLo = col("__sx") - nL * col("__mn")     // n·(x̄ − min), exact
+    val dev = greatest(devHi, devLo).cast("double")
+    val cxx = (nL.cast("decimal(38,0)") * col("__sxx") -
+      col("__sx").cast("decimal(38,0)") * col("__sx")).cast("double")
+    val nD = nL.cast("double")
+    // max|x−x̄| = dev/n and s = √(Cxx/(n(n−1))) — quantization cancels
+    val g = (dev / nD) /
+      sqrt(when(cxx > 0.0, cxx) / (nD * (nD - lit(1.0))))
+    val pow10 = lit(math.pow(10, scale))
+    sums.select((groupCols.map(col) :+ col("n") :+
+      when(nL >= 3L, g).as("grubbs_g") :+
+      (when(devHi >= devLo, col("__mx")).otherwise(col("__mn"))
+        .cast("double") / pow10).as("suspect") :+
+      when(devHi >= devLo, lit("high")).otherwise(lit("low"))
+        .as("suspect_side")): _*)
+  }
+
   /** Benford first-significant-digit screen over a positive decimal
     * column — the classic fabricated-numbers detector (organic
     * multi-scale amounts follow `P(d) = log10(1 + 1/d)`; invented,

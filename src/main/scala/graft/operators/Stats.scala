@@ -1383,6 +1383,103 @@ object Stats {
     anovaF(z, "__bf_z", "__bf_v", groupCols, scale = 0)
   }
 
+  /** Trimmed mean per group (public formula): drop the lowest and
+    * highest `trimPm`‰ of rows (per side, by position in the value
+    * order) and average the rest — the robust location readout between
+    * the mean (trim 0) and the median (trim → 500‰), standard for
+    * heavy-tailed metrics where [[Anomaly.grubbs]] flags what the mean
+    * can't survive.
+    *
+    * Exactness: values quantize to `scale` decimals; the per-side trim
+    * count is the exact integer `t = ⌊n·trimPm/1000⌋`; positional
+    * trimming keeps a DETERMINISTIC multiset under ties (which tied row
+    * survives is arbitrary, but the surviving VALUES are not), so the
+    * kept sum is an exact BIGINT and the mean is one fixed tree
+    * `(S/(n−2t))/10^scale`. NULL when the trim swallows everything.
+    * One keyed sort + one map-side-combinable aggregate. Emits
+    * (groupCols…, `n`, `n_kept`, `trimmed_mean`). */
+  def trimmedMean(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  trimPm: Int = 50, scale: Int = 0): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500,
+      s"per-side trim permille must be in [0,500), got $trimPm")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "trimmedMean needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "n_kept", "trimmed_mean", "__xi", "__rn", "__ng"),
+      "Stats.trimmedMean")
+    import org.apache.spark.sql.expressions.Window
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = base
+      .withColumn("__rn", row_number().over(wg.orderBy(col("__xi"))))
+      .withColumn("__ng", count(lit(1)).over(wg))
+    val t = expr(s"(__ng * $trimPm) DIV 1000")
+    val kept = col("__rn") > t && col("__rn") <= col("__ng") - t
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      max(col("__ng")).as("n"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(kept, col("__xi")).otherwise(0L)).as("__s"))
+    sums.select((groupCols.map(col) :+ col("n") :+ col("n_kept") :+
+      when(col("n_kept") >= 1L,
+        (col("__s").cast("double") / col("n_kept").cast("double")) /
+          lit(math.pow(10, scale))).as("trimmed_mean")): _*)
+  }
+
+  /** Hill tail-index estimator per group (public formula): over the k
+    * largest POSITIVE values, `H = (1/k)·Σ ln(x_(i)/x_(k+1))` and the
+    * tail index `α = 1/H` — how heavy the upper tail is (α ≲ 2: infinite
+    * variance; α ≲ 4: unstable kurtosis). The estimation-side companion
+    * to [[Rolling.historicalVar]]'s empirical quantiles: VaR reads the
+    * tail, Hill parameterizes it.
+    *
+    * Determinism: values quantize to `scale` decimals (the scale cancels
+    * inside the ratio); the top k+1 rows per key come from one keyed
+    * rank (ties straddling the boundary keep a deterministic multiset);
+    * each `ln` term rounds to 10 decimals in-engine (cross-engine libm
+    * ulp — the [[TextOps.bigramPmi]] contract) and the k-bounded fold
+    * runs in rank order. NULL when the group has < k+1 positive rows;
+    * NULL α when every top value ties the threshold (H = 0). k is
+    * bounded (driver-side list of k+1 per group — keep it ≤ ~10⁴).
+    * Emits (groupCols…, `n_pos`, `hill_h`, `hill_alpha`). */
+  def hillTail(df: DataFrame, valueCol: String, groupCols: Seq[String],
+               k: Int, scale: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1,10000], got $k")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "hillTail needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pos", "hill_h", "hill_alpha", "__xi", "__rn", "__top"),
+      "Stats.hillTail")
+    import org.apache.spark.sql.expressions.Window
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull && col("__xi") > 0L)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__xi").desc)
+    val ranked = base.withColumn("__rn", row_number().over(wg))
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_pos"),
+      sort_array(collect_list(when(col("__rn") <= (k + 1).toLong,
+        struct(col("__rn"), col("__xi"))))).as("__top"))
+    // get() (0-based) is NULL out-of-bounds under ANSI, unlike element_at
+    val thr = get(col("__top"), lit(k)).getField("__xi").cast("double")
+    val fold = aggregate(
+      slice(col("__top"), 1, k),
+      lit(0.0),
+      (acc, e) => acc +
+        (round(log(e.getField("__xi").cast("double") / thr), 10) +
+          lit(0.0)))
+    val h = when(col("n_pos") >= (k + 1).toLong, fold / lit(k.toDouble))
+    sums.select((groupCols.map(col) :+ col("n_pos") :+
+      h.as("hill_h") :+
+      when(h > 0.0, lit(1.0) / h).as("hill_alpha")): _*)
+  }
+
   /** Friedman test per group (public formulation, Conover's tie-corrected
     * form): the k-treatment PAIRED nonparametric readout — across n
     * matched blocks, do the k treatments rank consistently differently —

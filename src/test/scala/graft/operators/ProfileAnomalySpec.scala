@@ -300,4 +300,29 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"stats must broadcast:\n$plan")
   }
+
+  test("grubbs: hand-computed G, suspect side, and NULL guards") {
+    // 1,2,3,10: mean 4, Cxx = 200, dev = 24 (high side), G = 6/sqrt(50/3)
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0),
+      ("f", 5.0), ("f", 5.0), ("f", 5.0), ("s", 1.0), ("s", 2.0))
+      .toDF("grp", "v")
+    val out = Anomaly.grubbs(df, "v", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n") === 4L)
+    assert(g.getAs[Double]("grubbs_g") ===
+      (24.0 / 4.0) / math.sqrt(200.0 / (4.0 * 3.0)))
+    assert(g.getAs[Double]("suspect") === 10.0)
+    assert(g.getAs[String]("suspect_side") === "high")
+    assert(out("f").isNullAt(out("f").fieldIndex("grubbs_g"))) // zero var
+    assert(out("s").isNullAt(out("s").fieldIndex("grubbs_g"))) // n < 3
+  }
+
+  test("grubbs: low-side suspect") {
+    val df = Seq(("g", -10.0), ("g", 3.0), ("g", 4.0), ("g", 5.0))
+      .toDF("grp", "v")
+    val r = Anomaly.grubbs(df, "v", Seq("grp")).collect().head
+    assert(r.getAs[Double]("suspect") === -10.0)
+    assert(r.getAs[String]("suspect_side") === "low")
+  }
 }

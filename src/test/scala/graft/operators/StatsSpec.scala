@@ -730,6 +730,40 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("f")))  // k < 2
   }
 
+  test("trimmedMean: positional trim, exact kept sum") {
+    // 1..10 at 10%/side: drop 1 and 10, mean(2..9) = 5.5
+    val ten = (1 to 10).map(i => ("g", i.toDouble))
+    val tri = Seq(("h", 1.0), ("h", 100.0), ("h", 3.0)) // 40%/side -> median row
+    val out = Stats.trimmedMean((ten ++ tri).toDF("grp", "v"), "v",
+        Seq("grp"), trimPm = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Long]("n_kept") === 8L)
+    assert(out("g").getAs[Double]("trimmed_mean") === (44.0 / 8.0) / 1.0)
+    // h at 100 pm: t = floor(3*100/1000) = 0 -> plain mean
+    assert(out("h").getAs[Double]("trimmed_mean") === (104.0 / 3.0) / 1.0)
+    val med = Stats.trimmedMean(tri.toDF("grp", "v"), "v", Seq("grp"),
+      trimPm = 400).collect().head
+    assert(med.getAs[Long]("n_kept") === 1L)
+    assert(med.getAs[Double]("trimmed_mean") === 3.0) // the middle row
+  }
+
+  test("hillTail: hand-computed H over a geometric tail") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 16,8,4,2,1 with k=2: threshold 4, H = (ln4 + ln2)/2
+    val rows = Seq(16.0, 8.0, 4.0, 2.0, 1.0).map(("g", _)) ++
+      Seq(("s", 9.0), ("s", 3.0)) ++              // n < k+1 -> NULL
+      Seq(("t", 5.0), ("t", 5.0), ("t", 5.0))     // tied top -> H = 0
+    val out = Stats.hillTail(rows.toDF("grp", "v"), "v", Seq("grp"), k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val h = (0.0 + r10(math.log(16.0 / 4.0)) + r10(math.log(8.0 / 4.0))) / 2.0
+    assert(out("g").getAs[Double]("hill_h") === h)
+    assert(out("g").getAs[Double]("hill_alpha") === 1.0 / h)
+    assert(out("s").isNullAt(out("s").fieldIndex("hill_h")))
+    assert(out("t").getAs[Double]("hill_h") === 0.0)
+    assert(out("t").isNullAt(out("t").fieldIndex("hill_alpha")))
+  }
+
   test("friedman: hand-computed Q with ties and an incomplete block") {
     // b1, b2: A<B<C (ranks 1,2,3); b3: all tied (2r = 4 each);
     // b4 incomplete -> dropped. Doubled: num = 32, den = 16, Q = 4
