@@ -1825,6 +1825,33 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_pinball" -> ((s, d) => {
+      // per-supplier pinball loss of the naive close forecast at the
+      // 0.9 quantile — exact per-mille integer losses, one aggregate
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.lag
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withF = dailyBars(s)
+        .withColumn("fcst", lag(col("close"), 1).over(w))
+      operators.Eval.pinballLoss(withF, "close", "fcst", Seq("l_suppkey"),
+          tauPm = 900, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_theil_u2" -> ((s, d) => {
+      // per-supplier Theil U2 of the 2-day-average forecast vs the
+      // naive last-value baseline — does smoothing beat persistence
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lit}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withF = dailyBars(s).withColumn("fcst",
+        (lag(col("close"), 1).over(w) + lag(col("close"), 2).over(w)) /
+          lit(2.0))
+      operators.Eval.theilU2(withF, "close", "fcst", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_grubbs" -> ((s, d) => {
       // per-supplier Grubbs max-outlier statistic on the close — one
       // map-side aggregate, integer-exact deviation via n·max − Σx
@@ -4917,6 +4944,54 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Eval.pinballLoss: quantized naive-forecast errors, exact
+    // per-mille integer penalties, the one descale tree.
+    "q_pinball" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS a,
+         |    CAST(round(lag(close, 1) OVER (PARTITION BY l_suppkey
+         |        ORDER BY l_shipdate) * 100.0::DOUBLE) AS BIGINT) AS f
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a - f >= 0 THEN 900 * (a - f)
+         |      ELSE (900 - 1000) * (a - f) END) AS BIGINT) AS sp
+         |  FROM s WHERE a IS NOT NULL AND f IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 1 THEN
+         |    (CAST(sp AS DOUBLE) / (1000.0::DOUBLE * CAST(n AS DOUBLE)))
+         |      / 100.0::DOUBLE
+         |  END AS pinball
+         |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays Eval.theilU2: the 2-day-average forecast tree, quantized
+    // error sums, sqrt of the exact ratio.
+    "q_theil_u2" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS a,
+         |    CAST(round(((lag(close, 1) OVER ws + lag(close, 2) OVER ws)
+         |        / 2.0::DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS f,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1) OVER ws
+         |      AS nv
+         |  FROM bars
+         |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum((f - a) * (f - a)) AS BIGINT) AS num,
+         |    CAST(sum((nv - a) * (nv - a)) AS BIGINT) AS den
+         |  FROM s WHERE a IS NOT NULL AND f IS NOT NULL AND nv IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT l_suppkey, n AS n_pairs,
+         |  CASE WHEN n >= 1 AND den > 0 THEN
+         |    sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         |  END AS theil_u2
+         |FROM g ORDER BY l_suppkey""".stripMargin,
     // Replays Anomaly.grubbs: exact integer (n, Σx, Σx², min, max), the
     // n-multiplied deviation, the one fixed G tree (sums < 2^53 — no
     // VARCHAR bridge needed).

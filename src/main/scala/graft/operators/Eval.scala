@@ -658,4 +658,87 @@ object Eval {
         mae / (col("__snd").cast("double") / col("__nm").cast("double")))
         .as("mase")): _*)
   }
+
+  /** Per-key pinball (quantile) loss — the proper scoring rule for a
+    * QUANTILE forecast (a VaR line, a p90 latency predictor): under-
+    * prediction of the τ-quantile costs `τ·e`, over-prediction
+    * `(1−τ)·|e|`; the expected loss is minimized exactly at the true
+    * quantile. The quantile companion to [[forecastErrors]]' point
+    * metrics.
+    *
+    * Exactness: both columns quantize to `scale` decimals; with τ in
+    * permille the PER-MILLE loss `1000·L = τ‰·e` (e ≥ 0) or
+    * `(τ‰−1000)·e` (e < 0) is an exact BIGINT per row, summed exactly —
+    * the mean descales as ONE fixed tree `(Σ/(1000·n))/10^s`. NULL rows
+    * (either side) are excluded; NULL loss on an empty key. One
+    * map-side-combinable aggregate, no sort. Emits (keyCols…, `n`,
+    * `pinball`). */
+  def pinballLoss(df: DataFrame, actualCol: String, forecastCol: String,
+                  keyCols: Seq[String], tauPm: Int,
+                  scale: Int = 0): DataFrame = {
+    require(tauPm >= 1 && tauPm <= 999,
+      s"tau permille must be in [1,999], got $tauPm")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(keyCols.nonEmpty, "pinballLoss needs at least one key column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "pinball", "__a", "__f"), "pinballLoss")
+    val ai = round(col(actualCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val fi = round(col(forecastCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((keyCols.map(col) :+ ai.as("__a") :+ fi.as("__f")): _*)
+      .filter(col("__a").isNotNull && col("__f").isNotNull)
+    val e = col("__a") - col("__f")
+    val lossPm = when(e >= 0L, lit(tauPm.toLong) * e)
+      .otherwise(lit(tauPm.toLong - 1000L) * e)
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(lossPm).as("__s"))
+    sums.select((keyCols.map(col) :+ col("n") :+
+      when(col("n") >= 1L,
+        (col("__s").cast("double") /
+          (lit(1000.0) * col("n").cast("double"))) /
+          lit(math.pow(10, scale))).as("pinball")): _*)
+  }
+
+  /** Per-key Theil's U2 — forecast accuracy RELATIVE to the naive
+    * last-value forecaster: `U2 = √(Σ(f_t−a_t)² / Σ(a_{t−1}−a_t)²)`
+    * over the rows where all three values exist. U2 < 1 beats naive —
+    * the go/no-go gate for shipping any model over a persistence
+    * baseline; the ratio twin of [[forecastErrors]]' MASE (which scales
+    * by the naive MAE, not RMSE).
+    *
+    * Exactness: quantized BIGINT errors, both squared sums exact (the
+    * quantization scale cancels in the ratio), `√(num/den)` as one
+    * fixed tree. NULL when no complete rows or a constant series
+    * (den = 0). One keyed sort (the naive lag) + one map-side-
+    * combinable aggregate. Emits (keyCols…, `n_pairs`, `theil_u2`). */
+  def theilU2(df: DataFrame, actualCol: String, forecastCol: String,
+              keyCols: Seq[String], orderCols: Seq[String],
+              scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "theilU2 needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pairs", "theil_u2", "__a", "__f", "__nv"), "theilU2")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ai = round(col(actualCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val fi = round(col(forecastCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((keyCols.map(col) :+ ai.as("__a") :+ fi.as("__f")) :+
+        lag(ai, 1).over(w).as("__nv"): _*)
+      .filter(col("__a").isNotNull && col("__f").isNotNull &&
+        col("__nv").isNotNull)
+    val ef = col("__f") - col("__a")
+    val en = col("__nv") - col("__a")
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(ef * ef).as("__num"), sum(en * en).as("__den"))
+    sums.select((keyCols.map(col) :+ col("n_pairs") :+
+      when(col("n_pairs") >= 1L && col("__den") > 0L,
+        sqrt(col("__num").cast("double") / col("__den").cast("double")))
+        .as("theil_u2")): _*)
+  }
 }

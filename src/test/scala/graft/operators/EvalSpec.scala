@@ -403,4 +403,32 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       "act", "fc", Seq("key"), Seq("t"), m = 1, scale = 2).collect().head
     assert(r.getAs[Double]("mae") === (0.0 + 50.0) / 2.0 / 100.0)
   }
+
+  test("pinballLoss: hand-computed asymmetric penalties at tau = 0.9") {
+    // e = +2 (0.9*2), -4 (0.1*4), 0 -> mean 2.2/3
+    val rows = Seq(("g", 10.0, 8.0), ("g", 5.0, 9.0), ("g", 7.0, 7.0))
+    val r = Eval.pinballLoss(rows.toDF("key", "act", "fc"), "act", "fc",
+      Seq("key"), tauPm = 900).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("pinball") === (2200.0 / 3000.0) / 1.0)
+  }
+
+  test("theilU2: beats-naive ratio; naive itself scores 1; constant NULL") {
+    val rows = Seq(("g", 1L, 10.0, 11.0), ("g", 2L, 12.0, 11.0),
+      ("g", 3L, 11.0, 12.0), ("g", 4L, 15.0, 14.0))
+    val r = Eval.theilU2(rows.toDF("key", "t", "act", "fc"), "act", "fc",
+      Seq("key"), Seq("t")).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("theil_u2") === math.sqrt(3.0 / 21.0))
+    // forecast == naive lag -> U2 exactly 1
+    val nv = Seq(("g", 1L, 10.0, 0.0), ("g", 2L, 12.0, 10.0),
+      ("g", 3L, 11.0, 12.0))
+    val r2 = Eval.theilU2(nv.toDF("key", "t", "act", "fc"), "act", "fc",
+      Seq("key"), Seq("t")).collect().head
+    assert(r2.getAs[Double]("theil_u2") === 1.0)
+    val const = Seq(("g", 1L, 5.0, 6.0), ("g", 2L, 5.0, 6.0))
+    val r3 = Eval.theilU2(const.toDF("key", "t", "act", "fc"), "act", "fc",
+      Seq("key"), Seq("t")).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("theil_u2")))
+  }
 }
