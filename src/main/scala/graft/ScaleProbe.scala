@@ -97,7 +97,8 @@ object ScaleProbe {
     // the zero-shuffle blocklist map (should be ~flat per row)
     "q_croston", "q_arch_lm", "q_chow", "q_wilcoxon",
     "q_brown_forsythe", "q_blocklist", "q_ewma_chart", "q_friedman",
-    "q_grubbs", "q_trimmed_mean", "q_hill", "q_pinball", "q_theil_u2")
+    "q_grubbs", "q_trimmed_mean", "q_hill", "q_pinball", "q_theil_u2",
+    "q_cvm")
 
   private case class Shift(col: String, offset: Long)
 

@@ -1825,6 +1825,20 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_cvm" -> ((s, d) => {
+      // per-day Cramér–von Mises distance between purchase and view
+      // values — the whole-distribution drift readout beside q_ks's
+      // worst-gap and q_mann_whitney's location shift
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"), col("value"))
+      operators.Stats.cramerVonMises(ev, "value", "event_type",
+          "purchase", "view", Seq("day"), scale = 2)
+        .orderBy(col("day"))
+    }),
     "q_pinball" -> ((s, d) => {
       // per-supplier pinball loss of the naive close forecast at the
       // 0.9 quantile — exact per-mille integer losses, one aggregate
@@ -4944,6 +4958,43 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.cramerVonMises: pooled doubled midranks minus
+    // doubled within-arm indexes, exact D² sums, the U4/(4nmN) −
+    // (4nm−1)/(6N) tree.
+    "q_cvm" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS v,
+        |    CAST(round(value * 100.0::DOUBLE) AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |r AS (
+        |  SELECT day, v,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY x)
+        |      + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1
+        |      - 2 * row_number() OVER (PARTITION BY day, v ORDER BY x)
+        |      AS d
+        |  FROM e),
+        |g AS (
+        |  SELECT day,
+        |    CAST(count(CASE WHEN v = 'purchase' THEN 1 END) AS BIGINT) AS na,
+        |    CAST(count(CASE WHEN v = 'view' THEN 1 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN v = 'purchase' THEN d * d ELSE 0 END)
+        |      AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN v = 'view' THEN d * d ELSE 0 END)
+        |      AS BIGINT) AS db
+        |  FROM r GROUP BY day),
+        |h AS (
+        |  SELECT day, na, nb, CAST(na AS DOUBLE) AS nad,
+        |    CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na * da + nb * db AS DOUBLE) AS u4
+        |  FROM g)
+        |SELECT day, na AS n_a, nb AS n_b,
+        |  CASE WHEN na >= 1 AND nb >= 1 THEN
+        |    u4 / (((4.0::DOUBLE * nad) * nbd) * (nad + nbd))
+        |      - ((4.0::DOUBLE * nad) * nbd - 1.0::DOUBLE)
+        |        / (6.0::DOUBLE * (nad + nbd))
+        |  END AS cvm_t
+        |FROM h ORDER BY day""".stripMargin,
     // Replays Eval.pinballLoss: quantized naive-forecast errors, exact
     // per-mille integer penalties, the one descale tree.
     "q_pinball" ->

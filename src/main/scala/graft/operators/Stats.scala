@@ -1383,6 +1383,79 @@ object Stats {
     anovaF(z, "__bf_z", "__bf_v", groupCols, scale = 0)
   }
 
+  /** Two-sample Cramér–von Mises statistic per group (public
+    * formulation, Anderson 1962): the WHOLE-distribution distance
+    * between two arms — where [[Divergence.ksTest]] reads only the
+    * single worst ECDF gap, CvM integrates the squared gap over the
+    * whole support, so many small persistent shifts register that KS
+    * misses. `T = U/(nmN) − (4nm−1)/(6N)` with
+    * `U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²` (pooled rank minus within-arm
+    * index).
+    *
+    * Exactness: values quantize to `scale` decimals; pooled ranks use
+    * the DOUBLED-midrank trick and within-arm indexes are doubled to
+    * match, so each `D = 2r − 2i` is an exact integer whose squares sum
+    * exactly (DECIMAL — the Σ reaches ~N³); `U·4 = n·ΣD_a² + m·ΣD_b²`
+    * stays exact, and T is ONE fixed tree
+    * `U4/(4nmN) − (4nm−1)/(6N)`. Tied same-arm rows swap indexes
+    * without changing the sum (r equal, the i-set fixed), so the
+    * statistic is tie-deterministic. NULL T on an empty arm. Variants
+    * outside {a, b} raise — the [[mannWhitney]] contract. Plan: the
+    * pooled rank and the within-arm index are two sorts over one hash
+    * exchange family; the final aggregate is map-side combinable.
+    * Emits (groupCols…, `n_a`, `n_b`, `cvm_t`). */
+  def cramerVonMises(df: DataFrame, valueCol: String, variantCol: String,
+                     variantA: String, variantB: String,
+                     groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty,
+      "cramerVonMises needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "cvm_t", "__xi", "__arm", "__r2", "__i2", "__d"),
+      "Stats.cramerVonMises")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(variantCol)
+    val xi = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"cramerVonMises: $variantCol must be '$variantA' or " +
+            s"'$variantB', got "),
+          coalesce(v, lit("NULL")))))
+      .otherwise(round(col(valueCol).cast("double") *
+        lit(math.pow(10, scale))).cast("long"))
+    val base = df
+      .select((groupCols.map(col) :+ v.as("__arm") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val wp = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__xi"))
+    val wa = Window.partitionBy((groupCols.map(col) :+ col("__arm")): _*)
+      .orderBy(col("__xi"))
+    val peers = count(lit(1))
+      .over(wp.rangeBetween(Window.currentRow, Window.currentRow))
+      .cast("long")
+    val ranked = base
+      .withColumn("__r2", lit(2L) * rank().over(wp).cast("long") +
+        peers - lit(1L))
+      .withColumn("__i2", lit(2L) * row_number().over(wa).cast("long"))
+      .withColumn("__d", col("__r2") - col("__i2"))
+    val isA = col("__arm") === variantA
+    val sums = ranked.groupBy(groupCols.map(col): _*).agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(isA, (col("__d") * col("__d")).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("__da"),
+      sum(when(!isA, (col("__d") * col("__d")).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("__db"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val u4 = (col("n_a").cast("decimal(38,0)") * col("__da") +
+      col("n_b").cast("decimal(38,0)") * col("__db")).cast("double")
+    val t = u4 / (lit(4.0) * na * nb * nn) -
+      (lit(4.0) * na * nb - lit(1.0)) / (lit(6.0) * nn)
+    sums.select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") >= 1L && col("n_b") >= 1L, t).as("cvm_t")): _*)
+  }
+
   /** Trimmed mean per group (public formula): drop the lowest and
     * highest `trimPm`‰ of rows (per side, by position in the value
     * order) and average the rest — the robust location readout between

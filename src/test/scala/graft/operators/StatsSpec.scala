@@ -730,6 +730,38 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("f")))  // k < 2
   }
 
+  test("cramerVonMises: hand-computed T on interleaved/identical/disjoint") {
+    def run(rows: Seq[(String, String, Double)]) =
+      Stats.cramerVonMises(rows.toDF("grp", "arm", "x"), "x", "arm",
+        "a", "b", Seq("grp")).collect().head
+    // interleaved 1,3 vs 2,4: U = 12, T = 12/16 - 15/24 = 0.125
+    val inter = run(Seq(("g", "a", 1.0), ("g", "a", 3.0),
+      ("g", "b", 2.0), ("g", "b", 4.0)))
+    assert(inter.getAs[Double]("cvm_t") ===
+      48.0 / (((4.0 * 2.0) * 2.0) * 4.0) -
+        ((4.0 * 2.0) * 2.0 - 1.0) / (6.0 * 4.0))
+    // identical arms: midranks cancel exactly -> T = 0
+    val same = run(Seq(("g", "a", 1.0), ("g", "a", 2.0),
+      ("g", "b", 1.0), ("g", "b", 2.0)))
+    assert(same.getAs[Double]("cvm_t") === 0.0)
+    // fully separated arms: the n=m=2 maximum 0.375
+    val apart = run(Seq(("g", "a", 1.0), ("g", "a", 2.0),
+      ("g", "b", 3.0), ("g", "b", 4.0)))
+    assert(apart.getAs[Double]("cvm_t") === 0.375)
+  }
+
+  test("cramerVonMises: empty arm yields NULL; alien variant raises") {
+    val solo = Seq(("g", "a", 1.0), ("g", "a", 2.0))
+    val r = Stats.cramerVonMises(solo.toDF("grp", "arm", "x"), "x", "arm",
+      "a", "b", Seq("grp")).collect().head
+    assert(r.isNullAt(r.fieldIndex("cvm_t")))
+    val bad = Seq(("g", "a", 1.0), ("g", "zzz", 2.0))
+    intercept[Exception] {
+      Stats.cramerVonMises(bad.toDF("grp", "arm", "x"), "x", "arm",
+        "a", "b", Seq("grp")).collect()
+    }
+  }
+
   test("trimmedMean: positional trim, exact kept sum") {
     // 1..10 at 10%/side: drop 1 and 10, mean(2..9) = 5.5
     val ten = (1 to 10).map(i => ("g", i.toDouble))
