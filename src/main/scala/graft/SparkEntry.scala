@@ -1825,6 +1825,20 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_kupiec" -> ((s, d) => {
+      // per-supplier Kupiec POF backtest of a 2%-below-yesterday VaR
+      // line at claimed p = 5% — raw IEEE violation compare, exact
+      // counts, rounded-ln LR tree
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lit}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withV = dailyBars(s).withColumn("var_line",
+        lag(col("close"), 1).over(w) * lit(0.98))
+      operators.Eval.kupiecPof(withV, "close", "var_line",
+          Seq("l_suppkey"), pPm = 50)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_cvm" -> ((s, d) => {
       // per-day Cramér–von Mises distance between purchase and view
       // values — the whole-distribution drift readout beside q_ks's
@@ -4958,6 +4972,44 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Eval.kupiecPof: the same violation compare and counts;
+    // constant-ln terms are embedded as the Scala-folded 10-dp decimal
+    // literals (strtod → the identical doubles), data-dependent lns
+    // round(…, 10) in-engine.
+    "q_kupiec" -> {
+      def c10(x: Double): String =
+        BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toString
+      val c1 = c10(math.log(0.95))
+      val c2 = c10(math.log(0.05))
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, close,
+         |    lag(close, 1) OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) * 0.98::DOUBLE AS vl
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN close < vl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS x
+         |  FROM s WHERE close IS NOT NULL AND vl IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT l_suppkey, n, x AS violations,
+         |  CASE WHEN n >= 1 THEN
+         |    -2.0::DOUBLE * ((CAST(n - x AS DOUBLE) * ($c1::DOUBLE)
+         |        + CAST(x AS DOUBLE) * ($c2::DOUBLE))
+         |      - ((CASE WHEN x < n THEN CAST(n - x AS DOUBLE)
+         |            * (round(ln(1.0::DOUBLE
+         |              - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+         |              + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END)
+         |        + (CASE WHEN x > 0 THEN CAST(x AS DOUBLE)
+         |            * (round(ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+         |              + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END)))
+         |  END AS kupiec_lr
+         |FROM g ORDER BY l_suppkey""".stripMargin
+    },
     // Replays Stats.cramerVonMises: pooled doubled midranks minus
     // doubled within-arm indexes, exact D² sums, the U4/(4nmN) −
     // (4nm−1)/(6N) tree.

@@ -701,6 +701,57 @@ object Eval {
           lit(math.pow(10, scale))).as("pinball")): _*)
   }
 
+  /** Kupiec proportion-of-failures (POF) test per key — VaR-model
+    * backtesting (public formulation): given a forecast loss line
+    * (`varCol`, e.g. a rolling quantile) claiming violation probability
+    * p, does the OBSERVED violation count x/n reject the claim?
+    * `LR = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)]`,
+    * asymptotically χ²(1). The calibration companion to
+    * [[graft.operators.Rolling.historicalVar]] (which builds the line)
+    * and [[pinballLoss]] (which scores its level).
+    *
+    * A violation is a raw IEEE `actual < var` compare (both sides the
+    * caller's doubles — no quantization; the count is deterministic in
+    * any engine); rows with a NULL on either side are excluded. Each
+    * data-dependent `ln` rounds to 10 decimals in-engine (cross-engine
+    * libm ulp — the [[graft.operators.TextOps.bigramPmi]] contract);
+    * `x = 0` / `x = n` edge terms are exact zeros, not `0·ln 0` NaNs.
+    * NULL LR on an empty key. One map-side-combinable aggregate, no
+    * sort. Emits (keyCols…, `n`, `violations`, `kupiec_lr`). */
+  def kupiecPof(df: DataFrame, actualCol: String, varCol: String,
+                keyCols: Seq[String], pPm: Int): DataFrame = {
+    require(pPm >= 1 && pPm <= 999, s"p permille must be in [1,999], got $pPm")
+    require(keyCols.nonEmpty, "kupiecPof needs at least one key column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "violations", "kupiec_lr", "__viol"), "kupiecPof")
+    val a = col(actualCol).cast("double")
+    val v = col(varCol).cast("double")
+    val base = df
+      .filter(a.isNotNull && v.isNotNull)
+      .select((keyCols.map(col) :+
+        when(a < v, 1L).otherwise(0L).as("__viol")): _*)
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(col("__viol")).as("violations"))
+    val p = pPm / 1000.0
+    def r10(c: Column): Column = round(log(c), 10) + lit(0.0)
+    val nD = col("n").cast("double")
+    val xD = col("violations").cast("double")
+    val nx = nD - xD
+    val claim = nx * lit(r10Const(math.log(1.0 - p))) +
+      xD * lit(r10Const(math.log(p)))
+    val fit = when(col("violations") < col("n"),
+        nx * r10(lit(1.0) - xD / nD)).otherwise(lit(0.0)) +
+      when(col("violations") > 0L, xD * r10(xD / nD)).otherwise(lit(0.0))
+    val lr = lit(-2.0) * (claim - fit)
+    sums.select((keyCols.map(col) :+ col("n") :+ col("violations") :+
+      when(col("n") >= 1L, lr).as("kupiec_lr")): _*)
+  }
+
+  /** Scala-side 10-dp HALF_UP rounding matching Spark/DuckDB `round(x, 10)`
+    * — for ln-of-constant terms folded at plan build. */
+  private def r10Const(x: Double): Double =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Per-key Theil's U2 — forecast accuracy RELATIVE to the naive
     * last-value forecaster: `U2 = √(Σ(f_t−a_t)² / Σ(a_{t−1}−a_t)²)`
     * over the rows where all three values exist. U2 < 1 beats naive —

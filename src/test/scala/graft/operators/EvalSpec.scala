@@ -404,6 +404,26 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
     assert(r.getAs[Double]("mae") === (0.0 + 50.0) / 2.0 / 100.0)
   }
 
+  test("kupiecPof: hand-computed LR; x = 0 edge stays finite") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10 rows, 1 violation (a < v), claimed p = 5%
+    val rows = (1 to 9).map(i => ("g", 10.0 + i, 5.0)) :+ (("g", 1.0, 5.0))
+    val r = Eval.kupiecPof(rows.toDF("key", "act", "vl"), "act", "vl",
+      Seq("key"), pPm = 50).collect().head
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("violations") === 1L)
+    val claim = 9.0 * r10(math.log(0.95)) + 1.0 * r10(math.log(0.05))
+    val fit = 9.0 * r10(math.log(1.0 - 1.0 / 10.0)) +
+      1.0 * r10(math.log(1.0 / 10.0))
+    assert(r.getAs[Double]("kupiec_lr") === -2.0 * (claim - fit))
+    // zero violations: LR = -2 n ln(1-p), no 0*ln(0) NaN
+    val clean = (1 to 5).map(i => ("g", 10.0 + i, 5.0))
+    val r2 = Eval.kupiecPof(clean.toDF("key", "act", "vl"), "act", "vl",
+      Seq("key"), pPm = 50).collect().head
+    assert(r2.getAs[Double]("kupiec_lr") ===
+      -2.0 * (5.0 * r10(math.log(0.95)) - 0.0))
+  }
+
   test("pinballLoss: hand-computed asymmetric penalties at tau = 0.9") {
     // e = +2 (0.9*2), -4 (0.1*4), 0 -> mean 2.2/3
     val rows = Seq(("g", 10.0, 8.0), ("g", 5.0, 9.0), ("g", 7.0, 7.0))
