@@ -1825,6 +1825,20 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_christoffersen" -> ((s, d) => {
+      // per-supplier Christoffersen independence test on the same VaR
+      // line as q_kupiec — do violations cluster; Markov transition
+      // counts off one keyed sort, rounded-ln LR
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{lag, lit}
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val withV = dailyBars(s).withColumn("var_line",
+        lag(col("close"), 1).over(w) * lit(0.98))
+      operators.Eval.christoffersenInd(withV, "close", "var_line",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .orderBy(col("l_suppkey"))
+    }),
     "q_kupiec" -> ((s, d) => {
       // per-supplier Kupiec POF backtest of a 2%-below-yesterday VaR
       // line at claimed p = 5% — raw IEEE violation compare, exact
@@ -4972,6 +4986,72 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Eval.christoffersenInd: violation flags, Markov pair
+    // counts after the null-prev drop, guarded rounded-ln terms.
+    "q_christoffersen" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    lag(close, 1) OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) * 0.98::DOUBLE AS vl
+         |  FROM bars
+         |), f AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN close < vl THEN 1 ELSE 0 END AS viol
+         |  FROM s WHERE close IS NOT NULL AND vl IS NOT NULL
+         |), p AS (
+         |  SELECT l_suppkey, viol,
+         |    lag(viol, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |      AS prev
+         |  FROM f
+         |), g AS (
+         |  SELECT l_suppkey,
+         |    CAST(sum(CASE WHEN prev = 0 AND viol = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN prev = 0 AND viol = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN prev = 1 AND viol = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN prev = 1 AND viol = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11
+         |  FROM p WHERE prev IS NOT NULL GROUP BY l_suppkey
+         |), h AS (
+         |  SELECT l_suppkey, n00, n01, n10, n11,
+         |    ((CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE))
+         |      + CAST(n10 AS DOUBLE)) + CAST(n11 AS DOUBLE) AS nt,
+         |    (CAST(n01 AS DOUBLE) + CAST(n11 AS DOUBLE))
+         |      / (((CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE))
+         |        + CAST(n10 AS DOUBLE)) + CAST(n11 AS DOUBLE)) AS pi,
+         |    CAST(n01 AS DOUBLE)
+         |      / (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)) AS pi01,
+         |    CAST(n11 AS DOUBLE)
+         |      / (CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE)) AS pi11
+         |  FROM g)
+         |SELECT l_suppkey, n00, n01, n10, n11,
+         |  CASE WHEN nt > 0.0::DOUBLE
+         |      AND NOT (n01 + n11 = 0 OR n00 + n10 = 0) THEN
+         |    -2.0::DOUBLE * (
+         |      ((CASE WHEN n00 + n10 > 0 THEN CAST(n00 + n10 AS DOUBLE)
+         |          * (round(ln(1.0::DOUBLE - pi), 10) + 0.0::DOUBLE)
+         |        ELSE 0.0::DOUBLE END)
+         |       + (CASE WHEN n01 + n11 > 0 THEN CAST(n01 + n11 AS DOUBLE)
+         |          * (round(ln(pi), 10) + 0.0::DOUBLE)
+         |        ELSE 0.0::DOUBLE END))
+         |      - ((((CASE WHEN n00 > 0 THEN CAST(n00 AS DOUBLE)
+         |            * (round(ln(1.0::DOUBLE - pi01), 10) + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END)
+         |        + (CASE WHEN n01 > 0 THEN CAST(n01 AS DOUBLE)
+         |            * (round(ln(pi01), 10) + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END))
+         |        + (CASE WHEN n10 > 0 THEN CAST(n10 AS DOUBLE)
+         |            * (round(ln(1.0::DOUBLE - pi11), 10) + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END))
+         |        + (CASE WHEN n11 > 0 THEN CAST(n11 AS DOUBLE)
+         |            * (round(ln(pi11), 10) + 0.0::DOUBLE)
+         |          ELSE 0.0::DOUBLE END)))
+         |  END AS christoffersen_lr
+         |FROM h ORDER BY l_suppkey""".stripMargin,
     // Replays Eval.kupiecPof: the same violation compare and counts;
     // constant-ln terms are embedded as the Scala-folded 10-dp decimal
     // literals (strtod → the identical doubles), data-dependent lns

@@ -752,6 +752,64 @@ object Eval {
   private def r10Const(x: Double): Double =
     BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Christoffersen independence test per key — [[kupiecPof]]'s partner
+    * in the conditional-coverage pair (public formulation): POF asks
+    * whether violations are as FREQUENT as claimed; this asks whether
+    * they CLUSTER — a first-order Markov chain on the violation flag,
+    * `LR_ind` comparing one common violation probability against
+    * state-dependent (π01, π11), asymptotically χ²(1). A VaR line can
+    * pass POF and still fail here (right count, wrong days — all in one
+    * crisis week).
+    *
+    * Violation flags are raw IEEE `actual < var` compares; consecutive
+    * pairs come from ONE keyed sort; the four transition counts are
+    * exact. Each data-dependent `ln` rounds to 10 decimals in-engine
+    * (the [[kupiecPof]] contract); zero-count terms are exact zeros.
+    * NULL LR when no pairs or a degenerate chain (all-violation /
+    * no-violation series: the alternative is not identified). Emits
+    * (keyCols…, `n00`, `n01`, `n10`, `n11`, `christoffersen_lr`). */
+  def christoffersenInd(df: DataFrame, actualCol: String, varCol: String,
+                        keyCols: Seq[String],
+                        orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "christoffersenInd needs at least one key column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n00", "n01", "n10", "n11", "christoffersen_lr",
+        "__viol", "__prev"), "christoffersenInd")
+    val a = col(actualCol).cast("double")
+    val v = col(varCol).cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val base = df
+      .filter(a.isNotNull && v.isNotNull)
+      .select(((keyCols ++ orderCols).distinct.map(col) :+
+        when(a < v, 1L).otherwise(0L).as("__viol")): _*)
+      .withColumn("__prev", lag(col("__viol"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    def cnt(p: Long, c: Long): Column =
+      sum(when(col("__prev") === p && col("__viol") === c, 1L)
+        .otherwise(0L))
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      cnt(0L, 0L).as("n00"), cnt(0L, 1L).as("n01"),
+      cnt(1L, 0L).as("n10"), cnt(1L, 1L).as("n11"))
+    def d(c: Column): Column = c.cast("double")
+    val (c00, c01, c10, c11) =
+      (col("n00"), col("n01"), col("n10"), col("n11"))
+    val nT = d(c00) + d(c01) + d(c10) + d(c11)
+    val pi = (d(c01) + d(c11)) / nT
+    val pi01 = d(c01) / (d(c00) + d(c01))
+    val pi11 = d(c11) / (d(c10) + d(c11))
+    def r10(c: Column): Column = round(log(c), 10) + lit(0.0)
+    def term(n: Column, arg: Column): Column =
+      when(n > 0L, n.cast("double") * r10(arg)).otherwise(lit(0.0))
+    val common = term(c00 + c10, lit(1.0) - pi) + term(c01 + c11, pi)
+    val markov = term(c00, lit(1.0) - pi01) + term(c01, pi01) +
+      term(c10, lit(1.0) - pi11) + term(c11, pi11)
+    val lr = lit(-2.0) * (common - markov)
+    val degenerate = (c01 + c11) === 0L || (c00 + c10) === 0L
+    sums.select((keyCols.map(col) :+ c00 :+ c01 :+ c10 :+ c11 :+
+      when(nT > 0.0 && !degenerate, lr).as("christoffersen_lr")): _*)
+  }
+
   /** Per-key Theil's U2 — forecast accuracy RELATIVE to the naive
     * last-value forecaster: `U2 = √(Σ(f_t−a_t)² / Σ(a_{t−1}−a_t)²)`
     * over the rows where all three values exist. U2 < 1 beats naive —

@@ -424,6 +424,30 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       -2.0 * (5.0 * r10(math.log(0.95)) - 0.0))
   }
 
+  test("christoffersenInd: hand-computed Markov LR; degenerate NULL") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // flags 0,0,1,0,1,1,0 -> n00=1 n01=2 n10=2 n11=1
+    val acts = Seq(10.0, 10.0, 1.0, 10.0, 1.0, 1.0, 10.0)
+    val rows = acts.zipWithIndex.map { case (a, t) => ("g", t.toLong, a, 5.0) }
+    val r = Eval.christoffersenInd(rows.toDF("key", "t", "act", "vl"),
+      "act", "vl", Seq("key"), Seq("t")).collect().head
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n11")) === ((1L, 2L, 2L, 1L)))
+    val pi = (2.0 + 1.0) / 6.0
+    val common = 3.0 * r10(math.log(1.0 - pi)) + 3.0 * r10(math.log(pi))
+    val markov = 1.0 * r10(math.log(1.0 - 2.0 / 3.0)) +
+      2.0 * r10(math.log(2.0 / 3.0)) +
+      2.0 * r10(math.log(1.0 - 1.0 / 3.0)) +
+      1.0 * r10(math.log(1.0 / 3.0))
+    assert(r.getAs[Double]("christoffersen_lr") === -2.0 * (common - markov))
+    // violation-free series: the alternative is unidentified -> NULL
+    val clean = (1 to 5).map(t => ("g", t.toLong, 10.0, 5.0))
+    val r2 = Eval.christoffersenInd(clean.toDF("key", "t", "act", "vl"),
+      "act", "vl", Seq("key"), Seq("t")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("christoffersen_lr")))
+  }
+
   test("pinballLoss: hand-computed asymmetric penalties at tau = 0.9") {
     // e = +2 (0.9*2), -4 (0.1*4), 0 -> mean 2.2/3
     val rows = Seq(("g", 10.0, 8.0), ("g", 5.0, 9.0), ("g", 7.0, 7.0))
