@@ -1825,6 +1825,14 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_roll_spread" -> ((s, d) => {
+      // per-supplier Roll effective spread from close-change
+      // autocovariance — microstructure beside q_amihud's price impact
+      load(s, d)
+      operators.Stats.rollSpread(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_christoffersen" -> ((s, d) => {
       // per-supplier Christoffersen independence test on the same VaR
       // line as q_kupiec — do violations cluster; Markov transition
@@ -4986,6 +4994,37 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.rollSpread: quantized close changes, lag pairs,
+    // exact covariance numerator, the guarded 2·√(−c/n²) tree.
+    "q_roll_spread" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s0 AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      - lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |        OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS d
+         |  FROM bars
+         |), s AS (
+         |  SELECT l_suppkey, d,
+         |    lag(d, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate)
+         |      AS ld
+         |  FROM s0
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(ld) AS BIGINT) AS sl,
+         |    CAST(sum(d * ld) AS BIGINT) AS sdl
+         |  FROM s WHERE d IS NOT NULL AND ld IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT l_suppkey, n AS n_pairs,
+         |  CASE WHEN n >= 2 THEN
+         |    2.0::DOUBLE * sqrt(CASE WHEN CAST(n * sdl - sd * sl AS DOUBLE)
+         |        < 0.0::DOUBLE
+         |      THEN -(CAST(n * sdl - sd * sl AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END)
+         |      / 100.0::DOUBLE
+         |  END AS roll_spread
+         |FROM g ORDER BY l_suppkey""".stripMargin,
     // Replays Eval.christoffersenInd: violation flags, Markov pair
     // counts after the null-prev drop, guarded rounded-ln terms.
     "q_christoffersen" ->

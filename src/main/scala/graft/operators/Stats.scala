@@ -1630,6 +1630,52 @@ object Stats {
         lit((k - 1).toDouble) * num / den).as("friedman_q")): _*)
   }
 
+  /** Roll effective-spread estimator per key (public formula, Roll
+    * 1984): bid-ask bounce makes consecutive PRICE CHANGES negatively
+    * autocorrelated, so `spread = 2·√(−cov(Δp_t, Δp_{t−1}))` recovers
+    * the effective spread from trade prices alone — no quote data. The
+    * microstructure companion to [[graft.operators.Rolling]]'s Amihud
+    * illiquidity (price impact) readout. NULL when the autocovariance
+    * is non-negative (the estimator is undefined — trending/informed
+    * flow) or n < 2 pairs.
+    *
+    * Exactness — the [[archLm]] discipline: prices quantize to `scale`
+    * decimals so Δp and its lag are exact BIGINTs; the pair sums
+    * accumulate as DECIMALs and the population covariance numerator
+    * `n·Σdd' − Σd·Σd'` is exact; the spread is ONE fixed tree
+    * `2·√(−c/n²)/10^s`. ONE keyed sort + one map-side-combinable
+    * aggregate. Emits (keyCols…, `n_pairs`, `roll_spread`). */
+  def rollSpread(df: DataFrame, priceCol: String, keyCols: Seq[String],
+                 orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "rollSpread needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_pairs", "roll_spread", "__d", "__ld"), "Stats.rollSpread")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(priceCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val di = xi - lag(xi, 1).over(w)
+    val base = df
+      .select(((keyCols ++ orderCols).distinct.map(col) :+ di.as("__d")): _*)
+      .withColumn("__ld", lag(col("__d"), 1).over(w))
+      .filter(col("__d").isNotNull && col("__ld").isNotNull)
+    val (d, l) = (col("__d"), col("__ld"))
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(d.cast("decimal(38,0)")).as("__sd"),
+      sum(l.cast("decimal(38,0)")).as("__sl"),
+      sum(d.cast("decimal(38,0)") * l).as("__sdl"))
+    val nDec = col("n_pairs").cast("decimal(38,0)")
+    val c = (nDec * col("__sdl") - col("__sd") * col("__sl")).cast("double")
+    val nD = col("n_pairs").cast("double")
+    val spread = lit(2.0) * sqrt(when(c < 0.0, -(c / (nD * nD)))) /
+      lit(math.pow(10, scale))
+    sums.select((keyCols.map(col) :+ col("n_pairs") :+
+      when(col("n_pairs") >= 2L, spread).as("roll_spread")): _*)
+  }
+
   /** Engle's lag-1 ARCH-LM test per key (public formulation): volatility
     * clustering shows up as autocorrelation in SQUARED (de-meaned-free)
     * returns, so regress `u²_t` on `u²_{t−1}` and report `LM = n·R²`

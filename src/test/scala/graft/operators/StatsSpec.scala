@@ -826,6 +826,22 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("friedman_q")))
   }
 
+  test("rollSpread: pure bid-ask bounce recovers a spread; trend is NULL") {
+    // 10,11,10,11,10 -> diffs +1,-1,+1,-1, cov numerator c = -8 on n=3
+    val bounce = Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex
+      .map { case (p, t) => ("g", t.toLong, p) }
+    val r = Stats.rollSpread(bounce.toDF("key", "t", "p"), "p", Seq("key"),
+      Seq("t")).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("roll_spread") ===
+      2.0 * math.sqrt(-((-8.0) / (3.0 * 3.0))) / 1.0)
+    // monotone trend: diffs constant, cov 0 -> undefined
+    val trend = (1 to 5).map(i => ("g", i.toLong, i.toDouble))
+    val r2 = Stats.rollSpread(trend.toDF("key", "t", "p"), "p", Seq("key"),
+      Seq("t")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("roll_spread")))
+  }
+
   test("archLm: hand-computed squared-residual regression") {
     // u = 1,2,1,3,2 -> s = 1,4,1,9,4; pairs (x=lag s, y=s):
     // Cxx = 171, Cyy = 132, Cxy = -58 on n = 4
