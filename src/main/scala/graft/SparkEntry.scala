@@ -1825,6 +1825,18 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_page_trend" -> ((s, d) => {
+      // per-returnflag Page ordered-trend test: does shipped quantity
+      // trend monotonically across the week, block = supplier
+      load(s, d)
+      import org.apache.spark.sql.functions.dayofweek
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        col("l_suppkey"), dayofweek(col("l_shipdate")).as("dow"),
+        col("l_quantity"))
+      operators.Stats.pageTrend(li, "l_quantity", "l_suppkey", "dow",
+          k = 7, Seq("l_returnflag"), scale = 2)
+        .orderBy(col("l_returnflag"))
+    }),
     "q_roll_spread" -> ((s, d) => {
       // per-supplier Roll effective spread from close-change
       // autocovariance — microstructure beside q_amihud's price impact
@@ -4994,6 +5006,53 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.pageTrend: friedman's cells/ranks verbatim, the
+    // position-weighted L2 sum (DOW order is bijective between the
+    // engines' encodings), the exact L and the no-ties z tree.
+    "q_page_trend" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_suppkey AS b,
+        |    dayofweek(CAST(l_shipdate AS DATE)) AS v,
+        |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE)
+        |      * 100.0::DOUBLE) AS BIGINT)) AS BIGINT) AS cell
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT l_returnflag, b, v, cell
+        |  FROM (SELECT *, CAST(count(*) OVER (PARTITION BY l_returnflag, b)
+        |      AS BIGINT) AS nc FROM cells) t
+        |  WHERE nc = 7),
+        |ranked AS (
+        |  SELECT l_returnflag, b, v,
+        |    2 * rank() OVER (PARTITION BY l_returnflag, b ORDER BY cell)
+        |      + CAST(count(*) OVER (PARTITION BY l_returnflag, b, cell)
+        |        AS BIGINT) - 1 AS r2
+        |  FROM cc),
+        |pt AS (
+        |  SELECT l_returnflag, v, CAST(sum(r2) AS BIGINT) AS rj2,
+        |    CAST(count(*) AS BIGINT) AS nj
+        |  FROM ranked GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT l_returnflag, rj2, nj,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS j
+        |  FROM pt),
+        |g AS (
+        |  SELECT l_returnflag, CAST(max(nj) AS BIGINT) AS n_blocks,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(j * rj2) AS BIGINT) AS l2
+        |  FROM pj GROUP BY 1)
+        |SELECT l_returnflag, n_blocks, k,
+        |  CASE WHEN n_blocks >= 1 THEN
+        |    CAST(l2 AS DOUBLE) / 2.0::DOUBLE END AS page_l,
+        |  CASE WHEN n_blocks >= 1 AND k = 7 THEN
+        |    (CAST(l2 AS DOUBLE) / 2.0::DOUBLE
+        |      - CAST(n_blocks AS DOUBLE) * 7.0::DOUBLE * 8.0::DOUBLE
+        |        * 8.0::DOUBLE / 4.0::DOUBLE)
+        |    / sqrt(CAST(n_blocks AS DOUBLE) * (7.0::DOUBLE * 7.0::DOUBLE)
+        |        * (8.0::DOUBLE * 8.0::DOUBLE)
+        |        * (7.0::DOUBLE - 1.0::DOUBLE) / 144.0::DOUBLE)
+        |  END AS page_z
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     // Replays Stats.rollSpread: quantized close changes, lag pairs,
     // exact covariance numerator, the guarded 2·√(−c/n²) tree.
     "q_roll_spread" ->

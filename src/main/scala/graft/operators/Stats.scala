@@ -1630,6 +1630,78 @@ object Stats {
         lit((k - 1).toDouble) * num / den).as("friedman_q")): _*)
   }
 
+  /** Page's trend test per group (public formulation): the ORDERED-
+    * alternative companion to [[friedman]] — when the k treatments have
+    * a natural order (doses, days, stages), `L = Σⱼ j·Rⱼ` weights the
+    * within-block rank sums by treatment position, gaining power over
+    * Friedman's any-difference alternative for monotone trends. The
+    * treatment order is the ascending sort of the treatment labels
+    * (encode the order into the label — zero-padded stage numbers).
+    *
+    * Exactness: cells, completeness, and doubled midranks are
+    * [[friedman]] verbatim; `L2 = Σⱼ j·R2ⱼ` stays an exact BIGINT
+    * (L = L2/2, an exact half-integer double), and the NO-TIES normal
+    * approximation `z = (L − nk(k+1)²/4)/√(nk²(k+1)²(k−1)/144)` is one
+    * fixed tree (under heavy ties z is approximate — the documented
+    * Page contract; L itself is exact either way). Incomplete blocks
+    * drop; NULL z when no complete blocks survive. Same plan shape as
+    * friedman plus one k-row rank pass. Emits (groupCols…, `n_blocks`,
+    * `k`, `page_l`, `page_z`). */
+  def pageTrend(df: DataFrame, valueCol: String, blockCol: String,
+                treatCol: String, k: Int, groupCols: Seq[String],
+                scale: Int = 0): DataFrame = {
+    require(k >= 2, s"need at least 2 treatments, got $k")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "pageTrend needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_blocks", "k", "page_l", "page_z", "__b", "__v", "__cell",
+        "__nc", "__t", "__r2", "__j"), "Stats.pageTrend")
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col(treatCol).isNull,
+        raise_error(lit(s"pageTrend: NULL $treatCol — a silently dropped " +
+          "treatment corrupts the block structure; filter first")))
+      .otherwise(col(treatCol).cast("string"))
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val cells = df
+      .select((groupCols.map(col) :+ col(blockCol).as("__b") :+
+        v.as("__v") :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("__b") :+ col("__v")): _*)
+      .agg(sum(col("__xi")).as("__cell"))
+    val wb = Window.partitionBy((groupCols.map(col) :+ col("__b")): _*)
+    val complete = cells
+      .withColumn("__nc", count(lit(1)).over(wb))
+      .filter(col("__nc") === k.toLong)
+    val wr = wb.orderBy(col("__cell"))
+    val peers = count(lit(1))
+      .over(wr.rangeBetween(Window.currentRow, Window.currentRow))
+      .cast("long")
+    val ranked = complete
+      .withColumn("__t", peers)
+      .withColumn("__r2",
+        lit(2L) * rank().over(wr).cast("long") + col("__t") - lit(1L))
+    val perTreat = ranked.groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(sum(col("__r2")).as("__rj2"), count(lit(1)).as("__nj"))
+      .withColumn("__j", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v")))
+        .cast("long"))
+    val sums = perTreat.groupBy(groupCols.map(col): _*).agg(
+      max(col("__nj")).as("n_blocks"),
+      count(lit(1)).cast("long").as("k"),
+      sum(col("__j") * col("__rj2")).as("__l2"))
+    val nD = col("n_blocks").cast("double")
+    val kD = lit(k.toDouble)
+    val k1 = kD + lit(1.0)
+    val lVal = col("__l2").cast("double") / lit(2.0)
+    val mu = nD * kD * k1 * k1 / lit(4.0)
+    val sig2 = nD * (kD * kD) * (k1 * k1) * (kD - lit(1.0)) / lit(144.0)
+    sums.select((groupCols.map(col) :+ col("n_blocks") :+ col("k") :+
+      when(col("n_blocks") >= 1L, lVal).as("page_l") :+
+      when(col("n_blocks") >= 1L && col("k") === k.toLong,
+        (lVal - mu) / sqrt(sig2)).as("page_z")): _*)
+  }
+
   /** Roll effective-spread estimator per key (public formula, Roll
     * 1984): bid-ask bounce makes consecutive PRICE CHANGES negatively
     * autocorrelated, so `spread = 2·√(−cov(Δp_t, Δp_{t−1}))` recovers

@@ -796,6 +796,28 @@ test("anovaF: hand-computed 3-arm F") {
     assert(out("t").isNullAt(out("t").fieldIndex("hill_alpha")))
   }
 
+  test("pageTrend: perfect monotone trend hits the maximum L") {
+    // A<B<C in all 3 blocks: R2 = 6,12,18, j = 1,2,3 -> L = 42 = nΣj²
+    val perfect = for {
+      b <- Seq("b1", "b2", "b3"); (t, x) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0))
+    } yield ("g", b, t, x)
+    val r = Stats.pageTrend(perfect.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Double]("page_l") === 42.0)
+    val mu = ((3.0 * 3.0) * 4.0) * 4.0 / 4.0
+    val sig2 = (((3.0 * (3.0 * 3.0)) * (4.0 * 4.0)) * (3.0 - 1.0)) / 144.0
+    assert(r.getAs[Double]("page_z") === (42.0 - mu) / math.sqrt(sig2))
+    // reversed trend: L at its minimum, z negative
+    val rev = for {
+      b <- Seq("b1", "b2"); (t, x) <- Seq(("A", 3.0), ("B", 2.0), ("C", 1.0))
+    } yield ("g", b, t, x)
+    val r2 = Stats.pageTrend(rev.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r2.getAs[Double]("page_l") === 2.0 * (3.0 + 4.0 + 3.0))
+    assert(r2.getAs[Double]("page_z") < 0.0)
+  }
+
   test("friedman: hand-computed Q with ties and an incomplete block") {
     // b1, b2: A<B<C (ranks 1,2,3); b3: all tied (2r = 4 each);
     // b4 incomplete -> dropped. Doubled: num = 32, den = 16, Q = 4
