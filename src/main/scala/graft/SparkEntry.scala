@@ -1825,6 +1825,23 @@ object SparkEntry {
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_black_scholes" -> ((s, d) => {
+      // synthetic option chain off the bars: S = close, K = open,
+      // T = 3 months, sigma from the day's range — priced as one pure
+      // codegen projection, zero shuffle
+      load(s, d)
+      import org.apache.spark.sql.functions.{greatest, lit}
+      val opt = dailyBars(s).select(col("l_suppkey"), col("l_shipdate"),
+        col("close").as("s_px"), col("open").as("k_px"),
+        lit(0.25).as("tau"), lit(0.02).as("rf"),
+        greatest(lit(0.05),
+          (col("high") - col("low")) / col("close")).as("sigma"))
+      operators.Pricing.blackScholes(opt, "s_px", "k_px", "tau", "rf",
+          "sigma")
+        .select(col("l_suppkey"), col("l_shipdate"), col("bs_call"),
+          col("bs_put"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
+    }),
     "q_page_trend" -> ((s, d) => {
       // per-returnflag Page ordered-trend test: does shipped quantity
       // trend monotonically across the week, block = supplier
@@ -5006,6 +5023,70 @@ object SparkEntry {
          |  CASE WHEN np >= 4 THEN gamma END AS granger_gamma,
          |  CASE WHEN np >= 4 THEN tt END AS granger_t
          |FROM u ORDER BY l_suppkey""".stripMargin,
+    // Replays Pricing.blackScholes: the A&S 26.2.17 CDF polynomial with
+    // identical literal constants, each libm output (ln, exp)
+    // round(…,10) before downstream use, √(2π) embedded as the
+    // Scala-folded literal so both engines hold the same double.
+    "q_black_scholes" -> {
+      val s2pi = operators.Pricing.sqrt2PiLiteral
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), o AS (
+         |  SELECT l_suppkey, l_shipdate, close AS s_px, open AS k_px,
+         |    greatest(0.05::DOUBLE, (high - low) / close) AS sg
+         |  FROM bars
+         |), c AS (
+         |  SELECT l_suppkey, l_shipdate, s_px, k_px, sg,
+         |    (round(ln(s_px / k_px), 10) + 0.0::DOUBLE) AS lnsk,
+         |    (round(exp(-(0.02::DOUBLE * 0.25::DOUBLE)), 10)
+         |      + 0.0::DOUBLE) AS disc
+         |  FROM o
+         |), e AS (
+         |  SELECT *, ((lnsk + ((0.02::DOUBLE + ((sg * sg) / 2.0::DOUBLE))
+         |      * 0.25::DOUBLE)) / (sg * sqrt(0.25::DOUBLE))) AS d1
+         |  FROM c
+         |), f AS (
+         |  SELECT *, (d1 - sg * sqrt(0.25::DOUBLE)) AS d2 FROM e
+         |), t AS (
+         |  SELECT *,
+         |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d1)))
+         |      AS t1,
+         |    (round(exp(-(abs(d1) * abs(d1)) / 2.0::DOUBLE), 10)
+         |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi1,
+         |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d2)))
+         |      AS t2,
+         |    (round(exp(-(abs(d2) * abs(d2)) / 2.0::DOUBLE), 10)
+         |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi2
+         |  FROM f
+         |), n AS (
+         |  SELECT *,
+         |    1.0::DOUBLE - phi1 * (((((1.330274429::DOUBLE * t1
+         |      + -1.821255978::DOUBLE) * t1 + 1.781477937::DOUBLE) * t1
+         |      + -0.356563782::DOUBLE) * t1 + 0.319381530::DOUBLE) * t1)
+         |      AS nabs1,
+         |    1.0::DOUBLE - phi2 * (((((1.330274429::DOUBLE * t2
+         |      + -1.821255978::DOUBLE) * t2 + 1.781477937::DOUBLE) * t2
+         |      + -0.356563782::DOUBLE) * t2 + 0.319381530::DOUBLE) * t2)
+         |      AS nabs2
+         |  FROM t
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate, s_px, k_px, disc,
+         |    CASE WHEN d1 >= 0.0::DOUBLE THEN nabs1
+         |      ELSE 1.0::DOUBLE - nabs1 END AS nd1,
+         |    CASE WHEN -d1 >= 0.0::DOUBLE THEN nabs1
+         |      ELSE 1.0::DOUBLE - nabs1 END AS nmd1,
+         |    CASE WHEN d2 >= 0.0::DOUBLE THEN nabs2
+         |      ELSE 1.0::DOUBLE - nabs2 END AS nd2,
+         |    CASE WHEN -d2 >= 0.0::DOUBLE THEN nabs2
+         |      ELSE 1.0::DOUBLE - nabs2 END AS nmd2
+         |  FROM n)
+         |SELECT l_suppkey, l_shipdate,
+         |  round(s_px * nd1 - k_px * disc * nd2, 10) + 0.0::DOUBLE
+         |    AS bs_call,
+         |  round(k_px * disc * nmd2 - s_px * nmd1, 10) + 0.0::DOUBLE
+         |    AS bs_put
+         |FROM h ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
     // Replays Stats.pageTrend: friedman's cells/ranks verbatim, the
     // position-weighted L2 sum (DOW order is bijective between the
     // engines' encodings), the exact L and the no-ties z tree.
