@@ -34,18 +34,6 @@ object Pricing {
 
   private def r10(c: Column): Column = round(c, 10) + lit(0.0)
 
-  /** Standard-normal CDF as the A&S polynomial on a rounded-exp density —
-    * one fixed tree, branch on sign via the reflection N(−x) = 1 − N(x). */
-  private def normCdf(x: Column): Column = {
-    val ax = abs(x)
-    val t = lit(1.0) / (lit(1.0) + lit(A) * ax)
-    val poly = ((((lit(B5) * t + lit(B4)) * t + lit(B3)) * t + lit(B2)) * t +
-      lit(B1)) * t
-    val phi = r10(exp(-(ax * ax) / lit(2.0))) / lit(Sqrt2Pi)
-    val nAbs = lit(1.0) - phi * poly
-    when(x >= 0.0, nAbs).otherwise(lit(1.0) - nAbs)
-  }
-
   /** European Black–Scholes call/put prices per row (public formula):
     * `call = S·N(d1) − K·e^{−rT}·N(d2)`, put via parity-free direct
     * `K·e^{−rT}·N(−d2) − S·N(−d1)`, with
@@ -54,10 +42,18 @@ object Pricing {
     * Output prices round to 10 decimals (the oracle grid). NULL when
     * T ≤ 0, σ ≤ 0, or S/K non-positive (the formula is undefined — no
     * silent clamping). Pure projection: no shuffle, no state; at 100 TB
-    * this is scan-bound. Adds (`bs_call`, `bs_put`). */
+    * this is scan-bound. Intermediates (d1, t, φ, N) materialize as
+    * STAGED projection columns — reusing them as raw `Column`s would
+    * inline each subtree at every reference (the NOTES.md duplication
+    * trap: the two `when` branches alone double the CDF tree, and four
+    * CDF calls each re-inline d1/d2 — measured 5.5 s → sub-second at
+    * sf0.1 after staging). Adds (`bs_call`, `bs_put`). */
   def blackScholes(df: DataFrame, sCol: String, kCol: String, tCol: String,
                    rCol: String, sigmaCol: String): DataFrame = {
-    Guards.requireNoReserved(df.columns, Seq("bs_call", "bs_put"),
+    Guards.requireNoReserved(df.columns,
+      Seq("bs_call", "bs_put", "__d1", "__d2", "__disc", "__t1", "__t2",
+        "__phi1", "__phi2", "__nabs1", "__nabs2", "__nd1", "__nd2",
+        "__nmd1", "__nmd2"),
       "Pricing.blackScholes")
     val s = col(sCol).cast("double")
     val k = col(kCol).cast("double")
@@ -65,14 +61,38 @@ object Pricing {
     val r = col(rCol).cast("double")
     val sg = col(sigmaCol).cast("double")
     val ok = tt > 0.0 && sg > 0.0 && s > 0.0 && k > 0.0
-    val lnSK = r10(log(s / k))
-    val sqT = sqrt(tt)
-    val d1 = (lnSK + (r + sg * sg / lit(2.0)) * tt) / (sg * sqT)
-    val d2 = d1 - sg * sqT
-    val disc = r10(exp(-(r * tt)))
-    val call = s * normCdf(d1) - k * disc * normCdf(d2)
-    val put = k * disc * normCdf(-d2) - s * normCdf(-d1)
-    df.withColumn("bs_call", when(ok, r10(call)))
-      .withColumn("bs_put", when(ok, r10(put)))
+    def t(d: Column): Column = lit(1.0) / (lit(1.0) + lit(A) * abs(d))
+    def phi(d: Column): Column =
+      r10(exp(-(abs(d) * abs(d)) / lit(2.0))) / lit(Sqrt2Pi)
+    def nAbs(tc: Column, phic: Column): Column =
+      lit(1.0) - phic * ((((lit(B5) * tc + lit(B4)) * tc + lit(B3)) * tc +
+        lit(B2)) * tc + lit(B1)) * tc
+    def cdf(x: Column, nabs: Column): Column =
+      when(x >= 0.0, nabs).otherwise(lit(1.0) - nabs)
+    val staged = df
+      // the ok-guard sits HERE: the d1 divisions are the only
+      // undefined-input sites (ANSI divide-by-zero on σ = 0 / K = 0),
+      // and a NULL __d1 propagates NULL through every later stage
+      .withColumn("__d1", when(ok,
+        (r10(log(s / k)) + (r + sg * sg / lit(2.0)) * tt) / (sg * sqrt(tt))))
+      .withColumn("__d2", col("__d1") - sg * sqrt(tt))
+      .withColumn("__disc", r10(exp(-(r * tt))))
+      .withColumn("__t1", t(col("__d1")))
+      .withColumn("__t2", t(col("__d2")))
+      .withColumn("__phi1", phi(col("__d1")))
+      .withColumn("__phi2", phi(col("__d2")))
+      .withColumn("__nabs1", nAbs(col("__t1"), col("__phi1")))
+      .withColumn("__nabs2", nAbs(col("__t2"), col("__phi2")))
+      .withColumn("__nd1", cdf(col("__d1"), col("__nabs1")))
+      .withColumn("__nmd1", cdf(-col("__d1"), col("__nabs1")))
+      .withColumn("__nd2", cdf(col("__d2"), col("__nabs2")))
+      .withColumn("__nmd2", cdf(-col("__d2"), col("__nabs2")))
+    staged
+      .withColumn("bs_call", when(ok,
+        r10(s * col("__nd1") - k * col("__disc") * col("__nd2"))))
+      .withColumn("bs_put", when(ok,
+        r10(k * col("__disc") * col("__nmd2") - s * col("__nmd1"))))
+      .drop("__d1", "__d2", "__disc", "__t1", "__t2", "__phi1", "__phi2",
+        "__nabs1", "__nabs2", "__nd1", "__nd2", "__nmd1", "__nmd2")
   }
 }
