@@ -87,6 +87,52 @@ object SparkEntry {
       |  FROM lineitem) t
       |GROUP BY l_suppkey, l_shipdate""".stripMargin
 
+  /** Shared Black–Scholes staged CTE chain (o → n) for the two pricing
+    * oracles — mirrors Pricing.stage column-for-column; √(2π) embedded
+    * as the Scala-folded literal. Callers append their own `h` CTE and
+    * final select (the WITH opens with bars upstream). */
+  private lazy val duckBsPrefix: String = {
+    val s2pi = operators.Pricing.sqrt2PiLiteral
+    s"""), o AS (
+       |  SELECT l_suppkey, l_shipdate, close AS s_px, open AS k_px,
+       |    greatest(0.05::DOUBLE, (high - low) / close) AS sg
+       |  FROM bars
+       |), c AS (
+       |  SELECT l_suppkey, l_shipdate, s_px, k_px, sg,
+       |    (round(ln(s_px / k_px), 10) + 0.0::DOUBLE) AS lnsk,
+       |    (round(exp(-(0.02::DOUBLE * 0.25::DOUBLE)), 10)
+       |      + 0.0::DOUBLE) AS disc
+       |  FROM o
+       |), e AS (
+       |  SELECT *, ((lnsk + ((0.02::DOUBLE + ((sg * sg) / 2.0::DOUBLE))
+       |      * 0.25::DOUBLE)) / (sg * sqrt(0.25::DOUBLE))) AS d1
+       |  FROM c
+       |), f AS (
+       |  SELECT *, (d1 - sg * sqrt(0.25::DOUBLE)) AS d2 FROM e
+       |), t AS (
+       |  SELECT *,
+       |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d1)))
+       |      AS t1,
+       |    (round(exp(-(abs(d1) * abs(d1)) / 2.0::DOUBLE), 10)
+       |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi1,
+       |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d2)))
+       |      AS t2,
+       |    (round(exp(-(abs(d2) * abs(d2)) / 2.0::DOUBLE), 10)
+       |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi2
+       |  FROM f
+       |), n AS (
+       |  SELECT *,
+       |    1.0::DOUBLE - phi1 * (((((1.330274429::DOUBLE * t1
+       |      + -1.821255978::DOUBLE) * t1 + 1.781477937::DOUBLE) * t1
+       |      + -0.356563782::DOUBLE) * t1 + 0.319381530::DOUBLE) * t1)
+       |      AS nabs1,
+       |    1.0::DOUBLE - phi2 * (((((1.330274429::DOUBLE * t2
+       |      + -1.821255978::DOUBLE) * t2 + 1.781477937::DOUBLE) * t2
+       |      + -0.356563782::DOUBLE) * t2 + 0.319381530::DOUBLE) * t2)
+       |      AS nabs2
+       |  FROM t""".stripMargin
+  }
+
   /** The struct accumulator for the prefix list `(p,g,l,c)` — p is the raw
     * value column wrapped per row. */
   private def rsiStructList(valueCol: String): String =
@@ -1824,6 +1870,22 @@ object SparkEntry {
       operators.Stats.dickeyFuller(dailyBars(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
+    }),
+    "q_bs_greeks" -> ((s, d) => {
+      // call-side greeks over the same synthetic chain — closed forms
+      // off the shared staged intermediates, still a pure projection
+      load(s, d)
+      import org.apache.spark.sql.functions.{greatest, lit}
+      val opt = dailyBars(s).select(col("l_suppkey"), col("l_shipdate"),
+        col("close").as("s_px"), col("open").as("k_px"),
+        lit(0.25).as("tau"), lit(0.02).as("rf"),
+        greatest(lit(0.05),
+          (col("high") - col("low")) / col("close")).as("sigma"))
+      operators.Pricing.blackScholesGreeks(opt, "s_px", "k_px", "tau",
+          "rf", "sigma")
+        .select(col("l_suppkey"), col("l_shipdate"), col("bs_delta"),
+          col("bs_gamma"), col("bs_vega"), col("bs_theta"), col("bs_rho"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"))
     }),
     "q_black_scholes" -> ((s, d) => {
       // synthetic option chain off the bars: S = close, K = open,
@@ -5028,47 +5090,9 @@ object SparkEntry {
     // round(…,10) before downstream use, √(2π) embedded as the
     // Scala-folded literal so both engines hold the same double.
     "q_black_scholes" -> {
-      val s2pi = operators.Pricing.sqrt2PiLiteral
       s"""WITH bars AS (
          |$duckBarsSql
-         |), o AS (
-         |  SELECT l_suppkey, l_shipdate, close AS s_px, open AS k_px,
-         |    greatest(0.05::DOUBLE, (high - low) / close) AS sg
-         |  FROM bars
-         |), c AS (
-         |  SELECT l_suppkey, l_shipdate, s_px, k_px, sg,
-         |    (round(ln(s_px / k_px), 10) + 0.0::DOUBLE) AS lnsk,
-         |    (round(exp(-(0.02::DOUBLE * 0.25::DOUBLE)), 10)
-         |      + 0.0::DOUBLE) AS disc
-         |  FROM o
-         |), e AS (
-         |  SELECT *, ((lnsk + ((0.02::DOUBLE + ((sg * sg) / 2.0::DOUBLE))
-         |      * 0.25::DOUBLE)) / (sg * sqrt(0.25::DOUBLE))) AS d1
-         |  FROM c
-         |), f AS (
-         |  SELECT *, (d1 - sg * sqrt(0.25::DOUBLE)) AS d2 FROM e
-         |), t AS (
-         |  SELECT *,
-         |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d1)))
-         |      AS t1,
-         |    (round(exp(-(abs(d1) * abs(d1)) / 2.0::DOUBLE), 10)
-         |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi1,
-         |    (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(d2)))
-         |      AS t2,
-         |    (round(exp(-(abs(d2) * abs(d2)) / 2.0::DOUBLE), 10)
-         |      + 0.0::DOUBLE) / $s2pi::DOUBLE AS phi2
-         |  FROM f
-         |), n AS (
-         |  SELECT *,
-         |    1.0::DOUBLE - phi1 * (((((1.330274429::DOUBLE * t1
-         |      + -1.821255978::DOUBLE) * t1 + 1.781477937::DOUBLE) * t1
-         |      + -0.356563782::DOUBLE) * t1 + 0.319381530::DOUBLE) * t1)
-         |      AS nabs1,
-         |    1.0::DOUBLE - phi2 * (((((1.330274429::DOUBLE * t2
-         |      + -1.821255978::DOUBLE) * t2 + 1.781477937::DOUBLE) * t2
-         |      + -0.356563782::DOUBLE) * t2 + 0.319381530::DOUBLE) * t2)
-         |      AS nabs2
-         |  FROM t
+         |$duckBsPrefix
          |), h AS (
          |  SELECT l_suppkey, l_shipdate, s_px, k_px, disc,
          |    CASE WHEN d1 >= 0.0::DOUBLE THEN nabs1
@@ -5085,6 +5109,33 @@ object SparkEntry {
          |    AS bs_call,
          |  round(k_px * disc * nmd2 - s_px * nmd1, 10) + 0.0::DOUBLE
          |    AS bs_put
+         |FROM h ORDER BY l_suppkey, l_shipdate""".stripMargin
+    },
+    // Replays Pricing.blackScholesGreeks: same staged CTE chain, the
+    // closed-form greek trees off phi1/nd2 with mirrored associativity.
+    "q_bs_greeks" -> {
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |$duckBsPrefix
+         |), h AS (
+         |  SELECT l_suppkey, l_shipdate, s_px, k_px, sg, disc, phi1,
+         |    CASE WHEN d1 >= 0.0::DOUBLE THEN nabs1
+         |      ELSE 1.0::DOUBLE - nabs1 END AS nd1,
+         |    CASE WHEN d2 >= 0.0::DOUBLE THEN nabs2
+         |      ELSE 1.0::DOUBLE - nabs2 END AS nd2
+         |  FROM n)
+         |SELECT l_suppkey, l_shipdate,
+         |  round(nd1, 10) + 0.0::DOUBLE AS bs_delta,
+         |  round(phi1 / ((s_px * sg) * sqrt(0.25::DOUBLE)), 10)
+         |    + 0.0::DOUBLE AS bs_gamma,
+         |  round((s_px * phi1) * sqrt(0.25::DOUBLE), 10) + 0.0::DOUBLE
+         |    AS bs_vega,
+         |  round((-((s_px * phi1) * sg)) / (2.0::DOUBLE
+         |      * sqrt(0.25::DOUBLE))
+         |    - ((0.02::DOUBLE * k_px) * disc) * nd2, 10) + 0.0::DOUBLE
+         |    AS bs_theta,
+         |  round(((k_px * 0.25::DOUBLE) * disc) * nd2, 10) + 0.0::DOUBLE
+         |    AS bs_rho
          |FROM h ORDER BY l_suppkey, l_shipdate""".stripMargin
     },
     // Replays Stats.pageTrend: friedman's cells/ranks verbatim, the

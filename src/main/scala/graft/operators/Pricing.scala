@@ -48,13 +48,16 @@ object Pricing {
     * trap: the two `when` branches alone double the CDF tree, and four
     * CDF calls each re-inline d1/d2 — measured 5.5 s → sub-second at
     * sf0.1 after staging). Adds (`bs_call`, `bs_put`). */
-  def blackScholes(df: DataFrame, sCol: String, kCol: String, tCol: String,
-                   rCol: String, sigmaCol: String): DataFrame = {
-    Guards.requireNoReserved(df.columns,
-      Seq("bs_call", "bs_put", "__d1", "__d2", "__disc", "__t1", "__t2",
-        "__phi1", "__phi2", "__nabs1", "__nabs2", "__nd1", "__nd2",
-        "__nmd1", "__nmd2"),
-      "Pricing.blackScholes")
+  private val StageCols = Seq("__d1", "__d2", "__disc", "__t1", "__t2",
+    "__phi1", "__phi2", "__nabs1", "__nabs2", "__nd1", "__nd2",
+    "__nmd1", "__nmd2")
+
+  /** Shared staged-intermediate frame: d1/d2, discount, CDF scaffolding
+    * — each as its OWN projection column (see [[blackScholes]] scaladoc
+    * for why). Returns (staged df, the validity guard). */
+  private def stage(df: DataFrame, sCol: String, kCol: String,
+                    tCol: String, rCol: String,
+                    sigmaCol: String): (DataFrame, Column) = {
     val s = col(sCol).cast("double")
     val k = col(kCol).cast("double")
     val tt = col(tCol).cast("double")
@@ -87,12 +90,54 @@ object Pricing {
       .withColumn("__nmd1", cdf(-col("__d1"), col("__nabs1")))
       .withColumn("__nd2", cdf(col("__d2"), col("__nabs2")))
       .withColumn("__nmd2", cdf(-col("__d2"), col("__nabs2")))
+    (staged, ok)
+  }
+
+  def blackScholes(df: DataFrame, sCol: String, kCol: String, tCol: String,
+                   rCol: String, sigmaCol: String): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("bs_call", "bs_put") ++ StageCols, "Pricing.blackScholes")
+    val s = col(sCol).cast("double")
+    val k = col(kCol).cast("double")
+    val (staged, ok) = stage(df, sCol, kCol, tCol, rCol, sigmaCol)
     staged
       .withColumn("bs_call", when(ok,
         r10(s * col("__nd1") - k * col("__disc") * col("__nd2"))))
       .withColumn("bs_put", when(ok,
         r10(k * col("__disc") * col("__nmd2") - s * col("__nmd1"))))
-      .drop("__d1", "__d2", "__disc", "__t1", "__t2", "__phi1", "__phi2",
-        "__nabs1", "__nabs2", "__nd1", "__nd2", "__nmd1", "__nmd2")
+      .drop(StageCols: _*)
+  }
+
+  /** Call-side Black–Scholes Greeks (public closed forms) off the SAME
+    * staged intermediates as [[blackScholes]]: `Δ = N(d1)`,
+    * `Γ = φ(d1)/(Sσ√T)`, `vega = S·φ(d1)·√T`,
+    * `θ = −Sφ(d1)σ/(2√T) − rK·e^{−rT}·N(d2)`,
+    * `ρ = KT·e^{−rT}·N(d2)` — φ here is the standard normal pdf (the
+    * staged rounded-exp density). Same determinism and NULL contract;
+    * pure projection. Adds (`bs_delta`, `bs_gamma`, `bs_vega`,
+    * `bs_theta`, `bs_rho`), each rounded to 10 decimals. */
+  def blackScholesGreeks(df: DataFrame, sCol: String, kCol: String,
+                         tCol: String, rCol: String,
+                         sigmaCol: String): DataFrame = {
+    Guards.requireNoReserved(df.columns,
+      Seq("bs_delta", "bs_gamma", "bs_vega", "bs_theta", "bs_rho") ++
+        StageCols, "Pricing.blackScholesGreeks")
+    val s = col(sCol).cast("double")
+    val k = col(kCol).cast("double")
+    val tt = col(tCol).cast("double")
+    val r = col(rCol).cast("double")
+    val sg = col(sigmaCol).cast("double")
+    val (staged, ok) = stage(df, sCol, kCol, tCol, rCol, sigmaCol)
+    staged
+      .withColumn("bs_delta", when(ok, r10(col("__nd1"))))
+      .withColumn("bs_gamma", when(ok,
+        r10(col("__phi1") / (s * sg * sqrt(tt)))))
+      .withColumn("bs_vega", when(ok, r10(s * col("__phi1") * sqrt(tt))))
+      .withColumn("bs_theta", when(ok,
+        r10(-(s * col("__phi1") * sg) / (lit(2.0) * sqrt(tt)) -
+          r * k * col("__disc") * col("__nd2"))))
+      .withColumn("bs_rho", when(ok,
+        r10(k * tt * col("__disc") * col("__nd2"))))
+      .drop(StageCols: _*)
   }
 }

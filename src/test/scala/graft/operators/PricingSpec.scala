@@ -60,6 +60,38 @@ class PricingSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("bs_put")))
   }
 
+  test("blackScholesGreeks: ATM case matches the re-walked trees") {
+    val sqrt2pi = math.sqrt(2.0 * math.Pi)
+    def cdf(x: Double): Double = {
+      val ax = math.abs(x)
+      val tt = 1.0 / (1.0 + 0.2316419 * ax)
+      val poly = ((((1.330274429 * tt + -1.821255978) * tt + 1.781477937) *
+        tt + -0.356563782) * tt + 0.319381530) * tt
+      val phi = r10(math.exp(-(ax * ax) / 2.0)) / sqrt2pi
+      val nAbs = 1.0 - phi * poly
+      if (x >= 0.0) nAbs else 1.0 - nAbs
+    }
+    val (s, k, t, r, sg) = (100.0, 100.0, 1.0, 0.05, 0.2)
+    val d1 = (r10(math.log(s / k)) + (r + sg * sg / 2.0) * t) /
+      (sg * math.sqrt(t))
+    val d2 = d1 - sg * math.sqrt(t)
+    val phi1 = r10(math.exp(-(math.abs(d1) * math.abs(d1)) / 2.0)) / sqrt2pi
+    val disc = r10(math.exp(-(r * t)))
+    val out = Pricing.blackScholesGreeks(
+        Seq((s, k, t, r, sg)).toDF("s", "k", "t", "r", "sigma"),
+        "s", "k", "t", "r", "sigma").collect().head
+    assert(out.getAs[Double]("bs_delta") === r10(cdf(d1)))
+    assert(out.getAs[Double]("bs_gamma") ===
+      r10(phi1 / (s * sg * math.sqrt(t))))
+    assert(out.getAs[Double]("bs_vega") === r10(s * phi1 * math.sqrt(t)))
+    assert(out.getAs[Double]("bs_theta") ===
+      r10(-(s * phi1 * sg) / (2.0 * math.sqrt(t)) - r * k * disc * cdf(d2)))
+    assert(out.getAs[Double]("bs_rho") === r10(k * t * disc * cdf(d2)))
+    // literature sanity for this case
+    assert(math.abs(out.getAs[Double]("bs_delta") - 0.6368) < 0.001)
+    assert(math.abs(out.getAs[Double]("bs_vega") - 37.524) < 0.01)
+  }
+
   test("blackScholes plan is a pure projection - no exchange") {
     val rows = (1 to 100).map(i =>
       (100.0 + i, 100.0, 0.5, 0.02, 0.2)).toDF("s", "k", "t", "r", "sigma")
