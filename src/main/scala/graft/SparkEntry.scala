@@ -1836,6 +1836,27 @@ object SparkEntry {
           col("value"), col("holt"))
         .orderBy(col("key"), col("ts_us"), col("value"))
     }),
+    "q_stream_ewma" -> ((s, d) => {
+      // the StreamingEwma SPC monitor in BATCH mode: per-user chart of
+      // the event score against fixed phase-I targets — the
+      // batch/streaming parity proof for the chart fold
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d).select(
+          col("user_id").cast("string").as("key"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("value"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.EwmaEvent]
+      graft.streaming.StreamingEwma
+        .ewmaChartBatch(ev, lambdaPm = 200, l = 3.0, mu0 = 50.0,
+          sigma = 25.0)
+        .toDF()
+        .select(col("key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("ewma"), col("ucl"), col("lcl"), col("ooc"))
+        .orderBy(col("key"), col("ts_us"), col("value"))
+    }),
     "q_stream_kalman" -> ((s, d) => {
       // the StreamingKalman processor in BATCH mode (the q_stream_psar
       // pattern): per-user filtered level of the event score — a
@@ -4998,6 +5019,39 @@ object SparkEntry {
     // Replays StreamingKalman's batch fold (≡ the native kalman window,
     // spec-asserted) as the q_kalman WITH RECURSIVE machine over the
     // per-user event stream in (ts, event_id) order.
+    // Replays StreamingEwma.ewmaChartBatch: the (y, p) recursive walk
+    // (var_ema seed + decay power), the z/hw trees with the fixed
+    // phase-I targets as literals.
+    "q_stream_ewma" -> {
+      val A = "(200.0::DOUBLE/1000.0::DOUBLE)"
+      val OM = s"(1.0::DOUBLE - $A)"
+      val R = s"($A / (2.0::DOUBLE - $A))"
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), wk AS (
+         |  SELECT key, ts_us, value, rn, value AS y, $OM AS p,
+         |    value AS x1
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.key, s.ts_us, s.value, s.rn,
+         |    ($A * s.value + $OM * h.y) AS y,
+         |    (h.p * $OM) AS p, h.x1
+         |  FROM wk h JOIN seq s ON s.key = h.key AND s.rn = h.rn + 1
+         |), z AS (
+         |  SELECT key, ts_us, value,
+         |    (y + p * (50.0::DOUBLE - x1)) AS ewma,
+         |    ((3.0::DOUBLE * 25.0::DOUBLE)
+         |      * sqrt($R * (1.0::DOUBLE - p * p))) AS hw
+         |  FROM wk)
+         |SELECT key, ts_us, value, ewma,
+         |  50.0::DOUBLE + hw AS ucl, 50.0::DOUBLE - hw AS lcl,
+         |  abs(ewma - 50.0::DOUBLE) > hw AS ooc
+         |FROM z ORDER BY key, ts_us, value""".stripMargin
+    },
     "q_stream_kalman" -> {
       val Q = "(10.0::DOUBLE/1000.0::DOUBLE)"
       val R = "(1000.0::DOUBLE/1000.0::DOUBLE)"
