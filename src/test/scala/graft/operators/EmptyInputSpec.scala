@@ -199,6 +199,41 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(dh.count() === 0)
   }
 
+  test("round-9 operators on an empty frame") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("key", StringType),
+        StructField("t", LongType), StructField("d", DateType),
+        StructField("v", DoubleType), StructField("w", DoubleType),
+        StructField("arm", StringType), StructField("blk", StringType))))
+    val (p, ord) = (Seq("key"), Seq("t"))
+    assert(Stats.archLm(empty, "v", p, ord).count() === 0)
+    assert(Stats.chowTest(empty, "v", "d", p, "1995-06-17").count() === 0)
+    assert(Stats.wilcoxonSignedRank(empty, "v", "w", p).count() === 0)
+    assert(Stats.brownForsythe(empty, "v", "arm", p).count() === 0)
+    assert(Stats.friedman(empty, "v", "blk", "arm", k = 3, p).count() === 0)
+    assert(Stats.pageTrend(empty, "v", "blk", "arm", k = 3, p).count() === 0)
+    assert(Stats.cramerVonMises(empty, "v", "arm", "a", "b", p).count() === 0)
+    assert(Stats.trimmedMean(empty, "v", p).count() === 0)
+    assert(Stats.hillTail(empty, "v", p, k = 5).count() === 0)
+    assert(Stats.rollSpread(empty, "v", p, ord).count() === 0)
+    assert(Anomaly.grubbs(empty, "v", p).count() === 0)
+    assert(Rolling.croston(empty, "v", "d", p, Seq("d")).count() === 0)
+    assert(Rolling.ewmaChart(empty, "v", p, ord).count() === 0)
+    assert(Eval.pinballLoss(empty, "v", "w", p, tauPm = 900).count() === 0)
+    assert(Eval.theilU2(empty, "v", "w", p, ord).count() === 0)
+    assert(Eval.kupiecPof(empty, "v", "w", p, pPm = 50).count() === 0)
+    assert(Eval.christoffersenInd(empty, "v", "w", p, ord).count() === 0)
+    assert(TextOps.blocklistScreen(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))),
+      "doc_id", "text", Seq("slow")).count() === 0)
+    assert(Pricing.blackScholes(empty, "v", "w", "v", "w", "v").count() === 0)
+    assert(Pricing.blackScholesGreeks(empty, "v", "w", "v", "w", "v")
+      .count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
