@@ -3205,6 +3205,33 @@ object SparkEntry {
           "below_l")
         .orderBy("doc_id")
     }),
+    "q_record_linkage" -> ((s, d) => {
+      // Fellegi–Sunter scoring over (lang, length-band)-blocked doc
+      // pairs: source/length/prefix agreements, plan-folded log2
+      // weights, threshold classes — probabilistic record linkage as a
+      // pure map over the blocked join
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, substring}
+      val docs = s.table("documents")
+      val a = docs.select(col("doc_id").as("id_a"),
+        col("lang").as("lang_a"), col("source").as("src_a"),
+        col("n_chars").as("nc_a"), substring(col("text"), 1, 16).as("p_a"))
+      val b = docs.select(col("doc_id").as("id_b"),
+        col("lang").as("lang_b"), col("source").as("src_b"),
+        col("n_chars").as("nc_b"), substring(col("text"), 1, 16).as("p_b"))
+      val pairs = a.join(b,
+          col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
+            expr("nc_a DIV 200") === expr("nc_b DIV 200"))
+        .select(col("id_a"), col("id_b"),
+          (col("src_a") === col("src_b")).as("agree_src"),
+          (expr("nc_a DIV 50") === expr("nc_b DIV 50")).as("agree_len"),
+          (col("p_a") === col("p_b")).as("agree_prefix"))
+      operators.FuzzyJoin.fellegiSunter(pairs,
+          Seq("agree_src", "agree_len", "agree_prefix"),
+          Seq((0.9, 0.3), (0.8, 0.2), (0.7, 0.05)),
+          upper = 2.0, lower = -1.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_sorted_neighborhood" -> ((s, d) => {
       // sorted-neighborhood near-dup pairs: block on the first 8 chars,
       // sort by full text within block, rank distance <= 4, exact 3-gram
@@ -5373,6 +5400,39 @@ object SparkEntry {
          |          ELSE 0.0::DOUBLE END)))
          |  END AS kupiec_lr
          |FROM g ORDER BY l_suppkey""".stripMargin
+    },
+    // Replays FuzzyJoin.fellegiSunter over the same blocked pairs: the
+    // Scala-folded log2 weights ride in as VARCHAR-bridged literals
+    // (the identical doubles), the left-assoc sum and threshold CASEs.
+    "q_record_linkage" -> {
+      val ln2 = math.log(2.0)
+      def w(m: Double, u: Double): (String, String) =
+        (s"CAST('${math.log(m / u) / ln2}' AS DOUBLE)",
+          s"CAST('${math.log((1.0 - m) / (1.0 - u)) / ln2}' AS DOUBLE)")
+      val (wa1, wd1) = w(0.9, 0.3)
+      val (wa2, wd2) = w(0.8, 0.2)
+      val (wa3, wd3) = w(0.7, 0.05)
+      def term(c: String, wa: String, wd: String): String =
+        s"(CASE WHEN $c IS NULL THEN 0.0::DOUBLE WHEN $c THEN $wa ELSE $wd END)"
+      s"""WITH p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.source = b.source AS agree_src,
+         |    (a.n_chars // 50) = (b.n_chars // 50) AS agree_len,
+         |    substr(a.text, 1, 16) = substr(b.text, 1, 16) AS agree_prefix
+         |  FROM documents a JOIN documents b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   AND (a.n_chars // 200) = (b.n_chars // 200)
+         |), s AS (
+         |  SELECT id_a, id_b, agree_src, agree_len, agree_prefix,
+         |    ((${term("agree_src", wa1, wd1)}
+         |      + ${term("agree_len", wa2, wd2)})
+         |      + ${term("agree_prefix", wa3, wd3)}) AS fs_weight
+         |  FROM p)
+         |SELECT id_a, id_b, agree_src, agree_len, agree_prefix, fs_weight,
+         |  CASE WHEN fs_weight >= 2.0::DOUBLE THEN 'match'
+         |       WHEN fs_weight > -1.0::DOUBLE THEN 'possible'
+         |       ELSE 'nonmatch' END AS fs_class
+         |FROM s ORDER BY id_a, id_b""".stripMargin
     },
     // Replays Stats.cramerVonMises: pooled doubled midranks minus
     // doubled within-arm indexes, exact D² sums, the U4/(4nmN) −

@@ -96,4 +96,50 @@ object FuzzyJoin {
         (col("__pk") % lit(PackShift)).as("match_id"),
         expr(s"CAST(__pk DIV $PackShift AS INT)").as("match_dist"))
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring (public 1969
+    * formulation) over a CANDIDATE-PAIR frame (from any blocked
+    * generator here — [[probeBuckets]], [[Dedup.sortedNeighborhoodPairs]],
+    * or a plain blocking join): each boolean field-agreement column
+    * contributes its log₂ likelihood ratio — `log₂(m/u)` on agreement,
+    * `log₂((1−m)/(1−u))` on disagreement, 0 when the comparison is NULL
+    * (the standard missing-field convention) — and the summed weight
+    * classifies against the caller's (upper, lower) thresholds.
+    *
+    * Determinism: every weight FOLDS AT PLAN BUILD on the Scala side
+    * (the only logs in the operator are over caller constants), so the
+    * runtime is a branch-and-add over literals — bit-replayable with
+    * the weights embedded verbatim in the oracle, no libm at runtime.
+    * Plan: pure per-row map over the pair frame — the candidate
+    * generator owns all the shuffle. Adds (`fs_weight`, `fs_class` —
+    * 'match' / 'possible' / 'nonmatch'). */
+  def fellegiSunter(pairs: DataFrame, agreementCols: Seq[String],
+                    mu: Seq[(Double, Double)], upper: Double,
+                    lower: Double): DataFrame = {
+    require(agreementCols.nonEmpty, "need at least one agreement column")
+    require(agreementCols.size == mu.size,
+      s"${agreementCols.size} agreement columns but ${mu.size} (m,u) pairs")
+    require(upper >= lower, s"upper ($upper) must be >= lower ($lower)")
+    mu.foreach { case (m, u) =>
+      require(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0,
+        s"m and u must be in (0,1), got ($m, $u)")
+      require(m > u, s"m must exceed u (agreement must favor matches), " +
+        s"got ($m, $u)")
+    }
+    Guards.requireNoReserved(pairs.columns, Seq("fs_weight", "fs_class"),
+      "FuzzyJoin.fellegiSunter")
+    val ln2 = math.log(2.0)
+    val weight = agreementCols.zip(mu).map { case (c, (m, u)) =>
+      val wa = math.log(m / u) / ln2
+      val wd = math.log((1.0 - m) / (1.0 - u)) / ln2
+      when(col(c).isNull, lit(0.0))
+        .when(col(c), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs
+      .withColumn("fs_weight", weight)
+      .withColumn("fs_class",
+        when(col("fs_weight") >= upper, lit("match"))
+          .when(col("fs_weight") > lower, lit("possible"))
+          .otherwise(lit("nonmatch")))
+  }
 }

@@ -72,4 +72,38 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"),
       s"packed-long argmin must hash-aggregate:\n$plan")
   }
+
+  test("fellegiSunter: folded log2 weights, NULL = 0, class thresholds") {
+    val ln2 = math.log(2.0)
+    // mirror the operator's trees exactly: 1.0 - 0.8 is NOT the double
+    // 0.2 (it is 0.19999999999999996) — the complement must be computed,
+    // not written as a literal
+    val wa1 = math.log(0.9 / 0.3) / ln2
+    val wd1 = math.log((1.0 - 0.9) / (1.0 - 0.3)) / ln2
+    val wa2 = math.log(0.8 / 0.2) / ln2
+    val wd2 = math.log((1.0 - 0.8) / (1.0 - 0.2)) / ln2
+    val rows = Seq(
+      (1L, Some(true), Some(true)), (2L, Some(true), Some(false)),
+      (3L, None, Some(true)), (4L, Some(false), Some(false)))
+    val out = FuzzyJoin.fellegiSunter(rows.toDF("pid", "f1", "f2"),
+        Seq("f1", "f2"), Seq((0.9, 0.3), (0.8, 0.2)),
+        upper = 3.0, lower = -1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("fs_weight"), r.getAs[String]("fs_class"))).toMap
+    assert(out(1L) === ((wa1 + wa2, "match")))
+    assert(out(2L) === ((wa1 + wd2, "possible")))
+    assert(out(3L) === ((0.0 + wa2, "possible")))
+    assert(out(4L) === ((wd1 + wd2, "nonmatch")))
+  }
+
+  test("fellegiSunter: m <= u and size-mismatch fail loudly") {
+    val df = Seq((1L, true)).toDF("pid", "f1")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fellegiSunter(df, Seq("f1"), Seq((0.2, 0.8)), 1.0, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fellegiSunter(df, Seq("f1"), Seq((0.9, 0.3), (0.8, 0.2)),
+        1.0, 0.0)
+    }
+  }
 }
