@@ -2186,6 +2186,23 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_nelson_aalen" -> ((s, d) => {
+      // cumulative hazard twin of q_kaplan_meier over the same
+      // time-to-first-purchase frame — additive risk, recursive-walk
+      // oracle parity for the running fold
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, min, max, when, lit}
+      val perUser = readEventsNanos(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max(col("ts")).as("tl"))
+        .select(expr("user_id % 4").as("cohort"),
+          expr("(coalesce(tp, tl) - t0) DIV 86400000000000").as("dur"),
+          when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      operators.Eval.nelsonAalen(perUser, "dur", "ev", Seq("cohort"))
+        .orderBy(col("cohort"), col("t"))
+    }),
     "q_pacf" -> ((s, d) => {
       // per-supplier partial autocorrelation at lags 1-3 — the exact
       // integer rho ratios through the unrolled Durbin-Levinson trees
@@ -6102,6 +6119,47 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.nelsonAalen: the q_kaplan_meier frame with the
+    // additive hazard walk — h = h_prev + d/n, one IEEE add per step in
+    // t-order (the recursive mirror of Spark's growing-frame fold).
+    "q_nelson_aalen" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) * 1000) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) * 1000 END) AS tp,
+        |    max(epoch_us(ts) * 1000) AS tl
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    (coalesce(tp, tl) - t0) // 86400000000000 AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |pt AS (
+        |  SELECT cohort, dur AS t, CAST(sum(ev) AS BIGINT) AS de,
+        |    CAST(sum(1 - ev) AS BIGINT) AS ce
+        |  FROM d GROUP BY cohort, dur),
+        |r AS (
+        |  SELECT cohort, t, de, ce,
+        |    sum(de + ce) OVER (PARTITION BY cohort)
+        |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM pt),
+        |na AS (
+        |  SELECT cohort, t, de, ce, n_risk, rn,
+        |    CAST(de AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.cohort, s.t, s.de, s.ce, s.n_risk, s.rn,
+        |    (p.h + CAST(s.de AS DOUBLE) / CAST(s.n_risk AS DOUBLE)) AS h
+        |  FROM na p JOIN r s
+        |    ON s.cohort = p.cohort AND s.rn = p.rn + 1
+        |)
+        |SELECT cohort, t, n_risk, de AS events, ce AS censored,
+        |  h AS hazard
+        |FROM na ORDER BY cohort, t""".stripMargin,
     "q_kaplan_meier" ->
       """WITH RECURSIVE u AS (
         |  SELECT user_id,

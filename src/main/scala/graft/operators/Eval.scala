@@ -603,6 +603,47 @@ object Eval {
         col("survival")): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard per group (public estimator) — the
+    * additive companion to [[kaplanMeier]]: `H(t) = Σ_{t_i ≤ t} d_i/n_i`
+    * accumulates instantaneous risk instead of multiplying survival,
+    * better-behaved for small risk sets and the standard input to
+    * hazard-ratio eyeballing. Same censoring semantics and the same
+    * (group, t) collapse.
+    *
+    * Exactness: counts and at-risk sizes are exact integers on the
+    * [[kaplanMeier]] frame; each step is ONE division `d/n`, and the
+    * cumulative sum is Spark's growing-frame running fold — one IEEE
+    * add per step in t-order, which the oracle replays as the identical
+    * recursive walk (never a re-associating windowed float sum). Emits
+    * (groupCols…, `t`, `n_risk`, `events`, `censored`, `hazard`). */
+  def nelsonAalen(df: DataFrame, timeCol: String, eventCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "nelsonAalen needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("t", "n_risk", "events", "censored", "hazard", "__d", "__c"),
+      "nelsonAalen")
+    val y = checkedLabel(eventCol, "nelsonAalen")
+    val perTime = df
+      .groupBy((groupCols.map(col) :+ col(timeCol).cast("long").as("t")): _*)
+      .agg(sum(y).as("__d"), sum(lit(1L) - y).as("__c"))
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    val before = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = sum(col("__d") + col("__c")).over(tot) -
+      coalesce(sum(col("__d") + col("__c")).over(before), lit(0L))
+    val step = col("__d").cast("double") / nRisk.cast("double")
+    perTime
+      .withColumn("n_risk", nRisk)
+      .withColumn("hazard", sum(step).over(run))
+      .select((groupCols.map(col) :+ col("t") :+ col("n_risk") :+
+        col("__d").as("events") :+ col("__c").as("censored") :+
+        col("hazard")): _*)
+  }
+
   /** Per-key forecast-error metrics — MAE, RMSE, and MASE (mean absolute
     * error scaled by the in-sample m-step seasonal-naive error, the
     * scale-free Hyndman–Koehler benchmark metric: MASE < 1 beats the

@@ -384,6 +384,21 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
     assert(out(5L).getAs[Long]("censored") === 1L)
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard with censoring") {
+    // same frame as the KM spec: steps 2/5, 0/3, 1/2, 0/1
+    val rows = Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 2L, 0L),
+      ("g", 3L, 1L), ("g", 5L, 0L))
+    val out = Eval.nelsonAalen(rows.toDF("grp", "dur", "ev"), "dur", "ev",
+        Seq("grp"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out(1L).getAs[Long]("n_risk") === 5L)
+    assert(out(1L).getAs[Double]("hazard") === 2.0 / 5.0)
+    assert(out(2L).getAs[Double]("hazard") === 2.0 / 5.0 + 0.0)
+    assert(out(3L).getAs[Double]("hazard") === (2.0 / 5.0 + 0.0) + 0.5)
+    assert(out(5L).getAs[Double]("hazard") ===
+      ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
+  }
+
   test("kaplanMeier: no censoring reduces to the empirical survivor") {
     // 4 events at distinct times: S(t_k) = (4-k)/4 exactly
     val rows = (1 to 4).map(t => ("g", t.toLong, 1L))
