@@ -2186,6 +2186,26 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_logrank" -> ((s, d) => {
+      // even vs odd users' time-to-first-purchase within each user band
+      // — are the two survival curves the same; ordered hypergeometric
+      // U/V folds, one keyed sort
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, min, max, when, lit}
+      val perUser = readEventsNanos(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max(col("ts")).as("tl"))
+        .select(expr("user_id % 3").as("band"),
+          expr("CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END")
+            .as("arm"),
+          expr("(coalesce(tp, tl) - t0) DIV 86400000000000").as("dur"),
+          when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      operators.Eval.logRank(perUser, "dur", "ev", "arm", "even", "odd",
+          Seq("band"))
+        .orderBy(col("band"))
+    }),
     "q_nelson_aalen" -> ((s, d) => {
       // cumulative hazard twin of q_kaplan_meier over the same
       // time-to-first-purchase frame — additive risk, recursive-walk
@@ -6119,6 +6139,79 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.logRank: per-time two-arm counts, before-window
+    // at-risk sizes, the hypergeometric (u, v) terms as fixed trees,
+    // and the t-ordered double accumulators as a recursive walk.
+    "q_logrank" ->
+      """WITH RECURSIVE u0 AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) * 1000) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) * 1000 END) AS tp,
+        |    max(epoch_us(ts) * 1000) AS tl
+        |  FROM events GROUP BY user_id),
+        |d0 AS (
+        |  SELECT user_id % 3 AS band,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+        |    (coalesce(tp, tl) - t0) // 86400000000000 AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u0),
+        |pt AS (
+        |  SELECT band, dur AS t,
+        |    CAST(sum(CASE WHEN arm = 'even' THEN ev ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(sum(CASE WHEN arm <> 'even' THEN ev ELSE 0 END) AS BIGINT)
+        |      AS db,
+        |    CAST(sum(CASE WHEN arm = 'even' THEN 1 - ev ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm <> 'even' THEN 1 - ev ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d0 GROUP BY band, dur),
+        |r AS (
+        |  SELECT band, t, da, db,
+        |    sum(da + ca) OVER (PARTITION BY band) AS ta,
+        |    sum(db + cb) OVER (PARTITION BY band) AS tb,
+        |    sum(da + ca) OVER (PARTITION BY band)
+        |      - coalesce(sum(da + ca) OVER (PARTITION BY band ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS na,
+        |    sum(db + cb) OVER (PARTITION BY band)
+        |      - coalesce(sum(db + cb) OVER (PARTITION BY band ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS nb,
+        |    row_number() OVER (PARTITION BY band ORDER BY t) AS rn,
+        |    count(*) OVER (PARTITION BY band) AS cnt
+        |  FROM pt),
+        |terms AS (
+        |  SELECT band, t, rn, cnt, ta, tb,
+        |    CAST(da AS DOUBLE) - CAST(da + db AS DOUBLE)
+        |      * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) AS ut,
+        |    CASE WHEN na + nb > 1 THEN
+        |      ((CAST(da + db AS DOUBLE)
+        |          * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+        |        * (1.0::DOUBLE
+        |          - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+        |      * (CAST((na + nb) - (da + db) AS DOUBLE)
+        |          / CAST((na + nb) - 1 AS DOUBLE))
+        |    ELSE 0.0::DOUBLE END AS vt
+        |  FROM r),
+        |wk AS (
+        |  SELECT band, t, rn, cnt, ta, tb, ut AS u, vt AS v
+        |  FROM terms WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.band, s.t, s.rn, s.cnt, s.ta, s.tb,
+        |    (p.u + s.ut) AS u, (p.v + s.vt) AS v
+        |  FROM wk p JOIN terms s
+        |    ON s.band = p.band AND s.rn = p.rn + 1
+        |)
+        |SELECT band, CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  CASE WHEN ta >= 1 AND tb >= 1 THEN
+        |    u / sqrt(CASE WHEN v > 0.0::DOUBLE THEN v END) END AS logrank_z,
+        |  CASE WHEN ta >= 1 AND tb >= 1 THEN
+        |    (u / sqrt(CASE WHEN v > 0.0::DOUBLE THEN v END))
+        |    * (u / sqrt(CASE WHEN v > 0.0::DOUBLE THEN v END)) END
+        |    AS logrank_chi2
+        |FROM wk WHERE rn = cnt ORDER BY band""".stripMargin,
     // Replays Eval.nelsonAalen: the q_kaplan_meier frame with the
     // additive hazard walk — h = h_prev + d/n, one IEEE add per step in
     // t-order (the recursive mirror of Spark's growing-frame fold).

@@ -644,6 +644,90 @@ object Eval {
         col("hazard")): _*)
   }
 
+  /** Two-arm log-rank test per group (public formulation) — the
+    * hypothesis test over [[kaplanMeier]]'s curves: at each event time,
+    * compare arm A's observed events `d_A` against the expectation
+    * `e_A = d·n_A/n` under the pooled-risk null, with the
+    * hypergeometric variance `v = d·(n_A/n)·(1 − n_A/n)·(n−d)/(n−1)`;
+    * `z = Σ(d_A − e_A)/√Σv`, χ²(1) = z². The "are these two survival
+    * curves the same" readout (treatment vs control churn, cohort A vs
+    * B time-to-conversion).
+    *
+    * Exactness: per-time counts and at-risk sizes are exact integers on
+    * one keyed sort; each time's (d_A − e_A) and v are fixed double
+    * trees; BOTH running sums accumulate in t-order via growing-frame
+    * folds (one IEEE add per step — the [[nelsonAalen]] contract, which
+    * the oracle mirrors as a recursive walk). Rows with an arm outside
+    * {A, B} raise. NULL z when either arm is empty or ΣV ≤ 0. Emits one
+    * row per group: (groupCols…, `n_a`, `n_b`, `logrank_z`,
+    * `logrank_chi2`). */
+  def logRank(df: DataFrame, timeCol: String, eventCol: String,
+              armCol: String, armA: String, armB: String,
+              groupCols: Seq[String]): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    require(groupCols.nonEmpty, "logRank needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "logrank_z", "logrank_chi2",
+        "__arm", "__t", "__ev", "__da", "__db", "__ca", "__cb",
+        "__u", "__v", "__rn", "__cnt", "__ta", "__tb"),
+      "logRank")
+    val a = col(armCol)
+    val armChecked = when(a.isNull || (a =!= armA && a =!= armB),
+        raise_error(concat(
+          lit(s"logRank: $armCol must be '$armA' or '$armB', got "),
+          coalesce(a, lit("NULL")))))
+      .otherwise(a)
+    val y = checkedLabel(eventCol, "logRank")
+    val perTime = df
+      .select((groupCols.map(col) :+ armChecked.as("__arm") :+
+        col(timeCol).cast("long").as("__t") :+ y.as("__ev")): _*)
+      .groupBy((groupCols.map(col) :+ col("__t")): _*)
+      .agg(
+        sum(when(col("__arm") === armA, col("__ev")).otherwise(0L))
+          .as("__da"),
+        sum(when(col("__arm") =!= armA, col("__ev")).otherwise(0L))
+          .as("__db"),
+        sum(when(col("__arm") === armA, lit(1L) - col("__ev"))
+          .otherwise(0L)).as("__ca"),
+        sum(when(col("__arm") =!= armA, lit(1L) - col("__ev"))
+          .otherwise(0L)).as("__cb"))
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val before = grp.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = grp.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totA = sum(col("__da") + col("__ca")).over(grp)
+    val totB = sum(col("__db") + col("__cb")).over(grp)
+    val nA = totA -
+      coalesce(sum(col("__da") + col("__ca")).over(before), lit(0L))
+    val nB = totB -
+      coalesce(sum(col("__db") + col("__cb")).over(before), lit(0L))
+    val d = col("__da") + col("__db")
+    val n = nA + nB
+    val frac = nA.cast("double") / n.cast("double")
+    val eA = d.cast("double") * frac
+    val uTerm = col("__da").cast("double") - eA
+    val vTerm = when(n > 1L,
+      d.cast("double") * frac * (lit(1.0) - frac) *
+        ((n - d).cast("double") / (n - lit(1L)).cast("double")))
+      .otherwise(lit(0.0))
+    val withRuns = perTime
+      .withColumn("__u", sum(uTerm).over(run))
+      .withColumn("__v", sum(vTerm).over(run))
+      .withColumn("__rn", row_number().over(grp.orderBy(col("__t"))))
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .withColumn("__ta", totA)
+      .withColumn("__tb", totB)
+    val z = col("__u") / sqrt(when(col("__v") > 0.0, col("__v")))
+    withRuns
+      .filter(col("__rn") === col("__cnt"))
+      .select((groupCols.map(col) :+ col("__ta").as("n_a") :+
+        col("__tb").as("n_b") :+
+        when(col("__ta") >= 1L && col("__tb") >= 1L, z).as("logrank_z") :+
+        when(col("__ta") >= 1L && col("__tb") >= 1L, z * z)
+          .as("logrank_chi2")): _*)
+  }
+
   /** Per-key forecast-error metrics — MAE, RMSE, and MASE (mean absolute
     * error scaled by the in-sample m-step seasonal-naive error, the
     * scale-free Hyndman–Koehler benchmark metric: MASE < 1 beats the

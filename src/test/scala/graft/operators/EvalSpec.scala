@@ -399,6 +399,34 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("logRank: hand-computed U/V on a two-arm frame") {
+    // A: events at 1,2; B: event at 2, censor at 3
+    val rows = Seq(("g", "A", 1L, 1L), ("g", "A", 2L, 1L),
+      ("g", "B", 2L, 1L), ("g", "B", 3L, 0L))
+    val r = Eval.logRank(rows.toDF("grp", "arm", "dur", "ev"), "dur", "ev",
+      "arm", "A", "B", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    val u = (1.0 - 1.0 * (2.0 / 4.0)) + (1.0 - 2.0 * (1.0 / 3.0)) + 0.0
+    val v = ((1.0 * (2.0 / 4.0)) * (1.0 - 2.0 / 4.0)) * (3.0 / 3.0) +
+      ((2.0 * (1.0 / 3.0)) * (1.0 - 1.0 / 3.0)) * (1.0 / 2.0) + 0.0
+    assert(r.getAs[Double]("logrank_z") === u / math.sqrt(v))
+    assert(r.getAs[Double]("logrank_chi2") ===
+      (u / math.sqrt(v)) * (u / math.sqrt(v)))
+  }
+
+  test("logRank: identical arms give z = 0; empty arm yields NULL") {
+    // perfectly mirrored arms: every d_A = e_A exactly
+    val rows = Seq(("g", "A", 1L, 1L), ("g", "B", 1L, 1L),
+      ("g", "A", 2L, 1L), ("g", "B", 2L, 1L))
+    val r = Eval.logRank(rows.toDF("grp", "arm", "dur", "ev"), "dur", "ev",
+      "arm", "A", "B", Seq("grp")).collect().head
+    assert(r.getAs[Double]("logrank_z") === 0.0)
+    val solo = Seq(("g", "A", 1L, 1L), ("g", "A", 2L, 0L))
+    val r2 = Eval.logRank(solo.toDF("grp", "arm", "dur", "ev"), "dur", "ev",
+      "arm", "A", "B", Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("logrank_z")))
+  }
+
   test("kaplanMeier: no censoring reduces to the empirical survivor") {
     // 4 events at distinct times: S(t_k) = (4-k)/4 exactly
     val rows = (1 to 4).map(t => ("g", t.toLong, 1L))
