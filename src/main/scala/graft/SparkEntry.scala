@@ -2186,6 +2186,22 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_hosmer_lemeshow" -> ((s, d) => {
+      // per-day calibration test of the scaled event score as a
+      // purchase probability — deterministic deciles via the
+      // (probability, event_id) total order, exact decile E sums
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          (col("value") / lit(1000.0)).as("p"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("label"),
+          col("event_id"))
+      operators.Eval.hosmerLemeshow(ev, "p", "label", "event_id",
+          Seq("day"), bins = 10, scale = 6)
+        .orderBy(col("day"))
+    }),
     "q_logrank" -> ((s, d) => {
       // even vs odd users' time-to-first-purchase within each user band
       // — are the two survival curves the same; ordered hypergeometric
@@ -6139,6 +6155,52 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.hosmerLemeshow: identical quantization, ntile over
+    // the same total order, exact decile sums, NaN-poisoned degenerate
+    // bins, the bin-ordered fold.
+    "q_hosmer_lemeshow" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round((value / 1000.0::DOUBLE) * 1000000.0::DOUBLE)
+        |      AS BIGINT) AS pi,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events),
+        |b AS (
+        |  SELECT day, pi, y,
+        |    ntile(10) OVER (PARTITION BY day ORDER BY pi, event_id) AS bin
+        |  FROM e),
+        |pb AS (
+        |  SELECT day, bin, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS BIGINT) AS og, CAST(sum(pi) AS BIGINT) AS sg
+        |  FROM b GROUP BY day, bin),
+        |t AS (
+        |  SELECT day, bin, ng, og,
+        |    coalesce(
+        |      CASE WHEN CAST(sg AS DOUBLE) / 1000000.0::DOUBLE
+        |            > 0.0::DOUBLE
+        |          AND CAST(sg AS DOUBLE) / 1000000.0::DOUBLE
+        |            < CAST(ng AS DOUBLE) THEN
+        |        ((CAST(og AS DOUBLE) - CAST(sg AS DOUBLE)
+        |            / 1000000.0::DOUBLE)
+        |          * (CAST(og AS DOUBLE) - CAST(sg AS DOUBLE)
+        |            / 1000000.0::DOUBLE))
+        |        / ((CAST(sg AS DOUBLE) / 1000000.0::DOUBLE)
+        |          * (1.0::DOUBLE - (CAST(sg AS DOUBLE)
+        |            / 1000000.0::DOUBLE) / CAST(ng AS DOUBLE)))
+        |      END, CAST('NaN' AS DOUBLE)) AS term
+        |  FROM pb),
+        |g AS (
+        |  SELECT day, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_bins,
+        |    list_reduce(list_transform(
+        |        list(struct_pack(bin := bin, t := term) ORDER BY bin),
+        |        s -> s.t), (a, b) -> a + b) AS chi2
+        |  FROM t GROUP BY day)
+        |SELECT day, n, k_bins,
+        |  CASE WHEN k_bins = 10 AND NOT isnan(chi2) THEN chi2 END
+        |    AS hl_chi2
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Eval.logRank: per-time two-arm counts, before-window
     // at-risk sizes, the hypergeometric (u, v) terms as fixed trees,
     // and the t-ordered double accumulators as a recursive walk.

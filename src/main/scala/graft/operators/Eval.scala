@@ -644,6 +644,69 @@ object Eval {
         col("hazard")): _*)
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit per group (public formulation) —
+    * the calibration TEST beside [[calibrationBins]]' descriptive
+    * reliability curve: decile the predictions, compare observed
+    * positives against the summed predicted probability per decile,
+    * `χ² = Σ_g (O_g − E_g)²/(E_g(1 − E_g/n_g))`, asymptotically
+    * χ²(bins − 2). A model can have great AUC and still fail here
+    * (right ranking, wrong probabilities).
+    *
+    * Exactness: probabilities quantize to `scale` decimals (out-of-range
+    * values raise), so each decile's `E` is an exact integer sum
+    * descaled once; binning is `ntile` over the TOTAL order
+    * (probability, tieCol) — the [[graft.operators.Stats.bhAdjust]]
+    * tie-column contract, making the decile multisets deterministic;
+    * the ≤bins-element fold runs in bin order. NULL χ² when any bin
+    * degenerates (E ≤ 0 or E ≥ n — no information) or a group has
+    * fewer rows than bins. One keyed sort + two combinable aggregates.
+    * Emits (groupCols…, `n`, `k_bins`, `hl_chi2`). */
+  def hosmerLemeshow(df: DataFrame, probCol: String, labelCol: String,
+                     tieCol: String, groupCols: Seq[String],
+                     bins: Int = 10, scale: Int = 6): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(scale >= 1 && scale <= 9, s"scale must be in [1,9], got $scale")
+    require(groupCols.nonEmpty,
+      "hosmerLemeshow needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "k_bins", "hl_chi2", "__p", "__y", "__bin", "__terms"),
+      "hosmerLemeshow")
+    val unit = math.pow(10, scale).toLong
+    val pi = round(col(probCol).cast("double") * lit(unit.toDouble))
+      .cast("long")
+    val pChecked = when(pi.isNull || pi < 0L || pi > unit,
+        raise_error(concat(lit(s"hosmerLemeshow: $probCol must be a " +
+          "probability in [0,1], got "), col(probCol).cast("string"))))
+      .otherwise(pi)
+    val y = checkedLabel(labelCol, "hosmerLemeshow")
+    val base = df.select((groupCols.map(col) :+ pChecked.as("__p") :+
+      y.as("__y") :+ col(tieCol).as("__tie")): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__p"), col("__tie"))
+    val binned = base.withColumn("__bin", ntile(bins).over(w))
+    val perBin = binned.groupBy((groupCols.map(col) :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__og"),
+        sum(col("__p")).as("__sg"))
+    val e = col("__sg").cast("double") / lit(unit.toDouble)
+    val nd = col("__ng").cast("double")
+    val od = col("__og").cast("double")
+    val term = when(e > 0.0 && e < nd,
+      ((od - e) * (od - e)) / (e * (lit(1.0) - e / nd)))
+    val sums = perBin
+      .withColumn("__term", term)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__ng")).as("n"),
+        count(lit(1)).cast("long").as("k_bins"),
+        sort_array(collect_list(struct(col("__bin"),
+          coalesce(col("__term"), lit(Double.NaN)).as("__t"))))
+          .as("__terms"))
+    val chi2 = aggregate(col("__terms"), lit(0.0),
+      (acc, s) => acc + s.getField("__t"))
+    sums.select((groupCols.map(col) :+ col("n") :+ col("k_bins") :+
+      when(col("k_bins") === bins.toLong && !isnan(chi2), chi2)
+        .as("hl_chi2")): _*)
+  }
+
   /** Two-arm log-rank test per group (public formulation) — the
     * hypothesis test over [[kaplanMeier]]'s curves: at each event time,
     * compare arm A's observed events `d_A` against the expectation

@@ -399,6 +399,36 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("hosmerLemeshow: calibrated scores give 0; miscalibration charges") {
+    def mk(lowPos: Int, highPos: Int) =
+      ((1 to 10).map(i => ("g", i.toLong, 0.1, if (i <= lowPos) 1L else 0L)) ++
+        (11 to 20).map(i => ("g", i.toLong, 0.9,
+          if (i <= 10 + highPos) 1L else 0L)))
+        .toDF("grp", "tie", "p", "y")
+    val cal = Eval.hosmerLemeshow(mk(1, 9), "p", "y", "tie", Seq("grp"),
+      bins = 2, scale = 1).collect().head
+    assert(cal.getAs[Long]("n") === 20L && cal.getAs[Long]("k_bins") === 2L)
+    assert(cal.getAs[Double]("hl_chi2") === 0.0)
+    val bad = Eval.hosmerLemeshow(mk(9, 1), "p", "y", "tie", Seq("grp"),
+      bins = 2, scale = 1).collect().head
+    val t1 = ((9.0 - 1.0) * (9.0 - 1.0)) / (1.0 * (1.0 - 1.0 / 10.0))
+    val t2 = ((1.0 - 9.0) * (1.0 - 9.0)) / (9.0 * (1.0 - 9.0 / 10.0))
+    assert(bad.getAs[Double]("hl_chi2") === (0.0 + t1) + t2)
+  }
+
+  test("hosmerLemeshow: degenerate bin and underfilled group yield NULL") {
+    val zeros = (1 to 10).map(i => ("g", i.toLong, 0.0, 0L)) ++
+      (11 to 20).map(i => ("g", i.toLong, 0.5, 1L))
+    val r = Eval.hosmerLemeshow(zeros.toDF("grp", "tie", "p", "y"), "p",
+      "y", "tie", Seq("grp"), bins = 2, scale = 1).collect().head
+    assert(r.isNullAt(r.fieldIndex("hl_chi2")))  // E = 0 bin
+    val few = (1 to 5).map(i => ("g", i.toLong, 0.5, 1L))
+    val r2 = Eval.hosmerLemeshow(few.toDF("grp", "tie", "p", "y"), "p",
+      "y", "tie", Seq("grp"), bins = 10, scale = 1).collect().head
+    assert(r2.getAs[Long]("k_bins") === 5L)
+    assert(r2.isNullAt(r2.fieldIndex("hl_chi2")))
+  }
+
   test("logRank: hand-computed U/V on a two-arm frame") {
     // A: events at 1,2; B: event at 2, censor at 3
     val rows = Seq(("g", "A", 1L, 1L), ("g", "A", 2L, 1L),
