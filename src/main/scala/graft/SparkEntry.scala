@@ -2186,6 +2186,20 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_mcnemar" -> ((s, d) => {
+      // per-day McNemar: does the >50 threshold classifier beat the
+      // >100 one at predicting purchases — exact discordant counts
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          (col("value") > lit(50.0)).as("pred_a"),
+          (col("value") > lit(100.0)).as("pred_b"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("label"))
+      operators.Eval.mcnemar(ev, "pred_a", "pred_b", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_hosmer_lemeshow" -> ((s, d) => {
       // per-day calibration test of the scaled event score as a
       // purchase probability — deterministic deciles via the
@@ -6155,6 +6169,31 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.mcnemar: the same threshold classifiers and
+    // correctness flags, exact discordant counts, one-division trees.
+    "q_mcnemar" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    (value > 50.0) = (event_type = 'purchase') AS oka,
+        |    (value > 100.0) = (event_type = 'purchase') AS okb
+        |  FROM events),
+        |g AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_only,
+        |    CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only
+        |  FROM e GROUP BY day)
+        |SELECT day, n, a_only, b_only,
+        |  CASE WHEN a_only + b_only > 0 THEN
+        |    (CAST(a_only - b_only AS DOUBLE)
+        |      * CAST(a_only - b_only AS DOUBLE))
+        |    / CAST(a_only + b_only AS DOUBLE) END AS mcnemar_chi2,
+        |  CASE WHEN a_only + b_only > 0 THEN
+        |    (CAST(abs(a_only - b_only) - 1 AS DOUBLE)
+        |      * CAST(abs(a_only - b_only) - 1 AS DOUBLE))
+        |    / CAST(a_only + b_only AS DOUBLE) END AS mcnemar_chi2_cc
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Eval.hosmerLemeshow: identical quantization, ntile over
     // the same total order, exact decile sums, NaN-poisoned degenerate
     // bins, the bin-ordered fold.

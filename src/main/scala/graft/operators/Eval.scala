@@ -644,6 +644,45 @@ object Eval {
         col("hazard")): _*)
   }
 
+  /** McNemar's test per group (public formulation) — the PAIRED
+    * classifier comparison: on the same rows, count where only A is
+    * correct (`b`) vs only B (`c`); under "equal accuracy" the
+    * discordant split is symmetric, `χ² = (b−c)²/(b+c)` (and the
+    * continuity-corrected `(|b−c|−1)²/(b+c)`), χ²(1). The right test
+    * when two models score the SAME eval set — [[agreement]]'s kappa
+    * measures how much they agree, this one tests which is better.
+    *
+    * Exactness: correctness flags and both discordant counts are exact
+    * integers from ONE map-side-combinable aggregate; each statistic is
+    * one integer-ratio division. NULL when b + c = 0 (no discordant
+    * evidence). NULL labels raise ([[checkedLabel]]); NULL predictions
+    * count as incorrect (documented — a non-answer is a wrong answer).
+    * Emits (groupCols…, `n`, `a_only`, `b_only`, `mcnemar_chi2`,
+    * `mcnemar_chi2_cc`). */
+  def mcnemar(df: DataFrame, predACol: String, predBCol: String,
+              labelCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "mcnemar needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "a_only", "b_only", "mcnemar_chi2", "mcnemar_chi2_cc"),
+      "mcnemar")
+    val y = checkedLabel(labelCol, "mcnemar") === 1L
+    val okA = coalesce(col(predACol).cast("boolean") === y, lit(false))
+    val okB = coalesce(col(predBCol).cast("boolean") === y, lit(false))
+    val sums = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("b_only"))
+    val b = col("a_only")
+    val c = col("b_only")
+    val disc = (b + c).cast("double")
+    val diff = (b - c).cast("double")
+    val diffCc = (abs(b - c) - lit(1L)).cast("double")
+    sums.select((groupCols.map(col) :+ col("n") :+ b :+ c :+
+      when(b + c > 0L, (diff * diff) / disc).as("mcnemar_chi2") :+
+      when(b + c > 0L, (diffCc * diffCc) / disc)
+        .as("mcnemar_chi2_cc")): _*)
+  }
+
   /** Hosmer–Lemeshow goodness-of-fit per group (public formulation) —
     * the calibration TEST beside [[calibrationBins]]' descriptive
     * reliability curve: decile the predictions, compare observed

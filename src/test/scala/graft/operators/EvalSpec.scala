@@ -399,6 +399,23 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("mcnemar: hand-computed discordant split; no-evidence NULL") {
+    // label 1 everywhere: A correct iff predA; b = 6, c = 2
+    val rows = (1 to 6).map(_ => ("g", true, false, 1L)) ++
+      (1 to 2).map(_ => ("g", false, true, 1L)) ++
+      Seq(("g", true, true, 1L), ("g", false, false, 1L))
+    val r = Eval.mcnemar(rows.toDF("grp", "pa", "pb", "y"), "pa", "pb",
+      "y", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("a_only") === 6L && r.getAs[Long]("b_only") === 2L)
+    assert(r.getAs[Double]("mcnemar_chi2") === (4.0 * 4.0) / 8.0)
+    assert(r.getAs[Double]("mcnemar_chi2_cc") === (3.0 * 3.0) / 8.0)
+    val agree = Seq(("g", true, true, 1L), ("g", false, false, 1L))
+    val r2 = Eval.mcnemar(agree.toDF("grp", "pa", "pb", "y"), "pa", "pb",
+      "y", Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("mcnemar_chi2")))
+  }
+
   test("hosmerLemeshow: calibrated scores give 0; miscalibration charges") {
     def mk(lowPos: Int, highPos: Int) =
       ((1 to 10).map(i => ("g", i.toLong, 0.1, if (i <= lowPos) 1L else 0L)) ++
