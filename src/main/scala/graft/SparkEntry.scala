@@ -3273,27 +3273,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_record_linkage" -> ((s, d) => {
-      // Fellegi–Sunter scoring over (lang, length-band)-blocked doc
-      // pairs: source/length/prefix agreements, plan-folded log2
-      // weights, threshold classes — probabilistic record linkage as a
-      // pure map over the blocked join
+      // Fellegi–Sunter scoring over SORTED-NEIGHBORHOOD candidates —
+      // the bounded generator (candidates ∝ n·window, never block²)
+      // feeding source/length/prefix agreements, plan-folded log2
+      // weights, threshold classes: linkage as candidates → score
       load(s, d)
       import org.apache.spark.sql.functions.{expr, substring}
       val docs = s.table("documents")
+      val pairs = operators.Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+          "text", substring(col("text"), 1, 8), col("text"),
+          window = 4, n = 3, threshold = 0.3)
+        .select("id_a", "id_b")
       val a = docs.select(col("doc_id").as("id_a"),
-        col("lang").as("lang_a"), col("source").as("src_a"),
-        col("n_chars").as("nc_a"), substring(col("text"), 1, 16).as("p_a"))
+        col("source").as("src_a"), col("n_chars").as("nc_a"),
+        substring(col("text"), 1, 16).as("p_a"))
       val b = docs.select(col("doc_id").as("id_b"),
-        col("lang").as("lang_b"), col("source").as("src_b"),
-        col("n_chars").as("nc_b"), substring(col("text"), 1, 16).as("p_b"))
-      val pairs = a.join(b,
-          col("lang_a") === col("lang_b") && col("id_a") < col("id_b") &&
-            expr("nc_a DIV 200") === expr("nc_b DIV 200"))
+        col("source").as("src_b"), col("n_chars").as("nc_b"),
+        substring(col("text"), 1, 16).as("p_b"))
+      val feat = pairs.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"),
           (col("src_a") === col("src_b")).as("agree_src"),
           (expr("nc_a DIV 50") === expr("nc_b DIV 50")).as("agree_len"),
           (col("p_a") === col("p_b")).as("agree_prefix"))
-      operators.FuzzyJoin.fellegiSunter(pairs,
+      operators.FuzzyJoin.fellegiSunter(feat,
           Seq("agree_src", "agree_len", "agree_prefix"),
           Seq((0.9, 0.3), (0.8, 0.2), (0.7, 0.05)),
           upper = 2.0, lower = -1.0)
@@ -5481,14 +5483,29 @@ object SparkEntry {
       val (wa3, wd3) = w(0.7, 0.05)
       def term(c: String, wa: String, wd: String): String =
         s"(CASE WHEN $c IS NULL THEN 0.0::DOUBLE WHEN $c THEN $wa ELSE $wd END)"
-      s"""WITH p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH pairs AS (
+         |  WITH $duckShingles,
+         |  ranked AS (
+         |    SELECT doc_id, substr(text, 1, 8) AS snm_block,
+         |      row_number() OVER (PARTITION BY substr(text, 1, 8)
+         |        ORDER BY text, doc_id) AS rn
+         |    FROM documents
+         |  ),
+         |  cand AS (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM ranked a JOIN ranked b
+         |      ON a.snm_block = b.snm_block
+         |     AND b.rn > a.rn AND b.rn <= a.rn + 4
+         |  ),
+         |  ${duckJaccardTail(0.3)}
+         |), p AS (
+         |  SELECT pr.id_a, pr.id_b,
          |    a.source = b.source AS agree_src,
          |    (a.n_chars // 50) = (b.n_chars // 50) AS agree_len,
          |    substr(a.text, 1, 16) = substr(b.text, 1, 16) AS agree_prefix
-         |  FROM documents a JOIN documents b
-         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |   AND (a.n_chars // 200) = (b.n_chars // 200)
+         |  FROM pairs pr
+         |  JOIN documents a ON a.doc_id = pr.id_a
+         |  JOIN documents b ON b.doc_id = pr.id_b
          |), s AS (
          |  SELECT id_a, id_b, agree_src, agree_len, agree_prefix,
          |    ((${term("agree_src", wa1, wd1)}
