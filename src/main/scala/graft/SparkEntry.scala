@@ -2186,6 +2186,19 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_attribution" -> ((s, d) => {
+      // multi-touch attribution over the event log: touches credit the
+      // next purchase (linear/first/last in one pass); µs-truncated
+      // ordering for cross-engine tie parity
+      load(s, d)
+      import org.apache.spark.sql.functions.expr
+      val ev = readEventsNanos(s, d)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      operators.EventAnalytics.attribution(ev, "user_id", "event_type",
+          "purchase", Seq("ts_us", "event_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
     "q_mcnemar" -> ((s, d) => {
       // per-day McNemar: does the >50 threshold classifier beat the
       // >100 one at predicting purchases — exact discordant counts
@@ -6186,6 +6199,41 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays EventAnalytics.attribution: running conversion index off
+    // the (ts_us, event_id) order, next-conversion assignment, per-conv
+    // touch counts and rank flags, the 1/k linear credit.
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic
+        |  FROM events),
+        |i AS (
+        |  SELECT *,
+        |    sum(ic) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ic + 1
+        |      AS conv_idx
+        |  FROM e),
+        |nc AS (
+        |  SELECT user_id, CAST(sum(ic) AS BIGINT) AS nconv
+        |  FROM e GROUP BY user_id),
+        |t AS (
+        |  SELECT i.user_id, i.conv_idx, i.ts_us, i.event_id, i.event_type
+        |  FROM i JOIN nc ON i.user_id = nc.user_id
+        |  WHERE i.ic = 0 AND i.conv_idx <= nc.nconv),
+        |r AS (
+        |  SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx, ts_us,
+        |    event_id, event_type,
+        |    CAST(count(*) OVER (PARTITION BY user_id, conv_idx) AS BIGINT)
+        |      AS n_touches,
+        |    row_number() OVER (PARTITION BY user_id, conv_idx
+        |      ORDER BY ts_us, event_id) AS tr
+        |  FROM t)
+        |SELECT user_id, conv_idx, ts_us, event_id, event_type, n_touches,
+        |  1.0::DOUBLE / CAST(n_touches AS DOUBLE) AS credit_linear,
+        |  tr = 1 AS is_first_touch,
+        |  tr = n_touches AS is_last_touch
+        |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
     // Replays Eval.mcnemar: the same threshold classifiers and
     // correctness flags, exact discordant counts, one-division trees.
     "q_mcnemar" ->

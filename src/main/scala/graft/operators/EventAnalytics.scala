@@ -164,4 +164,58 @@ object EventAnalytics {
     grouped.select(col(userCol), col("n_transitions"),
       (round(ent, 10) + lit(0.0)).as("transition_entropy"))
   }
+
+  /** Multi-touch attribution (public models): assign each CONVERSION's
+    * credit across the touch events since the user's previous
+    * conversion — first-touch, last-touch, and linear (1/k each) in ONE
+    * pass. The fourth classic event-log query beside [[cohortRetention]]
+    * / [[funnel]] / [[transitions]].
+    *
+    * Semantics: a touch belongs to the NEXT conversion in its user's
+    * timeline (`conv_idx` = conversions strictly before it + 1); touches
+    * after the user's last conversion never convert and are DROPPED
+    * (emit-them-with-NULL is one filter away upstream). `orderCols` must
+    * totally order each user's events — the
+    * [[graft.streaming.KalmanEvent]] tie contract.
+    *
+    * Exactness: conversion indexes and touch counts are exact integers
+    * off one keyed sort (running conversion count); linear credit is ONE
+    * division `1/k`; first/last flags are rank comparisons. Plan: the
+    * running index and the per-(user, conv) window share one (user)
+    * exchange; output is touch-row-sized. Emits one row per attributed
+    * touch: (userCol, `conv_idx`, orderCols…, typeCol, `n_touches`,
+    * `credit_linear`, `is_first_touch`, `is_last_touch`). */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  convType: String, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "attribution needs ordering columns")
+    Guards.requireNoReserved(events.columns,
+      Seq("conv_idx", "n_touches", "credit_linear", "is_first_touch",
+        "is_last_touch", "__is_conv", "__cb", "__tr"), "attribution")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isConv = when(col(typeCol) === convType, 1L).otherwise(0L)
+    // conversions strictly before this row = running count minus own flag
+    val indexed = events
+      .withColumn("__is_conv", isConv)
+      .withColumn("__cb",
+        sum(col("__is_conv")).over(run) - col("__is_conv"))
+      .withColumn("conv_idx", col("__cb") + lit(1L))
+    val touches = indexed.filter(col("__is_conv") === 0L)
+    val maxConv = indexed.groupBy(col(userCol))
+      .agg(sum(col("__is_conv")).as("__nconv"))
+    val wc = Window.partitionBy(col(userCol), col("conv_idx"))
+    val wcOrd = wc.orderBy(orderCols.map(col): _*)
+    touches
+      .join(maxConv, Seq(userCol))
+      .filter(col("conv_idx") <= col("__nconv"))
+      .withColumn("n_touches", count(lit(1)).over(wc))
+      .withColumn("__tr", row_number().over(wcOrd))
+      .select((Seq(col(userCol), col("conv_idx")) ++
+        orderCols.map(col) :+ col(typeCol) :+ col("n_touches") :+
+        (lit(1.0) / col("n_touches").cast("double")).as("credit_linear") :+
+        (col("__tr") === 1).as("is_first_touch") :+
+        (col("__tr") === col("n_touches")).as("is_last_touch")): _*)
+  }
 }

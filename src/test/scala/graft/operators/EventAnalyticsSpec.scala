@@ -168,4 +168,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"totals must broadcast:\n$plan")
   }
+
+  test("attribution: touches credit the next conversion; tail drops") {
+    val rows = Seq(("u", 1L, "view"), ("u", 2L, "click"),
+      ("u", 3L, "purchase"), ("u", 4L, "view"), ("u", 5L, "purchase"),
+      ("u", 6L, "view"),                 // after last conversion -> dropped
+      ("v", 1L, "view"))                 // never converts -> dropped
+    val out = EventAnalytics.attribution(rows.toDF("user", "t", "etype"),
+        "user", "etype", "purchase", Seq("t"))
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L).getAs[Long]("conv_idx") === 1L)
+    assert(out(1L).getAs[Double]("credit_linear") === 0.5)
+    assert(out(1L).getAs[Boolean]("is_first_touch"))
+    assert(!out(1L).getAs[Boolean]("is_last_touch"))
+    assert(out(2L).getAs[Boolean]("is_last_touch"))
+    assert(out(4L).getAs[Long]("conv_idx") === 2L)
+    assert(out(4L).getAs[Double]("credit_linear") === 1.0)
+    assert(out(4L).getAs[Boolean]("is_first_touch") &&
+      out(4L).getAs[Boolean]("is_last_touch"))
+  }
 }
