@@ -2186,6 +2186,18 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_hhi" -> ((s, d) => {
+      // supplier-revenue concentration per nation (HHI) — exact member
+      // totals through a broadcast dim join, one double division
+      load(s, d)
+      val li = s.table("lineitem")
+        .join(s.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      operators.Stats.hhi(li, "l_extendedprice", "l_suppkey",
+          Seq("s_nationkey"), scale = 2)
+        .orderBy(col("s_nationkey"))
+    }),
     "q_attribution" -> ((s, d) => {
       // multi-touch attribution over the event log: touches credit the
       // next purchase (linear/first/last in one pass); µs-truncated
@@ -6199,6 +6211,29 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Stats.hhi: exact member revenue totals, HUGEINT squares
+    // VARCHAR-bridged past 2^53, one division.
+    "q_hhi" ->
+      """WITH j AS (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |    CAST(round(CAST(l.l_extendedprice AS DOUBLE) * 100.0::DOUBLE)
+        |      AS BIGINT) AS x
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |pm AS (
+        |  SELECT s_nationkey, l_suppkey, CAST(sum(x) AS BIGINT) AS vm
+        |  FROM j GROUP BY s_nationkey, l_suppkey),
+        |g AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(vm) AS BIGINT) AS tot,
+        |    sum(CAST(vm AS HUGEINT) * vm) AS sq
+        |  FROM pm GROUP BY s_nationkey)
+        |SELECT s_nationkey, n_members,
+        |  CAST(tot AS DOUBLE) / 100.0::DOUBLE AS total,
+        |  CASE WHEN tot > 0 THEN
+        |    CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(tot AS HUGEINT) * tot AS VARCHAR) AS DOUBLE)
+        |  END AS hhi
+        |FROM g ORDER BY s_nationkey""".stripMargin,
     // Replays EventAnalytics.attribution: running conversion index off
     // the (ts_us, event_id) order, next-conversion assignment, per-conv
     // touch counts and rank flags, the 1/k linear credit.

@@ -1456,6 +1456,51 @@ object Stats {
       when(col("n_a") >= 1L && col("n_b") >= 1L, t).as("cvm_t")): _*)
   }
 
+  /** Herfindahl–Hirschman concentration index per group (public
+    * formula): `HHI = Σ_m s_m²` over member shares `s_m = v_m/Σv` —
+    * market/portfolio/source concentration in (0, 1] (1 = monopoly,
+    * 1/k = k equal members). The single-number companion to
+    * [[Divergence.gini]]'s full inequality curve; in a data pipeline it
+    * reads source-domination of a corpus slice at a glance.
+    *
+    * Exactness: member totals are exact quantized BIGINTs from one
+    * (group, member) aggregate; `HHI = ΣV_m² / (ΣV_m)²` evaluates as
+    * ONE double division of two exact DECIMAL sums (shares never
+    * materialize — no per-member float divisions to re-sum). Negative
+    * member totals raise (shares are undefined). NULL HHI on a zero
+    * total. Two map-side-combinable aggregates on one exchange chain.
+    * Emits (groupCols…, `n_members`, `total`, `hhi`). */
+  def hhi(df: DataFrame, valueCol: String, memberCol: String,
+          groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "hhi needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_members", "total", "hhi", "__m", "__vm"), "Stats.hhi")
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val perMember = df
+      .select((groupCols.map(col) :+ col(memberCol).as("__m") :+
+        xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("__m")): _*)
+      .agg(sum(col("__xi")).as("__vm"))
+      .withColumn("__vm", when(col("__vm") < 0L,
+        raise_error(lit("hhi: negative member total — shares are " +
+          "undefined; screen or shift the value upstream")))
+        .otherwise(col("__vm")))
+    val sums = perMember.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_members"),
+      sum(col("__vm")).as("__tot"),
+      sum(col("__vm").cast("decimal(38,0)") * col("__vm")).as("__sq"))
+    val tot = col("__tot").cast("decimal(38,0)")
+    sums.select((groupCols.map(col) :+ col("n_members") :+
+      (col("__tot").cast("double") / lit(math.pow(10, scale)))
+        .as("total") :+
+      when(col("__tot") > 0L,
+        col("__sq").cast("double") / (tot * tot).cast("double"))
+        .as("hhi")): _*)
+  }
+
   /** Trimmed mean per group (public formula): drop the lowest and
     * highest `trimPm`‰ of rows (per side, by position in the value
     * order) and average the rest — the robust location readout between

@@ -762,6 +762,28 @@ test("anovaF: hand-computed 3-arm F") {
     }
   }
 
+  test("hhi: equal members give 1/k, a monopoly gives 1") {
+    val rows = Seq(("g", "a", 25.0), ("g", "b", 25.0), ("g", "c", 25.0),
+      ("g", "d", 25.0), ("m", "solo", 7.0),
+      ("s", "big", 90.0), ("s", "small", 10.0))
+    val out = Stats.hhi(rows.toDF("grp", "member", "v"), "v", "member",
+        Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Double]("hhi") === 0.25)       // 4 equal -> 1/4
+    assert(out("m").getAs[Double]("hhi") === 1.0)        // monopoly
+    assert(out("s").getAs[Double]("hhi") ===
+      (90.0 * 90.0 + 10.0 * 10.0) / (100.0 * 100.0))     // 0.82
+    assert(out("s").getAs[Double]("total") === 100.0)
+    // zero total -> NULL; negative member raises
+    val z = Stats.hhi(Seq(("g", "a", 0.0)).toDF("grp", "member", "v"),
+      "v", "member", Seq("grp")).collect().head
+    assert(z.isNullAt(z.fieldIndex("hhi")))
+    intercept[Exception] {
+      Stats.hhi(Seq(("g", "a", -1.0)).toDF("grp", "member", "v"),
+        "v", "member", Seq("grp")).collect()
+    }
+  }
+
   test("trimmedMean: positional trim, exact kept sum") {
     // 1..10 at 10%/side: drop 1 and 10, mean(2..9) = 5.5
     val ten = (1 to 10).map(i => ("g", i.toDouble))
