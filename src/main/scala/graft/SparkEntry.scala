@@ -2186,6 +2186,18 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_best_f1" -> ((s, d) => {
+      // per-day best-F1 operating point of the event score predicting
+      // purchases — integer TP/FP ladder, struct-argmax threshold pick
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"), col("value"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0))
+            .as("label"))
+      operators.Eval.bestF1Threshold(ev, "value", "label", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_hhi" -> ((s, d) => {
       // supplier-revenue concentration per nation (HHI) — exact member
       // totals through a broadcast dim join, one double division
@@ -6211,6 +6223,45 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.bestF1Threshold: the rocCurve descending ladder, the
+    // integer-ratio F1 trees, argmax = (f1 DESC NULLS LAST, threshold
+    // DESC) — the struct-max ordering.
+    "q_best_f1" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |ps AS (
+        |  SELECT day, score AS threshold, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg
+        |  FROM e GROUP BY day, score),
+        |r AS (
+        |  SELECT day, threshold,
+        |    CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+        |    CAST(sum(neg) OVER wd AS BIGINT) AS fp,
+        |    CAST(sum(pos) OVER (PARTITION BY day) AS BIGINT) AS tot
+        |  FROM ps
+        |  WINDOW wd AS (PARTITION BY day ORDER BY threshold DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT day, threshold,
+        |    CASE WHEN tot > 0 THEN
+        |      (2.0::DOUBLE * CAST(tp AS DOUBLE))
+        |      / (2.0::DOUBLE * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+        |        + CAST(tot - tp AS DOUBLE)) END AS f1,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS p,
+        |    CASE WHEN tot > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE) END AS r
+        |  FROM r),
+        |k AS (
+        |  SELECT day, threshold, f1, p, r,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY f1 DESC NULLS LAST, threshold DESC) AS rn
+        |  FROM c)
+        |SELECT day, threshold, f1, p AS "precision", r AS recall
+        |FROM k WHERE rn = 1 ORDER BY day""".stripMargin,
     // Replays Stats.hhi: exact member revenue totals, HUGEINT squares
     // VARCHAR-bridged past 2^53, one division.
     "q_hhi" ->

@@ -556,6 +556,60 @@ object Eval {
         .as("fpr")): _*)
   }
 
+  /** Best-F1 operating point per group — the threshold SELECTION step
+    * after [[rocCurve]]'s full sweep: at every distinct score taken as
+    * `score ≥ threshold`, `F1 = 2·TP/(2·TP + FP + FN)`, and the argmax
+    * (ties to the HIGHEST threshold — the stricter classifier) comes
+    * back as one row per group with its precision/recall.
+    *
+    * Exactness: the cumulative TP/FP ladder is exact integers on the
+    * descending-score sort ([[rocCurve]]'s frame); each F1 is one
+    * integer-ratio division, and the argmax packs
+    * `(f1, threshold)` as a struct max — float-compare on f1 then the
+    * threshold tie-break, deterministic. NULL row values when a group
+    * has no positives. One exchange + the distinct-score window.
+    * Emits (groupCols…, `threshold`, `f1`, `precision`, `recall`). */
+  def bestF1Threshold(df: DataFrame, scoreCol: String, labelCol: String,
+                      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "bestF1Threshold needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("threshold", "f1", "precision", "recall", "__pos", "__neg",
+        "__cand", "__best"),
+      "bestF1Threshold")
+    val y = checkedLabel(labelCol, "bestF1Threshold")
+    val perScore = df
+      .groupBy((groupCols.map(col) :+
+        checkedScore(scoreCol, "bestF1Threshold").as("threshold")): _*)
+      .agg(sum(y).as("__pos"), sum(lit(1L) - y).as("__neg"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    val tp = sum(col("__pos")).over(w)
+    val fp = sum(col("__neg")).over(w)
+    val totPos = sum(col("__pos")).over(tot)
+    val fn = totPos - tp
+    val f1 = when(totPos > 0L,
+      (lit(2.0) * tp.cast("double")) /
+        (lit(2.0) * tp.cast("double") + fp.cast("double") +
+          fn.cast("double")))
+    val prec = when(tp + fp > 0L,
+      tp.cast("double") / (tp + fp).cast("double"))
+    val rec = when(totPos > 0L, tp.cast("double") / totPos.cast("double"))
+    perScore
+      .select((groupCols.map(col) :+
+        struct(f1.as("f1"), col("threshold"), prec.as("p"), rec.as("r"))
+          .as("__cand")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__cand")).as("__best"))
+      .select((groupCols.map(col) :+
+        col("__best").getField("threshold").as("threshold") :+
+        col("__best").getField("f1").as("f1") :+
+        col("__best").getField("p").as("precision") :+
+        col("__best").getField("r").as("recall")): _*)
+  }
+
   /** Kaplan–Meier survival curve per group (public estimator): at each
     * distinct duration t, `S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i` over
     * event counts d and at-risk counts n — the time-to-event readout

@@ -399,6 +399,20 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("bestF1Threshold: picks the max-F1 operating point") {
+    val rows = Seq(("g", 0.9, 1L), ("g", 0.8, 0L), ("g", 0.7, 1L),
+      ("g", 0.6, 0L), ("g", 0.5, 1L), ("z", 0.4, 0L))
+    val out = Eval.bestF1Threshold(rows.toDF("grp", "score", "y"),
+        "score", "y", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Double]("threshold") === 0.5)
+    assert(g.getAs[Double]("f1") === 6.0 / 8.0)
+    assert(g.getAs[Double]("precision") === 3.0 / 5.0)
+    assert(g.getAs[Double]("recall") === 1.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("f1"))) // no positives
+  }
+
   test("mcnemar: hand-computed discordant split; no-evidence NULL") {
     // label 1 everywhere: A correct iff predA; b = 6, c = 2
     val rows = (1 to 6).map(_ => ("g", true, false, 1L)) ++
