@@ -2186,6 +2186,37 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_rmst" -> ((s, d) => {
+      // restricted mean time-to-first-purchase (tau = 20 days) per
+      // cohort — the area under q_kaplan_meier's curve as one number
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, min, max, when, lit}
+      val perUser = readEventsNanos(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max(col("ts")).as("tl"))
+        .select(expr("user_id % 4").as("cohort"),
+          expr("(coalesce(tp, tl) - t0) DIV 86400000000000").as("dur"),
+          when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      operators.Eval.rmst(perUser, "dur", "ev", Seq("cohort"), tau = 20L)
+        .orderBy(col("cohort"))
+    }),
+    "q_ece" -> ((s, d) => {
+      // per-day expected calibration error of the scaled event score —
+      // the magnitude sibling of q_hosmer_lemeshow over the same deciles
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          (col("value") / lit(1000.0)).as("p"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("label"),
+          col("event_id"))
+      operators.Eval.expectedCalibrationError(ev, "p", "label", "event_id",
+          Seq("day"), bins = 10, scale = 6)
+        .orderBy(col("day"))
+    }),
     "q_best_f1" -> ((s, d) => {
       // per-day best-F1 operating point of the event score predicting
       // purchases — integer TP/FP ladder, struct-argmax threshold pick
@@ -6223,6 +6254,92 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.rmst: the KM walk extended with the rectangle
+    // accumulator — st = st·fac, area += st·width, width from exact
+    // integer tau clamps, plus the head segment at S = 1.
+    "q_rmst" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) * 1000) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) * 1000 END) AS tp,
+        |    max(epoch_us(ts) * 1000) AS tl
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    (coalesce(tp, tl) - t0) // 86400000000000 AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |pt AS (
+        |  SELECT cohort, dur AS t, CAST(sum(ev) AS BIGINT) AS de,
+        |    CAST(sum(1 - ev) AS BIGINT) AS ce
+        |  FROM d GROUP BY cohort, dur),
+        |r AS (
+        |  SELECT cohort, t, de, ce,
+        |    sum(de + ce) OVER (PARTITION BY cohort) AS ntot,
+        |    sum(de + ce) OVER (PARTITION BY cohort)
+        |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn,
+        |    count(*) OVER (PARTITION BY cohort) AS cnt,
+        |    CAST(least(min(t) OVER (PARTITION BY cohort), 20) AS DOUBLE)
+        |      AS head,
+        |    greatest(0, least(coalesce(lead(t, 1) OVER (PARTITION BY
+        |        cohort ORDER BY t), 20), 20) - least(t, 20)) AS width
+        |  FROM pt),
+        |f AS (
+        |  SELECT cohort, t, rn, cnt, ntot, head, width,
+        |    CAST(n_risk - de AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
+        |  FROM r),
+        |wk AS (
+        |  SELECT cohort, t, rn, cnt, ntot, head,
+        |    fac AS st, fac * CAST(width AS DOUBLE) AS area
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.cohort, s.t, s.rn, s.cnt, s.ntot, s.head,
+        |    (p.st * s.fac) AS st,
+        |    (p.area + (p.st * s.fac) * CAST(s.width AS DOUBLE)) AS area
+        |  FROM wk p JOIN f s ON s.cohort = p.cohort AND s.rn = p.rn + 1
+        |)
+        |SELECT cohort, CAST(ntot AS BIGINT) AS n,
+        |  CAST(20 AS BIGINT) AS tau, (head + area) AS rmst
+        |FROM wk WHERE rn = cnt ORDER BY cohort""".stripMargin,
+    // Replays Eval.expectedCalibrationError: the hosmer_lemeshow decile
+    // frame with the ng·|acc − conf| terms, one final division by n.
+    "q_ece" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round((value / 1000.0::DOUBLE) * 1000000.0::DOUBLE)
+        |      AS BIGINT) AS pi,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events),
+        |b AS (
+        |  SELECT day, pi, y,
+        |    ntile(10) OVER (PARTITION BY day ORDER BY pi, event_id) AS bin
+        |  FROM e),
+        |pb AS (
+        |  SELECT day, bin, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(y) AS BIGINT) AS og, CAST(sum(pi) AS BIGINT) AS sg
+        |  FROM b GROUP BY day, bin),
+        |t AS (
+        |  SELECT day, bin, ng,
+        |    CAST(ng AS DOUBLE) * abs(
+        |      CAST(og AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / 1000000.0::DOUBLE)
+        |        / CAST(ng AS DOUBLE)) AS term
+        |  FROM pb),
+        |g AS (
+        |  SELECT day, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_bins,
+        |    list_reduce(list_transform(
+        |        list(struct_pack(bin := bin, w := term) ORDER BY bin),
+        |        s -> s.w), (a, b) -> a + b) AS fold
+        |  FROM t GROUP BY day)
+        |SELECT day, n, k_bins,
+        |  CASE WHEN k_bins = 10 THEN fold / CAST(n AS DOUBLE) END AS ece
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Eval.bestF1Threshold: the rocCurve descending ladder, the
     // integer-ratio F1 trees, argmax = (f1 DESC NULLS LAST, threshold
     // DESC) — the struct-max ordering.

@@ -399,6 +399,35 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("rmst: hand-computed area under the KM steps; tau clamps") {
+    // events at 1 and 3, no censoring: S = 0.5 on [1,3), 0 after
+    val rows = Seq(("g", 1L, 1L), ("g", 3L, 1L))
+    val r5 = Eval.rmst(rows.toDF("grp", "dur", "ev"), "dur", "ev",
+      Seq("grp"), tau = 5L).collect().head
+    assert(r5.getAs[Long]("n") === 2L)
+    assert(r5.getAs[Double]("rmst") === 1.0 + (0.5 * 2.0 + 0.0 * 2.0))
+    val r2 = Eval.rmst(rows.toDF("grp", "dur", "ev"), "dur", "ev",
+      Seq("grp"), tau = 2L).collect().head
+    assert(r2.getAs[Double]("rmst") === 1.0 + (0.5 * 1.0 + 0.0 * 0.0))
+  }
+
+  test("expectedCalibrationError: perfect calibration gives 0") {
+    def mk(lowPos: Int, highPos: Int) =
+      ((1 to 10).map(i => ("g", i.toLong, 0.1, if (i <= lowPos) 1L else 0L)) ++
+        (11 to 20).map(i => ("g", i.toLong, 0.9,
+          if (i <= 10 + highPos) 1L else 0L)))
+        .toDF("grp", "tie", "p", "y")
+    val cal = Eval.expectedCalibrationError(mk(1, 9), "p", "y", "tie",
+      Seq("grp"), bins = 2, scale = 1).collect().head
+    assert(cal.getAs[Double]("ece") === 0.0)
+    // flipped: each decile is off by 0.8 -> ECE = 0.8
+    val bad = Eval.expectedCalibrationError(mk(9, 1), "p", "y", "tie",
+      Seq("grp"), bins = 2, scale = 1).collect().head
+    val t1 = 10.0 * math.abs(9.0 / 10.0 - (10.0 / 10.0) / 10.0)
+    val t2 = 10.0 * math.abs(1.0 / 10.0 - (90.0 / 10.0) / 10.0)
+    assert(bad.getAs[Double]("ece") === ((0.0 + t1) + t2) / 20.0)
+  }
+
   test("bestF1Threshold: picks the max-F1 operating point") {
     val rows = Seq(("g", 0.9, 1L), ("g", 0.8, 0L), ("g", 0.7, 1L),
       ("g", 0.6, 0L), ("g", 0.5, 1L), ("z", 0.4, 0L))
