@@ -2186,6 +2186,27 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_rbo" -> ((s, d) => {
+      // monthly top-10 supplier rankings by volume vs by tick count,
+      // compared with rank-biased overlap — plan-folded geometric
+      // weights, deterministic tie-broken ranks
+      load(s, d)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{date_format, lit, round => rnd, row_number, sum => fsum}
+      val mb = dailyBars(s)
+        .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .groupBy(col("month"), col("l_suppkey"))
+        .agg(fsum(rnd(col("volume") * lit(100.0)).cast("long")).as("vol"),
+          fsum(col("n_ticks")).as("ticks"))
+      val ranked = mb
+        .withColumn("ra", row_number().over(Window.partitionBy(col("month"))
+          .orderBy(col("vol").desc, col("l_suppkey"))))
+        .withColumn("rb", row_number().over(Window.partitionBy(col("month"))
+          .orderBy(col("ticks").desc, col("l_suppkey"))))
+      operators.Eval.rankBiasedOverlap(ranked, Seq("month"), "ra", "rb",
+          k = 10, pPm = 900)
+        .orderBy(col("month"))
+    }),
     "q_rmst" -> ((s, d) => {
       // restricted mean time-to-first-purchase (tau = 20 days) per
       // cohort — the area under q_kaplan_meier's curve as one number
@@ -6254,6 +6275,57 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Eval.rankBiasedOverlap: the same monthly rankings, shared
+    // items at m = max(ra, rb), running overlap steps, the Scala-folded
+    // geometric weights as VARCHAR-bridged literals, the depth fold.
+    "q_rbo" -> {
+      val p = 0.9
+      val weights: IndexedSeq[Double] = {
+        var pw = 1.0
+        (1 to 10).map { _ => val w = (1.0 - p) * pw; pw = pw * p; w }
+      }
+      val wlist = weights.zipWithIndex.map { case (w, i) =>
+        s"struct_pack(d := ${i + 1}, w := CAST('$w' AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), mb AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_suppkey,
+         |    CAST(sum(CAST(round(volume * 100.0::DOUBLE) AS BIGINT))
+         |      AS BIGINT) AS vol,
+         |    CAST(sum(n_ticks) AS BIGINT) AS ticks
+         |  FROM bars GROUP BY month, l_suppkey
+         |), rk AS (
+         |  SELECT month,
+         |    row_number() OVER (PARTITION BY month
+         |      ORDER BY vol DESC, l_suppkey) AS ra,
+         |    row_number() OVER (PARTITION BY month
+         |      ORDER BY ticks DESC, l_suppkey) AS rb
+         |  FROM mb
+         |), sh AS (
+         |  SELECT month, greatest(ra, rb) AS m
+         |  FROM rk WHERE ra <= 10 AND rb <= 10
+         |), cm AS (
+         |  SELECT month, m, CAST(count(*) AS BIGINT) AS c
+         |  FROM sh GROUP BY month, m
+         |), ov AS (
+         |  SELECT month, m, c,
+         |    CAST(sum(c) OVER (PARTITION BY month ORDER BY m
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS ovm
+         |  FROM cm
+         |), pk AS (
+         |  SELECT month, CAST(sum(c) AS BIGINT) AS n_shared,
+         |    list(struct_pack(m := m, ov := ovm) ORDER BY m) AS steps
+         |  FROM ov GROUP BY month)
+         |SELECT month, n_shared,
+         |  list_reduce(list_transform($wlist,
+         |      e -> e.w * (CAST(coalesce(
+         |          list_filter(steps, t -> t.m <= e.d)[-1].ov, 0)
+         |        AS DOUBLE) / CAST(e.d AS DOUBLE))),
+         |    (a, b) -> a + b) AS rbo
+         |FROM pk ORDER BY month""".stripMargin
+    },
     // Replays Eval.rmst: the KM walk extended with the rectangle
     // accumulator — st = st·fac, area += st·width, width from exact
     // integer tau clamps, plus the head segment at S = 1.

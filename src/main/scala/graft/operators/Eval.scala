@@ -800,6 +800,72 @@ object Eval {
         .as("hl_chi2")): _*)
   }
 
+  /** Truncated rank-biased overlap per query (public formulation,
+    * Webber 2010): compare two top-k rankings with geometric
+    * top-weighting — `RBO_k = (1−p)·Σ_{d=1..k} p^{d−1}·(ov_d/d)` where
+    * `ov_d` is the overlap of the two depth-d prefixes. The
+    * top-heavy comparison [[rrfFusion]]'s consumers want (Jaccard of
+    * top-k treats rank 1 and rank k alike; RBO does not).
+    *
+    * Determinism: a shared item contributes from depth
+    * `m = max(rank_A, rank_B)` on, so `ov_d` is an exact cumulative
+    * count; the geometric weights `(1−p)·p^{d−1}` FOLD AT PLAN BUILD
+    * (Scala doubles, embedded verbatim in the oracle — no runtime pow),
+    * and the ≤k-term sum folds in depth order. Ranks must be 1-based
+    * and unique per (query, list) — build them with a deterministic
+    * tie-broken `row_number`. Emits (queryCol…, `n_shared`, `rbo`). */
+  def rankBiasedOverlap(df: DataFrame, queryCols: Seq[String],
+                        rankACol: String, rankBCol: String, k: Int,
+                        pPm: Int = 900): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(pPm >= 1 && pPm <= 999, s"p permille must be in [1,999], got $pPm")
+    require(queryCols.nonEmpty,
+      "rankBiasedOverlap needs at least one query column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_shared", "rbo", "__m", "__terms"), "rankBiasedOverlap")
+    val p = pPm / 1000.0
+    // (1−p)·p^(d−1) folded on the Scala side, one literal per depth
+    val weights: IndexedSeq[Double] = {
+      var pw = 1.0
+      (1 to k).map { _ => val w = (1.0 - p) * pw; pw = pw * p; w }
+    }
+    val ra = col(rankACol).cast("long")
+    val rb = col(rankBCol).cast("long")
+    val shared = df
+      .filter(ra.isNotNull && rb.isNotNull && ra <= k.toLong &&
+        rb <= k.toLong)
+      .select((queryCols.map(col) :+
+        greatest(ra, rb).as("__m")): _*)
+    // ov_d = count of shared items with m <= d; term_d = w_d * ov_d / d
+    val counts = shared.groupBy((queryCols.map(col) :+ col("__m")): _*)
+      .agg(count(lit(1)).as("__cm"))
+    val grp = Window.partitionBy(queryCols.map(col): _*)
+    val run = grp.orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ov at each DISTINCT m; depths between distinct m values reuse the
+    // previous ov — expand to the full 1..k ladder via a k-bounded fold
+    val withOv = counts.withColumn("__ov", sum(col("__cm")).over(run))
+    val packed = withOv.groupBy(queryCols.map(col): _*)
+      .agg(sum(col("__cm")).as("n_shared"),
+        sort_array(collect_list(struct(col("__m"), col("__ov"))))
+          .as("__terms"))
+    // depth ladder: for d in 1..k, ov_d = ov at the largest m <= d —
+    // evaluate as one fold over the k literal weights, walking the
+    // (m, ov) steps with a (index, acc) accumulator
+    val termArr = array(weights.zipWithIndex.map { case (w, i) =>
+      struct(lit(i + 1).as("d"), lit(w).as("w"))
+    }: _*)
+    val rboCol = aggregate(termArr, lit(0.0), (acc, e) => {
+      val d = e.getField("d").cast("long")
+      val stepsLe = filter(col("__terms"), t => t.getField("__m") <= d)
+      val ovAtD = coalesce(
+        get(stepsLe, size(stepsLe) - 1).getField("__ov"), lit(0L))
+      acc + e.getField("w") * (ovAtD.cast("double") / d.cast("double"))
+    })
+    packed.select((queryCols.map(col) :+ col("n_shared") :+
+      rboCol.as("rbo")): _*)
+  }
+
   /** Restricted mean survival time per group (public estimator): the
     * area under the [[kaplanMeier]] curve up to horizon `tau` — "average
     * survival time over the first τ days", the single-number effect

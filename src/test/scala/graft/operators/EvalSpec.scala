@@ -399,6 +399,34 @@ test("forecastErrors: hand-computed MAE/RMSE and the MASE identity") {
       ((2.0 / 5.0 + 0.0) + 0.5) + 0.0)
   }
 
+  test("rankBiasedOverlap: hand-computed depth ladder") {
+    val p = 0.9
+    var pw = 1.0
+    val w = (1 to 3).map { _ => val x = (1.0 - p) * pw; pw = pw * p; x }
+    // x(1,1) m=1; y(2,3) m=3; z(3,2) m=3; w-item outside k on B side
+    val rows = Seq(("q", "x", 1L, 1L), ("q", "y", 2L, 3L),
+      ("q", "z", 3L, 2L), ("q", "o", 4L, 9L))
+    val r = Eval.rankBiasedOverlap(rows.toDF("query", "item", "ra", "rb"),
+      Seq("query"), "ra", "rb", k = 3, pPm = 900).collect().head
+    assert(r.getAs[Long]("n_shared") === 3L)
+    val expected = ((0.0 + w(0) * (1.0 / 1.0)) + w(1) * (1.0 / 2.0)) +
+      w(2) * (3.0 / 3.0)
+    assert(r.getAs[Double]("rbo") === expected)
+  }
+
+  test("rankBiasedOverlap: identical rankings hit the truncated maximum") {
+    val rows = (1 to 5).map(i => ("q", s"i$i", i.toLong, i.toLong))
+    val r = Eval.rankBiasedOverlap(rows.toDF("query", "item", "ra", "rb"),
+      Seq("query"), "ra", "rb", k = 5, pPm = 800).collect().head
+    val p = 0.8
+    var pw = 1.0
+    val expected = (1 to 5).foldLeft(0.0) { (acc, d) =>
+      val x = acc + ((1.0 - p) * pw) * (d.toDouble / d.toDouble)
+      pw = pw * p; x
+    }
+    assert(r.getAs[Double]("rbo") === expected)
+  }
+
   test("rmst: hand-computed area under the KM steps; tau clamps") {
     // events at 1 and 3, no censoring: S = 0.5 on [1,3), 0 after
     val rows = Seq(("g", 1L, 1L), ("g", 3L, 1L))
