@@ -2186,6 +2186,21 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_prop_z" -> ((s, d) => {
+      // per-day two-proportion z: do purchase events clear the 100 mark
+      // at a different rate than view events — THE conversion A/B tree
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"),
+          when(col("value") > lit(100.0), lit(1L)).otherwise(lit(0L))
+            .as("hit"))
+      operators.Stats.twoProportionZ(ev, "hit", "event_type",
+          "purchase", "view", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_rbo" -> ((s, d) => {
       // monthly top-10 supplier rankings by volume vs by tick count,
       // compared with rank-biased overlap — plan-folded geometric
@@ -6275,6 +6290,44 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Stats.twoProportionZ: exact success/total counts, the
+    // pooled-rate z tree.
+    "q_prop_z" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS arm,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |g AS (
+        |  SELECT day,
+        |    CAST(count(CASE WHEN arm = 'purchase' THEN 1 END) AS BIGINT)
+        |      AS na,
+        |    CAST(count(CASE WHEN arm <> 'purchase' THEN 1 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN y ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN arm <> 'purchase' THEN y ELSE 0 END)
+        |      AS BIGINT) AS sb
+        |  FROM e GROUP BY day),
+        |h AS (
+        |  SELECT day, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(sa + sb AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pooled
+        |  FROM g)
+        |SELECT day, na AS n_a, nb AS n_b,
+        |  CASE WHEN na >= 1 THEN pa END AS rate_a,
+        |  CASE WHEN nb >= 1 THEN pb END AS rate_b,
+        |  CASE WHEN na >= 1 AND nb >= 1
+        |      AND pooled * (1.0::DOUBLE - pooled)
+        |        * (1.0::DOUBLE / CAST(na AS DOUBLE)
+        |          + 1.0::DOUBLE / CAST(nb AS DOUBLE)) > 0.0::DOUBLE THEN
+        |    (pa - pb) / sqrt(pooled * (1.0::DOUBLE - pooled)
+        |      * (1.0::DOUBLE / CAST(na AS DOUBLE)
+        |        + 1.0::DOUBLE / CAST(nb AS DOUBLE)))
+        |  END AS prop_z
+        |FROM h ORDER BY day""".stripMargin,
     // Replays Eval.rankBiasedOverlap: the same monthly rankings, shared
     // items at m = max(ra, rb), running overlap steps, the Scala-folded
     // geometric weights as VARCHAR-bridged literals, the depth fold.

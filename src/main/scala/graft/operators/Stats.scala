@@ -1456,6 +1456,60 @@ object Stats {
       when(col("n_a") >= 1L && col("n_b") >= 1L, t).as("cvm_t")): _*)
   }
 
+  /** Two-proportion z-test per group (public formula) — THE conversion
+    * readout: is arm A's success RATE different from arm B's,
+    * `z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A + 1/n_B))` with the pooled p̂.
+    * The binary-outcome member of the A/B family beside [[welchT]]
+    * (means) and [[mannWhitney]] (distributions).
+    *
+    * Exactness: success/total counts are exact integers from one
+    * map-side-combinable pass ([[graft.operators.Eval.checkedLabel]]
+    * outcomes — non-0/1 raises); the z is ONE fixed tree on their
+    * casts. NULL z on an empty arm or a degenerate pooled rate (all
+    * successes / all failures — no variance). Variants outside {A, B}
+    * raise. Emits (groupCols…, `n_a`, `n_b`, `rate_a`, `rate_b`,
+    * `prop_z`). */
+  def twoProportionZ(df: DataFrame, successCol: String, variantCol: String,
+                     variantA: String, variantB: String,
+                     groupCols: Seq[String]): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(groupCols.nonEmpty,
+      "twoProportionZ needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_a", "n_b", "rate_a", "rate_b", "prop_z", "__arm", "__y"),
+      "Stats.twoProportionZ")
+    val v = col(variantCol)
+    val armChecked = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"twoProportionZ: $variantCol must be '$variantA' or " +
+            s"'$variantB', got "), coalesce(v, lit("NULL")))))
+      .otherwise(v)
+    val s = col(successCol)
+    val y = when(s.isNull || (s.cast("long") =!= 0L && s.cast("long") =!= 1L),
+        raise_error(concat(lit(s"twoProportionZ: $successCol must be " +
+          "0 or 1, got "), coalesce(s.cast("string"), lit("NULL")))))
+      .otherwise(s.cast("long"))
+    val base = df.select((groupCols.map(col) :+ armChecked.as("__arm") :+
+      y.as("__y")): _*)
+    val isA = col("__arm") === variantA
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      count(when(isA, 1)).as("n_a"),
+      count(when(!isA, 1)).as("n_b"),
+      sum(when(isA, col("__y")).otherwise(0L)).as("__sa"),
+      sum(when(!isA, col("__y")).otherwise(0L)).as("__sb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("__sa").cast("double") / na
+    val pb = col("__sb").cast("double") / nb
+    val pooled = (col("__sa") + col("__sb")).cast("double") / (na + nb)
+    val se2 = pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb)
+    sums.select((groupCols.map(col) :+ col("n_a") :+ col("n_b") :+
+      when(col("n_a") >= 1L, pa).as("rate_a") :+
+      when(col("n_b") >= 1L, pb).as("rate_b") :+
+      when(col("n_a") >= 1L && col("n_b") >= 1L && se2 > 0.0,
+        (pa - pb) / sqrt(se2)).as("prop_z")): _*)
+  }
+
   /** Herfindahl–Hirschman concentration index per group (public
     * formula): `HHI = Σ_m s_m²` over member shares `s_m = v_m/Σv` —
     * market/portfolio/source concentration in (0, 1] (1 = monopoly,

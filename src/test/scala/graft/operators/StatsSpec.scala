@@ -762,6 +762,26 @@ test("anovaF: hand-computed 3-arm F") {
     }
   }
 
+  test("twoProportionZ: hand-computed pooled z; degenerate NULL") {
+    // A: 3/5 convert; B: 1/5: pooled 4/10
+    val rows = (1 to 5).map(i => ("g", "A", if (i <= 3) 1L else 0L)) ++
+      (1 to 5).map(i => ("g", "B", if (i <= 1) 1L else 0L))
+    val r = Stats.twoProportionZ(rows.toDF("grp", "arm", "y"), "y", "arm",
+      "A", "B", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 5L)
+    assert(r.getAs[Double]("rate_a") === 3.0 / 5.0)
+    assert(r.getAs[Double]("rate_b") === 1.0 / 5.0)
+    val pooled = 4.0 / 10.0
+    val se2 = pooled * (1.0 - pooled) * (1.0 / 5.0 + 1.0 / 5.0)
+    assert(r.getAs[Double]("prop_z") ===
+      (3.0 / 5.0 - 1.0 / 5.0) / math.sqrt(se2))
+    // all failures: zero pooled variance
+    val flat = Seq(("g", "A", 0L), ("g", "B", 0L))
+    val r2 = Stats.twoProportionZ(flat.toDF("grp", "arm", "y"), "y", "arm",
+      "A", "B", Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("prop_z")))
+  }
+
   test("hhi: equal members give 1/k, a monopoly gives 1") {
     val rows = Seq(("g", "a", 25.0), ("g", "b", 25.0), ("g", "c", 25.0),
       ("g", "d", 25.0), ("m", "solo", 7.0),
