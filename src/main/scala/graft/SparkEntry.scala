@@ -2186,6 +2186,19 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_cochran_armitage" -> ((s, d) => {
+      // does the purchase share of events trend across the week, per
+      // user band — ordered-dose proportions, exact weighted sums
+      load(s, d)
+      import org.apache.spark.sql.functions.{dayofweek, expr, lit, when, to_timestamp}
+      val ev = readEventsNanos(s, d)
+        .select(expr("user_id % 4").as("band"),
+          dayofweek(expr("timestamp_micros(ts DIV 1000)")).as("dow"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+            .as("hit"))
+      operators.Stats.cochranArmitage(ev, "hit", "dow", Seq("band"))
+        .orderBy(col("band"))
+    }),
     "q_prop_z" -> ((s, d) => {
       // per-day two-proportion z: do purchase events clear the 100 mark
       // at a different rate than view events — THE conversion A/B tree
@@ -6290,6 +6303,37 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Stats.cochranArmitage: exact weighted dose sums, the
+    // n-multiplied numerator tree. DOW encodings differ by a constant
+    // shift (DuckDB 0-6 vs Spark 1-7) — the CA statistic is invariant
+    // to affine weight shifts, so the z values agree exactly.
+    "q_cochran_armitage" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS band,
+        |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS w,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS k_doses,
+        |    CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(sum(w * y) AS BIGINT) AS ws,
+        |    CAST(sum(w) AS BIGINT) AS wn,
+        |    CAST(sum(w * w) AS BIGINT) AS wwn
+        |  FROM e GROUP BY band),
+        |h AS (
+        |  SELECT band, n, k_doses,
+        |    CAST(n * ws - wn * s AS DOUBLE) AS num,
+        |    CAST(n * wwn - wn * wn AS DOUBLE) AS cw,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT band, n, k_doses,
+        |  CASE WHEN n >= 1
+        |      AND pbar * (1.0::DOUBLE - pbar) * cw * nd > 0.0::DOUBLE THEN
+        |    num / sqrt(pbar * (1.0::DOUBLE - pbar) * cw * nd)
+        |  END AS ca_z
+        |FROM h ORDER BY band""".stripMargin,
     // Replays Stats.twoProportionZ: exact success/total counts, the
     // pooled-rate z tree.
     "q_prop_z" ->

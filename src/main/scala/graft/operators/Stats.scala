@@ -1510,6 +1510,61 @@ object Stats {
         (pa - pb) / sqrt(se2)).as("prop_z")): _*)
   }
 
+  /** Cochran–Armitage trend test per group (public formulation): across
+    * k ORDERED doses (days, buckets, exposure levels), does the success
+    * PROPORTION trend monotonically —
+    * `z = Σᵢwᵢ(sᵢ − nᵢp̄) / √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/n))` with the
+    * dose value as the weight. The ordered-alternative member of the
+    * proportion family: [[twoProportionZ]] (two arms),
+    * [[chiSquareCells]] (any-difference), this (monotone trend) — the
+    * proportions twin of [[pageTrend]].
+    *
+    * Exactness: per-dose success/total counts and every weighted sum
+    * (`Σws`, `Σwn`, `Σw²n`) are exact BIGINTs from one combinable
+    * aggregate over the (group, dose) frame; the z is ONE fixed tree —
+    * the numerator multiplies through by n
+    * (`n·Σws − Σwn·S` exact DECIMAL) so no per-dose float expectation
+    * is ever summed. NULL z on a degenerate rate (all success/failure)
+    * or zero weight variance (one dose). `doseCol` must be integral.
+    * Emits (groupCols…, `n`, `k_doses`, `ca_z`). */
+  def cochranArmitage(df: DataFrame, successCol: String, doseCol: String,
+                      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "cochranArmitage needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "k_doses", "ca_z", "__w", "__y"), "Stats.cochranArmitage")
+    val s = col(successCol)
+    val y = when(s.isNull || (s.cast("long") =!= 0L && s.cast("long") =!= 1L),
+        raise_error(concat(lit(s"cochranArmitage: $successCol must be " +
+          "0 or 1, got "), coalesce(s.cast("string"), lit("NULL")))))
+      .otherwise(s.cast("long"))
+    val w = col(doseCol).cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ w.as("__w") :+ y.as("__y")): _*)
+      .filter(col("__w").isNotNull)
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("__w")).as("k_doses"),
+      sum(col("__y")).as("__s"),
+      sum(col("__w") * col("__y")).as("__ws"),
+      sum(col("__w")).as("__wn"),
+      sum(col("__w") * col("__w")).as("__wwn"))
+    val nL = col("n")
+    val nDec = nL.cast("decimal(38,0)")
+    // n-multiplied numerator and variance pieces, exact in DECIMAL
+    val num = (nDec * col("__ws") -
+      col("__wn").cast("decimal(38,0)") * col("__s")).cast("double")
+    val cw = (nDec * col("__wwn") -
+      col("__wn").cast("decimal(38,0)") * col("__wn")).cast("double")
+    val sD = col("__s").cast("double")
+    val nD = nL.cast("double")
+    val pbar = sD / nD
+    // z = num/n / sqrt(p(1-p)·cw/n) = num / sqrt(p(1-p)·cw·n)
+    val varTerm = pbar * (lit(1.0) - pbar) * cw * nD
+    sums.select((groupCols.map(col) :+ col("n") :+ col("k_doses") :+
+      when(nL >= 1L && varTerm > 0.0, num / sqrt(varTerm)).as("ca_z")): _*)
+  }
+
   /** Herfindahl–Hirschman concentration index per group (public
     * formula): `HHI = Σ_m s_m²` over member shares `s_m = v_m/Σv` —
     * market/portfolio/source concentration in (0, 1] (1 = monopoly,

@@ -762,6 +762,25 @@ test("anovaF: hand-computed 3-arm F") {
     }
   }
 
+  test("cochranArmitage: rising rates give z = 2 on the toy ladder") {
+    // doses 1,2,3 with 0/2, 1/2, 2/2 successes: num=12, var=36
+    val rows = Seq(("g", 1L, 0L), ("g", 1L, 0L), ("g", 2L, 1L),
+      ("g", 2L, 0L), ("g", 3L, 1L), ("g", 3L, 1L))
+    val r = Stats.cochranArmitage(rows.toDF("grp", "dose", "y"), "y",
+      "dose", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("k_doses") === 3L)
+    assert(r.getAs[Double]("ca_z") === 2.0)
+    // all successes: no variance; single dose: no weight variance
+    val flat = Seq(("g", 1L, 1L), ("g", 2L, 1L))
+    val r2 = Stats.cochranArmitage(flat.toDF("grp", "dose", "y"), "y",
+      "dose", Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("ca_z")))
+    val one = Seq(("g", 5L, 1L), ("g", 5L, 0L))
+    val r3 = Stats.cochranArmitage(one.toDF("grp", "dose", "y"), "y",
+      "dose", Seq("grp")).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("ca_z")))
+  }
+
   test("twoProportionZ: hand-computed pooled z; degenerate NULL") {
     // A: 3/5 convert; B: 1/5: pooled 4/10
     val rows = (1 to 5).map(i => ("g", "A", if (i <= 3) 1L else 0L)) ++
