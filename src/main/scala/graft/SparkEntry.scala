@@ -2186,6 +2186,15 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_durbin_watson" -> ((s, d) => {
+      // per-supplier Durbin-Watson on the demeaned close — residual
+      // autocorrelation in the form regressions quote; exact
+      // n-multiplied demeaning, one ratio
+      load(s, d)
+      operators.Stats.durbinWatson(dailyBars(s), "close", Seq("l_suppkey"),
+          Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_cochran_armitage" -> ((s, d) => {
       // does the purchase share of events trend across the week, per
       // user band — ordered-dose proportions, exact weighted sums
@@ -6303,6 +6312,34 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Stats.durbinWatson: quantized diffs and quadratic sums,
+    // the n-multiplied mean-free numerator/denominator, one division.
+    "q_durbin_watson" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS lx
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CASE WHEN lx IS NOT NULL
+         |      THEN CAST(x - lx AS HUGEINT) * (x - lx)
+         |      ELSE 0 END) AS sdd
+         |  FROM s GROUP BY l_suppkey)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 2
+         |      AND CAST(CAST(n AS HUGEINT) * sxx
+         |        - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0::DOUBLE THEN
+         |    CAST(CAST(n AS HUGEINT) * sdd AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * sxx
+         |        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |  END AS dw
+         |FROM g ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.cochranArmitage: exact weighted dose sums, the
     // n-multiplied numerator tree. DOW encodings differ by a constant
     // shift (DuckDB 0-6 vs Spark 1-7) — the CA statistic is invariant

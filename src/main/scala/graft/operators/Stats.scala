@@ -1856,6 +1856,54 @@ object Stats {
         (lVal - mu) / sqrt(sig2)).as("page_z")): _*)
   }
 
+  /** Durbin–Watson statistic per key (public formula): on the
+    * demeaned series, `DW = Σ(e_t − e_{t−1})²/Σe_t²` — the classic
+    * residual-autocorrelation readout (≈2 independent, →0 positive,
+    * →4 negative serial correlation). The descriptive companion to
+    * [[Rolling.autocorr]]'s lag-1 coefficient (DW ≈ 2(1−ρ₁)) in the
+    * form regression practitioners quote.
+    *
+    * Exactness: values quantize to `scale` decimals and demeaning is
+    * MULTIPLIED THROUGH by n — `ẽ_t = n·x_t − Σx` is an exact BIGINT
+    * (never a rational mean per row), the n factors cancel in the
+    * ratio, and both quadratic sums accumulate as exact DECIMALs on one
+    * keyed sort. DW is ONE double division. NULL when n < 2 or the
+    * series is constant (Σẽ² = 0). Emits (keyCols…, `n`, `dw`). */
+  def durbinWatson(df: DataFrame, valueCol: String, keyCols: Seq[String],
+                   orderCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "durbinWatson needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "dw", "__xi", "__lx"), "Stats.durbinWatson")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
+      .cast("long")
+    val base = df
+      .select((keyCols.map(col) :+ xi.as("__xi")) :+
+        lag(xi, 1).over(w).as("__lx"): _*)
+      .filter(col("__xi").isNotNull)
+    // with ẽ = n·x − S, (ẽ_t − ẽ_{t−1}) = n·(x_t − x_{t−1}) — the mean
+    // cancels in differences, so the numerator needs only raw diffs
+    val d = col("__xi") - col("__lx")
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__xi")).as("__s"),
+      sum(col("__xi").cast("decimal(38,0)") * col("__xi")).as("__sxx"),
+      sum(when(col("__lx").isNotNull,
+        d.cast("decimal(38,0)") * d).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__sdd"))
+    val nDec = col("n").cast("decimal(38,0)")
+    // Σẽ² = n²Σx² − n·S² → /n: n·Σx² − S² (exact); numerator Σ(nΔ)²/n =
+    // n·ΣΔ² — both sides divided by n once
+    val den = (nDec * col("__sxx") -
+      col("__s").cast("decimal(38,0)") * col("__s")).cast("double")
+    val num = (nDec * col("__sdd")).cast("double")
+    sums.select((keyCols.map(col) :+ col("n") :+
+      when(col("n") >= 2L && den > 0.0, num / den).as("dw")): _*)
+  }
+
   /** Roll effective-spread estimator per key (public formula, Roll
     * 1984): bid-ask bounce makes consecutive PRICE CHANGES negatively
     * autocorrelated, so `spread = 2·√(−cov(Δp_t, Δp_{t−1}))` recovers

@@ -909,6 +909,18 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r2.isNullAt(r2.fieldIndex("friedman_q")))
   }
 
+  test("durbinWatson: trend hugs 0, alternation hugs 4, constant NULL") {
+    def run(xs: Seq[Double]) = Stats.durbinWatson(
+      xs.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+        .toDF("key", "t", "v"), "v", Seq("key"), Seq("t")).collect().head
+    val trend = run(Seq(1.0, 2.0, 3.0, 4.0))
+    assert(trend.getAs[Double]("dw") === (4.0 * 3.0) / (4.0 * 30.0 - 100.0))
+    val alt = run(Seq(1.0, 3.0, 1.0, 3.0))
+    assert(alt.getAs[Double]("dw") === (4.0 * 12.0) / (4.0 * 20.0 - 64.0))
+    val const = run(Seq(5.0, 5.0, 5.0))
+    assert(const.isNullAt(const.fieldIndex("dw")))
+  }
+
   test("rollSpread: pure bid-ask bounce recovers a spread; trend is NULL") {
     // 10,11,10,11,10 -> diffs +1,-1,+1,-1, cov numerator c = -8 on n=3
     val bounce = Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex
