@@ -2186,6 +2186,29 @@ object SparkEntry {
       operators.Eval.kaplanMeier(perUser, "dur", "ev", Seq("cohort"))
         .orderBy(col("cohort"), col("t"))
     }),
+    "q_seasonal_strength" -> ((s, d) => {
+      // Hyndman F_s/F_t per supplier off the period-7 decomposition —
+      // one number each for "how seasonal / how trended"
+      load(s, d)
+      val dec = operators.Resample.seasonalDecompose(dailyBars(s)
+          .select(col("l_suppkey"), col("l_shipdate"), col("close")),
+        "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
+        scale = 2)
+      operators.Resample.seasonalStrength(dec, Seq("l_suppkey"), scale = 4)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_kendall_w" -> ((s, d) => {
+      // per-returnflag concordance: how strongly supplier blocks agree
+      // on the weekday quantity ranking — friedman's Q scaled to [0,1]
+      load(s, d)
+      import org.apache.spark.sql.functions.dayofweek
+      val li = s.table("lineitem").select(col("l_returnflag"),
+        col("l_suppkey"), dayofweek(col("l_shipdate")).as("dow"),
+        col("l_quantity"))
+      operators.Stats.kendallW(li, "l_quantity", "l_suppkey", "dow",
+          k = 7, Seq("l_returnflag"), scale = 2)
+        .orderBy(col("l_returnflag"))
+    }),
     "q_durbin_watson" -> ((s, d) => {
       // per-supplier Durbin-Watson on the demeaned close — residual
       // autocorrelation in the form regressions quote; exact
@@ -6312,6 +6335,111 @@ object SparkEntry {
     // Replays Eval.kaplanMeier on the time-to-purchase frame: per-cohort
     // duration counts, exact at-risk windows, WITH RECURSIVE runprod
     // (st' = st · fac — the acc-first multiply order).
+    // Replays Resample.seasonalStrength over the q_seasonal decompose:
+    // re-quantized components, VARCHAR-bridged n-multiplied variances,
+    // the guarded max(0, 1 − ratio) trees.
+    "q_seasonal_strength" -> {
+      def cv(c: String): String =
+        s"""CAST(CAST(CAST(count(*) AS HUGEINT)
+           |      * sum(CAST($c AS HUGEINT) * $c)
+           |    - CAST(sum($c) AS HUGEINT) * CAST(sum($c) AS HUGEINT)
+           |    AS VARCHAR) AS DOUBLE)""".stripMargin
+      s"""WITH dec AS (
+         |  WITH bars AS (
+         |$duckBarsSql
+         |  ), base AS (
+         |    SELECT l_suppkey, l_shipdate,
+         |      CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x,
+         |      CAST((row_number() OVER ws - 1) % 7 AS INTEGER) AS phase,
+         |      CASE WHEN count(*) OVER (ws ROWS BETWEEN 3 PRECEDING AND
+         |          3 FOLLOWING) = 7
+         |        THEN sum(CAST(round(close * 100.0::DOUBLE) AS BIGINT))
+         |          OVER (ws ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |      END AS num
+         |    FROM bars
+         |    WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |  pm AS (
+         |    SELECT l_suppkey, phase,
+         |      CAST(sum(CAST(7 * x - num AS HUGEINT)) AS DOUBLE) /
+         |        (CAST(count(7 * x - num) AS DOUBLE) * 7.0::DOUBLE) AS sm
+         |    FROM base GROUP BY l_suppkey, phase),
+         |  aj AS (
+         |    SELECT l_suppkey,
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list(sm ORDER BY phase)), (acc, e) -> acc + e) /
+         |        CAST(count(*) AS DOUBLE) AS adj
+         |    FROM pm WHERE sm IS NOT NULL GROUP BY l_suppkey)
+         |  SELECT base.l_suppkey,
+         |    CAST(base.num AS DOUBLE) / 7.0::DOUBLE / 100.0::DOUBLE
+         |      AS trend,
+         |    (pm.sm - aj.adj) / 100.0::DOUBLE AS seasonal,
+         |    ((CAST(base.x AS DOUBLE) * 7.0::DOUBLE -
+         |      CAST(base.num AS DOUBLE)) / 7.0::DOUBLE -
+         |      (pm.sm - aj.adj)) / 100.0::DOUBLE AS resid
+         |  FROM base
+         |  JOIN pm ON base.l_suppkey = pm.l_suppkey
+         |    AND base.phase = pm.phase
+         |  LEFT JOIN aj ON base.l_suppkey = aj.l_suppkey
+         |), q AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(resid * 10000.0::DOUBLE) AS BIGINT) AS r,
+         |    CAST(round((seasonal + resid) * 10000.0::DOUBLE) AS BIGINT)
+         |      AS sr,
+         |    CAST(round((trend + resid) * 10000.0::DOUBLE) AS BIGINT)
+         |      AS tr
+         |  FROM dec WHERE trend IS NOT NULL AND resid IS NOT NULL
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    ${cv("r")} AS vr, ${cv("sr")} AS vsr, ${cv("tr")} AS vtr
+         |  FROM q GROUP BY l_suppkey)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN vsr > 0.0::DOUBLE THEN
+         |    greatest(0.0::DOUBLE, 1.0::DOUBLE - vr / vsr) END
+         |    AS seasonal_strength,
+         |  CASE WHEN vtr > 0.0::DOUBLE THEN
+         |    greatest(0.0::DOUBLE, 1.0::DOUBLE - vr / vtr) END
+         |    AS trend_strength
+         |FROM g ORDER BY l_suppkey""".stripMargin
+    },
+    // Replays Stats.kendallW: the friedman oracle with the final
+    // Q/(n(k−1)) scaling.
+    "q_kendall_w" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_suppkey AS b,
+        |    dayofweek(CAST(l_shipdate AS DATE)) AS v,
+        |    CAST(sum(CAST(round(CAST(l_quantity AS DOUBLE)
+        |      * 100.0::DOUBLE) AS BIGINT)) AS BIGINT) AS cell
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT l_returnflag, b, v, cell
+        |  FROM (SELECT *, CAST(count(*) OVER (PARTITION BY l_returnflag, b)
+        |      AS BIGINT) AS nc FROM cells) t
+        |  WHERE nc = 7),
+        |ranked AS (
+        |  SELECT l_returnflag, b, v,
+        |    2 * rank() OVER (PARTITION BY l_returnflag, b ORDER BY cell)
+        |      + CAST(count(*) OVER (PARTITION BY l_returnflag, b, cell)
+        |        AS BIGINT) - 1 AS r2
+        |  FROM cc),
+        |pt AS (
+        |  SELECT l_returnflag, v, CAST(sum(r2) AS BIGINT) AS rj2,
+        |    CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(r2 * r2) AS BIGINT) AS a2j
+        |  FROM ranked GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_returnflag, CAST(max(nj) AS BIGINT) AS n_blocks,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(rj2 * rj2) AS BIGINT) AS sr2,
+        |    CAST(sum(a2j) AS BIGINT) AS a2
+        |  FROM pt GROUP BY 1)
+        |SELECT l_returnflag, n_blocks, k,
+        |  (CASE WHEN n_blocks >= 1 AND k = 7
+        |      AND CAST(a2 - n_blocks * 448 AS DOUBLE) > 0.0::DOUBLE
+        |    THEN (6.0::DOUBLE
+        |        * CAST(sr2 - n_blocks * n_blocks * 448 AS DOUBLE))
+        |      / CAST(a2 - n_blocks * 448 AS DOUBLE)
+        |  END) / (CAST(n_blocks AS DOUBLE) * 6.0::DOUBLE) AS kendall_w
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     // Replays Stats.durbinWatson: quantized diffs and quadratic sums,
     // the n-multiplied mean-free numerator/denominator, one division.
     "q_durbin_watson" ->

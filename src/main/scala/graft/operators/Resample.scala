@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Calendar densification: give every key a row for EVERY date between
@@ -145,6 +145,55 @@ object Resample {
     * that tiny frame, two small joins back (key, phase) and (key) — the
     * corpus is exchanged once. Emits the input keys/order plus
     * (`phase`, `value`, `trend`, `seasonal`, `resid`). */
+  /** Seasonal and trend STRENGTH per key (public formulation, Hyndman &
+    * Athanasopoulos): on a [[seasonalDecompose]] output frame,
+    * `F_s = max(0, 1 − Var(R)/Var(S+R))` and
+    * `F_t = max(0, 1 − Var(R)/Var(T+R))` — one number each for "how
+    * seasonal / how trended is this series", the triage that decides
+    * whether a seasonal model is worth fitting.
+    *
+    * Determinism: the decomposition's component doubles re-quantize at
+    * `scale` decimals so every variance is the exact n-multiplied
+    * integer form `n·Σx² − (Σx)²` (one combinable aggregate, no float
+    * re-summation); each strength is one fixed tree (the n factors
+    * cancel in the ratio). Rows with a NULL trend (the 2×MA warm-up)
+    * drop — the standard STL-strength convention. NULL strengths when
+    * the denominator variance is 0. Emits (keyCols…, `n`,
+    * `seasonal_strength`, `trend_strength`). */
+  def seasonalStrength(decomposed: DataFrame, keyCols: Seq[String],
+                       scale: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty,
+      "seasonalStrength needs at least one key column")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(
+      decomposed.columns.filterNot(Seq("trend", "seasonal", "resid")
+        .contains),
+      Seq("n", "seasonal_strength", "trend_strength", "__r", "__sr",
+        "__tr"), "Resample.seasonalStrength")
+    def q(c: Column): Column =
+      round(c.cast("double") * lit(math.pow(10, scale))).cast("long")
+    val base = decomposed
+      .filter(col("trend").isNotNull && col("resid").isNotNull)
+      .select((keyCols.map(col) :+ q(col("resid")).as("__r") :+
+        q(col("seasonal") + col("resid")).as("__sr") :+
+        q(col("trend") + col("resid")).as("__tr")): _*)
+    def cvar(c: String): Column = {
+      val nDec = count(lit(1)).cast("decimal(38,0)")
+      (nDec * sum(col(c).cast("decimal(38,0)") * col(c)) -
+        sum(col(c).cast("decimal(38,0)")) * sum(col(c))).cast("double")
+    }
+    val sums = base.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      cvar("__r").as("__vr"), cvar("__sr").as("__vsr"),
+      cvar("__tr").as("__vtr"))
+    def strength(den: Column): Column =
+      when(den > 0.0,
+        greatest(lit(0.0), lit(1.0) - col("__vr") / den))
+    sums.select((keyCols.map(col) :+ col("n") :+
+      strength(col("__vsr")).as("seasonal_strength") :+
+      strength(col("__vtr")).as("trend_strength")): _*)
+  }
+
   def seasonalDecompose(df: DataFrame, valueCol: String, keyCols: Seq[String],
                         orderCols: Seq[String], period: Int,
                         scale: Int = 0): DataFrame = {

@@ -1950,6 +1950,24 @@ object Stats {
       when(col("n_pairs") >= 2L, spread).as("roll_spread")): _*)
   }
 
+  /** Kendall's coefficient of concordance W per group (public
+    * formulation): how strongly the n blocks (raters) AGREE on the
+    * ranking of the k treatments (items), `W = Q/(n(k−1))` from the
+    * tie-corrected [[friedman]] Q — 1 is unanimous ordering, 0 is no
+    * agreement. The effect-size companion to friedman's hypothesis
+    * test (identical plan — one extra exact division). Emits
+    * (groupCols…, `n_blocks`, `k`, `kendall_w`). */
+  def kendallW(df: DataFrame, valueCol: String, blockCol: String,
+               treatCol: String, k: Int, groupCols: Seq[String],
+               scale: Int = 0): DataFrame = {
+    Guards.requireNoReserved(df.columns, Seq("kendall_w"), "Stats.kendallW")
+    friedman(df, valueCol, blockCol, treatCol, k, groupCols, scale)
+      .select((groupCols.map(col) :+ col("n_blocks") :+ col("k") :+
+        (col("friedman_q") /
+          (col("n_blocks").cast("double") * lit((k - 1).toDouble)))
+          .as("kendall_w")): _*)
+  }
+
   /** Engle's lag-1 ARCH-LM test per key (public formulation): volatility
     * clustering shows up as autocorrelation in SQUARED (de-meaned-free)
     * returns, so regress `u²_t` on `u²_{t−1}` and report `LM = n·R²`

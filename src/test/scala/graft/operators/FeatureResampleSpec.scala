@@ -254,4 +254,19 @@ test("interpolate: time-weighted interior fill, edges stay NULL") {
       Resample.seasonalDecompose(bad, "trend", Seq("key"), Seq("t"), 3)
     }.getMessage.contains("seasonalDecompose"))
   }
+
+  test("seasonalStrength: hand-computed F_s; flat trend scores 0") {
+    // r = ±1, s = ±5 (aligned), t = 10 constant, one warm-up NULL row
+    val rows = Seq(
+      ("g", Some(10.0), 5.0, 1.0), ("g", Some(10.0), -5.0, -1.0),
+      ("g", Some(10.0), 5.0, 1.0), ("g", Some(10.0), -5.0, -1.0),
+      ("g", None, 5.0, 1.0))
+    val df = rows.toDF("key", "trend", "seasonal", "resid")
+    val r = Resample.seasonalStrength(df, Seq("key"), scale = 4)
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)  // NULL-trend row dropped
+    assert(r.getAs[Double]("seasonal_strength") ===
+      1.0 - 1.6e9 / 5.76e10)           // 35/36
+    assert(r.getAs[Double]("trend_strength") === 0.0)
+  }
 }

@@ -894,6 +894,23 @@ test("anovaF: hand-computed 3-arm F") {
     assert(r.getAs[Double]("friedman_q") === 4.0)
   }
 
+  test("kendallW: unanimous ranking gives W = 1; partial ties scale Q") {
+    val perfect = for {
+      b <- Seq("b1", "b2", "b3"); (t, x) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0))
+    } yield ("g", b, t, x)
+    val r = Stats.kendallW(perfect.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r.getAs[Double]("kendall_w") === 6.0 / (3.0 * 2.0)) // = 1
+    // the friedman tied-block case: Q = 4, n = 3 -> W = 4/6
+    val rows = Seq(
+      ("g", "b1", "A", 1.0), ("g", "b1", "B", 2.0), ("g", "b1", "C", 3.0),
+      ("g", "b2", "A", 10.0), ("g", "b2", "B", 20.0), ("g", "b2", "C", 30.0),
+      ("g", "b3", "A", 5.0), ("g", "b3", "B", 5.0), ("g", "b3", "C", 5.0))
+    val r2 = Stats.kendallW(rows.toDF("grp", "blk", "treat", "x"), "x",
+      "blk", "treat", k = 3, Seq("grp")).collect().head
+    assert(r2.getAs[Double]("kendall_w") === 4.0 / (3.0 * 2.0))
+  }
+
   test("friedman: perfect consistency hits n(k-1); all-tied yields NULL") {
     val perfect = for {
       b <- Seq("b1", "b2", "b3"); (t, x) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0))
