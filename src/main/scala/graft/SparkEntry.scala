@@ -2231,6 +2231,21 @@ object SparkEntry {
       operators.Stats.cochranArmitage(ev, "hit", "dow", Seq("band"))
         .orderBy(col("band"))
     }),
+    "q_odds_ratio" -> ((s, d) => {
+      // per-day odds/risk ratio of clearing 100 for purchases vs views
+      // — the effect-size companion to q_prop_z on the same 2x2
+      load(s, d)
+      import org.apache.spark.sql.functions.{expr, lit, when}
+      val ev = readEventsNanos(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(expr("ts DIV 86400000000000").as("day"),
+          col("event_type"),
+          when(col("value") > lit(100.0), lit(1L)).otherwise(lit(0L))
+            .as("hit"))
+      operators.Stats.oddsRiskRatio(ev, "hit", "event_type",
+          "purchase", "view", Seq("day"))
+        .orderBy(col("day"))
+    }),
     "q_prop_z" -> ((s, d) => {
       // per-day two-proportion z: do purchase events clear the 100 mark
       // at a different rate than view events — THE conversion A/B tree
@@ -6499,6 +6514,46 @@ object SparkEntry {
         |    num / sqrt(pbar * (1.0::DOUBLE - pbar) * cw * nd)
         |  END AS ca_z
         |FROM h ORDER BY band""".stripMargin,
+    // Replays Stats.oddsRiskRatio: exact 2x2 cells, single-ratio OR/RR
+    // trees, rounded ln, the Woolf se tree.
+    "q_odds_ratio" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type AS arm,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |g AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_a,
+        |    CAST(sum(CASE WHEN arm = 'purchase' THEN 1 - y ELSE 0 END)
+        |      AS BIGINT) AS f_a,
+        |    CAST(sum(CASE WHEN arm <> 'purchase' THEN y ELSE 0 END)
+        |      AS BIGINT) AS s_b,
+        |    CAST(sum(CASE WHEN arm <> 'purchase' THEN 1 - y ELSE 0 END)
+        |      AS BIGINT) AS f_b
+        |  FROM e GROUP BY day)
+        |SELECT day, s_a, f_a, s_b, f_b,
+        |  CASE WHEN s_a > 0 AND f_a > 0 AND s_b > 0 AND f_b > 0 THEN
+        |    (CAST(s_a AS DOUBLE) * CAST(f_b AS DOUBLE))
+        |      / (CAST(f_a AS DOUBLE) * CAST(s_b AS DOUBLE)) END
+        |    AS odds_ratio,
+        |  CASE WHEN s_a > 0 AND f_a > 0 AND s_b > 0 AND f_b > 0 THEN
+        |    round(ln((CAST(s_a AS DOUBLE) * CAST(f_b AS DOUBLE))
+        |      / (CAST(f_a AS DOUBLE) * CAST(s_b AS DOUBLE))), 10)
+        |      + 0.0::DOUBLE END AS log_or,
+        |  CASE WHEN s_a > 0 AND f_a > 0 AND s_b > 0 AND f_b > 0 THEN
+        |    sqrt(1.0::DOUBLE / CAST(s_a AS DOUBLE)
+        |      + 1.0::DOUBLE / CAST(f_a AS DOUBLE)
+        |      + 1.0::DOUBLE / CAST(s_b AS DOUBLE)
+        |      + 1.0::DOUBLE / CAST(f_b AS DOUBLE)) END AS se_log_or,
+        |  CASE WHEN s_a + f_a > 0 AND s_b + f_b > 0 AND s_b > 0 THEN
+        |    (CAST(s_a AS DOUBLE)
+        |        / (CAST(s_a AS DOUBLE) + CAST(f_a AS DOUBLE)))
+        |      / (CAST(s_b AS DOUBLE)
+        |        / (CAST(s_b AS DOUBLE) + CAST(f_b AS DOUBLE))) END
+        |    AS risk_ratio
+        |FROM g ORDER BY day""".stripMargin,
     // Replays Stats.twoProportionZ: exact success/total counts, the
     // pooled-rate z tree.
     "q_prop_z" ->

@@ -1565,6 +1565,66 @@ object Stats {
       when(nL >= 1L && varTerm > 0.0, num / sqrt(varTerm)).as("ca_z")): _*)
   }
 
+  /** 2×2 odds ratio and relative risk per group (public formulas) —
+    * [[twoProportionZ]] answers "is there a difference"; these answer
+    * "how big, in the units epidemiology and growth teams quote":
+    * `OR = (s_A·f_B)/(f_A·s_B)`, `RR = p̂_A/p̂_B`, with the Woolf
+    * standard error `se(ln OR) = √(1/s_A + 1/f_A + 1/s_B + 1/f_B)` for
+    * CI construction downstream.
+    *
+    * Exactness: the four cell counts are exact integers from one
+    * combinable pass; OR and RR are single integer-ratio trees; the
+    * only libm is `ln OR`, rounded to 10 decimals in-engine (the
+    * [[graft.operators.TextOps.bigramPmi]] contract); se is a fixed
+    * tree of four exact reciprocals. NULL OR/log/se when any cell is
+    * zero (the classic undefined table — apply Haldane's +0.5 upstream
+    * if you want it); NULL RR when either arm is empty or B never
+    * succeeds. Emits (groupCols…, `s_a`, `f_a`, `s_b`, `f_b`,
+    * `odds_ratio`, `log_or`, `se_log_or`, `risk_ratio`). */
+  def oddsRiskRatio(df: DataFrame, successCol: String, variantCol: String,
+                    variantA: String, variantB: String,
+                    groupCols: Seq[String]): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    require(groupCols.nonEmpty,
+      "oddsRiskRatio needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("s_a", "f_a", "s_b", "f_b", "odds_ratio", "log_or", "se_log_or",
+        "risk_ratio", "__arm", "__y"), "Stats.oddsRiskRatio")
+    val v = col(variantCol)
+    val armChecked = when(v.isNull || (v =!= variantA && v =!= variantB),
+        raise_error(concat(
+          lit(s"oddsRiskRatio: $variantCol must be '$variantA' or " +
+            s"'$variantB', got "), coalesce(v, lit("NULL")))))
+      .otherwise(v)
+    val s = col(successCol)
+    val y = when(s.isNull || (s.cast("long") =!= 0L && s.cast("long") =!= 1L),
+        raise_error(concat(lit(s"oddsRiskRatio: $successCol must be " +
+          "0 or 1, got "), coalesce(s.cast("string"), lit("NULL")))))
+      .otherwise(s.cast("long"))
+    val base = df.select((groupCols.map(col) :+ armChecked.as("__arm") :+
+      y.as("__y")): _*)
+    val isA = col("__arm") === variantA
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      sum(when(isA, col("__y")).otherwise(0L)).as("s_a"),
+      sum(when(isA, lit(1L) - col("__y")).otherwise(0L)).as("f_a"),
+      sum(when(!isA, col("__y")).otherwise(0L)).as("s_b"),
+      sum(when(!isA, lit(1L) - col("__y")).otherwise(0L)).as("f_b"))
+    val (sa, fa, sb, fb) =
+      (col("s_a"), col("f_a"), col("s_b"), col("f_b"))
+    val allPos = sa > 0L && fa > 0L && sb > 0L && fb > 0L
+    def d(c: Column): Column = c.cast("double")
+    val or = (d(sa) * d(fb)) / (d(fa) * d(sb))
+    val se = sqrt(lit(1.0) / d(sa) + lit(1.0) / d(fa) +
+      lit(1.0) / d(sb) + lit(1.0) / d(fb))
+    val rr = (d(sa) / (d(sa) + d(fa))) / (d(sb) / (d(sb) + d(fb)))
+    sums.select((groupCols.map(col) :+ sa :+ fa :+ sb :+ fb :+
+      when(allPos, or).as("odds_ratio") :+
+      when(allPos, round(log(or), 10) + lit(0.0)).as("log_or") :+
+      when(allPos, se).as("se_log_or") :+
+      when(sa + fa > 0L && sb + fb > 0L && sb > 0L, rr)
+        .as("risk_ratio")): _*)
+  }
+
   /** Herfindahl–Hirschman concentration index per group (public
     * formula): `HHI = Σ_m s_m²` over member shares `s_m = v_m/Σv` —
     * market/portfolio/source concentration in (0, 1] (1 = monopoly,

@@ -762,6 +762,29 @@ test("anovaF: hand-computed 3-arm F") {
     }
   }
 
+  test("oddsRiskRatio: hand-computed OR/RR; zero cell yields NULL OR") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: 3 success 1 fail; B: 1 success 3 fail -> OR = 9, RR = 3
+    val rows = Seq.fill(3)(("g", "A", 1L)) ++ Seq(("g", "A", 0L)) ++
+      Seq(("g", "B", 1L)) ++ Seq.fill(3)(("g", "B", 0L))
+    val r = Stats.oddsRiskRatio(rows.toDF("grp", "arm", "y"), "y", "arm",
+      "A", "B", Seq("grp")).collect().head
+    assert(r.getAs[Double]("odds_ratio") === (3.0 * 3.0) / (1.0 * 1.0))
+    assert(r.getAs[Double]("log_or") === r10(math.log(9.0)))
+    assert(r.getAs[Double]("se_log_or") ===
+      math.sqrt(1.0 / 3.0 + 1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 3.0))
+    assert(r.getAs[Double]("risk_ratio") ===
+      (3.0 / (3.0 + 1.0)) / (1.0 / (1.0 + 3.0)))
+    // a zero cell: OR undefined, RR still defined when sb > 0
+    val zc = Seq(("g", "A", 1L), ("g", "A", 1L), ("g", "B", 1L),
+      ("g", "B", 0L))
+    val r2 = Stats.oddsRiskRatio(zc.toDF("grp", "arm", "y"), "y", "arm",
+      "A", "B", Seq("grp")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("odds_ratio")))  // f_a = 0
+    assert(r2.getAs[Double]("risk_ratio") === 1.0 / 0.5)
+  }
+
   test("cochranArmitage: rising rates give z = 2 on the toy ladder") {
     // doses 1,2,3 with 0/2, 1/2, 2/2 successes: num=12, var=36
     val rows = Seq(("g", 1L, 0L), ("g", 1L, 0L), ("g", 2L, 1L),
