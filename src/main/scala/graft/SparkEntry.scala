@@ -2231,6 +2231,22 @@ object SparkEntry {
       operators.Stats.cochranArmitage(ev, "hit", "dow", Seq("band"))
         .orderBy(col("band"))
     }),
+    "q_bland_altman" -> ((s, d) => {
+      // per-supplier Bland-Altman: does the open agree with the close
+      // as a price measurement — bias and 95% limits of agreement
+      load(s, d)
+      operators.Stats.blandAltman(dailyBars(s), "close", "open",
+          Seq("l_suppkey"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_cpk" -> ((s, d) => {
+      // per-supplier process capability of the close against the
+      // [1, 55] quantity spec band — the SPC acceptance numbers
+      load(s, d)
+      operators.Stats.processCapability(dailyBars(s), "close",
+          Seq("l_suppkey"), lsl = 1.0, usl = 55.0, scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_odds_ratio" -> ((s, d) => {
       // per-day odds/risk ratio of clearing 100 for purchases vs views
       // — the effect-size companion to q_prop_z on the same 2x2
@@ -6514,6 +6530,69 @@ object SparkEntry {
         |    num / sqrt(pbar * (1.0::DOUBLE - pbar) * cw * nd)
         |  END AS ca_z
         |FROM h ORDER BY band""".stripMargin,
+    // Replays Stats.blandAltman: quantized differences, exact sums,
+    // the bias/sd/limit trees with the 1.96 literal.
+    "q_bland_altman" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT)
+         |      - CAST(round(open * 100.0::DOUBLE) AS BIGINT) AS d
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d) AS BIGINT) AS sd1,
+         |    CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdd
+         |  FROM s GROUP BY l_suppkey
+         |), h AS (
+         |  SELECT l_suppkey, n,
+         |    (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0::DOUBLE
+         |      AS bias,
+         |    sqrt((CASE WHEN CAST(n * sdd - sd1 * sd1 AS DOUBLE)
+         |          > 0.0::DOUBLE
+         |        THEN CAST(n * sdd - sd1 * sd1 AS DOUBLE) END)
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+         |      / 100.0::DOUBLE AS sdv
+         |  FROM g)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 1 THEN bias END AS ba_bias,
+         |  CASE WHEN n >= 2 THEN sdv END AS ba_sd,
+         |  CASE WHEN n >= 2 THEN bias - 1.96::DOUBLE * sdv END AS ba_lower,
+         |  CASE WHEN n >= 2 THEN bias + 1.96::DOUBLE * sdv END AS ba_upper
+         |FROM h ORDER BY l_suppkey""".stripMargin,
+    // Replays Stats.processCapability: quantized sums, the mu/sigma
+    // trees, literal spec limits on the same grid.
+    "q_cpk" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS x
+         |  FROM bars
+         |), g AS (
+         |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx
+         |  FROM s GROUP BY l_suppkey
+         |), h AS (
+         |  SELECT l_suppkey, n,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    sqrt((CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+         |          > 0.0::DOUBLE
+         |        THEN CAST(n * sxx - sx * sx AS DOUBLE) END)
+         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+         |      AS sigma
+         |  FROM g)
+         |SELECT l_suppkey, n,
+         |  CASE WHEN n >= 2 THEN
+         |    (5500.0::DOUBLE - 100.0::DOUBLE) / (6.0::DOUBLE * sigma)
+         |  END AS cp,
+         |  CASE WHEN n >= 2 THEN
+         |    least(5500.0::DOUBLE - mu, mu - 100.0::DOUBLE)
+         |      / (3.0::DOUBLE * sigma)
+         |  END AS cpk
+         |FROM h ORDER BY l_suppkey""".stripMargin,
     // Replays Stats.oddsRiskRatio: exact 2x2 cells, single-ratio OR/RR
     // trees, rounded ln, the Woolf se tree.
     "q_odds_ratio" ->

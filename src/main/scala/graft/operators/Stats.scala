@@ -1565,6 +1565,92 @@ object Stats {
       when(nL >= 1L && varTerm > 0.0, num / sqrt(varTerm)).as("ca_z")): _*)
   }
 
+  /** Bland–Altman agreement analysis per group (public formulation):
+    * for two measurement methods on the same rows, the bias
+    * `d̄ = mean(x − y)` and the 95% limits of agreement
+    * `d̄ ± 1.96·sd(d)` — the standard "can method B replace method A"
+    * readout (correlation alone cannot answer it: two methods can
+    * correlate at 0.99 and still disagree by a constant clinically
+    * fatal offset).
+    *
+    * Exactness: differences are exact quantized BIGINTs; (n, Σd, Σd²)
+    * accumulate exactly in one combinable pass; bias and the sample sd
+    * are fixed trees on the n-multiplied centered sum, with 1.96 as a
+    * literal. NULL limits when n < 2 or zero variance (bias still
+    * emitted). Emits (groupCols…, `n`, `ba_bias`, `ba_sd`, `ba_lower`,
+    * `ba_upper`). */
+  def blandAltman(df: DataFrame, xCol: String, yCol: String,
+                  groupCols: Seq[String], scale: Int = 0): DataFrame = {
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty, "blandAltman needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "ba_bias", "ba_sd", "ba_lower", "ba_upper", "__d"),
+      "Stats.blandAltman")
+    def q(c: String): Column =
+      round(col(c).cast("double") * lit(math.pow(10, scale))).cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ (q(xCol) - q(yCol)).as("__d")): _*)
+      .filter(col("__d").isNotNull)
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__d")).as("__s"),
+      sum(col("__d").cast("decimal(38,0)") * col("__d")).as("__sdd"))
+    val nD = col("n").cast("double")
+    val pow10 = lit(math.pow(10, scale))
+    val bias = (col("__s").cast("double") / nD) / pow10
+    val cdd = (col("n").cast("decimal(38,0)") * col("__sdd") -
+      col("__s").cast("decimal(38,0)") * col("__s")).cast("double")
+    val sd = sqrt(when(cdd > 0.0, cdd) / (nD * (nD - lit(1.0)))) / pow10
+    sums.select((groupCols.map(col) :+ col("n") :+
+      when(col("n") >= 1L, bias).as("ba_bias") :+
+      when(col("n") >= 2L, sd).as("ba_sd") :+
+      when(col("n") >= 2L, bias - lit(1.96) * sd).as("ba_lower") :+
+      when(col("n") >= 2L, bias + lit(1.96) * sd).as("ba_upper")): _*)
+  }
+
+  /** Process capability Cp/Cpk per group (public SPC formulas): against
+    * caller spec limits (LSL, USL), `Cp = (USL−LSL)/6σ` (potential) and
+    * `Cpk = min(USL−μ, μ−LSL)/3σ` (realized, off-center-penalized) —
+    * the acceptance numbers behind [[graft.operators.Rolling.ewmaChart]]'s
+    * monitoring: the chart says "did it drift", Cpk says "does the
+    * process fit the spec at all". Uses the sample σ.
+    *
+    * Exactness: quantized integer sums; μ and σ are fixed trees on the
+    * n-multiplied centered sum; spec limits are literals quantized on
+    * the same grid. NULL when n < 2 or zero variance. Emits
+    * (groupCols…, `n`, `cp`, `cpk`). */
+  def processCapability(df: DataFrame, valueCol: String,
+                        groupCols: Seq[String], lsl: Double, usl: Double,
+                        scale: Int = 0): DataFrame = {
+    require(usl > lsl, s"USL ($usl) must exceed LSL ($lsl)")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(groupCols.nonEmpty,
+      "processCapability needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "cp", "cpk", "__xi"), "Stats.processCapability")
+    val pow10 = math.pow(10, scale)
+    val xi = round(col(valueCol).cast("double") * lit(pow10)).cast("long")
+    val base = df
+      .select((groupCols.map(col) :+ xi.as("__xi")): _*)
+      .filter(col("__xi").isNotNull)
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__xi")).as("__s"),
+      sum(col("__xi").cast("decimal(38,0)") * col("__xi")).as("__sxx"))
+    val nD = col("n").cast("double")
+    val mu = col("__s").cast("double") / nD
+    val cxx = (col("n").cast("decimal(38,0)") * col("__sxx") -
+      col("__s").cast("decimal(38,0)") * col("__s")).cast("double")
+    val sigma = sqrt(when(cxx > 0.0, cxx) / (nD * (nD - lit(1.0))))
+    val uslQ = lit(usl * pow10)
+    val lslQ = lit(lsl * pow10)
+    val cp = (uslQ - lslQ) / (lit(6.0) * sigma)
+    val cpk = least(uslQ - mu, mu - lslQ) / (lit(3.0) * sigma)
+    sums.select((groupCols.map(col) :+ col("n") :+
+      when(col("n") >= 2L, cp).as("cp") :+
+      when(col("n") >= 2L, cpk).as("cpk")): _*)
+  }
+
   /** 2×2 odds ratio and relative risk per group (public formulas) —
     * [[twoProportionZ]] answers "is there a difference"; these answer
     * "how big, in the units epidemiology and growth teams quote":

@@ -762,6 +762,29 @@ test("anovaF: hand-computed 3-arm F") {
     }
   }
 
+  test("blandAltman: hand-computed bias and limits of agreement") {
+    val rows = Seq(("g", 12.0, 10.0), ("g", 14.0, 10.0), ("g", 16.0, 10.0))
+    val r = Stats.blandAltman(rows.toDF("grp", "x", "y"), "x", "y",
+      Seq("grp")).collect().head
+    assert(r.getAs[Double]("ba_bias") === 4.0)
+    assert(r.getAs[Double]("ba_sd") === 2.0)
+    assert(r.getAs[Double]("ba_lower") === 4.0 - 1.96 * 2.0)
+    assert(r.getAs[Double]("ba_upper") === 4.0 + 1.96 * 2.0)
+    val solo = Seq(("g", 5.0, 3.0))
+    val r2 = Stats.blandAltman(solo.toDF("grp", "x", "y"), "x", "y",
+      Seq("grp")).collect().head
+    assert(r2.getAs[Double]("ba_bias") === 2.0)
+    assert(r2.isNullAt(r2.fieldIndex("ba_sd")))
+  }
+
+  test("processCapability: hand-computed Cp/Cpk") {
+    val rows = Seq(("g", 8.0), ("g", 10.0), ("g", 12.0))
+    val r = Stats.processCapability(rows.toDF("grp", "v"), "v", Seq("grp"),
+      lsl = 4.0, usl = 14.0).collect().head
+    assert(r.getAs[Double]("cp") === 10.0 / (6.0 * 2.0))
+    assert(r.getAs[Double]("cpk") === 4.0 / (3.0 * 2.0))
+  }
+
   test("oddsRiskRatio: hand-computed OR/RR; zero cell yields NULL OR") {
     def r10(x: Double) =
       BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
