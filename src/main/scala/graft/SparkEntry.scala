@@ -2231,6 +2231,17 @@ object SparkEntry {
       operators.Stats.cochranArmitage(ev, "hit", "dow", Seq("band"))
         .orderBy(col("band"))
     }),
+    "q_ks_uniform" -> ((s, d) => {
+      // split-fairness gate: is the golden-ratio Weyl score of doc_id
+      // uniform within each lang slice — one-sample KS vs U[0,1]
+      load(s, d)
+      import org.apache.spark.sql.functions.lit
+      val docs = s.table("documents").select(col("lang"),
+        ((col("doc_id").cast("double") * lit(0.6180339887498949)) %
+          lit(1.0)).as("u"))
+      operators.Divergence.ksUniform(docs, "u", Seq("lang"))
+        .orderBy(col("lang"))
+    }),
     "q_bland_altman" -> ((s, d) => {
       // per-supplier Bland-Altman: does the open agree with the close
       // as a price measurement — bias and 95% limits of agreement
@@ -6530,6 +6541,29 @@ object SparkEntry {
         |    num / sqrt(pbar * (1.0::DOUBLE - pbar) * cw * nd)
         |  END AS ca_z
         |FROM h ORDER BY band""".stripMargin,
+    // Replays Divergence.ksUniform: the same Weyl score (double fmod),
+    // rank-ladder terms, order-independent max, √n scaling.
+    "q_ks_uniform" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    (CAST(doc_id AS DOUBLE) * 0.6180339887498949::DOUBLE)
+        |      % 1.0::DOUBLE AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, u,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY u)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT lang, n,
+        |    max(greatest(
+        |      CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - u,
+        |      u - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE))) AS ks_d
+        |  FROM r GROUP BY lang, n)
+        |SELECT lang, n, ks_d,
+        |  sqrt(CAST(n AS DOUBLE)) * ks_d AS ks_stat
+        |FROM g ORDER BY lang""".stripMargin,
     // Replays Stats.blandAltman: quantized differences, exact sums,
     // the bias/sd/limit trees with the 1.96 literal.
     "q_bland_altman" ->

@@ -333,4 +333,44 @@ object Divergence {
           (lit(2.0) * siv - (n + lit(1.0)) * sv) / (n * sv)))
       .drop("__sv", "__siv")
   }
+
+  /** One-sample Kolmogorov–Smirnov against Uniform[0,1] per group
+    * (public formula) — the split/hash FAIRNESS gate: feed it the
+    * normalized hash (or any claimed-uniform score) and
+    * `D = maxᵢ max(i/n − u₍ᵢ₎, u₍ᵢ₎ − (i−1)/n)` says how far the
+    * empirical distribution strays from uniform — the quantitative
+    * answer to "is this splitter biased" that a histogram eyeball
+    * isn't. (√n·D ≳ 1.36 rejects at 5%.)
+    *
+    * Determinism: values outside [0,1] raise; each rank term is a
+    * fixed IEEE tree on the exact rank ladder, the max is
+    * order-independent, and tied values reach the same maximum from
+    * whichever tie ordering (the extreme ranks of a tie block are
+    * fixed). One keyed sort + one combinable max. Emits (groupCols…,
+    * `n`, `ks_d`, `ks_stat` = √n·D). */
+  def ksUniform(df: DataFrame, valueCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "ksUniform needs at least one group column")
+    Guards.requireNoReserved(df.columns,
+      Seq("n", "ks_d", "ks_stat", "__u", "__i"), "Divergence.ksUniform")
+    val u0 = col(valueCol).cast("double")
+    val u = when(u0.isNull || u0 < 0.0 || u0 > 1.0,
+        raise_error(concat(lit(s"ksUniform: $valueCol must be in [0,1], " +
+          "got "), coalesce(u0.cast("string"), lit("NULL")))))
+      .otherwise(u0)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__u"))
+    val ranked = df
+      .select((groupCols.map(col) :+ u.as("__u")): _*)
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val cnt = Window.partitionBy(groupCols.map(col): _*)
+    val withN = ranked.withColumn("n", count(lit(1)).over(cnt))
+    val nD = col("n").cast("double")
+    val term = greatest(
+      col("__i").cast("double") / nD - col("__u"),
+      col("__u") - (col("__i") - lit(1L)).cast("double") / nD)
+    val sums = withN.groupBy((groupCols.map(col) :+ col("n")): _*)
+      .agg(max(term).as("ks_d"))
+    sums.select((groupCols.map(col) :+ col("n") :+ col("ks_d") :+
+      (sqrt(col("n").cast("double")) * col("ks_d")).as("ks_stat")): _*)
+  }
 }

@@ -224,4 +224,26 @@ test("wasserstein1: identical samples score exactly zero") {
       Divergence.wasserstein1(ok, ok.filter(col("v") < 0), "v").collect()
     }.getMessage.contains("non-empty"))
   }
+
+  test("ksUniform: hand-computed D; midpoint grid hits the 1/2n floor") {
+    val rows = Seq(("g", 0.1), ("g", 0.4), ("g", 0.7))
+    val r = Divergence.ksUniform(rows.toDF("grp", "u"), "u", Seq("grp"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("ks_d") === 3.0 / 3.0 - 0.7)  // the i=3 gap
+    assert(r.getAs[Double]("ks_stat") ===
+      math.sqrt(3.0) * (3.0 / 3.0 - 0.7))
+    // perfectly spread midpoints (2i-1)/2n: D = 1/2n, the minimum
+    val grid = Seq(("g", 1.0 / 6.0), ("g", 3.0 / 6.0), ("g", 5.0 / 6.0))
+    val r2 = Divergence.ksUniform(grid.toDF("grp", "u"), "u", Seq("grp"))
+      .collect().head
+    // all three terms tie at 1/6 mathematically but differ in ulps —
+    // assert the value, not the bit pattern
+    assert(math.abs(r2.getAs[Double]("ks_d") - 1.0 / 6.0) < 1e-15)
+    // out-of-range raises
+    intercept[Exception] {
+      Divergence.ksUniform(Seq(("g", 1.5)).toDF("grp", "u"), "u",
+        Seq("grp")).collect()
+    }
+  }
 }
