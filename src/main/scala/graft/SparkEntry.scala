@@ -2577,6 +2577,15 @@ object SparkEntry {
           Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_ohlc_vol" -> ((s, d) => {
+      // per-supplier Parkinson / Garman–Klass / Rogers–Satchell range
+      // volatilities over the daily bars — the intrabar (H/L/O/C)
+      // information close-only q_realized_vol throws away
+      load(s, d)
+      operators.Rolling.ohlcVolatility(dailyBars(s), "open", "high",
+          "low", "close", Seq("l_suppkey"), Seq("l_shipdate"))
+        .orderBy(col("l_suppkey"))
+    }),
     "q_seasonal" -> ((s, d) => {
       // classical additive decomposition of the close at period 7 —
       // integer 2x-MA trend numerators, decimal phase means, pinned
@@ -7608,6 +7617,59 @@ object SparkEntry {
          |      (acc, e) -> acc + e) / CAST(n_terms AS DOUBLE)
          |  END AS illiq
          |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays Rolling.ohlcVolatility: per-bar rounded-ln terms, bar-order
+    // list folds for the three means, the Scala-folded 1/(4 ln 2) and
+    // 2 ln 2 − 1 literals shared verbatim, one rounded sqrt at the end.
+    "q_ohlc_vol" -> {
+      val park = operators.Rolling.parkinsonCoefLiteral
+      val gk = operators.Rolling.gkCoefLiteral
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), t AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN open > 0 AND low > 0 AND close > 0 AND high >= low
+         |      THEN 1 END AS ok,
+         |    round(ln(high / low), 10) + 0.0::DOUBLE AS hl,
+         |    round(ln(close / open), 10) + 0.0::DOUBLE AS co,
+         |    round(ln(high / close), 10) + 0.0::DOUBLE AS hc,
+         |    round(ln(high / open), 10) + 0.0::DOUBLE AS ho,
+         |    round(ln(low / close), 10) + 0.0::DOUBLE AS lc,
+         |    round(ln(low / open), 10) + 0.0::DOUBLE AS lo
+         |  FROM bars),
+         |m AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN ok = 1 THEN hl * hl END AS pk,
+         |    CASE WHEN ok = 1 THEN
+         |      0.5::DOUBLE * hl * hl - $gk::DOUBLE * co * co END AS gkt,
+         |    CASE WHEN ok = 1 THEN hc * ho + lc * lo END AS rs
+         |  FROM t),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(pk) AS BIGINT) AS n_bars,
+         |    list(pk ORDER BY l_shipdate) FILTER (WHERE pk IS NOT NULL)
+         |      AS pks,
+         |    list(gkt ORDER BY l_shipdate) FILTER (WHERE gkt IS NOT NULL)
+         |      AS gks,
+         |    list(rs ORDER BY l_shipdate) FILTER (WHERE rs IS NOT NULL)
+         |      AS rss
+         |  FROM m GROUP BY l_suppkey),
+         |v AS (
+         |  SELECT l_suppkey, n_bars,
+         |    $park::DOUBLE * (list_reduce(list_prepend(0.0::DOUBLE, pks),
+         |      (a, b) -> a + b) / CAST(n_bars AS DOUBLE)) AS mpk,
+         |    list_reduce(list_prepend(0.0::DOUBLE, gks), (a, b) -> a + b)
+         |      / CAST(n_bars AS DOUBLE) AS mgk,
+         |    list_reduce(list_prepend(0.0::DOUBLE, rss), (a, b) -> a + b)
+         |      / CAST(n_bars AS DOUBLE) AS mrs
+         |  FROM g)
+         |SELECT l_suppkey, n_bars,
+         |  CASE WHEN n_bars >= 1 AND mpk >= 0 THEN
+         |    round(sqrt(mpk), 10) + 0.0::DOUBLE END AS park_vol,
+         |  CASE WHEN n_bars >= 1 AND mgk >= 0 THEN
+         |    round(sqrt(mgk), 10) + 0.0::DOUBLE END AS gk_vol,
+         |  CASE WHEN n_bars >= 1 AND mrs >= 0 THEN
+         |    round(sqrt(mrs), 10) + 0.0::DOUBLE END AS rs_vol
+         |FROM v ORDER BY l_suppkey""".stripMargin
+    },
     // Replays Resample.seasonalDecompose at period 7 (odd: plain 7-row
     // centered MA, D = 7): integer trend numerators, HUGEINT phase-mean
     // sums, the ascending-phase list_reduce centering, the same final

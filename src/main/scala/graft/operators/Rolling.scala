@@ -2477,4 +2477,76 @@ object Rolling {
         aggregate(transform(col("__l"), e => e("t")), lit(0.0),
           (a, b) => a + b) / col("n_terms").cast("double")).as("illiq")): _*)
   }
+
+  /** Scala-folded 1/(4·ln 2) (Parkinson) and 2·ln 2 − 1 (Garman–Klass);
+    * the literals expose the exact doubles for the DuckDB oracle. */
+  private val ParkCoef = 1.0 / (4.0 * math.log(2.0))
+  def parkinsonCoefLiteral: String = ParkCoef.toString
+  private val GkCoef = 2.0 * math.log(2.0) - 1.0
+  def gkCoefLiteral: String = GkCoef.toString
+
+  /** Per-key OHLC range-based volatility estimators (public closed forms):
+    * Parkinson `σ²_P = 1/(4 ln 2)·mean(ln(H/L)²)` (range only),
+    * Garman–Klass `σ²_GK = mean(½·ln(H/L)² − (2 ln 2 − 1)·ln(C/O)²)`
+    * (range + body), and drift-free Rogers–Satchell
+    * `σ²_RS = mean(ln(H/C)·ln(H/O) + ln(L/C)·ln(L/O))` — the three
+    * classic upgrades over close-to-close [[realizedVol]], extracting
+    * intrabar information the close series throws away.
+    *
+    * Exactness discipline (the [[amihud]] pattern): every ln output is
+    * `round(…,10) + 0.0` so each per-bar term is the identical double in
+    * any engine; the per-key means fold the terms in bar order from ONE
+    * sorted collect (never an unordered SUM over doubles); the two libm
+    * constants are Scala-folded literals shared with the oracle; the final
+    * √ is the only trailing libm call, rounded once more. Bars with a
+    * NULL or non-positive price, or H < L, are excluded and `n_bars`
+    * counts only the included bars; a key with none gets NULL vols. A
+    * negative GK/RS mean (possible on pathological bars) is NULL, never a
+    * NaN √.
+    *
+    * Scale shape: one hash exchange on `partCols`, per-key state is one
+    * 3-double struct per bar (bars, not ticks — the reduction upstream in
+    * [[Bars.ohlc]] already collapsed ticks), so a year of daily bars is
+    * ~365 structs per key regardless of corpus size. Adds `n_bars`,
+    * `park_vol`, `gk_vol`, `rs_vol`. */
+  def ohlcVolatility(df: DataFrame, openCol: String, highCol: String,
+                     lowCol: String, closeCol: String,
+                     partCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty,
+      "ohlcVolatility needs an explicit bar ordering for the deterministic fold")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_bars", "park_vol", "gk_vol", "rs_vol", "__t", "__l"),
+      "Rolling.ohlcVolatility")
+    def r10(c: Column): Column = round(c, 10) + lit(0.0)
+    val o = col(openCol).cast("double")
+    val h = col(highCol).cast("double")
+    val l = col(lowCol).cast("double")
+    val c = col(closeCol).cast("double")
+    val ok = o.isNotNull && h.isNotNull && l.isNotNull && c.isNotNull &&
+      o > 0.0 && l > 0.0 && c > 0.0 && h >= l
+    val hl = r10(log(h / l))
+    val co = r10(log(c / o))
+    val hc = r10(log(h / c))
+    val ho = r10(log(h / o))
+    val lc = r10(log(l / c))
+    val lo = r10(log(l / o))
+    val pk = hl * hl
+    val gk = lit(0.5) * hl * hl - lit(GkCoef) * co * co
+    val rs = hc * ho + lc * lo
+    val base = df.select((partCols.map(col) :+
+      when(ok, struct((orderCols.map(col) :+ pk.as("pk") :+ gk.as("gk") :+
+        rs.as("rs")): _*)).as("__t")): _*)
+    val folded = base.groupBy(partCols.map(col): _*)
+      .agg(count(col("__t")).as("n_bars"),
+        sort_array(collect_list(col("__t"))).as("__l"))
+    def mean(field: String): Column =
+      aggregate(transform(col("__l"), e => e(field)), lit(0.0),
+        (a, b) => a + b) / col("n_bars").cast("double")
+    def vol(m: Column): Column =
+      when(col("n_bars") >= 1L && m >= 0.0, r10(sqrt(m)))
+    folded.select((partCols.map(col) :+ col("n_bars") :+
+      vol(lit(ParkCoef) * mean("pk")).as("park_vol") :+
+      vol(mean("gk")).as("gk_vol") :+
+      vol(mean("rs")).as("rs_vol")): _*)
+  }
 }

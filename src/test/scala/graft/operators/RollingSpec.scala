@@ -1227,4 +1227,61 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(out("e").getAs[Long]("n_terms") === 0L)   // no previous close
     assert(out("e").isNullAt(out("e").fieldIndex("illiq")))
   }
+
+  test("ohlcVolatility: hand-walked Parkinson/GK/RS on two bars") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bars = Seq(("k", 1L, 10.0, 12.0, 9.0, 11.0),
+      ("k", 2L, 11.0, 11.0, 10.0, 10.0))
+    val out = Rolling.ohlcVolatility(
+        bars.toDF("key", "t", "open", "high", "low", "close"),
+        "open", "high", "low", "close", Seq("key"), Seq("t"))
+      .collect()
+    assert(out.length === 1 && out(0).getAs[Long]("n_bars") === 2L)
+    // replay the public closed forms with the same rounded-ln discipline
+    def terms(o: Double, h: Double, l: Double, c: Double) = {
+      val (hl, co) = (r10(math.log(h / l)), r10(math.log(c / o)))
+      val (hc, ho) = (r10(math.log(h / c)), r10(math.log(h / o)))
+      val (lc, lo) = (r10(math.log(l / c)), r10(math.log(l / o)))
+      (hl * hl, 0.5 * hl * hl - (2.0 * math.log(2.0) - 1.0) * co * co,
+        hc * ho + lc * lo)
+    }
+    val (p1, g1, s1) = terms(10, 12, 9, 11)
+    val (p2, g2, s2) = terms(11, 11, 10, 10)
+    assert(out(0).getAs[Double]("park_vol") ===
+      r10(math.sqrt(1.0 / (4.0 * math.log(2.0)) * ((p1 + p2) / 2.0))))
+    assert(out(0).getAs[Double]("gk_vol") === r10(math.sqrt((g1 + g2) / 2.0)))
+    assert(out(0).getAs[Double]("rs_vol") === r10(math.sqrt((s1 + s2) / 2.0)))
+  }
+
+  test("ohlcVolatility: flat bars give zero vol; bad bars excluded; " +
+      "empty key NULL") {
+    val bars = Seq(
+      ("flat", 1L, 5.0, 5.0, 5.0, 5.0), ("flat", 2L, 5.0, 5.0, 5.0, 5.0),
+      ("mix", 1L, 10.0, 12.0, 9.0, 11.0),
+      ("mix", 2L, 10.0, 12.0, -1.0, 11.0),  // non-positive low: excluded
+      ("dead", 1L, 0.0, 0.0, 0.0, 0.0))     // nothing survives the guard
+    val out = Rolling.ohlcVolatility(
+        bars.toDF("key", "t", "open", "high", "low", "close"),
+        "open", "high", "low", "close", Seq("key"), Seq("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Double]("park_vol") === 0.0)
+    assert(out("flat").getAs[Double]("gk_vol") === 0.0)
+    assert(out("flat").getAs[Double]("rs_vol") === 0.0)
+    assert(out("mix").getAs[Long]("n_bars") === 1L)
+    assert(out("dead").getAs[Long]("n_bars") === 0L)
+    assert(out("dead").isNullAt(out("dead").fieldIndex("park_vol")))
+  }
+
+  test("ohlcVolatility: reserved column and missing ordering rejected") {
+    val df = Seq(("k", 1L, 1.0, 1.0, 1.0, 1.0, 0L))
+      .toDF("key", "t", "o", "h", "l", "c", "n_bars")
+    intercept[IllegalArgumentException] {
+      Rolling.ohlcVolatility(df, "o", "h", "l", "c", Seq("key"), Seq("t"))
+    }
+    intercept[IllegalArgumentException] {
+      Rolling.ohlcVolatility(df.drop("n_bars"), "o", "h", "l", "c",
+        Seq("key"), Seq.empty)
+    }
+  }
 }
