@@ -2586,6 +2586,24 @@ object SparkEntry {
           "low", "close", Seq("l_suppkey"), Seq("l_shipdate"))
         .orderBy(col("l_suppkey"))
     }),
+    "q_cs_spread" -> ((s, d) => {
+      // Corwin–Schultz high–low effective-spread estimate per supplier —
+      // the quote-free spread readout beside q_roll_spread's serial
+      // covariance form
+      load(s, d)
+      operators.Rolling.corwinSchultz(dailyBars(s), "high", "low",
+          Seq("l_suppkey"), Seq("l_shipdate"))
+        .orderBy(col("l_suppkey"))
+    }),
+    "q_kyle_lambda" -> ((s, d) => {
+      // Kyle's lambda per supplier: through-origin slope of price change
+      // on tick-rule signed volume — exact integer product sums, one
+      // division; the price-impact companion to q_amihud
+      load(s, d)
+      operators.Rolling.kyleLambda(dailyBars(s), "close", "volume",
+          Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_seasonal" -> ((s, d) => {
       // classical additive decomposition of the close at period 7 —
       // integer 2x-MA trend numerators, decimal phase means, pinned
@@ -7670,6 +7688,83 @@ object SparkEntry {
          |    round(sqrt(mrs), 10) + 0.0::DOUBLE END AS rs_vol
          |FROM v ORDER BY l_suppkey""".stripMargin
     },
+    // Replays Rolling.corwinSchultz: lagged two-bar spans, every libm
+    // output rounded to 10 dp, the Scala-folded 3 − 2√2 literal, per-key
+    // span-order fold of the clamped spreads.
+    "q_cs_spread" -> {
+      val den = operators.Rolling.csDenLiteral
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey, l_shipdate, high AS h, low AS lo,
+         |    lag(high, 1) OVER w AS ph, lag(low, 1) OVER w AS pl
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |a AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN ph IS NOT NULL AND pl IS NOT NULL AND pl > 0
+         |      AND lo > 0 AND ph >= pl AND h >= lo THEN 1 END AS ok,
+         |    round(ln(ph / pl), 10) + 0.0::DOUBLE AS hl0,
+         |    round(ln(h / lo), 10) + 0.0::DOUBLE AS hl1,
+         |    round(ln(greatest(h, ph) / least(lo, pl)), 10)
+         |      + 0.0::DOUBLE AS gog
+         |  FROM s),
+         |b AS (
+         |  SELECT l_suppkey, l_shipdate, ok,
+         |    hl0 * hl0 + hl1 * hl1 AS beta, gog * gog AS gamma
+         |  FROM a),
+         |c AS (
+         |  SELECT l_suppkey, l_shipdate, ok,
+         |    ((round(sqrt(2.0::DOUBLE * beta), 10) + 0.0::DOUBLE)
+         |      - (round(sqrt(beta), 10) + 0.0::DOUBLE)) / $den::DOUBLE
+         |      - (round(sqrt(gamma / $den::DOUBLE), 10) + 0.0::DOUBLE)
+         |      AS alpha
+         |  FROM b),
+         |e AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CASE WHEN ok = 1 THEN greatest(
+         |      2.0::DOUBLE * (ea - 1.0::DOUBLE) / (1.0::DOUBLE + ea),
+         |      0.0::DOUBLE) END AS spread
+         |  FROM (SELECT *, round(exp(alpha), 10) + 0.0::DOUBLE AS ea
+         |        FROM c) d),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(spread) AS BIGINT) AS n_spans,
+         |    list(spread ORDER BY l_shipdate)
+         |      FILTER (WHERE spread IS NOT NULL) AS ss
+         |  FROM e GROUP BY l_suppkey)
+         |SELECT l_suppkey, n_spans,
+         |  CASE WHEN n_spans >= 1 THEN
+         |    list_reduce(list_prepend(0.0::DOUBLE, ss), (a, b) -> a + b)
+         |      / CAST(n_spans AS DOUBLE) END AS cs_spread
+         |FROM g ORDER BY l_suppkey""".stripMargin
+    },
+    // Replays Rolling.kyleLambda at scale 2: exact scaled-BIGINT price
+    // deltas and tick-signed volumes, HUGEINT product sums, one division.
+    "q_kyle_lambda" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), s AS (
+         |  SELECT l_suppkey,
+         |    CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS c,
+         |    CAST(round(volume * 100.0::DOUBLE) AS BIGINT) AS v,
+         |    lag(CAST(round(close * 100.0::DOUBLE) AS BIGINT), 1)
+         |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS pc
+         |  FROM bars),
+         |t AS (
+         |  SELECT l_suppkey,
+         |    CASE WHEN pc IS NOT NULL AND v >= 0 THEN c - pc END AS dp,
+         |    CASE WHEN pc IS NOT NULL AND v >= 0 THEN
+         |      CAST(sign(c - pc) AS BIGINT) * v END AS sv
+         |  FROM s),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(dp) AS BIGINT) AS n_terms,
+         |    sum(CAST(dp AS HUGEINT) * sv) AS num,
+         |    sum(CAST(sv AS HUGEINT) * sv) AS den
+         |  FROM t GROUP BY l_suppkey)
+         |SELECT l_suppkey, n_terms,
+         |  CASE WHEN n_terms >= 1 AND den > 0 THEN
+         |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS kyle_lambda
+         |FROM g ORDER BY l_suppkey""".stripMargin,
     // Replays Resample.seasonalDecompose at period 7 (odd: plain 7-row
     // centered MA, D = 7): integer trend numerators, HUGEINT phase-mean
     // sums, the ascending-phase list_reduce centering, the same final

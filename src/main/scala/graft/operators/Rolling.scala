@@ -2549,4 +2549,121 @@ object Rolling {
       vol(mean("gk")).as("gk_vol") :+
       vol(mean("rs")).as("rs_vol")): _*)
   }
+
+  /** Scala-folded 3 − 2√2, the Corwin–Schultz denominator; the literal
+    * exposes the exact double for the DuckDB oracle. */
+  private val CsDen = 3.0 - 2.0 * math.sqrt(2.0)
+  def csDenLiteral: String = CsDen.toString
+
+  /** Corwin–Schultz bid–ask spread estimator (public 2012 closed form):
+    * from each overlapping two-bar span,
+    * `β = ln(H_t/L_t)² + ln(H_t₊₁/L_t₊₁)²`,
+    * `γ = ln(max(H)/min(L))²` over the span,
+    * `α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2))`,
+    * `S = 2(e^α − 1)/(1 + e^α)` — the high–low estimate of the effective
+    * spread that needs no quote data, the range-based sibling of
+    * [[graft.operators.Stats]]' Roll serial-covariance estimator. Negative
+    * two-day spreads clamp to 0 (the paper's standard treatment) before
+    * the per-key mean.
+    *
+    * Exactness: every libm OUTPUT (ln, √, exp) rounds to 10 dp so each
+    * per-span spread is the identical double in any engine; the span means
+    * fold in span order from one sorted collect; 3 − 2√2 is a Scala-folded
+    * literal shared with the oracle. Spans where either bar fails the
+    * positive-price / H ≥ L guard are excluded; `n_spans` counts survivors.
+    *
+    * Scale shape: one window pass (lag 1) plus one hash exchange on
+    * `partCols` — identical cost to [[amihud]]. Adds `n_spans`,
+    * `cs_spread`. */
+  def corwinSchultz(df: DataFrame, highCol: String, lowCol: String,
+                    partCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty,
+      "corwinSchultz needs an explicit bar ordering")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_spans", "cs_spread", "__t", "__l", "__h", "__lo", "__ph",
+        "__pl"), "Rolling.corwinSchultz")
+    def r10(x: Column): Column = round(x, 10) + lit(0.0)
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val h = col(highCol).cast("double")
+    val l = col(lowCol).cast("double")
+    val base = df.select((partCols.map(col) ++ orderCols.map(col) :+
+      h.as("__h") :+ l.as("__lo") :+ lag(h, 1).over(w).as("__ph") :+
+      lag(l, 1).over(w).as("__pl")): _*)
+    val ok = col("__ph").isNotNull && col("__pl").isNotNull &&
+      col("__pl") > 0.0 && col("__lo") > 0.0 &&
+      col("__ph") >= col("__pl") && col("__h") >= col("__lo")
+    val hl0 = r10(log(col("__ph") / col("__pl")))
+    val hl1 = r10(log(col("__h") / col("__lo")))
+    val beta = hl0 * hl0 + hl1 * hl1
+    val gog = r10(log(greatest(col("__h"), col("__ph")) /
+      least(col("__lo"), col("__pl"))))
+    val gamma = gog * gog
+    val alpha = (r10(sqrt(lit(2.0) * beta)) - r10(sqrt(beta))) / lit(CsDen) -
+      r10(sqrt(gamma / lit(CsDen)))
+    val ea = r10(exp(alpha))
+    val spread = greatest(lit(2.0) * (ea - lit(1.0)) / (lit(1.0) + ea),
+      lit(0.0))
+    val folded = base
+      .select((partCols.map(col) :+
+        when(ok, struct((orderCols.map(col) :+ spread.as("s")): _*))
+          .as("__t")): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(col("__t")).as("n_spans"),
+        sort_array(collect_list(col("__t"))).as("__l"))
+    folded.select((partCols.map(col) :+ col("n_spans") :+
+      when(col("n_spans") >= 1L,
+        aggregate(transform(col("__l"), e => e("s")), lit(0.0),
+          (a, b) => a + b) / col("n_spans").cast("double"))
+        .as("cs_spread")): _*)
+  }
+
+  /** Kyle's lambda (public market-microstructure regression): the
+    * through-origin slope of price change on SIGNED volume,
+    * `λ = Σ Δp·sv / Σ sv²` with the tick-rule sign `sv = sign(Δp)·v` —
+    * the per-unit-flow price impact, the causal companion to [[amihud]]'s
+    * ratio. A larger λ means thinner depth.
+    *
+    * Exactness: prices and volumes quantize to `scale` decimals as BIGINT,
+    * so Δp, sv, and both product sums are exact integers accumulated as
+    * DECIMAL(38,0) (order-free at any parallelism); λ is ONE double
+    * division at the end, descaled by construction (the 10^scale factors
+    * cancel in the ratio except one net 10^-scale on Δp, reported in
+    * descaled price-per-descaled-volume units). Rows with no previous
+    * close, zero Δp contribution are kept (sv = 0 adds nothing); keys with
+    * a zero denominator (constant price) report NULL λ.
+    *
+    * Scale shape: one window pass (lag 1) + one hash exchange; integer
+    * state only. Adds `n_terms`, `kyle_lambda`. */
+  def kyleLambda(df: DataFrame, closeCol: String, volCol: String,
+                 partCols: Seq[String], orderCols: Seq[String],
+                 scale: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "kyleLambda needs an explicit bar ordering")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_terms", "kyle_lambda", "__c", "__v", "__pc", "__dp", "__sv"),
+      "Rolling.kyleLambda")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val k = math.pow(10, scale)
+    val ci = round(col(closeCol).cast("double") * lit(k)).cast("long")
+    val vi = round(col(volCol).cast("double") * lit(k)).cast("long")
+    val base = df.select((partCols.map(col) :+ ci.as("__c") :+
+      vi.as("__v") :+ lag(ci, 1).over(w).as("__pc")): _*)
+    val ok = col("__pc").isNotNull && col("__v") >= 0L
+    val dp = col("__c") - col("__pc")
+    val sv = signum(dp).cast("long") * col("__v")
+    val terms = base.select((partCols.map(col) :+
+      when(ok, dp).as("__dp") :+ when(ok, sv).as("__sv")): _*)
+    val agged = terms.groupBy(partCols.map(col): _*).agg(
+      count(col("__dp")).as("n_terms"),
+      sum(col("__dp").cast("decimal(38,0)") * col("__sv")).as("__num"),
+      sum(col("__sv").cast("decimal(38,0)") * col("__sv")).as("__den"))
+    // net scaling: num ~ 10^2s·Δp·v, den ~ 10^2s·v² — the 10^2s cancel,
+    // leaving λ in (descaled price)/(descaled volume) units directly
+    agged.select((partCols.map(col) :+ col("n_terms") :+
+      when(col("n_terms") >= 1L && col("__den") > 0L,
+        col("__num").cast("double") / col("__den").cast("double"))
+        .as("kyle_lambda")): _*)
+  }
 }

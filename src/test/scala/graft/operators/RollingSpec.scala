@@ -1273,6 +1273,52 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(out("dead").isNullAt(out("dead").fieldIndex("park_vol")))
   }
 
+  test("corwinSchultz: hand-walked two-bar span") {
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bars = Seq(("k", 1L, 102.0, 98.0), ("k", 2L, 103.0, 99.0))
+    val out = Rolling.corwinSchultz(bars.toDF("key", "t", "high", "low"),
+        "high", "low", Seq("key"), Seq("t")).collect()
+    assert(out.length === 1 && out(0).getAs[Long]("n_spans") === 1L)
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val hl0 = r10(math.log(102.0 / 98.0))
+    val hl1 = r10(math.log(103.0 / 99.0))
+    val beta = hl0 * hl0 + hl1 * hl1
+    val gog = r10(math.log(103.0 / 98.0))
+    val gamma = gog * gog
+    val alpha = (r10(math.sqrt(2.0 * beta)) - r10(math.sqrt(beta))) / den -
+      r10(math.sqrt(gamma / den))
+    val ea = r10(math.exp(alpha))
+    val s = math.max(2.0 * (ea - 1.0) / (1.0 + ea), 0.0)
+    assert(out(0).getAs[Double]("cs_spread") === s)
+  }
+
+  test("corwinSchultz: flat bars give zero spread; lone bar key NULL") {
+    val bars = Seq(("k", 1L, 5.0, 5.0), ("k", 2L, 5.0, 5.0),
+      ("solo", 1L, 9.0, 8.0))
+    val out = Rolling.corwinSchultz(bars.toDF("key", "t", "high", "low"),
+        "high", "low", Seq("key"), Seq("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("cs_spread") === 0.0)
+    assert(out("solo").getAs[Long]("n_spans") === 0L)
+    assert(out("solo").isNullAt(out("solo").fieldIndex("cs_spread")))
+  }
+
+  test("kyleLambda: hand regression through origin, constant price NULL") {
+    val rows = Seq(("k", 1L, 10.0, 5.0), ("k", 2L, 12.0, 3.0),
+      ("k", 3L, 11.0, 4.0),
+      ("c", 1L, 7.0, 2.0), ("c", 2L, 7.0, 9.0))
+    val out = Rolling.kyleLambda(rows.toDF("key", "t", "close", "vol"),
+        "close", "vol", Seq("key"), Seq("t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // spans: Δp=+2,sv=+3 → (6,9); Δp=−1,sv=−4 → (4,16); λ = 10/25
+    assert(out("k").getAs[Long]("n_terms") === 2L)
+    assert(out("k").getAs[Double]("kyle_lambda") === 0.4)
+    // constant price: sv = 0 everywhere → zero denominator → NULL
+    assert(out("c").getAs[Long]("n_terms") === 1L)
+    assert(out("c").isNullAt(out("c").fieldIndex("kyle_lambda")))
+  }
+
   test("ohlcVolatility: reserved column and missing ordering rejected") {
     val df = Seq(("k", 1L, 1.0, 1.0, 1.0, 1.0, 0L))
       .toDF("key", "t", "o", "h", "l", "c", "n_bars")
