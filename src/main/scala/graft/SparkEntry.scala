@@ -2604,6 +2604,15 @@ object SparkEntry {
           Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
+    "q_variance_ratio" -> ((s, d) => {
+      // Lo–MacKinlay VR(5) per supplier: q-period vs 1-period return
+      // variance with the homoskedastic z — the random-walk test beside
+      // q_dickey_fuller, integer-exact up to one pinned double tree
+      load(s, d)
+      operators.Rolling.varianceRatio(dailyBars(s), "close",
+          Seq("l_suppkey"), Seq("l_shipdate"), q = 5)
+        .orderBy(col("l_suppkey"))
+    }),
     "q_seasonal" -> ((s, d) => {
       // classical additive decomposition of the close at period 7 —
       // integer 2x-MA trend numerators, decimal phase means, pinned
@@ -7765,6 +7774,60 @@ object SparkEntry {
          |  CASE WHEN n_terms >= 1 AND den > 0 THEN
          |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS kyle_lambda
          |FROM g ORDER BY l_suppkey""".stripMargin,
+    // Replays Rolling.varianceRatio at q=5: 1e10-quantized log returns,
+    // exact HUGEINT demeaned sums multiplied through by n², the same
+    // pinned double trees for VR and z.
+    "q_variance_ratio" ->
+      s"""WITH bars AS (
+         |$duckBarsSql
+         |), r0 AS (
+         |  SELECT l_suppkey, l_shipdate, close,
+         |    lag(close, 1) OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate) AS pc
+         |  FROM bars),
+         |r AS (
+         |  SELECT l_suppkey, l_shipdate,
+         |    CAST(round(ln(close / pc) * 10000000000.0::DOUBLE) AS BIGINT)
+         |      AS r
+         |  FROM r0 WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+         |s AS (
+         |  SELECT l_suppkey, r,
+         |    CASE WHEN row_number() OVER w >= 5 THEN
+         |      sum(r) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |    END AS c
+         |  FROM r
+         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+         |g AS (
+         |  SELECT l_suppkey, CAST(count(r) AS BIGINT) AS n_rets,
+         |    sum(CAST(r AS HUGEINT)) AS sr,
+         |    sum(CAST(r AS HUGEINT) * r) AS q2,
+         |    sum(CAST(c AS HUGEINT)) AS sc,
+         |    sum(CAST(c AS HUGEINT) * c) AS sc2
+         |  FROM s GROUP BY l_suppkey),
+         |f AS (
+         |  SELECT l_suppkey, n_rets,
+         |    CAST(n_rets AS HUGEINT) * n_rets * q2
+         |      - CAST(n_rets AS HUGEINT) * sr * sr AS a,
+         |    CAST(n_rets AS HUGEINT) * n_rets * sc2
+         |      - 10::HUGEINT * n_rets * sr * sc
+         |      + CAST(n_rets - 4 AS HUGEINT) * 25 * sr * sr AS b
+         |  FROM g),
+         |v AS (
+         |  SELECT l_suppkey, n_rets,
+         |    CASE WHEN n_rets > 5 AND a > 0 THEN
+         |      CAST(b AS DOUBLE) * CAST(n_rets AS DOUBLE)
+         |        * (CAST(n_rets AS DOUBLE) - 1.0::DOUBLE)
+         |      / (CAST(a AS DOUBLE) * 5.0::DOUBLE
+         |        * (CAST(n_rets AS DOUBLE) - 4.0::DOUBLE)
+         |        * (CAST(n_rets AS DOUBLE) - 5.0::DOUBLE))
+         |    END AS vr
+         |  FROM f)
+         |SELECT l_suppkey, n_rets, vr,
+         |  (vr - 1.0::DOUBLE) /
+         |    (round(sqrt(72.0::DOUBLE /
+         |      (15.0::DOUBLE * CAST(n_rets AS DOUBLE))), 10) + 0.0::DOUBLE)
+         |    AS z_vr
+         |FROM v ORDER BY l_suppkey""".stripMargin,
     // Replays Resample.seasonalDecompose at period 7 (odd: plain 7-row
     // centered MA, D = 7): integer trend numerators, HUGEINT phase-mean
     // sums, the ascending-phase list_reduce centering, the same final

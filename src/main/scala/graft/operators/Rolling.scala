@@ -2666,4 +2666,73 @@ object Rolling {
         col("__num").cast("double") / col("__den").cast("double"))
         .as("kyle_lambda")): _*)
   }
+
+  /** Lo–MacKinlay variance-ratio test (public 1988 form): is the q-period
+    * return variance q× the 1-period variance, as a random walk demands?
+    * `VR(q) = σ̂²_q/σ̂²_1` over log returns, with the unbiased
+    * overlapping-sum estimator (`m = q(n−q+1)(1−q/n)`), and the
+    * homoskedastic z `z = (VR−1)/√(2(2q−1)(q−1)/(3qn))` — the
+    * mean-reversion / momentum readout beside [[graft.operators.Stats]]'
+    * Dickey–Fuller unit-root regression.
+    *
+    * Exactness: log returns quantize to 1e-10 as BIGINT once
+    * (`round(ln(c/c₋₁)·1e10)`), after which BOTH demeaned sums multiply
+    * through by n² into exact DECIMAL(38,0) integers
+    * (`A = n²Σr² − nS²`, `B = n²Σc² − 2qnSΣc + (n−q+1)q²S²` with `c` the
+    * exact q-row window sums) — the ratio collapses to
+    * `VR = B·n·(n−1) / (A·q·(n−q+1)·(n−q))`, exact integers into ONE
+    * pinned double expression. φ's q-part folds in Scala; √φ is the only
+    * libm call, rounded to 10 dp. Keys with n ≤ q returns or zero return
+    * variance report NULL.
+    *
+    * Scale shape: two window passes (lag, q-row sum) + one exchange;
+    * integer state only. Adds `n_rets`, `vr`, `z_vr`. */
+  def varianceRatio(df: DataFrame, closeCol: String, partCols: Seq[String],
+                    orderCols: Seq[String], q: Int): DataFrame = {
+    require(q >= 2, s"variance ratio needs q >= 2, got $q")
+    Guards.requireNoReserved(df.columns,
+      Seq("n_rets", "vr", "z_vr", "__r", "__c", "__i"),
+      "Rolling.varianceRatio")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val c = col(closeCol).cast("double")
+    val pc = lag(c, 1).over(w)
+    val r = when(pc.isNotNull && pc > 0.0 && c > 0.0,
+      round(log(c / pc) * lit(1e10)).cast("long"))
+    val rets = df
+      .select((partCols.map(col) ++ orderCols.map(col) :+ r.as("__r")): _*)
+      .filter(col("__r").isNotNull)
+    val wq = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(q - 1), Window.currentRow)
+    val staged = rets
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__c", when(col("__i") >= q, sum(col("__r")).over(wq)))
+    val dec = "decimal(38,0)"
+    val agged = staged.groupBy(partCols.map(col): _*).agg(
+      count(col("__r")).as("n_rets"),
+      sum(col("__r").cast(dec)).as("__s"),
+      sum(col("__r").cast(dec) * col("__r")).as("__q2"),
+      sum(col("__c").cast(dec)).as("__sc"),
+      sum(col("__c").cast(dec) * col("__c")).as("__sc2"))
+    val n = col("n_rets").cast(dec)
+    val s = col("__s")
+    val a = n * n * col("__q2") - n * s * s
+    val nmq1 = (col("n_rets") - lit(q) + lit(1)).cast(dec)
+    val b = n * n * col("__sc2") -
+      lit(2L * q).cast(dec) * n * s * col("__sc") +
+      nmq1 * lit(q.toLong * q).cast(dec) * s * s
+    val nd = col("n_rets").cast("double")
+    val defined = col("n_rets") > lit(q).cast("long") && a > lit(0).cast(dec)
+    val vr = b.cast("double") * nd * (nd - lit(1.0)) /
+      (a.cast("double") * lit(q.toDouble) * (nd - lit(q - 1).cast("double")) *
+        (nd - lit(q.toDouble)))
+    val sqphi = round(sqrt(lit(2.0 * (2 * q - 1) * (q - 1)) /
+      (lit(3.0 * q) * nd)), 10) + lit(0.0)
+    agged
+      .withColumn("vr", when(defined, vr))
+      .withColumn("z_vr", when(defined, (col("vr") - lit(1.0)) / sqphi))
+      .select((partCols.map(col) :+ col("n_rets") :+ col("vr") :+
+        col("z_vr")): _*)
+  }
 }

@@ -1319,6 +1319,51 @@ test("crossCorr: a shifted copy is perfectly correlated at its lag only") {
     assert(out("c").isNullAt(out("c").fieldIndex("kyle_lambda")))
   }
 
+  test("varianceRatio: hand-walked VR and z at q=2") {
+    val prices = Seq(10.0, 11.0, 10.0, 12.0, 11.0, 13.0)
+    val df = prices.zipWithIndex.map { case (p, i) => ("k", i.toLong, p) }
+      .toDF("key", "t", "close")
+    val out = Rolling.varianceRatio(df, "close", Seq("key"), Seq("t"), q = 2)
+      .collect()
+    assert(out.length === 1)
+    // independent replay: BigInt sufficient statistics, pinned final tree
+    val r = prices.sliding(2).map { case Seq(a, b) =>
+      BigDecimal(math.log(b / a) * 1e10)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt }.toVector
+    val n = r.length
+    val c = r.sliding(2).map(_.sum).toVector
+    val (s, q2) = (r.sum, r.map(x => x * x).sum)
+    val (sc, sc2) = (c.sum, c.map(x => x * x).sum)
+    val a = BigInt(n) * n * q2 - BigInt(n) * s * s
+    val b = BigInt(n) * n * sc2 - BigInt(2 * 2) * n * s * sc +
+      BigInt(n - 2 + 1) * 4 * s * s
+    val nd = n.toDouble
+    val vr = b.toDouble * nd * (nd - 1.0) /
+      (a.toDouble * 2.0 * (nd - 1.0) * (nd - 2.0))
+    val sqphi = BigDecimal(math.sqrt(2.0 * 3 * 1 / (6.0 * nd)))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_rets") === n.toLong)
+    assert(out(0).getAs[Double]("vr") === vr)
+    assert(out(0).getAs[Double]("z_vr") === (vr - 1.0) / sqphi)
+    assert(vr < 1.0)  // the alternating series mean-reverts
+  }
+
+  test("varianceRatio: constant-return and short keys are NULL") {
+    // geometric walk: every log return identical → zero return variance
+    val rows = Seq(("g", 1L, 8.0), ("g", 2L, 16.0), ("g", 3L, 32.0),
+      ("g", 4L, 64.0), ("s", 1L, 5.0), ("s", 2L, 6.0))
+    val out = Rolling.varianceRatio(rows.toDF("key", "t", "close"),
+        "close", Seq("key"), Seq("t"), q = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Long]("n_rets") === 3L)
+    assert(out("g").isNullAt(out("g").fieldIndex("vr")))
+    assert(out("s").isNullAt(out("s").fieldIndex("vr")))  // n = 1 <= q
+    intercept[IllegalArgumentException] {
+      Rolling.varianceRatio(rows.toDF("key", "t", "close"), "close",
+        Seq("key"), Seq("t"), q = 1)
+    }
+  }
+
   test("ohlcVolatility: reserved column and missing ordering rejected") {
     val df = Seq(("k", 1L, 1.0, 1.0, 1.0, 1.0, 0L))
       .toDF("key", "t", "o", "h", "l", "c", "n_bars")
