@@ -2735,4 +2735,74 @@ object Rolling {
       .select((partCols.map(col) :+ col("n_rets") :+ col("vr") :+
         col("z_vr")): _*)
   }
+
+  /** KPSS level-stationarity test (public 1992 form): partial sums of the
+    * demeaned series against a Bartlett-kernel long-run variance,
+    * `η = n⁻²ΣS_t² / σ̂²_lrv` with
+    * `σ̂²_lrv = γ₀ + 2Σ_{k≤L}(1 − k/(L+1))γ_k` — the null here is
+    * STATIONARITY, making it the mirror-image companion to
+    * q_dickey_fuller's unit-root null (reject both → structural trouble).
+    *
+    * Exactness: values quantize to `scale` decimals; demeaning multiplies
+    * through by n (`ẽ_t = n·y_t − Σy`, `S̃_t = n·cum_t − t·Σy` — exact
+    * BIGINTs), autocovariance products multiply through by n² and the
+    * Bartlett weights by (L+1), so the statistic collapses to
+    * `η = ΣS̃²·(L+1) / (n·D)` with
+    * `D = (L+1)P₀ + 2Σ(L+1−k)P_k` — exact DECIMAL(38,0) integers into ONE
+    * double division, no libm at all. A constant series (D = 0) or a key
+    * with < 2 observations reports NULL. Missing high-order lags on short
+    * keys contribute zero (their P_k is empty), matching the truncated
+    * kernel.
+    *
+    * Scale shape: one window stage (running + whole-partition sums and L
+    * lags share the partition) + one exchange; integer state. Adds
+    * `n_obs`, `kpss_eta`. */
+  def kpss(df: DataFrame, valueCol: String, partCols: Seq[String],
+           orderCols: Seq[String], lags: Int, scale: Int = 0): DataFrame = {
+    require(lags >= 0, s"lags must be >= 0, got $lags")
+    require(scale >= 0, s"scale must be >= 0, got $scale")
+    require(orderCols.nonEmpty, "kpss needs an explicit ordering")
+    Guards.requireNoReserved(df.columns,
+      (Seq("n_obs", "kpss_eta", "__y", "__n", "__s", "__e", "__st") ++
+        (1 to lags).map(k => s"__e$k")), "Rolling.kpss")
+    val wSeq = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wCum = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wSeq.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val k10 = math.pow(10, scale)
+    val yi = round(col(valueCol).cast("double") * lit(k10)).cast("long")
+    val base = df
+      .select((partCols.map(col) ++ orderCols.map(col) :+ yi.as("__y")): _*)
+      .filter(col("__y").isNotNull)
+    val staged = base
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__y")).over(wAll))
+      .withColumn("__e", col("__n") * col("__y") - col("__s"))
+      .withColumn("__st",
+        col("__n") * sum(col("__y")).over(wCum) -
+          row_number().over(wSeq).cast("long") * col("__s"))
+    val lagged = (1 to lags).foldLeft(staged) { (d, k) =>
+      d.withColumn(s"__e$k", lag(col("__e"), k).over(wSeq))
+    }
+    val dec = "decimal(38,0)"
+    val aggs =
+      Seq(count(col("__y")).as("n_obs"),
+        sum(col("__st").cast(dec) * col("__st")).as("__num"),
+        sum(col("__e").cast(dec) * col("__e")).as("__p0")) ++
+      (1 to lags).map(k =>
+        coalesce(sum(col("__e").cast(dec) * col(s"__e$k")),
+          lit(0).cast(dec)).as(s"__p$k"))
+    val agged = lagged.groupBy(partCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val lp1 = lit(lags + 1).cast(dec)
+    val d = (1 to lags).foldLeft(lp1 * col("__p0")) { (acc, k) =>
+      acc + lit(2L * (lags + 1 - k)).cast(dec) * col(s"__p$k")
+    }
+    val n = col("n_obs").cast(dec)
+    val eta = (col("__num") * lp1).cast("double") / (n * d).cast("double")
+    agged.select((partCols.map(col) :+ col("n_obs") :+
+      when(col("n_obs") >= 2L && d > lit(0).cast(dec), eta)
+        .as("kpss_eta")): _*)
+  }
 }
