@@ -7141,10 +7141,10 @@ object SparkEntry {
         |  FROM d GROUP BY cohort, dur),
         |r AS (
         |  SELECT cohort, t, de, ce,
-        |    sum(de + ce) OVER (PARTITION BY cohort)
+        |    CAST(sum(de + ce) OVER (PARTITION BY cohort)
         |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk,
+        |      AS BIGINT) AS n_risk,
         |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
         |  FROM pt),
         |na AS (
@@ -7179,10 +7179,10 @@ object SparkEntry {
         |  FROM d GROUP BY cohort, dur),
         |r AS (
         |  SELECT cohort, t, de, ce,
-        |    sum(de + ce) OVER (PARTITION BY cohort)
+        |    CAST(sum(de + ce) OVER (PARTITION BY cohort)
         |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_risk,
+        |      AS BIGINT) AS n_risk,
         |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
         |  FROM pt),
         |f AS (
