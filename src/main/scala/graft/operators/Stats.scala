@@ -1121,8 +1121,8 @@ object Stats {
     require(keyCols.nonEmpty, "pacf needs at least one key column")
     require(scale >= 0, s"scale must be >= 0, got $scale")
     Guards.requireNoReserved(df.columns,
-      Seq("n", "pacf_1", "pacf_2", "pacf_3", "__x") ++
-        (1 to 3).map(k => s"__l$k"), "Stats.pacf")
+      Seq("n", "pacf_1", "pacf_2", "pacf_3", "__x", "__phi22") ++
+        (1 to 3).flatMap(k => Seq(s"__l$k", s"__r$k")), "Stats.pacf")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
@@ -1155,13 +1155,26 @@ object Stats {
       (nDec * nDec * col(s"__c$k") - nDec * col("__s") * col(s"__p$k") +
         (nDec - lit(k).cast("decimal(38,0)")) * col("__s") * col("__s"))
         .cast("double") / safeB
-    val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+    // STAGING (codegen 64 KB guard): the Durbin–Levinson recursion
+    // references each rho many times; inlined Columns duplicate the whole
+    // decimal subtree per reference and CollapseProject then fuses the
+    // exponential expression into the hash aggregate's output method,
+    // blowing janino's 64 KB method limit (observed: ~16.8k-line class,
+    // interpreted fallback). Materializing r1..r3 and phi22 as aliases
+    // that are multi-referenced downstream stops the collapse (Catalyst
+    // only collapses projects when repeated aliases are cheap), keeping
+    // every generated method linear in the formula size.
+    val rhos = sums.select((keyCols.map(col) :+ col("n") :+
+      rho(1).as("__r1") :+ rho(2).as("__r2") :+ rho(3).as("__r3")): _*)
+    val r1 = col("__r1"); val r2 = col("__r2"); val r3 = col("__r3")
     val d2 = lit(1.0) - r1 * r1
-    val phi22 = (r2 - r1 * r1) / when(d2 =!= 0.0, d2)
+    val phis = rhos.withColumn("__phi22",
+      (r2 - r1 * r1) / when(d2 =!= 0.0, d2))
+    val phi22 = col("__phi22")
     val phi21 = r1 - phi22 * r1
     val d3 = lit(1.0) - phi21 * r1 - phi22 * r2
     val phi33 = (r3 - phi21 * r2 - phi22 * r1) / when(d3 =!= 0.0, d3)
-    sums.select((keyCols.map(col) :+ col("n") :+
+    phis.select((keyCols.map(col) :+ col("n") :+
       when(col("n") > 1L, r1).as("pacf_1") :+
       when(col("n") > 2L, phi22).as("pacf_2") :+
       when(col("n") > 3L, phi33).as("pacf_3")): _*)
