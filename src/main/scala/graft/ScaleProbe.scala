@@ -100,7 +100,13 @@ object ScaleProbe {
     "q_grubbs", "q_trimmed_mean", "q_hill", "q_pinball", "q_theil_u2",
     "q_cvm", "q_kupiec", "q_christoffersen", "q_roll_spread",
     "q_page_trend", "q_black_scholes", "q_bs_greeks", "q_stream_ewma", "q_record_linkage", "q_nelson_aalen", "q_logrank", "q_hosmer_lemeshow", "q_mcnemar", "q_attribution", "q_hhi", "q_best_f1", "q_rmst", "q_ece", "q_rbo", "q_prop_z", "q_odds_ratio", "q_bland_altman", "q_cpk", "q_ks_uniform", "q_cochran_armitage", "q_durbin_watson", "q_kendall_w",
-    "q_seasonal_strength")
+    "q_seasonal_strength",
+    // round-9: the remaining iterative graph operators (every driver-loop
+    // op now has a measured exponent) and SemDeDup — whose x10 corpus is
+    // the honest skew case: identical vectors replicated 10× into the
+    // same fixed-nlist clusters ⇒ 100× same-cluster pairs by
+    // construction, the quadratic VERDICT.md warns about
+    "q_label_prop", "q_kcore", "q_triangles", "q_semantic_dedup")
 
   private case class Shift(col: String, offset: Long)
 

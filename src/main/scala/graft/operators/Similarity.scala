@@ -239,14 +239,49 @@ object Similarity {
     * published SemDeDup trick; nlist is the dial (more clusters → smaller
     * pair blocks, slightly lower recall at cluster borders). Clustering
     * cost is the [[kmeansClusters]] argmin-aggregate pass per iteration;
-    * the pair join is an equi-join on the cluster id, never a cross join. */
+    * the pair join is an equi-join on the cluster id, never a cross join.
+    *
+    * CAVEAT — nlist must scale with the corpus: with a FIXED nlist a
+    * single dense region at 100× the data becomes one mega-cluster and
+    * Σ|cluster|² goes quadratic. Size nlist ≈ √n (the standard IVF rule),
+    * or set `maxClusterSize` as a hard guard: any cluster larger than the
+    * cap is deterministically sub-split by sign-bit LSH on the leading
+    * dimensions (just enough bits to bring the expected block under the
+    * cap), and pairs are only compared within (cluster, sub-bucket). The
+    * split is the same recall-for-cost dial SemDeDup already makes at
+    * cluster borders — cross-sub-bucket near-dups inside a mega-cluster
+    * are missed, but the pair space is bounded by nblocks·cap². */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nlist: Int = 8, iters: Int = 2,
-                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    maxClusterSize: Long = 0L): DataFrame = {
     val (members, _) = kmeansClusters(corpus, nlist, iters, idCol, embCol)
-    val a = members.select(col("cl"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = members.select(col("cl"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    val dropIds = a.join(b, "cl").filter(col("id_a") < col("id_b"))
+    val keyed =
+      if (maxClusterSize <= 0L) members.withColumn("__sub", lit(0L))
+      else {
+        // per-cluster sizes are nlist rows — broadcast back, never a window
+        val sizes = members.groupBy("cl")
+          .agg(count(lit(1)).as("__csz"))
+        // bits = ceil(log2(size/cap)): halve the expected block per bit
+        // until it fits the cap; capped at 16 sign bits (65536-way split)
+        val bits = least(lit(16.0), greatest(lit(0.0),
+          ceil(log(2.0, col("__csz").cast("double") /
+            lit(maxClusterSize.toDouble))))).cast("int")
+        val powers = typedlit((0 until 16).map(j => 1L << j))
+        val full = aggregate(
+          zip_with(slice(col(embCol), 1, 16), powers,
+            (v, p) => when(v > lit(0.0f), p).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x)
+        members.join(broadcast(sizes), "cl")
+          .withColumn("__sub", when(col("__csz") <= maxClusterSize, lit(0L))
+            .otherwise(full.bitwiseAND(
+              pow(lit(2.0), bits).cast("long") - lit(1L))))
+      }
+    val a = keyed.select(col("cl"), col("__sub"),
+      col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = keyed.select(col("cl"), col("__sub"),
+      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    val dropIds = a.join(b, Seq("cl", "__sub")).filter(col("id_a") < col("id_b"))
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(dropIds, Seq(idCol), "left_anti")

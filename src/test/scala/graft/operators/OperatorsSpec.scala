@@ -255,6 +255,31 @@ class OperatorsSpec extends AnyFunSuite {
       .count() === 5L)
   }
 
+  test("semanticDedup maxClusterSize guard: bounded blocks, subset drops, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // nlist=1 forces one mega-cluster — exactly the skew the guard exists
+    // for; capping at 50 sub-splits it by sign-bit LSH
+    val unguarded = Similarity.semanticDedup(emb, threshold = 0.6,
+        nlist = 1, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val guarded = Similarity.semanticDedup(emb, threshold = 0.6,
+        nlist = 1, iters = 1, maxClusterSize = 50L)
+      .select("vec_id").as[Long].collect().toSet
+    // sub-splitting only REMOVES candidate pairs → fewer drops, and every
+    // guarded drop is also an unguarded drop (recall dial, not a new set)
+    assert(unguarded.subsetOf(guarded),
+      s"guard must only add survivors: ${guarded.size} vs ${unguarded.size}")
+    val again = Similarity.semanticDedup(emb, threshold = 0.6,
+        nlist = 1, iters = 1, maxClusterSize = 50L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(guarded === again, "guard must stay deterministic")
+    // a cap larger than the corpus is a no-op (bits = 0 path)
+    val noop = Similarity.semanticDedup(emb, threshold = 0.6,
+        nlist = 1, iters = 1, maxClusterSize = 1000000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(noop === unguarded, "oversize cap must not change the result")
+  }
+
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
     val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
