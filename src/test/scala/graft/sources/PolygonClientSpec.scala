@@ -90,4 +90,54 @@ class PolygonClientSpec extends AnyFunSuite {
         LocalDate.of(2023, 1, 15)).count()
     }
   }
+
+  test("object-store branch end-to-end via the s3a stub filesystem") {
+    // lay out a bucket-shaped local store: flatfiles/us_stocks_sip/
+    //   day_aggs_v1/2024/2024-01-02.csv.gz (the S3 flat-file format)
+    val store = Files.createTempDirectory("s3astub").toString
+    val key = Paths.get(store, "flatfiles", "us_stocks_sip",
+      "day_aggs_v1", "2024")
+    Files.createDirectories(key)
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(key.resolve("2024-01-02.csv.gz")))
+    gz.write(("ticker,date,open,high,low,close,volume,vwap,transactions\n" +
+      "AAPL,2024-01-02,187.15,188.44,183.89,185.64,82488700,185.9465,1008871\n" +
+      "MSFT,2024-01-02,373.86,375.90,366.50,370.87,25258600,370.60,540476\n")
+      .getBytes)
+    gz.close()
+
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[S3AStubFileSystem].getName)
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    hc.set("graft.s3astub.root", store)
+    try {
+      // same env-var names as the reference (config.rs:8-51) drive the
+      // client's S3 conf; endpoint/credentials land in hadoopConfiguration
+      val cfg = Polygon.PolygonConfig("test-ak", "test-sk",
+        endpoint = "http://stub.local:9999", bucket = "flatfiles")
+      val s3Client = new PolygonClient(spark, Polygon.S3(cfg))
+      assert(hc.get("fs.s3a.endpoint") === "http://stub.local:9999")
+
+      // loadData resolves s3a://flatfiles/.../2024-01-02.csv.gz through the
+      // stub: scheme registration, gz decompress, schema, pushed filter
+      val df = s3Client.loadData(Polygon.AssetClass.Stocks,
+        Polygon.DataType.DayAggs, LocalDate.of(2024, 1, 2), Some("AAPL"))
+      assert(df.count() === 1)
+      assert(df.head().getAs[Double]("close") === 185.64)
+      assert(df.schema === Polygon.dayAggsSchema)
+
+      // listing and discovery walk the bucket through Hadoop FS and
+      // report s3a:// paths, not the stub's local backing store
+      val files = s3Client.listAvailableFiles("us_stocks_sip")
+      assert(files === Seq(
+        "s3a://flatfiles/us_stocks_sip/day_aggs_v1/2024/2024-01-02.csv.gz"))
+      assert(s3Client.discoverAssetClasses() === Seq("us_stocks_sip"))
+      assert(s3Client.discoverDataTypes("us_stocks_sip") === Seq("day_aggs_v1"))
+      assert(s3Client.listAvailableFiles("nonexistent") === Seq.empty)
+    } finally {
+      hc.unset("fs.s3a.impl")
+      hc.unset("fs.s3a.impl.disable.cache")
+      hc.unset("graft.s3astub.root")
+    }
+  }
 }
