@@ -3706,6 +3706,17 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
+    "q_semantic_dedup_guarded" -> ((s, d) => {
+      // SemDeDup with the maxClusterSize=50 pair-space guard: clusters
+      // over the cap sub-split by sign-bit LSH, still-oversized
+      // sub-buckets salt by the replayable Lehmer id hash — the oracle
+      // replays both stages, so the guard path itself is hash-checked
+      load(s, d)
+      operators.Similarity.semanticDedup(s.table("embeddings"),
+          threshold = 0.3, nlist = 8, iters = 2, maxClusterSize = 50L)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
     "q_embed_neardup" -> ((s, d) => {
       load(s, d)
       // signBits=8: sign-pattern LSH blocking (~2^8 buckets) — the scale
@@ -4759,6 +4770,51 @@ object SparkEntry {
        |drops AS (
        |  SELECT DISTINCT b.vec_id AS drop_id
        |  FROM mf a JOIN mf b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3::DOUBLE
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN drops d ON d.drop_id = e.vec_id
+       |WHERE d.drop_id IS NULL ORDER BY e.vec_id""".stripMargin
+
+  /** Replays the maxClusterSize-guarded [[operators.Similarity
+    * .semanticDedup]]: the same k-means chain, then BOTH guard stages —
+    * the sign-bit LSH sub-split (bits = ceil(log2(csz/cap)), ≤16, over
+    * the 16 leading dims) and the Lehmer id-hash salt for sub-buckets
+    * still over the cap — before the same-block pair compare. Every
+    * arithmetic step (ceil/log2/pow on doubles, the 48271·k mod 2³¹−1
+    * rounds) is engine-portable by construction. */
+  private def duckSemanticDedupGuardedSql(cap: Long): String =
+    s"""WITH ${duckKmeansCtes(nlist = 8, iters = 2)},
+       |csizes AS (SELECT cl, count(*) AS csz FROM mf GROUP BY cl),
+       |sub1 AS (
+       |  SELECT m.vec_id, m.embedding, m.cl,
+       |    CASE WHEN s.csz <= $cap THEN CAST(0 AS BIGINT)
+       |    ELSE list_reduce(list_transform(generate_series(1, 16),
+       |        j -> CASE WHEN m.embedding[j] > 0
+       |             THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END),
+       |      (a, b) -> a + b)
+       |      & (CAST(pow(2.0::DOUBLE, LEAST(16.0::DOUBLE, GREATEST(0.0::DOUBLE,
+       |          ceil(log2(CAST(s.csz AS DOUBLE) / $cap.0::DOUBLE))))) AS BIGINT)
+       |         - CAST(1 AS BIGINT))
+       |    END AS sub
+       |  FROM mf m JOIN csizes s USING (cl)
+       |),
+       |ssizes AS (SELECT cl, sub, count(*) AS ssz FROM sub1 GROUP BY cl, sub),
+       |salted AS (
+       |  SELECT t.vec_id, t.embedding, t.cl, t.sub,
+       |    CASE WHEN z.ssz <= $cap THEN CAST(0 AS BIGINT)
+       |    ELSE ((((t.vec_id % 2147483647) * 48271) % 2147483647) * 48271)
+       |           % 2147483647
+       |         % GREATEST(CAST(ceil(CAST(z.ssz AS DOUBLE) / $cap.0::DOUBLE) AS BIGINT),
+       |             CAST(1 AS BIGINT))
+       |    END AS sub2
+       |  FROM sub1 t JOIN ssizes z ON z.cl = t.cl AND z.sub = t.sub
+       |),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS drop_id
+       |  FROM salted a JOIN salted b
+       |    ON a.cl = b.cl AND a.sub = b.sub AND a.sub2 = b.sub2
+       |    AND a.vec_id < b.vec_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3::DOUBLE
        |)
        |SELECT e.vec_id, e.label FROM embeddings e
@@ -8581,6 +8637,7 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
     "q_semantic_dedup" -> duckSemanticDedupSql,
+    "q_semantic_dedup_guarded" -> duckSemanticDedupGuardedSql(cap = 50L),
     "q_embed_pq" -> duckPqSql,
     "q_embed_ivf_pq" -> duckIvfPqSql,
     "q_embed_pq_index" -> duckPqSql,

@@ -244,20 +244,37 @@ object Similarity {
     * CAVEAT — nlist must scale with the corpus: with a FIXED nlist a
     * single dense region at 100× the data becomes one mega-cluster and
     * Σ|cluster|² goes quadratic. Size nlist ≈ √n (the standard IVF rule),
-    * or set `maxClusterSize` as a hard guard: any cluster larger than the
-    * cap is deterministically sub-split by sign-bit LSH on the leading
-    * dimensions (just enough bits to bring the expected block under the
-    * cap), and pairs are only compared within (cluster, sub-bucket). The
-    * split is the same recall-for-cost dial SemDeDup already makes at
-    * cluster borders — cross-sub-bucket near-dups inside a mega-cluster
-    * are missed, but the pair space is bounded by nblocks·cap². */
+    * or set `maxClusterSize` to bound the pair space. The cap works in
+    * two stages:
+    *
+    *  1. Sign-bit LSH sub-split: a cluster over the cap is split by the
+    *     sign pattern of its leading dimensions (just enough bits to
+    *     bring the EXPECTED block under the cap). This is a heuristic,
+    *     not a bound — it preserves recall (same-direction vectors share
+    *     a sub-bucket) but identical vectors, sign-correlated dense
+    *     regions, and embeddings with fewer than 16 informative leading
+    *     dims all share sign bits and defeat it.
+    *  2. Replayable id-hash salt: any (cluster, sub-bucket) STILL over
+    *     the cap is salted `hash(id) mod ceil(size/cap)` with a Lehmer
+    *     LCG (no engine hash — the DuckDB oracle replays it verbatim).
+    *     A pure cost dial: near-dup pairs split across salts are missed
+    *     (known recall loss, worst exactly where stage 1 failed), but
+    *     block sizes are now ~cap w.h.p. REGARDLESS of the data, so the
+    *     pair space has a hard O(n·cap) ceiling instead of Σ|block|²
+    *     in expectation only.
+    *
+    * Both stages only REMOVE candidate pairs, so the guarded survivor
+    * set is always a superset of the unguarded one. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nlist: Int = 8, iters: Int = 2,
                     idCol: String = "vec_id", embCol: String = "embedding",
                     maxClusterSize: Long = 0L): DataFrame = {
+    Guards.requireNoReserved(corpus.columns,
+      Seq("__sub", "__sub2", "__csz", "__ssz", "cl"), "Similarity.semanticDedup")
     val (members, _) = kmeansClusters(corpus, nlist, iters, idCol, embCol)
     val keyed =
-      if (maxClusterSize <= 0L) members.withColumn("__sub", lit(0L))
+      if (maxClusterSize <= 0L)
+        members.withColumn("__sub", lit(0L)).withColumn("__sub2", lit(0L))
       else {
         // per-cluster sizes are nlist rows — broadcast back, never a window
         val sizes = members.groupBy("cl")
@@ -272,16 +289,35 @@ object Similarity {
           zip_with(slice(col(embCol), 1, 16), powers,
             (v, p) => when(v > lit(0.0f), p).otherwise(lit(0L))),
           lit(0L), (acc, x) => acc + x)
-        members.join(broadcast(sizes), "cl")
+        val signSplit = members.join(broadcast(sizes), "cl")
           .withColumn("__sub", when(col("__csz") <= maxClusterSize, lit(0L))
             .otherwise(full.bitwiseAND(
               pow(lit(2.0), bits).cast("long") - lit(1L))))
+          .drop("__csz")
+        // stage-2 hard bound: sub-buckets the sign split failed to shrink
+        // (identical / sign-correlated vectors) get a replayable id-hash
+        // salt. Two Lehmer rounds (h = 48271·k mod 2³¹−1, a bijection on
+        // the residues) — pure integer arithmetic the oracle replays;
+        // 48271·k stays far inside BIGINT for k < 2³¹−1.
+        val subSizes = signSplit.groupBy("cl", "__sub")
+          .agg(count(lit(1)).as("__ssz"))
+        val fanout = ceil(col("__ssz").cast("double") /
+          lit(maxClusterSize.toDouble)).cast("long")
+        val p = lit(2147483647L)
+        val k = pmod(col(idCol).cast("long"), p)
+        val h = pmod(pmod(k * lit(48271L), p) * lit(48271L), p)
+        signSplit.join(broadcast(subSizes), Seq("cl", "__sub"))
+          .withColumn("__sub2",
+            when(col("__ssz") <= maxClusterSize, lit(0L))
+              .otherwise(pmod(h, greatest(fanout, lit(1L)))))
+          .drop("__ssz")
       }
-    val a = keyed.select(col("cl"), col("__sub"),
+    val a = keyed.select(col("cl"), col("__sub"), col("__sub2"),
       col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = keyed.select(col("cl"), col("__sub"),
+    val b = keyed.select(col("cl"), col("__sub"), col("__sub2"),
       col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    val dropIds = a.join(b, Seq("cl", "__sub")).filter(col("id_a") < col("id_b"))
+    val dropIds = a.join(b, Seq("cl", "__sub", "__sub2"))
+      .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(dropIds, Seq(idCol), "left_anti")

@@ -280,6 +280,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noop === unguarded, "oversize cap must not change the result")
   }
 
+  test("semanticDedup id-hash fallback: identical vectors get a hard split") {
+    // 120 IDENTICAL vectors — the exact case that defeats the sign-bit
+    // split (every replica shares every sign bit). With cap=10 the
+    // whole cluster lands in ONE sign sub-bucket, so stage 2 must salt
+    // it by the Lehmer id hash into ceil(120/10)=12 groups; each group
+    // keeps exactly its minimum id (cosine of identical vectors = 1).
+    val ident = (0L until 120L).map(i => (i, Array(1.0f, 2.0f, -3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(ident, threshold = 0.9,
+        nlist = 1, iters = 1, maxClusterSize = 10L)
+      .select("vec_id").as[Long].collect().toSet
+    // replay the operator's salt in plain Scala: two Lehmer rounds mod
+    // 2^31-1, then mod fanout — survivors are the per-salt minima
+    val p = 2147483647L
+    def salt(id: Long): Long = (((id % p) * 48271 % p) * 48271 % p) % 12
+    val expected = (0L until 120L).groupBy(salt).values.map(_.min).toSet
+    assert(got === expected,
+      s"fallback survivors must be the per-salt minima: got ${got.size}, expected ${expected.size}")
+    // unguarded keeps only id 0 — the guard can only ADD survivors
+    val unguarded = Similarity.semanticDedup(ident, threshold = 0.9,
+        nlist = 1, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(unguarded === Set(0L))
+    assert(unguarded.subsetOf(got))
+  }
+
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
     val exact = Similarity.embeddingNearDupPairs(vecs, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
