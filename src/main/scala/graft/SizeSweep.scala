@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * The series is the first n lineitem prices in (l_orderkey, l_linenumber)
   * order, pre-materialized (cached + forced) before timing — the analog of
   * criterion timing a query over an already-built in-memory `VALUES` table.
-  * Reported number = rows/sec of the SECOND run (steady state), with the
-  * standard sweep between runs.
+  * Reported number = rows/sec of the FASTEST of three post-warm-up runs:
+  * single-shot numbers on this host swing ±2× with the documented ambient
+  * interference bursts (NOTES.md), which made round-over-round throughput
+  * deltas meaningless (r8→r9 read −42% on sma@100k while the full suite
+  * and every plan were unchanged); min-of-3 discards burst-inflated
+  * samples the same way the per-query suite timing's min-of-two does.
   */
 object SizeSweep {
 
@@ -60,8 +64,8 @@ object SizeSweep {
           force(spark.sql(s"SELECT rownum, $exprSql FROM series"))
           (System.nanoTime() - t0) / 1e9
         }
-        once()
-        val t = once()
+        once() // warm-up (codegen + first-touch)
+        val t = Seq(once(), once(), once()).min
         series.unpersist(blocking = true)
         sweep()
         s""""$n":${math.round(n / t)}"""

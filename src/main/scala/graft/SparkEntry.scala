@@ -662,12 +662,17 @@ object SparkEntry {
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
       val withSma = dailyBars(s).select(col("*"),
         functions.FinancialFunctions.sma(col("close"), 10).over(w).as("__s10"))
-      val pc = lag(col("close"), 1).over(w)
-      val ps = lag(col("__s10"), 1).over(w)
+      // stage the two lags once (each inlined reference would expand to
+      // its own window expression — 4 copies of each lag in `pos`)
+      val lagged = withSma.select(col("*"),
+        lag(col("close"), 1).over(w).as("__pc"),
+        lag(col("__s10"), 1).over(w).as("__ps"))
+      val (pc, ps) = (col("__pc"), col("__ps"))
       val pos = when(pc.isNotNull && ps.isNotNull && pc < ps, lit(1.0))
         .when(pc.isNotNull && ps.isNotNull && pc > ps, lit(-1.0))
         .otherwise(lit(0.0))
-      val posed = withSma.withColumn("position", pos).drop("__s10")
+      val posed = lagged.withColumn("position", pos)
+        .drop("__s10", "__pc", "__ps")
       operators.Signals.equityCurve(posed, "l_suppkey", Seq("l_shipdate"),
           "close", "position")
         .select(col("l_suppkey"), col("l_shipdate"), col("position"),

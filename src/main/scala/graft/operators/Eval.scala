@@ -575,7 +575,7 @@ object Eval {
       "bestF1Threshold needs at least one group column")
     Guards.requireNoReserved(df.columns,
       Seq("threshold", "f1", "precision", "recall", "__pos", "__neg",
-        "__cand", "__best"),
+        "__cand", "__best", "__tp", "__fp", "__tpos"),
       "bestF1Threshold")
     val y = checkedLabel(labelCol, "bestF1Threshold")
     val perScore = df
@@ -586,9 +586,13 @@ object Eval {
       .orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCols.map(col): _*)
-    val tp = sum(col("__pos")).over(w)
-    val fp = sum(col("__neg")).over(w)
-    val totPos = sum(col("__pos")).over(tot)
+    // stage the three cumulative counts once — inlined references made
+    // ExtractWindowExpressions emit 14 window aggregates instead of 3
+    val staged = perScore.select(col("*"),
+      sum(col("__pos")).over(w).as("__tp"),
+      sum(col("__neg")).over(w).as("__fp"),
+      sum(col("__pos")).over(tot).as("__tpos"))
+    val (tp, fp, totPos) = (col("__tp"), col("__fp"), col("__tpos"))
     val fn = totPos - tp
     val f1 = when(totPos > 0L,
       (lit(2.0) * tp.cast("double")) /
@@ -597,7 +601,7 @@ object Eval {
     val prec = when(tp + fp > 0L,
       tp.cast("double") / (tp + fp).cast("double"))
     val rec = when(totPos > 0L, tp.cast("double") / totPos.cast("double"))
-    perScore
+    staged
       .select((groupCols.map(col) :+
         struct(f1.as("f1"), col("threshold"), prec.as("p"), rec.as("r"))
           .as("__cand")): _*)
@@ -995,7 +999,7 @@ object Eval {
     Guards.requireNoReserved(df.columns,
       Seq("n_a", "n_b", "logrank_z", "logrank_chi2",
         "__arm", "__t", "__ev", "__da", "__db", "__ca", "__cb",
-        "__u", "__v", "__rn", "__cnt", "__ta", "__tb"),
+        "__u", "__v", "__rn", "__cnt", "__ta", "__tb", "__pa", "__pb"),
       "logRank")
     val a = col(armCol)
     val armChecked = when(a.isNull || (a =!= armA && a =!= armB),
@@ -1022,12 +1026,22 @@ object Eval {
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = grp.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totA = sum(col("__da") + col("__ca")).over(grp)
-    val totB = sum(col("__db") + col("__cb")).over(grp)
-    val nA = totA -
+    // STAGE the six primitive window aggregates as columns before any
+    // arithmetic reuses them: inlining (the old shape) made
+    // ExtractWindowExpressions emit one aggregate PER REFERENCE — 36
+    // window buffers instead of 8 (nA/frac alone appear 5× in the u/v
+    // trees). Staged, every closed form below is plain column math.
+    val staged = perTime.select(col("*"),
+      sum(col("__da") + col("__ca")).over(grp).as("__ta"),
+      sum(col("__db") + col("__cb")).over(grp).as("__tb"),
       coalesce(sum(col("__da") + col("__ca")).over(before), lit(0L))
-    val nB = totB -
+        .as("__pa"),
       coalesce(sum(col("__db") + col("__cb")).over(before), lit(0L))
+        .as("__pb"),
+      row_number().over(grp.orderBy(col("__t"))).as("__rn"),
+      count(lit(1)).over(grp).as("__cnt"))
+    val nA = col("__ta") - col("__pa")
+    val nB = col("__tb") - col("__pb")
     val d = col("__da") + col("__db")
     val n = nA + nB
     val frac = nA.cast("double") / n.cast("double")
@@ -1037,13 +1051,9 @@ object Eval {
       d.cast("double") * frac * (lit(1.0) - frac) *
         ((n - d).cast("double") / (n - lit(1L)).cast("double")))
       .otherwise(lit(0.0))
-    val withRuns = perTime
+    val withRuns = staged
       .withColumn("__u", sum(uTerm).over(run))
       .withColumn("__v", sum(vTerm).over(run))
-      .withColumn("__rn", row_number().over(grp.orderBy(col("__t"))))
-      .withColumn("__cnt", count(lit(1)).over(grp))
-      .withColumn("__ta", totA)
-      .withColumn("__tb", totB)
     val z = col("__u") / sqrt(when(col("__v") > 0.0, col("__v")))
     withRuns
       .filter(col("__rn") === col("__cnt"))

@@ -235,17 +235,21 @@ object Rolling {
     * Adds `ret_simple`, `ret_log`. */
   def logReturns(df: DataFrame, valueCol: String, partCols: Seq[String],
                  orderCols: Seq[String]): DataFrame = {
-    Guards.requireNoReserved(df.columns, Seq("ret_simple", "ret_log"),
-      "Rolling.logReturns")
+    Guards.requireNoReserved(df.columns,
+      Seq("ret_simple", "ret_log", "__lr_p"), "Rolling.logReturns")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("double")
-    val prev = lag(x, 1).over(seqW)
-    df.withColumn("ret_simple",
+    // stage the lag once — its 7 inlined references each became their
+    // own window expression
+    val staged = df.select(col("*"), lag(x, 1).over(seqW).as("__lr_p"))
+    val prev = col("__lr_p")
+    staged.withColumn("ret_simple",
         when(prev.isNotNull && prev > 0.0, (x - prev) / prev))
       .withColumn("ret_log",
         when(prev.isNotNull && prev > 0.0 && x > 0.0,
           round(log(x / prev), 10) + lit(0.0)))
+      .drop("__lr_p")
   }
 
   /** Realized (historical) volatility: the sample standard deviation of
@@ -949,26 +953,37 @@ object Rolling {
     require(n >= 2, s"need a window of >= 2, got $n")
     require(xScale >= 0 && yScale >= 0)
     Guards.requireNoReserved(df.columns,
-      Seq("roll_corr", "roll_beta"), "Rolling.corrBeta")
+      Seq("roll_corr", "roll_beta", "__cb_n", "__cb_sx", "__cb_sy",
+        "__cb_sxx", "__cb_syy", "__cb_sxy"), "Rolling.corrBeta")
     val w = frame(partCols, orderCols, n)
     val xi = round(col(xCol).cast("double") * lit(math.pow(10, xScale))).cast("long")
     val yi = round(col(yCol).cast("double") * lit(math.pow(10, yScale))).cast("long")
-    val cnt = count(when(xi.isNotNull && yi.isNotNull, 1)).over(w)
-    val (sx, sy) = (sum(xi).over(w), sum(yi).over(w))
-    val (sxx, syy, sxy) =
-      (sum(xi * xi).over(w), sum(yi * yi).over(w), sum(xi * yi).over(w))
+    // STAGE the six frame sums as materialized columns: inlining them
+    // into the corr/beta CASE trees makes ExtractWindowExpressions emit
+    // one window aggregate PER REFERENCE (26 sliding buffers instead of
+    // 6 — measured 2× the keyed-window family's scale exponent before
+    // this split). After the split the Window operator evaluates exactly
+    // six aggregates; the closed forms below reference plain attributes,
+    // which CollapseProject can merge freely without re-expansion.
+    val staged = df.select(col("*"),
+      count(when(xi.isNotNull && yi.isNotNull, 1)).over(w).as("__cb_n"),
+      sum(xi).over(w).as("__cb_sx"), sum(yi).over(w).as("__cb_sy"),
+      sum(xi * xi).over(w).as("__cb_sxx"),
+      sum(yi * yi).over(w).as("__cb_syy"),
+      sum(xi * yi).over(w).as("__cb_sxy"))
     val nL = lit(n.toLong)
-    val num = (nL * sxy - sx * sy).cast("double")
-    val dx = (nL * sxx - sx * sx).cast("double")
-    val dy = (nL * syy - sy * sy).cast("double")
-    val full = cnt === n
-    df.select(col("*"),
+    val num = (nL * col("__cb_sxy") - col("__cb_sx") * col("__cb_sy")).cast("double")
+    val dx = (nL * col("__cb_sxx") - col("__cb_sx") * col("__cb_sx")).cast("double")
+    val dy = (nL * col("__cb_syy") - col("__cb_sy") * col("__cb_sy")).cast("double")
+    val full = col("__cb_n") === n
+    staged.select(col("*"),
       when(full && dx > 0.0 && dy > 0.0,
         greatest(lit(-1.0), least(lit(1.0),
           num / (sqrt(dx) * sqrt(dy))))).as("roll_corr"),
       when(full && dx > 0.0,
         (num / dx) * lit(math.pow(10, xScale) / math.pow(10, yScale)))
         .as("roll_beta"))
+      .drop("__cb_n", "__cb_sx", "__cb_sy", "__cb_sxx", "__cb_syy", "__cb_sxy")
   }
 
   /** Whole-series cross-correlation function (CCF) of two columns per
@@ -1869,7 +1884,8 @@ object Rolling {
     require(fast >= 1 && slow > fast,
       s"need slow > fast >= 1, got ($fast, $slow)")
     Guards.requireNoReserved(df.columns,
-      Seq("kama", "__ka_d", "__ka_sc"), "Rolling.kama")
+      Seq("kama", "__ka_d", "__ka_sc", "__ka_l", "__ka_c", "__ka_pn"),
+      "Rolling.kama")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, n)
@@ -1877,21 +1893,28 @@ object Rolling {
     val aF = lit(2.0) / lit(fast + 1.0)
     val aS = lit(2.0) / lit(slow + 1.0)
     val d = abs(x - lag(x, 1).over(seqW))
-    val dir = abs(x - lag(x, n).over(seqW))
-    df.withColumn("__ka_d", d)
-      .withColumn("__ka_sc", {
-        val vol = aggregate(collect_list(col("__ka_d")).over(w),
-          lit(0.0), (a, b) => a + b)
-        val er = when(vol =!= 0.0, dir / vol).otherwise(lit(0.0))
-        val base = er * (aF - aS) + aS
-        // the count guard must wrap the WHOLE sc tree: an unfilled frame
-        // must yield NULL (frozen state), not the er=0 slow-alpha branch
-        when(count(col("__ka_d")).over(w) === n, base * base)
-      })
+    // stage the frame list / count / n-lag once: the inlined er tree
+    // referenced the collected frame TWICE, so the n-row list was built
+    // per row twice (one window expression per reference)
+    val staged = df.withColumn("__ka_d", d)
+      .select(col("*"),
+        collect_list(col("__ka_d")).over(w).as("__ka_l"),
+        count(col("__ka_d")).over(w).as("__ka_c"),
+        lag(x, n).over(seqW).as("__ka_pn"))
+    val sc = {
+      val vol = aggregate(col("__ka_l"), lit(0.0), (a, b) => a + b)
+      val er = when(vol =!= 0.0, abs(x - col("__ka_pn")) / vol)
+        .otherwise(lit(0.0))
+      val base = er * (aF - aS) + aS
+      // the count guard must wrap the WHOLE sc tree: an unfilled frame
+      // must yield NULL (frozen state), not the er=0 slow-alpha branch
+      when(col("__ka_c") === n, base * base)
+    }
+    staged.withColumn("__ka_sc", sc)
       .withColumn("kama",
         graft.functions.FinancialFunctions.varEma(x, col("__ka_sc"))
           .over(seqW))
-      .drop("__ka_d", "__ka_sc")
+      .drop("__ka_d", "__ka_sc", "__ka_l", "__ka_c", "__ka_pn")
   }
 
   /** Drawdown-episode table: one row per maximal run of below-peak bars
@@ -1972,24 +1995,29 @@ object Rolling {
                     base: Double = 1000.0): DataFrame = {
     require(base > 0.0, s"base must be > 0, got $base")
     Guards.requireNoReserved(df.columns,
-      Seq("nvi", "pvi", "__vi_fn", "__vi_fp"), "Rolling.volumeIndexes")
+      Seq("nvi", "pvi", "__vi_fn", "__vi_fp", "__vi_pc", "__vi_pv"),
+      "Rolling.volumeIndexes")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val c = col(closeCol).cast("double")
     val v = col(volCol).cast("double")
-    val pc = lag(c, 1).over(seqW)
-    val pv = lag(v, 1).over(seqW)
+    // stage the two lags once — their inlined references (pc appeared 4×
+    // per factor) each expanded to a separate window expression
+    val staged = df.select(col("*"),
+      lag(c, 1).over(seqW).as("__vi_pc"),
+      lag(v, 1).over(seqW).as("__vi_pv"))
+    val (pc, pv) = (col("__vi_pc"), col("__vi_pv"))
     val ret = (c - pc) / pc
     def factor(cond: Column): Column =
       when(pv.isNotNull && cond && pc.isNotNull && pc =!= 0.0,
         lit(1.0) + ret).otherwise(lit(1.0))
     val rp = graft.functions.FinancialFunctions.runprod(_: Column)
-    df.withColumn("__vi_fn", factor(v < pv))
+    staged.withColumn("__vi_fn", factor(v < pv))
       .withColumn("__vi_fp", factor(v > pv))
       .select(col("*"),
         (lit(base) * rp(col("__vi_fn")).over(seqW)).as("nvi"),
         (lit(base) * rp(col("__vi_fp")).over(seqW)).as("pvi"))
-      .drop("__vi_fn", "__vi_fp")
+      .drop("__vi_fn", "__vi_fp", "__vi_pc", "__vi_pv")
   }
 
   /** Renko brick level (public charting technique): price snapped to a
@@ -2286,7 +2314,8 @@ object Rolling {
     require(n >= 2, s"window must be >= 2, got $n")
     require(annualize > 0.0, s"annualize must be positive, got $annualize")
     Guards.requireNoReserved(df.columns,
-      Seq("roll_sharpe", "__ri", "__c1", "__c2", "__cn"),
+      Seq("roll_sharpe", "__ri", "__c1", "__c2", "__cn",
+        "__rs_p1", "__rs_p2", "__rs_pn"),
       "Rolling.rollingSharpe")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
@@ -2302,18 +2331,23 @@ object Rolling {
         sum(coalesce(col("__ri").cast("decimal(38,0)") * col("__ri"),
           zeroDec)).over(running))
       .withColumn("__cn", count(col("__ri")).over(running))
-    val s1 = (col("__c1") - coalesce(lag(col("__c1"), n).over(seqW), zeroDec))
-      .cast("double")
-    val s2 = (col("__c2") - coalesce(lag(col("__c2"), n).over(seqW), zeroDec))
-      .cast("double")
-    val cnt = col("__cn") - coalesce(lag(col("__cn"), n).over(seqW), lit(0L))
+    // stage the three n-lags once — the mean/variance trees reference
+    // them up to 4× each, and every inlined reference became its own
+    // window expression (14 aggregates instead of 7 before staging)
+    val staged = withCums.select(col("*"),
+      lag(col("__c1"), n).over(seqW).as("__rs_p1"),
+      lag(col("__c2"), n).over(seqW).as("__rs_p2"),
+      lag(col("__cn"), n).over(seqW).as("__rs_pn"))
+    val s1 = (col("__c1") - coalesce(col("__rs_p1"), zeroDec)).cast("double")
+    val s2 = (col("__c2") - coalesce(col("__rs_p2"), zeroDec)).cast("double")
+    val cnt = col("__cn") - coalesce(col("__rs_pn"), lit(0L))
     val mean = s1 / nD
     val variance = s2 / nD - mean * mean
-    withCums
+    staged
       .withColumn("roll_sharpe",
         when(cnt === n && variance > 0.0,
           mean / sqrt(variance) * lit(annualize)))
-      .drop("__ri", "__c1", "__c2", "__cn")
+      .drop("__ri", "__c1", "__c2", "__cn", "__rs_p1", "__rs_p2", "__rs_pn")
   }
 
   /** Hurst exponent per key via rescaled-range (R/S) analysis (Hurst

@@ -201,21 +201,24 @@ object Signals {
                   closeCol: String, positionCol: String,
                   base: Double = 1.0): DataFrame = {
     require(base > 0.0, s"base must be > 0, got $base")
-    Guards.requireNoReserved(df.columns, Seq("equity", "__eq_fac"),
+    Guards.requireNoReserved(df.columns, Seq("equity", "__eq_fac", "__eq_pc"),
       "Signals.equityCurve")
     FinancialFunctions.registerAll(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
     val c = col(closeCol).cast("double")
-    val pc = lag(c, 1).over(w)
+    // stage the lag once: its four inlined references each became their
+    // own window expression (one evaluated lag per reference)
+    val staged = df.select(col("*"), lag(c, 1).over(w).as("__eq_pc"))
+    val pc = col("__eq_pc")
     val pos = col(positionCol).cast("double")
     val factor = when(pos.isNotNull && pos =!= 0.0 &&
         pc.isNotNull && pc =!= 0.0,
       lit(1.0) + pos * ((c - pc) / pc)).otherwise(lit(1.0))
-    df.withColumn("__eq_fac", factor)
+    staged.withColumn("__eq_fac", factor)
       .withColumn("equity",
         lit(base) * FinancialFunctions.runprod(col("__eq_fac")).over(w))
-      .drop("__eq_fac")
+      .drop("__eq_fac", "__eq_pc")
   }
 
   def backtestMaCrossover(df: DataFrame, tickerCol: String,
@@ -226,28 +229,34 @@ object Signals {
       s"need long > short >= 1, got ($shortWindow, $longWindow)")
     require(base > 0.0, s"base must be > 0, got $base")
     Guards.requireNoReserved(df.columns,
-      Seq("position", "equity", "__bt_f", "__bt_s", "__bt_fac"),
+      Seq("position", "equity", "__bt_f", "__bt_s", "__bt_fac",
+        "__bt_pc", "__bt_pf", "__bt_ps"),
       "Signals.backtestMaCrossover")
     FinancialFunctions.registerAll(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(tickerCol)).orderBy(orderCols.map(col): _*)
     val c = col(closeCol).cast("double")
-    val pc = lag(c, 1).over(w)
-    val ret = (c - pc) / pc
+    // stage each lag/SMA once — inlined references each expanded to their
+    // own window expression (pc alone appeared 4×)
     val withMas = df.select(col("*"),
       FinancialFunctions.sma(c, shortWindow).over(w).as("__bt_f"),
-      FinancialFunctions.sma(c, longWindow).over(w).as("__bt_s"))
-    val pf = lag(col("__bt_f"), 1).over(w)
-    val ps = lag(col("__bt_s"), 1).over(w)
+      FinancialFunctions.sma(c, longWindow).over(w).as("__bt_s"),
+      lag(c, 1).over(w).as("__bt_pc"))
+    val staged = withMas.select(col("*"),
+      lag(col("__bt_f"), 1).over(w).as("__bt_pf"),
+      lag(col("__bt_s"), 1).over(w).as("__bt_ps"))
+    val pc = col("__bt_pc")
+    val ret = (c - pc) / pc
+    val (pf, ps) = (col("__bt_pf"), col("__bt_ps"))
     val pos = when(pf.isNotNull && ps.isNotNull && pf > ps, lit(1.0))
       .otherwise(lit(0.0))
     val factor = when(pos === 1.0 && pc.isNotNull && pc =!= 0.0,
       lit(1.0) + ret).otherwise(lit(1.0))
-    withMas
+    staged
       .withColumn("position", pos)
       .withColumn("__bt_fac", factor)
       .withColumn("equity",
         lit(base) * FinancialFunctions.runprod(col("__bt_fac")).over(w))
-      .drop("__bt_f", "__bt_s", "__bt_fac")
+      .drop("__bt_f", "__bt_s", "__bt_fac", "__bt_pc", "__bt_pf", "__bt_ps")
   }
 }

@@ -138,6 +138,13 @@ class PolygonClientSpec extends AnyFunSuite {
       hc.unset("fs.s3a.impl")
       hc.unset("fs.s3a.impl.disable.cache")
       hc.unset("graft.s3astub.root")
+      // the PolygonClient constructor wrote these four into the SHARED
+      // session's hadoopConfiguration — unset them too, or the stub
+      // endpoint/credentials leak into every later test in this JVM
+      hc.unset("fs.s3a.endpoint")
+      hc.unset("fs.s3a.access.key")
+      hc.unset("fs.s3a.secret.key")
+      hc.unset("fs.s3a.path.style.access")
     }
   }
 }
