@@ -100,8 +100,11 @@ class StateEvolutionSpec extends AnyFunSuite {
     val q = StreamingPipeline.indicatorsTws(input.toDS(), windowSize = 3)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (_: org.apache.spark.sql.Dataset[StreamingIndicatorValues],
-                       _: Long) => () }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingIndicatorValues],
+                       _: Long) =>
+        // must materialize every partition or the state stores never commit
+        batch.collect(); ()
+      }
       .start()
     try {
       input.addData(tick("AAPL", 0, 150.0), tick("AAPL", 1, 151.0))
