@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  val Scale = 10
+  /** Replica factor for the scaled corpus. Default 10; override with
+    * GRAFT_PROBE_SCALE (e.g. 30 for the second-decade spot-probes) —
+    * exponents are computed as log_Scale(t_big / t_1x), so 0.5 means the
+    * same thing at any scale. Non-default scales write to
+    * scaleprobe<S>.json so they never clobber the canonical 10× rows. */
+  val Scale: Int = sys.env.get("GRAFT_PROBE_SCALE").map(_.toInt).getOrElse(10)
 
   /** The slowest gate queries per BENCH_r06 (bench_full.json), the ones
     * whose scaling behavior is worth a measured curve. */
@@ -106,7 +111,11 @@ object ScaleProbe {
     // the honest skew case: identical vectors replicated 10× into the
     // same fixed-nlist clusters ⇒ 100× same-cluster pairs by
     // construction, the quadratic VERDICT.md warns about
-    "q_label_prop", "q_kcore", "q_triangles", "q_semantic_dedup")
+    "q_label_prop", "q_kcore", "q_triangles", "q_semantic_dedup",
+    // round-10: the guarded SemDeDup — same x10 skew corpus, but the
+    // maxClusterSize cap (sign-split + id-hash salt) bounds the pair
+    // space; the pair of exponents is the guard's measured effect
+    "q_semantic_dedup_guarded")
 
   private case class Shift(col: String, offset: Long)
 
@@ -189,7 +198,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaledata/x10")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"target/scaledata/x$Scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -229,7 +239,7 @@ object ScaleProbe {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val rows = Probes.filter(n => only.isEmpty || only(n)).flatMap { name =>
       for (t1 <- time(name, baseDir); t10 <- time(name, outDir)) yield {
-        val exp = math.log10(t10 / t1)
+        val exp = math.log(t10 / t1) / math.log(Scale.toDouble)
         println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$exp%.2f}""")
         (name, t1, t10, exp)
       }
@@ -237,7 +247,8 @@ object ScaleProbe {
     // MERGE into any existing results: a GRAFT_PROBE_ONLY run must not
     // clobber the full sweep's entries (one flat k:v JSON level — a
     // regex merge keeps this dependency-free)
-    val outPath = java.nio.file.Paths.get("scaleprobe.json")
+    val outPath = java.nio.file.Paths.get(
+      if (Scale == 10) "scaleprobe.json" else s"scaleprobe$Scale.json")
     val prior: Map[String, String] =
       if (java.nio.file.Files.exists(outPath)) {
         val txt = java.nio.file.Files.readString(outPath)
