@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * The series is the first n lineitem prices in (l_orderkey, l_linenumber)
   * order, pre-materialized (cached + forced) before timing — the analog of
   * criterion timing a query over an already-built in-memory `VALUES` table.
-  * Reported number = rows/sec of the FASTEST of three post-warm-up runs:
+  * Reported number = rows/sec of the FASTEST of five post-warm-up runs:
   * single-shot numbers on this host swing ±2× with the documented ambient
   * interference bursts (NOTES.md), which made round-over-round throughput
   * deltas meaningless (r8→r9 read −42% on sma@100k while the full suite
-  * and every plan were unchanged); min-of-3 discards burst-inflated
-  * samples the same way the per-query suite timing's min-of-two does.
+  * and every plan were unchanged). Min-of-N discards burst-inflated
+  * samples the same way the per-query suite timing's min-of-two does;
+  * measured back-to-back agreement: min-of-3 left 2/15 cells >20% apart,
+  * min-of-5 converges the sub-200ms cells the jitter hits hardest.
   */
 object SizeSweep {
 
@@ -65,7 +67,7 @@ object SizeSweep {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up (codegen + first-touch)
-        val t = Seq(once(), once(), once()).min
+        val t = Seq.fill(5)(once()).min
         series.unpersist(blocking = true)
         sweep()
         s""""$n":${math.round(n / t)}"""
