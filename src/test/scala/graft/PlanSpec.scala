@@ -313,4 +313,34 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"banding must equi-join the chunk buckets:\n$p")
   }
+
+  /** Per-Window-node duplicate window expressions (canonicalized, so
+    * expr-id noise doesn't hide or invent duplicates). A Column val
+    * holding `agg.over(w)` that is INLINED into arithmetic referencing
+    * it N times makes ExtractWindowExpressions emit N separate window
+    * aggregates — for bounded sliding frames each re-folds the frame
+    * per row (round-10: q_logrank carried 36 aggregates where 8
+    * suffice; corrBeta's scale exponent halved when staged). */
+  private def dupWindowExprs(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+    lp.collect { case w: LWindow =>
+      w.windowExpressions
+        .map { case a: Alias => a.child.canonicalized.toString
+               case e => e.canonicalized.toString }
+        .groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => s"${vs.size}x ${k.take(120)}"
+        }
+    }.flatten
+  }
+
+  test("staged operators carry NO duplicated window expressions") {
+    for (q <- Seq("q_rolling_corr", "q_logrank", "q_best_f1", "q_backtest",
+        "q_volume_index", "q_kama", "q_rolling_sharpe", "q_equity_curve",
+        "q_realized_vol", "q_macd_full", "q_indicators_combined")) {
+      val dups = dupWindowExprs(q)
+      assert(dups.isEmpty, s"$q re-evaluates window expressions: $dups")
+    }
+  }
 }
