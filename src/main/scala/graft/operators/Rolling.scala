@@ -54,18 +54,25 @@ object Rolling {
     require(n >= 1, s"window must be >= 1, got $n")
     require(k > 0, s"band width multiplier must be positive, got $k")
     Guards.requireNoReserved(df.columns,
-      Seq("bb_mid", "bb_upper", "bb_lower"), "Rolling.bollinger")
+      Seq("bb_mid", "bb_upper", "bb_lower", "__bb_n", "__bb_m", "__bb_m2"),
+      "Rolling.bollinger")
     val w = frame(partCols, orderCols, n)
     val x = col(valueCol).cast("double")
-    val full = count(x).over(w) === n
-    val mean = avg(x).over(w)
-    val dev = sqrt(avg(x * x).over(w) - mean * mean)
-    // one projection → all window expressions share one Window pass
-    // (chained withColumns would stack Project/Window pairs instead)
-    df.select(col("*"),
+    // stage the three frame aggregates once (one Window pass with three
+    // buffers); inlining them into the three band trees expanded to 12
+    // window expressions — each a separate per-row re-fold of the frame
+    val staged = df.select(col("*"),
+      count(x).over(w).as("__bb_n"),
+      avg(x).over(w).as("__bb_m"),
+      avg(x * x).over(w).as("__bb_m2"))
+    val full = col("__bb_n") === n
+    val mean = col("__bb_m")
+    val dev = sqrt(col("__bb_m2") - mean * mean)
+    staged.select(col("*"),
       when(full, mean).as("bb_mid"),
       when(full, mean + lit(k) * dev).as("bb_upper"),
       when(full, mean - lit(k) * dev).as("bb_lower"))
+      .drop("__bb_n", "__bb_m", "__bb_m2")
   }
 
   /** Stochastic oscillator (Lane's %K/%D, public formula): `%K = 100 ·
@@ -82,15 +89,24 @@ object Rolling {
   def stochastic(df: DataFrame, valueCol: String, partCols: Seq[String],
                  orderCols: Seq[String], n: Int): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
-    Guards.requireNoReserved(df.columns, Seq("pct_k", "pct_d"), "Rolling.stochastic")
+    Guards.requireNoReserved(df.columns,
+      Seq("pct_k", "pct_d", "__st_n", "__st_lo", "__st_hi"),
+      "Rolling.stochastic")
     val w = frame(partCols, orderCols, n)
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("double")
-    val (lo, hi) = (min(x).over(w), max(x).over(w))
-    val k = when(count(x).over(w) === n && hi =!= lo,
+    // stage the frame extremes once — sliding min/max are non-invertible
+    // (full re-fold per row), so each inlined duplicate doubled that work
+    val staged = df.select(col("*"),
+      count(x).over(w).as("__st_n"),
+      min(x).over(w).as("__st_lo"),
+      max(x).over(w).as("__st_hi"))
+    val (lo, hi) = (col("__st_lo"), col("__st_hi"))
+    val k = when(col("__st_n") === n && hi =!= lo,
       lit(100.0) * (x - lo) / (hi - lo))
-    val withK = df.select(col("*"), k.as("pct_k"))
+    val withK = staged.select(col("*"), k.as("pct_k"))
+      .drop("__st_n", "__st_lo", "__st_hi")
     withK.select(col("*"),
       ((col("pct_k") + lag(col("pct_k"), 1).over(seqW)
         + lag(col("pct_k"), 2).over(seqW)) / lit(3.0)).as("pct_d"))
@@ -182,15 +198,21 @@ object Rolling {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
       Seq("di_plus", "di_minus", "adx", "__tr", "__pdm", "__mdm",
-        "__str", "__spdm", "__smdm", "__dx"), "Rolling.adx")
+        "__str", "__spdm", "__smdm", "__dx",
+        "__adx_pc", "__adx_ph", "__adx_pl"), "Rolling.adx")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val (h, l, c) =
       (col(highCol).cast("double"), col(lowCol).cast("double"),
         col(closeCol).cast("double"))
-    val prevC = lag(c, 1).over(seqW)
-    val prevH = lag(h, 1).over(seqW)
-    val prevL = lag(l, 1).over(seqW)
+    // stage the three lags once — the TR/±DM trees referenced each up to
+    // 4×, expanding to 12 lag window expressions
+    val lagged = df.select(col("*"),
+      lag(c, 1).over(seqW).as("__adx_pc"),
+      lag(h, 1).over(seqW).as("__adx_ph"),
+      lag(l, 1).over(seqW).as("__adx_pl"))
+    val (prevC, prevH, prevL) =
+      (col("__adx_pc"), col("__adx_ph"), col("__adx_pl"))
     val tr = when(prevC.isNull, h - l)
       .otherwise(greatest(h - l, abs(h - prevC), abs(l - prevC)))
     val up = h - prevH
@@ -202,8 +224,9 @@ object Rolling {
     val mdm = when(prevL.isNotNull,
       when(down > up && down > lit(0.0), down).otherwise(lit(0.0)))
     val trN = when(prevC.isNotNull, tr) // align TR count with the DM count
-    val smoothed = df
+    val smoothed = lagged
       .withColumn("__tr", trN).withColumn("__pdm", pdm).withColumn("__mdm", mdm)
+      .drop("__adx_pc", "__adx_ph", "__adx_pl")
       .select(col("*"),
         graft.functions.FinancialFunctions.wilder(col("__tr"), n).over(seqW)
           .as("__str"),
@@ -402,18 +425,25 @@ object Rolling {
                stochN: Int = 14): DataFrame = {
     require(rsiN >= 1 && stochN >= 1)
     Guards.requireNoReserved(df.columns,
-      Seq("stoch_rsi", "__srsi"), "Rolling.stochRsi")
+      Seq("stoch_rsi", "__srsi", "__sr_n", "__sr_lo", "__sr_hi"),
+      "Rolling.stochRsi")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, stochN)
+    // stage the frame extremes once (sliding min/max re-fold per row —
+    // inlined duplicates doubled the fold)
     df.withColumn("__srsi", graft.functions.FinancialFunctions
         .rsi(col(valueCol).cast("double"), rsiN).over(seqW))
+      .select(col("*"),
+        count(col("__srsi")).over(w).as("__sr_n"),
+        min(col("__srsi")).over(w).as("__sr_lo"),
+        max(col("__srsi")).over(w).as("__sr_hi"))
       .select(col("*"), {
-        val (lo, hi) = (min(col("__srsi")).over(w), max(col("__srsi")).over(w))
-        when(count(col("__srsi")).over(w) === stochN && hi =!= lo,
+        val (lo, hi) = (col("__sr_lo"), col("__sr_hi"))
+        when(col("__sr_n") === stochN && hi =!= lo,
           (col("__srsi") - lo) / (hi - lo)).as("stoch_rsi")
       })
-      .drop("__srsi")
+      .drop("__srsi", "__sr_n", "__sr_lo", "__sr_hi")
   }
 
   /** True Strength Index (Blau 1991, public formula): double-smoothed
@@ -786,15 +816,23 @@ object Rolling {
                orderCols: Seq[String], n: Int): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
-      Seq("dc_upper", "dc_lower", "dc_mid"), "Rolling.donchian")
+      Seq("dc_upper", "dc_lower", "dc_mid", "__dc_n", "__dc_hi", "__dc_lo"),
+      "Rolling.donchian")
     val w = frame(partCols, orderCols, n)
     val x = col(valueCol).cast("double")
-    val full = count(x).over(w) === n
-    val (hi, lo) = (max(x).over(w), min(x).over(w))
-    df.select(col("*"),
+    // stage the frame extremes once (sliding min/max re-fold per row —
+    // inlined duplicates tripled the count and doubled each extreme)
+    val staged = df.select(col("*"),
+      count(x).over(w).as("__dc_n"),
+      max(x).over(w).as("__dc_hi"),
+      min(x).over(w).as("__dc_lo"))
+    val full = col("__dc_n") === n
+    val (hi, lo) = (col("__dc_hi"), col("__dc_lo"))
+    staged.select(col("*"),
       when(full, hi).as("dc_upper"),
       when(full, lo).as("dc_lower"),
       when(full, (hi + lo) / lit(2.0)).as("dc_mid"))
+      .drop("__dc_n", "__dc_hi", "__dc_lo")
   }
 
   /** Williams %R (Larry Williams' oscillator, public formula):
@@ -805,13 +843,20 @@ object Rolling {
   def williamsR(df: DataFrame, valueCol: String, partCols: Seq[String],
                 orderCols: Seq[String], n: Int): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
-    Guards.requireNoReserved(df.columns, Seq("will_r"), "Rolling.williamsR")
+    Guards.requireNoReserved(df.columns,
+      Seq("will_r", "__wr_n", "__wr_lo", "__wr_hi"), "Rolling.williamsR")
     val w = frame(partCols, orderCols, n)
     val x = col(valueCol).cast("double")
-    val (lo, hi) = (min(x).over(w), max(x).over(w))
-    df.withColumn("will_r",
-      when(count(x).over(w) === n && hi =!= lo,
+    // stage the frame extremes once (hi appeared 3×, each a re-fold)
+    val staged = df.select(col("*"),
+      count(x).over(w).as("__wr_n"),
+      min(x).over(w).as("__wr_lo"),
+      max(x).over(w).as("__wr_hi"))
+    val (lo, hi) = (col("__wr_lo"), col("__wr_hi"))
+    staged.withColumn("will_r",
+      when(col("__wr_n") === n && hi =!= lo,
         lit(-100.0) * (hi - x) / (hi - lo)))
+      .drop("__wr_n", "__wr_lo", "__wr_hi")
   }
 
   /** Running drawdown: `peak` = running max of the series, `drawdown` =
@@ -1145,7 +1190,9 @@ object Rolling {
     require(n >= 1, s"window must be >= 1, got $n")
     require(scale >= 0)
     Guards.requireNoReserved(df.columns,
-      Seq("vi_plus", "vi_minus", "__vmp", "__vmm", "__tr"), "Rolling.vortex")
+      Seq("vi_plus", "vi_minus", "__vmp", "__vmm", "__tr",
+        "__vx_n", "__vx_str", "__vx_svp", "__vx_svm",
+        "__vx_ph", "__vx_pl", "__vx_pc"), "Rolling.vortex")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, n)
@@ -1153,8 +1200,13 @@ object Rolling {
     def q(c: Column) = round(c * k).cast("long")
     val (h, l, c) = (col(highCol).cast("double"), col(lowCol).cast("double"),
       col(closeCol).cast("double"))
+    // stage the three lags once (prevC appeared 3×, prevH/prevL 2× each)
+    val lagged = df.select(col("*"),
+      lag(h, 1).over(seqW).as("__vx_ph"),
+      lag(l, 1).over(seqW).as("__vx_pl"),
+      lag(c, 1).over(seqW).as("__vx_pc"))
     val (prevH, prevL, prevC) =
-      (lag(h, 1).over(seqW), lag(l, 1).over(seqW), lag(c, 1).over(seqW))
+      (col("__vx_ph"), col("__vx_pl"), col("__vx_pc"))
     // NULL on the first bar (no prior), so the frame-count gate needs n
     // TRUE inter-bar terms — never a zero-padded warm-up
     val vmp = when(prevL.isNotNull, q(abs(h - prevL)))
@@ -1162,16 +1214,24 @@ object Rolling {
     val tr = when(prevC.isNotNull,
       q(greatest(h, prevC) - least(l, prevC)))
     // lag exprs must bind before the frame sums can see them (same
-    // projection split as atr)
-    df.withColumn("__vmp", vmp).withColumn("__vmm", vmm).withColumn("__tr", tr)
+    // projection split as atr); the frame sums then stage ONCE — the TR
+    // sum appeared 4×, each a separate per-row re-fold of the frame
+    lagged.withColumn("__vmp", vmp).withColumn("__vmm", vmm)
+      .withColumn("__tr", tr)
+      .drop("__vx_ph", "__vx_pl", "__vx_pc")
       .select(col("*"),
-        when(count(col("__tr")).over(w) === n && sum(col("__tr")).over(w) =!= 0L,
-          sum(col("__vmp")).over(w).cast("double") /
-            sum(col("__tr")).over(w).cast("double")).as("vi_plus"),
-        when(count(col("__tr")).over(w) === n && sum(col("__tr")).over(w) =!= 0L,
-          sum(col("__vmm")).over(w).cast("double") /
-            sum(col("__tr")).over(w).cast("double")).as("vi_minus"))
-      .drop("__vmp", "__vmm", "__tr")
+        count(col("__tr")).over(w).as("__vx_n"),
+        sum(col("__tr")).over(w).as("__vx_str"),
+        sum(col("__vmp")).over(w).as("__vx_svp"),
+        sum(col("__vmm")).over(w).as("__vx_svm"))
+      .select(col("*"),
+        when(col("__vx_n") === n && col("__vx_str") =!= 0L,
+          col("__vx_svp").cast("double") /
+            col("__vx_str").cast("double")).as("vi_plus"),
+        when(col("__vx_n") === n && col("__vx_str") =!= 0L,
+          col("__vx_svm").cast("double") /
+            col("__vx_str").cast("double")).as("vi_minus"))
+      .drop("__vmp", "__vmm", "__tr", "__vx_n", "__vx_str", "__vx_svp", "__vx_svm")
   }
 
   /** Chande Momentum Oscillator (Chande 1994, public formula):
@@ -1189,27 +1249,39 @@ object Rolling {
     require(n >= 1, s"window must be >= 1, got $n")
     require(scale >= 0)
     Guards.requireNoReserved(df.columns,
-      Seq("cmo", "__up", "__dn"), "Rolling.cmo")
+      Seq("cmo", "__up", "__dn", "__cm_d", "__cm_n", "__cm_su", "__cm_sd"),
+      "Rolling.cmo")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, n)
     val k = lit(math.pow(10, scale))
     val x = col(valueCol).cast("double")
-    val d = x - lag(x, 1).over(seqW)
+    // stage the diff once — it feeds both the up and the down branch
+    // (the inlined form expanded the lag to four window expressions)
+    val staged = df.select(col("*"),
+      (x - lag(x, 1).over(seqW)).as("__cm_d"))
+    val d = col("__cm_d")
     // greatest() skips NULLs (greatest(NULL, 0) = 0), which would smuggle a
     // zero move into each key's first row — gate on the diff explicitly so
     // the frame-count warm-up counts only TRUE moves
     val up = when(d.isNotNull, round(greatest(d, lit(0.0)) * k).cast("long"))
     val dn = when(d.isNotNull, round(greatest(-d, lit(0.0)) * k).cast("long"))
-    df.withColumn("__up", up).withColumn("__dn", dn)
+    // stage the two frame sums once — each appeared 3× (a separate
+    // per-row re-fold of the sliding frame per reference)
+    staged.withColumn("__up", up).withColumn("__dn", dn)
+      .drop("__cm_d")
       .select(col("*"),
-        when(count(col("__up")).over(w) === n &&
-            (sum(col("__up")).over(w) + sum(col("__dn")).over(w)) =!= 0L,
+        count(col("__up")).over(w).as("__cm_n"),
+        sum(col("__up")).over(w).as("__cm_su"),
+        sum(col("__dn")).over(w).as("__cm_sd"))
+      .select(col("*"),
+        when(col("__cm_n") === n &&
+            (col("__cm_su") + col("__cm_sd")) =!= 0L,
           lit(100.0) *
-            (sum(col("__up")).over(w) - sum(col("__dn")).over(w)).cast("double") /
-            (sum(col("__up")).over(w) + sum(col("__dn")).over(w)).cast("double"))
+            (col("__cm_su") - col("__cm_sd")).cast("double") /
+            (col("__cm_su") + col("__cm_sd")).cast("double"))
           .as("cmo"))
-      .drop("__up", "__dn")
+      .drop("__up", "__dn", "__cm_n", "__cm_su", "__cm_sd")
   }
 
   /** Ultimate Oscillator (Williams 1976, public formula): buying pressure
@@ -1233,33 +1305,45 @@ object Rolling {
       s"horizons must ascend: got ($n1, $n2, $n3)")
     require(scale >= 0)
     Guards.requireNoReserved(df.columns,
-      Seq("ultimate", "__bp", "__tr"), "Rolling.ultimateOscillator")
+      Seq("ultimate", "__bp", "__tr", "__uo_pc", "__uo_n",
+        "__uo_b1", "__uo_b2", "__uo_b3", "__uo_t1", "__uo_t2", "__uo_t3"),
+      "Rolling.ultimateOscillator")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val k = lit(math.pow(10, scale))
     val (h, l, c) = (col(highCol).cast("double"), col(lowCol).cast("double"),
       col(closeCol).cast("double"))
-    val prevC = lag(c, 1).over(seqW)
+    // stage the prev-close lag once — the BP and TR trees referenced it
+    // 5× combined, expanding to five lag window expressions
+    val lagged = df.select(col("*"), lag(c, 1).over(seqW).as("__uo_pc"))
+    val prevC = col("__uo_pc")
     val bp = when(prevC.isNotNull, round((c - least(l, prevC)) * k).cast("long"))
     val tr = when(prevC.isNotNull,
       round((greatest(h, prevC) - least(l, prevC)) * k).cast("long"))
-    val bound = df.withColumn("__bp", bp).withColumn("__tr", tr)
-    def ratio(n: Int): Column = {
-      val w = frame(partCols, orderCols, n)
-      sum(col("__bp")).over(w).cast("double") /
-        sum(col("__tr")).over(w).cast("double")
-    }
-    def trOk(n: Int): Column = {
-      val w = frame(partCols, orderCols, n)
-      sum(col("__tr")).over(w) =!= 0L
-    }
+    val bound = lagged.withColumn("__bp", bp).withColumn("__tr", tr)
+      .drop("__uo_pc")
+    // stage the seven frame aggregates once (per horizon: ΣBP and ΣTR;
+    // each ΣTR appeared twice — its zero guard plus the ratio — and each
+    // duplicate re-folded its sliding frame per row)
     val fullW = frame(partCols, orderCols, n3)
-    bound.select(col("*"),
-        when(count(col("__tr")).over(fullW) === n3 &&
-            trOk(n1) && trOk(n2) && trOk(n3),
-          lit(100.0) * (lit(4.0) * ratio(n1) + lit(2.0) * ratio(n2) +
-            ratio(n3)) / lit(7.0)).as("ultimate"))
-      .drop("__bp", "__tr")
+    val staged = bound.select(col("*"),
+      count(col("__tr")).over(fullW).as("__uo_n"),
+      sum(col("__bp")).over(frame(partCols, orderCols, n1)).as("__uo_b1"),
+      sum(col("__bp")).over(frame(partCols, orderCols, n2)).as("__uo_b2"),
+      sum(col("__bp")).over(fullW).as("__uo_b3"),
+      sum(col("__tr")).over(frame(partCols, orderCols, n1)).as("__uo_t1"),
+      sum(col("__tr")).over(frame(partCols, orderCols, n2)).as("__uo_t2"),
+      sum(col("__tr")).over(fullW).as("__uo_t3"))
+    def ratio(i: Int): Column =
+      col(s"__uo_b$i").cast("double") / col(s"__uo_t$i").cast("double")
+    staged.select(col("*"),
+        when(col("__uo_n") === n3 &&
+            col("__uo_t1") =!= 0L && col("__uo_t2") =!= 0L &&
+            col("__uo_t3") =!= 0L,
+          lit(100.0) * (lit(4.0) * ratio(1) + lit(2.0) * ratio(2) +
+            ratio(3)) / lit(7.0)).as("ultimate"))
+      .drop("__bp", "__tr", "__uo_n",
+        "__uo_b1", "__uo_b2", "__uo_b3", "__uo_t1", "__uo_t2", "__uo_t3")
   }
 
   /** Detrended Price Oscillator (public formula): the price's distance
@@ -1304,21 +1388,26 @@ object Rolling {
                   closeCol: String, partCols: Seq[String],
                   orderCols: Seq[String]): DataFrame = {
     Guards.requireNoReserved(df.columns,
-      Seq("pp", "r1", "s1", "r2", "s2"), "Rolling.pivotPoints")
+      Seq("pp", "r1", "s1", "r2", "s2", "__pv_h", "__pv_l", "__pv_c"),
+      "Rolling.pivotPoints")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val ph = lag(col(highCol).cast("double"), 1).over(seqW)
-    val pl = lag(col(lowCol).cast("double"), 1).over(seqW)
-    val pc = lag(col(closeCol).cast("double"), 1).over(seqW)
+    // stage the three lags once — inlining them through pp's tree into
+    // all five outputs expanded to 21 window expressions; the staged
+    // values are the identical doubles, so every level is bit-identical
+    val staged = df.select(col("*"),
+      lag(col(highCol).cast("double"), 1).over(seqW).as("__pv_h"),
+      lag(col(lowCol).cast("double"), 1).over(seqW).as("__pv_l"),
+      lag(col(closeCol).cast("double"), 1).over(seqW).as("__pv_c"))
+    val (ph, pl, pc) = (col("__pv_h"), col("__pv_l"), col("__pv_c"))
     val pp = (ph + pl + pc) / lit(3.0)
-    // one projection → all five share one Window pass; pp's tree is
-    // inlined into each output (same fixed tree, so bit-identical)
-    df.select(col("*"),
+    staged.select(col("*"),
       pp.as("pp"),
       (lit(2.0) * pp - pl).as("r1"),
       (lit(2.0) * pp - ph).as("s1"),
       (pp + (ph - pl)).as("r2"),
       (pp - (ph - pl)).as("s2"))
+      .drop("__pv_h", "__pv_l", "__pv_c")
   }
 
   /** Heikin-Ashi bar smoothing (public Japanese candlestick technique):
@@ -1644,18 +1733,23 @@ object Rolling {
     require(rocPeriods.length == 4 && smaPeriods.length == 4,
       "kst takes exactly four (roc, sma) branch periods")
     require((rocPeriods ++ smaPeriods).forall(_ >= 1))
-    val internals = (1 to 4).flatMap(i => Seq(s"__roc$i", s"__s$i"))
+    val internals = (1 to 4).flatMap(i =>
+      Seq(s"__roc$i", s"__s$i", s"__kb$i"))
     Guards.requireNoReserved(df.columns, "kst" +: internals,
       "Rolling.kst")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("double")
     def fold(lst: Column): Column = aggregate(lst, lit(0.0), (a, b) => a + b)
-    val withRocs = df.select(col("*") +: rocPeriods.zipWithIndex.map {
-      case (p, i) =>
-        val base = lag(x, p).over(seqW)
-        when(base.isNotNull && base =!= 0.0,
-          lit(100.0) * (x - base) / base).as(s"__roc${i + 1}")
+    // stage the four ROC base lags once (each was referenced 3× in its
+    // ROC tree — 12 lag window expressions before the split)
+    val lagged = df.select(col("*") +: rocPeriods.zipWithIndex.map {
+      case (p, i) => lag(x, p).over(seqW).as(s"__kb${i + 1}")
+    }: _*)
+    val withRocs = lagged.select(col("*") +: (1 to 4).map { i =>
+      val base = col(s"__kb$i")
+      when(base.isNotNull && base =!= 0.0,
+        lit(100.0) * (x - base) / base).as(s"__roc$i")
     }: _*)
     val withSmas = withRocs.select(col("*") +: smaPeriods.zipWithIndex.map {
       case (m, i) =>
@@ -1683,16 +1777,22 @@ object Rolling {
               roc2: Int = 11): DataFrame = {
     require(wmaN >= 1 && roc1 >= 1 && roc2 >= 1)
     Guards.requireNoReserved(df.columns,
-      Seq("coppock", "__rsum", "__rl"), "Rolling.coppock")
+      Seq("coppock", "__rsum", "__rl", "__cop_b1", "__cop_b2"),
+      "Rolling.coppock")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, wmaN)
     val x = col(valueCol).cast("double")
-    def roc(p: Int): Column = {
-      val base = lag(x, p).over(seqW)
+    // stage the two ROC base lags once (each was referenced 3× in its
+    // ROC tree — six window expressions for two lags)
+    val lagged = df.select(col("*"),
+      lag(x, roc1).over(seqW).as("__cop_b1"),
+      lag(x, roc2).over(seqW).as("__cop_b2"))
+    def roc(base: Column): Column =
       when(base.isNotNull && base =!= 0.0, lit(100.0) * (x - base) / base)
-    }
-    df.withColumn("__rsum", roc(roc1) + roc(roc2))
+    lagged
+      .withColumn("__rsum", roc(col("__cop_b1")) + roc(col("__cop_b2")))
+      .drop("__cop_b1", "__cop_b2")
       .withColumn("__rl",
         when(count(col("__rsum")).over(w) === wmaN,
           collect_list(col("__rsum")).over(w)))
@@ -1718,7 +1818,8 @@ object Rolling {
            priceScale: Int = 2, volScale: Int = 0): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     require(priceScale >= 0 && volScale >= 0)
-    Guards.requireNoReserved(df.columns, Seq("vwap"), "Rolling.vwap")
+    Guards.requireNoReserved(df.columns,
+      Seq("vwap", "__vw_n", "__vw_sv", "__vw_spv"), "Rolling.vwap")
     val w = frame(partCols, orderCols, n)
     val pInt = round(col(priceCol).cast("double") * lit(math.pow(10, priceScale)))
       .cast("long")
@@ -1728,10 +1829,17 @@ object Rolling {
     // A full frame whose TOTAL scaled volume is zero has no defined VWAP;
     // guard it explicitly so the NULL is an intentional contract (frame
     // not full, or zero volume) rather than Spark's silent ÷0→NULL.
-    df.withColumn("vwap",
-      when(count(pv).over(w) === n && sum(vInt).over(w) =!= 0L,
-        sum(pv).over(w).cast("double") /
-          (lit(math.pow(10, priceScale)) * sum(vInt).over(w).cast("double"))))
+    // The three frame sums are staged once (the volume sum appeared
+    // twice — one extra sliding re-fold per row inlined).
+    val staged = df.select(col("*"),
+      count(pv).over(w).as("__vw_n"),
+      sum(vInt).over(w).as("__vw_sv"),
+      sum(pv).over(w).as("__vw_spv"))
+    staged.withColumn("vwap",
+      when(col("__vw_n") === n && col("__vw_sv") =!= 0L,
+        col("__vw_spv").cast("double") /
+          (lit(math.pow(10, priceScale)) * col("__vw_sv").cast("double"))))
+      .drop("__vw_n", "__vw_sv", "__vw_spv")
   }
 
   /** Accumulation/Distribution Line (Chaikin, public formula): the
@@ -1809,13 +1917,20 @@ object Rolling {
                  orderCols: Seq[String], n: Int = 14): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
-      Seq("ulcer", "__ui_dd", "__ui_l"), "Rolling.ulcerIndex")
+      Seq("ulcer", "__ui_dd", "__ui_l", "__ui_n", "__ui_mx"),
+      "Rolling.ulcerIndex")
     val w = frame(partCols, orderCols, n)
     val x = col(valueCol).cast("double")
-    val mx = max(x).over(w)
-    val dd = when(count(x).over(w) === n && mx > 0.0,
+    // stage the frame max once (it appeared 3× — sliding max re-folds
+    // the frame per row)
+    val staged = df.select(col("*"),
+      count(x).over(w).as("__ui_n"),
+      max(x).over(w).as("__ui_mx"))
+    val mx = col("__ui_mx")
+    val dd = when(col("__ui_n") === n && mx > 0.0,
       lit(100.0) * (x - mx) / mx)
-    df.withColumn("__ui_dd", dd)
+    staged.withColumn("__ui_dd", dd)
+      .drop("__ui_n", "__ui_mx")
       .withColumn("__ui_l",
         when(count(col("__ui_dd")).over(w) === n,
           collect_list(col("__ui_dd") * col("__ui_dd")).over(w)))

@@ -147,7 +147,8 @@ object Signals {
     require(dojiBodyMax > 0.0 && dojiBodyMax < 1.0,
       s"dojiBodyMax must be in (0,1), got $dojiBodyMax")
     Guards.requireNoReserved(df.columns,
-      Seq("doji", "hammer", "bullish_engulfing", "bearish_engulfing"),
+      Seq("doji", "hammer", "bullish_engulfing", "bearish_engulfing",
+        "__cp_po", "__cp_pc"),
       "Signals.candlePatterns")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partCols.map(col): _*)
@@ -158,9 +159,13 @@ object Signals {
     val range = h - l
     val upper = h - greatest(o, c)
     val lower = least(o, c) - l
-    val po = lag(o, 1).over(w)
-    val pc = lag(c, 1).over(w)
-    df
+    // stage the two lags once — each engulfing tree referenced them 3×,
+    // expanding to six window expressions
+    val staged = df.select(col("*"),
+      lag(o, 1).over(w).as("__cp_po"),
+      lag(c, 1).over(w).as("__cp_pc"))
+    val (po, pc) = (col("__cp_po"), col("__cp_pc"))
+    staged
       .withColumn("doji", range > 0.0 && body <= lit(dojiBodyMax) * range)
       .withColumn("hammer",
         range > 0.0 && body > 0.0 && lower >= lit(2.0) * body && upper <= body)
@@ -168,6 +173,7 @@ object Signals {
         po.isNotNull && pc < po && c > o && o < pc && c > po)
       .withColumn("bearish_engulfing",
         po.isNotNull && pc > po && c < o && o > pc && c < po)
+      .drop("__cp_po", "__cp_pc")
   }
 
   /** Vectorized long/flat MA-crossover backtest: the equity curve of

@@ -338,7 +338,10 @@ class PlanSpec extends AnyFunSuite {
   test("staged operators carry NO duplicated window expressions") {
     for (q <- Seq("q_rolling_corr", "q_logrank", "q_best_f1", "q_backtest",
         "q_volume_index", "q_kama", "q_rolling_sharpe", "q_equity_curve",
-        "q_realized_vol", "q_macd_full", "q_indicators_combined")) {
+        "q_realized_vol", "q_macd_full", "q_indicators_combined",
+        "q_bollinger", "q_stochastic", "q_stoch_rsi", "q_donchian",
+        "q_williams_r", "q_vwap", "q_ulcer", "q_candles", "q_pivot_points",
+        "q_adx", "q_vortex", "q_cmo", "q_ultimate", "q_kst", "q_coppock")) {
       val dups = dupWindowExprs(q)
       assert(dups.isEmpty, s"$q re-evaluates window expressions: $dups")
     }
