@@ -222,7 +222,8 @@ object Anomaly {
     require(slack >= 0, s"slack must be >= 0, got $slack")
     require(scale >= 0, s"scale must be >= 0, got $scale")
     Guards.requireNoReserved(df.columns,
-      Seq("cusum_hi", "cusum_lo", "is_shift", "__chi", "__clo"), "cusum")
+      Seq("cusum_hi", "cusum_lo", "is_shift", "__chi", "__clo",
+        "__mhi", "__mlo"), "cusum")
     val pow = math.pow(10, scale)
     val xInt = round(col(valueCol).cast("double") * lit(pow)).cast("long")
     val tInt = math.round(target * pow)
@@ -238,13 +239,17 @@ object Anomaly {
     val cummed = df
       .withColumn("__chi", sum(xInt - lit(tInt + kInt)).over(w))
       .withColumn("__clo", sum(lit(tInt - kInt) - xInt).over(w))
-    val sHi = col("__chi") - least(lit(0L), min(col("__chi")).over(w))
-    val sLo = col("__clo") - least(lit(0L), min(col("__clo")).over(w))
+      // stage the running mins once — sHi/sLo are each referenced twice
+      // (output + shift flag), which doubled the min window expressions
+      .withColumn("__mhi", min(col("__chi")).over(w))
+      .withColumn("__mlo", min(col("__clo")).over(w))
+    val sHi = col("__chi") - least(lit(0L), col("__mhi"))
+    val sLo = col("__clo") - least(lit(0L), col("__mlo"))
     cummed
       .withColumn("cusum_hi", sHi.cast("double") / lit(pow))
       .withColumn("cusum_lo", sLo.cast("double") / lit(pow))
       .withColumn("is_shift", sHi >= lit(hInt) || sLo >= lit(hInt))
-      .drop("__chi", "__clo")
+      .drop("__chi", "__clo", "__mhi", "__mlo")
   }
 
   /** Median/MAD robust outlier screen: flag rows whose modified z-score

@@ -129,20 +129,23 @@ object Rolling {
           partCols: Seq[String], orderCols: Seq[String],
           volScale: Int = 0): DataFrame = {
     require(volScale >= 0)
-    Guards.requireNoReserved(df.columns, Seq("obv"), "Rolling.obv")
+    Guards.requireNoReserved(df.columns, Seq("obv", "__obv_pp"), "Rolling.obv")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val running = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = col(priceCol).cast("double")
     val vInt = round(col(volCol).cast("double") * lit(math.pow(10, volScale)))
       .cast("long")
-    val prev = lag(p, 1).over(seqW)
+    // stage the lag once — the sign tree referenced it 3×
+    val prev = col("__obv_pp")
     val signed = when(prev.isNull, lit(0L))
       .when(p > prev, vInt)
       .when(p < prev, -vInt)
       .otherwise(lit(0L))
-    df.withColumn("obv",
-      sum(signed).over(running).cast("double") / lit(math.pow(10, volScale)))
+    df.withColumn("__obv_pp", lag(p, 1).over(seqW))
+      .withColumn("obv",
+        sum(signed).over(running).cast("double") / lit(math.pow(10, volScale)))
+      .drop("__obv_pp")
   }
 
   /** Average true range (Wilder's volatility gauge, SMA form — public
@@ -159,23 +162,27 @@ object Rolling {
   def atr(df: DataFrame, highCol: String, lowCol: String, closeCol: String,
           partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
-    Guards.requireNoReserved(df.columns, Seq("atr", "graft_tr"), "Rolling.atr")
+    Guards.requireNoReserved(df.columns,
+      Seq("atr", "graft_tr", "__atr_pc"), "Rolling.atr")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, n)
     val (h, l, c) =
       (col(highCol).cast("double"), col(lowCol).cast("double"),
         col(closeCol).cast("double"))
-    val prevC = lag(c, 1).over(seqW)
+    // stage the lag once — the TR tree referenced it 3×, each a separate
+    // window expression after ExtractWindowExpressions
+    val prevC = col("__atr_pc")
     val tr = when(prevC.isNull, h - l)
       .otherwise(greatest(h - l, abs(h - prevC), abs(l - prevC)))
     // TR must be bound in its own projection: the trailing avg's frame
     // cannot see a lag() computed in the same Window pass
-    df.withColumn("graft_tr", tr)
+    df.withColumn("__atr_pc", lag(c, 1).over(seqW))
+      .withColumn("graft_tr", tr)
       .select(col("*"),
         when(count(col("graft_tr")).over(w) === n,
           avg(col("graft_tr")).over(w)).as("atr"))
-      .drop("graft_tr")
+      .drop("graft_tr", "__atr_pc")
   }
 
   /** Average Directional Index (Wilder's trend-strength oscillator,
@@ -503,16 +510,19 @@ object Rolling {
     require(rsiN >= 1 && streakN >= 1 && rankN >= 1)
     Guards.requireNoReserved(df.columns,
       Seq("streak", "pct_rank", "crsi", "__d", "__rn", "__rnd", "__isl",
-        "__pos", "__ret", "__rl", "__r3", "__rs"), "Rolling.connorsRsi")
+        "__pos", "__ret", "__rl", "__r3", "__rs", "__prev"),
+      "Rolling.connorsRsi")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     def keyedW(extra: String*) =
       Window.partitionBy((partCols ++ extra).map(col): _*)
         .orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("double")
-    val prev = lag(x, 1).over(seqW)
+    // stage the lag once — __d and __ret referenced it 5× combined
+    val prev = col("__prev")
     val rankW = seqW.rowsBetween(-rankN, -1)
-    df.withColumn("__d",
+    df.withColumn("__prev", lag(x, 1).over(seqW))
+      .withColumn("__d",
         when(prev.isNull, lit(0)).otherwise(signum(x - prev).cast("int")))
       .withColumn("__ret",
         when(prev.isNotNull && prev > 0.0 && x > 0.0,
@@ -536,7 +546,7 @@ object Rolling {
       .withColumn("crsi",
         (col("__r3") + col("__rs") + col("pct_rank")) / lit(3.0))
       .drop("__d", "__rn", "__rnd", "__isl", "__pos", "__ret", "__rl",
-        "__r3", "__rs")
+        "__r3", "__rs", "__prev")
   }
 
   /** Rolling historical Value-at-Risk and Expected Shortfall over the
@@ -635,7 +645,8 @@ object Rolling {
           n: Int): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
-      Seq("mfi", "__tp", "__flow", "__flows", "__pos", "__neg"), "Rolling.mfi")
+      Seq("mfi", "__tp", "__ptp", "__flow", "__flows", "__pos", "__neg"),
+      "Rolling.mfi")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val (h, l, c, v) = (col(highCol).cast("double"), col(lowCol).cast("double"),
@@ -644,7 +655,9 @@ object Rolling {
              term: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       aggregate(transform(lst, term), lit(0.0), (acc, x) => acc + x)
     val bound = df.withColumn("__tp", (h + l + c) / lit(3.0))
-    val prevTp = lag(col("__tp"), 1).over(seqW)
+      // stage the lag once — the flow tree referenced it 3×
+      .withColumn("__ptp", lag(col("__tp"), 1).over(seqW))
+    val prevTp = col("__ptp")
     // signed flow: rise → +tp·v, fall → −tp·v, flat → 0 (still a flow-
     // defined bar); NULL only where no previous bar exists
     val flow = when(prevTp.isNotNull,
@@ -665,7 +678,7 @@ object Rolling {
         when(col("__neg") === lit(0.0), when(col("__pos").isNotNull, lit(100.0)))
           .otherwise(lit(100.0) -
             lit(100.0) / (lit(1.0) + col("__pos") / col("__neg"))))
-      .drop("__tp", "__flow", "__flows", "__pos", "__neg")
+      .drop("__tp", "__ptp", "__flow", "__flows", "__pos", "__neg")
   }
 
   /** Commodity Channel Index (public formula):
@@ -799,13 +812,16 @@ object Rolling {
   def roc(df: DataFrame, valueCol: String, partCols: Seq[String],
           orderCols: Seq[String], n: Int): DataFrame = {
     require(n >= 1, s"lookback must be >= 1, got $n")
-    Guards.requireNoReserved(df.columns, Seq("roc"), "Rolling.roc")
+    Guards.requireNoReserved(df.columns, Seq("roc", "__roc_b"), "Rolling.roc")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val x = col(valueCol).cast("double")
-    val base = lag(x, n).over(seqW)
-    df.withColumn("roc",
-      when(base.isNotNull && base =!= 0.0, lit(100.0) * (x - base) / base))
+    // stage the lag once — the percentage tree referenced it 4×
+    val base = col("__roc_b")
+    df.withColumn("__roc_b", lag(x, n).over(seqW))
+      .withColumn("roc",
+        when(base.isNotNull && base =!= 0.0, lit(100.0) * (x - base) / base))
+      .drop("__roc_b")
   }
 
   /** Donchian channel (Donchian's breakout envelope, public formula):
@@ -870,10 +886,10 @@ object Rolling {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = col(valueCol).cast("double")
-    val peak = max(x).over(running)
-    df.select(col("*"),
-      peak.as("peak"),
-      when(peak =!= 0.0, (x - peak) / peak).as("drawdown"))
+    // stage the running max once — the drawdown tree referenced it 4×
+    val peak = col("peak")
+    df.withColumn("peak", max(x).over(running))
+      .withColumn("drawdown", when(peak =!= 0.0, (x - peak) / peak))
   }
 
   /** Drawdown duration ("time under water"): rows since the running peak
@@ -1488,18 +1504,20 @@ object Rolling {
            orderCols: Seq[String], n: Int = 15): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
-      Seq("trix", "__e1", "__e2", "__e3"), "Rolling.trix")
+      Seq("trix", "__e1", "__e2", "__e3", "__pe3"), "Rolling.trix")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val ema = graft.functions.FinancialFunctions.ema(_: Column, n)
-    val prev = lag(col("__e3"), 1).over(seqW)
+    // stage the lag once — the percentage tree referenced it 4×
+    val prev = col("__pe3")
     df.withColumn("__e1", ema(col(valueCol).cast("double")).over(seqW))
       .withColumn("__e2", ema(col("__e1")).over(seqW))
       .withColumn("__e3", ema(col("__e2")).over(seqW))
+      .withColumn("__pe3", lag(col("__e3"), 1).over(seqW))
       .withColumn("trix",
         when(prev.isNotNull && prev =!= 0.0,
           lit(100.0) * (col("__e3") - prev) / prev))
-      .drop("__e1", "__e2", "__e3")
+      .drop("__e1", "__e2", "__e3", "__pe3")
   }
 
   /** Linear weighted moving average (public formula): weights 1..n with
@@ -1955,24 +1973,27 @@ object Rolling {
                      orderCols: Seq[String], n: Int = 14): DataFrame = {
     require(n >= 1, s"window must be >= 1, got $n")
     Guards.requireNoReserved(df.columns,
-      Seq("eom", "__emv", "__emv_l"), "Rolling.easeOfMovement")
+      Seq("eom", "__emv", "__emv_l", "__eom_ph", "__eom_pl"),
+      "Rolling.easeOfMovement")
     val seqW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val w = frame(partCols, orderCols, n)
     val (h, l) = (col(highCol).cast("double"), col(lowCol).cast("double"))
     val vd = col(volCol).cast("double")
-    val ph = lag(h, 1).over(seqW)
-    val pl = lag(l, 1).over(seqW)
+    // stage the two lags once — the emv tree referenced ph twice
+    val (ph, pl) = (col("__eom_ph"), col("__eom_pl"))
     val dm = ((h + l) - (ph + pl)) / lit(2.0)
     val emv = when(ph.isNotNull && vd =!= 0.0, dm * (h - l) / vd)
-    df.withColumn("__emv", emv)
+    df.withColumn("__eom_ph", lag(h, 1).over(seqW))
+      .withColumn("__eom_pl", lag(l, 1).over(seqW))
+      .withColumn("__emv", emv)
       .withColumn("__emv_l",
         when(count(col("__emv")).over(w) === n,
           collect_list(col("__emv")).over(w)))
       .withColumn("eom",
         aggregate(col("__emv_l"), lit(0.0), (a, b) => a + b) /
           lit(n.toDouble))
-      .drop("__emv", "__emv_l")
+      .drop("__emv", "__emv_l", "__eom_ph", "__eom_pl")
   }
 
   /** Kaufman Adaptive Moving Average (Kaufman 1995, public formula): an
@@ -2840,15 +2861,17 @@ object Rolling {
                     orderCols: Seq[String], q: Int): DataFrame = {
     require(q >= 2, s"variance ratio needs q >= 2, got $q")
     Guards.requireNoReserved(df.columns,
-      Seq("n_rets", "vr", "z_vr", "__r", "__c", "__i"),
+      Seq("n_rets", "vr", "z_vr", "__r", "__c", "__i", "__pc"),
       "Rolling.varianceRatio")
     val w = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val c = col(closeCol).cast("double")
-    val pc = lag(c, 1).over(w)
+    // stage the lag once — the return guard referenced it 3×
+    val pc = col("__pc")
     val r = when(pc.isNotNull && pc > 0.0 && c > 0.0,
       round(log(c / pc) * lit(1e10)).cast("long"))
     val rets = df
+      .withColumn("__pc", lag(c, 1).over(w))
       .select((partCols.map(col) ++ orderCols.map(col) :+ r.as("__r")): _*)
       .filter(col("__r").isNotNull)
     val wq = Window.partitionBy(partCols.map(col): _*)
