@@ -240,7 +240,9 @@ object ScaleProbe {
     val rows = Probes.filter(n => only.isEmpty || only(n)).flatMap { name =>
       for (t1 <- time(name, baseDir); t10 <- time(name, outDir)) yield {
         val exp = math.log(t10 / t1) / math.log(Scale.toDouble)
-        println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$exp%.2f}""")
+        // label the big-corpus timing by the ACTUAL scale (t10x/t30x/…)
+        // so mixed-scale logs and artifacts stay self-describing
+        println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$exp%.2f}""")
         (name, t1, t10, exp)
       }
     }
@@ -256,7 +258,7 @@ object ScaleProbe {
           .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
     val fresh = rows.map { case (n, t1, t10, e) =>
-      n -> f"""{"t1x":$t1%.2f,"t10x":$t10%.2f,"exponent":$e%.2f}"""
+      n -> f"""{"t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$e%.2f}"""
     }.toMap
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")

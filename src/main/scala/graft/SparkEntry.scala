@@ -3701,13 +3701,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_semantic_dedup" -> ((s, d) => {
-      // SemDeDup: deterministic k-means clusters (the same replayable
-      // iterations as q_embed_ivf_learned), same-cluster cosine >= 0.3
-      // pairs drop their higher id; array column projected off for the
-      // hash compare
+      // SemDeDup ON ITS DEFAULTS: deterministic k-means clusters (the
+      // same replayable iterations as q_embed_ivf_learned), same-cluster
+      // cosine >= 0.3 pairs drop their higher id. The DEFAULT now carries
+      // the maxClusterSize=10000 pair-space guard — the oracle replays
+      // both guard stages verbatim (they no-op at gate scale, but the
+      // gate pins the default PATH, not just the default answer)
       load(s, d)
       operators.Similarity.semanticDedup(s.table("embeddings"),
           threshold = 0.3, nlist = 8, iters = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+    "q_semantic_dedup_unguarded" -> ((s, d) => {
+      // the explicit opt-OUT (maxClusterSize = Unbounded): the exact
+      // unguarded same-cluster pair space — full recall, quadratic under
+      // cluster skew; kept as the old default's semantics gate
+      load(s, d)
+      operators.Similarity.semanticDedup(s.table("embeddings"),
+          threshold = 0.3, nlist = 8, iters = 2,
+          maxClusterSize = operators.Similarity.Unbounded)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
@@ -4783,12 +4796,21 @@ object SparkEntry {
 
   /** Replays the maxClusterSize-guarded [[operators.Similarity
     * .semanticDedup]]: the same k-means chain, then BOTH guard stages —
-    * the sign-bit LSH sub-split (bits = ceil(log2(csz/cap)), ≤16, over
-    * the 16 leading dims) and the Lehmer id-hash salt for sub-buckets
-    * still over the cap — before the same-block pair compare. Every
-    * arithmetic step (ceil/log2/pow on doubles, the 48271·k mod 2³¹−1
-    * rounds) is engine-portable by construction. */
-  private def duckSemanticDedupGuardedSql(cap: Long): String =
+    * the sign-bit LSH sub-split (mask = 2^ceil(log2(csz/cap))−1, ≤16
+    * bits, over the 16 leading dims) and the Lehmer id-hash salt for
+    * sub-buckets still over the cap — before the same-block pair
+    * compare. The mask is the SAME pure-integer threshold ladder the
+    * Spark side folds (csz vs cap·2^b literals baked here, saturated
+    * driver-side) — no engine log2/pow whose rounding could straddle an
+    * integer at exact power-of-two ratios — and every `%` is wrapped to
+    * mirror Spark's `pmod` (non-negative residues even for negative
+    * ids), so both stages are engine-portable by construction. */
+  private def duckSemanticDedupGuardedSql(cap: Long): String = {
+    def capAt(b: Int): Long =
+      if (cap > (Long.MaxValue >> b)) Long.MaxValue else cap << b
+    val maskLadder = (0 to 15).map(b =>
+        s"WHEN s.csz <= ${capAt(b)} THEN CAST(${(1L << b) - 1L} AS BIGINT)")
+      .mkString("\n       ") + "\n       ELSE CAST(65535 AS BIGINT)"
     s"""WITH ${duckKmeansCtes(nlist = 8, iters = 2)},
        |csizes AS (SELECT cl, count(*) AS csz FROM mf GROUP BY cl),
        |sub1 AS (
@@ -4798,9 +4820,7 @@ object SparkEntry {
        |        j -> CASE WHEN m.embedding[j] > 0
        |             THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END),
        |      (a, b) -> a + b)
-       |      & (CAST(pow(2.0::DOUBLE, LEAST(16.0::DOUBLE, GREATEST(0.0::DOUBLE,
-       |          ceil(log2(CAST(s.csz AS DOUBLE) / $cap.0::DOUBLE))))) AS BIGINT)
-       |         - CAST(1 AS BIGINT))
+       |      & (CASE $maskLadder END)
        |    END AS sub
        |  FROM mf m JOIN csizes s USING (cl)
        |),
@@ -4808,8 +4828,8 @@ object SparkEntry {
        |salted AS (
        |  SELECT t.vec_id, t.embedding, t.cl, t.sub,
        |    CASE WHEN z.ssz <= $cap THEN CAST(0 AS BIGINT)
-       |    ELSE ((((t.vec_id % 2147483647) * 48271) % 2147483647) * 48271)
-       |           % 2147483647
+       |    ELSE (((((t.vec_id % 2147483647) + 2147483647) % 2147483647)
+       |            * 48271 % 2147483647) * 48271 % 2147483647)
        |         % GREATEST(CAST(ceil(CAST(z.ssz AS DOUBLE) / $cap.0::DOUBLE) AS BIGINT),
        |             CAST(1 AS BIGINT))
        |    END AS sub2
@@ -4825,6 +4845,7 @@ object SparkEntry {
        |SELECT e.vec_id, e.label FROM embeddings e
        |LEFT JOIN drops d ON d.drop_id = e.vec_id
        |WHERE d.drop_id IS NULL ORDER BY e.vec_id""".stripMargin
+  }
 
   /** Replays the KMV-sketch column profile ([[operators.Profile
     * .columnProfile]] with `approxDistinct = true`, k = 256): same
@@ -8641,7 +8662,9 @@ object SparkEntry {
          |  cos AS cosine, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf_learned" -> duckIvfLearnedSql,
-    "q_semantic_dedup" -> duckSemanticDedupSql,
+    "q_semantic_dedup" ->
+      duckSemanticDedupGuardedSql(cap = operators.Similarity.DefaultMaxClusterSize),
+    "q_semantic_dedup_unguarded" -> duckSemanticDedupSql,
     "q_semantic_dedup_guarded" -> duckSemanticDedupGuardedSql(cap = 50L),
     "q_embed_pq" -> duckPqSql,
     "q_embed_ivf_pq" -> duckIvfPqSql,

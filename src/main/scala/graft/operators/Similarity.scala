@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Opt-OUT sentinel for [[semanticDedup]]'s pair-space guard: pass as
+    * `maxClusterSize` to get the exact unguarded same-cluster pair space
+    * (full recall; quadratic under cluster skew — measured exponent 0.33
+    * and rising on the replica-skew probe). */
+  val Unbounded: Long = 0L
+
+  /** Default [[semanticDedup]] block cap: bounds the candidate pair space
+    * to O(n·cap) no matter how skewed the clusters get (measured probe
+    * exponent 0.03 vs 0.33 unguarded). 10 000 keeps per-block compare
+    * cost bounded (~5·10⁷ cosines worst case per block) while staying a
+    * no-op for any cluster a √n-sized nlist keeps under ten thousand
+    * vectors — callers who need exact recall pass [[Unbounded]]. */
+  val DefaultMaxClusterSize: Long = 10000L
+
   /** Sequential-fold cosine (vectors assumed unit-norm; otherwise this is
     * the raw dot product). Backed by the native codegen'd [[graft.functions.VecDot]]
     * expression — same left-to-right fold order as the DuckDB oracle's
@@ -243,9 +257,13 @@ object Similarity {
     *
     * CAVEAT — nlist must scale with the corpus: with a FIXED nlist a
     * single dense region at 100× the data becomes one mega-cluster and
-    * Σ|cluster|² goes quadratic. Size nlist ≈ √n (the standard IVF rule),
-    * or set `maxClusterSize` to bound the pair space. The cap works in
-    * two stages:
+    * Σ|cluster|² goes quadratic. Size nlist ≈ √n (the standard IVF rule);
+    * `maxClusterSize` bounds the pair space REGARDLESS (measured on the
+    * 10×/30× probes: unguarded exponent 0.33 and rising under replica
+    * skew, guarded flat 0.03). The guard is therefore ON BY DEFAULT
+    * ([[DefaultMaxClusterSize]]); pass [[Unbounded]] to opt into the
+    * exact unguarded pair space (full recall, quadratic worst case).
+    * The cap works in two stages:
     *
     *  1. Sign-bit LSH sub-split: a cluster over the cap is split by the
     *     sign pattern of its leading dimensions (just enough bits to
@@ -268,7 +286,7 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nlist: Int = 8, iters: Int = 2,
                     idCol: String = "vec_id", embCol: String = "embedding",
-                    maxClusterSize: Long = 0L): DataFrame = {
+                    maxClusterSize: Long = DefaultMaxClusterSize): DataFrame = {
     Guards.requireNoReserved(corpus.columns,
       Seq("__sub", "__sub2", "__csz", "__ssz", "cl"), "Similarity.semanticDedup")
     val (members, _) = kmeansClusters(corpus, nlist, iters, idCol, embCol)
@@ -279,11 +297,18 @@ object Similarity {
         // per-cluster sizes are nlist rows — broadcast back, never a window
         val sizes = members.groupBy("cl")
           .agg(count(lit(1)).as("__csz"))
-        // bits = ceil(log2(size/cap)): halve the expected block per bit
-        // until it fits the cap; capped at 16 sign bits (65536-way split)
-        val bits = least(lit(16.0), greatest(lit(0.0),
-          ceil(log(2.0, col("__csz").cast("double") /
-            lit(maxClusterSize.toDouble))))).cast("int")
+        // mask = 2^ceil(log2(size/cap)) − 1: halve the expected block per
+        // bit until it fits the cap; capped at 16 sign bits (65536-way
+        // split). PURE-INTEGER ladder (size vs cap·2^b thresholds, the
+        // 2^b saturated driver-side) — a float log2 here can straddle an
+        // integer between engines at exact power-of-two ratios and flip
+        // the bit count, so both this and the oracle compare longs only.
+        def capAt(b: Int): Long =
+          if (maxClusterSize > (Long.MaxValue >> b)) Long.MaxValue
+          else maxClusterSize << b
+        val mask = (0 to 15).foldRight(lit(65535L): Column)((b, acc) =>
+          when(col("__csz") <= lit(capAt(b)), lit((1L << b) - 1L))
+            .otherwise(acc))
         val powers = typedlit((0 until 16).map(j => 1L << j))
         val full = aggregate(
           zip_with(slice(col(embCol), 1, 16), powers,
@@ -291,8 +316,7 @@ object Similarity {
           lit(0L), (acc, x) => acc + x)
         val signSplit = members.join(broadcast(sizes), "cl")
           .withColumn("__sub", when(col("__csz") <= maxClusterSize, lit(0L))
-            .otherwise(full.bitwiseAND(
-              pow(lit(2.0), bits).cast("long") - lit(1L))))
+            .otherwise(full.bitwiseAND(mask)))
           .drop("__csz")
         // stage-2 hard bound: sub-buckets the sign split failed to shrink
         // (identical / sign-correlated vectors) get a replayable id-hash

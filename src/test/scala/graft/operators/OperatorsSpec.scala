@@ -260,7 +260,7 @@ class OperatorsSpec extends AnyFunSuite {
     // nlist=1 forces one mega-cluster — exactly the skew the guard exists
     // for; capping at 50 sub-splits it by sign-bit LSH
     val unguarded = Similarity.semanticDedup(emb, threshold = 0.6,
-        nlist = 1, iters = 1)
+        nlist = 1, iters = 1, maxClusterSize = Similarity.Unbounded)
       .select("vec_id").as[Long].collect().toSet
     val guarded = Similarity.semanticDedup(emb, threshold = 0.6,
         nlist = 1, iters = 1, maxClusterSize = 50L)
@@ -300,10 +300,38 @@ class OperatorsSpec extends AnyFunSuite {
       s"fallback survivors must be the per-salt minima: got ${got.size}, expected ${expected.size}")
     // unguarded keeps only id 0 — the guard can only ADD survivors
     val unguarded = Similarity.semanticDedup(ident, threshold = 0.9,
-        nlist = 1, iters = 1)
+        nlist = 1, iters = 1, maxClusterSize = Similarity.Unbounded)
       .select("vec_id").as[Long].collect().toSet
     assert(unguarded === Set(0L))
     assert(unguarded.subsetOf(got))
+  }
+
+  test("semanticDedup GUARDS BY DEFAULT; Unbounded is the explicit opt-out") {
+    // the scale-safety default (round-10 probes: unguarded exponent 0.33
+    // and rising under replica skew, guarded flat 0.03): a caller who
+    // passes no maxClusterSize must get the O(n·cap) guarded pair space
+    assert(Similarity.DefaultMaxClusterSize === 10000L)
+    assert(Similarity.Unbounded <= 0L)
+    // structural proof independent of corpus size: the default plan
+    // carries the stage-2 Lehmer salt (multiplier 48271), the explicit
+    // Unbounded plan does not
+    def planOf(cap: Long) = Similarity.semanticDedup(vecs, threshold = 0.9,
+      nlist = 3, iters = 1, maxClusterSize = cap)
+      .queryExecution.analyzed.toString
+    val defaultPlan = Similarity.semanticDedup(vecs, threshold = 0.9,
+      nlist = 3, iters = 1).queryExecution.analyzed.toString
+    assert(defaultPlan.contains("48271"), "default must take the guarded path")
+    assert(planOf(Similarity.DefaultMaxClusterSize).contains("48271"))
+    assert(!planOf(Similarity.Unbounded).contains("48271"),
+      "Unbounded must take the exact unguarded path")
+    // at sub-cap corpus sizes the guard stages are provably a no-op, so
+    // the default ANSWER still equals the exact one
+    val byDefault = Similarity.semanticDedup(vecs, threshold = 0.9,
+      nlist = 3, iters = 1).select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.semanticDedup(vecs, threshold = 0.9,
+      nlist = 3, iters = 1, maxClusterSize = Similarity.Unbounded)
+      .select("vec_id").as[Long].collect().toSet
+    assert(byDefault === exact)
   }
 
   test("embedding near-dup pairs above threshold; sign-bucket variant is a subset") {
