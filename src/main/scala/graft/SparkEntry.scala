@@ -1750,17 +1750,26 @@ object SparkEntry {
       // per-supplier MAD outlier screen on the RESIDUALS — anomalies
       // after the weekly cycle is explained away, not before; residuals
       // quantize to 6 dp so both engines interpolate medians on
-      // integer-valued doubles (exact)
+      // integer-valued doubles (exact). The decomposed frame is STAGED
+      // (persist + CacheScope) before the screen: MAD is two grouped
+      // percentile passes by construction, and without staging each pass
+      // re-derives the whole bars+window decompose (the subtree appeared
+      // 6× in one plan). The cache is bars-sized — |suppliers|×|days|,
+      // ~1000× smaller than the raw corpus — so the same staging holds
+      // at 100 TB (CacheScope scaladoc's caller-side protocol).
       load(s, d)
       import org.apache.spark.sql.functions.{lit, round}
-      val dec = operators.Resample.seasonalDecompose(dailyBars(s)
-          .select(col("l_suppkey"), col("l_shipdate"), col("close")),
-          "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
-          scale = 2)
-        .filter(col("resid").isNotNull)
-        .withColumn("resid_q", round(col("resid") * lit(1e6)))
+      val dec = CacheScope.register(
+        operators.Resample.seasonalDecompose(dailyBars(s)
+            .select(col("l_suppkey"), col("l_shipdate"), col("close")),
+            "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
+            scale = 2)
+          .filter(col("resid").isNotNull)
+          .withColumn("resid_q", round(col("resid") * lit(1e6)))
+          .select(col("l_suppkey"), col("l_shipdate"), col("resid_q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       operators.Anomaly.madOutliers(
-          dec.select(col("l_suppkey"), col("l_shipdate"), col("resid_q")),
+          dec,
           "resid_q", Seq("l_suppkey"), threshold = 3.5)
         .select(col("l_suppkey"), col("l_shipdate"),
           (col("resid_q") / lit(1e6)).as("resid"), col("robust_z"),
