@@ -59,9 +59,39 @@ object Bench {
       System.gc()
     }
 
+    // Per-query shuffle-write bytes (async task-metric listener; drained
+    // before each read). Wall time alone can't catch a shuffle regression
+    // hidden by ambient host swing — the byte count is layout-deterministic.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def drainBus(): Unit =
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+
     // Warm-up: touches the parquet reader, codegen, and the window path.
     force(SparkEntry.queries("q_indicators_combined")(spark, sfDir))
     sweep()
+
+    // Session calibration: a fixed cheap query, min-of-5, run at session
+    // START and END. Round-10 showed a uniform +14% ambient drift the
+    // suite total could not separate from plan movement; the calibration
+    // pair lets a reader normalize per-query ratios by host state.
+    def calibrate(): Double = {
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries("q_sma")(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      sweep()
+      runs.min
+    }
+    val calibStart = calibrate()
 
     // optional comma-separated filter for local bisection (driver sets
     // nothing -> full suite)
@@ -75,24 +105,41 @@ object Bench {
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
+      // (sec, shuffleBytes): time is min-of-two; shuffle bytes come from
+      // the SECOND run (steady state — byte counts are deterministic per
+      // plan, so one clean sample suffices)
       val sec =
-        try { val t1 = once(); sweep(); val t2 = once(); Some(math.min(t1, t2)) }
+        try {
+          val t1 = once(); sweep()
+          drainBus(); shuffleBytes.set(0L)
+          val t2 = once()
+          drainBus()
+          Some((math.min(t1, t2), shuffleBytes.get))
+        }
         catch { case _: Throwable => None }
         finally sweep()
-      name -> sec.getOrElse(-1.0)
+      (name, sec.map(_._1).getOrElse(-1.0), sec.map(_._2).getOrElse(-1L))
     }
 
     val sizeSweep = SizeSweep.run(spark, sfDir, sweep _)
+    val calibEnd = calibrate()
+    val calibJson =
+      f""""calibration":{"query":"q_sma","runs":5,"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f}"""
+    // shuffle-write MB for the 10 most expensive queries — the regression
+    // signal wall time can't give under ambient swing
+    val shuffleTop = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (n, _, b) => "\"" + n + f"\":${b / 1e6}%.1f" }
+      .mkString("{", ",", "}")
 
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // FULL artifact → bench_full.json (all queries, 3-dp seconds). The
     // driver's stdout-tail capture is ~2.6 KB: a 187-query map (~5.5 KB)
     // can NEVER fit, which is why BENCH_r04..r06 recorded "parsed": null.
-    val qsFull = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qsFull = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
@@ -107,12 +154,12 @@ object Bench {
       "q_indicators_combined")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12).map(_._1)
     val picked = (headline ++ slowest).distinct
-    val byName = results.toMap
+    val byName = results.map(t => t._1 -> t._2).toMap
     val qsCompact = picked.flatMap(n => byName.get(n).map(v =>
         "\"" + n + f"\":$v%.3f"))
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$outPath","rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$outPath",$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }
