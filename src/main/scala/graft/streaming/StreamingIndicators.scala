@@ -180,6 +180,36 @@ object StreamingPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[indicatorsTws]] with BOUNDED state: per-symbol state is evicted
+    * after `idleMs` of event-time silence, via an event-time timer
+    * re-armed on every batch. Without eviction the state store grows
+    * with every symbol ever seen — at 100× symbol cardinality (delisted
+    * tickers, churning keys) the RocksDB store grows without bound even
+    * though most keys are dead. A revived key re-warms from empty state
+    * (indicator warm-up restarts), which is the honest semantics for a
+    * key silent longer than any indicator window.
+    *
+    * Event-time timers (not wall-clock TTL) make eviction deterministic
+    * and replay-safe: the timer fires when the WATERMARK passes
+    * `last event time + idleMs`, so a backfilled replay evicts at the
+    * same points as the live run. Requires `watermark` on the tick
+    * timestamps (applied here) and the RocksDB state store provider,
+    * like [[indicatorsTws]]. */
+  def indicatorsTwsTtl(ticks: Dataset[MarketTick], windowSize: Int,
+                       idleMs: Long,
+                       watermark: String = "10 minutes"): Dataset[StreamingIndicatorValues] = {
+    import ticks.sparkSession.implicits._
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    val base =
+      if (ticks.isStreaming)
+        ticks.withWatermark("timestamp", watermark)
+      else ticks
+    base
+      .groupByKey(_.symbol)
+      .transformWithState(new TtlIndicatorProcessor(windowSize, idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Event-time OHLCV bars from a tick stream: per-symbol tumbling windows
     * with a watermark bounding state (ticks later than `watermark` behind
     * the max seen event time are dropped; windows finalize and their state
@@ -298,6 +328,54 @@ object StreamingPipeline {
         }
       state.update(st)
       out.iterator
+    }
+  }
+
+  /** [[IndicatorProcessor]] plus idle-key eviction: one event-time timer
+    * per key at `last event time + idleMs`, re-armed (delete + register)
+    * whenever the key sees data, state cleared when it fires. The last
+    * armed expiry rides its own `ValueState` so the stale timer can be
+    * deleted exactly — `transformWithState` timers don't auto-cancel on
+    * new data. */
+  private[streaming] class TtlIndicatorProcessor(windowSize: Int, idleMs: Long)
+      extends StatefulProcessor[String, MarketTick, StreamingIndicatorValues] {
+    @transient private var state: ValueState[IndicatorState] = _
+    @transient private var timerAt: ValueState[Long] = _
+    @transient private var engine: StreamingIndicators = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[IndicatorState](
+        "indicators", SparkEncoders.product[IndicatorState], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "idleTimer", SparkEncoders.scalaLong, TTLConfig.NONE)
+      engine = new StreamingIndicators(windowSize)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[MarketTick],
+                                 timerValues: TimerValues): Iterator[StreamingIndicatorValues] = {
+      var st = if (state.exists()) state.get() else IndicatorState.empty
+      val sorted = rows.toSeq
+        .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos, t.price, t.volume))
+      val out = sorted.map { tick =>
+        val (next, values) = engine.update(st, tick)
+        st = next
+        values
+      }
+      state.update(st)
+      val expiry = sorted.map(_.timestamp.getTime).max + idleMs
+      if (timerAt.exists() && timerAt.get() != expiry)
+        getHandle.deleteTimer(timerAt.get())
+      if (!timerAt.exists() || timerAt.get() != expiry)
+        getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[StreamingIndicatorValues] = {
+      state.clear()
+      timerAt.clear()
+      Iterator.empty
     }
   }
 

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounded streaming state: `indicatorsTwsTtl` must evict a symbol's
+  * state once the watermark passes `last event + idleMs` (dead/delisted
+  * keys cannot grow the RocksDB store forever), and a revived key must
+  * re-warm from EMPTY state — not continue the pre-eviction fold. */
+class TtlEvictionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val T0 = 1673776800000L
+  private def tickAtMin(sym: String, min: Int, price: Double,
+                        volume: Long = 1000L) =
+    MarketTick(sym, new Timestamp(T0 + min * 60000L), price, volume,
+      Some(price - 0.5), Some(price + 0.5))
+
+  test("idle symbol state is evicted by the event-time timer; a revived key re-warms cold; a live key keeps its state") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[MarketTick]
+    // idle = 1 minute of EVENT time, zero watermark delay: B's timer sits
+    // at (last B event + 1 min) and fires as soon as the watermark passes
+    val query = StreamingPipeline
+      .indicatorsTwsTtl(input.toDS(), windowSize = 3, idleMs = 60000L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ttl_ckpt").toString)
+      .format("memory").queryName("indicators_ttl_out")
+      .start()
+    try {
+      // batch 1: both symbols alive
+      input.addData(tickAtMin("AAPL", 0, 150.0), tickAtMin("AAPL", 1, 151.0),
+        tickAtMin("MSFT", 0, 300.0), tickAtMin("MSFT", 1, 301.0))
+      query.processAllAvailable() // watermark -> 1 min
+      // batch 2: only AAPL; advances watermark to 2 min, which is MSFT's
+      // expiry (1 min last event + 1 min idle) — MSFT evicts from batch 3
+      input.addData(tickAtMin("AAPL", 2, 152.0))
+      query.processAllAvailable()
+      // batch 3: push the watermark far past every pending expiry. AAPL's
+      // timer re-arms (its state must survive — it keeps receiving data)
+      input.addData(tickAtMin("AAPL", 10, 153.0))
+      query.processAllAvailable()
+      // batch 3b: one more watermark advance so MSFT's timer sweep has
+      // strictly fired before any revival data, regardless of whether the
+      // implementation fires timers at expiry == watermark or only past
+      // it, and of whether a batch runs timers before or after its rows
+      input.addData(tickAtMin("AAPL", 20, 154.0))
+      query.processAllAvailable()
+      // batch 4: MSFT revives after the eviction
+      input.addData(tickAtMin("MSFT", 21, 310.0), tickAtMin("MSFT", 22, 311.0),
+        tickAtMin("MSFT", 23, 312.0))
+      query.processAllAvailable()
+
+      val out = spark.table("indicators_ttl_out")
+        .as[StreamingIndicatorValues].collect()
+        .sortBy(v => (v.symbol, v.timestamp.getTime))
+
+      // revived MSFT == a FRESH fold of only the post-revival ticks: state
+      // was dropped (a surviving fold would carry prices 300/301 into the
+      // window and the third revived tick's SMA would differ)
+      val engine = new StreamingIndicators(3)
+      var st = IndicatorState.empty
+      val freshExpected = Seq(tickAtMin("MSFT", 21, 310.0),
+        tickAtMin("MSFT", 22, 311.0), tickAtMin("MSFT", 23, 312.0)).map { t =>
+        val (n, v) = engine.update(st, t); st = n; v
+      }
+      val revived = out.filter(v => v.symbol == "MSFT" &&
+        v.timestamp.getTime >= T0 + 21 * 60000L).toSeq
+      assert(revived === freshExpected,
+        "revived key must re-warm from empty state")
+      assert(revived.head.sma.isEmpty && revived.head.rsi.isEmpty,
+        "first revived tick must be in warm-up (no inherited window)")
+      assert(revived.last.sma === Some((310.0 + 311.0 + 312.0) / 3.0))
+
+      // AAPL (continuously alive) kept its state across the same batches:
+      // its tick at minute 10 must continue the prior fold, not restart
+      var ast = IndicatorState.empty
+      val aaplExpected = Seq(tickAtMin("AAPL", 0, 150.0),
+        tickAtMin("AAPL", 1, 151.0), tickAtMin("AAPL", 2, 152.0),
+        tickAtMin("AAPL", 10, 153.0), tickAtMin("AAPL", 20, 154.0)).map { t =>
+        val (n, v) = engine.update(ast, t); ast = n; v
+      }
+      assert(out.filter(_.symbol == "AAPL").toSeq === aaplExpected,
+        "live key must keep its state while idle keys evict")
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.sql("DROP TABLE IF EXISTS indicators_ttl_out")
+    }
+  }
+}
