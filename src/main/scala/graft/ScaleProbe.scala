@@ -220,13 +220,22 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    def time(name: String, dir: String): Option[Double] = {
+    // Base-scale runs take a MIN-OF-5: the exponent is log_S(t_big/t_1x)
+    // and round-11 sessions showed t_1x swinging 2× with ambient host
+    // noise (2.96–6.07 s for the same build) while t_big held ±8% — five
+    // cheap base runs find the clean floor the ratio needs. Big-scale
+    // runs stay min-of-2 (each is 15–30 s; the relative noise is small).
+    def time(name: String, dir: String, runs: Int): Option[Double] = {
       def once(): Double = {
         val t0 = System.nanoTime()
         force(SparkEntry.queries(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
-      val r = try { val t1 = once(); sweep(); val t2 = once(); Some(math.min(t1, t2)) }
+      val r = try {
+        Some((1 to runs).map { i =>
+          val t = once(); if (i < runs) sweep(); t
+        }.min)
+      }
       catch { case e: Throwable =>
         System.err.println(s"$name failed: ${e.getMessage}"); None }
       sweep(); r
@@ -238,7 +247,8 @@ object ScaleProbe {
     val only = sys.env.get("GRAFT_PROBE_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val rows = Probes.filter(n => only.isEmpty || only(n)).flatMap { name =>
-      for (t1 <- time(name, baseDir); t10 <- time(name, outDir)) yield {
+      for (t1 <- time(name, baseDir, runs = 5);
+           t10 <- time(name, outDir, runs = 2)) yield {
         val exp = math.log(t10 / t1) / math.log(Scale.toDouble)
         // label the big-corpus timing by the ACTUAL scale (t10x/t30x/…)
         // so mixed-scale logs and artifacts stay self-describing

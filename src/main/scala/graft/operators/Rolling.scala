@@ -2504,12 +2504,10 @@ object Rolling {
     * EVERY block size has ≥ 1 valid (complete, non-constant) block —
     * pick sizes ≤ series length. NULLs drop before sequencing.
     *
-    * Plan: one keyed sort (row_number rides it), one explode to
-    * (key, size) block terms, ONE (key, size, block) aggregate whose
-    * per-block array fold (≤ max block size elements) computes the
-    * cumsum/deviation in place — the exploded frame is exchanged but
-    * never sorted — then one (key, size) aggregate and a key-level
-    * pivot to the fixed tree; everything after the first aggregate is
+    * Plan: one keyed sort (row_number + cumsum ride it), one explode to
+    * (key, size) block terms, one (key, size, block) aggregate, one
+    * (key, size) aggregate, one key-level pivot to the fixed tree — the
+    * corpus is exchanged once, everything after the first aggregate is
     * blocks-sized. Emits (keyCols…, `n`, `rs_<b>`…, `hurst`). */
   def hurst(df: DataFrame, valueCol: String, keyCols: Seq[String],
             orderCols: Seq[String], blockSizes: Seq[Int] = Seq(8, 16, 32, 64),
@@ -2520,10 +2518,9 @@ object Rolling {
     require(scale >= 0, s"scale must be >= 0, got $scale")
     val sizes = blockSizes.sorted
     Guards.requireNoReserved(df.columns,
-      Seq("n", "hurst", "__x", "__t", "__b", "__blk", "__i", "__e",
-        "__es", "__fold", "__cnt", "__s", "__s2", "__maxd", "__mind",
-        "__rsq", "__nb", "__srs", "__rs") ++ sizes.map(b => s"rs_$b"),
-      "Rolling.hurst")
+      Seq("n", "hurst", "__x", "__t", "__b", "__blk", "__i", "__c", "__e",
+        "__d", "__cnt", "__s", "__s2", "__maxd", "__mind", "__rsq", "__nb",
+        "__srs", "__rs") ++ sizes.map(b => s"rs_$b"), "Rolling.hurst")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val xi = round(col(valueCol).cast("double") * lit(math.pow(10, scale)))
@@ -2540,45 +2537,30 @@ object Rolling {
         }: _*)).as("__e")): _*)
       .select((keyCols.map(col) :+ col("__x") :+ col("__e.b").as("__b") :+
         col("__e.blk").as("__blk") :+ col("__e.i").as("__i")): _*)
-    // Per-(key, size, block) R/S WITHOUT sorting the exploded frame:
-    // blocks hold ≤ max(blockSizes) rows, so each collapses to a sorted
-    // struct array inside one (partially-aggregating) groupBy and the
-    // cumsum/deviation fold runs over ≤64 in-memory elements. The
-    // previous shape (window cumsum + window total-sum riding a full
-    // shuffle+SORT of the ×|sizes| exploded frame) paid a corpus-sized
-    // sort the per-block fold does for free — measured ~2× off q_hurst
-    // at sf0.1. Same exact integer tree (decimal accumulators, __i
-    // breaking ties as the sort key), so every R/S value is
-    // bit-identical to the windowed form.
-    def decE(c: Column): Column = c.cast("decimal(38,0)")
-    val zeroDec = lit(0L).cast("decimal(38,0)")
-    val nullDec = lit(null).cast("decimal(38,0)")
-    val blocks = terms
+    // Within-block cumsum rides one (key, size, block) shuffle+sort;
+    // blocks are tiny so the per-block aggregate collapses immediately.
+    // DO NOT replace this with sort_array(collect_list(...)) per block:
+    // that shape was 0.75× at sf0.1 but OOM'd at the 30× probe — the
+    // map-side ObjectHashAggregate buffers every in-flight group's array
+    // (millions of groups per task at scale), where WindowExec streams
+    // sorted rows with O(1) concurrent state (NOTES.md round-11 lesson).
+    val bw = Window
+      .partitionBy((keyCols.map(col) :+ col("__b") :+ col("__blk")): _*)
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = terms.withColumn("__c", sum(col("__x")).over(bw))
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val dev = col("__b").cast("long").cast("decimal(38,0)") *
+      col("__c").cast("decimal(38,0)") -
+      col("__i").cast("decimal(38,0)") * sum(col("__x")).over(
+        Window.partitionBy(
+          (keyCols.map(col) :+ col("__b") :+ col("__blk")): _*))
+    val blocks = withCum
+      .withColumn("__d", dev)
       .groupBy((keyCols.map(col) :+ col("__b") :+ col("__blk")): _*)
-      .agg(sort_array(collect_list(struct(col("__i"), col("__x"))))
-        .as("__es"))
-      .withColumn("__cnt", size(col("__es")).cast("long"))
-      .withColumn("__s", aggregate(col("__es"), zeroDec,
-        (a, e) => (a + decE(e("__x"))).cast("decimal(38,0)")))
-      .withColumn("__s2", aggregate(col("__es"), zeroDec,
-        (a, e) => (a + decE(e("__x")) * decE(e("__x")))
-          .cast("decimal(38,0)")))
-      // d_i = b·C_i − i·S over the within-block cumsum C — fold keeps
-      // (cumsum, running max d, running min d); greatest/least skip the
-      // null seeds on the first element
-      .withColumn("__fold", aggregate(col("__es"),
-        struct(zeroDec.as("c"), nullDec.as("maxd"), nullDec.as("mind")),
-        (a, e) => {
-          val c2 = (a("c") + decE(e("__x"))).cast("decimal(38,0)")
-          val d = (decE(col("__b")) * c2 - decE(e("__i")) * col("__s"))
-            .cast("decimal(38,0)")
-          struct(c2.as("c"), greatest(a("maxd"), d).as("maxd"),
-            least(a("mind"), d).as("mind"))
-        }))
-      .select((keyCols.map(col) :+ col("__b") :+ col("__blk") :+
-        col("__cnt") :+ col("__s") :+ col("__s2") :+
-        col("__fold")("maxd").as("__maxd") :+
-        col("__fold")("mind").as("__mind")): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        dec(col("__x")).as("__s"), dec(col("__x") * col("__x")).as("__s2"),
+        max(col("__d")).as("__maxd"), min(col("__d")).as("__mind"))
     val den = (col("__b").cast("long").cast("decimal(38,0)") * col("__s2") -
       col("__s") * col("__s")).cast("double")
     val rs = (col("__maxd") - col("__mind")).cast("double") / sqrt(den)
