@@ -348,48 +348,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   /** A duplicated window expression is an acceptable residual only when
-    * each duplicate evaluation is O(1) per row: offset functions
-    * (lag/lead — no frame fold at all) and unbounded-PRECEDING-start
-    * aggregate frames (WindowExec's growing frame updates incrementally;
-    * the entire frame folds once per partition). Everything else —
-    * bounded sliding frames AND bounded-start/unbounded-following
-    * shrinking frames — re-folds the frame per row (Spark aggregates
-    * are non-invertible), which is exactly the q_logrank 36-aggregate
-    * pathology round 10 staged away. */
-  private def cheapDup(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    val stripped = e match { case a: Alias => a.child; case other => other }
-    stripped match {
-      case we: WindowExpression => we.windowFunction match {
-        case _: OffsetWindowFunction => true
-        case _ => we.windowSpec.frameSpecification match {
-          case f: SpecifiedWindowFrame => f.lower == UnboundedPreceding
-          case _ => false
-        }
-      }
-      case _ => false
-    }
-  }
-
+    * each duplicate evaluation is O(1) per row — the frame-class
+    * allowlist lives in [[tools.WindowDups.cheapDup]] (shared with the
+    * standalone sweep tool); everything else is the q_logrank
+    * 36-aggregate pathology round 10 staged away. */
   test("NO gate query re-folds a window frame more than once per Window node " +
       "(suite-wide; O(1)-per-row duplicates allowlisted by frame class)") {
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import scala.collection.parallel.CollectionConverters._
-    def dupsOf(name: String): Seq[String] = {
-      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
-      lp.collect { case w: LWindow =>
-        w.windowExpressions
-          .groupBy {
-            case a: Alias => a.child.canonicalized.toString
-            case e => e.canonicalized.toString
-          }
-          .collect {
-            case (k, vs) if vs.size > 1 && !vs.forall(cheapDup) =>
-              s"$name ${vs.size}x ${k.take(120)}"
-          }
-      }.flatten
-    }
+    def dupsOf(name: String): Seq[String] =
+      tools.WindowDups.audit(
+          SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan)
+        .collect { case (n, expr, allCheap) if !allCheap =>
+          s"$name ${n}x $expr"
+        }
     // Plan construction is driver-side and thread-safe on one session;
     // parallelizing cuts this sweep from ~200 s to under a minute. The
     // iterative graph/dedup queries are the exception: building them RUNS

@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
 
 /** One-shot audit: for EVERY SparkEntry gate query, list window
   * expressions that appear more than once (canonicalized) inside a single
@@ -31,19 +29,13 @@ object WindowDupSweep {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try {
-        val lp = graft.SparkEntry.queries(name)(spark, sf)
-          .queryExecution.optimizedPlan
-        val dups = lp.collect { case w: LWindow =>
-          w.windowExpressions
-            .map { case a: Alias => a.child.canonicalized.toString
-                   case e => e.canonicalized.toString }
-            .groupBy(identity).collect {
-              case (k, vs) if vs.size > 1 => s"${vs.size}x ${k.take(120)}"
-            }
-        }.flatten
-        if (dups.nonEmpty) {
-          offenders += 1
-          dups.foreach(d => println(s"DUP $name $d"))
+        val dups = WindowDups.audit(graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan)
+        if (dups.exists(!_._3)) offenders += 1
+        dups.foreach { case (n, expr, allCheap) =>
+          // CHEAP = allowlisted O(1)-per-row residual (lag/lead,
+          // unbounded-preceding frame); DUP = per-row frame re-fold
+          println(s"${if (allCheap) "CHEAP" else "DUP"} $name ${n}x $expr")
         }
       } catch {
         case e: Throwable =>
