@@ -382,4 +382,45 @@ class PlanSpec extends AnyFunSuite {
         s"through a named projection — NOTES.md round-10 lesson):\n" +
         offenders.mkString("\n"))
   }
+
+  test("EVERY gate query's plan shape matches its checked-in fingerprint " +
+      "(shuffles, windows, sorts, join strategies, scans)") {
+    val path = java.nio.file.Paths.get(tools.PlanFingerprints.DefaultPath)
+    assert(java.nio.file.Files.exists(path),
+      s"missing ${tools.PlanFingerprints.DefaultPath} — generate with " +
+        "sbt \"Test/runMain graft.tools.PlanFingerprints\"")
+    // same one-line-per-query format the generator writes — parse with the
+    // stdlib (no JSON dep in tests)
+    val expected: Map[String, Map[String, Int]] =
+      java.nio.file.Files.readString(path).linesIterator.collect {
+        case l if l.trim.startsWith("\"q") =>
+          val name = l.trim.drop(1).takeWhile(_ != '"')
+          val body = l.substring(l.indexOf('{') + 1, l.lastIndexOf('}'))
+          name -> body.split(",").filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split(":")
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toInt
+          }.toMap
+      }.toMap
+    val actual = tools.PlanFingerprints.all(spark, sf).toMap
+    CacheScope.release()
+    assert(actual.keySet == expected.keySet,
+      s"gate set changed — regenerate fingerprints (added: " +
+        s"${actual.keySet -- expected.keySet}, removed: " +
+        s"${expected.keySet -- actual.keySet})")
+    // fast parallel pass first; a mismatch may just be warm-session cache
+    // substitution in a self-persisting operator, so re-derive the
+    // CANONICAL (clean-state) fingerprint before declaring drift
+    val drifted = actual.toSeq.sortBy(_._1).collect {
+      case (n, fp) if fp != expected(n) => n
+    }.flatMap { n =>
+      val canonical = tools.PlanFingerprints.fingerprintClean(spark, n, sf)
+      if (canonical == expected(n)) None
+      else Some(s"$n: expected ${expected(n).toSeq.sorted}, " +
+        s"got ${canonical.toSeq.sorted}")
+    }
+    assert(drifted.isEmpty,
+      "plan shapes drifted — if INTENTIONAL, regenerate with sbt " +
+        "\"Test/runMain graft.tools.PlanFingerprints\" and review the " +
+        "JSON diff in the commit:\n" + drifted.mkString("\n"))
+  }
 }
