@@ -308,7 +308,7 @@ object StreamingPipeline {
     * symbol holding the bounded [[IndicatorState]]. */
   private[streaming] class IndicatorProcessor(windowSize: Int)
       extends StatefulProcessor[String, MarketTick, StreamingIndicatorValues] {
-    @transient private var state: ValueState[IndicatorState] = _
+    @transient protected var state: ValueState[IndicatorState] = _
     @transient private var engine: StreamingIndicators = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -317,8 +317,10 @@ object StreamingPipeline {
       engine = new StreamingIndicators(windowSize)
     }
 
-    override def handleInputRows(key: String, rows: Iterator[MarketTick],
-                                 timerValues: TimerValues): Iterator[StreamingIndicatorValues] = {
+    /** The one shared per-key fold (full-precision event-time order with
+      * (price, volume) tie-breaks) — [[TtlIndicatorProcessor]] reuses it
+      * verbatim so the two processors can never diverge on ordering. */
+    protected final def fold(rows: Iterator[MarketTick]): Seq[StreamingIndicatorValues] = {
       var st = if (state.exists()) state.get() else IndicatorState.empty
       val out = rows.toSeq
         .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos, t.price, t.volume)).map { tick =>
@@ -327,8 +329,12 @@ object StreamingPipeline {
           values
         }
       state.update(st)
-      out.iterator
+      out
     }
+
+    override def handleInputRows(key: String, rows: Iterator[MarketTick],
+                                 timerValues: TimerValues): Iterator[StreamingIndicatorValues] =
+      fold(rows).iterator
   }
 
   /** [[IndicatorProcessor]] plus idle-key eviction: one event-time timer
@@ -338,36 +344,34 @@ object StreamingPipeline {
     * deleted exactly — `transformWithState` timers don't auto-cancel on
     * new data. */
   private[streaming] class TtlIndicatorProcessor(windowSize: Int, idleMs: Long)
-      extends StatefulProcessor[String, MarketTick, StreamingIndicatorValues] {
-    @transient private var state: ValueState[IndicatorState] = _
+      extends IndicatorProcessor(windowSize) {
     @transient private var timerAt: ValueState[Long] = _
-    @transient private var engine: StreamingIndicators = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[IndicatorState](
-        "indicators", SparkEncoders.product[IndicatorState], TTLConfig.NONE)
+      super.init(outputMode, timeMode)
       timerAt = getHandle.getValueState[Long](
         "idleTimer", SparkEncoders.scalaLong, TTLConfig.NONE)
-      engine = new StreamingIndicators(windowSize)
     }
 
     override def handleInputRows(key: String, rows: Iterator[MarketTick],
                                  timerValues: TimerValues): Iterator[StreamingIndicatorValues] = {
-      var st = if (state.exists()) state.get() else IndicatorState.empty
-      val sorted = rows.toSeq
-        .sortBy(t => (t.timestamp.getTime, t.timestamp.getNanos, t.price, t.volume))
-      val out = sorted.map { tick =>
-        val (next, values) = engine.update(st, tick)
-        st = next
-        values
+      val out = fold(rows)
+      if (out.nonEmpty) {
+        // idle = no new stream progress for this key, so the timer tracks
+        // the RUNNING max event time: a late-but-in-watermark row must
+        // never move the timer BACKWARDS (that would delete a live key's
+        // future timer and re-arm one already at/behind the watermark,
+        // evicting the key on the next batch)
+        val batchExpiry = out.map(_.timestamp.getTime).max + idleMs
+        val expiry =
+          if (timerAt.exists()) math.max(timerAt.get(), batchExpiry)
+          else batchExpiry
+        if (timerAt.exists() && timerAt.get() != expiry)
+          getHandle.deleteTimer(timerAt.get())
+        if (!timerAt.exists() || timerAt.get() != expiry)
+          getHandle.registerTimer(expiry)
+        timerAt.update(expiry)
       }
-      state.update(st)
-      val expiry = sorted.map(_.timestamp.getTime).max + idleMs
-      if (timerAt.exists() && timerAt.get() != expiry)
-        getHandle.deleteTimer(timerAt.get())
-      if (!timerAt.exists() || timerAt.get() != expiry)
-        getHandle.registerTimer(expiry)
-      timerAt.update(expiry)
       out.iterator
     }
 

@@ -95,4 +95,64 @@ class TtlEvictionSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS indicators_ttl_out")
     }
   }
+
+  test("late-but-in-watermark data never moves the idle timer BACKWARDS (live key must not evict early)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[MarketTick]
+    // idle 30 min, watermark delay 10 min: a late row (older than the
+    // key's max event but inside the watermark) re-folds fine — but if it
+    // re-armed the timer from the BATCH max instead of the RUNNING max,
+    // the timer would land behind the advancing watermark and evict a
+    // key whose true idle horizon is still ahead
+    val query = StreamingPipeline
+      .indicatorsTwsTtl(input.toDS(), windowSize = 3,
+        idleMs = 30 * 60000L, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ttl_late_ckpt").toString)
+      .format("memory").queryName("indicators_ttl_late_out")
+      .start()
+    try {
+      input.addData(tickAtMin("AAPL", 0, 150.0), tickAtMin("AAPL", 5, 151.0))
+      query.processAllAvailable() // AAPL timer -> 5 + 30 = 35 min
+      // LATE row (min 3 < max-seen 5, within watermark): buggy re-arm
+      // would move the timer to 3 + 30 = 33 min
+      input.addData(tickAtMin("AAPL", 3, 152.0))
+      query.processAllAvailable()
+      // watermark -> 44 − 10 = 34 min: past the buggy 33, short of the
+      // correct 35. A following batch runs the timer sweep.
+      input.addData(tickAtMin("MSFT", 44, 300.0))
+      query.processAllAvailable()
+      input.addData(tickAtMin("MSFT", 44, 301.0)) // wm unchanged (34 min)
+      query.processAllAvailable()
+      // AAPL's next tick: with the timer intact its state CONTINUES
+      input.addData(tickAtMin("AAPL", 36, 153.0))
+      query.processAllAvailable()
+
+      val out = spark.table("indicators_ttl_late_out")
+        .as[StreamingIndicatorValues].collect()
+        .filter(_.symbol == "AAPL")
+        .sortBy(_.timestamp.getTime)
+      // expected: ONE continuous fold in arrival-batch order (0,5 | 3 | 36)
+      val engine = new StreamingIndicators(3)
+      var st = IndicatorState.empty
+      val expected = Seq(tickAtMin("AAPL", 0, 150.0),
+        tickAtMin("AAPL", 5, 151.0), tickAtMin("AAPL", 3, 152.0),
+        tickAtMin("AAPL", 36, 153.0)).map { t =>
+        val (n, v) = engine.update(st, t); st = n; v
+      }.sortBy(_.timestamp.getTime)
+      assert(out.toSeq === expected,
+        "late in-watermark data must not reset the idle timer to the past")
+      // the minute-36 tick must carry a FULL warm window (state survived)
+      val last = out.maxBy(_.timestamp.getTime)
+      assert(last.sma === Some((151.0 + 152.0 + 153.0) / 3.0),
+        "key evicted early: its window restarted instead of continuing")
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.sql("DROP TABLE IF EXISTS indicators_ttl_late_out")
+    }
+  }
 }

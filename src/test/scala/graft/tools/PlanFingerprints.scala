@@ -79,10 +79,7 @@ object PlanFingerprints {
     * in a warm session would shift three queries' counts. */
   def all(spark: org.apache.spark.sql.SparkSession,
           sf: String): Seq[(String, Map[String, Int])] = {
-    graft.CacheScope.release(blocking = true)
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    clearState(spark)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val firstPass = names.par
       .map(n => n -> scala.util.Try(fingerprintOf(spark, n, sf)))
@@ -110,11 +107,13 @@ object PlanFingerprints {
     * re-generation instead of failing 343 queries red. */
   def testdataSignature(sf: String): String = {
     import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(sf)
-    java.nio.file.Files.list(dir).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
-      .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
-      .mkString(",")
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(sf))
+    try
+      stream.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+        .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+        .mkString(",")
+    finally stream.close()
   }
 
   def main(args: Array[String]): Unit = {
