@@ -76,7 +76,10 @@ def main():
           f"(residual ambient after calibration; 1.0 = no drift)")
 
     movers = sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)
-    flagged = [(k, r) for k, r in movers if r > 1.5 * med and nq[k] - oq[k] / calratio > 0.5]
+    # absolute growth measured in NEW-session seconds: old time projected
+    # into the new session is oq[k] * calratio
+    flagged = [(k, r) for k, r in movers
+               if r > 1.5 * med and nq[k] - oq[k] * calratio > 0.5]
     print(f"\nregressions (>1.5x median AND >0.5s absolute): {len(flagged)}")
     for k, r in flagged[:top]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}")
