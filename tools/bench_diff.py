@@ -37,9 +37,44 @@ def cal_of(art):
     return sum(vals) / len(vals) if vals else None
 
 
+def selftest():
+    """Synthetic A/B: uniform 2x ambient must NOT flag (exit 0); one query
+    at 4x under the same ambient MUST flag (exit 1)."""
+    import copy
+    import subprocess
+    import tempfile
+
+    old = {"value": 10.0, "queries": {"a": 1.0, "b": 1.0, "c": 1.0},
+           "shuffle_mb": {"a": 10.0},
+           "calibration": {"query": "q", "runs": 5,
+                           "start_sec": 1.0, "end_sec": 1.0}}
+    amb = copy.deepcopy(old)
+    amb["queries"] = {k: v * 2 for k, v in old["queries"].items()}
+    amb["calibration"] = {"query": "q", "runs": 5,
+                          "start_sec": 2.0, "end_sec": 2.0}
+    reg = copy.deepcopy(amb)
+    reg["queries"]["b"] = 4.0
+    with tempfile.TemporaryDirectory() as td:
+        paths = {}
+        for name, art in [("old", old), ("amb", amb), ("reg", reg)]:
+            paths[name] = f"{td}/{name}.json"
+            with open(paths[name], "w") as f:
+                json.dump(art, f)
+        for name, expect_rc in [("amb", 0), ("reg", 1)]:
+            p = subprocess.run(
+                [sys.executable, __file__, paths["old"], paths[name]],
+                capture_output=True, text=True)
+            assert p.returncode == expect_rc, \
+                f"{name}: rc={p.returncode}, expected {expect_rc}\n{p.stdout}"
+    print("selftest OK: ambient-only unflagged, single-query 4x flagged")
+
+
 def main():
     argv = sys.argv[1:]
     top = 10
+    if "--selftest" in argv:
+        selftest()
+        sys.exit(0)
     if "--top" in argv:
         i = argv.index("--top")
         top = int(argv[i + 1])
