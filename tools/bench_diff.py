@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Calibration-normalized comparison of two bench artifacts.
 
-Usage: python3 tools/bench_diff.py OLD.json NEW.json [--top N]
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--top N] [--strict]
 
 Reads two `bench_full.json`-style artifacts (as written by `graft.Bench` via
 SPARK_GRAFT_BENCH_OUT) and answers the question a raw total cannot: did the
@@ -17,7 +17,26 @@ memory note bench-ab-protocol):
      stands out from the median by >1.5x, not one whose raw time grew.
   3. shuffle_mb is compared unnormalized (bytes are host-independent): any
      query whose shuffle grew >20% and >8 MB is flagged as a plan-shape
-     regression regardless of wall time.
+     regression regardless of wall time. Bench emits -1.0 for queries whose
+     listener-bus drain timed out; those are reported as dropped, never
+     silently intersected away.
+
+Exit-1 conditions (the regression gate):
+  - BROKEN: a query that succeeded in OLD is failed (-1) or missing in NEW.
+  - SHUFFLE: a query's shuffle_mb grew >20% and >8 MB (plan-shape movement).
+  - REGRESSION: a wall-time outlier (>1.5x median normalized AND >0.5 s
+    absolute growth in new-session seconds) CORROBORATED by shuffle growth
+    on the same query.
+
+Wall-time outliers WITHOUT corroboration are printed as SUSPECTS but exit 0
+(1 under --strict): the round-11 control A/B — two sessions of the IDENTICAL
+build — flagged 5 queries with one swinging x1.93 while shuffle was flat on
+all 343, so an uncorroborated wall-time swing is indistinguishable from
+session noise at this host's ambient level. Plan drift is separately locked
+by the test suite (PlanSpec fingerprints fail `sbt test` on any exchange/
+sort/join/scan-count change), so the residual risk — a same-plan, same-
+shuffle CPU regression — needs an in-session A/B to confirm:
+  GRAFT_BENCH_ONLY=<suspects> on both commits, same session, min-of-N.
 """
 import json
 import statistics
@@ -38,43 +57,81 @@ def cal_of(art):
 
 
 def selftest():
-    """Synthetic A/B: uniform 2x ambient must NOT flag (exit 0); one query
-    at 4x under the same ambient MUST flag (exit 1)."""
+    """Synthetic A/B battery:
+      - uniform 2x ambient must NOT flag (rc 0);
+      - a same-build noisy session (one query x1.9 normalized, shuffle
+        flat) must NOT flag (rc 0) but must print it as a suspect —
+        the round-11 false-positive class;
+      - a 4x query WITH shuffle growth MUST flag (rc 1);
+      - a shuffle-only regression (time flat) MUST flag (rc 1);
+      - a query that fails in NEW (-1.0) MUST flag (rc 1);
+      - a query missing from NEW MUST flag (rc 1)."""
     import copy
     import subprocess
     import tempfile
 
     old = {"value": 10.0, "queries": {"a": 1.0, "b": 1.0, "c": 1.0},
-           "shuffle_mb": {"a": 10.0},
+           "shuffle_mb": {"a": 10.0, "b": 10.0, "c": 0.0},
            "calibration": {"query": "q", "runs": 5,
                            "start_sec": 1.0, "end_sec": 1.0}}
     amb = copy.deepcopy(old)
     amb["queries"] = {k: v * 2 for k, v in old["queries"].items()}
     amb["calibration"] = {"query": "q", "runs": 5,
                           "start_sec": 2.0, "end_sec": 2.0}
+    noisy = copy.deepcopy(amb)
+    noisy["queries"]["b"] = 3.8  # x1.9 normalized, shuffle flat
     reg = copy.deepcopy(amb)
     reg["queries"]["b"] = 4.0
+    reg["shuffle_mb"]["b"] = 50.0  # time AND shuffle move together
+    sh_only = copy.deepcopy(amb)
+    sh_only["shuffle_mb"]["b"] = 50.0  # plan-shape movement, time flat
+    broken = copy.deepcopy(amb)
+    broken["queries"]["b"] = -1.0  # Bench records a crashed query as -1
+    gone = copy.deepcopy(amb)
+    del gone["queries"]["b"]
+    sh_gain = copy.deepcopy(amb)
+    sh_gain["shuffle_mb"]["c"] = 50.0  # zero-shuffle query GAINS an exchange
     with tempfile.TemporaryDirectory() as td:
         paths = {}
-        for name, art in [("old", old), ("amb", amb), ("reg", reg)]:
+        arts = [("old", old), ("amb", amb), ("noisy", noisy), ("reg", reg),
+                ("sh_only", sh_only), ("broken", broken), ("gone", gone),
+                ("sh_gain", sh_gain)]
+        for name, art in arts:
             paths[name] = f"{td}/{name}.json"
             with open(paths[name], "w") as f:
                 json.dump(art, f)
-        for name, expect_rc in [("amb", 0), ("reg", 1)]:
+        expectations = [("amb", 0, None), ("noisy", 0, "suspect"),
+                        ("reg", 1, None), ("sh_only", 1, None),
+                        ("broken", 1, None), ("gone", 1, None),
+                        ("sh_gain", 1, None)]
+        for name, expect_rc, expect_text in expectations:
             p = subprocess.run(
                 [sys.executable, __file__, paths["old"], paths[name]],
                 capture_output=True, text=True)
             assert p.returncode == expect_rc, \
                 f"{name}: rc={p.returncode}, expected {expect_rc}\n{p.stdout}"
-    print("selftest OK: ambient-only unflagged, single-query 4x flagged")
+            if expect_text:
+                assert expect_text in p.stdout, \
+                    f"{name}: expected '{expect_text}' in output\n{p.stdout}"
+        # --strict promotes the noisy suspect to a failure
+        p = subprocess.run(
+            [sys.executable, __file__, paths["old"], paths["noisy"], "--strict"],
+            capture_output=True, text=True)
+        assert p.returncode == 1, f"strict noisy: rc={p.returncode}, expected 1"
+    print("selftest OK: ambient and same-build-noise unflagged (noise -> "
+          "suspect), corroborated/shuffle/broken/missing all flagged")
 
 
 def main():
     argv = sys.argv[1:]
     top = 10
+    strict = False
     if "--selftest" in argv:
         selftest()
         sys.exit(0)
+    if "--strict" in argv:
+        strict = True
+        argv.remove("--strict")
     if "--top" in argv:
         i = argv.index("--top")
         top = int(argv[i + 1])
@@ -90,9 +147,14 @@ def main():
     calratio = (ncal / ocal) if normalized else 1.0
 
     common = sorted(set(oq) & set(nq))
+    # ADVICE r11: a query that succeeded in OLD but crashed (-1) or vanished
+    # in NEW is an automatic failure — the old loop's oq[k] > 0 guard let a
+    # crashed query print under 'improvements' and exit 0.
+    broken = sorted([k for k in common if nq[k] < 0 <= oq[k]] +
+                    [k for k in oq if oq[k] >= 0 and k not in nq])
     ratios = {}
     for k in common:
-        if oq[k] and oq[k] > 0:
+        if oq[k] > 0 and nq[k] >= 0:
             ratios[k] = (nq[k] / oq[k]) / calratio
     med = statistics.median(ratios.values()) if ratios else float("nan")
 
@@ -110,14 +172,47 @@ def main():
     print(f"median normalized ratio: {med:.3f} "
           f"(residual ambient after calibration; 1.0 = no drift)")
 
+    if broken:
+        print(f"\nBROKEN queries (ok in old, failed/missing in new): {len(broken)}")
+        for k in broken[:top]:
+            print(f"  {k}: {oq[k]:.2f}s -> "
+                  f"{'missing' if k not in nq else 'failed (-1)'}")
+
+    # shuffle comparison first: it corroborates (or clears) wall-time movers
+    osh, nsh = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
+    # exclude only the -1 drain-timeout sentinel: a zero-shuffle query that
+    # GAINS an exchange is exactly the plan regression this check exists for
+    sh_common = sorted(k for k in set(osh) & set(nsh)
+                       if osh[k] >= 0 and nsh[k] >= 0)
+    sh_flag = [(k, osh[k], nsh[k]) for k in sh_common
+               if nsh[k] > osh[k] * 1.2 and nsh[k] - osh[k] > 8.0]
+    sh_grew = {k for k, _, _ in sh_flag}
+    # ADVICE r11: queries whose byte count was measured in old but dropped
+    # to the -1 sentinel (or missing) in new lose their shuffle signal —
+    # report them instead of silently comparing the intersection.
+    sh_dropped = sorted(k for k in osh
+                        if osh[k] >= 0 and (k not in nsh or nsh[k] < 0))
+
     movers = sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)
     # absolute growth measured in NEW-session seconds: old time projected
     # into the new session is oq[k] * calratio
-    flagged = [(k, r) for k, r in movers
-               if r > 1.5 * med and nq[k] - oq[k] * calratio > 0.5]
-    print(f"\nregressions (>1.5x median AND >0.5s absolute): {len(flagged)}")
+    outliers = [(k, r) for k, r in movers
+                if r > 1.5 * med and nq[k] - oq[k] * calratio > 0.5]
+    flagged = [(k, r) for k, r in outliers if k in sh_grew]
+    suspects = [(k, r) for k, r in outliers if k not in sh_grew]
+    print(f"\nregressions (>1.5x median AND >0.5s AND shuffle corroborates): "
+          f"{len(flagged)}")
     for k, r in flagged[:top]:
-        print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}")
+        print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}  "
+              f"shuffle {osh[k]:.1f} -> {nsh[k]:.1f} MB")
+    if suspects:
+        print(f"\nsuspects (wall-time outlier, shuffle flat — session noise "
+              f"until an in-session rerun confirms): {len(suspects)}")
+        for k, r in suspects[:top]:
+            print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}")
+        print("  confirm with: GRAFT_BENCH_ONLY=" +
+              ",".join(k for k, _ in suspects[:top]) +
+              " on both commits in ONE session")
     print(f"\ntop {top} movers (normalized ratio):")
     for k, r in movers[:top]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  x{r:.2f}")
@@ -125,15 +220,17 @@ def main():
     for k, r in movers[::-1][:top]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  x{r:.2f}")
 
-    osh, nsh = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
-    sh_common = sorted(set(osh) & set(nsh))
-    sh_flag = [(k, osh[k], nsh[k]) for k in sh_common
-               if nsh[k] > osh[k] * 1.2 and nsh[k] - osh[k] > 8.0]
     print(f"\nshuffle_mb compared on {len(sh_common)} queries; "
           f"grown >20% and >8 MB: {len(sh_flag)}")
     for k, o, n in sh_flag[:top]:
         print(f"  {k}: {o:.1f} MB -> {n:.1f} MB")
-    sys.exit(1 if (flagged or sh_flag) else 0)
+    if sh_dropped:
+        print(f"WARNING: {len(sh_dropped)} queries had shuffle bytes in old "
+              f"but a drain-timeout sentinel/missing entry in new (shuffle "
+              f"regressions invisible there): "
+              f"{', '.join(sh_dropped[:12])}{'...' if len(sh_dropped) > 12 else ''}")
+    fail = bool(flagged or sh_flag or broken or (strict and suspects))
+    sys.exit(1 if fail else 0)
 
 
 if __name__ == "__main__":
