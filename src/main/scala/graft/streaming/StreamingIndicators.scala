@@ -166,18 +166,44 @@ object StreamingPipeline {
       }
   }
 
+  /** Default idle-state TTL for [[indicatorsTws]]: 7 days of event-time
+    * silence. Must exceed the longest legitimate market gap (a weekend plus
+    * a holiday cluster is ~4 days; 7 is the smallest round horizon that
+    * cannot evict a live listed symbol), while still bounding the store:
+    * at 100× symbol cardinality the dead keys (delisted tickers, churned
+    * ids) dominate, and an unbounded default grows RocksDB with every key
+    * ever seen — the same "dangerous default" shape the SemDeDup guard
+    * fixed in round 11. */
+  val DefaultIdleMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Explicit opt-out for [[indicatorsTws]]: keep per-key state forever
+    * (the unbounded pre-TTL behavior — correct for bounded key universes,
+    * e.g. a fixed exchange symbol list). */
+  val KeepForever: Long = 0L
+
   /** The same per-symbol engine on the Spark 4.x `transformWithState` API
     * (state-v2): `ValueState` in the RocksDB state store instead of the
     * GroupState blob. Identical semantics to [[indicators]] — both call
     * [[StreamingIndicators.update]] in full-precision timestamp order.
     * Requires `spark.sql.streaming.stateStore.providerClass =
-    * ...RocksDBStateStoreProvider` when run as a stream. */
-  def indicatorsTws(ticks: Dataset[MarketTick], windowSize: Int): Dataset[StreamingIndicatorValues] = {
+    * ...RocksDBStateStoreProvider` when run as a stream.
+    *
+    * State is BOUNDED by default: per-symbol state evicts after
+    * [[DefaultIdleMs]] of event-time silence (see [[indicatorsTwsTtl]] for
+    * the timer semantics — deterministic, replay-safe, revived keys
+    * re-warm from empty). Pass `idleMs = KeepForever` to opt into the
+    * unbounded store. */
+  def indicatorsTws(ticks: Dataset[MarketTick], windowSize: Int,
+                    idleMs: Long = DefaultIdleMs,
+                    watermark: String = "10 minutes"): Dataset[StreamingIndicatorValues] = {
     import ticks.sparkSession.implicits._
-    ticks
-      .groupByKey(_.symbol)
-      .transformWithState(new IndicatorProcessor(windowSize),
-        TimeMode.None(), OutputMode.Append())
+    require(idleMs >= 0, s"idleMs must be >= 0 (0 = keep forever), got $idleMs")
+    if (idleMs == KeepForever)
+      ticks
+        .groupByKey(_.symbol)
+        .transformWithState(new IndicatorProcessor(windowSize),
+          TimeMode.None(), OutputMode.Append())
+    else indicatorsTwsTtl(ticks, windowSize, idleMs, watermark)
   }
 
   /** [[indicatorsTws]] with BOUNDED state: per-symbol state is evicted

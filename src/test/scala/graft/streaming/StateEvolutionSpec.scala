@@ -97,7 +97,12 @@ class StateEvolutionSpec extends AnyFunSuite {
   /** Phase 1 of both tests: run the PRODUCTION (v1) query over two AAPL
     * ticks against `ckpt`, committing v1-encoded state. */
   private def seedV1(ckpt: String, input: MemoryStream[MarketTick]): Unit = {
-    val q = StreamingPipeline.indicatorsTws(input.toDS(), windowSize = 3)
+    // KeepForever pins the UNBOUNDED v1 IndicatorProcessor: this spec's
+    // checkpoints encode that processor's state shape, and the bounded
+    // default (round 12) would swap in TtlIndicatorProcessor and test the
+    // wrong upgrade path
+    val q = StreamingPipeline.indicatorsTws(input.toDS(), windowSize = 3,
+      idleMs = StreamingPipeline.KeepForever)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingIndicatorValues],

@@ -96,6 +96,73 @@ class TtlEvictionSpec extends AnyFunSuite {
     }
   }
 
+  test("DEFAULT indicatorsTws path is bounded: a key idle past DefaultIdleMs (7d) evicts, a live key survives week-scale gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val day = 1440 // minutes
+    val input = MemoryStream[MarketTick]
+    // NO idleMs argument: this is the path a user gets without reading the
+    // scaladoc — it must not grow the store with every key ever seen
+    val query = StreamingPipeline
+      .indicatorsTws(input.toDS(), windowSize = 3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_default_ckpt").toString)
+      .format("memory").queryName("indicators_default_out")
+      .start()
+    try {
+      input.addData(tickAtMin("AAPL", 0, 150.0), tickAtMin("MSFT", 0, 300.0))
+      query.processAllAvailable()
+      // day 6: under MSFT's expiry (0 + 7d) — both alive
+      input.addData(tickAtMin("AAPL", 6 * day, 151.0))
+      query.processAllAvailable()
+      // day 8: watermark (8d - 10min) passes MSFT's 7d expiry; AAPL's own
+      // expiry re-armed to 6d + 7d = 13d, so the live key is safe
+      input.addData(tickAtMin("AAPL", 8 * day, 152.0))
+      query.processAllAvailable()
+      // one more advance so the timer sweep has strictly fired
+      input.addData(tickAtMin("AAPL", 9 * day, 153.0))
+      query.processAllAvailable()
+      // day 10: MSFT revives — must re-warm from EMPTY state
+      input.addData(tickAtMin("MSFT", 10 * day, 310.0),
+        tickAtMin("MSFT", 10 * day + 1, 311.0),
+        tickAtMin("MSFT", 10 * day + 2, 312.0))
+      query.processAllAvailable()
+
+      val out = spark.table("indicators_default_out")
+        .as[StreamingIndicatorValues].collect()
+        .sortBy(v => (v.symbol, v.timestamp.getTime))
+
+      val engine = new StreamingIndicators(3)
+      var st = IndicatorState.empty
+      val freshExpected = Seq(tickAtMin("MSFT", 10 * day, 310.0),
+        tickAtMin("MSFT", 10 * day + 1, 311.0),
+        tickAtMin("MSFT", 10 * day + 2, 312.0)).map { t =>
+        val (n, v) = engine.update(st, t); st = n; v
+      }
+      val revived = out.filter(v => v.symbol == "MSFT" &&
+        v.timestamp.getTime >= T0 + 10L * day * 60000L).toSeq
+      assert(revived === freshExpected,
+        "default path must evict a 7d-idle key (revival re-warms cold)")
+      assert(revived.head.sma.isEmpty,
+        "first revived tick must be in warm-up (no inherited window)")
+
+      var ast = IndicatorState.empty
+      val aaplExpected = Seq(tickAtMin("AAPL", 0, 150.0),
+        tickAtMin("AAPL", 6 * day, 151.0), tickAtMin("AAPL", 8 * day, 152.0),
+        tickAtMin("AAPL", 9 * day, 153.0)).map { t =>
+        val (n, v) = engine.update(ast, t); ast = n; v
+      }
+      assert(out.filter(_.symbol == "AAPL").toSeq === aaplExpected,
+        "a key with sub-7d gaps must keep its state on the default path")
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.sql("DROP TABLE IF EXISTS indicators_default_out")
+    }
+  }
+
   test("late-but-in-watermark data never moves the idle timer BACKWARDS (live key must not evict early)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
