@@ -3599,6 +3599,14 @@ object SparkEntry {
       operators.Dedup.spanDedup(s.table("documents"), "doc_id", "text", n = 8)
         .orderBy(col("doc_id"))
     }),
+    "q_substring_dedup" -> ((s, d) => {
+      // Lee et al.-style exact duplicated-substring mass: 30-char grams at
+      // stride 10, per-doc duplicate-occurrence counts
+      load(s, d)
+      operators.Dedup.substringDedup(s.table("documents"), "doc_id", "text",
+          minLen = 30, stride = 10)
+        .orderBy(col("doc_id"))
+    }),
     "q_incremental_dedup" -> ((s, d) => {
       // incremental ingestion: odd doc_ids are the new batch, even the
       // existing reference corpus; survivors duplicate nothing in the ref
@@ -8487,6 +8495,32 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_dedup, '') AS text_dedup
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.substringDedup at minLen=30, stride=10. Spark's winner
+    // is min(struct(doc_id, pos)); the oracle expresses the same canonical
+    // first occurrence as row_number() = 1 over (doc_id, pos) order.
+    "q_substring_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 29, 10)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, pos, substring(text, pos, 30) AS gram FROM p
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    count(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 END) AS n_dup
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_dup, 0) AS n_dup
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Replays Dedup.incrementalDedup over the odd(new)/even(ref) split. The
     // oracle computes near-dups over ALL odd docs while Spark restricts to
     // exact-survivors — equivalent: new docs never pair with each other, so

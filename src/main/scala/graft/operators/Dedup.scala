@@ -570,4 +570,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Exact duplicated-SUBSTRING occurrences (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" tier
+    * between [[spanDedup]]'s token chunks and [[minhashNearDups]]'s
+    * whole-document similarity): every `minLen`-character window sampled
+    * at `stride` is a gram; an occurrence is a removable duplicate iff its
+    * gram occurs ≥2 times corpus-wide (within- OR cross-document) and the
+    * occurrence is not the canonical first (minimum `(id, pos)`). Returns
+    * one row per sampled occurrence: `(id, pos, len, dup)` — the dup=true
+    * spans are what a cleaning pass cuts, keeping exactly one copy of
+    * every duplicated substring in the corpus.
+    *
+    * Scale design (NEVER all-pairs): occurrences group by gram — a
+    * map-side-combinable `count` + `min(struct(id, pos))` winner
+    * aggregation, so a boilerplate string repeated millions of times
+    * combines to one row per map task instead of sorting one giant window
+    * partition (the [[spanDedup]] lesson); the mark-back is an equi-join
+    * on the gram AQE can skew-split. Candidate volume is Σ len/stride rows
+    * of ≤ `minLen` bytes each — `stride` is the cost dial (stride =
+    * minLen/3 gives 3× overlap coverage of every duplicated region at 1/3
+    * the rows of stride=1; Lee et al. use suffix arrays on one machine,
+    * which do not shard, while this shape is one shuffle + one join at any
+    * corpus size). With `hashShuffle` the join/group key is
+    * `xxhash64(gram)` — 8 bytes instead of `minLen` — at a ~n²/2⁶⁴
+    * false-collision risk; the DuckDB oracle replays the exact
+    * (default) mode only. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 30, stride: Int = 10,
+                     hashShuffle: Boolean = false): DataFrame = {
+    require(minLen > 0 && stride > 0, s"minLen/stride must be positive")
+    val occ = docs
+      .where(length(col(textCol)) >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (minLen - 1),
+          lit(stride))).as("pos"),
+        col(textCol))
+      .select(col(idCol), col("pos"),
+        col(textCol).substr(col("pos"), lit(minLen)).as("gram"))
+    val key: Column = if (hashShuffle) xxhash64(col("gram")) else col("gram")
+    val keyed = occ.withColumn("__k", key).drop("gram")
+    val winners = keyed.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("pos"))).as("__w"))
+    keyed.join(winners, "__k")
+      .withColumn("dup",
+        col("__cnt") >= 2 && struct(col(idCol), col("pos")) =!= col("__w"))
+      .select(col(idCol), col("pos"), lit(minLen).as("len"), col("dup"))
+  }
+
+  /** Per-document rollup of [[substringSpans]]: `(id, n_grams, n_dup)` for
+    * EVERY input document (docs shorter than `minLen` report 0/0). n_dup /
+    * n_grams is the document's duplicated-substring mass — the score a
+    * curation pipeline thresholds on, and the numerator of the corpus-level
+    * duplication rate. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 30, stride: Int = 10,
+                     hashShuffle: Boolean = false): DataFrame = {
+    val spans = substringSpans(docs, idCol, textCol, minLen, stride, hashShuffle)
+    val agged = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_grams"),
+      count(when(col("dup"), 1)).as("n_dup"))
+    docs.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup"))
+  }
 }
