@@ -132,11 +132,20 @@ object Bench {
     // shuffle-write MB for EVERY query (the full artifact has no size
     // constraint) — the regression signal wall time can't give under
     // ambient swing; a top-N-by-noisy-time cut would drop exactly the
-    // mid-pack query whose shuffle doubled
-    val shuffleTop = results.filter(t => t._2 >= 0 && t._3 >= 0)
+    // mid-pack query whose shuffle doubled. A listener-drain timeout is
+    // emitted as the -1.0 SENTINEL, never omitted: a silently-missing key
+    // would make bench_diff compare only the intersection and a shuffle
+    // regression on that query would vanish without a trace.
+    val shuffleTop = results.filter(t => t._2 >= 0)
       .sortBy(_._1)
-      .map { case (n, _, b) => "\"" + n + f"\":${b / 1e6}%.1f" }
+      .map { case (n, _, b) =>
+        "\"" + n + (if (b >= 0) f"\":${b / 1e6}%.1f" else "\":-1.0") }
       .mkString("{", ",", "}")
+    val drainDropped = results.filter(t => t._2 >= 0 && t._3 < 0).map(_._1)
+    if (drainDropped.nonEmpty)
+      System.err.println(
+        s"[bench] listener-bus drain timed out for ${drainDropped.size} " +
+        s"queries (shuffle_mb = -1): ${drainDropped.sorted.mkString(",")}")
 
     val total = results.map(_._2).filter(_ >= 0).sum
 

@@ -115,7 +115,12 @@ object ScaleProbe {
     // round-10: the guarded SemDeDup — same x10 skew corpus, but the
     // maxClusterSize cap (sign-split + id-hash salt) bounds the pair
     // space; the pair of exponents is the guard's measured effect
-    "q_semantic_dedup_guarded")
+    "q_semantic_dedup_guarded",
+    // round-12: the exact duplicated-substring tier — the x10 corpus's
+    // replica-tagged documents grow its duplicated-gram clusters linearly
+    // (S copies of each cluster), so the winner-agg + mark-back join
+    // should track the corpus scan, not the pair space
+    "q_substring_dedup")
 
   private case class Shift(col: String, offset: Long)
 
@@ -165,9 +170,10 @@ object ScaleProbe {
     * built at a different scale or from a different base, is rebuilt
     * instead of silently reused (which would corrupt the measured
     * exponents). */
-  def buildScaled(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+                  scale: Int = Scale): Unit = {
     val offs = domainOffsets(spark, baseDir)
-    val stamp = s"scale=$Scale base=$baseDir"
+    val stamp = s"scale=$scale base=$baseDir"
     plans(offs).foreach { case (table, shifts) =>
       val target = new java.io.File(s"$outDir/$table.parquet")
       val success = new java.io.File(target, "_SUCCESS")
@@ -178,7 +184,7 @@ object ScaleProbe {
         val base = readTable(spark, baseDir, table)
         val scaled =
           if (shifts.isEmpty) base
-          else (0 until Scale).map { i =>
+          else (0 until scale).map { i =>
             val shifted = shifts.foldLeft(base) { (df, sh) =>
               df.withColumn(sh.col, col(sh.col) + lit(sh.offset * i))
             }
@@ -220,11 +226,12 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    // Base-scale runs take a MIN-OF-5: the exponent is log_S(t_big/t_1x)
-    // and round-11 sessions showed t_1x swinging 2× with ambient host
-    // noise (2.96–6.07 s for the same build) while t_big held ±8% — five
-    // cheap base runs find the clean floor the ratio needs. Big-scale
-    // runs stay min-of-2 (each is 15–30 s; the relative noise is small).
+    // BOTH ends take a MIN-OF-5 (round-11 lesson, SCALE.md four-session
+    // table): the exponent is log_S(t_big/t_1x) and ambient host noise
+    // swung t_1x 2× across sessions of an unchanged build — one noisy
+    // sample at EITHER end moves a 30× exponent by ±0.2. The protocol is
+    // enforced here, not left to operator discipline, and stamped into
+    // every artifact row ("runs":5) so a probe run outside it is visible.
     def time(name: String, dir: String, runs: Int): Option[Double] = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -248,11 +255,11 @@ object ScaleProbe {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val rows = Probes.filter(n => only.isEmpty || only(n)).flatMap { name =>
       for (t1 <- time(name, baseDir, runs = 5);
-           t10 <- time(name, outDir, runs = 2)) yield {
+           t10 <- time(name, outDir, runs = 5)) yield {
         val exp = math.log(t10 / t1) / math.log(Scale.toDouble)
         // label the big-corpus timing by the ACTUAL scale (t10x/t30x/…)
         // so mixed-scale logs and artifacts stay self-describing
-        println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$exp%.2f}""")
+        println(f"""PROBE {"query":"$name","t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$exp%.2f,"runs":5}""")
         (name, t1, t10, exp)
       }
     }
@@ -268,9 +275,105 @@ object ScaleProbe {
           .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
     val fresh = rows.map { case (n, t1, t10, e) =>
-      n -> f"""{"t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$e%.2f}"""
+      n -> f"""{"t1x":$t1%.2f,"t${Scale}%dx":$t10%.2f,"exponent":$e%.2f,"runs":5}"""
     }.toMap
     val json = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
+
+/** Three-point SINGLE-SESSION scale fit: times each watch query at scales
+  * 1×/10×/30× (min-of-5 at every scale, one JVM, one host state) and fits
+  * `t = a + b·S` by least squares. A two-point probe's exponent
+  * `log_S(t_S/t_1)` fits ANY monotone curve exactly, so it cannot
+  * distinguish "constant marginal cost with fixed overhead" (a + b·S —
+  * exponent drifts toward 1 as S grows but the PLAN is linear) from mild
+  * superlinearity; three points in one session can: if the line fits, the
+  * middle-point residual is small, and the residual is the verdict.
+  *
+  * Reported per query: the three min-of-5 timings, the fitted (a, b), and
+  * `resid10_pct` = (t10 − (a + 10b)) / t10. Under the linear model the
+  * residual is pure measurement noise (≲15% on this host); a large
+  * POSITIVE residual means the middle point sits above the line through
+  * the ends — concave-up growth, i.e. genuine superlinearity that reopens
+  * the plan. Output: scaleprobe3pt.json. */
+object ScaleFit {
+  val DefaultProbes = Seq("q_hurst", "q_seasonal_anomaly", "q_market_beta")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val probes = sys.env.get("GRAFT_FIT_ONLY")
+      .map(_.split(",").toSeq).getOrElse(DefaultProbes)
+    val scales = Seq(10, 30)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "4m") // see Bench — small-data page fix
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dirs: Map[Int, String] = Map(1 -> baseDir) ++ scales.map { s =>
+      val d = s"target/scaledata/x$s"
+      ScaleProbe.buildScaled(spark, baseDir, d, scale = s)
+      s -> d
+    }
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def sweep(): Unit = {
+      CacheScope.release(blocking = true)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def time(name: String, dir: String): Option[Double] = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r = try Some((1 to 5).map { i =>
+          val t = once(); if (i < 5) sweep(); t
+        }.min)
+      catch { case e: Throwable =>
+        System.err.println(s"$name failed at $dir: ${e.getMessage}"); None }
+      sweep(); r
+    }
+
+    force(SparkEntry.queries("q_indicators_combined")(spark, baseDir)) // warm-up
+    sweep()
+
+    val xs = (1 +: scales).map(_.toDouble)
+    val rows = probes.flatMap { name =>
+      val ts = (1 +: scales).flatMap(s => time(name, dirs(s)))
+      if (ts.size == xs.size) {
+        val ys = ts
+        val xbar = xs.sum / xs.size
+        val ybar = ys.sum / ys.size
+        val b = xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum /
+          xs.map(x => (x - xbar) * (x - xbar)).sum
+        val a = ybar - b * xbar
+        val pred10 = a + b * 10.0
+        val resid10 = (ys(1) - pred10) / ys(1) * 100.0
+        println(f"""FIT {"query":"$name","t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f,"runs":5}""")
+        Some(name ->
+          f"""{"t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f,"runs":5}""")
+      } else None
+    }
+    val outPath = java.nio.file.Paths.get("scaleprobe3pt.json")
+    val prior: Map[String, String] =
+      if (java.nio.file.Files.exists(outPath)) {
+        val txt = java.nio.file.Files.readString(outPath)
+        """"(q_[a-z0-9_]+)":(\{[^}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    val json = (prior ++ rows.toMap).toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     println(json)
