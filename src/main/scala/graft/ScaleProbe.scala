@@ -120,7 +120,10 @@ object ScaleProbe {
     // replica-tagged documents grow its duplicated-gram clusters linearly
     // (S copies of each cluster), so the winner-agg + mark-back join
     // should track the corpus scan, not the pair space
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // the cut pass adds one keyed window sweep + per-doc-bounded interval
+    // splice on top of the spans plan — should stay corpus-linear
+    "q_substring_cut")
 
   private case class Shift(col: String, offset: Long)
 

@@ -3607,6 +3607,14 @@ object SparkEntry {
           minLen = 30, stride = 10)
         .orderBy(col("doc_id"))
     }),
+    "q_substring_cut" -> ((s, d) => {
+      // the cut pass: duplicate-marked 30-char grams removed (canonical
+      // first occurrence kept), merged-interval splice per document
+      load(s, d)
+      operators.Dedup.substringCut(s.table("documents"), "doc_id", "text",
+          minLen = 30, stride = 10)
+        .orderBy(col("doc_id"))
+    }),
     "q_incremental_dedup" -> ((s, d) => {
       // incremental ingestion: odd doc_ids are the new batch, even the
       // existing reference corpus; survivors duplicate nothing in the ref
@@ -8519,6 +8527,48 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
         |  coalesce(a.n_dup, 0) AS n_dup
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.substringCut per-CHARACTER: a char survives iff no
+    // duplicate-marked span covers it — the anti-join formulation needs no
+    // interval merge and is independent of the Spark side's sweep+splice,
+    // so it cross-checks the merge logic rather than re-deriving it. Only
+    // viable at test scale (one row per character).
+    "q_substring_cut" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 29, 10)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, pos, substring(text, pos, 30) AS gram FROM p
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |),
+        |dup AS (
+        |  SELECT doc_id, pos AS s, pos + 29 AS e FROM marked
+        |  WHERE cnt >= 2 AND rn > 1
+        |),
+        |chars AS (
+        |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
+        |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+        |),
+        |kept AS (
+        |  SELECT c.doc_id, c.cpos, c.ch
+        |  FROM chars c LEFT JOIN dup u
+        |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.s AND u.e
+        |  GROUP BY c.doc_id, c.cpos, c.ch
+        |  HAVING count(u.doc_id) = 0
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+        |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // Replays Dedup.incrementalDedup over the odd(new)/even(ref) split. The

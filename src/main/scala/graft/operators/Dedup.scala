@@ -634,4 +634,64 @@ object Dedup {
     docs.select(col(idCol)).join(agged, Seq(idCol), "left")
       .na.fill(0L, Seq("n_grams", "n_dup"))
   }
+
+  /** The CUT pass over [[substringSpans]] (the step Lee et al. actually
+    * ship): removes every duplicate-marked span from each document —
+    * keeping the corpus-wide canonical first occurrence of every
+    * duplicated substring — and returns `(id, cleaned_text,
+    * removed_chars)` for EVERY input document (unaffected docs pass
+    * through verbatim).
+    *
+    * Scale design: dup spans from the same repeated region overlap
+    * heavily (stride sampling), so they are first UNION-merged per
+    * document with the classic sweep — one window over (id, pos): a
+    * growing-frame running `max(end)` detects gaps, a running sum numbers
+    * the merged groups; both frames are O(1)-per-row in WindowExec and
+    * share one sort. The merged intervals then `collect_list` per doc
+    * (bounded by len/stride PER DOCUMENT, never by the corpus) and one
+    * `aggregate` higher-order fold splices the kept segments — cursor
+    * starts at 1, each interval appends `text[cursor, start)` and jumps
+    * the cursor to its end, the finisher appends the tail. Total cost:
+    * the [[substringSpans]] shuffles + one keyed window + one join back
+    * to the docs — no per-character rows anywhere (the DuckDB oracle
+    * uses a per-char anti-join instead, which is only viable at test
+    * scale). */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+                   minLen: Int = 30, stride: Int = 10,
+                   hashShuffle: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dups = substringSpans(docs, idCol, textCol, minLen, stride, hashShuffle)
+      .filter(col("dup"))
+      .select(col(idCol), col("pos"), (col("pos") + col("len")).as("__end"))
+    val order = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("__end"))
+    val sweep = dups
+      // growing frame ending BEFORE the current row: the furthest end seen
+      // so far; a span starting at or before it overlaps/abuts → same group
+      .withColumn("__maxend",
+        max(col("__end")).over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__grp",
+        sum(when(col("__maxend").isNull || col("pos") > col("__maxend"), 1)
+          .otherwise(0))
+          .over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = sweep.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start"), max(col("__end")).as("end"))
+    val ivs = merged.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("start"), col("end")))).as("__ivs"))
+    docs.join(ivs, Seq(idCol), "left")
+      .withColumn("cleaned_text",
+        when(col("__ivs").isNull, col(textCol)).otherwise(aggregate(
+          col("__ivs"),
+          struct(lit(1).as("cur"), lit("").as("s")),
+          (acc, iv) => struct(
+            iv.getField("end").as("cur"),
+            concat(acc.getField("s"), col(textCol)
+              .substr(acc.getField("cur"),
+                iv.getField("start") - acc.getField("cur"))).as("s")),
+          acc => concat(acc.getField("s"), col(textCol)
+            .substr(acc.getField("cur"),
+              length(col(textCol)) - acc.getField("cur") + lit(1))))))
+      .withColumn("removed_chars",
+        (length(col(textCol)) - length(col("cleaned_text"))).cast("long"))
+      .select(col(idCol), col("cleaned_text"), col("removed_chars"))
+  }
 }

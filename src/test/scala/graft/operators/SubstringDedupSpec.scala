@@ -45,6 +45,44 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((7L, 3L, 2L)))
   }
 
+  test("substringCut: dup spans removed, canonical copy kept, overlapping spans union-merged") {
+    val df = Seq(
+      (1L, "abcdefgh"),  // all grams canonical — passes through verbatim
+      (2L, "abcdexyz"),  // gram @1 "abcde" dup of doc1@1 → cut [1,6) → "xyz"
+      (3L, "zzcdefg"),   // gram @3 "cdefg" dup of doc1@3 → cut [3,8) → "zz"
+      (4L, "abcd")       // shorter than minLen → verbatim
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringCut(df, "doc_id", "text", minLen = 5, stride = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "abcdefgh", 0L), (2L, "xyz", 5L), (3L, "zz", 5L), (4L, "abcd", 0L)))
+  }
+
+  test("substringCut: within-doc repeats cut down to the canonical first; full-dup doc empties") {
+    // doc 7: grams @1/@3/@5 all "ab"+... wait minLen=2 stride=2: "ababab"
+    // grams @1 @3 @5 = "ab" — canonical @1 kept, [3,5) and [5,7) merge to
+    // [3,7) → "ab" survives
+    val df = Seq((7L, "ababab"), (8L, "ababab")).toDF("doc_id", "text")
+    val out = Dedup.substringCut(df, "doc_id", "text", minLen = 2, stride = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 7 owns every canonical "ab" (min (id,pos)); doc 8 is pure dup →
+    // every gram cut, intervals merge to [1,7) covering all 6 chars
+    assert(out.toSeq === Seq((7L, "ab", 4L), (8L, "", 6L)))
+  }
+
+  test("substringCut: interior dup leaves head and tail stitched around the cut") {
+    // canonical source doc 1; doc 2 embeds doc 1's "abcde" mid-string
+    val df = Seq((1L, "abcdefgh"), (2L, "XXabcdeYY"))
+      .toDF("doc_id", "text")
+    // stride 1 samples every position; doc2 grams "abcde"@3 dup → cut [3,8)
+    val out = Dedup.substringCut(df, "doc_id", "text", minLen = 5, stride = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(1) === ((2L, "XXYY", 5L)))
+  }
+
   test("hashShuffle mode (8-byte shuffle keys) reproduces the exact-mode result") {
     val df = Seq(
       (1L, "abcdefgh"), (2L, "abcdexyz"), (3L, "zzcdefg"), (4L, "abcd"),
