@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, which prefixes
+// every stdout line with "[info] " — that makes Bench's one-line JSON
+// contract unparseable to anything that json.loads the raw line (the
+// driver's BENCH artifact has recorded "parsed": null in every round).
+// StdoutOutput inherits the parent's streams: program stdout stays raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
