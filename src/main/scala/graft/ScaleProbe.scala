@@ -123,7 +123,12 @@ object ScaleProbe {
     "q_substring_dedup",
     // the cut pass adds one keyed window sweep + per-doc-bounded interval
     // splice on top of the spans plan — should stay corpus-linear
-    "q_substring_cut")
+    "q_substring_cut",
+    // round-12: the three most expensive staged-lag/window composites from
+    // the bench top-5 had floor proofs but no measured exponent — all
+    // share the one-keyed-exchange + bounded-frame shape that should
+    // scale with bars, not with anything quadratic
+    "q_kst", "q_connors_rsi", "q_coppock")
 
   private case class Shift(col: String, offset: Long)
 
