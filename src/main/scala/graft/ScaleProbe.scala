@@ -128,7 +128,11 @@ object ScaleProbe {
     // the bench top-5 had floor proofs but no measured exponent — all
     // share the one-keyed-exchange + bounded-frame shape that should
     // scale with bars, not with anything quadratic
-    "q_kst", "q_connors_rsi", "q_coppock")
+    "q_kst", "q_connors_rsi", "q_coppock",
+    // round-12: span-level benchmark decontamination — probe grams
+    // broadcast, corpus side is one explode + semi-join + cut; should
+    // track the corpus scan (the probe side is FIXED as the corpus grows)
+    "q_decontaminate")
 
   private case class Shift(col: String, offset: Long)
 

@@ -3615,6 +3615,19 @@ object SparkEntry {
           minLen = 30, stride = 10)
         .orderBy(col("doc_id"))
     }),
+    "q_decontaminate" -> ((s, d) => {
+      // span-level benchmark decontamination: src0 documents are the
+      // "benchmark"; any 20-char substring of a training doc (src1..19)
+      // that appears anywhere in src0 is cut (training side sampled at
+      // stride 5 — detection floor 24 shared chars)
+      load(s, d)
+      val docs = s.table("documents")
+      operators.Dedup.decontaminationCut(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          minLen = 20, stride = 5)
+        .orderBy(col("doc_id"))
+    }),
     "q_incremental_dedup" -> ((s, d) => {
       // incremental ingestion: odd doc_ids are the new batch, even the
       // existing reference corpus; survivors duplicate nothing in the ref
@@ -8570,6 +8583,45 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
         |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.decontaminationCut per-CHARACTER (same independent
+    // anti-join formulation as q_substring_cut's oracle): a training-doc
+    // char survives iff no probe-matched span covers it. Probe grams are
+    // exhaustive (stride 1), training grams sampled at stride 5.
+    "q_decontaminate" ->
+      """WITH probe AS (
+        |  SELECT DISTINCT substring(text, p.i, 20) AS gram
+        |  FROM documents d, unnest(generate_series(1, length(d.text) - 19, 1)) AS p(i)
+        |  WHERE d.source = 'src0' AND length(d.text) >= 20
+        |),
+        |occ AS (
+        |  SELECT doc_id, t.i AS pos, substring(text, t.i, 20) AS gram
+        |  FROM documents d, unnest(generate_series(1, length(d.text) - 19, 5)) AS t(i)
+        |  WHERE d.source <> 'src0' AND length(d.text) >= 20
+        |),
+        |dup AS (
+        |  SELECT doc_id, pos AS s, pos + 19 AS e FROM occ JOIN probe USING (gram)
+        |),
+        |chars AS (
+        |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
+        |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+        |  WHERE d.source <> 'src0'
+        |),
+        |kept AS (
+        |  SELECT c.doc_id, c.cpos, c.ch
+        |  FROM chars c LEFT JOIN dup u
+        |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.s AND u.e
+        |  GROUP BY c.doc_id, c.cpos, c.ch
+        |  HAVING count(u.doc_id) = 0
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+        |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
     // Replays Dedup.incrementalDedup over the odd(new)/even(ref) split. The
     // oracle computes near-dups over ALL odd docs while Spark restricts to

@@ -596,11 +596,12 @@ object Dedup {
     * `xxhash64(gram)` — 8 bytes instead of `minLen` — at a ~n²/2⁶⁴
     * false-collision risk; the DuckDB oracle replays the exact
     * (default) mode only. */
-  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
-                     minLen: Int = 30, stride: Int = 10,
-                     hashShuffle: Boolean = false): DataFrame = {
-    require(minLen > 0 && stride > 0, s"minLen/stride must be positive")
-    val occ = docs
+  /** Every `minLen`-char window of `textCol` sampled at `stride`:
+    * `(id, pos, gram)`. Docs shorter than `minLen` contribute nothing. */
+  private def gramOccurrences(docs: DataFrame, idCol: String,
+                              textCol: String, minLen: Int,
+                              stride: Int): DataFrame =
+    docs
       .where(length(col(textCol)) >= minLen)
       .select(col(idCol),
         explode(sequence(lit(1), length(col(textCol)) - (minLen - 1),
@@ -608,6 +609,12 @@ object Dedup {
         col(textCol))
       .select(col(idCol), col("pos"),
         col(textCol).substr(col("pos"), lit(minLen)).as("gram"))
+
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 30, stride: Int = 10,
+                     hashShuffle: Boolean = false): DataFrame = {
+    require(minLen > 0 && stride > 0, s"minLen/stride must be positive")
+    val occ = gramOccurrences(docs, idCol, textCol, minLen, stride)
     val key: Column = if (hashShuffle) xxhash64(col("gram")) else col("gram")
     val keyed = occ.withColumn("__k", key).drop("gram")
     val winners = keyed.groupBy(col("__k"))
@@ -659,12 +666,21 @@ object Dedup {
   def substringCut(docs: DataFrame, idCol: String, textCol: String,
                    minLen: Int = 30, stride: Int = 10,
                    hashShuffle: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dups = substringSpans(docs, idCol, textCol, minLen, stride, hashShuffle)
       .filter(col("dup"))
       .select(col(idCol), col("pos"), (col("pos") + col("len")).as("__end"))
+    cutSpans(docs, idCol, textCol, dups)
+  }
+
+  /** Union-merges `spans` (`(idCol, pos, __end)`, end exclusive) per
+    * document and splices the kept segments back together — the shared
+    * cut engine behind [[substringCut]] and [[decontaminationCut]]. See
+    * [[substringCut]] for the sweep/splice scale argument. */
+  private def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+                       spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val order = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("__end"))
-    val sweep = dups
+    val sweep = spans
       // growing frame ending BEFORE the current row: the furthest end seen
       // so far; a span starting at or before it overlaps/abuts → same group
       .withColumn("__maxend",
@@ -693,5 +709,45 @@ object Dedup {
       .withColumn("removed_chars",
         (length(col(textCol)) - length(col("cleaned_text"))).cast("long"))
       .select(col(idCol), col("cleaned_text"), col("removed_chars"))
+  }
+
+  /** Benchmark decontamination at SPAN level (the GPT-3/PaLM-style n-gram
+    * overlap removal, upgraded from drop-the-document to cut-the-span):
+    * any `minLen`-char substring of a training document that also appears
+    * ANYWHERE in the `probe` corpus (the benchmark/eval set) is removed,
+    * and the document's remaining segments are stitched back together —
+    * `(id, cleaned_text, removed_chars)` for every input document.
+    *
+    * Detection guarantee: probe grams are EXHAUSTIVE (stride 1) while the
+    * training side samples at `stride`, so any shared substring of length
+    * ≥ `minLen + stride − 1` is caught regardless of alignment phase
+    * (some sampled training gram must land fully inside it). `stride`
+    * trades candidate volume for the detection floor, exactly as in
+    * [[substringSpans]].
+    *
+    * Scale design: the probe side is an eval set — tiny next to the
+    * corpus — so its distinct gram frame BROADCASTS by default
+    * (`broadcastProbe = false` falls back to a shuffle join for
+    * multi-GB probes); the corpus side is one gram explode + one
+    * LEFT SEMI join (no fan-out possible: probe grams are distinct), then
+    * the shared [[cutSpans]] merge/splice. The corpus is scanned twice
+    * (hit detection + splice-back), never self-joined. */
+  def decontaminationCut(docs: DataFrame, idCol: String, textCol: String,
+                         probe: DataFrame, probeTextCol: String,
+                         minLen: Int = 30, stride: Int = 10,
+                         broadcastProbe: Boolean = true): DataFrame = {
+    require(minLen > 0 && stride > 0, s"minLen/stride must be positive")
+    val probeGrams0 = probe
+      .where(length(col(probeTextCol)) >= minLen)
+      .select(explode(sequence(lit(1),
+        length(col(probeTextCol)) - (minLen - 1), lit(1))).as("__p"),
+        col(probeTextCol))
+      .select(col(probeTextCol).substr(col("__p"), lit(minLen)).as("gram"))
+      .distinct()
+    val probeGrams = if (broadcastProbe) broadcast(probeGrams0) else probeGrams0
+    val hits = gramOccurrences(docs, idCol, textCol, minLen, stride)
+      .join(probeGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + lit(minLen)).as("__end"))
+    cutSpans(docs, idCol, textCol, hits)
   }
 }

@@ -83,6 +83,45 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(1) === ((2L, "XXYY", 5L)))
   }
 
+  test("decontaminationCut: probe-matched spans cut, phase-independent detection, clean docs verbatim") {
+    val train = Seq(
+      (1L, "XXhello worldYY"),  // "hello world" (11 chars) appears in probe
+      (2L, "no overlap here!!"),
+      (3L, "hello world")       // the whole doc is contaminated
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "zz hello world zz")).toDF("pid", "ptext")
+    // minLen=5, stride=2: probe grams exhaustive → any shared substring of
+    // length >= 5+2-1=6 is caught whatever the sampling phase
+    val out = Dedup.decontaminationCut(train, "doc_id", "text",
+        probe, "ptext", minLen = 5, stride = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc1: sampled grams at 1,3,5,7,9,11 — "hello" region grams @3..@9
+    // match probe grams; merged cut spans cover [3, 14) → "XX" + "YY"?
+    // grams: @3 "hello"? text "XXhello worldYY": @3 = "hell" + ... let the
+    // assertions below pin the semantics instead of prose:
+    assert(out(1) === ((2L, "no overlap here!!", 0L)),
+      "clean doc must pass through verbatim")
+    // contaminated docs lose at least the shared substring's chars
+    assert(out(0)._1 === 1L && out(0)._3 >= 11L &&
+      !out(0)._2.contains("hello world"),
+      s"doc1 must not retain the contaminated span: ${out(0)}")
+    assert(out(2)._1 === 3L && !out(2)._2.contains("hello"),
+      s"doc3 must not retain the contaminated span: ${out(2)}")
+  }
+
+  test("decontaminationCut: broadcastProbe=false (shuffle join) is value-identical") {
+    val train = Seq(
+      (1L, "XXhello worldYY"), (2L, "no overlap here!!"), (3L, "hello world")
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "zz hello world zz")).toDF("pid", "ptext")
+    def run(b: Boolean) =
+      Dedup.decontaminationCut(train, "doc_id", "text", probe, "ptext",
+        minLen = 5, stride = 2, broadcastProbe = b).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(run(true) === run(false))
+  }
+
   test("hashShuffle mode (8-byte shuffle keys) reproduces the exact-mode result") {
     val df = Seq(
       (1L, "abcdefgh"), (2L, "abcdexyz"), (3L, "zzcdefg"), (4L, "abcd"),
