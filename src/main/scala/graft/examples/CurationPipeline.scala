@@ -55,6 +55,14 @@ object CurationPipeline {
       .persist() // consumed by the count here and the packing below
     println(s"kept ${clean.count()} after 8-gram decontamination")
 
+    println("== 3b. Span-level cleanup: cut (don't drop) residual overlap ==")
+    // the surgical alternative for docs worth keeping: any 20-char span
+    // that appears in the probe set is spliced out, the rest survives
+    val cut = Dedup.decontaminationCut(clean, "doc_id", "text",
+      probes, "text", minLen = 20, stride = 5)
+    val cutStats = cut.agg(sum("removed_chars").as("removed")).head()
+    println(s"span-cut removed ${cutStats.getLong(0)} chars across survivors")
+
     println("== 4. Sequence packing (4 shards, 512-token packs) ==")
     val withLen = clean.select(col("doc_id"),
       (col("doc_id") % 4).cast("int").as("shard"),
