@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Differential testing for the substring tier: an independent, obviously-
+  * correct O(n²) in-memory reference implementation of the span semantics
+  * (gram sampling → corpus-wide canonical-first marking → per-char cut)
+  * compared against the distributed operators on randomized small-alphabet
+  * corpora — tiny alphabets make collisions dense, so every interval-merge
+  * / canonical-tie / full-doc-cut edge actually occurs. Fixed seed:
+  * failures reproduce exactly. */
+class SubstringPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- reference implementation (character indexing 1-based like SQL) ----
+
+  private def grams(text: String, minLen: Int, stride: Int): Seq[(Int, String)] =
+    if (text.length < minLen) Seq.empty
+    else (1 to (text.length - minLen + 1) by stride)
+      .map(p => p -> text.substring(p - 1, p - 1 + minLen))
+
+  /** (id, pos, dup) for every sampled occurrence. */
+  private def refSpans(docs: Seq[(Long, String)], minLen: Int,
+                       stride: Int): Seq[(Long, Int, Boolean)] = {
+    val occ = for ((id, t) <- docs; (p, g) <- grams(t, minLen, stride))
+      yield (id, p, g)
+    val byGram = occ.groupBy(_._3)
+    occ.map { case (id, p, g) =>
+      val os = byGram(g)
+      val canon = os.map(o => (o._1, o._2)).min
+      (id, p, os.size >= 2 && (id, p) != canon)
+    }
+  }
+
+  private def cutChars(text: String, spans: Seq[(Int, Int)]): String = {
+    val remove = Array.fill(text.length)(false)
+    spans.foreach { case (s, e) => // [s, e) 1-based
+      ((s - 1) until math.min(e - 1, text.length)).foreach(remove(_) = true)
+    }
+    text.zipWithIndex.collect { case (c, i) if !remove(i) => c }.mkString
+  }
+
+  private def refCut(docs: Seq[(Long, String)], minLen: Int,
+                     stride: Int): Seq[(Long, String, Long)] = {
+    val dup = refSpans(docs, minLen, stride).filter(_._3)
+    docs.map { case (id, t) =>
+      val cleaned = cutChars(t,
+        dup.filter(_._1 == id).map(d => (d._2, d._2 + minLen)))
+      (id, cleaned, (t.length - cleaned.length).toLong)
+    }
+  }
+
+  private def refDecontaminate(docs: Seq[(Long, String)],
+                               probe: Seq[String], minLen: Int,
+                               stride: Int): Seq[(Long, String, Long)] = {
+    val probeGrams = probe.flatMap(t => grams(t, minLen, 1).map(_._2)).toSet
+    docs.map { case (id, t) =>
+      val hits = grams(t, minLen, stride)
+        .filter(pg => probeGrams(pg._2)).map(pg => (pg._1, pg._1 + minLen))
+      val cleaned = cutChars(t, hits)
+      (id, cleaned, (t.length - cleaned.length).toLong)
+    }
+  }
+
+  // ---- randomized corpora ----
+
+  private def corpus(rnd: Random, nDocs: Int, alphabet: String): Seq[(Long, String)] =
+    (1 to nDocs).map { i =>
+      val len = rnd.nextInt(25) // includes 0 and below-minLen lengths
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+
+  test("substringDedup and substringCut match the in-memory reference on 12 random corpora") {
+    val rnd = new Random(20260815L)
+    for (case_ <- 1 to 12) {
+      val alphabet = if (case_ % 2 == 0) "ab" else "abc"
+      val minLen = 2 + rnd.nextInt(4) // 2..5
+      val stride = 1 + rnd.nextInt(3) // 1..3
+      val docs = corpus(rnd, nDocs = 6, alphabet)
+      val df = docs.toDF("doc_id", "text")
+
+      val expSpans = refSpans(docs, minLen, stride)
+      val expDedup = docs.map { case (id, _) =>
+        val mine = expSpans.filter(_._1 == id)
+        (id, mine.size.toLong, mine.count(_._3).toLong)
+      }.sortBy(_._1)
+      val gotDedup = Dedup.substringDedup(df, "doc_id", "text", minLen, stride)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotDedup === expDedup,
+        s"case $case_ (minLen=$minLen stride=$stride) dedup mismatch on $docs")
+
+      val expCut = refCut(docs, minLen, stride).sortBy(_._1)
+      val gotCut = Dedup.substringCut(df, "doc_id", "text", minLen, stride)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(gotCut === expCut,
+        s"case $case_ (minLen=$minLen stride=$stride) cut mismatch on $docs")
+    }
+  }
+
+  test("decontaminationCut matches the in-memory reference on 8 random corpora (incl. empty probe = identity)") {
+    val rnd = new Random(4101202L)
+    for (case_ <- 1 to 8) {
+      val minLen = 2 + rnd.nextInt(3) // 2..4
+      val stride = 1 + rnd.nextInt(3)
+      val docs = corpus(rnd, nDocs = 5, "ab")
+      // case 1 uses an EMPTY probe: the operator must be the identity
+      val probe = if (case_ == 1) Seq.empty[String]
+        else corpus(rnd, nDocs = 2, "ab").map(_._2)
+      val df = docs.toDF("doc_id", "text")
+      val pdf = probe.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pid", "ptext")
+
+      val exp = refDecontaminate(docs, probe, minLen, stride).sortBy(_._1)
+      val got = Dedup.decontaminationCut(df, "doc_id", "text", pdf, "ptext",
+          minLen, stride)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got === exp,
+        s"case $case_ (minLen=$minLen stride=$stride) mismatch: docs=$docs probe=$probe")
+      if (case_ == 1)
+        assert(got.map(g => (g._1, g._2)) === docs,
+          "empty probe must be the identity")
+    }
+  }
+}
