@@ -132,7 +132,12 @@ object ScaleProbe {
     // round-12: span-level benchmark decontamination — probe grams
     // broadcast, corpus side is one explode + semi-join + cut; should
     // track the corpus scan (the probe side is FIXED as the corpus grows)
-    "q_decontaminate")
+    "q_decontaminate",
+    // round-12: the flooded-corpus cluster path — star edges per bucket
+    // are O(members) where the all-pairs graph is O(members²), so this
+    // should stay near-linear on the replica corpus that pushes
+    // q_dedup_components to 0.64 (see PairMassProbe / pairmass.json)
+    "q_dedup_star")
 
   private case class Shift(col: String, offset: Long)
 

@@ -3655,6 +3655,13 @@ object SparkEntry {
       val pairs = operators.Dedup.minhashNearDups(s.table("documents"), "doc_id", "text")
       operators.Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
+    "q_dedup_star" -> ((s, d) => {
+      // flooded-corpus scale path: per-bucket star edges to the bucket rep
+      // (verified) instead of all-pairs — O(members) per LSH bucket
+      load(s, d)
+      operators.Dedup.starNearDupClusters(s.table("documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
     "q_dedup_keep" -> ((s, d) => {
       // the full dedup composite a pipeline actually runs: near-dup pairs →
       // components → drop everything but each cluster's min-id representative
@@ -4935,6 +4942,43 @@ object SparkEntry {
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.src, r.r FROM reach r JOIN edges e ON e.dst = r.id
+       |)""".stripMargin
+
+  /** [[duckComponentsCtes]] with STAR candidates: per-(band, sig) bucket
+    * rep = min(doc_id), edges only rep→member (verified) — replays
+    * `Dedup.starNearDupClusters` for the q_dedup_star oracle. */
+  private def duckStarComponentsCtes: String =
+    s"""${duckMinhashCtes()},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |reps AS (SELECT band, sig, min(doc_id) AS rep FROM bands GROUP BY band, sig),
+       |scand AS (
+       |  SELECT DISTINCT r.rep AS id_a, b.doc_id AS id_b
+       |  FROM bands b JOIN reps r ON r.band = b.band AND r.sig = b.sig
+       |  WHERE b.doc_id > r.rep
+       |),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM scand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.id_a, c.id_b
+       |),
+       |spairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.id_a
+       |  JOIN sizes nb ON nb.doc_id = i.id_b
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM spairs
+       |  UNION SELECT id_b, id_a FROM spairs
        |),
        |verts AS (SELECT DISTINCT src AS id FROM edges),
        |reach(id, r) AS (
@@ -8661,6 +8705,11 @@ object SparkEntry {
       // components of the minhash near-dup graph: min reachable id via a
       // recursive closure (exact; graph is small after LSH+verify)
       s"""WITH RECURSIVE $duckComponentsCtes
+         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_star" ->
+      // star-verified clusters: same reachability closure, edges restricted
+      // to verified rep->member stars per LSH bucket
+      s"""WITH RECURSIVE $duckStarComponentsCtes
          |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_keep" ->
       // end-to-end dedup: keep one representative (min id) per near-dup

@@ -112,6 +112,48 @@ object Dedup {
     jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
+  /** Cluster-oriented near-dup detection for FLOODED corpora — the scale
+    * path when duplicate clusters are huge. [[minhashNearDups]]'s contract
+    * is "return the near-dup PAIRS", and on a corpus where every document
+    * has m near-identical copies the true pair mass is C(m,2) per cluster
+    * — quadratic in m, measured in `graft.PairMassProbe` (the operator's
+    * time tracks its output at ~30 s per million pairs; the output itself
+    * is the cost). When the goal is CLUSTERS (dedup keep/drop decisions),
+    * all-pairs edges are overkill: within each LSH bucket a STAR to the
+    * bucket's minimum id carries the same connectivity — O(members) edges
+    * per bucket instead of O(members²) — and each star edge is still
+    * verified with exact Jaccard before it merges anything.
+    *
+    * Semantics trade (documented, spec-measured): a member that shares a
+    * bucket with the rep but is near-dup only to OTHER members (not the
+    * rep itself) misses that bucket's edge; band multiplicity gives it
+    * k/rowsPerBand independent chances with different reps, so on
+    * replica-style floods the clusters come out identical to the
+    * all-pairs path. Use this for keep/drop at scale; use
+    * [[minhashNearDups]] when the pairs themselves are the product.
+    * Returns `(id, component)` like [[connectedComponents]]. */
+  def starNearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val sets = graft.CacheScope.register(
+      TextOps.shingleSets(df, idCol, textCol, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val bands = lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
+    // rep per bucket: a map-side-combinable min — the flood's giant bucket
+    // collapses to one row per map task, never a bucket-sized join side
+    val reps = bands.groupBy(col("band"), col("sig"))
+      .agg(min(col(idCol)).as("__rep"))
+    val starCand = bands.join(reps, Seq("band", "sig"))
+      .where(col(idCol) > col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+      .distinct()
+    val edges = jaccard(sets, idCol, starCand)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    connectedComponents(edges)
+  }
+
   /** Exact n-gram Jaccard pairs above `threshold`.
     *
     * Default plan: intersection sizes counted directly off the shingle

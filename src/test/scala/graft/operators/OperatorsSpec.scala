@@ -16,6 +16,33 @@ class OperatorsSpec extends AnyFunSuite {
     (5L, "completely different words about spark catalyst optimizer plans")
   ).toDF("doc_id", "text")
 
+  test("starNearDupClusters: replica flood clusters identically to the all-pairs path with O(members) edges") {
+    // two "originals", each flooded with near-identical replicas (the
+    // PairMassProbe scenario) plus two singletons that must stay out
+    val docsA = (0 to 5).map(i => (10L + i,
+      s"alpha quick brown fox jumps over the lazy dog alpha replica tag $i"))
+    val docsB = (0 to 5).map(i => (20L + i,
+      s"beta slow green turtle crawls under the busy bridge beta replica tag $i"))
+    val single = Seq(
+      (30L, "gamma completely unrelated text about spark catalyst optimizer internals"),
+      (31L, "delta another unrelated document mentioning parquet bucketing strategies"))
+    val flood = (docsA ++ docsB ++ single).toDF("doc_id", "text")
+
+    val star = Dedup.starNearDupClusters(flood, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(
+        Dedup.minhashNearDups(flood, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.CacheScope.release()
+
+    assert(star === full,
+      "on a replica flood the star path must produce the all-pairs clusters")
+    // both floods resolve to their min-id rep; singletons never appear
+    assert(star.filter(k => k._1 >= 10L && k._1 < 20L).values.toSet === Set(10L))
+    assert(star.filter(k => k._1 >= 20L && k._1 < 30L).values.toSet === Set(20L))
+    assert(!star.contains(30L) && !star.contains(31L))
+  }
+
   test("text stats: token count, punct, stopwords, quality in [0,1]") {
     val st = TextOps.textStats(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(st(0).getAs[Int]("n_tokens") === 13)
