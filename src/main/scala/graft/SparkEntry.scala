@@ -1632,6 +1632,23 @@ object SparkEntry {
     when(violation, raise_error(lit(msg))).otherwise(text)
   }
 
+  /** Deterministic replica flood of the documents table for the
+    * pair-budget family gates (q_*_flood): every 25th document × 4 copies,
+    * copy r > 0 tagged with a 2-token suffix so replicas are NEAR-dups
+    * (tag shingles are a tiny fraction of a document's set), ids shifted
+    * by r·1e6 (doc_id stays far below 1e6 at every test SF). The DuckDB
+    * twin is [[duckFloodDocs]]. */
+  private def floodDocs(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, explode, lit, sequence, when}
+    s.table("documents").filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .select((col("doc_id") + col("r") * lit(1000000L)).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" flood f"),
+            col("r").cast("string"))).as("text"))
+  }
+
   /** events table with `ts` as NANOSECOND Longs — delegates to
     * [[sources.Events.readNanos]], which reads the raw INT64 through an
     * explicit LongType schema and normalizes whatever unit the parquet
@@ -3663,24 +3680,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "q_dedup_keep" -> ((s, d) => {
-      // the full dedup composite a pipeline actually runs: near-dup pairs →
-      // components → drop everything but each cluster's min-id representative
+      // the full dedup composite a pipeline actually runs, through the
+      // r13 DEFAULT cluster path: star-verified edges per LSH bucket
+      // (O(members), flood exponent 0.36) → components → drop everything
+      // but each cluster's min-id representative. AllPairsEdges is the
+      // explicit opt-in for maximal recall (q_dedup_components gates it).
       load(s, d)
-      val docs = s.table("documents")
-      val pairs = operators.Dedup.minhashNearDups(docs, "doc_id", "text")
-      val comp = operators.Dedup.connectedComponents(pairs)
-      operators.Dedup.keepRepresentatives(docs, "doc_id", comp)
+      operators.Dedup.nearDupKeep(s.table("documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
     "q_dedup_keep_best" -> ((s, d) => {
-      // quality-aware variant: each near-dup cluster keeps its LONGEST
-      // member (n_chars as the quality stand-in), ties to the lower id
+      // quality-aware variant on the same star-default cluster path: each
+      // near-dup cluster keeps its LONGEST member (n_chars as the quality
+      // stand-in), ties to the lower id
       load(s, d)
-      val docs = s.table("documents")
-      val pairs = operators.Dedup.minhashNearDups(docs, "doc_id", "text")
-      val comp = operators.Dedup.connectedComponents(pairs)
-      operators.Dedup.keepBestRepresentatives(docs, "doc_id", "n_chars", comp)
+      operators.Dedup.nearDupKeepBest(s.table("documents"), "doc_id", "text",
+          "n_chars")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -3703,6 +3719,56 @@ object SparkEntry {
       load(s, d)
       operators.Dedup.ngramJaccardPairs(s.table("documents"), "doc_id", "text",
           n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // Flood-fixture gates for the pair-budget families (r13): each runs its
+    // pair operator over a deterministic REPLICA FLOOD of the documents
+    // table (every 25th doc × 4 tagged near-identical copies) with the
+    // default budget ENGAGED (the prediction runs, stays under the 1e9
+    // default, and the results still match the oracle — the guard changes
+    // failure mode, never results). The over-budget loud failure is
+    // spec-asserted in PairBudgetSpec on the same flood shape.
+    "q_ngram_flood" -> ((s, d) => {
+      load(s, d)
+      operators.Dedup.ngramJaccardPairs(floodDocs(s), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_containment_flood" -> ((s, d) => {
+      // first oracle gate for containmentPairs (excerpt detection): the
+      // flood's tagged copies are mutual near-containments of the original
+      load(s, d)
+      operators.Dedup.containmentPairs(floodDocs(s), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy(col("inner_id"), col("outer_id"))
+    }),
+    "q_simhash_flood" -> ((s, d) => {
+      load(s, d)
+      val fps = graft.CacheScope.register(
+        operators.Dedup.simhash(floodDocs(s), "doc_id", "text").cache())
+      operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_fuzzy_flood" -> ((s, d) => {
+      // length-band flood: every part name appears in 3 light edit variants
+      // (same length band by construction), exercising the bipartite budget
+      load(s, d)
+      import org.apache.spark.sql.functions.{concat, explode, lit, min,
+        sequence, substring, when}
+      val names = s.table("part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      // variant 1 substitutes the 2nd char ('x'); variant 2 additionally
+      // appends 'y' — distances ≤ 2 from the original, same length band
+      val mutated = concat(substring(col("p_name"), 1, 1), lit("x"),
+        substring(col("p_name"), 3, 1000000))
+      val flood = names.select(col("p_name"), col("name_id"),
+          explode(sequence(lit(0), lit(2))).as("r"))
+        .select((col("name_id") + col("r") * lit(1000000L)).as("name_id"),
+          when(col("r") === 0, col("p_name"))
+            .when(col("r") === 1, mutated)
+            .otherwise(concat(mutated, lit("y"))).as("p_name"))
+      operators.FuzzyJoin.editDistancePairs(flood, "name_id", "p_name",
+          maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_embed_knn" -> ((s, d) => {
@@ -4427,6 +4493,18 @@ object SparkEntry {
   /** Word-3-gram CTEs under the canonical `sh0`/`sh` names most oracles
     * reference — the single source is [[duckShinglesN]]. */
   private lazy val duckShingles = duckShinglesN(3, "sh")
+
+  /** DuckDB twin of [[floodDocs]] for the q_*_flood oracles: a CTE named
+    * `documents` SHADOWS the base view for every downstream CTE (duckToks,
+    * duckShingles, duckSimhashSql all read `FROM documents` unchanged);
+    * the base view is reached through the explicit `main` schema. */
+  private val duckFloodDocs: String =
+    """documents AS (
+      |  SELECT doc_id + r*1000000 AS doc_id,
+      |    CASE WHEN r = 0 THEN text
+      |         ELSE text || ' flood f' || r::VARCHAR END AS text
+      |  FROM (SELECT doc_id, text FROM main.documents WHERE doc_id % 25 = 0) fd,
+      |       range(4) t(r))""".stripMargin
 
   private def duckJaccardTail(threshold: Double = 0.5): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -8712,19 +8790,22 @@ object SparkEntry {
       s"""WITH RECURSIVE $duckStarComponentsCtes
          |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_keep" ->
-      // end-to-end dedup: keep one representative (min id) per near-dup
-      // component; docs in no component survive untouched
-      s"""WITH RECURSIVE $duckComponentsCtes,
+      // end-to-end dedup through the r13 STAR default: star-verified
+      // rep->member edges per bucket (duckStarComponentsCtes), then keep
+      // one representative (min id) per component; docs in no component
+      // survive untouched
+      s"""WITH RECURSIVE $duckStarComponentsCtes,
          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
          |drop_ids AS (SELECT id FROM comp WHERE id <> component)
          |SELECT d.doc_id, d.lang, d.n_chars
          |FROM documents d LEFT JOIN drop_ids x ON x.id = d.doc_id
          |WHERE x.id IS NULL
          |ORDER BY d.doc_id""".stripMargin,
-    // Replays keepBestRepresentatives over the same recursive components:
-    // per-cluster winner = max (n_chars, −id) ≡ argmin(−score, ties low id).
+    // Replays keepBestRepresentatives over the same recursive STAR
+    // components: per-cluster winner = max (n_chars, −id) ≡
+    // argmin(−score, ties low id).
     "q_dedup_keep_best" ->
-      s"""WITH RECURSIVE $duckComponentsCtes,
+      s"""WITH RECURSIVE $duckStarComponentsCtes,
          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
          |scored AS (SELECT c.id, c.component, d.n_chars
          |           FROM comp c JOIN documents d ON d.doc_id = c.id),
@@ -8761,6 +8842,76 @@ object SparkEntry {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |),
          |${duckJaccardTail()}""".stripMargin,
+    // The q_*_flood oracles replay the SAME operator SQL over the
+    // duckFloodDocs replica flood (the budget guard changes only the
+    // failure mode, never results — identical tails).
+    "q_ngram_flood" ->
+      s"""WITH $duckFloodDocs,
+         |$duckShingles,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |),
+         |${duckJaccardTail()}""".stripMargin,
+    // Replays containmentPairs: shared-shingle intersection counts, inner =
+    // the smaller-set side (ties to the lower id — id_a by construction),
+    // containment = inter / n_inner.
+    "q_containment_flood" ->
+      s"""WITH $duckFloodDocs,
+         |$duckShingles,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |sized AS (
+         |  SELECT i.id_a, i.id_b, i.inter, na.n AS n_a, nb.n AS n_b
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.id_a
+         |  JOIN sizes nb ON nb.doc_id = i.id_b
+         |)
+         |SELECT
+         |  CASE WHEN n_a < n_b OR (n_a = n_b) THEN id_a ELSE id_b END AS inner_id,
+         |  CASE WHEN n_a < n_b OR (n_a = n_b) THEN id_b ELSE id_a END AS outer_id,
+         |  CAST(least(n_a, n_b) AS INT) AS n_inner,
+         |  CAST(greatest(n_a, n_b) AS INT) AS n_outer,
+         |  CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+         |FROM sized
+         |WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.8
+         |ORDER BY inner_id, outer_id""".stripMargin,
+    "q_simhash_flood" ->
+      s"""WITH $duckFloodDocs,
+         |${duckSimhashSql.stripPrefix("WITH ")},
+         |chunked AS (
+         |  SELECT doc_id, simhash, c, (simhash >> (c*8)) & 255 AS chunk_val
+         |  FROM fps CROSS JOIN generate_series(0, 3) t2(c)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS fp_a, b.simhash AS fp_b
+         |  FROM chunked a JOIN chunked b
+         |    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force oracle over the mutated name flood (variant 1 = 2nd char
+    // -> 'x'; variant 2 additionally appends 'y'), like q_fuzzy_pairs.
+    "q_fuzzy_flood" ->
+      """WITH n0 AS (SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS id
+        |            FROM part GROUP BY p_name),
+        |n AS (
+        |  SELECT id + r*1000000 AS id,
+        |    CASE WHEN r = 0 THEN name
+        |         WHEN r = 1 THEN substr(name, 1, 1) || 'x' || substr(name, 3)
+        |         ELSE substr(name, 1, 1) || 'x' || substr(name, 3) || 'y' END AS name
+        |  FROM n0, range(3) t(r))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_knn" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |scored AS (

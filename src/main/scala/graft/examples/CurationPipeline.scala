@@ -36,11 +36,13 @@ object CurationPipeline {
     println(s"kept ${screened.count()} of ${docs.count()} after quality screen")
 
     println("== 2. Near-dup clustering -> keep one representative ==")
-    val pairs = Dedup.minhashNearDups(screened, "doc_id", "text", threshold = 0.5)
-    val comps = Dedup.connectedComponents(pairs)
+    // r13 default cluster path: star-verified edges per LSH bucket —
+    // O(members) edges where the all-pairs graph is O(members²) on a
+    // flooded corpus (nearDupKeep; pass edges = AllPairsEdges to opt in)
     // persisted: consumed twice inside the decontamination count (as the
     // contamination input AND the join's left side) and again by packing
-    val deduped = Dedup.keepRepresentatives(screened, "doc_id", comps).persist()
+    val deduped = Dedup.nearDupKeep(screened, "doc_id", "text",
+      threshold = 0.5).persist()
     println(s"kept ${deduped.count()} after near-dup removal")
     // NOTE: CacheScope.release() must wait until NOTHING derived from the
     // dedup call runs again — `deduped`'s lineage roots in the components'

@@ -96,10 +96,20 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
-    * → exact-Jaccard verify → threshold. */
+    * → exact-Jaccard verify → threshold.
+    *
+    * PAIR-BUDGETED BY DEFAULT ([[Guards.pairBudget]]): the contract is
+    * "return the near-dup pairs", and on a flooded corpus the TRUE pair
+    * mass is C(m,2) per m-replica cluster — quadratic in m (pairmass.json).
+    * The budget predicts the bucket-join output from the band-bucket sizes
+    * and fails loudly instead of materializing a runaway pair set; for
+    * keep/drop decisions use [[nearDupKeep]] (star edges, O(members) per
+    * bucket) which needs no budget. `maxPairs <= 0`
+    * ([[Guards.UnboundedPairs]]) opts into the unbounded output. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     // persisted: consumed by signature generation AND both verify branches —
     // without it each consumer re-runs the tokenize+shingle chain. The result
     // is lazy, so the cache must outlive this call; it is registered in
@@ -108,7 +118,15 @@ object Dedup {
       TextOps.shingleSets(df, idCol, textCol, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
+    // persisted: the budget's bucket-size aggregate AND the candidate join
+    // both consume the band frame — unpersisted, each would recompute the
+    // full k-hash signature aggregation
+    val bands = graft.CacheScope.register(
+      lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val guarded = Guards.pairBudget(bands, Seq("band", "sig"), maxPairs,
+      "Dedup.minhashNearDups")
+    val cands = lshCandidates(guarded, idCol)
     jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
   }
 
@@ -154,6 +172,57 @@ object Dedup {
     connectedComponents(edges)
   }
 
+  /** How a cluster-consuming dedup path builds its near-dup graph.
+    * [[StarEdges]] (the DEFAULT) is the scale-safe choice: O(members)
+    * verified edges per LSH bucket, flood exponent 0.36 vs 0.68 for the
+    * pairs path (pairmass.json / scaleprobe30.json), and spec-identical
+    * clusters on replica floods. [[AllPairsEdges]] is the explicit opt-in
+    * to the full [[minhashNearDups]] pair graph — maximal recall (a member
+    * near-dup only to NON-rep members in every band still merges), at an
+    * output-quadratic cost on flooded corpora, and still subject to the
+    * pair budget. */
+  sealed trait EdgeStrategy
+  case object StarEdges extends EdgeStrategy
+  case object AllPairsEdges extends EdgeStrategy
+
+  /** Near-dup clusters `(id, component)` for keep/drop decisions —
+    * star-verified edges by DEFAULT (see [[EdgeStrategy]]; this is the
+    * entry point a pipeline should use instead of hand-wiring
+    * [[minhashNearDups]] + [[connectedComponents]], which is
+    * output-quadratic on flooded corpora). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5,
+                      edges: EdgeStrategy = StarEdges): DataFrame =
+    edges match {
+      case StarEdges => starNearDupClusters(df, idCol, textCol, k, rowsPerBand, threshold)
+      case AllPairsEdges =>
+        connectedComponents(
+          minhashNearDups(df, idCol, textCol, k, rowsPerBand, threshold))
+    }
+
+  /** One-call near-dup dedup: cluster (star edges by default) and keep
+    * each cluster's MIN-ID representative — the composite the keep gates
+    * and [[graft.examples.CurationPipeline]] run. */
+  def nearDupKeep(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, rowsPerBand: Int = 4,
+                  threshold: Double = 0.5,
+                  edges: EdgeStrategy = StarEdges): DataFrame =
+    keepRepresentatives(docs, idCol,
+      nearDupClusters(docs, idCol, textCol, k, rowsPerBand, threshold, edges))
+
+  /** One-call quality-aware near-dup dedup: cluster (star edges by
+    * default) and keep each cluster's BEST member by `scoreCol` (ties to
+    * the lower id) — [[keepBestRepresentatives]] with the scale-safe
+    * cluster construction built in. */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String,
+                      k: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5,
+                      edges: EdgeStrategy = StarEdges): DataFrame =
+    keepBestRepresentatives(docs, idCol, scoreCol,
+      nearDupClusters(docs, idCol, textCol, k, rowsPerBand, threshold, edges))
+
   /** Exact n-gram Jaccard pairs above `threshold`.
     *
     * Default plan: intersection sizes counted directly off the shingle
@@ -172,12 +241,19 @@ object Dedup {
     * magnitude (crossover measured in `graft.tools.ZipfBench`). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        prefixFilter: Boolean = false): DataFrame = {
+                        prefixFilter: Boolean = false,
+                        maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     val sets = graft.CacheScope.register(
       TextOps.shingleSets(df, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    if (prefixFilter) return prefixFiltered(sets, idCol, threshold)
-    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    if (prefixFilter) return prefixFiltered(sets, idCol, threshold, maxPairs)
+    // pair budget over the shingle posting lists: the self-join below emits
+    // Σ_shingle C(m,2) rows — the Zipfian stop-shingle caveat, now a loud
+    // failure instead of a documented hope (sh derives from the persisted
+    // set frame, so the budget's size aggregate re-reads cache, not text)
+    val sh = Guards.pairBudget(
+      sets.select(col(idCol), explode(col("shingles")).as("shingle")),
+      Seq("shingle"), maxPairs, "Dedup.ngramJaccardPairs")
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
@@ -207,13 +283,18 @@ object Dedup {
     * shingle caveat applies (compose with prefix filtering upstream on
     * Zipfian corpora). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val sets = graft.CacheScope.register(
       TextOps.shingleSets(df, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    // same posting-list pair budget as [[ngramJaccardPairs]] — identical
+    // self-join, identical stop-shingle blow-up mode
+    val sh = Guards.pairBudget(
+      sets.select(col(idCol), explode(col("shingles")).as("shingle")),
+      Seq("shingle"), maxPairs, "Dedup.containmentPairs")
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
@@ -293,7 +374,8 @@ object Dedup {
     * candidates only (one array_intersect each, off the persisted set
     * frame). */
   private def prefixFiltered(sets: DataFrame, idCol: String,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     val sh = sets.select(col(idCol), col("n_shingles"),
       explode(col("shingles")).as("shingle"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -301,13 +383,23 @@ object Dedup {
     // document frequency, ties by shingle text (total order → deterministic)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(freq, "shingle")
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <=
-        col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
-      .select(col(idCol), col("shingle"))
-    val cands = prefix.select(col(idCol).as("id_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+    // persisted: the pair budget's posting-size aggregate and both sides of
+    // the candidate self-join read the prefix frame — unpersisted, each
+    // scan re-runs the frequency join + rank window
+    val prefix = graft.CacheScope.register(
+      sh.join(freq, "shingle")
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <=
+          col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1)
+        .select(col(idCol), col("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the prefix trick bounds posting lists on ZIPFIAN corpora; a corpus of
+    // outright replica floods still self-joins quadratically (every replica
+    // shares the full rare prefix) — same budget, same loud failure
+    val guarded = Guards.pairBudget(prefix, Seq("shingle"), maxPairs,
+      "Dedup.ngramJaccardPairs(prefixFilter=true)")
+    val cands = guarded.select(col(idCol).as("id_a"), col("shingle"))
+      .join(guarded.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     jaccard(sets, idCol, cands).filter(col("jaccard") >= threshold)
@@ -586,15 +678,22 @@ object Dedup {
     * chunk banding: with 4 8-bit chunks, hamming ≤ 3 implies at least one
     * identical chunk (pigeonhole), so candidates come from equi-joins on
     * chunk values, never a cross join. */
-  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int = 3,
+                   maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 32 / nChunks
     // shiftright is exact by construction (the double-pow/divide alternative
     // is exact only while the fingerprint fits a double's mantissa)
-    val chunked = fps.select(col(idCol), col("simhash"),
-      explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
-      .withColumn("chunk_val",
-        expr(s"shiftright(simhash, c * $chunkBits)") % (1L << chunkBits))
+    // pair budget over the chunk buckets: a flood of (near-)identical
+    // fingerprints puts every replica in the same nChunks buckets, so the
+    // equi-join output is nChunks·C(m,2) — quadratic in the flood size;
+    // the budget's Σ C(m,2) over (c, chunk_val) is exactly that row count
+    val chunked = Guards.pairBudget(
+      fps.select(col(idCol), col("simhash"),
+          explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+        .withColumn("chunk_val",
+          expr(s"shiftright(simhash, c * $chunkBits)") % (1L << chunkBits)),
+      Seq("c", "chunk_val"), maxPairs, "Dedup.simhashPairs")
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("fp_a"), col("c"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("fp_b"), col("c"), col("chunk_val"))
     // each pair is emitted once, at its FIRST matching chunk: a candidate at

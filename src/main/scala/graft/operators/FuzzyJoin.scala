@@ -40,12 +40,19 @@ object FuzzyJoin {
     * smaller id emits, and band coverage is symmetric, so the other
     * orientation never survives the filter. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int,
+                        maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val w = maxDist + 1
-    val probe = df.select(col(idCol).cast("long").as("id_a"),
+    // bipartite pair budget over the length bands: a short-string corpus
+    // where one band dominates (the documented Zipfian caveat) makes the
+    // bucket join output-quadratic — fail loudly before it materializes
+    val probe = Guards.pairBudgetJoin(
+      df.select(col(idCol).cast("long").as("id_a"),
         col(textCol).as("__ta"),
-        probeBuckets(length(col(textCol)), maxDist).as("__bucket"))
+        probeBuckets(length(col(textCol)), maxDist).as("__bucket")),
+      df.select((length(col(textCol)).divide(lit(w))).cast("int").as("__bucket")),
+      Seq("__bucket"), maxPairs, "FuzzyJoin.editDistancePairs")
     val build = df.select(col(idCol).cast("long").as("id_b"),
         col(textCol).as("__tb"),
         (length(col(textCol)).divide(lit(w))).cast("int").as("__bucket"))
