@@ -3886,6 +3886,37 @@ object SparkEntry {
           col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
         .orderBy(col("symbol"), col("ts_us"))
     }),
+    "q_stream_live" -> ((s, d) => {
+      // the SAME indicator fold as q_stream_indicators, but executed
+      // through the REAL micro-batch streaming runtime (r13): MemoryStream
+      // → indicatorsTws DEFAULT path (RocksDB store, event-time watermark,
+      // 7-day TTL timers) → memory sink, replayed in three ascending
+      // event-time chunks (so checkpointed state, watermark advancement
+      // and timer re-arming genuinely cross micro-batches). Every symbol
+      // ticks daily in the 30-day corpus, so no TTL eviction fires and the
+      // streaming output must equal the batch fold — one DuckDB oracle
+      // covers both execution paths.
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
+      val ev = readEventsNanos(s, d)
+      val ticks = ev.select(
+        col("event_type").as("symbol"),
+        timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+        col("value").as("price"),
+        col("user_id").as("volume"),
+        lit(null).cast("double").as("bid"),
+        lit(null).cast("double").as("ask")).as[graft.streaming.MarketTick]
+      // 2024-01-11 / 2024-01-21 00:00 UTC as epoch millis (tz-independent)
+      val bounds = Seq(1704931200000L, 1705795200000L)
+        .map(new java.sql.Timestamp(_))
+      graft.streaming.StreamingLive.indicatorsMicroBatch(ticks,
+          windowSize = 5, chunkBoundaries = bounds)
+        .select(col("symbol"), unix_micros(col("timestamp")).as("ts_us"),
+          col("price"), col("volume"), col("sma"), col("ema"), col("rsi"),
+          col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
+        .orderBy(col("symbol"), col("ts_us"))
+    }),
     "q_range_join" -> ((s, d) => {
       // point-in-interval range join per supplier: how many same-supplier
       // shipments were "in flight" ([ship_day, ship_day + quantity] days)
@@ -10618,30 +10649,10 @@ object SparkEntry {
          |  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
-    "q_stream_indicators" ->
-      s"""WITH base AS (
-         |  SELECT event_type AS symbol, ts, value AS price, user_id AS volume,
-         |    list(struct_pack(p := value, g := 0.0::DOUBLE, l := 0.0::DOUBLE, c := 0.0::DOUBLE)) OVER w AS rsix,
-         |    list(value) OVER w AS emalist,
-         |    list(value) OVER w5 AS plist5,
-         |    list(user_id) OVER w5 AS vlist5,
-         |    count(*) OVER w5 AS c5
-         |  FROM events
-         |  WINDOW
-         |    w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |    w5 AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-         |), red AS (
-         |  SELECT symbol, ts, price, volume, c5,
-         |    ${rsiFold("rsix", 5)} AS s,
-         |    ${duckEma("emalist", 5)} AS ema,
-         |    CASE WHEN c5 = 5 THEN list_reduce(plist5, (a,b) -> a + b) / 5.0::DOUBLE END AS sma,
-         |    CASE WHEN c5 = 5 THEN CAST(list_reduce(vlist5, (a,b) -> a + b) AS DOUBLE) / 5.0::DOUBLE END AS volume_sma
-         |  FROM base
-         |)
-         |SELECT symbol, epoch_us(ts) AS ts_us, price, volume, sma, ema,
-         |  ${rsiEval("s", 5)} AS rsi, volume_sma,
-         |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
-         |FROM red ORDER BY symbol, ts_us""".stripMargin,
+    "q_stream_indicators" -> duckStreamIndicatorsSql,
+    // identical fold, REAL micro-batch execution on the Spark side — the
+    // streaming runtime must reproduce the batch fold bit-for-bit
+    "q_stream_live" -> duckStreamIndicatorsSql,
     "q_range_join" ->
       """WITH li AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -10751,6 +10762,34 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id
        |)""".stripMargin
+
+  /** The per-symbol indicator fold over events — shared by the
+    * q_stream_indicators (batch-mode stateful op) and q_stream_live (real
+    * micro-batch runtime) oracles: one SQL, two execution paths. */
+  private lazy val duckStreamIndicatorsSql: String =
+    s"""WITH base AS (
+       |  SELECT event_type AS symbol, ts, value AS price, user_id AS volume,
+       |    list(struct_pack(p := value, g := 0.0::DOUBLE, l := 0.0::DOUBLE, c := 0.0::DOUBLE)) OVER w AS rsix,
+       |    list(value) OVER w AS emalist,
+       |    list(value) OVER w5 AS plist5,
+       |    list(user_id) OVER w5 AS vlist5,
+       |    count(*) OVER w5 AS c5
+       |  FROM events
+       |  WINDOW
+       |    w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    w5 AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |), red AS (
+       |  SELECT symbol, ts, price, volume, c5,
+       |    ${rsiFold("rsix", 5)} AS s,
+       |    ${duckEma("emalist", 5)} AS ema,
+       |    CASE WHEN c5 = 5 THEN list_reduce(plist5, (a,b) -> a + b) / 5.0::DOUBLE END AS sma,
+       |    CASE WHEN c5 = 5 THEN CAST(list_reduce(vlist5, (a,b) -> a + b) AS DOUBLE) / 5.0::DOUBLE END AS volume_sma
+       |  FROM base
+       |)
+       |SELECT symbol, epoch_us(ts) AS ts_us, price, volume, sma, ema,
+       |  ${rsiEval("s", 5)} AS rsi, volume_sma,
+       |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
+       |FROM red ORDER BY symbol, ts_us""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Bounded micro-batch REPLAY harness: runs a finite tick set through the
+  * REAL Structured Streaming runtime — MemoryStream source → the
+  * [[StreamingPipeline.indicatorsTws]] default path (RocksDB state store,
+  * event-time watermark, TTL eviction timers) → memory sink — instead of
+  * the batch-mode execution every other `q_stream_*` gate uses. This is
+  * what lets the driver's DuckDB oracle cover the STREAMING runtime:
+  * checkpointed state across micro-batches, watermark advancement, and
+  * timer re-arming all execute for real, and the output must still equal
+  * the batch fold.
+  *
+  * The input ticks are collect()ed to the driver BY DESIGN: MemoryStream
+  * is a driver-side source (this is a replay/verification harness for
+  * bounded slices, not a production ingest — production streams read
+  * Kafka/files through `readStream` and never collect). Chunk boundaries
+  * split the replay into ascending event-time micro-batches, so no tick
+  * is ever late against the watermark and the result is deterministic. */
+object StreamingLive {
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def indicatorsMicroBatch(ticks: Dataset[MarketTick], windowSize: Int,
+                           chunkBoundaries: Seq[Timestamp]): DataFrame = {
+    val spark = ticks.sparkSession
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = ticks.collect()
+    val bounds = chunkBoundaries.sortBy(_.getTime)
+    // chunk i = ticks in [bounds(i-1), bounds(i)) — ascending event time
+    // across chunks, so the watermark (trailing the previous batch's max)
+    // can never drop a row
+    val chunks = (0 to bounds.size).map { i =>
+      all.filter { t =>
+        (i == 0 || !t.timestamp.before(bounds(i - 1))) &&
+          (i == bounds.size || t.timestamp.before(bounds(i)))
+      }.toSeq
+    }
+    val n = runCounter.incrementAndGet()
+    val name = s"graft_stream_live_$n"
+    // the previous run's sink view is consumed by the time a new run
+    // starts (Verify/Bench act on each gate's frame before the next)
+    spark.sql(s"DROP TABLE IF EXISTS graft_stream_live_${n - 1}")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_live_ckpt")
+    val input = MemoryStream[MarketTick]
+    val query = StreamingPipeline.indicatorsTws(input.toDS(), windowSize)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      chunks.filter(_.nonEmpty).foreach { c =>
+        input.addData(c)
+        query.processAllAvailable()
+      }
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      // best-effort checkpoint cleanup (a fresh temp dir per run)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+    spark.table(name)
+  }
+}
