@@ -192,7 +192,18 @@ object StreamingPipeline {
     * [[DefaultIdleMs]] of event-time silence (see [[indicatorsTwsTtl]] for
     * the timer semantics — deterministic, replay-safe, revived keys
     * re-warm from empty). Pass `idleMs = KeepForever` to opt into the
-    * unbounded store. */
+    * unbounded store.
+    *
+    * CHECKPOINT MIGRATION (the default changed in r12): the TTL path is a
+    * DIFFERENT operator/state shape (TtlIndicatorProcessor +
+    * TimeMode.EventTime + watermark) than the pre-r12 unbounded default
+    * (IndicatorProcessor + TimeMode.None) — a query restarting from a
+    * checkpoint written under the old default must pin
+    * `idleMs = KeepForever` (or start a fresh checkpoint). Call
+    * [[StateContract.validate]] with
+    * [[StateContract.indicatorsTwsContract]] before `start()` to turn a
+    * mismatched restart into a clear fail-fast error instead of Spark's
+    * opaque state-incompatibility failure (wiring: [[StreamingLive]]). */
   def indicatorsTws(ticks: Dataset[MarketTick], windowSize: Int,
                     idleMs: Long = DefaultIdleMs,
                     watermark: String = "10 minutes"): Dataset[StreamingIndicatorValues] = {

@@ -50,6 +50,11 @@ object StreamingLive {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_live_ckpt")
+    // record the operator shape in the (fresh) checkpoint before start —
+    // the restart-safety wiring every production caller should copy
+    StateContract.validate(spark, ckpt.toString,
+      StateContract.indicatorsTwsContract(windowSize,
+        StreamingPipeline.DefaultIdleMs))
     val input = MemoryStream[MarketTick]
     val query = StreamingPipeline.indicatorsTws(input.toDS(), windowSize)
       .writeStream.outputMode("append")
