@@ -97,6 +97,45 @@ object Bench {
     // nothing -> full suite)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+
+    // Baseline for SELF-ADJUDICATING suspects (round-12 verdict #2): two
+    // rounds running, every cross-session wall-time flag was session noise
+    // that a human had to rerun. Bench now loads the last committed
+    // artifact (newest bench_full_r*.json, or GRAFT_BENCH_BASELINE), finds
+    // its own calibration-normalized outliers after the full pass, reruns
+    // them min-of-3 IN-SESSION, and stamps `rerun_sec` — bench_diff
+    // prefers the rerun and treats a still-slow one as a real regression.
+    def readBaseline(): Option[(Map[String, Double], Double)] = {
+      val explicit = sys.env.get("GRAFT_BENCH_BASELINE")
+      val path = explicit.orElse {
+        val stamped = new java.io.File(".").listFiles()
+          .filter(f => f.getName.matches("bench_full_r\\d+\\.json"))
+          .sortBy(_.getName)
+        stamped.lastOption.map(_.getPath)
+          .orElse(Option(new java.io.File("bench_full.json"))
+            .filter(_.exists()).map(_.getPath))
+      }
+      path.flatMap { p =>
+        try {
+          val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+          // flat regex parse (no json dep): per-query seconds + calibration
+          val qBlock = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          val qs = qBlock.map(_.group(1)).map { body =>
+            """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+          val cal = for {
+            s <- """"start_sec":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
+            e <- """"end_sec":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
+          } yield (s.group(1).toDouble + e.group(1).toDouble) / 2.0
+          if (qs.nonEmpty && cal.exists(_ > 0)) {
+            System.err.println(s"[bench] suspect baseline: $p (${qs.size} queries)")
+            Some((qs, cal.get))
+          } else None
+        } catch { case _: Throwable => None }
+      }
+    }
+    val baseline = readBaseline()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
@@ -129,6 +168,46 @@ object Bench {
     val calibEnd = calibrate()
     val calibJson =
       f""""calibration":{"query":"q_sma","runs":5,"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f}"""
+
+    // In-session suspect adjudication (bench_diff's exact outlier rule):
+    // normalized ratio > 1.5× the session median AND > 0.5 s absolute
+    // growth in new-session seconds. Each suspect reruns min-of-3 with
+    // full sweeps; the rerun is stamped as `rerun_sec` — the adjudicated
+    // steady-state number for that query in THIS session.
+    val rerunSecs: Map[String, Double] = baseline match {
+      case Some((oldQs, oldCal)) if only.isEmpty =>
+        val newCal = (calibStart + calibEnd) / 2.0
+        val calratio = if (oldCal > 0) newCal / oldCal else 1.0
+        val ratios = results.flatMap { case (n, t, _) =>
+          oldQs.get(n).filter(_ > 0).filter(_ => t >= 0)
+            .map(o => n -> (t / o) / calratio)
+        }.toMap
+        if (ratios.isEmpty) Map.empty
+        else {
+          val sorted = ratios.values.toSeq.sorted
+          val med = sorted(sorted.size / 2)
+          val byName = results.map(t => t._1 -> t._2).toMap
+          val suspects = ratios.filter { case (n, r) =>
+            r > 1.5 * med && byName(n) - oldQs(n) * calratio > 0.5
+          }.keys.toSeq.sorted
+          if (suspects.nonEmpty)
+            System.err.println(s"[bench] rerunning ${suspects.size} " +
+              s"wall-time suspects min-of-3 in-session: ${suspects.mkString(",")}")
+          suspects.map { n =>
+            val t = (1 to 3).map { i =>
+              val t0 = System.nanoTime()
+              force(SparkEntry.queries(n)(spark, sfDir))
+              val dt = (System.nanoTime() - t0) / 1e9
+              sweep(); dt
+            }.min
+            n -> t
+          }.toMap
+        }
+      case _ => Map.empty
+    }
+    val rerunJson = rerunSecs.toSeq.sortBy(_._1)
+      .map { case (n, t) => "\"" + n + f"\":$t%.3f" }
+      .mkString("{", ",", "}")
     // shuffle-write MB for EVERY query (the full artifact has no size
     // constraint) — the regression signal wall time can't give under
     // ambient swing; a top-N-by-noisy-time cut would drop exactly the
@@ -155,8 +234,12 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rerun_sec":$rerunJson,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
+    // subset (GRAFT_BENCH_ONLY) runs default to a SEPARATE file so a local
+    // bisection or judge rerun can never clobber the committed full
+    // artifact (round-12 verdict #5: the tree was perpetually dirty)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.nonEmpty) "bench_only.json" else "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
@@ -175,7 +258,7 @@ object Bench {
         "\"" + n + f"\":$v%.3f"))
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"queries_full":"$outPath",$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"n_rerun":${rerunSecs.size},"queries_full":"$outPath",$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

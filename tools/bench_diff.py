@@ -25,18 +25,22 @@ Exit-1 conditions (the regression gate):
   - BROKEN: a query that succeeded in OLD is failed (-1) or missing in NEW.
   - SHUFFLE: a query's shuffle_mb grew >20% and >8 MB (plan-shape movement).
   - REGRESSION: a wall-time outlier (>1.5x median normalized AND >0.5 s
-    absolute growth in new-session seconds) CORROBORATED by shuffle growth
-    on the same query.
+    absolute growth in new-session seconds) CORROBORATED either by shuffle
+    growth OR by the new session's own min-of-3 in-session rerun
+    (`rerun_sec`, stamped by graft.Bench since r13) still being an outlier
+    — that closes the same-plan same-shuffle CPU-regression blind spot
+    without a human rerun.
 
-Wall-time outliers WITHOUT corroboration are printed as SUSPECTS but exit 0
+When `rerun_sec` is present for a query, the rerun REPLACES its wall time
+(it is the adjudicated steady-state sample); a raw outlier whose rerun
+comes back at baseline is reported as CLEARED. Wall-time outliers with
+neither shuffle growth nor a rerun are printed as SUSPECTS but exit 0
 (1 under --strict): the round-11 control A/B — two sessions of the IDENTICAL
 build — flagged 5 queries with one swinging x1.93 while shuffle was flat on
 all 343, so an uncorroborated wall-time swing is indistinguishable from
 session noise at this host's ambient level. Plan drift is separately locked
 by the test suite (PlanSpec fingerprints fail `sbt test` on any exchange/
-sort/join/scan-count change), so the residual risk — a same-plan, same-
-shuffle CPU regression — needs an in-session A/B to confirm:
-  GRAFT_BENCH_ONLY=<suspects> on both commits, same session, min-of-N.
+sort/join/scan-count change).
 """
 import json
 import statistics
@@ -65,7 +69,11 @@ def selftest():
       - a 4x query WITH shuffle growth MUST flag (rc 1);
       - a shuffle-only regression (time flat) MUST flag (rc 1);
       - a query that fails in NEW (-1.0) MUST flag (rc 1);
-      - a query missing from NEW MUST flag (rc 1)."""
+      - a query missing from NEW MUST flag (rc 1);
+      - a raw outlier whose in-session rerun_sec is back at baseline must
+        NOT flag and must print as 'cleared' (rc 0);
+      - a raw outlier whose rerun_sec is STILL slow MUST flag (rc 1) even
+        with flat shuffle — the same-plan CPU-regression blind spot."""
     import copy
     import subprocess
     import tempfile
@@ -91,11 +99,16 @@ def selftest():
     del gone["queries"]["b"]
     sh_gain = copy.deepcopy(amb)
     sh_gain["shuffle_mb"]["c"] = 50.0  # zero-shuffle query GAINS an exchange
+    rerun_clears = copy.deepcopy(noisy)   # raw x1.9, rerun back at baseline
+    rerun_clears["rerun_sec"] = {"b": 2.0}
+    rerun_confirms = copy.deepcopy(noisy)  # rerun STILL x1.9, shuffle flat
+    rerun_confirms["rerun_sec"] = {"b": 3.8}
     with tempfile.TemporaryDirectory() as td:
         paths = {}
         arts = [("old", old), ("amb", amb), ("noisy", noisy), ("reg", reg),
                 ("sh_only", sh_only), ("broken", broken), ("gone", gone),
-                ("sh_gain", sh_gain)]
+                ("sh_gain", sh_gain), ("rerun_clears", rerun_clears),
+                ("rerun_confirms", rerun_confirms)]
         for name, art in arts:
             paths[name] = f"{td}/{name}.json"
             with open(paths[name], "w") as f:
@@ -103,7 +116,9 @@ def selftest():
         expectations = [("amb", 0, None), ("noisy", 0, "suspect"),
                         ("reg", 1, None), ("sh_only", 1, None),
                         ("broken", 1, None), ("gone", 1, None),
-                        ("sh_gain", 1, None)]
+                        ("sh_gain", 1, None),
+                        ("rerun_clears", 0, "cleared"),
+                        ("rerun_confirms", 1, "rerun")]
         for name, expect_rc, expect_text in expectations:
             p = subprocess.run(
                 [sys.executable, __file__, paths["old"], paths[name]],
@@ -119,7 +134,8 @@ def selftest():
             capture_output=True, text=True)
         assert p.returncode == 1, f"strict noisy: rc={p.returncode}, expected 1"
     print("selftest OK: ambient and same-build-noise unflagged (noise -> "
-          "suspect), corroborated/shuffle/broken/missing all flagged")
+          "suspect), corroborated/shuffle/broken/missing all flagged, "
+          "rerun_sec clears or confirms without a manual rerun")
 
 
 def main():
@@ -152,10 +168,17 @@ def main():
     # crashed query print under 'improvements' and exit 0.
     broken = sorted([k for k in common if nq[k] < 0 <= oq[k]] +
                     [k for k in oq if oq[k] >= 0 and k not in nq])
-    ratios = {}
+    # graft.Bench (r13+) stamps min-of-3 in-session reruns of its own
+    # outliers; the rerun replaces the wall time as the adjudicated sample
+    rerun = {k: v for k, v in (new.get("rerun_sec") or {}).items()
+             if isinstance(v, (int, float)) and v >= 0}
+    def newtime(k):
+        return rerun.get(k, nq[k])
+    ratios, raw_ratios = {}, {}
     for k in common:
         if oq[k] > 0 and nq[k] >= 0:
-            ratios[k] = (nq[k] / oq[k]) / calratio
+            ratios[k] = (newtime(k) / oq[k]) / calratio
+            raw_ratios[k] = (nq[k] / oq[k]) / calratio
     med = statistics.median(ratios.values()) if ratios else float("nan")
 
     print(f"old: {args[0]}  total={old.get('value')}s  n={len(oq)}  cal={ocal}")
@@ -197,17 +220,30 @@ def main():
     # absolute growth measured in NEW-session seconds: old time projected
     # into the new session is oq[k] * calratio
     outliers = [(k, r) for k, r in movers
-                if r > 1.5 * med and nq[k] - oq[k] * calratio > 0.5]
-    flagged = [(k, r) for k, r in outliers if k in sh_grew]
-    suspects = [(k, r) for k, r in outliers if k not in sh_grew]
-    print(f"\nregressions (>1.5x median AND >0.5s AND shuffle corroborates): "
-          f"{len(flagged)}")
+                if r > 1.5 * med and newtime(k) - oq[k] * calratio > 0.5]
+    # corroboration = shuffle growth OR a still-slow in-session rerun
+    flagged = [(k, r) for k, r in outliers if k in sh_grew or k in rerun]
+    suspects = [(k, r) for k, r in outliers
+                if k not in sh_grew and k not in rerun]
+    outlier_keys = {k for k, _ in outliers}
+    cleared = [k for k, r in sorted(raw_ratios.items(), key=lambda kv: -kv[1])
+               if k in rerun and k not in outlier_keys
+               and r > 1.5 * med and nq[k] - oq[k] * calratio > 0.5]
+    print(f"\nregressions (>1.5x median AND >0.5s, corroborated by shuffle "
+          f"growth or a still-slow in-session rerun): {len(flagged)}")
     for k, r in flagged[:top]:
-        print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}  "
-              f"shuffle {osh[k]:.1f} -> {nsh[k]:.1f} MB")
+        why = (f"rerun {rerun[k]:.2f}s" if k in rerun else
+               f"shuffle {osh[k]:.1f} -> {nsh[k]:.1f} MB")
+        print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}  {why}")
+    if cleared:
+        print(f"\ncleared by in-session rerun (raw outlier, min-of-3 back at "
+              f"baseline): {len(cleared)}")
+        for k in cleared[:top]:
+            print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s raw, "
+                  f"rerun {rerun[k]:.2f}s (x{ratios[k]:.2f} normalized)")
     if suspects:
-        print(f"\nsuspects (wall-time outlier, shuffle flat — session noise "
-              f"until an in-session rerun confirms): {len(suspects)}")
+        print(f"\nsuspects (wall-time outlier, shuffle flat, no in-session "
+              f"rerun available): {len(suspects)}")
         for k, r in suspects[:top]:
             print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  normalized x{r:.2f}")
         print("  confirm with: GRAFT_BENCH_ONLY=" +
