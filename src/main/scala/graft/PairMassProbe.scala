@@ -65,8 +65,31 @@ object PairMassProbe {
       val secAfter = (System.nanoTime() - t1) / 1e9
       sweep()
       val perM = if (pairs > 0) sec / (pairs / 1e6) else Double.NaN
-      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f}""")
-      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f}"""
+      // star-vs-all-pairs CLUSTER AGREEMENT (r12 ADVICE): the star gate's
+      // oracle replays the same star construction, so only a direct
+      // comparison against the all-pairs components can quantify the
+      // documented under-merge trade on real + flooded corpora. Compared
+      // as (id -> min-reachable-id) maps: both paths label clusters by
+      // the same canonical representative.
+      val allPairsComp = operators.Dedup.connectedComponents(
+        operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 16, rowsPerBand = 4, threshold = 0.5))
+        .select(col("id"), col("component").as("c_pairs"))
+      val starComp = operators.Dedup.starNearDupClusters(docs, "doc_id",
+          "text", k = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id"), col("component").as("c_star"))
+      val joined = allPairsComp.join(starComp, Seq("id"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_ids"),
+          count(col("c_pairs")).as("n_allpairs"),
+          count(col("c_star")).as("n_star"),
+          count(when(col("c_pairs") === col("c_star"), 1)).as("n_match"))
+        .head()
+      val (nIds, nAp, nStar, nMatch) = (joined.getLong(0), joined.getLong(1),
+        joined.getLong(2), joined.getLong(3))
+      sweep()
+      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch}}""")
+      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch}}"""
     }
     val json = rows.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("pairmass.json"),

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the substring tier's DETECTION FLOOR (round-12 verdict #3):
+  * [[operators.Dedup.substringSpans]] at stride s only GUARANTEES catching
+  * shared substrings ≥ `minLen + s − 1` chars (some sampled gram must land
+  * fully inside the shared region regardless of alignment phase); shorter
+  * shared substrings (minLen .. minLen+s−2) are caught only when the
+  * sampling phase happens to align. This probe turns that documented
+  * caveat into a measured number: the fraction of duplicated CHARACTER
+  * MASS the strided pass removes relative to the exhaustive stride-1 pass
+  * (`substringCut`'s `removed_chars` is exactly the union-merged dup-span
+  * mass per document).
+  *
+  * Two corpora:
+  *  - the sf documents table (realistic duplication: whole-document
+  *    near-replicas and long shared boilerplate, far above the floor);
+  *  - an ADVERSARIAL phase-shifted fixture: doc pairs sharing a secret of
+  *    exactly minLen..minLen+s−2 chars behind pads of varying length, so
+  *    every hit depends on alignment phase — the floor's worst case.
+  *
+  * Output: substringfloor.json + PROBE lines; SCALE.md carries the row. */
+object SubstringFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "4m") // see Bench — small-data page fix
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val minLen = 30
+    val strides = Seq(1, 5, 10, 15)
+
+    def removedMass(docs: DataFrame, stride: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val m = operators.Dedup.substringCut(docs, "doc_id", "text",
+          minLen = minLen, stride = stride)
+        .agg(sum(col("removed_chars"))).head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.release(blocking = true)
+      spark.catalog.clearCache()
+      (m, sec)
+    }
+
+    // Adversarial phase fixture: 200 doc pairs; pair i shares a secret of
+    // exactly minLen + (i % 10) chars (30..39). Even pairs are
+    // PHASE-ALIGNED (offset difference ≡ 0 mod 10): the floor guarantee
+    // applies — caught at stride 10 iff a sampled offset lands inside,
+    // certain at |secret| = 39. Odd pairs are MISALIGNED by 1..9: both
+    // sides sample different windows of the secret, so the sampled gram
+    // STRINGS differ and stride 10 misses them at ANY length — the
+    // honest worst case of two-sided sampling. Pads/tails/secrets are
+    // java.util.Random soup (seeded per doc) so nothing else repeats.
+    def soup(seed: Long, len: Int): String = {
+      val r = new java.util.Random(seed)
+      (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val adv = (0 until 200).flatMap { i =>
+      val secretLen = minLen + (i % 10)
+      val secret = soup(900000L + i, secretLen)
+      val alignShift = if (i % 2 == 0) 0 else 1 + (i / 2) % 9
+      val padALen = i % 10
+      val padBLen = (padALen + alignShift) % 10
+      Seq(
+        (i * 2L, f"U$i%03dA" + soup(910000L + i, padALen) + secret +
+          soup(930000L + i, 40)),
+        (i * 2L + 1, f"V$i%03dB" + soup(920000L + i, padBLen) + secret +
+          soup(940000L + i, 40)))
+    }.toDF("doc_id", "text")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    val rows = Seq("documents" -> docs, "adversarial" -> adv).map {
+      case (cname, corpus) =>
+        val base = removedMass(corpus, 1)._1
+        val entries = strides.map { s =>
+          val (m, sec) = removedMass(corpus, s)
+          val frac = if (base > 0) m.toDouble / base else Double.NaN
+          println(f"""PROBE {"corpus":"$cname","stride":$s,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
+          f""""s$s":{"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
+        }
+        s""""$cname":{${entries.mkString(",")}}"""
+    }
+    val json = s"""{"minLen":$minLen,${rows.mkString(",")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("substringfloor.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -729,11 +729,18 @@ object Dedup {
     * combines to one row per map task instead of sorting one giant window
     * partition (the [[spanDedup]] lesson); the mark-back is an equi-join
     * on the gram AQE can skew-split. Candidate volume is Σ len/stride rows
-    * of ≤ `minLen` bytes each — `stride` is the cost dial (stride =
-    * minLen/3 gives 3× overlap coverage of every duplicated region at 1/3
-    * the rows of stride=1; Lee et al. use suffix arrays on one machine,
-    * which do not shard, while this shape is one shuffle + one join at any
-    * corpus size). With `hashShuffle` the join/group key is
+    * of ≤ `minLen` bytes each — `stride` is the cost dial, and its recall
+    * semantics are PHASE-SENSITIVE because BOTH occurrences are sampled:
+    * two occurrences match only if they sample the same window, i.e.
+    * their offset difference ≡ 0 (mod stride). Phase-ALIGNED duplicates —
+    * whole-document replicas, shared prefixes, copy-paste at equal
+    * offsets, the dominant mass in web corpora — are caught with the
+    * `minLen + stride − 1` length floor; an arbitrary-phase shared
+    * substring is caught with probability ~1/stride at any length
+    * (measured: `substringfloor.json` via [[graft.SubstringFloorProbe]]).
+    * For guaranteed phase-independent detection use stride 1 here, or
+    * [[decontaminationCut]], whose PROBE side is exhaustive so only one
+    * side's phase matters. With `hashShuffle` the join/group key is
     * `xxhash64(gram)` — 8 bytes instead of `minLen` — at a ~n²/2⁶⁴
     * false-collision risk; the DuckDB oracle replays the exact
     * (default) mode only. */
