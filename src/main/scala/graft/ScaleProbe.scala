@@ -137,7 +137,11 @@ object ScaleProbe {
     // are O(members) where the all-pairs graph is O(members²), so this
     // should stay near-linear on the replica corpus that pushes
     // q_dedup_components to 0.64 (see PairMassProbe / pairmass.json)
-    "q_dedup_star")
+    "q_dedup_star",
+    // round-13: the keep composite now DEFAULTS to star edges — its 30×
+    // exponent is the acceptance bar for the new default (verdict #1:
+    // ≤ 0.4 on the replica flood)
+    "q_dedup_keep")
 
   private case class Shift(col: String, offset: Long)
 

@@ -232,8 +232,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("fuzzy-join candidates come from a bucket equi-join, not a cross join") {
     val p = plan("q_fuzzy_pairs")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"blocking must plan an equi-join:\n$p")
+    // the r13 pair budget broadcasts its ONE-ROW predicted-mass frame into
+    // the probe side (a BroadcastNestedLoopJoin by shape, O(rows) by cost);
+    // the CANDIDATE join itself must stay a hash equi-join
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1,
+      s"only the single-row budget broadcast may nested-loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the bucket candidate join must be an equi-join:\n$p")
   }
 
   test("session-3 recurrence chains keep the two-exchange bar-chain shape") {
