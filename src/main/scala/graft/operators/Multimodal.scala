@@ -273,17 +273,22 @@ object Multimodal {
     * matching chunk (a pure bit-arithmetic filter, no distinct
     * shuffle). Emits (`id_a`, `id_b`, `hamming`). */
   def dhashPairs(hashes: DataFrame, idCol: String,
-                 maxHamming: Int = 3): DataFrame = {
+                 maxHamming: Int = 3,
+                 maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming in [1,7], got $maxHamming")
     val nChunks = maxHamming + 1
     // ceil(63/chunks): the chunks tile ALL 63 bits (the pigeonhole needs
     // full coverage — a short last chunk would leak pairs)
     val chunkBits = (63 + nChunks - 1) / nChunks
-    val chunked = hashes.select(col(idCol), col("dhash"),
-      explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
-      .withColumn("chunk_val",
-        expr(s"shiftright(dhash, c * $chunkBits)") % (1L << chunkBits))
+    // r13 pair budget: a flood of (near-)identical images shares every
+    // chunk bucket — predict Σ C(m,2) over (c, chunk_val), fail loudly
+    val chunked = Guards.pairBudget(
+      hashes.select(col(idCol), col("dhash"),
+          explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+        .withColumn("chunk_val",
+          expr(s"shiftright(dhash, c * $chunkBits)") % (1L << chunkBits)),
+      Seq("c", "chunk_val"), maxPairs, "Multimodal.dhashPairs")
     val a = chunked.select(col(idCol).as("id_a"), col("dhash").as("fp_a"),
       col("c"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("id_b"), col("dhash").as("fp_b"),

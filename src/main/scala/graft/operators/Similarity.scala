@@ -355,8 +355,9 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             signBits: Int = 0,
                             idCol: String = "vec_id",
-                            embCol: String = "embedding"): DataFrame = {
-    val withBucket =
+                            embCol: String = "embedding",
+                            maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
+    val withBucket0 =
       if (signBits <= 0) corpus.withColumn("bucket", lit(0L))
       else {
         val powers = typedlit((0 until signBits).map(j => 1L << j))
@@ -366,6 +367,11 @@ object Similarity {
               (v, p) => when(v > lit(0.0f), p).otherwise(lit(0L))),
             lit(0L), (acc, x) => acc + x))
       }
+    // r13 pair budget: sign buckets flood on identical/sign-correlated
+    // vectors (and signBits = 0 is all-pairs BY DESIGN) — predict the
+    // bucket-join mass, fail loudly over budget, Unbounded to opt out
+    val withBucket = Guards.pairBudget(withBucket0, Seq("bucket"), maxPairs,
+      "Similarity.embeddingNearDupPairs")
     val a = withBucket.select(col(idCol).as("id_a"), col(embCol).as("emb_a"), col("bucket"))
     val b = withBucket.select(col(idCol).as("id_b"), col(embCol).as("emb_b"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
@@ -386,7 +392,8 @@ object Similarity {
   def embeddingNearDupPairsMultiProbe(corpus: DataFrame, threshold: Double,
                                       signBits: Int,
                                       idCol: String = "vec_id",
-                                      embCol: String = "embedding"): DataFrame = {
+                                      embCol: String = "embedding",
+                                      maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     require(signBits > 0, s"multi-probe needs signBits > 0, got $signBits")
     val powers = typedlit((0 until signBits).map(j => 1L << j))
     val withBucket = corpus.withColumn("bucket",
@@ -397,8 +404,13 @@ object Similarity {
     val probes = array(
       col("bucket") +: (0 until signBits).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)
-    val a = withBucket.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
-      explode(probes).as("bucket"))
+    // bipartite budget: the probe side replicates (signBits+1)× into the
+    // join, so the predicted mass is Σ_bucket probes_m · build_m
+    val a = Guards.pairBudgetJoin(
+      withBucket.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+        explode(probes).as("bucket")),
+      withBucket.select(col("bucket")),
+      Seq("bucket"), maxPairs, "Similarity.embeddingNearDupPairsMultiProbe")
     val b = withBucket.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
       col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))

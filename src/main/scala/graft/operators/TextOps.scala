@@ -306,12 +306,22 @@ object TextOps {
     * `ln` anywhere, so results are bit-exact with NO rounding. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, maxDf: Long = Long.MaxValue,
-                       nDocs: Option[Long] = None): DataFrame = {
+                       nDocs: Option[Long] = None,
+                       maxPairs: Long = Guards.DefaultMaxCandidatePairs): DataFrame = {
     require(threshold >= 0.0, s"threshold must be >= 0, got $threshold")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val weights = tfidf(df, idCol, textCol, logIdf = false, nDocs = nDocs)
-      .filter(col("df") <= maxDf)
-      .select(col(idCol), col("term"), col("tfidf").as("__w"))
+    // persisted: consumed by the norm aggregate, BOTH posting-join sides,
+    // and (r13) the pair budget's posting-size aggregate — four scans of
+    // the tokenize+tfidf chain without it. The budget backstops maxDf:
+    // with the default maxDf = ∞ a stopword posting is pair-quadratic,
+    // and even a tuned maxDf can flood on replica corpora.
+    val weights = Guards.pairBudget(
+      graft.CacheScope.register(
+        tfidf(df, idCol, textCol, logIdf = false, nDocs = nDocs)
+          .filter(col("df") <= maxDf)
+          .select(col(idCol), col("term"), col("tfidf").as("__w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      Seq("term"), maxPairs, "TextOps.tfidfCosinePairs")
     def foldSq(lst: Column): Column =
       aggregate(transform(lst, t => t.getField("__w") * t.getField("__w")),
         lit(0.0), (acc, x) => acc + x)

@@ -115,6 +115,57 @@ class PairBudgetSpec extends AnyFunSuite {
       "FuzzyJoin.editDistancePairs")
   }
 
+  test("embeddingNearDupPairs (incl. multi-probe): budget parity + loud failure on a sign-bucket flood") {
+    val vecs = (0 until 40).map { i =>
+      // identical direction: every vector shares the sign bucket
+      (i.toLong, Array.fill(8)(0.5f + (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val budgeted = Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 8)
+      .collect().toSet
+    val unbounded = Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 8,
+      maxPairs = Guards.UnboundedPairs).collect().toSet
+    assert(budgeted === unbounded && budgeted.nonEmpty)
+    assertBudgetError(
+      Similarity.embeddingNearDupPairs(vecs, 0.9, signBits = 8,
+        maxPairs = 10L).count(),
+      "Similarity.embeddingNearDupPairs")
+    val mp = Similarity.embeddingNearDupPairsMultiProbe(vecs, 0.9, signBits = 8)
+      .collect().toSet
+    val mpU = Similarity.embeddingNearDupPairsMultiProbe(vecs, 0.9,
+      signBits = 8, maxPairs = Guards.UnboundedPairs).collect().toSet
+    assert(mp === mpU)
+    assertBudgetError(
+      Similarity.embeddingNearDupPairsMultiProbe(vecs, 0.9, signBits = 8,
+        maxPairs = 10L).count(),
+      "Similarity.embeddingNearDupPairsMultiProbe")
+  }
+
+  test("dhashPairs: budget parity + loud failure on an identical-hash flood") {
+    val hashes = (0 until 40).map(i => (i.toLong, 0x1234567890abcL))
+      .toDF("doc_id", "dhash")
+    val budgeted = Multimodal.dhashPairs(hashes, "doc_id").collect().toSet
+    val unbounded = Multimodal.dhashPairs(hashes, "doc_id",
+      maxPairs = Guards.UnboundedPairs).collect().toSet
+    assert(budgeted === unbounded && budgeted.size === 40 * 39 / 2)
+    assertBudgetError(
+      Multimodal.dhashPairs(hashes, "doc_id", maxPairs = 10L).count(),
+      "Multimodal.dhashPairs")
+  }
+
+  test("tfidfCosinePairs: budget parity + loud failure on a shared-term flood") {
+    val d = flood
+    val budgeted = TextOps.tfidfCosinePairs(d, "doc_id", "text", 0.5)
+      .collect().toSet
+    graft.CacheScope.release()
+    val unbounded = TextOps.tfidfCosinePairs(d, "doc_id", "text", 0.5,
+      maxPairs = Guards.UnboundedPairs).collect().toSet
+    graft.CacheScope.release()
+    assert(budgeted === unbounded && budgeted.nonEmpty)
+    assertBudgetError(
+      force(TextOps.tfidfCosinePairs(d, "doc_id", "text", 0.5, maxPairs = 10L)),
+      "TextOps.tfidfCosinePairs")
+  }
+
   test("budget message names the cluster-path escape hatch") {
     val e = intercept[Exception](
       force(Dedup.minhashNearDups(flood, "doc_id", "text", maxPairs = 1L)))
