@@ -3632,6 +3632,23 @@ object SparkEntry {
           minLen = 30, stride = 10)
         .orderBy(col("doc_id"))
     }),
+    "q_winnow_dedup" -> ((s, d) => {
+      // phase-robust duplicated-substring mass via winnowing (Schleimer
+      // et al. 2003): 21-char fingerprints, guarantee threshold 30 —
+      // every shared >=30-char substring is caught at ANY alignment
+      load(s, d)
+      operators.Dedup.winnowedDedup(s.table("documents"), "doc_id", "text",
+          minLen = 30, noise = 21)
+        .orderBy(col("doc_id"))
+    }),
+    "q_winnow_cut" -> ((s, d) => {
+      // the cut pass over winnowed fingerprints: duplicate-marked 21-char
+      // spans removed, canonical first occurrence kept corpus-wide
+      load(s, d)
+      operators.Dedup.winnowedCut(s.table("documents"), "doc_id", "text",
+          minLen = 30, noise = 21)
+        .orderBy(col("doc_id"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       // span-level benchmark decontamination: src0 documents are the
       // "benchmark"; any 20-char substring of a training doc (src1..19)
@@ -8716,6 +8733,105 @@ object SparkEntry {
         |),
         |dup AS (
         |  SELECT doc_id, pos AS s, pos + 29 AS e FROM marked
+        |  WHERE cnt >= 2 AND rn > 1
+        |),
+        |chars AS (
+        |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
+        |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+        |),
+        |kept AS (
+        |  SELECT c.doc_id, c.cpos, c.ch
+        |  FROM chars c LEFT JOIN dup u
+        |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.s AND u.e
+        |  GROUP BY c.doc_id, c.cpos, c.ch
+        |  HAVING count(u.doc_id) = 0
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+        |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.winnowedDedup at minLen=30, noise=21 (w=10): the
+    // winnowing selection is the window min over the same fixed-width
+    // `gram || zero-padded pos` key the Spark side uses, full windows
+    // only; the dup marking mirrors q_substring_dedup's row_number shape.
+    "q_winnow_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) - 29 AS last_start,
+        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, last_start, pos,
+        |    concat(substring(text, pos, 21),
+        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
+        |  FROM p
+        |),
+        |winm AS (
+        |  SELECT doc_id, last_start, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+        |  FROM occ
+        |),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
+        |    substring(winkey, 1, 21) AS gram
+        |  FROM winm WHERE pos <= last_start
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM sel
+        |),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_fp,
+        |    count(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 END) AS n_dup
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+        |  coalesce(a.n_dup, 0) AS n_dup
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.winnowedCut per-CHARACTER (the q_substring_cut
+    // anti-join formulation over the winnowed selection): a char survives
+    // iff no duplicate-marked 21-char fingerprint span covers it.
+    "q_winnow_cut" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) - 29 AS last_start,
+        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, last_start, pos,
+        |    concat(substring(text, pos, 21),
+        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
+        |  FROM p
+        |),
+        |winm AS (
+        |  SELECT doc_id, last_start, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+        |  FROM occ
+        |),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
+        |    substring(winkey, 1, 21) AS gram
+        |  FROM winm WHERE pos <= last_start
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM sel
+        |),
+        |dup AS (
+        |  SELECT doc_id, pos AS s, pos + 20 AS e FROM marked
         |  WHERE cnt >= 2 AND rn > 1
         |),
         |chars AS (

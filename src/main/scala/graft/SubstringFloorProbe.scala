@@ -50,6 +50,22 @@ object SubstringFloorProbe {
       (m, sec)
     }
 
+    // the phase-robust path: winnowing at density dial w = minLen−noise+1
+    // (comparable shuffle volume to stride ≈ (w+1)/2); detection is
+    // guaranteed for every shared substring ≥ minLen at ANY phase, so the
+    // adversarial corpus should hold its caught fraction where stride
+    // sampling collapses to ~1/stride
+    def winnowedMass(docs: DataFrame, noise: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val m = operators.Dedup.winnowedCut(docs, "doc_id", "text",
+          minLen = minLen, noise = noise)
+        .agg(sum(col("removed_chars"))).head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.release(blocking = true)
+      spark.catalog.clearCache()
+      (m, sec)
+    }
+
     // Adversarial phase fixture: 200 doc pairs; pair i shares a secret of
     // exactly minLen + (i % 10) chars (30..39). Even pairs are
     // PHASE-ALIGNED (offset difference ≡ 0 mod 10): the floor guarantee
@@ -88,7 +104,18 @@ object SubstringFloorProbe {
           println(f"""PROBE {"corpus":"$cname","stride":$s,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
           f""""s$s":{"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
         }
-        s""""$cname":{${entries.mkString(",")}}"""
+        // winnow rows: noise 21 → w=10 (the stride-10 cost twin), noise 26
+        // → w=5 (the stride-5 cost twin); fractions are vs the SAME
+        // exhaustive stride-1 base (winnow cuts 21/26-char spans, so <1
+        // from region edges, never from missed detections)
+        val winnowed = Seq(21, 26).map { noise =>
+          val w = minLen - noise + 1
+          val (m, sec) = winnowedMass(corpus, noise)
+          val frac = if (base > 0) m.toDouble / base else Double.NaN
+          println(f"""PROBE {"corpus":"$cname","winnow_w":$w,"noise":$noise,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
+          f""""w$w":{"noise":$noise,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
+        }
+        s""""$cname":{${(entries ++ winnowed).mkString(",")}}"""
     }
     val json = s"""{"minLen":$minLen,${rows.mkString(",")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("substringfloor.json"),

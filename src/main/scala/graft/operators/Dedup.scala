@@ -766,7 +766,27 @@ object Dedup {
                      minLen: Int = 30, stride: Int = 10,
                      hashShuffle: Boolean = false): DataFrame = {
     require(minLen > 0 && stride > 0, s"minLen/stride must be positive")
-    val occ = gramOccurrences(docs, idCol, textCol, minLen, stride)
+    markCanonicalDups(gramOccurrences(docs, idCol, textCol, minLen, stride),
+      idCol, minLen, hashShuffle)
+  }
+
+  /** Corpus-wide canonical-first duplicate marking over `(idCol, pos,
+    * gram)` occurrence rows — the shared tail of [[substringSpans]] and
+    * [[winnowedSpans]]: group by gram (map-side-combinable `count` +
+    * `min(struct(id, pos))` winner), mark every non-canonical occurrence
+    * of a ≥2-count gram, join the marks back on the gram key. Callers
+    * whose occurrence frame is expensive to derive should persist it
+    * (winnowing's per-doc sort + window): the agg and join consumers sit
+    * under DIFFERENT inferred-filter pushdowns (isnotnull on the join
+    * keys only), so their exchange subtrees are never canonically equal
+    * and ReusedExchange cannot dedup them — measured: the winnow
+    * selection ran twice without the persist. [[substringSpans]] stays
+    * unpersisted on purpose: its occurrences are one cheap projection,
+    * and the separate agg-side exchange buys map-side combine on flooded
+    * grams (millions of identical-boilerplate rows collapse to one per
+    * map task before shuffling). */
+  private def markCanonicalDups(occ: DataFrame, idCol: String, len: Int,
+                                hashShuffle: Boolean): DataFrame = {
     val key: Column = if (hashShuffle) xxhash64(col("gram")) else col("gram")
     val keyed = occ.withColumn("__k", key).drop("gram")
     val winners = keyed.groupBy(col("__k"))
@@ -775,7 +795,7 @@ object Dedup {
     keyed.join(winners, "__k")
       .withColumn("dup",
         col("__cnt") >= 2 && struct(col(idCol), col("pos")) =!= col("__w"))
-      .select(col(idCol), col("pos"), lit(minLen).as("len"), col("dup"))
+      .select(col(idCol), col("pos"), lit(len).as("len"), col("dup"))
   }
 
   /** Per-document rollup of [[substringSpans]]: `(id, n_grams, n_dup)` for
@@ -901,5 +921,116 @@ object Dedup {
       .join(probeGrams, Seq("gram"), "left_semi")
       .select(col(idCol), col("pos"), (col("pos") + lit(minLen)).as("__end"))
     cutSpans(docs, idCol, textCol, hits)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): every `noise`-char gram of the document
+    * is a candidate; in each window of `w = minLen − noise + 1`
+    * consecutive gram positions the lexicographically minimal gram is
+    * selected, ties broken by the leftmost position. Selection is a pure
+    * function of window CONTENT, which buys the guarantee stride sampling
+    * cannot give (`substringfloor.json`: stride 10 catches 17.4% of
+    * phase-SHIFTED dup mass): any substring of length ≥ `minLen` shared
+    * by two documents — at ANY alignment — contains one full gram window
+    * in each copy with identical contents, both copies pick the same
+    * content-relative minimum (equal grams within one window keep their
+    * relative order under the absolute-position tie-break), so both emit
+    * an identical fingerprint. Matches shorter than `noise` chars are
+    * never detected (the noise threshold); expected density is ~2/(w+1)
+    * on non-degenerate text (a run of one repeated character degrades to
+    * density 1 under any positional tie-break — and its grams are
+    * corpus-wide duplicates anyway).
+    *
+    * Scale design: the stride-1 gram explode never leaves its document's
+    * partition — selection is one per-doc window (`min` over a bounded
+    * w-row following frame, O(w)/row) whose fixed-width `gram ∥
+    * zero-padded pos` key makes the winning POSITION recoverable from the
+    * window min itself, so the whole step is one projection + one window
+    * + one dedup that reuses the window's hash partitioning (no extra
+    * shuffle: `(id)` partitioning already clusters `(id, pos)`). Only the
+    * selected ~2n/(w+1) fingerprints reach the corpus-wide gram shuffle —
+    * cross-partition volume matches stride ≈ (w+1)/2 sampling while the
+    * detection guarantee holds at any phase. Returns `(idCol, pos,
+    * gram)`, gram length = `noise`. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 30, noise: Int = 21): DataFrame = {
+    require(noise > 0, "noise must be positive")
+    require(minLen >= noise, s"minLen ($minLen) must be >= noise ($noise)")
+    val w = minLen - noise + 1
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .where(length(col(textCol)) >= minLen)
+      .select(col(idCol),
+        (length(col(textCol)) - (minLen - 1)).as("__last"),
+        explode(sequence(lit(1), length(col(textCol)) - (noise - 1),
+          lit(1))).as("pos"),
+        col(textCol))
+      .select(col(idCol), col("__last"), col("pos"),
+        concat(col(textCol).substr(col("pos"), lit(noise)),
+          lpad(col("pos").cast("string"), 10, "0")).as("__key"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    occ
+      .withColumn("__win", min(col("__key")).over(frame))
+      // full windows only: starts past __last = len − minLen + 1 are
+      // truncated at the doc tail and select nothing
+      .where(col("pos") <= col("__last"))
+      .select(col(idCol),
+        substring(col("__win"), noise + 1, 10).cast("int").as("pos"),
+        substring(col("__win"), 1, noise).as("gram"))
+      .dropDuplicates(idCol, "pos")
+  }
+
+  /** [[substringSpans]] with winnowing selection instead of stride
+    * sampling: dup-marked occurrence rows `(idCol, pos, len = noise,
+    * dup)` over the winnowed fingerprints. Every substring ≥ `minLen`
+    * chars shared anywhere in the corpus marks at least one fingerprint
+    * dup in each non-canonical copy, regardless of alignment phase. */
+  def winnowedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 30, noise: Int = 21,
+                    hashShuffle: Boolean = false): DataFrame =
+    // persisted: the winner aggregate and the mark-back join both consume
+    // the fingerprint frame, and asymmetric inferred-filter pushdown makes
+    // their subtrees canonically unequal (no ReusedExchange — see
+    // markCanonicalDups). The frame is the SELECTED ~2n/(w+1) fingerprints,
+    // already shrunk by the selection window, so the cache is small; it is
+    // registered in CacheScope for the caller to release after its action.
+    markCanonicalDups(
+      graft.CacheScope.register(
+        winnowFingerprints(docs, idCol, textCol, minLen, noise)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      idCol, noise, hashShuffle)
+
+  /** Per-document rollup of [[winnowedSpans]]: `(id, n_fp, n_dup)` for
+    * EVERY input document (docs shorter than `minLen` report 0/0).
+    * n_dup / n_fp is the phase-robust duplicated-fingerprint mass — the
+    * winnowed twin of [[substringDedup]]'s score. */
+  def winnowedDedup(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 30, noise: Int = 21,
+                    hashShuffle: Boolean = false): DataFrame = {
+    val spans = winnowedSpans(docs, idCol, textCol, minLen, noise, hashShuffle)
+    val agged = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_fp"),
+      count(when(col("dup"), 1)).as("n_dup"))
+    docs.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_fp", "n_dup"))
+  }
+
+  /** The CUT pass over [[winnowedSpans]]: every dup-marked fingerprint's
+    * `noise`-char span is removed (corpus-wide canonical first occurrence
+    * kept), merged and spliced by the shared [[cutSpans]] engine.
+    * Winnowing guarantees consecutive fingerprints are ≤ w positions
+    * apart, so when `noise ≥ w` (true at the defaults: 21 ≥ 10) the dup
+    * spans inside a long duplicated region overlap into ONE merged
+    * interval — coverage of a shared region is contiguous from its first
+    * to its last duplicated fingerprint. */
+  def winnowedCut(docs: DataFrame, idCol: String, textCol: String,
+                  minLen: Int = 30, noise: Int = 21,
+                  hashShuffle: Boolean = false): DataFrame = {
+    val dups = winnowedSpans(docs, idCol, textCol, minLen, noise, hashShuffle)
+      .filter(col("dup"))
+      .select(col(idCol), col("pos"), (col("pos") + col("len")).as("__end"))
+    cutSpans(docs, idCol, textCol, dups)
   }
 }

@@ -317,9 +317,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("image dhash pairs join on (chunk, value) — never a cross product") {
     val p = plan("q_media_dhash_pairs")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"banding must equi-join the chunk buckets:\n$p")
+    // the r13 pair budget broadcasts its ONE-ROW predicted-mass frame into
+    // the bucket frame (a BroadcastNestedLoopJoin by shape, O(rows) by
+    // cost) — the SELF-join consumes that frame on both branches, so the
+    // guard may appear twice; the CANDIDATE join itself must stay a hash
+    // equi-join
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2 &&
+      p.contains("predicted candidate-pair mass"),
+      s"only the single-row budget broadcast may nested-loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the chunk-bucket candidate join must be an equi-join:\n$p")
   }
 
   /** Per-Window-node duplicate window expressions (canonicalized, so

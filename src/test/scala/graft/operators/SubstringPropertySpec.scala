@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
@@ -65,6 +66,44 @@ class SubstringPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- winnowing reference (Schleimer et al. 2003, leftmost tie-break) ----
+
+  /** Selected fingerprints `(pos, gram)` of one document. */
+  private def refWinnow(text: String, minLen: Int, noise: Int): Seq[(Int, String)] =
+    if (text.length < minLen) Seq.empty
+    else {
+      val w = minLen - noise + 1
+      val gs = (1 to text.length - noise + 1)
+        .map(p => p -> text.substring(p - 1, p - 1 + noise))
+      (0 to gs.length - w)
+        .map(i => gs.slice(i, i + w).minBy { case (p, g) => (g, p) })
+        .distinct
+    }
+
+  /** (id, pos, dup) for every selected fingerprint, corpus-wide
+    * canonical-first marking — the winnowed twin of [[refSpans]]. */
+  private def refWinnowSpans(docs: Seq[(Long, String)], minLen: Int,
+                             noise: Int): Seq[(Long, Int, Boolean)] = {
+    val occ = for ((id, t) <- docs; (p, g) <- refWinnow(t, minLen, noise))
+      yield (id, p, g)
+    val byGram = occ.groupBy(_._3)
+    occ.map { case (id, p, g) =>
+      val os = byGram(g)
+      val canon = os.map(o => (o._1, o._2)).min
+      (id, p, os.size >= 2 && (id, p) != canon)
+    }
+  }
+
+  private def refWinnowCut(docs: Seq[(Long, String)], minLen: Int,
+                           noise: Int): Seq[(Long, String, Long)] = {
+    val dup = refWinnowSpans(docs, minLen, noise).filter(_._3)
+    docs.map { case (id, t) =>
+      val cleaned = cutChars(t,
+        dup.filter(_._1 == id).map(d => (d._2, d._2 + noise)))
+      (id, cleaned, (t.length - cleaned.length).toLong)
+    }
+  }
+
   // ---- randomized corpora ----
 
   private def corpus(rnd: Random, nDocs: Int, alphabet: String): Seq[(Long, String)] =
@@ -100,6 +139,78 @@ class SubstringPropertySpec extends AnyFunSuite {
       assert(gotCut === expCut,
         s"case $case_ (minLen=$minLen stride=$stride) cut mismatch on $docs")
     }
+  }
+
+  test("winnowedDedup and winnowedCut match the in-memory reference on 12 random corpora") {
+    val rnd = new Random(20260816L)
+    for (case_ <- 1 to 12) {
+      val alphabet = if (case_ % 2 == 0) "ab" else "abc"
+      val minLen = 3 + rnd.nextInt(3) // 3..5
+      val noise = 2 + rnd.nextInt(minLen - 1) // 2..minLen
+      val docs = corpus(rnd, nDocs = 6, alphabet)
+      val df = docs.toDF("doc_id", "text")
+
+      val expSpans = refWinnowSpans(docs, minLen, noise)
+      val expDedup = docs.map { case (id, _) =>
+        val mine = expSpans.filter(_._1 == id)
+        (id, mine.size.toLong, mine.count(_._3).toLong)
+      }.sortBy(_._1)
+      val gotDedup = Dedup.winnowedDedup(df, "doc_id", "text", minLen, noise)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotDedup === expDedup,
+        s"case $case_ (minLen=$minLen noise=$noise) dedup mismatch on $docs")
+
+      val expCut = refWinnowCut(docs, minLen, noise).sortBy(_._1)
+      val gotCut = Dedup.winnowedCut(df, "doc_id", "text", minLen, noise)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(gotCut === expCut,
+        s"case $case_ (minLen=$minLen noise=$noise) cut mismatch on $docs")
+    }
+  }
+
+  test("winnowing detection guarantee: a shared >=minLen substring is caught at EVERY alignment phase") {
+    val minLen = 30
+    val noise = 21 // w = 10
+    def soup(seed: Long, len: Int): String = {
+      val r = new Random(seed)
+      (0 until len).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // one pair per phase shift 0..9: doc B's secret offset differs from
+    // A's by exactly `shift` — the construction stride sampling fails on
+    // (substringfloor.json: 17.4% caught at stride 10)
+    val docs = (0 until 10).flatMap { shift =>
+      val secret = soup(7000L + shift, minLen) // exactly at the guarantee
+      Seq((shift * 2L, soup(7100L + shift, 8) + secret + soup(7200L + shift, 40)),
+        (shift * 2L + 1,
+          soup(7300L + shift, 8 + shift) + secret + soup(7400L + shift, 40)))
+    }
+    val got = Dedup.winnowedDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, noise)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (shift <- 0 until 10) {
+      val caught = got(shift * 2L) + got(shift * 2L + 1)
+      assert(caught >= 1L, s"phase shift $shift: shared $minLen-char " +
+        s"substring produced no duplicate fingerprint")
+    }
+    // and the same corpus through stride sampling for contrast: the
+    // misaligned pairs are invisible to it (documented, measured caveat)
+    val strided = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, stride = 10)
+      .agg(sum(col("n_dup"))).head.getLong(0)
+    assert(strided < 10L,
+      "stride sampling unexpectedly caught every phase — fixture broken?")
+  }
+
+  test("winnowFingerprints: hand-checked selection on a tiny document") {
+    // "abcde", noise=2, minLen=3 -> w=2; grams ab bc cd de; windows
+    // {ab,bc}->ab@1, {bc,cd}->bc@2, {cd,de}->cd@3
+    val got = Dedup.winnowFingerprints(Seq((1L, "abcde")).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 3, noise = 2)
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got === Seq((1, "ab"), (2, "bc"), (3, "cd")))
   }
 
   test("decontaminationCut matches the in-memory reference on 8 random corpora (incl. empty probe = identity)") {
