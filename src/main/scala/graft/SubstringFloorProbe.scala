@@ -39,10 +39,11 @@ object SubstringFloorProbe {
     val minLen = 30
     val strides = Seq(1, 5, 10, 15)
 
-    def removedMass(docs: DataFrame, stride: Int): (Long, Double) = {
+    def removedMass(docs: DataFrame, stride: Int,
+                    len: Int = minLen): (Long, Double) = {
       val t0 = System.nanoTime()
       val m = operators.Dedup.substringCut(docs, "doc_id", "text",
-          minLen = minLen, stride = stride)
+          minLen = len, stride = stride)
         .agg(sum(col("removed_chars"))).head.getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       CacheScope.release(blocking = true)
@@ -105,15 +106,21 @@ object SubstringFloorProbe {
           f""""s$s":{"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
         }
         // winnow rows: noise 21 → w=10 (the stride-10 cost twin), noise 26
-        // → w=5 (the stride-5 cost twin); fractions are vs the SAME
-        // exhaustive stride-1 base (winnow cuts 21/26-char spans, so <1
-        // from region edges, never from missed detections)
+        // → w=5 (the stride-5 cost twin). Winnow's effective cut floor is
+        // the NOISE length (a selected shared 21-char gram is cut even
+        // when the shared region is < minLen), so its honest denominator
+        // is the exhaustive stride-1 cut AT minLen = noise — the upper
+        // bound of what its own detection floor can remove. Fractions vs
+        // the minLen-30 base would read > 1 on boilerplate-heavy corpora
+        // (measured 3.31× on sf0.01 documents) — real extra removal, not
+        // an artifact, but the wrong yardstick for recall.
         val winnowed = Seq(21, 26).map { noise =>
           val w = minLen - noise + 1
+          val noiseBase = removedMass(corpus, 1, len = noise)._1
           val (m, sec) = winnowedMass(corpus, noise)
-          val frac = if (base > 0) m.toDouble / base else Double.NaN
-          println(f"""PROBE {"corpus":"$cname","winnow_w":$w,"noise":$noise,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
-          f""""w$w":{"noise":$noise,"removed_chars":$m,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
+          val frac = if (noiseBase > 0) m.toDouble / noiseBase else Double.NaN
+          println(f"""PROBE {"corpus":"$cname","winnow_w":$w,"noise":$noise,"removed_chars":$m,"noise_base":$noiseBase,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
+          f""""w$w":{"noise":$noise,"removed_chars":$m,"noise_base":$noiseBase,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
         }
         s""""$cname":{${(entries ++ winnowed).mkString(",")}}"""
     }
