@@ -34,6 +34,9 @@ class EmptyInputSpec extends AnyFunSuite {
     val noPairs = Dedup.connectedComponents(
       Dedup.minhashNearDups(emptyDocs, "doc_id", "text"))
     assert(noPairs.count() === 0)
+    assert(Dedup.winnowFingerprints(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.winnowedDedup(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.winnowedCut(emptyDocs, "doc_id", "text").count() === 0)
   }
 
   test("similarity operators on an empty corpus") {
