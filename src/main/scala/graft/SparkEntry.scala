@@ -3649,6 +3649,14 @@ object SparkEntry {
           minLen = 30, noise = 21)
         .orderBy(col("doc_id"))
     }),
+    "q_winnow_pairs" -> ((s, d) => {
+      // MOSS-style overlap pairs: documents sharing >= 2 distinct winnow
+      // fingerprints, scored by containment-normalized shared count
+      load(s, d)
+      operators.Dedup.winnowOverlapPairs(s.table("documents"), "doc_id",
+          "text", minLen = 30, noise = 21, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       // span-level benchmark decontamination: src0 documents are the
       // "benchmark"; any 20-char substring of a training doc (src1..19)
@@ -8853,6 +8861,47 @@ object SparkEntry {
         |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.winnowOverlapPairs: the q_winnow_dedup selection CTEs,
+    // then distinct fingerprint sets per doc, per-gram self-join with
+    // id_a < id_b, shared counts, containment normalization by the smaller
+    // set size.
+    "q_winnow_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) - 29 AS last_start,
+        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, last_start, pos,
+        |    concat(substring(text, pos, 21),
+        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
+        |  FROM p
+        |),
+        |winm AS (
+        |  SELECT doc_id, last_start, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+        |  FROM occ
+        |),
+        |fpset AS (
+        |  SELECT DISTINCT doc_id, substring(winkey, 1, 21) AS gram
+        |  FROM winm WHERE pos <= last_start
+        |),
+        |nfp AS (
+        |  SELECT doc_id, count(*) AS n FROM fpset GROUP BY doc_id
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fpset a JOIN fpset b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pr.id_a, pr.id_b, pr.shared,
+        |  CAST(pr.shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+        |FROM pairs pr
+        |JOIN nfp na ON na.doc_id = pr.id_a
+        |JOIN nfp nb ON nb.doc_id = pr.id_b
+        |WHERE pr.shared >= 2
+        |ORDER BY pr.id_a, pr.id_b""".stripMargin,
     // Replays Dedup.decontaminationCut per-CHARACTER (same independent
     // anti-join formulation as q_substring_cut's oracle): a training-doc
     // char survives iff no probe-matched span covers it. Probe grams are

@@ -166,6 +166,23 @@ class PairBudgetSpec extends AnyFunSuite {
       "TextOps.tfidfCosinePairs")
   }
 
+  test("winnowOverlapPairs: budget parity + loud failure on a fingerprint flood") {
+    val d = flood
+    val budgeted = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      minLen = 12, noise = 8, minShared = 1).collect().toSet
+    graft.CacheScope.release()
+    val unbounded = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      minLen = 12, noise = 8, minShared = 1,
+      maxPairs = Guards.UnboundedPairs).collect().toSet
+    graft.CacheScope.release()
+    assert(budgeted === unbounded && budgeted.nonEmpty,
+      "flood replicas share fingerprints and must pair up")
+    assertBudgetError(
+      force(Dedup.winnowOverlapPairs(d, "doc_id", "text",
+        minLen = 12, noise = 8, minShared = 1, maxPairs = 10L)),
+      "Dedup.winnowOverlapPairs")
+  }
+
   test("budget message names the cluster-path escape hatch") {
     val e = intercept[Exception](
       force(Dedup.minhashNearDups(flood, "doc_id", "text", maxPairs = 1L)))

@@ -170,6 +170,38 @@ class SubstringPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowOverlapPairs matches the in-memory fingerprint-set intersection on 12 random corpora") {
+    val rnd = new Random(816L)
+    for (case_ <- 1 to 12) {
+      val alphabet = if (case_ % 2 == 0) "ab" else "abc"
+      val minLen = 3 + rnd.nextInt(3) // 3..5
+      val noise = 2 + rnd.nextInt(minLen - 1) // 2..minLen
+      val minShared = 1 + rnd.nextInt(2) // 1..2
+      val docs = corpus(rnd, nDocs = 8, alphabet)
+      val df = docs.toDF("doc_id", "text")
+
+      val sets = docs.map { case (id, t) =>
+        id -> refWinnow(t, minLen, noise).map(_._2).toSet
+      }.filter(_._2.nonEmpty)
+      val exp = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        shared = (sa intersect sb).size if shared >= minShared
+      } yield (ia, ib, shared.toLong,
+        shared.toDouble / math.min(sa.size, sb.size))).sortBy(p => (p._1, p._2))
+
+      val got = Dedup.winnowOverlapPairs(df, "doc_id", "text", minLen, noise,
+          minShared)
+        .orderBy("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      graft.CacheScope.release()
+      assert(got === exp,
+        s"case $case_ (minLen=$minLen noise=$noise minShared=$minShared) " +
+          s"mismatch on $docs")
+    }
+  }
+
   test("winnowing detection guarantee: a shared >=minLen substring is caught at EVERY alignment phase") {
     val minLen = 30
     val noise = 21 // w = 10
