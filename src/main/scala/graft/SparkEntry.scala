@@ -5073,7 +5073,7 @@ object SparkEntry {
        |  JOIN sizes nb ON nb.doc_id = i.id_b
        |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
        |),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs
        |),
@@ -5110,7 +5110,7 @@ object SparkEntry {
        |  JOIN sizes nb ON nb.doc_id = i.id_b
        |  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
        |),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM spairs
        |  UNION SELECT id_b, id_a FROM spairs
        |),
@@ -5259,7 +5259,7 @@ object SparkEntry {
       val A = "(100.0::DOUBLE/1000.0::DOUBLE)"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, volume,
          |    CAST(date_diff('day', lag(l_shipdate, 1) OVER
          |      (PARTITION BY l_suppkey ORDER BY l_shipdate), l_shipdate)
@@ -5501,7 +5501,7 @@ object SparkEntry {
         " END)"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM bars
@@ -5551,7 +5551,7 @@ object SparkEntry {
       val sAtPhase = s"(CASE ((rn - 1) % $p)" +
         (0 until p).map(k => s" WHEN $k THEN s$k").mkString +
         " END)"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
@@ -5584,7 +5584,7 @@ object SparkEntry {
       val A = "(100.0::DOUBLE/1000.0::DOUBLE)"
       val B = "(850.0::DOUBLE/1000.0::DOUBLE)"
       val uncond = s"($W0 / (1.0::DOUBLE - $A - $B))"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
          |    value - lag(value, 1) OVER (PARTITION BY user_id
@@ -5616,7 +5616,7 @@ object SparkEntry {
     "q_stream_holt" -> {
       val newLvl = "((300.0::DOUBLE/1000.0::DOUBLE)*s.value" +
         " + (1.0::DOUBLE - 300.0::DOUBLE/1000.0::DOUBLE)*(h.lvl + h.trd))"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
@@ -5647,7 +5647,7 @@ object SparkEntry {
       val A = "(200.0::DOUBLE/1000.0::DOUBLE)"
       val OM = s"(1.0::DOUBLE - $A)"
       val R = s"($A / (2.0::DOUBLE - $A))"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
@@ -5678,7 +5678,7 @@ object SparkEntry {
       val R = "(1000.0::DOUBLE/1000.0::DOUBLE)"
       val pp = s"(h.p + $Q)"
       val k = s"($pp / ($pp + $R))"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
@@ -6269,7 +6269,7 @@ object SparkEntry {
       val R = s"($A / (2.0::DOUBLE - $A))"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate,
          |    CAST(CAST(round(close * 100.0::DOUBLE) AS BIGINT) AS DOUBLE)
          |      AS x,
@@ -6278,7 +6278,7 @@ object SparkEntry {
          |      AS DOUBLE)) OVER ws AS x1
          |  FROM bars
          |  WINDOW ws AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-         |), st AS (
+         |), st AS MATERIALIZED (
          |  SELECT l_suppkey,
          |    CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
          |    sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(xq AS HUGEINT) * xq)
@@ -7124,7 +7124,7 @@ object SparkEntry {
         |    greatest(0, least(coalesce(lead(t, 1) OVER (PARTITION BY
         |        cohort ORDER BY t), 20), 20) - least(t, 20)) AS width
         |  FROM pt),
-        |f AS (
+        |f AS MATERIALIZED (
         |  SELECT cohort, t, rn, cnt, ntot, head, width,
         |    CAST(n_risk - de AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
         |  FROM r),
@@ -7387,7 +7387,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY band ORDER BY t) AS rn,
         |    count(*) OVER (PARTITION BY band) AS cnt
         |  FROM pt),
-        |terms AS (
+        |terms AS MATERIALIZED (
         |  SELECT band, t, rn, cnt, ta, tb,
         |    CAST(da AS DOUBLE) - CAST(da + db AS DOUBLE)
         |      * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) AS ut,
@@ -7437,7 +7437,7 @@ object SparkEntry {
         |  SELECT cohort, dur AS t, CAST(sum(ev) AS BIGINT) AS de,
         |    CAST(sum(1 - ev) AS BIGINT) AS ce
         |  FROM d GROUP BY cohort, dur),
-        |r AS (
+        |r AS MATERIALIZED (
         |  SELECT cohort, t, de, ce,
         |    CAST(sum(de + ce) OVER (PARTITION BY cohort)
         |      - coalesce(sum(de + ce) OVER (PARTITION BY cohort ORDER BY t
@@ -7483,7 +7483,7 @@ object SparkEntry {
         |      AS BIGINT) AS n_risk,
         |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
         |  FROM pt),
-        |f AS (
+        |f AS MATERIALIZED (
         |  SELECT cohort, t, de, ce, n_risk, rn,
         |    CAST(n_risk - de AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
         |  FROM r),
@@ -11247,7 +11247,7 @@ object SparkEntry {
          |    (er * ((2.0::DOUBLE / 3.0::DOUBLE) - (2.0::DOUBLE / 31.0::DOUBLE))
          |     + (2.0::DOUBLE / 31.0::DOUBLE)) AS base
          |  FROM erl
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close, rn, base * base AS sc FROM scl
          |), kam AS (
          |  SELECT l_suppkey, l_shipdate, rn, sc,
@@ -11277,7 +11277,7 @@ object SparkEntry {
            |  ELSE 1.0::DOUBLE END""".stripMargin
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn,
          |    ${f("<")} AS fn,
@@ -11317,7 +11317,7 @@ object SparkEntry {
          |          AND pc > lag(s10, 1) OVER ws2 THEN -1.0::DOUBLE
          |         ELSE 0.0::DOUBLE END AS position
          |  FROM m WINDOW ws2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, rn, position,
          |    CASE WHEN position IS NOT NULL AND position <> 0.0::DOUBLE
          |          AND pc IS NOT NULL AND pc <> 0.0::DOUBLE
@@ -11360,7 +11360,7 @@ object SparkEntry {
          |          AND lag(f, 1) OVER ws2 > lag(sl, 1) OVER ws2
          |      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS position
          |  FROM m WINDOW ws2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, rn, position,
          |    CASE WHEN position = 1.0::DOUBLE AND pc IS NOT NULL
          |          AND pc <> 0.0::DOUBLE
@@ -11420,7 +11420,7 @@ object SparkEntry {
         s" * CAST(floor(abs(s.close - h.lvl) / $B) AS DOUBLE)) * $B))"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM bars
@@ -11588,7 +11588,7 @@ object SparkEntry {
     // under the (ts_us, event_id) streaming order contract.
     "q_stream_renko" -> {
       val B = "(2000.0::DOUBLE / 100.0::DOUBLE)"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    epoch_ns(ts) // 1000 AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
@@ -11616,7 +11616,7 @@ object SparkEntry {
       val revDn = s"(s.value > $candDn)"
       val accel = s"least($mx, h.af + $step)"
       val upSeed = "(s.value >= h.ph)"
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
          |  SELECT CAST(user_id AS VARCHAR) AS key,
          |    epoch_ns(ts) // 1000 AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
@@ -11712,7 +11712,7 @@ object SparkEntry {
       val upSeed = "(s.high >= h.ph)"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, high, low,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM bars
@@ -11783,7 +11783,7 @@ object SparkEntry {
          |  FROM tr
          |  WINDOW wn AS (PARTITION BY l_suppkey ORDER BY l_shipdate
          |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-         |), banded AS (
+         |), banded AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close, ub, lb,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM banded0 WHERE ub IS NOT NULL
@@ -12095,7 +12095,7 @@ object SparkEntry {
         " + (1.0::DOUBLE - 300.0::DOUBLE/1000.0::DOUBLE)*(h.lvl + h.trd))"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM bars
@@ -12128,7 +12128,7 @@ object SparkEntry {
       val k = s"($pp / ($pp + $R))"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate, close,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
          |  FROM bars
@@ -12157,7 +12157,7 @@ object SparkEntry {
       val uncond = s"($W0 / (1.0::DOUBLE - $A - $B))"
       s"""WITH RECURSIVE bars AS (
          |$duckBarsSql
-         |), seq AS (
+         |), seq AS MATERIALIZED (
          |  SELECT l_suppkey, l_shipdate,
          |    ((close / lag(close, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate)) - 1.0::DOUBLE) AS ret,
          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
