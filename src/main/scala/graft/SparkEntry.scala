@@ -9546,10 +9546,10 @@ object SparkEntry {
            |  SELECT u AS node FROM e${i - 1}
            |  UNION ALL SELECT v AS node FROM e${i - 1}) t GROUP BY 1),
            |w$i AS (SELECT node FROM d$i WHERE d < 5),
-           |e$i AS (SELECT u, v FROM e${i - 1}
+           |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
            |        WHERE u NOT IN (SELECT node FROM w$i)
            |          AND v NOT IN (SELECT node FROM w$i))""".stripMargin
-      s"""WITH e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
          |            FROM lineitem a JOIN lineitem b
          |              ON a.l_orderkey = b.l_orderkey
          |             AND a.l_suppkey < b.l_suppkey
@@ -9628,19 +9628,19 @@ object SparkEntry {
         s"""a${i}r AS (
            |  SELECT e.dst AS node, round(sum(h.hub), 10) AS s
            |  FROM e JOIN $hPrev h ON h.node = e.src GROUP BY e.dst),
-           |a$i AS (
+           |a$i AS MATERIALIZED (
            |  SELECT node, round(s / (SELECT max(s) FROM a${i}r), 10) AS auth
            |  FROM a${i}r),
            |h${i}r AS (
            |  SELECT e.src AS node, round(sum(a.auth), 10) AS s
            |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
-           |h$i AS (
+           |h$i AS MATERIALIZED (
            |  SELECT node, round(s / (SELECT max(s) FROM h${i}r), 10) AS hub
            |  FROM h${i}r)""".stripMargin
       }.mkString(",\n")
       s"""WITH cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
          |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |e AS (SELECT src, dst FROM cs WHERE src <> dst),
+         |e AS MATERIALIZED (SELECT src, dst FROM cs WHERE src <> dst),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes),
          |$rounds
