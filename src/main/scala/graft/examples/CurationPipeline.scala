@@ -65,6 +65,15 @@ object CurationPipeline {
     val cutStats = cut.agg(sum("removed_chars").as("removed")).head()
     println(s"span-cut removed ${cutStats.getLong(0)} chars across survivors")
 
+    println("== 3c. Phase-robust duplicated-substring mass (winnowing) ==")
+    // MOSS-style fingerprinting: unlike the stride-sampled substring tier,
+    // winnowing detects every shared >=30-char substring at ANY alignment;
+    // the top overlap pairs are exact shared-content evidence
+    Dedup.winnowOverlapPairs(clean, "doc_id", "text",
+        minLen = 30, noise = 21, minShared = 2)
+      .orderBy(col("overlap").desc, col("id_a"), col("id_b"))
+      .limit(5).show(false)
+
     println("== 4. Sequence packing (4 shards, 512-token packs) ==")
     val withLen = clean.select(col("doc_id"),
       (col("doc_id") % 4).cast("int").as("shard"),
