@@ -88,8 +88,22 @@ object PairMassProbe {
       val (nIds, nAp, nStar, nMatch) = (joined.getLong(0), joined.getLong(1),
         joined.getLong(2), joined.getLong(3))
       sweep()
-      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch}}""")
-      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch}}"""
+      // winnow overlap pairs (r13): same output-quadratic construction on
+      // the replica flood — the question is again whether time tracks the
+      // pair mass, and whether exact-first keeps the output at base scale
+      val t2 = System.nanoTime()
+      val wPairs = operators.Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        minLen = 30, noise = 21, minShared = 2).count()
+      val wSec = (System.nanoTime() - t2) / 1e9
+      sweep()
+      val t3 = System.nanoTime()
+      val wPairsAfter = operators.Dedup.winnowOverlapPairs(survivors,
+        "doc_id", "text", minLen = 30, noise = 21, minShared = 2).count()
+      val wSecAfter = (System.nanoTime() - t3) / 1e9
+      sweep()
+      val wPerM = if (wPairs > 0) wSec / (wPairs / 1e6) else Double.NaN
+      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM%.2f,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}""")
+      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM%.2f,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}"""
     }
     val json = rows.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("pairmass.json"),
