@@ -3942,6 +3942,48 @@ object SparkEntry {
           col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
         .orderBy(col("symbol"), col("ts_us"))
     }),
+    "q_stream_live_ttl" -> ((s, d) => {
+      // REAL micro-batch streaming with TTL eviction actually FIRING
+      // (q_stream_live's TTL timers never fire — every symbol ticks
+      // daily): three symbols go silent for 10 days (events dropped in
+      // [Jan 11, Jan 21)), idleMs = 3 days, and the chunking guarantees
+      // the timer semantics land deterministically — batch [Jan 20,
+      // Jan 21) carries only the surviving symbols, so it runs with the
+      // watermark advanced past the silent keys' expiry (last tick + 3 d)
+      // by the [Jan 12, Jan 20) batch and handleExpiredTimer clears their
+      // state BEFORE the silent symbols' first post-gap rows arrive in
+      // the final batch (input rows are processed before timers within a
+      // batch, so the extra boundary is load-bearing). The revived keys
+      // re-warm from empty: the oracle folds per (symbol, epoch) where an
+      // epoch breaks on any >3-day event-time gap — exact for this corpus
+      // because the max natural gap is 24 h (measured at every sf).
+      load(s, d)
+      import s.implicits._
+      import org.apache.spark.sql.functions.{expr, lit, timestamp_micros, unix_micros}
+      val gapSyms = Seq("click", "purchase", "view")
+      val gapNs0 = 1704931200000L * 1000000L // 2024-01-11 00:00 UTC, nanos
+      val gapNs1 = 1705795200000L * 1000000L // 2024-01-21 00:00 UTC
+      val ev = readEventsNanos(s, d)
+        .filter(!(col("event_type").isin(gapSyms: _*) &&
+          col("ts") >= lit(gapNs0) && col("ts") < lit(gapNs1)))
+      val ticks = ev.select(
+        col("event_type").as("symbol"),
+        timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+        col("value").as("price"),
+        col("user_id").as("volume"),
+        lit(null).cast("double").as("bid"),
+        lit(null).cast("double").as("ask")).as[graft.streaming.MarketTick]
+      // Jan 12 / Jan 20 / Jan 21 00:00 UTC epoch millis
+      val bounds = Seq(1705017600000L, 1705708800000L, 1705795200000L)
+        .map(new java.sql.Timestamp(_))
+      graft.streaming.StreamingLive.indicatorsMicroBatch(ticks,
+          windowSize = 5, chunkBoundaries = bounds,
+          idleMs = 3L * 24 * 60 * 60 * 1000)
+        .select(col("symbol"), unix_micros(col("timestamp")).as("ts_us"),
+          col("price"), col("volume"), col("sma"), col("ema"), col("rsi"),
+          col("volumeSma").as("volume_sma"), col("volumeRatio").as("volume_ratio"))
+        .orderBy(col("symbol"), col("ts_us"))
+    }),
     "q_range_join" -> ((s, d) => {
       // point-in-interval range join per supplier: how many same-supplier
       // shipments were "in flight" ([ship_day, ship_day + quantity] days)
@@ -10818,6 +10860,8 @@ object SparkEntry {
     // identical fold, REAL micro-batch execution on the Spark side — the
     // streaming runtime must reproduce the batch fold bit-for-bit
     "q_stream_live" -> duckStreamIndicatorsSql,
+    // same runtime, TTL eviction FIRING: fold restarts per (symbol, epoch)
+    "q_stream_live_ttl" -> duckStreamTtlSql,
     "q_range_join" ->
       """WITH li AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -10927,6 +10971,52 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id
        |)""".stripMargin
+
+  /** [[duckStreamIndicatorsSql]] with TTL-eviction semantics for
+    * q_stream_live_ttl: the same fold, but partitioned by (symbol, epoch)
+    * where an epoch breaks whenever the event-time gap to the previous
+    * tick exceeds idleMs = 3 days — a revived key re-warms from empty
+    * state. Exact for this gate's corpus + chunking: the only >3-day gaps
+    * are the injected [Jan 11, Jan 21) silences (max natural gap 24 h),
+    * and the gate's chunk boundaries guarantee the runtime evicts at
+    * exactly those points. */
+  private lazy val duckStreamTtlSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, ts, value, user_id FROM events
+       |  WHERE NOT (event_type IN ('click', 'purchase', 'view')
+       |    AND ts >= TIMESTAMP '2024-01-11 00:00:00'
+       |    AND ts <  TIMESTAMP '2024-01-21 00:00:00')
+       |), ep AS (
+       |  SELECT event_type, ts, value, user_id,
+       |    sum(CASE WHEN prev IS NOT NULL
+       |              AND epoch_us(ts) - epoch_us(prev) > 259200000000
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY event_type ORDER BY ts) AS epoch
+       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+       |          AS prev FROM ev) t
+       |), base AS (
+       |  SELECT event_type AS symbol, ts, value AS price, user_id AS volume,
+       |    list(struct_pack(p := value, g := 0.0::DOUBLE, l := 0.0::DOUBLE, c := 0.0::DOUBLE)) OVER w AS rsix,
+       |    list(value) OVER w AS emalist,
+       |    list(value) OVER w5 AS plist5,
+       |    list(user_id) OVER w5 AS vlist5,
+       |    count(*) OVER w5 AS c5
+       |  FROM ep
+       |  WINDOW
+       |    w AS (PARTITION BY event_type, epoch ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    w5 AS (PARTITION BY event_type, epoch ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |), red AS (
+       |  SELECT symbol, ts, price, volume, c5,
+       |    ${rsiFold("rsix", 5)} AS s,
+       |    ${duckEma("emalist", 5)} AS ema,
+       |    CASE WHEN c5 = 5 THEN list_reduce(plist5, (a,b) -> a + b) / 5.0::DOUBLE END AS sma,
+       |    CASE WHEN c5 = 5 THEN CAST(list_reduce(vlist5, (a,b) -> a + b) AS DOUBLE) / 5.0::DOUBLE END AS volume_sma
+       |  FROM base
+       |)
+       |SELECT symbol, epoch_us(ts) AS ts_us, price, volume, sma, ema,
+       |  ${rsiEval("s", 5)} AS rsi, volume_sma,
+       |  CASE WHEN volume_sma IS NOT NULL THEN CAST(volume AS DOUBLE) / volume_sma END AS volume_ratio
+       |FROM red ORDER BY symbol, ts_us""".stripMargin
 
   /** The per-symbol indicator fold over events — shared by the
     * q_stream_indicators (batch-mode stateful op) and q_stream_live (real

@@ -25,7 +25,8 @@ object StreamingLive {
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def indicatorsMicroBatch(ticks: Dataset[MarketTick], windowSize: Int,
-                           chunkBoundaries: Seq[Timestamp]): DataFrame = {
+                           chunkBoundaries: Seq[Timestamp],
+                           idleMs: Long = StreamingPipeline.DefaultIdleMs): DataFrame = {
     val spark = ticks.sparkSession
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -53,10 +54,9 @@ object StreamingLive {
     // record the operator shape in the (fresh) checkpoint before start —
     // the restart-safety wiring every production caller should copy
     StateContract.validate(spark, ckpt.toString,
-      StateContract.indicatorsTwsContract(windowSize,
-        StreamingPipeline.DefaultIdleMs))
+      StateContract.indicatorsTwsContract(windowSize, idleMs))
     val input = MemoryStream[MarketTick]
-    val query = StreamingPipeline.indicatorsTws(input.toDS(), windowSize)
+    val query = StreamingPipeline.indicatorsTws(input.toDS(), windowSize, idleMs)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name)

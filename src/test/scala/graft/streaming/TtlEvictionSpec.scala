@@ -163,6 +163,49 @@ class TtlEvictionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_live_ttl gate shape is DISCRIMINATING: the same chunked replay without TTL keeps state across the gap") {
+    // mirrors the gate's construction at toy scale: symbol G goes silent
+    // for 10 "days" (minutes here), an interim chunk of K-only data
+    // advances the watermark past G's expiry, then G revives. With TTL
+    // the revived fold restarts (sma NULL during re-warm-up); with
+    // KeepForever it continues — so a broken eviction CANNOT pass the
+    // gate's oracle, which folds per (symbol, epoch).
+    // HOUR-scale steps so the 10-minute default watermark delay is noise:
+    // G ticks hours 0-5, silent through hour 15, revives hours 16-20;
+    // K ticks every hour. TTL 3 h => G's timer sits at hour 8, and the
+    // K-only [15,16) batch runs with the watermark from the [7,15) batch
+    // (hour 13.8) — past the expiry, so eviction fires before G revives.
+    def run(idleMs: Long) = {
+      implicit val sqlCtx = spark.sqlContext
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val pre = (0 to 5).map(h => tickAtMin("G", h * 60, 100.0 + h))
+      val keep = (0 to 20).map(h => tickAtMin("K", h * 60, 50.0 + h))
+      val post = (16 to 20).map(h => tickAtMin("G", h * 60, 200.0 + h))
+      val ticks = (pre ++ keep ++ post).toDS()
+      val bounds = Seq(7, 15, 16).map(h => new Timestamp(T0 + h * 3600000L))
+      StreamingLive.indicatorsMicroBatch(ticks, windowSize = 3,
+          chunkBoundaries = bounds, idleMs = idleMs)
+        .collect()
+        .filter(r => r.getString(r.fieldIndex("symbol")) == "G")
+        .map { r =>
+          val i = r.fieldIndex("sma")
+          val ts = r.getTimestamp(r.fieldIndex("timestamp"))
+          (ts.getTime - T0) / 3600000L ->
+            (if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+        }
+    }
+    val ttl = run(idleMs = 3 * 3600000L).toMap
+    val forever = run(idleMs = StreamingPipeline.KeepForever).toMap
+    // with TTL the revived key re-warms: first two post-gap rows have no
+    // 3-tick sma; unbounded state continues the pre-gap window
+    assert(ttl(16L).isEmpty && ttl(17L).isEmpty && ttl(18L).nonEmpty,
+      s"TTL path must re-warm from empty, got $ttl")
+    assert(forever(16L).nonEmpty,
+      s"KeepForever must continue the pre-gap fold, got $forever")
+    assert(ttl(18L).get === (216.0 + 217 + 218) / 3.0)
+  }
+
   test("late-but-in-watermark data never moves the idle timer BACKWARDS (live key must not evict early)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
