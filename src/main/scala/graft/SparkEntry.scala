@@ -3657,6 +3657,34 @@ object SparkEntry {
           "text", minLen = 30, noise = 21, minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_winnow_ingest" -> ((s, d) => {
+      // incremental ingestion vs a winnow fingerprint INDEX of the
+      // reference corpus (even doc_ids): per new (odd) document, the
+      // fingerprint count and how many collide with the reference —
+      // substring-level cross-corpus detection, no pair emission
+      load(s, d)
+      val docs = s.table("documents")
+      val index = operators.Dedup.buildWinnowIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minLen = 30, noise = 21)
+      operators.Dedup.winnowIncrementalDedup(
+          docs.filter(col("doc_id") % 2 === 1), index, "doc_id", "text",
+          minLen = 30, noise = 21)
+        .orderBy(col("doc_id"))
+    }),
+    "q_winnow_ingest_cut" -> ((s, d) => {
+      // the cut pass: reference-duplicated fingerprint spans spliced out
+      // of each new document
+      load(s, d)
+      val docs = s.table("documents")
+      val index = operators.Dedup.buildWinnowIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        minLen = 30, noise = 21)
+      operators.Dedup.winnowIncrementalCut(
+          docs.filter(col("doc_id") % 2 === 1), index, "doc_id", "text",
+          minLen = 30, noise = 21)
+        .orderBy(col("doc_id"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       // span-level benchmark decontamination: src0 documents are the
       // "benchmark"; any 20-char substring of a training doc (src1..19)
@@ -8944,6 +8972,105 @@ object SparkEntry {
         |JOIN nfp nb ON nb.doc_id = pr.id_b
         |WHERE pr.shared >= 2
         |ORDER BY pr.id_a, pr.id_b""".stripMargin,
+    // Replays Dedup.winnowIncrementalDedup: the winnow selection CTEs run
+    // over BOTH corpus halves (even doc_ids = reference, odd = new); the
+    // reference's distinct fingerprint grams are the index, and each new
+    // document's fingerprints are counted and flagged by index membership.
+    "q_winnow_ingest" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) - 29 AS last_start,
+        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, last_start, pos,
+        |    concat(substring(text, pos, 21),
+        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
+        |  FROM p
+        |),
+        |winm AS (
+        |  SELECT doc_id, last_start, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+        |  FROM occ
+        |),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
+        |    substring(winkey, 1, 21) AS gram
+        |  FROM winm WHERE pos <= last_start
+        |),
+        |refidx AS (
+        |  SELECT DISTINCT gram FROM sel WHERE doc_id % 2 = 0
+        |),
+        |agg AS (
+        |  SELECT s.doc_id, count(*) AS n_fp,
+        |    count(r.gram) AS n_dup
+        |  FROM sel s LEFT JOIN refidx r ON r.gram = s.gram
+        |  WHERE s.doc_id % 2 = 1
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+        |  coalesce(a.n_dup, 0) AS n_dup
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays Dedup.winnowIncrementalCut per-CHARACTER (the established
+    // anti-join cut oracle): a new-doc char survives iff no
+    // index-matched fingerprint span covers it.
+    "q_winnow_ingest_cut" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) - 29 AS last_start,
+        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30
+        |),
+        |occ AS (
+        |  SELECT doc_id, last_start, pos,
+        |    concat(substring(text, pos, 21),
+        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
+        |  FROM p
+        |),
+        |winm AS (
+        |  SELECT doc_id, last_start, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+        |  FROM occ
+        |),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
+        |    substring(winkey, 1, 21) AS gram
+        |  FROM winm WHERE pos <= last_start
+        |),
+        |refidx AS (
+        |  SELECT DISTINCT gram FROM sel WHERE doc_id % 2 = 0
+        |),
+        |dup AS (
+        |  SELECT s.doc_id, s.pos AS st, s.pos + 20 AS e
+        |  FROM sel s JOIN refidx r ON r.gram = s.gram
+        |  WHERE s.doc_id % 2 = 1
+        |),
+        |chars AS (
+        |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
+        |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+        |  WHERE d.doc_id % 2 = 1
+        |),
+        |kept AS (
+        |  SELECT c.doc_id, c.cpos, c.ch
+        |  FROM chars c LEFT JOIN dup u
+        |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.st AND u.e
+        |  GROUP BY c.doc_id, c.cpos, c.ch
+        |  HAVING count(u.doc_id) = 0
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+        |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
     // Replays Dedup.decontaminationCut per-CHARACTER (same independent
     // anti-join formulation as q_substring_cut's oracle): a training-doc
     // char survives iff no probe-matched span covers it. Probe grams are

@@ -1034,6 +1034,64 @@ object Dedup {
     cutSpans(docs, idCol, textCol, dups)
   }
 
+  /** Winnow fingerprint index of a REFERENCE corpus: the distinct
+    * `noise`-char fingerprint grams its winnowing selects — the
+    * incremental-ingestion counterpart of [[buildRefIndex]], at substring
+    * rather than whole-document granularity. [[decontaminationCut]] needs
+    * its probe side EXHAUSTIVE (every gram of the probe corpus), which is
+    * only feasible for small eval sets; winnowing's content-defined
+    * selection keeps the guarantee while indexing only ~2/(w+1) of the
+    * reference's gram positions, so the reference side can be the BIG
+    * corpus: any substring ≥ `minLen` chars shared between a new document
+    * and any reference document selects an identical fingerprint on both
+    * sides at any alignment. Write the frame out once; probe every
+    * ingestion batch against it. */
+  def buildWinnowIndex(refDocs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 30, noise: Int = 21): DataFrame =
+    winnowFingerprints(refDocs, idCol, textCol, minLen, noise)
+      .select(col("gram")).distinct()
+
+  /** Incremental-ingestion duplicated-substring mass vs a
+    * [[buildWinnowIndex]] reference index: `(id, n_fp, n_dup)` for every
+    * NEW document, where n_dup counts its winnow fingerprints whose gram
+    * appears in the index. No pair emission anywhere — one LEFT join on
+    * the gram (the index is distinct, so no fan-out) — which means no
+    * candidate-pair budget is needed: output is exactly one row per new
+    * document however flooded either corpus is. `broadcastIndex` for
+    * indexes that fit an executor; the default shuffle join handles the
+    * multi-TB case. */
+  def winnowIncrementalDedup(newDocs: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String,
+                             minLen: Int = 30, noise: Int = 21,
+                             broadcastIndex: Boolean = false): DataFrame = {
+    val idx0 = index.select(col("gram")).withColumn("__hit", lit(1))
+    val idx = if (broadcastIndex) broadcast(idx0) else idx0
+    val fp = winnowFingerprints(newDocs, idCol, textCol, minLen, noise)
+    val agged = fp.join(idx, Seq("gram"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_fp"),
+        count(col("__hit")).as("n_dup"))
+    newDocs.select(col(idCol)).join(agged, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_fp", "n_dup"))
+  }
+
+  /** The CUT pass against a [[buildWinnowIndex]] reference index: every
+    * new-document fingerprint span whose gram appears in the index is
+    * removed and the remaining segments spliced ([[cutSpans]]) —
+    * incremental decontamination where the REFERENCE corpus is the big
+    * side. Same contiguous-coverage property as [[winnowedCut]]. */
+  def winnowIncrementalCut(newDocs: DataFrame, index: DataFrame,
+                           idCol: String, textCol: String,
+                           minLen: Int = 30, noise: Int = 21,
+                           broadcastIndex: Boolean = false): DataFrame = {
+    val idx0 = index.select(col("gram"))
+    val idx = if (broadcastIndex) broadcast(idx0) else idx0
+    val dups = winnowFingerprints(newDocs, idCol, textCol, minLen, noise)
+      .join(idx, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + lit(noise)).as("__end"))
+    cutSpans(newDocs, idCol, textCol, dups)
+  }
+
   /** MOSS-style document-overlap pair mining over winnowed fingerprints
     * (Schleimer et al. 2003 §5 — the measure plagiarism detectors report):
     * a candidate pair shares at least one selected fingerprint, i.e. has

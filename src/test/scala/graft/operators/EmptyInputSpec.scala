@@ -37,6 +37,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.winnowFingerprints(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.winnowedDedup(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.winnowedCut(emptyDocs, "doc_id", "text").count() === 0)
+    val emptyIdx = Dedup.buildWinnowIndex(emptyDocs, "doc_id", "text")
+    assert(emptyIdx.count() === 0)
+    assert(Dedup.winnowIncrementalDedup(emptyDocs, emptyIdx,
+      "doc_id", "text").count() === 0)
+    assert(Dedup.winnowIncrementalCut(emptyDocs, emptyIdx,
+      "doc_id", "text").count() === 0)
   }
 
   test("similarity operators on an empty corpus") {

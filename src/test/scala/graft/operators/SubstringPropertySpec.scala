@@ -202,6 +202,48 @@ class SubstringPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowIncrementalDedup/Cut match the in-memory index probe on 10 random corpora") {
+    val rnd = new Random(20260816L + 7)
+    for (case_ <- 1 to 10) {
+      val alphabet = if (case_ % 2 == 0) "ab" else "abc"
+      val minLen = 3 + rnd.nextInt(3)
+      val noise = 2 + rnd.nextInt(minLen - 1)
+      val refDocs = corpus(rnd, nDocs = 5, alphabet)
+      val newDocs = corpus(rnd, nDocs = 5, alphabet)
+        .map { case (id, t) => (id + 100L, t) }
+      val refIdx = refDocs.flatMap(d => refWinnow(d._2, minLen, noise))
+        .map(_._2).toSet
+
+      val expDedup = newDocs.map { case (id, t) =>
+        val fp = refWinnow(t, minLen, noise)
+        (id, fp.size.toLong, fp.count(p => refIdx(p._2)).toLong)
+      }.sortBy(_._1)
+      val expCut = newDocs.map { case (id, t) =>
+        val hits = refWinnow(t, minLen, noise)
+          .filter(p => refIdx(p._2)).map(p => (p._1, p._1 + noise))
+        val cleaned = cutChars(t, hits)
+        (id, cleaned, (t.length - cleaned.length).toLong)
+      }.sortBy(_._1)
+
+      val rdf = refDocs.toDF("doc_id", "text")
+      val ndf = newDocs.toDF("doc_id", "text")
+      val index = Dedup.buildWinnowIndex(rdf, "doc_id", "text", minLen, noise)
+      val gotDedup = Dedup.winnowIncrementalDedup(ndf, index, "doc_id",
+          "text", minLen, noise)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotDedup === expDedup,
+        s"case $case_ (minLen=$minLen noise=$noise) ingest-dedup mismatch " +
+          s"on ref=$refDocs new=$newDocs")
+      val gotCut = Dedup.winnowIncrementalCut(ndf, index, "doc_id", "text",
+          minLen, noise, broadcastIndex = case_ % 3 == 0)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(gotCut === expCut,
+        s"case $case_ (minLen=$minLen noise=$noise) ingest-cut mismatch")
+    }
+  }
+
   test("winnowing detection guarantee: a shared >=minLen substring is caught at EVERY alignment phase") {
     val minLen = 30
     val noise = 21 // w = 10
