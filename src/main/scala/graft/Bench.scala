@@ -114,6 +114,8 @@ object Bench {
         stamped.lastOption.map(_.getPath)
           .orElse(Option(new java.io.File("bench_full.json"))
             .filter(_.exists()).map(_.getPath))
+          .orElse(Option(new java.io.File("target/bench_full.json"))
+            .filter(_.exists()).map(_.getPath))
       }
       path.flatMap { p =>
         try {
@@ -136,6 +138,27 @@ object Bench {
       }
     }
     val baseline = readBaseline()
+    // Cross-round suspect handoff (r13 verdict #1): bench_diff writes the
+    // wall-time outliers it could NOT corroborate (shuffle flat, no rerun
+    // stamped) to bench_suspects_pending.json; the next Bench session —
+    // full or GRAFT_BENCH_ONLY — replays them min-of-3 into rerun_sec and
+    // CONSUMES the file, so no suspect ever exits the loop unadjudicated
+    // without a human. (The in-session outlier rule alone cannot catch a
+    // same-plan compute change that is steady within its own session —
+    // exactly the r13 dedup-family signature.)
+    val pendingPath = java.nio.file.Paths.get("bench_suspects_pending.json")
+    val pendingSuspects: Seq[String] =
+      if (java.nio.file.Files.exists(pendingPath)) {
+        try {
+          val txt = java.nio.file.Files.readString(pendingPath)
+          """"(q_[a-z0-9_]+)"""".r.findAllMatchIn(txt)
+            .map(_.group(1)).toSeq.distinct
+            .filter(SparkEntry.queries.contains)
+        } catch { case _: Throwable => Seq.empty }
+      } else Seq.empty
+    if (pendingSuspects.nonEmpty)
+      System.err.println(s"[bench] ${pendingSuspects.size} cross-round " +
+        s"suspects pending adjudication: ${pendingSuspects.mkString(",")}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
@@ -174,7 +197,7 @@ object Bench {
     // growth in new-session seconds. Each suspect reruns min-of-3 with
     // full sweeps; the rerun is stamped as `rerun_sec` — the adjudicated
     // steady-state number for that query in THIS session.
-    val rerunSecs: Map[String, Double] = baseline match {
+    val outlierSuspects: Seq[String] = baseline match {
       case Some((oldQs, oldCal)) if only.isEmpty =>
         val newCal = (calibStart + calibEnd) / 2.0
         val calratio = if (oldCal > 0) newCal / oldCal else 1.0
@@ -182,29 +205,43 @@ object Bench {
           oldQs.get(n).filter(_ > 0).filter(_ => t >= 0)
             .map(o => n -> (t / o) / calratio)
         }.toMap
-        if (ratios.isEmpty) Map.empty
+        if (ratios.isEmpty) Seq.empty
         else {
           val sorted = ratios.values.toSeq.sorted
           val med = sorted(sorted.size / 2)
           val byName = results.map(t => t._1 -> t._2).toMap
-          val suspects = ratios.filter { case (n, r) =>
+          ratios.filter { case (n, r) =>
             r > 1.5 * med && byName(n) - oldQs(n) * calratio > 0.5
           }.keys.toSeq.sorted
-          if (suspects.nonEmpty)
-            System.err.println(s"[bench] rerunning ${suspects.size} " +
-              s"wall-time suspects min-of-3 in-session: ${suspects.mkString(",")}")
-          suspects.map { n =>
-            val t = (1 to 3).map { i =>
-              val t0 = System.nanoTime()
-              force(SparkEntry.queries(n)(spark, sfDir))
-              val dt = (System.nanoTime() - t0) / 1e9
-              sweep(); dt
-            }.min
-            n -> t
-          }.toMap
         }
-      case _ => Map.empty
+      case _ => Seq.empty
     }
+    // r13 verdict #7: the headline slowest gates used to carry
+    // single-min-of-2 samples; a min-of-3 rerun for the top 10 makes them
+    // as trustworthy as the calibration anchor
+    val slowestTen: Seq[String] =
+      if (only.isEmpty) results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+      else Seq.empty
+    val rerunNames =
+      (outlierSuspects ++ pendingSuspects ++ slowestTen).distinct.sorted
+    if (rerunNames.nonEmpty)
+      System.err.println(s"[bench] rerunning ${rerunNames.size} queries " +
+        s"min-of-3 in-session (${outlierSuspects.size} outliers, " +
+        s"${pendingSuspects.size} cross-round suspects, " +
+        s"${slowestTen.size} slowest): ${rerunNames.mkString(",")}")
+    val rerunSecs: Map[String, Double] = rerunNames.map { n =>
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(n)(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep(); dt
+      }.min
+      n -> t
+    }.toMap
+    // consume the handoff: every pending suspect now carries rerun_sec
+    if (pendingSuspects.nonEmpty)
+      try java.nio.file.Files.deleteIfExists(pendingPath)
+      catch { case _: Throwable => () }
     val rerunJson = rerunSecs.toSeq.sortBy(_._1)
       .map { case (n, t) => "\"" + n + f"\":$t%.3f" }
       .mkString("{", ",", "}")
@@ -233,13 +270,28 @@ object Bench {
     // can NEVER fit, which is why BENCH_r04..r06 recorded "parsed": null.
     val qsFull = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // provenance stamp (r13 verdict #8, matching CORRECTNESS_local's):
+    // the git SHA of the build the numbers came from, best-effort
+    val gitSha: String =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rerun_sec":$rerunJson,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
-    // subset (GRAFT_BENCH_ONLY) runs default to a SEPARATE file so a local
-    // bisection or judge rerun can never clobber the committed full
-    // artifact (round-12 verdict #5: the tree was perpetually dirty)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rerun_sec":$rerunJson,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir","git_sha":"$gitSha"}"""
+    // defaults write UNDER target/ (r13 verdict #6): the committed
+    // round-stamped bench_full_r{N}.json is copied from target/ only in
+    // the final artifact commit, so HEAD's artifacts stay internally
+    // consistent and the tree stays clean; subset (GRAFT_BENCH_ONLY) runs
+    // go to a separate file so a local bisection or judge rerun can never
+    // clobber the full artifact
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.nonEmpty) "bench_only.json" else "bench_full.json")
+      if (only.nonEmpty) "target/bench_only.json" else "target/bench_full.json")
+    try java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target"))
+    catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

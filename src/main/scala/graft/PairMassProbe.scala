@@ -64,7 +64,9 @@ object PairMassProbe {
         "doc_id", "text", k = 16, rowsPerBand = 4, threshold = 0.5).count()
       val secAfter = (System.nanoTime() - t1) / 1e9
       sweep()
-      val perM = if (pairs > 0) sec / (pairs / 1e6) else Double.NaN
+      // zero-pair runs emit the JSON literal null, never a bare NaN (which
+      // would make the whole artifact unparseable)
+      val perM = if (pairs > 0) f"${sec / (pairs / 1e6)}%.2f" else "null"
       // star-vs-all-pairs CLUSTER AGREEMENT (r12 ADVICE): the star gate's
       // oracle replays the same star construction, so only a direct
       // comparison against the all-pairs components can quantify the
@@ -101,9 +103,9 @@ object PairMassProbe {
         "doc_id", "text", minLen = 30, noise = 21, minShared = 2).count()
       val wSecAfter = (System.nanoTime() - t3) / 1e9
       sweep()
-      val wPerM = if (wPairs > 0) wSec / (wPairs / 1e6) else Double.NaN
-      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM%.2f,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}""")
-      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM%.2f,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM%.2f,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}"""
+      val wPerM = if (wPairs > 0) f"${wSec / (wPairs / 1e6)}%.2f" else "null"
+      println(f"""PROBE {"scale":$s,"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}""")
+      f""""x$s":{"pairs":$pairs,"sec":$sec%.2f,"sec_per_mpair":$perM,"pairs_after_exact_first":$pairsAfterExact,"sec_after_exact_first":$secAfter%.2f,"cluster_ids":$nIds,"label_match":$nMatch,"only_allpairs":${nAp - nMatch},"only_star":${nStar - nMatch},"winnow_pairs":$wPairs,"winnow_sec":$wSec%.2f,"winnow_sec_per_mpair":$wPerM,"winnow_pairs_after_exact_first":$wPairsAfter,"winnow_sec_after_exact_first":$wSecAfter%.2f}"""
     }
     val json = rows.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("pairmass.json"),

@@ -370,6 +370,33 @@ object ScaleFit {
     force(SparkEntry.queries("q_indicators_combined")(spark, baseDir)) // warm-up
     sweep()
 
+    // GRAFT_FIT_FLOOR=1 (r13 verdict #3): ALSO measure each probe's fixed
+    // session floor — the same query against a corpus whose documents
+    // table is EMPTY (schema preserved, every other table untouched) —
+    // and refit ZERO-INTERCEPT on the floored values. The a+b·S residual
+    // is invariant to subtracting a constant, so "overhead-dominated"
+    // can only be tested by pinning the intercept to the measured floor:
+    // t(S) ≈ floor + b·S with b = Σ S·(t−floor) / Σ S².
+    val withFloor = sys.env.get("GRAFT_FIT_FLOOR").contains("1")
+    val floorDir = "target/floordata"
+    if (withFloor) {
+      val src = java.nio.file.Paths.get(baseDir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(floorDir))
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(src)
+      try listing.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val name = p.getFileName.toString
+          val out = s"$floorDir/$name"
+          if (name == "documents.parquet")
+            spark.read.parquet(p.toString).limit(0)
+              .write.mode("overwrite").parquet(out)
+          else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+            spark.read.parquet(p.toString).write.mode("overwrite").parquet(out)
+        }
+      finally listing.close()
+    }
+
     val xs = (1 +: scales).map(_.toDouble)
     val rows = probes.flatMap { name =>
       val ts = (1 +: scales).flatMap(s => time(name, dirs(s)))
@@ -382,9 +409,20 @@ object ScaleFit {
         val a = ybar - b * xbar
         val pred10 = a + b * 10.0
         val resid10 = (ys(1) - pred10) / ys(1) * 100.0
-        println(f"""FIT {"query":"$name","t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f,"runs":5}""")
+        val floorPart = if (withFloor) {
+          time(name, floorDir) match {
+            case Some(f) =>
+              val yf = ys.map(_ - f)
+              val bf = xs.zip(yf).map { case (x, y) => x * y }.sum /
+                xs.map(x => x * x).sum
+              val residF = (ys(1) - (f + bf * 10.0)) / ys(1) * 100.0
+              f""","floor_sec":$f%.2f,"b_floored":$bf%.4f,"resid10_floor_pct":$residF%.1f"""
+            case None => ""
+          }
+        } else ""
+        println(f"""FIT {"query":"$name","t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f$floorPart,"runs":5}""")
         Some(name ->
-          f"""{"t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f,"runs":5}""")
+          f"""{"t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f$floorPart,"runs":5}""")
       } else None
     }
     val outPath = java.nio.file.Paths.get("scaleprobe3pt.json")

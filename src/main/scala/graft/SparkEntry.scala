@@ -3685,6 +3685,26 @@ object SparkEntry {
           minLen = 30, noise = 21)
         .orderBy(col("doc_id"))
     }),
+    "q_winnow_ingest_persisted" -> ((s, d) => {
+      // the PERSISTED index flow buildWinnowIndex's contract promises
+      // ("write the frame out once; probe every ingestion batch"): the
+      // reference index round-trips through parquet on disk and the probe
+      // reads it back cold — proving schema/content round-trip stability,
+      // not just the in-plan path q_winnow_ingest covers. The write is
+      // eager (at construction); the probe join is the measured plan.
+      load(s, d)
+      val docs = s.table("documents")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_winnow_idx").toString
+      operators.Dedup.buildWinnowIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          minLen = 30, noise = 21)
+        .write.mode("overwrite").parquet(idxDir)
+      operators.Dedup.winnowIncrementalDedup(
+          docs.filter(col("doc_id") % 2 === 1), s.read.parquet(idxDir),
+          "doc_id", "text", minLen = 30, noise = 21)
+        .orderBy(col("doc_id"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       // span-level benchmark decontamination: src0 documents are the
       // "benchmark"; any 20-char substring of a training doc (src1..19)
@@ -4690,6 +4710,72 @@ object SparkEntry {
        |    ON a.band = b.band AND a.sig = b.sig AND $candCond
        |)""".stripMargin
   }
+
+  /** The character-identical DuckDB twin of
+    * [[operators.Dedup.winnowGramHash]] at noise=21: the nested
+    * `(h·B + ascii) mod M` fold, B = 1000003, M = 2199023255531 (largest
+    * prime < 2⁴¹). Evaluates over the same `text`/`pos` columns the
+    * selection CTE exposes. */
+  private val duckWinnowHash: String =
+    (0 until 21).foldLeft("0") { (acc, i) =>
+      s"(($acc * 1000003 + ascii(substring(text, pos + $i, 1))) % ${operators.Dedup.WinnowHashMod})"
+    }
+
+  /** Shared selection CTEs replaying [[operators.Dedup.winnowFingerprints]]
+    * at minLen=30, noise=21 (w=10) over `documents`: the same packed
+    * `hash(41b) ∥ pos(21b) ∥ validStart(1b)` BIGINT key, per-doc window
+    * min ordered by the position bits, flag-filtered winners, gram TEXT
+    * recovered by joining the winners back to the documents — ends with
+    * `sel(doc_id, pos, gram)`. */
+  private val duckWinnowSelCtes: String =
+    s"""p AS (
+       |  SELECT doc_id, length(text) - 29 AS last_start,
+       |    unnest(generate_series(1, length(text) - 20)) AS pos, text
+       |  FROM documents WHERE length(text) >= 30
+       |),
+       |occ AS (
+       |  SELECT doc_id,
+       |    ($duckWinnowHash * 4194304) + (pos * 2)
+       |      + (CASE WHEN pos <= last_start THEN 1 ELSE 0 END) AS key
+       |  FROM p
+       |),
+       |winm AS (
+       |  SELECT doc_id, key,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY ((key >> 1) & 2097151)
+       |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
+       |  FROM occ
+       |),
+       |selp AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(((winkey >> 1) & 2097151) AS INTEGER) AS pos
+       |  FROM winm WHERE (key & 1) = 1
+       |),
+       |sel AS (
+       |  SELECT s.doc_id, s.pos, substring(d.text, s.pos, 21) AS gram
+       |  FROM selp s JOIN documents d ON d.doc_id = s.doc_id
+       |)""".stripMargin
+
+  /** Replays Dedup.winnowIncrementalDedup over the even(ref)/odd(new)
+    * doc_id split — shared verbatim by q_winnow_ingest and
+    * q_winnow_ingest_persisted (the parquet round-trip of the index must
+    * not change a single row). */
+  private val duckWinnowIngestSql: String =
+    s"""WITH $duckWinnowSelCtes,
+       |refidx AS (
+       |  SELECT DISTINCT gram FROM sel WHERE doc_id % 2 = 0
+       |),
+       |agg AS (
+       |  SELECT s.doc_id, count(*) AS n_fp,
+       |    count(r.gram) AS n_dup
+       |  FROM sel s LEFT JOIN refidx r ON r.gram = s.gram
+       |  WHERE s.doc_id % 2 = 1
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+       |  coalesce(a.n_dup, 0) AS n_dup
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin
 
   private val duckStopwordsEn = "['the','and','of','to','in','is','a']"
 
@@ -8833,33 +8919,12 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // Replays Dedup.winnowedDedup at minLen=30, noise=21 (w=10): the
-    // winnowing selection is the window min over the same fixed-width
-    // `gram || zero-padded pos` key the Spark side uses, full windows
-    // only; the dup marking mirrors q_substring_dedup's row_number shape.
+    // winnowing selection is the window min over the same packed
+    // hash∥pos∥flag BIGINT key the Spark side uses (duckWinnowSelCtes),
+    // full windows only; dup marking mirrors q_substring_dedup's
+    // row_number shape.
     "q_winnow_dedup" ->
-      """WITH p AS (
-        |  SELECT doc_id, length(text) - 29 AS last_start,
-        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
-        |  FROM documents WHERE length(text) >= 30
-        |),
-        |occ AS (
-        |  SELECT doc_id, last_start, pos,
-        |    concat(substring(text, pos, 21),
-        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
-        |  FROM p
-        |),
-        |winm AS (
-        |  SELECT doc_id, last_start, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
-        |  FROM occ
-        |),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
-        |    substring(winkey, 1, 21) AS gram
-        |  FROM winm WHERE pos <= last_start
-        |),
+      s"""WITH $duckWinnowSelCtes,
         |marked AS (
         |  SELECT doc_id, pos,
         |    count(*) OVER (PARTITION BY gram) AS cnt,
@@ -8879,29 +8944,7 @@ object SparkEntry {
     // anti-join formulation over the winnowed selection): a char survives
     // iff no duplicate-marked 21-char fingerprint span covers it.
     "q_winnow_cut" ->
-      """WITH p AS (
-        |  SELECT doc_id, length(text) - 29 AS last_start,
-        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
-        |  FROM documents WHERE length(text) >= 30
-        |),
-        |occ AS (
-        |  SELECT doc_id, last_start, pos,
-        |    concat(substring(text, pos, 21),
-        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
-        |  FROM p
-        |),
-        |winm AS (
-        |  SELECT doc_id, last_start, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
-        |  FROM occ
-        |),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
-        |    substring(winkey, 1, 21) AS gram
-        |  FROM winm WHERE pos <= last_start
-        |),
+      s"""WITH $duckWinnowSelCtes,
         |marked AS (
         |  SELECT doc_id, pos,
         |    count(*) OVER (PARTITION BY gram) AS cnt,
@@ -8936,26 +8979,9 @@ object SparkEntry {
     // id_a < id_b, shared counts, containment normalization by the smaller
     // set size.
     "q_winnow_pairs" ->
-      """WITH p AS (
-        |  SELECT doc_id, length(text) - 29 AS last_start,
-        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
-        |  FROM documents WHERE length(text) >= 30
-        |),
-        |occ AS (
-        |  SELECT doc_id, last_start, pos,
-        |    concat(substring(text, pos, 21),
-        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
-        |  FROM p
-        |),
-        |winm AS (
-        |  SELECT doc_id, last_start, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
-        |  FROM occ
-        |),
+      s"""WITH $duckWinnowSelCtes,
         |fpset AS (
-        |  SELECT DISTINCT doc_id, substring(winkey, 1, 21) AS gram
-        |  FROM winm WHERE pos <= last_start
+        |  SELECT DISTINCT doc_id, gram FROM sel
         |),
         |nfp AS (
         |  SELECT doc_id, count(*) AS n FROM fpset GROUP BY doc_id
@@ -8976,72 +9002,16 @@ object SparkEntry {
     // over BOTH corpus halves (even doc_ids = reference, odd = new); the
     // reference's distinct fingerprint grams are the index, and each new
     // document's fingerprints are counted and flagged by index membership.
-    "q_winnow_ingest" ->
-      """WITH p AS (
-        |  SELECT doc_id, length(text) - 29 AS last_start,
-        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
-        |  FROM documents WHERE length(text) >= 30
-        |),
-        |occ AS (
-        |  SELECT doc_id, last_start, pos,
-        |    concat(substring(text, pos, 21),
-        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
-        |  FROM p
-        |),
-        |winm AS (
-        |  SELECT doc_id, last_start, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
-        |  FROM occ
-        |),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
-        |    substring(winkey, 1, 21) AS gram
-        |  FROM winm WHERE pos <= last_start
-        |),
-        |refidx AS (
-        |  SELECT DISTINCT gram FROM sel WHERE doc_id % 2 = 0
-        |),
-        |agg AS (
-        |  SELECT s.doc_id, count(*) AS n_fp,
-        |    count(r.gram) AS n_dup
-        |  FROM sel s LEFT JOIN refidx r ON r.gram = s.gram
-        |  WHERE s.doc_id % 2 = 1
-        |  GROUP BY s.doc_id
-        |)
-        |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
-        |  coalesce(a.n_dup, 0) AS n_dup
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        |WHERE d.doc_id % 2 = 1
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_winnow_ingest" -> duckWinnowIngestSql,
+    // The persisted-index gate's SEMANTICS are identical — the parquet
+    // round-trip must be invisible to the result, which is exactly what
+    // sharing the oracle asserts.
+    "q_winnow_ingest_persisted" -> duckWinnowIngestSql,
     // Replays Dedup.winnowIncrementalCut per-CHARACTER (the established
     // anti-join cut oracle): a new-doc char survives iff no
     // index-matched fingerprint span covers it.
     "q_winnow_ingest_cut" ->
-      """WITH p AS (
-        |  SELECT doc_id, length(text) - 29 AS last_start,
-        |    unnest(generate_series(1, length(text) - 20)) AS pos, text
-        |  FROM documents WHERE length(text) >= 30
-        |),
-        |occ AS (
-        |  SELECT doc_id, last_start, pos,
-        |    concat(substring(text, pos, 21),
-        |           lpad(CAST(pos AS VARCHAR), 10, '0')) AS key
-        |  FROM p
-        |),
-        |winm AS (
-        |  SELECT doc_id, last_start, pos,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS winkey
-        |  FROM occ
-        |),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(substring(winkey, 22, 10) AS INTEGER) AS pos,
-        |    substring(winkey, 1, 21) AS gram
-        |  FROM winm WHERE pos <= last_start
-        |),
+      s"""WITH $duckWinnowSelCtes,
         |refidx AS (
         |  SELECT DISTINCT gram FROM sel WHERE doc_id % 2 = 0
         |),

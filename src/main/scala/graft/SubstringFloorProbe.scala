@@ -122,7 +122,50 @@ object SubstringFloorProbe {
           println(f"""PROBE {"corpus":"$cname","winnow_w":$w,"noise":$noise,"removed_chars":$m,"noise_base":$noiseBase,"caught_fraction":$frac%.4f,"sec":$sec%.2f}""")
           f""""w$w":{"noise":$noise,"removed_chars":$m,"noise_base":$noiseBase,"caught_fraction":$frac%.4f,"sec":$sec%.2f}"""
         }
-        s""""$cname":{${(entries ++ winnowed).mkString(",")}}"""
+        // r14 (r13 verdict #5): EDGE-PAD evaluation, char-exact. The
+        // uncovered mass at w10 is region EDGES — the selection guarantee
+        // bounds a true region's extent to < w−1 chars beyond the extreme
+        // dup fingerprint on each side, so padding every dup span by w−1
+        // guarantees full region coverage at a bounded over-cut. Ground
+        // truth per char = the exhaustive stride-1 dup mass at len=noise
+        // (the same yardstick as the caught_fraction rows); reported per
+        // pad: caught = |win ∩ base| / |base| and overcut = |win \ base|
+        // / |win| — the recall bought and the precision paid.
+        val noise = 21
+        val w = minLen - noise + 1
+        val chars = corpus.select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")))).as("c"))
+        def coverSet(spans: DataFrame): DataFrame =
+          chars.alias("ch").join(spans.alias("sp"),
+            col("ch.doc_id") === col("sp.doc_id") &&
+              col("ch.c") >= col("sp.s") && col("ch.c") < col("sp.e"),
+            "left_semi")
+        val baseSet = coverSet(
+          operators.Dedup.substringSpans(corpus, "doc_id", "text",
+              minLen = noise, stride = 1)
+            .filter(col("dup"))
+            .select(col("doc_id"), col("pos").as("s"),
+              (col("pos") + lit(noise)).as("e"))).persist()
+        val nBase = baseSet.count()
+        val padRows = Seq(0, w - 1).map { pad =>
+          val winSet = coverSet(
+            operators.Dedup.winnowedSpans(corpus, "doc_id", "text",
+                minLen = minLen, noise = noise)
+              .filter(col("dup"))
+              .select(col("doc_id"), (col("pos") - lit(pad)).as("s"),
+                (col("pos") + lit(noise + pad)).as("e"))).persist()
+          val nWin = winSet.count()
+          val nBoth = winSet.join(baseSet, Seq("doc_id", "c"), "left_semi").count()
+          winSet.unpersist()
+          CacheScope.release(blocking = true)
+          val caught = if (nBase > 0) nBoth.toDouble / nBase else Double.NaN
+          val overcut = if (nWin > 0) (nWin - nBoth).toDouble / nWin else 0.0
+          println(f"""PROBE {"corpus":"$cname","winnow_pad":$pad,"caught_char_fraction":$caught%.4f,"overcut_fraction":$overcut%.4f,"base_chars":$nBase,"cut_chars":$nWin}""")
+          f""""pad$pad":{"caught_char_fraction":$caught%.4f,"overcut_fraction":$overcut%.4f,"base_chars":$nBase,"cut_chars":$nWin}"""
+        }
+        baseSet.unpersist()
+        spark.catalog.clearCache()
+        s""""$cname":{${(entries ++ winnowed ++ padRows).mkString(",")}}"""
     }
     val json = s"""{"minLen":$minLen,${rows.mkString(",")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("substringfloor.json"),

@@ -944,43 +944,94 @@ object Dedup {
     *
     * Scale design: the stride-1 gram explode never leaves its document's
     * partition — selection is one per-doc window (`min` over a bounded
-    * w-row following frame, O(w)/row) whose fixed-width `gram ∥
-    * zero-padded pos` key makes the winning POSITION recoverable from the
-    * window min itself, so the whole step is one projection + one window
-    * + one dedup that reuses the window's hash partitioning (no extra
-    * shuffle: `(id)` partitioning already clusters `(id, pos)`). Only the
-    * selected ~2n/(w+1) fingerprints reach the corpus-wide gram shuffle —
-    * cross-partition volume matches stride ≈ (w+1)/2 sampling while the
-    * detection guarantee holds at any phase. Returns `(idCol, pos,
-    * gram)`, gram length = `noise`. */
+    * w-row following frame, O(w)/row) over ONE packed 8-byte key per
+    * position: `gramHash(41 bits) ∥ pos(21 bits) ∥ validStart(1 bit)`.
+    * Min-by-hash is standard winnowing (MOSS hashes its k-grams); the
+    * any-alignment guarantee is preserved because selection is still a
+    * pure function of window content, with the absolute-position bits
+    * breaking hash ties deterministically. The low flag bit marks
+    * valid window STARTS (pos ≤ len − minLen + 1) and cannot disturb the
+    * (hash, pos) order — pos is unique per doc, so keys never tie above
+    * it. r13 shipped a 31-char `gram ∥ zero-padded pos` text key instead;
+    * SCALE.md measured ~150 MB/task of sort data at 30× from exactly that
+    * width, and the packed key cuts the per-row sort payload 3×
+    * (72 → 24 bytes). The winning position is recovered from the window
+    * min itself; gram TEXT is recovered after selection by joining the
+    * ~2n/(w+1) winners back to `docs` on `idCol` (the winners side reuses
+    * the window's hash partitioning — only the doc frame shuffles, O(corpus)
+    * bytes once vs O(31·positions) through the sort before). Only selected
+    * fingerprints reach the corpus-wide gram shuffle — cross-partition
+    * volume matches stride ≈ (w+1)/2 sampling while the detection
+    * guarantee holds at any phase. The gram hash is PORTABLE (polynomial
+    * base 1000003 mod 2199023255531, the largest prime < 2⁴¹, over
+    * codepoints) so the DuckDB oracle twins replay the identical
+    * selection. Returns `(idCol, pos, gram)`, gram length = `noise`. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 30, noise: Int = 21): DataFrame = {
     require(noise > 0, "noise must be positive")
     require(minLen >= noise, s"minLen ($minLen) must be >= noise ($noise)")
     val w = minLen - noise + 1
+    val posMask = (1L << WinnowPosBits) - 1
     import org.apache.spark.sql.expressions.Window
+    // documents longer than the 21 position bits would silently alias
+    // packed keys — fail loudly per offending document instead
+    val len = when(length(col(textCol)) > lit(posMask),
+        raise_error(concat(
+          lit(s"Dedup.winnowFingerprints: document longer than $posMask " +
+            "chars (id "), col(idCol).cast("string"),
+          lit(") — the packed selection key holds 21 position bits; " +
+            "split the document first"))).cast("int"))
+      .otherwise(length(col(textCol)))
     val occ = docs
       .where(length(col(textCol)) >= minLen)
       .select(col(idCol),
-        (length(col(textCol)) - (minLen - 1)).as("__last"),
-        explode(sequence(lit(1), length(col(textCol)) - (noise - 1),
-          lit(1))).as("pos"),
+        (len - (minLen - 1)).as("__last"),
+        explode(sequence(lit(1), len - (noise - 1), lit(1))).as("pos"),
         col(textCol))
-      .select(col(idCol), col("__last"), col("pos"),
-        concat(col(textCol).substr(col("pos"), lit(noise)),
-          lpad(col("pos").cast("string"), 10, "0")).as("__key"))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .select(col(idCol),
+        ((winnowGramHash(col(textCol), col("pos"), noise)
+            * lit(1L << (WinnowPosBits + 1)))
+          + (col("pos").cast("long") * lit(2L))
+          + when(col("pos") <= col("__last"), lit(1L)).otherwise(lit(0L)))
+          .as("__key"))
+    val frame = Window.partitionBy(col(idCol))
+      .orderBy(shiftright(col("__key"), 1).bitwiseAND(lit(posMask)))
       .rowsBetween(Window.currentRow, w - 1)
-    occ
+    val winners = occ
       .withColumn("__win", min(col("__key")).over(frame))
       // full windows only: starts past __last = len − minLen + 1 are
-      // truncated at the doc tail and select nothing
-      .where(col("pos") <= col("__last"))
+      // truncated at the doc tail and select nothing (flag bit = 0)
+      .where(col("__key").bitwiseAND(lit(1L)) === lit(1L))
       .select(col(idCol),
-        substring(col("__win"), noise + 1, 10).cast("int").as("pos"),
-        substring(col("__win"), 1, noise).as("gram"))
+        shiftright(col("__win"), 1).bitwiseAND(lit(posMask))
+          .cast("int").as("pos"))
       .dropDuplicates(idCol, "pos")
+    winners.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("pos"),
+        col(textCol).substr(col("pos"), lit(noise)).as("gram"))
   }
+
+  /** Constants of the packed winnow selection key (see
+    * [[winnowFingerprints]]): a 41-bit portable polynomial gram hash, 21
+    * position bits, 1 valid-start flag bit = 63 bits, exactly a
+    * non-negative BIGINT in both Spark and DuckDB (whose checked
+    * arithmetic would error on overflow rather than wrap). */
+  private[graft] val WinnowHashBase = 1000003L
+  private[graft] val WinnowHashMod = 2199023255531L // largest prime < 2^41
+  private[graft] val WinnowPosBits = 21
+
+  /** The portable gram hash as a column expression: fold
+    * `(h·B + codepoint(text[pos+i])) mod M` over the `noise` gram chars.
+    * Intermediates stay < 2⁶³: (M−1)·B + 0x10FFFF ≈ 2.2·10¹⁸. The DuckDB
+    * oracle twins build the character-identical SQL expression
+    * (SparkEntry.duckWinnowHash), so selection replays exactly. */
+  private[graft] def winnowGramHash(text: Column, pos: Column,
+                                    noise: Int): Column =
+    (0 until noise).foldLeft(lit(0L): Column) { (acc, i) =>
+      (acc * lit(WinnowHashBase) +
+        ascii(text.substr(pos + lit(i), lit(1))).cast("long")) %
+        lit(WinnowHashMod)
+    }
 
   /** [[substringSpans]] with winnowing selection instead of stride
     * sampling: dup-marked occurrence rows `(idCol, pos, len = noise,
@@ -1064,7 +1115,12 @@ object Dedup {
                              idCol: String, textCol: String,
                              minLen: Int = 30, noise: Int = 21,
                              broadcastIndex: Boolean = false): DataFrame = {
-    val idx0 = index.select(col("gram")).withColumn("__hit", lit(1))
+    // distinct() defensively: [[buildWinnowIndex]] output is already
+    // distinct, but a caller growing the index incrementally (a UNION of
+    // several builds) would otherwise fan out the left join and silently
+    // inflate BOTH n_fp and n_dup — winnowIncrementalCut is immune via
+    // left_semi, which made the asymmetry easy to miss (r13 ADVICE)
+    val idx0 = index.select(col("gram")).distinct().withColumn("__hit", lit(1))
     val idx = if (broadcastIndex) broadcast(idx0) else idx0
     val fp = winnowFingerprints(newDocs, idCol, textCol, minLen, noise)
     val agged = fp.join(idx, Seq("gram"), "left")

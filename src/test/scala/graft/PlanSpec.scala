@@ -323,10 +323,24 @@ class PlanSpec extends AnyFunSuite {
     // the bucket frame (a BroadcastNestedLoopJoin by shape, O(rows) by
     // cost) — the SELF-join consumes that frame on both branches, so the
     // guard may appear twice; the CANDIDATE join itself must stay a hash
-    // equi-join
-    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2 &&
-      p.contains("predicted candidate-pair mass"),
-      s"only the single-row budget broadcast may nested-loop:\n$p")
+    // equi-join. Tie the allowance to the guard itself (r13 ADVICE): every
+    // BNLJ section must carry the budget's raise_error literal, so a
+    // genuine cross-product can never hide inside a fixed numeric cap.
+    val sections = p.split("BroadcastNestedLoopJoin")
+    assert(sections.length >= 2 && p.contains("predicted candidate-pair mass"),
+      s"expected the budget-guard broadcast in the plan:\n$p")
+    // the guard is crossJoin(broadcast(mass)) — the BNLJ node ITSELF, whose
+    // build side is the one-row Filter(raise_error(...predicted
+    // candidate-pair mass...)) frame printed BELOW the join line. So every
+    // BNLJ must be a BuildRight Cross whose following subtree (the text up
+    // to the next BNLJ) carries the budget literal in its broadcast child.
+    val nonBudget = sections.drop(1).count { section =>
+      !section.takeWhile(_ != '\n').contains("Cross") ||
+        !section.contains("predicted candidate-pair mass")
+    }
+    assert(nonBudget == 0,
+      s"a BroadcastNestedLoopJoin without the pair-budget filter above it " +
+      s"is a genuine cross-product regression ($nonBudget found):\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"),
       s"the chunk-bucket candidate join must be an equi-join:\n$p")

@@ -68,7 +68,17 @@ class SubstringPropertySpec extends AnyFunSuite {
 
   // ---- winnowing reference (Schleimer et al. 2003, leftmost tie-break) ----
 
-  /** Selected fingerprints `(pos, gram)` of one document. */
+  /** The operator's portable polynomial gram hash, re-derived
+    * independently (fold over codepoints — not a call into Dedup). */
+  private def refHash(g: String): Long = {
+    var h = 0L
+    g.foreach(c => h = (h * 1000003L + c.toLong) % 2199023255531L)
+    h
+  }
+
+  /** Selected fingerprints `(pos, gram)` of one document: min-by-HASH
+    * within each window (standard winnowing fingerprints hashed grams),
+    * absolute-position leftmost tie-break — the r14 selection key. */
   private def refWinnow(text: String, minLen: Int, noise: Int): Seq[(Int, String)] =
     if (text.length < minLen) Seq.empty
     else {
@@ -76,7 +86,7 @@ class SubstringPropertySpec extends AnyFunSuite {
       val gs = (1 to text.length - noise + 1)
         .map(p => p -> text.substring(p - 1, p - 1 + noise))
       (0 to gs.length - w)
-        .map(i => gs.slice(i, i + w).minBy { case (p, g) => (g, p) })
+        .map(i => gs.slice(i, i + w).minBy { case (p, g) => (refHash(g), p) })
         .distinct
     }
 

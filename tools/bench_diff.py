@@ -119,19 +119,29 @@ def selftest():
                         ("sh_gain", 1, None),
                         ("rerun_clears", 0, "cleared"),
                         ("rerun_confirms", 1, "rerun")]
+        import os
         for name, expect_rc, expect_text in expectations:
             p = subprocess.run(
                 [sys.executable, __file__, paths["old"], paths[name]],
-                capture_output=True, text=True)
+                capture_output=True, text=True, cwd=td)
             assert p.returncode == expect_rc, \
                 f"{name}: rc={p.returncode}, expected {expect_rc}\n{p.stdout}"
             if expect_text:
                 assert expect_text in p.stdout, \
                     f"{name}: expected '{expect_text}' in output\n{p.stdout}"
+            # the self-closing handoff: uncorroborated suspects (and only
+            # they) must be written for the next Bench session to replay
+            pend = f"{td}/bench_suspects_pending.json"
+            if name == "noisy":
+                assert os.path.exists(pend), "noisy: expected suspects handoff"
+                handoff = json.load(open(pend))
+                assert handoff["suspects"] == ["b"], handoff
+            if os.path.exists(pend):
+                os.remove(pend)
         # --strict promotes the noisy suspect to a failure
         p = subprocess.run(
             [sys.executable, __file__, paths["old"], paths["noisy"], "--strict"],
-            capture_output=True, text=True)
+            capture_output=True, text=True, cwd=td)
         assert p.returncode == 1, f"strict noisy: rc={p.returncode}, expected 1"
     print("selftest OK: ambient and same-build-noise unflagged (noise -> "
           "suspect), corroborated/shuffle/broken/missing all flagged, "
@@ -249,6 +259,18 @@ def main():
         print("  confirm with: GRAFT_BENCH_ONLY=" +
               ",".join(k for k, _ in suspects[:top]) +
               " on both commits in ONE session")
+        # self-closing loop (r13 verdict #1): hand the uncorroborated
+        # suspects to the NEXT graft.Bench session, which replays them
+        # min-of-3 into rerun_sec and consumes the file — so a cross-round
+        # same-plan compute change always ends up adjudicated without a
+        # human in the loop
+        handoff = {"suspects": sorted(k for k, _ in suspects),
+                   "old": args[0], "new": args[1]}
+        with open("bench_suspects_pending.json", "w") as f:
+            json.dump(handoff, f, indent=1)
+        print("  handed off to bench_suspects_pending.json — the next "
+              "graft.Bench run (full or GRAFT_BENCH_ONLY) adjudicates "
+              "them min-of-3 automatically")
     print(f"\ntop {top} movers (normalized ratio):")
     for k, r in movers[:top]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  x{r:.2f}")
