@@ -3649,6 +3649,16 @@ object SparkEntry {
           minLen = 30, noise = 21)
         .orderBy(col("doc_id"))
     }),
+    "q_winnow_cut_padded" -> ((s, d) => {
+      // edgePad = w−1 = 9: complete coverage of every guaranteed
+      // (≥minLen) duplicated region — adversarial caught char mass
+      // 0.80 → 1.00 — at a measured 19–24% over-cut
+      // (substringfloor.json pad rows); the recall-first cut dial
+      load(s, d)
+      operators.Dedup.winnowedCut(s.table("documents"), "doc_id", "text",
+          minLen = 30, noise = 21, edgePad = 9)
+        .orderBy(col("doc_id"))
+    }),
     "q_winnow_pairs" -> ((s, d) => {
       // MOSS-style overlap pairs: documents sharing >= 2 distinct winnow
       // fingerprints, scored by containment-normalized shared count
@@ -4711,15 +4721,14 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** The character-identical DuckDB twin of
-    * [[operators.Dedup.winnowGramHash]] at noise=21: the nested
-    * `(h·B + ascii) mod M` fold, B = 1000003, M = 2199023255531 (largest
-    * prime < 2⁴¹). Evaluates over the same `text`/`pos` columns the
-    * selection CTE exposes. */
+  /** The value-identical DuckDB twin of
+    * [[operators.Dedup.winnowGramHash]] at noise=21: the first 10 hex
+    * chars of md5(gram) as a BIGINT — the same '0x'-cast md5 derivation
+    * the minhash oracles use. Evaluates over the same `text`/`pos`
+    * columns the selection CTE exposes. */
   private val duckWinnowHash: String =
-    (0 until 21).foldLeft("0") { (acc, i) =>
-      s"(($acc * 1000003 + ascii(substring(text, pos + $i, 1))) % ${operators.Dedup.WinnowHashMod})"
-    }
+    s"CAST('0x' || substring(md5(substring(text, pos, 21)), 1, " +
+      s"${operators.Dedup.WinnowHashHexChars}) AS BIGINT)"
 
   /** Shared selection CTEs replaying [[operators.Dedup.winnowFingerprints]]
     * at minLen=30, noise=21 (w=10) over `documents`: the same packed
@@ -4754,6 +4763,42 @@ object SparkEntry {
        |  SELECT s.doc_id, s.pos, substring(d.text, s.pos, 21) AS gram
        |  FROM selp s JOIN documents d ON d.doc_id = s.doc_id
        |)""".stripMargin
+
+  /** Replays Dedup.winnowedCut per-CHARACTER (the q_substring_cut
+    * anti-join formulation over the winnowed selection): a char survives
+    * iff no duplicate-marked fingerprint span covers it, each span
+    * stretched `pad` chars both ways (edgePad). */
+  private def duckWinnowCutSql(pad: Int): String =
+    s"""WITH $duckWinnowSelCtes,
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY gram) AS cnt,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM sel
+       |),
+       |dup AS (
+       |  SELECT doc_id, pos - $pad AS s, pos + 20 + $pad AS e FROM marked
+       |  WHERE cnt >= 2 AND rn > 1
+       |),
+       |chars AS (
+       |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
+       |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
+       |),
+       |kept AS (
+       |  SELECT c.doc_id, c.cpos, c.ch
+       |  FROM chars c LEFT JOIN dup u
+       |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.s AND u.e
+       |  GROUP BY c.doc_id, c.cpos, c.ch
+       |  HAVING count(u.doc_id) = 0
+       |),
+       |agg AS (
+       |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+       |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Replays Dedup.winnowIncrementalDedup over the even(ref)/odd(new)
     * doc_id split — shared verbatim by q_winnow_ingest and
@@ -8940,40 +8985,10 @@ object SparkEntry {
         |  coalesce(a.n_dup, 0) AS n_dup
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
-    // Replays Dedup.winnowedCut per-CHARACTER (the q_substring_cut
-    // anti-join formulation over the winnowed selection): a char survives
-    // iff no duplicate-marked 21-char fingerprint span covers it.
-    "q_winnow_cut" ->
-      s"""WITH $duckWinnowSelCtes,
-        |marked AS (
-        |  SELECT doc_id, pos,
-        |    count(*) OVER (PARTITION BY gram) AS cnt,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
-        |  FROM sel
-        |),
-        |dup AS (
-        |  SELECT doc_id, pos AS s, pos + 20 AS e FROM marked
-        |  WHERE cnt >= 2 AND rn > 1
-        |),
-        |chars AS (
-        |  SELECT d.doc_id, t.i AS cpos, substring(d.text, t.i, 1) AS ch
-        |  FROM documents d, unnest(generate_series(1, length(d.text))) AS t(i)
-        |),
-        |kept AS (
-        |  SELECT c.doc_id, c.cpos, c.ch
-        |  FROM chars c LEFT JOIN dup u
-        |    ON u.doc_id = c.doc_id AND c.cpos BETWEEN u.s AND u.e
-        |  GROUP BY c.doc_id, c.cpos, c.ch
-        |  HAVING count(u.doc_id) = 0
-        |),
-        |agg AS (
-        |  SELECT doc_id, string_agg(ch, '' ORDER BY cpos) AS cleaned_text
-        |  FROM kept GROUP BY doc_id
-        |)
-        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
-        |  length(d.text) - length(coalesce(a.cleaned_text, '')) AS removed_chars
-        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_winnow_cut" -> duckWinnowCutSql(0),
+    // the edgePad = w−1 variant: every dup span stretched 9 chars both
+    // ways before the per-char anti-join — same independent oracle shape
+    "q_winnow_cut_padded" -> duckWinnowCutSql(9),
     // Replays Dedup.winnowOverlapPairs: the q_winnow_dedup selection CTEs,
     // then distinct fingerprint sets per doc, per-gram self-join with
     // id_a < id_b, shared counts, containment normalization by the smaller

@@ -118,12 +118,21 @@ object Dedup {
       TextOps.shingleSets(df, idCol, textCol, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sh = sets.select(col(idCol), explode(col("shingles")).as("shingle"))
-    // NOT persisted: the budget's bucket-size aggregate and both candidate
-    // join sides consume the band frame within ONE plan, so ReusedExchange
-    // dedups the signature aggregation (verified vs a persisted variant:
-    // identical shuffle bytes, less cache churn — same finding as
-    // starNearDupClusters)
-    val bands = lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
+    // budget ON (the default): the band frame gains a THIRD consumer (the
+    // budget's bucket-size aggregate next to the two candidate join
+    // sides), and ReusedExchange does NOT dedup the signature aggregation
+    // across them (the budget subtree's inferred filters make it
+    // canonically unequal) — r14 abprobe.json measured the unpersisted
+    // variant at ×3.06 the unbounded plan (4.04 vs 1.32 s at sf0.1), i.e.
+    // one full extra shingle→signature recompute. Persisting the k-row-
+    // per-doc band frame collapses all three consumers onto one compute.
+    // Budget OFF keeps the r13 finding: with exactly two consumers in one
+    // plan, ReusedExchange already dedups and a persist only adds churn.
+    val bands0 = lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand)
+    val bands = if (maxPairs > 0L)
+      graft.CacheScope.register(
+        bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else bands0
     val guarded = Guards.pairBudget(bands, Seq("band", "sig"), maxPairs,
       "Dedup.minhashNearDups")
     val cands = lshCandidates(guarded, idCol)
@@ -946,9 +955,10 @@ object Dedup {
     * partition — selection is one per-doc window (`min` over a bounded
     * w-row following frame, O(w)/row) over ONE packed 8-byte key per
     * position: `gramHash(41 bits) ∥ pos(21 bits) ∥ validStart(1 bit)`.
-    * Min-by-hash is standard winnowing (MOSS hashes its k-grams); the
-    * any-alignment guarantee is preserved because selection is still a
-    * pure function of window content, with the absolute-position bits
+    * `gramHash` is the first 40 bits of md5(gram). Min-by-hash is
+    * standard winnowing (MOSS hashes its k-grams); the any-alignment
+    * guarantee is preserved because selection is still a pure function
+    * of window content, with the absolute-position bits
     * breaking hash ties deterministically. The low flag bit marks
     * valid window STARTS (pos ≤ len − minLen + 1) and cannot disturb the
     * (hash, pos) order — pos is unique per doc, so keys never tie above
@@ -962,9 +972,9 @@ object Dedup {
     * bytes once vs O(31·positions) through the sort before). Only selected
     * fingerprints reach the corpus-wide gram shuffle — cross-partition
     * volume matches stride ≈ (w+1)/2 sampling while the detection
-    * guarantee holds at any phase. The gram hash is PORTABLE (polynomial
-    * base 1000003 mod 2199023255531, the largest prime < 2⁴¹, over
-    * codepoints) so the DuckDB oracle twins replay the identical
+    * guarantee holds at any phase. The gram hash is PORTABLE (the first
+    * 40 bits of md5 — the same engine-portable derivation as every other
+    * dedup hash here) so the DuckDB oracle twins replay the identical
     * selection. Returns `(idCol, pos, gram)`, gram length = `noise`. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 30, noise: Int = 21): DataFrame = {
@@ -988,8 +998,17 @@ object Dedup {
         (len - (minLen - 1)).as("__last"),
         explode(sequence(lit(1), len - (noise - 1), lit(1))).as("pos"),
         col(textCol))
+      // the gram is materialized ONCE per position (one O(pos) character
+      // walk — the same cost the r13 text key paid) and hashed with ONE
+      // md5 digest. (Measured alternatives at sf0.1: a 21-term
+      // codepoint-polynomial via substr(text, pos+i, 1) re-walks the full
+      // string per term — 33 s; via a per-doc codepoint array — Generate
+      // copies the array into every exploded row — 63 s; via
+      // substr(gram, i, 1) — 8 s; md5 — ~2 s.)
+      .select(col(idCol), col("__last"), col("pos"),
+        col(textCol).substr(col("pos"), lit(noise)).as("__gram"))
       .select(col(idCol),
-        ((winnowGramHash(col(textCol), col("pos"), noise)
+        ((winnowGramHash(col("__gram"))
             * lit(1L << (WinnowPosBits + 1)))
           + (col("pos").cast("long") * lit(2L))
           + when(col("pos") <= col("__last"), lit(1L)).otherwise(lit(0L)))
@@ -1012,26 +1031,21 @@ object Dedup {
   }
 
   /** Constants of the packed winnow selection key (see
-    * [[winnowFingerprints]]): a 41-bit portable polynomial gram hash, 21
-    * position bits, 1 valid-start flag bit = 63 bits, exactly a
+    * [[winnowFingerprints]]): a 40-bit md5-prefix gram hash (10 hex
+    * chars), 21 position bits, 1 valid-start flag bit = 62 bits — a
     * non-negative BIGINT in both Spark and DuckDB (whose checked
     * arithmetic would error on overflow rather than wrap). */
-  private[graft] val WinnowHashBase = 1000003L
-  private[graft] val WinnowHashMod = 2199023255531L // largest prime < 2^41
+  private[graft] val WinnowHashHexChars = 10 // 40 bits
   private[graft] val WinnowPosBits = 21
 
-  /** The portable gram hash as a column expression: fold
-    * `(h·B + codepoint(text[pos+i])) mod M` over the `noise` gram chars.
-    * Intermediates stay < 2⁶³: (M−1)·B + 0x10FFFF ≈ 2.2·10¹⁸. The DuckDB
-    * oracle twins build the character-identical SQL expression
-    * (SparkEntry.duckWinnowHash), so selection replays exactly. */
-  private[graft] def winnowGramHash(text: Column, pos: Column,
-                                    noise: Int): Column =
-    (0 until noise).foldLeft(lit(0L): Column) { (acc, i) =>
-      (acc * lit(WinnowHashBase) +
-        ascii(text.substr(pos + lit(i), lit(1))).cast("long")) %
-        lit(WinnowHashMod)
-    }
+  /** The portable gram hash as a column expression: the first 10 hex
+    * chars of md5(gram) as a BIGINT — the same engine-portable md5
+    * derivation every other dedup hash in this file uses (DuckDB twin:
+    * `CAST('0x' || substring(md5(gram), 1, 10) AS BIGINT)`, Spark:
+    * conv/cast). One digest of the `noise`-byte gram per position; both
+    * engines hash the identical UTF-8 bytes. */
+  private[graft] def winnowGramHash(gram: Column): Column =
+    conv(substring(md5(gram), 1, WinnowHashHexChars), 16, 10).cast("long")
 
   /** [[substringSpans]] with winnowing selection instead of stride
     * sampling: dup-marked occurrence rows `(idCol, pos, len = noise,
@@ -1075,13 +1089,27 @@ object Dedup {
     * apart, so when `noise ≥ w` (true at the defaults: 21 ≥ 10) the dup
     * spans inside a long duplicated region overlap into ONE merged
     * interval — coverage of a shared region is contiguous from its first
-    * to its last duplicated fingerprint. */
+    * to its last duplicated fingerprint.
+    *
+    * `edgePad` extends every dup span by that many chars on BOTH sides
+    * before merging. The selection guarantee bounds a true duplicated
+    * region's extent to < w−1 chars beyond its extreme dup fingerprints
+    * (one more full in-region gram window would have selected another
+    * shared fingerprint), so `edgePad = w−1` guarantees COMPLETE coverage
+    * of every ≥minLen duplicated region — measured 0.80 → 1.00 caught
+    * char mass on the adversarial fixture — at a bounded over-cut of up
+    * to 2(w−1) non-duplicated chars per region (measured 19–24% of cut
+    * chars; `substringfloor.json` pad rows). Default 0: the precise
+    * Lee-et-al-style cut; turn the dial when recall beats precision. */
   def winnowedCut(docs: DataFrame, idCol: String, textCol: String,
                   minLen: Int = 30, noise: Int = 21,
-                  hashShuffle: Boolean = false): DataFrame = {
+                  hashShuffle: Boolean = false,
+                  edgePad: Int = 0): DataFrame = {
+    require(edgePad >= 0, "edgePad must be >= 0")
     val dups = winnowedSpans(docs, idCol, textCol, minLen, noise, hashShuffle)
       .filter(col("dup"))
-      .select(col(idCol), col("pos"), (col("pos") + col("len")).as("__end"))
+      .select(col(idCol), (col("pos") - lit(edgePad)).as("pos"),
+        (col("pos") + col("len") + lit(edgePad)).as("__end"))
     cutSpans(docs, idCol, textCol, dups)
   }
 

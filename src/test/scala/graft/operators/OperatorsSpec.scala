@@ -481,9 +481,11 @@ class OperatorsSpec extends AnyFunSuite {
     val before = graft.CacheScope.size
     Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3).collect()
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1).collect()
-    // one persisted shingle-set frame per call (the band frame is NOT
-    // persisted — ReusedExchange dedups its consumers within the plan)
-    assert(graft.CacheScope.size === before + 2,
+    // minhashNearDups persists its shingle-set frame AND (budget on, the
+    // default) the band frame — the budget aggregate is a third band
+    // consumer ReusedExchange cannot dedup (r14 abprobe: ×3.06 without
+    // the persist); ngramJaccardPairs persists its shingle-set frame
+    assert(graft.CacheScope.size === before + 3,
       "each dedup call must register exactly its persisted frames")
     graft.CacheScope.release(blocking = true)
     assert(graft.CacheScope.size === 0)

@@ -38,8 +38,9 @@ class SubstringPropertySpec extends AnyFunSuite {
 
   private def cutChars(text: String, spans: Seq[(Int, Int)]): String = {
     val remove = Array.fill(text.length)(false)
-    spans.foreach { case (s, e) => // [s, e) 1-based
-      ((s - 1) until math.min(e - 1, text.length)).foreach(remove(_) = true)
+    spans.foreach { case (s, e) => // [s, e) 1-based; clamped to the doc
+      (math.max(s - 1, 0) until math.min(e - 1, text.length))
+        .foreach(remove(_) = true)
     }
     text.zipWithIndex.collect { case (c, i) if !remove(i) => c }.mkString
   }
@@ -68,12 +69,13 @@ class SubstringPropertySpec extends AnyFunSuite {
 
   // ---- winnowing reference (Schleimer et al. 2003, leftmost tie-break) ----
 
-  /** The operator's portable polynomial gram hash, re-derived
-    * independently (fold over codepoints — not a call into Dedup). */
+  /** The operator's portable gram hash, re-derived independently (first
+    * 10 hex chars of md5 over UTF-8 bytes — not a call into Dedup). */
   private def refHash(g: String): Long = {
-    var h = 0L
-    g.foreach(c => h = (h * 1000003L + c.toLong) % 2199023255531L)
-    h
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 10), 16)
   }
 
   /** Selected fingerprints `(pos, gram)` of one document: min-by-HASH
@@ -105,11 +107,11 @@ class SubstringPropertySpec extends AnyFunSuite {
   }
 
   private def refWinnowCut(docs: Seq[(Long, String)], minLen: Int,
-                           noise: Int): Seq[(Long, String, Long)] = {
+                           noise: Int, pad: Int = 0): Seq[(Long, String, Long)] = {
     val dup = refWinnowSpans(docs, minLen, noise).filter(_._3)
     docs.map { case (id, t) =>
       val cleaned = cutChars(t,
-        dup.filter(_._1 == id).map(d => (d._2, d._2 + noise)))
+        dup.filter(_._1 == id).map(d => (d._2 - pad, d._2 + noise + pad)))
       (id, cleaned, (t.length - cleaned.length).toLong)
     }
   }
@@ -171,12 +173,17 @@ class SubstringPropertySpec extends AnyFunSuite {
       assert(gotDedup === expDedup,
         s"case $case_ (minLen=$minLen noise=$noise) dedup mismatch on $docs")
 
-      val expCut = refWinnowCut(docs, minLen, noise).sortBy(_._1)
-      val gotCut = Dedup.winnowedCut(df, "doc_id", "text", minLen, noise)
+      // every 3rd case exercises the edgePad dial (w−1): span stretch +
+      // boundary clamps (pads past doc start/end must splice cleanly)
+      val pad = if (case_ % 3 == 0) minLen - noise else 0
+      val expCut = refWinnowCut(docs, minLen, noise, pad).sortBy(_._1)
+      val gotCut = Dedup.winnowedCut(df, "doc_id", "text", minLen, noise,
+          edgePad = pad)
         .orderBy("doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(gotCut === expCut,
-        s"case $case_ (minLen=$minLen noise=$noise) cut mismatch on $docs")
+        s"case $case_ (minLen=$minLen noise=$noise pad=$pad) cut mismatch " +
+          s"on $docs")
     }
   }
 
@@ -288,13 +295,20 @@ class SubstringPropertySpec extends AnyFunSuite {
   }
 
   test("winnowFingerprints: hand-checked selection on a tiny document") {
-    // "abcde", noise=2, minLen=3 -> w=2; grams ab bc cd de; windows
-    // {ab,bc}->ab@1, {bc,cd}->bc@2, {cd,de}->cd@3
+    // "abcde", noise=2, minLen=3 -> w=2; grams ab bc cd de. Selection is
+    // min-by-md5-prefix per window; the expected winners are derived from
+    // the independent refHash and ALSO asserted against the hand-computed
+    // hash order (md5: ab < bc, bc < cd, de < cd), so a refHash drift
+    // cannot silently rewrite the expectation.
+    assert(refHash("ab") < refHash("bc") && refHash("bc") < refHash("cd") &&
+      refHash("de") < refHash("cd"),
+      "md5 prefix order of the fixture grams changed — recheck by hand")
+    // windows: {ab,bc}->ab@1, {bc,cd}->bc@2, {cd,de}->de@4
     val got = Dedup.winnowFingerprints(Seq((1L, "abcde")).toDF("doc_id", "text"),
         "doc_id", "text", minLen = 3, noise = 2)
       .orderBy("pos")
       .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
-    assert(got === Seq((1, "ab"), (2, "bc"), (3, "cd")))
+    assert(got === Seq((1, "ab"), (2, "bc"), (4, "de")))
   }
 
   test("decontaminationCut matches the in-memory reference on 8 random corpora (incl. empty probe = identity)") {
