@@ -126,10 +126,13 @@ object Bench {
             """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty[String, Double])
+          // MIN of the two calibration samples: interference bursts only
+          // inflate (r14: a burst caught a session's START calibration at
+          // 4.74 s vs 1.34 at end; the mean would skew every ratio 2.2×)
           val cal = for {
             s <- """"start_sec":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
             e <- """"end_sec":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(txt)
-          } yield (s.group(1).toDouble + e.group(1).toDouble) / 2.0
+          } yield math.min(s.group(1).toDouble, e.group(1).toDouble)
           if (qs.nonEmpty && cal.exists(_ > 0)) {
             System.err.println(s"[bench] suspect baseline: $p (${qs.size} queries)")
             Some((qs, cal.get))
@@ -199,7 +202,7 @@ object Bench {
     // steady-state number for that query in THIS session.
     val outlierSuspects: Seq[String] = baseline match {
       case Some((oldQs, oldCal)) if only.isEmpty =>
-        val newCal = (calibStart + calibEnd) / 2.0
+        val newCal = math.min(calibStart, calibEnd)
         val calratio = if (oldCal > 0) newCal / oldCal else 1.0
         val ratios = results.flatMap { case (n, t, _) =>
           oldQs.get(n).filter(_ > 0).filter(_ => t >= 0)

@@ -53,11 +53,16 @@ def load(path):
 
 
 def cal_of(art):
+    """Session calibration anchor = MIN of the start/end min-of-5 q_sma
+    samples. Host interference bursts only ever INFLATE a sample (r14: a
+    burst caught the start calibration at 4.74 s vs 1.34 s at end — the
+    mean would have skewed every normalized ratio 2.2x), so the min is
+    the honest steady-state anchor, exactly like the per-query min-of-2."""
     c = art.get("calibration")
     if not c:
         return None
     vals = [c[k] for k in ("start_sec", "end_sec") if isinstance(c.get(k), (int, float))]
-    return sum(vals) / len(vals) if vals else None
+    return min(vals) if vals else None
 
 
 def selftest():
@@ -99,6 +104,11 @@ def selftest():
     del gone["queries"]["b"]
     sh_gain = copy.deepcopy(amb)
     sh_gain["shuffle_mb"]["c"] = 50.0  # zero-shuffle query GAINS an exchange
+    # a burst-inflated START calibration (9.0 vs steady 2.0) must not skew
+    # the anchor — cal_of takes the MIN, so uniform 2x stays unflagged
+    burst_cal = copy.deepcopy(amb)
+    burst_cal["calibration"] = {"query": "q", "runs": 5,
+                                "start_sec": 9.0, "end_sec": 2.0}
     rerun_clears = copy.deepcopy(noisy)   # raw x1.9, rerun back at baseline
     rerun_clears["rerun_sec"] = {"b": 2.0}
     rerun_confirms = copy.deepcopy(noisy)  # rerun STILL x1.9, shuffle flat
@@ -107,7 +117,8 @@ def selftest():
         paths = {}
         arts = [("old", old), ("amb", amb), ("noisy", noisy), ("reg", reg),
                 ("sh_only", sh_only), ("broken", broken), ("gone", gone),
-                ("sh_gain", sh_gain), ("rerun_clears", rerun_clears),
+                ("sh_gain", sh_gain), ("burst_cal", burst_cal),
+                ("rerun_clears", rerun_clears),
                 ("rerun_confirms", rerun_confirms)]
         for name, art in arts:
             paths[name] = f"{td}/{name}.json"
@@ -117,6 +128,7 @@ def selftest():
                         ("reg", 1, None), ("sh_only", 1, None),
                         ("broken", 1, None), ("gone", 1, None),
                         ("sh_gain", 1, None),
+                        ("burst_cal", 0, None),
                         ("rerun_clears", 0, "cleared"),
                         ("rerun_confirms", 1, "rerun")]
         import os
