@@ -105,17 +105,44 @@ object Bench {
     // its own calibration-normalized outliers after the full pass, reruns
     // them min-of-3 IN-SESSION, and stamps `rerun_sec` — bench_diff
     // prefers the rerun and treats a still-slow one as a real regression.
-    def readBaseline(): Option[(Map[String, Double], Double)] = {
+    def readBaseline(): Option[(Map[String, Double], Double, String)] = {
       val explicit = sys.env.get("GRAFT_BENCH_BASELINE")
+      // Non-round-stamped fallbacks (bench_full.json / target/) persist
+      // across rounds and are rewritten by ANY local run — ADVICE r14:
+      // accept one only if its git_sha stamp matches the current HEAD
+      // (modulo a -dirty suffix), so a stale artifact from an old build
+      // can never silently become the suspect-detection baseline.
+      def headSha: Option[String] =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes()).trim
+          if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) Some(out) else None
+        } catch { case _: Throwable => None }
+      def shaMatchesHead(p: String): Boolean = {
+        val stamped =
+          try """"git_sha":"([0-9a-f]+)(?:-dirty)?"""".r
+            .findFirstMatchIn(java.nio.file.Files.readString(
+              java.nio.file.Paths.get(p))).map(_.group(1))
+          catch { case _: Throwable => None }
+        val ok = (stamped, headSha) match {
+          case (Some(s), Some(h)) => s == h
+          case _ => false // unstamped or no git: refuse the ambient file
+        }
+        if (!ok) System.err.println(s"[bench] ignoring fallback baseline " +
+          s"$p (git_sha ${stamped.getOrElse("missing")} != HEAD " +
+          s"${headSha.getOrElse("unknown")})")
+        ok
+      }
       val path = explicit.orElse {
         val stamped = new java.io.File(".").listFiles()
           .filter(f => f.getName.matches("bench_full_r\\d+\\.json"))
           .sortBy(_.getName)
         stamped.lastOption.map(_.getPath)
           .orElse(Option(new java.io.File("bench_full.json"))
-            .filter(_.exists()).map(_.getPath))
+            .filter(f => f.exists() && shaMatchesHead(f.getPath)).map(_.getPath))
           .orElse(Option(new java.io.File("target/bench_full.json"))
-            .filter(_.exists()).map(_.getPath))
+            .filter(f => f.exists() && shaMatchesHead(f.getPath)).map(_.getPath))
       }
       path.flatMap { p =>
         try {
@@ -135,7 +162,7 @@ object Bench {
           } yield math.min(s.group(1).toDouble, e.group(1).toDouble)
           if (qs.nonEmpty && cal.exists(_ > 0)) {
             System.err.println(s"[bench] suspect baseline: $p (${qs.size} queries)")
-            Some((qs, cal.get))
+            Some((qs, cal.get, p))
           } else None
         } catch { case _: Throwable => None }
       }
@@ -201,7 +228,7 @@ object Bench {
     // full sweeps; the rerun is stamped as `rerun_sec` — the adjudicated
     // steady-state number for that query in THIS session.
     val outlierSuspects: Seq[String] = baseline match {
-      case Some((oldQs, oldCal)) if only.isEmpty =>
+      case Some((oldQs, oldCal, _)) if only.isEmpty =>
         val newCal = math.min(calibStart, calibEnd)
         val calratio = if (oldCal > 0) newCal / oldCal else 1.0
         val ratios = results.flatMap { case (n, t, _) =>
@@ -219,19 +246,23 @@ object Bench {
         }
       case _ => Seq.empty
     }
-    // r13 verdict #7: the headline slowest gates used to carry
-    // single-min-of-2 samples; a min-of-3 rerun for the top 10 makes them
-    // as trustworthy as the calibration anchor
-    val slowestTen: Seq[String] =
-      if (only.isEmpty) results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
-      else Seq.empty
+    // r14 verdict #5 (widening r13 #7): EVERY gate above 3 s — plus at
+    // minimum the 10 slowest — carries a min-of-3 rerun, so the whole
+    // headline tail is burst-immune, not just the top of it (the r14
+    // session showed raw single samples ×3 off: q_stream_live raw 20.7 s
+    // vs rerun 6.3 s).
+    val slowGates: Seq[String] =
+      if (only.isEmpty) {
+        val byTime = results.filter(_._2 >= 0).sortBy(-_._2)
+        (byTime.takeWhile(_._2 > 3.0) ++ byTime.take(10)).map(_._1).distinct
+      } else Seq.empty
     val rerunNames =
-      (outlierSuspects ++ pendingSuspects ++ slowestTen).distinct.sorted
+      (outlierSuspects ++ pendingSuspects ++ slowGates).distinct.sorted
     if (rerunNames.nonEmpty)
       System.err.println(s"[bench] rerunning ${rerunNames.size} queries " +
         s"min-of-3 in-session (${outlierSuspects.size} outliers, " +
         s"${pendingSuspects.size} cross-round suspects, " +
-        s"${slowestTen.size} slowest): ${rerunNames.mkString(",")}")
+        s"${slowGates.size} slow/>3s): ${rerunNames.mkString(",")}")
     val rerunSecs: Map[String, Double] = rerunNames.map { n =>
       val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -241,13 +272,42 @@ object Bench {
       }.min
       n -> t
     }.toMap
-    // consume the handoff: every pending suspect now carries rerun_sec
-    if (pendingSuspects.nonEmpty)
+    // consume the handoff — FULL runs only: every pending suspect now
+    // carries rerun_sec in the round artifact. A GRAFT_BENCH_ONLY subset
+    // run also replays them (useful for local bisection) but writes to
+    // bench_only.json, which is not the round artifact — consuming there
+    // would drop the suspects from the real cross-round record.
+    if (pendingSuspects.nonEmpty && only.isEmpty)
       try java.nio.file.Files.deleteIfExists(pendingPath)
       catch { case _: Throwable => () }
     val rerunJson = rerunSecs.toSeq.sortBy(_._1)
       .map { case (n, t) => "\"" + n + f"\":$t%.3f" }
       .mkString("{", ",", "}")
+    // r14 verdict #7: stamp the ambient-corrected headline bench_diff
+    // computes internally — median over common queries of
+    // best-of(raw, rerun) / baseline, divided by the calibration ratio —
+    // directly into the artifact, with the baseline's provenance, so the
+    // driver's BENCH_r{N}.json carries the cross-round movement signal
+    // without anyone having to run bench_diff first.
+    val medianStamp: String = baseline match {
+      case Some((oldQs, oldCal, basePath)) if only.isEmpty =>
+        val newCal = math.min(calibStart, calibEnd)
+        val calratio = if (oldCal > 0) newCal / oldCal else 1.0
+        val rs = results.flatMap { case (n, t, _) =>
+          val best = math.min(if (t >= 0) t else Double.MaxValue,
+            rerunSecs.getOrElse(n, Double.MaxValue))
+          oldQs.get(n).filter(_ > 0)
+            .filter(_ => best < Double.MaxValue)
+            .map(o => (best / o) / calratio)
+        }.sorted
+        if (rs.isEmpty) ""
+        else {
+          val med = rs(rs.size / 2)
+          val baseName = basePath.replace("\"", "")
+          f""","median_norm_ratio":$med%.3f,"baseline":"$baseName""""
+        }
+      case _ => ""
+    }
     // shuffle-write MB for EVERY query (the full artifact has no size
     // constraint) — the regression signal wall time can't give under
     // ambient swing; a top-N-by-noisy-time cut would drop exactly the
@@ -274,16 +334,29 @@ object Bench {
     val qsFull = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // provenance stamp (r13 verdict #8, matching CORRECTNESS_local's):
-    // the git SHA of the build the numbers came from, best-effort
+    // the git SHA of the build the numbers came from, best-effort.
+    // ADVICE r14: artifacts are usually generated from a dirty tree
+    // BEFORE the commit they ship in exists, so the stamp records the
+    // parent commit — a '-dirty' suffix marks it as only the BASE of the
+    // build, never mistakable for a clean-build sha.
     val gitSha: String =
       try {
         val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
           .redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes()).trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) out else "unknown"
+        val sha = if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) out
+                  else "unknown"
+        val dirty =
+          try {
+            val q = new ProcessBuilder("git", "status", "--porcelain")
+              .redirectErrorStream(true).start()
+            val st = new String(q.getInputStream.readAllBytes()).trim
+            q.waitFor() == 0 && st.nonEmpty
+          } catch { case _: Throwable => false }
+        if (sha != "unknown" && dirty) sha + "-dirty" else sha
       } catch { case _: Throwable => "unknown" }
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rerun_sec":$rerunJson,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir","git_sha":"$gitSha"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"rerun_sec":$rerunJson,"shuffle_mb":$shuffleTop,$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir","git_sha":"$gitSha"$medianStamp}"""
     // defaults write UNDER target/ (r13 verdict #6): the committed
     // round-stamped bench_full_r{N}.json is copied from target/ only in
     // the final artifact commit, so HEAD's artifacts stay internally
@@ -313,7 +386,7 @@ object Bench {
         "\"" + n + f"\":$v%.3f"))
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"n_rerun":${rerunSecs.size},"queries_full":"$outPath",$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"n_rerun":${rerunSecs.size},"queries_full":"$outPath",$calibJson,"rows_per_sec":$sizeSweep,"sf":"$sfDir"$medianStamp}"""
     println(json)
     spark.stop()
   }

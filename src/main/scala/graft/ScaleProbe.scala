@@ -378,7 +378,12 @@ object ScaleFit {
     // can only be tested by pinning the intercept to the measured floor:
     // t(S) ≈ floor + b·S with b = Σ S·(t−floor) / Σ S².
     val withFloor = sys.env.get("GRAFT_FIT_FLOOR").contains("1")
-    val floorDir = "target/floordata"
+    // keyed by baseDir (ADVICE r14): the non-documents side tables are
+    // copied once per corpus — a floor dir shared across corpora would
+    // silently measure floors against the PREVIOUS corpus's side tables
+    // when SPARK_GRAFT_SF_DIR changes between runs
+    val floorDir = "target/floordata_" +
+      java.lang.Integer.toHexString(baseDir.hashCode)
     if (withFloor) {
       val src = java.nio.file.Paths.get(baseDir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(floorDir))
