@@ -2882,6 +2882,29 @@ object SparkEntry {
           (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q_media_video_mjpeg" -> ((s, d) => {
+      // REAL lossy video codec end-to-end: text → per-frame javax.imageio
+      // JPEG encode (explicit quality 1.0) → RIFF/AVI mux (fourcc MJPG —
+      // true motion-JPEG, the codec a real MJPEG pipeline carries) →
+      // container walk + fccHandler-dispatched per-frame JPEG decode →
+      // per-pixel comparison against the generator contract. JPEG is
+      // lossy, so exact pixels are not SQL-replayable the way the
+      // motion-PNG gate's are; the oracle instead pins the DISCRETIZED
+      // fidelity band floor(mae/8) = 0 (measured mae ≲ 2 at quality 1.0,
+      // an order of magnitude inside the band edge) plus the exact
+      // container geometry — a broken demux, the wrong frame codec, or
+      // garbage pixels all land bands away from 0, and the lossless MPNG
+      // path stays separately pixel-exact under q_media_video.
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_video_mjpeg oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaAviMjpeg(s, docs, "doc_id", "text")
+      operators.Multimodal.decodeVideoFidelity(s, media, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_compress_ratio" -> ((s, d) => {
       // compression-ratio quality screen (DEFLATE, JDK zlib). DEFLATE
       // itself is not SQL-expressible, so the oracle joins a committed
@@ -8634,6 +8657,18 @@ object SparkEntry {
     "q_media_decode" -> duckMediaDecodeSql,
     "q_media_resize" -> duckMediaResizeSql,
     "q_media_video" -> duckMediaVideoSql,
+    // JPEG is lossy: the twin replays the deterministic CONTRACT of the
+    // fidelity decode (container geometry + the discretized error band,
+    // 0 for every document at quality 1.0) rather than exact pixels —
+    // see the gate comment; the Spark side computes the band from real
+    // decoded JPEG pixels.
+    "q_media_video_mjpeg" ->
+      s"""SELECT doc_id,
+         |  CAST(${operators.Multimodal.AviFrames} AS INT) AS n_frames,
+         |  CAST(${operators.Multimodal.PngSide} AS INT) AS width,
+         |  CAST(${operators.Multimodal.PngSide} AS INT) AS height,
+         |  CAST(0 AS INT) AS mae_band
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // The WAV gate's amplitude buckets reduce to the same byte // 16
     // histogram (sample = (b−128)·256 → (s+32768)·16/65536 = b·16/256),
     // so the image-decode oracle replays the audio round-trip verbatim.

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types._
   *    `javax.sound.sampled` RIFF/WAVE parse (JDK built-in, headless)
   *    into a PCM16 amplitude histogram, fed by [[withMediaWav]];
   *  - [[decodeVideoFeatures]] is a REAL video-container round-trip — our
-  *    own RIFF/AVI demux (chunk walk, avih parse, `movi` iteration) with
-  *    per-frame `javax.imageio` decode, fed by [[withMediaAvi]]'s
-  *    motion-PNG AVIs (the lossless MJPEG variant);
+  *    own RIFF/AVI demux (chunk walk, avih parse, strh fccHandler codec
+  *    dispatch, `movi` iteration) with per-frame `javax.imageio` decode,
+  *    fed by [[withMediaAvi]]'s motion-PNG AVIs (lossless — pixel-exact
+  *    oracle) or [[withMediaAviMjpeg]]'s motion-JPEG AVIs (the REAL
+  *    lossy MJPEG codec; [[decodeVideoFidelity]] pins the decoded-pixel
+  *    error band against the generator contract);
   *  - [[decodeFeatures]] keeps the clearly-marked deterministic fake
-  *    (byte histogram) as the plumbing-shape fixture — its gate
-  *    (`q_media_features`) proves the plug-point, not a codec.
+  *    (byte histogram) as the no-codecs fallback and plumbing-shape
+  *    fixture — its gate (`q_media_features`) proves the plug-point,
+  *    not a codec; every codec path above is real.
   * Everything around them — schema, partition-iterator batching, frame
   * sampling, metadata struct — is identical real Spark plumbing.
   */
@@ -111,7 +115,8 @@ object Multimodal {
   private def encodePngWith(img: java.awt.image.BufferedImage,
                             writer: javax.imageio.ImageWriter,
                             text: String,
-                            pixelOffset: Int = 0): Array[Byte] = {
+                            pixelOffset: Int = 0,
+                            param: javax.imageio.ImageWriteParam = null): Array[Byte] = {
     val bytes = if (text == null) Array.empty[Byte]
                 else text.getBytes(StandardCharsets.UTF_8)
     val raster = img.getRaster
@@ -125,7 +130,9 @@ object Multimodal {
     val out = new ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    // param = null → the writer's defaults (PNG); an explicit param
+    // carries the JPEG quality setting for the MJPEG frames
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
     ios.close()
     out.toByteArray
   }
@@ -474,19 +481,59 @@ object Multimodal {
   /** Frame count of the synthetic AVIs ([[withMediaAvi]]). */
   val AviFrames: Int = 4
 
-  private def encodeAviWith(img: java.awt.image.BufferedImage,
-                            writer: javax.imageio.ImageWriter,
-                            text: String): Array[Byte] = {
-    val frames = (0 until AviFrames).map { f =>
-      encodePngWith(img, writer, text, pixelOffset = f)
-    }
-    muxAvi(frames, PngSide, PngSide)
+  /** MJPEG-proper synthetic AVIs: the SAME container layout and pixel
+    * generator as [[withMediaAvi]], but each frame goes through the REAL
+    * `javax.imageio` JPEG codec (fourcc `MJPG`, explicit quality 1.0 —
+    * quantization tables collapse to ≈1, so the lossy round-trip stays
+    * within ~±2 gray levels of the source). The text column is KEPT in
+    * the output (idCol, textCol, media, media_meta): the fidelity decode
+    * ([[decodeVideoFidelity]]) compares decoded pixels against the
+    * generator contract without a join. This is the path a user decoding
+    * actual MJPEG video hits — a genuine lossy codec inside a genuine
+    * container, not the lossless stand-in. */
+  def withMediaAviMjpeg(spark: SparkSession, df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        // per-partition codec state (the withMediaPng discipline); the
+        // JPEG write param carries the explicit quality setting
+        val img = new java.awt.image.BufferedImage(
+          PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        iter.map { case (id, text) =>
+          (id, text, encodeAviWith(img, writer, text, "MJPG", param))
+        }
+      }
+      .toDF(idCol, textCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("video/avi").as("mime"),
+        md5(col("media")).as("content_md5")))
   }
 
-  /** Minimal standards-shaped AVI muxer: one `vids` stream, fourcc
-    * `MPNG`, one `00dc` chunk per frame (even-padded) + `idx1` index.
+  private def encodeAviWith(img: java.awt.image.BufferedImage,
+                            writer: javax.imageio.ImageWriter,
+                            text: String,
+                            fourcc: String = "MPNG",
+                            param: javax.imageio.ImageWriteParam = null): Array[Byte] = {
+    val frames = (0 until AviFrames).map { f =>
+      encodePngWith(img, writer, text, pixelOffset = f, param = param)
+    }
+    muxAvi(frames, PngSide, PngSide, fourcc)
+  }
+
+  /** Minimal standards-shaped AVI muxer: one `vids` stream (frame codec
+    * named by `fourcc` — `MPNG` motion-PNG or `MJPG` motion-JPEG), one
+    * `00dc` chunk per frame (even-padded) + `idx1` index.
     * Little-endian sizes throughout, as RIFF requires. */
-  private def muxAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+  private def muxAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                     fourcc: String = "MPNG"): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def le32(v: Int): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -505,20 +552,20 @@ object Multimodal {
       le32(100000) ++ le32(maxFrame * 10) ++ le32(0) ++ le32(0x10 /*HASINDEX*/) ++
       le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
       le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-    // strh: stream header, fccType vids / fccHandler MPNG, 10 fps
+    // strh: stream header, fccType vids / fccHandler = frame codec, 10 fps
     val strh = chunk("strh",
-      fcc("vids") ++ fcc("MPNG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      fcc("vids") ++ fcc(fourcc) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(1) ++ le32(10) ++ le32(0) ++ le32(frames.length) ++
       le32(maxFrame) ++ le32(-1) ++ le32(0) ++
       // rcFrame: four 16-bit shorts (0,0,w,h)
       Array((0 & 0xff).toByte, 0.toByte, (0 & 0xff).toByte, 0.toByte) ++
       Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
         (h & 0xff).toByte, ((h >> 8) & 0xff).toByte))
-    // strf: BITMAPINFOHEADER with biCompression = fourcc MPNG
+    // strf: BITMAPINFOHEADER with biCompression = the frame codec fourcc
     val strf = chunk("strf",
       le32(40) ++ le32(w) ++ le32(h) ++
       Array[Byte](1, 0, 24, 0) /*biPlanes=1, biBitCount=24*/ ++
-      fcc("MPNG") ++ le32(w * h * 3) ++
+      fcc(fourcc) ++ le32(w * h * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
 
@@ -556,19 +603,114 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        val pngReader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("png").next()
+        val readerFor = codecReaders()
         iter.map { case (id, avi) =>
-          val (nf, w, h, hist) = demuxAvi(pngReader, avi, nBuckets)
+          val hist = new Array[Double](nBuckets)
+          var totalPx = 0L
+          val (nf, w, h) = demuxAvi(readerFor, avi) { img =>
+            val raster = img.getRaster
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist((raster.getSample(x, y, 0) & 0xff) * nBuckets / 256) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            totalPx += img.getWidth.toLong * img.getHeight
+          }
+          val total = math.max(1.0, totalPx.toDouble)
+          var j = 0
+          while (j < nBuckets) { hist(j) /= total; j += 1 }
           (id, nf, w, h, hist)
         }
       }
       .toDF(idCol, "n_frames", "width", "height", "features")
   }
 
-  private def demuxAvi(pngReader: javax.imageio.ImageReader,
-                       bytes: Array[Byte],
-                       nBuckets: Int): (Int, Int, Int, Array[Double]) = {
+  /** Per-partition frame-codec reader cache: the stream header's
+    * fccHandler picks the `javax.imageio` reader — `MPNG` (motion-PNG,
+    * the lossless variant) or `MJPG` (motion-JPEG, the real lossy MJPEG
+    * codec). Unsupported fourccs fail loudly: a container silently
+    * skipped would poison downstream curation exactly like a corrupt
+    * image scored as all-zeros. */
+  private def codecReaders(): String => javax.imageio.ImageReader = {
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    fourcc => {
+      val fmt = fourcc match {
+        case "MPNG" => "png"
+        case "MJPG" => "jpeg"
+        case other => throw new IllegalArgumentException(
+          s"decodeVideo: unsupported frame codec fourcc '$other'")
+      }
+      readers.getOrElseUpdate(fmt,
+        javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+    }
+  }
+
+  /** MJPEG fidelity decode: demux + REAL per-frame JPEG (or PNG) decode,
+    * then compare every decoded pixel against the generator contract
+    * (frame `f` pixel `i` = text byte at `(i+f) mod len`) and report the
+    * mean absolute pixel error DISCRETIZED to `floor(mae / tol)` bands.
+    * JPEG is lossy, so exact pixel values are not SQL-replayable the way
+    * the motion-PNG gate's are — but the error BAND is deterministic with
+    * wide margin: quality-1.0 grayscale JPEG round-trips 8×8 blocks
+    * within ~±2 of the source (quant tables ≈ 1), an order of magnitude
+    * inside the default tol=8, while a wrong/broken decode (byte
+    * histogram, shifted frames, garbage pixels) lands dozens of bands
+    * away. Emits (idCol, n_frames, width, height, mae_band) — the
+    * DuckDB twin replays the expected bands (0) plus the exact container
+    * geometry from the text alone. */
+  def decodeVideoFidelity(spark: SparkSession, df: DataFrame, idCol: String,
+                          textCol: String, tol: Double = 8.0): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { iter =>
+        val readerFor = codecReaders()
+        iter.map { case (id, text, avi) =>
+          val expected = if (text == null) Array.empty[Byte]
+                         else text.getBytes(StandardCharsets.UTF_8)
+          var sumErr = 0.0
+          var px = 0L
+          var fidx = 0
+          val (nf, w, h) = demuxAvi(readerFor, avi) { img =>
+            val raster = img.getRaster
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val i = y * img.getWidth + x
+                val exp = if (expected.isEmpty) 0
+                          else expected((i + fidx) % expected.length) & 0xff
+                sumErr += math.abs((raster.getSample(x, y, 0) & 0xff) - exp)
+                px += 1
+                x += 1
+              }
+              y += 1
+            }
+            fidx += 1
+          }
+          val mae = sumErr / math.max(1L, px).toDouble
+          (id, nf, w, h, (mae / tol).toInt)
+        }
+      }
+      .toDF(idCol, "n_frames", "width", "height", "mae_band")
+  }
+
+  /** Container walk shared by the feature and fidelity decoders: validate
+    * the RIFF/AVI signatures, parse `avih` (declared geometry + frame
+    * count) and `strh` (the frame codec fourcc), decode every `movi`
+    * `00dc` chunk with the fccHandler-selected reader, and hand each
+    * decoded frame to `onFrame` in stream order. Returns
+    * (frames, width, height); fails loudly on a malformed container, a
+    * frame before the stream header, a frame-count mismatch, or an
+    * undecodable frame. */
+  private def demuxAvi(readerFor: String => javax.imageio.ImageReader,
+                       bytes: Array[Byte])
+                      (onFrame: java.awt.image.BufferedImage => Unit): (Int, Int, Int) = {
     def rd32(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
@@ -578,30 +720,22 @@ object Multimodal {
       "decodeVideo: payload is not a RIFF/AVI container")
 
     var declaredFrames = -1; var width = -1; var height = -1
-    val hist = new Array[Double](nBuckets)
+    var handler: String = null
     var decoded = 0
-    var totalPx = 0L
 
     def decodeFrame(off: Int, len: Int): Unit = {
+      require(handler != null,
+        "decodeVideo: movi frame before the strh stream header")
+      val reader = readerFor(handler)
       // in-memory stream — see readImageWith: the ImageIO factory's
       // default file cache costs a temp file per frame
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes, off, len))
       val img =
-        try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+        try { reader.setInput(iis, true, true); reader.read(0) }
         finally iis.close()
       require(img != null, "decodeVideo: undecodable frame")
-      val raster = img.getRaster
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          hist((raster.getSample(x, y, 0) & 0xff) * nBuckets / 256) += 1.0
-          x += 1
-        }
-        y += 1
-      }
-      totalPx += img.getWidth.toLong * img.getHeight
+      onFrame(img)
       decoded += 1
     }
 
@@ -618,6 +752,9 @@ object Multimodal {
         } else if (id == "avih") {
           declaredFrames = rd32(o + 8 + 16)
           width = rd32(o + 8 + 32); height = rd32(o + 8 + 36)
+        } else if (id == "strh") {
+          // fccType(4) then fccHandler(4): the frame codec fourcc
+          handler = fccAt(o + 8 + 4)
         } else if (inMovi && id == "00dc") {
           decodeFrame(o + 8, sz)
         }
@@ -629,10 +766,7 @@ object Multimodal {
     require(declaredFrames >= 0, "decodeVideo: missing avih header")
     require(decoded == declaredFrames,
       s"decodeVideo: avih declares $declaredFrames frames, movi has $decoded")
-    val total = math.max(1.0, totalPx.toDouble)
-    var j = 0
-    while (j < nBuckets) { hist(j) /= total; j += 1 }
-    (decoded, width, height, hist)
+    (decoded, width, height)
   }
 
   /** STUB — stands in for the real media decoder (`???` in a deployment

@@ -611,6 +611,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L)._4(12) === 0.5 && out(3L)._4(11) === 0.5)
   }
 
+  test("multimodal: real MJPEG (JPEG-in-AVI) encode→demux→decode stays in band 0") {
+    import spark.implicits._
+    val doc = Seq((1L, "abcd"), (2L, ""), (3L, "0" * 50),
+      (4L, "The quick brown fox jumps over the lazy dog 0123456789"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withMediaAviMjpeg(spark, doc, "doc_id", "text")
+    // the payloads are genuine RIFF/AVI containers with MJPG streams and
+    // real JPEG frames (SOI marker FF D8 right after the first 00dc header)
+    media.select("media", "media_meta.mime").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(new String(b, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(b, 8, 4, "US-ASCII") === "AVI ")
+      val s = new String(b.map(x => if (x >= 32 && x < 127) x else '.'.toByte),
+        "US-ASCII")
+      assert(s.contains("MJPG") && !s.contains("MPNG"))
+      val dc = s.indexOf("00dc")
+      assert(dc > 0 && (b(dc + 8) & 0xff) === 0xff && (b(dc + 9) & 0xff) === 0xd8)
+      assert(r.getString(1) === "video/avi")
+    }
+    val out = Multimodal.decodeVideoFidelity(spark, media, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    out.values.foreach { case (nf, w, h, band) =>
+      assert(nf === Multimodal.AviFrames)
+      assert(w === Multimodal.PngSide && h === Multimodal.PngSide)
+      assert(band === 0) // quality-1.0 JPEG: mae ≲ 2, an order under tol=8
+    }
+    // the codec is genuinely lossy: with a near-zero tolerance the varied
+    // document's mean pixel error lands in a nonzero band (a secretly
+    // lossless path would stay at 0 and fail this)
+    val tight = Multimodal.decodeVideoFidelity(spark, media, "doc_id",
+        "text", tol = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(tight(4L) > 0)
+    // and the feature decoder handles MJPG containers through the same
+    // fccHandler dispatch (histogram close to exact, geometry exact)
+    val feats = Multimodal.decodeVideoFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Double](4)))).toMap
+    assert(feats(2L)._1 === Multimodal.AviFrames)
+    assert(feats(2L)._2(0) === 1.0) // empty text → uniform 0 frames
+  }
+
+  test("multimodal: an unsupported frame-codec fourcc fails loudly") {
+    import spark.implicits._
+    val avi = Multimodal.withMediaAvi(spark,
+        Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("media").head.getAs[Array[Byte]](0)
+    // rewrite both MPNG fourccs (strh fccHandler + strf biCompression) to
+    // an unknown codec tag; the container stays structurally valid
+    val tag = "MPNG".getBytes("US-ASCII")
+    val hacked = avi.clone()
+    var i = 0
+    while (i + 4 <= hacked.length) {
+      if (hacked(i) == tag(0) && hacked(i + 1) == tag(1) &&
+          hacked(i + 2) == tag(2) && hacked(i + 3) == tag(3)) {
+        hacked(i) = 'X'; hacked(i + 1) = 'X'
+        hacked(i + 2) = 'X'; hacked(i + 3) = 'X'
+      }
+      i += 1
+    }
+    val df = Seq((1L, hacked)).toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      Multimodal.decodeVideoFeatures(spark, df, "doc_id").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("multimodal: decodeVideoFeatures fails loudly on malformed containers") {
     import spark.implicits._
     // not RIFF at all
