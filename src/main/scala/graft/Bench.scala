@@ -170,15 +170,16 @@ object Bench {
     val baseline = readBaseline()
     // Cross-round suspect handoff (r13 verdict #1): bench_diff writes the
     // wall-time outliers it could NOT corroborate (shuffle flat, no rerun
-    // stamped) to bench_suspects_pending.json; the next Bench session —
-    // full or GRAFT_BENCH_ONLY — replays them min-of-3 into rerun_sec and
-    // CONSUMES the file, so no suspect ever exits the loop unadjudicated
-    // without a human. (The in-session outlier rule alone cannot catch a
+    // stamped) to bench_suspects_pending.json; the next FULL Bench session
+    // replays them min-of-3 into rerun_sec and CONSUMES the file, so no
+    // suspect ever exits the loop unadjudicated without a human (subset
+    // GRAFT_BENCH_ONLY runs leave the handoff untouched — their artifact
+    // is not the round record). (The in-session outlier rule alone cannot catch a
     // same-plan compute change that is steady within its own session —
     // exactly the r13 dedup-family signature.)
     val pendingPath = java.nio.file.Paths.get("bench_suspects_pending.json")
     val pendingSuspects: Seq[String] =
-      if (java.nio.file.Files.exists(pendingPath)) {
+      if (only.isEmpty && java.nio.file.Files.exists(pendingPath)) {
         try {
           val txt = java.nio.file.Files.readString(pendingPath)
           """"(q_[a-z0-9_]+)"""".r.findAllMatchIn(txt)

