@@ -329,7 +329,17 @@ object ScaleFit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val probes = sys.env.get("GRAFT_FIT_ONLY")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes)
-    val scales = Seq(10, 30)
+    // r14 verdict #1: the ladder is configurable so the highest-exponent
+    // families can be probed at 1x/10x/30x/100x in ONE session. The
+    // default stays the canonical 3-point fit; a 4-point run writes to
+    // scaleprobe<max>.json and additionally reports how far the LAST
+    // point bends off the line fitted through the earlier points
+    // (bend_last_pct > 0 = concave-up = superlinearity the shorter
+    // ladder could not see).
+    val scales = sys.env.get("GRAFT_FIT_SCALES")
+      .map(_.split(",").toSeq.map(_.trim.toInt).sorted)
+      .getOrElse(Seq(10, 30))
+    val runsPer = sys.env.get("GRAFT_FIT_RUNS").map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -359,8 +369,8 @@ object ScaleFit {
         force(SparkEntry.queries(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
-      val r = try Some((1 to 5).map { i =>
-          val t = once(); if (i < 5) sweep(); t
+      val r = try Some((1 to runsPer).map { i =>
+          val t = once(); if (i < runsPer) sweep(); t
         }.min)
       catch { case e: Throwable =>
         System.err.println(s"$name failed at $dir: ${e.getMessage}"); None }
@@ -403,17 +413,27 @@ object ScaleFit {
     }
 
     val xs = (1 +: scales).map(_.toDouble)
+    def lsq(px: Seq[Double], py: Seq[Double]): (Double, Double) = {
+      val xbar = px.sum / px.size
+      val ybar = py.sum / py.size
+      val b = px.zip(py).map { case (x, y) => (x - xbar) * (y - ybar) }.sum /
+        px.map(x => (x - xbar) * (x - xbar)).sum
+      (ybar - b * xbar, b)
+    }
     val rows = probes.flatMap { name =>
       val ts = (1 +: scales).flatMap(s => time(name, dirs(s)))
       if (ts.size == xs.size) {
         val ys = ts
-        val xbar = xs.sum / xs.size
-        val ybar = ys.sum / ys.size
-        val b = xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum /
-          xs.map(x => (x - xbar) * (x - xbar)).sum
-        val a = ybar - b * xbar
-        val pred10 = a + b * 10.0
+        val (a, b) = lsq(xs, ys)
+        val pred10 = a + b * xs(1)
         val resid10 = (ys(1) - pred10) / ys(1) * 100.0
+        // 4+ points: residual of the LAST point against the line through
+        // the EARLIER points — the "does 100x bend off the 30x fit" test
+        val bendPart = if (xs.size >= 4) {
+          val (a3, b3) = lsq(xs.dropRight(1), ys.dropRight(1))
+          val pred = a3 + b3 * xs.last
+          f""","bend_last_pct":${(ys.last - pred) / ys.last * 100.0}%.1f"""
+        } else ""
         val floorPart = if (withFloor) {
           time(name, floorDir) match {
             case Some(f) =>
@@ -425,12 +445,17 @@ object ScaleFit {
             case None => ""
           }
         } else ""
-        println(f"""FIT {"query":"$name","t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f$floorPart,"runs":5}""")
-        Some(name ->
-          f"""{"t1x":${ys(0)}%.2f,"t10x":${ys(1)}%.2f,"t30x":${ys(2)}%.2f,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f$floorPart,"runs":5}""")
+        val pts = xs.zip(ys)
+          .map { case (x, y) => f""""t${x.toInt}%dx":$y%.2f""" }.mkString(",")
+        val row =
+          f"""{$pts,"a":$a%.3f,"b":$b%.4f,"resid10_pct":$resid10%.1f$bendPart$floorPart,"runs":$runsPer}"""
+        println(s"""FIT {"query":"$name",${row.drop(1)}""")
+        Some(name -> row)
       } else None
     }
-    val outPath = java.nio.file.Paths.get("scaleprobe3pt.json")
+    val outPath = java.nio.file.Paths.get(
+      if (scales == Seq(10, 30)) "scaleprobe3pt.json"
+      else s"scaleprobe${scales.max}.json")
     val prior: Map[String, String] =
       if (java.nio.file.Files.exists(outPath)) {
         val txt = java.nio.file.Files.readString(outPath)

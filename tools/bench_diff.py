@@ -281,8 +281,8 @@ def main():
         with open("bench_suspects_pending.json", "w") as f:
             json.dump(handoff, f, indent=1)
         print("  handed off to bench_suspects_pending.json — the next "
-              "graft.Bench run (full or GRAFT_BENCH_ONLY) adjudicates "
-              "them min-of-3 automatically")
+              "FULL graft.Bench run adjudicates them min-of-3 "
+              "automatically (subset runs leave the handoff untouched)")
     print(f"\ntop {top} movers (normalized ratio):")
     for k, r in movers[:top]:
         print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s  x{r:.2f}")
