@@ -2905,6 +2905,28 @@ object SparkEntry {
       operators.Multimodal.decodeVideoFidelity(s, media, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_media_video_raw" -> ((s, d) => {
+      // the third real-world AVI variant: UNCOMPRESSED bottom-up BGR24
+      // DIB frames (strh fccHandler 'DIB ', strf biCompression BI_RGB) —
+      // the classic capture-tool format, no codec at all. Lossless, so
+      // the pooled-histogram oracle is the SAME pixel-exact DuckDB twin
+      // as the motion-PNG gate; the bottom-up row order and stride walk
+      // are position-verified by the fidelity spec (histograms alone are
+      // row-order-invariant, mae is not).
+      load(s, d)
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val docs = s.table("documents").withColumn("text",
+        textChecked(col("text"),
+          length(col("text")) =!= octet_length(col("text").cast("binary")),
+          "q_media_video_raw oracle precondition violated: non-ASCII document"))
+      val media = operators.Multimodal.withMediaAviRaw(s, docs, "doc_id", "text")
+      val feats = operators.Multimodal.decodeVideoFeatures(s, media, "doc_id")
+      import org.apache.spark.sql.functions.element_at
+      feats.select(Seq(col("doc_id"), col("n_frames"), col("width"),
+          col("height")) ++
+          (0 until 16).map(i => element_at(col("features"), i + 1).as(f"f$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
     "q_compress_ratio" -> ((s, d) => {
       // compression-ratio quality screen (DEFLATE, JDK zlib). DEFLATE
       // itself is not SQL-expressible, so the oracle joins a committed
@@ -8657,6 +8679,9 @@ object SparkEntry {
     "q_media_decode" -> duckMediaDecodeSql,
     "q_media_resize" -> duckMediaResizeSql,
     "q_media_video" -> duckMediaVideoSql,
+    // uncompressed DIB frames are lossless like motion-PNG, so the raw
+    // gate shares the pixel-exact histogram twin verbatim
+    "q_media_video_raw" -> duckMediaVideoSql,
     // JPEG is lossy: the twin replays the deterministic CONTRACT of the
     // fidelity decode (container geometry + the discretized error band,
     // 0 for every document at quality 1.0) rather than exact pixels —

@@ -517,6 +517,63 @@ object Multimodal {
         md5(col("media")).as("content_md5")))
   }
 
+  /** Uncompressed-video synthetic AVIs: the SAME container layout and
+    * pixel generator, but frames are raw bottom-up 24-bit BGR DIBs
+    * (`strh` fccHandler `DIB `, `strf` biCompression = BI_RGB — the
+    * classic uncompressed AVI every capture tool can write). No codec at
+    * all: rows are stored bottom-up with the DIB 4-byte row-stride pad,
+    * gray value v as the achromatic triple (v,v,v). Lossless, so the
+    * downstream demux recovers exact pixels and the gate reuses the
+    * motion-PNG oracle verbatim. The text column is KEPT in the output
+    * (the [[decodeVideoFidelity]] position check reads it join-free,
+    * like the MJPEG variant). */
+  def withMediaAviRaw(spark: SparkSession, df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val bytes = if (text == null) Array.empty[Byte]
+                      else text.getBytes(StandardCharsets.UTF_8)
+          val frames = (0 until AviFrames).map { f =>
+            encodeDibFrame(bytes, PngSide, PngSide, f)
+          }
+          (id, text, muxAvi(frames, PngSide, PngSide, "DIB "))
+        }
+      }
+      .toDF(idCol, textCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("video/avi").as("mime"),
+        md5(col("media")).as("content_md5")))
+  }
+
+  /** One bottom-up BGR24 DIB frame under the shared pixel contract
+    * (row-major pixel `i` = text byte `(i+frame) mod len`); row stride
+    * padded to 4 bytes per the DIB spec (a no-op at width 16 but the
+    * formula is the general one). */
+  private def encodeDibFrame(textBytes: Array[Byte], w: Int, h: Int,
+                             pixelOffset: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // DIB rows are stored bottom-up
+      var x = 0
+      while (x < w) {
+        val i = srcRow * w + x
+        val v = if (textBytes.isEmpty) 0
+                else textBytes((i + pixelOffset) % textBytes.length) & 0xff
+        val o = y * stride + x * 3
+        out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def encodeAviWith(img: java.awt.image.BufferedImage,
                             writer: javax.imageio.ImageWriter,
                             text: String,
@@ -561,11 +618,14 @@ object Multimodal {
       Array((0 & 0xff).toByte, 0.toByte, (0 & 0xff).toByte, 0.toByte) ++
       Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
         (h & 0xff).toByte, ((h >> 8) & 0xff).toByte))
-    // strf: BITMAPINFOHEADER with biCompression = the frame codec fourcc
+    // strf: BITMAPINFOHEADER — biCompression is the codec fourcc for
+    // compressed streams, or BI_RGB (0) for the uncompressed DIB variant
+    val biCompression =
+      if (fourcc == "DIB ") le32(0) /*BI_RGB*/ else fcc(fourcc)
     val strf = chunk("strf",
       le32(40) ++ le32(w) ++ le32(h) ++
       Array[Byte](1, 0, 24, 0) /*biPlanes=1, biBitCount=24*/ ++
-      fcc(fourcc) ++ le32(w * h * 3) ++
+      biCompression ++ le32(w * h * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
 
@@ -726,14 +786,17 @@ object Multimodal {
     def decodeFrame(off: Int, len: Int): Unit = {
       require(handler != null,
         "decodeVideo: movi frame before the strh stream header")
-      val reader = readerFor(handler)
-      // in-memory stream — see readImageWith: the ImageIO factory's
-      // default file cache costs a temp file per frame
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new ByteArrayInputStream(bytes, off, len))
       val img =
-        try { reader.setInput(iis, true, true); reader.read(0) }
-        finally iis.close()
+        if (handler == "DIB ") decodeDibFrame(bytes, off, len, width, height)
+        else {
+          val reader = readerFor(handler)
+          // in-memory stream — see readImageWith: the ImageIO factory's
+          // default file cache costs a temp file per frame
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(bytes, off, len))
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally iis.close()
+        }
       require(img != null, "decodeVideo: undecodable frame")
       onFrame(img)
       decoded += 1
@@ -767,6 +830,39 @@ object Multimodal {
     require(decoded == declaredFrames,
       s"decodeVideo: avih declares $declaredFrames frames, movi has $decoded")
     (decoded, width, height)
+  }
+
+  /** Uncompressed bottom-up BGR24 DIB frame → grayscale image: rows are
+    * stored bottom-up with a 4-byte stride pad (the DIB spec), gray via
+    * exact integer BT.601 luma (299r+587g+114b+500)/1000 — identity for
+    * the achromatic triples [[withMediaAviRaw]] writes, so the lossless
+    * round-trip stays bit-replayable by the SQL oracle. Geometry comes
+    * from the already-parsed `avih`; a frame whose byte length does not
+    * match stride×height fails loudly. */
+  private def decodeDibFrame(bytes: Array[Byte], off: Int, len: Int,
+                             w: Int, h: Int): java.awt.image.BufferedImage = {
+    require(w > 0 && h > 0, "decodeVideo: DIB frame before avih geometry")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(len == stride * h,
+      s"decodeVideo: DIB frame is $len bytes, geometry needs ${stride * h}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val o = off + row * stride + x * 3
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        raster.setSample(x, y, 0, (299 * r + 587 * g + 114 * b + 500) / 1000)
+        x += 1
+      }
+      row += 1
+    }
+    img
   }
 
   /** STUB — stands in for the real media decoder (`???` in a deployment

@@ -654,6 +654,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L)._2(0) === 1.0) // empty text → uniform 0 frames
   }
 
+  test("multimodal: uncompressed DIB-in-AVI round-trips pixel-exact, bottom-up") {
+    import spark.implicits._
+    val doc = Seq((1L, "abcd"), (2L, ""), (3L, "ÿ" * 3),
+      (4L, "Row order matters: 0123456789 abcdefghij KLMNOPQRST"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withMediaAviRaw(spark, doc, "doc_id", "text")
+    media.select("media", "media_meta.mime").collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](0)
+      assert(new String(b, 0, 4, "US-ASCII") === "RIFF")
+      assert(new String(b, 8, 4, "US-ASCII") === "AVI ")
+      val printable = new String(
+        b.map(x => if (x >= 32 && x < 127) x else '.'.toByte), "US-ASCII")
+      assert(printable.contains("DIB ") && !printable.contains("MPNG"))
+      assert(r.getString(1) === "video/avi")
+    }
+    // histogram path: identical pooled histograms to the lossless PNG AVI
+    val out = Multimodal.decodeVideoFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Double](4)))).toMap
+    out.values.foreach { case (nf, w, h, _) =>
+      assert(nf === Multimodal.AviFrames)
+      assert(w === Multimodal.PngSide && h === Multimodal.PngSide)
+    }
+    assert(out(1L)._4(6) === 1.0 && out(1L)._4.sum === 1.0)
+    assert(out(2L)._4(0) === 1.0)
+    assert(out(3L)._4(12) === 0.5 && out(3L)._4(11) === 0.5)
+    // position path: mae must be EXACTLY zero — a flipped row order or a
+    // mis-stepped stride scrambles positions, which histograms can't see
+    val fid = Multimodal.decodeVideoFidelity(spark, media, "doc_id",
+        "text", tol = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    fid.values.foreach(band => assert(band === 0))
+  }
+
   test("multimodal: an unsupported frame-codec fourcc fails loudly") {
     import spark.implicits._
     val avi = Multimodal.withMediaAvi(spark,
