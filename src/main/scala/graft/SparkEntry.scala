@@ -1134,6 +1134,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
         .orderBy(col("fold"))
     }),
+    "q_split_cluster" -> ((s, d) => {
+      // near-dup-cluster-safe train/test split: the group key is each
+      // document's star-cluster representative (own id when unclustered),
+      // so no near-duplicate pair straddles the held-out set — the
+      // contamination defense q_split_group gestures at, with the key
+      // DERIVED by the scale-safe cluster path instead of assumed.
+      // Membership fingerprinted per split; SplitSpec asserts the
+      // zero-straddle property directly on a planted near-dup fixture.
+      load(s, d)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      operators.Split.clusterSafeAssign(s.table("documents"), "doc_id",
+          "text", Seq("train" -> 0.8, "test" -> 0.2))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("split"))
+    }),
     "q_purged_folds" -> ((s, d) => {
       // purged time-series 5-fold CV with a 1-day embargo over the event
       // log (exact integer boundary arithmetic on nano epochs); the
@@ -4220,6 +4236,35 @@ object SparkEntry {
           roundf(col("vwap"), 6).as("vwap_r"), col("transactions"))
         .orderBy(col("ticker"), col("ws_us"))
     }),
+    "q_stream_distinct" -> ((s, d) => {
+      // the streaming HLL cardinality monitor (StreamingPipeline
+      // .windowedDistinct) in batch mode: per-(event_type, day window)
+      // distinct-user registers — 256 B of state per open cell on the
+      // stream where exact distinct state is unbounded. Estimate via the
+      // shared SQL fragment; exact countDistinct rides along from a
+      // SEPARATE aggregation (same planner note as q_kmv_distinct).
+      load(s, d)
+      import org.apache.spark.sql.functions.{countDistinct, expr, unix_micros, window => winf}
+      // parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast
+      // to instant-typed TIMESTAMP is identity on the epoch values
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+      val sk = graft.streaming.StreamingPipeline.windowedDistinct(
+        ev, "ts", "event_type", "user_id", "1 day")
+      val exact = ev
+        .groupBy(col("event_type"), winf(col("ts"), "1 day").as("win"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("win.start").as("window_start"),
+          col("exact_users"))
+      sk.join(exact, Seq("event_type", "window_start"))
+        .select(col("event_type"),
+          unix_micros(col("window_start")).as("ws_us"),
+          expr(functions.Hll.estimateSql("sum_scaled", "zeros", 8))
+            .as("est_users"),
+          col("exact_users"))
+        .orderBy(col("event_type"), col("ws_us"))
+    }),
     "q_media_frames" -> ((s, d) => {
       load(s, d)
       import org.apache.spark.sql.functions.array_join
@@ -4250,6 +4295,57 @@ object SparkEntry {
         |SELECT est.l_returnflag, est.est_parts, ex.exact_parts
         |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
+    // HyperLogLog distinct sketch (functions/Sketch.scala HllSketch): m
+    // BYTES of register state per group vs KMV's k longs at the same
+    // accuracy — the per-group state that survives profiling thousands of
+    // column×group cells at 100 TB. The aggregate emits only exact-integer
+    // sufficient statistics (sum_scaled, zeros); the estimate — including
+    // the ln() of the small-range linear-counting branch — evaluates in
+    // SQL on BOTH engines via the shared Hll.estimateSql fragment, so no
+    // JVM float rounding ever needs a DuckDB twin.
+    // The sketch-warehouse rollup (functions/Sketch.scala HllRegisters /
+    // HllMerge): per-source register BLOBS, then a union over the stored
+    // blobs — distinct-over-any-slice without re-scanning raw data (exact
+    // distinct counts cannot roll up; register vectors max-merge). The
+    // gate pins the rollup identity cross-engine: est_merged must equal
+    // est_direct bit-for-bit.
+    "q_hll_union" -> ((s, d) => q(s, d,
+      s"""WITH toks AS (
+         |  SELECT source, explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) AS token
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT source, cast(conv(substring(md5(token), 1, 15), 16, 10) AS bigint) AS hv
+         |  FROM toks
+         |), per_src AS (
+         |  SELECT source, hll_registers(hv, 8) AS regs FROM hashed GROUP BY source
+         |), merged AS (
+         |  SELECT hll_merge(regs, 8) AS hsk, count(*) AS n_sources FROM per_src
+         |), direct AS (
+         |  SELECT hll_sketch(hv, 8) AS hsk FROM hashed
+         |), ex AS (
+         |  SELECT count(DISTINCT token) AS exact_tokens FROM toks
+         |)
+         |SELECT
+         |  ${functions.Hll.estimateSql("merged.hsk.sum_scaled", "merged.hsk.zeros", 8)} AS est_merged,
+         |  ${functions.Hll.estimateSql("direct.hsk.sum_scaled", "direct.hsk.zeros", 8)} AS est_direct,
+         |  merged.n_sources, ex.exact_tokens
+         |FROM merged CROSS JOIN direct CROSS JOIN ex""".stripMargin)),
+    "q_hll_distinct" -> ((s, d) => q(s, d,
+      s"""WITH sk AS (
+         |  SELECT l_returnflag,
+         |    hll_sketch(cast(conv(substring(md5(cast(l_partkey AS string)), 1, 15), 16, 10) AS bigint), 8) AS hsk,
+         |    hll_sketch(cast(conv(substring(md5(cast(l_linenumber AS string)), 1, 15), 16, 10) AS bigint), 8) AS lsk
+         |  FROM lineitem GROUP BY l_returnflag
+         |), ex AS (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT sk.l_returnflag,
+         |  ${functions.Hll.estimateSql("hsk.sum_scaled", "hsk.zeros", 8)} AS est_parts,
+         |  ${functions.Hll.estimateSql("lsk.sum_scaled", "lsk.zeros", 8)} AS est_lines,
+         |  ex.exact_parts
+         |FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)),
     // Skew mitigation (operators/Skew.scala), oracle-gated for result
     // equality with the unsalted plans. Sums are over integer-valued
     // doubles (exact under any fold order), so the salted re-association
@@ -9513,6 +9609,87 @@ object SparkEntry {
         |  x.exact_parts
         |FROM m JOIN x USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+    // Replays HllSketch at p=8 (m=256, w=52 remainder bits, rMax=53):
+    // register j = hv // 2^52, ρ = 53 − bit_length(remainder) (53 when the
+    // remainder is 0), register max per (group, j); sum_scaled adds 2^53
+    // for each of the (256 − present) untouched registers — exact integer
+    // arithmetic end to end. The estimate then runs the IDENTICAL
+    // Hll.estimateSql fragment the Spark gate evaluates.
+    // Replays the register-blob rollup: per-source registers (the
+    // hll_registers blobs), element-wise max across sources (hll_merge),
+    // and the direct path — which by max-associativity is the SAME
+    // register vector, so one merged CTE serves both estimate columns.
+    "q_hll_union" -> {
+      val est = functions.Hll.estimateSql("a.sum_scaled", "a.zeros", 8)
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                       x -> x <> '')) AS token
+         |  FROM documents
+         |), h AS (
+         |  SELECT source,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv
+         |  FROM toks GROUP BY 1, 2
+         |), b AS (
+         |  SELECT source, hv // 4503599627370496 AS j,
+         |         hv % 4503599627370496 AS rem
+         |  FROM h
+         |), r AS (
+         |  SELECT source, j,
+         |    max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS mj
+         |  FROM b GROUP BY 1, 2
+         |), mrg AS (
+         |  SELECT j, max(mj) AS mj FROM r GROUP BY j
+         |), agg AS (
+         |  SELECT
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT)
+         |      + (256 - count(*)) * 9007199254740992 AS sum_scaled,
+         |    CAST(256 - count(*) AS INT) AS zeros
+         |  FROM mrg
+         |), nsrc AS (
+         |  SELECT count(DISTINCT source) AS n_sources FROM toks
+         |), ex AS (
+         |  SELECT count(DISTINCT token) AS exact_tokens FROM toks
+         |)
+         |SELECT $est AS est_merged, $est AS est_direct,
+         |  n.n_sources, x.exact_tokens
+         |FROM agg a CROSS JOIN nsrc n CROSS JOIN ex x""".stripMargin
+    },
+    "q_hll_distinct" -> {
+      // one register-replay CTE block per sketched column (p=8)
+      def regs(expr: String, tag: String) =
+        s"""h$tag AS (
+           |  SELECT l_returnflag,
+           |    CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT) AS hv
+           |  FROM lineitem GROUP BY 1, 2
+           |), b$tag AS (
+           |  SELECT l_returnflag, hv // 4503599627370496 AS j,
+           |         hv % 4503599627370496 AS rem
+           |  FROM h$tag
+           |), r$tag AS (
+           |  SELECT l_returnflag, j,
+           |    max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS mj
+           |  FROM b$tag GROUP BY 1, 2
+           |), agg$tag AS (
+           |  SELECT l_returnflag,
+           |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT)
+           |      + (256 - count(*)) * 9007199254740992 AS sum_scaled,
+           |    CAST(256 - count(*) AS INT) AS zeros
+           |  FROM r$tag GROUP BY 1
+           |)""".stripMargin
+      s"""WITH ${regs("l_partkey::VARCHAR", "p")},
+         |${regs("l_linenumber::VARCHAR", "l")},
+         |ex AS (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT a.l_returnflag,
+         |  ${functions.Hll.estimateSql("a.sum_scaled", "a.zeros", 8)} AS est_parts,
+         |  ${functions.Hll.estimateSql("al.sum_scaled", "al.zeros", 8)} AS est_lines,
+         |  x.exact_parts
+         |FROM aggp a JOIN aggl al USING (l_returnflag) JOIN ex x USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q_skew_agg" ->
       """SELECT l_returnflag,
         |  sum(l_quantity) AS sum_l_quantity,
@@ -11115,6 +11292,41 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // Replays StreamingPipeline.windowedDistinct's batch execution: the
+    // same HLL p=8 register arithmetic as the q_hll_distinct oracle,
+    // grouped by (event_type, epoch-aligned day bucket) — Spark's tumbling
+    // window start is the same epoch-floor time_bucket computes.
+    "q_stream_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    epoch_us(time_bucket(INTERVAL 1 day, ts)) AS ws_us,
+         |    CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS hv
+         |  FROM events GROUP BY 1, 2, 3
+         |), b AS (
+         |  SELECT event_type, ws_us, hv // 4503599627370496 AS j,
+         |         hv % 4503599627370496 AS rem
+         |  FROM h
+         |), r AS (
+         |  SELECT event_type, ws_us, j,
+         |    max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS mj
+         |  FROM b GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT event_type, ws_us,
+         |    CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT)
+         |      + (256 - count(*)) * 9007199254740992 AS sum_scaled,
+         |    CAST(256 - count(*) AS INT) AS zeros
+         |  FROM r GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT event_type,
+         |    epoch_us(time_bucket(INTERVAL 1 day, ts)) AS ws_us,
+         |    count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT a.event_type, a.ws_us,
+         |  ${functions.Hll.estimateSql("a.sum_scaled", "a.zeros", 8)} AS est_users,
+         |  x.exact_users
+         |FROM agg a JOIN ex x USING (event_type, ws_us)
+         |ORDER BY event_type, ws_us""".stripMargin,
     "q_stream_bars" ->
       """SELECT event_type AS ticker,
         |  epoch_us(time_bucket(INTERVAL 1 minute, ts)) AS ws_us,
@@ -13434,6 +13646,29 @@ object SparkEntry {
         |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) % 5 AS INT) AS fold
         |  FROM documents) s
         |GROUP BY fold ORDER BY fold""".stripMargin,
+    // Replays Split.clusterSafeAssign: star-verified near-dup components
+    // (the q_dedup_keep recursion), group key = component rep (own id
+    // when unclustered), then the q_split hash-boundary membership on
+    // that key.
+    "q_split_cluster" -> {
+      val b = operators.Split.boundaries(Seq("train" -> 0.8, "test" -> 0.2))
+      s"""WITH RECURSIVE $duckStarComponentsCtes,
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |rep AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |),
+         |asg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < ${b(0)} THEN 'train'
+         |         WHEN h < ${b(1)} THEN 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST('0x' || substr(md5(rep::VARCHAR), 1, 15) AS BIGINT) AS h
+         |        FROM rep) x
+         |)
+         |SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM asg GROUP BY split ORDER BY split""".stripMargin
+    },
     // Replays Split.purgedTimeFolds: equal-width time windows over
     // [min, max] nanos, row fold = k·(t−min) DIV span, window-end
     // boundary min + ceil((f+1)·span/k), 1-day embargo after each

@@ -108,6 +108,25 @@ object CurationPipeline {
     TextOps.bigramSurprisal(clean, "doc_id", "text", vocabK = 300)
       .orderBy(col("bigram_surprisal").desc_nulls_last).limit(5).show(false)
 
+    println("== 6. Cluster-safe split + sketch-warehouse vocabulary rollup ==")
+    // the held-out set inherits NO near-copy of a training doc: the split
+    // key is the near-dup cluster representative, not the row
+    val split = graft.operators.Split.clusterSafeAssign(
+      clean.select("doc_id", "text", "source"), "doc_id", "text",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    split.groupBy("split").count().orderBy("split").show()
+    // per-source vocabulary sketches persist as 2^p-byte blobs; any
+    // slice's distinct vocabulary is then a blob merge, never a re-scan
+    val srcSketches = split.filter(col("split") === "train")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(graft.functions.Hll.hllRegisters(col("token"), 8).as("regs"))
+    srcSketches
+      .agg(graft.functions.Hll.hllMerge(col("regs"), 8).as("h"))
+      .select(expr(graft.functions.Hll.estimateSql(
+        "h.sum_scaled", "h.zeros", 8)).as("est_train_vocab"))
+      .show(false)
+
     clean.unpersist()
     deduped.unpersist()
     graft.CacheScope.release()

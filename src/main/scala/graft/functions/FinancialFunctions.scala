@@ -46,6 +46,9 @@ object FinancialFunctions {
     "vec_dot" -> (e => { val a = arity("vec_dot", 2)(e); VecDot(a(0), a(1)) }),
     "bpe_count" -> (e => { val a = arity("bpe_count", 1)(e); BpeCount(a(0)) }),
     "kmv_distinct" -> (e => { val a = arity("kmv_distinct", 2)(e); KmvDistinct(a(0), a(1)) }),
+    "hll_sketch" -> (e => { val a = arity("hll_sketch", 2)(e); HllSketch(a(0), a(1)) }),
+    "hll_registers" -> (e => { val a = arity("hll_registers", 2)(e); HllRegisters(a(0), a(1)) }),
+    "hll_merge" -> (e => { val a = arity("hll_merge", 2)(e); HllMerge(a(0), a(1)) }),
     "topk_by" -> (e => { val a = arity("topk_by", 4)(e); TopKBy(a(0), a(1), a(2), a(3)) }),
     "argmin_by" -> (e => { val a = arity("argmin_by", 3)(e); ArgMinBy(a(0), a(1), a(2)) }),
     "word_shingles" -> (e => {

@@ -56,6 +56,36 @@ object Split {
     df.withColumn("split", chain)
   }
 
+  /** Near-dup-cluster-safe split — the composite that closes the leakage
+    * story [[assign]]'s scaladoc names: hashing a near-dup CLUSTER key
+    * moves every near-duplicate together, so no test document has a
+    * near-copy in train (the contamination that inflates held-out
+    * metrics most at web scale, where boilerplate templates replicate
+    * across sources). This derives the key itself: each document's
+    * group key is its near-dup cluster representative (the component id
+    * from [[Dedup.nearDupClusters]] — star-verified edges, the r13
+    * scale-safe default) and its OWN id when unclustered, then [[assign]]
+    * hashes that key. Output = input columns + `split`.
+    *
+    * Scale shape: the cluster frame is one extra left-broadcast-or-shuffle
+    * join keyed on `idCol` over the cluster pipeline the dedup pass
+    * already runs — a pipeline doing near-dup dedup gets the safe split
+    * for one join more, and the split stays a pure function of (corpus,
+    * splits): identical on any cluster layout, any retry, any engine. */
+  def clusterSafeAssign(docs: DataFrame, idCol: String, textCol: String,
+                        splits: Seq[(String, Double)],
+                        k: Int = 16, rowsPerBand: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    Guards.requireNoReserved(docs.columns, Seq("split", "__rep"),
+      "Split.clusterSafeAssign")
+    val comps = Dedup.nearDupClusters(docs, idCol, textCol, k, rowsPerBand,
+        threshold)
+      .select(col("id").as(idCol), col("component").as("__rep"))
+    val keyed = docs.join(comps, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__rep"), col(idCol)))
+    assign(keyed, "__rep", splits).drop("__rep")
+  }
+
   /** Add `fold` ∈ [0, k) — deterministic k-fold assignment (`hash mod k`).
     * Hash a group key for leakage-safe folds, as with [[assign]]. */
   def kfold(df: DataFrame, keyCol: String, k: Int): DataFrame = {

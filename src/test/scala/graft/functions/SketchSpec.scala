@@ -61,6 +61,100 @@ class SketchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("k must be > 1"))
   }
 
+  test("hll: raw-branch accuracy within ~1.04/sqrt(m) error at 20k distinct") {
+    val df = (1 to 20000).toDF("v")
+    df.select(Hll.hllSketch(col("v"), 8).as("hsk"))
+      .createOrReplaceTempView("hll_t")
+    val est = spark.sql(
+      s"SELECT ${Hll.estimateSql("hsk.sum_scaled", "hsk.zeros", 8)} AS e FROM hll_t")
+      .head().getDouble(0)
+    // sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"estimate $est")
+  }
+
+  test("hll: linear-counting branch is near-exact at low cardinality") {
+    val df = (1 to 30).toDF("v")
+    df.select(Hll.hllSketch(col("v"), 8).as("hsk"))
+      .createOrReplaceTempView("hll_lc")
+    val est = spark.sql(
+      s"SELECT ${Hll.estimateSql("hsk.sum_scaled", "hsk.zeros", 8)} AS e FROM hll_lc")
+      .head().getDouble(0)
+    assert(math.abs(est - 30.0) < 3.0, s"linear-counting estimate $est")
+  }
+
+  test("hll registers are invariant under repartitioning (max-merge)") {
+    val df = (1 to 5000).map(i => (i % 97, s"key_$i")).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame): Array[(Int, Long, Int)] =
+      d.groupBy("g").agg(Hll.hllSketch(col("v"), 8).as("hsk"))
+        .select(col("g"), col("hsk.sum_scaled"), col("hsk.zeros"))
+        .orderBy("g").as[(Int, Long, Int)].collect()
+    assert(run(df.coalesce(1)).sameElements(run(df.repartition(13))),
+      "partial/merge path must give bit-identical registers")
+  }
+
+  test("hll: duplicates do not move the registers") {
+    val once = (1 to 50).toDF("v")
+      .select(Hll.hllSketch(col("v"), 8).as("h"))
+      .select(col("h.sum_scaled"), col("h.zeros")).head()
+    val dup = (1 to 10000).map(_ % 50 + 1).toDF("v")
+      .select(Hll.hllSketch(col("v"), 8).as("h"))
+      .select(col("h.sum_scaled"), col("h.zeros")).head()
+    assert(once === dup)
+  }
+
+  test("hll: null inputs are ignored") {
+    val df = Seq(Some(1), None, Some(2), None, Some(3)).toDF("v")
+    val zeros = df.select(Hll.hllSketch(col("v"), 8).as("h"))
+      .select(col("h.zeros")).head().getInt(0)
+    assert(zeros === 253, "exactly 3 registers touched")
+  }
+
+  test("hll: p must be a literal in [4, 16]") {
+    val df = (1 to 10).toDF("v")
+    val e = intercept[Exception] {
+      df.select(call_function("hll_sketch", Kmv.kmvHash(col("v")), col("v")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") ||
+      e.getMessage.toLowerCase.contains("foldable"))
+    val e2 = intercept[Exception] {
+      df.select(call_function("hll_sketch", Kmv.kmvHash(col("v")), lit(3)))
+        .collect()
+    }
+    assert(e2.getMessage.contains("[4, 16]"))
+  }
+
+  test("hll rollup identity: merged per-group register blobs == direct sketch") {
+    val df = (1 to 5000).map(i => (i % 7, s"key_${i % 1200}")).toDF("src", "v")
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("h.sum_scaled"), col("h.zeros")).head()
+    val direct = stats(df.select(Hll.hllSketch(col("v"), 8).as("h")))
+    val rolled = stats(df.groupBy("src")
+      .agg(Hll.hllRegisters(col("v"), 8).as("regs"))
+      .select(Hll.hllMerge(col("regs"), 8).as("h")))
+    assert(direct === rolled, "blob rollup must be bit-identical to direct")
+    val rolled13 = stats(df.repartition(13).groupBy("src")
+      .agg(Hll.hllRegisters(col("v"), 8).as("regs"))
+      .select(Hll.hllMerge(col("regs"), 8).as("h")))
+    assert(rolled === rolled13, "rollup must be layout-independent")
+  }
+
+  test("hll_registers blob is exactly m bytes; hll_merge rejects a p mismatch") {
+    val blob = (1 to 100).toDF("v")
+      .select(Hll.hllRegisters(col("v"), 8).as("r"))
+      .head().getAs[Array[Byte]](0)
+    assert(blob.length === 256)
+    val regs = (1 to 10).toDF("v")
+      .agg(Hll.hllRegisters(col("v"), 6).as("regs"))
+    val e = intercept[Exception] {
+      regs.select(Hll.hllMerge(col("regs"), 8)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(e).contains("expected m="),
+      s"wrong error: ${messages(e).take(300)}")
+  }
+
   test("sql surface: kmv_distinct resolves through the registry") {
     (1 to 1000).map(i => s"u$i").toDF("v").createOrReplaceTempView("kmv_t")
     val est = spark.sql(

@@ -111,6 +111,39 @@ class SplitSpec extends AnyFunSuite {
     assert(testCounts === 0, "every row must be test in exactly one fold")
   }
 
+  test("clusterSafeAssign: near-dup clusters never straddle the held-out set") {
+    // 40 distinct 12-word docs; every 4th gets two near-copies (one word
+    // appended -> word-3-gram jaccard ~0.9, well above the 0.5 threshold)
+    val base = (0 until 40).map { i =>
+      (i.toLong * 10, (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dups = (0 until 40 by 4).flatMap { i =>
+      Seq((i.toLong * 10 + 1, base(i)._2 + " extra"),
+          (i.toLong * 10 + 2, base(i)._2 + " tail"))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val out = Split.clusterSafeAssign(df, "doc_id", "text",
+      Seq("train" -> 0.7, "test" -> 0.3))
+    assert(out.columns.toSeq === Seq("doc_id", "text", "split"),
+      "no internal columns may leak")
+    // one action materializes the assignment (the cluster pipeline's
+    // localCheckpoint blocks do not survive CacheScope.release, so no
+    // further actions run on `out` after it)
+    val assigned = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.CacheScope.release()
+    assert(assigned.size === (base ++ dups).length)
+    assert(assigned.values.forall(s => s == "train" || s == "test"))
+    val compRows = Dedup.nearDupClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    graft.CacheScope.release()
+    val straddle = compRows.groupBy(_._2)
+      .count { case (_, members) => members.map(m => assigned(m._1)).distinct.size > 1 }
+    assert(straddle === 0, "a near-dup cluster straddles train/test")
+    // fixture sanity: the planted near-dups actually clustered
+    assert(compRows.map(_._2).distinct.length >= 5)
+  }
+
   test("assign plans no shuffle — a scan-side projection") {
     val p = Split.assign(docs(100), "id", Seq("a" -> 1.0))
       .queryExecution.executedPlan.toString

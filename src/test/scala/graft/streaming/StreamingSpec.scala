@@ -278,6 +278,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowedDistinct: streaming HLL registers match the batch run exactly") {
+    import org.apache.spark.sql.functions.{col, min_by, struct}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val stream = input.toDF().toDF("ts", "etype", "uid")
+    val query = StreamingPipeline.windowedDistinct(
+        stream, "ts", "etype", "uid", "1 minute", "1 minute")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("wd_out").start()
+    try {
+      val t0 = 1700000040000L // minute-aligned
+      // 2 types x 2 windows; uid repeats within and across batches,
+      // delivered out of order and split across micro-batches
+      def ev(ms: Long, t: String, u: Long) = (new Timestamp(ms), t, u)
+      input.addData(ev(t0 + 59000, "a", 7), ev(t0 + 1000, "a", 3),
+        ev(t0 + 30000, "b", 7))
+      query.processAllAvailable()
+      input.addData(ev(t0 + 5000, "a", 7), ev(t0 + 61000, "a", 3),
+        ev(t0 + 62000, "b", 99))
+      query.processAllAvailable()
+      val streamed = spark.table("wd_out")
+        .groupBy("etype", "window_start")
+        .agg(min_by(
+          struct(col("sum_scaled"), col("zeros")), col("sum_scaled")).as("s"))
+        .select(col("etype"), col("window_start"),
+          col("s.sum_scaled"), col("s.zeros"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getInt(3))).toSet
+      // update-mode re-emissions: registers only grow, so sum_scaled only
+      // shrinks — the final row per cell is the MIN sum
+      val batchDf = Seq(
+        ev(t0 + 59000, "a", 7), ev(t0 + 1000, "a", 3), ev(t0 + 30000, "b", 7),
+        ev(t0 + 5000, "a", 7), ev(t0 + 61000, "a", 3), ev(t0 + 62000, "b", 99))
+        .toDF("ts", "etype", "uid")
+      val batch = StreamingPipeline.windowedDistinct(
+          batchDf, "ts", "etype", "uid", "1 minute", "1 minute")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getInt(3))).toSet
+      assert(streamed === batch,
+        s"streaming registers diverge from batch:\n$streamed\nvs\n$batch")
+      assert(batch.size === 4, "2 types x 2 windows expected")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS wd_out")
+    }
+  }
+
+  test("windowedDistinct state is register-bounded: zeros >= 256 - n_keys") {
+    val df = Seq.tabulate(500)(i =>
+      (new Timestamp(1700000040000L + (i % 50) * 100), "t", (i % 5).toLong))
+      .toDF("ts", "etype", "uid")
+    val out = StreamingPipeline.windowedDistinct(
+      df, "ts", "etype", "uid", "1 minute").collect()
+    assert(out.length === 1)
+    // 5 distinct uids touch at most 5 registers
+    assert(out.head.getAs[Int]("zeros") >= 251)
+  }
+
   test("ohlcBars on a batch Dataset matches the streaming result shape") {
     val ticks = Seq(
       tick("AAPL", 0, 10.0, 5L), tick("AAPL", 30, 12.0, 5L), tick("AAPL", 61, 11.0, 5L))
