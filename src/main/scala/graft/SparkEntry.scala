@@ -4705,6 +4705,16 @@ object SparkEntry {
           approxDistinct = true, sketchK = 256)
         .orderBy(col("col_name"))
     }),
+    "q_profile_hll" -> ((s, d) => {
+      // the smallest-state profile path: HLL registers (2^8 BYTES per
+      // column) replace the KMV longs; same report shape, estimate via
+      // the shared SQL fragment. o_orderkey exercises the raw branch,
+      // the low-cardinality columns the linear-counting branch.
+      load(s, d)
+      operators.Profile.columnProfileHll(s.table("orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_orderpriority"), p = 8)
+        .orderBy(col("col_name"))
+    }),
     "q_zorder" -> ((s, d) => {
       // write-layout clustering key: 12-bit Z-order interleave of
       // (l_partkey, l_suppkey) — the key ORDER is the gate (rows sort by
@@ -5420,6 +5430,35 @@ object SparkEntry {
          |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
          |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value,
          |  ${kmvEst(c)} AS n_distinct_est
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .map(branch).mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  /** Replays [[operators.Profile.columnProfileHll]] at p=8: the same
+    * register arithmetic as the q_hll_distinct oracle, one scalar
+    * subquery per column; an all-null column coalesces to the empty
+    * register vector (sum over zero rows is NULL in SQL, 256·2^53 in the
+    * aggregate). */
+  private def duckProfileHllSql: String = {
+    def hllEst(c: String) =
+      s"""(SELECT ${functions.Hll.estimateSql("a.sum_scaled", "a.zeros", 8)}
+         | FROM (SELECT coalesce(CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT), 0)
+         |               + (256 - count(*)) * 9007199254740992 AS sum_scaled,
+         |              CAST(256 - count(*) AS INT) AS zeros
+         |       FROM (SELECT j,
+         |               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS mj
+         |             FROM (SELECT hv // 4503599627370496 AS j,
+         |                          hv % 4503599627370496 AS rem
+         |                   FROM (SELECT DISTINCT
+         |                           CAST('0x' || substr(md5($c::VARCHAR), 1, 15) AS BIGINT) AS hv
+         |                         FROM orders WHERE $c IS NOT NULL) hh) bb
+         |             GROUP BY j) rr) a)""".stripMargin
+    def branch(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value,
+         |  ${hllEst(c)} AS n_distinct_est
          |FROM orders""".stripMargin
     Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
       .map(branch).mkString("\nUNION ALL\n") + "\nORDER BY col_name"
@@ -11117,6 +11156,7 @@ object SparkEntry {
         |FROM orders
         |ORDER BY col_name""".stripMargin,
     "q_profile_kmv" -> duckProfileKmvSql,
+    "q_profile_hll" -> duckProfileHllSql,
     // Replays Layout.zOrderKey bit-for-bit: the same shift/mask/or tree
     // rendered by zOrderKeySql (exact integer arithmetic in both engines).
     "q_zorder" ->

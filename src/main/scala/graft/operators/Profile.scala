@@ -120,6 +120,33 @@ object Profile {
     profiles.reduce(_ unionByName _)
   }
 
+  /** [[columnProfile]] with [[graft.functions.HllSketch]] distincts — the
+    * smallest-state profile-everything path: 2^p BYTES of register state
+    * per column (vs the KMV path's sketchK longs — 8× less shuffle per
+    * column×partition at equal accuracy, the difference when profiling
+    * every column of every table nightly at 100 TB). The estimate is the
+    * shared [[graft.functions.Hll.estimateSql]] fragment evaluated by
+    * Spark's OWN SQL layer over the exact-integer register statistics, so
+    * the DuckDB twin replays it bit-for-bit like the KMV report. */
+  def columnProfileHll(df: DataFrame, cols: Seq[String],
+                       p: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "columnProfileHll needs at least one column")
+    val profiles = cols.map { c =>
+      df.select(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, lit(1))).as("n_nulls"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"),
+        graft.functions.Hll.hllSketch(col(c), p).as("__hsk"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_value"), col("max_value"),
+        expr(graft.functions.Hll.estimateSql(
+          "__hsk.sum_scaled", "__hsk.zeros", p)).as("n_distinct_est"))
+    }
+    profiles.reduce(_ unionByName _)
+  }
+
   /** Schema-drift report between two frames (old vs new version of a
     * feed): one row per column that was ADDED, REMOVED, or changed TYPE
     * or NULLABILITY — the contract check that catches a vendor silently

@@ -39,6 +39,22 @@ class ProfileAnomalySpec extends AnyFunSuite {
     assert(s.getLong(5) === 2L) // distinct ignores null
   }
 
+  test("columnProfileHll: same report shape, estimates near truth, all-null safe") {
+    val df = (1 to 3000).map(i => (i.toLong, s"c${i % 9}",
+        Option.empty[String])).toDF("id", "cat", "dead")
+    val p = Profile.columnProfileHll(df, Seq("id", "cat", "dead"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").schema.fieldNames.toSeq ===
+      Seq("col_name", "n_rows", "n_nulls", "min_value", "max_value", "n_distinct_est"))
+    // 3000 distinct at m=256 registers: ~6.5% sigma, allow 3 sigma
+    assert(math.abs(p("id").getDouble(5) - 3000.0) / 3000.0 < 0.20)
+    // 9 distinct -> linear-counting branch, near-exact
+    assert(math.abs(p("cat").getDouble(5) - 9.0) < 2.0)
+    // all-null column: empty registers estimate 0 (256 * ln(1))
+    assert(p("dead").getDouble(5) === 0.0)
+    assert(p("dead").getLong(2) === 3000L)
+  }
+
   test("zscoreOutliers: textbook z values and sigma=0 safety") {
     // group g: values 1..5 -> mu=3, sigma=sqrt(2); group h: constant
     val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("grp", "v")
