@@ -243,6 +243,29 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("round-15 sketch/split operators on an empty corpus") {
+    // cluster-safe split: empty docs -> empty assignment, no failure in
+    // the cluster pipeline underneath
+    assert(Split.clusterSafeAssign(emptyDocs, "doc_id", "text",
+      Seq("train" -> 0.8, "test" -> 0.2)).count() === 0)
+    graft.CacheScope.release()
+    // HLL profiler: empty frame still emits one report row per column,
+    // with 0 rows and estimate 0 (the all-empty register vector)
+    val prof = Profile.columnProfileHll(emptyDocs, Seq("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.size === 2)
+    assert(prof("doc_id").getLong(1) === 0L)
+    assert(prof("doc_id").getDouble(5) === 0.0)
+    // streaming distinct monitor in batch mode: empty events -> no windows
+    import org.apache.spark.sql.types._
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("etype", StringType), StructField("uid", LongType))))
+    assert(graft.streaming.StreamingPipeline.windowedDistinct(
+      emptyEvents, "ts", "etype", "uid").count() === 0)
+  }
+
   test("validators on an empty table report zero rows and pass") {
     val emptyMinute = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
