@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** r15 optimization-round measurement probe (guide §1: measure first).
+  *
+  * Two modes, no timing-contract impact (never run by the driver):
+  *
+  *  - default: a PLAN CENSUS over every SparkEntry query — counts physical
+  *    Exchange / Sort / Window / Generate / Join nodes from the analyzed
+  *    plan (no execution), so the expensive shapes can be ranked and
+  *    cross-referenced against bench seconds before touching anything.
+  *
+  *  - GRAFT_PROBE_PHASES=q_a,q_b: per-query PHASE breakdown — table
+  *    registration (the per-call `load`), DataFrame construction
+  *    (analysis), first noop action (codegen + execution), second noop
+  *    action (steady state) — separating fixed per-gate overhead from
+  *    real computation. Sweeps between queries exactly like Bench.
+  *
+  * Output: one JSON line per query on stdout (prefix `CENSUS` / `PHASES`).
+  */
+object PlanCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def sweep(): Unit = {
+      CacheScope.release(blocking = true)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    val phases = sys.env.get("GRAFT_PROBE_PHASES")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+
+    if (phases.nonEmpty) {
+      // warm the session the way Bench does
+      force(SparkEntry.queries("q_indicators_combined")(spark, sfDir))
+      sweep()
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => phases(n) }
+        .foreach { case (name, fn) =>
+          def t[A](body: => A): (A, Double) = {
+            val t0 = System.nanoTime(); val a = body
+            (a, (System.nanoTime() - t0) / 1e9)
+          }
+          // phase 1: plan construction (includes the gate's internal load())
+          val (df, tPlan) = t(fn(spark, sfDir))
+          // phase 2: first action (codegen compile + execute)
+          val (_, tRun1) = t(force(df))
+          sweep()
+          // phase 3: rebuild + second action (codegen cache warm)
+          val (df2, tPlan2) = t(fn(spark, sfDir))
+          val (_, tRun2) = t(force(df2))
+          sweep()
+          println(f"""PHASES {"query":"$name","plan1":$tPlan%.3f,"run1":$tRun1%.3f,"plan2":$tPlan2%.3f,"run2":$tRun2%.3f}""")
+        }
+    } else {
+      val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          // formatted explain descends into the AQE wrapper's initial plan;
+          // node counts come from the numbered operator list ("(3) Sort")
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val ops = """\(\d+\) ([A-Za-z]+)""".r
+            .findAllMatchIn(txt).map(_.group(1)).toSeq
+          def c(p: String) = ops.count(_.contains(p))
+          val ex = c("Exchange"); val sort = c("Sort") - c("SortAggregate") -
+            c("SortMergeJoin")
+          val win = c("Window"); val gen = c("Generate")
+          val smj = c("SortMergeJoin"); val bhj = c("BroadcastHashJoin")
+          val bnl = c("BroadcastNestedLoop"); val agg = c("Aggregate")
+          f"""CENSUS {"query":"$name","exchange":$ex,"sort":$sort,"window":$win,"generate":$gen,"smj":$smj,"bhj":$bhj,"bnlj":$bnl,"agg":$agg}"""
+        } catch {
+          case e: Throwable =>
+            s"""CENSUS {"query":"$name","error":"${e.getClass.getSimpleName}"}"""
+        } finally {
+          CacheScope.release()
+        }
+      }
+      rows.foreach(println)
+    }
+    spark.stop()
+  }
+}
