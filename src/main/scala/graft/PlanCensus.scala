@@ -56,11 +56,45 @@ object PlanCensus {
           expr("l_orderkey * 8 + l_linenumber")),
         "l_quantity", "l_extendedprice", Seq("l_suppkey"), "l_shipdate",
         Seq("l_tick"), volScale = 2)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-4, 0)
+      def li(s: SparkSession) = s.read.parquet(s"$sfDir/lineitem.parquet")
+      import org.apache.spark.sql.functions.avg
+      val bw = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+        .rowsBetween(-4, 0)
       val pseudo: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
         "_scan" -> ((s, _) => s.read.parquet(s"$sfDir/lineitem.parquet")),
         "_bars" -> ((s, _) => bars(s)),
         "_bars_sorted" -> ((s, _) =>
-          bars(s).orderBy(col("l_suppkey"), col("l_shipdate"))))
+          bars(s).orderBy(col("l_suppkey"), col("l_shipdate"))),
+        // window-over-raw-lineitem gate shape: hash exchange for the window
+        // + range exchange for the final global sort (current), vs ONE
+        // range exchange below the window (candidate)
+        "_win_raw" -> ((s, _) => li(s)
+          .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), avg(col("l_quantity")).over(w).as("m"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))),
+        "_win_raw_range" -> ((s, _) => li(s)
+          .repartitionByRange(col("l_suppkey"))
+          .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), avg(col("l_quantity")).over(w).as("m"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))),
+        // bars-then-window gate shape: agg exchange + window hash exchange
+        // + final range exchange (current), vs agg exchange + ONE range
+        // exchange (candidate)
+        "_bars_win" -> ((s, _) => bars(s)
+          .select(col("l_suppkey"), col("l_shipdate"),
+            avg(col("close")).over(bw).as("m"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"))),
+        "_bars_win_range" -> ((s, _) => bars(s)
+          .repartitionByRange(col("l_suppkey"))
+          .select(col("l_suppkey"), col("l_shipdate"),
+            avg(col("close")).over(bw).as("m"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"))))
       (SparkEntry.queries.toSeq ++ pseudo).sortBy(_._1)
         .filter { case (n, _) => phases(n) }
         .foreach { case (name, fn) =>

@@ -64,6 +64,29 @@ object SparkEntry {
       Seq("l_tick"), volScale = 2)
   }
 
+  /** [[dailyBars]] pre-clustered by supplier RANGE for the window-consuming
+    * gates (r15, guide §2.4 "remove shuffles outright"): every one of these
+    * gates windows by `l_suppkey` and ends in a global
+    * `ORDER BY l_suppkey, …`, which used to plan THREE exchanges — the agg
+    * hash exchange, a second hash exchange for the window, and a final
+    * range exchange whose bound-sampling job recomputes the window stage.
+    * `RangePartitioning(l_suppkey)` satisfies BOTH the window's
+    * ClusteredDistribution (equal keys co-locate) and the final sort's
+    * OrderedDistribution (prefix rule), so the window and the global sort
+    * reuse ONE range exchange planned below the window: 3 exchanges → 2,
+    * the bars frame crosses the wire once instead of twice, and the range
+    * sampler now samples the (reusable) agg shuffle output instead of
+    * re-running the window. Same row set, same total output order; the
+    * map-side tick→bar collapse of the agg exchange is untouched, so the
+    * shape is strictly better at any scale (skew bound unchanged — the
+    * window already required per-supplier locality). Gates that re-key
+    * downstream (q_event_study, q_ic, q_rbo, q_corr_matrix, q_theil_sen,
+    * q_kendall) keep plain [[dailyBars]]. */
+  private def dailyBarsW(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dailyBars(s).repartitionByRange(col("l_suppkey"))
+  }
+
   // Shared window spec: partition by supplier, total order within partition.
   private val W =
     "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
@@ -332,7 +355,7 @@ object SparkEntry {
       // h+l, two divisions, one subtract
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.awesomeOscillator(dailyBars(s), "high", "low",
+      operators.Rolling.awesomeOscillator(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("ao"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -342,7 +365,7 @@ object SparkEntry {
       // exact selections over the proven ATR tree
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.chandelierExit(dailyBars(s), "high", "low",
+      operators.Rolling.chandelierExit(dailyBarsW(s), "high", "low",
           "close", Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"),
           col("chandelier_long"), col("chandelier_short"))
@@ -353,7 +376,7 @@ object SparkEntry {
       // ordered frame-list fold for the double-valued sum
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.massIndex(dailyBars(s), "high", "low",
+      operators.Rolling.massIndex(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("mass_index"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -363,7 +386,7 @@ object SparkEntry {
       // four ROC branches folded in order, one blend tree
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.kst(dailyBars(s), "close",
+      operators.Rolling.kst(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("kst"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -373,7 +396,7 @@ object SparkEntry {
       // frame-list fold over the ROC sum
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.coppock(dailyBars(s), "close",
+      operators.Rolling.coppock(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("coppock"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -421,7 +444,7 @@ object SparkEntry {
       // back) — the cross-sectional risk decomposition
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.marketBeta(dailyBars(s), "close",
+      operators.Rolling.marketBeta(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
         .select(col("l_suppkey"), col("l_shipdate"),
           col("mkt_corr"), col("mkt_beta"))
@@ -432,7 +455,7 @@ object SparkEntry {
       // stop-and-reverse recurrence, NULL on each key's first bar
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.parabolicSar(dailyBars(s), "high", "low",
+      operators.Rolling.parabolicSar(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("psar"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -442,7 +465,7 @@ object SparkEntry {
       // over caller-built basic bands — close >= line reads as up-trend
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.superTrend(dailyBars(s), "high", "low", "close",
+      operators.Rolling.superTrend(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 10, mult = 3)
         .select(col("l_suppkey"), col("l_shipdate"), col("supertrend"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -452,7 +475,7 @@ object SparkEntry {
       // O(1)/row formulation, BIGINT-exact
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.wma(dailyBars(s), "close",
+      operators.Rolling.wma(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 10)
         .select(col("l_suppkey"), col("l_shipdate"), col("wma"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -462,7 +485,7 @@ object SparkEntry {
       // frame-list fold for the tiny outer pass
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.hullMa(dailyBars(s), "close",
+      operators.Rolling.hullMa(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 16)
         .select(col("l_suppkey"), col("l_shipdate"), col("hma"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -472,7 +495,7 @@ object SparkEntry {
       // native EMA (α=½) over the seeded lagged-ha_close series
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.heikinAshi(dailyBars(s), "open", "high", "low",
+      operators.Rolling.heikinAshi(dailyBarsW(s), "open", "high", "low",
           "close", Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("ha_open"),
           col("ha_high"), col("ha_low"), col("ha_close"))
@@ -483,7 +506,7 @@ object SparkEntry {
       // normalized by the slow EMA, both native recurrences in one pass
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.ppo(dailyBars(s), "close",
+      operators.Rolling.ppo(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("ppo"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -493,7 +516,7 @@ object SparkEntry {
       // native-recurrence layers sharing one sort
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.trix(dailyBars(s), "close",
+      operators.Rolling.trix(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 15)
         .select(col("l_suppkey"), col("l_shipdate"), col("trix"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -503,7 +526,7 @@ object SparkEntry {
       // range, scaled-BIGINT sums, one IEEE division per line
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.vortex(dailyBars(s), "high", "low", "close",
+      operators.Rolling.vortex(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"),
           col("vi_plus"), col("vi_minus"))
@@ -514,7 +537,7 @@ object SparkEntry {
       // unsmoothed cousin, exact BIGINT up/down sums
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.cmo(dailyBars(s), "close",
+      operators.Rolling.cmo(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("cmo"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -524,7 +547,7 @@ object SparkEntry {
       // frames, one exchange, 4:2:1 fixed blend tree
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.ultimateOscillator(dailyBars(s), "high", "low",
+      operators.Rolling.ultimateOscillator(dailyBarsW(s), "high", "low",
           "close", Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("ultimate"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -534,7 +557,7 @@ object SparkEntry {
       // closes — cycle isolation via the displaced trailing mean
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.dpo(dailyBars(s), "close",
+      operators.Rolling.dpo(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
         .select(col("l_suppkey"), col("l_shipdate"), col("dpo"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -544,7 +567,7 @@ object SparkEntry {
       // five fixed IEEE trees over three lags, no frames
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.pivotPoints(dailyBars(s), "high", "low", "close",
+      operators.Rolling.pivotPoints(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"),
           col("pp"), col("r1"), col("s1"), col("r2"), col("s2"))
@@ -556,7 +579,7 @@ object SparkEntry {
       // tick-level indicator family
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val bars = dailyBars(s)
+      val bars = dailyBarsW(s)
       operators.Rolling.atr(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("atr"))
@@ -586,7 +609,7 @@ object SparkEntry {
       // recurrence bound once, extremes measured against it
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.elderRay(dailyBars(s), "high", "low", "close",
+      operators.Rolling.elderRay(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 13)
         .select(col("l_suppkey"), col("l_shipdate"),
           col("bull_power"), col("bear_power"))
@@ -597,7 +620,7 @@ object SparkEntry {
       // EMA; the frozen-NULL contract absorbs each key's first row
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.forceIndex(dailyBars(s), "close", "volume",
+      operators.Rolling.forceIndex(dailyBarsW(s), "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 13)
         .select(col("l_suppkey"), col("l_shipdate"), col("force_index"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -608,7 +631,7 @@ object SparkEntry {
       // in-order frame-list folds, never a windowed float sum
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.cmf(dailyBars(s), "high", "low", "close", "volume",
+      operators.Rolling.cmf(dailyBarsW(s), "high", "low", "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
         .select(col("l_suppkey"), col("l_shipdate"), col("cmf"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -618,7 +641,7 @@ object SparkEntry {
       // money-flow volume (the obv discipline) — exact in any engine
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.adl(dailyBars(s), "high", "low", "close", "volume",
+      operators.Rolling.adl(dailyBarsW(s), "high", "low", "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("adl"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -628,7 +651,7 @@ object SparkEntry {
       // exact ADL cumsum — one exchange, shared window spec
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.chaikinOsc(dailyBars(s), "high", "low", "close",
+      operators.Rolling.chaikinOsc(dailyBarsW(s), "high", "low", "close",
           "volume", Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("adl"),
           col("chaikin_osc"))
@@ -639,7 +662,7 @@ object SparkEntry {
       // window with the ordered frame-list fold for the square sum
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.ulcerIndex(dailyBars(s), "close",
+      operators.Rolling.ulcerIndex(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("ulcer"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -649,7 +672,7 @@ object SparkEntry {
       // the ordered frame-list fold; zero-volume bars NULL by contract
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.easeOfMovement(dailyBars(s), "high", "low",
+      operators.Rolling.easeOfMovement(dailyBarsW(s), "high", "low",
           "volume", Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("eom"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -659,7 +682,7 @@ object SparkEntry {
       // per-bar IEEE tree + ordered frame-list fold
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.balanceOfPower(dailyBars(s), "open", "high",
+      operators.Rolling.balanceOfPower(dailyBarsW(s), "open", "high",
           "low", "close", Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("bop"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -669,7 +692,7 @@ object SparkEntry {
       // var_ema recurrence; oracle is a WITH RECURSIVE state replay
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.kama(dailyBars(s), "close",
+      operators.Rolling.kama(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 10, fast = 2, slow = 30)
         .select(col("l_suppkey"), col("l_shipdate"), col("kama"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -680,7 +703,7 @@ object SparkEntry {
       // dual-state product replay
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.volumeIndexes(dailyBars(s), "close", "volume",
+      operators.Rolling.volumeIndexes(dailyBarsW(s), "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("nvi"), col("pvi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -693,7 +716,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{col, lag, lit, when}
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withSma = dailyBars(s).select(col("*"),
+      val withSma = dailyBarsW(s).select(col("*"),
         functions.FinancialFunctions.sma(col("close"), 10).over(w).as("__s10"))
       // stage the two lags once (each inlined reference would expand to
       // its own window expression — 4 copies of each lag in `pos`)
@@ -718,7 +741,7 @@ object SparkEntry {
       // a million-ticker backtest as one declarative job
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Signals.backtestMaCrossover(dailyBars(s), "l_suppkey",
+      operators.Signals.backtestMaCrossover(dailyBarsW(s), "l_suppkey",
           Seq("l_shipdate"), "close", shortWindow = 5, longWindow = 10)
         .select(col("l_suppkey"), col("l_shipdate"), col("position"),
           col("equity"))
@@ -729,7 +752,7 @@ object SparkEntry {
       // exact integer underwater flag): worst-episodes risk report rows
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.drawdownEpisodes(dailyBars(s), "close",
+      operators.Rolling.drawdownEpisodes(dailyBarsW(s), "close",
           Seq("l_suppkey"), "l_shipdate")
         .orderBy(col("l_suppkey"), col("start"))
     }),
@@ -738,7 +761,7 @@ object SparkEntry {
       // oracle is a WITH RECURSIVE grid-walk replay
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.renkoLevel(dailyBars(s), "close",
+      operators.Rolling.renkoLevel(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), brickCenti = 500)
         .select(col("l_suppkey"), col("l_shipdate"), col("renko"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -748,7 +771,7 @@ object SparkEntry {
       // comparisons, one window pass, NULL on plateaus and edges
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.fractals(dailyBars(s), "high", "low",
+      operators.Rolling.fractals(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"), wings = 2)
         .select(col("l_suppkey"), col("l_shipdate"),
           col("fractal_high"), col("fractal_low"))
@@ -776,7 +799,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      dailyBars(s)
+      dailyBarsW(s)
         .select(col("l_suppkey"), col("l_shipdate"),
           FinancialFunctions.holt(col("close"), 300, 200).over(w)
             .as("forecast"))
@@ -791,7 +814,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      dailyBars(s)
+      dailyBarsW(s)
         .select(col("l_suppkey"), col("l_shipdate"),
           FinancialFunctions.kalman(col("close"), 10, 1000).over(w)
             .as("level"))
@@ -806,7 +829,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, lag, lit}
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      dailyBars(s)
+      dailyBarsW(s)
         .select(col("l_suppkey"), col("l_shipdate"),
           ((col("close") / lag(col("close"), 1).over(w)) - lit(1.0)).as("ret"))
         .select(col("l_suppkey"), col("l_shipdate"),
@@ -819,7 +842,7 @@ object SparkEntry {
       // comparisons, exact anywhere
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Signals.candlePatterns(dailyBars(s), "open", "high",
+      operators.Signals.candlePatterns(dailyBarsW(s), "open", "high",
           "low", "close", Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("doji"),
           col("hammer"), col("bullish_engulfing"), col("bearish_engulfing"))
@@ -830,7 +853,7 @@ object SparkEntry {
       // series (annualized by sqrt(252)): the portfolio screen
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+      val rets = operators.Rolling.logReturns(dailyBarsW(s), "close",
         Seq("l_suppkey"), Seq("l_shipdate"))
       operators.Rolling.perfSummary(rets, "ret_log",
           Seq("l_suppkey"), Seq("l_shipdate"),
@@ -842,7 +865,7 @@ object SparkEntry {
       // (mean of the 2 worst of 20 log returns)
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+      val rets = operators.Rolling.logReturns(dailyBarsW(s), "close",
         Seq("l_suppkey"), Seq("l_shipdate"))
       operators.Rolling.historicalVar(rets, "ret_log",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20, alpha = 0.1)
@@ -855,7 +878,7 @@ object SparkEntry {
       // annualized by sqrt(252) — the risk-metric composition
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+      val rets = operators.Rolling.logReturns(dailyBarsW(s), "close",
         Seq("l_suppkey"), Seq("l_shipdate"))
       operators.Rolling.realizedVol(rets, "ret_log",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20,
@@ -869,7 +892,7 @@ object SparkEntry {
       // POSITIONS, integer arithmetic, most-recent tie convention
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.aroon(dailyBars(s), "high", "low",
+      operators.Rolling.aroon(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 25)
         .select(col("l_suppkey"), col("l_shipdate"),
           col("aroon_up"), col("aroon_down"))
@@ -880,7 +903,7 @@ object SparkEntry {
       // — signed flows fold in window order, flat bars carry no flow
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.mfi(dailyBars(s), "high", "low", "close", "volume",
+      operators.Rolling.mfi(dailyBarsW(s), "high", "low", "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"), col("mfi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -890,7 +913,7 @@ object SparkEntry {
       // frame mean and mean absolute deviation, NULL on flat frames
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.cci(dailyBars(s), "high", "low", "close",
+      operators.Rolling.cci(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 20)
         .select(col("l_suppkey"), col("l_shipdate"), col("cci"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -900,7 +923,7 @@ object SparkEntry {
       // extremes + IEEE halvings + shifts; no recurrence anywhere
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.ichimoku(dailyBars(s), "high", "low", "close",
+      operators.Rolling.ichimoku(dailyBarsW(s), "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("tenkan"),
           col("kijun"), col("senkou_a"), col("senkou_b"), col("chikou"))
@@ -912,7 +935,7 @@ object SparkEntry {
       // all sharing one (supplier, date) window spec
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val bars = dailyBars(s)
+      val bars = dailyBarsW(s)
       operators.Rolling.adx(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 14)
         .select(col("l_suppkey"), col("l_shipdate"),
@@ -1269,7 +1292,7 @@ object SparkEntry {
       // the composition pairing the recurrence indicator with the bar ops
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val bars = dailyBars(s)
+      val bars = dailyBarsW(s)
       operators.Rolling.keltner(bars, "high", "low", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), emaN = 20, atrN = 14, k = 2.0)
         .select(col("l_suppkey"), col("l_shipdate"),
@@ -1733,7 +1756,7 @@ object SparkEntry {
       // lead–lag screen; all shifts on one keyed sort, one explode, one
       // map-side-combinable (key, lag) aggregate with the corrBeta trees
       load(s, d)
-      operators.Rolling.crossCorr(dailyBars(s), "volume", "close",
+      operators.Rolling.crossCorr(dailyBarsW(s), "volume", "close",
           Seq("l_suppkey"), Seq("l_shipdate"), Seq(-2, -1, 0, 1, 2),
           xScale = 2, yScale = 2)
         .orderBy(col("l_suppkey"), col("lag"))
@@ -1746,7 +1769,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.lag
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withF = dailyBars(s)
+      val withF = dailyBarsW(s)
         .withColumn("fcst", lag(col("close"), 1).over(w))
       operators.Eval.forecastErrors(withF, "close", "fcst",
           Seq("l_suppkey"), Seq("l_shipdate"), m = 7, scale = 2)
@@ -1774,7 +1797,7 @@ object SparkEntry {
       // exist only on traded days — genuinely intermittent): two native
       // var_ema recurrences on one keyed sort
       load(s, d)
-      operators.Rolling.croston(dailyBars(s), "volume", "l_shipdate",
+      operators.Rolling.croston(dailyBarsW(s), "volume", "l_shipdate",
           Seq("l_suppkey"), Seq("l_shipdate"), alphaPm = 100)
         .select(col("l_suppkey"), col("l_shipdate"), col("croston_z"),
           col("croston_p"), col("croston"))
@@ -1794,7 +1817,7 @@ object SparkEntry {
       // per-supplier Wald-Wolfowitz runs test on the close — the
       // distribution-free randomness screen beside q_ljung_box
       load(s, d)
-      operators.Stats.runsTest(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.runsTest(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -1803,7 +1826,7 @@ object SparkEntry {
       // annualized by sqrt(252) — the regime monitor beside the
       // whole-series q_perf_summary; exact integer frame sums
       load(s, d)
-      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+      val rets = operators.Rolling.logReturns(dailyBarsW(s), "close",
         Seq("l_suppkey"), Seq("l_shipdate"))
       operators.Rolling.rollingSharpe(rets, "ret_log",
           Seq("l_suppkey"), Seq("l_shipdate"), n = 21,
@@ -1826,7 +1849,7 @@ object SparkEntry {
       load(s, d)
       import org.apache.spark.sql.functions.{lit, round}
       val dec = CacheScope.register(
-        operators.Resample.seasonalDecompose(dailyBars(s)
+        operators.Resample.seasonalDecompose(dailyBarsW(s)
             .select(col("l_suppkey"), col("l_shipdate"), col("close")),
             "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
             scale = 2)
@@ -1850,7 +1873,7 @@ object SparkEntry {
       load(s, d)
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      dailyBars(s)
+      dailyBarsW(s)
         .select(col("l_suppkey"), col("l_shipdate"),
           FinancialFunctions.holtWinters(col("close"), 7, 300, 200, 300)
             .over(w).as("hw"))
@@ -1960,7 +1983,7 @@ object SparkEntry {
       // hypothesis-test companion to q_cross_corr's lead-lag screen;
       // exact n-multiplied normal equations, VARCHAR-bridged oracle
       load(s, d)
-      operators.Stats.grangerLag1(dailyBars(s), "close", "volume",
+      operators.Stats.grangerLag1(dailyBarsW(s), "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), yScale = 2, xScale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -1968,7 +1991,7 @@ object SparkEntry {
       // per-supplier unit-root test on the close — exact (lag, diff)
       // sufficient statistics, the fixed beta/t trees
       load(s, d)
-      operators.Stats.dickeyFuller(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.dickeyFuller(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2021,7 +2044,7 @@ object SparkEntry {
       // per-supplier Roll effective spread from close-change
       // autocovariance — microstructure beside q_amihud's price impact
       load(s, d)
-      operators.Stats.rollSpread(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.rollSpread(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2033,7 +2056,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{lag, lit}
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withV = dailyBars(s).withColumn("var_line",
+      val withV = dailyBarsW(s).withColumn("var_line",
         lag(col("close"), 1).over(w) * lit(0.98))
       operators.Eval.christoffersenInd(withV, "close", "var_line",
           Seq("l_suppkey"), Seq("l_shipdate"))
@@ -2047,7 +2070,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{lag, lit}
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withV = dailyBars(s).withColumn("var_line",
+      val withV = dailyBarsW(s).withColumn("var_line",
         lag(col("close"), 1).over(w) * lit(0.98))
       operators.Eval.kupiecPof(withV, "close", "var_line",
           Seq("l_suppkey"), pPm = 50)
@@ -2074,7 +2097,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.lag
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withF = dailyBars(s)
+      val withF = dailyBarsW(s)
         .withColumn("fcst", lag(col("close"), 1).over(w))
       operators.Eval.pinballLoss(withF, "close", "fcst", Seq("l_suppkey"),
           tauPm = 900, scale = 2)
@@ -2087,7 +2110,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{lag, lit}
       val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
-      val withF = dailyBars(s).withColumn("fcst",
+      val withF = dailyBarsW(s).withColumn("fcst",
         (lag(col("close"), 1).over(w) + lag(col("close"), 2).over(w)) /
           lit(2.0))
       operators.Eval.theilU2(withF, "close", "fcst", Seq("l_suppkey"),
@@ -2106,7 +2129,7 @@ object SparkEntry {
       // per-supplier 5%-per-side trimmed mean of the close — positional
       // trim on one keyed sort, exact kept sum
       load(s, d)
-      operators.Stats.trimmedMean(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.trimmedMean(dailyBarsW(s), "close", Seq("l_suppkey"),
           trimPm = 50, scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2114,7 +2137,7 @@ object SparkEntry {
       // per-supplier Hill tail index over the top-50 volumes — how heavy
       // is the upper volume tail; k-bounded rank list, rounded-ln fold
       load(s, d)
-      operators.Stats.hillTail(dailyBars(s), "volume", Seq("l_suppkey"),
+      operators.Stats.hillTail(dailyBarsW(s), "volume", Seq("l_suppkey"),
           k = 50, scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2136,7 +2159,7 @@ object SparkEntry {
       // SPC monitor with exact time-varying limits; two native
       // recurrences (var_ema + runprod) on one keyed sort
       load(s, d)
-      operators.Rolling.ewmaChart(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Rolling.ewmaChart(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), lambdaPm = 200, l = 3.0, scale = 2)
         .select(col("l_suppkey"), col("l_shipdate"), col("ewma"),
           col("ewma_ucl"), col("ewma_lcl"), col("ewma_ooc"))
@@ -2156,7 +2179,7 @@ object SparkEntry {
       // pairs — is the median intraday move zero; doubled-rank exact
       // integers, one keyed sort
       load(s, d)
-      operators.Stats.wilcoxonSignedRank(dailyBars(s), "close", "open",
+      operators.Stats.wilcoxonSignedRank(dailyBarsW(s), "close", "open",
           Seq("l_suppkey"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2179,7 +2202,7 @@ object SparkEntry {
       // GARCH fit; exact squared-residual pair sums
       load(s, d)
       operators.Stats.archLm(
-          dailyBars(s).withColumn("ret",
+          dailyBarsW(s).withColumn("ret",
             (col("close") - col("open")) / col("open")),
           "ret", Seq("l_suppkey"), Seq("l_shipdate"), scale = 6)
         .orderBy(col("l_suppkey"))
@@ -2270,7 +2293,7 @@ object SparkEntry {
       // Hyndman F_s/F_t per supplier off the period-7 decomposition —
       // one number each for "how seasonal / how trended"
       load(s, d)
-      val dec = operators.Resample.seasonalDecompose(dailyBars(s)
+      val dec = operators.Resample.seasonalDecompose(dailyBarsW(s)
           .select(col("l_suppkey"), col("l_shipdate"), col("close")),
         "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
         scale = 2)
@@ -2294,7 +2317,7 @@ object SparkEntry {
       // autocorrelation in the form regressions quote; exact
       // n-multiplied demeaning, one ratio
       load(s, d)
-      operators.Stats.durbinWatson(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.durbinWatson(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2528,7 +2551,7 @@ object SparkEntry {
       // per-supplier partial autocorrelation at lags 1-3 — the exact
       // integer rho ratios through the unrolled Durbin-Levinson trees
       load(s, d)
-      operators.Stats.pacf(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.pacf(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2591,7 +2614,7 @@ object SparkEntry {
       // 8/16/32/64 block ladder — integer R/S blocks, quantized block
       // terms, baked-abscissa regression
       load(s, d)
-      operators.Rolling.hurst(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Rolling.hurst(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), blockSizes = Seq(8, 16, 32, 64), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2600,7 +2623,7 @@ object SparkEntry {
       // residual-whiteness screen; all five lag shifts on one keyed
       // sort, exact integer rho numerators, fixed k-fold for Q
       load(s, d)
-      operators.Stats.ljungBox(dailyBars(s), "close", Seq("l_suppkey"),
+      operators.Stats.ljungBox(dailyBarsW(s), "close", Seq("l_suppkey"),
           Seq("l_shipdate"), m = 5, scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2645,7 +2668,7 @@ object SparkEntry {
       // 12-dp integer twiddle factors — exact decimal quadrature sums,
       // mean removal multiplied through by n
       load(s, d)
-      operators.Rolling.harmonicPower(dailyBars(s), "close",
+      operators.Rolling.harmonicPower(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), Seq(5, 7, 21), scale = 2)
         .orderBy(col("l_suppkey"), col("period"))
     }),
@@ -2653,7 +2676,7 @@ object SparkEntry {
       // per-supplier Amihud illiquidity over the daily bars — exact
       // quantized terms, pinned-order whole-series fold
       load(s, d)
-      operators.Rolling.amihud(dailyBars(s), "close", "volume",
+      operators.Rolling.amihud(dailyBarsW(s), "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2671,7 +2694,7 @@ object SparkEntry {
       // the quote-free spread readout beside q_roll_spread's serial
       // covariance form
       load(s, d)
-      operators.Rolling.corwinSchultz(dailyBars(s), "high", "low",
+      operators.Rolling.corwinSchultz(dailyBarsW(s), "high", "low",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .orderBy(col("l_suppkey"))
     }),
@@ -2680,7 +2703,7 @@ object SparkEntry {
       // on tick-rule signed volume — exact integer product sums, one
       // division; the price-impact companion to q_amihud
       load(s, d)
-      operators.Rolling.kyleLambda(dailyBars(s), "close", "volume",
+      operators.Rolling.kyleLambda(dailyBarsW(s), "close", "volume",
           Seq("l_suppkey"), Seq("l_shipdate"), scale = 2)
         .orderBy(col("l_suppkey"))
     }),
@@ -2689,7 +2712,7 @@ object SparkEntry {
       // variance with the homoskedastic z — the random-walk test beside
       // q_dickey_fuller, integer-exact up to one pinned double tree
       load(s, d)
-      operators.Rolling.varianceRatio(dailyBars(s), "close",
+      operators.Rolling.varianceRatio(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"), q = 5)
         .orderBy(col("l_suppkey"))
     }),
@@ -2698,7 +2721,7 @@ object SparkEntry {
       // integer 2x-MA trend numerators, decimal phase means, pinned
       // phase-fold centering
       load(s, d)
-      operators.Resample.seasonalDecompose(dailyBars(s)
+      operators.Resample.seasonalDecompose(dailyBarsW(s)
           .select(col("l_suppkey"), col("l_shipdate"), col("close")),
           "close", Seq("l_suppkey"), Seq("l_shipdate"), period = 7,
           scale = 2)
@@ -2764,7 +2787,7 @@ object SparkEntry {
       // frame passes carrying (t, v) anchor structs
       load(s, d)
       import org.apache.spark.sql.functions.{expr, lit, when}
-      val bars = dailyBars(s)
+      val bars = dailyBarsW(s)
         .withColumn("day", expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)"))
         .withColumn("c",
           when(col("day") % 5 === 2, lit(null)).otherwise(col("close")))
@@ -3050,7 +3073,7 @@ object SparkEntry {
       // return percent rank
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.connorsRsi(dailyBars(s), "close",
+      operators.Rolling.connorsRsi(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"),
           col("streak"), col("pct_rank"), col("crsi"))
@@ -3061,7 +3084,7 @@ object SparkEntry {
       // as exact selections over the native RSI recurrence
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.stochRsi(dailyBars(s), "close",
+      operators.Rolling.stochRsi(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("stoch_rsi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -3071,7 +3094,7 @@ object SparkEntry {
       // layers on one sort, frozen-NULL first row
       load(s, d)
       import org.apache.spark.sql.functions.col
-      operators.Rolling.tsi(dailyBars(s), "close",
+      operators.Rolling.tsi(dailyBarsW(s), "close",
           Seq("l_suppkey"), Seq("l_shipdate"))
         .select(col("l_suppkey"), col("l_shipdate"), col("tsi"))
         .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -3082,7 +3105,7 @@ object SparkEntry {
       // by sqrt(252) like the vol gates
       load(s, d)
       import org.apache.spark.sql.functions.col
-      val rets = operators.Rolling.logReturns(dailyBars(s), "close",
+      val rets = operators.Rolling.logReturns(dailyBarsW(s), "close",
         Seq("l_suppkey"), Seq("l_shipdate"))
       operators.Rolling.riskRatios(rets, "ret_log",
           Seq("l_suppkey"), Seq("l_shipdate"),

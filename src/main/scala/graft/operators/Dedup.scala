@@ -994,6 +994,27 @@ object Dedup {
       .otherwise(length(col(textCol)))
     val occ = docs
       .where(length(col(textCol)) >= minLen)
+      // r15 (guide §2.3 "shuffle keys and metadata instead of payloads",
+      // inverted: shuffle the PAYLOAD once instead of its explosion): the
+      // selection window below requires per-doc clustering either way, and
+      // without this repartition EnsureRequirements plants the exchange
+      // ABOVE the explode+md5 projection — the shuffle then carries one
+      // 24-byte packed-key row PER CHARACTER (~20× the corpus bytes) and
+      // the explode+hash work runs in the scan stage (one task per input
+      // split — a single task on a one-row-group file). Repartitioning the
+      // raw docs by id moves the one unavoidable exchange BELOW the
+      // explode: whole documents cross the wire once (O(corpus) bytes),
+      // and the per-position md5 work parallelizes across the shuffle
+      // partitions. The partition count is pinned to
+      // spark.sql.shuffle.partitions (the deployment's scale knob) rather
+      // than left to AQE coalescing: AQE sizes partitions by SHUFFLE bytes
+      // read, but each shuffled document byte fans out into ~24 bytes of
+      // packed-key rows plus an md5 digest per position downstream, so
+      // byte-based coalescing under-parallelizes the expensive stage ~20×
+      // (measured: the ingest gates lost 0.4–2.2 s to a coalesced 1–2
+      // partition explode). Same rows, same selection.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
       .select(col(idCol),
         (len - (minLen - 1)).as("__last"),
         explode(sequence(lit(1), len - (noise - 1), lit(1))).as("pos"),

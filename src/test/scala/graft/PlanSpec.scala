@@ -186,14 +186,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bar-recurrence chains shuffle once for the bars, once for the windows") {
-    // dailyBars aggregates on (suppkey, day) — exchange 1; every window
-    // pass in the chain (ATR + SuperTrend, the 3 TRIX EMA layers, the
-    // hull WMA ladder, PSAR) shares the supplier partitioning — exchange
-    // 2 and NO MORE, however many recurrence layers stack
+    // dailyBars aggregates on (suppkey, day) — the ONE hash exchange;
+    // every window pass in the chain (ATR + SuperTrend, the 3 TRIX EMA
+    // layers, the hull WMA ladder, PSAR) AND the final presentation sort
+    // share dailyBarsW's single supplier RANGE exchange (r15:
+    // RangePartitioning(l_suppkey) satisfies the windows' clustering and
+    // the global sort's ordering prefix, so the old second hash exchange
+    // and the separate range exchange fused) — and NO MORE, however many
+    // recurrence layers stack
     for (name <- Seq("q_supertrend", "q_psar", "q_trix", "q_hull_ma")) {
       val p = plan(name)
-      assert(p.split("Exchange hashpartitioning").length - 1 == 2,
-        s"$name should shuffle exactly twice (bars agg + shared window key):\n$p")
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$name should hash-shuffle exactly once (bars agg):\n$p")
+      assert(p.split("Exchange rangepartitioning").length - 1 == 1,
+        s"$name should range-shuffle exactly once (shared window + sort key):\n$p")
     }
   }
 
@@ -248,13 +254,16 @@ class PlanSpec extends AnyFunSuite {
     // KAMA stacks the diff layer, the ordered fold, and the var_ema
     // recurrence; NVI/PVI stack lags + two runprod chains; ADL/Chaikin
     // stack the BIGINT cumsum + two native EMAs — all on the supplier
-    // spec, so the bars agg and the shared window key stay the ONLY
-    // hash exchanges however many layers stack
+    // spec, so the bars agg (hash) and dailyBarsW's shared supplier range
+    // exchange (window key + presentation sort, r15) stay the ONLY
+    // exchanges however many layers stack
     for (name <- Seq("q_kama", "q_volume_index", "q_chaikin_osc",
         "q_ulcer")) {
       val p = plan(name)
-      assert(p.split("Exchange hashpartitioning").length - 1 == 2,
-        s"$name should shuffle exactly twice (bars agg + window key):\n$p")
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+        s"$name should hash-shuffle exactly once (bars agg):\n$p")
+      assert(p.split("Exchange rangepartitioning").length - 1 == 1,
+        s"$name should range-shuffle exactly once (window + sort key):\n$p")
     }
   }
 
