@@ -83,6 +83,22 @@ object PlanCensus {
             col("l_linenumber"), avg(col("l_quantity")).over(w).as("m"))
           .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
             col("l_linenumber"))),
+        // the REAL raw-window gate presentation order (q_sma etc. end in
+        // ORDER BY l_orderkey, l_linenumber — NOT a window-key prefix), so
+        // the final range exchange re-keys regardless and the range-below-
+        // window candidate can only swap the window's hash exchange for a
+        // range exchange plus its sampling job. _win_raw/_win_raw_range
+        // above measure the suppkey-prefixed order that the BAR gates use;
+        // these two measure what the raw SQL gates would actually see.
+        "_win_raw_pres" -> ((s, _) => li(s)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            avg(col("l_quantity")).over(w).as("m"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        "_win_raw_pres_range" -> ((s, _) => li(s)
+          .repartitionByRange(col("l_suppkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            avg(col("l_quantity")).over(w).as("m"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))),
         // bars-then-window gate shape: agg exchange + window hash exchange
         // + final range exchange (current), vs agg exchange + ONE range
         // exchange (candidate)
