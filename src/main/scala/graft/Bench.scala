@@ -93,6 +93,25 @@ object Bench {
     }
     val calibStart = calibrate()
 
+    // Frozen ambient probe (r15 verdict "What's wrong #5"): q_sma is both
+    // the calibration query and a potential optimization target, so a
+    // round that speeds q_sma up silently rescales every normalized
+    // ratio. This probe times a bare parquet scan through the noop sink —
+    // a shape no query optimization can touch — and is recorded as
+    // ADDITIONAL keys (cal_scan_start_sec/cal_scan_end_sec) next to the
+    // existing q_sma calibration, which stays the primary basis so
+    // cross-round diffs against older artifacts remain comparable.
+    def calibrateScan(): Double = {
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        force(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      sweep()
+      runs.min
+    }
+    val calScanStart = calibrateScan()
+
     // optional comma-separated filter for local bisection (driver sets
     // nothing -> full suite)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
@@ -220,8 +239,9 @@ object Bench {
 
     val sizeSweep = SizeSweep.run(spark, sfDir, sweep _)
     val calibEnd = calibrate()
+    val calScanEnd = calibrateScan()
     val calibJson =
-      f""""calibration":{"query":"q_sma","runs":5,"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f}"""
+      f""""calibration":{"query":"q_sma","runs":5,"start_sec":$calibStart%.3f,"end_sec":$calibEnd%.3f},"cal_scan_start_sec":$calScanStart%.3f,"cal_scan_end_sec":$calScanEnd%.3f"""
 
     // In-session suspect adjudication (bench_diff's exact outlier rule):
     // normalized ratio > 1.5× the session median AND > 0.5 s absolute
@@ -380,8 +400,21 @@ object Bench {
     // sits inside the tail window and actually parses.
     val headline = Seq("q_sma", "q_ema", "q_rsi", "q_macd",
       "q_indicators_combined")
+    // Stable reporting set (r15 verdict "What's wrong #4"): every query
+    // the r15 printed line carried — plus the six that "dropped" from it
+    // in r15 purely by getting faster — stays in the printed map
+    // permanently, so the driver's cross-round PERF diff never reports a
+    // query "dropped_from_bench" merely because it fell out of the
+    // slowest-N window. Additions only: the slowest-12 rule still appends
+    // any new tail query on top of this set.
+    val stableReport = Seq(
+      "q_pagerank", "q_hits", "q_pacf", "q_stream_live_ttl", "q_densify",
+      "q_dedup_star", "q_stream_live", "q_winnow_pairs", "q_winsorize",
+      "q_media_video", "q_hurst", "q_winnow_dedup",
+      "q_connors_rsi", "q_dedup_components", "q_dedup_minhash",
+      "q_realized_vol", "q_winnow_cut", "q_winnow_cut_padded")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12).map(_._1)
-    val picked = (headline ++ slowest).distinct
+    val picked = (headline ++ stableReport ++ slowest).distinct
     val byName = results.map(t => t._1 -> t._2).toMap
     val qsCompact = picked.flatMap(n => byName.get(n).map(v =>
         "\"" + n + f"\":$v%.3f"))
