@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  // (A partition-preserving checkpoint variant — AQE disabled around the
+  // localCheckpoint action so HashPartitioning survives into the LogicalRDD
+  // and the iterative joins could co-partition — was A/B-tested here and
+  // REJECTED: per-half-step job sums measured 6.1 s vs 4.0 s with plain
+  // AQE-on checkpoints at sf0.1. AQE's runtime coalescing + broadcast
+  // conversion on the tiny per-round frames beats static co-partitioning
+  // at 32-way width, and alias rewrites broke the preserved partitioning
+  // at the aggregate boundaries anyway, so the exchanges stayed.)
+
   /** PageRank after exactly `iters` iterations, damping `d`:
     * `pr(v) = (1−d)/N + d·Σ_{u→v} pr(u)/outdeg(u)`, ranks rounded to 10
     * decimals each iteration. Simplified variant: sink nodes (no
@@ -58,17 +67,40 @@ object Graph {
     }
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // fold out-degrees INTO the edge frame once — one (src, dst, deg)
-    // persist replaces a per-round degree join
-    val ew = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg")),
-        "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // nodes feeds the init and every round's spine — persist for the
-    // loop's lifetime (|nodes| rows) so the distinct doesn't rerun per round
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER localCheckpoint of the normalized edge frame (not persist): a
+    // persisted frame keeps its full logical lineage, so the iters-round
+    // lazy chain re-embedded the whole graph-construction subtree ~4x per
+    // round and single-threaded driver ANALYSIS of that plan dominated the
+    // gate (3.1 s of 5.4 s steady-state at sf0.1, plan dump 222 KB) — and
+    // was session-sensitive (the driver measured 19 s where a fresh
+    // session measured 4.9 s). The checkpoint truncates every downstream
+    // plan to LogicalRDD leaves. Cutting e FIRST also means the degree
+    // aggregation and the degree join below read the materialized blocks
+    // instead of re-running the caller's edge subtree twice (the gate's
+    // orders⋈lineitem+distinct scan ran 2x per materialization before —
+    // ~0.9 s each at sf0.1).
+    val (eCut, eBlocks) = checkpointed(e)
+    // fold out-degrees INTO the edge frame once — one (src, dst, deg) cut
+    // replaces a per-round degree join
+    val (ew, ewBlocks) = checkpointed(eCut.join(
+        eCut.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg")),
+        "src"))
+    // e's blocks back nothing after ew is cut — release them eagerly
+    drop(eBlocks)
+    // nodes feeds the init and every round's spine — checkpointed off the
+    // cut edge frame (no second scan of the raw edges), and ALSO persisted:
+    // the materialized cache stats (|nodes| rows, a few hundred KB here)
+    // let the planner broadcast the round-1 rank frame (verified in the
+    // plan dump; later rounds' estimates degrade through the joins and
+    // ride AQE's runtime conversion instead), and the identical edge-side
+    // exchange subtrees of the SMJ rounds collapse into ONE ReusedExchange
+    // per action. Estimate-driven at scale: a billion-node rank frame
+    // reports GBs and falls back to SMJ on its own; no forced hint.
+    val (nodesCut, nodeBlocks) = checkpointed(
+      ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct())
+    val nodes = CacheScope.register(nodesCut
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one scalar driver action (the connectedComponents convergence-probe
     // precedent) — N as a literal kills a per-round broadcast crossJoin
     val n = nodes.count().toDouble
@@ -113,12 +145,10 @@ object Graph {
       }
       i += 1
     }
-    // ew/nodes back the returned lazy plan — CacheScope owns their release
-    // (the harness sweeps after each query's action), like the final CC
-    // checkpoint blocks
-    CacheScope.register(ew)
-    CacheScope.register(nodes)
-    CacheScope.registerRddIds(sc, rankBlocks)
+    // ew/nodes checkpoint blocks back the returned lazy plan — CacheScope
+    // owns their release (the harness sweeps after each query's action),
+    // like the final CC checkpoint blocks
+    CacheScope.registerRddIds(sc, ewBlocks ++ nodeBlocks ++ rankBlocks)
     ranks
   }
 
@@ -456,15 +486,31 @@ object Graph {
     def drop(ids: Set[Int]): Unit = ids.foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
     }
-    val e = CacheScope.register(edges
+    // EAGER localCheckpoint of the edge frame (the pageRank rationale: a
+    // persisted frame keeps its full lineage, so all 2*iters per-half-step
+    // cut plans re-embedded and re-analyzed the graph-construction subtree
+    // — measured 5.8 s of 6.6 s steady-state at sf0.1 spent OFF the
+    // executors across 50 tiny jobs); nodes is cut off the materialized
+    // edge blocks instead of re-scanning the caller's edge subtree. The
+    // cut frame is ALSO persisted: a bare LogicalRDD reports no size, and
+    // without e's materialized cache stats the per-half-step score joins
+    // lost their estimate-driven broadcast and re-shuffled the edge frame
+    // every half-step (measured: suite shuffle 19.7 -> 37.9 MB with the
+    // checkpoint alone). Persist-over-checkpoint keeps both properties —
+    // truncated lineage AND accurate stats — and stays estimate-driven at
+    // scale (a billion-node score frame falls back to SMJ on its own,
+    // no forced broadcast hint).
+    val (eCut, eBlocks) = checkpointed(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct())
+    val e = CacheScope.register(eCut
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = CacheScope.register(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (nodes, nodeBlocks) = checkpointed(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    CacheScope.registerRddIds(sc, nodeBlocks)
     var live: List[Set[Int]] = Nil
     def cut(df: DataFrame): DataFrame = {
       val (c, bs) = checkpointed(df) // eager — see scaladoc
@@ -494,6 +540,12 @@ object Graph {
       hub = maxNormalized(hubRaw, "hub")
       i += 1
     }
+    // the loop is done with the edge frame — the returned plan reads only
+    // nodes + the last two cuts, so its blocks are released eagerly here
+    // rather than held until the harness sweep (the cache is registered
+    // with CacheScope and released by the harness)
+    drop(eBlocks)
+    e.unpersist(blocking = false)
     // the returned frame reads the LAST two cuts (auth's and hub's raws)
     live.foreach(bs => CacheScope.registerRddIds(sc, bs))
     nodes
