@@ -79,6 +79,21 @@ object StreamingLive {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.getOption(shuffleKey)
     spark.conf.set(shuffleKey, "4")
+    // No-data micro-batches OFF for this bounded replay: with them on,
+    // every addData chunk runs a SECOND empty batch (watermark/timer
+    // bookkeeping only) that pays the full per-batch fixed cost — a
+    // RocksDB instance open+commit per state partition plus incremental
+    // re-planning — and contributes zero output rows here. Timer semantics
+    // are unchanged BECAUSE of the gates' chunk design: expiry is driven
+    // by the watermark a PREVIOUS data chunk advanced, and the dedicated
+    // boundary chunk (only surviving symbols) fires handleExpiredTimer
+    // inside a DATA batch either way; rows are emitted per input row
+    // (not watermark-gated), so empty batches never carried output.
+    // The TTL gate's oracle replay is the regression proof that eviction
+    // still fires.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
     // (Changelog checkpointing was A/B-tested here and REJECTED: on this
     // bounded replay's tiny per-batch state it measured 9.6/9.3 s vs
     // 6.2/5.7 s with plain snapshots — the delta-file machinery costs
@@ -109,6 +124,10 @@ object StreamingLive {
       prevShuffle match {
         case Some(v) => spark.conf.set(shuffleKey, v)
         case None    => spark.conf.unset(shuffleKey)
+      }
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
       }
       // per-run checkpoint dirs are swept once at JVM exit (ckptRoot hook)
     }
