@@ -40,6 +40,7 @@ object SkewProbe {
       .config("spark.buffer.pageSize", "4m") // see Bench — small-data page fix
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.FinancialFunctions.registerAll(spark) // adx needs `wilder`
     import spark.implicits._
 
     def force(df: DataFrame): Unit =

@@ -453,16 +453,26 @@ object Dedup {
     // the union reads `pairs` TWICE (one scan per direction): without this
     // persist an expensive upstream pipeline (e.g. the whole minhash
     // near-dup chain) recomputes per scan. Scoped: dropped as soon as the
-    // label init below has materialized the (persisted) edges frame.
+    // eager edge checkpoint below has materialized.
     val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairsP.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairsP.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // EAGER localCheckpoint of the edge frame (the Graph.pageRank/hits
+    // rationale): a persisted frame keeps its full logical lineage, so
+    // every label round re-embedded and re-ANALYZED the whole upstream
+    // near-dup pipeline (minhash chain and friends) in its plan — pure
+    // single-threaded driver cost per round. The cut truncates each
+    // round's plan to LogicalRDD leaves; the persist ON TOP of the cut
+    // keeps accurate cache stats so the per-round label join stays
+    // estimate-driven (broadcast while labels are small, SMJ at scale).
+    val (edgesCut, edgeBlocks) = checkpointed(
+      pairsP.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairsP.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    val edges = edgesCut
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsP.unpersist(blocking = false) // edges checkpoint is materialized
     var (labels, labelBlocks) = checkpointed(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
-    pairsP.unpersist(blocking = false) // edges is materialized now
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -480,8 +490,9 @@ object Dedup {
       i += 1
     }
     // labels is localCheckpoint-ed (no lineage on edges), so the edge cache
-    // can drop now.
+    // and its checkpoint blocks can drop now.
     edges.unpersist()
+    drop(edgeBlocks)
     if (!converged) {
       drop(labelBlocks)
       throw new IllegalStateException(
