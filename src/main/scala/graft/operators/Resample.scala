@@ -27,7 +27,19 @@ object Resample {
     Guards.requireNoReserved(df.columns, Seq("__lo", "__hi"), "Resample.densify")
     val spans = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
-    val spine = spans.select(
+    // Explicit width below the explode (the winnow-ingest precedent, guide
+    // §2.5): spans is |keys| rows and AQE coalesces its exchange to one
+    // partition by BYTES, blind to the |days|-per-key fan-out the sequence
+    // explode is about to apply — measured at sf0.1, the spine generation
+    // plus probe join ran as two single-task 1.0-1.3 s straggler jobs.
+    // ROUND-ROBIN at the session's shuffle width (scale-adaptive, not a
+    // constant): a keyed repartition on the group keys is collapsed into
+    // the aggregate's identical exchange and then coalesced away, and
+    // round-robin additionally spreads the fan-out evenly even when one
+    // key's span dwarfs the others (the 1000-row local sort it pays —
+    // sortBeforeRepartition — is noise at |keys| cardinality).
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spine = spans.repartition(width).select(
       keyCols.map(col) :+
         explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
     spine.join(df, keyCols :+ dateCol, "left")
