@@ -991,6 +991,32 @@ object Dedup {
                          minLen: Int = 30, noise: Int = 21): DataFrame = {
     require(noise > 0, "noise must be positive")
     require(minLen >= noise, s"minLen ($minLen) must be >= noise ($noise)")
+    // Length-split hybrid (r16): per-position gram extraction via
+    // substr(text, pos, noise) walks O(pos) characters (UTF8String counts
+    // codepoints from byte 0), i.e. O(len²) per document — a planted
+    // 1M-char outlier measured 39+ minutes of CPU in ONE task
+    // (SkewProbe, thread-dump-verified in UTF8String.substring). Chunked
+    // extraction (documents cut into 2^12-char chunks + noise−1 overlap,
+    // grams pulled from their chunk) is O(len·C) — the same outlier
+    // finishes in seconds — but measured ~15-30% SLOWER on the gates'
+    // ~300-char corpus (two extra Generate/Project layers per position).
+    // So each document takes the path its length wants: ≤ C chars the
+    // direct pipeline (bit-identical to pre-r16), > C the chunked one.
+    // Each doc is wholly in one branch, selection is per-doc, and the
+    // branches emit identical (id, pos, gram) schemas, so the union is
+    // exactly the unsplit result; on an all-short corpus the long branch's
+    // first stage materializes zero rows and AQE collapses it (cost: one
+    // extra scan of the tiny docs frame).
+    val isLong = length(col(textCol)) > lit(WinnowChunkChars)
+    winnowFingerprintsBranch(docs.where(!isLong), idCol, textCol,
+        minLen, noise, chunked = false)
+      .unionByName(winnowFingerprintsBranch(docs.where(isLong), idCol,
+        textCol, minLen, noise, chunked = true))
+  }
+
+  private def winnowFingerprintsBranch(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, noise: Int,
+      chunked: Boolean): DataFrame = {
     val w = minLen - noise + 1
     val posMask = (1L << WinnowPosBits) - 1
     import org.apache.spark.sql.expressions.Window
@@ -1003,7 +1029,7 @@ object Dedup {
           lit(") — the packed selection key holds 21 position bits; " +
             "split the document first"))).cast("int"))
       .otherwise(length(col(textCol)))
-    val occ = docs
+    val occBase = docs
       .where(length(col(textCol)) >= minLen)
       // r15 (guide §2.3 "shuffle keys and metadata instead of payloads",
       // inverted: shuffle the PAYLOAD once instead of its explosion): the
@@ -1026,19 +1052,46 @@ object Dedup {
       // partition explode). Same rows, same selection.
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col(idCol))
-      .select(col(idCol),
-        (len - (minLen - 1)).as("__last"),
-        explode(sequence(lit(1), len - (noise - 1), lit(1))).as("pos"),
-        col(textCol))
-      // the gram is materialized ONCE per position (one O(pos) character
-      // walk — the same cost the r13 text key paid) and hashed with ONE
-      // md5 digest. (Measured alternatives at sf0.1: a 21-term
-      // codepoint-polynomial via substr(text, pos+i, 1) re-walks the full
-      // string per term — 33 s; via a per-doc codepoint array — Generate
-      // copies the array into every exploded row — 63 s; via
-      // substr(gram, i, 1) — 8 s; md5 — ~2 s.)
-      .select(col(idCol), col("__last"), col("pos"),
-        col(textCol).substr(col("pos"), lit(noise)).as("__gram"))
+    // Gram extraction per the hybrid contract (see winnowFingerprints):
+    // the DIRECT path materializes each gram with one substr(text, pos,
+    // noise) — one O(pos) character walk, the right trade at ≤ C chars
+    // (measured alternatives at sf0.1: a 21-term codepoint polynomial via
+    // substr(text, pos+i, 1) re-walks the full string per term — 33 s;
+    // a per-doc codepoint array — 63 s; substr(gram, i, 1) — 8 s; direct
+    // md5 — ~2 s). The CHUNKED path explodes the document into C = 2^12
+    // char chunks (+ noise−1 overlap so every gram is whole) and pulls
+    // each gram from its chunk — O(len·C + len²/C) total instead of the
+    // O(len²) that made a 1M-char outlier a 39-minute single-task
+    // straggler. Global pos = base + local, so positions and grams are
+    // bit-identical across the two paths.
+    val grams =
+      if (!chunked) occBase
+        .select(col(idCol),
+          (len - (minLen - 1)).as("__last"),
+          explode(sequence(lit(1), len - (noise - 1), lit(1))).as("pos"),
+          col(textCol))
+        .select(col(idCol), col("__last"), col("pos"),
+          col(textCol).substr(col("pos"), lit(noise)).as("__gram"))
+      else occBase
+        .select(col(idCol),
+          (len - (minLen - 1)).as("__last"),
+          (len - (noise - 1)).as("__npos"),
+          explode(sequence(lit(0),
+            shiftright(len - (noise - 1) - 1, WinnowChunkShift), lit(1)))
+            .as("__ck"),
+          col(textCol))
+        .select(col(idCol), col("__last"),
+          (col("__ck") * lit(WinnowChunkChars)).as("__base"),
+          col(textCol).substr(col("__ck") * lit(WinnowChunkChars) + lit(1),
+            lit(WinnowChunkChars + noise - 1)).as("__ctext"),
+          least(lit(WinnowChunkChars),
+            col("__npos") - col("__ck") * lit(WinnowChunkChars)).as("__n"))
+        .select(col(idCol), col("__last"), col("__base"), col("__ctext"),
+          explode(sequence(lit(1), col("__n"), lit(1))).as("__lp"))
+        .select(col(idCol), col("__last"),
+          (col("__base") + col("__lp")).as("pos"),
+          col("__ctext").substr(col("__lp"), lit(noise)).as("__gram"))
+    val occ = grams
       .select(col(idCol),
         ((winnowGramHash(col("__gram"))
             * lit(1L << (WinnowPosBits + 1)))
@@ -1057,9 +1110,34 @@ object Dedup {
         shiftright(col("__win"), 1).bitwiseAND(lit(posMask))
           .cast("int").as("pos"))
       .dropDuplicates(idCol, "pos")
-    winners.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
-      .select(col(idCol), col("pos"),
-        col(textCol).substr(col("pos"), lit(noise)).as("gram"))
+    if (!chunked)
+      winners.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+        .select(col(idCol), col("pos"),
+          col(textCol).substr(col("pos"), lit(noise)).as("gram"))
+    else {
+      // chunked gram recovery: the direct substr(text, pos, noise) walk is
+      // O(pos) per winner (quadratic again on an outlier-length doc, just
+      // at ~2/(w+1) the density); winners join the per-doc CHUNK frame on
+      // (id, chunk) and pull their gram from the chunk — the same bytes
+      // shuffle (chunk texts ≈ corpus + overlap), the walks amortize.
+      val docChunks = docs
+        .where(length(col(textCol)) >= minLen)
+        .select(col(idCol),
+          explode(sequence(lit(0),
+            shiftright(length(col(textCol)) - (noise - 1) - 1,
+              WinnowChunkShift), lit(1))).as("__ck"),
+          col(textCol))
+        .select(col(idCol), col("__ck"),
+          col(textCol).substr(col("__ck") * lit(WinnowChunkChars) + lit(1),
+            lit(WinnowChunkChars + noise - 1)).as("__ctext"))
+      winners
+        .withColumn("__ck", shiftright(col("pos") - 1, WinnowChunkShift))
+        .join(docChunks, Seq(idCol, "__ck"))
+        .select(col(idCol), col("pos"),
+          col("__ctext").substr(
+            col("pos") - col("__ck") * lit(WinnowChunkChars), lit(noise))
+            .as("gram"))
+    }
   }
 
   /** Constants of the packed winnow selection key (see
@@ -1069,6 +1147,16 @@ object Dedup {
     * arithmetic would error on overflow rather than wrap). */
   private[graft] val WinnowHashHexChars = 10 // 40 bits
   private[graft] val WinnowPosBits = 21
+
+  /** Gram-extraction chunk width (see [[winnowFingerprints]]): documents
+    * are cut into 2^12-char chunks (plus a noise−1 overlap) before the
+    * position explode so each O(start) UTF8 substring walk is amortized
+    * over a chunk, not paid per position — O(len·C) total instead of the
+    * O(len²) that made a single 1M-char outlier document a 39-minute
+    * straggler task. Corpus-typical documents (≲4K chars) are one chunk,
+    * i.e. exactly the pre-chunking plan. */
+  private[graft] val WinnowChunkShift = 12
+  private[graft] val WinnowChunkChars = 1 << WinnowChunkShift
 
   /** The portable gram hash as a column expression: the first 10 hex
     * chars of md5(gram) as a BIGINT — the same engine-portable md5
