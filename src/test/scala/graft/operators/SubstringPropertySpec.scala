@@ -187,6 +187,58 @@ class SubstringPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow chunked long-document path: fingerprints, dedup and cut " +
+      "match the reference with duplicates spanning chunk boundaries") {
+    // documents LONGER than Dedup.WinnowChunkChars (2^12) take the r16
+    // chunked gram-extraction branch, which the oracle corpora (≤577-char
+    // docs) never exercise. Duplicated regions are planted to STRADDLE
+    // the 4096 and 8192 chunk boundaries, so any off-by-one in the
+    // chunk/local-position arithmetic or a torn gram at a chunk edge
+    // breaks gram equality and fails the cut comparison.
+    val rnd = new Random(20260819L)
+    val alphabet = "abcdefgh"
+    def randText(n: Int): String =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base1 = randText(9500) // chunks [1,4096],[4097,8192],[8193,...]
+    val base2 = randText(9000)
+    val shared = base1.substring(4070, 4150) // spans the 4096 boundary
+    // doc2: planted at 8160 (spans ITS 8192 boundary); doc3 is SHORT, so
+    // the match also crosses the short/long BRANCH boundary
+    val doc2 = base2.substring(0, 8160) + shared +
+      base2.substring(8160 + shared.length)
+    val doc3 = "x" * 40 + shared + "y" * 40
+    val docs = Seq((1L, base1), (2L, doc2), (3L, doc3))
+    val df = docs.toDF("doc_id", "text")
+    val (minLen, noise) = (30, 21)
+
+    // fingerprint-level equality: positions AND gram text
+    val expFp = docs.flatMap { case (id, t) =>
+      refWinnow(t, minLen, noise).map { case (p, g) => (id, p, g) }
+    }.sorted
+    val gotFp = Dedup.winnowFingerprints(df, "doc_id", "text", minLen, noise)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(gotFp === expFp, "chunked fingerprint mismatch")
+
+    val expSpans = refWinnowSpans(docs, minLen, noise)
+    val expDedup = docs.map { case (id, _) =>
+      val mine = expSpans.filter(_._1 == id)
+      (id, mine.size.toLong, mine.count(_._3).toLong)
+    }.sortBy(_._1)
+    val gotDedup = Dedup.winnowedDedup(df, "doc_id", "text", minLen, noise)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotDedup === expDedup, "chunked dedup rollup mismatch")
+    // the planted region must actually be detected in the copies
+    assert(gotDedup.count(_._3 > 0) >= 2, "planted cross-boundary dup missed")
+
+    val expCut = refWinnowCut(docs, minLen, noise).sortBy(_._1)
+    val gotCut = Dedup.winnowedCut(df, "doc_id", "text", minLen, noise)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gotCut === expCut, "chunked cut mismatch")
+  }
+
   test("winnowOverlapPairs matches the in-memory fingerprint-set intersection on 12 random corpora") {
     val rnd = new Random(816L)
     for (case_ <- 1 to 12) {
