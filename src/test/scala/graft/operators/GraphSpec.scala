@@ -220,6 +220,18 @@ class GraphSpec extends AnyFunSuite {
     assert(out(4L).getAs[Double]("lcc") === 0.0)
   }
 
+  test("hits: no persisted blocks leak past CacheScope.release") {
+    // guards the r16 eager cleanup: the edge checkpoint blocks and the
+    // edge cache are dropped right after the loop, nodes + the last two
+    // half-step cuts at CacheScope.release
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    Graph.hits(edges, "src", "dst", iters = 2).collect()
+    graft.CacheScope.release()
+    assert(sc.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${sc.getPersistentRDDs.keys}")
+  }
+
   test("hits: one-round hand trace on a two-hub funnel; zero rails") {
     // 1→3, 2→3, 2→4: auth max-normalizes on 3, hubs on 2
     val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
